@@ -1,0 +1,139 @@
+"""Web-mercator tile math as pure Spark Column expressions.
+
+Replaces the reference's external mercantile/tilecover dependencies
+(m.Tile/m.Parent at split_combine.go:47-49,390-394; tilecover.TileCover at
+split_combine.go:247) with the published slippy-map formulas, implemented
+entirely JVM-side so Catalyst codegens them — no Python on the hot path.
+
+    x = floor((lon + 180) / 360 * 2^z)
+    y = floor((1 - ln(tan(φ) + sec(φ)) / π) / 2 * 2^z)
+    parent(x, y, Δz) = (x >> Δz, y >> Δz)        # split_combine.go:390-394
+
+The exact same arithmetic is emitted as ANSI SQL for the DuckDB oracle
+(see __spark_entry__.oracle_sql) so driver correctness checks compare
+identical IEEE expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LAT = 85.051128779806604  # web-mercator clip latitude
+CELL_SHIFT = 536870912  # 2^29 — packs z/x/y into one bigint
+
+
+def _n(z: int) -> int:
+    return 1 << z
+
+
+def tile_x(lon: Column, z: int) -> Column:
+    """Slippy-map tile x at zoom z, clamped to [0, 2^z-1]."""
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(_n(z))))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(_n(z) - 1)).cast("bigint")
+
+
+def tile_y(lat: Column, z: int) -> Column:
+    """Slippy-map tile y at zoom z (north = 0), clamped to [0, 2^z-1]."""
+    clamped = F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+    r = F.radians(clamped)
+    raw = F.floor(
+        (F.lit(1.0) - F.log(F.tan(r) + F.lit(1.0) / F.cos(r)) / F.lit(3.141592653589793))
+        / F.lit(2.0)
+        * F.lit(float(_n(z)))
+    )
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(_n(z) - 1)).cast("bigint")
+
+
+def cell_id(z: int, x: Column, y: Column) -> Column:
+    """Pack (z, x, y) into one bigint join key: ((z*2^29)+x)*2^29+y.
+
+    Pure arithmetic (no bit intrinsics) so the identical expression runs in
+    the DuckDB oracle. Safe for z ≤ 29."""
+    return (
+        (F.lit(z).cast("bigint") * F.lit(CELL_SHIFT) + x) * F.lit(CELL_SHIFT) + y
+    ).cast("bigint")
+
+
+def parent_tile(x: Column, y: Column, dz: int = 1) -> tuple[Column, Column]:
+    """Parent promotion — (x>>Δz, y>>Δz), split_combine.go:390-394."""
+    return F.shiftright(x, dz), F.shiftright(y, dz)
+
+
+def point_cell(lon: Column, lat: Column, z: int) -> Column:
+    return cell_id(z, tile_x(lon, z), tile_y(lat, z))
+
+
+def bbox_tile_range(minx, miny, maxx, maxy, z: int):
+    """Tile-range corners covering a bbox at zoom z.
+
+    Returns (x0, x1, y0, y1) Columns; note y0 comes from maxy (north)
+    because tile y grows southward. The cover is the full x0..x1 × y0..y1
+    grid — the exact analog of the reference's per-feature tile cover
+    producing 1:N duplication (split_combine.go:166-183)."""
+    return tile_x(minx, z), tile_x(maxx, z), tile_y(maxy, z), tile_y(miny, z)
+
+
+def explode_bbox_cover(df, z: int, minx="minx", miny="miny", maxx="maxx", maxy="maxy",
+                       out_x="tile_x", out_y="tile_y"):
+    """flatMap feature → covered tiles (MapToSubFiles semantics,
+    split_combine.go:166-183): one output row per (feature, tile).
+
+    Implemented as two nested sequence/explode generators — whole-stage
+    codegen'd, shuffle-free until the caller repartitions."""
+    x0, x1, y0, y1 = bbox_tile_range(F.col(minx), F.col(miny), F.col(maxx), F.col(maxy), z)
+    return (
+        df.withColumn("_x0", x0)
+        .withColumn("_x1", x1)
+        .withColumn("_y0", y0)
+        .withColumn("_y1", y1)
+        .withColumn(out_x, F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn(out_y, F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
+        .drop("_x0", "_x1", "_y0", "_y1")
+    )
+
+
+def ring_cells(x: Column, y: Column, z: int, r: int) -> Column:
+    """Array of cell ids within Chebyshev radius r of (x,y) at zoom z —
+    the candidate-generation key set for kNN cell-ring expansion.
+
+    Built with nested transform(sequence(...)) + flatten: pure expressions,
+    clamped to the tile grid, deduplicated by the clamp-aware caller."""
+    n = _n(z)
+    dxs = F.sequence(F.lit(-r), F.lit(r))
+    grid = F.transform(
+        dxs,
+        lambda dx: F.transform(
+            F.sequence(F.lit(-r), F.lit(r)),
+            lambda dy: cell_id(
+                z,
+                F.least(F.greatest(x + dx, F.lit(0)), F.lit(n - 1)).cast("bigint"),
+                F.least(F.greatest(y + dy, F.lit(0)), F.lit(n - 1)).cast("bigint"),
+            ),
+        ),
+    )
+    return F.array_distinct(F.flatten(grid))
+
+
+# ---------------------------------------------------------------------------
+# SQL text builders — the same formulas for the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def sql_tile_x(lon: str, z: int) -> str:
+    n = _n(z)
+    return (
+        f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {float(n)}), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def sql_tile_y(lat: str, z: int) -> str:
+    n = _n(z)
+    clamped = f"least(greatest({lat}, {-MAX_LAT}), {MAX_LAT})"
+    return (
+        f"CAST(least(greatest(floor((1.0 - ln(tan(radians({clamped})) + "
+        f"1.0 / cos(radians({clamped}))) / 3.141592653589793) / 2.0 * {float(n)}), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def sql_cell_id(z: int, x: str, y: str) -> str:
+    return f"(({z} * {CELL_SHIFT} + ({x})) * {CELL_SHIFT} + ({y}))"

@@ -1,0 +1,151 @@
+"""Cell-indexed spatial joins: point-in-polygon via tile-cover equi-join.
+
+The reference supplies the ingredients but never composes the join itself
+(SURVEY §2.5): the tile/cell equi-key (tilecover at split_combine.go:247),
+the bbox intersection predicate (Intersect, split_combine.go:324-331), and
+the per-tile index lookup (SubFileSeek, reader.go:278-287). This module is
+that composition, Spark-first:
+
+  1. point side: one cell per point (its tile at zoom z) — cheap, narrow;
+  2. polygon side: explode the bbox tile cover (1:N duplication exactly as
+     MapToSubFiles, split_combine.go:166-183);
+  3. equi-join on the cell id — Catalyst picks broadcast when the build side
+     is small, else shuffle-hash/sort-merge with AQE skew splitting;
+  4. refine with the exact geometric predicate, staged AFTER the join so the
+     cheap bbox/cell pruning runs first (the reference orders its stages the
+     same way, split_combine.go:376-384).
+
+Correctness note: a point has exactly one cell at zoom z, so a (point,
+polygon) pair can meet on at most one cell — the join produces no duplicate
+pairs and needs no distinct.
+
+Scale notes (100 TB / 1000 executors):
+  - zoom choice trades cover fan-out (build-side duplication ~ area·4^z)
+    against cell selectivity (probe rows per cell ~ n/4^z); pick z so the
+    build side stays a few× its input and hot cells stay under the skew
+    threshold — AQE's skew-join splitting backstops the tail.
+  - `strategy="salted"` adds explicit salting for pathological hot cells:
+    probe rows scatter to (cell, salt) and the build side replicates k ways,
+    bounding any single shuffle partition at 1/k of the hot cell.
+  - the polygon side should be the smaller (dimension) table; pass
+    `strategy="broadcast"` when it fits in executor memory — the cover
+    explode then happens map-side with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geobuf_spark.functions import tiles
+
+
+def rect_contains(lon: Column, lat: Column) -> Column:
+    """Closed-interval containment — bbox Intersect semantics degenerate to
+    this for a point probe (split_combine.go:314-331)."""
+    return (
+        (lon >= F.col("minx")) & (lon <= F.col("maxx"))
+        & (lat >= F.col("miny")) & (lat <= F.col("maxy"))
+    )
+
+
+def triangle_contains(px: Column, py: Column) -> Column:
+    """Ray-casting crossing parity for a triangle, as a pure expression.
+
+    One term per edge: ((y1>py) != (y2>py)) AND px < (x2-x1)*(py-y1)/(y2-y1)+x1.
+    The identical arithmetic is emitted in SQL for the oracle, so both
+    engines agree bit-for-bit even on boundary-adjacent points."""
+
+    def crossing(x1, y1, x2, y2):
+        cond = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+        return F.when(cond, 1).otherwise(0)
+
+    c = (
+        crossing(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+        + crossing(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+        + crossing(F.col("x2"), F.col("y2"), F.col("x0"), F.col("y0"))
+    )
+    return c % 2 == 1
+
+
+def sql_triangle_contains(px: str, py: str) -> str:
+    """The same crossing-parity predicate as ANSI SQL (DuckDB oracle)."""
+
+    def crossing(x1, y1, x2, y2):
+        return (
+            f"(CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND "
+            f"({px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    total = " + ".join([
+        crossing("x0", "y0", "x1", "y1"),
+        crossing("x1", "y1", "x2", "y2"),
+        crossing("x2", "y2", "x0", "y0"),
+    ])
+    return f"(({total}) % 2 = 1)"
+
+
+def _cover_side(polys: DataFrame, z: int) -> DataFrame:
+    covered = tiles.explode_bbox_cover(polys, z)
+    return covered.withColumn(
+        "cell", tiles.cell_id(z, F.col("tile_x"), F.col("tile_y"))
+    ).drop("tile_x", "tile_y")
+
+
+def _point_side(points: DataFrame, z: int, lon="lon", lat="lat") -> DataFrame:
+    return points.withColumn("cell", tiles.point_cell(F.col(lon), F.col(lat), z))
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    z: int = 6,
+    refine: Column | None = None,
+    how: str = "inner",
+    strategy: str = "broadcast",
+    salt: int = 8,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Generic cell join: points × polygon bboxes, refined by `refine`.
+
+    `polys` must carry minx/miny/maxx/maxy (plus any payload columns);
+    `refine` defaults to rectangle containment. Returns the joined rows
+    (all point columns + polygon columns minus the internal cell key)."""
+    if refine is None:
+        refine = rect_contains(F.col(lon), F.col(lat))
+    p = _point_side(points, z, lon, lat)
+    b = _cover_side(polys, z)
+
+    if strategy == "broadcast":
+        joined = p.join(F.broadcast(b), "cell", how)
+    elif strategy == "shuffle":
+        joined = p.hint("SHUFFLE_HASH").join(b, "cell", how)
+    elif strategy == "salted":
+        # probe scatters over k salts; build replicates k ways — bounds any
+        # hot cell's shuffle partition at 1/k (SURVEY §2.5 salting plan)
+        p2 = p.withColumn("_salt", F.pmod(F.hash(F.col(lon)), F.lit(salt)))
+        b2 = b.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        joined = p2.join(b2, ["cell", "_salt"], how).drop("_salt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    return joined.filter(refine).drop("cell")
+
+
+def pip_join_semi(points: DataFrame, polys: DataFrame, *, z: int = 6,
+                  strategy: str = "broadcast", lon: str = "lon", lat: str = "lat",
+                  point_key: str = "doc_id") -> DataFrame:
+    """Points that fall in ANY polygon (left-semi shape).
+
+    Implemented as inner join + distinct on the point key: a point can match
+    many polygons, and the semi must not duplicate. The distinct re-uses the
+    join's partitioning on small keys — one extra exchange at most."""
+    matched = pip_join(points, polys, z=z, strategy=strategy, lon=lon, lat=lat)
+    return points.join(
+        matched.select(point_key).distinct(), point_key, "left_semi"
+    )
