@@ -1,0 +1,137 @@
+"""k-nearest-neighbors via cell-ring expansion (SURVEY §2.5, §7.7).
+
+No reference analog exists — the reference's index supports only point
+lookups (SubFileSeek). We define the semantics and verify against a
+brute-force oracle:
+
+    for each query point, the k nearest points by *planar squared
+    euclidean distance in degree space*, ties broken by neighbor id.
+
+Algorithm (scales to 10^12 points):
+  1. candidate generation: each query joins points whose cell lies within
+     Chebyshev ring R of the query's cell at zoom z — an equi-join on cell
+     id after exploding the ring key set (pure expressions);
+  2. top-k per query via window row_number over (dist, neighbor id);
+  3. completeness proof per query: the k-th candidate distance must not
+     exceed the distance from the query to the ring block's boundary
+     (beyond which no candidate was examined). Mercator tiles shrink with
+     latitude, so the bound is computed from the actual tile edge
+     lon/lats, not a constant;
+  4. queries that fail the proof (sparse neighborhoods, pole-adjacent
+     blocks) fall back to a distributed brute-force join — typically a
+     vanishing fraction, so the expensive path touches almost nothing.
+
+The brute-force path doubles as the oracle implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geobuf_spark.functions import tiles
+
+PI = 3.141592653589793
+
+
+def _lon_west(x, z: int):
+    return x.cast("double") * F.lit(360.0 / (1 << z)) - F.lit(180.0)
+
+
+def _lat_north(y, z: int):
+    # inverse mercator: lat(y) = degrees(atan(sinh(π(1 - 2y/2^z))))
+    return F.degrees(F.atan(F.sinh(F.lit(PI) * (F.lit(1.0) - F.lit(2.0 / (1 << z)) * y.cast("double")))))
+
+
+def _dist2(qlon, qlat, nlon, nlat):
+    return (qlon - nlon) * (qlon - nlon) + (qlat - nlat) * (qlat - nlat)
+
+
+def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
+                   point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
+    """Exact kNN by full cross join — the oracle and the fallback path."""
+    p = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col("lon").alias("nlon"), F.col("lat").alias("nlat"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    joined = q.crossJoin(p).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "dist2", _dist2(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+
+
+def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int = 1,
+        point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
+    """Cell-ring kNN with provable completeness + brute-force fallback.
+
+    `points` needs (point_id, lon, lat); `queries` needs (query_id, lon, lat).
+    Returns (query_id, neighbor_id, rank, dist2) — identical rows to
+    :func:`knn_bruteforce`."""
+    p = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col("lon").alias("nlon"), F.col("lat").alias("nlat"),
+    ).withColumn("cell", tiles.point_cell(F.col("nlon"), F.col("nlat"), z))
+
+    qx = tiles.tile_x(F.col("lon"), z)
+    qy = tiles.tile_y(F.col("lat"), z)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    ).withColumn("qx", tiles.tile_x(F.col("qlon"), z)) \
+     .withColumn("qy", tiles.tile_y(F.col("qlat"), z))
+    _ = qx, qy
+
+    n = 1 << z
+    # block edges (clamped sides give no guarantee → treat as unbounded reach)
+    x_lo, x_hi = F.col("qx") - ring, F.col("qx") + ring
+    y_lo, y_hi = F.col("qy") - ring, F.col("qy") + ring
+    west = _lon_west(F.greatest(x_lo, F.lit(0)), z)
+    east = _lon_west(F.least(x_hi, F.lit(n - 1)) + 1, z)
+    north = _lat_north(F.greatest(y_lo, F.lit(0)), z)
+    south = _lat_north(F.least(y_hi, F.lit(n - 1)) + 1, z)
+    inf = F.lit(float("inf"))
+    d_w = F.when(x_lo >= 0, F.col("qlon") - west).otherwise(inf)
+    d_e = F.when(x_hi <= n - 1, east - F.col("qlon")).otherwise(inf)
+    d_n = F.when(y_lo >= 0, north - F.col("qlat")).otherwise(inf)
+    d_s = F.when(y_hi <= n - 1, F.col("qlat") - south).otherwise(inf)
+    guard = F.least(d_w, d_e, d_n, d_s)
+    q = q.withColumn("guard2", guard * guard)
+
+    cand = (
+        q.withColumn("cell", F.explode(tiles.ring_cells(F.col("qx"), F.col("qy"), z, ring)))
+        .join(p, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist2", "guard2")
+    )
+
+    # completeness proof: k candidates found AND k-th distance within guard
+    per_q = topk.groupBy("query_id").agg(
+        F.count("*").alias("n_found"), F.max("dist2").alias("kth"),
+        F.first("guard2").alias("g2"),
+    )
+    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") <= F.col("g2")))
+    resolved = topk.join(resolved_q.select("query_id"), "query_id", "inner") \
+        .select("query_id", "neighbor_id", "rank", "dist2")
+
+    unresolved_queries = q.join(resolved_q.select("query_id"), "query_id", "left_anti") \
+        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
+    fallback = knn_bruteforce(points, unresolved_queries, k,
+                              point_id=point_id, query_id="query_id")
+
+    return resolved.unionByName(fallback)

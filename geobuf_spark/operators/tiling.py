@@ -1,0 +1,82 @@
+"""Tile materialization — the reference's split/combine pipeline as ONE shuffle.
+
+The reference repartitions a file by web-mercator tile in multiple passes
+bounded by the OS fd limit (≤750 open subfiles, zoom steps of ≤4 —
+split_combine.go:425-559 MapGeobuf), building a gob byte-range index
+(split_combine.go:186-232 Combine). Spark has neither constraint: we explode
+the tile cover at the *target* zoom directly and write partitioned by
+(z, x, y) in a single job; the partitioned layout + parquet footers replace
+the subfile index, and `WHERE z=… AND x=… AND y=…` prunes exactly like
+SubFileSeek (reader.go:278-287).
+
+What must match the reference is the assignment semantics (SURVEY §3.3):
+which (feature, z/x/y) pairs exist — bbox tile cover with 1:N duplication
+(split_combine.go:166-183) and parent promotion (x>>Δ, y>>Δ, z-Δ)
+(split_combine.go:390-394). Both are pure Column expressions here.
+
+At 100 TB: one wide shuffle keyed by cell; AQE coalesces small tiles and
+splits hot ones; `maxRecordsPerFile` bounds output skew. No multi-pass I/O,
+no subprocess `cat`, no fd planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geobuf_spark.functions import tiles
+
+
+def assign_tiles_points(points: DataFrame, z: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Point → exactly one (z, x, y)."""
+    return points.withColumn("z", F.lit(z).cast("int")) \
+        .withColumn("x", tiles.tile_x(F.col(lon), z)) \
+        .withColumn("y", tiles.tile_y(F.col(lat), z))
+
+
+def assign_tiles_bbox(feats: DataFrame, z: int) -> DataFrame:
+    """Feature with bbox → one row per covered tile (1:N duplication)."""
+    covered = tiles.explode_bbox_cover(feats, z)
+    return covered.withColumn("z", F.lit(z).cast("int")) \
+        .withColumnRenamed("tile_x", "x").withColumnRenamed("tile_y", "y")
+
+
+def promote_to_zoom(assigned: DataFrame, target_z: int) -> DataFrame:
+    """Re-key tile assignments to a coarser zoom via parent promotion,
+    deduplicating tiles that merge (the refine loop of MapGeobuf run in
+    reverse, without any I/O)."""
+    # x >> dz as integer division (dz is per-row when z is a column)
+    div = f"CAST(pow(2, z - {target_z}) AS BIGINT)"
+    return assigned.withColumn("x", F.expr(f"x div {div}")) \
+        .withColumn("y", F.expr(f"y div {div}")) \
+        .withColumn("z", F.lit(target_z).cast("int"))
+
+
+def write_tiles(assigned: DataFrame, path: str, max_records_per_file: int = 5_000_000,
+                fmt: str = "parquet") -> None:
+    """Partitioned write clustered by tile — the Combine analog.
+
+    `repartition(z, x, y)` co-locates each tile's rows so every tile writes
+    contiguous files (the reference's physical clustering, README.md:21);
+    partition pruning on read replaces the gob index."""
+    (
+        assigned.repartition("z", "x", "y")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("z", "x", "y")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_tile(spark, path: str, z: int, x: int, y: int) -> DataFrame:
+    """SubFileSeek analog — partition-pruned point lookup of one tile."""
+    return spark.read.parquet(path).where(
+        (F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y)
+    )
+
+
+def tile_histogram(assigned: DataFrame) -> DataFrame:
+    """Per-tile feature counts (NumberFeatures analog, split_combine.go:145)
+    — also the input to salt planning for hot cells."""
+    return assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
