@@ -1,10 +1,15 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the geobuf_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) to a (spark, sf_dir) → DataFrame
+callable; `oracle_sql()` supplies the DuckDB-equivalent ANSI SQL. Column
+names and arithmetic are kept byte-identical between both sides so the
+driver's order-insensitive value hash matches.
+
+Non-SQL-expressible ops (geobuf binary round-trips through real encode /
+decode kernels, MinHash/SimHash LSH, ANN re-rank) either return integer
+lattice values with arithmetic oracles or are registered without an oracle
+(rows-only check) — pytest covers them against brute-force oracles instead.
 """
 
 from __future__ import annotations
@@ -12,27 +17,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from geobuf_spark.codec import spark_codec
+from geobuf_spark.functions import text as TXT
+from geobuf_spark.functions import tiles
+from geobuf_spark.operators import dedup, knn, similarity
+from geobuf_spark.operators import spatial_join as sj
+from geobuf_spark.operators import tiling
+from geobuf_spark.sources import minted, pages
+from geobuf_spark.streaming import windows as W
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001: mint points from documents → encode to
+    geobuf (vectorized Arrow kernel) → decode back (exact integer path) →
+    cell-indexed PIP join against minted rectangles → tile assignment at
+    z=8 → per-tile feature counts. Exercises codec + join + tiling in one
+    plan."""
+    pts = minted.minted_points(spark, SF_SMALL)
+    enc = spark_codec.encode_points(pts)
+    dec = spark_codec.decode_points(enc, quantized=True)
+    pts2 = dec.select(
+        F.col("id").alias("doc_id"),
+        (F.col("lon_q") / 1e7).alias("lon"),
+        (F.col("lat_q") / 1e7).alias("lat"),
+    )
+    rects = minted.minted_rects(spark, SF_SMALL)
+    joined = sj.pip_join(pts2, rects, z=6, strategy="broadcast")
+    assigned = tiling.assign_tiles_points(joined, z=8)
+    return (
+        assigned.groupBy("z", "x", "y")
+        .agg(F.count("*").alias("n_features"), F.countDistinct("poly_id").alias("n_polys"))
+        .orderBy("z", "x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _points(spark, sf):
+    return minted.minted_points(spark, sf)
+
+
+def _rects(spark, sf):
+    return minted.minted_rects(spark, sf)
+
+
+def _tris(spark, sf):
+    return minted.minted_triangles(spark, sf)
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def q_mint_points(spark, sf):
+    return _points(spark, sf)
+
+
+def q_geo_bounds(spark, sf):
+    # Expand_BoundingBoxs / Splitter bounds accumulation (bb.go:39-86,
+    # split_combine.go:137-152) as one global agg
+    return _points(spark, sf).agg(
+        F.min("lon").alias("west"), F.min("lat").alias("south"),
+        F.max("lon").alias("east"), F.max("lat").alias("north"),
+        F.count("*").alias("n_features"),
+    )
+
+
+def q_tile_assign_z8(spark, sf):
+    return tiling.assign_tiles_points(_points(spark, sf), z=8).select("doc_id", "z", "x", "y")
+
+
+def q_tile_counts_z6(spark, sf):
+    return tiling.tile_histogram(tiling.assign_tiles_points(_points(spark, sf), z=6))
+
+
+def q_tile_parent_promote(spark, sf):
+    # z=10 assignment promoted to z=7 — parent arithmetic (split_combine.go:390-394)
+    a = tiling.assign_tiles_points(_points(spark, sf), z=10)
+    return tiling.promote_to_zoom(a, 7).select("doc_id", "z", "x", "y")
+
+
+def q_tile_cover_rects_z7(spark, sf):
+    return tiling.assign_tiles_bbox(_rects(spark, sf), z=7).select("poly_id", "z", "x", "y")
+
+
+def q_pip_join_rects(spark, sf):
+    return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
+                       strategy="broadcast").select("doc_id", "poly_id")
+
+
+def q_pip_join_rects_salted(spark, sf):
+    return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
+                       strategy="salted", salt=4).select("doc_id", "poly_id")
+
+
+def q_pip_join_triangles(spark, sf):
+    tri = _tris(spark, sf) \
+        .withColumn("minx", F.col("x1")).withColumn("maxx", F.col("x2")) \
+        .withColumn("miny", F.col("y1")).withColumn("maxy", F.col("y0"))
+    return sj.pip_join(
+        _points(spark, sf), tri, z=6,
+        refine=sj.triangle_contains(F.col("lon"), F.col("lat")),
+    ).select("doc_id", "poly_id")
+
+
+def q_pip_semi(spark, sf):
+    return sj.pip_join_semi(_points(spark, sf), _rects(spark, sf), z=6).select("doc_id")
+
+
+def q_knn_k5(spark, sf):
+    pts = _points(spark, sf)
+    queries = pts.filter(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    return knn.knn(pts, queries, 5, z=4, ring=1).select("query_id", "neighbor_id", "rank")
+
+
+def q_geobuf_roundtrip(spark, sf):
+    # real encode → decode through the binary column; exact integer lattice
+    enc = spark_codec.encode_points(_points(spark, sf))
+    return spark_codec.decode_points(enc, quantized=True) \
+        .select(F.col("id").alias("doc_id"), "lon_q", "lat_q")
+
+
+def q_feature_count(spark, sf):
+    # NumberFeatures counter (reader.go:27) — total + per-lang
+    return _docs(spark, sf).groupBy("lang").agg(F.count("*").alias("n_features"))
+
+
+def q_increment_limit(spark, sf):
+    # Increment (increment.go:9-32): take first N by id, tag COLORKEY purple
+    return (
+        _docs(spark, sf).orderBy("doc_id").limit(20)
+        .select("doc_id", F.lit("purple").alias("COLORKEY"))
+    )
+
+
+def q_union_datasets(spark, sf):
+    # AddGeobuf / CombineFileSubFiles (writer.go:119-130) — union of subsets
+    d = _docs(spark, sf)
+    return d.filter(F.col("lang") == "en").select("doc_id", "lang").unionAll(
+        d.filter(F.col("lang") == "de").select("doc_id", "lang")
+    )
+
+
+def q_csv_export(spark, sf):
+    # ReadGeobufCSV projection (read_geobuf_stdout.go:188-221): fixed column
+    # list flattened to a pipe-delimited line
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias("line"),
+    )
+
+
+def q_distinct_prop_keys(spark, sf):
+    # GetKeys (read_geobuf_stdout.go:168-186): distinct property keys over
+    # the dynamic per-row map (events.props JSON)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key").agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_quality(spark, sf):
+    return TXT.quality_columns(_docs(spark, sf)).select(
+        "doc_id", "n_bytes", "n_tokens", "n_uniq_tokens", "mean_token_len_x100"
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.dedup_exact(_docs(spark, sf), key="doc_id")
+
+
+def q_token_totals(spark, sf):
+    return (
+        TXT.quality_columns(_docs(spark, sf))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total_tokens"),
+             F.count("*").alias("n_docs"),
+             F.max("n_uniq_tokens").alias("max_uniq"))
+    )
+
+
+def q_events_window(spark, sf):
+    return W.tumbling_counts(spark.read.parquet(f"{sf}/events.parquet"), minutes=5)
+
+
+def q_sessionize(spark, sf):
+    return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
+
+
+def q_multimodal_bytes(spark, sf):
+    # binary-column plumbing: documents.text → binary payload + metadata
+    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.hex(F.substring(F.col("text"), 1, 4)).alias("magic_hex"),
+    )
+
+
+def q_tpch_q1(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q5(spark, sf):
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    return (
+        r.filter(F.col("r_name") == "ASIA")
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .filter((F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --- ops without SQL oracles (rows-only driver check; pytest has oracles) ---
+
+def q_minhash_near_dups(spark, sf):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf), key="doc_id",
+                                   jaccard_threshold=0.4)
+
+
+def q_simhash_near_dups(spark, sf):
+    return dedup.simhash_near_pairs(_docs(spark, sf), key="doc_id", max_hamming=3)
+
+
+def q_ann_cosine_top5(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_top5(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ann_topk(emb, queries, k=5)
+
+
+def q_lang_id(spark, sf):
+    return TXT.lang_id(_docs(spark, sf)).groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+def q_pages_synth(spark, sf):
+    # the north-rule pages table: synthesize 2k rows, mint geometry, verify
+    # shape; byte-identity of text is pytest-checked
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    return p.select("page_id", "lang", F.octet_length("text").alias("n_bytes"),
+                    tiles.tile_x(F.col("lon"), 7).alias("x7"),
+                    tiles.tile_y(F.col("lat"), 7).alias("y7"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mint_points": q_mint_points,
+        "geo_bounds": q_geo_bounds,
+        "tile_assign_z8": q_tile_assign_z8,
+        "tile_counts_z6": q_tile_counts_z6,
+        "tile_parent_promote": q_tile_parent_promote,
+        "tile_cover_rects_z7": q_tile_cover_rects_z7,
+        "pip_join_rects": q_pip_join_rects,
+        "pip_join_rects_salted": q_pip_join_rects_salted,
+        "pip_join_triangles": q_pip_join_triangles,
+        "pip_semi": q_pip_semi,
+        "knn_k5": q_knn_k5,
+        "geobuf_roundtrip": q_geobuf_roundtrip,
+        "feature_count": q_feature_count,
+        "increment_limit": q_increment_limit,
+        "union_datasets": q_union_datasets,
+        "csv_export": q_csv_export,
+        "distinct_prop_keys": q_distinct_prop_keys,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "token_totals": q_token_totals,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "multimodal_bytes": q_multimodal_bytes,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_cosine_top5": q_ann_cosine_top5,
+        "ann_lsh_top5": q_ann_lsh_top5,
+        "lang_id": q_lang_id,
+        "pages_synth": q_pages_synth,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = minted.SQL_MINTED_POINTS.strip()
+    rects = minted.SQL_MINTED_RECTS.strip()
+    tris = minted.SQL_MINTED_TRIANGLES.strip()
+    tq = TXT.sql_quality("text")
+
+    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
+    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
+    x10, y10 = tiles.sql_tile_x("lon", 10), tiles.sql_tile_y("lat", 10)
+
+    return {
+        "mint_points": pts,
+        "geo_bounds": f"""
+            SELECT min(lon) AS west, min(lat) AS south, max(lon) AS east,
+                   max(lat) AS north, count(*) AS n_features
+            FROM ({pts})""",
+        "tile_assign_z8": f"""
+            SELECT doc_id, 8 AS z, {x8} AS x, {y8} AS y FROM ({pts})""",
+        "tile_counts_z6": f"""
+            SELECT 6 AS z, {x6} AS x, {y6} AS y, count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3""",
+        "tile_parent_promote": f"""
+            SELECT doc_id, 7 AS z, ({x10}) // 8 AS x, ({y10}) // 8 AS y FROM ({pts})""",
+        "tile_cover_rects_z7": f"""
+            WITH r AS ({rects}),
+            rt AS (SELECT poly_id,
+                          {tiles.sql_tile_x('minx', 7)} AS x0, {tiles.sql_tile_x('maxx', 7)} AS x1,
+                          {tiles.sql_tile_y('maxy', 7)} AS y0, {tiles.sql_tile_y('miny', 7)} AS y1
+                   FROM r),
+            xs AS (SELECT poly_id, y0, y1, unnest(generate_series(x0, x1)) AS x FROM rt)
+            SELECT poly_id, 7 AS z, x, unnest(generate_series(y0, y1)) AS y FROM xs""",
+        "pip_join_rects": f"""
+            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
+            WHERE p.lon >= r.minx AND p.lon <= r.maxx
+              AND p.lat >= r.miny AND p.lat <= r.maxy""",
+        "pip_join_rects_salted": f"""
+            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
+            WHERE p.lon >= r.minx AND p.lon <= r.maxx
+              AND p.lat >= r.miny AND p.lat <= r.maxy""",
+        "pip_join_triangles": f"""
+            SELECT p.doc_id, t.poly_id FROM ({pts}) p, ({tris}) t
+            WHERE {sj.sql_triangle_contains('p.lon', 'p.lat')}""",
+        "pip_semi": f"""
+            SELECT DISTINCT p.doc_id FROM ({pts}) p
+            WHERE EXISTS (SELECT 1 FROM ({rects}) r
+                          WHERE p.lon >= r.minx AND p.lon <= r.maxx
+                            AND p.lat >= r.miny AND p.lat <= r.maxy)""",
+        "knn_k5": f"""
+            WITH p AS ({pts}),
+            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
+                  WHERE doc_id % 20 = 0),
+            scored AS (
+                SELECT q.query_id, p.doc_id AS neighbor_id,
+                       (q.qlon - p.lon) * (q.qlon - p.lon)
+                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
+                FROM q, p WHERE p.doc_id != q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
+        "geobuf_roundtrip": f"""
+            SELECT doc_id, CAST(trunc(lon * 10000000.0) AS BIGINT) AS lon_q,
+                   CAST(trunc(lat * 10000000.0) AS BIGINT) AS lat_q
+            FROM ({pts})""",
+        "feature_count": "SELECT lang, count(*) AS n_features FROM documents GROUP BY lang",
+        "increment_limit": """
+            SELECT doc_id, 'purple' AS COLORKEY FROM documents
+            ORDER BY doc_id LIMIT 20""",
+        "union_datasets": """
+            SELECT doc_id, lang FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, lang FROM documents WHERE lang = 'de'""",
+        "csv_export": """
+            SELECT doc_id,
+                   concat_ws('|', doc_id, lang, n_chars) AS line
+            FROM documents""",
+        "distinct_prop_keys": """
+            SELECT k AS key, count(*) AS n
+            FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+            GROUP BY k""",
+        "doc_quality": f"""
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes, {tq['n_tokens']} AS n_tokens,
+                   {tq['n_uniq_tokens']} AS n_uniq_tokens,
+                   {tq['mean_token_len_x100']} AS mean_token_len_x100
+            FROM documents""",
+        "doc_fingerprint": """
+            SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents""",
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "token_totals": f"""
+            SELECT lang, sum({tq['n_tokens']}) AS total_tokens,
+                   count(*) AS n_docs, max({tq['n_uniq_tokens']}) AS max_uniq
+            FROM documents GROUP BY lang""",
+        "events_window": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS wstart, event_type,
+                   count(*) AS n_events,
+                   count(CASE WHEN value > 0.5 THEN 1 END) AS n_high
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                FROM events),
+            lagged AS (
+                SELECT user_id, event_id, ep,
+                       lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep
+                FROM e),
+            flagged AS (
+                SELECT user_id, event_id, ep,
+                       CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM lagged),
+            sess AS (
+                SELECT user_id, ep,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ep) AS t_start, max(ep) AS t_end
+            FROM sess GROUP BY user_id, session_id""",
+        "multimodal_bytes": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   upper(hex(substring(text, 1, 4))) AS magic_hex
+            FROM documents""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey""",
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM region, nation, customer, orders, lineitem, supplier
+            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+              AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+              AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate < TIMESTAMP '1995-01-01'
+            GROUP BY n_name""",
+        # minhash_near_dups / simhash_near_dups / ann_* / lang_id /
+        # pages_synth: no SQL twin (hash permutations, LSH banding, BLAS
+        # re-rank, heuristic scoring, sha1 minting) — rows-only here,
+        # brute-force-oracle-tested in tests/.
+    }

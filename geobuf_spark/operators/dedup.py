@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash groupBy (map-side combinable). Near-dup comes in
+three flavors, all shuffle-bounded:
+
+- MinHash + LSH: shingle → minhash signatures → band buckets → bucket
+  equi-join → verified Jaccard. Signatures/bands are pure expressions
+  (xxhash64 with per-permutation seeds); only candidate pairs sharing a
+  band bucket are compared, so the join is linear-ish, never O(n²).
+- SimHash: 64-bit sign-aggregated token hashes; near-dups = Hamming ≤ t,
+  found via band equi-join on 16-bit chunks (Pigeonhole: Hamming ≤ 3 ⇒
+  some chunk equal).
+- n-gram Jaccard (exact, for verification/small sides).
+
+At 10^12 docs: band buckets are the shuffle keys; hot buckets (boilerplate
+shingles) are capped via `max_bucket` before the self-join — the classic
+guard against quadratic bucket blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geobuf_spark.functions.text import tokens
+
+
+def dedup_exact(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one representative (min key) per text.
+
+    Output: (fingerprint, rep_id, n_dups). Map-side partial aggregation
+    makes this one shuffle of distinct hashes, not rows."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(key))
+        .groupBy("fingerprint")
+        .agg(F.min(key).alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """k-token shingles as strings (distinct)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
+                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """(key, sig: array<bigint>) — minhash over shingles, pure expressions.
+
+    Permutation i = xxhash64(shingle, seed=i); min per permutation."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(key).alias("key"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
+                      num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.5, max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs (a < b) whose estimated Jaccard (signature
+    agreement rate) ≥ threshold. One shuffle on band buckets."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "key", "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ]),
+                    F.lit(b),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    # cap pathological buckets (boilerplate shingle sets)
+    w = Window.partitionBy("band", "bucket").orderBy("key")
+    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket)
+
+    left = banded.select(F.col("band"), F.col("bucket"), F.col("key").alias("a"), F.col("sig").alias("sig_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col("key").alias("b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1,
+    ))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(key, simhash bigint): sign-aggregated 64-bit token hashes.
+
+    For each bit position, sum ±1 over tokens (weighted by multiplicity);
+    bit = 1 if the sum > 0. Pure expressions: explode tokens, aggregate 64
+    conditional sums — one shuffle keyed by doc."""
+    tok = df.select(F.col(key).alias("key"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(63)  # 63 bits — keeps the packed value non-negative
+    ]
+    agg = tok.groupBy("key").agg(*sums)
+    packed = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(1 << b))
+        for b in range(63)
+    )
+    return agg.select("key", packed.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, key: str, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via chunk-band
+    join: split 64 bits into (max_hamming+1) chunks; pigeonhole guarantees
+    equal chunks for any pair within the bound."""
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sh = simhash64(df, key, text_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))
+        for c in range(nchunks)
+    ])
+    banded = sh.select("key", "simhash", F.posexplode(chunks).alias("chunk_i", "chunk"))
+    left = banded.select("chunk_i", "chunk", F.col("key").alias("a"), F.col("simhash").alias("sh_a"))
+    right = banded.select("chunk_i", "chunk", F.col("key").alias("b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["chunk_i", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).filter(ham <= max_hamming).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str, text_col: str = "text",
+                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Explode shingles → self-join on shingle → count shared → Jaccard via
+    inclusion-exclusion with per-doc shingle counts. Exact but heavier than
+    LSH — the verification tier."""
+    sh = df.select(F.col(key).alias("key"), F.explode(_shingles(F.col(text_col), shingle_k)).alias("s"))
+    counts = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("key").alias("a"), "s")
+    b = sh.select(F.col("key").alias("b"), "s")
+    shared = (
+        a.join(b, "s").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(counts.withColumnRenamed("key", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(counts.withColumnRenamed("key", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out

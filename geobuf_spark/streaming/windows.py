@@ -1,0 +1,81 @@
+"""Event-time windowing + sessionization over the events stream.
+
+The reference is a pull-based bounded reader (SURVEY §2.7) — no event-time
+semantics exist there; these are the Structured-Streaming-shaped operators
+our engine adds. Each has a batch twin (identical results on bounded
+input) used for oracle checks; the streaming twin runs the same logical
+plan through readStream with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Tumbling-window counts/sums per event_type, window start as epoch
+    seconds (integer — oracle-exact)."""
+    secs = minutes * 60
+    wstart = (F.unix_timestamp("ts").cast("bigint") / F.lit(secs)).cast("bigint") * F.lit(secs)
+    return (
+        events.withColumn("wstart", wstart)
+        .groupBy("wstart", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("value") > 0.5, 1)).alias("n_high"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: lag + cumsum of gap breaks.
+
+    Returns (user_id, session_id, n_events, t_start, t_end as epochs)."""
+    gap = gap_minutes * 60
+    # order by (floored epoch, event_id) — the oracle orders identically, so
+    # session numbering agrees even when timestamps tie within a second
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    ep = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    with_gap = events.withColumn("ep", ep).withColumn(
+        "new_sess",
+        F.when(F.col("ep") - F.lag("ep").over(w) > gap, 1)
+        .otherwise(F.when(F.lag("ep").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ep").alias("t_start"),
+        F.max("ep").alias("t_end"),
+    )
+
+
+def tumbling_counts_streaming(spark: SparkSession, parquet_dir: str,
+                              minutes: int = 5, watermark: str = "10 minutes") -> DataFrame:
+    """The same tumbling aggregation as a Structured Streaming plan over a
+    file source with an event-time watermark. Use
+    `run_stream_to_memory` to drive it to completion on bounded input."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("bigint").alias("wstart"),
+            "event_type", "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str = "stream_out") -> DataFrame:
+    """Drive a bounded streaming query to completion into a memory sink."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
