@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "throughput": {...}}
+
+`--scaling` additionally runs the flagship pipeline at local[8] and
+local[32] on identical input and reports throughput + efficiency
+(BASELINE.json north rule evidence; results also land in BENCH/BASELINE.md
+via tools/update_baseline.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+
+
+def _flagship(spark, n_pages: int):
+    """pages → mint → geobuf encode → decode → PIP join → tile assign →
+    histogram. Returns (n_rows_out, n_features_processed)."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.operators import spatial_join as sj
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.sources import minted, pages
+
+    p = pages.with_minted_geometry(pages.pages(spark, n_pages)).select("page_id", "lon", "lat")
+    enc = spark_codec.encode_points(p, id_col="page_id")
+    dec = spark_codec.decode_points(enc, quantized=True)
+    pts = dec.select(
+        F.col("id").alias("doc_id"),
+        (F.col("lon_q") / 1e7).alias("lon"),
+        (F.col("lat_q") / 1e7).alias("lat"),
+    )
+    rects = minted.minted_rects(spark, SF_DIR)
+    joined = sj.pip_join(pts, rects, z=7, strategy="broadcast")
+    hist = tiling.tile_histogram(tiling.assign_tiles_points(joined, z=9))
+    return hist.count(), n_pages
+
+
+def bench_queries(spark):
+    """Headline per-operator timings at SF_DIR."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    Q = em.queries()
+    names = [
+        "pip_join_rects", "pip_join_triangles", "tile_cover_rects_z7",
+        "tile_counts_z6", "knn_k5", "geobuf_roundtrip", "dedup_exact",
+        "minhash_near_dups", "simhash_near_dups", "ann_cosine_top5",
+        "doc_quality", "token_totals", "events_window", "sessionize",
+        "tpch_q1", "tpch_q3", "tpch_q5",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = Q[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def bench_codec_vs_json(spark, n_pages: int, trials: int = 3):
+    """The reference's headline claim restated on Spark: geobuf Arrow codec
+    vs JSON to_json/from_json round-trip on identical point features.
+    Median of warm trials (first run pays Python-worker/codegen warmup)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.sources import pages
+
+    p = pages.with_minted_geometry(pages.pages(spark, n_pages)) \
+        .select("page_id", "lon", "lat").cache()
+    p.count()
+
+    # NOTE: every path must end in an aggregate over the PRODUCED values —
+    # a bare count() lets Catalyst prune from_json/to_json entirely and the
+    # JSON "baseline" measures nothing.
+    enc_cached = spark_codec.encode_points(p, id_col="page_id").cache()
+    enc_cached.count()
+    js_cached = p.select(
+        "page_id", F.to_json(F.struct("page_id", "lon", "lat")).alias("j")
+    ).cache()
+    js_cached.count()
+
+    def geobuf_write():
+        return enc_val(spark_codec.encode_points(p, id_col="page_id"), "geobuf")
+
+    def json_write():
+        return enc_val(p.select(F.to_json(F.struct("page_id", "lon", "lat")).alias("j")), "j")
+
+    def enc_val(df, col):
+        return df.agg(F.count("*"), F.sum(F.octet_length(col))).collect()[0][0]
+
+    def geobuf_read():
+        d = spark_codec.decode_points(enc_cached)
+        return d.agg(F.count("*"), F.sum("id"), F.sum("lon_q"), F.sum("lat_q")).collect()[0][0]
+
+    def json_read():
+        parsed = js_cached.select(
+            F.from_json("j", "page_id bigint, lon double, lat double").alias("s")
+        )
+        return parsed.agg(
+            F.count("*"), F.sum("s.page_id"), F.sum("s.lon"), F.sum("s.lat")
+        ).collect()[0][0]
+
+    out = {}
+    for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
+                     ("geobuf_read", geobuf_read), ("json_read", json_read)]:
+        fn()  # warmup
+        ts = []
+        for _ in range(trials):
+            t0 = time.time()
+            n = fn()
+            ts.append(time.time() - t0)
+            assert n == n_pages
+        out[name] = statistics.median(ts)
+    # size comparison (the compactness half of the reference's claim)
+    out["geobuf_bytes"] = enc_cached.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
+    out["json_bytes"] = js_cached.agg(F.sum(F.octet_length("j"))).collect()[0][0]
+    p.unpersist(); enc_cached.unpersist(); js_cached.unpersist()
+    return out
+
+
+def run(cores: int, scaling_only: bool = False):
+    import statistics
+
+    from geobuf_spark.session import get_spark
+
+    spark = get_spark(f"bench_{cores}", cores=cores, shuffle_partitions=max(cores, 16))
+    try:
+        _flagship(spark, N_PAGES)  # warmup (python workers, codegen)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            _, n_feat = _flagship(spark, N_PAGES)
+            ts.append(time.time() - t0)
+        t_flagship = statistics.median(ts)
+        if scaling_only:
+            return {"flagship_sec": t_flagship, "features_per_sec": n_feat / t_flagship}
+        codec = bench_codec_vs_json(spark, N_PAGES)
+        queries = bench_queries(spark)
+        queries["flagship_pipeline"] = round(t_flagship, 3)
+        return {
+            "queries": queries,
+            "flagship_sec": t_flagship,
+            "features_per_sec": n_feat / t_flagship,
+            "codec": codec,
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo = run(8, scaling_only=True)
+        hi = run(32, scaling_only=True)
+        eff = (hi["features_per_sec"] / lo["features_per_sec"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency local[8]→local[32], flagship geobuf+PIP+tile pipeline",
+            "value": round(eff, 4), "unit": "efficiency", "sf": SF_DIR,
+            "local8_features_per_sec": round(lo["features_per_sec"]),
+            "local32_features_per_sec": round(hi["features_per_sec"]),
+            "n_features": N_PAGES,
+        }))
+        return
+
+    r = run(CPUS)
+    total = sum(r["queries"].values())
+    c = r["codec"]
+    print(json.dumps({
+        "metric": "geobuf encode+PIP-join+tile-assign features/sec (flagship); per-query sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": r["queries"],
+        "sf": SF_DIR,
+        "features_per_sec": round(r["features_per_sec"]),
+        "codec_read_speedup_vs_json": round(c["json_read"] / c["geobuf_read"], 2),
+        "codec_write_speedup_vs_json": round(c["json_write"] / c["geobuf_write"], 2),
+        "codec_size_ratio_vs_json": round(c["geobuf_bytes"] / c["json_bytes"], 3),
+        "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write"))},
+        "n_flagship_features": N_PAGES,
+    }))
+
+
+if __name__ == "__main__":
+    main()

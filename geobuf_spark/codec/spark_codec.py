@@ -135,43 +135,84 @@ def decode_points_kernel(frames: pa.Array):
 
 def encode_points(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
                   lat: str = "lat", out: str = "geobuf") -> DataFrame:
-    """Append a geobuf BinaryType column encoding (id, lon, lat) points."""
+    """(id, lon, lat) → (id, geobuf) via mapInArrow — Arrow RecordBatch in,
+    numpy kernel, Arrow out; no pandas materialization anywhere."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
 
-    @F.pandas_udf(T.BinaryType())
-    def _enc(ids: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.Series:
-        arr = encode_points_kernel(
-            ids.to_numpy(np.int64), lons.to_numpy(np.float64), lats.to_numpy(np.float64)
-        )
-        return arr.to_pandas()
+    def _enc(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            lons = batch.column(1).to_numpy(zero_copy_only=False)
+            lats = batch.column(2).to_numpy(zero_copy_only=False)
+            frames = encode_points_kernel(
+                ids.astype(np.int64), lons.astype(np.float64), lats.astype(np.float64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), frames], names=[id_col, out]
+            )
 
-    return df.withColumn(out, _enc(F.col(id_col), F.col(lon), F.col(lat)))
+    return df.select(id_col, lon, lat).mapInArrow(_enc, schema)
 
 
-def decode_points(df: DataFrame, bin_col: str = "geobuf", quantized: bool = True) -> DataFrame:
+def decode_points(df: DataFrame, bin_col: str = "geobuf", id_col: str = "id",
+                  quantized: bool = True) -> DataFrame:
     """Decode point frames → columns (id, lon_q, lat_q) or float lon/lat.
 
     The quantized int64 path is exact (lossless on the 1e-7 lattice); the
-    float path applies the reference's go_round7 decode semantics."""
+    float path applies the reference's go_round7 decode semantics. Arrow
+    binary buffers are read in place — no per-row conversion."""
     fields = [
-        T.StructField("id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
         T.StructField("lon_q", T.LongType()),
         T.StructField("lat_q", T.LongType()),
     ]
     if not quantized:
         fields += [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
     schema = T.StructType(fields)
+    names = [f.name for f in fields]
 
     def _dec(batches):
-        for pdf in batches:
-            frames = pa.array(pdf[bin_col].tolist(), type=pa.binary())
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
             ids, qx, qy = decode_points_kernel(frames)
-            out = {"id": ids.astype(np.int64), "lon_q": qx, "lat_q": qy}
+            arrays = [
+                pa.array(ids.astype(np.int64), type=pa.int64()),
+                pa.array(qx, type=pa.int64()),
+                pa.array(qy, type=pa.int64()),
+            ]
             if not quantized:
-                out["lon"] = core.go_round7(qx.astype(np.float64) / core.POWER)
-                out["lat"] = core.go_round7(qy.astype(np.float64) / core.POWER)
-            yield pd.DataFrame(out)
+                arrays.append(pa.array(core.go_round7(qx.astype(np.float64) / core.POWER)))
+                arrays.append(pa.array(core.go_round7(qy.astype(np.float64) / core.POWER)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.select(bin_col).mapInPandas(_dec, schema)
+    return df.select(bin_col).mapInArrow(_dec, schema)
+
+
+def roundtrip_points(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
+                     lat: str = "lat") -> DataFrame:
+    """Fused encode→decode in ONE Python round-trip (bench/verify path):
+    proves the wire format while paying serde once."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("lon_q", T.LongType()),
+        T.StructField("lat_q", T.LongType()),
+    ])
+
+    def _rt(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lons = batch.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
+            lats = batch.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
+            frames = encode_points_kernel(ids, lons, lats)
+            dids, qx, qy = decode_points_kernel(frames)
+            yield pa.RecordBatch.from_arrays([
+                pa.array(dids.astype(np.int64)), pa.array(qx), pa.array(qy),
+            ], names=[id_col, "lon_q", "lat_q"])
+
+    return df.select(id_col, lon, lat).mapInArrow(_rt, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -47,17 +47,40 @@ def _shingles(text: Column, k: int) -> Column:
     )
 
 
+_MERSENNE = (1 << 31) - 1  # keep a·h + b inside int64 (Spark 4 ANSI mode)
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 1234567):
+    """Deterministic odd multipliers / offsets for affine permutations."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=_np.int64) | 1
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=_np.int64)
+    return a, b
+
+
 def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
                        num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
     """(key, sig: array<bigint>) — minhash over shingles, pure expressions.
 
-    Permutation i = xxhash64(shingle, seed=i); min per permutation."""
+    Shingles are hashed ONCE (xxhash64); each permutation is a cheap affine
+    transform (a·h + b mod 2^61-1) over the precomputed hash array — the
+    standard trick that keeps the cost O(shingles + permutations) instead of
+    O(shingles × permutations) string hashes."""
     sh = _shingles(F.col(text_col), shingle_k)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
-    return df.select(F.col(key).alias("key"), sig.alias("sig"))
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    a, b = _perm_coeffs(num_hashes)
+    base = df.select(F.col(key).alias("key"), hashed.alias("_h"))
+
+    def perm(ai: int, bi: int):
+        # single-param lambda: Spark must not bind the array index
+        return F.array_min(F.transform(
+            F.col("_h"), lambda h: F.pmod(h * F.lit(ai) + F.lit(bi), F.lit(_MERSENNE))
+        ))
+
+    sig = F.array(*[perm(int(a[i]), int(b[i])) for i in range(num_hashes)])
+    return base.select("key", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",

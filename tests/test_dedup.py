@@ -1,0 +1,95 @@
+"""Dedup operators vs brute-force oracles on the documents table + planted
+near-duplicates."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_small):
+    """documents + planted exact and near duplicates with known ids."""
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 20)
+    exact = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    # near-dup: append one token — high shingle overlap
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near).cache()
+
+
+def brute_jaccard(texts: dict, k: int = 3):
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {"\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            out[(a, b)] = inter / len(sh[a] | sh[b])
+    return out
+
+
+def test_dedup_exact_groups(docs_with_dups):
+    res = dedup.dedup_exact(docs_with_dups, key="doc_id")
+    groups = {r.rep_id: r.n_dups for r in res.collect()}
+    for i in range(20):
+        assert groups.get(i) == 2, f"doc {i} should pair with its exact copy"
+    # near-dups are NOT exact dups
+    assert res.filter(F.col("n_dups") > 2).count() == 0
+
+
+def test_ngram_jaccard_exact(docs_with_dups):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, key="doc_id", threshold=0.5).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs_with_dups.collect()}
+    want = {p: j for p, j in brute_jaccard(texts).items() if j >= 0.5}
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(
+            docs_with_dups, key="doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    # every exact duplicate pair (jaccard 1.0) must be found
+    for i in range(20):
+        assert (i, i + 100000) in pairs, f"exact pair {i} missed by LSH"
+    # estimated jaccard never promotes a genuinely low-overlap pair:
+    texts = {r.doc_id: r.text for r in docs_with_dups.collect()}
+    true_j = brute_jaccard(texts)
+    for a, b in pairs:
+        assert true_j.get((a, b), 0.0) > 0.2, f"false positive {(a, b)}"
+
+
+def test_simhash_near_pairs(docs_with_dups):
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.simhash_near_pairs(docs_with_dups, key="doc_id", max_hamming=3).collect()
+    }
+    for i in range(20):
+        assert (i, i + 100000) in pairs, f"exact pair {i} missed by simhash"
+
+
+def test_simhash_hamming_is_exact(spark, docs_with_dups):
+    """hamming column equals true popcount of signature xor."""
+    sh = dedup.simhash64(docs_with_dups, key="doc_id")
+    sigs = {r.key: r.simhash for r in sh.collect()}
+    res = dedup.simhash_near_pairs(docs_with_dups, key="doc_id", max_hamming=3).collect()
+    for r in res:
+        assert r.hamming == bin(sigs[r.a] ^ sigs[r.b]).count("1")

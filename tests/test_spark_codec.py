@@ -25,13 +25,16 @@ def test_points_frames_reference_decodable(spark, sf_small):
     """Every Spark-encoded frame parses with the reference-semantics core
     decoder — proving wire compatibility, not just self-consistency."""
     pts = minted.minted_points(spark, sf_small).limit(50)
+    coords = {r.doc_id: (r.lon, r.lat) for r in pts.collect()}
     rows = sc.encode_points(pts).collect()
+    assert len(rows) == len(coords)
     for r in rows:
         f = core.decode_feature(bytes(r.geobuf), quantized=True)
         assert f.id == r.doc_id
         assert core.GEOM_TYPES[f.geom_type] == "Point"
-        assert f.coords[0] == core.convert_pt(r.lon)
-        assert f.coords[1] == core.convert_pt(r.lat)
+        lon, lat = coords[r.doc_id]
+        assert f.coords[0] == core.convert_pt(lon)
+        assert f.coords[1] == core.convert_pt(lat)
         # current-writer bbox present (write_feature.go:249-260)
         assert f.bbox is not None and len(f.bbox) == 4
 
