@@ -59,6 +59,8 @@ def tumbling_counts_streaming(spark: SparkSession, parquet_dir: str,
     `run_stream_to_memory` to drive it to completion on bounded input."""
     schema = spark.read.parquet(parquet_dir).schema
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    # parquet may carry TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))

@@ -1,0 +1,185 @@
+"""Lineage/checkpoint, geobuf file I/O, multimodal plumbing, pages invariant,
+similarity recall, streaming parity."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_spark.operators import multimodal, similarity
+from geobuf_spark.ops import lineage
+from geobuf_spark.sources import geobuf_file, pages
+from geobuf_spark.streaming import windows as W
+
+
+# --- lineage / checkpoint ---------------------------------------------------
+
+def test_commit_is_idempotent_and_resumable(spark, tmp_path, sf_small):
+    df = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "lang")
+    path = str(tmp_path / "out")
+    e1 = lineage.commit_output(df, path, run_id="r1", partition_cols=["lang"], lineage_key="doc_id")
+    assert e1["status"] == "committed"
+    # rerun with same run_id: no-op (resume after success)
+    e2 = lineage.commit_output(df, path, run_id="r1", partition_cols=["lang"], lineage_key="doc_id")
+    assert e2["status"] == "already_committed"
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == df.count()
+    lin = spark.read.parquet(f"{path}/_lineage")
+    assert set(lin.columns) >= {"lang", "n_rows", "content_xor", "min_key", "max_key"}
+    total = lin.agg(F.sum("n_rows")).first()[0]
+    assert total == df.count()
+
+
+def test_commit_recovers_from_staging_garbage(spark, tmp_path, sf_small):
+    df = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "lang")
+    path = str(tmp_path / "out2")
+    # simulate a crashed attempt: staging dir exists, no manifest entry
+    import os
+    os.makedirs(f"{path}/.staging-r9/junk", exist_ok=True)
+    e = lineage.commit_output(df, path, run_id="r9")
+    assert e["status"] == "committed"
+    assert spark.read.parquet(f"{path}/data").count() == df.count()
+
+
+def test_job_context_metrics(spark, tmp_path):
+    ctx = lineage.JobContext(spark, str(tmp_path), "job1", run_id="m1")
+    with ctx.stage("s1") as t:
+        t.set_counts(rows_in=10, rows_out=5)
+    ctx.flush_metrics()
+    m = spark.read.parquet(f"{tmp_path}/_metrics")
+    row = m.first()
+    assert row.job == "job1" and row.stage == "s1" and row.rows_out == 5
+
+
+# --- geobuf file round trip --------------------------------------------------
+
+def test_geobuf_file_roundtrip(spark, tmp_path, sf_small):
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small)
+    enc = spark_codec.encode_points(pts)
+    out = str(tmp_path / "pts.geobuf")
+    n = geobuf_file.write_geobuf(enc, out)
+    assert n == pts.count()
+    back = geobuf_file.read_geobuf(spark, out)
+    assert back.count() == n
+    dec = spark_codec.decode_points(back)
+    got = {(r.id, r.lon_q, r.lat_q) for r in dec.collect()}
+    from geobuf_spark.codec import core
+    want = {(r.doc_id, core.convert_pt(r.lon), core.convert_pt(r.lat)) for r in pts.collect()}
+    assert got == want
+
+
+def test_read_reference_county_file(spark):
+    df = geobuf_file.decoded_features(spark, "/root/reference/test_data/county.geobuf")
+    rows = df.collect()
+    assert len(rows) == 3304
+    gj = json.load(open("/root/reference/test_data/county.geojson"))
+    by_id = {f["id"]: f for f in gj["features"]}
+    for r in rows[:25]:
+        props = json.loads(r.props_json)
+        want = by_id[r.id]
+        assert props["AREA"] == want["properties"]["AREA"]
+
+
+# --- multimodal plumbing ------------------------------------------------------
+
+def test_multimodal_stub_and_metadata(spark):
+    p = pages.pages(spark, 50).select(F.col("page_id").alias("id"), F.col("html").alias("payload"))
+    meta = multimodal.media_metadata(p)
+    rows = meta.collect()
+    assert all(r.media_type == "html" for r in rows)
+    feats = multimodal.extract_image_features(p.select("id", "payload"), fake=True).collect()
+    assert len(feats) == 50
+    assert all(16 <= r.height < 80 and r.channels == 3 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.extract_image_features(p.select("id", "payload"), fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    p = pages.pages(spark, 5).select(F.col("page_id").alias("id"), F.col("html").alias("payload"))
+    plan = multimodal.frame_sample_plan(p, every_n_bytes=100)
+    counts = {r.id: r.n for r in plan.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.id: r.n for r in p.select("id", F.octet_length("payload").alias("n")).collect()}
+    for i, nbytes in sizes.items():
+        assert counts[i] == (nbytes - 1) // 100 + 1
+
+
+# --- pages byte-identity invariant -------------------------------------------
+
+def test_pages_text_invariant_through_pipeline(spark):
+    """text bytes never change across pipeline stages keyed by url."""
+    from geobuf_spark.operators import spatial_join as sj
+    from geobuf_spark.sources import minted
+
+    p = pages.with_minted_geometry(pages.pages(spark, 500))
+    before = {r.url: r.text for r in p.select("url", "text").collect()}
+    rects = minted.minted_rects(spark, "/root/testdata/sf0.001")
+    joined = sj.pip_join(p, rects, z=5, strategy="broadcast")
+    tagged = joined.withColumn("stage", F.lit("joined"))
+    after = {r.url: r.text for r in tagged.select("url", "text").collect()}
+    assert after  # non-vacuous
+    for url, text in after.items():
+        assert text == before[url], f"text mutated for {url}"
+    # determinism: regenerating yields identical bytes
+    again = {r.url: r.text for r in pages.pages(spark, 500).select("url", "text").collect()}
+    assert again == before
+
+
+# --- similarity: ANN recall vs brute force ------------------------------------
+
+def test_ann_recall(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ann_topk(emb, queries, k=5, nbits=16, bands=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in similarity.brute_force_topk(emb, queries, k=3).collect()}
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = set()
+    for r in queries.collect():
+        q = np.array(r.embedding, dtype=np.float64)
+        q /= np.linalg.norm(q)
+        cos = mat @ q
+        order = sorted(zip(-cos, ids), key=lambda t: (t[0], t[1]))
+        order = [(c, i) for c, i in order if i != r.query_id][:3]
+        for rank, (_, i) in enumerate(order, 1):
+            want.add((r.query_id, int(i), rank))
+    assert got == want
+
+
+# --- streaming twin -----------------------------------------------------------
+
+def test_streaming_matches_batch(spark, sf_small, tmp_path):
+    import shutil
+
+    # readStream needs a directory source
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", stream_dir / "events.parquet")
+
+    batch = W.tumbling_counts(
+        spark.read.parquet(f"{sf_small}/events.parquet"), minutes=5
+    ).select("wstart", "event_type", "n_events")
+    stream_df = W.tumbling_counts_streaming(spark, str(stream_dir), minutes=5)
+    got = W.run_stream_to_memory(stream_df, "t_stream")
+    b = {(r.wstart, r.event_type): r.n_events for r in batch.collect()}
+    s = {(r.wstart, r.event_type): r.n_events for r in got.collect()}
+    assert b == s
