@@ -282,6 +282,86 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_bbox_intersect_join(spark, sf):
+    # Intersect — the reference's only spatial predicate
+    # (split_combine.go:324-331, two Overlapping_1D conjuncts): all
+    # intersecting rect pairs, via cell cover equi-join + exact predicate
+    a = _rects(spark, sf)
+    b = _rects(spark, sf).select(
+        F.col("poly_id").alias("b_id"), F.col("minx").alias("b_minx"),
+        F.col("miny").alias("b_miny"), F.col("maxx").alias("b_maxx"),
+        F.col("maxy").alias("b_maxy"),
+    )
+    ca = tiling.assign_tiles_bbox(a, z=4).withColumn(
+        "cell", tiles.cell_id(4, F.col("x"), F.col("y"))).drop("z", "x", "y")
+    cb = tiling.assign_tiles_bbox(
+        b.withColumnRenamed("b_minx", "minx").withColumnRenamed("b_miny", "miny")
+         .withColumnRenamed("b_maxx", "maxx").withColumnRenamed("b_maxy", "maxy"), z=4
+    ).withColumn("cell", tiles.cell_id(4, F.col("x"), F.col("y"))).drop("z", "x", "y") \
+     .withColumnRenamed("minx", "b_minx").withColumnRenamed("miny", "b_miny") \
+     .withColumnRenamed("maxx", "b_maxx").withColumnRenamed("maxy", "b_maxy")
+    pairs = (
+        ca.join(cb, "cell")
+        .filter(F.col("poly_id") < F.col("b_id"))
+        .filter(
+            (F.col("maxx") >= F.col("b_minx")) & (F.col("b_maxx") >= F.col("minx"))
+            & (F.col("maxy") >= F.col("b_miny")) & (F.col("b_maxy") >= F.col("miny"))
+        )
+        .select("poly_id", "b_id").distinct()  # pairs can share several cells
+    )
+    return pairs
+
+
+def q_map_features(spark, sf):
+    # MapGeobuf (convert_geojson.go:195-206): user feature→feature transform
+    # — a projection: shift each point one lattice-safe step northeast
+    p = _points(spark, sf)
+    return p.select(
+        "doc_id",
+        (F.col("lon") + F.lit(0.5)).alias("lon"),
+        (F.col("lat") + F.lit(0.25)).alias("lat"),
+    )
+
+
+def q_cover_size_estimate(spark, sf):
+    # GetSizeGrid (split_combine.go:44-53): planned tile fan-out per feature
+    from geobuf_spark.functions.tiles import bbox_tile_range
+    r = _rects(spark, sf)
+    x0, x1, y0, y1 = bbox_tile_range(F.col("minx"), F.col("miny"),
+                                     F.col("maxx"), F.col("maxy"), 7)
+    return r.select(
+        "poly_id", ((x1 - x0 + 1) * (y1 - y0 + 1)).alias("n_tiles")
+    )
+
+
+def q_topk_per_group(spark, sf):
+    # top-3 lineitems by extendedprice per returnflag (window op surface)
+    from pyspark.sql import Window
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc())
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rnk")
+    )
+
+
+def q_embedding_norms_q(spark, sf):
+    # per-element integer quantization before the sum → order-free exact agg
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qsum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e6)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return emb.select("vec_id", F.size("embedding").alias("dim"), qsum.alias("normsq_q"))
+
+
 # --- ops without SQL oracles (rows-only driver check; pytest has oracles) ---
 
 def q_minhash_near_dups(spark, sf):
@@ -346,6 +426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
+        "bbox_intersect_join": q_bbox_intersect_join,
+        "map_features": q_map_features,
+        "cover_size_estimate": q_cover_size_estimate,
+        "topk_per_group": q_topk_per_group,
+        "embedding_norms_q": q_embedding_norms_q,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -489,6 +574,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    upper(hex(substring(text, 1, 4))) AS magic_hex
             FROM documents""",
+        "bbox_intersect_join": f"""
+            WITH r AS ({rects})
+            SELECT a.poly_id AS poly_id, b.poly_id AS b_id
+            FROM r a, r b
+            WHERE a.poly_id < b.poly_id
+              AND a.maxx >= b.minx AND b.maxx >= a.minx
+              AND a.maxy >= b.miny AND b.maxy >= a.miny""",
+        "map_features": f"""
+            SELECT doc_id, lon + 0.5 AS lon, lat + 0.25 AS lat FROM ({pts})""",
+        "cover_size_estimate": f"""
+            SELECT poly_id,
+                   (({tiles.sql_tile_x('maxx', 7)}) - ({tiles.sql_tile_x('minx', 7)}) + 1)
+                 * (({tiles.sql_tile_y('miny', 7)}) - ({tiles.sql_tile_y('maxy', 7)}) + 1)
+                   AS n_tiles
+            FROM ({rects})""",
+        "topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, rnk FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                    l_linenumber ASC) AS rnk
+                FROM lineitem) t
+            WHERE rnk <= 3""",
+        "embedding_norms_q": """
+            SELECT vec_id, len(embedding) AS dim,
+                   CAST(list_sum(list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1000000.0)
+                                  AS BIGINT))) AS BIGINT) AS normsq_q
+            FROM embeddings""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
