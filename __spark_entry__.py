@@ -362,7 +362,30 @@ def q_embedding_norms_q(spark, sf):
     return emb.select("vec_id", F.size("embedding").alias("dim"), qsum.alias("normsq_q"))
 
 
+def q_rasterize_z4(spark, sf):
+    from geobuf_spark.operators import raster
+    return raster.rasterize(_points(spark, sf), z=4, res_bits=4)
+
+
+def q_vectorize_z3(spark, sf):
+    from geobuf_spark.operators import raster
+    return raster.vectorize(raster.rasterize(_points(spark, sf), z=3, res_bits=4))
+
+
 # --- ops without SQL oracles (rows-only driver check; pytest has oracles) ---
+
+
+def q_feature_meta(spark, sf):
+    # metadata.MakeMeta (meta.go:54-105): per-feature size stats, JSON vs BUF
+    enc = spark_codec.encode_points(_points(spark, sf))
+    p = _points(spark, sf)
+    j = p.select("doc_id", F.octet_length(
+        F.to_json(F.struct("doc_id", "lon", "lat"))).alias("json_bytes"))
+    return (
+        enc.select("doc_id", F.octet_length("geobuf").alias("buf_bytes"))
+        .join(j, "doc_id")
+        .withColumn("ratio_x100", (F.col("buf_bytes") * 100 / F.col("json_bytes")).cast("bigint"))
+    )
 
 def q_minhash_near_dups(spark, sf):
     return dedup.minhash_lsh_pairs(_docs(spark, sf), key="doc_id",
@@ -426,6 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
+        "rasterize_z4": q_rasterize_z4,
+        "vectorize_z3": q_vectorize_z3,
+        "feature_meta": q_feature_meta,
         "bbox_intersect_join": q_bbox_intersect_join,
         "map_features": q_map_features,
         "cover_size_estimate": q_cover_size_estimate,
@@ -446,6 +472,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _raster_sqls():
+    from geobuf_spark.operators import raster
+    pts = minted.SQL_MINTED_POINTS.strip()
+    r4 = raster.sql_rasterize(pts, z=4, res_bits=4)
+    r3 = raster.sql_rasterize(pts, z=3, res_bits=4)
+    return r4, raster.sql_vectorize(r3)
+
 
 def oracle_sql() -> dict[str, str]:
     pts = minted.SQL_MINTED_POINTS.strip()
@@ -574,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    upper(hex(substring(text, 1, 4))) AS magic_hex
             FROM documents""",
+        "rasterize_z4": _raster_sqls()[0],
+        "vectorize_z3": _raster_sqls()[1],
         "bbox_intersect_join": f"""
             WITH r AS ({rects})
             SELECT a.poly_id AS poly_id, b.poly_id AS b_id
