@@ -362,6 +362,41 @@ def q_embedding_norms_q(spark, sf):
     return emb.select("vec_id", F.size("embedding").alias("dim"), qsum.alias("normsq_q"))
 
 
+def q_s2_cells_l8(spark, sf):
+    # S2-style cube-face cell index (functions/cells.py): id + parent
+    from geobuf_spark.functions import cells
+    p = _points(spark, sf)
+    c = cells.s2_cell(F.col("lon"), F.col("lat"), 8)
+    return p.select("doc_id", c.alias("s2_cell"),
+                    cells.s2_parent(c, 8).alias("s2_parent"))
+
+
+def q_asof_purchase_view(spark, sf):
+    # as-of join (no Spark native): each purchase matched to the user's
+    # latest view at-or-before it; right side deduped per (user, second)
+    # for deterministic ties. Oracle: DuckDB native ASOF JOIN.
+    from geobuf_spark.operators import temporal
+    ev = spark.read.parquet(f"{sf}/events.parquet") \
+        .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ep")
+    views = ev.filter(F.col("event_type") == "view") \
+        .groupBy("user_id", "ep").agg(F.max("event_id").alias("view_event_id")) \
+        .select("user_id", "ep", "view_event_id")
+    out = temporal.asof_join(purchases, views, key="user_id", ts="ep",
+                             right_cols=["view_event_id"])
+    return out.select("event_id", "user_id", "ep", "view_event_id")
+
+
+def q_tpch_q6(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
 def q_rasterize_z4(spark, sf):
     from geobuf_spark.operators import raster
     return raster.rasterize(_points(spark, sf), z=4, res_bits=4)
@@ -449,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
+        "s2_cells_l8": q_s2_cells_l8,
+        "asof_purchase_view": q_asof_purchase_view,
+        "tpch_q6": q_tpch_q6,
         "rasterize_z4": q_rasterize_z4,
         "vectorize_z3": q_vectorize_z3,
         "feature_meta": q_feature_meta,
@@ -472,6 +510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _s2_sql():
+    from geobuf_spark.functions import cells
+    pts = minted.SQL_MINTED_POINTS.strip()
+    c8 = cells.sql_s2_cell("lon", "lat", 8)
+    # parent in packed form: face*128 + (i>>1) … = ((c // 256^2)*128 + ((c // 256) % 256) // 2) * 128 + (c % 256) // 2
+    n, m = 256, 128
+    parent = (f"((({c8}) // {n * n}) * {m} + ((({c8}) // {n}) % {n}) // 2) * {m} "
+              f"+ (({c8}) % {n}) // 2")
+    return f"SELECT doc_id, {c8} AS s2_cell, {parent} AS s2_parent FROM ({pts})"
+
 
 def _raster_sqls():
     from geobuf_spark.operators import raster
@@ -608,6 +657,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    upper(hex(substring(text, 1, 4))) AS magic_hex
             FROM documents""",
+        "s2_cells_l8": _s2_sql(),
+        "asof_purchase_view": """
+            WITH ev AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                FROM events),
+            purchases AS (
+                SELECT event_id, user_id, ep FROM ev WHERE event_type = 'purchase'),
+            views AS (
+                SELECT user_id, ep, max(event_id) AS view_event_id
+                FROM ev WHERE event_type = 'view' GROUP BY user_id, ep)
+            SELECT p.event_id, p.user_id, p.ep, v.view_event_id
+            FROM purchases p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ep >= v.ep""",
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
         "rasterize_z4": _raster_sqls()[0],
         "vectorize_z3": _raster_sqls()[1],
         "bbox_intersect_join": f"""

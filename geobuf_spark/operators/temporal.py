@@ -1,0 +1,78 @@
+"""Temporal operators Spark lacks natively: as-of join and time-bucketed
+range join.
+
+as-of join — for each left row, the latest right row with
+`right.ts <= left.ts` (per key). Spark has no ASOF JOIN; the scalable
+composition is the classic union-tag-window trick:
+
+  1. union left (tagged probe) and right (tagged build) on (key, ts);
+  2. one window pass per key ordered by (ts, tag): last_value of the
+     build-side payload, ignoring nulls, gives each probe row its as-of
+     match;
+  3. filter back to probe rows.
+
+One shuffle on key, no range explosion, skew-safe under AQE — this is the
+shape that survives 100 TB, unlike per-key applyInPandas merge_asof (which
+materializes whole keys in pandas) or a range self-join (quadratic in hot
+keys). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, key: str, ts: str,
+              right_cols: list[str]) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right.ts <= left.ts on the same key (DuckDB ASOF JOIN semantics).
+    Left rows with no match yield nulls (left outer)."""
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_t"),
+        F.lit(1).alias("_probe"),
+        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_t"),
+        F.lit(0).alias("_probe"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, ts)],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l.unionByName(r)
+    # build rows sort before probe rows at equal ts → ties match (<=)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols],
+    )
+    out = filled.filter(F.col("_probe") == 1).select(
+        F.col("_k").alias(key), F.col("_t").alias(ts),
+        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+def range_bucket_join(left: DataFrame, right: DataFrame, *, key: str,
+                      ts: str, lo: str, hi: str, bucket: int) -> DataFrame:
+    """left.ts ∈ [right.lo, right.hi] range join via bucketized equi-join:
+    explode each right interval over its covered buckets, equi-join on
+    (key, bucket), exact filter after — the range analog of the cell join."""
+    lb = left.withColumn("_b", (F.col(ts) / bucket).cast("bigint"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(F.sequence((F.col(lo) / bucket).cast("bigint"),
+                             (F.col(hi) / bucket).cast("bigint"))),
+    )
+    return (
+        lb.join(rb, [key, "_b"])
+        .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) <= F.col(hi)))
+        .drop("_b")
+    )
