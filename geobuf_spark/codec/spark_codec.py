@@ -191,6 +191,192 @@ def decode_points(df: DataFrame, bin_col: str = "geobuf", id_col: str = "id",
     return df.select(bin_col).mapInArrow(_dec, schema)
 
 
+# ---------------------------------------------------------------------------
+# LineString batch kernels — the reference's roads workload, fully vectorized
+# (segmented deltas across a flattened batch; no per-row Python)
+# ---------------------------------------------------------------------------
+
+def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray) -> pa.Array:
+    """Encode N LineString features (dim 2) → Arrow binary frames.
+
+    coords: flat float64 interleaved (x0,y0,x1,y1,…) across the whole
+    batch; nv: vertices per feature. Wire layout per WriteFeature with
+    writeline delta semantics (geom.go:204-246) and per-feature bbox."""
+    n = len(ids)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    q = core.quantize_vec(coords).reshape(-1, 2)  # (total_v, 2)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nv[:-1], out=starts[1:])
+    # segmented delta: d[i] = q[i] - q[i-1], reset at row starts
+    d = np.empty_like(q)
+    d[0] = q[0]
+    d[1:] = q[1:] - q[:-1]
+    d[starts] = q[starts]
+    zz = core.zigzag_vec(d.reshape(-1))  # interleaved x,y zigzag deltas
+
+    # per-feature bbox from quantized vertices (bb.go:10-37 over lattice)
+    ends = starts + nv
+    minx = np.minimum.reduceat(q[:, 0], starts)
+    maxx = np.maximum.reduceat(q[:, 0], starts)
+    miny = np.minimum.reduceat(q[:, 1], starts)
+    maxy = np.maximum.reduceat(q[:, 1], starts)
+    bbox_zz = core.zigzag_vec(np.stack([minx, miny, maxx, maxy], axis=1).reshape(-1))
+
+    mid, lid = _varint_matrix(ids.astype(np.uint64))
+    mg, lg = _varint_matrix(zz)
+    mb, lb = _varint_matrix(bbox_zz)
+    # per-feature packed-geometry byte length = sum of its delta varints
+    tok_starts = 2 * starts
+    glen = np.add.reduceat(lg, tok_starts)
+    blen = lb.reshape(n, 4).sum(axis=1)
+    mgl, lgl = _varint_matrix(glen.astype(np.uint64))
+    mbl, lbl = _varint_matrix(blen.astype(np.uint64))
+
+    total = 1 + lid + 2 + 1 + lgl + glen + 1 + lbl + blen
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    buf = np.empty(offsets[-1], dtype=np.uint8)
+
+    pos = offsets[:-1].copy()
+
+    def put_const(byte):
+        nonlocal pos
+        buf[pos] = byte
+        pos = pos + 1
+
+    def put_mat(mat, lens):
+        nonlocal pos
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[pos[sel] + j] = mat[sel, j]
+        pos = pos + lens
+
+    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
+        # scatter variable count of varints per feature: compute flat byte
+        # positions for every token byte via cumsum arithmetic
+        nonlocal pos
+        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        # byte position of token t = pos[row(t)] + (tok_off[t] - tok_off[row_start])
+        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
+        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
+        maxlen = mat.shape[1]
+        for j in range(maxlen):
+            sel = lens > j
+            buf[base[sel] + j] = mat[sel, j]
+        pos = pos + seg_bytes
+
+    put_const(8)
+    put_mat(mid, lid)
+    put_const(24)
+    put_const(2)  # LineString, dim 2
+    put_const(34)
+    put_mat(mgl, lgl)
+    put_segmented(mg, lg, tok_starts, 2 * nv, glen)
+    put_const(42)
+    put_mat(mbl, lbl)
+    put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
+    assert np.array_equal(pos, offsets[1:])
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def decode_lines_kernel(frames: pa.Array):
+    """Decode N LineString frames → (ids, flat quantized coords, nv).
+
+    One varint sweep over the concatenated buffer; token→frame assignment
+    by searchsorted; segmented cumsum (global cumsum minus per-row offset)
+    rebuilds absolute lattice coordinates. Every feature contributes an
+    even number of delta tokens, so the global even/odd split IS the x/y
+    split."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
+    seg = flat[start:end]
+    is_end = seg < 0x80
+    tok_ends = np.flatnonzero(is_end)
+    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
+    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
+    # tokens per frame
+    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
+    # layout: 8,id,24,code,34,glen,(2nv),42,blen,(4 bbox) → 12 fixed tokens
+    nv = (counts - 12) // 2
+    tokens = core.unpack_varints(seg, 0, len(seg))
+    first = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    ids = tokens[first + 1].astype(np.int64)
+    # delta tokens: indices first+6 … first+6+2nv-1 per frame
+    tok_idx = np.arange(len(tokens))
+    row_of_tok = np.repeat(np.arange(n), counts)
+    in_row = tok_idx - first[row_of_tok]
+    is_delta = (in_row >= 6) & (in_row < 6 + 2 * nv[row_of_tok])
+    d = core.unzigzag_vec(tokens[is_delta]).reshape(-1, 2)
+    # segmented cumsum per row
+    v_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nv[:-1], out=v_starts[1:])
+    c = np.cumsum(d, axis=0)
+    base = np.zeros((n, 2), dtype=np.int64)
+    base[1:] = c[v_starts[1:] - 1]
+    coords_q = c - np.repeat(base, nv, axis=0)
+    return ids, coords_q.reshape(-1), nv
+
+
+def encode_lines(df: DataFrame, id_col: str = "line_id", coords: str = "coords",
+                 out: str = "geobuf") -> DataFrame:
+    """(id, coords flat array<double>) → (id, geobuf) via the vectorized
+    LineString kernel (one Arrow pass)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def _enc(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            carr = batch.column(1)
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = carr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            nv = (offs[1:] - offs[:-1]) // 2
+            frames = encode_lines_kernel(ids, flat, nv)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), frames], names=[id_col, out]
+            )
+
+    return df.select(id_col, coords).mapInArrow(_enc, schema)
+
+
+def decode_lines(df: DataFrame, bin_col: str = "geobuf", id_col: str = "line_id") -> DataFrame:
+    """LineString frames → (id, coords_q flat array<bigint>) — exact ints."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("coords_q", T.ArrayType(T.LongType())),
+    ])
+
+    def _dec(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            ids, coords_q, nv = decode_lines_kernel(frames)
+            offs = np.zeros(len(ids) + 1, dtype=np.int32)
+            np.cumsum(nv * 2, out=offs[1:])
+            carr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(coords_q, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), carr], names=[id_col, "coords_q"]
+            )
+
+    return df.select(bin_col).mapInArrow(_dec, schema)
+
+
 def roundtrip_points(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
                      lat: str = "lat") -> DataFrame:
     """Fused encode→decode in ONE Python round-trip (bench/verify path):

@@ -73,23 +73,51 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
+def _emb_matrix(col: "pa.Array") -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix, zero-copy-ish."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
 def lsh_signatures(vectors: DataFrame, nbits: int = 16, seed: int = 7,
                    vec_id: str = "vec_id", emb: str = "embedding") -> DataFrame:
-    """Random-hyperplane signature as a bigint — computed with
-    F.aggregate/zip_with expressions (JVM-side dot products)."""
+    """Random-hyperplane signature as a bigint, computed in one Arrow pass:
+    a (batch × nbits) sign matrix from a single GEMM against the plane
+    matrix — one Python stage, no per-bit expression trees."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     first = vectors.select(F.size(emb).alias("d")).first()
     dim = first.d
     planes = _hyperplanes(dim, nbits, seed)
-    sig = None
-    for b in range(nbits):
-        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
-        dot = F.aggregate(
-            F.zip_with(F.col(emb), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(1 << b)
-        sig = bit if sig is None else sig + bit
-    return vectors.select(F.col(vec_id), F.col(emb), sig.alias("lsh_sig"))
+    spark = vectors.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+    weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+    in_schema = vectors.select(vec_id, emb).schema
+    out_schema = T.StructType(list(in_schema.fields) + [T.StructField("lsh_sig", T.LongType())])
+
+    def _sig(batches):
+        P = b_planes.value
+        for batch in batches:
+            mat = _emb_matrix(batch.column(1))
+            if len(mat) == 0:
+                continue
+            bits = (mat @ P.T) > 0  # (n, nbits)
+            sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(sig, type=pa.int64())],
+                names=[vec_id, emb, "lsh_sig"],
+            )
+
+    return vectors.select(vec_id, emb).mapInArrow(_sig, out_schema)
 
 
 def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
@@ -119,16 +147,35 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
         .filter(F.col(vec_id) != F.col("query_id"))
         .dropDuplicates(["query_id", vec_id])
     )
-    dot = F.aggregate(
-        F.zip_with(F.col(emb), F.col("qemb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    cos = dot / F.greatest(norm(emb) * norm("qemb"), F.lit(1e-30))
-    scored = cand.withColumn("cos", cos)
+
+    # exact cosine re-rank in one Arrow pass (row-wise numpy, no expr trees)
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField(vec_id, T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def _cos(batches):
+        for batch in batches:
+            names = batch.schema.names
+            qid = batch.column(names.index("query_id")).to_numpy(zero_copy_only=False)
+            nid = batch.column(names.index(vec_id)).to_numpy(zero_copy_only=False)
+            a = _emb_matrix(batch.column(names.index(emb)))
+            b = _emb_matrix(batch.column(names.index("qemb")))
+            if len(a) == 0:
+                continue
+            num = (a * b).sum(axis=1)
+            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid.astype(np.int64)), pa.array(nid.astype(np.int64)),
+                 pa.array(num / den)],
+                names=["query_id", vec_id, "cos"],
+            )
+
+    scored = cand.select("query_id", vec_id, emb, "qemb").mapInArrow(_cos, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(vec_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
