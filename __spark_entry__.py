@@ -362,6 +362,21 @@ def q_embedding_norms_q(spark, sf):
     return emb.select("vec_id", F.size("embedding").alias("dim"), qsum.alias("normsq_q"))
 
 
+def q_pip_join_general(spark, sf):
+    # the general-polygon PIP machinery (edge explode + crossing parity)
+    # driven end-to-end on rect-shaped polygons, where ray-casting equals
+    # half-open containment [minx,maxx)×[miny,maxy) — SQL-expressible
+    r = _rects(spark, sf)
+    polys = r.select(
+        "poly_id", "minx", "miny", "maxx", "maxy",
+        F.array("minx", "miny", "maxx", "miny", "maxx", "maxy",
+                "minx", "maxy", "minx", "miny").alias("coords"),
+        F.array(F.lit(5)).alias("ring_lens"),
+    )
+    return sj.pip_join_general(_points(spark, sf), polys, z=6) \
+        .select("doc_id", "poly_id")
+
+
 def q_s2_cells_l8(spark, sf):
     # S2-style cube-face cell index (functions/cells.py): id + parent
     from geobuf_spark.functions import cells
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
+        "pip_join_general": q_pip_join_general,
         "s2_cells_l8": q_s2_cells_l8,
         "asof_purchase_view": q_asof_purchase_view,
         "tpch_q6": q_tpch_q6,
@@ -657,6 +673,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    upper(hex(substring(text, 1, 4))) AS magic_hex
             FROM documents""",
+        "pip_join_general": f"""
+            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
+            WHERE p.lon >= r.minx AND p.lon < r.maxx
+              AND p.lat >= r.miny AND p.lat < r.maxy""",
         "s2_cells_l8": _s2_sql(),
         "asof_purchase_view": """
             WITH ev AS (

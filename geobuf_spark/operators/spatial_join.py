@@ -137,6 +137,80 @@ def pip_join(
     return joined.filter(refine).drop("cell")
 
 
+def polygon_edges(polys: DataFrame, poly_id: str = "poly_id",
+                  coords: str = "coords", ring_lens: str = "ring_lens") -> DataFrame:
+    """Arbitrary polygons (flat coords + ring_lens, holes included) → one
+    row per edge (poly_id, x1, y1, x2, y2), pure expressions.
+
+    GeoJSON rings are closed (first == last vertex), so edges are simply
+    consecutive vertex pairs within each ring. Ring boundaries are
+    respected via a flat ring-offset explode."""
+    # ring start offsets (in vertices): exclusive prefix sum of ring_lens
+    starts = F.expr(
+        f"transform({ring_lens}, (l, i) -> "
+        f"aggregate(slice({ring_lens}, 1, i), 0, (a, b) -> a + b))"
+    )
+    rings = polys.select(
+        F.col(poly_id),
+        F.col(coords),
+        F.posexplode(F.arrays_zip(starts.alias("s"), F.col(ring_lens).alias("l"))),
+    ).select(
+        poly_id, coords,
+        F.col("col.s").alias("ring_start"), F.col("col.l").alias("ring_len"),
+    )
+    # edge k in ring: vertices (start+k, start+k+1), k = 0..ring_len-2
+    edges = rings.select(
+        poly_id, coords, "ring_start",
+        F.explode(F.sequence(F.lit(0), F.col("ring_len") - 2)).alias("k"),
+    )
+    v = lambda off, comp: F.element_at(  # noqa: E731
+        F.col(coords), (F.col("ring_start") + F.col("k") + off) * 2 + comp + 1
+    )
+    return edges.select(
+        poly_id,
+        v(0, 0).alias("x1"), v(0, 1).alias("y1"),
+        v(1, 0).alias("x2"), v(1, 1).alias("y2"),
+    )
+
+
+def pip_join_general(points: DataFrame, polys: DataFrame, *, z: int = 6,
+                     strategy: str = "broadcast", lon: str = "lon", lat: str = "lat",
+                     point_key: str = "doc_id", poly_id: str = "poly_id") -> DataFrame:
+    """Exact point-in-polygon for arbitrary polygons (holes, multi-parts)
+    entirely JVM-side:
+
+      1. bbox cover cell join produces candidate (point, polygon) pairs;
+      2. candidates join the polygon's exploded edge table;
+      3. crossing-number parity per (point, polygon) via one aggregation —
+         odd total crossings = inside (holes handled for free: a point in
+         a hole crosses the hole ring too, flipping parity back out).
+
+    `polys` needs (poly_id, coords, ring_lens, minx, miny, maxx, maxy).
+    Returns distinct (point_key, poly_id) inside pairs."""
+    slim = polys.select(poly_id, "minx", "miny", "maxx", "maxy")
+    cand = pip_join(
+        points.select(point_key, lon, lat), slim, z=z,
+        refine=rect_contains(F.col(lon), F.col(lat)),  # bbox prefilter
+        strategy=strategy, lon=lon, lat=lat,
+    ).select(point_key, poly_id, lon, lat)
+
+    edges = polygon_edges(polys, poly_id=poly_id)
+    px, py = F.col(lon), F.col(lat)
+    crossing = (
+        ((F.col("y1") > py) != (F.col("y2") > py))
+        & (px < (F.col("x2") - F.col("x1")) * (py - F.col("y1"))
+           / (F.col("y2") - F.col("y1")) + F.col("x1"))
+    ).cast("int")
+    joined = cand.join(edges, poly_id)
+    inside = (
+        joined.groupBy(point_key, poly_id)
+        .agg(F.sum(crossing).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .select(point_key, poly_id)
+    )
+    return inside
+
+
 def pip_join_semi(points: DataFrame, polys: DataFrame, *, z: int = 6,
                   strategy: str = "broadcast", lon: str = "lon", lat: str = "lat",
                   point_key: str = "doc_id") -> DataFrame:
