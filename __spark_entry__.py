@@ -422,6 +422,79 @@ def q_vectorize_z3(spark, sf):
     return raster.vectorize(raster.rasterize(_points(spark, sf), z=3, res_bits=4))
 
 
+def q_tpch_q4(spark, sf):
+    # EXISTS / left-semi shape
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    # adapted q4 predicate (no commit/receipt dates in this schema):
+    # orders having ≥1 deeply-discounted lineitem
+    late = li.filter(F.col("l_discount") > 0.05).select("l_orderkey").distinct()
+    return (
+        o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01"))
+        .join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q10(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= "1994-10-01") & (F.col("o_orderdate") < "1995-01-01"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q14(spark, sf):
+    # conditional-aggregate ratio (promo effect)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey")) \
+        .filter((F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+    return joined.agg(
+        F.round(promo, 2).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+def q_running_total(spark, sf):
+    # running cumulative aggregation per group (window frame op)
+    from pyspark.sql import Window
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_rollup_doc_counts(spark, sf):
+    return (
+        _docs(spark, sf).rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_pivot_lang_source(spark, sf):
+    # pivot shape with controlled output columns (CASE-sum twin in SQL)
+    d = _docs(spark, sf)
+    cols = [
+        F.count(F.when(F.col("source") == f"src{i}", 1)).alias(f"src{i}_n")
+        for i in range(4)
+    ]
+    return d.groupBy("lang").agg(*cols)
+
+
 # --- ops without SQL oracles (rows-only driver check; pytest has oracles) ---
 
 
@@ -514,6 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "running_total": q_running_total,
+        "rollup_doc_counts": q_rollup_doc_counts,
+        "pivot_lang_source": q_pivot_lang_source,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_top5": q_ann_cosine_top5,
@@ -757,6 +836,48 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1994-01-01'
               AND o_orderdate < TIMESTAMP '1995-01-01'
             GROUP BY n_name""",
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+            GROUP BY o_orderpriority""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1994-10-01'
+              AND o_orderdate < TIMESTAMP '1995-01-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name""",
+        "tpch_q14": """
+            SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'""",
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+            FROM orders""",
+        "rollup_doc_counts": """
+            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            FROM documents GROUP BY ROLLUP(lang, source)""",
+        "pivot_lang_source": """
+            SELECT lang,
+                   count(CASE WHEN source = 'src0' THEN 1 END) AS src0_n,
+                   count(CASE WHEN source = 'src1' THEN 1 END) AS src1_n,
+                   count(CASE WHEN source = 'src2' THEN 1 END) AS src2_n,
+                   count(CASE WHEN source = 'src3' THEN 1 END) AS src3_n
+            FROM documents GROUP BY lang""",
         # minhash_near_dups / simhash_near_dups / ann_* / lang_id /
         # pages_synth: no SQL twin (hash permutations, LSH banding, BLAS
         # re-rank, heuristic scoring, sha1 minting) — rows-only here,
