@@ -76,7 +76,8 @@ def _tris(spark, sf):
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from geobuf_spark.sources.tables import widen
+    return widen(spark.read.parquet(f"{sf}/documents.parquet"), spark)
 
 
 def q_mint_points(spark, sf):

@@ -94,11 +94,11 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
         "key", "sig",
         F.posexplode(
             F.array(*[
+                # variadic xxhash64 over the band's bigint rows + band id —
+                # no string casts/concat on the hot path
                 F.xxhash64(
-                    F.concat_ws(",", *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ]),
+                    *[F.element_at("sig", b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)],
                     F.lit(b),
                 )
                 for b in range(bands)
