@@ -260,6 +260,28 @@ def geom_bbox(feat: Feature) -> np.ndarray:
     return np.array([v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()])
 
 
+def merge_bboxes(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Push_Two_BoundingBoxs — bb.go:39-60: union of two [W,S,E,N] boxes."""
+    return np.array([
+        min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3])
+    ])
+
+
+def expand_bboxes(boxes) -> np.ndarray:
+    """Expand_BoundingBoxs — bb.go:62-86: fold of merge_bboxes over a list."""
+    boxes = [np.asarray(b, dtype=np.float64) for b in boxes]
+    if not boxes:
+        return np.array([0.0, 0.0, 0.0, 0.0])
+    m = np.stack(boxes)
+    return np.array([m[:, 0].min(), m[:, 1].min(), m[:, 2].max(), m[:, 3].max()])
+
+
+def geometry_collection_bbox(feats) -> np.ndarray:
+    """BoundingBox_GeometryCollection — bb.go:157-163: extent of a
+    collection = fold of member-geometry bboxes."""
+    return expand_bboxes([geom_bbox(f) for f in feats])
+
+
 # ---------------------------------------------------------------------------
 # property value variant (README.md:36-45; write_primitives.go:244-286)
 # ---------------------------------------------------------------------------

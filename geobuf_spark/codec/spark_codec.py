@@ -196,16 +196,23 @@ def decode_points(df: DataFrame, bin_col: str = "geobuf", id_col: str = "id",
 # (segmented deltas across a flattened batch; no per-row Python)
 # ---------------------------------------------------------------------------
 
-def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray) -> pa.Array:
-    """Encode N LineString features (dim 2) → Arrow binary frames.
+def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
+                        dim: int = 2) -> pa.Array:
+    """Encode N LineString features → Arrow binary frames.
 
-    coords: flat float64 interleaved (x0,y0,x1,y1,…) across the whole
-    batch; nv: vertices per feature. Wire layout per WriteFeature with
-    writeline delta semantics (geom.go:204-246) and per-feature bbox."""
+    coords: flat float64 interleaved (x0,y0[,z0,…],x1,y1,…) across the
+    whole batch; nv: vertices per feature; dim 2–15 (homogeneous per
+    batch). Wire layout per WriteFeature with writeline delta semantics
+    (geom.go:204-246); geom code embeds dim per makegeomcode
+    (geom.go:59-76: dim==2 → code=type, else code=type<<4|dim); bbox stays
+    4-valued x/y regardless of dim (bb.go:10-37)."""
     n = len(ids)
     if n == 0:
         return pa.array([], type=pa.binary())
-    q = core.quantize_vec(coords).reshape(-1, 2)  # (total_v, 2)
+    if not (2 <= dim <= 15):
+        raise ValueError(f"dim must be 2..15, got {dim}")
+    geom_code = 2 if dim == 2 else (2 << 4) | dim
+    q = core.quantize_vec(coords).reshape(-1, dim)  # (total_v, dim)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nv[:-1], out=starts[1:])
     # segmented delta: d[i] = q[i] - q[i-1], reset at row starts
@@ -227,7 +234,7 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray) -> 
     mg, lg = _varint_matrix(zz)
     mb, lb = _varint_matrix(bbox_zz)
     # per-feature packed-geometry byte length = sum of its delta varints
-    tok_starts = 2 * starts
+    tok_starts = dim * starts
     glen = np.add.reduceat(lg, tok_starts)
     blen = lb.reshape(n, 4).sum(axis=1)
     mgl, lgl = _varint_matrix(glen.astype(np.uint64))
@@ -270,10 +277,10 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray) -> 
     put_const(8)
     put_mat(mid, lid)
     put_const(24)
-    put_const(2)  # LineString, dim 2
+    put_const(geom_code)  # LineString; dim embedded when > 2
     put_const(34)
     put_mat(mgl, lgl)
-    put_segmented(mg, lg, tok_starts, 2 * nv, glen)
+    put_segmented(mg, lg, tok_starts, dim * nv, glen)
     put_const(42)
     put_mat(mbl, lbl)
     put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
@@ -308,32 +315,40 @@ def decode_lines_kernel(frames: pa.Array):
     frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
     # tokens per frame
     counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
-    # layout: 8,id,24,code,34,glen,(2nv),42,blen,(4 bbox) → 12 fixed tokens
-    nv = (counts - 12) // 2
     tokens = core.unpack_varints(seg, 0, len(seg))
     first = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=first[1:])
+    # geom code (token first+3) carries the dim (geom.go:59-76); batches
+    # are homogeneous-dim by construction — mixed dims go the generic path
+    codes = tokens[first + 3]
+    code0 = int(codes[0])
+    if not np.all(codes == codes[0]):
+        raise ValueError("mixed-dim LineString batch; use the generic codec")
+    dim = 2 if code0 <= 6 else code0 & 0xF
+    # layout: 8,id,24,code,34,glen,(dim·nv),42,blen,(4 bbox) → 12 fixed
+    nv = (counts - 12) // dim
     ids = tokens[first + 1].astype(np.int64)
-    # delta tokens: indices first+6 … first+6+2nv-1 per frame
+    # delta tokens: indices first+6 … first+6+dim·nv-1 per frame
     tok_idx = np.arange(len(tokens))
     row_of_tok = np.repeat(np.arange(n), counts)
     in_row = tok_idx - first[row_of_tok]
-    is_delta = (in_row >= 6) & (in_row < 6 + 2 * nv[row_of_tok])
-    d = core.unzigzag_vec(tokens[is_delta]).reshape(-1, 2)
+    is_delta = (in_row >= 6) & (in_row < 6 + dim * nv[row_of_tok])
+    d = core.unzigzag_vec(tokens[is_delta]).reshape(-1, dim)
     # segmented cumsum per row
     v_starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nv[:-1], out=v_starts[1:])
     c = np.cumsum(d, axis=0)
-    base = np.zeros((n, 2), dtype=np.int64)
+    base = np.zeros((n, dim), dtype=np.int64)
     base[1:] = c[v_starts[1:] - 1]
     coords_q = c - np.repeat(base, nv, axis=0)
     return ids, coords_q.reshape(-1), nv
 
 
 def encode_lines(df: DataFrame, id_col: str = "line_id", coords: str = "coords",
-                 out: str = "geobuf") -> DataFrame:
+                 out: str = "geobuf", dim: int = 2) -> DataFrame:
     """(id, coords flat array<double>) → (id, geobuf) via the vectorized
-    LineString kernel (one Arrow pass)."""
+    LineString kernel (one Arrow pass). `dim` is the vertex width (2=x/y,
+    3=x/y/z, … up to 15) of the interleaved coords array."""
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField(out, T.BinaryType()),
@@ -345,8 +360,8 @@ def encode_lines(df: DataFrame, id_col: str = "line_id", coords: str = "coords",
             carr = batch.column(1)
             flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             offs = carr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            nv = (offs[1:] - offs[:-1]) // 2
-            frames = encode_lines_kernel(ids, flat, nv)
+            nv = (offs[1:] - offs[:-1]) // dim
+            frames = encode_lines_kernel(ids, flat, nv, dim=dim)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()), frames], names=[id_col, out]
             )
@@ -365,8 +380,10 @@ def decode_lines(df: DataFrame, bin_col: str = "geobuf", id_col: str = "line_id"
         for batch in batches:
             frames = batch.column(batch.schema.get_field_index(bin_col))
             ids, coords_q, nv = decode_lines_kernel(frames)
+            total_v = int(nv.sum())
+            dim = len(coords_q) // total_v if total_v else 2
             offs = np.zeros(len(ids) + 1, dtype=np.int32)
-            np.cumsum(nv * 2, out=offs[1:])
+            np.cumsum(nv * dim, out=offs[1:])
             carr = pa.ListArray.from_arrays(
                 pa.array(offs, type=pa.int32()), pa.array(coords_q, type=pa.int64())
             )

@@ -179,3 +179,17 @@ def test_fuzz_lattice_roundtrip_exact(qpts):
     # and the reference float path stays within its documented 2e-7 bound
     backf = core.decode_feature(core.encode_feature(feat))
     _assert_coords_close(backf.coords, feat.coords, tol=2.01e-7)
+
+
+def test_geometry_collection_bbox():
+    # BoundingBox_GeometryCollection (bb.go:157-163) + Expand_BoundingBoxs
+    from geobuf_spark.codec.core import (
+        Feature, expand_bboxes, geom_bbox, geometry_collection_bbox, merge_bboxes,
+    )
+    f1 = Feature.from_geojson("Point", [10.0, -5.0])
+    f2 = Feature.from_geojson("LineString", [[-20.0, 3.0], [4.0, 40.0]])
+    f3 = Feature.from_geojson("Polygon", [[[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 0.0]]])
+    bb = geometry_collection_bbox([f1, f2, f3])
+    assert bb.tolist() == [-20.0, -5.0, 10.0, 40.0]
+    assert merge_bboxes(geom_bbox(f1), geom_bbox(f2)).tolist() == [-20.0, -5.0, 10.0, 40.0]
+    assert expand_bboxes([]).tolist() == [0.0, 0.0, 0.0, 0.0]
