@@ -122,6 +122,12 @@ def q_pip_join_rects_salted(spark, sf):
                        strategy="salted", salt=4).select("doc_id", "poly_id")
 
 
+def q_pip_join_s2(spark, sf):
+    # same semantics as pip_join_rects, s2 cube-face cells as the equi-key
+    return sj.pip_join_s2(_points(spark, sf), _rects(spark, sf), level=7,
+                          strategy="broadcast").select("doc_id", "poly_id")
+
+
 def q_pip_join_triangles(spark, sf):
     tri = _tris(spark, sf) \
         .withColumn("minx", F.col("x1")).withColumn("maxx", F.col("x2")) \
@@ -141,6 +147,16 @@ def q_knn_k5(spark, sf):
     queries = pts.filter(F.col("doc_id") % 20 == 0) \
         .select(F.col("doc_id").alias("query_id"), "lon", "lat")
     return knn.knn(pts, queries, 5, z=4, ring=1).select("query_id", "neighbor_id", "rank")
+
+
+def q_knn_adaptive_k5(spark, sf):
+    # geometric ring growth (1,2,4) — same exact rows as knn_k5, sparse
+    # queries escalate instead of falling straight to brute force
+    pts = _points(spark, sf)
+    queries = pts.filter(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    return knn.knn_adaptive(pts, queries, 5, z=4, rings=(1, 2, 4)) \
+        .select("query_id", "neighbor_id", "rank")
 
 
 def q_geobuf_roundtrip(spark, sf):
@@ -531,7 +547,7 @@ def q_ann_lsh_top5(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 25 == 0) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ann_topk(emb, queries, k=5)
+    return similarity.ann_topk(emb, queries, k=5, multiprobe=2)
 
 
 def q_lang_id(spark, sf):
@@ -557,9 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "pip_join_rects": q_pip_join_rects,
         "pip_join_rects_salted": q_pip_join_rects_salted,
+        "pip_join_s2": q_pip_join_s2,
         "pip_join_triangles": q_pip_join_triangles,
         "pip_semi": q_pip_semi,
         "knn_k5": q_knn_k5,
+        "knn_adaptive_k5": q_knn_adaptive_k5,
         "geobuf_roundtrip": q_geobuf_roundtrip,
         "feature_count": q_feature_count,
         "increment_limit": q_increment_limit,
@@ -665,6 +683,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
             WHERE p.lon >= r.minx AND p.lon <= r.maxx
               AND p.lat >= r.miny AND p.lat <= r.maxy""",
+        "pip_join_s2": f"""
+            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
+            WHERE p.lon >= r.minx AND p.lon <= r.maxx
+              AND p.lat >= r.miny AND p.lat <= r.maxy""",
         "pip_join_triangles": f"""
             SELECT p.doc_id, t.poly_id FROM ({pts}) p, ({tris}) t
             WHERE {sj.sql_triangle_contains('p.lon', 'p.lat')}""",
@@ -674,6 +696,21 @@ def oracle_sql() -> dict[str, str]:
                           WHERE p.lon >= r.minx AND p.lon <= r.maxx
                             AND p.lat >= r.miny AND p.lat <= r.maxy)""",
         "knn_k5": f"""
+            WITH p AS ({pts}),
+            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
+                  WHERE doc_id % 20 = 0),
+            scored AS (
+                SELECT q.query_id, p.doc_id AS neighbor_id,
+                       (q.qlon - p.lon) * (q.qlon - p.lon)
+                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
+                FROM q, p WHERE p.doc_id != q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
+        "knn_adaptive_k5": f"""
             WITH p AS ({pts}),
             q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
                   WHERE doc_id % 20 = 0),

@@ -98,3 +98,156 @@ def sql_s2_cell(lon: str, lat: str, level: int) -> str:
     i = f"CAST(least(greatest(floor(({u} + 1.0) / 2.0 * {n}), 0), {n - 1}) AS BIGINT)"
     j = f"CAST(least(greatest(floor(({v} + 1.0) / 2.0 * {n}), 0), {n - 1}) AS BIGINT)"
     return f"(({face} * {n} + {i}) * {n} + {j})"
+
+
+# ---------------------------------------------------------------------------
+# bbox → cell cover (numpy kernel + Spark wrapper)
+#
+# Conservative cross-face cover by interval arithmetic: bound x,y,z =
+# (cos·cos, cos·sin, sin) over the lon/lat box, divide intervals per face
+# to bound (u,v), clamp to the face square, emit the (i,j) range. Any
+# point inside the box maps (via s2_cell) to a cell inside the cover —
+# the superset property a join prefilter needs; exact refinement follows.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _iv_mul(alo, ahi, blo, bhi):
+    p = np.stack([alo * blo, alo * bhi, ahi * blo, ahi * bhi])
+    return p.min(axis=0), p.max(axis=0)
+
+
+def _iv_cos_lat(lo, hi):
+    """cos over a latitude interval ⊂ [-π/2, π/2]."""
+    mx = np.where((lo <= 0) & (hi >= 0), 1.0, np.maximum(np.cos(lo), np.cos(hi)))
+    return np.minimum(np.cos(lo), np.cos(hi)), mx
+
+
+def _iv_sin_lon(lo, hi):
+    """sin over a longitude interval ⊂ [-π, π]."""
+    mn = np.minimum(np.sin(lo), np.sin(hi))
+    mx = np.maximum(np.sin(lo), np.sin(hi))
+    mn = np.where((lo <= -np.pi / 2) & (hi >= -np.pi / 2), -1.0, mn)
+    mx = np.where((lo <= np.pi / 2) & (hi >= np.pi / 2), 1.0, mx)
+    return mn, mx
+
+
+def _iv_cos_lon(lo, hi):
+    mn = np.minimum(np.cos(lo), np.cos(hi))
+    mx = np.where((lo <= 0) & (hi >= 0), 1.0, np.maximum(np.cos(lo), np.cos(hi)))
+    return mn, mx
+
+
+_FACE_DENOM_MIN = 1.0 / np.sqrt(3.0)  # max axis of a unit vector ≥ 1/√3
+
+
+def _iv_div(nlo, nhi, dlo, dhi):
+    """Interval division for a face ratio. On a face, the denominator axis
+    is the maximum |coordinate| of a unit vector, hence ≥ 1/√3 — so the
+    denominator interval is clamped there, which keeps covers tight even
+    when the raw interval touches 0 (box near a face edge)."""
+    safe_lo = np.maximum(dlo, _FACE_DENOM_MIN)
+    safe_hi = np.maximum(dhi, safe_lo)
+    p = np.stack([nlo / safe_lo, nlo / safe_hi, nhi / safe_lo, nhi / safe_hi])
+    return p.min(axis=0), p.max(axis=0)
+
+
+def s2_cover_bbox_kernel(minx, miny, maxx, maxy, level: int):
+    """Vectorized bbox → s2 cell cover.
+
+    Inputs: float64 arrays (N,). Returns (row_idx, cell_id) int64 arrays —
+    one entry per (row, covered cell). Antimeridian-crossing boxes
+    (minx > maxx) conservatively widen to the full longitude range."""
+    n = 1 << level
+    minx = np.asarray(minx, np.float64); maxx = np.asarray(maxx, np.float64)
+    miny = np.asarray(miny, np.float64); maxy = np.asarray(maxy, np.float64)
+    cross = minx > maxx
+    lon_lo = np.radians(np.where(cross, -180.0, minx))
+    lon_hi = np.radians(np.where(cross, 180.0, maxx))
+    lat_lo = np.radians(np.clip(miny, -90.0, 90.0))
+    lat_hi = np.radians(np.clip(maxy, -90.0, 90.0))
+
+    cl_lo, cl_hi = _iv_cos_lat(lat_lo, lat_hi)      # cos(lat) ≥ 0
+    sl_lo, sl_hi = np.sin(lat_lo), np.sin(lat_hi)   # sin monotone on [-π/2,π/2]
+    co_lo, co_hi = _iv_cos_lon(lon_lo, lon_hi)
+    so_lo, so_hi = _iv_sin_lon(lon_lo, lon_hi)
+
+    x_lo, x_hi = _iv_mul(cl_lo, cl_hi, co_lo, co_hi)
+    y_lo, y_hi = _iv_mul(cl_lo, cl_hi, so_lo, so_hi)
+    z_lo, z_hi = sl_lo, sl_hi
+
+    N = len(minx)
+    # per-face (u,v) interval: numerator / denominator per the face table
+    FACES = [
+        ((y_lo, y_hi), (z_lo, z_hi), (x_lo, x_hi), +1),   # 0: +x
+        ((-x_hi, -x_lo), (z_lo, z_hi), (y_lo, y_hi), +1),  # 1: +y
+        ((-x_hi, -x_lo), (-y_hi, -y_lo), (z_lo, z_hi), +1),  # 2: +z
+        ((z_lo, z_hi), (y_lo, y_hi), (-x_hi, -x_lo), +1),  # 3: −x
+        ((z_lo, z_hi), (x_lo, x_hi), (-y_hi, -y_lo), +1),  # 4: −y
+        ((-y_hi, -y_lo), (-x_hi, -x_lo), (-z_hi, -z_lo), +1),  # 5: −z
+    ]
+    rows_f, faces_f, i0_f, i1_f, j0_f, j1_f = [], [], [], [], [], []
+    for f, ((nu_lo, nu_hi), (nv_lo, nv_hi), (d_lo, d_hi), _) in enumerate(FACES):
+        # the face axis must be able to reach the max-axis floor 1/√3
+        reachable = d_hi >= _FACE_DENOM_MIN - 1e-12
+        u_lo, u_hi = _iv_div(nu_lo, nu_hi, d_lo, d_hi)
+        v_lo, v_hi = _iv_div(nv_lo, nv_hi, d_lo, d_hi)
+        u_lo = np.clip(u_lo, -1.0, 1.0); u_hi = np.clip(u_hi, -1.0, 1.0)
+        v_lo = np.clip(v_lo, -1.0, 1.0); v_hi = np.clip(v_hi, -1.0, 1.0)
+        ok = reachable & (u_hi >= -1.0) & (v_hi >= -1.0) & (u_lo <= 1.0) & (v_lo <= 1.0)
+        if not ok.any():
+            continue
+        idx = np.flatnonzero(ok)
+        i0 = np.clip(np.floor((u_lo[idx] + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+        i1 = np.clip(np.floor((u_hi[idx] + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+        j0 = np.clip(np.floor((v_lo[idx] + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+        j1 = np.clip(np.floor((v_hi[idx] + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+        rows_f.append(idx); faces_f.append(np.full(len(idx), f, dtype=np.int64))
+        i0_f.append(i0); i1_f.append(i1); j0_f.append(j0); j1_f.append(j1)
+
+    if not rows_f:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    rows = np.concatenate(rows_f); faces = np.concatenate(faces_f)
+    i0 = np.concatenate(i0_f); i1 = np.concatenate(i1_f)
+    j0 = np.concatenate(j0_f); j1 = np.concatenate(j1_f)
+    wi = i1 - i0 + 1; wj = j1 - j0 + 1
+    counts = wi * wj
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    big = np.repeat(np.arange(len(counts)), counts)
+    t = np.arange(total, dtype=np.int64) - starts[big]
+    ii = i0[big] + t // wj[big]
+    jj = j0[big] + t % wj[big]
+    cells = (faces[big] * n + ii) * n + jj
+    return rows[big], cells
+
+
+def explode_s2_cover(df, level: int, minx="minx", miny="miny", maxx="maxx",
+                     maxy="maxy", out="cell"):
+    """flatMap row → covered s2 cells: one output row per (row, cell),
+    all original columns preserved. One Arrow pass, no per-row Python."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    names = df.columns
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out, T.LongType())])
+    ix = {c: names.index(c) for c in (minx, miny, maxx, maxy)}
+
+    def _cover(batches):
+        for batch in batches:
+            a = batch.column(ix[minx]).to_numpy(zero_copy_only=False)
+            b = batch.column(ix[miny]).to_numpy(zero_copy_only=False)
+            c = batch.column(ix[maxx]).to_numpy(zero_copy_only=False)
+            d = batch.column(ix[maxy]).to_numpy(zero_copy_only=False)
+            rows, cells = s2_cover_bbox_kernel(a, b, c, d, level)
+            take = pa.array(rows)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i).take(take) for i in range(batch.num_columns)]
+                + [pa.array(cells, type=pa.int64())],
+                names=names + [out],
+            )
+
+    return df.mapInArrow(_cover, out_schema)

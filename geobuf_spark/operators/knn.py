@@ -70,27 +70,27 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
     )
 
 
-def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int = 1,
-        point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
-    """Cell-ring kNN with provable completeness + brute-force fallback.
-
-    `points` needs (point_id, lon, lat); `queries` needs (query_id, lon, lat).
-    Returns (query_id, neighbor_id, rank, dist2) — identical rows to
-    :func:`knn_bruteforce`."""
-    p = points.select(
+def _prep_points(points: DataFrame, point_id: str, z: int) -> DataFrame:
+    return points.select(
         F.col(point_id).alias("neighbor_id"),
         F.col("lon").alias("nlon"), F.col("lat").alias("nlat"),
     ).withColumn("cell", tiles.point_cell(F.col("nlon"), F.col("nlat"), z))
 
-    qx = tiles.tile_x(F.col("lon"), z)
-    qy = tiles.tile_y(F.col("lat"), z)
-    q = queries.select(
+
+def _prep_queries(queries: DataFrame, query_id: str, z: int) -> DataFrame:
+    return queries.select(
         F.col(query_id).alias("query_id"),
         F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
     ).withColumn("qx", tiles.tile_x(F.col("qlon"), z)) \
      .withColumn("qy", tiles.tile_y(F.col("qlat"), z))
-    _ = qx, qy
 
+
+def _knn_ring(p: DataFrame, q: DataFrame, k: int, z: int, ring: int):
+    """One ring pass → (resolved rows, resolved query ids).
+
+    A query resolves when k candidates exist within Chebyshev ring R AND
+    the k-th distance is provably inside the examined block (no closer
+    point can live outside it)."""
     n = 1 << z
     # block edges (clamped sides give no guarantee → treat as unbounded reach)
     x_lo, x_hi = F.col("qx") - ring, F.col("qx") + ring
@@ -125,13 +125,56 @@ def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int 
         F.count("*").alias("n_found"), F.max("dist2").alias("kth"),
         F.first("guard2").alias("g2"),
     )
-    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") <= F.col("g2")))
-    resolved = topk.join(resolved_q.select("query_id"), "query_id", "inner") \
+    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") <= F.col("g2"))) \
+        .select("query_id")
+    resolved = topk.join(resolved_q, "query_id", "inner") \
         .select("query_id", "neighbor_id", "rank", "dist2")
+    return resolved, resolved_q
 
-    unresolved_queries = q.join(resolved_q.select("query_id"), "query_id", "left_anti") \
+
+def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int = 1,
+        point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
+    """Cell-ring kNN with provable completeness + brute-force fallback.
+
+    `points` needs (point_id, lon, lat); `queries` needs (query_id, lon, lat).
+    Returns (query_id, neighbor_id, rank, dist2) — identical rows to
+    :func:`knn_bruteforce`."""
+    p = _prep_points(points, point_id, z)
+    q = _prep_queries(queries, query_id, z)
+    resolved, resolved_q = _knn_ring(p, q, k, z, ring)
+
+    unresolved_queries = q.join(resolved_q, "query_id", "left_anti") \
         .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
     fallback = knn_bruteforce(points, unresolved_queries, k,
                               point_id=point_id, query_id="query_id")
 
     return resolved.unionByName(fallback)
+
+
+def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
+                 rings=(1, 2, 4, 8), point_id: str = "doc_id",
+                 query_id: str = "query_id") -> DataFrame:
+    """kNN with geometrically growing rings: each pass re-examines only the
+    queries the previous ring could not prove complete, so dense regions
+    pay the cheap r=1 join while sparse ones escalate — brute force touches
+    only what survives the last ring (usually nothing).
+
+    Result rows are identical to :func:`knn_bruteforce`; only the work
+    distribution differs. At 10^12 points each pass is one equi-join on
+    cell ids whose probe side shrinks monotonically."""
+    p = _prep_points(points, point_id, z)
+    pending = _prep_queries(queries, query_id, z)
+    pieces = []
+    for r in rings:
+        resolved, resolved_q = _knn_ring(p, pending, k, z, r)
+        pieces.append(resolved)
+        pending = pending.join(resolved_q, "query_id", "left_anti")
+        # materialize the shrinking frontier: keeps each pass's plan flat
+        # instead of recomputing every prior ring under the anti-join chain
+        pending = pending.localCheckpoint(eager=False)
+    leftovers = pending.select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
+    pieces.append(knn_bruteforce(points, leftovers, k, point_id=point_id, query_id="query_id"))
+    out = pieces[0]
+    for extra in pieces[1:]:
+        out = out.unionByName(extra)
+    return out

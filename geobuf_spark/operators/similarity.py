@@ -120,16 +120,75 @@ def lsh_signatures(vectors: DataFrame, nbits: int = 16, seed: int = 7,
     return vectors.select(vec_id, emb).mapInArrow(_sig, out_schema)
 
 
+def _query_probes(queries: DataFrame, nbits: int, bands: int, multiprobe: int,
+                  seed: int, query_id: str, emb: str) -> DataFrame:
+    """Per-query probe rows (query_id, qemb, band, bucket): the band's base
+    bucket plus, for multiprobe > 0, the buckets reached by flipping the
+    band's weakest bits one at a time (smallest |projection margin| — the
+    bits most likely to disagree with a true neighbor's signature).
+
+    Query-side only: the vector table keeps one bucket per band, so recall
+    rises at (1+multiprobe)× probe rows instead of more bands (which would
+    multiply the big side)."""
+    import pyarrow as pa
+
+    width = nbits // bands
+    dim = queries.select(F.size(emb).alias("d")).first().d
+    planes = _hyperplanes(dim, nbits, seed)
+    spark = queries.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+    emb_type = queries.select(emb).schema.fields[0].dataType
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("qemb", emb_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+    w_weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+
+    def _probe(batches):
+        P = b_planes.value
+        for batch in batches:
+            mat = _emb_matrix(batch.column(1))
+            n = len(mat)
+            if n == 0:
+                continue
+            proj = mat @ P.T  # (n, nbits)
+            bits = proj > 0
+            idx_parts, band_parts, bucket_parts = [], [], []
+            base_idx = np.arange(n, dtype=np.int64)
+            for i in range(bands):
+                sl = slice(i * width, (i + 1) * width)
+                bsig = (bits[:, sl].astype(np.uint64) * w_weights[None, :]).sum(axis=1)
+                variants = [bsig]
+                if multiprobe:
+                    order = np.argsort(np.abs(proj[:, sl]), axis=1)  # weakest first
+                    for j in range(min(multiprobe, width)):
+                        variants.append(bsig ^ (np.uint64(1) << order[:, j].astype(np.uint64)))
+                for v in variants:
+                    idx_parts.append(base_idx)
+                    band_parts.append(np.full(n, i, dtype=np.int32))
+                    bucket_parts.append(v.astype(np.int64))
+            idx = pa.array(np.concatenate(idx_parts))
+            yield pa.RecordBatch.from_arrays([
+                batch.column(0).take(idx), batch.column(1).take(idx),
+                pa.array(np.concatenate(band_parts)),
+                pa.array(np.concatenate(bucket_parts)),
+            ], names=["query_id", "qemb", "band", "bucket"])
+
+    return queries.select(query_id, emb).mapInArrow(_probe, out_schema)
+
+
 def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
-             bands: int = 4, seed: int = 7, vec_id: str = "vec_id",
-             emb: str = "embedding", query_id: str = "query_id") -> DataFrame:
-    """Approximate top-k: candidates share ≥1 signature band; exact cosine
-    re-rank on candidates only (expression dot product — JVM-side)."""
+             bands: int = 4, seed: int = 7, multiprobe: int = 0,
+             vec_id: str = "vec_id", emb: str = "embedding",
+             query_id: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band (queries also
+    probe near-miss buckets when multiprobe > 0); exact cosine re-rank on
+    candidates only."""
     width = nbits // bands
     sv = lsh_signatures(vectors, nbits, seed, vec_id, emb)
-    sq = lsh_signatures(queries.withColumnRenamed(query_id, vec_id), nbits, seed, vec_id, emb) \
-        .withColumnRenamed(vec_id, "query_id").withColumnRenamed(emb, "qemb") \
-        .withColumnRenamed("lsh_sig", "qsig")
 
     def bandcol(sig, i):
         return F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -138,10 +197,7 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
         vec_id, emb,
         F.posexplode(F.array(*[bandcol(F.col("lsh_sig"), i) for i in range(bands)])).alias("band", "bucket"),
     )
-    q_b = sq.select(
-        "query_id", "qemb",
-        F.posexplode(F.array(*[bandcol(F.col("qsig"), i) for i in range(bands)])).alias("band", "bucket"),
-    )
+    q_b = _query_probes(queries, nbits, bands, multiprobe, seed, query_id, emb)
     cand = (
         q_b.join(v_b, ["band", "bucket"])
         .filter(F.col(vec_id) != F.col("query_id"))

@@ -223,3 +223,39 @@ def pip_join_semi(points: DataFrame, polys: DataFrame, *, z: int = 6,
     return points.join(
         matched.select(point_key).distinct(), point_key, "left_semi"
     )
+
+
+def pip_join_s2(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    level: int = 8,
+    refine: Column | None = None,
+    how: str = "inner",
+    strategy: str = "broadcast",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """pip_join with the S2-style cube-face cell index as the equi-key
+    end-to-end: points get `cells.s2_cell` (pure expressions); the polygon
+    side explodes `cells.explode_s2_cover` (interval-arithmetic bbox cover,
+    cross-face safe). Same staging — cover join first, exact refine after.
+
+    Unlike the mercator tile index, s2 cells keep their size near the
+    poles, so high-latitude data skews less; the cover kernel guarantees
+    a superset (any point in the bbox lands in a covered cell), so the
+    refine sees every true pair."""
+    from geobuf_spark.functions import cells
+
+    if refine is None:
+        refine = rect_contains(F.col(lon), F.col(lat))
+    p = points.withColumn("cell", cells.s2_cell(F.col(lon), F.col(lat), level))
+    b = cells.explode_s2_cover(polys, level)
+
+    if strategy == "broadcast":
+        joined = p.join(F.broadcast(b), "cell", how)
+    elif strategy == "shuffle":
+        joined = p.hint("SHUFFLE_HASH").join(b, "cell", how)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return joined.filter(refine).drop("cell")

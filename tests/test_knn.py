@@ -41,3 +41,39 @@ def test_knn_fallback_share(points, queries):
     k, z, ring = 5, 3, 2
     res = K.knn(points, queries, k, z=z, ring=ring)
     assert res.count() == queries.count() * k
+
+
+@pytest.mark.parametrize("k,z", [(3, 4), (5, 5)])
+def test_knn_adaptive_matches_bruteforce(points, queries, k, z):
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_adaptive(points, queries, k, z=z, rings=(1, 2, 4)).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, k).collect()
+    }
+    assert got == want
+
+
+def test_knn_adaptive_sparse_escalates(spark):
+    """A lone far-away query must still get exact neighbors (escalation or
+    final brute force), and dense queries must not lose rows."""
+    pts = spark.createDataFrame(
+        [(i, 10.0 + (i % 10) * 0.01, 50.0 + (i // 10) * 0.01) for i in range(100)]
+        + [(900, -150.0, -60.0), (901, -150.2, -60.1), (902, -149.8, -59.9)],
+        "doc_id bigint, lon double, lat double",
+    )
+    qs = spark.createDataFrame(
+        [(1000, 10.05, 50.05), (1001, -150.0, -60.0)],
+        "query_id bigint, lon double, lat double",
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_adaptive(pts, qs, 3, z=6, rings=(1, 2)).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(pts, qs, 3).collect()
+    }
+    assert got == want

@@ -183,3 +183,22 @@ def test_streaming_matches_batch(spark, sf_small, tmp_path):
     b = {(r.wstart, r.event_type): r.n_events for r in batch.collect()}
     s = {(r.wstart, r.event_type): r.n_events for r in got.collect()}
     assert b == s
+
+
+def test_ann_multiprobe_recall_monotone(spark, sf_small):
+    """multiprobe candidates are a superset of the base buckets, so recall
+    vs brute force can only go up; and it must clear a higher floor."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    base = {(r.query_id, r.neighbor_id)
+            for r in similarity.ann_topk(emb, queries, k=5, nbits=16, bands=8).collect()}
+    probed = {(r.query_id, r.neighbor_id)
+              for r in similarity.ann_topk(emb, queries, k=5, nbits=16, bands=8,
+                                           multiprobe=2).collect()}
+    r_base = len(exact & base) / len(exact)
+    r_probe = len(exact & probed) / len(exact)
+    assert r_probe >= r_base, (r_base, r_probe)
+    assert r_probe >= 0.6, f"multiprobe recall too low: {r_probe}"

@@ -115,3 +115,38 @@ def test_pip_semi(points, rects):
     got = {r.doc_id for r in sj.pip_join_semi(points, rects, z=6).select("doc_id").collect()}
     want = {d for d, _ in brute_rect_pairs(points.toPandas(), rects.toPandas())}
     assert got == want
+
+
+def test_pip_join_s2_matches_tile_join(spark, sf_small):
+    """S2-indexed join must produce exactly the rect-containment pairs the
+    tile-indexed join produces (the index is a prefilter, never semantics)."""
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small)
+    rects = minted.minted_rects(spark, sf_small)
+    want = {(r.doc_id, r.poly_id)
+            for r in sj.pip_join(pts, rects, z=6).select("doc_id", "poly_id").collect()}
+    got = {(r.doc_id, r.poly_id)
+           for r in sj.pip_join_s2(pts, rects, level=7).select("doc_id", "poly_id").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_s2_cover_superset_property(spark):
+    """every point inside a bbox maps (s2_cell) into the exploded cover."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geobuf_spark.functions import cells
+
+    rng = np.random.default_rng(5)
+    boxes = [(int(i),
+              float(a := rng.uniform(-175, 170)), float(b := rng.uniform(-85, 80)),
+              float(a + rng.uniform(0.1, 5)), float(b + rng.uniform(0.1, 5)))
+             for i in range(50)]
+    bdf = spark.createDataFrame(boxes, "box_id int, minx double, miny double, maxx double, maxy double")
+    cover = {(r.box_id, r.cell) for r in cells.explode_s2_cover(bdf, 7).collect()}
+    pts = [(bid, float(rng.uniform(mnx, mxx)), float(rng.uniform(mny, mxy)))
+           for bid, mnx, mny, mxx, mxy in boxes for _ in range(20)]
+    pdf = spark.createDataFrame(pts, "box_id int, lon double, lat double") \
+        .withColumn("cell", cells.s2_cell(F.col("lon"), F.col("lat"), 7))
+    for r in pdf.collect():
+        assert (r.box_id, r.cell) in cover, (r.box_id, r.lon, r.lat)
