@@ -128,7 +128,12 @@ def commit_output(df: DataFrame, path: str, run_id: str, partition_cols: list[st
     lineage_rows = 0
     if partition_cols and lineage_key:
         lin = partition_lineage(df, partition_cols, lineage_key)
-        lin.write.mode("append").parquet(os.path.join(path, "_lineage"))
+        # per-run directory, overwritten: a crash between this write and the
+        # manifest append cannot leave duplicate lineage generations — the
+        # rerun replaces its own rows (append would stack them)
+        lin.write.mode("overwrite").parquet(
+            os.path.join(path, "_lineage", f"run_id={run_id}")
+        )
         lineage_rows = lin.count()
 
     if os.path.exists(final):

@@ -88,3 +88,66 @@ def geojson_to_geobuf(spark: SparkSession, in_path: str, out_path: str,
 
     df = (read_geojson_lines if line_delimited else read_feature_collection)(spark, in_path)
     return write_geobuf(encode_features_generic(df), out_path)
+
+
+_GEOM_NAMES = {1: "Point", 2: "LineString", 3: "Polygon",
+               4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon"}
+
+
+def _row_to_feature(row) -> dict:
+    import numpy as np
+
+    f = core.Feature(
+        geom_type=int(row["geom_type"]), dim=int(row["dim"]),
+        coords=np.asarray(row["coords"], dtype=np.float64),
+        ring_lens=np.asarray(row["ring_lens"], dtype=np.int64),
+        part_rings=np.asarray(row["part_rings"], dtype=np.int64),
+        id=row["id"],
+    )
+    out = {
+        "type": "Feature",
+        "geometry": {"type": _GEOM_NAMES[f.geom_type],
+                     "coordinates": f.to_geojson_coords()},
+        "properties": json.loads(row["props_json"]) if row["props_json"] else {},
+    }
+    if row["id"] is not None:
+        out["id"] = int(row["id"])
+    return out
+
+
+def features_to_geojson(df: DataFrame, out_col: str = "geojson") -> DataFrame:
+    """GEOM_SCHEMA rows → one GeoJSON Feature string per row (distributed).
+
+    The export half of ConvertGeobuf (convert_geojson.go:169-193), minus its
+    double-Next() bug — every feature is emitted exactly once."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _ser(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                out_col: [json.dumps(_row_to_feature(r), sort_keys=True)
+                          for r in pdf.to_dict("records")]
+            })
+
+    return df.mapInPandas(_ser, T.StructType([T.StructField(out_col, T.StringType())]))
+
+
+def write_geojson_lines(df: DataFrame, path: str) -> None:
+    """Line-delimited GeoJSON sink (the scalable shape — one file per task)."""
+    features_to_geojson(df).write.mode("overwrite").text(path)
+
+
+def geobuf_to_geojson(spark: SparkSession, in_path: str, out_path: str) -> int:
+    """The geobuf2geojson CLI as one job: framed geobuf file → decoded rows
+    → single FeatureCollection file (driver-edge assembly, matching the
+    reference's output shape). Returns the feature count."""
+    from geobuf_spark.sources.geobuf_file import decoded_features
+
+    rows = features_to_geojson(decoded_features(spark, in_path)).collect()
+    with open(out_path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        for i, r in enumerate(rows):
+            f.write(r[0] + (",\n" if i + 1 < len(rows) else "\n"))
+        f.write("]}\n")
+    return len(rows)

