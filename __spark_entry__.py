@@ -166,6 +166,25 @@ def q_geobuf_roundtrip(spark, sf):
         .select(F.col("id").alias("doc_id"), "lon_q", "lat_q")
 
 
+def q_polygon_roundtrip(spark, sf):
+    # ring-structured codec through the vectorized Polygon kernel: rect →
+    # 5-vertex ring → encode → decode; corners exact on the 1e-7 lattice
+    r = _rects(spark, sf)
+    ring = F.array(
+        "minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy", "minx", "miny",
+    )
+    src = r.select("poly_id", ring.alias("coords"),
+                   F.array(F.lit(5)).alias("ring_lens"))
+    dec = spark_codec.decode_polygons(spark_codec.encode_polygons(src))
+    return dec.select(
+        "poly_id",
+        F.element_at("coords_q", 1).alias("x0_q"),
+        F.element_at("coords_q", 2).alias("y0_q"),
+        F.element_at("coords_q", 5).alias("x2_q"),
+        F.element_at("coords_q", 6).alias("y2_q"),
+    )
+
+
 def q_feature_count(spark, sf):
     # NumberFeatures counter (reader.go:27) — total + per-lang
     return _docs(spark, sf).groupBy("lang").agg(F.count("*").alias("n_features"))
@@ -579,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_k5": q_knn_k5,
         "knn_adaptive_k5": q_knn_adaptive_k5,
         "geobuf_roundtrip": q_geobuf_roundtrip,
+        "polygon_roundtrip": q_polygon_roundtrip,
         "feature_count": q_feature_count,
         "increment_limit": q_increment_limit,
         "union_datasets": q_union_datasets,
@@ -729,6 +749,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(trunc(lon * 10000000.0) AS BIGINT) AS lon_q,
                    CAST(trunc(lat * 10000000.0) AS BIGINT) AS lat_q
             FROM ({pts})""",
+        "polygon_roundtrip": f"""
+            SELECT poly_id,
+                   CAST(trunc(minx * 10000000.0) AS BIGINT) AS x0_q,
+                   CAST(trunc(miny * 10000000.0) AS BIGINT) AS y0_q,
+                   CAST(trunc(maxx * 10000000.0) AS BIGINT) AS x2_q,
+                   CAST(trunc(maxy * 10000000.0) AS BIGINT) AS y2_q
+            FROM ({rects})""",
         "feature_count": "SELECT lang, count(*) AS n_features FROM documents GROUP BY lang",
         "increment_limit": """
             SELECT doc_id, 'purple' AS COLORKEY FROM documents

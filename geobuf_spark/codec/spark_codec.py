@@ -197,21 +197,24 @@ def decode_points(df: DataFrame, bin_col: str = "geobuf", id_col: str = "id",
 # ---------------------------------------------------------------------------
 
 def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
-                        dim: int = 2) -> pa.Array:
-    """Encode N LineString features → Arrow binary frames.
+                        dim: int = 2, geom_type: int = 2) -> pa.Array:
+    """Encode N LineString/MultiPoint features → Arrow binary frames.
 
     coords: flat float64 interleaved (x0,y0[,z0,…],x1,y1,…) across the
     whole batch; nv: vertices per feature; dim 2–15 (homogeneous per
-    batch). Wire layout per WriteFeature with writeline delta semantics
-    (geom.go:204-246); geom code embeds dim per makegeomcode
-    (geom.go:59-76: dim==2 → code=type, else code=type<<4|dim); bbox stays
-    4-valued x/y regardless of dim (bb.go:10-37)."""
+    batch). MultiPoint (geom_type=4) shares LineString's exact wire shape
+    (packed deltas, geom.go:249-252). Wire layout per WriteFeature with
+    writeline delta semantics (geom.go:204-246); geom code embeds dim per
+    makegeomcode (geom.go:59-76: dim==2 → code=type, else code=type<<4|dim);
+    bbox stays 4-valued x/y regardless of dim (bb.go:10-37)."""
     n = len(ids)
     if n == 0:
         return pa.array([], type=pa.binary())
     if not (2 <= dim <= 15):
         raise ValueError(f"dim must be 2..15, got {dim}")
-    geom_code = 2 if dim == 2 else (2 << 4) | dim
+    if geom_type not in (2, 4):
+        raise ValueError("encode_lines_kernel handles LineString(2)/MultiPoint(4)")
+    geom_code = geom_type if dim == 2 else (geom_type << 4) | dim
     q = core.quantize_vec(coords).reshape(-1, dim)  # (total_v, dim)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nv[:-1], out=starts[1:])
@@ -479,3 +482,455 @@ def decode_features_generic(df: DataFrame, bin_col: str = "geobuf") -> DataFrame
             yield pd.DataFrame(rows, columns=[f.name for f in GEOM_SCHEMA.fields])
 
     return df.select(bin_col).mapInPandas(_dec, GEOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Polygon / MultiLineString batch kernels — ring-structured geometries,
+# fully vectorized. Wire shape (geom.go:255-273): per ring a varint
+# `len(ring)·dim` then that ring's packed zigzag deltas, delta state
+# resetting at each ring (readline per ring, geom.go:103-111,127-157).
+# MultiPoint shares the LineString layout (packed deltas, no ring counts).
+# ---------------------------------------------------------------------------
+
+def encode_rings_kernel(ids: np.ndarray, coords: np.ndarray, ring_nv: np.ndarray,
+                        rings_per_feat: np.ndarray, geom_type: int = 3,
+                        dim: int = 2) -> pa.Array:
+    """Encode N ring-structured features (Polygon=3 / MultiLineString=5).
+
+    coords: flat float64 interleaved across the whole batch; ring_nv:
+    vertices per ring (all rings, feature-major); rings_per_feat: rings
+    per feature."""
+    n = len(ids)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    if geom_type not in (3, 5):
+        raise ValueError("encode_rings_kernel handles Polygon(3)/MultiLineString(5)")
+    if not (2 <= dim <= 15):
+        raise ValueError(f"dim must be 2..15, got {dim}")
+    geom_code = geom_type if dim == 2 else (geom_type << 4) | dim
+
+    q = core.quantize_vec(coords).reshape(-1, dim)  # (total_v, dim)
+    R = len(ring_nv)
+    v_starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(ring_nv[:-1], out=v_starts[1:])
+    # per-ring segmented delta (reset each ring — geom.go:127-157)
+    d = np.empty_like(q)
+    d[0] = q[0]
+    d[1:] = q[1:] - q[:-1]
+    d[v_starts] = q[v_starts]
+    zz = core.zigzag_vec(d.reshape(-1))  # (total_v*dim,) ring-major
+
+    # token stream: per ring [count=nv·dim, deltas…]
+    ring_tok_counts = 1 + ring_nv * dim
+    ring_tok_offs = np.zeros(R, dtype=np.int64)
+    np.cumsum(ring_tok_counts[:-1], out=ring_tok_offs[1:])
+    total_toks = int(ring_tok_counts.sum())
+    tokens = np.empty(total_toks, dtype=np.uint64)
+    tokens[ring_tok_offs] = (ring_nv * dim).astype(np.uint64)
+    is_delta = np.ones(total_toks, dtype=bool)
+    is_delta[ring_tok_offs] = False
+    tokens[is_delta] = zz
+
+    # feature-level grouping
+    feat_ring_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(rings_per_feat[:-1], out=feat_ring_start[1:])
+    feat_tok_start = ring_tok_offs[feat_ring_start]
+    feat_tok_counts = np.add.reduceat(ring_tok_counts, feat_ring_start)
+
+    # per-feature bbox over quantized vertices (x/y only, bb.go:10-37)
+    feat_v_start = v_starts[feat_ring_start]
+    minx = np.minimum.reduceat(q[:, 0], feat_v_start)
+    maxx = np.maximum.reduceat(q[:, 0], feat_v_start)
+    miny = np.minimum.reduceat(q[:, 1], feat_v_start)
+    maxy = np.maximum.reduceat(q[:, 1], feat_v_start)
+    bbox_zz = core.zigzag_vec(np.stack([minx, miny, maxx, maxy], axis=1).reshape(-1))
+
+    mid, lid = _varint_matrix(ids.astype(np.uint64))
+    mg, lg = _varint_matrix(tokens)
+    mb, lb = _varint_matrix(bbox_zz)
+    glen = np.add.reduceat(lg, feat_tok_start)
+    blen = lb.reshape(n, 4).sum(axis=1)
+    mgl, lgl = _varint_matrix(glen.astype(np.uint64))
+    mbl, lbl = _varint_matrix(blen.astype(np.uint64))
+
+    total = 1 + lid + 2 + 1 + lgl + glen + 1 + lbl + blen
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    buf = np.empty(offsets[-1], dtype=np.uint8)
+    pos = offsets[:-1].copy()
+
+    def put_const(byte):
+        nonlocal pos
+        buf[pos] = byte
+        pos = pos + 1
+
+    def put_mat(mat, lens):
+        nonlocal pos
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[pos[sel] + j] = mat[sel, j]
+        pos = pos + lens
+
+    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
+        nonlocal pos
+        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
+        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[base[sel] + j] = mat[sel, j]
+        pos = pos + seg_bytes
+
+    put_const(8)
+    put_mat(mid, lid)
+    put_const(24)
+    put_const(geom_code)
+    put_const(34)
+    put_mat(mgl, lgl)
+    put_segmented(mg, lg, feat_tok_start, feat_tok_counts, glen)
+    put_const(42)
+    put_mat(mbl, lbl)
+    put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
+    assert np.array_equal(pos, offsets[1:])
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def decode_rings_kernel(frames: pa.Array):
+    """Decode N ring-structured frames → (ids, flat quantized coords,
+    ring_nv, rings_per_feat, geom_type, dim).
+
+    Ring boundaries are data-dependent (each ring announces its token
+    count), so the walk iterates max-rings-per-feature times over the
+    active frame set — vectorized within each round."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, 0, 2
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
+    seg = flat[start:end]
+    tok_ends = np.flatnonzero(seg < 0x80)
+    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
+    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
+    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
+    tokens = core.unpack_varints(seg, 0, len(seg))
+    first = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    codes = tokens[first + 3]
+    code0 = int(codes[0])
+    if not np.all(codes == codes[0]):
+        raise ValueError("mixed geom-code batch; use the generic codec")
+    geom_type = code0 if code0 <= 6 else code0 >> 4
+    dim = 2 if code0 <= 6 else code0 & 0xF
+    ids = tokens[first + 1].astype(np.int64)
+
+    # ring walk: geometry tokens occupy [first+6, first+counts-6)
+    g_end = first + counts - 6
+    pos = first + 6
+    ring_feat, ring_start_tok, ring_nv_l = [], [], []
+    rings_per_feat = np.zeros(n, dtype=np.int64)
+    active = np.flatnonzero(pos < g_end)
+    while len(active):
+        cnt = tokens[pos[active]].astype(np.int64)  # nv·dim
+        ring_feat.append(active.copy())
+        ring_start_tok.append(pos[active] + 1)
+        ring_nv_l.append(cnt // dim)
+        rings_per_feat[active] += 1
+        pos[active] += 1 + cnt
+        active = active[pos[active] < g_end[active]]
+    if not ring_feat:
+        e = np.empty(0, dtype=np.int64)
+        return ids, e, e, rings_per_feat, geom_type, dim
+    # rings discovered round-by-round → reorder feature-major, round-minor
+    rf = np.concatenate(ring_feat)
+    rs = np.concatenate(ring_start_tok)
+    rnv = np.concatenate(ring_nv_l)
+    rounds = np.concatenate([np.full(len(a), i) for i, a in enumerate(ring_feat)])
+    order = np.lexsort((rounds, rf))
+    rf, rs, rnv = rf[order], rs[order], rnv[order]
+
+    # gather delta tokens per ring
+    tok_counts = rnv * dim
+    R = len(rnv)
+    starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(tok_counts[:-1], out=starts[1:])
+    big = np.repeat(np.arange(R), tok_counts)
+    t = np.arange(int(tok_counts.sum()), dtype=np.int64) - starts[big]
+    d = core.unzigzag_vec(tokens[rs[big] + t]).reshape(-1, dim)
+    # segmented cumsum reset per ring
+    v_starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(rnv[:-1], out=v_starts[1:])
+    c = np.cumsum(d, axis=0)
+    base = np.zeros((R, dim), dtype=np.int64)
+    base[1:] = c[v_starts[1:] - 1]
+    coords_q = c - np.repeat(base, rnv, axis=0)
+    return ids, coords_q.reshape(-1), rnv, rings_per_feat, geom_type, dim
+
+
+def encode_polygons(df: DataFrame, id_col: str = "poly_id", coords: str = "coords",
+                    ring_lens: str = "ring_lens", out: str = "geobuf",
+                    geom_type: int = 3, dim: int = 2) -> DataFrame:
+    """(id, coords flat array<double>, ring_lens array<int>) → (id, geobuf)
+    via the vectorized ring kernel (Polygon or MultiLineString)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def _enc(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            carr = batch.column(1)
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            rarr = batch.column(2)
+            ring_nv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            rings_per_feat = roffs[1:] - roffs[:-1]
+            frames = encode_rings_kernel(ids, flat, ring_nv, rings_per_feat,
+                                         geom_type=geom_type, dim=dim)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), frames], names=[id_col, out]
+            )
+
+    return df.select(id_col, coords, ring_lens).mapInArrow(_enc, schema)
+
+
+def decode_polygons(df: DataFrame, bin_col: str = "geobuf", id_col: str = "poly_id") -> DataFrame:
+    """Ring frames → (id, coords_q flat array<bigint>, ring_lens array<int>)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("coords_q", T.ArrayType(T.LongType())),
+        T.StructField("ring_lens", T.ArrayType(T.IntegerType())),
+    ])
+
+    def _dec(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            ids, coords_q, ring_nv, rpf, _, dim = decode_rings_kernel(frames)
+            coffs = np.zeros(len(ids) + 1, dtype=np.int32)
+            roffs = np.zeros(len(ids) + 1, dtype=np.int32)
+            np.cumsum(rpf, out=roffs[1:])
+            feat_v = np.add.reduceat(ring_nv, roffs[:-1]) if len(ring_nv) else np.zeros(len(ids), np.int64)
+            np.cumsum(feat_v * dim, out=coffs[1:])
+            carr = pa.ListArray.from_arrays(
+                pa.array(coffs, type=pa.int32()), pa.array(coords_q, type=pa.int64()))
+            rarr = pa.ListArray.from_arrays(
+                pa.array(roffs, type=pa.int32()), pa.array(ring_nv.astype(np.int32), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), carr, rarr],
+                names=[id_col, "coords_q", "ring_lens"])
+
+    return df.select(bin_col).mapInArrow(_dec, schema)
+
+
+# ---------------------------------------------------------------------------
+# MultiPolygon batch kernels — two-level nesting (geom.go:276-302): per
+# polygon a varint ring-count, then per ring varint(len·dim) + deltas.
+# ---------------------------------------------------------------------------
+
+def encode_multipolygons_kernel(ids: np.ndarray, coords: np.ndarray,
+                                ring_nv: np.ndarray, rings_per_poly: np.ndarray,
+                                polys_per_feat: np.ndarray, dim: int = 2) -> pa.Array:
+    """Encode N MultiPolygon features → Arrow binary frames.
+
+    ring_nv: vertices per ring (all rings, poly-major); rings_per_poly:
+    rings per polygon (all polygons, feature-major); polys_per_feat:
+    polygons per feature."""
+    n = len(ids)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    geom_code = 6 if dim == 2 else (6 << 4) | dim
+
+    q = core.quantize_vec(coords).reshape(-1, dim)
+    R = len(ring_nv)
+    P = len(rings_per_poly)
+    v_starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(ring_nv[:-1], out=v_starts[1:])
+    d = np.empty_like(q)
+    d[0] = q[0]
+    d[1:] = q[1:] - q[:-1]
+    d[v_starts] = q[v_starts]
+    zz = core.zigzag_vec(d.reshape(-1))
+
+    # token stream: per poly [nrings, per ring [cnt, deltas…]]
+    ring_tok_counts = 1 + ring_nv * dim                      # per ring
+    poly_ring_start = np.zeros(P, dtype=np.int64)
+    np.cumsum(rings_per_poly[:-1], out=poly_ring_start[1:])
+    poly_tok_counts = 1 + np.add.reduceat(ring_tok_counts, poly_ring_start)
+    poly_tok_offs = np.zeros(P, dtype=np.int64)
+    np.cumsum(poly_tok_counts[:-1], out=poly_tok_offs[1:])
+    total_toks = int(poly_tok_counts.sum())
+    tokens = np.empty(total_toks, dtype=np.uint64)
+    filled = np.zeros(total_toks, dtype=bool)
+    tokens[poly_tok_offs] = rings_per_poly.astype(np.uint64)
+    filled[poly_tok_offs] = True
+    # ring count tokens: offset of each ring inside the stream
+    ring_tok_offs = np.zeros(R, dtype=np.int64)
+    np.cumsum(ring_tok_counts[:-1], out=ring_tok_offs[1:])
+    # rings shift right by the number of poly-header tokens before them:
+    # ring g belongs to poly p(g) → +p(g)+1 headers
+    p_of_ring = np.repeat(np.arange(P), rings_per_poly)
+    ring_pos = ring_tok_offs + p_of_ring + 1
+    tokens[ring_pos] = (ring_nv * dim).astype(np.uint64)
+    filled[ring_pos] = True
+    tokens[~filled] = zz
+
+    feat_poly_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(polys_per_feat[:-1], out=feat_poly_start[1:])
+    feat_tok_start = poly_tok_offs[feat_poly_start]
+    feat_tok_counts = np.add.reduceat(poly_tok_counts, feat_poly_start)
+    feat_ring_start = poly_ring_start[feat_poly_start]
+    feat_v_start = v_starts[feat_ring_start]
+    minx = np.minimum.reduceat(q[:, 0], feat_v_start)
+    maxx = np.maximum.reduceat(q[:, 0], feat_v_start)
+    miny = np.minimum.reduceat(q[:, 1], feat_v_start)
+    maxy = np.maximum.reduceat(q[:, 1], feat_v_start)
+    bbox_zz = core.zigzag_vec(np.stack([minx, miny, maxx, maxy], axis=1).reshape(-1))
+
+    mid, lid = _varint_matrix(ids.astype(np.uint64))
+    mg, lg = _varint_matrix(tokens)
+    mb, lb = _varint_matrix(bbox_zz)
+    glen = np.add.reduceat(lg, feat_tok_start)
+    blen = lb.reshape(n, 4).sum(axis=1)
+    mgl, lgl = _varint_matrix(glen.astype(np.uint64))
+    mbl, lbl = _varint_matrix(blen.astype(np.uint64))
+
+    total = 1 + lid + 2 + 1 + lgl + glen + 1 + lbl + blen
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    buf = np.empty(offsets[-1], dtype=np.uint8)
+    pos = offsets[:-1].copy()
+
+    def put_const(byte):
+        nonlocal pos
+        buf[pos] = byte
+        pos = pos + 1
+
+    def put_mat(mat, lens):
+        nonlocal pos
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[pos[sel] + j] = mat[sel, j]
+        pos = pos + lens
+
+    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
+        nonlocal pos
+        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
+        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[base[sel] + j] = mat[sel, j]
+        pos = pos + seg_bytes
+
+    put_const(8)
+    put_mat(mid, lid)
+    put_const(24)
+    put_const(geom_code)
+    put_const(34)
+    put_mat(mgl, lgl)
+    put_segmented(mg, lg, feat_tok_start, feat_tok_counts, glen)
+    put_const(42)
+    put_mat(mbl, lbl)
+    put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
+    assert np.array_equal(pos, offsets[1:])
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def decode_multipolygons_kernel(frames: pa.Array):
+    """Decode N MultiPolygon frames → (ids, flat quantized coords, ring_nv,
+    rings_per_poly, polys_per_feat, dim).
+
+    Two-level jump walk: each round, every active feature consumes either a
+    polygon header token or one whole ring — vectorized per round."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, e, 2
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
+    seg = flat[start:end]
+    tok_ends = np.flatnonzero(seg < 0x80)
+    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
+    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
+    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
+    tokens = core.unpack_varints(seg, 0, len(seg))
+    first = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    codes = tokens[first + 3]
+    code0 = int(codes[0])
+    if not np.all(codes == codes[0]):
+        raise ValueError("mixed geom-code batch; use the generic codec")
+    if not (code0 == 6 or (code0 > 6 and code0 >> 4 == 6)):
+        raise ValueError("not a MultiPolygon batch")
+    dim = 2 if code0 <= 6 else code0 & 0xF
+    ids = tokens[first + 1].astype(np.int64)
+
+    g_end = first + counts - 6
+    pos = first + 6
+    rings_left = np.zeros(n, dtype=np.int64)
+    polys_per_feat = np.zeros(n, dtype=np.int64)
+    # event logs (round-ordered); reordered feature-major afterwards
+    poly_feat, poly_nr, poly_seq = [], [], []
+    ring_feat, ring_start_tok, ring_nv_l, ring_seq = [], [], [], []
+    seq = np.zeros(n, dtype=np.int64)  # per-feature event counter
+    active = np.flatnonzero(pos < g_end)
+    while len(active):
+        hdr = active[rings_left[active] == 0]
+        rng = active[rings_left[active] > 0]
+        if len(hdr):
+            nr = tokens[pos[hdr]].astype(np.int64)
+            poly_feat.append(hdr.copy()); poly_nr.append(nr); poly_seq.append(seq[hdr].copy())
+            polys_per_feat[hdr] += 1
+            rings_left[hdr] = nr
+            pos[hdr] += 1
+            seq[hdr] += 1
+        if len(rng):
+            cnt = tokens[pos[rng]].astype(np.int64)
+            ring_feat.append(rng.copy()); ring_start_tok.append(pos[rng] + 1)
+            ring_nv_l.append(cnt // dim); ring_seq.append(seq[rng].copy())
+            rings_left[rng] -= 1
+            pos[rng] += 1 + cnt
+            seq[rng] += 1
+        active = active[pos[active] < g_end[active]]
+
+    # feature-major, stream-ordered reconstruction
+    pf = np.concatenate(poly_feat); pn = np.concatenate(poly_nr); ps = np.concatenate(poly_seq)
+    po = np.lexsort((ps, pf))
+    rings_per_poly = pn[po]
+    if ring_feat:
+        rf = np.concatenate(ring_feat); rs = np.concatenate(ring_start_tok)
+        rnv = np.concatenate(ring_nv_l); rq = np.concatenate(ring_seq)
+        ro = np.lexsort((rq, rf))
+        rf, rs, rnv = rf[ro], rs[ro], rnv[ro]
+    else:
+        rnv = np.empty(0, dtype=np.int64); rs = rnv
+
+    tok_counts = rnv * dim
+    R = len(rnv)
+    starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(tok_counts[:-1], out=starts[1:])
+    big = np.repeat(np.arange(R), tok_counts)
+    t = np.arange(int(tok_counts.sum()), dtype=np.int64) - starts[big]
+    d = core.unzigzag_vec(tokens[rs[big] + t]).reshape(-1, dim)
+    v_starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(rnv[:-1], out=v_starts[1:])
+    c = np.cumsum(d, axis=0)
+    base = np.zeros((R, dim), dtype=np.int64)
+    base[1:] = c[v_starts[1:] - 1]
+    coords_q = c - np.repeat(base, rnv, axis=0)
+    return ids, coords_q.reshape(-1), rnv, rings_per_poly, polys_per_feat, dim

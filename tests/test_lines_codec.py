@@ -98,3 +98,163 @@ def test_lines_dataframe_dim3_roundtrip(spark):
     got = {r.line_id: list(r.coords_q) for r in dec.collect()}
     want = {i: list(core.quantize_vec(np.asarray(c))) for i, c in rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ring-structured kernels (Polygon / MultiLineString)
+# ---------------------------------------------------------------------------
+
+def _ring_batch(seed, n=200, max_rings=4, dim=2):
+    rng = np.random.default_rng(seed)
+    rings_per_feat = rng.integers(1, max_rings + 1, n).astype(np.int64)
+    ring_nv = rng.integers(3, 30, int(rings_per_feat.sum())).astype(np.int64)
+    coords = rng.integers(-1_700_000_000, 1_700_000_000, int(ring_nv.sum()) * dim) / 1e7
+    ids = rng.integers(0, 2**40, n)
+    return ids, coords, ring_nv, rings_per_feat
+
+
+@pytest.mark.parametrize("geom_type,name", [(3, "Polygon"), (5, "MultiLineString")])
+def test_rings_kernel_byte_parity(geom_type, name):
+    ids, coords, ring_nv, rpf = _ring_batch(13)
+    arr = sc.encode_rings_kernel(ids, coords, ring_nv, rpf, geom_type=geom_type)
+    ring_starts = np.concatenate(([0], np.cumsum(ring_nv)[:-1]))
+    feat_ring_start = np.concatenate(([0], np.cumsum(rpf)[:-1]))
+    for i in range(0, len(ids), 11):
+        rings = []
+        for r in range(rpf[i]):
+            g = feat_ring_start[i] + r
+            s = ring_starts[g]
+            rings.append(coords[2 * s : 2 * (s + ring_nv[g])].reshape(-1, 2).tolist())
+        cf = core.Feature.from_geojson(name, rings, id=int(ids[i]))
+        assert core.encode_feature(cf) == arr[i].as_py(), i
+
+
+def test_rings_kernel_roundtrip():
+    ids, coords, ring_nv, rpf = _ring_batch(17)
+    arr = sc.encode_rings_kernel(ids, coords, ring_nv, rpf, geom_type=3)
+    dids, dcoords, dnv, drpf, gt, dim = sc.decode_rings_kernel(arr)
+    assert gt == 3 and dim == 2
+    assert np.array_equal(dids, ids)
+    assert np.array_equal(drpf, rpf)
+    assert np.array_equal(dnv, ring_nv)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+
+
+def test_rings_kernel_dim3_roundtrip():
+    ids, coords, ring_nv, rpf = _ring_batch(19, dim=3)
+    arr = sc.encode_rings_kernel(ids, coords, ring_nv, rpf, geom_type=5, dim=3)
+    dids, dcoords, dnv, drpf, gt, dim = sc.decode_rings_kernel(arr)
+    assert gt == 5 and dim == 3
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+    # reference-semantics per-feature decoder agrees
+    f0 = core.decode_feature(arr[0].as_py(), quantized=True)
+    assert f0.geom_type == 5 and f0.dim == 3 and f0.ring_lens.tolist() == ring_nv[:rpf[0]].tolist()
+
+
+def test_polygons_dataframe_roundtrip(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(150):
+        nr = int(rng.integers(1, 4))
+        rl = [int(rng.integers(3, 12)) for _ in range(nr)]
+        c = (rng.integers(-1_000_000_000, 1_000_000_000, sum(rl) * 2) / 1e7).tolist()
+        rows.append((i, c, rl))
+    df = spark.createDataFrame(rows, "poly_id bigint, coords array<double>, ring_lens array<int>")
+    dec = sc.decode_polygons(sc.encode_polygons(df))
+    got = {r.poly_id: (list(r.coords_q), list(r.ring_lens)) for r in dec.collect()}
+    want = {i: (list(core.quantize_vec(np.asarray(c))), rl) for i, c, rl in rows}
+    assert got == want
+
+
+def test_multipoint_kernel_byte_parity(batch):
+    ids, coords, nv = batch
+    arr = sc.encode_lines_kernel(ids, coords, nv, geom_type=4)
+    starts = np.concatenate(([0], np.cumsum(nv)[:-1]))
+    for i in range(0, len(ids), 17):
+        span = coords[2 * starts[i] : 2 * (starts[i] + nv[i])]
+        cf = core.Feature.from_geojson("MultiPoint", span.reshape(-1, 2).tolist(), id=int(ids[i]))
+        assert core.encode_feature(cf) == arr[i].as_py(), i
+    dids, dcoords, dnv = sc.decode_lines_kernel(arr)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+
+
+# ---------------------------------------------------------------------------
+# MultiPolygon kernels
+# ---------------------------------------------------------------------------
+
+def _mp_batch(seed, n=120, dim=2):
+    rng = np.random.default_rng(seed)
+    polys_per_feat = rng.integers(1, 4, n).astype(np.int64)
+    rings_per_poly = rng.integers(1, 3, int(polys_per_feat.sum())).astype(np.int64)
+    ring_nv = rng.integers(3, 20, int(rings_per_poly.sum())).astype(np.int64)
+    coords = rng.integers(-1_700_000_000, 1_700_000_000, int(ring_nv.sum()) * dim) / 1e7
+    ids = rng.integers(0, 2**40, n)
+    return ids, coords, ring_nv, rings_per_poly, polys_per_feat
+
+
+def test_multipolygon_kernel_byte_parity():
+    ids, coords, ring_nv, rpp, ppf = _mp_batch(29)
+    arr = sc.encode_multipolygons_kernel(ids, coords, ring_nv, rpp, ppf)
+    ring_starts = np.concatenate(([0], np.cumsum(ring_nv)[:-1]))
+    poly_ring_start = np.concatenate(([0], np.cumsum(rpp)[:-1]))
+    feat_poly_start = np.concatenate(([0], np.cumsum(ppf)[:-1]))
+    for i in range(0, len(ids), 9):
+        polys = []
+        for p in range(ppf[i]):
+            gp = feat_poly_start[i] + p
+            rings = []
+            for r in range(rpp[gp]):
+                g = poly_ring_start[gp] + r
+                s = ring_starts[g]
+                rings.append(coords[2 * s : 2 * (s + ring_nv[g])].reshape(-1, 2).tolist())
+            polys.append(rings)
+        cf = core.Feature.from_geojson("MultiPolygon", polys, id=int(ids[i]))
+        assert core.encode_feature(cf) == arr[i].as_py(), i
+
+
+def test_multipolygon_kernel_roundtrip():
+    ids, coords, ring_nv, rpp, ppf = _mp_batch(31)
+    arr = sc.encode_multipolygons_kernel(ids, coords, ring_nv, rpp, ppf)
+    dids, dcoords, dnv, drpp, dppf, dim = sc.decode_multipolygons_kernel(arr)
+    assert dim == 2
+    assert np.array_equal(dids, ids)
+    assert np.array_equal(dppf, ppf)
+    assert np.array_equal(drpp, rpp)
+    assert np.array_equal(dnv, ring_nv)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+    # reference-semantics decoder agrees on the first feature's structure
+    f0 = core.decode_feature(arr[0].as_py(), quantized=True)
+    assert f0.geom_type == 6 and f0.part_rings.tolist() == rpp[:ppf[0]].tolist()
+
+
+def test_rings_kernel_on_county_polygons():
+    """Real-world ring structure: the reference's county dataset, Polygon
+    features re-encoded through the batch kernel, must round-trip exactly
+    on the quantized lattice and match the per-feature encoder's bytes
+    (id-only features: properties/bbox handling identical by construction)."""
+    from geobuf_spark.codec.core import read_frames
+
+    data = open("/root/reference/test_data/county.geobuf", "rb").read()
+    polys = []
+    for frame in read_frames(data):
+        f = core.decode_feature(frame)
+        if f.geom_type == 3:
+            polys.append(f)
+        if len(polys) >= 400:
+            break
+    assert len(polys) >= 300
+    ids = np.arange(len(polys), dtype=np.int64)
+    ring_nv = np.concatenate([f.ring_lens for f in polys])
+    rpf = np.array([len(f.ring_lens) for f in polys], dtype=np.int64)
+    coords = np.concatenate([f.coords for f in polys])
+    arr = sc.encode_rings_kernel(ids, coords, ring_nv, rpf, geom_type=3)
+    # batch decode == quantized source
+    dids, dcoords, dnv, drpf, gt, dim = sc.decode_rings_kernel(arr)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+    assert np.array_equal(dnv, ring_nv)
+    # byte parity vs the per-feature encoder on a sample
+    for i in range(0, len(polys), 50):
+        cf = core.Feature(geom_type=3, dim=2, coords=polys[i].coords,
+                          ring_lens=polys[i].ring_lens,
+                          part_rings=polys[i].part_rings, id=int(ids[i]))
+        assert core.encode_feature(cf) == arr[i].as_py(), i
