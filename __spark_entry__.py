@@ -123,8 +123,9 @@ def q_pip_join_rects_salted(spark, sf):
 
 
 def q_pip_join_s2(spark, sf):
-    # same semantics as pip_join_rects, s2 cube-face cells as the equi-key
-    return sj.pip_join_s2(_points(spark, sf), _rects(spark, sf), level=7,
+    # same semantics as pip_join_rects, s2 cube-face cells as the equi-key;
+    # level auto-chosen by the cover-budget planner (choose_s2_level)
+    return sj.pip_join_s2(_points(spark, sf), _rects(spark, sf),
                           strategy="broadcast").select("doc_id", "poly_id")
 
 

@@ -229,7 +229,7 @@ def pip_join_s2(
     points: DataFrame,
     polys: DataFrame,
     *,
-    level: int = 8,
+    level: int | None = None,
     refine: Column | None = None,
     how: str = "inner",
     strategy: str = "broadcast",
@@ -241,12 +241,20 @@ def pip_join_s2(
     side explodes `cells.explode_s2_cover` (interval-arithmetic bbox cover,
     cross-face safe). Same staging — cover join first, exact refine after.
 
+    `level=None` picks the finest level whose estimated cover fits the
+    planner budget (`plans.strategy.choose_s2_level`) — an over-fine level
+    multiplies the exploded build side (a 12°-wide box covers ~300 cells
+    at level 7 but ~6 at level 4) and can blow the broadcast.
+
     Unlike the mercator tile index, s2 cells keep their size near the
     poles, so high-latitude data skews less; the cover kernel guarantees
     a superset (any point in the bbox lands in a covered cell), so the
     refine sees every true pair."""
     from geobuf_spark.functions import cells
+    from geobuf_spark.plans.strategy import choose_s2_level
 
+    if level is None:
+        level = choose_s2_level(polys)
     if refine is None:
         refine = rect_contains(F.col(lon), F.col(lat))
     p = points.withColumn("cell", cells.s2_cell(F.col(lon), F.col(lat), level))

@@ -84,3 +84,29 @@ def pip_join_planned(points: DataFrame, polys: DataFrame, *, z: int = 6, **kw):
     plan = choose_strategy(points, polys, z)
     return sj.pip_join(points, polys, z=z, strategy=plan.strategy,
                        salt=plan.salt, **kw), plan
+
+
+def choose_s2_level(polys: DataFrame, *, max_level: int = 12,
+                    cover_budget: int = 1_000_000) -> int:
+    """Finest s2 level whose estimated bbox-cover stays under budget.
+
+    Cover per box ≈ (w/cell + 2)·(h/cell + 2) with cell = 90°/2^L — a
+    conservative per-face upper bound computed as one aggregate (the s2
+    analog of GetSizeGrid, split_combine.go:44-53). Finer levels mean
+    sharper pruning (fewer false candidates per cell) but multiply the
+    exploded build side; the budget caps broadcast/shuffle bytes."""
+    row = polys.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("maxx") - F.col("minx")).alias("sw"),
+        F.sum(F.col("maxy") - F.col("miny")).alias("sh"),
+        F.sum((F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))).alias("sa"),
+    ).first()
+    n, sw, sh, sa = row.n, row.sw or 0.0, row.sh or 0.0, row.sa or 0.0
+    best = 0
+    for L in range(max_level + 1):
+        cell = 90.0 / (1 << L)
+        est = sa / (cell * cell) + 2.0 * (sw + sh) / cell + 4.0 * n
+        if est > cover_budget:
+            break
+        best = L
+    return best
