@@ -243,7 +243,7 @@ def run(cores: int, scaling_only: bool = False):
     try:
         _flagship(spark, N_PAGES)  # warmup (python workers, codegen)
         ts = []
-        for _ in range(3):
+        for _ in range(5):  # min-of-5: co-tenant bursts make fewer trials lie
             t0 = time.time()
             _, n_feat = _flagship(spark, N_PAGES)
             ts.append(time.time() - t0)

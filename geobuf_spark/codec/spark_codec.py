@@ -934,3 +934,123 @@ def decode_multipolygons_kernel(frames: pa.Array):
     base[1:] = c[v_starts[1:] - 1]
     coords_q = c - np.repeat(base, rnv, axis=0)
     return ids, coords_q.reshape(-1), rnv, rings_per_poly, polys_per_feat, dim
+
+
+# ---------------------------------------------------------------------------
+# mixed-batch dispatch: group frames by geom code, run each group through
+# its specialized kernel — heterogeneous batches stay vectorized instead of
+# dropping to the per-feature generic path.
+# ---------------------------------------------------------------------------
+
+QUANT_GEOM_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("geom_type", T.IntegerType()),
+    T.StructField("dim", T.IntegerType()),
+    T.StructField("coords_q", T.ArrayType(T.LongType())),
+    T.StructField("ring_lens", T.ArrayType(T.IntegerType())),
+    T.StructField("part_rings", T.ArrayType(T.IntegerType())),
+])
+
+
+def _frame_geom_codes(frames: pa.Array) -> np.ndarray:
+    """Geom code of every frame without full decode: token #3 (after tag 8,
+    id varint, tag 24) — a bounded forward scan over at most 12 bytes."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    n = len(combined)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    # skip tag byte (8), then the id varint (≤10 bytes), then tag 24
+    p = starts + 1
+    done = np.zeros(n, dtype=bool)
+    for _ in range(10):
+        cont = ~done & (flat[p] >= 0x80)
+        p[cont] += 1
+        done |= ~cont
+    return flat[p + 2].astype(np.int64)  # p now at id's last byte; +1 id end, +1 tag24
+
+
+def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Decode MIXED geobuf geometry frames → quantized columnar rows.
+
+    Each Arrow batch is partitioned by geom code; every group runs through
+    its vectorized kernel (points / line-shaped / ring-shaped / nested
+    MultiPolygon). Output order within a batch is regrouped by code — set
+    semantics, like every distributed decode."""
+
+    def _dec(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            frames = pa.concat_arrays([frames.cast(pa.binary())])
+            if len(frames) == 0:
+                continue
+            codes = _frame_geom_codes(frames)
+            gtypes = np.where(codes <= 6, codes, codes >> 4)
+            out = []
+            for gt in np.unique(gtypes):
+                idx = pa.array(np.flatnonzero(gtypes == gt))
+                sub = frames.take(idx)
+                if gt == 1:
+                    ids, qx, qy = decode_points_kernel(sub)
+                    m = len(ids)
+                    coords = np.empty(2 * m, dtype=np.int64)
+                    coords[0::2], coords[1::2] = qx, qy
+                    parts = np.ones(m, dtype=np.int64)
+                    dim = 2
+                    ring_nv = np.ones(m, dtype=np.int64)
+                elif gt in (2, 4):
+                    ids, coords, nv = decode_lines_kernel(sub)
+                    m = len(ids)
+                    tot = int(nv.sum())
+                    dim = len(coords) // tot if tot else 2
+                    ring_nv = nv
+                    parts = np.ones(m, dtype=np.int64)
+                elif gt in (3, 5):
+                    ids, coords, ring_nv, rpf, _, dim = decode_rings_kernel(sub)
+                    m = len(ids)
+                    parts = rpf
+                elif gt == 6:
+                    ids, coords, ring_nv, rpp, ppf, dim = decode_multipolygons_kernel(sub)
+                    m = len(ids)
+                    parts = ppf
+                else:
+                    raise ValueError(f"unknown geom type {gt}")
+                # per-feature slicing of coords / ring_lens
+                if gt == 6:
+                    # rings per feature = sum of rings over its polys
+                    poly_off = np.zeros(m + 1, dtype=np.int64)
+                    np.cumsum(ppf, out=poly_off[1:])
+                    rings_pf = np.add.reduceat(rpp, poly_off[:-1]) if len(rpp) else np.zeros(m, np.int64)
+                else:
+                    rings_pf = parts if gt in (3, 5) else np.ones(m, dtype=np.int64)
+                ring_off = np.zeros(m + 1, dtype=np.int32)
+                np.cumsum(rings_pf, out=ring_off[1:])
+                feat_v = np.add.reduceat(ring_nv, ring_off[:-1].astype(np.int64)) \
+                    if len(ring_nv) else np.zeros(m, np.int64)
+                coord_off = np.zeros(m + 1, dtype=np.int32)
+                np.cumsum(feat_v * dim, out=coord_off[1:])
+                carr = pa.ListArray.from_arrays(
+                    pa.array(coord_off, type=pa.int32()), pa.array(coords, type=pa.int64()))
+                rarr = pa.ListArray.from_arrays(
+                    pa.array(ring_off, type=pa.int32()),
+                    pa.array(ring_nv.astype(np.int32), type=pa.int32()))
+                part_off = np.zeros(m + 1, dtype=np.int32)
+                np.cumsum(np.ones(m, np.int64) if gt != 6 else ppf, out=part_off[1:])
+                if gt == 6:
+                    pvals = rpp.astype(np.int32)       # rings per polygon
+                elif gt in (3, 5):
+                    pvals = rings_pf.astype(np.int32)  # single part: [n_rings]
+                else:
+                    pvals = np.ones(m, dtype=np.int32)
+                parr = pa.ListArray.from_arrays(
+                    pa.array(part_off, type=pa.int32()), pa.array(pvals, type=pa.int32()))
+                out.append(pa.RecordBatch.from_arrays([
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(np.full(m, gt, dtype=np.int32)),
+                    pa.array(np.full(m, dim, dtype=np.int32)),
+                    carr, rarr, parr,
+                ], names=[f.name for f in QUANT_GEOM_SCHEMA.fields]))
+            for b in out:
+                yield b
+
+    return df.select(bin_col).mapInArrow(_dec, QUANT_GEOM_SCHEMA)

@@ -258,3 +258,83 @@ def test_rings_kernel_on_county_polygons():
                           ring_lens=polys[i].ring_lens,
                           part_rings=polys[i].part_rings, id=int(ids[i]))
         assert core.encode_feature(cf) == arr[i].as_py(), i
+
+
+def test_decode_geometries_mixed_batch(spark):
+    """One binary column holding all six geometry types: the dispatcher
+    must route each frame through its vectorized kernel and reproduce the
+    generic per-feature decoder's structure exactly."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(41)
+    frames = []
+    expected = {}
+    fid = 0
+
+    def add(feat_frames, build):
+        nonlocal fid
+        for b in build:
+            expected[fid] = b
+            fid += 1
+        frames.extend(feat_frames)
+
+    # points
+    ids = np.arange(fid, fid + 50)
+    lon = rng.uniform(-170, 170, 50); lat = rng.uniform(-80, 80, 50)
+    pts = sc.encode_points_kernel(ids, lon, lat)
+    add([pts[i].as_py() for i in range(50)],
+        [(1, core.quantize_vec(np.array([lon[i], lat[i]])).tolist()) for i in range(50)])
+    # lines + multipoints
+    for gt in (2, 4):
+        ids = np.arange(fid, fid + 30)
+        nv = rng.integers(2, 10, 30).astype(np.int64)
+        c = rng.uniform(-170, 170, int(nv.sum()) * 2)
+        arr = sc.encode_lines_kernel(ids, c, nv, geom_type=gt)
+        st = np.concatenate(([0], np.cumsum(nv)[:-1]))
+        add([arr[i].as_py() for i in range(30)],
+            [(gt, core.quantize_vec(c[2*st[i]:2*(st[i]+nv[i])]).tolist()) for i in range(30)])
+    # polygons + multilinestrings
+    for gt in (3, 5):
+        ids = np.arange(fid, fid + 20)
+        rpf = rng.integers(1, 3, 20).astype(np.int64)
+        rnv = rng.integers(3, 8, int(rpf.sum())).astype(np.int64)
+        c = rng.uniform(-170, 170, int(rnv.sum()) * 2)
+        arr = sc.encode_rings_kernel(ids, c, rnv, rpf, geom_type=gt)
+        vst = np.concatenate(([0], np.cumsum(rnv)[:-1]))
+        rst = np.concatenate(([0], np.cumsum(rpf)[:-1]))
+        rows = []
+        for i in range(20):
+            s = vst[rst[i]]
+            nvv = rnv[rst[i]:rst[i]+rpf[i]].sum()
+            rows.append((gt, core.quantize_vec(c[2*s:2*(s+nvv)]).tolist()))
+        add([arr[i].as_py() for i in range(20)], rows)
+    # multipolygons
+    ids = np.arange(fid, fid + 15)
+    ppf = rng.integers(1, 3, 15).astype(np.int64)
+    rpp = rng.integers(1, 3, int(ppf.sum())).astype(np.int64)
+    rnv = rng.integers(3, 8, int(rpp.sum())).astype(np.int64)
+    c = rng.uniform(-170, 170, int(rnv.sum()) * 2)
+    arr = sc.encode_multipolygons_kernel(ids, c, rnv, rpp, ppf)
+    pst = np.concatenate(([0], np.cumsum(ppf)[:-1]))
+    rst = np.concatenate(([0], np.cumsum(rpp)[:-1]))
+    vst = np.concatenate(([0], np.cumsum(rnv)[:-1]))
+    rows = []
+    for i in range(15):
+        r0 = rst[pst[i]]
+        nrings = rpp[pst[i]:pst[i]+ppf[i]].sum()
+        s = vst[r0]
+        nvv = rnv[r0:r0+nrings].sum()
+        rows.append((6, core.quantize_vec(c[2*s:2*(s+nvv)]).tolist()))
+    add([arr[i].as_py() for i in range(15)], rows)
+
+    order = rng.permutation(len(frames))
+    df = spark.createDataFrame(
+        [(bytearray(frames[i]),) for i in order], "geobuf binary").repartition(4)
+    dec = sc.decode_geometries(df)
+    got = {r.id: (r.geom_type, list(r.coords_q)) for r in dec.collect()}
+    assert got == expected
+    # structure spot check against the generic decoder on one mixed frame
+    some = dec.filter(F.col("geom_type") == 6).first()
+    g = core.decode_feature(frames[[i for i in range(len(frames))][some.id]], quantized=True)
+    assert list(some.part_rings) == g.part_rings.tolist()
+    assert list(some.ring_lens) == g.ring_lens.tolist()
