@@ -108,6 +108,12 @@ def q_tile_parent_promote(spark, sf):
     return tiling.promote_to_zoom(a, 7).select("doc_id", "z", "x", "y")
 
 
+def q_tile_pyramid(spark, sf):
+    # multi-zoom rollup z=8 → z=5: one scan + per-level folds
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return tiling.tile_pyramid(a, z_min=5)
+
+
 def q_tile_cover_rects_z7(spark, sf):
     return tiling.assign_tiles_bbox(_rects(spark, sf), z=7).select("poly_id", "z", "x", "y")
 
@@ -590,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_z8": q_tile_assign_z8,
         "tile_counts_z6": q_tile_counts_z6,
         "tile_parent_promote": q_tile_parent_promote,
+        "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "pip_join_rects": q_pip_join_rects,
         "pip_join_rects_salted": q_pip_join_rects_salted,
@@ -688,6 +695,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1, 2, 3""",
         "tile_parent_promote": f"""
             SELECT doc_id, 7 AS z, ({x10}) // 8 AS x, ({y10}) // 8 AS y FROM ({pts})""",
+        "tile_pyramid": f"""
+            SELECT 8 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS x,
+                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS y,
+                   count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 7 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 2) AS BIGINT) AS x,
+                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 2) AS BIGINT) AS y,
+                   count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 6 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 4) AS BIGINT) AS x,
+                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 4) AS BIGINT) AS y,
+                   count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 5 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 8) AS BIGINT) AS x,
+                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 8) AS BIGINT) AS y,
+                   count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3""",
         "tile_cover_rects_z7": f"""
             WITH r AS ({rects}),
             rt AS (SELECT poly_id,

@@ -80,3 +80,41 @@ def tile_histogram(assigned: DataFrame) -> DataFrame:
     """Per-tile feature counts (NumberFeatures analog, split_combine.go:145)
     — also the input to salt planning for hot cells."""
     return assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+
+
+def tile_pyramid(assigned: DataFrame, z_min: int = 0) -> DataFrame:
+    """Multi-zoom rollup: per-tile feature counts for every zoom from the
+    assignment zoom down to `z_min` — the whole pyramid in one pass.
+
+    The reference builds coarse zooms by physically re-splitting subfiles
+    level by level (split_combine.go:504-550). Here the max-zoom histogram
+    is aggregated once (the only scan of the data), then each coarser
+    level folds the previous one with the parent arithmetic
+    (x>>1, y>>1, z-1) — O(tiles) per level on already-tiny aggregates,
+    zero additional scans of the input. Returns (z, x, y, n_features)."""
+    base = assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+    levels = [base]
+    cur = base
+    top_z = None
+    # z is constant per assignment; read it from the plan-side literal if
+    # possible, else from the data (one tiny action on the aggregate)
+    top_z = assigned.select("z").first()
+    if top_z is None:
+        return base
+    top_z = top_z.z
+    for zz in range(top_z - 1, z_min - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(zz).alias("z"),
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                "n_features",
+            )
+            .groupBy("z", "x", "y")
+            .agg(F.sum("n_features").alias("n_features"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -57,3 +57,24 @@ def test_bbox_assignment_covers_points(spark, sf_small):
         "left_anti",
     )
     assert missing.count() == 0
+
+
+def test_tile_pyramid_consistency(spark, sf_small):
+    """Every pyramid level must (a) preserve total mass, (b) equal a direct
+    assignment at that zoom — the reference's level-by-level re-split
+    semantics from one aggregation."""
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small)
+    a8 = tiling.assign_tiles_points(pts, z=8)
+    pyr = tiling.tile_pyramid(a8, z_min=4).cache()
+    n = pts.count()
+    per_level = {r.z: r.total for r in
+                 pyr.groupBy("z").agg(F.sum("n_features").alias("total")).collect()}
+    assert set(per_level) == set(range(4, 9))
+    assert all(v == n for v in per_level.values()), per_level
+    for zz in (4, 6):
+        direct = {(r.z, r.x, r.y, r.n_features) for r in
+                  tiling.tile_histogram(tiling.assign_tiles_points(pts, z=zz)).collect()}
+        got = {(r.z, r.x, r.y, r.n_features) for r in pyr.filter(F.col("z") == zz).collect()}
+        assert got == direct, zz
