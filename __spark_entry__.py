@@ -262,6 +262,12 @@ def q_events_window(spark, sf):
     return W.tumbling_counts(spark.read.parquet(f"{sf}/events.parquet"), minutes=5)
 
 
+def q_sliding_window(spark, sf):
+    # hopping windows 10min/5min: each event lands in two windows
+    return W.sliding_counts(spark.read.parquet(f"{sf}/events.parquet"),
+                            length_minutes=10, slide_minutes=5)
+
+
 def q_sessionize(spark, sf):
     return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
 
@@ -617,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_totals": q_token_totals,
         "events_window": q_events_window,
+        "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
         "pip_join_general": q_pip_join_general,
@@ -815,6 +822,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, sum({tq['n_tokens']}) AS total_tokens,
                    count(*) AS n_docs, max({tq['n_uniq_tokens']}) AS max_uniq
             FROM documents GROUP BY lang""",
+        "sliding_window": """
+            WITH ep AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type FROM events),
+            hits AS (
+                SELECT (e // 300) * 300 AS wstart, event_type FROM ep
+                UNION ALL
+                SELECT (e // 300) * 300 - 300 AS wstart, event_type FROM ep
+            )
+            SELECT wstart, event_type, count(*) AS n_events
+            FROM hits WHERE wstart >= 0 GROUP BY wstart, event_type""",
         "events_window": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS wstart, event_type,
                    count(*) AS n_events,

@@ -132,3 +132,43 @@ def run_stream_to_memory(df: DataFrame, name: str = "stream_out") -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def sliding_counts(events: DataFrame, length_minutes: int = 10,
+                   slide_minutes: int = 5) -> DataFrame:
+    """Hopping-window counts per event_type: each event lands in
+    length/slide overlapping windows (explode over the covered starts) —
+    the batch twin of `F.window(ts, length, slide)`."""
+    if length_minutes % slide_minutes:
+        raise ValueError("length must be a multiple of slide")
+    L, S = length_minutes * 60, slide_minutes * 60
+    k = L // S
+    ep = F.unix_timestamp("ts").cast("bigint")
+    # newest window containing ep starts at floor(ep/S)*S; older ones step back
+    newest = (ep / F.lit(S)).cast("bigint") * F.lit(S)
+    starts = F.array(*[newest - F.lit(i * S) for i in range(k)])
+    return (
+        events.withColumn("wstart", F.explode(starts))
+        .filter((F.col("wstart") >= 0))
+        .groupBy("wstart", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def sliding_counts_streaming(spark: SparkSession, parquet_dir: str,
+                             length_minutes: int = 10, slide_minutes: int = 5,
+                             watermark: str = "10 minutes") -> DataFrame:
+    """The same hopping aggregation as a Structured Streaming plan."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{length_minutes} minutes", f"{slide_minutes} minutes"),
+                 F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("bigint").alias("wstart"),
+            "event_type", "n_events",
+        )
+    )

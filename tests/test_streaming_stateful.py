@@ -35,3 +35,60 @@ def test_stateful_sessionize_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(want) > 10
+
+
+def test_sliding_counts_batch_equals_streaming(spark, sf_small, tmp_path):
+    import shutil
+
+    from geobuf_spark.streaming import windows as W
+
+    # readStream's file source wants a DIRECTORY of parquet files
+    d = tmp_path / "ev_stream"; d.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", d / "events.parquet")
+    batch = {(r.wstart, r.event_type, r.n_events)
+             for r in W.sliding_counts(spark.read.parquet(str(d))).collect()}
+    stream = {(r.wstart, r.event_type, r.n_events)
+              for r in W.run_stream_to_memory(
+                  W.sliding_counts_streaming(spark, str(d)), "slide_out").collect()}
+    assert batch == stream and len(batch) > 0
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode + watermark must finalize a window once the watermark
+    passes it, dropping a later-arriving event for that window — the one
+    event-time semantic a batch plan can't show."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from geobuf_spark.streaming import windows as W
+
+    d = str(tmp_path / "late_events")
+    # batch 1: events at T and T+30min (advances watermark past T's window)
+    spark.createDataFrame(
+        [(1, "click", "2026-01-01 00:01:00", 0.9),
+         (2, "click", "2026-01-01 00:31:00", 0.9)],
+        "event_id bigint, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("overwrite").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "5 minutes")
+           .groupBy(F.window("ts", "5 minutes"), "event_type")
+           .agg(F.count("*").alias("n"))
+           .select(F.unix_timestamp("window.start").cast("bigint").alias("wstart"), "n"))
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    # batch 2: a LATE event for T's window (watermark is now ~T+25min)
+    spark.createDataFrame(
+        [(3, "click", "2026-01-01 00:02:00", 0.9)],
+        "event_id bigint, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.wstart: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    t0 = 1767225600 + 60  # 2026-01-01 00:01 UTC epoch
+    w0 = t0 // 300 * 300
+    # the first window was finalized with exactly ONE event; the late
+    # arrival (event 3) was dropped, not re-emitted
+    assert rows.get(w0) == 1, rows
