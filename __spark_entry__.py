@@ -192,6 +192,21 @@ def q_polygon_roundtrip(spark, sf):
     )
 
 
+def q_props_roundtrip(spark, sf):
+    # property key/value tables through the REAL binary: vectorized encode
+    # (fixed schema) → generic decode → parsed values equal the source
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    pts = minted.minted_points(spark, sf).join(d, "doc_id")
+    enc = spark_codec.encode_points_with_props(pts, props=["lang", "n_chars"])
+    dec = spark_codec.decode_features_generic(enc)
+    parsed = dec.select(
+        F.col("id").alias("doc_id"),
+        F.from_json("props_json", "lang string, n_chars bigint").alias("p"),
+    )
+    return parsed.select("doc_id", F.col("p.lang").alias("lang"),
+                         F.col("p.n_chars").alias("n_chars"))
+
+
 def q_feature_count(spark, sf):
     # NumberFeatures counter (reader.go:27) — total + per-lang
     return _docs(spark, sf).groupBy("lang").agg(F.count("*").alias("n_features"))
@@ -613,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_adaptive_k5": q_knn_adaptive_k5,
         "geobuf_roundtrip": q_geobuf_roundtrip,
         "polygon_roundtrip": q_polygon_roundtrip,
+        "props_roundtrip": q_props_roundtrip,
         "feature_count": q_feature_count,
         "increment_limit": q_increment_limit,
         "union_datasets": q_union_datasets,
@@ -791,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(trunc(maxx * 10000000.0) AS BIGINT) AS x2_q,
                    CAST(trunc(maxy * 10000000.0) AS BIGINT) AS y2_q
             FROM ({rects})""",
+        "props_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "feature_count": "SELECT lang, count(*) AS n_features FROM documents GROUP BY lang",
         "increment_limit": """
             SELECT doc_id, 'purple' AS COLORKEY FROM documents

@@ -1054,3 +1054,195 @@ def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
                 yield b
 
     return df.select(bin_col).mapInArrow(_dec, QUANT_GEOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# properties on the hot path — key/value tables (write_feature.go:180-189,
+# write_primitives.go:244-286) encoded vectorized for FIXED prop schemas
+# (the web-page shape: every row carries the same keys, e.g. url/lang).
+# ---------------------------------------------------------------------------
+
+def encode_points_props_kernel(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+                               props: list) -> pa.Array:
+    """Encode N point features with fixed-schema properties.
+
+    props: list of (key: str, kind: 'str'|'int', data) where data is
+    (flat_utf8: uint8 array, offsets: int64 array len N+1) for 'str' or an
+    int64 array for 'int'. Wire order follows WriteFeature: id(1),
+    properties(2, one KeyValue per key), type(3), geometry(4), bbox(5)."""
+    n = len(ids)
+    qx, qy = core.quantize_vec(lon), core.quantize_vec(lat)
+    zx, zy = core.zigzag_vec(qx), core.zigzag_vec(qy)
+    mid, lid = _varint_matrix(ids.astype(np.uint64))
+    mx, lx = _varint_matrix(zx)
+    my, ly = _varint_matrix(zy)
+    glen = lx + ly
+    blen = 2 * glen
+    mgl, lgl = _varint_matrix(glen.astype(np.uint64))
+    mbl, lbl = _varint_matrix(blen.astype(np.uint64))
+
+    # per-prop length arithmetic + varint matrices
+    enc_props = []
+    props_total = np.zeros(n, dtype=np.int64)
+    for key, kind, data in props:
+        kb = key.encode("utf-8")
+        if len(kb) >= 128:
+            raise ValueError("property key too long")
+        if kind == "str":
+            flat, offs = data
+            slen = offs[1:] - offs[:-1]
+            msl, lsl = _varint_matrix(slen.astype(np.uint64))
+            val_inner = 1 + lsl + slen            # 0x0A slen s
+            mvi, lvi = _varint_matrix(val_inner.astype(np.uint64))
+            inner = (2 + len(kb)) + 1 + lvi + val_inner  # key part + 0x12 vi …
+            min_, lin = _varint_matrix(inner.astype(np.uint64))
+            total = 1 + lin + inner
+            enc_props.append((kb, kind, (flat, offs, slen, msl, lsl, mvi, lvi, min_, lin)))
+        elif kind == "int":
+            mv, lv = _varint_matrix(data.astype(np.uint64))
+            val_inner = 1 + lv                    # 0x20 varint(v)
+            mvi, lvi = _varint_matrix(val_inner.astype(np.uint64))
+            inner = (2 + len(kb)) + 1 + lvi + val_inner
+            min_, lin = _varint_matrix(inner.astype(np.uint64))
+            total = 1 + lin + inner
+            enc_props.append((kb, kind, (mv, lv, mvi, lvi, min_, lin)))
+        elif kind == "float":
+            # FloatVal64 (write_primitives.go:228-240): 0x19 + 8 LE bytes
+            le = np.ascontiguousarray(data, dtype="<f8").view(np.uint8).reshape(n, 8)
+            inner = np.full(n, (2 + len(kb)) + 2 + 9, dtype=np.int64)  # 0x12 0x09 0x19 + 8
+            min_, lin = _varint_matrix(inner.astype(np.uint64))
+            total = 1 + lin + inner
+            enc_props.append((kb, kind, (le, min_, lin)))
+        else:
+            raise ValueError(f"unsupported prop kind {kind!r}")
+        props_total += total
+
+    total = 1 + lid + props_total + 2 + 1 + lgl + glen + 1 + lbl + blen
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    buf = np.empty(offsets[-1], dtype=np.uint8)
+    pos = offsets[:-1].copy()
+
+    def put_const(byte):
+        nonlocal pos
+        buf[pos] = byte
+        pos = pos + 1
+
+    def put_mat(mat, lens):
+        nonlocal pos
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            buf[pos[sel] + j] = mat[sel, j]
+        pos = pos + lens
+
+    def put_payload(flat, offs, slen):
+        # byte-level segmented copy: Arrow utf8 payload is contiguous
+        # row-major, so src is one arange; dst re-bases each row at pos[i]
+        nonlocal pos
+        nb = int(slen.sum())
+        if nb:
+            row_of_byte = np.repeat(np.arange(n), slen)
+            local = np.arange(nb, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(slen)[:-1])), slen)
+            buf[pos[row_of_byte] + local] = flat[int(offs[0]) + np.arange(nb)]
+        pos = pos + slen
+
+    put_const(8)
+    put_mat(mid, lid)
+    for kb, kind, packed in enc_props:
+        if kind == "str":
+            flat, offs, slen, msl, lsl, mvi, lvi, min_, lin = packed
+            put_const(0x12); put_mat(min_, lin)
+            put_const(0x0A); put_const(len(kb))
+            for b in kb:
+                put_const(b)
+            put_const(0x12); put_mat(mvi, lvi)
+            put_const(0x0A); put_mat(msl, lsl)
+            put_payload(flat, offs, slen)
+        elif kind == "int":
+            mv, lv, mvi, lvi, min_, lin = packed
+            put_const(0x12); put_mat(min_, lin)
+            put_const(0x0A); put_const(len(kb))
+            for b in kb:
+                put_const(b)
+            put_const(0x12); put_mat(mvi, lvi)
+            put_const(0x20); put_mat(mv, lv)
+        else:  # float64
+            le, min_, lin = packed
+            put_const(0x12); put_mat(min_, lin)
+            put_const(0x0A); put_const(len(kb))
+            for b in kb:
+                put_const(b)
+            put_const(0x12); put_const(9)
+            put_const(0x19)
+            put_mat(le, np.full(n, 8, dtype=np.int64))
+    put_const(24)
+    put_const(1)
+    put_const(34)
+    put_mat(mgl, lgl)
+    put_mat(mx, lx); put_mat(my, ly)
+    put_const(42)
+    put_mat(mbl, lbl)
+    put_mat(mx, lx); put_mat(my, ly); put_mat(mx, lx); put_mat(my, ly)
+    assert np.array_equal(pos, offsets[1:])
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def encode_points_with_props(df: DataFrame, id_col: str = "doc_id",
+                             lon: str = "lon", lat: str = "lat",
+                             props: list | None = None,
+                             out: str = "geobuf") -> DataFrame:
+    """(id, lon, lat, props…) → (id, geobuf) with the fixed-schema property
+    table encoded vectorized (no per-row Python). String and integer
+    property columns are supported — the web-page shape (url, lang, …)."""
+    props = props or []
+    kinds = {}
+    for f in df.schema.fields:
+        if f.name in props:
+            if isinstance(f.dataType, T.StringType):
+                kinds[f.name] = "str"
+            elif isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+                kinds[f.name] = "int"
+            elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                kinds[f.name] = "float"
+            else:
+                raise ValueError(f"unsupported property type for {f.name}: {f.dataType}")
+    missing = [p for p in props if p not in kinds]
+    if missing:
+        raise ValueError(f"property columns not in DataFrame: {missing}")
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+    cols = [id_col, lon, lat] + list(props)
+
+    def _enc(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lons = batch.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
+            lats = batch.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
+            plist = []
+            for k, name in enumerate(props):
+                arr = batch.column(3 + k)
+                if kinds[name] == "str":
+                    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                        arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+                    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                    plist.append((name, "str", (flat, offs)))
+                elif kinds[name] == "int":
+                    plist.append((name, "int",
+                                  arr.to_numpy(zero_copy_only=False).astype(np.int64)))
+                else:
+                    plist.append((name, "float",
+                                  arr.to_numpy(zero_copy_only=False).astype(np.float64)))
+            frames = encode_points_props_kernel(ids, lons, lats, plist)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), frames], names=[id_col, out]
+            )
+
+    return df.select(*cols).mapInArrow(_enc, schema)

@@ -66,3 +66,67 @@ def test_kernel_empty_batch():
     )
     ids, qx, qy = sc.decode_points_kernel(pa.array([], type=pa.binary()))
     assert len(arr) == 0 and len(ids) == 0 and len(qx) == 0 and len(qy) == 0
+
+
+# ---------------------------------------------------------------------------
+# vectorized property tables (fixed schema) on the point hot path
+# ---------------------------------------------------------------------------
+
+def test_points_props_kernel_byte_parity():
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    n = 300
+    ids = rng.integers(0, 2**40, n)
+    lon = rng.uniform(-170, 170, n); lat = rng.uniform(-80, 80, n)
+    langs = [["en", "de", "fr", "zh-Hant", ""][i % 5] for i in range(n)]
+    urls = [f"https://example.com/page/{i}?q=é{i%7}" for i in range(n)]
+    nchars = rng.integers(0, 1_000_000, n)
+    flat_l = np.frombuffer("".join(langs).encode("utf-8"), dtype=np.uint8)
+    offs_l = np.concatenate(([0], np.cumsum([len(s.encode()) for s in langs]))).astype(np.int64)
+    flat_u = np.frombuffer("".join(urls).encode("utf-8"), dtype=np.uint8)
+    offs_u = np.concatenate(([0], np.cumsum([len(s.encode()) for s in urls]))).astype(np.int64)
+    arr = sc.encode_points_props_kernel(ids, lon, lat, [
+        ("url", "str", (flat_u, offs_u)),
+        ("lang", "str", (flat_l, offs_l)),
+        ("n_chars", "int", nchars),
+    ])
+    for i in range(0, n, 23):
+        cf = core.Feature.from_geojson(
+            "Point", [lon[i], lat[i]], id=int(ids[i]),
+            properties={"url": urls[i], "lang": langs[i], "n_chars": int(nchars[i])})
+        assert core.encode_feature(cf) == arr[i].as_py(), i
+    # round-trip through the reference-semantics decoder
+    f = core.decode_feature(arr[5].as_py())
+    assert f.properties == {"url": urls[5], "lang": langs[5], "n_chars": int(nchars[5])}
+
+
+def test_encode_points_with_props_dataframe(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    enc = sc.encode_points_with_props(pts, props=["lang", "n_chars"])
+    rows = enc.orderBy("doc_id").limit(20).collect()
+    src = {r.doc_id: (r.lang, r.n_chars) for r in pts.orderBy("doc_id").limit(20).collect()}
+    for r in rows:
+        f = core.decode_feature(bytes(r.geobuf))
+        assert (f.properties["lang"], f.properties["n_chars"]) == src[r.doc_id]
+        assert f.id == r.doc_id and f.geom_type == 1
+
+
+def test_points_props_kernel_float_parity():
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    n = 100
+    ids = np.arange(n); lon = rng.uniform(-170, 170, n); lat = rng.uniform(-80, 80, n)
+    vals = rng.standard_normal(n) * 1e6
+    arr = sc.encode_points_props_kernel(ids, lon, lat, [("score", "float", vals)])
+    for i in range(0, n, 13):
+        cf = core.Feature.from_geojson("Point", [lon[i], lat[i]], id=int(ids[i]),
+                                       properties={"score": float(vals[i])})
+        assert core.encode_feature(cf) == arr[i].as_py(), i
+    f = core.decode_feature(arr[3].as_py())
+    assert f.properties["score"] == vals[3]
