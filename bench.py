@@ -265,6 +265,37 @@ def run(cores: int, scaling_only: bool = False):
         spark.stop()
 
 
+def _raw_cpu_speedup(n_lo: int, n_hi: int, secs: float = 2.0) -> float:
+    """Environment ceiling: aggregate busy-loop throughput at n_hi vs n_lo
+    worker processes, measured in THIS window. On a co-tenant-loaded host
+    the wide leg loses real cores; dividing the pipeline's speedup by this
+    ceiling separates engine scaling from host contention."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t_end = time.time() + secs
+        x, it = 1.0, 0
+        while time.time() < t_end:
+            for _ in range(10_000):
+                x = x * 1.0000001 + 1e-9
+            it += 1
+        q.put(it + (x == -1))
+
+    def total(k):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
+        for p in ps:
+            p.start()
+        out = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return out
+
+    lo = total(n_lo)
+    hi = total(n_hi)
+    return hi / lo if lo else float(n_hi) / n_lo
+
+
 def main():
     if "--scaling" in sys.argv:
         # N vs 4N cores on identical input. Default N=2: both levels sit
@@ -273,15 +304,25 @@ def main():
         # ~3.15x), so the pair isolates the PIPELINE's scaling behavior,
         # which is what transfers to multi-executor clusters where each
         # executor has its own memory bus. Override with SPARK_GRAFT_SCALE_N.
+        global N_PAGES
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        # scaling needs the parallel fraction to dominate the fixed
+        # driver-side broadcast build (Amdahl): 1M pages measures the
+        # serial overhead (eff ~0.5), 8M measures the engine (eff ~0.95)
+        N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
+        ceiling = _raw_cpu_speedup(n, 4 * n)  # same-window environment cap
         lo = run(n, scaling_only=True)
         hi = run(4 * n, scaling_only=True)
-        eff = (hi["features_per_sec"] / lo["features_per_sec"]) / 4.0
+        speedup = hi["features_per_sec"] / lo["features_per_sec"]
+        eff = speedup / 4.0
+        eff_norm = speedup / min(4.0, ceiling)
         print(json.dumps({
             "metric": f"scaling efficiency local[{n}]→local[{4*n}], flagship geobuf+PIP+tile pipeline",
             "value": round(eff, 4), "unit": "efficiency", "sf": SF_DIR,
             f"local{n}_features_per_sec": round(lo["features_per_sec"]),
             f"local{4*n}_features_per_sec": round(hi["features_per_sec"]),
+            "raw_cpu_ceiling_speedup": round(ceiling, 3),
+            "efficiency_vs_host_ceiling": round(eff_norm, 4),
             "n_features": N_PAGES,
         }))
         return
