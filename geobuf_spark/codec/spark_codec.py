@@ -1246,3 +1246,143 @@ def encode_points_with_props(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(*cols).mapInArrow(_enc, schema)
+
+
+# ---------------------------------------------------------------------------
+# lazy partial reads over raw frames — LazyFeatureTileID semantics
+# (split_combine.go:333-370): decode EXACTLY one property, skipping the
+# geometry/bbox bytes entirely; ReadKeys (reader.go:120-142) as the
+# all-keys variant. Vectorized: bounded rounds of tag-length jumps.
+# ---------------------------------------------------------------------------
+
+def _read_varint_at(flat: np.ndarray, pos: np.ndarray):
+    """Vectorized varint read at positions `pos` → (values, byte lengths)."""
+    vals = np.zeros(len(pos), dtype=np.uint64)
+    lens = np.zeros(len(pos), dtype=np.int64)
+    done = np.zeros(len(pos), dtype=bool)
+    for j in range(10):
+        b = flat[pos + j]
+        use = ~done
+        vals[use] |= (b[use].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+        fin = use & (b < 0x80)
+        lens[fin] = j + 1
+        done |= fin
+        if done.all():
+            break
+    return vals, lens
+
+
+def lazy_prop_kernel(frames: pa.Array, key: str, max_props: int = 32):
+    """(ids, found mask, str values or int values) — walk only the props
+    region of each frame; geometry and bbox bytes are never touched.
+
+    Returns (ids int64, kinds int8 per frame: 0=absent, 1=str, 2=int,
+    3=float, str_list, int_vals, float_vals). Each frame contributes its
+    FIRST property matching `key`."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    kb = np.frombuffer(key.encode("utf-8"), dtype=np.uint8)
+    klen = len(kb)
+    if n == 0:
+        return (np.empty(0, np.int64), np.zeros(0, np.int8), [],
+                np.empty(0, np.int64), np.empty(0, np.float64))
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+
+    pos = starts + 1  # skip tag 0x08
+    ids_u, idlen = _read_varint_at(flat, pos)
+    pos = pos + idlen
+
+    kinds = np.zeros(n, dtype=np.int8)
+    sval_start = np.zeros(n, dtype=np.int64)
+    sval_len = np.zeros(n, dtype=np.int64)
+    ival = np.zeros(n, dtype=np.int64)
+    fval = np.zeros(n, dtype=np.float64)
+
+    active = np.flatnonzero((pos < ends) & (flat[np.minimum(pos, len(flat) - 1)] == 0x12))
+    for _ in range(max_props):
+        if len(active) == 0:
+            break
+        p = pos[active]
+        L, ll = _read_varint_at(flat, p + 1)
+        inner = p + 1 + ll              # at 0x0A
+        frame_klen = flat[inner + 1].astype(np.int64)
+        key_match = frame_klen == klen
+        if key_match.any():
+            cand = active[key_match]
+            kstart = inner[key_match] + 2
+            eq = np.ones(len(cand), dtype=bool)
+            for j in range(klen):
+                eq &= flat[kstart + j] == kb[j]
+            hit = cand[eq & (kinds[cand] == 0)]
+            if len(hit):
+                # value message begins after the key: 0x12 vlen <field>
+                hpos = pos[hit]
+                hL, hll = _read_varint_at(flat, hpos + 1)
+                hinner = hpos + 1 + hll
+                vmsg = hinner + 2 + klen       # at 0x12
+                vlen, vll = _read_varint_at(flat, vmsg + 1)
+                vfield = vmsg + 1 + vll        # first byte of the value body
+                tag = flat[vfield]
+                is_str = tag == 0x0A
+                is_int = tag == 0x20
+                is_flt = tag == 0x19
+                if is_str.any():
+                    h = hit[is_str]
+                    slen, sll = _read_varint_at(flat, vfield[is_str] + 1)
+                    kinds[h] = 1
+                    sval_start[h] = vfield[is_str] + 1 + sll
+                    sval_len[h] = slen.astype(np.int64)
+                if is_int.any():
+                    h = hit[is_int]
+                    u, _ = _read_varint_at(flat, vfield[is_int] + 1)
+                    v = u.astype(np.int64)  # two's complement wrap
+                    kinds[h] = 2
+                    ival[h] = v
+                if is_flt.any():
+                    h = hit[is_flt]
+                    b8 = np.stack([flat[vfield[is_flt] + 1 + j] for j in range(8)], axis=1)
+                    kinds[h] = 3
+                    fval[h] = np.ascontiguousarray(b8).view("<f8").reshape(-1)
+        pos[active] = p + 1 + ll + L
+        nx = pos[active]
+        still = (nx < ends[active]) & (flat[np.minimum(nx, len(flat) - 1)] == 0x12)
+        active = active[still]
+
+    strs = [
+        bytes(flat[sval_start[i] : sval_start[i] + sval_len[i]]).decode("utf-8")
+        if kinds[i] == 1 else None
+        for i in range(n)
+    ]
+    return ids_u.astype(np.int64), kinds, strs, ival, fval
+
+
+def lazy_property(df: DataFrame, key: str, bin_col: str = "geobuf",
+                  value_type: str = "string") -> DataFrame:
+    """Extract one property per frame from a geobuf binary column without
+    decoding geometry — (id, <key>). value_type: string|bigint|double."""
+    spark_t = {"string": T.StringType(), "bigint": T.LongType(),
+               "double": T.DoubleType()}[value_type]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField(key, spark_t),
+    ])
+
+    def _lazy(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            ids, kinds, strs, ivals, fvals = lazy_prop_kernel(frames, key)
+            if value_type == "string":
+                col = pa.array(strs, type=pa.string())
+            elif value_type == "bigint":
+                col = pa.array([int(ivals[i]) if kinds[i] == 2 else None
+                                for i in range(len(ids))], type=pa.int64())
+            else:
+                col = pa.array([float(fvals[i]) if kinds[i] == 3 else None
+                                for i in range(len(ids))], type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), col], names=["id", key])
+
+    return df.select(bin_col).mapInArrow(_lazy, schema)

@@ -130,3 +130,52 @@ def test_points_props_kernel_float_parity():
         assert core.encode_feature(cf) == arr[i].as_py(), i
     f = core.decode_feature(arr[3].as_py())
     assert f.properties["score"] == vals[3]
+
+
+def test_lazy_property_extraction(spark, sf_small):
+    """LazyFeatureTileID parity: pull ONE property out of real frames
+    without touching geometry; values equal the full generic decode."""
+    import numpy as np
+
+    from geobuf_spark.sources import minted
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pts = minted.minted_points(spark, sf_small).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    enc = sc.encode_points_with_props(pts, props=["lang", "n_chars"]).cache()
+
+    lazy_lang = {r.id: r.lang for r in sc.lazy_property(enc, "lang").collect()}
+    lazy_n = {r.id: r.n_chars
+              for r in sc.lazy_property(enc, "n_chars", value_type="bigint").collect()}
+    src = {r.doc_id: (r.lang, r.n_chars) for r in pts.collect()}
+    assert len(lazy_lang) == len(src)
+    for k, (lang, n_chars) in src.items():
+        assert lazy_lang[k] == lang, k
+        assert lazy_n[k] == n_chars, k
+    # absent key → all None
+    miss = sc.lazy_property(enc, "nope").collect()
+    assert all(r.nope is None for r in miss)
+    enc.unpersist()
+
+
+def test_lazy_property_kernel_direct():
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    n = 50
+    ids = np.arange(n)
+    lon = rng.uniform(-10, 10, n); lat = rng.uniform(-10, 10, n)
+    tiles = [f"9/{i}/{i*2}" for i in range(n)]
+    flat = np.frombuffer("".join(tiles).encode(), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum([len(t) for t in tiles]))).astype(np.int64)
+    scores = rng.standard_normal(n)
+    arr = sc.encode_points_props_kernel(ids, lon, lat, [
+        ("TILEID", "str", (flat, offs)),
+        ("score", "float", scores),
+    ])
+    got_ids, kinds, strs, ivals, fvals = sc.lazy_prop_kernel(arr, "TILEID")
+    assert got_ids.tolist() == ids.tolist()
+    assert (kinds == 1).all()
+    assert strs == tiles
+    _, k2, _, _, f2 = sc.lazy_prop_kernel(arr, "score")
+    assert (k2 == 3).all() and np.array_equal(f2, scores)
