@@ -1260,8 +1260,11 @@ def _read_varint_at(flat: np.ndarray, pos: np.ndarray):
     vals = np.zeros(len(pos), dtype=np.uint64)
     lens = np.zeros(len(pos), dtype=np.int64)
     done = np.zeros(len(pos), dtype=bool)
+    last = len(flat) - 1
     for j in range(10):
-        b = flat[pos + j]
+        # clamp: rows already done may point past the buffer (a varint that
+        # ends exactly at the frame/buffer boundary)
+        b = flat[np.minimum(pos + j, last)]
         use = ~done
         vals[use] |= (b[use].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
         fin = use & (b < 0x80)
@@ -1386,3 +1389,118 @@ def lazy_property(df: DataFrame, key: str, bin_col: str = "geobuf",
                 [pa.array(ids, type=pa.int64()), col], names=["id", key])
 
     return df.select(bin_col).mapInArrow(_lazy, schema)
+
+
+def frame_fields_walk(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                      max_fields: int = 64):
+    """Field-level walk over frames: yields per round (active frame idx,
+    tag byte, field payload start, payload length). Varint fields report
+    length 0 with start at the varint."""
+    n = len(starts)
+    pos = starts.copy()
+    rounds = []
+    active = np.flatnonzero(pos < ends)
+    for _ in range(max_fields):
+        if len(active) == 0:
+            break
+        p = pos[active]
+        tag = flat[p]
+        wire = tag & 0x7
+        # varint fields (wire 0): value right after tag
+        v, vl = _read_varint_at(flat, p + 1)
+        is_len = wire == 2
+        plen = np.where(is_len, v.astype(np.int64), 0)
+        pstart = p + 1 + np.where(is_len, vl, 0)
+        rounds.append((active.copy(), tag.copy(), pstart, plen, v, vl))
+        pos[active] = np.where(is_len, pstart + plen, p + 1 + vl)
+        active = active[pos[active] < ends[active]]
+    return rounds
+
+
+def frame_keys_kernel(frames: pa.Array):
+    """ReadKeys (reader.go:120-142): property KEYS only — values and
+    geometry are skipped. Returns (row_idx, keys list[str])."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        return np.empty(0, np.int64), []
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+    rows, keys = [], []
+    for active, tag, pstart, plen, _, _ in frame_fields_walk(flat, starts, ends):
+        sel = tag == 0x12  # properties field
+        if not sel.any():
+            continue
+        for i, ps, pl in zip(active[sel], pstart[sel], plen[sel]):
+            # inside KeyValue: 0x0A klen key …
+            kl = int(flat[ps + 1])
+            rows.append(int(i))
+            keys.append(bytes(flat[ps + 2 : ps + 2 + kl]).decode("utf-8"))
+    return np.asarray(rows, dtype=np.int64), keys
+
+
+def frame_bbox_kernel(frames: pa.Array):
+    """ReadBB (read_feature.go:103-134): bbox by forward field skip — the
+    geometry field is JUMPED via its length prefix, its deltas never
+    decoded. Returns (found mask, w, s, e, n quantized int64)."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    e = np.zeros(n, dtype=np.int64)
+    found = np.zeros(n, dtype=bool)
+    w, s_, e_, n_ = e.copy(), e.copy(), e.copy(), e.copy()
+    if n == 0:
+        return found, w, s_, e_, n_
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+    for active, tag, pstart, plen, _, _ in frame_fields_walk(flat, starts, ends):
+        sel = tag == 0x2A
+        if not sel.any():
+            continue
+        hit = active[sel]
+        p = pstart[sel]
+        vals = np.zeros((len(hit), 4), dtype=np.int64)
+        for j in range(4):
+            u, ul = _read_varint_at(flat, p)
+            vals[:, j] = core.unzigzag_vec(u)
+            p = p + ul
+        found[hit] = True
+        w[hit], s_[hit], e_[hit], n_[hit] = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+    return found, w, s_, e_, n_
+
+
+def frame_keys(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Exploded (key) rows per frame — schema inference over raw frames."""
+    schema = T.StructType([T.StructField("key", T.StringType())])
+
+    def _k(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            _, keys = frame_keys_kernel(frames)
+            yield pa.RecordBatch.from_arrays([pa.array(keys, type=pa.string())], names=["key"])
+
+    return df.select(bin_col).mapInArrow(_k, schema)
+
+
+def frame_bbox(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """(w_q, s_q, e_q, n_q) per frame without decoding geometry; frames
+    lacking a bbox field (old encoders) yield nulls."""
+    schema = T.StructType([
+        T.StructField("w_q", T.LongType()), T.StructField("s_q", T.LongType()),
+        T.StructField("e_q", T.LongType()), T.StructField("n_q", T.LongType()),
+    ])
+
+    def _b(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            found, w, s_, e_, n_ = frame_bbox_kernel(frames)
+            def col(v):
+                return pa.array([int(v[i]) if found[i] else None for i in range(len(v))],
+                                type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [col(w), col(s_), col(e_), col(n_)], names=["w_q", "s_q", "e_q", "n_q"])
+
+    return df.select(bin_col).mapInArrow(_b, schema)

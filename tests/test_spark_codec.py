@@ -179,3 +179,53 @@ def test_lazy_property_kernel_direct():
     assert strs == tiles
     _, k2, _, _, f2 = sc.lazy_prop_kernel(arr, "score")
     assert (k2 == 3).all() and np.array_equal(f2, scores)
+
+
+def test_frame_keys_and_bbox_wire_level(spark, sf_small):
+    import numpy as np
+
+    from geobuf_spark.sources import minted
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pts = minted.minted_points(spark, sf_small).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    enc = sc.encode_points_with_props(pts, props=["lang", "n_chars"]).cache()
+
+    # ReadKeys parity: distinct keys over all frames
+    keys = {r.key for r in sc.frame_keys(enc).distinct().collect()}
+    assert keys == {"lang", "n_chars"}
+
+    # ReadBB parity: bbox without decoding geometry == quantized point box
+    bb = sc.frame_bbox(enc)
+    rows = bb.collect()
+    src = {r.doc_id: (r.lon, r.lat) for r in pts.collect()}
+    # degenerate point bbox: w==e==qx, s==n==qy — check the multiset matches
+    got = sorted((r.w_q, r.s_q, r.e_q, r.n_q) for r in rows)
+    want = sorted(
+        (int(core.quantize_vec(np.array([lo]))[0]), int(core.quantize_vec(np.array([la]))[0]),
+         int(core.quantize_vec(np.array([lo]))[0]), int(core.quantize_vec(np.array([la]))[0]))
+        for lo, la in src.values())
+    assert got == want
+    enc.unpersist()
+
+
+def test_frame_bbox_missing_field():
+    """county.geobuf was written by an older encoder with NO bbox field —
+    the wire-level reader must yield not-found, not garbage."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geobuf_spark.codec.core import read_frames
+
+    data = open("/root/reference/test_data/county.geobuf", "rb").read()
+    frames = []
+    for i, fr in enumerate(read_frames(data)):
+        frames.append(fr)
+        if i >= 50:
+            break
+    arr = pa.array(frames, type=pa.binary())
+    found, *_ = sc.frame_bbox_kernel(arr)
+    assert not found.any()
+    # but keys ARE readable from the same frames
+    rows, keys = sc.frame_keys_kernel(arr)
+    assert "AREA" in set(keys) and "COLORKEY" in set(keys)
