@@ -263,6 +263,18 @@ def q_dedup_exact(spark, sf):
     return dedup.dedup_exact(_docs(spark, sf), key="doc_id")
 
 
+def q_corpus_clean(spark, sf):
+    # the SQL-expressible slice of jobs.clean_corpus: lang allowlist →
+    # exact dedup (keep min doc_id per text hash) → token-count gate.
+    # (minhash near-dup removal is the job-only, non-SQL stage.)
+    d = _docs(spark, sf).filter(F.col("lang").isin("en", "de", "fr", "es", "zh"))
+    reps = dedup.dedup_exact(d, key="doc_id")
+    kept = d.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    scored = TXT.quality_columns(kept)
+    return scored.filter(F.col("n_tokens") >= 5) \
+        .select("doc_id", "lang", "n_tokens")
+
+
 def q_token_totals(spark, sf):
     return (
         TXT.quality_columns(_docs(spark, sf))
@@ -638,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "token_totals": q_token_totals,
+        "corpus_clean": q_corpus_clean,
         "events_window": q_events_window,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
@@ -824,6 +837,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT k AS key, count(*) AS n
             FROM (SELECT unnest(json_keys(props)) AS k FROM events)
             GROUP BY k""",
+        "corpus_clean": f"""
+            WITH langed AS (
+                SELECT * FROM documents WHERE lang IN ('en','de','fr','es','zh')),
+            reps AS (
+                SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                FROM langed GROUP BY 1)
+            SELECT d.doc_id, d.lang, {tq['n_tokens']} AS n_tokens
+            FROM langed d JOIN reps r ON d.doc_id = r.doc_id
+            WHERE {tq['n_tokens']} >= 5""",
         "doc_quality": f"""
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, {tq['n_tokens']} AS n_tokens,
                    {tq['n_uniq_tokens']} AS n_uniq_tokens,

@@ -1,0 +1,102 @@
+"""Training-corpus cleaning job: the classic web-text pipeline —
+lang filter → exact dedup → MinHash near-dup removal → quality gate —
+as one spark-submit job with stage metrics, partition lineage, and
+same-run-id resume (the same ops contract as jobs.tile_pages).
+
+    spark-submit --py-files geobuf_spark.zip geobuf_spark/jobs/clean_corpus.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/corpus_out --run-id run-1
+
+Scale notes (10^12 docs):
+- the exact-dedup groupBy is map-side combinable (distinct hashes shuffle,
+  not rows);
+- near-dup candidates come from the LSH band join (linear-ish), never an
+  all-pairs compare; the survivor rule (keep the min doc_id of each dup
+  pair's component, dropping the larger id) needs only the pair list —
+  no iterative connected components on the hot path;
+- every stage's row counts land in `_metrics`, making shrinkage auditable
+  per run — the lineage a data-curation pipeline has to carry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def run_job(spark, sf_dir: str, out: str, run_id: str, *,
+            min_tokens: int = 10, jaccard: float = 0.8) -> dict:
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.functions import text as TXT
+    from geobuf_spark.operators import dedup
+    from geobuf_spark.ops import lineage
+    from geobuf_spark.sources.tables import widen
+
+    ctx = lineage.JobContext(spark, out, "clean_corpus", run_id=run_id)
+
+    with ctx.stage("load") as t:
+        docs = widen(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
+        n0 = docs.count()
+        t.set_counts(rows_out=n0)
+
+    with ctx.stage("lang_filter") as t:
+        kept = docs.filter(F.col("lang").isin("en", "de", "fr", "es", "zh"))
+        n1 = kept.count()
+        t.set_counts(rows_in=n0, rows_out=n1)
+
+    with ctx.stage("exact_dedup") as t:
+        reps = dedup.dedup_exact(kept, key="doc_id")
+        kept = kept.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+        n2 = kept.count()
+        t.set_counts(rows_in=n1, rows_out=n2)
+
+    with ctx.stage("near_dedup") as t:
+        pairs = dedup.minhash_lsh_pairs(kept, key="doc_id",
+                                        jaccard_threshold=jaccard)
+        drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+        kept = kept.join(drop, "doc_id", "left_anti")
+        n3 = kept.count()
+        t.set_counts(rows_in=n2, rows_out=n3)
+
+    with ctx.stage("quality_gate") as t:
+        scored = TXT.quality_columns(kept)
+        kept = scored.filter(F.col("n_tokens") >= min_tokens) \
+            .select("doc_id", "lang", "text", "n_tokens", "n_uniq_tokens")
+        n4 = kept.count()
+        t.set_counts(rows_in=n3, rows_out=n4)
+
+    with ctx.stage("commit") as t:
+        entry = lineage.commit_output(
+            kept, out, run_id=run_id, partition_cols=["lang"], lineage_key="doc_id",
+        )
+        t.set_counts(rows_in=n4)
+
+    ctx.flush_metrics()
+    return {"commit": entry, "rows": {"input": n0, "lang": n1, "exact": n2,
+                                      "near": n3, "quality": n4}}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from geobuf_spark.session import get_spark
+
+    spark = get_spark("clean_corpus", cores=args.cores)
+    try:
+        result = run_job(spark, args.sf_dir, args.out, args.run_id,
+                         min_tokens=args.min_tokens, jaccard=args.jaccard)
+        print(result)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
