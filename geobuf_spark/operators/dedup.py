@@ -196,3 +196,41 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, text_col: str = "text",
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                        max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph → one
+    representative (min id) per component: (doc_id, rep_id).
+
+    Iterative min-label propagation: each node adopts the smallest label
+    in its neighborhood until fixpoint — O(diameter) joins, each a shuffle
+    on node id. Near-dup graphs are overwhelmingly tiny star/chain
+    components, so this converges in a handful of rounds; `localCheckpoint`
+    keeps the plan flat across iterations. Pairs are undirected; nodes
+    absent from `pairs` are their own representative (callers usually
+    left-join this output and coalesce to doc_id)."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iters):
+        # candidate label per node: min over neighbors' labels and its own
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select("u", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("rep_id"))

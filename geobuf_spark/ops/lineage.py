@@ -146,3 +146,35 @@ def commit_output(df: DataFrame, path: str, run_id: str, partition_cols: list[st
     with open(os.path.join(path, MANIFEST), "a") as f:
         f.write(json.dumps(entry) + "\n")
     return entry
+
+
+def next_increment(df: DataFrame, state_dir: str, order_col: str, n: int,
+                   tag: str = "purple") -> DataFrame:
+    """Increment parity (increment.go:9-32): take the NEXT n rows in
+    `order_col` order, tag COLORKEY, persist the cursor — successive calls
+    page through the dataset; a restart resumes at the committed cursor.
+
+    The cursor is a plain JSON checkpoint (`<state_dir>/_cursor.json`),
+    the batch analog of the reference's in-process FeatureCount cursor —
+    keyset pagination (WHERE key > cursor ORDER BY key LIMIT n), which at
+    10^12 rows beats OFFSET by never re-scanning consumed prefixes once
+    the predicate prunes on the sort key."""
+    cur_path = os.path.join(state_dir, "_cursor.json")
+    os.makedirs(state_dir, exist_ok=True)
+    cursor = None
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            cursor = json.load(f).get("last")
+    page = df
+    if cursor is not None:
+        page = page.filter(F.col(order_col) > F.lit(cursor))
+    page = page.orderBy(order_col).limit(n) \
+        .withColumn("COLORKEY", F.lit(tag))
+    rows = page.collect()
+    if rows:
+        with open(cur_path, "w") as f:
+            json.dump({"last": rows[-1][order_col], "n_seen_batch": len(rows),
+                       "ts": time.time()}, f)
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, page.schema) if rows else \
+        spark.createDataFrame([], page.schema)

@@ -72,3 +72,61 @@ def decoded_features(spark: SparkSession, path: str, repartition: int | None = N
 
 
 _ = np  # numpy retained for kernel parity
+
+
+def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
+                         bin_col: str = "geobuf") -> dict:
+    """Splitter.Combine parity (split_combine.go:186-232): one framed file
+    physically clustered by key, plus a key → [start, end) byte-range
+    index sidecar (`<out>.idx.json` — replacing the Go-gob metadata dummy
+    feature with a portable JSON manifest).
+
+    The write is a driver-side export edge (single file, like the
+    reference's Writer); frames arrive pre-grouped by one shuffle
+    (repartition+sortWithinPartitions is overkill for an edge — a keyed
+    collect preserves grouping)."""
+    import json
+
+    rows = df.select(key_col, bin_col).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(str(r[0]), []).append(bytes(r[1]))
+    index = {}
+    pos = 0
+    with open(out_path, "wb") as f:
+        for key in sorted(by_key):
+            start = pos
+            n = 0
+            for frame in by_key[key]:
+                framed = bytes([0x0A]) + core.encode_varint(len(frame)) + frame
+                f.write(framed)
+                pos += len(framed)
+                n += 1
+            index[key] = {"positions": [start, pos], "number_features": n,
+                          "size": pos - start}
+    meta = {"file_size": pos, "number_features": sum(
+        v["number_features"] for v in index.values()), "files": index}
+    with open(out_path + ".idx.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_geobuf_subfile(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """SubFileSeek/SubFileNext/SubFileBytes parity (reader.go:278-304):
+    seek directly to one key's byte range — bytes outside it are never
+    read — and scan only its frames."""
+    import json
+
+    with open(path + ".idx.json") as f:
+        meta = json.load(f)
+    ent = meta["files"].get(key)
+    if ent is None:
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("frame_idx", T.LongType()),
+                              T.StructField("geobuf", T.BinaryType())]))
+    start, end = ent["positions"]
+    with open(path, "rb") as f:
+        f.seek(start)
+        blob = f.read(end - start)
+    frames = [(i, bytearray(fr)) for i, fr in enumerate(core.read_frames(blob))]
+    return spark.createDataFrame(frames, "frame_idx bigint, geobuf binary")

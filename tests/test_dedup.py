@@ -93,3 +93,44 @@ def test_simhash_hamming_is_exact(spark, docs_with_dups):
     res = dedup.simhash_near_pairs(docs_with_dups, key="doc_id", max_hamming=3).collect()
     for r in res:
         assert r.hamming == bin(sigs[r.a] ^ sigs[r.b]).count("1")
+
+
+def test_near_dup_components_vs_python_bfs(spark):
+    """Min-label propagation must equal a driver-side union-find on the
+    same edges — chains, stars, and singleton-free graphs."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    # several chains and stars with shuffled ids
+    base = 0
+    for size in (2, 3, 5, 8, 4):
+        ids = [base + i * 7 + 3 for i in range(size)]
+        rng.shuffle(ids)
+        for x, y in zip(ids, ids[1:]):
+            edges.add((min(x, y), max(x, y)))
+        base += 100
+    # a star
+    hub = 1000
+    for leaf in range(1001, 1012):
+        edges.add((hub, leaf))
+    pairs = spark.createDataFrame(sorted(edges), "a bigint, b bigint")
+
+    got = {r.doc_id: r.rep_id for r in dedup.near_dup_components(pairs).collect()}
+
+    # oracle: union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for x, y in edges:
+        union(x, y)
+    want = {x: find(x) for x in parent}
+    assert got == want

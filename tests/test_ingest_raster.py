@@ -114,3 +114,40 @@ def test_csv_pipe_sink(spark, tmp_path, sf_small):
     back = spark.read.option("sep", "|").option("header", True).csv(out)
     assert back.count() == docs.count()
     assert back.columns == ["doc_id", "lang", "n_chars"]
+
+
+def test_indexed_geobuf_subfile_seek(spark, sf_small, tmp_path):
+    """SubFileSeek parity on OUR files: write key-clustered frames + byte
+    index, then read ONE key's range and get exactly its features."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.sources import geobuf_file as GF
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small)
+    assigned = tiling.assign_tiles_points(pts, z=4)
+    enc = spark_codec.encode_points(
+        assigned.select("doc_id", "lon", "lat"), id_col="doc_id")
+    keyed = enc.join(assigned.select("doc_id", "x", "y"), "doc_id") \
+        .withColumn("tile", F.concat_ws("_", F.lit(4), "x", "y"))
+
+    path = str(tmp_path / "tiles.geobuf")
+    meta = GF.write_geobuf_indexed(keyed, path, key_col="tile")
+    assert meta["number_features"] == pts.count()
+
+    # per-key range scans reproduce the per-tile feature sets exactly
+    want = {(r.tile, r.doc_id) for r in keyed.select("tile", "doc_id").collect()}
+    got = set()
+    for key in meta["files"]:
+        sub = GF.read_geobuf_subfile(spark, path, key)
+        dec = spark_codec.decode_points(sub, quantized=True)
+        for r in dec.collect():
+            got.add((key, r.id))
+    assert got == want
+    # absent key → empty
+    assert GF.read_geobuf_subfile(spark, path, "9_9_9").count() == 0
+    # the whole indexed file is still a valid plain geobuf stream
+    full = GF.read_geobuf(spark, path)
+    assert full.count() == pts.count()

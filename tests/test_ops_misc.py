@@ -202,3 +202,23 @@ def test_ann_multiprobe_recall_monotone(spark, sf_small):
     r_probe = len(exact & probed) / len(exact)
     assert r_probe >= r_base, (r_base, r_probe)
     assert r_probe >= 0.6, f"multiprobe recall too low: {r_probe}"
+
+
+def test_next_increment_pagination_resume(spark, tmp_path, sf_small):
+    """Increment cursor: successive pages tile the ordered dataset with no
+    overlap/gap, survive a 'restart' (fresh call, same state dir), and
+    drain to empty."""
+    from geobuf_spark.ops import lineage
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    state = str(tmp_path / "inc")
+    seen = []
+    for _ in range(4):
+        page = lineage.next_increment(docs, state, "doc_id", 150)
+        rows = page.collect()
+        assert all(r.COLORKEY == "purple" for r in rows)
+        seen.extend(r.doc_id for r in rows)
+    # 4 pages × 150 covers the 500-doc table; drained pages are empty
+    assert lineage.next_increment(docs, state, "doc_id", 150).count() == 0
+    want = [r.doc_id for r in docs.orderBy("doc_id").collect()]
+    assert seen == want
