@@ -609,6 +609,15 @@ def q_ann_lsh_top5(spark, sf):
     return similarity.ann_topk(emb, queries, k=5, multiprobe=2)
 
 
+def q_ann_ivf_top5(spark, sf):
+    # IVF coarse-quantizer ANN (non-SQL; pytest proves recall + exact
+    # degeneracy at nprobe == n_centroids)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=3)
+
+
 def q_lang_id(spark, sf):
     return TXT.lang_id(_docs(spark, sf)).groupBy("lang_pred").agg(F.count("*").alias("n"))
 
@@ -680,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
+        "ann_ivf_top5": q_ann_ivf_top5,
         "lang_id": q_lang_id,
         "pages_synth": q_pages_synth,
     }

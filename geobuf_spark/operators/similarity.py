@@ -238,3 +238,147 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(vec_id).alias("neighbor_id"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path: k-means-lite
+# centroids, vectors bucketed by nearest centroid, queries probe the
+# top-nprobe buckets, exact cosine re-rank on candidates only.
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
+                  vec_id: str = "vec_id", emb: str = "embedding") -> np.ndarray:
+    """Deterministic distributed k-means on normalized vectors.
+
+    Init: the n_centroids vectors with smallest xxhash64(id) — seedless
+    and reproducible. Each iteration: one Arrow GEMM pass assigns every
+    vector, one groupBy recomputes means (k×dim result — driver-small).
+    Empty clusters keep their previous centroid."""
+    seed_rows = (
+        vectors.select(vec_id, emb)
+        .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
+        .limit(n_centroids).collect()
+    )
+    cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    spark = vectors.sparkSession
+
+    for _ in range(iters):
+        assigned = _assign_clusters(vectors, cents, vec_id, emb)
+        sums = (
+            assigned.select("cluster", F.posexplode(emb).alias("dim", "val"))
+            .groupBy("cluster", "dim").agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r.cluster, {})[r.dim] = r.s / r.c
+        for cl, dims in acc.items():
+            v = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+            nv = np.linalg.norm(v)
+            if nv > 1e-30:
+                new[cl] = v / nv
+        cents = new
+    return cents
+
+
+def _assign_clusters(vectors: DataFrame, cents: np.ndarray,
+                     vec_id: str, emb: str) -> DataFrame:
+    """(vec_id, embedding, cluster) via one GEMM per Arrow batch."""
+    import pyarrow as pa
+
+    spark = vectors.sparkSession
+    b_c = spark.sparkContext.broadcast(cents)
+    emb_type = vectors.select(emb).schema.fields[0].dataType
+    out_schema = T.StructType([
+        T.StructField(vec_id, T.LongType()),
+        T.StructField(emb, emb_type),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+
+    def _assign(batches):
+        C = b_c.value
+        for batch in batches:
+            mat = _emb_matrix(batch.column(1))
+            if len(mat) == 0:
+                continue
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cl = np.argmax(matn @ C.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cl)],
+                names=[vec_id, emb, "cluster"])
+
+    return vectors.select(vec_id, emb).mapInArrow(_assign, out_schema)
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 5,
+             vec_id: str = "vec_id", emb: str = "embedding",
+             query_id: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank).
+
+    nprobe trades recall for candidate volume; nprobe == n_centroids
+    degenerates to exact brute force (every bucket probed)."""
+    import pyarrow as pa
+
+    cents = ivf_centroids(vectors, n_centroids, iters, vec_id, emb)
+    sv = _assign_clusters(vectors, cents, vec_id, emb)
+
+    spark = vectors.sparkSession
+    b_c = spark.sparkContext.broadcast(cents)
+    emb_type = queries.select(emb).schema.fields[0].dataType
+    q_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("qemb", emb_type),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+
+    def _probe(batches):
+        C = b_c.value
+        for batch in batches:
+            mat = _emb_matrix(batch.column(1))
+            if len(mat) == 0:
+                continue
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            order = np.argsort(-(matn @ C.T), axis=1)[:, :nprobe].astype(np.int32)
+            n = len(mat)
+            idx = pa.array(np.repeat(np.arange(n), nprobe))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(idx), batch.column(1).take(idx),
+                 pa.array(order.reshape(-1))],
+                names=["query_id", "qemb", "cluster"])
+
+    q_b = queries.select(query_id, emb).mapInArrow(_probe, q_schema)
+    cand = (
+        q_b.join(sv, "cluster")
+        .filter(F.col(vec_id) != F.col("query_id"))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField(vec_id, T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def _cos(batches):
+        for batch in batches:
+            names = batch.schema.names
+            a = _emb_matrix(batch.column(names.index(emb)))
+            b = _emb_matrix(batch.column(names.index("qemb")))
+            if len(a) == 0:
+                continue
+            num = (a * b).sum(axis=1)
+            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("query_id")), batch.column(names.index(vec_id)),
+                 pa.array(num / den)],
+                names=["query_id", vec_id, "cos"])
+
+    scored = cand.select("query_id", vec_id, emb, "qemb").mapInArrow(_cos, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(vec_id).alias("neighbor_id"), "rank")
+    )

@@ -222,3 +222,23 @@ def test_next_increment_pagination_resume(spark, tmp_path, sf_small):
     assert lineage.next_increment(docs, state, "doc_id", 150).count() == 0
     want = [r.doc_id for r in docs.orderBy("doc_id").collect()]
     assert seen == want
+
+
+def test_ivf_topk_recall_and_exact_degenerate(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                        nprobe=3, iters=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, recall
+    # nprobe == n_centroids probes every bucket → exact
+    full = {(r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                         nprobe=8, iters=2).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    assert full == want
