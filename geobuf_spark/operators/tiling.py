@@ -88,11 +88,13 @@ def tile_pyramid(assigned: DataFrame, z_min: int = 0) -> DataFrame:
 
     The reference builds coarse zooms by physically re-splitting subfiles
     level by level (split_combine.go:504-550). Here the max-zoom histogram
-    is aggregated once (the only scan of the data), then each coarser
-    level folds the previous one with the parent arithmetic
-    (x>>1, y>>1, z-1) — O(tiles) per level on already-tiny aggregates,
-    zero additional scans of the input. Returns (z, x, y, n_features)."""
-    base = assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+    is aggregated once (the only scan of the data — materialized via an
+    eager localCheckpoint, or every union branch would re-run the scan),
+    then each coarser level folds the previous one with the parent
+    arithmetic (x>>1, y>>1, z-1) — O(tiles) per level on the tiny cached
+    aggregate. Returns (z, x, y, n_features)."""
+    base = assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_features")) \
+        .localCheckpoint(eager=True)
     levels = [base]
     cur = base
     top_z = None

@@ -88,3 +88,43 @@ def test_pip_join_single_shuffle_on_salted(spark, sf_small):
         ._jdf.queryExecution().executedPlan().toString()
     # shuffle-hash hint honored: no sort-merge
     assert "ShuffledHashJoin" in plan
+
+
+def test_pip_join_s2_broadcast_plan(spark, sf_small):
+    pts = minted.minted_points(spark, sf_small)
+    rects = minted.minted_rects(spark, sf_small)
+    plan = sj.pip_join_s2(pts, rects) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_pyramid_single_scan(spark, sf_small):
+    """the pyramid must read the input ONCE — every coarser level folds
+    the finer aggregate, never rescans the source."""
+    from geobuf_spark.operators import tiling
+
+    pts = minted.minted_points(spark, sf_small)
+    pyr = tiling.tile_pyramid(tiling.assign_tiles_points(pts, z=8), z_min=5)
+    plan = pyr._jdf.queryExecution().executedPlan().toString()
+    # the base histogram is checkpointed: union branches read the cached
+    # aggregate, never the source — 0 file scans in the final plan
+    assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
+    assert "Scan ExistingRDD" in plan
+
+
+def test_lazy_property_scan_reads_only_binary(spark, sf_small, tmp_path):
+    """wire-level lazy read over a stored binary table must prune to the
+    geobuf column — the columnar analog of not reading geometry bytes."""
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.sources import minted as M
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pts = M.minted_points(spark, sf_small).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    enc = spark_codec.encode_points_with_props(pts, props=["lang"])
+    p = str(tmp_path / "frames")
+    enc.write.parquet(p)
+    lazy = spark_codec.lazy_property(spark.read.parquet(p), "lang")
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<geobuf:binary>" in plan, plan[-600:]
