@@ -139,13 +139,18 @@ def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int 
     `points` needs (point_id, lon, lat); `queries` needs (query_id, lon, lat).
     Returns (query_id, neighbor_id, rank, dist2) — identical rows to
     :func:`knn_bruteforce`."""
-    p = _prep_points(points, point_id, z)
-    q = _prep_queries(queries, query_id, z)
+    # lazily checkpoint both prepared sides: the resolved branch, the
+    # completeness anti-join, and the fallback all reuse ONE scan of each
+    # input instead of re-deriving it per branch
+    p = _prep_points(points, point_id, z).localCheckpoint(eager=False)
+    q = _prep_queries(queries, query_id, z).localCheckpoint(eager=False)
     resolved, resolved_q = _knn_ring(p, q, k, z, ring)
 
     unresolved_queries = q.join(resolved_q, "query_id", "left_anti") \
         .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    fallback = knn_bruteforce(points, unresolved_queries, k,
+    points2 = p.select(F.col("neighbor_id").alias(point_id),
+                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+    fallback = knn_bruteforce(points2, unresolved_queries, k,
                               point_id=point_id, query_id="query_id")
 
     return resolved.unionByName(fallback)
@@ -162,7 +167,7 @@ def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
     Result rows are identical to :func:`knn_bruteforce`; only the work
     distribution differs. At 10^12 points each pass is one equi-join on
     cell ids whose probe side shrinks monotonically."""
-    p = _prep_points(points, point_id, z)
+    p = _prep_points(points, point_id, z).localCheckpoint(eager=False)
     pending = _prep_queries(queries, query_id, z)
     pieces = []
     for r in rings:
@@ -173,7 +178,9 @@ def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
         # instead of recomputing every prior ring under the anti-join chain
         pending = pending.localCheckpoint(eager=False)
     leftovers = pending.select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    pieces.append(knn_bruteforce(points, leftovers, k, point_id=point_id, query_id="query_id"))
+    points2 = p.select(F.col("neighbor_id").alias(point_id),
+                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+    pieces.append(knn_bruteforce(points2, leftovers, k, point_id=point_id, query_id="query_id"))
     out = pieces[0]
     for extra in pieces[1:]:
         out = out.unionByName(extra)
