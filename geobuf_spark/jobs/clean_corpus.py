@@ -47,6 +47,9 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
     with ctx.stage("exact_dedup") as t:
         reps = dedup.dedup_exact(kept, key="doc_id")
         kept = kept.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+        # checkpoint the funnel: later stages (and their counts) must not
+        # re-run the whole prefix pipeline per action
+        kept = kept.localCheckpoint(eager=False)
         n2 = kept.count()
         t.set_counts(rows_in=n1, rows_out=n2)
 
@@ -54,7 +57,7 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         pairs = dedup.minhash_lsh_pairs(kept, key="doc_id",
                                         jaccard_threshold=jaccard)
         drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
-        kept = kept.join(drop, "doc_id", "left_anti")
+        kept = kept.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
         n3 = kept.count()
         t.set_counts(rows_in=n2, rows_out=n3)
 

@@ -108,6 +108,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
     # cap pathological buckets (boilerplate shingle sets)
     w = Window.partitionBy("band", "bucket").orderBy("key")
     banded = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket)
+    # materialize once: both sides of the self-join reuse it instead of
+    # recomputing shingles+signatures+window twice
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.select(F.col("band"), F.col("bucket"), F.col("key").alias("a"), F.col("sig").alias("sig_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col("key").alias("b"), F.col("sig").alias("sig_b"))
@@ -161,7 +164,8 @@ def simhash_near_pairs(df: DataFrame, key: str, text_col: str = "text",
         F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))
         for c in range(nchunks)
     ])
-    banded = sh.select("key", "simhash", F.posexplode(chunks).alias("chunk_i", "chunk"))
+    banded = sh.select("key", "simhash", F.posexplode(chunks).alias("chunk_i", "chunk")) \
+        .localCheckpoint(eager=False)  # one signature pass feeds both join sides
     left = banded.select("chunk_i", "chunk", F.col("key").alias("a"), F.col("simhash").alias("sh_a"))
     right = banded.select("chunk_i", "chunk", F.col("key").alias("b"), F.col("simhash").alias("sh_b"))
     pairs = (
@@ -180,7 +184,8 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, text_col: str = "text",
     Explode shingles → self-join on shingle → count shared → Jaccard via
     inclusion-exclusion with per-doc shingle counts. Exact but heavier than
     LSH — the verification tier."""
-    sh = df.select(F.col(key).alias("key"), F.explode(_shingles(F.col(text_col), shingle_k)).alias("s"))
+    sh = df.select(F.col(key).alias("key"), F.explode(_shingles(F.col(text_col), shingle_k)).alias("s")) \
+        .localCheckpoint(eager=False)  # reused by both join sides + counts
     counts = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("key").alias("a"), "s")
     b = sh.select(F.col("key").alias("b"), "s")
@@ -214,7 +219,7 @@ def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
-    )
+    ).localCheckpoint(eager=False)  # pairs may be an expensive LSH plan
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iters):
         # candidate label per node: min over neighbors' labels and its own
