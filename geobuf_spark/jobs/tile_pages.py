@@ -45,14 +45,15 @@ def run_job(spark, n_pages: int, sf_dir: str, out: str, zoom: int, run_id: str) 
             F.col("page_id").alias("doc_id"),
             (F.col("lon_q") / 1e7).alias("lon"),
             (F.col("lat_q") / 1e7).alias("lat"),
-        )
+        ).localCheckpoint(eager=False)  # join + commit reuse one codec pass
         t.set_counts(rows_in=n_pages)
 
     with ctx.stage("pip_join") as t:
         rects = minted.minted_rects(spark, sf_dir)
         plan = strategy.choose_strategy(pts, rects, z=zoom - 2)
         joined = sj.pip_join(pts, rects, z=zoom - 2,
-                             strategy=plan.strategy, salt=plan.salt)
+                             strategy=plan.strategy, salt=plan.salt) \
+            .localCheckpoint(eager=False)  # counted here, committed next stage
         n_joined = joined.count()
         t.set_counts(rows_in=n_pages, rows_out=n_joined)
 
