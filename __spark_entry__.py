@@ -309,6 +309,19 @@ def q_multimodal_bytes(spark, sf):
     )
 
 
+def q_multimodal_ann_top3(spark, sf):
+    # cross-operator chain: binary payloads → vectorized byte-histogram
+    # embeddings → exact cosine top-k (rows-only; pytest proves the
+    # planted-duplicate rank-1 property)
+    from geobuf_spark.operators import multimodal
+    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
+    queries = emb.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
+
+
 def q_tpch_q1(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return (
@@ -512,6 +525,19 @@ def q_tpch_q4(spark, sf):
     )
 
 
+def q_multimodal_ann_top3(spark, sf):
+    # cross-operator chain: binary payloads → vectorized byte-histogram
+    # embeddings → exact cosine top-k (rows-only; pytest proves the
+    # planted-duplicate rank-1 property)
+    from geobuf_spark.operators import multimodal
+    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
+    queries = emb.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
+
+
 def q_tpch_q10(spark, sf):
     c = spark.read.parquet(f"{sf}/customer.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -526,6 +552,19 @@ def q_tpch_q10(spark, sf):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+def q_multimodal_ann_top3(spark, sf):
+    # cross-operator chain: binary payloads → vectorized byte-histogram
+    # embeddings → exact cosine top-k (rows-only; pytest proves the
+    # planted-duplicate rank-1 property)
+    from geobuf_spark.operators import multimodal
+    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
+    queries = emb.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
 
 
 def q_tpch_q14(spark, sf):
@@ -664,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_ann_top3": q_multimodal_ann_top3,
         "pip_join_general": q_pip_join_general,
         "s2_cells_l8": q_s2_cells_l8,
         "asof_purchase_view": q_asof_purchase_view,

@@ -112,3 +112,44 @@ def frame_sample_plan(df: DataFrame, bin_col: str = "payload",
 
 
 _ = pd  # pandas retained for API parity of future kernels
+
+
+def payload_embedding(df: DataFrame, id_col: str = "doc_id",
+                      bin_col: str = "payload", dim: int = 16) -> DataFrame:
+    """Content-derived embedding: L2-normalized byte-nibble histogram
+    (dim 16) computed fully vectorized from the Arrow binary buffer —
+    one bincount over the batch, no per-row Python. Deterministic, and
+    similar payloads get similar vectors, so the ANN/dedup operators
+    compose downstream (the real feature extractor drops into this seam)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _emb(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            barr = batch.column(1)
+            combined = pa.concat_arrays([barr.cast(pa.binary())])
+            n = len(combined)
+            if n == 0:
+                continue
+            flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8) \
+                if combined.buffers()[2] else np.empty(0, np.uint8)
+            offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+            starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+            ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+            lens = ends - starts
+            row_of_byte = np.repeat(np.arange(n), lens)
+            seg = flat[starts[0] : ends[-1]] if lens.sum() else np.empty(0, np.uint8)
+            idx = row_of_byte * dim + (seg >> 4).astype(np.int64) % dim
+            hist = np.bincount(idx, minlength=n * dim).reshape(n, dim).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(hist, axis=1, keepdims=True), 1e-30)
+            emb = hist / norms
+            offs_out = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            carr = pa.ListArray.from_arrays(
+                pa.array(offs_out), pa.array(emb.reshape(-1), type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), carr], names=[id_col, "embedding"])
+
+    return df.select(id_col, bin_col).mapInArrow(_emb, out_schema)

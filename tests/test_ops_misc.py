@@ -242,3 +242,33 @@ def test_ivf_topk_recall_and_exact_degenerate(spark, sf_small):
     want = {(r.query_id, r.neighbor_id, r.rank)
             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
     assert full == want
+
+
+def test_payload_embedding_and_multimodal_ann_chain(spark, sf_small):
+    """multimodal → similarity composition: byte-histogram embeddings from
+    binary payloads feed exact cosine top-k; identical payloads are each
+    other's rank-1 neighbors."""
+    import numpy as np
+
+    from geobuf_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet") \
+        .withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    # plant an exact duplicate payload pair with fresh ids
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "payload")
+    all_docs = docs.select("doc_id", "payload").unionByName(dup)
+    emb = multimodal.payload_embedding(all_docs)
+
+    # deterministic: same payload → same embedding
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    src0 = docs.limit(1).collect()[0].doc_id
+    assert rows[src0] == rows[src0 + 100000]
+    assert all(abs(sum(v*v for v in e) - 1.0) < 1e-9 for e in rows.values())
+
+    # the planted duplicate is its source's rank-1 neighbor
+    queries = emb.filter(F.col("doc_id") == src0) \
+        .select(F.col("doc_id").alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb.withColumnRenamed("doc_id", "vec_id"),
+                                      queries, k=1).collect()
+    assert top[0].neighbor_id == src0 + 100000
