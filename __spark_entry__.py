@@ -295,6 +295,14 @@ def q_sliding_window(spark, sf):
                             length_minutes=10, slide_minutes=5)
 
 
+def q_events_enriched(spark, sf):
+    # stream-static enrichment rollup (batch twin; streaming twin tested
+    # batch≡stream with a broadcast dimension)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = spark.read.parquet(f"{sf}/customer.parquet")
+    return W.enrich_events(ev, dim)
+
+
 def q_sessionize(spark, sf):
     return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
 
@@ -701,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "events_window": q_events_window,
         "sliding_window": q_sliding_window,
+        "events_enriched": q_events_enriched,
         "sessionize": q_sessionize,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_ann_top3": q_multimodal_ann_top3,
@@ -911,6 +920,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, sum({tq['n_tokens']}) AS total_tokens,
                    count(*) AS n_docs, max({tq['n_uniq_tokens']}) AS max_uniq
             FROM documents GROUP BY lang""",
+        "events_enriched": """
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+                   e.event_type, count(*) AS n_events
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2""",
         "sliding_window": """
             WITH ep AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type FROM events),
             hits AS (

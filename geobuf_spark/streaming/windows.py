@@ -172,3 +172,27 @@ def sliding_counts_streaming(spark: SparkSession, parquet_dir: str,
             "event_type", "n_events",
         )
     )
+
+
+def enrich_events(events: DataFrame, dim: DataFrame,
+                  on_left: str = "user_id", on_right: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment: events joined to a dimension table.
+
+    Works identically on a batch DataFrame and a readStream DataFrame —
+    Spark broadcasts the static side into every micro-batch (stream-static
+    joins never shuffle the stream). Returns per-(segment, event_type)
+    counts — the typical enriched rollup."""
+    joined = events.join(
+        dim.select(F.col(on_right).alias(on_left), "c_mktsegment"), on_left, "left")
+    return (
+        joined.groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+                       "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def enrich_events_streaming(spark: SparkSession, events_dir: str,
+                            dim: DataFrame) -> DataFrame:
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return enrich_events(stream, dim)

@@ -92,3 +92,26 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # the first window was finalized with exactly ONE event; the late
     # arrival (event 3) was dropped, not re-emitted
     assert rows.get(w0) == 1, rows
+
+
+def test_stream_static_enrichment(spark, sf_small, tmp_path):
+    """stream-static join: identical results batch vs micro-batched stream;
+    the plan must broadcast the dimension (never shuffle the stream)."""
+    import shutil
+
+    from geobuf_spark.streaming import windows as W
+
+    d = tmp_path / "ev_enrich"; d.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", d / "events.parquet")
+    dim = spark.read.parquet(f"{sf_small}/customer.parquet")
+
+    batch = {(r.segment, r.event_type, r.n_events)
+             for r in W.enrich_events(spark.read.parquet(str(d)), dim).collect()}
+    stream = {(r.segment, r.event_type, r.n_events)
+              for r in W.run_stream_to_memory(
+                  W.enrich_events_streaming(spark, str(d), dim), "enrich_out").collect()}
+    assert batch == stream and len(batch) > 0
+
+    plan = W.enrich_events(spark.read.parquet(str(d)), dim) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
