@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from geobuf_spark.codec import spark_codec
 from geobuf_spark.functions import text as TXT
-from geobuf_spark.functions import tiles
+from geobuf_spark.functions import hexgrid, tiles
 from geobuf_spark.operators import dedup, knn, similarity
 from geobuf_spark.operators import spatial_join as sj
 from geobuf_spark.operators import tiling
@@ -106,6 +106,16 @@ def q_tile_parent_promote(spark, sf):
     # z=10 assignment promoted to z=7 — parent arithmetic (split_combine.go:390-394)
     a = tiling.assign_tiles_points(_points(spark, sf), z=10)
     return tiling.promote_to_zoom(a, 7).select("doc_id", "z", "x", "y")
+
+
+def q_hex_density(spark, sf):
+    # H3-style hex binning (flat-plane axial + cube rounding) as a density
+    # rollup — hexagonal analog of tile_counts
+    return (
+        _points(spark, sf)
+        .withColumn("hex", hexgrid.hex_cell(F.col("lon"), F.col("lat"), 5.0))
+        .groupBy("hex").agg(F.count("*").alias("n_features"))
+    )
 
 
 def q_tile_pyramid(spark, sf):
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_z6": q_tile_counts_z6,
         "tile_parent_promote": q_tile_parent_promote,
         "tile_pyramid": q_tile_pyramid,
+        "hex_density": q_hex_density,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "pip_join_rects": q_pip_join_rects,
         "pip_join_rects_salted": q_pip_join_rects_salted,
@@ -790,6 +801,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1, 2, 3""",
         "tile_parent_promote": f"""
             SELECT doc_id, 7 AS z, ({x10}) // 8 AS x, ({y10}) // 8 AS y FROM ({pts})""",
+        "hex_density": f"""
+            SELECT {hexgrid.sql_hex_cell('lon', 'lat', 5.0)} AS hex,
+                   count(*) AS n_features
+            FROM ({pts}) GROUP BY 1""",
         "tile_pyramid": f"""
             SELECT 8 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS x,
                    CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS y,
