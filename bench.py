@@ -60,15 +60,16 @@ def bench_queries(spark):
         "doc_quality", "token_totals", "events_window", "sessionize",
         "tpch_q1", "tpch_q3", "tpch_q5",
     ]
-    out = {}
-    for name in names:
-        ts = []
-        for _ in range(2):  # min-of-2: noisy co-tenant host
+    # two full passes (A,B,…,A,B,…) rather than back-to-back trials: a
+    # co-tenant burst then has to span the WHOLE pass to poison a query's
+    # minimum, instead of just its ~2s window
+    times: dict[str, list] = {n: [] for n in names}
+    for _ in range(2):
+        for name in names:
             t0 = time.time()
             Q[name](spark, SF_DIR).count()
-            ts.append(time.time() - t0)
-        out[name] = round(min(ts), 3)
-    return out
+            times[name].append(time.time() - t0)
+    return {n: round(min(ts), 3) for n, ts in times.items()}
 
 
 def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
