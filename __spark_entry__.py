@@ -128,6 +128,27 @@ def q_tile_cover_rects_z7(spark, sf):
     return tiling.assign_tiles_bbox(_rects(spark, sf), z=7).select("poly_id", "z", "x", "y")
 
 
+def q_split_clip_z5(spark, sf):
+    # full MapGeobuf-with-ClipFeature semantics on rect features: each
+    # (rect, tile) piece is the rect∩tile box — oracle-exact arithmetic
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    out = tiling.split_clip_tiles(polys, z=5)
+    idxs = F.sequence(F.lit(0), (F.size("coords") / 2).cast("int") - 1)
+    xs = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 1))
+    ys = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 2))
+    piece = out.select(
+        "poly_id", "z", "x", "y",
+        F.round(F.array_min(xs), 7).alias("pminx"),
+        F.round(F.array_min(ys), 7).alias("pminy"),
+        F.round(F.array_max(xs), 7).alias("pmaxx"),
+        F.round(F.array_max(ys), 7).alias("pmaxy"),
+    )
+    return piece.filter((F.col("pmaxx") > F.col("pminx")) & (F.col("pmaxy") > F.col("pminy")))
+
+
 def q_pip_join_rects(spark, sf):
     return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
                        strategy="broadcast").select("doc_id", "poly_id")
@@ -699,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": q_hex_density,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "pip_join_rects": q_pip_join_rects,
+        "split_clip_z5": q_split_clip_z5,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "pip_join_s2": q_pip_join_s2,
         "pip_join_triangles": q_pip_join_triangles,
@@ -833,6 +855,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM r),
             xs AS (SELECT poly_id, y0, y1, unnest(generate_series(x0, x1)) AS x FROM rt)
             SELECT poly_id, 7 AS z, x, unnest(generate_series(y0, y1)) AS y FROM xs""",
+        "split_clip_z5": f"""
+            WITH r AS ({rects}),
+            cov AS (
+                SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
+                FROM r
+                JOIN (SELECT unnest(range(0, 32)) AS x) gx
+                  ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
+                JOIN (SELECT unnest(range(0, 32)) AS y) gy
+                  ON gy.y BETWEEN CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT)),
+            piece AS (
+                SELECT poly_id, 5 AS z, x, y,
+                       round(greatest(minx, (x * 11.25 - 180.0)), 7) AS pminx,
+                       round(greatest(miny, degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * (y + 1)))) - pi()/2)), 7) AS pminy,
+                       round(least(maxx, ((x + 1) * 11.25 - 180.0)), 7) AS pmaxx,
+                       round(least(maxy, degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * (y)))) - pi()/2)), 7) AS pmaxy
+                FROM cov)
+            SELECT * FROM piece WHERE pmaxx > pminx AND pmaxy > pminy""",
         "pip_join_rects": f"""
             SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
             WHERE p.lon >= r.minx AND p.lon <= r.maxx

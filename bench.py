@@ -4,10 +4,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
  "sf": ..., "throughput": {...}}
 
-`--scaling` additionally runs the flagship pipeline at local[8] and
-local[32] on identical input and reports throughput + efficiency
-(BASELINE.json north rule evidence; results also land in BENCH/BASELINE.md
-via tools/update_baseline.py).
+`--scaling` additionally runs the flagship pipeline at local[N] and
+local[4N] on identical input (default 8M pages — see the Amdahl note in
+main) plus a same-window raw-CPU ceiling control, and reports throughput +
+efficiency (BASELINE.json north-rule evidence; measured results are
+transcribed into BENCH/BASELINE.md).
 """
 
 from __future__ import annotations

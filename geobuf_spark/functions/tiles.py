@@ -137,3 +137,19 @@ def sql_tile_y(lat: str, z: int) -> str:
 
 def sql_cell_id(z: int, x: str, y: str) -> str:
     return f"(({z} * {CELL_SHIFT} + ({x})) * {CELL_SHIFT} + ({y}))"
+
+
+def tile_bounds(z: int, x: Column, y: Column):
+    """(west, south, east, north) of tile (z, x, y) — m.Extrema parity
+    (used at split_combine.go:47-49), pure Column expressions."""
+    n = float(_n(z))
+    west = x.cast("double") * F.lit(360.0 / n) - F.lit(180.0)
+    east = (x.cast("double") + 1.0) * F.lit(360.0 / n) - F.lit(180.0)
+
+    def lat_of(yy):
+        return F.degrees(F.atan(F.sinh(
+            F.lit(3.141592653589793) * (F.lit(1.0) - F.lit(2.0 / n) * yy.cast("double")))))
+
+    north = lat_of(y)
+    south = lat_of(y + 1)
+    return west, south, east, north

@@ -120,3 +120,25 @@ def tile_pyramid(assigned: DataFrame, z_min: int = 0) -> DataFrame:
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out
+
+
+def split_clip_tiles(polys: DataFrame, z: int) -> DataFrame:
+    """The reference's full tiling semantics — MapGeobuf with
+    tileclip.ClipFeature (split_combine.go:373-397): explode the bbox tile
+    cover (1:N) AND clip each copy's rings to its tile's bounds. Output:
+    one row per (feature, tile) with coords/ring_lens replaced by the
+    clipped geometry; tiles whose intersection is empty are dropped.
+
+    `polys` needs minx/miny/maxx/maxy (for the cover) + coords/ring_lens.
+    One explode + one Arrow clip pass — still a single shuffle away from a
+    partitioned tile write."""
+    from geobuf_spark.operators.clip import clip_polygons
+
+    covered = tiles.explode_bbox_cover(polys, z)
+    w, s, e, n = tiles.tile_bounds(z, F.col("tile_x"), F.col("tile_y"))
+    covered = covered.withColumn("tminx", w).withColumn("tminy", s) \
+        .withColumn("tmaxx", e).withColumn("tmaxy", n) \
+        .withColumn("z", F.lit(z)) \
+        .withColumnRenamed("tile_x", "x").withColumnRenamed("tile_y", "y")
+    clipped = clip_polygons(covered)
+    return clipped.drop("tminx", "tminy", "tmaxx", "tmaxy")

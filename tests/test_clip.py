@@ -1,0 +1,154 @@
+"""Sutherland–Hodgman clip kernel vs a plain per-ring reference
+implementation + geometric invariants + DataFrame wrapper."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_spark.operators import clip as C
+
+
+def _ref_clip(ring, rect):
+    """Textbook single-ring Sutherland–Hodgman (list-based)."""
+    minx, miny, maxx, maxy = rect
+    def clip_edge(pts, inside, inter):
+        out = []
+        if not pts:
+            return out
+        prev = pts[-1]
+        for cur in pts:
+            if inside(cur):
+                if not inside(prev):
+                    out.append(inter(prev, cur))
+                out.append(cur)
+            elif inside(prev):
+                out.append(inter(prev, cur))
+            prev = cur
+        return out
+    def ix(b, axis):
+        def f(p, c):
+            t = (b - p[axis]) / ((c[axis] - p[axis]) or 1e-300)
+            q = [p[0] + (c[0]-p[0])*t, p[1] + (c[1]-p[1])*t]
+            q[axis] = b
+            return tuple(q)
+        return f
+    pts = [tuple(v) for v in ring]
+    pts = clip_edge(pts, lambda p: p[0] <= maxx + 1e-12, ix(maxx, 0))
+    pts = clip_edge(pts, lambda p: p[0] >= minx - 1e-12, ix(minx, 0))
+    pts = clip_edge(pts, lambda p: p[1] <= maxy + 1e-12, ix(maxy, 1))
+    pts = clip_edge(pts, lambda p: p[1] >= miny - 1e-12, ix(miny, 1))
+    return pts
+
+
+def _area(pts):
+    if len(pts) < 3:
+        return 0.0
+    a = 0.0
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        a += x1 * y2 - x2 * y1
+    return abs(a) / 2
+
+
+def test_clip_kernel_matches_reference():
+    rng = np.random.default_rng(77)
+    rings, nvs, rects = [], [], []
+    for _ in range(200):
+        nv = int(rng.integers(3, 12))
+        ring = rng.uniform(-10, 10, (nv, 2))
+        rect = sorted(rng.uniform(-8, 8, 2).tolist()) + sorted(rng.uniform(-8, 8, 2).tolist())
+        rect = (rect[0], rect[2], rect[1], rect[3])
+        rings.append(ring); nvs.append(nv); rects.append(rect)
+    coords = np.concatenate([r.reshape(-1) for r in rings])
+    nv_arr = np.array(nvs, dtype=np.int64)
+    mins = np.array([r[0] for r in rects]); mny = np.array([r[1] for r in rects])
+    mxs = np.array([r[2] for r in rects]); mxy = np.array([r[3] for r in rects])
+    out_c, out_nv = C.clip_rings_kernel(coords, nv_arr, mins, mny, mxs, mxy)
+    off = 0
+    xy = out_c.reshape(-1, 2)
+    for i in range(200):
+        got = [tuple(v) for v in xy[off : off + out_nv[i]]]
+        off += out_nv[i]
+        want = _ref_clip(rings[i], rects[i])
+        assert len(got) == len(want), i
+        for g, w in zip(got, want):
+            assert abs(g[0] - w[0]) < 1e-9 and abs(g[1] - w[1]) < 1e-9, i
+
+
+def test_clip_invariants():
+    rng = np.random.default_rng(78)
+    for _ in range(100):
+        nv = int(rng.integers(3, 10))
+        pts = rng.uniform(-5, 5, (nv, 2))
+        # simple polygon: order vertices by angle around the centroid
+        # (shoelace area of self-intersecting rings is not monotone under
+        # clipping, so the invariant only holds for simple rings)
+        ctr = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - ctr[1], pts[:, 0] - ctr[0])
+        ring = pts[np.argsort(ang)]
+        rect = (-2.0, -2.0, 2.0, 2.0)
+        out_c, out_nv = C.clip_rings_kernel(ring.reshape(-1), np.array([nv]), *rect)
+        pts = out_c.reshape(-1, 2)
+        # clipped vertices lie inside the rect
+        assert (pts[:, 0] >= rect[0] - 1e-9).all() and (pts[:, 0] <= rect[2] + 1e-9).all()
+        assert (pts[:, 1] >= rect[1] - 1e-9).all() and (pts[:, 1] <= rect[3] + 1e-9).all()
+        # area never grows
+        assert _area([tuple(v) for v in pts]) <= _area([tuple(v) for v in ring]) + 1e-9
+    # fully-inside ring is unchanged
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float64)
+    out_c, out_nv = C.clip_rings_kernel(sq.reshape(-1), np.array([4]), -2, -2, 2, 2)
+    assert out_nv[0] == 4 and np.allclose(out_c.reshape(-1, 2), sq)
+    # fully-outside ring vanishes
+    out_c, out_nv = C.clip_rings_kernel(sq.reshape(-1) + 10, np.array([4]), -2, -2, 2, 2)
+    assert out_nv[0] == 0
+
+
+def test_clip_polygons_dataframe(spark):
+    rng = np.random.default_rng(79)
+    rows = []
+    for i in range(100):
+        nv = int(rng.integers(3, 8))
+        c = rng.uniform(-10, 10, nv * 2).tolist()
+        rows.append((i, c, [nv], -3.0, -3.0, 3.0, 3.0))
+    df = spark.createDataFrame(
+        rows, "fid bigint, coords array<double>, ring_lens array<int>, "
+              "tminx double, tminy double, tmaxx double, tmaxy double")
+    out = C.clip_polygons(df).collect()
+    assert 0 < len(out) <= 100
+    for r in out:
+        xy = np.asarray(r.coords).reshape(-1, 2)
+        assert (np.abs(xy) <= 3 + 1e-9).all()
+        assert sum(r.ring_lens) * 2 == len(r.coords)
+        assert all(v >= 3 for v in r.ring_lens)
+
+
+def test_split_clip_tiles_partitions_rect_area(spark, sf_small):
+    """axis-aligned rects: the clipped pieces across tiles partition each
+    rect exactly — per-feature piece areas sum to the rect's area, every
+    piece stays inside its tile (m.Extrema bounds)."""
+    from geobuf_spark.functions import tiles as TL
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.sources import minted
+
+    rects = minted.minted_rects(spark, sf_small).limit(200)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = rects.select(
+        "poly_id", "minx", "miny", "maxx", "maxy",
+        ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    out = tiling.split_clip_tiles(polys, z=5)
+    rows = out.collect()
+    assert len(rows) > 0
+    src = {r.poly_id: (r.maxx - r.minx) * (r.maxy - r.miny) for r in rects.collect()}
+    sums = {}
+    n = 1 << 5
+    for r in rows:
+        xy = np.asarray(r.coords).reshape(-1, 2)
+        a = _area([tuple(v) for v in xy])
+        sums[r.poly_id] = sums.get(r.poly_id, 0.0) + a
+        # inside its tile bounds
+        west = r.x * 360.0 / n - 180.0
+        east = (r.x + 1) * 360.0 / n - 180.0
+        assert (xy[:, 0] >= west - 1e-6).all() and (xy[:, 0] <= east + 1e-6).all(), r.poly_id
+    for pid, total in sums.items():
+        assert abs(total - src[pid]) < 1e-6 * max(1.0, src[pid]), (pid, total, src[pid])
