@@ -150,3 +150,81 @@ def clip_polygons(df: DataFrame, *, coords: str = "coords",
                 names=keep + [coords, ring_lens])
 
     return df.mapInArrow(_clip, out_schema)
+
+
+def clip_lines_kernel(coords: np.ndarray, line_nv: np.ndarray,
+                      minx, miny, maxx, maxy):
+    """Clip L polylines to per-line rects (Liang–Barsky per segment,
+    vectorized across every segment of every line at once). A polyline
+    leaving and re-entering the rect splits into multiple parts.
+
+    Returns (flat coords, part_nv, line_of_part): clipped parts in input
+    order, each ≥2 vertices, mapped back to their source line."""
+    xy = coords.reshape(-1, 2).astype(np.float64)
+    L = len(line_nv)
+    line_nv = np.asarray(line_nv, dtype=np.int64)
+    v_line = np.repeat(np.arange(L), line_nv)
+    # segments: vertex i -> i+1 within the same line
+    starts = np.zeros(L, dtype=np.int64)
+    starts[1:] = np.cumsum(line_nv)[:-1]
+    seg_mask = np.ones(len(xy), dtype=bool)
+    seg_mask[starts + line_nv - 1] = False  # last vertex of each line
+    si = np.flatnonzero(seg_mask)
+    if len(si) == 0:
+        e = np.empty(0, np.float64)
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    p = xy[si]
+    q = xy[si + 1]
+    seg_line = v_line[si]
+    bx0 = np.broadcast_to(np.asarray(minx, np.float64), (L,))[seg_line]
+    by0 = np.broadcast_to(np.asarray(miny, np.float64), (L,))[seg_line]
+    bx1 = np.broadcast_to(np.asarray(maxx, np.float64), (L,))[seg_line]
+    by1 = np.broadcast_to(np.asarray(maxy, np.float64), (L,))[seg_line]
+
+    d = q - p
+    t0 = np.zeros(len(si))
+    t1 = np.ones(len(si))
+    keep = np.ones(len(si), dtype=bool)
+    for axis, lo, hi in ((0, bx0, bx1), (1, by0, by1)):
+        dd = d[:, axis]
+        pp = p[:, axis]
+        safe = np.where(np.abs(dd) < 1e-300, 1e-300, dd)
+        ta = (lo - pp) / safe
+        tb = (hi - pp) / safe
+        tlo = np.minimum(ta, tb)
+        thi = np.maximum(ta, tb)
+        parallel = np.abs(dd) < 1e-300
+        inside_par = (pp >= lo - 1e-12) & (pp <= hi + 1e-12)
+        t0 = np.where(parallel, t0, np.maximum(t0, tlo))
+        t1 = np.where(parallel, t1, np.minimum(t1, thi))
+        keep &= ~parallel | inside_par
+    keep &= t0 <= t1 + 1e-15
+    a = p + d * np.clip(t0, 0, 1)[:, None]
+    b = p + d * np.clip(t1, 0, 1)[:, None]
+
+    ki = np.flatnonzero(keep)
+    if len(ki) == 0:
+        e = np.empty(0, np.float64)
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    a, b = a[ki], b[ki]
+    kl = seg_line[ki]
+    ksi = si[ki]
+    # part breaks: different line, non-consecutive segment, or a gap
+    # (previous clipped end != this clipped start)
+    new_part = np.ones(len(ki), dtype=bool)
+    if len(ki) > 1:
+        contig = (kl[1:] == kl[:-1]) & (ksi[1:] == ksi[:-1] + 1)
+        joined = contig & (np.abs(b[:-1] - a[1:]).max(axis=1) < 1e-12)
+        new_part[1:] = ~joined
+    part_id = np.cumsum(new_part) - 1
+    n_parts = int(part_id[-1]) + 1
+    # each part: first segment contributes (a, b); later ones contribute b
+    n_pts = np.bincount(part_id, minlength=n_parts) + 1
+    out = np.empty((int(n_pts.sum()), 2), dtype=np.float64)
+    off = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(n_pts, out=off[1:])
+    out[off[:-1]] = a[new_part]
+    local = np.arange(len(ki)) - np.flatnonzero(new_part)[part_id]
+    out[off[:-1][part_id] + local + 1] = b
+    line_of_part = kl[new_part]
+    return out.reshape(-1), n_pts.astype(np.int64), line_of_part

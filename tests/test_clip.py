@@ -152,3 +152,66 @@ def test_split_clip_tiles_partitions_rect_area(spark, sf_small):
         assert (xy[:, 0] >= west - 1e-6).all() and (xy[:, 0] <= east + 1e-6).all(), r.poly_id
     for pid, total in sums.items():
         assert abs(total - src[pid]) < 1e-6 * max(1.0, src[pid]), (pid, total, src[pid])
+
+
+def test_clip_lines_kernel():
+    rng = np.random.default_rng(91)
+
+    def ref_clip_line(pts, rect):
+        """reference: per-segment Liang–Barsky + part assembly."""
+        minx, miny, maxx, maxy = rect
+        parts, cur = [], []
+        for i in range(len(pts) - 1):
+            p, q = np.asarray(pts[i], float), np.asarray(pts[i + 1], float)
+            d = q - p
+            t0, t1, ok = 0.0, 1.0, True
+            for axis, lo, hi in ((0, minx, maxx), (1, miny, maxy)):
+                if abs(d[axis]) < 1e-300:
+                    if not (lo - 1e-12 <= p[axis] <= hi + 1e-12):
+                        ok = False
+                    continue
+                ta, tb = (lo - p[axis]) / d[axis], (hi - p[axis]) / d[axis]
+                t0, t1 = max(t0, min(ta, tb)), min(t1, max(ta, tb))
+            if not ok or t0 > t1 + 1e-15:
+                if cur:
+                    parts.append(cur); cur = []
+                continue
+            a, b = p + d * max(t0, 0), p + d * min(t1, 1)
+            if cur and np.abs(np.asarray(cur[-1]) - a).max() < 1e-12:
+                cur.append(tuple(b))
+            else:
+                if cur:
+                    parts.append(cur)
+                cur = [tuple(a), tuple(b)]
+        if cur:
+            parts.append(cur)
+        return parts
+
+    lines, nvs = [], []
+    for _ in range(150):
+        nv = int(rng.integers(2, 15))
+        lines.append(rng.uniform(-6, 6, (nv, 2)))
+        nvs.append(nv)
+    coords = np.concatenate([l.reshape(-1) for l in lines])
+    rect = (-2.5, -2.5, 2.5, 2.5)
+    out_c, part_nv, line_of = C.clip_lines_kernel(
+        coords, np.array(nvs), *rect)
+    got_parts = {i: [] for i in range(150)}
+    off = 0
+    xy = out_c.reshape(-1, 2)
+    for k, nv in enumerate(part_nv):
+        got_parts[int(line_of[k])].append([tuple(v) for v in xy[off : off + nv]])
+        off += nv
+    for i in range(150):
+        want = ref_clip_line([tuple(v) for v in lines[i]], rect)
+        got = got_parts[i]
+        assert len(got) == len(want), i
+        for g, w in zip(got, want):
+            assert len(g) == len(w), i
+            for gv, wv in zip(g, w):
+                assert abs(gv[0] - wv[0]) < 1e-9 and abs(gv[1] - wv[1]) < 1e-9, i
+        # all clipped points inside the rect
+        for part in got:
+            for x, y in part:
+                assert -2.5 - 1e-9 <= x <= 2.5 + 1e-9
+                assert -2.5 - 1e-9 <= y <= 2.5 + 1e-9
