@@ -224,18 +224,17 @@ def q_polygon_roundtrip(spark, sf):
 
 
 def q_props_roundtrip(spark, sf):
-    # property key/value tables through the REAL binary: vectorized encode
-    # (fixed schema) → generic decode → parsed values equal the source
+    # property key/value tables through the REAL binary, vectorized BOTH
+    # ways: fixed-schema encode → wire-level lazy single-prop reads
+    # (LazyFeatureTileID semantics) — no per-row Python anywhere
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     pts = minted.minted_points(spark, sf).join(d, "doc_id")
-    enc = spark_codec.encode_points_with_props(pts, props=["lang", "n_chars"])
-    dec = spark_codec.decode_features_generic(enc)
-    parsed = dec.select(
-        F.col("id").alias("doc_id"),
-        F.from_json("props_json", "lang string, n_chars bigint").alias("p"),
-    )
-    return parsed.select("doc_id", F.col("p.lang").alias("lang"),
-                         F.col("p.n_chars").alias("n_chars"))
+    enc = spark_codec.encode_points_with_props(pts, props=["lang", "n_chars"]) \
+        .localCheckpoint(eager=False)  # two lazy readers share one encode
+    langs = spark_codec.lazy_property(enc, "lang")
+    nchars = spark_codec.lazy_property(enc, "n_chars", value_type="bigint")
+    return langs.join(nchars, "id").select(
+        F.col("id").alias("doc_id"), "lang", "n_chars")
 
 
 def q_feature_count(spark, sf):

@@ -1504,3 +1504,67 @@ def frame_bbox(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
                 [col(w), col(s_), col(e_), col(n_)], names=["w_q", "s_q", "e_q", "n_q"])
 
     return df.select(bin_col).mapInArrow(_b, schema)
+
+
+def decode_points_any_kernel(frames: pa.Array):
+    """Decode point frames REGARDLESS of extra fields (properties etc.):
+    field-walk to the geometry payload per frame, gather those byte ranges
+    into one contiguous buffer, single varint sweep → (ids, qx, qy).
+    Stays fully vectorized where `decode_points_kernel`'s fixed 14-token
+    layout would break."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+
+    ids = np.zeros(n, dtype=np.int64)
+    g_start = np.full(n, -1, dtype=np.int64)
+    g_len = np.zeros(n, dtype=np.int64)
+    for active, tag, pstart, plen, v, _ in frame_fields_walk(flat, starts, ends):
+        is_id = tag == 0x08
+        if is_id.any():
+            ids[active[is_id]] = v[is_id].astype(np.int64)
+        is_geom = tag == 0x22
+        if is_geom.any():
+            g_start[active[is_geom]] = pstart[is_geom]
+            g_len[active[is_geom]] = plen[is_geom]
+    if (g_start < 0).any():
+        raise ValueError("frame without geometry field")
+    # gather all geometry payloads contiguously, one varint sweep
+    total = int(g_len.sum())
+    row_of_byte = np.repeat(np.arange(n), g_len)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(g_len)[:-1])), g_len)
+    gbuf = flat[g_start[row_of_byte] + local]
+    tokens = core.unpack_varints(gbuf, 0, len(gbuf))
+    if len(tokens) != 2 * n:
+        raise ValueError("not a point batch (geometry is not 2 values/frame)")
+    tok = tokens.reshape(n, 2)
+    return ids, core.unzigzag_vec(tok[:, 0]), core.unzigzag_vec(tok[:, 1])
+
+
+def decode_points_any(df: DataFrame, bin_col: str = "geobuf",
+                      id_col: str = "id") -> DataFrame:
+    """DataFrame wrapper of `decode_points_any_kernel` — point frames with
+    any extra fields → (id, lon_q, lat_q)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("lon_q", T.LongType()),
+        T.StructField("lat_q", T.LongType()),
+    ])
+
+    def _dec(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            ids, qx, qy = decode_points_any_kernel(frames)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(qx, type=pa.int64()),
+                 pa.array(qy, type=pa.int64())],
+                names=[id_col, "lon_q", "lat_q"])
+
+    return df.select(bin_col).mapInArrow(_dec, schema)

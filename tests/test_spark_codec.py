@@ -229,3 +229,28 @@ def test_frame_bbox_missing_field():
     # but keys ARE readable from the same frames
     rows, keys = sc.frame_keys_kernel(arr)
     assert "AREA" in set(keys) and "COLORKEY" in set(keys)
+
+
+def test_decode_points_any_with_props(spark, sf_small):
+    """props-bearing point frames decode vectorized: coords equal the
+    source lattice, ids preserved — no 14-token layout assumption."""
+    import numpy as np
+
+    from geobuf_spark.sources import minted
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pts = minted.minted_points(spark, sf_small).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    enc = sc.encode_points_with_props(pts, props=["lang", "n_chars"])
+    frames = pa.array([bytes(r.geobuf) for r in enc.collect()], type=pa.binary())
+    ids, qx, qy = sc.decode_points_any_kernel(frames)
+    src = {r.doc_id: (r.lon, r.lat) for r in pts.collect()}
+    for i in range(len(ids)):
+        lo, la = src[int(ids[i])]
+        assert qx[i] == core.quantize_vec(np.array([lo]))[0]
+        assert qy[i] == core.quantize_vec(np.array([la]))[0]
+    # also works on prop-less frames (same results as the fixed-layout path)
+    enc2 = sc.encode_points_kernel(np.arange(10), np.linspace(-5, 5, 10), np.linspace(2, 3, 10))
+    a1 = sc.decode_points_any_kernel(enc2)
+    a2 = sc.decode_points_kernel(enc2)
+    assert np.array_equal(a1[1], a2[1]) and np.array_equal(a1[2], a2[2])
