@@ -193,3 +193,56 @@ def test_geometry_collection_bbox():
     assert bb.tolist() == [-20.0, -5.0, 10.0, 40.0]
     assert merge_bboxes(geom_bbox(f1), geom_bbox(f2)).tolist() == [-20.0, -5.0, 10.0, 40.0]
     assert expand_bboxes([]).tolist() == [0.0, 0.0, 0.0, 0.0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9)),
+                 min_size=2, max_size=20),
+        min_size=1, max_size=10),
+)
+def test_fuzz_lines_batch_kernel_roundtrip(lines):
+    """Hypothesis: arbitrary float polylines round-trip the vectorized
+    LineString batch kernel exactly on the quantized lattice."""
+    import numpy as np
+
+    from geobuf_spark.codec import spark_codec as sc
+
+    nv = np.array([len(l) for l in lines], dtype=np.int64)
+    coords = np.array([c for l in lines for pt in l for c in pt], dtype=np.float64)
+    ids = np.arange(len(lines), dtype=np.int64)
+    arr = sc.encode_lines_kernel(ids, coords, nv)
+    dids, dcoords, dnv = sc.decode_lines_kernel(arr)
+    assert np.array_equal(dids, ids)
+    assert np.array_equal(dnv, nv)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.lists(st.tuples(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9)),
+                     min_size=3, max_size=10),
+            min_size=1, max_size=3),
+        min_size=1, max_size=6),
+)
+def test_fuzz_multipolygon_batch_kernel_roundtrip(feats):
+    """Hypothesis: nested MultiPolygon structures round-trip the two-level
+    batch kernel with exact structure arrays."""
+    import numpy as np
+
+    from geobuf_spark.codec import spark_codec as sc
+
+    ppf = np.array([len(f) for f in feats], dtype=np.int64)
+    rpp = np.array([1 for f in feats for _ in f], dtype=np.int64)
+    ring_nv = np.array([len(r) for f in feats for r in f], dtype=np.int64)
+    coords = np.array([c for f in feats for r in f for pt in r for c in pt], dtype=np.float64)
+    ids = np.arange(len(feats), dtype=np.int64)
+    arr = sc.encode_multipolygons_kernel(ids, coords, ring_nv, rpp, ppf)
+    dids, dcoords, dnv, drpp, dppf, dim = sc.decode_multipolygons_kernel(arr)
+    assert dim == 2
+    assert np.array_equal(dppf, ppf) and np.array_equal(drpp, rpp)
+    assert np.array_equal(dnv, ring_nv)
+    assert np.array_equal(dcoords, core.quantize_vec(coords))
