@@ -228,3 +228,46 @@ def clip_lines_kernel(coords: np.ndarray, line_nv: np.ndarray,
     out[off[:-1][part_id] + local + 1] = b
     line_of_part = kl[new_part]
     return out.reshape(-1), n_pts.astype(np.int64), line_of_part
+
+
+def tile_local_kernel(coords: np.ndarray, ring_nv: np.ndarray,
+                      west, south, east, north, extent: int = 4096):
+    """Snap ring coords to the tile-local integer grid (0..extent-1) and
+    collapse consecutive duplicate vertices — the per-zoom simplification
+    every vector-tile pipeline applies (coarser zoom ⇒ bigger cells ⇒
+    more collapse). Per-ring bounds arrays; fully vectorized.
+
+    Returns (flat int coords, ring_nv) — rings may shrink; closing
+    duplicates (last == first) are also dropped."""
+    xy = coords.reshape(-1, 2).astype(np.float64)
+    R = len(ring_nv)
+    ring_nv = np.asarray(ring_nv, dtype=np.int64)
+    ring_of = np.repeat(np.arange(R), ring_nv)
+    west = np.broadcast_to(np.asarray(west, np.float64), (R,))[ring_of]
+    south = np.broadcast_to(np.asarray(south, np.float64), (R,))[ring_of]
+    east = np.broadcast_to(np.asarray(east, np.float64), (R,))[ring_of]
+    north = np.broadcast_to(np.asarray(north, np.float64), (R,))[ring_of]
+
+    px = np.clip(np.floor((xy[:, 0] - west) / np.maximum(east - west, 1e-300) * extent),
+                 0, extent - 1).astype(np.int64)
+    py = np.clip(np.floor((north - xy[:, 1]) / np.maximum(north - south, 1e-300) * extent),
+                 0, extent - 1).astype(np.int64)
+
+    # consecutive-duplicate collapse per ring (incl. wrap-around closing dup)
+    starts = np.zeros(R, dtype=np.int64)
+    starts[1:] = np.cumsum(ring_nv)[:-1]
+    idx = np.arange(len(px))
+    local = idx - starts[ring_of]
+    prev_local = np.where(local == 0, ring_nv[ring_of] - 1, local - 1)
+    prev = starts[ring_of] + prev_local
+    dup = (px == px[prev]) & (py == py[prev]) & (ring_nv[ring_of] > 1)
+    keep = ~dup
+    # ensure at least one vertex per nonempty ring survives
+    survivors = np.bincount(ring_of[keep], minlength=R)
+    need_rescue = (survivors == 0) & (ring_nv > 0)
+    if need_rescue.any():
+        keep[starts[need_rescue]] = True
+
+    out = np.stack([px[keep], py[keep]], axis=1)
+    out_nv = np.bincount(ring_of[keep], minlength=R).astype(np.int64)
+    return out.reshape(-1), out_nv

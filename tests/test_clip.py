@@ -215,3 +215,29 @@ def test_clip_lines_kernel():
             for x, y in part:
                 assert -2.5 - 1e-9 <= x <= 2.5 + 1e-9
                 assert -2.5 - 1e-9 <= y <= 2.5 + 1e-9
+
+
+def test_tile_local_kernel():
+    # two rings in one call with different bounds
+    ring1 = np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])
+    # a near-degenerate ring at coarse extent: many close points collapse
+    ring2 = np.array([[10.0, 10.0], [10.001, 10.001], [10.002, 10.0],
+                      [11.0, 11.0], [10.0, 10.0]])
+    coords = np.concatenate([ring1.reshape(-1), ring2.reshape(-1)])
+    nv = np.array([4, 5])
+    out_c, out_nv = C.tile_local_kernel(
+        coords, nv,
+        west=np.array([0.0, 10.0]), south=np.array([0.0, 10.0]),
+        east=np.array([10.0, 12.0]), north=np.array([10.0, 12.0]),
+        extent=16)
+    xy = out_c.reshape(-1, 2)
+    assert (xy >= 0).all() and (xy < 16).all()
+    # ring1: corners map to distinct cells, all 4 survive
+    assert out_nv[0] == 4
+    # ring2: the three clustered points collapse to one; closing dup dropped
+    assert out_nv[1] == 2, out_nv
+    # fully-degenerate ring keeps exactly one vertex
+    tiny = np.array([[1.0, 1.0], [1.0001, 1.0001], [1.0002, 1.0]])
+    out_c2, out_nv2 = C.tile_local_kernel(
+        tiny.reshape(-1), np.array([3]), 0.0, 0.0, 100.0, 100.0, extent=8)
+    assert out_nv2[0] == 1
