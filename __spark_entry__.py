@@ -149,6 +149,19 @@ def q_split_clip_z5(spark, sf):
     return piece.filter((F.col("pmaxx") > F.col("pminx")) & (F.col("pmaxy") > F.col("pminy")))
 
 
+def q_vector_tiles_z5(spark, sf):
+    # capstone tiling pipeline: cover → clip → tile-local grid snap
+    # (rows-only: grid dedupe is not SQL-expressible; pytest pins the
+    # in-range/collapse invariants, split_clip_z5 oracles the clip stage)
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    out = tiling.vector_tiles(polys, z=5, extent=256)
+    return out.select("poly_id", "z", "x", "y",
+                      F.size("grid_coords").alias("n_grid_values"))
+
+
 def q_pip_join_rects(spark, sf):
     return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
                        strategy="broadcast").select("doc_id", "poly_id")
@@ -720,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "pip_join_rects": q_pip_join_rects,
         "split_clip_z5": q_split_clip_z5,
+        "vector_tiles_z5": q_vector_tiles_z5,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "pip_join_s2": q_pip_join_s2,
         "pip_join_triangles": q_pip_join_triangles,

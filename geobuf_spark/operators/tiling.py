@@ -142,3 +142,63 @@ def split_clip_tiles(polys: DataFrame, z: int) -> DataFrame:
         .withColumnRenamed("tile_x", "x").withColumnRenamed("tile_y", "y")
     clipped = clip_polygons(covered)
     return clipped.drop("tminx", "tminy", "tmaxx", "tmaxy")
+
+
+def vector_tiles(polys: DataFrame, z: int, extent: int = 4096) -> DataFrame:
+    """The complete vector-tile materialization: cover explode → clip to
+    tile bounds (Sutherland–Hodgman) → snap to the tile-local integer grid
+    with duplicate collapse. Output rows (poly_id…, z, x, y, grid_coords
+    array<bigint> interleaved, ring_lens) are exactly what a tile encoder
+    serializes — partitioned-write-ready with one shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from geobuf_spark.operators.clip import tile_local_kernel
+
+    clipped = split_clip_tiles(polys, z)
+    w, s, e, n = tiles.tile_bounds(z, F.col("x"), F.col("y"))
+    clipped = clipped.withColumn("_w", w).withColumn("_s", s) \
+        .withColumn("_e", e).withColumn("_n", n)
+
+    in_cols = clipped.columns
+    keep = [c for c in in_cols if c not in ("coords", "ring_lens", "_w", "_s", "_e", "_n")]
+    out_schema = T.StructType(
+        [f for f in clipped.schema.fields if f.name in keep]
+        + [T.StructField("grid_coords", T.ArrayType(T.LongType())),
+           T.StructField("ring_lens", T.ArrayType(T.IntegerType()))]
+    )
+    ix = {c: in_cols.index(c) for c in in_cols}
+
+    def _snap(batches):
+        for batch in batches:
+            carr = batch.column(ix["coords"])
+            rarr = batch.column(ix["ring_lens"])
+            nrows = len(carr)
+            if nrows == 0:
+                continue
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            ring_nv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_of_ring = np.repeat(np.arange(nrows), roffs[1:] - roffs[:-1])
+            wv = batch.column(ix["_w"]).to_numpy(zero_copy_only=False)[row_of_ring]
+            sv = batch.column(ix["_s"]).to_numpy(zero_copy_only=False)[row_of_ring]
+            ev = batch.column(ix["_e"]).to_numpy(zero_copy_only=False)[row_of_ring]
+            nv_ = batch.column(ix["_n"]).to_numpy(zero_copy_only=False)[row_of_ring]
+            out_c, out_nv = tile_local_kernel(flat, ring_nv, wv, sv, ev, nv_, extent)
+            rows_nv = np.zeros(nrows, dtype=np.int64)
+            np.add.at(rows_nv, row_of_ring, out_nv)
+            rows_nr = roffs[1:] - roffs[:-1]
+            coffs = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(rows_nv * 2, out=coffs[1:])
+            roffs_out = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(rows_nr, out=roffs_out[1:])
+            carr_out = pa.ListArray.from_arrays(
+                pa.array(coffs), pa.array(out_c, type=pa.int64()))
+            rarr_out = pa.ListArray.from_arrays(
+                pa.array(roffs_out), pa.array(out_nv.astype(np.int32), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(ix[c]) for c in keep] + [carr_out, rarr_out],
+                names=keep + ["grid_coords", "ring_lens"])
+
+    return clipped.mapInArrow(_snap, out_schema)

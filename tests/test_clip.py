@@ -241,3 +241,22 @@ def test_tile_local_kernel():
     out_c2, out_nv2 = C.tile_local_kernel(
         tiny.reshape(-1), np.array([3]), 0.0, 0.0, 100.0, 100.0, extent=8)
     assert out_nv2[0] == 1
+
+
+def test_vector_tiles_end_to_end(spark, sf_small):
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.sources import minted
+
+    rects = minted.minted_rects(spark, sf_small).limit(50)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = rects.select("poly_id", "minx", "miny", "maxx", "maxy",
+                         ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    vt = tiling.vector_tiles(polys, z=5, extent=256).collect()
+    assert len(vt) > 0
+    for r in vt:
+        g = np.asarray(r.grid_coords).reshape(-1, 2)
+        assert (g >= 0).all() and (g < 256).all(), r.poly_id
+        assert sum(r.ring_lens) * 2 == len(r.grid_coords)
+        # consecutive grid vertices are distinct
+        for i in range(1, len(g)):
+            assert tuple(g[i]) != tuple(g[i - 1])
