@@ -162,6 +162,20 @@ def q_vector_tiles_z5(spark, sf):
                       F.size("grid_coords").alias("n_grid_values"))
 
 
+def q_mvt_tiles_z4(spark, sf):
+    # real Mapbox Vector Tile blobs (spec 2.1 wire format) from the full
+    # cover→clip→snap pipeline; rows-only (binary output), round-trip
+    # verified by the spec-conformant parser in pytest
+    from geobuf_spark.functions import mvt as MVT
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    vt = tiling.vector_tiles(polys, z=4, extent=4096)
+    return MVT.build_mvt_tiles(vt, layer_name="rects") \
+        .select("z", "x", "y", "n_features", F.octet_length("mvt").alias("n_bytes"))
+
+
 def q_pip_join_rects(spark, sf):
     return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
                        strategy="broadcast").select("doc_id", "poly_id")
@@ -734,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_rects": q_pip_join_rects,
         "split_clip_z5": q_split_clip_z5,
         "vector_tiles_z5": q_vector_tiles_z5,
+        "mvt_tiles_z4": q_mvt_tiles_z4,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "pip_join_s2": q_pip_join_s2,
         "pip_join_triangles": q_pip_join_triangles,

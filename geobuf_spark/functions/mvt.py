@@ -1,0 +1,245 @@
+"""Mapbox Vector Tile (MVT) encoding — the published vector-tile-spec 2.1
+wire format, written with the same hand-rolled protobuf machinery as the
+geobuf codec (no protobuf library):
+
+  Tile      := (field 3: Layer)*
+  Layer     := field 15: version=2 | field 1: name | field 5: extent
+               | (field 2: Feature)*
+  Feature   := field 1: id | field 3: geom type | field 4: packed commands
+  commands  := CommandInteger (id&0x7 | count<<3); MoveTo=1 LineTo=2
+               ClosePath=7; params zigzag deltas, cursor persists across
+               rings within a feature.
+
+Geometry command streams are built vectorized per batch (the same
+token-scatter pattern as the geobuf kernels); per-tile Tile/Layer framing
+happens in the per-tile groupBy — one message per tile, small by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geobuf_spark.codec import core
+from geobuf_spark.codec.spark_codec import _varint_matrix
+
+MOVETO, LINETO, CLOSEPATH = 1, 2, 7
+GEOM_POLYGON = 3
+
+
+def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
+                            rings_per_feat: np.ndarray) -> pa.Array:
+    """Per-feature MVT POLYGON command streams → Arrow binary array.
+
+    Token stream per ring: [MoveTo|1, zz(dx), zz(dy), LineTo|(nv-1),
+    zz(deltas)…, ClosePath|1]; the delta cursor runs across the whole
+    feature. All tokens for the whole batch are built in one pass and
+    varint-packed with the geobuf byte-matrix machinery."""
+    R = len(ring_nv)
+    n_feat = len(rings_per_feat)
+    ring_nv = np.asarray(ring_nv, dtype=np.int64)
+    rings_per_feat = np.asarray(rings_per_feat, dtype=np.int64)
+    xy = grid_coords.reshape(-1, 2).astype(np.int64)
+
+    # per-feature delta chain (cursor resets per FEATURE, not per ring)
+    feat_ring_start = np.zeros(n_feat, dtype=np.int64)
+    feat_ring_start[1:] = np.cumsum(rings_per_feat)[:-1]
+    v_starts = np.zeros(R, dtype=np.int64)
+    v_starts[1:] = np.cumsum(ring_nv)[:-1]
+    feat_v_start = v_starts[feat_ring_start]
+    d = np.empty_like(xy)
+    if len(xy):
+        d[0] = xy[0]
+        d[1:] = xy[1:] - xy[:-1]
+        # the spec initializes the cursor to (0,0) per FEATURE: each
+        # feature's first MoveTo params are absolute grid coords
+        d[feat_v_start] = xy[feat_v_start]
+    zz = core.zigzag_vec(d.reshape(-1))
+
+    # token layout per ring: 1 + 2 + 1 + 2*(nv-1) + 1 = 2*nv + 3
+    ring_tok = 2 * ring_nv + 3
+    ring_tok_off = np.zeros(R, dtype=np.int64)
+    ring_tok_off[1:] = np.cumsum(ring_tok)[:-1]
+    total = int(ring_tok.sum())
+    tokens = np.empty(total, dtype=np.uint64)
+    filled = np.zeros(total, dtype=bool)
+    # command integers
+    tokens[ring_tok_off] = (MOVETO & 7) | (1 << 3)
+    filled[ring_tok_off] = True
+    lineto_pos = ring_tok_off + 3
+    tokens[lineto_pos] = (LINETO & 7) | ((ring_nv - 1).astype(np.uint64) << np.uint64(3))
+    filled[lineto_pos] = True
+    close_pos = ring_tok_off + ring_tok - 1
+    tokens[close_pos] = (CLOSEPATH & 7) | (1 << 3)
+    filled[close_pos] = True
+    # delta params fill the non-command slots, which run per ring as
+    # [off+1, off+2] (MoveTo params) then [off+4 .. off+2nv+1] (LineTo
+    # params) — ring-major vertex order, exactly zz's order
+    tokens[~filled] = zz
+
+    feat_tok_start = ring_tok_off[feat_ring_start]
+    feat_tok = np.add.reduceat(ring_tok, feat_ring_start) if R else np.zeros(n_feat, np.int64)
+
+    mg, lg = _varint_matrix(tokens)
+    glen = np.add.reduceat(lg, feat_tok_start) if R else np.zeros(n_feat, np.int64)
+    offsets = np.zeros(n_feat + 1, dtype=np.int64)
+    np.cumsum(glen, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+    # scatter varint bytes (segmented, like the geobuf kernels)
+    tok_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lg, out=tok_off[1:])
+    feat_of_tok = np.repeat(np.arange(n_feat), feat_tok)
+    base = offsets[:-1][feat_of_tok] + (tok_off[:-1] - tok_off[feat_tok_start][feat_of_tok])
+    for j in range(mg.shape[1]):
+        sel = lg > j
+        buf[base[sel] + j] = mg[sel, j]
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n_feat,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def _field(tag: int, wire: int, payload: bytes) -> bytes:
+    head = bytes([(tag << 3) | wire])
+    if wire == 2:
+        return head + core.encode_varint(len(payload)) + payload
+    return head + payload
+
+
+def mvt_feature_bytes(fid: int, geom_cmds: bytes, geom_type: int = GEOM_POLYGON) -> bytes:
+    out = _field(1, 0, core.encode_varint(fid))
+    out += _field(3, 0, core.encode_varint(geom_type))
+    out += _field(4, 2, geom_cmds)
+    return out
+
+
+def mvt_layer_bytes(name: str, features: list, extent: int = 4096) -> bytes:
+    body = _field(15, 0, core.encode_varint(2))       # version
+    body += _field(1, 2, name.encode("utf-8"))
+    for fb in features:
+        body += _field(2, 2, fb)
+    body += _field(5, 0, core.encode_varint(extent))
+    return body
+
+
+def mvt_tile_bytes(layer: bytes) -> bytes:
+    return _field(3, 2, layer)
+
+
+def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
+                    extent: int = 4096, id_col: str = "poly_id") -> DataFrame:
+    """(z, x, y, poly_id, grid_coords, ring_lens) rows → one MVT blob per
+    tile. Command streams are kernel-built per Arrow batch; the per-tile
+    Tile/Layer framing runs in the tile groupBy (tiles are small by
+    construction)."""
+    import pandas as pd
+
+    cmd_schema = T.StructType([
+        T.StructField("z", T.IntegerType()), T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()), T.StructField(id_col, T.LongType()),
+        T.StructField("cmds", T.BinaryType()),
+    ])
+    cols = ["z", "x", "y", id_col, "grid_coords", "ring_lens"]
+
+    def _cmds(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            carr = batch.column(4)
+            rarr = batch.column(5)
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            ring_nv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            rpf = roffs[1:] - roffs[:-1]
+            cmds = polygon_commands_kernel(flat, ring_nv, rpf)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).cast(pa.int32()), batch.column(1).cast(pa.int64()),
+                 batch.column(2).cast(pa.int64()), batch.column(3).cast(pa.int64()), cmds],
+                names=["z", "x", "y", id_col, "cmds"])
+
+    with_cmds = vt.select(*cols).mapInArrow(_cmds, cmd_schema)
+
+    out_schema = T.StructType([
+        T.StructField("z", T.IntegerType()), T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()), T.StructField("mvt", T.BinaryType()),
+        T.StructField("n_features", T.LongType()),
+    ])
+
+    def _tile(key, pdf):
+        feats = [mvt_feature_bytes(int(r[id_col]), bytes(r["cmds"]))
+                 for _, r in pdf.sort_values(id_col).iterrows()]
+        blob = mvt_tile_bytes(mvt_layer_bytes(layer_name, feats, extent))
+        return pd.DataFrame({"z": [key[0]], "x": [key[1]], "y": [key[2]],
+                             "mvt": [blob], "n_features": [len(feats)]})
+
+    return with_cmds.groupBy("z", "x", "y").applyInPandas(_tile, out_schema)
+
+
+# --- reader (verification-grade): parse an MVT blob back --------------------
+
+def parse_mvt(blob: bytes) -> dict:
+    """Minimal spec-conformant parse of one tile: layers → features →
+    decoded grid rings. Used to round-trip-verify our writer (and usable
+    on third-party tiles that stick to id/type/geometry)."""
+    def walk(buf, pos, end):
+        while pos < end:
+            tag = buf[pos]
+            fieldno, wire = tag >> 3, tag & 7
+            pos += 1
+            if wire == 0:
+                v, pos = core.decode_varint(buf, pos)
+                yield fieldno, v, None
+            elif wire == 2:
+                ln, pos = core.decode_varint(buf, pos)
+                yield fieldno, None, buf[pos : pos + ln]
+                pos += ln
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+
+    def decode_cmds(payload):
+        vals = core.unpack_varints(np.frombuffer(payload, dtype=np.uint8), 0, len(payload))
+        rings, cur, cx, cy, i = [], [], 0, 0, 0
+        while i < len(vals):
+            cmd = int(vals[i]) & 7
+            cnt = int(vals[i]) >> 3
+            i += 1
+            if cmd in (MOVETO, LINETO):
+                for _ in range(cnt):
+                    cx += core.unzigzag64(int(vals[i])); cy += core.unzigzag64(int(vals[i + 1]))
+                    cur.append((cx, cy)); i += 2
+            elif cmd == CLOSEPATH:
+                rings.append(cur); cur = []
+            else:
+                raise ValueError(f"unknown command {cmd}")
+        if cur:
+            rings.append(cur)
+        return rings
+
+    tile = {"layers": []}
+    for f, v, payload in walk(blob, 0, len(blob)):
+        if f != 3:
+            continue
+        layer = {"name": None, "version": None, "extent": 4096, "features": []}
+        for lf, lv, lp in walk(payload, 0, len(payload)):
+            if lf == 15:
+                layer["version"] = lv
+            elif lf == 1:
+                layer["name"] = lp.decode("utf-8")
+            elif lf == 5:
+                layer["extent"] = lv
+            elif lf == 2:
+                feat = {"id": None, "type": None, "rings": None}
+                for ff, fv, fp in walk(lp, 0, len(lp)):
+                    if ff == 1:
+                        feat["id"] = fv
+                    elif ff == 3:
+                        feat["type"] = fv
+                    elif ff == 4:
+                        feat["rings"] = decode_cmds(fp)
+                layer["features"].append(feat)
+        tile["layers"].append(layer)
+    return tile

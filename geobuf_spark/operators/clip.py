@@ -271,3 +271,54 @@ def tile_local_kernel(coords: np.ndarray, ring_nv: np.ndarray,
     out = np.stack([px[keep], py[keep]], axis=1)
     out_nv = np.bincount(ring_of[keep], minlength=R).astype(np.int64)
     return out.reshape(-1), out_nv
+
+
+def ring_areas_kernel(coords: np.ndarray, ring_nv: np.ndarray) -> np.ndarray:
+    """Signed shoelace area per ring (positive = counter-clockwise),
+    vectorized: cross terms per edge, segmented sum via reduceat."""
+    xy = coords.reshape(-1, 2).astype(np.float64)
+    R = len(ring_nv)
+    ring_nv = np.asarray(ring_nv, dtype=np.int64)
+    ring_of = np.repeat(np.arange(R), ring_nv)
+    starts = np.zeros(R, dtype=np.int64)
+    starts[1:] = np.cumsum(ring_nv)[:-1]
+    idx = np.arange(len(xy))
+    local = idx - starts[ring_of]
+    nxt = starts[ring_of] + np.where(local == ring_nv[ring_of] - 1, 0, local + 1)
+    cross = xy[:, 0] * xy[nxt, 1] - xy[nxt, 0] * xy[:, 1]
+    if len(cross) == 0:
+        return np.zeros(R, dtype=np.float64)
+    return np.add.reduceat(cross, starts) / 2.0
+
+
+def normalize_winding_kernel(coords: np.ndarray, ring_nv: np.ndarray,
+                             rings_per_feat: np.ndarray):
+    """Enforce the vector-tile convention: each feature's FIRST ring
+    (outer) winds clockwise in screen space, subsequent rings (holes)
+    counter-clockwise. Reversal is one segmented gather — no Python loop.
+
+    Works on lon/lat or grid coords (screen-y grows downward after the
+    grid snap, which flips apparent orientation — callers normalize AFTER
+    snapping)."""
+    xy = coords.reshape(-1, 2).astype(np.float64)
+    R = len(ring_nv)
+    ring_nv = np.asarray(ring_nv, dtype=np.int64)
+    areas = ring_areas_kernel(coords, ring_nv)
+    feat_start = np.zeros(len(rings_per_feat), dtype=np.int64)
+    feat_start[1:] = np.cumsum(rings_per_feat)[:-1]
+    is_outer = np.zeros(R, dtype=bool)
+    is_outer[feat_start[np.asarray(rings_per_feat) > 0]] = True
+    # screen-space CW has positive shoelace when y grows downward; on
+    # grid coords "CW on screen" == positive signed area here
+    want_positive = is_outer
+    flip = (areas > 0) != want_positive
+    if not flip.any():
+        return coords.reshape(-1), ring_nv
+    ring_of = np.repeat(np.arange(R), ring_nv)
+    starts = np.zeros(R, dtype=np.int64)
+    starts[1:] = np.cumsum(ring_nv)[:-1]
+    idx = np.arange(len(xy))
+    local = idx - starts[ring_of]
+    rev = starts[ring_of] + (ring_nv[ring_of] - 1 - local)
+    src = np.where(flip[ring_of], rev, idx)
+    return xy[src].reshape(-1), ring_nv

@@ -260,3 +260,25 @@ def test_vector_tiles_end_to_end(spark, sf_small):
         # consecutive grid vertices are distinct
         for i in range(1, len(g)):
             assert tuple(g[i]) != tuple(g[i - 1])
+
+
+def test_winding_normalization():
+    # outer square CCW (negative screen area), hole CW → both must flip
+    outer = [0.0, 0, 10, 0, 10, 10, 0, 10]     # CCW in math coords
+    hole = [2.0, 2, 2, 6, 6, 6, 6, 2]          # CW in math coords
+    coords = np.array(outer + hole)
+    nv = np.array([4, 4]); rpf = np.array([2])
+    areas = C.ring_areas_kernel(coords, nv)
+    assert areas[0] > 0 and areas[1] < 0
+    out_c, out_nv = C.normalize_winding_kernel(coords, nv, rpf)
+    a2 = C.ring_areas_kernel(out_c, out_nv)
+    assert a2[0] > 0 and a2[1] < 0  # outer stays positive, hole negative
+    # flip case: reversed input normalizes to the same orientation
+    rev = np.array(outer[::-1])  # reversing the flat array flips x/y pairs wrongly…
+    rev = np.array([0.0, 10, 10, 10, 10, 0, 0, 0])  # proper CW outer
+    out_c2, _ = C.normalize_winding_kernel(np.concatenate([rev, hole]), nv, rpf)
+    a3 = C.ring_areas_kernel(out_c2, nv)
+    assert a3[0] > 0 and a3[1] < 0
+    # already-normalized input is unchanged
+    out_c3, _ = C.normalize_winding_kernel(out_c, out_nv, rpf)
+    assert np.array_equal(out_c3, out_c)

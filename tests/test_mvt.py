@@ -1,0 +1,69 @@
+"""MVT writer round-trips through the spec-conformant parser; end-to-end
+tiles from the vector_tiles pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_spark.functions import mvt as M
+
+
+def test_polygon_commands_roundtrip_kernel():
+    rng = np.random.default_rng(101)
+    feats = []
+    for _ in range(60):
+        nr = int(rng.integers(1, 4))
+        feats.append([rng.integers(0, 4096, (int(rng.integers(3, 12)), 2))
+                      for _ in range(nr)])
+    ring_nv = np.array([len(r) for f in feats for r in f], dtype=np.int64)
+    rpf = np.array([len(f) for f in feats], dtype=np.int64)
+    coords = np.concatenate([r.reshape(-1) for f in feats for r in f])
+    arr = M.polygon_commands_kernel(coords, ring_nv, rpf)
+    for i, f in enumerate(feats):
+        blob = M.mvt_tile_bytes(M.mvt_layer_bytes(
+            "t", [M.mvt_feature_bytes(i, arr[i].as_py())]))
+        parsed = M.parse_mvt(blob)
+        rings = parsed["layers"][0]["features"][0]["rings"]
+        assert len(rings) == len(f), i
+        for got, want in zip(rings, f):
+            assert got == [tuple(v) for v in want], i
+
+
+def test_mvt_layer_structure():
+    cmds = M.polygon_commands_kernel(
+        np.array([0, 0, 10, 0, 10, 10], dtype=np.float64), np.array([3]), np.array([1]))
+    blob = M.mvt_tile_bytes(M.mvt_layer_bytes(
+        "roads", [M.mvt_feature_bytes(42, cmds[0].as_py())], extent=512))
+    t = M.parse_mvt(blob)
+    layer = t["layers"][0]
+    assert layer["version"] == 2 and layer["name"] == "roads" and layer["extent"] == 512
+    feat = layer["features"][0]
+    assert feat["id"] == 42 and feat["type"] == M.GEOM_POLYGON
+    assert feat["rings"] == [[(0, 0), (10, 0), (10, 10)]]
+
+
+def test_build_mvt_tiles_end_to_end(spark, sf_small):
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.sources import minted
+
+    rects = minted.minted_rects(spark, sf_small).limit(60)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = rects.select("poly_id", "minx", "miny", "maxx", "maxy",
+                         ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    vt = tiling.vector_tiles(polys, z=4, extent=4096)
+    tiles_df = M.build_mvt_tiles(vt, layer_name="rects")
+    rows = tiles_df.collect()
+    assert len(rows) > 0
+    total_feats = 0
+    for r in rows:
+        parsed = M.parse_mvt(bytes(r.mvt))
+        layer = parsed["layers"][0]
+        assert layer["name"] == "rects" and layer["version"] == 2
+        assert len(layer["features"]) == r.n_features
+        total_feats += r.n_features
+        for feat in layer["features"]:
+            for ringv in feat["rings"]:
+                for x, y in ringv:
+                    assert 0 <= x < 4096 and 0 <= y < 4096
+    # every (feature, tile) piece became one MVT feature
+    assert total_feats == vt.count()
