@@ -193,6 +193,12 @@ def q_pip_join_s2(spark, sf):
                           strategy="broadcast").select("doc_id", "poly_id")
 
 
+def q_pip_join_hex(spark, sf):
+    # hex-indexed variant — identical pairs to the tile/s2 joins
+    return sj.pip_join_hex(_points(spark, sf), _rects(spark, sf), size_deg=3.0,
+                           strategy="broadcast").select("doc_id", "poly_id")
+
+
 def q_pip_join_triangles(spark, sf):
     tri = _tris(spark, sf) \
         .withColumn("minx", F.col("x1")).withColumn("maxx", F.col("x2")) \
@@ -751,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "pip_join_s2": q_pip_join_s2,
+        "pip_join_hex": q_pip_join_hex,
         "pip_join_triangles": q_pip_join_triangles,
         "pip_semi": q_pip_semi,
         "knn_k5": q_knn_k5,
@@ -905,6 +912,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.lon >= r.minx AND p.lon <= r.maxx
               AND p.lat >= r.miny AND p.lat <= r.maxy""",
         "pip_join_rects_salted": f"""
+            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
+            WHERE p.lon >= r.minx AND p.lon <= r.maxx
+              AND p.lat >= r.miny AND p.lat <= r.maxy""",
+        "pip_join_hex": f"""
             SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
             WHERE p.lon >= r.minx AND p.lon <= r.maxx
               AND p.lat >= r.miny AND p.lat <= r.maxy""",

@@ -78,3 +78,34 @@ def sql_hex_cell(lon: str, lat: str, size_deg: float) -> str:
     q = f"(CASE WHEN {big_q} THEN -{r0} - {s0} ELSE {q0} END)"
     r = f"(CASE WHEN NOT {big_q} AND {dr} > {ds} THEN -{q} - {s0} ELSE {r0} END)"
     return f"(({q} + {_OFF}) * {_M} + ({r} + {_OFF}))"
+
+
+def _qr_frac(lon: Column, lat: Column, size_deg: float):
+    qf = (F.lit(SQRT3 / 3.0) * lon - F.lit(1.0 / 3.0) * lat) / F.lit(size_deg)
+    rf = (F.lit(2.0 / 3.0) * lat) / F.lit(size_deg)
+    return qf, rf
+
+
+def explode_hex_cover(df, size_deg: float, minx="minx", miny="miny",
+                      maxx="maxx", maxy="maxy", out="hex"):
+    """flatMap bbox → covering hex cells, pure Column expressions.
+
+    The axial transform is LINEAR in (lon, lat), so a rect maps to a
+    parallelogram whose fractional (q, r) extremes sit at the rect's
+    corners; cube rounding moves an assignment by at most one cell, so
+    corner-extreme integer ranges padded by 1 are a guaranteed superset
+    of every hex any in-rect point maps to."""
+    corners = [(F.col(minx), F.col(miny)), (F.col(minx), F.col(maxy)),
+               (F.col(maxx), F.col(miny)), (F.col(maxx), F.col(maxy))]
+    qs = [ _qr_frac(x, y, size_deg)[0] for x, y in corners ]
+    rs = [ _qr_frac(x, y, size_deg)[1] for x, y in corners ]
+    q0 = F.floor(F.least(*qs)).cast("bigint") - 1
+    q1 = F.ceil(F.greatest(*qs)).cast("bigint") + 1
+    r0 = F.floor(F.least(*rs)).cast("bigint") - 1
+    r1 = F.ceil(F.greatest(*rs)).cast("bigint") + 1
+    return (
+        df.withColumn("_q", F.explode(F.sequence(q0, q1)))
+        .withColumn("_r", F.explode(F.sequence(r0, r1)))
+        .withColumn(out, (F.col("_q") + F.lit(_OFF)) * F.lit(_M) + (F.col("_r") + F.lit(_OFF)))
+        .drop("_q", "_r")
+    )

@@ -83,3 +83,33 @@ def test_hex_sql_twin_matches(spark):
     want = dict(con.execute(
         f"SELECT i, {H.sql_hex_cell('lon', 'lat', 1.75)} FROM pts").fetchall())
     assert got == want
+
+
+def test_hex_cover_superset(spark):
+    """every point inside a bbox hex-maps into the exploded cover."""
+    rng = np.random.default_rng(21)
+    boxes = [(int(i), float(a := rng.uniform(-170, 160)), float(b := rng.uniform(-80, 70)),
+              float(a + rng.uniform(0.1, 8)), float(b + rng.uniform(0.1, 8)))
+             for i in range(40)]
+    bdf = spark.createDataFrame(boxes, "box_id int, minx double, miny double, maxx double, maxy double")
+    cover = {(r.box_id, r.hex) for r in H.explode_hex_cover(bdf, 2.0).collect()}
+    pts = [(bid, float(rng.uniform(mnx, mxx)), float(rng.uniform(mny, mxy)))
+           for bid, mnx, mny, mxx, mxy in boxes for _ in range(25)]
+    pdf = spark.createDataFrame(pts, "box_id int, lon double, lat double") \
+        .withColumn("hex", H.hex_cell(F.col("lon"), F.col("lat"), 2.0))
+    for r in pdf.collect():
+        assert (r.box_id, r.hex) in cover, (r.box_id, r.lon, r.lat)
+
+
+def test_pip_join_hex_matches_tile_join(spark):
+    from geobuf_spark.operators import spatial_join as sj
+    from geobuf_spark.sources import minted
+
+    sf = "/root/testdata/sf0.001"
+    pts = minted.minted_points(spark, sf)
+    rects = minted.minted_rects(spark, sf)
+    want = {(r.doc_id, r.poly_id)
+            for r in sj.pip_join(pts, rects, z=6).select("doc_id", "poly_id").collect()}
+    got = {(r.doc_id, r.poly_id)
+           for r in sj.pip_join_hex(pts, rects, size_deg=3.0).select("doc_id", "poly_id").collect()}
+    assert got == want and len(want) > 0
