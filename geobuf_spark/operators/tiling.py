@@ -202,3 +202,39 @@ def vector_tiles(polys: DataFrame, z: int, extent: int = 4096) -> DataFrame:
                 names=keep + ["grid_coords", "ring_lens"])
 
     return clipped.mapInArrow(_snap, out_schema)
+
+
+def explode_multipolygon_parts(df: DataFrame, coords: str = "coords",
+                               ring_lens: str = "ring_lens",
+                               part_rings: str = "part_rings") -> DataFrame:
+    """(coords, ring_lens, part_rings) MultiPolygon rows → one row per
+    polygon part (coords/ring_lens sliced per part, `part_idx` added) —
+    the adapter that feeds MultiPolygons through split_clip_tiles /
+    vector_tiles, which operate on single-polygon ring lists.
+
+    Pure expressions: per-part ring spans via running sums over the
+    part_rings array, then vertex spans via the ring-length prefix sums."""
+    # prefix sums as arrays (aggregate returns the running array)
+    rl = F.col(ring_lens)
+    pr = F.col(part_rings)
+    # ring index range of part i: [rstart[i], rstart[i+1])
+    rstart = F.aggregate(
+        pr, F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)))
+    # vertex prefix over rings: vstart[j] = vertices before ring j (×2 coords)
+    vstart = F.aggregate(
+        rl, F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)))
+    out = (
+        df.withColumn("_rs", rstart).withColumn("_vs", vstart)
+        .select("*", F.posexplode(pr).alias("part_idx", "_nrings"))
+    )
+    r0 = F.element_at("_rs", F.col("part_idx") + 1)          # rings before part
+    r1 = r0 + F.col("_nrings")
+    v0 = F.element_at("_vs", r0 + 1)                         # vertices before part
+    v1 = F.element_at("_vs", r1 + 1)
+    return (
+        out.withColumn(ring_lens, F.slice(rl, r0 + 1, F.col("_nrings")))
+        .withColumn(coords, F.slice(F.col(coords), v0 * 2 + 1, (v1 - v0) * 2))
+        .drop("_rs", "_vs", "_nrings", part_rings)
+    )

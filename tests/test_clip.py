@@ -282,3 +282,34 @@ def test_winding_normalization():
     # already-normalized input is unchanged
     out_c3, _ = C.normalize_winding_kernel(out_c, out_nv, rpf)
     assert np.array_equal(out_c3, out_c)
+
+
+def test_explode_multipolygon_parts(spark):
+    from geobuf_spark.operators import tiling
+
+    rows = [
+        # 2 parts: part0 = 1 ring (3v), part1 = 2 rings (4v, 3v)
+        (1,
+         [float(v) for v in [0,0,1,0,1,1, 10,10,14,10,14,14,10,14, 11,11,12,11,12,12]],
+         [3, 4, 3], [1, 2]),
+        # single part, single ring
+        (2, [float(v) for v in [5,5,6,5,6,6]], [3], [1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "fid bigint, coords array<double>, ring_lens array<int>, part_rings array<int>")
+    out = tiling.explode_multipolygon_parts(df).orderBy("fid", "part_idx").collect()
+    assert [(r.fid, r.part_idx) for r in out] == [(1, 0), (1, 1), (2, 0)]
+    assert list(out[0].ring_lens) == [3] and len(out[0].coords) == 6
+    assert out[0].coords[:4] == [0.0, 0.0, 1.0, 0.0]
+    assert list(out[1].ring_lens) == [4, 3] and len(out[1].coords) == 14
+    assert out[1].coords[:2] == [10.0, 10.0] and out[1].coords[-2:] == [12.0, 12.0]
+    assert list(out[2].ring_lens) == [3]
+    # end-to-end: parts flow through vector_tiles
+    parted = tiling.explode_multipolygon_parts(df) \
+        .withColumn("minx", F.expr("aggregate(filter(transform(coords,(c,i)->struct(c,i)), s->s.i%2=0), cast(180.0 as double), (a,s)->least(a,s.c))")) \
+        .withColumn("maxx", F.expr("aggregate(filter(transform(coords,(c,i)->struct(c,i)), s->s.i%2=0), cast(-180.0 as double), (a,s)->greatest(a,s.c))")) \
+        .withColumn("miny", F.expr("aggregate(filter(transform(coords,(c,i)->struct(c,i)), s->s.i%2=1), cast(90.0 as double), (a,s)->least(a,s.c))")) \
+        .withColumn("maxy", F.expr("aggregate(filter(transform(coords,(c,i)->struct(c,i)), s->s.i%2=1), cast(-90.0 as double), (a,s)->greatest(a,s.c))")) \
+        .withColumnRenamed("fid", "poly_id")
+    vt = tiling.vector_tiles(parted, z=4, extent=64).collect()
+    assert len(vt) >= 3
