@@ -652,6 +652,31 @@ def q_tpch_q14(spark, sf):
     )
 
 
+def q_tpch_q12(spark, sf):
+    # q12 shape on this testdata's columns: priority-class line counts per
+    # linestatus for a ship-date year (the CASE-aggregation pattern)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")) \
+        .filter((F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01"))
+    hi = F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+    lo = F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+    return j.groupBy("l_linestatus").agg(hi.alias("high_line_count"),
+                                         lo.alias("low_line_count"))
+
+
+def q_tpch_q19(spark, sf):
+    # disjunctive multi-predicate join filter (q19 shape, simplified brands)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+    c2 = (F.col("p_size").between(16, 30) & F.col("l_quantity").between(10, 30))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(c1 | c2).agg(
+        F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_lines"))
+
+
 def q_running_total(spark, sf):
     # running cumulative aggregation per group (window frame op)
     from pyspark.sql import Window
@@ -799,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q19": q_tpch_q19,
         "running_total": q_running_total,
         "rollup_doc_counts": q_rollup_doc_counts,
         "pivot_lang_source": q_pivot_lang_source,
@@ -1158,6 +1185,19 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1995-01-01'
               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, n_name""",
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+            GROUP BY l_linestatus""",
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+               OR (p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)""",
         "tpch_q14": """
             SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
                                   THEN l_extendedprice * (1 - l_discount)
