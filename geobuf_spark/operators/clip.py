@@ -322,3 +322,64 @@ def normalize_winding_kernel(coords: np.ndarray, ring_nv: np.ndarray,
     rev = starts[ring_of] + (ring_nv[ring_of] - 1 - local)
     src = np.where(flip[ring_of], rev, idx)
     return xy[src].reshape(-1), ring_nv
+
+
+def clip_polylines(df: DataFrame, *, coords: str = "coords",
+                   line_lens: str = "ring_lens",
+                   minx: str = "tminx", miny: str = "tminy",
+                   maxx: str = "tmaxx", maxy: str = "tmaxy") -> DataFrame:
+    """Clip each row's polylines to its own rect columns. A line that
+    leaves and re-enters the rect becomes multiple parts (MultiLineString
+    shape: `ring_lens` holds part lengths). Rows clipped away are
+    dropped. One kernel call per Arrow batch."""
+    in_cols = df.columns
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in (coords, line_lens)]
+        + [T.StructField(coords, T.ArrayType(T.DoubleType())),
+           T.StructField(line_lens, T.ArrayType(T.IntegerType()))]
+    )
+    keep = [c for c in in_cols if c not in (coords, line_lens)]
+    ix = {c: in_cols.index(c) for c in in_cols}
+
+    def _clip(batches):
+        for batch in batches:
+            carr = batch.column(ix[coords])
+            rarr = batch.column(ix[line_lens])
+            n = len(carr)
+            if n == 0:
+                continue
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            line_nv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lines_per_row = roffs[1:] - roffs[:-1]
+            row_of_line = np.repeat(np.arange(n), lines_per_row)
+
+            bx0 = batch.column(ix[minx]).to_numpy(zero_copy_only=False)[row_of_line]
+            by0 = batch.column(ix[miny]).to_numpy(zero_copy_only=False)[row_of_line]
+            bx1 = batch.column(ix[maxx]).to_numpy(zero_copy_only=False)[row_of_line]
+            by1 = batch.column(ix[maxy]).to_numpy(zero_copy_only=False)[row_of_line]
+
+            out_c, part_nv, line_of_part = clip_lines_kernel(
+                flat, line_nv, bx0, by0, bx1, by1)
+            if len(part_nv) == 0:
+                continue
+            row_of_part = row_of_line[line_of_part]
+            rows_nv = np.zeros(n, dtype=np.int64)
+            np.add.at(rows_nv, row_of_part, part_nv)
+            rows_np = np.bincount(row_of_part, minlength=n)
+            row_keep = rows_np > 0
+
+            take = pa.array(np.flatnonzero(row_keep))
+            coffs = np.zeros(int(row_keep.sum()) + 1, dtype=np.int32)
+            np.cumsum(rows_nv[row_keep] * 2, out=coffs[1:])
+            roffs_out = np.zeros(int(row_keep.sum()) + 1, dtype=np.int32)
+            np.cumsum(rows_np[row_keep], out=roffs_out[1:])
+            carr_out = pa.ListArray.from_arrays(
+                pa.array(coffs), pa.array(out_c, type=pa.float64()))
+            rarr_out = pa.ListArray.from_arrays(
+                pa.array(roffs_out), pa.array(part_nv.astype(np.int32), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(ix[c]).take(take) for c in keep] + [carr_out, rarr_out],
+                names=keep + [coords, line_lens])
+
+    return df.mapInArrow(_clip, out_schema)

@@ -238,3 +238,18 @@ def explode_multipolygon_parts(df: DataFrame, coords: str = "coords",
         .withColumn(coords, F.slice(F.col(coords), v0 * 2 + 1, (v1 - v0) * 2))
         .drop("_rs", "_vs", "_nrings", part_rings)
     )
+
+
+def split_clip_lines(lines: DataFrame, z: int) -> DataFrame:
+    """split_clip_tiles for polyline features (the reference's roads
+    corpus): cover explode → Liang–Barsky clip per tile; re-entrant lines
+    become MultiLineString parts within the tile."""
+    from geobuf_spark.operators.clip import clip_polylines
+
+    covered = tiles.explode_bbox_cover(lines, z)
+    w, s, e, n = tiles.tile_bounds(z, F.col("tile_x"), F.col("tile_y"))
+    covered = covered.withColumn("tminx", w).withColumn("tminy", s) \
+        .withColumn("tmaxx", e).withColumn("tmaxy", n) \
+        .withColumn("z", F.lit(z)) \
+        .withColumnRenamed("tile_x", "x").withColumnRenamed("tile_y", "y")
+    return clip_polylines(covered).drop("tminx", "tminy", "tmaxx", "tmaxy")

@@ -313,3 +313,41 @@ def test_explode_multipolygon_parts(spark):
         .withColumnRenamed("fid", "poly_id")
     vt = tiling.vector_tiles(parted, z=4, extent=64).collect()
     assert len(vt) >= 3
+
+
+def test_split_clip_lines_length_conserved(spark):
+    """axis-aligned tile cuts partition each line's in-bounds length: the
+    per-tile clipped lengths sum to the original polyline length."""
+    from geobuf_spark.operators import tiling
+
+    rng = np.random.default_rng(95)
+    rows = []
+    for i in range(60):
+        nv = int(rng.integers(2, 12))
+        pts = rng.uniform(-60, 60, (nv, 2))
+        c = pts.reshape(-1).tolist()
+        rows.append((i, float(pts[:,0].min()), float(pts[:,1].min()),
+                     float(pts[:,0].max()), float(pts[:,1].max()), c, [nv]))
+    df = spark.createDataFrame(
+        rows, "line_id bigint, minx double, miny double, maxx double, maxy double, "
+              "coords array<double>, ring_lens array<int>")
+    out = tiling.split_clip_lines(df, z=4).collect()
+    assert len(out) > 0
+
+    def length(xy):
+        return float(np.hypot(np.diff(xy[:, 0]), np.diff(xy[:, 1])).sum())
+
+    got = {}
+    n = 1 << 4
+    for r in out:
+        xy = np.asarray(r.coords).reshape(-1, 2)
+        off = 0
+        for nv in r.ring_lens:
+            got[r.line_id] = got.get(r.line_id, 0.0) + length(xy[off:off+nv])
+            off += nv
+        west = r.x * 360.0 / n - 180.0
+        east = (r.x + 1) * 360.0 / n - 180.0
+        assert (xy[:, 0] >= west - 1e-6).all() and (xy[:, 0] <= east + 1e-6).all()
+    for i, *_rest, c, rl in [(r[0], *r[1:5], r[5], r[6]) for r in rows]:
+        orig = length(np.asarray(c).reshape(-1, 2))
+        assert abs(got.get(i, 0.0) - orig) < 1e-6 * max(1.0, orig), i
