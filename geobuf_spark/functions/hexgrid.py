@@ -27,9 +27,19 @@ def _rnd(c: Column) -> Column:
     return F.floor(c + F.lit(0.5)).cast("bigint")
 
 
+def _check_size(size_deg: float) -> None:
+    # |q| ≤ (√3/3·180 + 60)/size, |r| ≤ 60/size must stay under the 2^20
+    # packing offset or distinct cells alias into one id
+    if (0.5774 * 180.0 + 60.0) / size_deg >= (1 << 20):
+        raise ValueError(
+            f"size_deg={size_deg} too fine for the 2^20 axial packing "
+            "offset (cells would alias); use size_deg >= 2e-4")
+
+
 def hex_qr(lon: Column, lat: Column, size_deg: float):
     """Axial (q, r) of the hex containing (lon, lat) — pointy-top layout,
     cube rounding with largest-error correction."""
+    _check_size(size_deg)
     x, y = lon, lat
     qf = (F.lit(SQRT3 / 3.0) * x - F.lit(1.0 / 3.0) * y) / F.lit(size_deg)
     rf = (F.lit(2.0 / 3.0) * y) / F.lit(size_deg)
@@ -95,6 +105,7 @@ def explode_hex_cover(df, size_deg: float, minx="minx", miny="miny",
     corners; cube rounding moves an assignment by at most one cell, so
     corner-extreme integer ranges padded by 1 are a guaranteed superset
     of every hex any in-rect point maps to."""
+    _check_size(size_deg)
     corners = [(F.col(minx), F.col(miny)), (F.col(minx), F.col(maxy)),
                (F.col(maxx), F.col(miny)), (F.col(maxx), F.col(maxy))]
     qs = [ _qr_frac(x, y, size_deg)[0] for x, y in corners ]

@@ -42,6 +42,10 @@ def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
     n_feat = len(rings_per_feat)
     ring_nv = np.asarray(ring_nv, dtype=np.int64)
     rings_per_feat = np.asarray(rings_per_feat, dtype=np.int64)
+    if (rings_per_feat <= 0).any():
+        # reduceat over empty segments silently borrows the neighbor's
+        # value and corrupts every later feature's commands — reject
+        raise ValueError("feature with zero rings; filter before encoding")
     xy = grid_coords.reshape(-1, 2).astype(np.int64)
 
     # per-feature delta chain (cursor resets per FEATURE, not per ring)
@@ -117,12 +121,11 @@ def mvt_feature_bytes(fid: int, geom_cmds: bytes, geom_type: int = GEOM_POLYGON)
 
 
 def mvt_layer_bytes(name: str, features: list, extent: int = 4096) -> bytes:
-    body = _field(15, 0, core.encode_varint(2))       # version
-    body += _field(1, 2, name.encode("utf-8"))
-    for fb in features:
-        body += _field(2, 2, fb)
-    body += _field(5, 0, core.encode_varint(extent))
-    return body
+    parts = [_field(15, 0, core.encode_varint(2)),    # version
+             _field(1, 2, name.encode("utf-8"))]
+    parts.extend(_field(2, 2, fb) for fb in features)
+    parts.append(_field(5, 0, core.encode_varint(extent)))
+    return b"".join(parts)
 
 
 def mvt_tile_bytes(layer: bytes) -> bytes:
@@ -161,7 +164,8 @@ def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
                  batch.column(2).cast(pa.int64()), batch.column(3).cast(pa.int64()), cmds],
                 names=["z", "x", "y", id_col, "cmds"])
 
-    with_cmds = vt.select(*cols).mapInArrow(_cmds, cmd_schema)
+    with_cmds = vt.filter(F.size("ring_lens") > 0).select(*cols) \
+        .mapInArrow(_cmds, cmd_schema)
 
     out_schema = T.StructType([
         T.StructField("z", T.IntegerType()), T.StructField("x", T.LongType()),
@@ -170,8 +174,9 @@ def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
     ])
 
     def _tile(key, pdf):
-        feats = [mvt_feature_bytes(int(r[id_col]), bytes(r["cmds"]))
-                 for _, r in pdf.sort_values(id_col).iterrows()]
+        pdf = pdf.sort_values(id_col)
+        feats = [mvt_feature_bytes(int(i), bytes(c))
+                 for i, c in zip(pdf[id_col], pdf["cmds"])]
         blob = mvt_tile_bytes(mvt_layer_bytes(layer_name, feats, extent))
         return pd.DataFrame({"z": [key[0]], "x": [key[1]], "y": [key[2]],
                              "mvt": [blob], "n_features": [len(feats)]})
@@ -207,6 +212,11 @@ def parse_mvt(blob: bytes) -> dict:
             cmd = int(vals[i]) & 7
             cnt = int(vals[i]) >> 3
             i += 1
+            if cmd == MOVETO and cur:
+                # a new MoveTo starts a new part (multi-part LINESTRING /
+                # MULTIPOINT shapes); polygons close via ClosePath instead
+                rings.append(cur)
+                cur = []
             if cmd in (MOVETO, LINETO):
                 for _ in range(cnt):
                     cx += core.unzigzag64(int(vals[i])); cy += core.unzigzag64(int(vals[i + 1]))

@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -101,8 +100,7 @@ def clip_polygons(df: DataFrame, *, coords: str = "coords",
 
     def _clip(batches):
         for batch in batches:
-            carr = batch.column(ix[coords]).combine_chunks() \
-                if isinstance(batch.column(ix[coords]), pa.ChunkedArray) else batch.column(ix[coords])
+            carr = batch.column(ix[coords])
             rarr = batch.column(ix[ring_lens])
             n = len(carr)
             if n == 0:
@@ -201,6 +199,8 @@ def clip_lines_kernel(coords: np.ndarray, line_nv: np.ndarray,
     keep &= t0 <= t1 + 1e-15
     a = p + d * np.clip(t0, 0, 1)[:, None]
     b = p + d * np.clip(t1, 0, 1)[:, None]
+    # corner-grazing segments (t0 == t1) clip to a zero-length point — drop
+    keep &= np.abs(a - b).max(axis=1) > 1e-12
 
     ki = np.flatnonzero(keep)
     if len(ki) == 0:

@@ -147,14 +147,16 @@ def split_clip_tiles(polys: DataFrame, z: int) -> DataFrame:
 def vector_tiles(polys: DataFrame, z: int, extent: int = 4096) -> DataFrame:
     """The complete vector-tile materialization: cover explode → clip to
     tile bounds (Sutherland–Hodgman) → snap to the tile-local integer grid
-    with duplicate collapse. Output rows (poly_id…, z, x, y, grid_coords
-    array<bigint> interleaved, ring_lens) are exactly what a tile encoder
-    serializes — partitioned-write-ready with one shuffle."""
+    with duplicate collapse, rings degenerating below 3 grid vertices
+    dropped, and winding normalized to the vector-tile convention (outer
+    ring positive area in screen space). Output rows (poly_id…, z, x, y,
+    grid_coords array<bigint> interleaved, ring_lens) are exactly what a
+    tile encoder serializes — partitioned-write-ready with one shuffle."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    from geobuf_spark.operators.clip import tile_local_kernel
+    from geobuf_spark.operators.clip import normalize_winding_kernel, tile_local_kernel
 
     clipped = split_clip_tiles(polys, z)
     w, s, e, n = tiles.tile_bounds(z, F.col("x"), F.col("y"))
@@ -186,19 +188,36 @@ def vector_tiles(polys: DataFrame, z: int, extent: int = 4096) -> DataFrame:
             ev = batch.column(ix["_e"]).to_numpy(zero_copy_only=False)[row_of_ring]
             nv_ = batch.column(ix["_n"]).to_numpy(zero_copy_only=False)[row_of_ring]
             out_c, out_nv = tile_local_kernel(flat, ring_nv, wv, sv, ev, nv_, extent)
+            # drop rings degenerating below 3 grid vertices (MVT spec:
+            # polygon rings need LineTo count > 1), then rows left empty
+            ring_keep = out_nv >= 3
+            vert_ring = np.repeat(np.arange(len(out_nv)), out_nv)
+            out_c = out_c.reshape(-1, 2)[ring_keep[vert_ring]].reshape(-1)
+            kept_nv = out_nv[ring_keep]
+            kept_row_of_ring = row_of_ring[ring_keep]
+            rows_nr = np.bincount(kept_row_of_ring, minlength=nrows)
+            row_keep = rows_nr > 0
+            if not row_keep.any():
+                continue
+            # winding normalization per ROW (each row is one polygon: its
+            # first surviving ring is the outer)
+            out_c, kept_nv = normalize_winding_kernel(
+                out_c.astype(np.float64), kept_nv, rows_nr[row_keep])
+            out_c = out_c.astype(np.int64)
             rows_nv = np.zeros(nrows, dtype=np.int64)
-            np.add.at(rows_nv, row_of_ring, out_nv)
-            rows_nr = roffs[1:] - roffs[:-1]
-            coffs = np.zeros(nrows + 1, dtype=np.int32)
-            np.cumsum(rows_nv * 2, out=coffs[1:])
-            roffs_out = np.zeros(nrows + 1, dtype=np.int32)
-            np.cumsum(rows_nr, out=roffs_out[1:])
+            np.add.at(rows_nv, kept_row_of_ring, kept_nv)
+            nkeep = int(row_keep.sum())
+            take = pa.array(np.flatnonzero(row_keep))
+            coffs = np.zeros(nkeep + 1, dtype=np.int32)
+            np.cumsum(rows_nv[row_keep] * 2, out=coffs[1:])
+            roffs_out = np.zeros(nkeep + 1, dtype=np.int32)
+            np.cumsum(rows_nr[row_keep], out=roffs_out[1:])
             carr_out = pa.ListArray.from_arrays(
                 pa.array(coffs), pa.array(out_c, type=pa.int64()))
             rarr_out = pa.ListArray.from_arrays(
-                pa.array(roffs_out), pa.array(out_nv.astype(np.int32), type=pa.int32()))
+                pa.array(roffs_out), pa.array(kept_nv.astype(np.int32), type=pa.int32()))
             yield pa.RecordBatch.from_arrays(
-                [batch.column(ix[c]) for c in keep] + [carr_out, rarr_out],
+                [batch.column(ix[c]).take(take) for c in keep] + [carr_out, rarr_out],
                 names=keep + ["grid_coords", "ring_lens"])
 
     return clipped.mapInArrow(_snap, out_schema)

@@ -67,3 +67,52 @@ def test_build_mvt_tiles_end_to_end(spark, sf_small):
                     assert 0 <= x < 4096 and 0 <= y < 4096
     # every (feature, tile) piece became one MVT feature
     assert total_feats == vt.count()
+
+
+def test_mvt_winding_and_degenerate_rules(spark, sf_small):
+    """post-review rules: every encoded outer ring has positive screen-space
+    area (spec 4.3.4.4) and every ring has >= 3 vertices."""
+    from geobuf_spark.operators import tiling
+    from geobuf_spark.operators.clip import ring_areas_kernel
+    from geobuf_spark.sources import minted
+
+    rects = minted.minted_rects(spark, sf_small).limit(40)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = rects.select("poly_id", "minx", "miny", "maxx", "maxy",
+                         ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    tiles_df = M.build_mvt_tiles(tiling.vector_tiles(polys, z=4, extent=4096))
+    for r in tiles_df.collect():
+        for feat in M.parse_mvt(bytes(r.mvt))["layers"][0]["features"]:
+            for i, ringv in enumerate(feat["rings"]):
+                assert len(ringv) >= 3
+                flat = np.array(ringv, dtype=np.float64).reshape(-1)
+                area = ring_areas_kernel(flat, np.array([len(ringv)]))[0]
+                if i == 0:
+                    assert area > 0, (feat["id"], area)
+    # extent=1: everything degenerates → zero tiles, no crash
+    assert M.build_mvt_tiles(tiling.vector_tiles(polys, z=4, extent=1)).count() == 0
+
+
+def test_parse_mvt_multipart_linestring():
+    """MoveTo starts a new part for line geometries (third-party tiles)."""
+    # hand-build: MoveTo(0,0) LineTo(5,0) MoveTo(10,10) LineTo(12,10)
+    vals = [
+        (M.MOVETO & 7) | (1 << 3), 0, 0,
+        (M.LINETO & 7) | (1 << 3), 10, 0,        # zz(5)=10
+        (M.MOVETO & 7) | (1 << 3), 10, 20,       # zz(5)=10, zz(10)=20
+        (M.LINETO & 7) | (1 << 3), 4, 0,         # zz(2)=4
+    ]
+    from geobuf_spark.codec import core
+    payload = b"".join(core.encode_varint(v) for v in vals)
+    blob = M.mvt_tile_bytes(M.mvt_layer_bytes(
+        "l", [M.mvt_feature_bytes(1, payload, geom_type=2)]))
+    feat = M.parse_mvt(blob)["layers"][0]["features"][0]
+    assert feat["rings"] == [[(0, 0), (5, 0)], [(10, 10), (12, 10)]]
+
+
+def test_hex_size_guard():
+    import pytest as _pt
+    from pyspark.sql import functions as _F
+    from geobuf_spark.functions import hexgrid as H
+    with _pt.raises(ValueError, match="alias"):
+        H.hex_cell(_F.lit(0.0), _F.lit(0.0), 1e-5)
