@@ -214,6 +214,10 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
         raise ValueError(f"dim must be 2..15, got {dim}")
     if geom_type not in (2, 4):
         raise ValueError("encode_lines_kernel handles LineString(2)/MultiPoint(4)")
+    if (np.asarray(nv) <= 0).any():
+        # reduceat over an empty segment borrows the neighbor's value and
+        # silently corrupts every later frame in the batch — reject
+        raise ValueError("feature with zero vertices; filter before encoding")
     geom_code = geom_type if dim == 2 else (geom_type << 4) | dim
     q = core.quantize_vec(coords).reshape(-1, dim)  # (total_v, dim)
     starts = np.zeros(n, dtype=np.int64)
@@ -507,6 +511,8 @@ def encode_rings_kernel(ids: np.ndarray, coords: np.ndarray, ring_nv: np.ndarray
         raise ValueError("encode_rings_kernel handles Polygon(3)/MultiLineString(5)")
     if not (2 <= dim <= 15):
         raise ValueError(f"dim must be 2..15, got {dim}")
+    if (np.asarray(ring_nv) <= 0).any() or (np.asarray(rings_per_feat) <= 0).any():
+        raise ValueError("empty ring or zero-ring feature; filter before encoding")
     geom_code = geom_type if dim == 2 else (geom_type << 4) | dim
 
     q = core.quantize_vec(coords).reshape(-1, dim)  # (total_v, dim)
@@ -747,6 +753,9 @@ def encode_multipolygons_kernel(ids: np.ndarray, coords: np.ndarray,
     if n == 0:
         return pa.array([], type=pa.binary())
     geom_code = 6 if dim == 2 else (6 << 4) | dim
+    if ((np.asarray(ring_nv) <= 0).any() or (np.asarray(rings_per_poly) <= 0).any()
+            or (np.asarray(polys_per_feat) <= 0).any()):
+        raise ValueError("empty ring/polygon/feature; filter before encoding")
 
     q = core.quantize_vec(coords).reshape(-1, dim)
     R = len(ring_nv)
@@ -953,21 +962,25 @@ QUANT_GEOM_SCHEMA = T.StructType([
 
 
 def _frame_geom_codes(frames: pa.Array) -> np.ndarray:
-    """Geom code of every frame without full decode: token #3 (after tag 8,
-    id varint, tag 24) — a bounded forward scan over at most 12 bytes."""
+    """Geom code of every frame without full decode — a field walk, so
+    frames with properties or without an id field parse correctly (the
+    old fixed-offset scan misread the first property byte as the code)."""
     combined = pa.concat_arrays([frames.cast(pa.binary())])
     flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
     offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
     n = len(combined)
     starts = offs[combined.offset : combined.offset + n].astype(np.int64)
-    # skip tag byte (8), then the id varint (≤10 bytes), then tag 24
-    p = starts + 1
-    done = np.zeros(n, dtype=bool)
-    for _ in range(10):
-        cont = ~done & (flat[p] >= 0x80)
-        p[cont] += 1
-        done |= ~cont
-    return flat[p + 2].astype(np.int64)  # p now at id's last byte; +1 id end, +1 tag24
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+    codes = np.full(n, -1, dtype=np.int64)
+    for active, tag, pstart, plen, v, _ in frame_fields_walk(flat, starts, ends):
+        is_code = tag == 0x18
+        if is_code.any():
+            sel = active[is_code]
+            first = codes[sel] < 0
+            codes[sel[first]] = v[is_code][first].astype(np.int64)
+    if (codes < 0).any():
+        raise ValueError("frame without a geometry-type field")
+    return codes
 
 
 def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
@@ -991,7 +1004,9 @@ def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
                 idx = pa.array(np.flatnonzero(gtypes == gt))
                 sub = frames.take(idx)
                 if gt == 1:
-                    ids, qx, qy = decode_points_kernel(sub)
+                    # props-tolerant path (fixed 14-token reshape breaks on
+                    # frames carrying property fields)
+                    ids, qx, qy = decode_points_any_kernel(sub)
                     m = len(ids)
                     coords = np.empty(2 * m, dtype=np.int64)
                     coords[0::2], coords[1::2] = qx, qy
@@ -1294,9 +1309,14 @@ def lazy_prop_kernel(frames: pa.Array, key: str, max_props: int = 32):
     starts = offs[combined.offset : combined.offset + n].astype(np.int64)
     ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
 
-    pos = starts + 1  # skip tag 0x08
-    ids_u, idlen = _read_varint_at(flat, pos)
-    pos = pos + idlen
+    # id field (tag 0x08) is optional (core.encode_feature with id=None)
+    has_id = flat[np.minimum(starts, len(flat) - 1)] == 0x08
+    pos = starts.copy()
+    ids_u = np.zeros(n, dtype=np.uint64)
+    if has_id.any():
+        iv, il = _read_varint_at(flat, starts[has_id] + 1)
+        ids_u[has_id] = iv
+        pos[has_id] = starts[has_id] + 1 + il
 
     kinds = np.zeros(n, dtype=np.int8)
     sval_start = np.zeros(n, dtype=np.int64)
@@ -1305,9 +1325,13 @@ def lazy_prop_kernel(frames: pa.Array, key: str, max_props: int = 32):
     fval = np.zeros(n, dtype=np.float64)
 
     active = np.flatnonzero((pos < ends) & (flat[np.minimum(pos, len(flat) - 1)] == 0x12))
-    for _ in range(max_props):
+    for _round in range(max_props):
         if len(active) == 0:
             break
+        if _round == max_props - 1:
+            raise ValueError(
+                f"frame with more than {max_props} properties — raise "
+                "max_props (silent truncation would read as a missing key)")
         p = pos[active]
         L, ll = _read_varint_at(flat, p + 1)
         inner = p + 1 + ll              # at 0x0A
@@ -1400,9 +1424,13 @@ def frame_fields_walk(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     pos = starts.copy()
     rounds = []
     active = np.flatnonzero(pos < ends)
-    for _ in range(max_fields):
+    for _round in range(max_fields):
         if len(active) == 0:
             break
+        if _round == max_fields - 1:
+            raise ValueError(
+                f"frame with more than {max_fields} fields — raise max_fields "
+                "(silent truncation would read as missing data)")
         p = pos[active]
         tag = flat[p]
         wire = tag & 0x7

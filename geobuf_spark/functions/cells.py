@@ -66,12 +66,14 @@ def s2_cell(lon: Column, lat: Column, level: int) -> Column:
 
 
 def s2_parent(cell: Column, level: int) -> Column:
-    """Parent cell id one level up — (i>>1, j>>1, L-1) in packed form."""
-    n = 1 << level
+    """Parent cell id one level up — (i>>1, j>>1, L-1) in packed form.
+
+    Pure bit arithmetic: `/` on bigint Columns is DOUBLE division and
+    corrupts ids above 2^53 (levels ≥ 26)."""
     m = 1 << (level - 1)
-    j = cell % n
-    i = (cell / n).cast("bigint") % n
-    f = (cell / (n * n)).cast("bigint")
+    j = cell.bitwiseAND(F.lit((1 << level) - 1))
+    i = F.shiftright(cell, level).bitwiseAND(F.lit((1 << level) - 1))
+    f = F.shiftright(cell, 2 * level)
     return (f * m + F.shiftright(i, 1)) * m + F.shiftright(j, 1)
 
 
@@ -163,8 +165,26 @@ def s2_cover_bbox_kernel(minx, miny, maxx, maxy, level: int):
     minx = np.asarray(minx, np.float64); maxx = np.asarray(maxx, np.float64)
     miny = np.asarray(miny, np.float64); maxy = np.asarray(maxy, np.float64)
     cross = minx > maxx
-    lon_lo = np.radians(np.where(cross, -180.0, minx))
-    lon_hi = np.radians(np.where(cross, 180.0, maxx))
+    if cross.any():
+        # split crossing boxes into [minx,180] + [-180,maxx] halves (the
+        # full-longitude fallback covers O(n) cells per face for even a
+        # sliver box): clamp the originals to their eastern half, append
+        # the western half, recurse once, remap, and dedupe the (row,
+        # cell) pairs the two halves share on the seam.
+        idx_c = np.flatnonzero(cross)
+        minx2 = np.concatenate([minx, np.full(len(idx_c), -180.0)])
+        maxx2 = np.concatenate([np.where(cross, 180.0, maxx), maxx[idx_c]])
+        miny2 = np.concatenate([miny, miny[idx_c]])
+        maxy2 = np.concatenate([maxy, maxy[idx_c]])
+        rows, cells = s2_cover_bbox_kernel(minx2, miny2, maxx2, maxy2, level)
+        remap = np.concatenate([np.arange(len(minx)), idx_c])
+        rows = remap[rows]
+        pair = rows * (6 << (2 * level)) + cells
+        _, uniq = np.unique(pair, return_index=True)
+        uniq.sort()
+        return rows[uniq], cells[uniq]
+    lon_lo = np.radians(minx)
+    lon_hi = np.radians(maxx)
     lat_lo = np.radians(np.clip(miny, -90.0, 90.0))
     lat_hi = np.radians(np.clip(maxy, -90.0, 90.0))
 
@@ -193,9 +213,11 @@ def s2_cover_bbox_kernel(minx, miny, maxx, maxy, level: int):
         reachable = d_hi >= _FACE_DENOM_MIN - 1e-12
         u_lo, u_hi = _iv_div(nu_lo, nu_hi, d_lo, d_hi)
         v_lo, v_hi = _iv_div(nv_lo, nv_hi, d_lo, d_hi)
+        # face-touch test BEFORE clipping (post-clip it is vacuously true
+        # and faces the box never reaches get full columns of cells)
+        ok = reachable & (u_hi >= -1.0) & (v_hi >= -1.0) & (u_lo <= 1.0) & (v_lo <= 1.0)
         u_lo = np.clip(u_lo, -1.0, 1.0); u_hi = np.clip(u_hi, -1.0, 1.0)
         v_lo = np.clip(v_lo, -1.0, 1.0); v_hi = np.clip(v_hi, -1.0, 1.0)
-        ok = reachable & (u_hi >= -1.0) & (v_hi >= -1.0) & (u_lo <= 1.0) & (v_lo <= 1.0)
         if not ok.any():
             continue
         idx = np.flatnonzero(ok)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from pyspark.sql import functions as F
 
 from geobuf_spark.codec import core
@@ -254,3 +255,60 @@ def test_decode_points_any_with_props(spark, sf_small):
     a1 = sc.decode_points_any_kernel(enc2)
     a2 = sc.decode_points_kernel(enc2)
     assert np.array_equal(a1[1], a2[1]) and np.array_equal(a1[2], a2[2])
+
+
+def test_review_regressions():
+    """Pinned repros from the round-1 codec review."""
+    import numpy as np
+
+    # (a) mixed-batch dispatch on props-bearing frames
+    flat_l = np.frombuffer(b"ende", dtype=np.uint8); offs_l = np.array([0, 2, 4])
+    arr = sc.encode_points_props_kernel(
+        np.array([1, 2]), np.array([1.0, 2.0]), np.array([3.0, 4.0]),
+        [("lang", "str", (flat_l, offs_l))])
+    assert sc._frame_geom_codes(arr).tolist() == [1, 1]
+    # (b) id-less frames: lazy read still finds the property
+    f = core.Feature.from_geojson("Point", [1.0, 2.0], properties={"lang": "en"})
+    a2 = pa.array([core.encode_feature(f)], type=pa.binary())
+    _, kinds, strs, _, _ = sc.lazy_prop_kernel(a2, "lang")
+    assert kinds.tolist() == [1] and strs == ["en"]
+    # (c) zero-vertex / zero-ring features rejected loudly
+    with pytest.raises(ValueError, match="zero vertices"):
+        sc.encode_lines_kernel(np.array([1, 2]), np.array([0.1, 0.2]), np.array([1, 0]))
+    with pytest.raises(ValueError, match="empty ring"):
+        sc.encode_rings_kernel(np.array([1]), np.empty(0), np.empty(0, np.int64),
+                               np.array([0]))
+
+
+def test_s2_parent_exact_at_high_levels(spark):
+    """integer parent arithmetic: exact where double division rounds."""
+    from pyspark.sql import functions as F
+    from geobuf_spark.functions import cells
+
+    level = 27
+    n = 1 << level
+    rows = [(int((2 * n + 1) * n + (n - 1)),), (int((5 * n + n - 1) * n + 0),)]
+    df = spark.createDataFrame(rows, "cell bigint")
+    got = [r.p for r in df.select(cells.s2_parent(F.col("cell"), level).alias("p")).collect()]
+    m = 1 << (level - 1)
+    want = []
+    for (cell,) in rows:
+        j = cell & (n - 1); i = (cell >> level) & (n - 1); f = cell >> (2 * level)
+        want.append((f * m + (i >> 1)) * m + (j >> 1))
+    assert got == want
+
+
+def test_s2_cover_antimeridian_split(spark):
+    import numpy as np
+    from geobuf_spark.functions import cells
+
+    r, c = cells.s2_cover_bbox_kernel([179.9], [-0.05], [-179.9], [0.05], 12)
+    pairs = list(zip(r.tolist(), c.tolist()))
+    assert len(pairs) < 200 and len(pairs) == len(set(pairs))
+    # seam superset via the Spark expression itself
+    pts = spark.createDataFrame(
+        [(179.95, 0.0), (-179.95, 0.01)], "lon double, lat double")
+    from pyspark.sql import functions as F
+    cells_got = {row.cell for row in
+                 pts.withColumn("cell", cells.s2_cell(F.col("lon"), F.col("lat"), 12)).collect()}
+    assert cells_got <= set(c.tolist())
