@@ -208,19 +208,21 @@ def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
     """Connected components over the near-dup pair graph → one
     representative (min id) per component: (doc_id, rep_id).
 
-    Iterative min-label propagation: each node adopts the smallest label
-    in its neighborhood until fixpoint — O(diameter) joins, each a shuffle
-    on node id. Near-dup graphs are overwhelmingly tiny star/chain
-    components, so this converges in a handful of rounds; `localCheckpoint`
-    keeps the plan flat across iterations. Pairs are undirected; nodes
-    absent from `pairs` are their own representative (callers usually
-    left-join this output and coalesce to doc_id)."""
+    Min-label propagation WITH pointer jumping: each round every node
+    takes the min over its neighbors' labels, then compresses one level
+    (label := label-of-label) — chains converge in O(log diameter) rounds
+    instead of O(diameter). Raises if max_iters rounds still have not
+    reached the fixpoint (a silent partial result would split components
+    and let duplicates survive). Pairs are undirected; nodes absent from
+    `pairs` are their own representative (callers usually left-join this
+    output and coalesce to doc_id)."""
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
     ).localCheckpoint(eager=False)  # pairs may be an expensive LSH plan
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    converged = False
     for _ in range(max_iters):
         # candidate label per node: min over neighbors' labels and its own
         neigh = (
@@ -231,11 +233,22 @@ def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
             labels.join(neigh, "u", "left")
             .select("u", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
         )
+        # pointer jumping: label := label(label) — halves chain distances
+        mapping = new_labels.select(F.col("u").alias("label"), F.col("label").alias("_ll"))
+        new_labels = (
+            new_labels.join(mapping, "label", "left")
+            .select("u", F.least("label", F.coalesce("_ll", "label")).alias("label"))
+        )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "u")
             .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iters} rounds — "
+            "raise max_iters (partial labels would split components)")
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("rep_id"))

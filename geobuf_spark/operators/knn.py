@@ -125,7 +125,10 @@ def _knn_ring(p: DataFrame, q: DataFrame, k: int, z: int, ring: int):
         F.count("*").alias("n_found"), F.max("dist2").alias("kth"),
         F.first("guard2").alias("g2"),
     )
-    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") <= F.col("g2"))) \
+    # STRICT bound: an unexamined point exactly at the block boundary can
+    # tie the k-th candidate and win the id tiebreak — <= would wrongly
+    # declare the query resolved
+    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") < F.col("g2"))) \
         .select("query_id")
     resolved = topk.join(resolved_q, "query_id", "inner") \
         .select("query_id", "neighbor_id", "rank", "dist2")

@@ -254,6 +254,9 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     and reproducible. Each iteration: one Arrow GEMM pass assigns every
     vector, one groupBy recomputes means (k×dim result — driver-small).
     Empty clusters keep their previous centroid."""
+    vectors = _normalized(vectors, vec_id, emb)  # spherical k-means:
+    # assignment AND the mean-update must both see unit vectors, or
+    # long-norm outliers dominate the centroid sums
     seed_rows = (
         vectors.select(vec_id, emb)
         .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
@@ -281,6 +284,29 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
                 new[cl] = v / nv
         cents = new
     return cents
+
+
+def _normalized(vectors: DataFrame, vec_id: str, emb: str) -> DataFrame:
+    """L2-normalize the embedding column in one Arrow pass."""
+    import pyarrow as pa
+
+    schema = vectors.select(vec_id, emb).schema
+
+    def _norm(batches):
+        for batch in batches:
+            mat = _emb_matrix(batch.column(1))
+            if len(mat) == 0:
+                continue
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            n, d = mat.shape
+            offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+            carr = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(mat.reshape(-1), type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), carr.cast(batch.schema.field(1).type)],
+                names=[vec_id, emb])
+
+    return vectors.select(vec_id, emb).mapInArrow(_norm, schema)
 
 
 def _assign_clusters(vectors: DataFrame, cents: np.ndarray,
@@ -322,6 +348,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     degenerates to exact brute force (every bucket probed)."""
     import pyarrow as pa
 
+    nprobe = min(nprobe, n_centroids)
     cents = ivf_centroids(vectors, n_centroids, iters, vec_id, emb)
     sv = _assign_clusters(vectors, cents, vec_id, emb)
 

@@ -95,7 +95,18 @@ def read_manifest(path: str) -> list[dict]:
     if not os.path.exists(mf):
         return []
     with open(mf) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        lines = [l for l in f if l.strip()]
+    out = []
+    for i, line in enumerate(lines):
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                # torn trailing line from a crash mid-append: by definition
+                # uncommitted — skip so recovery itself is crash-safe
+                continue
+            raise
+    return out
 
 
 def committed_runs(path: str) -> set[str]:
@@ -127,7 +138,12 @@ def commit_output(df: DataFrame, path: str, run_id: str, partition_cols: list[st
 
     lineage_rows = 0
     if partition_cols and lineage_key:
-        lin = partition_lineage(df, partition_cols, lineage_key)
+        # lineage from the WRITTEN staging files, not the live plan: a
+        # nondeterministic df (rand salts, timestamps) would otherwise
+        # fingerprint different rows than the committed output — and this
+        # avoids recomputing the whole pipeline twice more
+        spark = df.sparkSession
+        lin = partition_lineage(spark.read.parquet(staging), partition_cols, lineage_key)
         # per-run directory, overwritten: a crash between this write and the
         # manifest append cannot leave duplicate lineage generations — the
         # rerun replaces its own rows (append would stack them)
@@ -136,9 +152,16 @@ def commit_output(df: DataFrame, path: str, run_id: str, partition_cols: list[st
         )
         lineage_rows = lin.count()
 
+    # never destroy the only copy: move the old output aside, swap the new
+    # one in, THEN drop the old — a crash at any point leaves data either
+    # at `final` or at the trash path, recoverable by a rerun
+    trash = os.path.join(path, f".old-{run_id}")
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
     if os.path.exists(final):
-        shutil.rmtree(final)
+        os.rename(final, trash)
     os.rename(staging, final)
+    shutil.rmtree(trash, ignore_errors=True)
     entry = {
         "run_id": run_id, "status": "committed", "ts": time.time(),
         "partitions": lineage_rows,
@@ -158,7 +181,13 @@ def next_increment(df: DataFrame, state_dir: str, order_col: str, n: int,
     the batch analog of the reference's in-process FeatureCount cursor —
     keyset pagination (WHERE key > cursor ORDER BY key LIMIT n), which at
     10^12 rows beats OFFSET by never re-scanning consumed prefixes once
-    the predicate prunes on the sort key."""
+    the predicate prunes on the sort key.
+
+    `order_col` must be UNIQUE (keyset pagination; ties crossing a page
+    boundary are detected and rejected, because rows sharing the boundary
+    value would be skipped forever). Delivery is at-most-once: the cursor
+    advances when the page is read — pair with idempotent downstream
+    writes."""
     cur_path = os.path.join(state_dir, "_cursor.json")
     os.makedirs(state_dir, exist_ok=True)
     cursor = None
@@ -171,6 +200,17 @@ def next_increment(df: DataFrame, state_dir: str, order_col: str, n: int,
     page = page.orderBy(order_col).limit(n) \
         .withColumn("COLORKEY", F.lit(tag))
     rows = page.collect()
+    if len(rows) == n:
+        # boundary-tie check: more rows with the boundary value than this
+        # page emitted would be silently skipped by `> cursor` forever
+        last_val = rows[-1][order_col]
+        emitted = sum(1 for r in rows if r[order_col] == last_val)
+        total = df.filter(F.col(order_col) == F.lit(last_val)).count()
+        if total > emitted:
+            raise ValueError(
+                f"order_col {order_col!r} is not unique at the page "
+                f"boundary (value {last_val!r}: {total} rows, page holds "
+                f"{emitted}) — keyset pagination needs a unique key")
     if rows:
         with open(cur_path, "w") as f:
             json.dump({"last": rows[-1][order_col], "n_seen_batch": len(rows),

@@ -272,3 +272,57 @@ def test_payload_embedding_and_multimodal_ann_chain(spark, sf_small):
     top = similarity.brute_force_topk(emb.withColumnRenamed("doc_id", "vec_id"),
                                       queries, k=1).collect()
     assert top[0].neighbor_id == src0 + 100000
+
+
+def test_review_regressions_ops(spark, tmp_path, sf_small):
+    """Pinned repros from the ops/operators review."""
+    import json
+    import numpy as np
+
+    from geobuf_spark.ops import lineage
+    from geobuf_spark.operators import dedup as DD
+
+    # (a) torn trailing manifest line is skipped, not fatal
+    out = str(tmp_path / "torn")
+    import os
+    os.makedirs(out)
+    with open(os.path.join(out, "_manifest.json"), "w") as f:
+        f.write(json.dumps({"run_id": "ok", "status": "committed", "ts": 0}) + "\n")
+        f.write('{"run_id": "torn", "stat')  # crash mid-append
+    assert lineage.committed_runs(out) == {"ok"}
+
+    # (b) non-unique pagination key at a page boundary raises
+    docs = spark.createDataFrame([(i, i // 3) for i in range(30)], "doc_id bigint, grp bigint")
+    with pytest.raises(ValueError, match="not unique"):
+        lineage.next_increment(docs, str(tmp_path / "pag2"), "grp", 4)
+
+    # (c) long chain converges via pointer jumping within few rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a bigint, b bigint")
+    comp = {r.doc_id: r.rep_id for r in DD.near_dup_components(chain, max_iters=10).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
+
+    # (d) nprobe > n_centroids clamps instead of crashing
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=99, iters=1)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()} == \
+           {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+
+
+def test_commit_output_preserves_old_on_swap(spark, tmp_path):
+    """the old committed output is never the only casualty: it is moved
+    aside before the swap and removed only after the new data is final."""
+    from geobuf_spark.ops import lineage
+
+    out = str(tmp_path / "swap")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    r1 = lineage.commit_output(df1, out, "r1")
+    assert r1["status"] == "committed"
+    df2 = spark.range(9).withColumnRenamed("id", "k")
+    r2 = lineage.commit_output(df2, out, "r2")
+    assert r2["status"] == "committed"
+    assert spark.read.parquet(f"{out}/data").count() == 9
+    import os
+    assert not any(d.startswith(".old-") for d in os.listdir(out))
