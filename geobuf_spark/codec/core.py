@@ -362,6 +362,10 @@ def _encode_geometry_values(feat: Feature) -> np.ndarray:
             d[1:] = qring[1:] - qring[:-1]
         return zigzag_vec(d.reshape(-1))
 
+    if len(q) == 0:
+        raise ValueError(
+            "empty geometry cannot be encoded (the wire format has no "
+            "empty-coordinates shape); filter such features out")
     if t == 1:
         # writepointbs — geom.go:187-201: only x,y written even when dim>2
         return zigzag_vec(q[0, :2].copy())
@@ -430,7 +434,9 @@ def _decode_geometry(vals: np.ndarray, geom_type: int, dim: int, quantized: bool
     raw deltas → int64 lattice coordinates, losslessly invertible.
     """
     if geom_type == 1:
-        iv = unzigzag_vec(vals[:dim])
+        # writepointbs drops dims > 2 on encode (geom.go:187-201), so only
+        # two values exist regardless of the dim embedded in the geom code
+        iv = unzigzag_vec(vals[:2])
         coords = iv if quantized else go_round7(iv.astype(np.float64) / POWER)
         return coords, np.array([1], dtype=np.int64), np.array([1], dtype=np.int64)
 
@@ -529,6 +535,11 @@ def decode_feature(frame: bytes, quantized: bool = False) -> Feature:
             geom_type, dim = code, 2
         else:
             geom_type, dim = code >> 4, code - ((code >> 4) << 4)
+        if geom_type == 1:
+            # writepointbs drops dims > 2 (geom.go:187-201): only x,y are
+            # on the wire, so the Feature's dim must say 2 or vertices()
+            # reshapes a 2-value array into dim-wide rows and breaks
+            dim = 2
         if pos < len(buf):
             k, w, pos = read_key(pos)
         else:
@@ -595,7 +606,14 @@ def read_frames(data: bytes):
 
 
 def _is_metadata_frame(frame: bytes) -> bool:
-    """Key-only sniff (the gob value bytes need not be valid utf-8)."""
+    """Metadata-dummy sniff (CheckMetaData parity, reader.go:258-274).
+
+    The reference checks only that feature #1 carries a "metadata"
+    property; we additionally require it to be the feature's ONLY
+    property, so a legitimate first feature that happens to carry a
+    "metadata" key among others is not silently dropped. (A single-
+    property feature keyed exactly "metadata" remains ambiguous — the
+    reference's own sniff has the same blind spot.)"""
     try:
         buf = np.frombuffer(frame, dtype=np.uint8)
         pos = 0
@@ -605,9 +623,14 @@ def _is_metadata_frame(frame: bytes) -> bool:
             tag, pos = decode_varint(buf, pos)
         if tag >> 3 != 2 or tag & 7 != 2:
             return False
-        _, pos = decode_varint(buf, pos)  # map-entry size
+        esize, pos = decode_varint(buf, pos)  # map-entry size
+        entry_end = pos + esize
         pos += 1  # 0x0A key tag
         klen, pos = decode_varint(buf, pos)
-        return bytes(buf[pos : pos + klen]) == b"metadata"
+        if bytes(buf[pos : pos + klen]) != b"metadata":
+            return False
+        # the dummy has exactly ONE property: the next field after this
+        # map entry must not be another properties field (tag 0x12)
+        return entry_end >= len(buf) or buf[entry_end] != 0x12
     except Exception:
         return False

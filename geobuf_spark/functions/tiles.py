@@ -136,7 +136,10 @@ def sql_tile_y(lat: str, z: int) -> str:
 
 
 def sql_cell_id(z: int, x: str, y: str) -> str:
-    return f"(({z} * {CELL_SHIFT} + ({x})) * {CELL_SHIFT} + ({y}))"
+    # BIGINT casts: bare literals multiply as INT32 in DuckDB and overflow
+    # for any z >= 4
+    return (f"((CAST({z} AS BIGINT) * {CELL_SHIFT} + ({x})) "
+            f"* CAST({CELL_SHIFT} AS BIGINT) + ({y}))")
 
 
 def tile_bounds(z: int, x: Column, y: Column):

@@ -29,17 +29,27 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str, ts: str,
     right.ts <= left.ts on the same key (DuckDB ASOF JOIN semantics).
     Left rows with no match yield nulls (left outer)."""
     lcols = left.columns
+    overlap = [c for c in right_cols if c in lcols]
+    if overlap:
+        raise ValueError(
+            f"right_cols {overlap} collide with left column names — alias "
+            "them first (duplicate output names are ambiguous downstream)")
+    # the matched row's payload travels as ONE struct: last(ignorenulls)
+    # over it picks whole rows, so a genuine NULL field in the as-of match
+    # stays NULL instead of back-filling from an older row
+    rstruct_t = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
     l = left.select(
         F.col(key).alias("_k"), F.col(ts).alias("_t"),
         F.lit(1).alias("_probe"),
         *[F.col(c) for c in lcols if c not in (key, ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_t).alias("_r"),
     )
     r = right.select(
         F.col(key).alias("_k"), F.col(ts).alias("_t"),
         F.lit(0).alias("_probe"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, ts)],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     u = l.unionByName(r)
     # build rows sort before probe rows at equal ts → ties match (<=)
@@ -48,14 +58,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str, ts: str,
         .orderBy(F.col("_t").asc(), F.col("_probe").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols],
-    )
+    filled = u.select("*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
     out = filled.filter(F.col("_probe") == 1).select(
         F.col("_k").alias(key), F.col("_t").alias(ts),
         *[F.col(c) for c in lcols if c not in (key, ts)],
-        *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_f.{c}").alias(c) for c in right_cols],
     )
     return out
 

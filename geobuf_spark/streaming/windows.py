@@ -17,7 +17,10 @@ def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     """Tumbling-window counts/sums per event_type, window start as epoch
     seconds (integer — oracle-exact)."""
     secs = minutes * 60
-    wstart = (F.unix_timestamp("ts").cast("bigint") / F.lit(secs)).cast("bigint") * F.lit(secs)
+    # floor division (not double-divide + truncating cast): pre-1970
+    # events must land in the window STARTING BEFORE them, matching
+    # F.window's semantics in the streaming twin
+    wstart = F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(secs)).cast("bigint") * F.lit(secs)
     return (
         events.withColumn("wstart", wstart)
         .groupBy("wstart", "event_type")
@@ -73,7 +76,8 @@ def tumbling_counts_streaming(spark: SparkSession, parquet_dir: str,
 
 
 def sessionize_streaming(spark: SparkSession, parquet_dir: str,
-                         gap_minutes: int = 30) -> DataFrame:
+                         gap_minutes: int = 30,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization with
     applyInPandasWithState. Per user, events accumulate into an open
     session in state; a gap > threshold (or state timeout) closes the
@@ -84,19 +88,29 @@ def sessionize_streaming(spark: SparkSession, parquet_dir: str,
 
     gap = gap_minutes * 60
     schema = spark.read.parquet(parquet_dir).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_dir) \
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir) \
         .withColumn("ts", F.col("ts").cast("timestamp")) \
         .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
 
-    out_schema = "user_id bigint, session_id bigint, n_events bigint, t_start bigint, t_end bigint"
-    state_schema = "eps array<bigint>"
+    out_schema = ("user_id bigint, session_id bigint, n_events bigint, "
+                  "t_start bigint, t_end bigint, is_open boolean")
+    state_schema = "base_id bigint, eps array<bigint>"
 
     def fn(key, pdfs, state: GroupState):
-        eps = list(state.get[0]) if state.exists else []
+        # state carries (next session id, open session's events): ids are
+        # globally monotone across micro-batches, closed rows are FINAL,
+        # and the open session re-emits as a snapshot under its stable id
+        # (is_open=True) — downstream keeps the last row per (user, id)
+        if state.exists:
+            base_id, eps = int(state.get[0]), list(state.get[1])
+        else:
+            base_id, eps = 1, []
         for pdf in pdfs:
             eps.extend(int(e) for e in pdf["ep"])
         eps.sort()
-        # close all sessions except the last (still open); emit closed ones
         sessions = []
         cur = [eps[0]] if eps else []
         for e in eps[1:]:
@@ -106,14 +120,14 @@ def sessionize_streaming(spark: SparkSession, parquet_dir: str,
             else:
                 cur.append(e)
         rows = []
-        for sid, s in enumerate(sessions, 1):
-            rows.append((key[0], sid, len(s), s[0], s[-1]))
-        # keep the open session in state; on bounded test input we emit it
-        # too (processAllAvailable then timeout never fires in-test)
+        for off, s in enumerate(sessions):
+            rows.append((key[0], base_id + off, len(s), s[0], s[-1], False))
+        base_id += len(sessions)
         if cur:
-            rows.append((key[0], len(sessions) + 1, len(cur), cur[0], cur[-1]))
-        state.update((cur,))
-        yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events", "t_start", "t_end"])
+            rows.append((key[0], base_id, len(cur), cur[0], cur[-1], True))
+        state.update((base_id, cur))
+        yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                          "t_start", "t_end", "is_open"])
 
     return (
         stream.select("user_id", "ep")
@@ -123,10 +137,14 @@ def sessionize_streaming(spark: SparkSession, parquet_dir: str,
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str = "stream_out") -> DataFrame:
-    """Drive a bounded streaming query to completion into a memory sink."""
+def run_stream_to_memory(df: DataFrame, name: str = "stream_out",
+                         output_mode: str = "complete") -> DataFrame:
+    """Drive a bounded streaming query to completion into a memory sink.
+
+    Aggregation plans use "complete"; stateful map plans
+    (applyInPandasWithState) require output_mode="append"."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory").queryName(name).start()
     )
     q.processAllAvailable()
@@ -145,7 +163,7 @@ def sliding_counts(events: DataFrame, length_minutes: int = 10,
     k = L // S
     ep = F.unix_timestamp("ts").cast("bigint")
     # newest window containing ep starts at floor(ep/S)*S; older ones step back
-    newest = (ep / F.lit(S)).cast("bigint") * F.lit(S)
+    newest = F.floor(ep / F.lit(S)).cast("bigint") * F.lit(S)
     starts = F.array(*[newest - F.lit(i * S) for i in range(k)])
     return (
         events.withColumn("wstart", F.explode(starts))

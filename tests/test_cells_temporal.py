@@ -95,3 +95,19 @@ def test_range_bucket_join_vs_bruteforce(spark, sf_small):
                 want.add((l.event_id, r.interval_id))
     assert got == want
     assert want  # non-vacuous
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """the as-of match's genuine NULL column must stay NULL (DuckDB ASOF
+    semantics) — not be back-filled from an older row."""
+    left = spark.createDataFrame([(1, 6)], "k bigint, t bigint")
+    right = spark.createDataFrame(
+        [(1, 3, 7, 2), (1, 5, None, 9)], "k bigint, t bigint, c1 int, c2 int")
+    out = temporal.asof_join(left, right, key="k", ts="t", right_cols=["c1", "c2"]).collect()
+    assert out[0].c1 is None and out[0].c2 == 9
+
+    # duplicate output names are rejected loudly
+    import pytest as _pt
+    bad_left = spark.createDataFrame([(1, 6, 0)], "k bigint, t bigint, c1 int")
+    with _pt.raises(ValueError, match="collide"):
+        temporal.asof_join(bad_left, right, key="k", ts="t", right_cols=["c1"])

