@@ -581,16 +581,17 @@ def write_frames(frames: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def read_frames(data: bytes):
+def read_frames(data: bytes, skip_metadata: bool = True):
     """Yield raw feature frames from a geobuf buffer/file.
 
     Skips a leading metadata dummy feature (a point feature whose single
     property key is "metadata" — reader.go:258-274 CheckMetaData); the gob
     payload is Go-specific and intentionally not parsed (our engine's index
-    is table partitioning, SURVEY §1.5).
+    is table partitioning, SURVEY §1.5). Pass skip_metadata=False when the
+    bytes are a mid-file range (subfile seeks) where no dummy can occur.
     """
     pos = 0
-    first = True
+    first = skip_metadata
     n = len(data)
     while pos < n:
         assert data[pos] == 0x0A, f"bad frame tag {data[pos]:#x} at {pos}"

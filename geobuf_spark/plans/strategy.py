@@ -52,10 +52,16 @@ def estimate_cover_rows(polys: DataFrame, z: int) -> int:
     return polys.agg(F.sum(per)).first()[0] or 0
 
 
-def plan_salt(hot_cell_rows: int, target_rows_per_task: int = 2_000_000) -> int:
+def plan_salt(hot_cell_rows: int, target_rows_per_task: int = 2_000_000,
+              max_salt: int = 64) -> int:
+    """Salt factor bounding any one cell's share per task at roughly
+    target_rows_per_task. Capped at `max_salt` (build-side replication is
+    k-fold real work) — when the cap binds, the residual rows/task is
+    hot_cell_rows/max_salt; `choose_strategy` surfaces that in its reason
+    instead of silently pretending the bound held."""
     if hot_cell_rows <= target_rows_per_task:
         return 1
-    return min(64, -(-hot_cell_rows // target_rows_per_task))
+    return min(max_salt, -(-hot_cell_rows // target_rows_per_task))
 
 
 def choose_strategy(points: DataFrame, polys: DataFrame, z: int, *,
@@ -63,16 +69,19 @@ def choose_strategy(points: DataFrame, polys: DataFrame, z: int, *,
                     skew_threshold_rows: int = 2_000_000,
                     lon: str = "lon", lat: str = "lat") -> JoinPlan:
     build_rows = estimate_cover_rows(polys, z)
+    if build_rows <= broadcast_budget_rows:
+        # broadcast needs no probe statistics: skip the histogram scan of
+        # the (possibly 100 TB) points table entirely
+        return JoinPlan("broadcast", 1, build_rows, -1,
+                        f"cover rows {build_rows} ≤ budget {broadcast_budget_rows}")
     hist = cell_histogram(points, z, lon, lat)
     hot = hist.agg(F.max("n")).first()[0] or 0
-
-    if build_rows <= broadcast_budget_rows:
-        return JoinPlan("broadcast", 1, build_rows, hot,
-                        f"cover rows {build_rows} ≤ budget {broadcast_budget_rows}")
     salt = plan_salt(hot, skew_threshold_rows)
     if salt > 1:
+        residual = -(-hot // salt)
+        note = "" if residual <= skew_threshold_rows else             f" (salt cap binds: ~{residual} rows/task residual)"
         return JoinPlan("salted", salt, build_rows, hot,
-                        f"hot cell {hot} rows > {skew_threshold_rows}, salt={salt}")
+                        f"hot cell {hot} rows > {skew_threshold_rows}, salt={salt}{note}")
     return JoinPlan("shuffle", 1, build_rows, hot,
                     f"cover rows {build_rows} exceed broadcast budget, no hot cell")
 
@@ -81,7 +90,8 @@ def pip_join_planned(points: DataFrame, polys: DataFrame, *, z: int = 6, **kw):
     """pip_join with the strategy chosen from data statistics."""
     from geobuf_spark.operators import spatial_join as sj
 
-    plan = choose_strategy(points, polys, z)
+    plan = choose_strategy(points, polys, z,
+                           lon=kw.get("lon", "lon"), lat=kw.get("lat", "lat"))
     return sj.pip_join(points, polys, z=z, strategy=plan.strategy,
                        salt=plan.salt, **kw), plan
 

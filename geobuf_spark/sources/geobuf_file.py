@@ -96,13 +96,11 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
     with open(out_path, "wb") as f:
         for key in sorted(by_key):
             start = pos
-            n = 0
-            for frame in by_key[key]:
-                framed = bytes([0x0A]) + core.encode_varint(len(frame)) + frame
-                f.write(framed)
-                pos += len(framed)
-                n += 1
-            index[key] = {"positions": [start, pos], "number_features": n,
+            data = core.write_frames(by_key[key])  # single framing impl
+            f.write(data)
+            pos += len(data)
+            index[key] = {"positions": [start, pos],
+                          "number_features": len(by_key[key]),
                           "size": pos - start}
     meta = {"file_size": pos, "number_features": sum(
         v["number_features"] for v in index.values()), "files": index}
@@ -128,5 +126,9 @@ def read_geobuf_subfile(spark: SparkSession, path: str, key: str) -> DataFrame:
     with open(path, "rb") as f:
         f.seek(start)
         blob = f.read(end - start)
-    frames = [(i, bytearray(fr)) for i, fr in enumerate(core.read_frames(blob))]
+    # mid-file ranges written by write_geobuf_indexed never contain the
+    # metadata dummy — skip the sniff so a user feature whose only
+    # property is named "metadata" is not silently dropped
+    frames = [(i, bytearray(fr))
+              for i, fr in enumerate(core.read_frames(blob, skip_metadata=False))]
     return spark.createDataFrame(frames, "frame_idx bigint, geobuf binary")

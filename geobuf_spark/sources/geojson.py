@@ -24,10 +24,21 @@ from geobuf_spark.codec import core
 from geobuf_spark.codec.spark_codec import GEOM_SCHEMA
 
 
-def _feature_to_row(feat: dict) -> dict:
+def _feature_to_row(feat: dict) -> dict | None:
+    """One GeoJSON feature → GEOM_SCHEMA row; None for null-geometry
+    features (legal per RFC 7946 — unlocated records are skipped).
+
+    Ids follow the reference's semantics (write_feature.go:195-209):
+    numeric ids pass through (floats truncate), any other type drops the
+    id field."""
     g = feat.get("geometry") or {}
+    if not g.get("type") or "coordinates" not in g:
+        return None
+    fid = feat.get("id")
+    if not isinstance(fid, (int, float)) or isinstance(fid, bool):
+        fid = None
     f = core.Feature.from_geojson(
-        g["type"], g["coordinates"], id=feat.get("id"),
+        g["type"], g["coordinates"], id=fid,
         properties=feat.get("properties") or {},
     )
     return {
@@ -61,7 +72,9 @@ def read_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
                 s = raw.strip().rstrip(",")
                 if s in ("", "[", "]", "{", "}"):
                     continue
-                rows.append(_feature_to_row(json.loads(s)))
+                row = _feature_to_row(json.loads(s))
+                if row is not None:
+                    rows.append(row)
             arrays = [
                 pa.array([r[name] for r in rows], type=field.type)
                 for name, field in zip(_ARROW_SCHEMA.names, _ARROW_SCHEMA)
@@ -76,7 +89,8 @@ def read_feature_collection(spark: SparkSession, path: str,
     """Whole-file FeatureCollection → GEOM_SCHEMA rows (driver edge)."""
     with open(path) as f:
         fc = json.load(f)
-    rows = [_feature_to_row(feat) for feat in fc["features"]]
+    rows = [r for r in (_feature_to_row(feat) for feat in fc["features"])
+            if r is not None]
     return spark.createDataFrame(rows, GEOM_SCHEMA).repartition(parallelism)
 
 
@@ -110,7 +124,10 @@ def _row_to_feature(row) -> dict:
                      "coordinates": f.to_geojson_coords()},
         "properties": json.loads(row["props_json"]) if row["props_json"] else {},
     }
-    if row["id"] is not None:
+    # pandas renders a nullable bigint as float64 NaN — `is not None` alone
+    # lets NaN through and int(NaN) raises
+    import pandas as _pd
+    if row["id"] is not None and not _pd.isna(row["id"]):
         out["id"] = int(row["id"])
     return out
 

@@ -23,12 +23,33 @@ LAT_MULT, LAT_MOD = 2246822519, 1_700_000_000  # lat ∈ [-85, 85)
 CX_MULT, CX_MOD = 40503, 3_300_000_000  # rect/triangle center x ∈ [-165, 165)
 CY_MULT, CY_MOD = 104729, 1_400_000_000  # center y ∈ [-70, 70)
 
+_SPLIT = 1 << 15  # (a·b) mod m via b = b1·2^15 + b2 — every intermediate
+# stays < 2.5e14, so int64 never overflows on EITHER engine even at
+# 10^12-row key ranges (a naive a*MULT overflows both Spark and DuckDB
+# once a ≥ ~3.5e9). Identical value to (a*b) % m, identical formula text
+# on both sides.
+
+
+def _mulmod(a, mult: int, mod: int):
+    """Spark Column for (a · mult) mod mod, overflow-safe."""
+    b1, b2 = mult // _SPLIT, mult % _SPLIT
+    ar = a % F.lit(mod)
+    t1 = (ar * F.lit(b1)) % F.lit(mod)
+    return (t1 * F.lit(_SPLIT) + ar * F.lit(b2)) % F.lit(mod)
+
+
+def _sql_mulmod(a: str, mult: int, mod: int) -> str:
+    b1, b2 = mult // _SPLIT, mult % _SPLIT
+    ar = f"(({a}) % {mod})"
+    t1 = f"(({ar} * {b1}) % {mod})"
+    return f"(({t1} * {_SPLIT} + {ar} * {b2}) % {mod})"
+
 
 def minted_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One point per document: (doc_id, lon, lat) on the 1e-7 lattice."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lon_q = (F.col("doc_id") * F.lit(LON_MULT)) % F.lit(LON_MOD) - F.lit(LON_MOD // 2)
-    lat_q = (F.col("doc_id") * F.lit(LAT_MULT)) % F.lit(LAT_MOD) - F.lit(LAT_MOD // 2)
+    lon_q = _mulmod(F.col("doc_id"), LON_MULT, LON_MOD) - F.lit(LON_MOD // 2)
+    lat_q = _mulmod(F.col("doc_id"), LAT_MULT, LAT_MOD) - F.lit(LAT_MOD // 2)
     return docs.select(
         "doc_id",
         (lon_q / F.lit(1e7)).alias("lon"),
@@ -38,8 +59,8 @@ def minted_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MINTED_POINTS = f"""
 SELECT doc_id,
-       ((doc_id * {LON_MULT}) % {LON_MOD} - {LON_MOD // 2}) / 1e7 AS lon,
-       ((doc_id * {LAT_MULT}) % {LAT_MOD} - {LAT_MOD // 2}) / 1e7 AS lat
+       ({_sql_mulmod('doc_id', LON_MULT, LON_MOD)} - {LON_MOD // 2}) / 1e7 AS lon,
+       ({_sql_mulmod('doc_id', LAT_MULT, LAT_MOD)} - {LAT_MOD // 2}) / 1e7 AS lat
 FROM documents
 """
 
@@ -51,8 +72,8 @@ def minted_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     rectangles, so the bbox prefilter (split_combine.go:324-331 Intersect)
     IS the exact containment predicate — SQL-expressible for the oracle."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    cx = (F.col("p_partkey") * F.lit(CX_MULT)) % F.lit(CX_MOD) - F.lit(CX_MOD // 2)
-    cy = (F.col("p_partkey") * F.lit(CY_MULT)) % F.lit(CY_MOD) - F.lit(CY_MOD // 2)
+    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
+    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
     hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
     hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
     return part.select(
@@ -64,8 +85,8 @@ def minted_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CX = f"((p_partkey * {CX_MULT}) % {CX_MOD} - {CX_MOD // 2})"
-_CY = f"((p_partkey * {CY_MULT}) % {CY_MOD} - {CY_MOD // 2})"
+_CX = f"({_sql_mulmod('p_partkey', CX_MULT, CX_MOD)} - {CX_MOD // 2})"
+_CY = f"({_sql_mulmod('p_partkey', CY_MULT, CY_MOD)} - {CY_MOD // 2})"
 _HW = f"(10000000 + (p_partkey % 100) * 1000000)"
 _HH = f"(8000000 + (p_partkey % 80) * 1000000)"
 
@@ -83,8 +104,8 @@ def minted_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One triangle per part for general point-in-polygon:
     v0=(cx, cy+hh), v1=(cx-hw, cy-hh), v2=(cx+hw, cy-hh)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    cx = (F.col("p_partkey") * F.lit(CX_MULT)) % F.lit(CX_MOD) - F.lit(CX_MOD // 2)
-    cy = (F.col("p_partkey") * F.lit(CY_MULT)) % F.lit(CY_MOD) - F.lit(CY_MOD // 2)
+    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
+    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
     hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
     hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
     return part.select(

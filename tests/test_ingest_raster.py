@@ -151,3 +151,46 @@ def test_indexed_geobuf_subfile_seek(spark, sf_small, tmp_path):
     # the whole indexed file is still a valid plain geobuf stream
     full = GF.read_geobuf(spark, path)
     assert full.count() == pts.count()
+
+
+def test_geojson_edge_cases(spark, tmp_path):
+    """RFC 7946 edge inputs: null geometry skipped, string ids dropped
+    (reference write_feature.go:195-209 semantics), NaN-id export safe."""
+    import json
+
+    from geobuf_spark.sources import geojson as GJ
+
+    p = tmp_path / "edge.jsonl"
+    feats = [
+        {"type": "Feature", "geometry": None, "properties": {"a": 1}},
+        {"type": "Feature", "id": "road-17",
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}, "properties": {}},
+        {"type": "Feature", "id": 7,
+         "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}, "properties": {}},
+    ]
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+    rows = GJ.read_geojson_lines(spark, str(p)).collect()
+    assert len(rows) == 2  # null geometry skipped
+    ids = sorted((r.id is None, r.id) for r in rows)
+    assert ids[0] == (False, 7) and ids[1][0] is True  # string id dropped
+    # export path survives the null id (pandas NaN)
+    out = GJ.features_to_geojson(GJ.read_geojson_lines(spark, str(p))).collect()
+    parsed = [json.loads(r.geojson) for r in out]
+    assert sum("id" in f for f in parsed) == 1
+
+
+def test_subfile_metadata_key_not_dropped(spark, sf_small, tmp_path):
+    """a user feature whose ONLY property is 'metadata' survives a subfile
+    range read (mid-file ranges skip the dummy sniff)."""
+    from geobuf_spark.codec import core
+    from geobuf_spark.sources import geobuf_file as GF
+
+    f = core.Feature.from_geojson("Point", [1.0, 2.0], id=5,
+                                  properties={"metadata": "user data"})
+    df = spark.createDataFrame(
+        [(5, bytearray(core.encode_feature(f)), "k1")],
+        "doc_id bigint, geobuf binary, tile string")
+    path = str(tmp_path / "meta.geobuf")
+    meta = GF.write_geobuf_indexed(df, path, key_col="tile")
+    sub = GF.read_geobuf_subfile(spark, path, "k1")
+    assert sub.count() == 1 == meta["files"]["k1"]["number_features"]
