@@ -33,6 +33,61 @@ from geobuf_spark.codec import core
 _POINT_TOKENS = 14  # 8,id,24,code,34,glen,gx,gy,42,blen,bx,by0,bx1,by1
 
 
+
+class _FrameWriter:
+    """Shared scatter helpers for the batch encode kernels: a per-row write
+    cursor over one contiguous output buffer. One implementation — the
+    kernels previously each carried a verbatim copy, and fixes drifted."""
+
+    def __init__(self, buf: np.ndarray, pos: np.ndarray):
+        self.buf = buf
+        self.pos = pos.copy()
+
+    def const(self, byte: int):
+        self.buf[self.pos] = byte
+        self.pos = self.pos + 1
+
+    def mat(self, mat: np.ndarray, lens: np.ndarray):
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            self.buf[self.pos[sel] + j] = mat[sel, j]
+        self.pos = self.pos + lens
+
+    def segmented(self, mat, lens, seg_starts, seg_counts, seg_bytes):
+        """Scatter a variable count of varints per row: flat byte positions
+        via cumsum arithmetic (rows advance by their own byte totals)."""
+        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
+        base = self.pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
+        for j in range(mat.shape[1]):
+            sel = lens > j
+            self.buf[base[sel] + j] = mat[sel, j]
+        self.pos = self.pos + seg_bytes
+
+
+def _tokenize_frames(frames: pa.Array):
+    """Shared decode prologue: concatenated frame buffer → (n, flat bytes,
+    all varint tokens, first-token index per frame, tokens per frame)."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return 0, np.empty(0, np.uint8), np.empty(0, np.uint64), e, e
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
+    seg = flat[start:end]
+    tok_ends = np.flatnonzero(seg < 0x80)
+    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
+    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
+    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
+    tokens = core.unpack_varints(seg, 0, len(seg))
+    first = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    return n, seg, tokens, first, counts
+
+
 def _varint_matrix(v: np.ndarray):
     """(values → (N,10) byte matrix, lengths) — vectorized varint encode."""
     v = v.astype(np.uint64, copy=False)
@@ -71,20 +126,8 @@ def encode_points_kernel(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray) -> p
     np.cumsum(total, out=offsets[1:])
     buf = np.empty(offsets[-1], dtype=np.uint8)
 
-    pos = offsets[:-1].copy()
-
-    def put_const(byte):
-        nonlocal pos
-        buf[pos] = byte
-        pos = pos + 1
-
-    def put_mat(mat, lens):
-        nonlocal pos
-        maxlen = mat.shape[1]
-        for j in range(maxlen):
-            sel = lens > j
-            buf[pos[sel] + j] = mat[sel, j]
-        pos = pos + lens
+    w = _FrameWriter(buf, offsets[:-1])
+    put_const, put_mat = w.const, w.mat
 
     put_const(8)
     put_mat(mid, lid)
@@ -100,7 +143,7 @@ def encode_points_kernel(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray) -> p
     put_mat(my, ly)
     put_mat(mx, lx)
     put_mat(my, ly)
-    assert np.array_equal(pos, offsets[1:])
+    assert np.array_equal(w.pos, offsets[1:])
 
     return pa.BinaryArray.from_buffers(
         pa.binary(), n,
@@ -252,34 +295,9 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
     np.cumsum(total, out=offsets[1:])
     buf = np.empty(offsets[-1], dtype=np.uint8)
 
-    pos = offsets[:-1].copy()
-
-    def put_const(byte):
-        nonlocal pos
-        buf[pos] = byte
-        pos = pos + 1
-
-    def put_mat(mat, lens):
-        nonlocal pos
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[pos[sel] + j] = mat[sel, j]
-        pos = pos + lens
-
-    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
-        # scatter variable count of varints per feature: compute flat byte
-        # positions for every token byte via cumsum arithmetic
-        nonlocal pos
-        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=tok_off[1:])
-        # byte position of token t = pos[row(t)] + (tok_off[t] - tok_off[row_start])
-        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
-        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
-        maxlen = mat.shape[1]
-        for j in range(maxlen):
-            sel = lens > j
-            buf[base[sel] + j] = mat[sel, j]
-        pos = pos + seg_bytes
+    w = _FrameWriter(buf, offsets[:-1])
+    put_const, put_mat = w.const, w.mat
+    put_segmented = w.segmented
 
     put_const(8)
     put_mat(mid, lid)
@@ -291,7 +309,7 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
     put_const(42)
     put_mat(mbl, lbl)
     put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
-    assert np.array_equal(pos, offsets[1:])
+    assert np.array_equal(w.pos, offsets[1:])
 
     return pa.BinaryArray.from_buffers(
         pa.binary(), n,
@@ -307,24 +325,10 @@ def decode_lines_kernel(frames: pa.Array):
     rebuilds absolute lattice coordinates. Every feature contributes an
     even number of delta tokens, so the global even/odd split IS the x/y
     split."""
-    combined = pa.concat_arrays([frames.cast(pa.binary())])
-    n = len(combined)
+    n, seg, tokens, first, counts = _tokenize_frames(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e
-    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
-    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
-    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
-    seg = flat[start:end]
-    is_end = seg < 0x80
-    tok_ends = np.flatnonzero(is_end)
-    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
-    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
-    # tokens per frame
-    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
-    tokens = core.unpack_varints(seg, 0, len(seg))
-    first = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=first[1:])
     # geom code (token first+3) carries the dim (geom.go:59-76); batches
     # are homogeneous-dim by construction — mixed dims go the generic path
     codes = tokens[first + 3]
@@ -563,30 +567,9 @@ def encode_rings_kernel(ids: np.ndarray, coords: np.ndarray, ring_nv: np.ndarray
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(total, out=offsets[1:])
     buf = np.empty(offsets[-1], dtype=np.uint8)
-    pos = offsets[:-1].copy()
-
-    def put_const(byte):
-        nonlocal pos
-        buf[pos] = byte
-        pos = pos + 1
-
-    def put_mat(mat, lens):
-        nonlocal pos
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[pos[sel] + j] = mat[sel, j]
-        pos = pos + lens
-
-    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
-        nonlocal pos
-        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=tok_off[1:])
-        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
-        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[base[sel] + j] = mat[sel, j]
-        pos = pos + seg_bytes
+    w = _FrameWriter(buf, offsets[:-1])
+    put_const, put_mat = w.const, w.mat
+    put_segmented = w.segmented
 
     put_const(8)
     put_mat(mid, lid)
@@ -598,7 +581,7 @@ def encode_rings_kernel(ids: np.ndarray, coords: np.ndarray, ring_nv: np.ndarray
     put_const(42)
     put_mat(mbl, lbl)
     put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
-    assert np.array_equal(pos, offsets[1:])
+    assert np.array_equal(w.pos, offsets[1:])
 
     return pa.BinaryArray.from_buffers(
         pa.binary(), n,
@@ -613,22 +596,10 @@ def decode_rings_kernel(frames: pa.Array):
     Ring boundaries are data-dependent (each ring announces its token
     count), so the walk iterates max-rings-per-feature times over the
     active frame set — vectorized within each round."""
-    combined = pa.concat_arrays([frames.cast(pa.binary())])
-    n = len(combined)
+    n, seg, tokens, first, counts = _tokenize_frames(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e, 0, 2
-    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
-    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
-    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
-    seg = flat[start:end]
-    tok_ends = np.flatnonzero(seg < 0x80)
-    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
-    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
-    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
-    tokens = core.unpack_varints(seg, 0, len(seg))
-    first = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=first[1:])
     codes = tokens[first + 3]
     code0 = int(codes[0])
     if not np.all(codes == codes[0]):
@@ -815,30 +786,9 @@ def encode_multipolygons_kernel(ids: np.ndarray, coords: np.ndarray,
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(total, out=offsets[1:])
     buf = np.empty(offsets[-1], dtype=np.uint8)
-    pos = offsets[:-1].copy()
-
-    def put_const(byte):
-        nonlocal pos
-        buf[pos] = byte
-        pos = pos + 1
-
-    def put_mat(mat, lens):
-        nonlocal pos
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[pos[sel] + j] = mat[sel, j]
-        pos = pos + lens
-
-    def put_segmented(mat, lens, seg_starts, seg_counts, seg_bytes):
-        nonlocal pos
-        tok_off = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=tok_off[1:])
-        row_of_tok = np.repeat(np.arange(len(seg_starts)), seg_counts)
-        base = pos[row_of_tok] + (tok_off[:-1] - tok_off[seg_starts][row_of_tok])
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[base[sel] + j] = mat[sel, j]
-        pos = pos + seg_bytes
+    w = _FrameWriter(buf, offsets[:-1])
+    put_const, put_mat = w.const, w.mat
+    put_segmented = w.segmented
 
     put_const(8)
     put_mat(mid, lid)
@@ -850,7 +800,7 @@ def encode_multipolygons_kernel(ids: np.ndarray, coords: np.ndarray,
     put_const(42)
     put_mat(mbl, lbl)
     put_segmented(mb, lb, np.arange(n) * 4, np.full(n, 4), blen)
-    assert np.array_equal(pos, offsets[1:])
+    assert np.array_equal(w.pos, offsets[1:])
 
     return pa.BinaryArray.from_buffers(
         pa.binary(), n,
@@ -864,22 +814,10 @@ def decode_multipolygons_kernel(frames: pa.Array):
 
     Two-level jump walk: each round, every active feature consumes either a
     polygon header token or one whole ring — vectorized per round."""
-    combined = pa.concat_arrays([frames.cast(pa.binary())])
-    n = len(combined)
+    n, seg, tokens, first, counts = _tokenize_frames(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e, e, 2
-    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
-    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
-    start, end = int(offs[combined.offset]), int(offs[combined.offset + n])
-    seg = flat[start:end]
-    tok_ends = np.flatnonzero(seg < 0x80)
-    tok_starts_b = np.concatenate(([0], tok_ends[:-1] + 1))
-    frame_off = offs[combined.offset : combined.offset + n + 1].astype(np.int64) - start
-    counts = np.diff(np.searchsorted(tok_starts_b, frame_off))
-    tokens = core.unpack_varints(seg, 0, len(seg))
-    first = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=first[1:])
     codes = tokens[first + 3]
     code0 = int(codes[0])
     if not np.all(codes == codes[0]):
@@ -1136,31 +1074,19 @@ def encode_points_props_kernel(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(total, out=offsets[1:])
     buf = np.empty(offsets[-1], dtype=np.uint8)
-    pos = offsets[:-1].copy()
-
-    def put_const(byte):
-        nonlocal pos
-        buf[pos] = byte
-        pos = pos + 1
-
-    def put_mat(mat, lens):
-        nonlocal pos
-        for j in range(mat.shape[1]):
-            sel = lens > j
-            buf[pos[sel] + j] = mat[sel, j]
-        pos = pos + lens
+    w = _FrameWriter(buf, offsets[:-1])
+    put_const, put_mat = w.const, w.mat
 
     def put_payload(flat, offs, slen):
         # byte-level segmented copy: Arrow utf8 payload is contiguous
-        # row-major, so src is one arange; dst re-bases each row at pos[i]
-        nonlocal pos
+        # row-major, so src is one arange; dst re-bases each row at w.pos[i]
         nb = int(slen.sum())
         if nb:
             row_of_byte = np.repeat(np.arange(n), slen)
             local = np.arange(nb, dtype=np.int64) - np.repeat(
                 np.concatenate(([0], np.cumsum(slen)[:-1])), slen)
-            buf[pos[row_of_byte] + local] = flat[int(offs[0]) + np.arange(nb)]
-        pos = pos + slen
+            buf[w.pos[row_of_byte] + local] = flat[int(offs[0]) + np.arange(nb)]
+        w.pos = w.pos + slen
 
     put_const(8)
     put_mat(mid, lid)
@@ -1199,7 +1125,7 @@ def encode_points_props_kernel(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray
     put_const(42)
     put_mat(mbl, lbl)
     put_mat(mx, lx); put_mat(my, ly); put_mat(mx, lx); put_mat(my, ly)
-    assert np.array_equal(pos, offsets[1:])
+    assert np.array_equal(w.pos, offsets[1:])
     return pa.BinaryArray.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
