@@ -38,6 +38,18 @@ def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
     zz(deltas)…, ClosePath|1]; the delta cursor runs across the whole
     feature. All tokens for the whole batch are built in one pass and
     varint-packed with the geobuf byte-matrix machinery."""
+    return _commands_kernel(grid_coords, ring_nv, rings_per_feat, close_path=True)
+
+
+def line_commands_kernel(grid_coords: np.ndarray, part_nv: np.ndarray,
+                         parts_per_feat: np.ndarray) -> pa.Array:
+    """Per-feature MVT LINESTRING command streams (MoveTo + LineTo per
+    part, no ClosePath) — the roads-workload counterpart."""
+    return _commands_kernel(grid_coords, part_nv, parts_per_feat, close_path=False)
+
+
+def _commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
+                     rings_per_feat: np.ndarray, close_path: bool) -> pa.Array:
     R = len(ring_nv)
     n_feat = len(rings_per_feat)
     ring_nv = np.asarray(ring_nv, dtype=np.int64)
@@ -46,6 +58,12 @@ def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
         # reduceat over empty segments silently borrows the neighbor's
         # value and corrupts every later feature's commands — reject
         raise ValueError("feature with zero rings; filter before encoding")
+    min_nv = 3 if close_path else 2
+    if (ring_nv < min_nv).any():
+        # spec 4.3.4.4: polygon rings need LineTo count > 1, lines need
+        # at least one LineTo — shorter parts are wire-invalid
+        raise ValueError(
+            f"part with fewer than {min_nv} vertices; filter before encoding")
     xy = grid_coords.reshape(-1, 2).astype(np.int64)
 
     # per-feature delta chain (cursor resets per FEATURE, not per ring)
@@ -63,8 +81,10 @@ def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
         d[feat_v_start] = xy[feat_v_start]
     zz = core.zigzag_vec(d.reshape(-1))
 
-    # token layout per ring: 1 + 2 + 1 + 2*(nv-1) + 1 = 2*nv + 3
-    ring_tok = 2 * ring_nv + 3
+    # token layout per ring: MoveTo + 2 params + LineTo + 2(nv-1) params
+    # (+ ClosePath for polygons) = 2·nv + 2 (+1)
+    extra = 3 if close_path else 2
+    ring_tok = 2 * ring_nv + extra
     ring_tok_off = np.zeros(R, dtype=np.int64)
     ring_tok_off[1:] = np.cumsum(ring_tok)[:-1]
     total = int(ring_tok.sum())
@@ -76,9 +96,10 @@ def polygon_commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
     lineto_pos = ring_tok_off + 3
     tokens[lineto_pos] = (LINETO & 7) | ((ring_nv - 1).astype(np.uint64) << np.uint64(3))
     filled[lineto_pos] = True
-    close_pos = ring_tok_off + ring_tok - 1
-    tokens[close_pos] = (CLOSEPATH & 7) | (1 << 3)
-    filled[close_pos] = True
+    if close_path:
+        close_pos = ring_tok_off + ring_tok - 1
+        tokens[close_pos] = (CLOSEPATH & 7) | (1 << 3)
+        filled[close_pos] = True
     # delta params fill the non-command slots, which run per ring as
     # [off+1, off+2] (MoveTo params) then [off+4 .. off+2nv+1] (LineTo
     # params) — ring-major vertex order, exactly zz's order

@@ -116,3 +116,22 @@ def test_hex_size_guard():
     from geobuf_spark.functions import hexgrid as H
     with _pt.raises(ValueError, match="alias"):
         H.hex_cell(_F.lit(0.0), _F.lit(0.0), 1e-5)
+
+
+def test_line_commands_kernel_roundtrip():
+    """multi-part LINESTRING features: writer→parser exact, fuzzed."""
+    rng = np.random.default_rng(71)
+    feats = []
+    for _ in range(40):
+        nparts = int(rng.integers(1, 4))
+        feats.append([rng.integers(0, 4096, (int(rng.integers(2, 10)), 2))
+                      for _ in range(nparts)])
+    part_nv = np.array([len(p) for f in feats for p in f], dtype=np.int64)
+    ppf = np.array([len(f) for f in feats], dtype=np.int64)
+    coords = np.concatenate([p.reshape(-1) for f in feats for p in f]).astype(np.float64)
+    arr = M.line_commands_kernel(coords, part_nv, ppf)
+    for i, f in enumerate(feats):
+        blob = M.mvt_tile_bytes(M.mvt_layer_bytes(
+            "l", [M.mvt_feature_bytes(i, arr[i].as_py(), geom_type=2)]))
+        got = M.parse_mvt(blob)["layers"][0]["features"][0]["rings"]
+        assert got == [[tuple(v) for v in p] for p in f], i
