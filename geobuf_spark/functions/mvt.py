@@ -154,12 +154,19 @@ def mvt_tile_bytes(layer: bytes) -> bytes:
 
 
 def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
-                    extent: int = 4096, id_col: str = "poly_id") -> DataFrame:
-    """(z, x, y, poly_id, grid_coords, ring_lens) rows → one MVT blob per
-    tile. Command streams are kernel-built per Arrow batch; the per-tile
-    Tile/Layer framing runs in the tile groupBy (tiles are small by
-    construction)."""
+                    extent: int = 4096, id_col: str = "poly_id",
+                    geom: str = "polygon") -> DataFrame:
+    """(z, x, y, id, grid_coords, ring_lens) rows → one MVT blob per
+    tile. `geom` selects the command kernel: "polygon" (rings close) or
+    "line" (multi-part linestrings). Command streams are kernel-built per
+    Arrow batch; the per-tile Tile/Layer framing runs in the tile groupBy
+    (tiles are small by construction)."""
     import pandas as pd
+
+    if geom not in ("polygon", "line"):
+        raise ValueError(f"geom must be 'polygon' or 'line', got {geom!r}")
+    kernel = polygon_commands_kernel if geom == "polygon" else line_commands_kernel
+    gtype = GEOM_POLYGON if geom == "polygon" else 2
 
     cmd_schema = T.StructType([
         T.StructField("z", T.IntegerType()), T.StructField("x", T.LongType()),
@@ -179,7 +186,7 @@ def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
             ring_nv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             rpf = roffs[1:] - roffs[:-1]
-            cmds = polygon_commands_kernel(flat, ring_nv, rpf)
+            cmds = kernel(flat, ring_nv, rpf)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0).cast(pa.int32()), batch.column(1).cast(pa.int64()),
                  batch.column(2).cast(pa.int64()), batch.column(3).cast(pa.int64()), cmds],
@@ -196,7 +203,7 @@ def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
 
     def _tile(key, pdf):
         pdf = pdf.sort_values(id_col)
-        feats = [mvt_feature_bytes(int(i), bytes(c))
+        feats = [mvt_feature_bytes(int(i), bytes(c), geom_type=gtype)
                  for i, c in zip(pdf[id_col], pdf["cmds"])]
         blob = mvt_tile_bytes(mvt_layer_bytes(layer_name, feats, extent))
         return pd.DataFrame({"z": [key[0]], "x": [key[1]], "y": [key[2]],

@@ -259,6 +259,68 @@ def explode_multipolygon_parts(df: DataFrame, coords: str = "coords",
     )
 
 
+def vector_tiles_lines(lines: DataFrame, z: int, extent: int = 4096) -> DataFrame:
+    """vector_tiles for polyline features: cover → Liang–Barsky clip →
+    tile-local grid snap; parts degenerating below 2 grid vertices are
+    dropped. Output (…, z, x, y, grid_coords, ring_lens=part lengths) is
+    ready for `mvt.build_mvt_tiles(..., geom="line")`."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from geobuf_spark.operators.clip import tile_local_kernel
+
+    clipped = split_clip_lines(lines, z)
+    w, s, e, n = tiles.tile_bounds(z, F.col("x"), F.col("y"))
+    snapped = clipped.withColumn("_w", w).withColumn("_s", s) \
+        .withColumn("_e", e).withColumn("_n", n)
+    names = snapped.columns
+    keep = [c for c in names if c not in ("coords", "ring_lens", "_w", "_s", "_e", "_n")]
+    ix = {c: names.index(c) for c in names}
+    out_schema = T.StructType(
+        [f for f in snapped.schema.fields if f.name in keep]
+        + [T.StructField("grid_coords", T.ArrayType(T.LongType())),
+           T.StructField("ring_lens", T.ArrayType(T.IntegerType()))])
+
+    def _snap(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            carr = batch.column(ix["coords"])
+            rarr = batch.column(ix["ring_lens"])
+            flat = carr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            pnv = rarr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            roffs = rarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(nrows), roffs[1:] - roffs[:-1])
+            bounds = [batch.column(ix[c]).to_numpy(zero_copy_only=False)[row_of]
+                      for c in ("_w", "_s", "_e", "_n")]
+            out_c, out_nv = tile_local_kernel(flat, pnv, *bounds, extent=extent)
+            pkeep = out_nv >= 2
+            vr = np.repeat(np.arange(len(out_nv)), out_nv)
+            out_c = out_c.reshape(-1, 2)[pkeep[vr]].reshape(-1)
+            knv = out_nv[pkeep]
+            krow = row_of[pkeep]
+            rows_np = np.bincount(krow, minlength=nrows)
+            rk = rows_np > 0
+            if not rk.any():
+                continue
+            rows_nv = np.zeros(nrows, np.int64)
+            np.add.at(rows_nv, krow, knv)
+            take = pa.array(np.flatnonzero(rk))
+            coffs = np.zeros(int(rk.sum()) + 1, np.int32)
+            np.cumsum(rows_nv[rk] * 2, out=coffs[1:])
+            poffs = np.zeros(int(rk.sum()) + 1, np.int32)
+            np.cumsum(rows_np[rk], out=poffs[1:])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(ix[c]).take(take) for c in keep]
+                + [pa.ListArray.from_arrays(pa.array(coffs), pa.array(out_c, type=pa.int64())),
+                   pa.ListArray.from_arrays(pa.array(poffs), pa.array(knv.astype(np.int32)))],
+                names=keep + ["grid_coords", "ring_lens"])
+
+    return snapped.mapInArrow(_snap, out_schema)
+
+
 def split_clip_lines(lines: DataFrame, z: int) -> DataFrame:
     """split_clip_tiles for polyline features (the reference's roads
     corpus): cover explode → Liang–Barsky clip per tile; re-entrant lines

@@ -135,3 +135,35 @@ def test_line_commands_kernel_roundtrip():
             "l", [M.mvt_feature_bytes(i, arr[i].as_py(), geom_type=2)]))
         got = M.parse_mvt(blob)["layers"][0]["features"][0]["rings"]
         assert got == [[tuple(v) for v in p] for p in f], i
+
+
+def test_build_mvt_line_tiles_end_to_end(spark):
+    """roads → split+clip per tile → grid snap → LINESTRING MVT blobs."""
+    from geobuf_spark.operators import tiling
+
+    rng = np.random.default_rng(83)
+    rows = []
+    for i in range(30):
+        nv = int(rng.integers(2, 10))
+        pts = rng.uniform(-50, 50, (nv, 2))
+        rows.append((i, float(pts[:,0].min()), float(pts[:,1].min()),
+                     float(pts[:,0].max()), float(pts[:,1].max()),
+                     pts.reshape(-1).tolist(), [nv]))
+    df = spark.createDataFrame(
+        rows, "line_id bigint, minx double, miny double, maxx double, maxy double, "
+              "coords array<double>, ring_lens array<int>")
+    vt = tiling.vector_tiles_lines(df, z=4, extent=256)
+    tiles_df = M.build_mvt_tiles(vt, layer_name="roads", extent=256,
+                                 id_col="line_id", geom="line")
+    rows_out = tiles_df.collect()
+    assert len(rows_out) > 0
+    total = 0
+    for r in rows_out:
+        for feat in M.parse_mvt(bytes(r.mvt))["layers"][0]["features"]:
+            assert feat["type"] == 2
+            total += 1
+            for part in feat["rings"]:
+                assert len(part) >= 2
+                for x, y in part:
+                    assert 0 <= x < 256 and 0 <= y < 256
+    assert total == vt.count()
