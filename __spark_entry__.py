@@ -596,18 +596,6 @@ def q_tpch_q4(spark, sf):
     )
 
 
-def q_multimodal_ann_top3(spark, sf):
-    # cross-operator chain: binary payloads → vectorized byte-histogram
-    # embeddings → exact cosine top-k (rows-only; pytest proves the
-    # planted-duplicate rank-1 property)
-    from geobuf_spark.operators import multimodal
-    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
-    queries = emb.filter(F.col("doc_id") % 50 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "embedding")
-    return similarity.brute_force_topk(
-        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
-
 
 def q_tpch_q10(spark, sf):
     c = spark.read.parquet(f"{sf}/customer.parquet")
@@ -624,18 +612,6 @@ def q_tpch_q10(spark, sf):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
-
-def q_multimodal_ann_top3(spark, sf):
-    # cross-operator chain: binary payloads → vectorized byte-histogram
-    # embeddings → exact cosine top-k (rows-only; pytest proves the
-    # planted-duplicate rank-1 property)
-    from geobuf_spark.operators import multimodal
-    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
-    queries = emb.filter(F.col("doc_id") % 50 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "embedding")
-    return similarity.brute_force_topk(
-        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
 
 
 def q_tpch_q14(spark, sf):

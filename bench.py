@@ -61,6 +61,14 @@ def bench_queries(spark):
         "doc_quality", "token_totals", "events_window", "sessionize",
         "tpch_q1", "tpch_q3", "tpch_q5",
     ]
+    def force(df):
+        # a bare count() lets Catalyst prune every computed column, so a
+        # projection-shaped query would time a parquet row count; hashing
+        # ALL output columns forces the full expression tree, and bit_xor
+        # aggregates without ANSI overflow
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        return df.select(h.alias("_h")).agg(F.expr("bit_xor(_h)")).collect()
+
     # two full passes (A,B,…,A,B,…) rather than back-to-back trials: a
     # co-tenant burst then has to span the WHOLE pass to poison a query's
     # minimum, instead of just its ~2s window
@@ -68,7 +76,7 @@ def bench_queries(spark):
     for _ in range(2):
         for name in names:
             t0 = time.time()
-            Q[name](spark, SF_DIR).count()
+            force(Q[name](spark, SF_DIR))
             times[name].append(time.time() - t0)
     return {n: round(min(ts), 3) for n, ts in times.items()}
 
@@ -79,8 +87,6 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
     Min of warm trials — this host has bursty co-tenants (identical runs
     vary 10-100x), so the minimum is the least-contended, reproducible
     estimate; medians inherit whole-window throttling."""
-    import statistics
-
     from pyspark.sql import functions as F
 
     from geobuf_spark.codec import spark_codec
@@ -193,7 +199,9 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
 
     # storage-scan variants: read + decode from parquet files — the
     # deployment-realistic path where geobuf's 5x byte advantage pays
+    import shutil
     import tempfile
+    from pathlib import Path
 
     tmp = tempfile.mkdtemp(prefix="codec_bench_")
     enc.write.mode("overwrite").parquet(f"{tmp}/geobuf")
@@ -210,35 +218,32 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
         return parsed.agg(F.count("*"), F.sum(F.size("s.coords")),
                           F.sum(F.element_at("s.coords", 1))).collect()[0][0]
 
-    out = {}
-    for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
-                     ("geobuf_read", geobuf_read), ("json_read", json_read),
-                     ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]:
-        fn()
-        ts = []
-        for _ in range(trials):
-            t0 = time.time()
-            n = fn()
-            ts.append(time.time() - t0)
-            assert n == n_lines
-        out[name] = min(ts)
-    out["geobuf_bytes"] = enc.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
-    out["json_bytes"] = js.agg(F.sum(F.octet_length("j"))).collect()[0][0]
-    import os as _os
-    out["geobuf_parquet_bytes"] = sum(
-        f.stat().st_size for f in __import__("pathlib").Path(f"{tmp}/geobuf").rglob("*.parquet"))
-    out["json_parquet_bytes"] = sum(
-        f.stat().st_size for f in __import__("pathlib").Path(f"{tmp}/json").rglob("*.parquet"))
-    _ = _os
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
-    lines.unpersist(); enc.unpersist(); js.unpersist()
-    return out
+    try:
+        out = {}
+        for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
+                         ("geobuf_read", geobuf_read), ("json_read", json_read),
+                         ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]:
+            fn()
+            ts = []
+            for _ in range(trials):
+                t0 = time.time()
+                n = fn()
+                ts.append(time.time() - t0)
+                assert n == n_lines
+            out[name] = min(ts)
+        out["geobuf_bytes"] = enc.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
+        out["json_bytes"] = js.agg(F.sum(F.octet_length("j"))).collect()[0][0]
+        out["geobuf_parquet_bytes"] = sum(
+            f.stat().st_size for f in Path(f"{tmp}/geobuf").rglob("*.parquet"))
+        out["json_parquet_bytes"] = sum(
+            f.stat().st_size for f in Path(f"{tmp}/json").rglob("*.parquet"))
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        lines.unpersist(); enc.unpersist(); js.unpersist()
 
 
 def run(cores: int, scaling_only: bool = False):
-    import statistics
-
     from geobuf_spark.session import get_spark
 
     spark = get_spark(f"bench_{cores}", cores=cores, shuffle_partitions=max(cores, 16))
@@ -330,7 +335,7 @@ def main():
         return
 
     r = run(CPUS)
-    total = sum(r["queries"].values())
+    total = sum(v for k, v in r["queries"].items() if k != "flagship_pipeline")
     c = r["codec"]
     li = r["lines"]
     print(json.dumps({

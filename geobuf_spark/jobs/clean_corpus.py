@@ -10,9 +10,10 @@ Scale notes (10^12 docs):
 - the exact-dedup groupBy is map-side combinable (distinct hashes shuffle,
   not rows);
 - near-dup candidates come from the LSH band join (linear-ish), never an
-  all-pairs compare; the survivor rule (keep the min doc_id of each dup
-  pair's component, dropping the larger id) needs only the pair list —
-  no iterative connected components on the hot path;
+  all-pairs compare; survivors are each cluster's MIN doc_id via
+  `near_dup_components` (pointer-jumping min-label propagation,
+  O(log diameter) small-aggregate rounds — near-dup graphs are tiny
+  stars/chains);
 - every stage's row counts land in `_metrics`, making shrinkage auditable
   per run — the lineage a data-curation pipeline has to carry.
 """
@@ -31,6 +32,10 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
     from geobuf_spark.operators import dedup
     from geobuf_spark.ops import lineage
     from geobuf_spark.sources.tables import widen
+
+    if run_id in lineage.committed_runs(out):
+        return {"commit": {"status": "already_committed", "run_id": run_id},
+                "rows": None}
 
     ctx = lineage.JobContext(spark, out, "clean_corpus", run_id=run_id)
 
@@ -56,7 +61,11 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
     with ctx.stage("near_dedup") as t:
         pairs = dedup.minhash_lsh_pairs(kept, key="doc_id",
                                         jaccard_threshold=jaccard)
-        drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+        # connected components → keep each near-dup cluster's MIN doc_id
+        # (pairwise greatest-drop keeps local minima: for pairs (1,3),(2,3)
+        # both 1 and 2 would survive one cluster)
+        comp = dedup.near_dup_components(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
         kept = kept.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
         n3 = kept.count()
         t.set_counts(rows_in=n2, rows_out=n3)

@@ -32,6 +32,12 @@ def run_job(spark, n_pages: int, sf_dir: str, out: str, zoom: int, run_id: str) 
     from geobuf_spark.plans import strategy
     from geobuf_spark.sources import minted, pages
 
+    # documented contract: same-run-id rerun after success is a NO-OP —
+    # short-circuit before any work, and append no duplicate metrics
+    if run_id in lineage.committed_runs(out):
+        return {"commit": {"status": "already_committed", "run_id": run_id},
+                "join_plan": "skipped (already committed)", "rows_joined": None}
+
     ctx = lineage.JobContext(spark, out, "tile_pages", run_id=run_id)
 
     with ctx.stage("synthesize_pages") as t:
@@ -45,7 +51,9 @@ def run_job(spark, n_pages: int, sf_dir: str, out: str, zoom: int, run_id: str) 
             F.col("page_id").alias("doc_id"),
             (F.col("lon_q") / 1e7).alias("lon"),
             (F.col("lat_q") / 1e7).alias("lat"),
-        ).localCheckpoint(eager=False)  # join + commit reuse one codec pass
+        ).localCheckpoint(eager=True)  # eager: the codec pass EXECUTES in
+        # this stage, so its wall_sec lands here instead of being absorbed
+        # by the join stage's first action (and join/commit reuse it)
         t.set_counts(rows_in=n_pages)
 
     with ctx.stage("pip_join") as t:
