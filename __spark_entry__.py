@@ -1013,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY 1""",
         "token_totals": f"""
-            SELECT lang, sum({tq['n_tokens']}) AS total_tokens,
+            SELECT lang, CAST(sum({tq['n_tokens']}) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs, max({tq['n_uniq_tokens']}) AS max_uniq
             FROM documents GROUP BY lang""",
         "events_enriched": """
@@ -1050,8 +1050,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM lagged),
             sess AS (
                 SELECT user_id, ep,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ep) AS t_start, max(ep) AS t_end
@@ -1163,8 +1163,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name""",
         "tpch_q12": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
             GROUP BY l_linestatus""",
@@ -1190,7 +1190,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING), 2) AS running_spend
             FROM orders""",
         "rollup_doc_counts": """
-            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(lang, source)""",
         "pivot_lang_source": """
             SELECT lang,

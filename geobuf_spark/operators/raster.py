@@ -89,7 +89,8 @@ def sql_vectorize(raster_sql: str, threshold: int = 1) -> str:
                    sum(gap) OVER (PARTITION BY z, x, y, py ORDER BY px
                                   ROWS UNBOUNDED PRECEDING) AS run
             FROM flagged)
-        SELECT z, x, y, py, min(px) AS px0, max(px) AS px1, sum(n) AS total
+        SELECT z, x, y, py, min(px) AS px0, max(px) AS px1,
+               CAST(sum(n) AS BIGINT) AS total
         FROM runs GROUP BY z, x, y, py, run"""
 
 
