@@ -88,6 +88,76 @@ def _tokenize_frames(frames: pa.Array):
     return n, seg, tokens, first, counts
 
 
+def _tokenize_geometry(frames: pa.Array):
+    """Payload-level decode prologue: field-walk every frame for the id
+    (tag 0x08), geom code (tag 0x18) and geometry payload (tag 0x22),
+    gather the payload byte ranges contiguously, and varint-tokenize ONLY
+    those bytes. Unlike `_tokenize_frames`, this tolerates properties,
+    missing bbox, and any field order — the same per-field walk the
+    reference decoder does (read_feature.go:9-100), batched.
+
+    Returns (n, ids, codes, tokens, first, counts) where tokens are the
+    geometry deltas/headers only and first/counts index them per frame."""
+    combined = pa.concat_arrays([frames.cast(pa.binary())])
+    n = len(combined)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return 0, e, e, np.empty(0, np.uint64), e, e
+    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
+    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
+
+    ids = np.zeros(n, dtype=np.int64)
+    codes = np.full(n, -1, dtype=np.int64)
+    g_start = np.full(n, -1, dtype=np.int64)
+    g_len = np.zeros(n, dtype=np.int64)
+    for active, tag, pstart, plen, v, _ in frame_fields_walk(flat, starts, ends):
+        is_id = tag == 0x08
+        if is_id.any():
+            ids[active[is_id]] = v[is_id].astype(np.int64)
+        is_code = tag == 0x18
+        if is_code.any():
+            sel = active[is_code]
+            fresh = codes[sel] < 0
+            codes[sel[fresh]] = v[is_code][fresh].astype(np.int64)
+        is_geom = tag == 0x22
+        if is_geom.any():
+            sel = active[is_geom]
+            fresh = g_start[sel] < 0
+            g_start[sel[fresh]] = pstart[is_geom][fresh]
+            g_len[sel[fresh]] = plen[is_geom][fresh]
+    if (codes < 0).any() or (g_start < 0).any():
+        raise ValueError("frame missing geometry-type or geometry field")
+
+    byte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(g_len, out=byte_off[1:])
+    total = int(byte_off[-1])
+    row_of_byte = np.repeat(np.arange(n), g_len)
+    local = np.arange(total, dtype=np.int64) - byte_off[row_of_byte]
+    gbuf = flat[g_start[row_of_byte] + local]
+    tokens = core.unpack_varints(gbuf, 0, len(gbuf))
+    tok_ends = np.flatnonzero(gbuf < 0x80)
+    tok_starts_b = (np.concatenate(([0], tok_ends[:-1] + 1))
+                    if len(tok_ends) else np.empty(0, np.int64))
+    counts = np.diff(np.searchsorted(tok_starts_b, byte_off))
+    first = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    return n, ids, codes, tokens, first, counts
+
+
+def _gather_token_group(tokens: np.ndarray, first: np.ndarray,
+                        counts: np.ndarray, sel: np.ndarray):
+    """Slice the per-frame token ranges of the selected frames into one
+    contiguous (tokens, first, counts) triple — the group dispatch step."""
+    cnt = counts[sel]
+    off = np.zeros(len(sel) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=off[1:])
+    src = (np.repeat(first[sel], cnt)
+           + np.arange(int(off[-1]), dtype=np.int64) - off[:-1].repeat(cnt))
+    return tokens[src], off[:-1], cnt
+
+
 def _varint_matrix(v: np.ndarray):
     """(values → (N,10) byte matrix, lengths) — vectorized varint encode."""
     v = v.astype(np.uint64, copy=False)
@@ -187,6 +257,11 @@ def encode_points(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
 
     def _enc(batches):
         for batch in batches:
+            for ci in range(3):
+                if batch.column(ci).null_count:
+                    raise ValueError(
+                        "encode_points: null id/lon/lat (nulls become NaN "
+                        "→ INT64_MIN garbage); filter before encoding")
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             lons = batch.column(1).to_numpy(zero_copy_only=False)
             lats = batch.column(2).to_numpy(zero_copy_only=False)
@@ -317,34 +392,16 @@ def encode_lines_kernel(ids: np.ndarray, coords: np.ndarray, nv: np.ndarray,
     )
 
 
-def decode_lines_kernel(frames: pa.Array):
-    """Decode N LineString frames → (ids, flat quantized coords, nv).
-
-    One varint sweep over the concatenated buffer; token→frame assignment
-    by searchsorted; segmented cumsum (global cumsum minus per-row offset)
-    rebuilds absolute lattice coordinates. Every feature contributes an
-    even number of delta tokens, so the global even/odd split IS the x/y
-    split."""
-    n, seg, tokens, first, counts = _tokenize_frames(frames)
-    if n == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, e, e
-    # geom code (token first+3) carries the dim (geom.go:59-76); batches
-    # are homogeneous-dim by construction — mixed dims go the generic path
-    codes = tokens[first + 3]
-    code0 = int(codes[0])
-    if not np.all(codes == codes[0]):
-        raise ValueError("mixed-dim LineString batch; use the generic codec")
+def _lines_core(ids: np.ndarray, code0: int, tokens: np.ndarray,
+                counts: np.ndarray):
+    """LineString/MultiPoint decode over geometry-payload tokens: every
+    token is a delta, so the even/odd split IS the x/y split (per dim)."""
+    n = len(ids)
     dim = 2 if code0 <= 6 else code0 & 0xF
-    # layout: 8,id,24,code,34,glen,(dim·nv),42,blen,(4 bbox) → 12 fixed
-    nv = (counts - 12) // dim
-    ids = tokens[first + 1].astype(np.int64)
-    # delta tokens: indices first+6 … first+6+dim·nv-1 per frame
-    tok_idx = np.arange(len(tokens))
-    row_of_tok = np.repeat(np.arange(n), counts)
-    in_row = tok_idx - first[row_of_tok]
-    is_delta = (in_row >= 6) & (in_row < 6 + dim * nv[row_of_tok])
-    d = core.unzigzag_vec(tokens[is_delta]).reshape(-1, dim)
+    if int(counts.sum()) % dim or (counts % dim).any():
+        raise ValueError("line geometry token count not divisible by dim")
+    nv = counts // dim
+    d = core.unzigzag_vec(tokens).reshape(-1, dim)
     # segmented cumsum per row
     v_starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nv[:-1], out=v_starts[1:])
@@ -353,6 +410,24 @@ def decode_lines_kernel(frames: pa.Array):
     base[1:] = c[v_starts[1:] - 1]
     coords_q = c - np.repeat(base, nv, axis=0)
     return ids, coords_q.reshape(-1), nv
+
+
+def decode_lines_kernel(frames: pa.Array):
+    """Decode N LineString frames → (ids, flat quantized coords, nv).
+
+    Geometry payloads are field-walked out of each frame (properties /
+    bbox / field order tolerated — reader parity with read_feature.go),
+    gathered contiguously, and swept in one varint pass; segmented cumsum
+    (global cumsum minus per-row offset) rebuilds absolute lattice
+    coordinates."""
+    n, ids, codes, tokens, first, counts = _tokenize_geometry(frames)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    code0 = int(codes[0])
+    if not np.all(codes == code0):
+        raise ValueError("mixed-dim LineString batch; use decode_geometries")
+    return _lines_core(ids, code0, tokens, counts)
 
 
 def encode_lines(df: DataFrame, id_col: str = "line_id", coords: str = "coords",
@@ -596,21 +671,25 @@ def decode_rings_kernel(frames: pa.Array):
     Ring boundaries are data-dependent (each ring announces its token
     count), so the walk iterates max-rings-per-feature times over the
     active frame set — vectorized within each round."""
-    n, seg, tokens, first, counts = _tokenize_frames(frames)
+    n, ids, codes, tokens, first, counts = _tokenize_geometry(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e, 0, 2
-    codes = tokens[first + 3]
     code0 = int(codes[0])
-    if not np.all(codes == codes[0]):
-        raise ValueError("mixed geom-code batch; use the generic codec")
+    if not np.all(codes == code0):
+        raise ValueError("mixed geom-code batch; use decode_geometries")
+    return _rings_core(ids, code0, tokens, first, counts)
+
+
+def _rings_core(ids: np.ndarray, code0: int, tokens: np.ndarray,
+                first: np.ndarray, counts: np.ndarray):
+    n = len(ids)
     geom_type = code0 if code0 <= 6 else code0 >> 4
     dim = 2 if code0 <= 6 else code0 & 0xF
-    ids = tokens[first + 1].astype(np.int64)
 
-    # ring walk: geometry tokens occupy [first+6, first+counts-6)
-    g_end = first + counts - 6
-    pos = first + 6
+    # ring walk over geometry-payload tokens [first, first+counts)
+    g_end = first + counts
+    pos = first.copy()
     ring_feat, ring_start_tok, ring_nv_l = [], [], []
     rings_per_feat = np.zeros(n, dtype=np.int64)
     active = np.flatnonzero(pos < g_end)
@@ -814,21 +893,25 @@ def decode_multipolygons_kernel(frames: pa.Array):
 
     Two-level jump walk: each round, every active feature consumes either a
     polygon header token or one whole ring — vectorized per round."""
-    n, seg, tokens, first, counts = _tokenize_frames(frames)
+    n, ids, codes, tokens, first, counts = _tokenize_geometry(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e, e, 2
-    codes = tokens[first + 3]
     code0 = int(codes[0])
-    if not np.all(codes == codes[0]):
-        raise ValueError("mixed geom-code batch; use the generic codec")
+    if not np.all(codes == code0):
+        raise ValueError("mixed geom-code batch; use decode_geometries")
+    return _multipolygons_core(ids, code0, tokens, first, counts)
+
+
+def _multipolygons_core(ids: np.ndarray, code0: int, tokens: np.ndarray,
+                        first: np.ndarray, counts: np.ndarray):
+    n = len(ids)
     if not (code0 == 6 or (code0 > 6 and code0 >> 4 == 6)):
         raise ValueError("not a MultiPolygon batch")
     dim = 2 if code0 <= 6 else code0 & 0xF
-    ids = tokens[first + 1].astype(np.int64)
 
-    g_end = first + counts - 6
-    pos = first + 6
+    g_end = first + counts
+    pos = first.copy()
     rings_left = np.zeros(n, dtype=np.int64)
     polys_per_feat = np.zeros(n, dtype=np.int64)
     # event logs (round-ordered); reordered feature-major afterwards
@@ -935,35 +1018,42 @@ def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
             frames = pa.concat_arrays([frames.cast(pa.binary())])
             if len(frames) == 0:
                 continue
-            codes = _frame_geom_codes(frames)
-            gtypes = np.where(codes <= 6, codes, codes >> 4)
+            # ONE field walk + payload tokenize for the whole batch, then
+            # group by the FULL geom code — mixed dims and frames carrying
+            # properties/bbox/any field order all stay on vectorized paths.
+            _, all_ids, codes, all_tok, all_first, all_cnt = \
+                _tokenize_geometry(frames)
             out = []
-            for gt in np.unique(gtypes):
-                idx = pa.array(np.flatnonzero(gtypes == gt))
-                sub = frames.take(idx)
+            for code in np.unique(codes):
+                code0 = int(code)
+                gt = code0 if code0 <= 6 else code0 >> 4
+                sel = np.flatnonzero(codes == code)
+                toks, first, cnt = _gather_token_group(
+                    all_tok, all_first, all_cnt, sel)
+                gids = all_ids[sel]
                 if gt == 1:
-                    # props-tolerant path (fixed 14-token reshape breaks on
-                    # frames carrying property fields)
-                    ids, qx, qy = decode_points_any_kernel(sub)
-                    m = len(ids)
-                    coords = np.empty(2 * m, dtype=np.int64)
-                    coords[0::2], coords[1::2] = qx, qy
+                    if (cnt != 2).any():
+                        raise ValueError("point frame with != 2 geometry values")
+                    m = len(gids)
+                    ids = gids
+                    coords = core.unzigzag_vec(toks)
                     parts = np.ones(m, dtype=np.int64)
-                    dim = 2
+                    dim = 2  # writepointbs drops dims > 2 (geom.go:187-201)
                     ring_nv = np.ones(m, dtype=np.int64)
                 elif gt in (2, 4):
-                    ids, coords, nv = decode_lines_kernel(sub)
+                    ids, coords, nv = _lines_core(gids, code0, toks, cnt)
                     m = len(ids)
-                    tot = int(nv.sum())
-                    dim = len(coords) // tot if tot else 2
+                    dim = 2 if code0 <= 6 else code0 & 0xF
                     ring_nv = nv
                     parts = np.ones(m, dtype=np.int64)
                 elif gt in (3, 5):
-                    ids, coords, ring_nv, rpf, _, dim = decode_rings_kernel(sub)
+                    ids, coords, ring_nv, rpf, _, dim = _rings_core(
+                        gids, code0, toks, first, cnt)
                     m = len(ids)
                     parts = rpf
                 elif gt == 6:
-                    ids, coords, ring_nv, rpp, ppf, dim = decode_multipolygons_kernel(sub)
+                    ids, coords, ring_nv, rpp, ppf, dim = _multipolygons_core(
+                        gids, code0, toks, first, cnt)
                     m = len(ids)
                     parts = ppf
                 else:
@@ -1163,6 +1253,16 @@ def encode_points_with_props(df: DataFrame, id_col: str = "doc_id",
 
     def _enc(batches):
         for batch in batches:
+            for ci, cname in enumerate(cols):
+                if batch.column(ci).null_count:
+                    # a null int64 round-trips through float64 NaN into
+                    # INT64_MIN garbage, and a null string's offsets read
+                    # as "" — corruption, not data. Fixed-schema contract:
+                    # the caller drops or fills nulls first.
+                    raise ValueError(
+                        f"encode_points_with_props: column {cname!r} has "
+                        "null values; geobuf KeyValue has no null encoding "
+                        "— filter or fill before encoding")
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             lons = batch.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
             lats = batch.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1261,11 +1361,13 @@ def lazy_prop_kernel(frames: pa.Array, key: str, max_props: int = 32):
         p = pos[active]
         L, ll = _read_varint_at(flat, p + 1)
         inner = p + 1 + ll              # at 0x0A
-        frame_klen = flat[inner + 1].astype(np.int64)
-        key_match = frame_klen == klen
+        # klen is a varint (multi-byte for keys >= 128 chars) — a single
+        # byte load misparses reference-written frames silently
+        frame_klen, kll = _read_varint_at(flat, inner + 1)
+        key_match = frame_klen.astype(np.int64) == klen
         if key_match.any():
             cand = active[key_match]
-            kstart = inner[key_match] + 2
+            kstart = inner[key_match] + 1 + kll[key_match]
             eq = np.ones(len(cand), dtype=bool)
             for j in range(klen):
                 eq &= flat[kstart + j] == kb[j]
@@ -1274,8 +1376,9 @@ def lazy_prop_kernel(frames: pa.Array, key: str, max_props: int = 32):
                 # value message begins after the key: 0x12 vlen <field>
                 hpos = pos[hit]
                 hL, hll = _read_varint_at(flat, hpos + 1)
-                hinner = hpos + 1 + hll
-                vmsg = hinner + 2 + klen       # at 0x12
+                hinner = hpos + 1 + hll        # at 0x0A
+                hklen, hkll = _read_varint_at(flat, hinner + 1)
+                vmsg = hinner + 1 + hkll + hklen.astype(np.int64)  # at 0x12
                 vlen, vll = _read_varint_at(flat, vmsg + 1)
                 vfield = vmsg + 1 + vll        # first byte of the value body
                 tag = flat[vfield]
@@ -1388,10 +1491,10 @@ def frame_keys_kernel(frames: pa.Array):
         if not sel.any():
             continue
         for i, ps, pl in zip(active[sel], pstart[sel], plen[sel]):
-            # inside KeyValue: 0x0A klen key …
-            kl = int(flat[ps + 1])
+            # inside KeyValue: 0x0A varint(klen) key …
+            kl, kp = core.decode_varint(flat, ps + 1)
             rows.append(int(i))
-            keys.append(bytes(flat[ps + 2 : ps + 2 + kl]).decode("utf-8"))
+            keys.append(bytes(flat[kp : kp + kl]).decode("utf-8"))
     return np.asarray(rows, dtype=np.int64), keys
 
 
@@ -1466,37 +1569,11 @@ def decode_points_any_kernel(frames: pa.Array):
     into one contiguous buffer, single varint sweep → (ids, qx, qy).
     Stays fully vectorized where `decode_points_kernel`'s fixed 14-token
     layout would break."""
-    combined = pa.concat_arrays([frames.cast(pa.binary())])
-    n = len(combined)
+    n, ids, _codes, tokens, _first, counts = _tokenize_geometry(frames)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e
-    flat = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
-    offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)
-    starts = offs[combined.offset : combined.offset + n].astype(np.int64)
-    ends = offs[combined.offset + 1 : combined.offset + n + 1].astype(np.int64)
-
-    ids = np.zeros(n, dtype=np.int64)
-    g_start = np.full(n, -1, dtype=np.int64)
-    g_len = np.zeros(n, dtype=np.int64)
-    for active, tag, pstart, plen, v, _ in frame_fields_walk(flat, starts, ends):
-        is_id = tag == 0x08
-        if is_id.any():
-            ids[active[is_id]] = v[is_id].astype(np.int64)
-        is_geom = tag == 0x22
-        if is_geom.any():
-            g_start[active[is_geom]] = pstart[is_geom]
-            g_len[active[is_geom]] = plen[is_geom]
-    if (g_start < 0).any():
-        raise ValueError("frame without geometry field")
-    # gather all geometry payloads contiguously, one varint sweep
-    total = int(g_len.sum())
-    row_of_byte = np.repeat(np.arange(n), g_len)
-    local = np.arange(total, dtype=np.int64) - np.repeat(
-        np.concatenate(([0], np.cumsum(g_len)[:-1])), g_len)
-    gbuf = flat[g_start[row_of_byte] + local]
-    tokens = core.unpack_varints(gbuf, 0, len(gbuf))
-    if len(tokens) != 2 * n:
+    if len(tokens) != 2 * n or (counts != 2).any():
         raise ValueError("not a point batch (geometry is not 2 values/frame)")
     tok = tokens.reshape(n, 2)
     return ids, core.unzigzag_vec(tok[:, 0]), core.unzigzag_vec(tok[:, 1])

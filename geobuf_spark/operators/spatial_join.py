@@ -251,6 +251,10 @@ def pip_join_s2(
     from geobuf_spark.functions import cells
     from geobuf_spark.plans.strategy import choose_s2_level
 
+    if how != "inner":
+        # the exact-refine filter runs AFTER the join, so outer modes would
+        # silently drop unmatched rows back to inner semantics
+        raise ValueError("pip_join_s2 supports how='inner' only")
     if level is None:
         level = choose_s2_level(polys)
     if refine is None:
@@ -277,6 +281,9 @@ def pip_join_hex(points: DataFrame, polys: DataFrame, *, size_deg: float = 2.5,
     exact refine after."""
     from geobuf_spark.functions import hexgrid
 
+    if how != "inner":
+        raise ValueError("pip_join_hex supports how='inner' only (refine "
+                         "runs post-join and would drop outer rows)")
     if refine is None:
         refine = rect_contains(F.col(lon), F.col(lat))
     p = points.withColumn("hex", hexgrid.hex_cell(F.col(lon), F.col(lat), size_deg))

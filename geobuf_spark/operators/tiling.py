@@ -97,13 +97,17 @@ def tile_pyramid(assigned: DataFrame, z_min: int = 0) -> DataFrame:
         .localCheckpoint(eager=True)
     levels = [base]
     cur = base
-    top_z = None
-    # z is constant per assignment; read it from the plan-side literal if
-    # possible, else from the data (one tiny action on the aggregate)
-    top_z = assigned.select("z").first()
-    if top_z is None:
+    # z must be constant across the input — a mixed-zoom frame would roll
+    # coarser rows up from the wrong starting level, silently halving their
+    # x/y once too often. One tiny action on the checkpointed aggregate.
+    zr = base.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).first()
+    if zr is None or zr.lo is None:
         return base
-    top_z = top_z.z
+    if zr.lo != zr.hi:
+        raise ValueError(
+            f"tile_pyramid: mixed zoom levels in input (z={zr.lo}..{zr.hi}); "
+            "roll each zoom up separately or re-assign at one zoom first")
+    top_z = zr.hi
     for zz in range(top_z - 1, z_min - 1, -1):
         cur = (
             cur.select(

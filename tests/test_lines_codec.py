@@ -2,6 +2,7 @@
 reference-semantics encoder, exact round trips, DataFrame wrappers."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 
@@ -338,3 +339,90 @@ def test_decode_geometries_mixed_batch(spark):
     g = core.decode_feature(frames[[i for i in range(len(frames))][some.id]], quantized=True)
     assert list(some.part_rings) == g.part_rings.tolist()
     assert list(some.ring_lens) == g.ring_lens.tolist()
+
+
+def _props_line_frame(fid: int, coords: np.ndarray, props: dict,
+                      geom_type: int = 2, dim: int = 2,
+                      with_bbox: bool = True) -> bytes:
+    """A feature frame with properties (and optionally no bbox, like
+    reference files written by older encoders — county.geobuf has none)."""
+    nv = np.array([len(coords) // dim], dtype=np.int64)
+    feat = core.Feature(geom_type=geom_type, dim=dim, coords=coords,
+                        ring_lens=nv, part_rings=np.array([1], np.int64),
+                        id=fid, properties=props)
+    frame = core.encode_feature(feat)
+    if not with_bbox:
+        # strip the trailing bbox field (tag 42 + len + payload)
+        pos, out = 0, bytearray()
+        while pos < len(frame):
+            tag = frame[pos]
+            val, nxt = core.decode_varint(frame, pos + 1)
+            end = nxt + val if tag & 0x7 == 2 else nxt
+            if tag != 42:
+                out += frame[pos:end]
+            pos = end
+        frame = bytes(out)
+    return frame
+
+
+def test_decode_lines_with_properties():
+    """Props-carrying line frames must decode exactly — the old fixed
+    whole-frame tokenizer silently produced garbage on them (ADVICE r01)."""
+    rng = np.random.default_rng(7)
+    frames, want = [], []
+    for fid in range(40):
+        nv = int(rng.integers(2, 9))
+        c = rng.uniform(-170, 170, nv * 2)
+        props = {"name": f"road-{fid}", "lanes": fid % 5}
+        frames.append(_props_line_frame(fid, c, props))
+        want.append(core.quantize_vec(c).tolist())
+    arr = pa.array(frames, type=pa.binary())
+    ids, coords, nv = sc.decode_lines_kernel(arr)
+    assert ids.tolist() == list(range(40))
+    off = 0
+    for i, n in enumerate(nv):
+        assert coords[off:off + 2 * n].tolist() == want[i], i
+        off += 2 * n
+
+
+def test_decode_rings_props_and_no_bbox():
+    """Polygon frames with properties AND without bbox (old-writer files)
+    through the vectorized ring kernel — reader.go field-walk parity."""
+    rng = np.random.default_rng(11)
+    frames, want = [], []
+    for fid in range(25):
+        nv = int(rng.integers(3, 8))
+        c = rng.uniform(-80, 80, nv * 2)
+        frames.append(_props_line_frame(
+            fid, c, {"area": float(fid)}, geom_type=3,
+            with_bbox=bool(fid % 2)))
+        want.append(core.quantize_vec(c).tolist())
+    arr = pa.array(frames, type=pa.binary())
+    ids, coords, rnv, rpf, gt, dim = sc.decode_rings_kernel(arr)
+    assert gt == 3 and dim == 2 and ids.tolist() == list(range(25))
+    assert rpf.tolist() == [1] * 25
+    off = 0
+    for i, n in enumerate(rnv):
+        assert coords[off:off + 2 * n].tolist() == want[i], i
+        off += 2 * n
+
+
+def test_decode_geometries_mixed_dim_and_props(spark):
+    """decode_geometries groups by FULL geom code: a batch mixing dim-2 and
+    dim-3 LineStrings (plus props frames) stays on vectorized kernels."""
+    rng = np.random.default_rng(13)
+    rows, want = [], {}
+    fid = 0
+    for dim in (2, 3):
+        for _ in range(20):
+            nv = int(rng.integers(2, 7))
+            c = rng.uniform(-80, 80, nv * dim)
+            rows.append(_props_line_frame(fid, c, {"d": dim}, dim=dim))
+            want[fid] = (dim, core.quantize_vec(c).tolist())
+            fid += 1
+    order = rng.permutation(fid)
+    df = spark.createDataFrame(
+        [(bytearray(rows[i]),) for i in order], "geobuf binary").repartition(3)
+    got = {r.id: (r.dim, list(r.coords_q))
+           for r in sc.decode_geometries(df).collect()}
+    assert got == want

@@ -312,3 +312,55 @@ def test_s2_cover_antimeridian_split(spark):
     cells_got = {row.cell for row in
                  pts.withColumn("cell", cells.s2_cell(F.col("lon"), F.col("lat"), 12)).collect()}
     assert cells_got <= set(c.tolist())
+
+
+def test_lazy_readers_long_property_keys():
+    """Keys >= 128 bytes encode their length as a multi-byte varint; the
+    lazy walkers must read it as a varint, not one byte (ADVICE r01)."""
+    long_key = "k" * 130
+    frames = []
+    for fid in range(8):
+        feat = core.Feature(
+            geom_type=1, dim=2,
+            coords=np.array([10.0 + fid, 20.0]),
+            ring_lens=np.array([1], np.int64),
+            part_rings=np.array([1], np.int64),
+            id=fid,
+            properties={long_key: fid * 11, "short": f"s{fid}"},
+        )
+        frames.append(core.encode_feature(feat))
+    arr = pa.array(frames, type=pa.binary())
+
+    ids, kinds, strs, ivals, fvals = sc.lazy_prop_kernel(arr, long_key)
+    assert ids.tolist() == list(range(8))
+    assert kinds.tolist() == [2] * 8
+    assert ivals.tolist() == [fid * 11 for fid in range(8)]
+    # the SECOND property (after the long-key one) must still be reachable
+    _, k2, s2, _, _ = sc.lazy_prop_kernel(arr, "short")
+    assert k2.tolist() == [1] * 8
+    assert s2 == [f"s{fid}" for fid in range(8)]
+
+    rows, keys = sc.frame_keys_kernel(arr)
+    by_row = {}
+    for r, k in zip(rows.tolist(), keys):
+        by_row.setdefault(r, []).append(k)
+    assert all(v == [long_key, "short"] for v in by_row.values())
+
+
+def test_encode_props_rejects_nulls(spark):
+    """Null prop values used to round-trip through float64 NaN into
+    INT64_MIN varints (and null strings into "") — must raise instead
+    (ADVICE r01: geobuf KeyValue has no null encoding)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, "a", 5), (2, 11.0, 21.0, None, 6),
+         (3, 12.0, 22.0, "c", None)],
+        "doc_id long, lon double, lat double, name string, rank long")
+    with pytest.raises(Exception, match="null"):
+        sc.encode_points_with_props(df, props=["name", "rank"]).collect()
+    with pytest.raises(Exception, match="null"):
+        sc.encode_points(
+            df.withColumn("lon", F.when(F.col("doc_id") == 2, None)
+                          .otherwise(F.col("lon")))).collect()
+    # null-free slice still encodes fine
+    clean = df.filter(F.col("doc_id") == 1)
+    assert sc.encode_points_with_props(clean, props=["name", "rank"]).count() == 1

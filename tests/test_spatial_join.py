@@ -150,3 +150,12 @@ def test_s2_cover_superset_property(spark):
         .withColumn("cell", cells.s2_cell(F.col("lon"), F.col("lat"), 7))
     for r in pdf.collect():
         assert (r.box_id, r.cell) in cover, (r.box_id, r.lon, r.lat)
+
+
+def test_pip_join_cell_indexes_reject_outer_modes(points, rects):
+    """Outer modes would silently degenerate to inner (refine runs after
+    the join) — the s2/hex variants must refuse them (ADVICE r01)."""
+    with pytest.raises(ValueError, match="inner"):
+        sj.pip_join_s2(points, rects, how="left")
+    with pytest.raises(ValueError, match="inner"):
+        sj.pip_join_hex(points, rects, how="left")

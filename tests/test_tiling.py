@@ -78,3 +78,11 @@ def test_tile_pyramid_consistency(spark, sf_small):
                   tiling.tile_histogram(tiling.assign_tiles_points(pts, z=zz)).collect()}
         got = {(r.z, r.x, r.y, r.n_features) for r in pyr.filter(F.col("z") == zz).collect()}
         assert got == direct, zz
+
+
+def test_tile_pyramid_rejects_mixed_zoom(spark):
+    """Mixed-z input must fail loudly — a silent rollup from the wrong
+    starting level halves coarse rows once too often (ADVICE r01)."""
+    df = spark.createDataFrame([(8, 10, 20), (7, 5, 10)], "z int, x int, y int")
+    with pytest.raises(Exception, match="mixed zoom"):
+        tiling.tile_pyramid(df, z_min=4).collect()
