@@ -483,6 +483,34 @@ def _decode_geometry(vals: np.ndarray, geom_type: int, dim: int, quantized: bool
     )
 
 
+def decode_properties(frame) -> dict:
+    """Properties ONLY — a field walk that jumps id/geometry/bbox bytes via
+    their varint length prefixes (ReadKeys-style traversal, reader.go:
+    120-142, but parsing values too). Order-tolerant, unlike the strict
+    field-ordered full decoder."""
+    buf = np.frombuffer(frame, dtype=np.uint8) if isinstance(frame, (bytes, bytearray)) else frame
+    pos, n = 0, len(buf)
+    props: dict = {}
+    while pos < n:
+        tag, pos = decode_varint(buf, pos)
+        k, w = tag >> 3, tag & 7
+        if w == 0:
+            _, pos = decode_varint(buf, pos)
+        elif w == 2:
+            size, pos = decode_varint(buf, pos)
+            if k == 2:
+                p = pos + 1  # 0x0A key tag
+                klen, p = decode_varint(buf, p)
+                key = bytes(buf[p : p + klen]).decode("utf-8")
+                p += klen + 1  # 0x12 value tag
+                _, p = decode_varint(buf, p)  # value message length
+                props[key], _ = _read_value(buf, p)
+            pos += size
+        else:
+            raise ValueError(f"unexpected wire type {w} in feature frame")
+    return props
+
+
 def decode_feature(frame: bytes, quantized: bool = False) -> Feature:
     """ReadFeature — read_feature.go:9-100 (strict field order, all optional).
 

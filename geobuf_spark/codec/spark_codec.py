@@ -1004,13 +1004,62 @@ def _frame_geom_codes(frames: pa.Array) -> np.ndarray:
     return codes
 
 
+def _decode_code_group(code0: int, gids: np.ndarray, toks: np.ndarray,
+                       first: np.ndarray, cnt: np.ndarray) -> dict:
+    """Decode one homogeneous-geom-code group of payload-token frames →
+    flat columnar pieces plus per-feature segment lengths:
+    ids, gt, dim, coords_q (flat int64), feat_v (vertices/feature),
+    ring_nv + rings_pf (ring lengths & rings/feature), pvals + parts_pf
+    (part_rings values & parts/feature)."""
+    gt = code0 if code0 <= 6 else code0 >> 4
+    m = len(gids)
+    ones = np.ones(m, dtype=np.int64)
+    if gt == 1:
+        if (cnt != 2).any():
+            raise ValueError("point frame with != 2 geometry values")
+        coords = core.unzigzag_vec(toks)
+        return dict(ids=gids, gt=1, dim=2,  # writepointbs drops dims > 2
+                    coords_q=coords, feat_v=ones, ring_nv=ones,
+                    rings_pf=ones, pvals=ones, parts_pf=ones)
+    if gt in (2, 4):
+        ids, coords, nv = _lines_core(gids, code0, toks, cnt)
+        dim = 2 if code0 <= 6 else code0 & 0xF
+        return dict(ids=ids, gt=gt, dim=dim, coords_q=coords, feat_v=nv,
+                    ring_nv=nv, rings_pf=ones, pvals=ones, parts_pf=ones)
+    if gt in (3, 5):
+        ids, coords, ring_nv, rpf, _, dim = _rings_core(
+            gids, code0, toks, first, cnt)
+        ring_off = np.zeros(m, dtype=np.int64)
+        np.cumsum(rpf[:-1], out=ring_off[1:])
+        feat_v = (np.add.reduceat(ring_nv, ring_off) if len(ring_nv)
+                  else np.zeros(m, np.int64))
+        return dict(ids=ids, gt=gt, dim=dim, coords_q=coords, feat_v=feat_v,
+                    ring_nv=ring_nv, rings_pf=rpf, pvals=rpf, parts_pf=ones)
+    if gt == 6:
+        ids, coords, ring_nv, rpp, ppf, dim = _multipolygons_core(
+            gids, code0, toks, first, cnt)
+        poly_off = np.zeros(m, dtype=np.int64)
+        np.cumsum(ppf[:-1], out=poly_off[1:])
+        rings_pf = (np.add.reduceat(rpp, poly_off) if len(rpp)
+                    else np.zeros(m, np.int64))
+        ring_off = np.zeros(m, dtype=np.int64)
+        np.cumsum(rings_pf[:-1], out=ring_off[1:])
+        feat_v = (np.add.reduceat(ring_nv, ring_off) if len(ring_nv)
+                  else np.zeros(m, np.int64))
+        return dict(ids=ids, gt=6, dim=dim, coords_q=coords, feat_v=feat_v,
+                    ring_nv=ring_nv, rings_pf=rings_pf, pvals=rpp,
+                    parts_pf=ppf)
+    raise ValueError(f"unknown geom type {gt}")
+
+
 def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
     """Decode MIXED geobuf geometry frames → quantized columnar rows.
 
-    Each Arrow batch is partitioned by geom code; every group runs through
-    its vectorized kernel (points / line-shaped / ring-shaped / nested
-    MultiPolygon). Output order within a batch is regrouped by code — set
-    semantics, like every distributed decode."""
+    ONE field walk + payload tokenize per Arrow batch, then group by the
+    FULL geom code — mixed dims and frames carrying properties / bbox /
+    any field order all stay on vectorized kernels (points / line-shaped /
+    ring-shaped / nested MultiPolygon). Output order within a batch is
+    regrouped by code — set semantics, like every distributed decode."""
 
     def _dec(batches):
         for batch in batches:
@@ -1018,85 +1067,135 @@ def decode_geometries(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
             frames = pa.concat_arrays([frames.cast(pa.binary())])
             if len(frames) == 0:
                 continue
-            # ONE field walk + payload tokenize for the whole batch, then
-            # group by the FULL geom code — mixed dims and frames carrying
-            # properties/bbox/any field order all stay on vectorized paths.
             _, all_ids, codes, all_tok, all_first, all_cnt = \
                 _tokenize_geometry(frames)
-            out = []
             for code in np.unique(codes):
-                code0 = int(code)
-                gt = code0 if code0 <= 6 else code0 >> 4
                 sel = np.flatnonzero(codes == code)
                 toks, first, cnt = _gather_token_group(
                     all_tok, all_first, all_cnt, sel)
-                gids = all_ids[sel]
-                if gt == 1:
-                    if (cnt != 2).any():
-                        raise ValueError("point frame with != 2 geometry values")
-                    m = len(gids)
-                    ids = gids
-                    coords = core.unzigzag_vec(toks)
-                    parts = np.ones(m, dtype=np.int64)
-                    dim = 2  # writepointbs drops dims > 2 (geom.go:187-201)
-                    ring_nv = np.ones(m, dtype=np.int64)
-                elif gt in (2, 4):
-                    ids, coords, nv = _lines_core(gids, code0, toks, cnt)
-                    m = len(ids)
-                    dim = 2 if code0 <= 6 else code0 & 0xF
-                    ring_nv = nv
-                    parts = np.ones(m, dtype=np.int64)
-                elif gt in (3, 5):
-                    ids, coords, ring_nv, rpf, _, dim = _rings_core(
-                        gids, code0, toks, first, cnt)
-                    m = len(ids)
-                    parts = rpf
-                elif gt == 6:
-                    ids, coords, ring_nv, rpp, ppf, dim = _multipolygons_core(
-                        gids, code0, toks, first, cnt)
-                    m = len(ids)
-                    parts = ppf
-                else:
-                    raise ValueError(f"unknown geom type {gt}")
-                # per-feature slicing of coords / ring_lens
-                if gt == 6:
-                    # rings per feature = sum of rings over its polys
-                    poly_off = np.zeros(m + 1, dtype=np.int64)
-                    np.cumsum(ppf, out=poly_off[1:])
-                    rings_pf = np.add.reduceat(rpp, poly_off[:-1]) if len(rpp) else np.zeros(m, np.int64)
-                else:
-                    rings_pf = parts if gt in (3, 5) else np.ones(m, dtype=np.int64)
-                ring_off = np.zeros(m + 1, dtype=np.int32)
-                np.cumsum(rings_pf, out=ring_off[1:])
-                feat_v = np.add.reduceat(ring_nv, ring_off[:-1].astype(np.int64)) \
-                    if len(ring_nv) else np.zeros(m, np.int64)
+                g = _decode_code_group(int(code), all_ids[sel], toks, first, cnt)
+                m = len(g["ids"])
                 coord_off = np.zeros(m + 1, dtype=np.int32)
-                np.cumsum(feat_v * dim, out=coord_off[1:])
+                np.cumsum(g["feat_v"] * g["dim"], out=coord_off[1:])
                 carr = pa.ListArray.from_arrays(
-                    pa.array(coord_off, type=pa.int32()), pa.array(coords, type=pa.int64()))
+                    pa.array(coord_off, type=pa.int32()),
+                    pa.array(g["coords_q"], type=pa.int64()))
+                ring_off = np.zeros(m + 1, dtype=np.int32)
+                np.cumsum(g["rings_pf"], out=ring_off[1:])
                 rarr = pa.ListArray.from_arrays(
                     pa.array(ring_off, type=pa.int32()),
-                    pa.array(ring_nv.astype(np.int32), type=pa.int32()))
+                    pa.array(g["ring_nv"].astype(np.int32), type=pa.int32()))
                 part_off = np.zeros(m + 1, dtype=np.int32)
-                np.cumsum(np.ones(m, np.int64) if gt != 6 else ppf, out=part_off[1:])
-                if gt == 6:
-                    pvals = rpp.astype(np.int32)       # rings per polygon
-                elif gt in (3, 5):
-                    pvals = rings_pf.astype(np.int32)  # single part: [n_rings]
-                else:
-                    pvals = np.ones(m, dtype=np.int32)
+                np.cumsum(g["parts_pf"], out=part_off[1:])
                 parr = pa.ListArray.from_arrays(
-                    pa.array(part_off, type=pa.int32()), pa.array(pvals, type=pa.int32()))
-                out.append(pa.RecordBatch.from_arrays([
-                    pa.array(ids, type=pa.int64()),
-                    pa.array(np.full(m, gt, dtype=np.int32)),
-                    pa.array(np.full(m, dim, dtype=np.int32)),
+                    pa.array(part_off, type=pa.int32()),
+                    pa.array(g["pvals"].astype(np.int32), type=pa.int32()))
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(g["ids"], type=pa.int64()),
+                    pa.array(np.full(m, g["gt"], dtype=np.int32)),
+                    pa.array(np.full(m, g["dim"], dtype=np.int32)),
                     carr, rarr, parr,
-                ], names=[f.name for f in QUANT_GEOM_SCHEMA.fields]))
-            for b in out:
-                yield b
+                ], names=[f.name for f in QUANT_GEOM_SCHEMA.fields])
 
     return df.select(bin_col).mapInArrow(_dec, QUANT_GEOM_SCHEMA)
+
+
+def decode_features_fast(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Geobuf frames → GEOM_SCHEMA rows with VECTORIZED geometry decode.
+
+    The per-feature generic decoder costs a Python loop over every vertex
+    list; here geometry goes through the payload-token batch kernels
+    (reader.go:84-112 streaming scan, batched) and only the dynamic-schema
+    properties parse per frame (a short walk over the props region —
+    geometry/bbox bytes are jumped via their length prefixes).
+
+    Float coords come from the exact integer lattice (go_round7(q/1e7))
+    rather than the reference's per-vertex float accumulation — identical
+    on every lattice value, without the reference's ≤2e-7 accumulation
+    drift (geom.go:78-90 discussion in SURVEY §1.3)."""
+    import json
+
+    def _dec(batches):
+        for batch in batches:
+            frames = batch.column(batch.schema.get_field_index(bin_col))
+            frames = pa.concat_arrays([frames.cast(pa.binary())])
+            nrows = len(frames)
+            if nrows == 0:
+                continue
+            _, all_ids, codes, all_tok, all_first, all_cnt = \
+                _tokenize_geometry(frames)
+            # group results, scattered back to original row order
+            gt_r = np.zeros(nrows, np.int32)
+            dim_r = np.zeros(nrows, np.int32)
+            c_len = np.zeros(nrows, np.int64)
+            c_start = np.zeros(nrows, np.int64)
+            r_len = np.zeros(nrows, np.int64)
+            r_start = np.zeros(nrows, np.int64)
+            p_len = np.zeros(nrows, np.int64)
+            p_start = np.zeros(nrows, np.int64)
+            big_c, big_r, big_p = [], [], []
+            cbase = rbase = pbase = 0
+            for code in np.unique(codes):
+                sel = np.flatnonzero(codes == code)
+                toks, first, cnt = _gather_token_group(
+                    all_tok, all_first, all_cnt, sel)
+                g = _decode_code_group(int(code), all_ids[sel], toks, first, cnt)
+                gt_r[sel] = g["gt"]
+                dim_r[sel] = g["dim"]
+                cl = g["feat_v"] * g["dim"]
+                off = np.zeros(len(sel), np.int64)
+                np.cumsum(cl[:-1], out=off[1:])
+                c_len[sel], c_start[sel] = cl, cbase + off
+                off = np.zeros(len(sel), np.int64)
+                np.cumsum(g["rings_pf"][:-1], out=off[1:])
+                r_len[sel], r_start[sel] = g["rings_pf"], rbase + off
+                off = np.zeros(len(sel), np.int64)
+                np.cumsum(g["parts_pf"][:-1], out=off[1:])
+                p_len[sel], p_start[sel] = g["parts_pf"], pbase + off
+                big_c.append(g["coords_q"])
+                big_r.append(g["ring_nv"])
+                big_p.append(g["pvals"])
+                cbase += len(g["coords_q"])
+                rbase += len(g["ring_nv"])
+                pbase += len(g["pvals"])
+            bc = np.concatenate(big_c) if big_c else np.empty(0, np.int64)
+            br = np.concatenate(big_r) if big_r else np.empty(0, np.int64)
+            bp = np.concatenate(big_p) if big_p else np.empty(0, np.int64)
+
+            def _reorder(vals, starts, lens, out_dtype):
+                off = np.zeros(nrows + 1, np.int64)
+                np.cumsum(lens, out=off[1:])
+                gather = (np.repeat(starts, lens)
+                          + np.arange(int(off[-1]), dtype=np.int64)
+                          - np.repeat(off[:-1], lens))
+                return off, vals[gather].astype(out_dtype)
+
+            c_off, c_vals = _reorder(bc, c_start, c_len, np.int64)
+            coords_f = core.go_round7(c_vals.astype(np.float64) / 1e7)
+            r_off, r_vals = _reorder(br, r_start, r_len, np.int32)
+            p_off, p_vals = _reorder(bp, p_start, p_len, np.int32)
+
+            props_json = pa.array(
+                [json.dumps(core.decode_properties(
+                    np.frombuffer(frames[i].as_py(), dtype=np.uint8)),
+                    sort_keys=True) for i in range(nrows)],
+                type=pa.string())
+            yield pa.RecordBatch.from_arrays([
+                pa.array(all_ids, type=pa.int64()),
+                pa.array(gt_r), pa.array(dim_r),
+                pa.ListArray.from_arrays(
+                    pa.array(c_off.astype(np.int32), type=pa.int32()),
+                    pa.array(coords_f, type=pa.float64())),
+                pa.ListArray.from_arrays(
+                    pa.array(r_off.astype(np.int32), type=pa.int32()),
+                    pa.array(r_vals, type=pa.int32())),
+                pa.ListArray.from_arrays(
+                    pa.array(p_off.astype(np.int32), type=pa.int32()),
+                    pa.array(p_vals, type=pa.int32())),
+                props_json,
+            ], names=[f.name for f in GEOM_SCHEMA.fields])
+
+    return df.select(bin_col).mapInArrow(_dec, GEOM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

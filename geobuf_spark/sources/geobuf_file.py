@@ -62,13 +62,21 @@ def write_geobuf(df: DataFrame, out_path: str, bin_col: str = "geobuf") -> int:
     return len(frames)
 
 
-def decoded_features(spark: SparkSession, path: str, repartition: int | None = None) -> DataFrame:
-    """Geobuf file → fully decoded feature rows (generic cold path)."""
+def decoded_features(spark: SparkSession, path: str, repartition: int | None = None,
+                     fast: bool = True) -> DataFrame:
+    """Geobuf file → fully decoded feature rows.
+
+    `fast=True` (default) runs geometry through the payload-token batch
+    kernels (decode_features_fast — vectorized, reader.go:84-112 scan
+    semantics) with only the dynamic properties parsed per frame.
+    `fast=False` keeps the per-feature generic decoder, needed only for
+    geometry-less frames (a bare-properties feature)."""
     from geobuf_spark.codec import spark_codec
 
-    return spark_codec.decode_features_generic(
-        read_geobuf(spark, path, repartition), bin_col="geobuf"
-    )
+    frames = read_geobuf(spark, path, repartition)
+    if fast:
+        return spark_codec.decode_features_fast(frames, bin_col="geobuf")
+    return spark_codec.decode_features_generic(frames, bin_col="geobuf")
 
 
 _ = np  # numpy retained for kernel parity

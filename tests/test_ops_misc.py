@@ -326,3 +326,24 @@ def test_commit_output_preserves_old_on_swap(spark, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == 9
     import os
     assert not any(d.startswith(".old-") for d in os.listdir(out))
+
+
+def test_fast_vs_generic_decode_parity(spark):
+    """decode_features_fast (vectorized geometry + props-only row parse)
+    must reproduce the generic per-feature decoder on the reference's own
+    county file — ids, structure, props byte-for-byte; coords on the same
+    1e-7 lattice."""
+    path = "/root/reference/test_data/county.geobuf"
+    fast = {r.id: r for r in geobuf_file.decoded_features(spark, path, fast=True).collect()}
+    gen = {r.id: r for r in geobuf_file.decoded_features(spark, path, fast=False).collect()}
+    assert set(fast) == set(gen) and len(fast) == 3304
+    import numpy as np
+    for fid, fr in fast.items():
+        gr = gen[fid]
+        assert (fr.geom_type, fr.dim) == (gr.geom_type, gr.dim)
+        assert fr.ring_lens == gr.ring_lens and fr.part_rings == gr.part_rings
+        assert fr.props_json == gr.props_json
+        d = np.abs(np.asarray(fr.coords) - np.asarray(gr.coords))
+        # generic path carries the reference's float-accumulation error;
+        # both land on the 1e-7 lattice, so any diff is one rounding step
+        assert d.max() <= 1.01e-7, (fid, d.max())
