@@ -83,33 +83,99 @@ _ = np  # numpy retained for kernel parity
 
 
 def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
-                         bin_col: str = "geobuf") -> dict:
+                         bin_col: str = "geobuf",
+                         num_ranges: int | None = None) -> dict:
     """Splitter.Combine parity (split_combine.go:186-232): one framed file
     physically clustered by key, plus a key → [start, end) byte-range
     index sidecar (`<out>.idx.json` — replacing the Go-gob metadata dummy
     feature with a portable JSON manifest).
 
-    The write is a driver-side export edge (single file, like the
-    reference's Writer); frames arrive pre-grouped by one shuffle
-    (repartition+sortWithinPartitions is overkill for an edge — a keyed
-    collect preserves grouping)."""
+    DISTRIBUTED: one `repartitionByRange(key).sortWithinPartitions(key)`
+    shuffle clusters frames; every partition streams its own part file +
+    local index (range partitioning never splits a key across partitions),
+    and the driver only concatenates the part files and offset-shifts the
+    indexes — the reference's `cat f1 f2 …` combine (split_combine.go:
+    220-225) without materializing frames in driver memory. The final
+    single-file concat is the only non-parallel step, exactly as in the
+    reference."""
     import json
+    import os
+    import shutil
 
-    rows = df.select(key_col, bin_col).collect()
-    by_key: dict = {}
-    for r in rows:
-        by_key.setdefault(str(r[0]), []).append(bytes(r[1]))
-    index = {}
+    from pyspark.sql import functions as F
+
+    n_ranges = num_ranges or min(
+        32, df.sparkSession.sparkContext.defaultParallelism)
+    clustered = (df.select(F.col(key_col).cast("string").alias("_key"), bin_col)
+                 .repartitionByRange(n_ranges, "_key")
+                 .sortWithinPartitions("_key"))
+
+    tmpdir = out_path + ".parts"
+    os.makedirs(tmpdir, exist_ok=True)
+    res_schema = T.StructType([
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("nbytes", T.LongType()),
+        T.StructField("index_json", T.StringType()),
+    ])
+
+    def _write(batches):
+        import json as _json
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(tmpdir, f"part-{pid:05d}")
+        index: dict = {}
+        pos = 0
+        with open(path, "wb") as f:
+            for batch in batches:
+                keys = batch.column(0).to_pylist()
+                frames = batch.column(1)
+                if not keys:
+                    continue
+                # key runs (sorted within partition): one framing + write
+                # call per RUN, not per feature
+                runs = [0] + [i for i in range(1, len(keys))
+                              if keys[i] != keys[i - 1]] + [len(keys)]
+                for a, b in zip(runs[:-1], runs[1:]):
+                    data = core.write_frames(
+                        [frames[i].as_py() for i in range(a, b)])
+                    f.write(data)
+                    ent = index.setdefault(
+                        keys[a], {"positions": [pos, pos],
+                                  "number_features": 0, "size": 0})
+                    pos += len(data)
+                    ent["positions"][1] = pos
+                    ent["size"] = pos - ent["positions"][0]
+                    ent["number_features"] += b - a
+        if pos == 0:
+            os.remove(path)
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int32()), pa.array([path]),
+             pa.array([pos], type=pa.int64()),
+             pa.array([_json.dumps(index)])],
+            names=["pid", "path", "nbytes", "index_json"])
+
+    results = sorted(clustered.mapInArrow(_write, res_schema).collect(),
+                     key=lambda r: r.pid)
+
+    index: dict = {}
     pos = 0
-    with open(out_path, "wb") as f:
-        for key in sorted(by_key):
-            start = pos
-            data = core.write_frames(by_key[key])  # single framing impl
-            f.write(data)
-            pos += len(data)
-            index[key] = {"positions": [start, pos],
-                          "number_features": len(by_key[key]),
-                          "size": pos - start}
+    with open(out_path, "wb") as out:
+        for r in results:
+            with open(r.path, "rb") as f:
+                shutil.copyfileobj(f, out)
+            for k, ent in json.loads(r.index_json).items():
+                if k in index:  # range partitioning keeps keys whole
+                    raise ValueError(f"key {k!r} split across partitions")
+                s, e = ent["positions"]
+                index[k] = {"positions": [pos + s, pos + e],
+                            "number_features": ent["number_features"],
+                            "size": ent["size"]}
+            pos += r.nbytes
+    shutil.rmtree(tmpdir, ignore_errors=True)
     meta = {"file_size": pos, "number_features": sum(
         v["number_features"] for v in index.values()), "files": index}
     with open(out_path + ".idx.json", "w") as f:
