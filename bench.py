@@ -115,7 +115,19 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
     def enc_val(df, col):
         return df.agg(F.count("*"), F.sum(F.octet_length(col))).collect()[0][0]
 
+    # read comparison is fused-reduce vs fused-reduce: Catalyst folds
+    # from_json into the aggregate stage (no materialization), so the
+    # geobuf side gets the same shape — decode+partial-agg in ONE Arrow
+    # pass (decode_points_agg), with the Python stage right-sized (the
+    # ~0.25 s/task dispatch floor dominates at small per-task sizes).
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+
     def geobuf_read():
+        return spark_codec.decode_points_agg(
+            enc_cached, parts=n_parts).collect()[0][0]
+
+    def geobuf_read_full():
+        # materializing variant (decoded columns cross the serde twice)
         d = spark_codec.decode_points(enc_cached)
         return d.agg(F.count("*"), F.sum("id"), F.sum("lon_q"), F.sum("lat_q")).collect()[0][0]
 
@@ -129,7 +141,8 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
 
     out = {}
     for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
-                     ("geobuf_read", geobuf_read), ("json_read", json_read)]:
+                     ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
+                     ("json_read", json_read)]:
         fn()  # warmup
         ts = []
         for _ in range(trials):
@@ -187,7 +200,14 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
         return lines.select(F.to_json(F.struct("line_id", "coords")).alias("j")) \
             .agg(F.count("*"), F.sum(F.octet_length("j"))).collect()[0][0]
 
+    # lines carry ~40x the kernel work per row of points: fewer tasks stop
+    # paying off sooner (16 parts measured best at 100k x 40 vertices)
+    n_parts = max(16, spark.sparkContext.defaultParallelism // 2)
+
     def geobuf_read():
+        return spark_codec.decode_lines_agg(enc, parts=n_parts).collect()[0][0]
+
+    def geobuf_read_full():
         d = spark_codec.decode_lines(enc)
         return d.agg(F.count("*"), F.sum(F.size("coords_q")),
                      F.sum(F.element_at("coords_q", 1))).collect()[0][0]
@@ -208,9 +228,8 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
     js.write.mode("overwrite").parquet(f"{tmp}/json")
 
     def geobuf_scan():
-        d = spark_codec.decode_lines(spark.read.parquet(f"{tmp}/geobuf"))
-        return d.agg(F.count("*"), F.sum(F.size("coords_q")),
-                     F.sum(F.element_at("coords_q", 1))).collect()[0][0]
+        return spark_codec.decode_lines_agg(
+            spark.read.parquet(f"{tmp}/geobuf"), parts=n_parts).collect()[0][0]
 
     def json_scan():
         parsed = spark.read.parquet(f"{tmp}/json").select(
@@ -221,7 +240,8 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
     try:
         out = {}
         for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
-                         ("geobuf_read", geobuf_read), ("json_read", json_read),
+                         ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
+                         ("json_read", json_read),
                          ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]:
             fn()
             ts = []
@@ -342,7 +362,7 @@ def main():
         "lines_read_speedup_vs_json": round(li["json_read"] / li["geobuf_read"], 2),
         "lines_write_speedup_vs_json": round(li["json_write"] / li["geobuf_write"], 2),
         "lines_size_ratio_vs_json": round(li["geobuf_bytes"] / li["json_bytes"], 3),
-        "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write"))},
+        "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write", "read_full", "scan"))},
         "metric": "geobuf encode+PIP-join+tile-assign features/sec (flagship); per-query sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -352,7 +372,7 @@ def main():
         "codec_read_speedup_vs_json": round(c["json_read"] / c["geobuf_read"], 2),
         "codec_write_speedup_vs_json": round(c["json_write"] / c["geobuf_write"], 2),
         "codec_size_ratio_vs_json": round(c["geobuf_bytes"] / c["json_bytes"], 3),
-        "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write"))},
+        "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write", "read_full"))},
         "n_flagship_features": N_PAGES,
     }))
 

@@ -364,3 +364,31 @@ def test_encode_props_rejects_nulls(spark):
     # null-free slice still encodes fine
     clean = df.filter(F.col("doc_id") == 1)
     assert sc.encode_points_with_props(clean, props=["name", "rank"]).count() == 1
+
+
+def test_fused_decode_agg_matches_materializing_path(spark):
+    """decode_points_agg / decode_lines_agg (single-Arrow-pass partials)
+    must equal decode + JVM aggregate exactly."""
+    import numpy as np
+
+    from geobuf_spark.sources import minted
+    p = minted.minted_points(spark, "/root/testdata/sf0.001") \
+        .select(F.col("doc_id"), "lon", "lat")
+    enc = sc.encode_points(p)
+    fused = sc.decode_points_agg(enc, parts=4).collect()[0]
+    d = sc.decode_points(enc)
+    full = d.agg(F.count("*"), F.sum("id"), F.sum("lon_q"), F.sum("lat_q")).collect()[0]
+    assert list(fused) == list(full)
+
+    rng = np.random.default_rng(3)
+    n = 500
+    nv = rng.integers(2, 12, n).astype(np.int64)
+    c = rng.uniform(-170, 170, int(nv.sum()) * 2)
+    arr = sc.encode_lines_kernel(np.arange(n), c, nv)
+    df = spark.createDataFrame([(bytearray(arr[i].as_py()),) for i in range(n)],
+                               "geobuf binary")
+    fusedl = sc.decode_lines_agg(df, parts=2).collect()[0]
+    dl = sc.decode_lines(df)
+    fulll = dl.agg(F.count("*"), F.sum(F.size("coords_q")),
+                   F.sum(F.element_at("coords_q", 1))).collect()[0]
+    assert list(fusedl) == list(fulll)
