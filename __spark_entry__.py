@@ -172,8 +172,16 @@ def q_mvt_tiles_z4(spark, sf):
     polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
                      ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
     vt = tiling.vector_tiles(polys, z=4, extent=4096)
-    return MVT.build_mvt_tiles(vt, layer_name="rects") \
-        .select("z", "x", "y", "n_features", F.octet_length("mvt").alias("n_bytes"))
+    poly_tiles = MVT.build_mvt_tiles(vt, layer_name="rects") \
+        .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features",
+                F.octet_length("mvt").alias("n_bytes"))
+    # point layer (MULTIPOINT MoveTo runs) over the minted doc points
+    vp = tiling.vector_tiles_points(_points(spark, sf), z=4, extent=4096)
+    pt_tiles = MVT.build_mvt_tiles(vp, id_col="doc_id", layer_name="docs",
+                                   geom="point") \
+        .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features",
+                F.octet_length("mvt").alias("n_bytes"))
+    return poly_tiles.unionByName(pt_tiles)
 
 
 def q_pip_join_rects(spark, sf):

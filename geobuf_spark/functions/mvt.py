@@ -48,6 +48,64 @@ def line_commands_kernel(grid_coords: np.ndarray, part_nv: np.ndarray,
     return _commands_kernel(grid_coords, part_nv, parts_per_feat, close_path=False)
 
 
+def point_commands_kernel(grid_coords: np.ndarray, part_nv: np.ndarray,
+                          parts_per_feat: np.ndarray) -> pa.Array:
+    """Per-feature MVT POINT/MULTIPOINT command streams (spec 4.3.4.2):
+    ONE MoveTo command whose count carries ALL the feature's points,
+    followed by cursor-cumulative zigzag delta pairs. Same signature as
+    the polygon/line kernels (parts collapse — MULTIPOINT has no part
+    structure on the wire)."""
+    part_nv = np.asarray(part_nv, dtype=np.int64)
+    parts_per_feat = np.asarray(parts_per_feat, dtype=np.int64)
+    n_feat = len(parts_per_feat)
+    if (parts_per_feat <= 0).any():
+        raise ValueError("feature with zero parts; filter before encoding")
+    if (part_nv <= 0).any():
+        raise ValueError("part with zero points; filter before encoding")
+    part_start = np.zeros(n_feat, dtype=np.int64)
+    part_start[1:] = np.cumsum(parts_per_feat)[:-1]
+    ppf = (np.add.reduceat(part_nv, part_start) if len(part_nv)
+           else np.zeros(n_feat, np.int64))  # points per feature
+
+    xy = grid_coords.reshape(-1, 2).astype(np.int64)
+    feat_v_start = np.zeros(n_feat, dtype=np.int64)
+    feat_v_start[1:] = np.cumsum(ppf)[:-1]
+    d = np.empty_like(xy)
+    if len(xy):
+        d[0] = xy[0]
+        d[1:] = xy[1:] - xy[:-1]
+        d[feat_v_start] = xy[feat_v_start]  # cursor starts at (0,0)/feature
+    zz = core.zigzag_vec(d.reshape(-1))
+
+    feat_tok = 1 + 2 * ppf  # MoveTo + 2·N params
+    tok_off = np.zeros(n_feat, dtype=np.int64)
+    tok_off[1:] = np.cumsum(feat_tok)[:-1]
+    total = int(feat_tok.sum())
+    tokens = np.empty(total, dtype=np.uint64)
+    filled = np.zeros(total, dtype=bool)
+    tokens[tok_off] = (MOVETO & 7) | (ppf.astype(np.uint64) << np.uint64(3))
+    filled[tok_off] = True
+    tokens[~filled] = zz
+
+    mg, lg = _varint_matrix(tokens)
+    glen = (np.add.reduceat(lg, tok_off) if n_feat
+            else np.zeros(0, np.int64))
+    offsets = np.zeros(n_feat + 1, dtype=np.int64)
+    np.cumsum(glen, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+    byte_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lg, out=byte_off[1:])
+    feat_of_tok = np.repeat(np.arange(n_feat), feat_tok)
+    base = offsets[:-1][feat_of_tok] + (byte_off[:-1] - byte_off[tok_off][feat_of_tok])
+    for j in range(mg.shape[1]):
+        sel = lg > j
+        buf[base[sel] + j] = mg[sel, j]
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n_feat,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
 def _commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
                      rings_per_feat: np.ndarray, close_path: bool) -> pa.Array:
     R = len(ring_nv)
@@ -163,10 +221,12 @@ def build_mvt_tiles(vt: DataFrame, layer_name: str = "features",
     (tiles are small by construction)."""
     import pandas as pd
 
-    if geom not in ("polygon", "line"):
-        raise ValueError(f"geom must be 'polygon' or 'line', got {geom!r}")
-    kernel = polygon_commands_kernel if geom == "polygon" else line_commands_kernel
-    gtype = GEOM_POLYGON if geom == "polygon" else 2
+    if geom not in ("polygon", "line", "point"):
+        raise ValueError(f"geom must be 'polygon', 'line' or 'point', got {geom!r}")
+    kernel = {"polygon": polygon_commands_kernel,
+              "line": line_commands_kernel,
+              "point": point_commands_kernel}[geom]
+    gtype = {"polygon": GEOM_POLYGON, "line": 2, "point": 1}[geom]
 
     cmd_schema = T.StructType([
         T.StructField("z", T.IntegerType()), T.StructField("x", T.LongType()),

@@ -263,6 +263,31 @@ def explode_multipolygon_parts(df: DataFrame, coords: str = "coords",
     )
 
 
+def vector_tiles_points(points: DataFrame, z: int, extent: int = 4096,
+                        id_col: str = "doc_id", lon: str = "lon",
+                        lat: str = "lat") -> DataFrame:
+    """vector_tiles for point features — PURE column expressions (a point
+    covers exactly one tile, so there is no cover explode, no clip and no
+    kernel: tile assign + tile-local grid snap, zero Python). Output rows
+    (id, z, x, y, grid_coords=[px,py], ring_lens=[1]) feed
+    `mvt.build_mvt_tiles(..., geom="point")`."""
+    lo, la = F.col(lon), F.col(lat)
+    x = tiles.tile_x(lo, z)
+    y = tiles.tile_y(la, z)
+    w, s, e, n = tiles.tile_bounds(z, x, y)
+    ext = F.lit(float(extent))
+    px = F.least(F.greatest(F.floor((lo - w) / (e - w) * ext), F.lit(0)),
+                 F.lit(extent - 1)).cast("bigint")
+    py = F.least(F.greatest(F.floor((n - la) / (n - s) * ext), F.lit(0)),
+                 F.lit(extent - 1)).cast("bigint")
+    return points.select(
+        F.col(id_col),
+        F.lit(z).alias("z"), x.alias("x"), y.alias("y"),
+        F.array(px, py).alias("grid_coords"),
+        F.array(F.lit(1)).alias("ring_lens"),
+    )
+
+
 def vector_tiles_lines(lines: DataFrame, z: int, extent: int = 4096) -> DataFrame:
     """vector_tiles for polyline features: cover → Liang–Barsky clip →
     tile-local grid snap; parts degenerating below 2 grid vertices are
