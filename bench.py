@@ -73,12 +73,22 @@ def bench_queries(spark):
     # co-tenant burst then has to span the WHOLE pass to poison a query's
     # minimum, instead of just its ~2s window
     times: dict[str, list] = {n: [] for n in names}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in names:
             t0 = time.time()
-            force(Q[name](spark, SF_DIR))
+            try:
+                force(Q[name](spark, SF_DIR))
+            except Exception as e:  # noqa: BLE001 — annotate, don't bury
+                errors[name] = f"{type(e).__name__}: {e}"[:400]
+                print(f"bench: query {name} FAILED: {errors[name]}",
+                      file=sys.stderr)
+                continue
             times[name].append(time.time() - t0)
-    return {n: round(min(ts), 3) for n, ts in times.items()}
+    out = {n: round(min(ts), 3) for n, ts in times.items() if ts}
+    if errors:
+        out["_errors"] = errors
+    return out
 
 
 def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
@@ -267,6 +277,10 @@ def run(cores: int, scaling_only: bool = False):
     from geobuf_spark.session import get_spark
 
     spark = get_spark(f"bench_{cores}", cores=cores, shuffle_partitions=max(cores, 16))
+    # keep stdout parseable: JVM logging stays on stderr at ERROR, no
+    # console progress bars — a task-retry stack trace in BENCH_r01's tail
+    # made the output open mid-trace (round-1 "What's wrong" #4)
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         _flagship(spark, N_PAGES)  # warmup (python workers, codegen)
         ts = []
