@@ -251,9 +251,14 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     """Deterministic distributed k-means on normalized vectors.
 
     Init: the n_centroids vectors with smallest xxhash64(id) — seedless
-    and reproducible. Each iteration: one Arrow GEMM pass assigns every
-    vector, one groupBy recomputes means (k×dim result — driver-small).
-    Empty clusters keep their previous centroid."""
+    and reproducible. Each iteration is ONE fused Arrow pass: assign by
+    GEMM and fold per-cluster (Σvector, count) PARTIALS inside the same
+    batch loop; only n_batches × k tiny rows reach the driver. (The r01
+    formulation posexploded rows × dim and shuffled a groupBy per
+    iteration — a heavy training pass at 10^12 scale; this one shuffles
+    nothing.) Empty clusters keep their previous centroid."""
+    import pyarrow as pa
+
     vectors = _normalized(vectors, vec_id, emb)  # spherical k-means:
     # assignment AND the mean-update must both see unit vectors, or
     # long-norm outliers dominate the centroid sums
@@ -265,24 +270,56 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     spark = vectors.sparkSession
+    src = vectors.select(vec_id, emb)
+
+    part_schema = T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("c", T.LongType()),
+    ])
 
     for _ in range(iters):
-        assigned = _assign_clusters(vectors, cents, vec_id, emb)
-        sums = (
-            assigned.select("cluster", F.posexplode(emb).alias("dim", "val"))
-            .groupBy("cluster", "dim").agg(F.sum("val").alias("s"), F.count("*").alias("c"))
-            .collect()
-        )
+        b_c = spark.sparkContext.broadcast(cents)
+
+        def _partials(batches, _b=b_c):
+            C = _b.value
+            k, dim = C.shape
+            S = np.zeros((k, dim), dtype=np.float64)
+            n_cl = np.zeros(k, dtype=np.int64)
+            for batch in batches:
+                mat = _emb_matrix(batch.column(1))
+                if len(mat) == 0:
+                    continue
+                matn = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+                cl = np.argmax(matn @ C.T, axis=1)
+                np.add.at(S, cl, matn)
+                n_cl += np.bincount(cl, minlength=k)
+            live = np.flatnonzero(n_cl)
+            if not len(live):
+                return
+            offs = np.arange(0, (len(live) + 1) * dim, dim, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(live.astype(np.int32)),
+                 pa.ListArray.from_arrays(
+                     pa.array(offs),
+                     pa.array(S[live].reshape(-1), type=pa.float64())),
+                 pa.array(n_cl[live], type=pa.int64())],
+                names=["cluster", "s", "c"])
+
         new = cents.copy()
-        acc = {}
-        for r in sums:
-            acc.setdefault(r.cluster, {})[r.dim] = r.s / r.c
-        for cl, dims in acc.items():
-            v = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+        S = np.zeros_like(cents)
+        Cn = np.zeros(len(cents), dtype=np.int64)
+        for r in src.mapInArrow(_partials, part_schema).collect():
+            S[r.cluster] += np.asarray(r.s, dtype=np.float64)
+            Cn[r.cluster] += r.c
+        for cl in np.flatnonzero(Cn):
+            v = S[cl] / Cn[cl]
             nv = np.linalg.norm(v)
             if nv > 1e-30:
                 new[cl] = v / nv
         cents = new
+        b_c.unpersist()
     return cents
 
 
