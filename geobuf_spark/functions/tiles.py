@@ -80,14 +80,26 @@ def explode_bbox_cover(df, z: int, minx="minx", miny="miny", maxx="maxx", maxy="
     split_combine.go:166-183): one output row per (feature, tile).
 
     Implemented as two nested sequence/explode generators — whole-stage
-    codegen'd, shuffle-free until the caller repartitions."""
+    codegen'd, shuffle-free until the caller repartitions.
+
+    Antimeridian: a box with minx > maxx crosses ±180°; its x cover is
+    the WRAPPED union [x0..2^z-1] ∪ [0..x1] (two short runs), not the
+    full longitude range (r01 over-cover) nor the descending sequence
+    x0..x1 (the complement — wrong)."""
     x0, x1, y0, y1 = bbox_tile_range(F.col(minx), F.col(miny), F.col(maxx), F.col(maxy), z)
+    n = _n(z)
+    xs = F.when(
+        F.col(minx) <= F.col(maxx), F.sequence(F.col("_x0"), F.col("_x1"))
+    ).otherwise(F.concat(
+        F.sequence(F.col("_x0"), F.lit(n - 1).cast("bigint")),
+        F.sequence(F.lit(0).cast("bigint"), F.col("_x1")),
+    ))
     return (
         df.withColumn("_x0", x0)
         .withColumn("_x1", x1)
         .withColumn("_y0", y0)
         .withColumn("_y1", y1)
-        .withColumn(out_x, F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn(out_x, F.explode(xs))
         .withColumn(out_y, F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
         .drop("_x0", "_x1", "_y0", "_y1")
     )

@@ -263,6 +263,31 @@ def explode_multipolygon_parts(df: DataFrame, coords: str = "coords",
     )
 
 
+def vector_tiles_multipolygons(mpolys: DataFrame, z: int, extent: int = 4096,
+                               id_col: str = "poly_id") -> DataFrame:
+    """vector_tiles for MultiPolygon rows (coords, ring_lens, part_rings +
+    minx/miny/maxx/maxy): parts explode through the single-polygon
+    pipeline (cover → clip → snap → winding) and regroup per (id, tile)
+    with `part_rings` rebuilt from each part's SURVIVING rings — so the
+    multi-part structure crosses the tiling stage intact instead of the
+    caller juggling part-by-part rows (TODO r01). One extra per-tile
+    regroup shuffle, pure expressions otherwise."""
+    parts = explode_multipolygon_parts(mpolys)
+    vt = vector_tiles(parts, z, extent=extent)
+    agg = vt.groupBy(id_col, "z", "x", "y").agg(
+        F.sort_array(F.collect_list(
+            F.struct("part_idx", "grid_coords", "ring_lens"))).alias("_p"))
+    return (
+        agg.withColumn("grid_coords",
+                       F.flatten(F.transform("_p", lambda p: p.grid_coords)))
+        .withColumn("ring_lens",
+                    F.flatten(F.transform("_p", lambda p: p.ring_lens)))
+        .withColumn("part_rings",
+                    F.transform("_p", lambda p: F.size(p.ring_lens)))
+        .drop("_p")
+    )
+
+
 def vector_tiles_points(points: DataFrame, z: int, extent: int = 4096,
                         id_col: str = "doc_id", lon: str = "lon",
                         lat: str = "lat") -> DataFrame:

@@ -86,3 +86,69 @@ def test_tile_pyramid_rejects_mixed_zoom(spark):
     df = spark.createDataFrame([(8, 10, 20), (7, 5, 10)], "z int, x int, y int")
     with pytest.raises(Exception, match="mixed zoom"):
         tiling.tile_pyramid(df, z_min=4).collect()
+
+
+def test_bbox_cover_antimeridian_wrap(spark):
+    """A box crossing ±180° (minx > maxx) covers the two wrapped x runs —
+    not the full lon range, and not the complement (TODO r01)."""
+    from geobuf_spark.functions import tiles as TL
+
+    z = 4  # 16 tiles across
+    df = spark.createDataFrame(
+        [(1, 170.0, -10.0, -170.0, 10.0),   # crosses: x in {15, 0}
+         (2, -10.0, -10.0, 10.0, 10.0)],    # normal: x in {7, 8}
+        "poly_id long, minx double, miny double, maxx double, maxy double")
+    got = {}
+    for r in TL.explode_bbox_cover(df, z).collect():
+        got.setdefault(r.poly_id, set()).add((r.tile_x, r.tile_y))
+    xs1 = {x for x, _ in got[1]}
+    xs2 = {x for x, _ in got[2]}
+    assert xs1 == {15, 0}, xs1
+    assert xs2 == {7, 8}, xs2
+
+
+def test_vector_tiles_multipolygons_structure(spark):
+    """Two-part MultiPolygons keep their part structure through
+    cover→clip→snap→regroup; each part lands in its own tile with
+    part_rings rebuilt from surviving rings, and the output feeds the MVT
+    polygon writer directly."""
+    from geobuf_spark.functions import mvt as M
+
+    def sq(x0, y0, s):
+        return [x0, y0, x0 + s, y0, x0 + s, y0 + s, x0, y0 + s]
+
+    # part A near (10,10), part B near (100,10) — distinct z4 tiles
+    rows = []
+    for pid in range(3):
+        a = sq(5.0 + pid, 5.0, 2.0)
+        b = sq(100.0 + pid, 5.0, 2.0)
+        rows.append((pid, min(a[0::2] + b[0::2]), min(a[1::2] + b[1::2]),
+                     max(a[0::2] + b[0::2]), max(a[1::2] + b[1::2]),
+                     a + b, [4, 4], [1, 1]))
+    df = spark.createDataFrame(
+        rows, "poly_id long, minx double, miny double, maxx double, "
+              "maxy double, coords array<double>, ring_lens array<int>, "
+              "part_rings array<int>")
+    out = tiling.vector_tiles_multipolygons(df, z=4, extent=256).collect()
+    assert out
+    for r in out:
+        assert sum(r.part_rings) == len(r.ring_lens)
+        assert sum(r.ring_lens) * 2 == len(r.grid_coords)
+        # each part is tiny vs the tile: it lands whole in ONE tile
+        assert len(r.part_rings) == 1
+    # all 3 features appear in exactly 2 tiles each (one per part)
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r.poly_id, []).append(r)
+    assert all(len(v) == 2 for v in by_pid.values())
+    # MVT round trip of one regrouped row
+    r = out[0]
+    import numpy as np
+    cmds = M.polygon_commands_kernel(
+        np.asarray(r.grid_coords, dtype=np.int64),
+        np.asarray(r.ring_lens, dtype=np.int64),
+        np.asarray([len(r.ring_lens)], dtype=np.int64))
+    blob = M.mvt_tile_bytes(M.mvt_layer_bytes(
+        "mp", [M.mvt_feature_bytes(int(r.poly_id), cmds[0].as_py())]))
+    rings = M.parse_mvt(blob)["layers"][0]["features"][0]["rings"]
+    assert len(rings) == len(r.ring_lens)
