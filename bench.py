@@ -369,6 +369,7 @@ def main():
         return
 
     r = run(CPUS)
+    q_errors = r["queries"].pop("_errors", None)
     total = sum(v for k, v in r["queries"].items() if k != "flagship_pipeline")
     c = r["codec"]
     li = r["lines"]
@@ -388,6 +389,7 @@ def main():
         "codec_size_ratio_vs_json": round(c["geobuf_bytes"] / c["json_bytes"], 3),
         "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write", "read_full"))},
         "n_flagship_features": N_PAGES,
+        **({"query_errors": q_errors} if q_errors else {}),
     }))
 
 

@@ -88,7 +88,7 @@ def _tokenize_frames(frames: pa.Array):
     return n, seg, tokens, first, counts
 
 
-def _tokenize_geometry(frames: pa.Array):
+def _tokenize_geometry(frames: pa.Array, allow_missing: bool = False):
     """Payload-level decode prologue: field-walk every frame for the id
     (tag 0x08), geom code (tag 0x18) and geometry payload (tag 0x22),
     gather the payload byte ranges contiguously, and varint-tokenize ONLY
@@ -97,7 +97,9 @@ def _tokenize_geometry(frames: pa.Array):
     reference decoder does (read_feature.go:9-100), batched.
 
     Returns (n, ids, codes, tokens, first, counts) where tokens are the
-    geometry deltas/headers only and first/counts index them per frame."""
+    geometry deltas/headers only and first/counts index them per frame.
+    With allow_missing=True, geometry-less frames get code -1 and an
+    empty token range instead of raising."""
     combined = pa.concat_arrays([frames.cast(pa.binary())])
     n = len(combined)
     if n == 0:
@@ -127,8 +129,16 @@ def _tokenize_geometry(frames: pa.Array):
             fresh = g_start[sel] < 0
             g_start[sel[fresh]] = pstart[is_geom][fresh]
             g_len[sel[fresh]] = plen[is_geom][fresh]
-    if (codes < 0).any() or (g_start < 0).any():
-        raise ValueError("frame missing geometry-type or geometry field")
+    missing = (codes < 0) | (g_start < 0)
+    if missing.any():
+        if not allow_missing:
+            raise ValueError("frame missing geometry-type or geometry field")
+        # geometry-less frames (bare-properties features, e.g. the
+        # reference's metadata dummy): sentinel code -1, empty payload —
+        # the caller routes them to an empty-geometry output row
+        codes[missing] = -1
+        g_start[missing] = 0
+        g_len[missing] = 0
 
     byte_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(g_len, out=byte_off[1:])
@@ -1202,10 +1212,10 @@ def decode_features_fast(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
             if nrows == 0:
                 continue
             _, all_ids, codes, all_tok, all_first, all_cnt = \
-                _tokenize_geometry(frames)
+                _tokenize_geometry(frames, allow_missing=True)
             # group results, scattered back to original row order
             gt_r = np.zeros(nrows, np.int32)
-            dim_r = np.zeros(nrows, np.int32)
+            dim_r = np.full(nrows, 2, dtype=np.int32)  # bare frames: dim 2
             c_len = np.zeros(nrows, np.int64)
             c_start = np.zeros(nrows, np.int64)
             r_len = np.zeros(nrows, np.int64)
@@ -1215,6 +1225,10 @@ def decode_features_fast(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
             big_c, big_r, big_p = [], [], []
             cbase = rbase = pbase = 0
             for code in np.unique(codes):
+                if code < 0:
+                    # bare-properties frames: geom_type 0, empty geometry
+                    # (decode_feature parity for all-optional fields)
+                    continue
                 sel = np.flatnonzero(codes == code)
                 toks, first, cnt = _gather_token_group(
                     all_tok, all_first, all_cnt, sel)

@@ -88,12 +88,15 @@ def explode_bbox_cover(df, z: int, minx="minx", miny="miny", maxx="maxx", maxy="
     x0..x1 (the complement — wrong)."""
     x0, x1, y0, y1 = bbox_tile_range(F.col(minx), F.col(miny), F.col(maxx), F.col(maxy), z)
     n = _n(z)
+    # array_distinct: at coarse zooms the two wrapped runs can overlap
+    # (e.g. z=0 → both runs are [0]) and a duplicate (feature, tile) row
+    # would double-count downstream
     xs = F.when(
         F.col(minx) <= F.col(maxx), F.sequence(F.col("_x0"), F.col("_x1"))
-    ).otherwise(F.concat(
+    ).otherwise(F.array_distinct(F.concat(
         F.sequence(F.col("_x0"), F.lit(n - 1).cast("bigint")),
         F.sequence(F.lit(0).cast("bigint"), F.col("_x1")),
-    ))
+    )))
     return (
         df.withColumn("_x0", x0)
         .withColumn("_x1", x1)

@@ -184,10 +184,15 @@ def simhash64(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
             bits = (((h[:, None] >> SHIFTS[None, :]) & np.uint64(1))
                     .astype(np.int32) * 2 - 1)
             ntok = doc_off[1:] - doc_off[:-1]
-            red_at = np.minimum(doc_off[:-1], max(T_ - 1, 0))
-            sums = (np.add.reduceat(bits, red_at, axis=0)
-                    if T_ else np.zeros((n, 63), np.int32))
-            sums[ntok == 0] = 0  # reduceat misreads empty segments
+            # reduceat ONLY at non-empty docs' starts: consecutive
+            # non-empty starts bound exactly one doc's tokens (empty docs
+            # contribute nothing in between), and no start can hit T_ —
+            # a clamp there would steal the previous doc's last token
+            nonempty = ntok > 0
+            sums = np.zeros((n, 63), dtype=np.int32)
+            if nonempty.any():
+                sums[nonempty] = np.add.reduceat(
+                    bits, doc_off[:-1][nonempty], axis=0)
             packed = ((sums > 0).astype(np.int64)
                       << np.arange(63, dtype=np.int64)[None, :]).sum(axis=1)
             yield pa.RecordBatch.from_arrays(

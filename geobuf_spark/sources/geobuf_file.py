@@ -69,8 +69,10 @@ def decoded_features(spark: SparkSession, path: str, repartition: int | None = N
     `fast=True` (default) runs geometry through the payload-token batch
     kernels (decode_features_fast — vectorized, reader.go:84-112 scan
     semantics) with only the dynamic properties parsed per frame.
-    `fast=False` keeps the per-feature generic decoder, needed only for
-    geometry-less frames (a bare-properties feature)."""
+    `fast=False` keeps the per-feature generic decoder, whose float
+    coords replicate the reference's per-vertex accumulation exactly
+    (the fast path is lattice-exact instead). Both handle bare
+    properties-only frames."""
     from geobuf_spark.codec import spark_codec
 
     frames = read_geobuf(spark, path, repartition)
@@ -97,7 +99,13 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
     indexes — the reference's `cat f1 f2 …` combine (split_combine.go:
     220-225) without materializing frames in driver memory. The final
     single-file concat is the only non-parallel step, exactly as in the
-    reference."""
+    reference.
+
+    File-edge scope: part files and the final single file live on a
+    filesystem shared by driver and executors (posix/NFS/fuse-mounted
+    object store) — the same constraint any single-output-file export
+    has, reference included. For cluster-native output use the
+    partitioned-table sink (operators.tiling.write_tiles) instead."""
     import json
     import os
     import shutil
@@ -125,6 +133,7 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        os.makedirs(tmpdir, exist_ok=True)  # executor-side (shared FS)
         path = os.path.join(tmpdir, f"part-{pid:05d}")
         index: dict = {}
         pos = 0

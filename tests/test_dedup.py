@@ -134,3 +134,15 @@ def test_near_dup_components_vs_python_bfs(spark):
         union(x, y)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_simhash_trailing_empty_docs_in_batch(spark):
+    """A batch ending in zero-token (null-text) docs must not truncate the
+    preceding doc's signature (reduceat clamp bug, review r2)."""
+    rows = [(1, "alpha beta gamma delta"), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    sig_all = {r.key: r.simhash for r in dedup.simhash64(df, key="doc_id").collect()}
+    solo = spark.createDataFrame(rows[:1], "doc_id long, text string")
+    sig_solo = dedup.simhash64(solo, key="doc_id").collect()[0].simhash
+    assert sig_all[1] == sig_solo
+    assert sig_all[2] == 0 and sig_all[3] == 0

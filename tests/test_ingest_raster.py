@@ -194,3 +194,24 @@ def test_subfile_metadata_key_not_dropped(spark, sf_small, tmp_path):
     meta = GF.write_geobuf_indexed(df, path, key_col="tile")
     sub = GF.read_geobuf_subfile(spark, path, "k1")
     assert sub.count() == 1 == meta["files"]["k1"]["number_features"]
+
+
+def test_write_geobuf_indexed_edge_shapes(spark, tmp_path):
+    """Distributed indexed write: empty input and single-key input both
+    produce valid file+index; keys never split across range partitions."""
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.sources import geobuf_file as GF
+
+    empty = spark.createDataFrame([], "tile string, geobuf binary")
+    meta = GF.write_geobuf_indexed(empty, str(tmp_path / "e.geobuf"), "tile")
+    assert meta["number_features"] == 0 and meta["files"] == {}
+
+    p = spark.createDataFrame(
+        [(i, 10.0 + i, 20.0) for i in range(50)], "doc_id long, lon double, lat double")
+    enc = spark_codec.encode_points(p).withColumn("tile", F.lit("only"))
+    path = str(tmp_path / "one.geobuf")
+    meta = GF.write_geobuf_indexed(enc, path, "tile", num_ranges=4)
+    assert meta["number_features"] == 50
+    assert list(meta["files"]) == ["only"]
+    back = GF.read_geobuf_subfile(spark, path, "only")
+    assert back.count() == 50

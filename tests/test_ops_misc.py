@@ -347,3 +347,25 @@ def test_fast_vs_generic_decode_parity(spark):
         # generic path carries the reference's float-accumulation error;
         # both land on the 1e-7 lattice, so any diff is one rounding step
         assert d.max() <= 1.01e-7, (fid, d.max())
+
+
+def test_fast_decode_tolerates_bare_properties_frames(spark):
+    """Frames with no geometry (e.g. a metadata-dummy-like feature) decode
+    through the fast path as geom_type 0 with empty geometry (review r2)."""
+    import numpy as np
+
+    from geobuf_spark.codec import core, spark_codec
+
+    bare = core.encode_feature(core.Feature(
+        geom_type=0, dim=2, coords=np.empty(0), ring_lens=np.empty(0, np.int64),
+        part_rings=np.empty(0, np.int64), id=7, properties={"metadata": "x"}))
+    pt = core.encode_feature(core.Feature(
+        geom_type=1, dim=2, coords=np.array([10.0, 20.0]),
+        ring_lens=np.array([1], np.int64), part_rings=np.array([1], np.int64),
+        id=8))
+    df = spark.createDataFrame([(bytearray(bare),), (bytearray(pt),)],
+                               "geobuf binary")
+    got = {r.id: r for r in spark_codec.decode_features_fast(df).collect()}
+    assert got[7].geom_type == 0 and got[7].coords == [] and got[7].dim == 2
+    assert json.loads(got[7].props_json) == {"metadata": "x"}
+    assert got[8].geom_type == 1 and len(got[8].coords) == 2

@@ -152,3 +152,19 @@ def test_vector_tiles_multipolygons_structure(spark):
         "mp", [M.mvt_feature_bytes(int(r.poly_id), cmds[0].as_py())]))
     rings = M.parse_mvt(blob)["layers"][0]["features"][0]["rings"]
     assert len(rings) == len(r.ring_lens)
+
+
+def test_bbox_cover_antimeridian_overlapping_runs(spark):
+    """Wrapped boxes whose two x runs overlap (coarse zooms) must not
+    duplicate (feature, tile) rows (review r2)."""
+    from geobuf_spark.functions import tiles as TL
+
+    df = spark.createDataFrame(
+        [(1, 170.0, -10.0, -170.0, 10.0)],
+        "poly_id long, minx double, miny double, maxx double, maxy double")
+    rows = TL.explode_bbox_cover(df, 0).collect()
+    assert len(rows) == 1 and (rows[0].tile_x, rows[0].tile_y) == (0, 0)
+    # z=1: runs [1..1] + [0..1] overlap at x=1 → exactly {0,1}, no dupes
+    rows = TL.explode_bbox_cover(df, 1).collect()
+    xs = sorted(r.tile_x for r in rows if r.tile_y == 0)
+    assert xs == [0, 1]
