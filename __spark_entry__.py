@@ -150,16 +150,26 @@ def q_split_clip_z5(spark, sf):
 
 
 def q_vector_tiles_z5(spark, sf):
-    # capstone tiling pipeline: cover → clip → tile-local grid snap
-    # (rows-only: grid dedupe is not SQL-expressible; pytest pins the
-    # in-range/collapse invariants, split_clip_z5 oracles the clip stage)
+    # capstone tiling pipeline: cover → clip → tile-local grid snap.
+    # Output = the snapped grid box of every surviving (rect, tile) ring
+    # plus the ring's grid-value count — for axis-aligned rects the
+    # Sutherland–Hodgman clip is exactly the rect∩tile box, so the whole
+    # pipeline (cover, clip, snap with clamps, degenerate-ring drop) has
+    # an exact DuckDB twin. The snap's x side runs the IDENTICAL float
+    # expression both engines; the y side is self-consistent per engine
+    # (each clips and snaps against its own mercator bounds).
     r = _rects(spark, sf)
     ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
     polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
                      ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
     out = tiling.vector_tiles(polys, z=5, extent=256)
-    return out.select("poly_id", "z", "x", "y",
-                      F.size("grid_coords").alias("n_grid_values"))
+    xs = F.filter("grid_coords", lambda v, i: i % 2 == 0)
+    ys = F.filter("grid_coords", lambda v, i: i % 2 == 1)
+    return out.select(
+        "poly_id", "z", "x", "y",
+        F.size("grid_coords").alias("n_grid_values"),
+        F.array_min(xs).alias("gx0"), F.array_max(xs).alias("gx1"),
+        F.array_min(ys).alias("gy0"), F.array_max(ys).alias("gy1"))
 
 
 def q_mvt_tiles_z4(spark, sf):
@@ -783,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "split_clip_z5": q_split_clip_z5,
+        "vector_tiles_z5": q_vector_tiles_z5,
         "rasterize_z4": q_rasterize_z4,
         "vectorize_z3": q_vectorize_z3,
         # — spatial joins / kNN —
@@ -810,7 +821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         # — windows / sessions —
         "events_window": q_events_window,
-        "sliding_window": q_sliding_window,
         "events_enriched": q_events_enriched,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
@@ -843,7 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_prop_keys": q_distinct_prop_keys,
         "map_features": q_map_features,
         "cover_size_estimate": q_cover_size_estimate,
-        "vector_tiles_z5": q_vector_tiles_z5,
+        "sliding_window": q_sliding_window,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "multimodal_ann_top3": q_multimodal_ann_top3,
         "pages_synth": q_pages_synth,
@@ -948,6 +958,55 @@ def _ann_cosine_sql(k: int = 5, every: int = 25) -> str:
                        ORDER BY cos DESC, neighbor_id) AS rank
             FROM s)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
+
+
+def _vector_tiles_sql() -> str:
+    """Oracle for q_vector_tiles_z5: cover → rect∩tile clip → tile-local
+    grid snap (clamped floors) → degenerate-ring drop, all in DuckDB.
+    x-side snap uses the byte-identical float expression the kernel runs;
+    y-side mercator bounds are computed and consumed within one engine."""
+    rects = minted.SQL_MINTED_RECTS.strip()
+    merc = ("degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * ({y})))) "
+            "- pi()/2)")
+    lat_n, lat_s = merc.format(y="y"), merc.format(y="y + 1")
+    ty = ("CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest({v}, "
+          "-85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least("
+          "greatest({v}, -85.0511287798066), 85.0511287798066)))) "
+          "/ 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT)")
+    snap_x = ("CAST(least(greatest(floor(({v} - w) / (e - w) * 256.0), 0), 255) "
+              "AS BIGINT)")
+    snap_y = ("CAST(least(greatest(floor((n - ({v})) / (n - s) * 256.0), 0), 255) "
+              "AS BIGINT)")
+    return f"""
+        WITH r AS ({rects}),
+        cov AS (
+            SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
+            FROM r
+            JOIN (SELECT unnest(range(0, 32)) AS x) gx
+              ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
+                          AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
+            JOIN (SELECT unnest(range(0, 32)) AS y) gy
+              ON gy.y BETWEEN {ty.format(v='r.maxy')} AND {ty.format(v='r.miny')}),
+        b AS (
+            SELECT poly_id, x, y,
+                   x * 11.25 - 180.0 AS w, (x + 1) * 11.25 - 180.0 AS e,
+                   {lat_n} AS n, {lat_s} AS s,
+                   minx, miny, maxx, maxy
+            FROM cov),
+        clipped AS (
+            SELECT poly_id, x, y, w, e, n, s,
+                   greatest(minx, w) AS cx0, least(maxx, e) AS cx1,
+                   greatest(miny, s) AS cy0, least(maxy, n) AS cy1
+            FROM b),
+        snapped AS (
+            SELECT poly_id, 5 AS z, x, y,
+                   {snap_x.format(v='cx0')} AS gx0,
+                   {snap_x.format(v='cx1')} AS gx1,
+                   {snap_y.format(v='cy1')} AS gy0,
+                   {snap_y.format(v='cy0')} AS gy1
+            FROM clipped WHERE cx1 > cx0 AND cy1 > cy0)
+        SELECT poly_id, z, x, y, 8 AS n_grid_values, gx0, gx1, gy0, gy1
+        FROM snapped WHERE gx0 != gx1 AND gy0 != gy1"""
 
 
 def _raster_sqls():
@@ -1322,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_meta": _feature_meta_sql(),
         "lang_id": _lang_id_sql(),
         "ann_cosine_top5": _ann_cosine_sql(),
+        "vector_tiles_z5": _vector_tiles_sql(),
         # minhash_near_dups / simhash_near_dups / ann_lsh / ann_ivf /
         # pages_synth / multimodal_ann_top3 / vector_tiles_z5 / mvt_tiles_z4:
         # no SQL twin (hash permutations, LSH banding, IVF training, Spark
