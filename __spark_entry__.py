@@ -183,14 +183,16 @@ def q_mvt_tiles_z4(spark, sf):
                      ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
     vt = tiling.vector_tiles(polys, z=4, extent=4096)
     poly_tiles = MVT.build_mvt_tiles(vt, layer_name="rects") \
-        .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features",
-                F.octet_length("mvt").alias("n_bytes"))
+        .filter(F.octet_length("mvt") > 0) \
+        .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features")
     # point layer (MULTIPOINT MoveTo runs) over the minted doc points
     vp = tiling.vector_tiles_points(_points(spark, sf), z=4, extent=4096)
     pt_tiles = MVT.build_mvt_tiles(vp, id_col="doc_id", layer_name="docs",
                                    geom="point") \
-        .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features",
-                F.octet_length("mvt").alias("n_bytes"))
+        .filter(F.octet_length("mvt") > 0) \
+        .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features")
+    # per-tile feature ROUTING is driver-oracled; the blob bytes themselves
+    # are pinned by the parse_mvt round-trip fuzz tests
     return poly_tiles.unionByName(pt_tiles)
 
 
@@ -794,7 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
         "split_clip_z5": q_split_clip_z5,
         "vector_tiles_z5": q_vector_tiles_z5,
-        "rasterize_z4": q_rasterize_z4,
+        "mvt_tiles_z4": q_mvt_tiles_z4,
         "vectorize_z3": q_vectorize_z3,
         # — spatial joins / kNN —
         "pip_join_rects": q_pip_join_rects,
@@ -854,7 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_features": q_map_features,
         "cover_size_estimate": q_cover_size_estimate,
         "sliding_window": q_sliding_window,
-        "mvt_tiles_z4": q_mvt_tiles_z4,
+        "rasterize_z4": q_rasterize_z4,
         "multimodal_ann_top3": q_multimodal_ann_top3,
         "pages_synth": q_pages_synth,
     }
@@ -960,36 +962,38 @@ def _ann_cosine_sql(k: int = 5, every: int = 25) -> str:
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
 
 
-def _vector_tiles_sql() -> str:
-    """Oracle for q_vector_tiles_z5: cover → rect∩tile clip → tile-local
-    grid snap (clamped floors) → degenerate-ring drop, all in DuckDB.
-    x-side snap uses the byte-identical float expression the kernel runs;
-    y-side mercator bounds are computed and consumed within one engine."""
+def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
+    """Oracle for the rect vector-tile pipeline: cover → rect∩tile clip →
+    tile-local grid snap (clamped floors) → degenerate-ring drop, all in
+    DuckDB. x-side snap uses the byte-identical float expression the
+    kernel runs; y-side mercator bounds are computed and consumed within
+    one engine."""
     rects = minted.SQL_MINTED_RECTS.strip()
-    merc = ("degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * ({y})))) "
+    nt = 1 << z
+    merc = (f"degrees(2*atan(exp(3.141592653589793 * (1.0 - {2.0 / nt!r} * ({{y}})))) "
             "- pi()/2)")
     lat_n, lat_s = merc.format(y="y"), merc.format(y="y + 1")
     ty = ("CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest({v}, "
           "-85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least("
           "greatest({v}, -85.0511287798066), 85.0511287798066)))) "
-          "/ 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT)")
-    snap_x = ("CAST(least(greatest(floor(({v} - w) / (e - w) * 256.0), 0), 255) "
-              "AS BIGINT)")
-    snap_y = ("CAST(least(greatest(floor((n - ({v})) / (n - s) * 256.0), 0), 255) "
-              "AS BIGINT)")
+          f"/ 3.141592653589793) / 2.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)")
+    snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
+              f"{extent - 1}) AS BIGINT)")
+    snap_y = (f"CAST(least(greatest(floor((n - ({{v}})) / (n - s) * {float(extent)!r}), 0), "
+              f"{extent - 1}) AS BIGINT)")
     return f"""
         WITH r AS ({rects}),
         cov AS (
             SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
             FROM r
-            JOIN (SELECT unnest(range(0, 32)) AS x) gx
-              ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
-                          AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
-            JOIN (SELECT unnest(range(0, 32)) AS y) gy
+            JOIN (SELECT unnest(range(0, {nt})) AS x) gx
+              ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)
+                          AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)
+            JOIN (SELECT unnest(range(0, {nt})) AS y) gy
               ON gy.y BETWEEN {ty.format(v='r.maxy')} AND {ty.format(v='r.miny')}),
         b AS (
             SELECT poly_id, x, y,
-                   x * 11.25 - 180.0 AS w, (x + 1) * 11.25 - 180.0 AS e,
+                   x * {360.0 / nt!r} - 180.0 AS w, (x + 1) * {360.0 / nt!r} - 180.0 AS e,
                    {lat_n} AS n, {lat_s} AS s,
                    minx, miny, maxx, maxy
             FROM cov),
@@ -999,7 +1003,7 @@ def _vector_tiles_sql() -> str:
                    greatest(miny, s) AS cy0, least(maxy, n) AS cy1
             FROM b),
         snapped AS (
-            SELECT poly_id, 5 AS z, x, y,
+            SELECT poly_id, {z} AS z, x, y,
                    {snap_x.format(v='cx0')} AS gx0,
                    {snap_x.format(v='cx1')} AS gx1,
                    {snap_y.format(v='cy1')} AS gy0,
@@ -1382,6 +1386,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "ann_cosine_top5": _ann_cosine_sql(),
         "vector_tiles_z5": _vector_tiles_sql(),
+        "mvt_tiles_z4": f"""
+            WITH poly AS ({_vector_tiles_sql(z=4, extent=4096)}),
+            pt AS (SELECT {tiles.sql_tile_x('lon', 4)} AS x,
+                          {tiles.sql_tile_y('lat', 4)} AS y
+                   FROM ({pts}))
+            SELECT 'polygon' AS layer, 4 AS z, x, y, count(*) AS n_features
+            FROM poly GROUP BY x, y
+            UNION ALL
+            SELECT 'point' AS layer, 4 AS z, x, y, count(*) AS n_features
+            FROM pt GROUP BY x, y""",
         # minhash_near_dups / simhash_near_dups / ann_lsh / ann_ivf /
         # pages_synth / multimodal_ann_top3 / vector_tiles_z5 / mvt_tiles_z4:
         # no SQL twin (hash permutations, LSH banding, IVF training, Spark
