@@ -819,7 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
-        "embedding_norms_q": q_embedding_norms_q,
+        "multimodal_ann_top3": q_multimodal_ann_top3,
         "multimodal_bytes": q_multimodal_bytes,
         # — windows / sessions —
         "events_window": q_events_window,
@@ -857,7 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_size_estimate": q_cover_size_estimate,
         "sliding_window": q_sliding_window,
         "rasterize_z4": q_rasterize_z4,
-        "multimodal_ann_top3": q_multimodal_ann_top3,
+        "embedding_norms_q": q_embedding_norms_q,
         "pages_synth": q_pages_synth,
     }
 
@@ -1011,6 +1011,33 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
             FROM clipped WHERE cx1 > cx0 AND cy1 > cy0)
         SELECT poly_id, z, x, y, 8 AS n_grid_values, gx0, gx1, gy0, gy1
         FROM snapped WHERE gx0 != gx1 AND gy0 != gy1"""
+
+
+def _multimodal_ann_sql(k: int = 3, every: int = 50) -> str:
+    """Oracle for q_multimodal_ann_top3: payload_embedding is a 16-bin
+    HIGH-NIBBLE byte histogram of the utf-8 payload; the documents text is
+    ASCII, so byte nibbles == codepoint//16 and the histogram is a char
+    class count — then exact cosine top-k (cosine is normalization-
+    invariant, so the L2 step needs no twin)."""
+    bins = ", ".join(
+        f"CAST(len(list_filter(cs, c -> (ord(c) // 16) % 16 = {kk})) AS DOUBLE)"
+        for kk in range(16))
+    return f"""
+        WITH chars AS (
+            SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        emb AS (SELECT doc_id, [{bins}] AS e FROM chars),
+        q AS (SELECT doc_id AS query_id, e AS qe FROM emb
+              WHERE doc_id % {every} = 0),
+        s AS (
+            SELECT q.query_id, v.doc_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, v.e) AS cos
+            FROM q CROSS JOIN emb v WHERE v.doc_id <> q.query_id),
+        r AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
 
 
 def _raster_sqls():
@@ -1385,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_meta": _feature_meta_sql(),
         "lang_id": _lang_id_sql(),
         "ann_cosine_top5": _ann_cosine_sql(),
+        "multimodal_ann_top3": _multimodal_ann_sql(),
         "vector_tiles_z5": _vector_tiles_sql(),
         "mvt_tiles_z4": f"""
             WITH poly AS ({_vector_tiles_sql(z=4, extent=4096)}),
