@@ -390,6 +390,14 @@ def q_sessionize(spark, sf):
     return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
 
 
+def q_tile_stream_counts(spark, sf):
+    # geo × event-time rollup: minted event points → mercator tile at z=6
+    # → tumbling 10-min counts per (window, tile); streaming twin tested
+    # batch≡stream in pytest
+    return W.tile_event_counts(spark.read.parquet(f"{sf}/events.parquet"),
+                               z=6, minutes=10)
+
+
 def q_multimodal_bytes(spark, sf):
     # binary-column plumbing: documents.text → binary payload + metadata
     d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
@@ -858,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "rasterize_z4": q_rasterize_z4,
         "embedding_norms_q": q_embedding_norms_q,
+        "tile_stream_counts": q_tile_stream_counts,
         "pages_synth": q_pages_synth,
     }
 
@@ -888,6 +897,21 @@ def _sql_vlen(v: str) -> str:
 
 def _sql_zigzag(v: str) -> str:
     return f"(CASE WHEN ({v}) >= 0 THEN 2*({v}) ELSE -2*({v}) - 1 END)"
+
+
+def _tile_stream_sql(z: int = 6, minutes: int = 10) -> str:
+    """Oracle for q_tile_stream_counts: minted event point (mulmod over
+    user_id) → tile assign → tumbling-window count."""
+    secs = minutes * 60
+    lon = f"(({minted._sql_mulmod('user_id', minted.LON_MULT, minted.LON_MOD)} - {minted.LON_MOD // 2}) / 1e7)"
+    lat = f"(({minted._sql_mulmod('user_id', minted.LAT_MULT, minted.LAT_MOD)} - {minted.LAT_MOD // 2}) / 1e7)"
+    return f"""
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {secs}) * {secs} AS wstart,
+               {z} AS z,
+               {tiles.sql_tile_x(lon, z)} AS x,
+               {tiles.sql_tile_y(lat, z)} AS y,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2, 3, 4"""
 
 
 def _feature_meta_sql() -> str:
@@ -1409,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN source = 'src2' THEN 1 END) AS src2_n,
                    count(CASE WHEN source = 'src3' THEN 1 END) AS src3_n
             FROM documents GROUP BY lang""",
+        "tile_stream_counts": _tile_stream_sql(),
         "feature_meta": _feature_meta_sql(),
         "lang_id": _lang_id_sql(),
         "ann_cosine_top5": _ann_cosine_sql(),

@@ -214,3 +214,64 @@ def enrich_events_streaming(spark: SparkSession, events_dir: str,
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     return enrich_events(stream, dim)
+
+
+def tile_event_counts(events: DataFrame, z: int = 6, minutes: int = 10) -> DataFrame:
+    """Geo × event-time rollup: every event gets a minted lattice point
+    (mulmod over user_id — the same overflow-safe arithmetic as the
+    documents geometries, identical formula text on both engines), its
+    web-mercator tile at zoom z, and a tumbling-window count per
+    (window, tile) — the streaming analog of the tile histogram the
+    reference's splitter materializes (split_combine.go:145,186-232).
+
+    One shuffle; group keys (wstart, z, x, y) are the partition layout a
+    100 TB cluster would write, so the aggregation is the final state."""
+    from geobuf_spark.functions import tiles
+    from geobuf_spark.sources import minted
+
+    secs = minutes * 60
+    lon = (minted._mulmod(F.col("user_id"), minted.LON_MULT, minted.LON_MOD)
+           - F.lit(minted.LON_MOD // 2)) / F.lit(1e7)
+    lat = (minted._mulmod(F.col("user_id"), minted.LAT_MULT, minted.LAT_MOD)
+           - F.lit(minted.LAT_MOD // 2)) / F.lit(1e7)
+    wstart = F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(secs)) \
+        .cast("bigint") * F.lit(secs)
+    return (
+        events.select(
+            wstart.alias("wstart"),
+            F.lit(z).alias("z"),
+            tiles.tile_x(lon, z).alias("x"),
+            tiles.tile_y(lat, z).alias("y"),
+        )
+        .groupBy("wstart", "z", "x", "y")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def tile_event_counts_streaming(spark: SparkSession, parquet_dir: str,
+                                z: int = 6, minutes: int = 10,
+                                watermark: str = "30 minutes") -> DataFrame:
+    """Structured Streaming twin of :func:`tile_event_counts`: same mint +
+    tile expressions, `F.window` with an event-time watermark. On bounded
+    input both produce identical rows."""
+    from geobuf_spark.functions import tiles
+    from geobuf_spark.sources import minted
+
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    lon = (minted._mulmod(F.col("user_id"), minted.LON_MULT, minted.LON_MOD)
+           - F.lit(minted.LON_MOD // 2)) / F.lit(1e7)
+    lat = (minted._mulmod(F.col("user_id"), minted.LAT_MULT, minted.LAT_MOD)
+           - F.lit(minted.LAT_MOD // 2)) / F.lit(1e7)
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("x", tiles.tile_x(lon, z))
+        .withColumn("y", tiles.tile_y(lat, z))
+        .groupBy(F.window("ts", f"{minutes} minutes"), "x", "y")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("bigint").alias("wstart"),
+            F.lit(z).alias("z"), "x", "y", "n_events",
+        )
+    )

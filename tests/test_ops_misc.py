@@ -369,3 +369,22 @@ def test_fast_decode_tolerates_bare_properties_frames(spark):
     assert got[7].geom_type == 0 and got[7].coords == [] and got[7].dim == 2
     assert json.loads(got[7].props_json) == {"metadata": "x"}
     assert got[8].geom_type == 1 and len(got[8].coords) == 2
+
+
+def test_tile_event_counts_batch_equals_stream(spark, sf_small, tmp_path):
+    """Geo × event-time rollup: minted-tile windowed counts agree between
+    the batch plan and the Structured Streaming twin on bounded input."""
+    import shutil
+
+    stream_dir = tmp_path / "events_geo_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", stream_dir / "events.parquet")
+
+    batch = W.tile_event_counts(
+        spark.read.parquet(f"{sf_small}/events.parquet"), z=6, minutes=10)
+    got = W.run_stream_to_memory(
+        W.tile_event_counts_streaming(spark, str(stream_dir), z=6, minutes=10),
+        "tile_stream")
+    b = {(r.wstart, r.z, r.x, r.y): r.n_events for r in batch.collect()}
+    s = {(r.wstart, r.z, r.x, r.y): r.n_events for r in got.collect()}
+    assert b and b == s
