@@ -183,13 +183,11 @@ def q_mvt_tiles_z4(spark, sf):
                      ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
     vt = tiling.vector_tiles(polys, z=4, extent=4096)
     poly_tiles = MVT.build_mvt_tiles(vt, layer_name="rects") \
-        .filter(F.octet_length("mvt") > 0) \
         .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features")
     # point layer (MULTIPOINT MoveTo runs) over the minted doc points
     vp = tiling.vector_tiles_points(_points(spark, sf), z=4, extent=4096)
     pt_tiles = MVT.build_mvt_tiles(vp, id_col="doc_id", layer_name="docs",
                                    geom="point") \
-        .filter(F.octet_length("mvt") > 0) \
         .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features")
     # per-tile feature ROUTING is driver-oracled; the blob bytes themselves
     # are pinned by the parse_mvt round-trip fuzz tests
@@ -833,7 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_enriched": q_events_enriched,
         "sessionize": q_sessionize,
-        "topk_per_group": q_topk_per_group,
+        "tile_stream_counts": q_tile_stream_counts,
         # — relational (TPC-H + window/rollup/pivot) —
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -866,7 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "rasterize_z4": q_rasterize_z4,
         "embedding_norms_q": q_embedding_norms_q,
-        "tile_stream_counts": q_tile_stream_counts,
+        "topk_per_group": q_topk_per_group,
         "pages_synth": q_pages_synth,
     }
 
@@ -906,7 +904,7 @@ def _tile_stream_sql(z: int = 6, minutes: int = 10) -> str:
     lon = f"(({minted._sql_mulmod('user_id', minted.LON_MULT, minted.LON_MOD)} - {minted.LON_MOD // 2}) / 1e7)"
     lat = f"(({minted._sql_mulmod('user_id', minted.LAT_MULT, minted.LAT_MOD)} - {minted.LAT_MOD // 2}) / 1e7)"
     return f"""
-        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {secs}) * {secs} AS wstart,
+        SELECT CAST(floor(epoch(ts) / {secs}) AS BIGINT) * {secs} AS wstart,
                {z} AS z,
                {tiles.sql_tile_x(lon, z)} AS x,
                {tiles.sql_tile_y(lat, z)} AS y,
@@ -997,10 +995,8 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
     merc = (f"degrees(2*atan(exp(3.141592653589793 * (1.0 - {2.0 / nt!r} * ({{y}})))) "
             "- pi()/2)")
     lat_n, lat_s = merc.format(y="y"), merc.format(y="y + 1")
-    ty = ("CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest({v}, "
-          "-85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least("
-          "greatest({v}, -85.0511287798066), 85.0511287798066)))) "
-          f"/ 3.141592653589793) / 2.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)")
+    def ty(v):
+        return tiles.sql_tile_y(v, z)  # same formula text as the cover
     snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
               f"{extent - 1}) AS BIGINT)")
     snap_y = (f"CAST(least(greatest(floor((n - ({{v}})) / (n - s) * {float(extent)!r}), 0), "
@@ -1011,10 +1007,10 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
             SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
             FROM r
             JOIN (SELECT unnest(range(0, {nt})) AS x) gx
-              ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)
-                          AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * {float(nt)!r}), 0), {nt - 1}) AS BIGINT)
+              ON gx.x BETWEEN {tiles.sql_tile_x('r.minx', z)}
+                          AND {tiles.sql_tile_x('r.maxx', z)}
             JOIN (SELECT unnest(range(0, {nt})) AS y) gy
-              ON gy.y BETWEEN {ty.format(v='r.maxy')} AND {ty.format(v='r.miny')}),
+              ON gy.y BETWEEN {ty('r.maxy')} AND {ty('r.miny')}),
         b AS (
             SELECT poly_id, x, y,
                    x * {360.0 / nt!r} - 180.0 AS w, (x + 1) * {360.0 / nt!r} - 180.0 AS e,
@@ -1449,9 +1445,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'point' AS layer, 4 AS z, x, y, count(*) AS n_features
             FROM pt GROUP BY x, y""",
-        # minhash_near_dups / simhash_near_dups / ann_lsh / ann_ivf /
-        # pages_synth / multimodal_ann_top3 / vector_tiles_z5 / mvt_tiles_z4:
-        # no SQL twin (hash permutations, LSH banding, IVF training, Spark
-        # murmur3 minting, mercator-float grid snap, binary command streams)
-        # — rows-only here, brute-force-oracle-tested in tests/.
+        # minhash_near_dups / simhash_near_dups / ann_lsh_top5 /
+        # ann_ivf_top5 / pages_synth: no SQL twin (hash permutations, LSH
+        # banding, IVF training RNG, Spark murmur3 minting) — rows-only
+        # here, brute-force-oracle-tested in tests/.
     }
