@@ -388,6 +388,21 @@ def q_sessionize(spark, sf):
     return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
 
 
+def q_ngram_jaccard(spark, sf):
+    # exact n-gram Jaccard tier (the verification tier under the LSH
+    # near-dup operators): token shingles self-join + inclusion-exclusion
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
+                                     shingle_k=3, threshold=0.4)
+
+
+def q_dup_components(spark, sf):
+    # connected components over the exact near-dup pair graph → one
+    # representative per duplicate cluster (min-label + pointer jumping)
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
+                                      shingle_k=3, threshold=0.4)
+    return dedup.near_dup_components(pairs)
+
+
 def q_tile_stream_counts(spark, sf):
     # geo × event-time rollup: minted event points → mercator tile at z=6
     # → tumbling 10-min counts per (window, tile); streaming twin tested
@@ -815,18 +830,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         # — text / dedup / similarity —
         "doc_quality": q_doc_quality,
-        "doc_fingerprint": q_doc_fingerprint,
         "token_totals": q_token_totals,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dup_components": q_dup_components,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
         "multimodal_ann_top3": q_multimodal_ann_top3,
-        "multimodal_bytes": q_multimodal_bytes,
         # — windows / sessions —
         "events_window": q_events_window,
         "events_enriched": q_events_enriched,
@@ -865,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_z4": q_rasterize_z4,
         "embedding_norms_q": q_embedding_norms_q,
         "topk_per_group": q_topk_per_group,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_bytes": q_multimodal_bytes,
         "pages_synth": q_pages_synth,
     }
 
@@ -895,6 +912,34 @@ def _sql_vlen(v: str) -> str:
 
 def _sql_zigzag(v: str) -> str:
     return f"(CASE WHEN ({v}) >= 0 THEN 2*({v}) ELSE -2*({v}) - 1 END)"
+
+
+def _ngram_sql(k: int = 3, threshold: float = 0.4) -> str:
+    """Shared CTE chain for the exact n-gram Jaccard tier: token shingles
+    (distinct, chr(31)-joined — identical to dedup._shingles) → shingle
+    self-join → inclusion-exclusion Jaccard."""
+    return f"""
+        d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
+              FROM documents),
+        sh0 AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
+                                                chr(31)))) AS shs
+                FROM d),
+        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+        j AS (
+            SELECT a, b,
+                   CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+            FROM shared
+            JOIN counts ca ON ca.doc_id = a
+            JOIN counts cb ON cb.doc_id = b),
+        pairs AS (SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold})"""
 
 
 def _tile_stream_sql(z: int = 6, minutes: int = 10) -> str:
@@ -1430,6 +1475,16 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN source = 'src3' THEN 1 END) AS src3_n
             FROM documents GROUP BY lang""",
         "tile_stream_counts": _tile_stream_sql(),
+        "ngram_jaccard": f"WITH {_ngram_sql()} SELECT a, b, jaccard FROM pairs",
+        "dup_components": f"""
+            WITH RECURSIVE {_ngram_sql()},
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            walk(u, label) AS (
+                SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u)
+            SELECT u AS doc_id, min(label) AS rep_id FROM walk GROUP BY u""",
         "feature_meta": _feature_meta_sql(),
         "lang_id": _lang_id_sql(),
         "ann_cosine_top5": _ann_cosine_sql(),
