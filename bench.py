@@ -59,6 +59,8 @@ def bench_queries(spark):
         "geobuf_roundtrip", "polygon_roundtrip", "dedup_exact",
         "minhash_near_dups", "simhash_near_dups", "ann_cosine_top5",
         "doc_quality", "token_totals", "events_window", "sessionize",
+        "ngram_jaccard", "vector_tiles_z5", "mvt_tiles_z4",
+        "tile_stream_counts", "ann_ivf_top5",
         "tpch_q1", "tpch_q3", "tpch_q5",
     ]
     def force(df):
