@@ -246,3 +246,91 @@ def test_fuzz_multipolygon_batch_kernel_roundtrip(feats):
     assert np.array_equal(dppf, ppf) and np.array_equal(drpp, rpp)
     assert np.array_equal(dnv, ring_nv)
     assert np.array_equal(dcoords, core.quantize_vec(coords))
+
+
+# ---------------------------------------------------------------------------
+# payload-walk batch decode fuzz (r2): arbitrary feature frames — any geom
+# type/dim, random properties (incl. long keys), with or without id —
+# through the vectorized batch dispatcher must equal the per-feature
+# reference-semantics decoder.
+# ---------------------------------------------------------------------------
+
+_geom_strategy = st.sampled_from([1, 2, 3, 4, 5, 6])
+
+
+@st.composite
+def _feature(draw, fid):
+    gt = draw(_geom_strategy)
+    dim = 2 if gt == 1 else draw(st.sampled_from([2, 2, 2, 3]))
+    coord = st.integers(-1_700_000_000, 1_700_000_000)
+    if gt == 1:
+        nv_rings, rpp = [1], [1]
+    elif gt in (2, 4):
+        nv_rings, rpp = [draw(st.integers(1, 7))], [1]
+    elif gt in (3, 5):
+        nr = draw(st.integers(1, 3))
+        nv_rings = [draw(st.integers(1, 5)) for _ in range(nr)]
+        rpp = [nr]
+    else:
+        np_ = draw(st.integers(1, 2))
+        rpp = [draw(st.integers(1, 2)) for _ in range(np_)]
+        nv_rings = [draw(st.integers(1, 4)) for _ in range(sum(rpp))]
+    total_v = sum(nv_rings)
+    coords = np.array(
+        [draw(coord) / 1e7 for _ in range(total_v * dim)], dtype=np.float64)
+    props = {}
+    if draw(st.booleans()):
+        props["name"] = draw(st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   blacklist_categories=("Cs",)),
+            max_size=8))
+    if draw(st.booleans()):
+        props["k" * draw(st.sampled_from([1, 130]))] = draw(
+            st.integers(-2**40, 2**40))
+    return core.Feature(
+        geom_type=gt, dim=dim, coords=coords,
+        ring_lens=np.array(nv_rings, dtype=np.int64),
+        part_rings=np.array(rpp, dtype=np.int64),
+        id=fid if draw(st.booleans()) else None,
+        properties=props)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_fuzz_batch_decode_matches_reference_decoder(data):
+    import json
+
+    import pyarrow as pa
+
+    from geobuf_spark.codec import spark_codec as sc
+
+    n = data.draw(st.integers(2, 12))
+    feats = [data.draw(_feature(fid)) for fid in range(n)]
+    frames = [core.encode_feature(f) for f in feats]
+    arr = pa.array(frames, type=pa.binary())
+
+    # geometry via the grouped batch kernels
+    _, ids, codes, toks, first, cnt = sc._tokenize_geometry(arr)
+    for code in np.unique(codes):
+        sel = np.flatnonzero(codes == code)
+        g = sc._decode_code_group(
+            int(code), ids[sel],
+            *sc._gather_token_group(toks, first, cnt, sel))
+        coff = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(g["feat_v"] * g["dim"], out=coff[1:])
+        roff = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(g["rings_pf"], out=roff[1:])
+        for j, row in enumerate(sel):
+            want = core.decode_feature(frames[row], quantized=True)
+            got_c = g["coords_q"][coff[j]:coff[j + 1]]
+            assert got_c.tolist() == want.coords.tolist(), row
+            got_r = g["ring_nv"][roff[j]:roff[j + 1]]
+            assert got_r.tolist() == want.ring_lens.tolist(), row
+            assert g["gt"] == want.geom_type and g["dim"] == want.dim
+
+    # properties via the props-only walker
+    for row, frame in enumerate(frames):
+        got_p = core.decode_properties(frame)
+        want_p = core.decode_feature(frame).properties
+        assert json.dumps(got_p, sort_keys=True) == \
+            json.dumps(want_p, sort_keys=True), row
