@@ -129,6 +129,14 @@ def _tokenize_geometry(frames: pa.Array, allow_missing: bool = False):
             fresh = g_start[sel] < 0
             g_start[sel[fresh]] = pstart[is_geom][fresh]
             g_len[sel[fresh]] = plen[is_geom][fresh]
+    # a truncated/corrupt frame whose geometry length overruns its frame
+    # boundary would otherwise gather the NEXT frame's bytes — silent
+    # cross-frame corruption, not an error
+    overrun = (g_start >= 0) & (g_start + g_len > ends)
+    if overrun.any():
+        raise ValueError(
+            f"{int(overrun.sum())} frame(s) with geometry payload running "
+            "past the frame end — truncated or corrupt input")
     missing = (codes < 0) | (g_start < 0)
     if missing.any():
         if not allow_missing:

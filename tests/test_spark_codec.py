@@ -392,3 +392,24 @@ def test_fused_decode_agg_matches_materializing_path(spark):
     fulll = dl.agg(F.count("*"), F.sum(F.size("coords_q")),
                    F.sum(F.element_at("coords_q", 1))).collect()[0]
     assert list(fusedl) == list(fulll)
+
+
+def test_truncated_frames_raise_not_corrupt():
+    """A frame whose geometry length overruns its boundary must raise —
+    the gather would otherwise read the NEXT frame's bytes (review r2)."""
+    import numpy as np
+
+    f = core.encode_feature(core.Feature(
+        geom_type=1, dim=2, coords=np.array([100.0, 50.0]),
+        ring_lens=np.array([1], np.int64), part_rings=np.array([1], np.int64),
+        id=5))
+    # geometry payload spans bytes 6..16 in this frame — cut inside it
+    # (cutting only the trailing bbox leaves geometry decodable, which is
+    # correct lazy-read behavior, not corruption)
+    for cut in (12, 8, 5):
+        arr = pa.array([f, f[:cut]], type=pa.binary())
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            sc.decode_points_any_kernel(arr)
+    # intact frames still decode
+    ids, qx, qy = sc.decode_points_any_kernel(pa.array([f, f], type=pa.binary()))
+    assert ids.tolist() == [5, 5] and qx.tolist() == [10**9] * 2
