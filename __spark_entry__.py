@@ -403,6 +403,24 @@ def q_dup_components(spark, sf):
     return dedup.near_dup_components(pairs)
 
 
+def q_range_join_sessions(spark, sf):
+    # interval range join via bucketized equi-join (the range analog of
+    # the cell join): events ⋈ their user's session windows. Sessions are
+    # disjoint with gaps > the threshold, so n_in_window == the session's
+    # own event count — the oracle checks the join, not a tautology.
+    from geobuf_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf}/events.parquet") \
+        .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
+    sess = W.sessionize(spark.read.parquet(f"{sf}/events.parquet"),
+                        gap_minutes=30)
+    joined = temporal.range_bucket_join(
+        ev.select("user_id", "ep"), sess, key="user_id", ts="ep",
+        lo="t_start", hi="t_end", bucket=3600)
+    return joined.groupBy("user_id", "session_id") \
+        .agg(F.count("*").alias("n_in_window"))
+
+
 def q_tile_stream_counts(spark, sf):
     # geo × event-time rollup: minted event points → mercator tile at z=6
     # → tumbling 10-min counts per (window, tile); streaming twin tested
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_z4": q_rasterize_z4,
         "embedding_norms_q": q_embedding_norms_q,
         "topk_per_group": q_topk_per_group,
+        "range_join_sessions": q_range_join_sessions,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
         "pages_synth": q_pages_synth,
@@ -1475,6 +1494,32 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN source = 'src3' THEN 1 END) AS src3_n
             FROM documents GROUP BY lang""",
         "tile_stream_counts": _tile_stream_sql(),
+        "range_join_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                FROM events),
+            lagged AS (
+                SELECT user_id, ep,
+                       lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep
+                FROM e),
+            flagged AS (
+                SELECT user_id, ep,
+                       CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM lagged),
+            sess AS (
+                SELECT user_id, ep,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM flagged),
+            intervals AS (
+                SELECT user_id, session_id,
+                       min(ep) AS t_start, max(ep) AS t_end
+                FROM sess GROUP BY user_id, session_id)
+            SELECT i.user_id, i.session_id, count(*) AS n_in_window
+            FROM intervals i JOIN e ON e.user_id = i.user_id
+             AND e.ep >= i.t_start AND e.ep <= i.t_end
+            GROUP BY i.user_id, i.session_id""",
         "ngram_jaccard": f"WITH {_ngram_sql()} SELECT a, b, jaccard FROM pairs",
         "dup_components": f"""
             WITH RECURSIVE {_ngram_sql()},
