@@ -593,7 +593,8 @@ def roundtrip_points(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
             lons = batch.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
             lats = batch.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
             frames = encode_points_kernel(ids, lons, lats)
-            dids, qx, qy = decode_points_kernel(frames)
+            # payload-walk decode: ~2-4x the fixed 14-token tokenizer
+            dids, qx, qy = decode_points_any_kernel(frames)
             yield pa.RecordBatch.from_arrays([
                 pa.array(dids.astype(np.int64)), pa.array(qx), pa.array(qy),
             ], names=[id_col, "lon_q", "lat_q"])
