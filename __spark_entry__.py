@@ -410,10 +410,9 @@ def q_range_join_sessions(spark, sf):
     # own event count — the oracle checks the join, not a tautology.
     from geobuf_spark.operators import temporal
 
-    ev = spark.read.parquet(f"{sf}/events.parquet") \
-        .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
-    sess = W.sessionize(spark.read.parquet(f"{sf}/events.parquet"),
-                        gap_minutes=30)
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    ev = raw.withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
+    sess = W.sessionize(raw, gap_minutes=30)
     joined = temporal.range_bucket_join(
         ev.select("user_id", "ep"), sess, key="user_id", ts="ep",
         lo="t_start", hi="t_end", bucket=3600)
@@ -1499,17 +1498,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
                 FROM events),
             lagged AS (
-                SELECT user_id, ep,
+                SELECT user_id, event_id, ep,
                        lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep
                 FROM e),
             flagged AS (
-                SELECT user_id, ep,
+                SELECT user_id, event_id, ep,
                        CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM lagged),
             sess AS (
                 SELECT user_id, ep,
-                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM flagged),
             intervals AS (
