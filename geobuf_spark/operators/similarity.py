@@ -247,8 +247,18 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
 # ---------------------------------------------------------------------------
 
 def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
-                  vec_id: str = "vec_id", emb: str = "embedding") -> np.ndarray:
-    """Deterministic distributed k-means on normalized vectors.
+                  vec_id: str = "vec_id", emb: str = "embedding",
+                  sample_n: int | None = 100_000) -> np.ndarray:
+    """Deterministic k-means on normalized vectors.
+
+    With `sample_n` (default): train on the sample_n vectors with the
+    smallest xxhash64(id) — one deterministic collect, then all
+    iterations run in numpy on the driver. This is how production coarse
+    quantizers train (a bounded sample suffices to place bucket
+    centroids; at 10^12 vectors a full pass per iteration is absurd),
+    and it removes iters× cluster passes from the plan.
+    `sample_n=None` keeps the distributed path: every iteration is one
+    fused Arrow pass of per-cluster partial sums (no shuffle).
 
     Init: the n_centroids vectors with smallest xxhash64(id) — seedless
     and reproducible. Each iteration is ONE fused Arrow pass: assign by
@@ -262,6 +272,28 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     vectors = _normalized(vectors, vec_id, emb)  # spherical k-means:
     # assignment AND the mean-update must both see unit vectors, or
     # long-norm outliers dominate the centroid sums
+    if sample_n is not None:
+        rows = (
+            vectors.select(vec_id, emb)
+            .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
+            .limit(max(sample_n, n_centroids)).collect()
+        )
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        cents = mat[:n_centroids].copy()
+        for _ in range(iters):
+            cl = np.argmax(mat @ cents.T, axis=1)
+            new = cents.copy()
+            for k in range(n_centroids):
+                members = mat[cl == k]
+                if len(members):
+                    v = members.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 1e-30:
+                        new[k] = v / nv
+            cents = new
+        return cents
+
     seed_rows = (
         vectors.select(vec_id, emb)
         .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
