@@ -410,7 +410,8 @@ def q_range_join_sessions(spark, sf):
     # own event count — the oracle checks the join, not a tautology.
     from geobuf_spark.operators import temporal
 
-    raw = spark.read.parquet(f"{sf}/events.parquet")
+    # both branches (event probe + session build) share ONE physical scan
+    raw = spark.read.parquet(f"{sf}/events.parquet").localCheckpoint(eager=False)
     ev = raw.withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
     sess = W.sessionize(raw, gap_minutes=30)
     joined = temporal.range_bucket_join(
