@@ -1052,13 +1052,25 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
     """Oracle for the rect vector-tile pipeline: cover → rect∩tile clip →
     tile-local grid snap (clamped floors) → degenerate-ring drop, all in
     DuckDB. x-side snap uses the byte-identical float expression the
-    kernel runs; y-side mercator bounds are computed and consumed within
-    one engine."""
+    kernel runs; y-side mercator tile bounds are injected as float64
+    literals computed with the SAME formula text as tiles.tile_bounds
+    (degrees(atan(sinh(π(1 - 2y/n)))) — ADVICE r2 #5: the previous
+    2·atan(exp)-π/2 form was equal mathematically but not guaranteed to
+    the last ulp, which could flip a floor() snap on boundary-exact
+    edges). Residual risk is libm-vs-JVM sinh/atan ulp on the same
+    formula, strictly smaller than a different formula + different libm."""
+    import math
+
     rects = minted.SQL_MINTED_RECTS.strip()
     nt = 1 << z
-    merc = (f"degrees(2*atan(exp(3.141592653589793 * (1.0 - {2.0 / nt!r} * ({{y}})))) "
-            "- pi()/2)")
-    lat_n, lat_s = merc.format(y="y"), merc.format(y="y + 1")
+
+    def lat_of(yy: int) -> float:
+        return math.degrees(math.atan(math.sinh(
+            3.141592653589793 * (1.0 - 2.0 / nt * yy))))
+
+    ybounds = ", ".join(f"({yy}, {lat_of(yy)!r}, {lat_of(yy + 1)!r})"
+                        for yy in range(nt))
+    lat_n, lat_s = "yb.n_lat", "yb.s_lat"
     def ty(v):
         return tiles.sql_tile_y(v, z)  # same formula text as the cover
     snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
@@ -1075,12 +1087,13 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
                           AND {tiles.sql_tile_x('r.maxx', z)}
             JOIN (SELECT unnest(range(0, {nt})) AS y) gy
               ON gy.y BETWEEN {ty('r.maxy')} AND {ty('r.miny')}),
+        yb AS (SELECT * FROM (VALUES {ybounds}) t(yy, n_lat, s_lat)),
         b AS (
             SELECT poly_id, x, y,
                    x * {360.0 / nt!r} - 180.0 AS w, (x + 1) * {360.0 / nt!r} - 180.0 AS e,
                    {lat_n} AS n, {lat_s} AS s,
                    minx, miny, maxx, maxy
-            FROM cov),
+            FROM cov JOIN yb ON yb.yy = cov.y),
         clipped AS (
             SELECT poly_id, x, y, w, e, n, s,
                    greatest(minx, w) AS cx0, least(maxx, e) AS cx1,
@@ -1130,6 +1143,246 @@ def _raster_sqls():
     r4 = raster.sql_rasterize(pts, z=4, res_bits=4)
     r3 = raster.sql_rasterize(pts, z=3, res_bits=4)
     return r4, raster.sql_vectorize(r3)
+
+
+# ---------------------------------------------------------------------------
+# approximate dedup / ANN oracles — full SQL replication of the portable-
+# hash pipelines (functions/phash.py carries the Spark↔DuckDB md5 bridge).
+# These queries were rows-only in CORRECTNESS_r01/r02 because the old
+# hashing (xxhash64 / numpy RNG / murmur3) had no DuckDB twin.
+# ---------------------------------------------------------------------------
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+                 threshold: float = 0.4) -> str:
+    """Oracle for q_minhash_near_dups: shingles → portable-hash minhash
+    signatures (same affine permutation literals as dedup._perm_coeffs) →
+    md5 band buckets → bucket self-join → signature-agreement Jaccard.
+    The max_bucket=1000 cap is omitted: no bucket can exceed the 500-doc
+    table, so the cap never binds at oracle scale."""
+    from geobuf_spark.functions import phash
+    from geobuf_spark.operators.dedup import _MERSENNE, _perm_coeffs
+
+    rows_per_band = num_hashes // bands
+    a, b = _perm_coeffs(num_hashes)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {int(a[i])} + {int(b[i])}) % {_MERSENNE}))"
+        for i in range(num_hashes))
+    bucket = phash.sql_hash60_parts(
+        *[f"sig[{rows_per_band} * t.band + {r + 1}]" for r in range(rows_per_band)],
+        "t.band")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
+                   FROM documents),
+        sh0 AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - {shingle_k - 1}, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + {shingle_k - 1}), chr(31)))) AS shs
+                FROM d),
+        hs AS (SELECT doc_id,
+                      list_transform(shs, s -> {phash.sql_hash60('s')} % {_MERSENNE}) AS hs
+               FROM sh0),
+        sigs AS (SELECT doc_id, [{mins}] AS sig FROM hs),
+        bands AS (SELECT doc_id, sig, t.band, {bucket} AS bucket
+                  FROM sigs, (SELECT unnest(range({bands})) AS band) t),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.doc_id < y.doc_id),
+        est AS (SELECT c.a, c.b,
+                       CAST(len(list_filter(range(1, {num_hashes + 1}),
+                                i -> sx.sig[i] = sy.sig[i])) AS DOUBLE)
+                           / {float(num_hashes)!r} AS est_jaccard
+                FROM cand c
+                JOIN sigs sx ON sx.doc_id = c.a
+                JOIN sigs sy ON sy.doc_id = c.b)
+        SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Oracle for q_simhash_near_dups: recomputes the Arrow kernel's FNV-1a
+    64-bit token hashes in DuckDB (HUGEINT wrap-multiply — the FNV prime is
+    2^40, so h·prime < 2^104 stays inside HUGEINT), folds the 63 per-bit
+    ±1 sums per doc, and takes ALL pairs with Hamming ≤ t — provably equal
+    to the kernel's pigeonhole chunk join (any pair within the bound shares
+    ≥1 equal 16-bit chunk). The documents table is pure ASCII
+    (strlen == octet_length), so codepoints == utf-8 bytes."""
+    fnv = ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+           "list_transform(range(1, strlen(t) + 1), i -> unicode(t[i])::HUGEINT)), "
+           "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) "
+           "% 18446744073709551616::HUGEINT)")
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS t
+                     FROM documents),
+        hs AS (SELECT doc_id, {fnv} AS h FROM tok),
+        bits AS (SELECT doc_id, bb.b,
+                        SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM hs, (SELECT unnest(range(63)) AS b) bb
+                 GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                         bit_count(xor(x.simhash, y.simhash)) AS hamming
+                  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        SELECT a, b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def _vec_lit(row) -> str:
+    """A float64 vector as an exact DuckDB list literal (repr round-trips)."""
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
+
+
+def _ann_lsh_sql(k: int = 5, every: int = 25, nbits: int = 16, bands: int = 4,
+                 seed: int = 7, multiprobe: int = 2) -> str:
+    """Oracle for q_ann_lsh_top5: the hyperplanes are a pure function of
+    (dim, nbits, seed) — embedded as float literals — so DuckDB recomputes
+    signatures, band buckets, the multiprobe weakest-bit flips (smallest
+    |projection| first, exactly similarity._query_probes), candidate join
+    and cosine re-rank from scratch. Projection signs/orderings are float-
+    exact across engines except at |proj| ~ ulp — validated on the
+    testdata (same accepted risk as the mvt snap oracle, ADVICE r2 #5)."""
+    from geobuf_spark.operators.similarity import _hyperplanes
+
+    width = nbits // bands
+    planes = _hyperplanes(64, nbits, seed)
+    dots = ", ".join(f"list_dot_product(e, {_vec_lit(planes[i])})" for i in range(nbits))
+    base = " + ".join(
+        f"(CASE WHEN p[{width} * t.band + {r + 1}] > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(width))
+    weak = ", ".join(
+        "{" + f"'a': abs(p[{width} * t.band + {r + 1}]), 'i': {r}" + "}"
+        for r in range(width))
+    probe_cases = " ".join(
+        f"WHEN {j + 1} THEN xor(base, (1::BIGINT << o[{j + 1}].i))"
+        for j in range(multiprobe))
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+        pr AS (SELECT vec_id, e, [{dots}] AS p FROM emb),
+        vb AS (SELECT vec_id, t.band, CAST({base} AS BIGINT) AS bucket
+               FROM pr, (SELECT unnest(range({bands})) AS band) t),
+        qb0 AS (SELECT vec_id, t.band, CAST({base} AS BIGINT) AS base,
+                       list_sort([{weak}]) AS o
+                FROM pr, (SELECT unnest(range({bands})) AS band) t
+                WHERE vec_id % {every} = 0),
+        qb AS (SELECT vec_id AS query_id, band,
+                      CASE pp.probe WHEN 0 THEN base {probe_cases} END AS bucket
+               FROM qb0, (SELECT unnest(range({multiprobe + 1})) AS probe) pp),
+        cand AS (SELECT DISTINCT q.query_id, v.vec_id
+                 FROM qb q JOIN vb v ON q.band = v.band AND q.bucket = v.bucket
+                 WHERE v.vec_id <> q.query_id),
+        scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                          list_cosine_similarity(qe.e, ve.e) AS cos
+                   FROM cand c
+                   JOIN emb qe ON qe.vec_id = c.query_id
+                   JOIN emb ve ON ve.vec_id = c.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
+
+
+def _ann_ivf_sql(k: int = 5, every: int = 25, n_centroids: int = 8,
+                 nprobe: int = 3, iters: int = 3) -> str:
+    """Oracle for q_ann_ivf_top5. The coarse quantizer's 3-iteration
+    k-means is not SQL-expressible, but it IS a deterministic function of
+    the table (portable md5-ordered sample seed, similarity.ivf_centroids):
+    `ivf_centroids_local` reproduces it bit-for-bit from the parquet at
+    SQL-generation time (tests assert exact equality with the Spark path),
+    and the centroids are pinned as literals. DuckDB then independently
+    verifies assignment (argmax dot — normalization-invariant, first-max
+    tie-break like numpy), the nprobe=3 probe set, the candidate join and
+    the cosine top-k re-rank. Set GEOBUF_ORACLE_SF_DIR to point the
+    generation-time read somewhere other than the driver's sf0.01."""
+    import os
+
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from geobuf_spark.operators.similarity import ivf_centroids_local
+
+    sf = os.environ.get("GEOBUF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = _pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = _np.asarray(t.column("embedding").combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
+    cents = ivf_centroids_local(ids, mat, n_centroids, iters)
+
+    dots = ", ".join(f"list_dot_product(e, {_vec_lit(cents[i])})"
+                     for i in range(n_centroids))
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+        d AS (SELECT vec_id, e, [{dots}] AS dots FROM emb),
+        asg AS (SELECT vec_id, list_position(dots, list_max(dots)) - 1 AS cluster
+                FROM d),
+        qp AS (SELECT vec_id AS query_id, cluster FROM (
+                   SELECT d.vec_id, t.cl AS cluster,
+                          row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY dots[t.cl + 1] DESC, t.cl) AS rk
+                   FROM d, (SELECT unnest(range({n_centroids})) AS cl) t
+                   WHERE d.vec_id % {every} = 0) x
+               WHERE rk <= {nprobe}),
+        cand AS (SELECT q.query_id, v.vec_id
+                 FROM qp q JOIN asg v ON q.cluster = v.cluster
+                 WHERE v.vec_id <> q.query_id),
+        scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                          list_cosine_similarity(qe.e, ve.e) AS cos
+                   FROM cand c
+                   JOIN emb qe ON qe.vec_id = c.query_id
+                   JOIN emb ve ON ve.vec_id = c.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
+
+
+def _pages_synth_sql(n: int = 2000, seed: int = 42, z: int = 7) -> str:
+    """Oracle for q_pages_synth: regenerates the md5-minted pages table
+    (sources/pages.py) row-for-row in DuckDB — url/site/token-count/lang
+    draws from md5(seed,id) hex windows, per-token word picks from the
+    portable hash60, geometry minted from md5(url). The words are ASCII so
+    strlen(text) == octet_length(text)."""
+    from geobuf_spark.functions import phash
+    from geobuf_spark.sources.pages import LANGS, WORDS
+
+    langs = "[" + ", ".join(f"'{x}'" for x in LANGS) + "]"
+    words = "[" + ", ".join(f"'{w}'" for w in WORDS) + "]"
+    pick = phash.sql_hash60("'w' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
+    hx = lambda s, l: f"CAST(('0x' || substr(h, {s}, {l})) AS BIGINT)"  # noqa: E731
+    mh = lambda s: f"CAST(('0x' || substr(md5(url), {s}, 8)) AS BIGINT)"  # noqa: E731
+    return f"""
+        WITH base AS (SELECT t.id, md5('s{seed}-' || CAST(t.id AS VARCHAR)) AS h
+                      FROM range({n}) t(id)),
+        d1 AS (SELECT id, h,
+                      {hx(1, 6)} % 1000 AS site,
+                      {hx(19, 4)} % 180 + 10 AS n_tokens,
+                      CAST({hx(23, 4)} % {len(LANGS)} + 1 AS INT) AS lang_i
+               FROM base),
+        d2 AS (SELECT id, n_tokens,
+                      'https://site' || CAST(site AS VARCHAR) || '.example/'
+                          || substr(h, 7, 12) AS url,
+                      {langs}[lang_i] AS lang
+               FROM d1),
+        txt AS (SELECT id, url, lang,
+                       array_to_string(list_transform(
+                           range(1, n_tokens + 1),
+                           i -> {words}[CAST(({pick}) % {len(WORDS)} + 1 AS INT)]),
+                           chr(32)) AS text
+                FROM d2),
+        geo AS (SELECT id, lang, text,
+                       ({mh(1)} % 3600000000 - 1800000000) / 1e7 AS lon,
+                       ({mh(9)} % 1700000000 - 850000000) / 1e7 AS lat
+                FROM txt)
+        SELECT id AS page_id, lang, CAST(strlen(text) AS INT) AS n_bytes,
+               {tiles.sql_tile_x('lon', z)} AS x{z},
+               {tiles.sql_tile_y('lat', z)} AS y{z}
+        FROM geo"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1545,8 +1798,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'point' AS layer, 4 AS z, x, y, count(*) AS n_features
             FROM pt GROUP BY x, y""",
-        # minhash_near_dups / simhash_near_dups / ann_lsh_top5 /
-        # ann_ivf_top5 / pages_synth: no SQL twin (hash permutations, LSH
-        # banding, IVF training RNG, Spark murmur3 minting) — rows-only
-        # here, brute-force-oracle-tested in tests/.
+        # r3: the five formerly rows-only queries, now value-verified via
+        # the portable md5 hash bridge (functions/phash.py) + pinned
+        # deterministic hyperplane/centroid literals
+        "minhash_near_dups": _minhash_sql(),
+        "simhash_near_dups": _simhash_sql(),
+        "ann_lsh_top5": _ann_lsh_sql(),
+        "ann_ivf_top5": _ann_ivf_sql(),
+        "pages_synth": _pages_synth_sql(),
     }

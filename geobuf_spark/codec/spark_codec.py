@@ -154,6 +154,15 @@ def _tokenize_geometry(frames: pa.Array, allow_missing: bool = False):
     row_of_byte = np.repeat(np.arange(n), g_len)
     local = np.arange(total, dtype=np.int64) - byte_off[row_of_byte]
     gbuf = flat[g_start[row_of_byte] + local]
+    # a payload ending mid-varint (last byte still has the continuation
+    # bit) would silently merge its final token with the next frame's
+    # first token in the concatenated sweep — line-shaped batches can even
+    # pass the counts%dim check and decode wrong values
+    tail = byte_off[1:][g_len > 0] - 1
+    if len(tail) and (gbuf[tail] >= 0x80).any():
+        raise ValueError(
+            f"{int((gbuf[tail] >= 0x80).sum())} frame(s) whose geometry "
+            "payload ends mid-varint — truncated or corrupt input")
     tokens = core.unpack_varints(gbuf, 0, len(gbuf))
     tok_ends = np.flatnonzero(gbuf < 0x80)
     tok_starts_b = (np.concatenate(([0], tok_ends[:-1] + 1))

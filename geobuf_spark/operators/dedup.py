@@ -4,9 +4,12 @@ Exact dedup is a hash groupBy (map-side combinable). Near-dup comes in
 three flavors, all shuffle-bounded:
 
 - MinHash + LSH: shingle → minhash signatures → band buckets → bucket
-  equi-join → verified Jaccard. Signatures/bands are pure expressions
-  (xxhash64 with per-permutation seeds); only candidate pairs sharing a
-  band bucket are compared, so the join is linear-ish, never O(n²).
+  equi-join → verified Jaccard. Signatures/bands are pure expressions;
+  only candidate pairs sharing a band bucket are compared, so the join is
+  linear-ish, never O(n²). The base hash is selectable: "portable"
+  (default — md5-derived, bit-identical in DuckDB so the external driver
+  value-verifies the full pipeline; see functions/phash.py) or "xxhash64"
+  (cheapest per shingle, for production corpora with no oracle).
 - SimHash: 64-bit sign-aggregated token hashes; near-dups = Hamming ≤ t,
   found via band equi-join on 16-bit chunks (Pigeonhole: Hamming ≤ 3 ⇒
   some chunk equal).
@@ -22,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from geobuf_spark.functions import phash
 from geobuf_spark.functions.text import tokens
 
 
@@ -60,16 +64,26 @@ def _perm_coeffs(num_hashes: int, seed: int = 1234567):
     return a, b
 
 
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """Shingle → bigint in [0, _MERSENNE): portable (md5) or xxhash64."""
+    if hash_fn == "portable":
+        return F.pmod(phash.hash60(col), F.lit(_MERSENNE))
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
+    raise ValueError(f"hash_fn must be 'portable' or 'xxhash64', got {hash_fn!r}")
+
+
 def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
-                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_k: int = 3,
+                       hash_fn: str = "portable") -> DataFrame:
     """(key, sig: array<bigint>) — minhash over shingles, pure expressions.
 
-    Shingles are hashed ONCE (xxhash64); each permutation is a cheap affine
-    transform (a·h + b mod 2^61-1) over the precomputed hash array — the
+    Shingles are hashed ONCE; each permutation is a cheap affine
+    transform (a·h + b mod 2^31-1) over the precomputed hash array — the
     standard trick that keeps the cost O(shingles + permutations) instead of
     O(shingles × permutations) string hashes."""
     sh = _shingles(F.col(text_col), shingle_k)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    hashed = F.transform(sh, lambda s: _base_hash(s, hash_fn))
     a, b = _perm_coeffs(num_hashes)
     base = df.select(F.col(key).alias("key"), hashed.alias("_h"))
 
@@ -85,25 +99,26 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
                       num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.5, max_bucket: int = 1000) -> DataFrame:
+                      jaccard_threshold: float = 0.5, max_bucket: int = 1000,
+                      hash_fn: str = "portable") -> DataFrame:
     """Candidate near-dup pairs (a < b) whose estimated Jaccard (signature
     agreement rate) ≥ threshold. One shuffle on band buckets."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_k, hash_fn)
+
+    def band_bucket(b: int) -> Column:
+        rows = [F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            # variadic xxhash64 over the band's bigint rows + band id —
+            # no string casts/concat on the hot path
+            return F.xxhash64(*rows, F.lit(b))
+        return phash.hash60_parts(*rows, F.lit(b))
+
     banded = sigs.select(
         "key", "sig",
-        F.posexplode(
-            F.array(*[
-                # variadic xxhash64 over the band's bigint rows + band id —
-                # no string casts/concat on the hot path
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1)
-                      for r in range(rows_per_band)],
-                    F.lit(b),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)]))
+        .alias("band", "bucket"),
     )
     # cap pathological buckets (boilerplate shingle sets)
     w = Window.partitionBy("band", "bucket").orderBy("key")
@@ -149,8 +164,11 @@ def simhash64(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     import pyarrow.compute as pc
     from pyspark.sql import types as T
 
+    # the key column passes through untouched with its original type
+    # (string/decimal keys crashed the r2 astype(int64) version)
+    key_field = df.select(F.col(key).alias("key")).schema.fields[0]
     out_schema = T.StructType([
-        T.StructField("key", T.LongType()),
+        key_field,
         T.StructField("simhash", T.LongType()),
     ])
     FNV_BASIS = np.uint64(0xCBF29CE484222325)
@@ -159,8 +177,7 @@ def simhash64(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 
     def _sig(batches):
         for batch in batches:
-            keys = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            n = len(keys)
+            n = batch.num_rows
             if n == 0:
                 continue
             toks = pc.split_pattern(batch.column(1).cast(pa.string()), " ")
@@ -196,8 +213,7 @@ def simhash64(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
             packed = ((sums > 0).astype(np.int64)
                       << np.arange(63, dtype=np.int64)[None, :]).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(keys, type=pa.int64()),
-                 pa.array(packed, type=pa.int64())],
+                [batch.column(0), pa.array(packed, type=pa.int64())],
                 names=["key", "simhash"])
 
     return df.select(F.col(key).alias("key"), F.col(text_col)) \

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geobuf_spark.functions import phash
+
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
                      vec_id: str = "vec_id", emb: str = "embedding",
@@ -252,15 +254,19 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     """Deterministic k-means on normalized vectors.
 
     With `sample_n` (default): train on the sample_n vectors with the
-    smallest xxhash64(id) — one deterministic collect, then all
-    iterations run in numpy on the driver. This is how production coarse
-    quantizers train (a bounded sample suffices to place bucket
-    centroids; at 10^12 vectors a full pass per iteration is absurd),
-    and it removes iters× cluster passes from the plan.
-    `sample_n=None` keeps the distributed path: every iteration is one
-    fused Arrow pass of per-cluster partial sums (no shuffle).
+    smallest portable md5-hash of the id (functions/phash.py — DuckDB can
+    recompute the sample order, so the driver oracle can pin the exact
+    centroids) — one deterministic collect, then all iterations run in
+    numpy on the driver. This is how production coarse quantizers train
+    (a bounded sample suffices to place bucket centroids; at 10^12
+    vectors a full pass per iteration is absurd), and it removes iters×
+    cluster passes from the plan. The orderBy+limit pair compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge), not a
+    global sort. `sample_n=None` keeps the distributed path: every
+    iteration is one fused Arrow pass of per-cluster partial sums (no
+    shuffle).
 
-    Init: the n_centroids vectors with smallest xxhash64(id) — seedless
+    Init: the n_centroids vectors with smallest hash — seedless
     and reproducible. Each iteration is ONE fused Arrow pass: assign by
     GEMM and fold per-cluster (Σvector, count) PARTIALS inside the same
     batch loop; only n_batches × k tiny rows reach the driver. (The r01
@@ -275,7 +281,7 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     if sample_n is not None:
         rows = (
             vectors.select(vec_id, emb)
-            .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
+            .orderBy(phash.hash60(F.col(vec_id).cast("string")))
             .limit(max(sample_n, n_centroids)).collect()
         )
         mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -296,7 +302,7 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
 
     seed_rows = (
         vectors.select(vec_id, emb)
-        .orderBy(F.xxhash64(F.col(vec_id).cast("string")))
+        .orderBy(phash.hash60(F.col(vec_id).cast("string")))
         .limit(n_centroids).collect()
     )
     cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
@@ -352,6 +358,45 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
                 new[cl] = v / nv
         cents = new
         b_c.unpersist()
+    return cents
+
+
+def ivf_centroids_local(ids: np.ndarray, mat: np.ndarray, n_centroids: int = 16,
+                        iters: int = 5, sample_n: int = 100_000,
+                        cast_dtype=np.float32) -> np.ndarray:
+    """Driver-side twin of the sampled `ivf_centroids` path: given the FULL
+    (unnormalized) id/vector arrays, reproduces the Spark-trained centroids
+    bit-for-bit — used by the external correctness oracle to pin the
+    coarse quantizer as SQL literals (the 3-iteration k-means itself is not
+    SQL-expressible; tests/test_dedup.py asserts exact equality with the
+    Spark path so the twin cannot drift).
+
+    Replicates, in order: `_normalized` (f64 normalize, cast back to the
+    column dtype — float32 for the testdata's array<float>), the
+    hash60-ordered sample, the f64 re-normalize on collect, and the same
+    numpy k-means loop."""
+    import hashlib
+
+    mat64 = np.asarray(mat, dtype=np.float64)
+    matn = mat64 / np.maximum(np.linalg.norm(mat64, axis=1, keepdims=True), 1e-30)
+    matc = matn.astype(cast_dtype)
+    h = np.array([int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                  for i in ids], dtype=np.uint64)
+    order = np.argsort(h, kind="stable")[: max(sample_n, n_centroids)]
+    m = matc[order].astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cents = m[:n_centroids].copy()
+    for _ in range(iters):
+        cl = np.argmax(m @ cents.T, axis=1)
+        new = cents.copy()
+        for k in range(n_centroids):
+            members = m[cl == k]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-30:
+                    new[k] = v / nv
+        cents = new
     return cents
 
 

@@ -6,15 +6,21 @@ seeded, no driver-side loops; the same generator scales from 10^3 rows in
 tests to any size on a cluster. `text` is the byte-identity invariant: no
 stage may transform it (verified by test_pages_invariant).
 
-Geometry minting follows FIXTURES.md §1: lon/lat are sha1(url)-derived
+Geometry minting follows FIXTURES.md §1: lon/lat are md5(url)-derived
 integers on the 1e-7 lattice, so geobuf quantization is lossless on the
 integer path.
+
+Every derivation hashes with md5 (not murmur3/sha1/xxhash64) so the
+external correctness driver's DuckDB oracle can regenerate the table
+bit-identically — see functions/phash.py for the bridge.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from geobuf_spark.functions import phash
 
 LANGS = ["en", "de", "fr", "es", "pt", "zh", "ja", "ru", "it", "nl", "pl", "tr"]
 WORDS = [
@@ -28,7 +34,7 @@ WORDS = [
 
 def pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """n synthetic pages, deterministic in (n, seed)."""
-    df = spark.range(n).withColumn("h", F.sha1(F.concat(F.lit(f"s{seed}-"), F.col("id"))))
+    df = spark.range(n).withColumn("h", F.md5(F.concat(F.lit(f"s{seed}-"), F.col("id"))))
     site = F.pmod(F.conv(F.substring("h", 1, 6), 16, 10).cast("bigint"), F.lit(1000))
     url = F.concat(F.lit("https://site"), site, F.lit(".example/"), F.substring("h", 7, 12))
     n_tokens = (F.pmod(F.conv(F.substring("h", 19, 4), 16, 10).cast("bigint"), F.lit(180)) + 10)
@@ -38,14 +44,20 @@ def pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         F.transform(
             F.sequence(F.lit(1), n_tokens),
             lambda i: F.element_at(
-                words_arr, F.pmod(F.hash(F.col("id") * 1000 + i), F.lit(len(WORDS))) + 1
+                words_arr,
+                (F.pmod(phash.hash60(F.concat(F.lit("w"), F.col("id"), F.lit("-"), i)),
+                        F.lit(len(WORDS))) + 1).cast("int"),
             ),
         ),
     )
     langs_arr = F.array(*[F.lit(x) for x in LANGS])
     lang = F.element_at(langs_arr, (F.pmod(F.conv(F.substring("h", 23, 4), 16, 10).cast("bigint"), F.lit(len(LANGS))) + 1).cast("int"))
+    # md5 is 32 hex chars — the timestamp draws from a second hash instead
+    # of sha1's chars 27..34
     warc_ts = F.timestamp_seconds(
-        F.lit(1700000000) + F.pmod(F.conv(F.substring("h", 27, 8), 16, 10).cast("bigint"), F.lit(365 * 86400))
+        F.lit(1700000000)
+        + F.pmod(F.conv(F.substring(F.md5(F.concat(F.lit("ts-"), F.col("h"))), 1, 8), 16, 10)
+                 .cast("bigint"), F.lit(365 * 86400))
     )
     out = df.select(
         F.col("id").alias("page_id"),
@@ -64,9 +76,9 @@ def pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def with_minted_geometry(pages_df: DataFrame) -> DataFrame:
-    """Mint a lattice point per page from sha1(url) (FIXTURES.md §1):
-    lon = (int(sha1(url)[:8],16) % 3.6e9)/1e7 - 180, lat likewise."""
-    h = F.sha1(F.col("url"))
+    """Mint a lattice point per page from md5(url) (FIXTURES.md §1):
+    lon = (int(md5(url)[:8],16) % 3.6e9)/1e7 - 180, lat likewise."""
+    h = F.md5(F.col("url"))
     lon_q = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(3_600_000_000)) - F.lit(1_800_000_000)
     lat_q = F.pmod(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"), F.lit(1_700_000_000)) - F.lit(850_000_000)
     return pages_df.withColumn("lon", lon_q / F.lit(1e7)).withColumn("lat", lat_q / F.lit(1e7))

@@ -146,3 +146,16 @@ def test_simhash_trailing_empty_docs_in_batch(spark):
     sig_solo = dedup.simhash64(solo, key="doc_id").collect()[0].simhash
     assert sig_all[1] == sig_solo
     assert sig_all[2] == 0 and sig_all[3] == 0
+
+
+def test_simhash_string_keys(spark):
+    # r3: the key column passes through with its original type (the r2
+    # kernel astype(int64)-crashed on string keys)
+    df = spark.createDataFrame(
+        [("u1", "alpha beta gamma"), ("u2", "alpha beta gamma"),
+         ("u3", "totally different words here")], ["name", "text"])
+    sh = {r.key: r.simhash for r in dedup.simhash64(df, key="name").collect()}
+    assert set(sh) == {"u1", "u2", "u3"}
+    assert sh["u1"] == sh["u2"] != sh["u3"]
+    pairs = dedup.simhash_near_pairs(df, key="name", max_hamming=3).collect()
+    assert {(r.a, r.b) for r in pairs} == {("u1", "u2")}

@@ -3,13 +3,17 @@ against its oracle_sql() twin in DuckDB — row counts, column names, and
 (order-insensitively) values. Mirrors CORRECTNESS_r{N}.json generation."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
-import __spark_entry__ as entry_mod
-
 SF = "/root/testdata/sf0.001"
+# the IVF oracle pins generation-time centroids from the parquet under
+# test (oracle_sql() is called below at import time)
+os.environ["GEOBUF_ORACLE_SF_DIR"] = SF
+
+import __spark_entry__ as entry_mod  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -220,3 +220,39 @@ def test_build_mvt_point_tiles_end_to_end(spark):
             assert pt == want[(feat["id"], r.z, r.x, r.y)]
             seen += 1
     assert seen == 200
+
+
+def test_frames_kernel_matches_scalar_framing():
+    """The r3 vectorized tile-framing kernel must be byte-identical to the
+    scalar mvt_feature_bytes/mvt_layer_bytes/mvt_tile_bytes golden path."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    payloads = [rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+                for n in rng.integers(1, 400, 23)]
+    fids = rng.integers(0, 1 << 40, len(payloads)).astype(np.int64)
+    fpt = np.array([1, 5, 3, 9, 4, 1])  # partitions the 23 features
+    assert fpt.sum() == len(payloads)
+    got = M.mvt_tiles_frames_kernel(
+        fids, pa.array(payloads, type=pa.binary()), fpt,
+        layer_name="tiles-λ", extent=512, gtype=2)
+    start = 0
+    for t, n in enumerate(fpt):
+        feats = [M.mvt_feature_bytes(int(fids[start + i]), payloads[start + i],
+                                     geom_type=2) for i in range(n)]
+        want = M.mvt_tile_bytes(M.mvt_layer_bytes("tiles-λ", feats, extent=512))
+        assert got[t].as_py() == want, f"tile {t} differs"
+        start += n
+
+
+def test_frames_kernel_sliced_input():
+    """Arrow slices (nonzero offsets) must not corrupt the payload gather."""
+    import pyarrow as pa
+
+    payloads = [bytes([i]) * (i + 1) for i in range(10)]
+    arr = pa.array(payloads, type=pa.binary()).slice(4, 6)
+    fids = np.arange(4, 10, dtype=np.int64)
+    got = M.mvt_tiles_frames_kernel(fids, arr, np.array([6]), "s", 4096, 1)
+    feats = [M.mvt_feature_bytes(i, payloads[i], geom_type=1) for i in range(4, 10)]
+    want = M.mvt_tile_bytes(M.mvt_layer_bytes("s", feats, extent=4096))
+    assert got[0].as_py() == want

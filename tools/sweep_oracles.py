@@ -61,6 +61,11 @@ def main() -> int:
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the IVF oracle pins generation-time centroids from the parquet —
+    # point it at the sf under test (the external driver compares at sf0.01,
+    # which is the generator's default)
+    import os
+    os.environ["GEOBUF_ORACLE_SF_DIR"] = sf
     spark = (pyspark.sql.SparkSession.builder.master("local[16]")
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.ui.showConsoleProgress", "false")
