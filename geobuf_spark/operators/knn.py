@@ -159,6 +159,84 @@ def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int 
     return resolved.unionByName(fallback)
 
 
+def _hex_ring_deltas(ring: int) -> list[tuple[int, int]]:
+    """Axial offsets of all cells with hex distance ≤ ring (3R²+3R+1)."""
+    return [(dq, dr)
+            for dq in range(-ring, ring + 1)
+            for dr in range(-ring, ring + 1)
+            if abs(dq + dr) <= ring]
+
+
+def knn_hex(points: DataFrame, queries: DataFrame, k: int, *,
+            size_deg: float = 8.0, ring: int = 1,
+            point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
+    """kNN over the hex index family (hexgrid.hex_cell) — same semantics
+    and identical result rows as :func:`knn` / :func:`knn_bruteforce`.
+
+    Completeness guard (TODO r2 "s2/hex kNN"; the hex plane makes it
+    uniform where mercator tiles needed per-edge lat/lon arithmetic):
+    the axial transform is linear in degree space, the grid is unbounded
+    (no clamped edges, no poles), and for pointy-top hexes of circumradius
+    s the center of any cell at hex distance d is ≥ 1.5·d·s away (the
+    staggered lattice direction is the minimum; axis directions give
+    √3·d·s > 1.5·d·s). A query point lies within s of its own cell
+    center and any point of an unexamined cell (hex distance ≥ R+1) lies
+    within s of THAT cell's center, so every unexamined point is at
+    distance ≥ 1.5·(R+1)·s − 2s = s·(1.5·R − 0.5) from the query. A
+    query resolves when k candidates exist and the k-th distance is
+    STRICTLY below that bound; the rest fall back to brute force."""
+    from geobuf_spark.functions import hexgrid
+
+    p = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col("lon").alias("nlon"), F.col("lat").alias("nlat"),
+    ).withColumn("cell", hexgrid.hex_cell(F.col("nlon"), F.col("nlat"), size_deg)) \
+        .localCheckpoint(eager=False)
+    qq, qr = hexgrid.hex_qr(F.col("qlon"), F.col("qlat"), size_deg)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    ).withColumn("hq", qq).withColumn("hr", qr).localCheckpoint(eager=False)
+
+    guard = size_deg * (1.5 * ring - 0.5)
+    guard2 = F.lit(guard * guard)
+
+    def pack(dq: int, dr: int):
+        return ((F.col("hq") + dq + F.lit(hexgrid._OFF)) * F.lit(hexgrid._M)
+                + (F.col("hr") + dr + F.lit(hexgrid._OFF)))
+
+    cells = F.array(*[pack(dq, dr) for dq, dr in _hex_ring_deltas(ring)])
+    cand = (
+        q.withColumn("cell", F.explode(cells))
+        .join(p, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"),
+                                    F.col("nlon"), F.col("nlat")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+    per_q = topk.groupBy("query_id").agg(
+        F.count("*").alias("n_found"), F.max("dist2").alias("kth"))
+    # STRICT bound, same reasoning as _knn_ring: a boundary point can tie
+    # the k-th candidate and win the id tiebreak
+    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") < guard2)) \
+        .select("query_id")
+    resolved = topk.join(resolved_q, "query_id", "inner")
+
+    unresolved = q.join(resolved_q, "query_id", "left_anti") \
+        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
+    points2 = p.select(F.col("neighbor_id").alias(point_id),
+                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+    fallback = knn_bruteforce(points2, unresolved, k,
+                              point_id=point_id, query_id="query_id")
+    return resolved.unionByName(fallback)
+
+
 def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
                  rings=(1, 2, 4, 8), point_id: str = "doc_id",
                  query_id: str = "query_id") -> DataFrame:

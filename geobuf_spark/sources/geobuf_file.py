@@ -132,12 +132,18 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(tmpdir, exist_ok=True)  # executor-side (shared FS)
         path = os.path.join(tmpdir, f"part-{pid:05d}")
+        # attempt-unique temp + atomic rename: a speculative or retried
+        # attempt must never interleave bytes into a part another attempt
+        # (or the driver concat) is touching — last finished attempt wins
+        # whole-file
+        attempt = os.path.join(tmpdir, f"part-{pid:05d}.attempt-{ctx.taskAttemptId()}")
         index: dict = {}
         pos = 0
-        with open(path, "wb") as f:
+        with open(attempt, "wb") as f:
             for batch in batches:
                 keys = batch.column(0).to_pylist()
                 frames = batch.column(1)
@@ -159,8 +165,9 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
                     ent["size"] = pos - ent["positions"][0]
                     ent["number_features"] += b - a
         if pos == 0:
-            os.remove(path)
+            os.remove(attempt)
             return
+        os.replace(attempt, path)
         yield pa.RecordBatch.from_arrays(
             [pa.array([pid], type=pa.int32()), pa.array([path]),
              pa.array([pos], type=pa.int64()),
@@ -174,8 +181,14 @@ def write_geobuf_indexed(df: DataFrame, out_path: str, key_col: str,
     pos = 0
     with open(out_path, "wb") as out:
         for r in results:
+            before = out.tell()
             with open(r.path, "rb") as f:
                 shutil.copyfileobj(f, out)
+            if out.tell() - before != r.nbytes:
+                raise IOError(
+                    f"part {r.pid}: concatenated {out.tell() - before} bytes "
+                    f"but the task reported {r.nbytes} — part file changed "
+                    "between task completion and the driver concat")
             for k, ent in json.loads(r.index_json).items():
                 if k in index:  # range partitioning keeps keys whole
                     raise ValueError(f"key {k!r} split across partitions")

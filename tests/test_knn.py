@@ -77,3 +77,32 @@ def test_knn_adaptive_sparse_escalates(spark):
         for r in K.knn_bruteforce(pts, qs, 3).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("k,size,ring", [(3, 8.0, 1), (5, 12.0, 1), (5, 4.0, 2)])
+def test_knn_hex_matches_bruteforce(points, queries, k, size, ring):
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_hex(points, queries, k, size_deg=size, ring=ring).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, k).collect()
+    }
+    assert got == want
+    assert len(want) == queries.count() * k
+
+
+def test_knn_hex_sparse_escalation(spark):
+    """Tiny cells → nothing resolves in-ring → the brute-force fallback
+    still returns exact rows (the guard may never falsely resolve)."""
+    pts = spark.createDataFrame(
+        [(i, float(i * 37 % 50) - 25.0, float(i * 61 % 40) - 20.0)
+         for i in range(40)], ["doc_id", "lon", "lat"])
+    qs = pts.filter(F.col("doc_id") % 7 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in K.knn_hex(pts, qs, 4, size_deg=0.001, ring=1).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in K.knn_bruteforce(pts, qs, 4).collect()}
+    assert got == want

@@ -128,3 +128,18 @@ def test_lazy_property_scan_reads_only_binary(spark, sf_small, tmp_path):
     lazy = spark_codec.lazy_property(spark.read.parquet(p), "lang")
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<geobuf:binary>" in plan, plan[-600:]
+
+
+def test_salted_default_uses_plan_salt(spark, sf_small):
+    # salt=None derives k from the probe histogram (no hot cell at this
+    # scale → k=1, no build replication) and returns the same rows
+    from geobuf_spark.sources import minted
+    pts = minted.minted_points(spark, sf_small)
+    rects = minted.minted_rects(spark, sf_small)
+    auto = {(r.doc_id, r.poly_id)
+            for r in sj.pip_join(pts, rects, z=6, strategy="salted")
+            .select("doc_id", "poly_id").collect()}
+    bc = {(r.doc_id, r.poly_id)
+          for r in sj.pip_join(pts, rects, z=6, strategy="broadcast")
+          .select("doc_id", "poly_id").collect()}
+    assert auto == bc
