@@ -481,15 +481,21 @@ def q_tpch_q1(spark, sf):
 
 
 def q_tpch_q3(spark, sf):
+    # lineitem is the streamed side: the filtered orders x customer chain
+    # builds a shuffle-hash table (small SFs under-estimate the pruned
+    # lineitem scan and would otherwise broadcast the fact table)
     c = spark.read.parquet(f"{sf}/customer.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    chain = (
+        o.filter(F.col("o_orderdate") < "1995-03-15").select("o_orderkey", "o_custkey")
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    ).hint("shuffle_hash")
     return (
-        c.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < "1995-03-15")
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > "1995-03-15")
+        li.filter(F.col("l_shipdate") > "1995-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -502,14 +508,26 @@ def q_tpch_q5(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     s = spark.read.parquet(f"{sf}/supplier.parquet")
+    # stream lineitem once; region->nation and supplier are true dims and
+    # broadcast explicitly; the filtered orders x customer chain is the
+    # shuffle-hash build side (the static planner's pruned-scan estimate
+    # at small SFs would otherwise broadcast the whole fact table)
+    n_asia = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    chain = (
+        o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+    ).hint("shuffle_hash")
     return (
-        r.filter(F.col("r_name") == "ASIA")
-        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -675,12 +693,19 @@ def q_tpch_q10(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     n = spark.read.parquet(f"{sf}/nation.parquet")
+    # same shape as q5: lineitem streams, the filtered orders x customer
+    # chain is the shuffle-hash build, nation broadcasts
+    chain = (
+        o.filter((F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+        .join(c.select("c_custkey", "c_name", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+    ).hint("shuffle_hash")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .filter((F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_returnflag") == "R")
-        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -706,8 +731,13 @@ def q_tpch_q12(spark, sf):
     # linestatus for a ship-date year (the CASE-aggregation pattern)
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
-    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")) \
-        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    # fact-fact edge: shuffle-hash, never broadcast either table
+    j = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_linestatus")
+        .join(o.select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
     hi = F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
     lo = F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
     return j.groupBy("l_linestatus").agg(hi.alias("high_line_count"),
