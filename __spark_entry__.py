@@ -253,12 +253,14 @@ def q_knn_hex_k5(spark, sf):
 
 
 def q_knn_adaptive_k5(spark, sf):
-    # geometric ring growth (1,2,4) — same exact rows as knn_k5, sparse
-    # queries escalate instead of falling straight to brute force
+    # geometric ring growth from the histogram-chosen start ring — same
+    # exact rows as knn_k5; sparse queries escalate instead of falling
+    # straight to brute force, and the pass loop stops once the frontier
+    # drains (dense data pays one ring pass, no fallback stages)
     pts = _points(spark, sf)
     queries = pts.filter(F.col("doc_id") % 20 == 0) \
         .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    return knn.knn_adaptive(pts, queries, 5, z=4, rings=(1, 2, 4)) \
+    return knn.knn_adaptive(pts, queries, 5, z=4) \
         .select("query_id", "neighbor_id", "rank")
 
 

@@ -120,18 +120,20 @@ def _knn_ring(p: DataFrame, q: DataFrame, k: int, z: int, ring: int):
         .select("query_id", "neighbor_id", "rank", "dist2", "guard2")
     )
 
-    # completeness proof: k candidates found AND k-th distance within guard
-    per_q = topk.groupBy("query_id").agg(
-        F.count("*").alias("n_found"), F.max("dist2").alias("kth"),
-        F.first("guard2").alias("g2"),
-    )
+    # completeness proof: k candidates found AND k-th distance within
+    # guard. Computed with windows over the SAME partitioning the top-k
+    # ranking already established — no groupBy shuffle, no join-back.
     # STRICT bound: an unexamined point exactly at the block boundary can
     # tie the k-th candidate and win the id tiebreak — <= would wrongly
     # declare the query resolved
-    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") < F.col("g2"))) \
-        .select("query_id")
-    resolved = topk.join(resolved_q, "query_id", "inner") \
+    wq = Window.partitionBy("query_id")
+    resolved = (
+        topk.withColumn("n_found", F.count("*").over(wq))
+        .withColumn("kth", F.max("dist2").over(wq))
+        .filter((F.col("n_found") == k) & (F.col("kth") < F.col("guard2")))
         .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+    resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
     return resolved, resolved_q
 
 
@@ -215,18 +217,20 @@ def knn_hex(points: DataFrame, queries: DataFrame, k: int, *,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
                                                F.col("neighbor_id").asc())
-    topk = (
+    # completeness proof via windows over the same partitioning as the
+    # ranking (no groupBy shuffle / join-back — see _knn_ring). STRICT
+    # bound, same reasoning: a boundary point can tie the k-th candidate
+    # and win the id tiebreak
+    wq = Window.partitionBy("query_id")
+    resolved = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .withColumn("n_found", F.count("*").over(wq))
+        .withColumn("kth", F.max("dist2").over(wq))
+        .filter((F.col("n_found") == k) & (F.col("kth") < guard2))
         .select("query_id", "neighbor_id", "rank", "dist2")
     )
-    per_q = topk.groupBy("query_id").agg(
-        F.count("*").alias("n_found"), F.max("dist2").alias("kth"))
-    # STRICT bound, same reasoning as _knn_ring: a boundary point can tie
-    # the k-th candidate and win the id tiebreak
-    resolved_q = per_q.filter((F.col("n_found") == k) & (F.col("kth") < guard2)) \
-        .select("query_id")
-    resolved = topk.join(resolved_q, "query_id", "inner")
+    resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
 
     unresolved = q.join(resolved_q, "query_id", "left_anti") \
         .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
@@ -237,31 +241,62 @@ def knn_hex(points: DataFrame, queries: DataFrame, k: int, *,
     return resolved.unionByName(fallback)
 
 
+def start_ring(p: DataFrame, k: int) -> int:
+    """Histogram-chosen first ring: smallest R whose (2R+1)² block is
+    expected to hold ≥4k candidates at the observed mean cell occupancy
+    (4× margin: occupancy is uneven and the boundary guard rejects
+    candidates near the block edge). One small agg over the prepared
+    points (approx distinct — no exact global count needed)."""
+    row = p.agg(F.count("*").alias("n"),
+                F.approx_count_distinct("cell").alias("c")).first()
+    density = row["n"] / max(row["c"], 1)
+    if density <= 0:
+        return 1
+    import math
+    return max(1, math.ceil((math.sqrt(4.0 * k / density) - 1.0) / 2.0))
+
+
 def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
-                 rings=(1, 2, 4, 8), point_id: str = "doc_id",
+                 rings=None, point_id: str = "doc_id",
                  query_id: str = "query_id") -> DataFrame:
     """kNN with geometrically growing rings: each pass re-examines only the
     queries the previous ring could not prove complete, so dense regions
-    pay the cheap r=1 join while sparse ones escalate — brute force touches
-    only what survives the last ring (usually nothing).
+    pay the cheap first join while sparse ones escalate — brute force
+    touches only what survives the last ring (usually nothing).
+
+    `rings=None` starts at the histogram-chosen ring (:func:`start_ring`)
+    and doubles from there, so sparse data skips the provably-futile small
+    rings. The pass loop stops as soon as the frontier empties — the
+    common dense case pays ONE ring pass and an empty-check, skipping the
+    remaining rings and the brute-force fallback entirely.
 
     Result rows are identical to :func:`knn_bruteforce`; only the work
     distribution differs. At 10^12 points each pass is one equi-join on
     cell ids whose probe side shrinks monotonically."""
     p = _prep_points(points, point_id, z).localCheckpoint(eager=False)
+    if rings is None:
+        r0 = start_ring(p, k)
+        rings = (r0, 2 * r0, 4 * r0, 8 * r0)
     pending = _prep_queries(queries, query_id, z)
     pieces = []
+    drained = False
     for r in rings:
         resolved, resolved_q = _knn_ring(p, pending, k, z, r)
         pieces.append(resolved)
-        pending = pending.join(resolved_q, "query_id", "left_anti")
         # materialize the shrinking frontier: keeps each pass's plan flat
         # instead of recomputing every prior ring under the anti-join chain
-        pending = pending.localCheckpoint(eager=False)
-    leftovers = pending.select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    points2 = p.select(F.col("neighbor_id").alias(point_id),
-                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
-    pieces.append(knn_bruteforce(points2, leftovers, k, point_id=point_id, query_id="query_id"))
+        pending = pending.join(resolved_q, "query_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if pending.isEmpty():
+            drained = True
+            break
+    if not drained:
+        leftovers = pending.select("query_id", F.col("qlon").alias("lon"),
+                                   F.col("qlat").alias("lat"))
+        points2 = p.select(F.col("neighbor_id").alias(point_id),
+                           F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+        pieces.append(knn_bruteforce(points2, leftovers, k,
+                                     point_id=point_id, query_id="query_id"))
     out = pieces[0]
     for extra in pieces[1:]:
         out = out.unionByName(extra)
