@@ -152,10 +152,20 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
             F.count("*"), F.sum("s.page_id"), F.sum("s.lon"), F.sum("s.lat")
         ).collect()[0][0]
 
+    paths = [("geobuf_write", geobuf_write), ("json_write", json_write),
+             ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
+             ("json_read", json_read)]
+
+    # JVM decode path (codec/jvm): the UDF runs inside the scan stage like
+    # from_json — zero Python, no Arrow serde, no per-task dispatch floor
+    from geobuf_spark.codec import jvm_codec
+    if jvm_codec.register(spark):
+        def geobuf_read_jvm():
+            return jvm_codec.decode_points_agg_jvm(enc_cached).collect()[0][0]
+        paths.append(("geobuf_read_jvm", geobuf_read_jvm))
+
     out = {}
-    for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
-                     ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
-                     ("json_read", json_read)]:
+    for name, fn in paths:
         fn()  # warmup
         ts = []
         for _ in range(trials):
@@ -250,12 +260,25 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
         return parsed.agg(F.count("*"), F.sum(F.size("s.coords")),
                           F.sum(F.element_at("s.coords", 1))).collect()[0][0]
 
+    paths = [("geobuf_write", geobuf_write), ("json_write", json_write),
+             ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
+             ("json_read", json_read),
+             ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]
+
+    from geobuf_spark.codec import jvm_codec
+    if jvm_codec.register(spark):
+        def geobuf_read_jvm():
+            return jvm_codec.decode_lines_agg_jvm(enc).collect()[0][0]
+
+        def geobuf_scan_jvm():
+            return jvm_codec.decode_lines_agg_jvm(
+                spark.read.parquet(f"{tmp}/geobuf")).collect()[0][0]
+        paths += [("geobuf_read_jvm", geobuf_read_jvm),
+                  ("geobuf_scan_jvm", geobuf_scan_jvm)]
+
     try:
         out = {}
-        for name, fn in [("geobuf_write", geobuf_write), ("json_write", json_write),
-                         ("geobuf_read", geobuf_read), ("geobuf_read_full", geobuf_read_full),
-                         ("json_read", json_read),
-                         ("geobuf_scan", geobuf_scan), ("json_scan", json_scan)]:
+        for name, fn in paths:
             fn()
             ts = []
             for _ in range(trials):
@@ -378,9 +401,14 @@ def main():
     li = r["lines"]
     print(json.dumps({
         "lines_read_speedup_vs_json": round(li["json_read"] / li["geobuf_read"], 2),
+        **({"lines_read_jvm_speedup_vs_json":
+            round(li["json_read"] / li["geobuf_read_jvm"], 2),
+            "lines_scan_jvm_speedup_vs_json":
+            round(li["json_scan"] / li["geobuf_scan_jvm"], 2)}
+           if "geobuf_read_jvm" in li else {}),
         "lines_write_speedup_vs_json": round(li["json_write"] / li["geobuf_write"], 2),
         "lines_size_ratio_vs_json": round(li["geobuf_bytes"] / li["json_bytes"], 3),
-        "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write", "read_full", "scan"))},
+        "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write", "read_full", "scan", "jvm"))},
         "metric": "geobuf encode+PIP-join+tile-assign features/sec (flagship); per-query sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -388,9 +416,12 @@ def main():
         "sf": SF_DIR,
         "features_per_sec": round(r["features_per_sec"]),
         "codec_read_speedup_vs_json": round(c["json_read"] / c["geobuf_read"], 2),
+        **({"codec_read_jvm_speedup_vs_json":
+            round(c["json_read"] / c["geobuf_read_jvm"], 2)}
+           if "geobuf_read_jvm" in c else {}),
         "codec_write_speedup_vs_json": round(c["json_write"] / c["geobuf_write"], 2),
         "codec_size_ratio_vs_json": round(c["geobuf_bytes"] / c["json_bytes"], 3),
-        "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write", "read_full"))},
+        "codec_sec": {k: round(v, 3) for k, v in c.items() if k.endswith(("read", "write", "read_full", "jvm"))},
         "n_flagship_features": N_PAGES,
         **({"query_errors": q_errors} if q_errors else {}),
     }))

@@ -1,0 +1,97 @@
+"""JVM-side frame decode — registration and DataFrame wrappers.
+
+The Arrow kernels in spark_codec.py are the portable path; this module
+loads the compiled twin (jvm/GbCodec.java, built by tools/build_jvm.py
+with the JDK against pyspark's own jars) and exposes the same fused
+decode→reduce shapes with ZERO Python in the plan: the UDF runs inside
+the scan stage like from_json, so the ~0.25 s/task Python dispatch floor
+and both Arrow serdes disappear. Callers must treat availability as
+optional (`register(spark)` returns False when the jar is absent and no
+JDK can build it) and fall back to the Arrow kernels.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_UDFS = {
+    "gb_point": "geobufspark.GbCodec$Point",
+    "gb_line_stats": "geobufspark.GbCodec$LineStats",
+    "gb_line_decode": "geobufspark.GbCodec$LineDecode",
+}
+_REGISTERED: set[int] = set()  # id(sparkSession) -> registered
+
+
+def register(spark: SparkSession) -> bool:
+    """ADD JAR + register the three decode UDFs. Idempotent per session;
+    False (never raises) when neither a prebuilt jar nor a JDK exists."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return True
+    try:
+        from tools.build_jvm import build
+    except ImportError:  # repo tools not importable (installed package)
+        from pathlib import Path
+        jar = Path(__file__).parent / "jvm" / "gb-codec.jar"
+        build = (lambda j=jar: j if j.exists() else None)
+    try:
+        jar = build()
+        if jar is None:
+            return False
+        spark.sql(f"ADD JAR '{jar.resolve().as_uri()}'")
+        arr = T.ArrayType(T.LongType())
+        for name, cls in _UDFS.items():
+            spark.udf.registerJavaFunction(name, cls, arr)
+    except Exception:
+        return False
+    _REGISTERED.add(key)
+    return True
+
+
+def decode_points_agg_jvm(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Fused decode→reduce for point frames, JVM-only plan: gb_point runs
+    per row inside the scan stage; the aggregate folds in the same
+    whole-stage pipeline. Output schema identical to
+    spark_codec.decode_points_agg (n, sum_id, sum_lon_q, sum_lat_q)."""
+    p = F.expr(f"gb_point({bin_col})")
+    return df.select(p.alias("p")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("p", 1)).alias("sum_id"),
+        F.sum(F.element_at("p", 2)).alias("sum_lon_q"),
+        F.sum(F.element_at("p", 3)).alias("sum_lat_q"),
+    )
+
+
+def decode_lines_agg_jvm(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Fused decode→reduce for line frames (JVM plan). Output schema
+    identical to spark_codec.decode_lines_agg (n, sum_size, sum_first_x)."""
+    s = F.expr(f"gb_line_stats({bin_col})")
+    return df.select(s.alias("s")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("s", 2)).alias("sum_size"),
+        F.sum(F.element_at("s", 3)).alias("sum_first_x"),
+    )
+
+
+def decode_points_jvm(df: DataFrame, bin_col: str = "geobuf",
+                      id_col: str = "id") -> DataFrame:
+    """Materializing point decode → (id, lon_q, lat_q), JVM plan
+    (decode_points_any parity)."""
+    p = F.expr(f"gb_point({bin_col})")
+    return df.select(p.alias("p")).select(
+        F.element_at("p", 1).alias(id_col),
+        F.element_at("p", 2).alias("lon_q"),
+        F.element_at("p", 3).alias("lat_q"),
+    )
+
+
+def decode_lines_jvm(df: DataFrame, bin_col: str = "geobuf",
+                     id_col: str = "line_id") -> DataFrame:
+    """Materializing line decode → (id, coords_q), JVM plan
+    (decode_lines parity; coords_q is the absolute quantized flat array)."""
+    a = F.expr(f"gb_line_decode({bin_col})")
+    return df.select(a.alias("a")).select(
+        F.element_at("a", 1).alias(id_col),
+        F.slice("a", 2, F.greatest(F.size("a") - 1, F.lit(0))).alias("coords_q"),
+    )

@@ -1680,6 +1680,15 @@ def frame_fields_walk(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         pstart = p + 1 + np.where(is_len, vl, 0)
         rounds.append((active.copy(), tag.copy(), pstart, plen, v, vl))
         pos[active] = np.where(is_len, pstart + plen, p + 1 + vl)
+        # a field whose payload jump lands past its frame boundary would
+        # otherwise drop out of the walk silently — with its tail bytes
+        # unparsed, a truncated frame could still decode (e.g. a clipped
+        # trailing bbox) instead of failing
+        over = pos[active] > ends[active]
+        if over.any():
+            raise ValueError(
+                f"{int(over.sum())} frame(s) with a field payload running "
+                "past the frame end — truncated or corrupt input")
         active = active[pos[active] < ends[active]]
     return rounds
 

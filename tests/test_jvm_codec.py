@@ -1,0 +1,97 @@
+"""JVM decode path (codec/jvm/GbCodec.java) — exact parity vs the Arrow
+kernels it twins. The jar is committed, so these run everywhere; if the
+jar were deleted AND no JDK existed, register() returns False and the
+suite skips rather than fails (the JVM path is an optional accelerator,
+the Arrow kernels are the portable contract).
+"""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_spark.codec import jvm_codec, spark_codec
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    if not jvm_codec.register(spark):
+        pytest.skip("no gb-codec.jar and no JDK to build it")
+    return spark
+
+
+def _frames_df(spark, frames):
+    return spark.createDataFrame(
+        pa.table({"geobuf": frames}).to_pandas())
+
+
+def test_register_idempotent(jvm):
+    assert jvm_codec.register(jvm) is True
+    assert jvm_codec.register(jvm) is True
+
+
+def test_point_agg_parity(jvm):
+    rng = np.random.default_rng(11)
+    n = 5000
+    ids = rng.integers(0, 2**40, n).astype(np.int64)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    df = _frames_df(jvm, spark_codec.encode_points_kernel(ids, lon, lat))
+    a = spark_codec.decode_points_agg(df).collect()[0]
+    j = jvm_codec.decode_points_agg_jvm(df).collect()[0]
+    assert a == j
+
+
+def test_point_decode_parity(jvm):
+    rng = np.random.default_rng(12)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    df = _frames_df(jvm, spark_codec.encode_points_kernel(ids, lon, lat))
+    a = {r["id"]: (r["lon_q"], r["lat_q"])
+         for r in spark_codec.decode_points_any(df).collect()}
+    b = {r["id"]: (r["lon_q"], r["lat_q"])
+         for r in jvm_codec.decode_points_jvm(df).collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("dim", [2, 3, 5])
+def test_line_decode_parity(jvm, dim):
+    rng = np.random.default_rng(20 + dim)
+    n, nv = 200, 7
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    flat = rng.uniform(-170, 170, n * nv * dim)
+    nvs = np.full(n, nv, dtype=np.int64)
+    df = _frames_df(
+        jvm, spark_codec.encode_lines_kernel(ids, flat, nvs, dim=dim))
+    a = {r["line_id"]: list(r["coords_q"])
+         for r in spark_codec.decode_lines(df).collect()}
+    b = {r["line_id"]: list(r["coords_q"])
+         for r in jvm_codec.decode_lines_jvm(df).collect()}
+    assert a == b
+
+
+def test_line_agg_parity(jvm):
+    rng = np.random.default_rng(31)
+    n, nv = 2000, 12
+    ids = rng.permutation(n).astype(np.int64)
+    flat = rng.uniform(-179, 179, n * nv * 2)
+    nvs = np.full(n, nv, dtype=np.int64)
+    df = _frames_df(
+        jvm, spark_codec.encode_lines_kernel(ids, flat, nvs, dim=2))
+    a = spark_codec.decode_lines_agg(df).collect()[0]
+    j = jvm_codec.decode_lines_agg_jvm(df).collect()[0]
+    assert a == j
+
+
+def test_corrupt_frame_raises(jvm):
+    # truncated payload (mid-varint) must fail the task on the JVM path
+    # exactly as the Arrow path does
+    ids = np.array([1], dtype=np.int64)
+    frames = spark_codec.encode_points_kernel(
+        ids, np.array([10.0]), np.array([20.0]))
+    buf = bytes(frames[0].as_py())[:-1]  # drop the final varint byte
+    df = _frames_df(jvm, pa.array([buf], type=pa.binary()))
+    with pytest.raises(Exception):
+        jvm_codec.decode_points_agg_jvm(df).collect()
+    with pytest.raises(Exception):
+        spark_codec.decode_points_agg(df).collect()
