@@ -252,6 +252,17 @@ def q_knn_hex_k5(spark, sf):
         .select("query_id", "neighbor_id", "rank")
 
 
+def q_knn_s2_k5(spark, sf):
+    # S2 cube-face index kNN (TODO r2's parked cross-face guard): radius-
+    # cover candidates span faces, completeness via the cover superset
+    # property (operators/knn.knn_s2) — identical rows to knn_k5
+    pts = _points(spark, sf)
+    queries = pts.filter(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    return knn.knn_s2(pts, queries, 5, level=3) \
+        .select("query_id", "neighbor_id", "rank")
+
+
 def q_knn_adaptive_k5(spark, sf):
     # geometric ring growth from the histogram-chosen start ring — same
     # exact rows as knn_k5; sparse queries escalate instead of falling
@@ -885,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top5": q_ann_ivf_top5,
         # — new / changed this round —
         "knn_hex_k5": q_knn_hex_k5,
+        "knn_s2_k5": q_knn_s2_k5,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
@@ -929,8 +941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "ann_cosine_top5": q_ann_cosine_top5,
-        "tpch_q5": q_tpch_q5,
         # ---- position 51+: green in CORRECTNESS_r02, pytest-covered ----
+        # (tpch_q5 rotated out for knn_s2_k5 — double-green r1+r2; its r3
+        # follow-up is a bench re-measure, which bench.py carries)
+        "tpch_q5": q_tpch_q5,
         "mint_points": q_mint_points,
         "geo_bounds": q_geo_bounds,
         "doc_quality": q_doc_quality,
@@ -1100,6 +1114,25 @@ def _ann_cosine_sql(k: int = 5, every: int = 25) -> str:
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
 
 
+def _merc_ybounds_values(z: int) -> str:
+    """(y, north_lat, south_lat) VALUES rows for every tile row at zoom z,
+    computed with the SAME formula text as tiles.tile_bounds
+    (degrees(atan(sinh(π(1 - 2y/n)))) — see ADVICE r2 #5: injecting
+    literals keeps the oracle's y side from diverging by a last ulp from
+    what the Spark kernel evaluates, which could flip a boundary-exact
+    clip or floor snap."""
+    import math
+
+    nt = 1 << z
+
+    def lat_of(yy: int) -> float:
+        return math.degrees(math.atan(math.sinh(
+            3.141592653589793 * (1.0 - 2.0 / nt * yy))))
+
+    return ", ".join(f"({yy}, {lat_of(yy)!r}, {lat_of(yy + 1)!r})"
+                     for yy in range(nt))
+
+
 def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
     """Oracle for the rect vector-tile pipeline: cover → rect∩tile clip →
     tile-local grid snap (clamped floors) → degenerate-ring drop, all in
@@ -1111,17 +1144,9 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
     the last ulp, which could flip a floor() snap on boundary-exact
     edges). Residual risk is libm-vs-JVM sinh/atan ulp on the same
     formula, strictly smaller than a different formula + different libm."""
-    import math
-
     rects = minted.SQL_MINTED_RECTS.strip()
     nt = 1 << z
-
-    def lat_of(yy: int) -> float:
-        return math.degrees(math.atan(math.sinh(
-            3.141592653589793 * (1.0 - 2.0 / nt * yy))))
-
-    ybounds = ", ".join(f"({yy}, {lat_of(yy)!r}, {lat_of(yy + 1)!r})"
-                        for yy in range(nt))
+    ybounds = _merc_ybounds_values(z)
     lat_n, lat_s = "yb.n_lat", "yb.s_lat"
     def ty(v):
         return tiles.sql_tile_y(v, z)  # same formula text as the cover
@@ -1501,13 +1526,14 @@ def oracle_sql() -> dict[str, str]:
                   ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
                 JOIN (SELECT unnest(range(0, 32)) AS y) gy
                   ON gy.y BETWEEN CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT)),
+            yb AS (SELECT * FROM (VALUES {_merc_ybounds_values(5)}) t(yy, n_lat, s_lat)),
             piece AS (
                 SELECT poly_id, 5 AS z, x, y,
                        round(greatest(minx, (x * 11.25 - 180.0)), 7) AS pminx,
-                       round(greatest(miny, degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * (y + 1)))) - pi()/2)), 7) AS pminy,
+                       round(greatest(miny, yb.s_lat), 7) AS pminy,
                        round(least(maxx, ((x + 1) * 11.25 - 180.0)), 7) AS pmaxx,
-                       round(least(maxy, degrees(2*atan(exp(3.141592653589793 * (1.0 - 0.0625 * (y)))) - pi()/2)), 7) AS pmaxy
-                FROM cov)
+                       round(least(maxy, yb.n_lat), 7) AS pmaxy
+                FROM cov JOIN yb ON yb.yy = cov.y)
             SELECT * FROM piece WHERE pmaxx > pminx AND pmaxy > pminy""",
         "pip_join_rects": f"""
             SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
@@ -1551,6 +1577,23 @@ def oracle_sql() -> dict[str, str]:
         # knn_hex_k5 returns rows identical to knn_k5 (different index
         # family, same brute-force-equal semantics) — same SQL twin
         "knn_hex_k5": f"""
+            WITH p AS ({pts}),
+            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
+                  WHERE doc_id % 20 = 0),
+            scored AS (
+                SELECT q.query_id, p.doc_id AS neighbor_id,
+                       (q.qlon - p.lon) * (q.qlon - p.lon)
+                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
+                FROM q, p WHERE p.doc_id != q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
+        # knn_s2_k5: cube-face index family, brute-force-equal semantics —
+        # same SQL twin as knn_k5/knn_hex_k5
+        "knn_s2_k5": f"""
             WITH p AS ({pts}),
             q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
                   WHERE doc_id % 20 = 0),

@@ -56,7 +56,7 @@ def bench_queries(spark):
     names = [
         "pip_join_rects", "pip_join_s2", "pip_join_triangles",
         "tile_cover_rects_z7", "tile_counts_z6", "knn_k5", "knn_adaptive_k5",
-        "knn_hex_k5",
+        "knn_hex_k5", "knn_s2_k5",
         "geobuf_roundtrip", "polygon_roundtrip", "dedup_exact",
         "minhash_near_dups", "simhash_near_dups", "ann_cosine_top5",
         "doc_quality", "token_totals", "events_window", "sessionize",

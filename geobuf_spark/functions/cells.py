@@ -55,13 +55,22 @@ def _uv(lon: Column, lat: Column):
     return u, v
 
 
-def s2_cell(lon: Column, lat: Column, level: int) -> Column:
-    """64-bit cell id at `level` (0–28): ((face·2^L + i)·2^L + j)."""
+def s2_fij(lon: Column, lat: Column, level: int):
+    """(face, i, j) component Columns of the cell at `level` — the same
+    arithmetic :func:`s2_cell` packs, exposed for ring/block construction
+    (kNN candidate generation needs per-axis offsets)."""
     n = 1 << level
     u, v = _uv(lon, lat)
     i = F.least(F.greatest(F.floor((u + 1.0) / 2.0 * n), F.lit(0)), F.lit(n - 1)).cast("bigint")
     j = F.least(F.greatest(F.floor((v + 1.0) / 2.0 * n), F.lit(0)), F.lit(n - 1)).cast("bigint")
     f = s2_face(lon, lat).cast("bigint")
+    return f, i, j
+
+
+def s2_cell(lon: Column, lat: Column, level: int) -> Column:
+    """64-bit cell id at `level` (0–28): ((face·2^L + i)·2^L + j)."""
+    n = 1 << level
+    f, i, j = s2_fij(lon, lat, level)
     return (f * n + i) * n + j
 
 

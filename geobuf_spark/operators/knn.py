@@ -241,6 +241,105 @@ def knn_hex(points: DataFrame, queries: DataFrame, k: int, *,
     return resolved.unionByName(fallback)
 
 
+def s2_radius(points: DataFrame, k: int) -> float:
+    """Density-chosen candidate radius (degrees): the r whose disk is
+    expected to hold ≥4k points at the observed mean density over the
+    data's bbox (4× margin, mirroring :func:`start_ring`). One small agg."""
+    import math
+    row = points.agg(F.count("*").alias("n"),
+                     F.min("lon").alias("x0"), F.max("lon").alias("x1"),
+                     F.min("lat").alias("y0"), F.max("lat").alias("y1")).first()
+    area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-9)
+    density = row["n"] / area
+    if density <= 0:
+        return 1.0
+    return math.sqrt(4.0 * k / (math.pi * density))
+
+
+def knn_s2(points: DataFrame, queries: DataFrame, k: int, *,
+           level: int = 3, radius_deg: float | None = None,
+           point_id: str = "doc_id", query_id: str = "query_id") -> DataFrame:
+    """kNN over the S2-style cube-face cell family (cells.s2_cell) — same
+    semantics and identical result rows as :func:`knn` /
+    :func:`knn_bruteforce` (generalizes the reference's per-tile index
+    probe, reader.go:278-287, per SURVEY §2.5).
+
+    Cross-face completeness (the guard TODO.md parked): a same-face cell
+    block clipped at a face edge has sphere-neighbors on OTHER faces, so
+    no per-edge boundary-distance arithmetic (the mercator/hex approach)
+    can certify it. Instead candidates come from the conservative bbox
+    cover of the degree box q ± r (cells.s2_cover_bbox_kernel), which
+    spans faces by construction — its superset property (every point
+    inside a box maps via s2_cell to a cell inside the box's cover) IS
+    the completeness proof:
+
+      every point within distance r of q lies in the closed box q ± r
+      → its cell is in the cover → it was examined. So if k candidates
+      exist and the k-th distance ≤ r, the candidate top-k is the
+      global top-k — exact even under ties, because all tying points
+      were examined (no strict-inequality margin needed, unlike the
+      center-distance guards in :func:`_knn_ring` / :func:`knn_hex`).
+
+    The cover box is inflated by 1e-9 relative so float rounding of
+    qlon−r can never exclude a point at distance exactly r (oversizing
+    is conservative — a few extra candidate cells — undersizing would
+    be a wrong proof). Queries whose k-th distance exceeds r (sparse
+    neighborhoods) fall back to brute force; face edges never force a
+    fallback, so at production density the expensive path is empty.
+
+    One Arrow cover pass over queries + one cell equi-join + one window
+    — the same shuffle shape as the mercator variant."""
+    from geobuf_spark.functions import cells as s2
+
+    p = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col("lon").alias("nlon"), F.col("lat").alias("nlat"),
+    ).withColumn("cell", s2.s2_cell(F.col("nlon"), F.col("nlat"), level)) \
+        .localCheckpoint(eager=False)
+    if radius_deg is None:
+        radius_deg = s2_radius(points, k)
+    r = float(radius_deg)
+    ri = r * (1.0 + 1e-9) + 1e-300  # inflated cover box (see docstring)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    ).localCheckpoint(eager=False)
+    boxed = q \
+        .withColumn("minx", F.greatest(F.col("qlon") - ri, F.lit(-180.0))) \
+        .withColumn("maxx", F.least(F.col("qlon") + ri, F.lit(180.0))) \
+        .withColumn("miny", F.col("qlat") - ri) \
+        .withColumn("maxy", F.col("qlat") + ri)
+    covered = s2.explode_s2_cover(boxed, level).drop("minx", "miny", "maxx", "maxy")
+
+    cand = (
+        covered.join(p, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"),
+                                    F.col("nlon"), F.col("nlat")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
+    wq = Window.partitionBy("query_id")
+    resolved = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("n_found", F.count("*").over(wq))
+        .withColumn("kth", F.max("dist2").over(wq))
+        .filter((F.col("n_found") == k) & (F.col("kth") <= F.lit(r * r)))
+        .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+    resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
+
+    unresolved = q.join(resolved_q, "query_id", "left_anti") \
+        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
+    points2 = p.select(F.col("neighbor_id").alias(point_id),
+                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+    fallback = knn_bruteforce(points2, unresolved, k,
+                              point_id=point_id, query_id="query_id")
+    return resolved.unionByName(fallback)
+
+
 def start_ring(p: DataFrame, k: int) -> int:
     """Histogram-chosen first ring: smallest R whose (2R+1)² block is
     expected to hold ≥4k candidates at the observed mean cell occupancy

@@ -93,6 +93,67 @@ def test_knn_hex_matches_bruteforce(points, queries, k, size, ring):
     assert len(want) == queries.count() * k
 
 
+@pytest.mark.parametrize("k,level,radius", [(3, 3, None), (5, 3, None),
+                                            (5, 2, 40.0), (5, 4, None)])
+def test_knn_s2_matches_bruteforce(points, queries, k, level, radius):
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_s2(points, queries, k, level=level,
+                          radius_deg=radius).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, k).collect()
+    }
+    assert got == want
+    assert len(want) == queries.count() * k
+
+
+def test_knn_s2_face_edge_resolves_without_fallback(spark, monkeypatch):
+    """The cross-face case the same-face block design could never prove:
+    query on one side of the lon=45° face-0/1 edge, all neighbors on the
+    other. The radius-cover candidates span faces, so the query must
+    resolve on the index path — brute force must not run at all."""
+    pts = spark.createDataFrame(
+        [(1, 44.9, 10.0)] + [(i, 45.1 + 0.01 * i, 10.0) for i in range(2, 30)],
+        "doc_id bigint, lon double, lat double")
+    qs = pts.filter(F.col("doc_id") == 1) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+
+    seen = {}
+    orig = K.knn_bruteforce
+
+    def spy(points_, queries_, k_, **kw):
+        seen["n"] = queries_.count()
+        return orig(points_, queries_, k_, **kw)
+
+    monkeypatch.setattr(K, "knn_bruteforce", spy)
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in K.knn_s2(pts, qs, 3, level=3, radius_deg=2.0).collect()}
+    monkeypatch.undo()
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in orig(pts, qs, 3).collect()}
+    assert got == want
+    assert seen["n"] == 0
+
+
+def test_knn_s2_sparse_falls_back_exact(spark):
+    """Radius far below the true k-th distance → nothing can resolve
+    (the guard must never falsely certify) and the fallback returns the
+    exact rows. Includes a pole-adjacent and an antimeridian point."""
+    pts = spark.createDataFrame(
+        [(i, float(i * 37 % 50) - 25.0, float(i * 61 % 40) - 20.0)
+         for i in range(40)] + [(800, -179.9, 0.0), (801, 0.0, 89.5)],
+        ["doc_id", "lon", "lat"])
+    qs = pts.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") >= 800)) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in K.knn_s2(pts, qs, 4, level=4, radius_deg=0.001).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in K.knn_bruteforce(pts, qs, 4).collect()}
+    assert got == want
+
+
 def test_knn_hex_sparse_escalation(spark):
     """Tiny cells → nothing resolves in-ring → the brute-force fallback
     still returns exact rows (the guard may never falsely resolve)."""
