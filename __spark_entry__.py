@@ -859,6 +859,25 @@ def q_ann_ivf_top5(spark, sf):
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=3)
 
 
+def q_embed_near_dups(spark, sf):
+    # embedding-cosine near-dup (the embedding tier of the dedup family):
+    # the testdata vectors are near-orthogonal (max pairwise cos ~0.6), so
+    # the query plants deterministic twins — vec_id % 10 == 0 duplicated at
+    # id+100000 with each element scaled by (1 + 0.002*(i+1)), an indexed
+    # transform both engines evaluate bit-identically in double — and the
+    # LSH-bucketed operator must recover exactly those pairs at cos >= 0.9
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: x * (F.lit(1.0) + F.lit(0.002) * (i + F.lit(1)))
+                    ).alias("embedding"))
+    aug = emb.unionByName(twins)
+    return (similarity.cosine_near_pairs(aug, threshold=0.9)
+            .select("a", "b"))
+
+
 def q_lang_id(spark, sf):
     return TXT.lang_id(_docs(spark, sf)).groupBy("lang_pred").agg(F.count("*").alias("n"))
 
@@ -897,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new / changed this round —
         "knn_hex_k5": q_knn_hex_k5,
         "knn_s2_k5": q_knn_s2_k5,
+        "embed_near_dups": q_embed_near_dups,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
@@ -935,16 +955,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_hex": q_pip_join_hex,
         "pip_join_general": q_pip_join_general,
         "pip_semi": q_pip_semi,
-        "bbox_intersect_join": q_bbox_intersect_join,
         "knn_k5": q_knn_k5,
         "asof_purchase_view": q_asof_purchase_view,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "ann_cosine_top5": q_ann_cosine_top5,
         # ---- position 51+: green in CORRECTNESS_r02, pytest-covered ----
-        # (tpch_q5 rotated out for knn_s2_k5 — double-green r1+r2; its r3
+        # (tpch_q5 rotated out for knn_s2_k5, bbox_intersect_join for
+        # embed_near_dups — both double-green r1+r2; tpch_q5's r3
         # follow-up is a bench re-measure, which bench.py carries)
         "tpch_q5": q_tpch_q5,
+        "bbox_intersect_join": q_bbox_intersect_join,
         "mint_points": q_mint_points,
         "geo_bounds": q_geo_bounds,
         "doc_quality": q_doc_quality,
@@ -1361,6 +1382,50 @@ def _ann_lsh_sql(k: int = 5, every: int = 25, nbits: int = 16, bands: int = 4,
                          ORDER BY cos DESC, neighbor_id) AS rank
               FROM scored)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
+
+
+def _embed_near_dups_sql(threshold: float = 0.9, nbits: int = 64,
+                         bands: int = 8, seed: int = 7,
+                         max_bucket: int = 1000) -> str:
+    """Oracle for q_embed_near_dups: DuckDB rebuilds the twin-planted table
+    (indexed list_transform — 1-based i matches Spark's (i+1) — in double,
+    bit-identical), recomputes the 64 hyperplane projections from pinned
+    float literals, the width-8 band buckets, the deterministic per-bucket
+    cap, the a<b candidate self-join and the exact cosine refine. Same
+    sign-at-ulp residual risk as _ann_lsh_sql, validated on the testdata."""
+    from geobuf_spark.operators.similarity import _hyperplanes
+
+    width = nbits // bands
+    planes = _hyperplanes(64, nbits, seed)
+    dots = ", ".join(f"list_dot_product(e, {_vec_lit(planes[i])})" for i in range(nbits))
+    base = " + ".join(
+        f"(CASE WHEN p[{width} * t.band + {r + 1}] > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(width))
+    return f"""
+        WITH aug AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  (x, i) -> x * (1.0 + 0.002 * i))
+            FROM embeddings WHERE vec_id % 10 = 0),
+        pr AS (SELECT vec_id, e, [{dots}] AS p FROM aug),
+        vb AS (SELECT vec_id, e, t.band, CAST({base} AS BIGINT) AS bucket
+               FROM pr, (SELECT unnest(range({bands})) AS band) t),
+        capped AS (SELECT * FROM (
+                       SELECT vec_id, e, band, bucket,
+                              row_number() OVER (PARTITION BY band, bucket
+                                  ORDER BY vec_id) AS rn
+                       FROM vb) WHERE rn <= {max_bucket}),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM capped x JOIN capped y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id),
+        scored AS (SELECT c.a, c.b, list_cosine_similarity(xa.e, xb.e) AS cos
+                   FROM cand c
+                   JOIN aug xa ON xa.vec_id = c.a
+                   JOIN aug xb ON xb.vec_id = c.b)
+        SELECT a, b FROM scored WHERE cos >= {threshold}"""
 
 
 def _ann_ivf_sql(k: int = 5, every: int = 25, n_centroids: int = 8,
@@ -1916,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
+        "embed_near_dups": _embed_near_dups_sql(),
         "ann_ivf_top5": _ann_ivf_sql(),
         "pages_synth": _pages_synth_sql(),
     }

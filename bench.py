@@ -58,7 +58,8 @@ def bench_queries(spark):
         "tile_cover_rects_z7", "tile_counts_z6", "knn_k5", "knn_adaptive_k5",
         "knn_hex_k5", "knn_s2_k5",
         "geobuf_roundtrip", "polygon_roundtrip", "dedup_exact",
-        "minhash_near_dups", "simhash_near_dups", "ann_cosine_top5",
+        "minhash_near_dups", "simhash_near_dups", "embed_near_dups",
+        "ann_cosine_top5",
         "doc_quality", "token_totals", "events_window", "sessionize",
         "ngram_jaccard", "vector_tiles_z5", "mvt_tiles_z4",
         "tile_stream_counts", "ann_ivf_top5",

@@ -410,3 +410,43 @@ def test_tile_event_counts_batch_equals_stream(spark, sf_small, tmp_path):
     b = {(r.wstart, r.z, r.x, r.y): r.n_events for r in batch.collect()}
     s = {(r.wstart, r.z, r.x, r.y): r.n_events for r in got.collect()}
     assert b and b == s
+
+
+def test_cosine_near_pairs_recovers_planted_twins(spark, sf_small):
+    """Embedding-cosine near-dup: planted twins (scaled copies, cos ~0.999)
+    are recovered exactly; nothing else crosses the 0.9 threshold (the
+    testdata vectors are near-orthogonal, max pairwise cos ~0.6), and every
+    emitted cosine is verified against a numpy brute-force recompute."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: x * (F.lit(1.0) + F.lit(0.002) * (i + F.lit(1)))
+                    ).alias("embedding"))
+    aug = emb.unionByName(twins)
+    out = similarity.cosine_near_pairs(aug, threshold=0.9).collect()
+
+    planted = {(r.vec_id, r.vec_id + 100000)
+               for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    got = {(r.a, r.b) for r in out}
+    assert got == planted
+
+    # brute-force ground truth: emitted cosines are exact and >= threshold
+    rows = aug.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = {int(i): mn[j] for j, i in enumerate(ids)}
+    for r in out:
+        assert abs(float(by_id[r.a] @ by_id[r.b]) - r.cos) < 1e-9
+        assert r.cos >= 0.9
+    # and no true pair above threshold was missed (LSH recall is structural
+    # at cos ~0.999: miss prob per pair ~(1 - 0.94)^8)
+    cos = mn @ mn.T
+    iu = np.triu_indices(len(ids), 1)
+    true_pairs = {tuple(sorted((int(ids[iu[0][t]]), int(ids[iu[1][t]]))))
+                  for t in np.flatnonzero(cos[iu] >= 0.9)}
+    assert got == true_pairs
