@@ -63,7 +63,7 @@ def bench_queries(spark):
         "doc_quality", "token_totals", "events_window", "sessionize",
         "ngram_jaccard", "vector_tiles_z5", "mvt_tiles_z4",
         "tile_stream_counts", "ann_ivf_top5",
-        "tpch_q1", "tpch_q3", "tpch_q5",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q21",
     ]
     def force(df):
         # a bare count() lets Catalyst prune every computed column, so a
