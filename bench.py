@@ -163,7 +163,11 @@ def bench_codec_vs_json(spark, n_pages: int, trials: int = 5):
     if jvm_codec.register(spark):
         def geobuf_read_jvm():
             return jvm_codec.decode_points_agg_jvm(enc_cached).collect()[0][0]
-        paths.append(("geobuf_read_jvm", geobuf_read_jvm))
+
+        def geobuf_write_jvm():
+            return enc_val(jvm_codec.encode_points_jvm(p, id_col="page_id"), "geobuf")
+        paths += [("geobuf_read_jvm", geobuf_read_jvm),
+                  ("geobuf_write_jvm", geobuf_write_jvm)]
 
     out = {}
     for name, fn in paths:
@@ -274,8 +278,13 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
         def geobuf_scan_jvm():
             return jvm_codec.decode_lines_agg_jvm(
                 spark.read.parquet(f"{tmp}/geobuf")).collect()[0][0]
+
+        def geobuf_write_jvm():
+            return jvm_codec.encode_lines_jvm(lines) \
+                .agg(F.count("*"), F.sum(F.octet_length("geobuf"))).collect()[0][0]
         paths += [("geobuf_read_jvm", geobuf_read_jvm),
-                  ("geobuf_scan_jvm", geobuf_scan_jvm)]
+                  ("geobuf_scan_jvm", geobuf_scan_jvm),
+                  ("geobuf_write_jvm", geobuf_write_jvm)]
 
     try:
         out = {}
@@ -405,7 +414,9 @@ def main():
         **({"lines_read_jvm_speedup_vs_json":
             round(li["json_read"] / li["geobuf_read_jvm"], 2),
             "lines_scan_jvm_speedup_vs_json":
-            round(li["json_scan"] / li["geobuf_scan_jvm"], 2)}
+            round(li["json_scan"] / li["geobuf_scan_jvm"], 2),
+            "lines_write_jvm_speedup_vs_json":
+            round(li["json_write"] / li["geobuf_write_jvm"], 2)}
            if "geobuf_read_jvm" in li else {}),
         "lines_write_speedup_vs_json": round(li["json_write"] / li["geobuf_write"], 2),
         "lines_size_ratio_vs_json": round(li["geobuf_bytes"] / li["json_bytes"], 3),
@@ -418,7 +429,9 @@ def main():
         "features_per_sec": round(r["features_per_sec"]),
         "codec_read_speedup_vs_json": round(c["json_read"] / c["geobuf_read"], 2),
         **({"codec_read_jvm_speedup_vs_json":
-            round(c["json_read"] / c["geobuf_read_jvm"], 2)}
+            round(c["json_read"] / c["geobuf_read_jvm"], 2),
+            "codec_write_jvm_speedup_vs_json":
+            round(c["json_write"] / c["geobuf_write_jvm"], 2)}
            if "geobuf_read_jvm" in c else {}),
         "codec_write_speedup_vs_json": round(c["json_write"] / c["geobuf_write"], 2),
         "codec_size_ratio_vs_json": round(c["geobuf_bytes"] / c["json_bytes"], 3),

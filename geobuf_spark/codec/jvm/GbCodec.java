@@ -1,6 +1,9 @@
 package geobufspark;
 
 import org.apache.spark.sql.api.java.UDF1;
+import org.apache.spark.sql.api.java.UDF2;
+import org.apache.spark.sql.api.java.UDF3;
+import scala.collection.Seq;
 
 /**
  * JVM-side geobuf frame decode — the per-row twin of the Python Arrow
@@ -101,6 +104,22 @@ public final class GbCodec {
         return (u >>> 1) ^ -(u & 1L);
     }
 
+    static long zigzag(long v) {
+        return (v << 1) ^ (v >> 63);
+    }
+
+    static int varintLen(long v) {
+        int n = 1;
+        while ((v & ~0x7FL) != 0) { v >>>= 7; n++; }
+        return n;
+    }
+
+    static int writeVarint(byte[] out, int p, long v) {
+        while ((v & ~0x7FL) != 0) { out[p++] = (byte) ((v & 0x7F) | 0x80); v >>>= 7; }
+        out[p++] = (byte) v;
+        return p;
+    }
+
     /** gb_point(geobuf) -> [id, lon_q, lat_q] (decode_points_any parity). */
     public static final class Point implements UDF1<byte[], long[]> {
         @Override
@@ -158,6 +177,89 @@ public final class GbCodec {
                     out[i + 1] = acc;
                 }
             }
+            return out;
+        }
+    }
+
+    /**
+     * gb_point_enc(id, lon, lat) -> geobuf frame, byte-identical to the
+     * Arrow kernel encode_points_kernel (write_feature.go:192-263 layout:
+     * 0x08 id | 0x18 code=1 | 0x22 zigzag varint x,y | 0x2A degenerate
+     * bbox x,y,x,y). Quantize is (long)(c * 1e7) - Go/numpy truncation
+     * toward zero (geom.go:173-179).
+     */
+    public static final class PointEnc implements UDF3<Long, Double, Double, byte[]> {
+        @Override
+        public byte[] call(Long id, Double lon, Double lat) {
+            if (id == null || lon == null || lat == null)
+                throw new IllegalArgumentException(
+                    "encode point: null id/lon/lat - filter before encoding");
+            long zx = zigzag((long) (lon * 1e7));
+            long zy = zigzag((long) (lat * 1e7));
+            long uid = id;
+            int lx = varintLen(zx), ly = varintLen(zy);
+            int glen = lx + ly, blen = 2 * glen;
+            byte[] out = new byte[1 + varintLen(uid) + 2
+                    + 1 + varintLen(glen) + glen + 1 + varintLen(blen) + blen];
+            int p = 0;
+            out[p++] = 0x08; p = writeVarint(out, p, uid);
+            out[p++] = 0x18; out[p++] = 0x01;
+            out[p++] = 0x22; p = writeVarint(out, p, glen);
+            p = writeVarint(out, p, zx); p = writeVarint(out, p, zy);
+            out[p++] = 0x2A; p = writeVarint(out, p, blen);
+            p = writeVarint(out, p, zx); p = writeVarint(out, p, zy);
+            p = writeVarint(out, p, zx); p = writeVarint(out, p, zy);
+            return out;
+        }
+    }
+
+    /**
+     * gb_line_enc(id, coords) -> geobuf LineString frame (dim 2, code 2),
+     * byte-identical to encode_lines_kernel: per-vertex deltas zigzag
+     * varint packed (geom.go:204-246), bbox min/max over the QUANTIZED
+     * lattice (bb.go:10-37). coords is the flat interleaved x,y array.
+     */
+    public static final class LineEnc implements UDF2<Long, Seq<Double>, byte[]> {
+        @Override
+        public byte[] call(Long id, Seq<Double> coords) {
+            if (id == null || coords == null)
+                throw new IllegalArgumentException(
+                    "encode line: null id/coords - filter before encoding");
+            int m = coords.size();
+            if (m == 0 || m % 2 != 0)
+                throw new IllegalArgumentException(
+                    "line coords must be non-empty interleaved x,y (dim 2)");
+            long[] zz = new long[m];
+            long minx = Long.MAX_VALUE, maxx = Long.MIN_VALUE;
+            long miny = Long.MAX_VALUE, maxy = Long.MIN_VALUE;
+            long px = 0, py = 0;
+            int glen = 0;
+            for (int i = 0; i < m; i += 2) {
+                long x = (long) ((double) (Double) coords.apply(i) * 1e7);
+                long y = (long) ((double) (Double) coords.apply(i + 1) * 1e7);
+                zz[i] = zigzag(i == 0 ? x : x - px);
+                zz[i + 1] = zigzag(i == 0 ? y : y - py);
+                glen += varintLen(zz[i]) + varintLen(zz[i + 1]);
+                px = x; py = y;
+                if (x < minx) minx = x;
+                if (x > maxx) maxx = x;
+                if (y < miny) miny = y;
+                if (y > maxy) maxy = y;
+            }
+            long zb0 = zigzag(minx), zb1 = zigzag(miny);
+            long zb2 = zigzag(maxx), zb3 = zigzag(maxy);
+            int blen = varintLen(zb0) + varintLen(zb1) + varintLen(zb2) + varintLen(zb3);
+            long uid = id;
+            byte[] out = new byte[1 + varintLen(uid) + 2
+                    + 1 + varintLen(glen) + glen + 1 + varintLen(blen) + blen];
+            int p = 0;
+            out[p++] = 0x08; p = writeVarint(out, p, uid);
+            out[p++] = 0x18; out[p++] = 0x02;
+            out[p++] = 0x22; p = writeVarint(out, p, glen);
+            for (long v : zz) p = writeVarint(out, p, v);
+            out[p++] = 0x2A; p = writeVarint(out, p, blen);
+            p = writeVarint(out, p, zb0); p = writeVarint(out, p, zb1);
+            p = writeVarint(out, p, zb2); p = writeVarint(out, p, zb3);
             return out;
         }
     }

@@ -20,12 +20,17 @@ _UDFS = {
     "gb_line_stats": "geobufspark.GbCodec$LineStats",
     "gb_line_decode": "geobufspark.GbCodec$LineDecode",
 }
+_ENC_UDFS = {
+    "gb_point_enc": "geobufspark.GbCodec$PointEnc",
+    "gb_line_enc": "geobufspark.GbCodec$LineEnc",
+}
 _REGISTERED: set[int] = set()  # id(sparkSession) -> registered
 
 
 def register(spark: SparkSession) -> bool:
-    """ADD JAR + register the three decode UDFs. Idempotent per session;
-    False (never raises) when neither a prebuilt jar nor a JDK exists."""
+    """ADD JAR + register the decode and encode UDFs. Idempotent per
+    session; False (never raises) when neither a prebuilt jar nor a JDK
+    exists."""
     key = id(spark)
     if key in _REGISTERED:
         return True
@@ -43,6 +48,8 @@ def register(spark: SparkSession) -> bool:
         arr = T.ArrayType(T.LongType())
         for name, cls in _UDFS.items():
             spark.udf.registerJavaFunction(name, cls, arr)
+        for name, cls in _ENC_UDFS.items():
+            spark.udf.registerJavaFunction(name, cls, T.BinaryType())
     except Exception:
         return False
     _REGISTERED.add(key)
@@ -95,3 +102,21 @@ def decode_lines_jvm(df: DataFrame, bin_col: str = "geobuf",
         F.element_at("a", 1).alias(id_col),
         F.slice("a", 2, F.greatest(F.size("a") - 1, F.lit(0))).alias("coords_q"),
     )
+
+
+def encode_points_jvm(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
+                      lat: str = "lat", out: str = "geobuf") -> DataFrame:
+    """(id, lon, lat) → (id, geobuf), JVM plan — byte-identical frames to
+    spark_codec.encode_points with zero Python in the stage."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"gb_point_enc({id_col}, {lon}, {lat})").alias(out))
+
+
+def encode_lines_jvm(df: DataFrame, id_col: str = "line_id",
+                     coords: str = "coords", out: str = "geobuf") -> DataFrame:
+    """(id, coords flat array<double>) → (id, geobuf), JVM plan
+    (spark_codec.encode_lines parity, dim 2)."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"gb_line_enc({id_col}, {coords})").alias(out))

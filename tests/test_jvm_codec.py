@@ -95,3 +95,42 @@ def test_corrupt_frame_raises(jvm):
         jvm_codec.decode_points_agg_jvm(df).collect()
     with pytest.raises(Exception):
         spark_codec.decode_points_agg(df).collect()
+
+
+def test_point_encode_byte_parity(jvm):
+    """gb_point_enc frames are byte-identical to the Arrow kernel's,
+    including negative coords, the 1e-7 lattice, and large ids."""
+    rng = np.random.default_rng(21)
+    n = 4000
+    ids = np.concatenate([np.arange(n - 4, dtype=np.int64),
+                          np.array([0, 1, 2**40, 2**62], dtype=np.int64)])
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    df = jvm.createDataFrame(
+        pa.table({"doc_id": ids, "lon": lon, "lat": lat}).to_pandas())
+    a = spark_codec.encode_points(df).orderBy("doc_id").collect()
+    b = jvm_codec.encode_points_jvm(df).orderBy("doc_id").collect()
+    assert [bytes(r.geobuf) for r in a] == [bytes(r.geobuf) for r in b]
+
+
+def test_line_encode_byte_parity_and_roundtrip(jvm):
+    """gb_line_enc frames are byte-identical to encode_lines_kernel, and
+    the JVM decode of the JVM encode recovers the quantized vertices."""
+    import pandas as pd
+    rng = np.random.default_rng(22)
+    n = 500
+    rows = []
+    for i in range(n):
+        nv = int(rng.integers(2, 60))
+        c = rng.uniform(-180, 180, nv * 2)
+        rows.append((i, c.tolist()))
+    df = jvm.createDataFrame(pd.DataFrame(rows, columns=["line_id", "coords"]))
+    a = spark_codec.encode_lines(df).orderBy("line_id").collect()
+    b = jvm_codec.encode_lines_jvm(df).orderBy("line_id").collect()
+    assert [bytes(r.geobuf) for r in a] == [bytes(r.geobuf) for r in b]
+    enc = jvm_codec.encode_lines_jvm(df)
+    dec = {r.line_id: list(r.coords_q)
+           for r in jvm_codec.decode_lines_jvm(enc).collect()}
+    from geobuf_spark.codec import core
+    for i, c in rows:
+        assert dec[i] == core.quantize_vec(np.array(c)).tolist()
