@@ -883,9 +883,11 @@ def q_tpch_q9(spark, sf):
 
 def q_tpch_q11(spark, sf):
     # inventory-value concentration (q11 shape over lineitem x part):
-    # per-part value, kept iff > 0.1% of the national total. The total is
-    # a 1-row aggregate broadcast back over the per-part values — the
-    # scalar subquery stays declarative, no driver collect.
+    # per-part value, kept iff > 2x the mean part value (the official
+    # query's fraction scales 0.0001/SF — a scale-free multiple-of-mean
+    # keeps the query non-vacuous at every SF). The threshold is a 1-row
+    # aggregate broadcast back over the per-part values — the scalar
+    # subquery stays declarative, no driver collect.
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     p = spark.read.parquet(f"{sf}/part.parquet")
     s = spark.read.parquet(f"{sf}/supplier.parquet")
@@ -898,7 +900,7 @@ def q_tpch_q11(spark, sf):
                  F.col("l_partkey") == F.col("p_partkey"))
            .groupBy("l_partkey")
            .agg(F.sum(F.col("p_retailprice") * F.col("l_quantity")).alias("v")))
-    total = val.agg((F.sum("v") * 0.001).alias("_thr"))
+    total = val.agg((F.avg("v") * 2.0).alias("_thr"))
     return (val.join(F.broadcast(total))
             .filter(F.col("v") > F.col("_thr"))
             .select(F.col("l_partkey").alias("p_partkey"),
@@ -2280,7 +2282,7 @@ def oracle_sql() -> dict[str, str]:
                   AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
                 GROUP BY 1)
             SELECT partkey AS p_partkey, round(v, 2) AS part_value
-            FROM val WHERE v > (SELECT sum(v) * 0.001 FROM val)""",
+            FROM val WHERE v > (SELECT 2.0 * avg(v) FROM val)""",
         "tpch_q13": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
