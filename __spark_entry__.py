@@ -1083,6 +1083,16 @@ def q_rollup_doc_counts(spark, sf):
     )
 
 
+def q_cube_doc_counts(spark, sf):
+    # full CUBE (rollup's sibling: all 4 grouping sets incl. per-source
+    # totals across langs) + grouping_id so each stratum is identifiable
+    return (
+        _docs(spark, sf).cube("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"),
+             F.grouping_id().alias("gid"))
+    )
+
+
 def q_pivot_lang_source(spark, sf):
     # pivot shape with controlled output columns (CASE-sum twin in SQL)
     d = _docs(spark, sf)
@@ -1214,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex_k5": q_knn_hex_k5,
         "knn_s2_k5": q_knn_s2_k5,
         "embed_near_dups": q_embed_near_dups,
+        "cube_doc_counts": q_cube_doc_counts,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
@@ -1236,7 +1247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms_q": q_embedding_norms_q,
         "topk_per_group": q_topk_per_group,
         "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_bytes": q_multimodal_bytes,
         # — new this round: the remaining 13 TPC-H query shapes —
         "tpch_q2": q_tpch_q2,
         "tpch_q7": q_tpch_q7,
@@ -1264,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # follow-up is a bench re-measure, which bench.py carries)
         "tpch_q5": q_tpch_q5,
         "bbox_intersect_join": q_bbox_intersect_join,
+        "multimodal_bytes": q_multimodal_bytes,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
@@ -2377,6 +2388,11 @@ def oracle_sql() -> dict[str, str]:
         "rollup_doc_counts": """
             SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(lang, source)""",
+        "cube_doc_counts": """
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+            FROM documents GROUP BY CUBE(lang, source)""",
         "pivot_lang_source": """
             SELECT lang,
                    count(CASE WHEN source = 'src0' THEN 1 END) AS src0_n,

@@ -215,3 +215,34 @@ def test_write_geobuf_indexed_edge_shapes(spark, tmp_path):
     assert list(meta["files"]) == ["only"]
     back = GF.read_geobuf_subfile(spark, path, "only")
     assert back.count() == 50
+
+
+def test_write_geobuf_indexed_survives_stale_attempt_garbage(spark, tmp_path):
+    """A dead speculative/retried attempt leaves attempt-suffixed temp
+    files (and even orphan part files from a previous crashed run) in the
+    .parts staging dir; the driver concat reads only the paths the
+    committed tasks reported, so the output file and index stay exact."""
+    from geobuf_spark.codec import spark_codec
+    from geobuf_spark.sources import geobuf_file as GF
+
+    p = spark.createDataFrame(
+        [(i, float(i % 7), 20.0) for i in range(60)],
+        "doc_id long, lon double, lat double")
+    enc = spark_codec.encode_points(p).withColumn(
+        "tile", F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string")))
+
+    path = str(tmp_path / "stale.geobuf")
+    parts = tmp_path / "stale.geobuf.parts"
+    parts.mkdir()
+    (parts / "part-00000.attempt-999999").write_bytes(b"\xde\xad" * 100)
+    (parts / "part-99999").write_bytes(b"orphan from a crashed previous run")
+
+    meta = GF.write_geobuf_indexed(enc, path, "tile", num_ranges=4)
+    assert meta["number_features"] == 60
+    got = set()
+    for key in meta["files"]:
+        sub = GF.read_geobuf_subfile(spark, path, key)
+        got |= {(key, r.id) for r in
+                spark_codec.decode_points(sub, quantized=True).collect()}
+    want = {(f"t{i % 3}", i) for i in range(60)}
+    assert got == want
