@@ -415,6 +415,13 @@ def q_sessionize(spark, sf):
     return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
 
 
+def q_click_attribution(spark, sf):
+    # stream-stream-join shape (batch twin; the Structured Streaming twin
+    # with watermarked two-sided state is click_attribution_streaming,
+    # batch==stream pytest-pinned)
+    return W.click_attribution(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def q_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard tier (the verification tier under the LSH
     # near-dup operators): token shingles self-join + inclusion-exclusion
@@ -1225,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_s2_k5": q_knn_s2_k5,
         "embed_near_dups": q_embed_near_dups,
         "cube_doc_counts": q_cube_doc_counts,
+        "click_attribution": q_click_attribution,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
@@ -1264,7 +1272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r02 greens re-verified (codec guard / changed-oracle queries) —
         "geobuf_roundtrip": q_geobuf_roundtrip,
         "polygon_roundtrip": q_polygon_roundtrip,
-        "props_roundtrip": q_props_roundtrip,
         "feature_meta": q_feature_meta,
         "split_clip_z5": q_split_clip_z5,
         "knn_k5": q_knn_k5,
@@ -1275,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "bbox_intersect_join": q_bbox_intersect_join,
         "multimodal_bytes": q_multimodal_bytes,
+        "props_roundtrip": q_props_roundtrip,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
@@ -2388,6 +2396,13 @@ def oracle_sql() -> dict[str, str]:
         "rollup_doc_counts": """
             SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(lang, source)""",
+        "click_attribution": """
+            SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+                   CAST(date_diff('second', c.ts, b.ts) AS BIGINT) AS lag_sec
+            FROM events b JOIN events c
+              ON c.user_id = b.user_id
+             AND b.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 30 MINUTE""",
         "cube_doc_counts": """
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -275,3 +275,68 @@ def tile_event_counts_streaming(spark: SparkSession, parquet_dir: str,
             F.lit(z).alias("z"), "x", "y", "n_events",
         )
     )
+
+
+def click_attribution(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Stream-stream-join shape, batch twin: every purchase joined to the
+    same user's clicks in the preceding `window_minutes` (inclusive of
+    simultaneous) — (buy_id, click_id, user_id, lag_sec).
+
+    The join is an equi-join on user_id with event-time range predicates,
+    so it shuffles once on the user key; at 10^12 events the range
+    predicates prune within each user's co-partitioned rows and no
+    time-bucket blowup is needed (contrast temporal.range_bucket_join,
+    which exists for UNKEYED interval joins)."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").cast("timestamp").alias("click_ts")))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("buy_id"),
+                    F.col("ts").cast("timestamp").alias("buy_ts")))
+    j = buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")),
+    )
+    return j.select(
+        "buy_id", "click_id", "user_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
+        .cast("long").alias("lag_sec"))
+
+
+def click_attribution_streaming(spark: SparkSession, parquet_dir: str,
+                                window_minutes: int = 30,
+                                watermark: str = "1 hour") -> DataFrame:
+    """TRUE stream-stream inner join with event-time bounds: two readStream
+    scans of the same source, watermarks on both sides, and the range
+    condition bounding the join state — Spark retains only `watermark +
+    window` of click state per user instead of the whole stream. Batch
+    twin: :func:`click_attribution`; on bounded input both emit the same
+    (buy_id, click_id) pairs (pytest-pinned)."""
+    schema = spark.read.parquet(parquet_dir).schema
+
+    def _side(name):
+        s = spark.readStream.schema(schema).parquet(parquet_dir)
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (_side("clicks").filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    buys = (_side("buys").filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", watermark))
+    j = buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")),
+    )
+    return j.select(
+        "buy_id", "click_id", "user_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
+        .cast("long").alias("lag_sec"))

@@ -450,3 +450,23 @@ def test_cosine_near_pairs_recovers_planted_twins(spark, sf_small):
     true_pairs = {tuple(sorted((int(ids[iu[0][t]]), int(ids[iu[1][t]]))))
                   for t in np.flatnonzero(cos[iu] >= 0.9)}
     assert got == true_pairs
+
+
+def test_click_attribution_batch_equals_stream(spark, sf_small, tmp_path):
+    """Stream-stream interval join: the Structured Streaming twin (two
+    watermarked readStream sides, event-time-bounded state) emits exactly
+    the batch join's (buy, click) pairs on bounded input."""
+    import shutil
+
+    stream_dir = tmp_path / "events_ss_join"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", stream_dir / "events.parquet")
+
+    batch = W.click_attribution(
+        spark.read.parquet(f"{sf_small}/events.parquet"))
+    got = W.run_stream_to_memory(
+        W.click_attribution_streaming(spark, str(stream_dir)),
+        "ss_join_out", output_mode="append")
+    b = {(r.buy_id, r.click_id, r.lag_sec) for r in batch.collect()}
+    s = {(r.buy_id, r.click_id, r.lag_sec) for r in got.collect()}
+    assert b and b == s

@@ -12,3 +12,51 @@ def test_vector_tiles_points_stays_jvm(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                    "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_fact_table_never_broadcast(spark):
+    """Join-strategy invariant for the TPC-H surface: lineitem (the fact
+    table) must never appear on the build side of a BroadcastHashJoin —
+    at 100 TB a broadcast fact table is an OOM, and small-SF statistics
+    would happily pick it without the explicit hints. The check walks each
+    BroadcastExchange subtree and asserts no lineitem scan inside it."""
+    import re
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    for q in ["tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+              "tpch_q12", "tpch_q21"]:
+        plan = _executed_plan(em.queries()[q](spark, sf))
+        # indentation-scoped subtree walk: a BroadcastExchange node owns
+        # every deeper-indented line after it until indentation returns
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip(" +-:"))
+            for sub in lines[i + 1:]:
+                d = len(sub) - len(sub.lstrip(" +-:"))
+                if d <= depth and sub.strip():
+                    break
+                assert not re.search(r"lineitem\.parquet", sub), \
+                    f"{q}: lineitem scan inside a BroadcastExchange\n{ln}\n{sub}"
+
+
+def test_embed_near_dups_single_join_shuffle(spark):
+    """cosine_near_pairs: the band-bucket self-join is the only join in
+    the plan, and the exact-cosine refine happens on candidate pairs (no
+    cartesian / nested-loop node anywhere)."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    plan = _executed_plan(similarity.cosine_near_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
