@@ -98,6 +98,15 @@ def q_tile_assign_z8(spark, sf):
     return tiling.assign_tiles_points(_points(spark, sf), z=8).select("doc_id", "z", "x", "y")
 
 
+def q_morton_keys_z8(spark, sf):
+    # Z-order clustering key (Iceberg/Delta Z-ORDER parity): the 1-D sort
+    # key cluster_by_morton range-partitions files on, so bbox scans prune
+    # via parquet min/max stats
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return a.select("doc_id", "x", "y",
+                    tiles.morton_key(F.col("x"), F.col("y"), 8).alias("morton"))
+
+
 def q_tile_counts_z6(spark, sf):
     return tiling.tile_histogram(tiling.assign_tiles_points(_points(spark, sf), z=6))
 
@@ -1233,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "cube_doc_counts": q_cube_doc_counts,
         "click_attribution": q_click_attribution,
+        "morton_keys_z8": q_morton_keys_z8,
         "pip_join_rects_salted": q_pip_join_rects_salted,
         "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
@@ -1272,7 +1282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r02 greens re-verified (codec guard / changed-oracle queries) —
         "geobuf_roundtrip": q_geobuf_roundtrip,
         "polygon_roundtrip": q_polygon_roundtrip,
-        "feature_meta": q_feature_meta,
         "split_clip_z5": q_split_clip_z5,
         "knn_k5": q_knn_k5,
         # ---- position 51+: green in CORRECTNESS_r02, pytest-covered ----
@@ -1283,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_intersect_join": q_bbox_intersect_join,
         "multimodal_bytes": q_multimodal_bytes,
         "props_roundtrip": q_props_roundtrip,
+        "feature_meta": q_feature_meta,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
@@ -1875,6 +1885,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts})""",
         "tile_assign_z8": f"""
             SELECT doc_id, 8 AS z, {x8} AS x, {y8} AS y FROM ({pts})""",
+        "morton_keys_z8": f"""
+            SELECT doc_id, x, y, {tiles.sql_morton_key('x', 'y', 8)} AS morton
+            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
         "tile_counts_z6": f"""
             SELECT 6 AS z, {x6} AS x, {y6} AS y, count(*) AS n_features
             FROM ({pts}) GROUP BY 1, 2, 3""",

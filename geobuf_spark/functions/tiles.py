@@ -171,3 +171,61 @@ def tile_bounds(z: int, x: Column, y: Column):
     north = lat_of(y)
     south = lat_of(y + 1)
     return west, south, east, north
+
+
+# --- Morton (Z-order) spatial clustering key ------------------------------
+# Interleaving x/y tile bits gives a 1-D sort key that keeps spatial
+# neighbors in nearby file ranges — the standard 100 TB layout lever for
+# min/max-pruned scans (Iceberg/Delta Z-ORDER parity). The bit-spread is
+# the classic mask ladder, expressed once and rendered both as Column
+# arithmetic and as its SQL twin so DuckDB reproduces keys bit-for-bit.
+
+_SPREAD_STEPS = [  # (shift, mask) ladder spreading 16 bits to even positions
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_col(v: Column) -> Column:
+    for sh, mask in _SPREAD_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _spread_sql(v: str) -> str:
+    for sh, mask in _SPREAD_STEPS:
+        v = f"((({v}) | (({v}) << {sh})) & {mask})"
+    return v
+
+
+def morton_key(x: Column, y: Column, z: int) -> Column:
+    """Z-order key for tile (x, y) at zoom z ≤ 16: y bits interleaved into
+    the odd positions, x into the even — bigint, totally ordered along the
+    Z-curve."""
+    if z > 16:
+        raise ValueError("morton_key supports z <= 16 (32-bit interleave)")
+    return (F.shiftleft(_spread_col(y.cast("long")), 1)
+            .bitwiseOR(_spread_col(x.cast("long"))).cast("long"))
+
+
+def sql_morton_key(x: str, y: str, z: int) -> str:
+    """DuckDB twin of morton_key — identical mask ladder."""
+    if z > 16:
+        raise ValueError("morton_key supports z <= 16")
+    return (f"CAST((({_spread_sql(f'CAST({y} AS BIGINT)')} << 1) | "
+            f"{_spread_sql(f'CAST({x} AS BIGINT)')}) AS BIGINT)")
+
+
+def cluster_by_morton(df: Column, z: int, lon: str = "lon", lat: str = "lat",
+                      num_ranges: int | None = None):
+    """Range-partition + sort a point table along the Z-curve: each output
+    file covers a compact spatial extent, so bbox-filtered scans prune to
+    a handful of files via parquet min/max stats instead of reading the
+    world. One shuffle (the range partitioner samples the key)."""
+    mk = morton_key(tile_x(F.col(lon), z), tile_y(F.col(lat), z), z)
+    out = df.withColumn("_morton", mk)
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    return (out.repartitionByRange(n, "_morton")
+            .sortWithinPartitions("_morton"))

@@ -218,3 +218,82 @@ def next_increment(df: DataFrame, state_dir: str, order_col: str, n: int,
     spark = df.sparkSession
     return spark.createDataFrame(rows, page.schema) if rows else \
         spark.createDataFrame([], page.schema)
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots — the Iceberg table model on the same manifest
+# (BASELINE.json north rule: lineage persists "to Iceberg"; the sandbox has
+# no iceberg jars, so the semantics — immutable snapshot data, a manifest of
+# committed snapshot ids, time-travel reads, snapshot expiry — live on
+# parquet + the JSONL manifest. Swapping to real Iceberg is a table-format
+# change only: commit_snapshot ≙ append/overwrite commit, read_snapshot ≙
+# VERSION AS OF, expire_snapshots ≙ expireSnapshots.)
+# ---------------------------------------------------------------------------
+
+def commit_snapshot(df: DataFrame, path: str, run_id: str,
+                    partition_cols: list[str] | None = None) -> dict:
+    """Immutable snapshot commit: data lands in `data-<run_id>` (never
+    rewritten), the manifest append is the commit point, and EVERY prior
+    committed snapshot stays readable (contrast commit_output, which keeps
+    only the latest). Idempotent per run_id; crash-safe the same way."""
+    os.makedirs(path, exist_ok=True)
+    if run_id in committed_runs(path):
+        return {"status": "already_committed", "run_id": run_id}
+
+    staging = os.path.join(path, f".staging-{run_id}")
+    final = os.path.join(path, f"data-{run_id}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(final):
+        shutil.rmtree(final)  # uncommitted leftover (no manifest entry)
+
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    os.rename(staging, final)
+    entry = {"run_id": run_id, "status": "committed", "ts": time.time(),
+             "dir": f"data-{run_id}", "kind": "snapshot"}
+    with open(os.path.join(path, MANIFEST), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return entry
+
+
+def snapshots(path: str) -> list[dict]:
+    """Committed, unexpired snapshot entries in commit order."""
+    expired = {e["run_id"] for e in read_manifest(path)
+               if e.get("kind") == "expire"}
+    return [e for e in read_manifest(path)
+            if e.get("kind") == "snapshot" and e.get("status") == "committed"
+            and e["run_id"] not in expired]
+
+
+def read_snapshot(spark, path: str, run_id: str | None = None) -> DataFrame:
+    """Time-travel read: the named committed snapshot, or the latest.
+    Iceberg `VERSION AS OF` parity on the manifest."""
+    snaps = snapshots(path)
+    if not snaps:
+        raise ValueError(f"no committed snapshots under {path}")
+    if run_id is None:
+        entry = snaps[-1]
+    else:
+        match = [e for e in snaps if e["run_id"] == run_id]
+        if not match:
+            raise ValueError(f"snapshot {run_id!r} not committed (or expired)")
+        entry = match[0]
+    return spark.read.parquet(os.path.join(path, entry["dir"]))
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Expire all but the newest `keep_last` snapshots: manifest records
+    the expiry FIRST (so a crash mid-delete never leaves a readable entry
+    pointing at vanished data), then the data dirs are dropped."""
+    snaps = snapshots(path)
+    victims = snaps[:-keep_last] if keep_last > 0 else snaps
+    with open(os.path.join(path, MANIFEST), "a") as f:
+        for e in victims:
+            f.write(json.dumps({"run_id": e["run_id"], "kind": "expire",
+                                "ts": time.time()}) + "\n")
+    for e in victims:
+        shutil.rmtree(os.path.join(path, e["dir"]), ignore_errors=True)
+    return [e["run_id"] for e in victims]

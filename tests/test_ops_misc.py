@@ -470,3 +470,31 @@ def test_click_attribution_batch_equals_stream(spark, sf_small, tmp_path):
     b = {(r.buy_id, r.click_id, r.lag_sec) for r in batch.collect()}
     s = {(r.buy_id, r.click_id, r.lag_sec) for r in got.collect()}
     assert b and b == s
+
+
+def test_snapshot_time_travel_and_expiry(spark, tmp_path):
+    """Iceberg-semantics snapshots on the manifest: every committed
+    snapshot stays readable by run_id (VERSION AS OF), latest wins by
+    default, recommit of a run_id is a no-op, and expiry records in the
+    manifest BEFORE data deletion so reads never dangle."""
+    from geobuf_spark.ops import lineage as L
+
+    path = str(tmp_path / "versioned")
+    v1 = spark.range(10).withColumn("v", F.lit(1))
+    v2 = spark.range(20).withColumn("v", F.lit(2))
+    L.commit_snapshot(v1, path, "run-1")
+    L.commit_snapshot(v2, path, "run-2")
+
+    assert L.read_snapshot(spark, path, "run-1").count() == 10
+    assert L.read_snapshot(spark, path, "run-2").count() == 20
+    latest = L.read_snapshot(spark, path)
+    assert latest.count() == 20 and latest.select(F.max("v")).first()[0] == 2
+    # idempotent recommit: same run_id never rewrites the snapshot
+    assert L.commit_snapshot(v1, path, "run-2")["status"] == "already_committed"
+    assert L.read_snapshot(spark, path, "run-2").count() == 20
+
+    assert L.expire_snapshots(path, keep_last=1) == ["run-1"]
+    assert L.read_snapshot(spark, path).count() == 20
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        L.read_snapshot(spark, path, "run-1")

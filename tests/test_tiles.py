@@ -87,3 +87,43 @@ def test_ring_cells_counts(spark):
     for r in [0, 1, 2]:
         n = df.select(F.size(tiles.ring_cells(F.col("x"), F.col("y"), 10, r)).alias("n")).first().n
         assert n == (2 * r + 1) ** 2  # interior tile: full square, no clamping
+
+
+def test_morton_key_matches_bit_interleave(spark):
+    """The mask-ladder Column expression equals the textbook per-bit
+    interleave for random tiles, and the SQL twin is exercised by the
+    morton_keys_z8 driver oracle."""
+    import random
+
+    from geobuf_spark.functions import tiles as TT
+
+    def slow(x, y):
+        r = 0
+        for b in range(16):
+            r |= ((x >> b) & 1) << (2 * b)
+            r |= ((y >> b) & 1) << (2 * b + 1)
+        return r
+
+    rows = [(random.randrange(256), random.randrange(256)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.m for r in df.select(
+        "x", "y", TT.morton_key(F.col("x"), F.col("y"), 8).alias("m")).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == slow(x, y)
+
+
+def test_cluster_by_morton_files_are_disjoint_ranges(spark, sf_small):
+    """cluster_by_morton's output partitions cover NON-OVERLAPPING morton
+    ranges (repartitionByRange invariant) — exactly the property that lets
+    parquet min/max stats prune a bbox scan to a handful of files."""
+    from geobuf_spark.functions import tiles as TT
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small)
+    out = TT.cluster_by_morton(pts, z=8, num_ranges=8)
+    ranges = (out.groupBy(F.spark_partition_id().alias("pid"))
+              .agg(F.min("_morton").alias("lo"), F.max("_morton").alias("hi"))
+              .orderBy("lo").collect())
+    assert len(ranges) > 1
+    for a, b in zip(ranges[:-1], ranges[1:]):
+        assert a.hi <= b.lo, f"overlapping file ranges: {a} vs {b}"
