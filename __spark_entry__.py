@@ -1221,13 +1221,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
     # r3 window: never-rowed first — pages_synth, range_join_sessions, the
-    # five newly-oracled approximate queries, the three new r3 queries
-    # (knn_hex_k5, knn_s2_k5, embed_near_dups) and the 13 new TPC-H shapes
-    # (q2/q7/q8/q9/q11/q13/q15/q16/q17/q18/q20/q21/q22) — then changed-
+    # five newly-oracled approximate queries, and the 19 queries NEW in r3
+    # (knn_hex_k5, knn_s2_k5, embed_near_dups, cube_doc_counts,
+    # click_attribution, morton_keys_z8, the 13 TPC-H shapes
+    # q2/q7/q8/q9/q11/q13/q15/q16/q17/q18/q20/q21/q22) — then changed-
     # this-round (pip_join_rects_salted planner salt, MVT framing,
     # vector-tiles + split_clip oracles, codec guard roundtrips, knn_k5),
-    # then the 19-query r01 cohort (oldest greens). Every rotated-out
-    # query is green in CORRECTNESS_r02 and covered by the local sweep.
+    # then as much of the r01 cohort (oldest greens) as fits. Every
+    # rotated-out query is green in CORRECTNESS_r02 and covered by the
+    # local 91-query sweep.
     return {
         # — never driver-rowed / newly value-verified —
         "pages_synth": q_pages_synth,
