@@ -1879,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
     x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
     x10, y10 = tiles.sql_tile_x("lon", 10), tiles.sql_tile_y("lat", 10)
 
-    return {
+    out = {
         "mint_points": pts,
         "geo_bounds": f"""
             SELECT min(lon) AS west, min(lat) AS south, max(lon) AS east,
@@ -2489,6 +2489,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
-        "ann_ivf_top5": _ann_ivf_sql(),
         "pages_synth": _pages_synth_sql(),
     }
+    return _with_ivf_oracle(out)
+
+
+def _with_ivf_oracle(out: dict[str, str]) -> dict[str, str]:
+    # _ann_ivf_sql reads the embeddings parquet at generation time (the
+    # k-means training sample is pinned as centroid literals); on a host
+    # without the fixture, degrade ONLY ann_ivf_top5 to rows-only instead
+    # of taking all 90 other oracles down with a FileNotFoundError
+    try:
+        out["ann_ivf_top5"] = _ann_ivf_sql()
+    except Exception:
+        pass
+    return out

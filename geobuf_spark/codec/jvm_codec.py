@@ -24,14 +24,16 @@ _ENC_UDFS = {
     "gb_point_enc": "geobufspark.GbCodec$PointEnc",
     "gb_line_enc": "geobufspark.GbCodec$LineEnc",
 }
-_REGISTERED: set[int] = set()  # id(sparkSession) -> registered
+_REGISTERED: set[str] = set()  # Spark applicationId -> registered
 
 
 def register(spark: SparkSession) -> bool:
     """ADD JAR + register the decode and encode UDFs. Idempotent per
     session; False (never raises) when neither a prebuilt jar nor a JDK
     exists."""
-    key = id(spark)
+    # keyed on applicationId, not id(spark): a new session allocated at a
+    # garbage-collected session's address would otherwise skip registration
+    key = spark.sparkContext.applicationId
     if key in _REGISTERED:
         return True
     try:

@@ -303,6 +303,12 @@ def mvt_tiles_frames_kernel(fids: np.ndarray, cmds: pa.Array,
         buf[np.arange(coffs[-1] - coffs[0], dtype=np.int64) + coffs[0] + shift] = \
             cflat[coffs[0]:coffs[-1]]
 
+    if int(tile_off[-1]) >= 2**31:
+        # int32 Arrow binary offsets would wrap silently → corrupt blobs;
+        # a batch this size means collect_list grouped too many tiles
+        raise ValueError(
+            f"MVT batch of {int(tile_off[-1])} bytes exceeds the 2 GiB "
+            "Arrow binary limit; reduce tiles per batch")
     return pa.BinaryArray.from_buffers(
         pa.binary(), n_tile,
         [None, pa.py_buffer(tile_off.astype(np.int32).tobytes()),

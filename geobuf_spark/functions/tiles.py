@@ -218,7 +218,7 @@ def sql_morton_key(x: str, y: str, z: int) -> str:
             f"{_spread_sql(f'CAST({x} AS BIGINT)')}) AS BIGINT)")
 
 
-def cluster_by_morton(df: Column, z: int, lon: str = "lon", lat: str = "lat",
+def cluster_by_morton(df, z: int, lon: str = "lon", lat: str = "lat",
                       num_ranges: int | None = None):
     """Range-partition + sort a point table along the Z-curve: each output
     file covers a compact spatial extent, so bbox-filtered scans prune to

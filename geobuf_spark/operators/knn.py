@@ -113,28 +113,48 @@ def _knn_ring(p: DataFrame, q: DataFrame, k: int, z: int, ring: int):
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dist2", "guard2")
-    )
-
-    # completeness proof: k candidates found AND k-th distance within
-    # guard. Computed with windows over the SAME partitioning the top-k
-    # ranking already established — no groupBy shuffle, no join-back.
     # STRICT bound: an unexamined point exactly at the block boundary can
     # tie the k-th candidate and win the id tiebreak — <= would wrongly
     # declare the query resolved
+    return _resolve_with_guard(cand, k, F.col("guard2"), strict=True)
+
+
+def _resolve_with_guard(cand, k: int, guard2, strict: bool):
+    """Shared completeness machinery for every index family: rank the
+    candidate rows, then prove completeness — k candidates found AND the
+    k-th distance inside the guard — with windows over the SAME
+    partitioning the ranking established (no groupBy shuffle, no
+    join-back). `guard2` is the squared guard (per-query column or
+    literal); `strict` is the tie rule (strict `<` for center-distance
+    guards, `<=` when the guard is the exact cover radius — see knn_s2).
+    Returns (resolved rows, resolved query ids)."""
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
     wq = Window.partitionBy("query_id")
+    kth = F.col("kth")
+    ok = (kth < guard2) if strict else (kth <= guard2)
     resolved = (
-        topk.withColumn("n_found", F.count("*").over(wq))
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("n_found", F.count("*").over(wq))
         .withColumn("kth", F.max("dist2").over(wq))
-        .filter((F.col("n_found") == k) & (F.col("kth") < F.col("guard2")))
+        .filter((F.col("n_found") == k) & ok)
         .select("query_id", "neighbor_id", "rank", "dist2")
     )
     resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
     return resolved, resolved_q
+
+
+def _fallback_union(resolved, resolved_q, p, q, k: int, point_id: str):
+    """Shared tail of knn/knn_hex/knn_s2: brute-force only the queries the
+    guard could not prove complete, then stitch the two result sets."""
+    unresolved = q.join(resolved_q, "query_id", "left_anti") \
+        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
+    points2 = p.select(F.col("neighbor_id").alias(point_id),
+                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
+    fallback = knn_bruteforce(points2, unresolved, k,
+                              point_id=point_id, query_id="query_id")
+    return resolved.unionByName(fallback)
 
 
 def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int = 1,
@@ -150,15 +170,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5, ring: int 
     p = _prep_points(points, point_id, z).localCheckpoint(eager=False)
     q = _prep_queries(queries, query_id, z).localCheckpoint(eager=False)
     resolved, resolved_q = _knn_ring(p, q, k, z, ring)
-
-    unresolved_queries = q.join(resolved_q, "query_id", "left_anti") \
-        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    points2 = p.select(F.col("neighbor_id").alias(point_id),
-                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
-    fallback = knn_bruteforce(points2, unresolved_queries, k,
-                              point_id=point_id, query_id="query_id")
-
-    return resolved.unionByName(fallback)
+    return _fallback_union(resolved, resolved_q, p, q, k, point_id)
 
 
 def _hex_ring_deltas(ring: int) -> list[tuple[int, int]]:
@@ -215,30 +227,10 @@ def knn_hex(points: DataFrame, queries: DataFrame, k: int, *,
         .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"),
                                     F.col("nlon"), F.col("nlat")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                               F.col("neighbor_id").asc())
-    # completeness proof via windows over the same partitioning as the
-    # ranking (no groupBy shuffle / join-back — see _knn_ring). STRICT
-    # bound, same reasoning: a boundary point can tie the k-th candidate
-    # and win the id tiebreak
-    wq = Window.partitionBy("query_id")
-    resolved = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("n_found", F.count("*").over(wq))
-        .withColumn("kth", F.max("dist2").over(wq))
-        .filter((F.col("n_found") == k) & (F.col("kth") < guard2))
-        .select("query_id", "neighbor_id", "rank", "dist2")
-    )
-    resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
-
-    unresolved = q.join(resolved_q, "query_id", "left_anti") \
-        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    points2 = p.select(F.col("neighbor_id").alias(point_id),
-                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
-    fallback = knn_bruteforce(points2, unresolved, k,
-                              point_id=point_id, query_id="query_id")
-    return resolved.unionByName(fallback)
+    # STRICT bound, same reasoning as _knn_ring: a boundary point can tie
+    # the k-th candidate and win the id tiebreak
+    resolved, resolved_q = _resolve_with_guard(cand, k, guard2, strict=True)
+    return _fallback_union(resolved, resolved_q, p, q, k, point_id)
 
 
 def s2_radius(points: DataFrame, k: int) -> float:
@@ -249,6 +241,8 @@ def s2_radius(points: DataFrame, k: int) -> float:
     row = points.agg(F.count("*").alias("n"),
                      F.min("lon").alias("x0"), F.max("lon").alias("x1"),
                      F.min("lat").alias("y0"), F.max("lat").alias("y1")).first()
+    if row["n"] == 0:
+        return 1.0  # empty build side: any radius; candidates are empty
     area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-9)
     density = row["n"] / area
     if density <= 0:
@@ -318,26 +312,11 @@ def knn_s2(points: DataFrame, queries: DataFrame, k: int, *,
         .withColumn("dist2", _dist2(F.col("qlon"), F.col("qlat"),
                                     F.col("nlon"), F.col("nlat")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                               F.col("neighbor_id").asc())
-    wq = Window.partitionBy("query_id")
-    resolved = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("n_found", F.count("*").over(wq))
-        .withColumn("kth", F.max("dist2").over(wq))
-        .filter((F.col("n_found") == k) & (F.col("kth") <= F.lit(r * r)))
-        .select("query_id", "neighbor_id", "rank", "dist2")
-    )
-    resolved_q = resolved.filter(F.col("rank") == 1).select("query_id")
-
-    unresolved = q.join(resolved_q, "query_id", "left_anti") \
-        .select("query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat"))
-    points2 = p.select(F.col("neighbor_id").alias(point_id),
-                       F.col("nlon").alias("lon"), F.col("nlat").alias("lat"))
-    fallback = knn_bruteforce(points2, unresolved, k,
-                              point_id=point_id, query_id="query_id")
-    return resolved.unionByName(fallback)
+    # NON-strict bound: r is the exact cover radius, so kth == r² is still
+    # provably complete (candidates cover the closed disk)
+    resolved, resolved_q = _resolve_with_guard(cand, k, F.lit(r * r),
+                                               strict=False)
+    return _fallback_union(resolved, resolved_q, p, q, k, point_id)
 
 
 def start_ring(p: DataFrame, k: int) -> int:

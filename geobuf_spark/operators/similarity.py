@@ -75,6 +75,39 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
+def _cosine_refine(cand: DataFrame, id_left: str, id_right: str,
+                   emb_left: str, emb_right: str) -> DataFrame:
+    """Exact cosine over candidate pairs in ONE Arrow pass (row-wise numpy
+    products, denominator floored at 1e-30) -> (id_left, id_right, cos).
+    The single refine kernel behind ann_topk, ivf_topk, and
+    cosine_near_pairs - fix it here, every family inherits it."""
+    import pyarrow as pa
+
+    out_schema = T.StructType([
+        T.StructField(id_left, T.LongType()),
+        T.StructField(id_right, T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def _cos(batches):
+        for batch in batches:
+            names = batch.schema.names
+            a = _emb_matrix(batch.column(names.index(emb_left)))
+            b = _emb_matrix(batch.column(names.index(emb_right)))
+            if len(a) == 0:
+                continue
+            num = (a * b).sum(axis=1)
+            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index(id_left)).cast(pa.int64()),
+                 batch.column(names.index(id_right)).cast(pa.int64()),
+                 pa.array(num / den)],
+                names=[id_left, id_right, "cos"])
+
+    return (cand.select(id_left, id_right, emb_left, emb_right)
+            .mapInArrow(_cos, out_schema))
+
+
 def _emb_matrix(col: "pa.Array") -> np.ndarray:
     """Arrow list<float> column → (n, dim) float64 matrix, zero-copy-ish."""
     import pyarrow as pa
@@ -206,34 +239,7 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
         .dropDuplicates(["query_id", vec_id])
     )
 
-    # exact cosine re-rank in one Arrow pass (row-wise numpy, no expr trees)
-    import pyarrow as pa
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField(vec_id, T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def _cos(batches):
-        for batch in batches:
-            names = batch.schema.names
-            qid = batch.column(names.index("query_id")).to_numpy(zero_copy_only=False)
-            nid = batch.column(names.index(vec_id)).to_numpy(zero_copy_only=False)
-            a = _emb_matrix(batch.column(names.index(emb)))
-            b = _emb_matrix(batch.column(names.index("qemb")))
-            if len(a) == 0:
-                continue
-            num = (a * b).sum(axis=1)
-            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(qid.astype(np.int64)), pa.array(nid.astype(np.int64)),
-                 pa.array(num / den)],
-                names=["query_id", vec_id, "cos"],
-            )
-
-    scored = cand.select("query_id", vec_id, emb, "qemb").mapInArrow(_cos, out_schema)
+    scored = _cosine_refine(cand, "query_id", vec_id, emb, "qemb")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(vec_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -496,27 +502,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         .filter(F.col(vec_id) != F.col("query_id"))
     )
 
-    out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField(vec_id, T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def _cos(batches):
-        for batch in batches:
-            names = batch.schema.names
-            a = _emb_matrix(batch.column(names.index(emb)))
-            b = _emb_matrix(batch.column(names.index("qemb")))
-            if len(a) == 0:
-                continue
-            num = (a * b).sum(axis=1)
-            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(names.index("query_id")), batch.column(names.index(vec_id)),
-                 pa.array(num / den)],
-                names=["query_id", vec_id, "cos"])
-
-    scored = cand.select("query_id", vec_id, emb, "qemb").mapInArrow(_cos, out_schema)
+    scored = _cosine_refine(cand, "query_id", vec_id, emb, "qemb")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(vec_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -569,27 +555,5 @@ def cosine_near_pairs(vectors: DataFrame, threshold: float = 0.9, *,
              .filter(F.col("a") < F.col("b"))
              .dropDuplicates(["a", "b"]))
 
-    import pyarrow as pa
-
-    out_schema = T.StructType([
-        T.StructField("a", T.LongType()),
-        T.StructField("b", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def _cos(batches):
-        for batch in batches:
-            names = batch.schema.names
-            a = _emb_matrix(batch.column(names.index("ea")))
-            b = _emb_matrix(batch.column(names.index("eb")))
-            if len(a) == 0:
-                continue
-            num = (a * b).sum(axis=1)
-            den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(names.index("a")), batch.column(names.index("b")),
-                 pa.array(num / den)],
-                names=["a", "b", "cos"])
-
-    scored = pairs.select("a", "b", "ea", "eb").mapInArrow(_cos, out_schema)
+    scored = _cosine_refine(pairs, "a", "b", "ea", "eb")
     return scored.filter(F.col("cos") >= F.lit(threshold)).select("a", "b", "cos")

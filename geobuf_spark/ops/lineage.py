@@ -238,7 +238,14 @@ def commit_snapshot(df: DataFrame, path: str, run_id: str,
     only the latest). Idempotent per run_id; crash-safe the same way."""
     os.makedirs(path, exist_ok=True)
     if run_id in committed_runs(path):
-        return {"status": "already_committed", "run_id": run_id}
+        # distinguish live from expired: an expired id's data is gone, so
+        # silently reporting "already_committed" would leave the caller
+        # believing in a snapshot nothing can read
+        if any(e["run_id"] == run_id for e in snapshots(path)):
+            return {"status": "already_committed", "run_id": run_id}
+        raise ValueError(
+            f"snapshot {run_id!r} was committed and then expired; "
+            "run ids are immutable — pick a new one")
 
     staging = os.path.join(path, f".staging-{run_id}")
     final = os.path.join(path, f"data-{run_id}")

@@ -317,16 +317,16 @@ def click_attribution_streaming(spark: SparkSession, parquet_dir: str,
     (buy_id, click_id) pairs (pytest-pinned)."""
     schema = spark.read.parquet(parquet_dir).schema
 
-    def _side(name):
+    def _side():
         s = spark.readStream.schema(schema).parquet(parquet_dir)
         return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    clicks = (_side("clicks").filter(F.col("event_type") == "click")
+    clicks = (_side().filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
                       F.col("ts").alias("click_ts"))
               .withWatermark("click_ts", watermark))
-    buys = (_side("buys").filter(F.col("event_type") == "purchase")
+    buys = (_side().filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("event_id").alias("buy_id"),
                     F.col("ts").alias("buy_ts"))
             .withWatermark("buy_ts", watermark))

@@ -167,3 +167,16 @@ def test_knn_hex_sparse_escalation(spark):
     want = {(r.query_id, r.neighbor_id, r.rank)
             for r in K.knn_bruteforce(pts, qs, 4).collect()}
     assert got == want
+
+
+def test_knn_s2_empty_points(spark, sf_small):
+    """All three index families agree on the degenerate empty build side:
+    zero candidates, zero crashes (s2_radius previously raised TypeError
+    on the all-NULL bbox aggregate)."""
+    from geobuf_spark.operators import knn as K
+    from geobuf_spark.sources import minted
+
+    pts = minted.minted_points(spark, sf_small).filter("doc_id < 0")
+    qs = minted.minted_points(spark, sf_small).limit(3) \
+        .withColumnRenamed("doc_id", "query_id")
+    assert K.knn_s2(pts, qs, k=3).count() == 0

@@ -498,3 +498,7 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         L.read_snapshot(spark, path, "run-1")
+    # recommitting an EXPIRED run id must fail loudly — its data is gone,
+    # so "already_committed" would promise a snapshot nothing can read
+    with _pytest.raises(ValueError, match="expired"):
+        L.commit_snapshot(v1, path, "run-1")
