@@ -340,3 +340,25 @@ def click_attribution_streaming(spark: SparkSession, parquet_dir: str,
         "buy_id", "click_id", "user_id",
         (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
         .cast("long").alias("lag_sec"))
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Batch twin of stream dedup: first occurrence per event_id (exact
+    dedup on the stream key — the training-pipeline guard against source
+    replays / at-least-once ingestion)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def dedup_events_streaming(spark: SparkSession, parquet_dir: str,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: state holds
+    only `watermark` of seen keys instead of the whole stream's (the
+    unbounded-state failure mode of plain dropDuplicates on streams).
+    Within one bounded replay the emitted set equals the batch twin's
+    (pytest-pinned); duplicates farther apart than the watermark are the
+    documented approximation every production deduper makes."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(parquet_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", watermark))
+    return stream.dropDuplicatesWithinWatermark(["event_id"])

@@ -502,3 +502,25 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
     # so "already_committed" would promise a snapshot nothing can read
     with _pytest.raises(ValueError, match="expired"):
         L.commit_snapshot(v1, path, "run-1")
+
+
+def test_dedup_events_batch_equals_stream(spark, sf_small, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+    state) emits exactly the batch twin's row set on a bounded replay
+    containing planted duplicates."""
+    import shutil
+
+    src = spark.read.parquet(f"{sf_small}/events.parquet")
+    dup = src.limit(50)  # replayed rows: same event_ids appear twice
+    stream_dir = tmp_path / "events_dedup_stream"
+    stream_dir.mkdir()
+    src.unionByName(dup).coalesce(1).write.parquet(str(stream_dir / "in"))
+
+    batch = W.dedup_events(spark.read.parquet(str(stream_dir / "in")))
+    got = W.run_stream_to_memory(
+        W.dedup_events_streaming(spark, str(stream_dir / "in")),
+        "dedup_stream_out", output_mode="append")
+    b = {r.event_id for r in batch.collect()}
+    s = {r.event_id for r in got.collect()}
+    assert b and b == s
+    assert len(s) == src.count()
