@@ -1001,9 +1001,13 @@ def q_tpch_q18(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet")
+    # filter on the RAW sum (matching the oracle's HAVING sum(..) > 300);
+    # rounding only in the projection — filtering the rounded value would
+    # diverge for totals in (300, 300.005)
     big = (li.groupBy("l_orderkey")
-           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-           .filter(F.col("sum_qty") > 300))
+           .agg(F.sum("l_quantity").alias("raw_qty"))
+           .filter(F.col("raw_qty") > 300)
+           .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty")))
     return (o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
             .join(F.broadcast(c.select("c_custkey", "c_name")),
                   F.col("o_custkey") == F.col("c_custkey"))
@@ -2498,9 +2502,13 @@ def _with_ivf_oracle(out: dict[str, str]) -> dict[str, str]:
     # _ann_ivf_sql reads the embeddings parquet at generation time (the
     # k-means training sample is pinned as centroid literals); on a host
     # without the fixture, degrade ONLY ann_ivf_top5 to rows-only instead
-    # of taking all 90 other oracles down with a FileNotFoundError
+    # of taking all 90 other oracles down with a FileNotFoundError.
+    # Only the documented missing-fixture case degrades; a real bug in
+    # _ann_ivf_sql must surface, not silently drop value verification.
     try:
         out["ann_ivf_top5"] = _ann_ivf_sql()
-    except Exception:
-        pass
+    except (FileNotFoundError, OSError) as e:
+        import sys
+        print(f"[oracle] ann_ivf_top5 degraded to rows-only: {e}",
+              file=sys.stderr)
     return out

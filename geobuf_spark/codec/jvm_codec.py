@@ -24,18 +24,19 @@ _ENC_UDFS = {
     "gb_point_enc": "geobufspark.GbCodec$PointEnc",
     "gb_line_enc": "geobufspark.GbCodec$LineEnc",
 }
-_REGISTERED: set[str] = set()  # Spark applicationId -> registered
-
-
 def register(spark: SparkSession) -> bool:
     """ADD JAR + register the decode and encode UDFs. Idempotent per
     session; False (never raises) when neither a prebuilt jar nor a JDK
     exists."""
-    # keyed on applicationId, not id(spark): a new session allocated at a
-    # garbage-collected session's address would otherwise skip registration
-    key = spark.sparkContext.applicationId
-    if key in _REGISTERED:
-        return True
+    # registerJavaFunction is per-session (session catalog), so idempotence
+    # is probed from the catalog itself: an applicationId key would skip
+    # registration for a second session (spark.newSession()) in the same
+    # app, and an id(spark) key can alias a GC'd session's address.
+    try:
+        if spark.catalog.functionExists("gb_line_enc"):
+            return True
+    except Exception:
+        pass
     try:
         from tools.build_jvm import build
     except ImportError:  # repo tools not importable (installed package)
@@ -54,7 +55,6 @@ def register(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(name, cls, T.BinaryType())
     except Exception:
         return False
-    _REGISTERED.add(key)
     return True
 
 

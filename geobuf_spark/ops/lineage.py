@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -30,6 +31,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
+
+_RUN_ID_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}")
+
+
+def _check_run_id(run_id: str) -> str:
+    """run_id is interpolated into filesystem paths (.staging-<id>,
+    data-<id>); reject separators / traversal ('..' alone can't start a
+    match, but 'a/../..' could escape the table dir and rmtree outside it)."""
+    if not isinstance(run_id, str) or not _RUN_ID_RE.fullmatch(run_id) \
+            or ".." in run_id:
+        raise ValueError(
+            f"run_id {run_id!r} is not a safe slug (want "
+            "[A-Za-z0-9][A-Za-z0-9._-]*, max 128 chars, no '..')")
+    return run_id
 
 
 class JobContext:
@@ -122,6 +137,7 @@ def commit_output(df: DataFrame, path: str, run_id: str, partition_cols: list[st
     3. record per-partition lineage;
     4. rename staging → final, append manifest entry (the commit point).
     """
+    _check_run_id(run_id)
     os.makedirs(path, exist_ok=True)
     if run_id in committed_runs(path):
         return {"status": "already_committed", "run_id": run_id}
@@ -236,16 +252,22 @@ def commit_snapshot(df: DataFrame, path: str, run_id: str,
     rewritten), the manifest append is the commit point, and EVERY prior
     committed snapshot stays readable (contrast commit_output, which keeps
     only the latest). Idempotent per run_id; crash-safe the same way."""
+    _check_run_id(run_id)
     os.makedirs(path, exist_ok=True)
     if run_id in committed_runs(path):
-        # distinguish live from expired: an expired id's data is gone, so
-        # silently reporting "already_committed" would leave the caller
-        # believing in a snapshot nothing can read
+        # distinguish live from expired, and both from a run_id that a
+        # plain commit_output used on this path (its manifest entry has no
+        # kind="snapshot" — calling that "expired" would mislead)
         if any(e["run_id"] == run_id for e in snapshots(path)):
             return {"status": "already_committed", "run_id": run_id}
+        if any(e.get("kind") == "snapshot" and e["run_id"] == run_id
+               for e in read_manifest(path)):
+            raise ValueError(
+                f"snapshot {run_id!r} was committed and then expired; "
+                "run ids are immutable — pick a new one")
         raise ValueError(
-            f"snapshot {run_id!r} was committed and then expired; "
-            "run ids are immutable — pick a new one")
+            f"run_id {run_id!r} was already used by a non-snapshot commit "
+            "on this path — pick a new one")
 
     staging = os.path.join(path, f".staging-{run_id}")
     final = os.path.join(path, f"data-{run_id}")

