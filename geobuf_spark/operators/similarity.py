@@ -254,9 +254,21 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int, *, nbits: int = 16,
 # top-nprobe buckets, exact cosine re-rank on candidates only.
 # ---------------------------------------------------------------------------
 
+def _sample_order(col, hash_fn: str):
+    """Hash expression that orders the deterministic training sample.
+    "portable" = md5 (DuckDB-recomputable — the oracle bridge);
+    "xxhash64" = the production path (JVM-side, ~10x cheaper per row)."""
+    if hash_fn == "portable":
+        return phash.hash60(col.cast("string"))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"hash_fn must be 'portable' or 'xxhash64', got {hash_fn!r}")
+
+
 def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
                   vec_id: str = "vec_id", emb: str = "embedding",
-                  sample_n: int | None = 100_000) -> np.ndarray:
+                  sample_n: int | None = 100_000,
+                  hash_fn: str = "portable") -> np.ndarray:
     """Deterministic k-means on normalized vectors.
 
     With `sample_n` (default): train on the sample_n vectors with the
@@ -287,7 +299,7 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
     if sample_n is not None:
         rows = (
             vectors.select(vec_id, emb)
-            .orderBy(phash.hash60(F.col(vec_id).cast("string")))
+            .orderBy(_sample_order(F.col(vec_id), hash_fn))
             .limit(max(sample_n, n_centroids)).collect()
         )
         mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -308,7 +320,7 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, iters: int = 5,
 
     seed_rows = (
         vectors.select(vec_id, emb)
-        .orderBy(phash.hash60(F.col(vec_id).cast("string")))
+        .orderBy(_sample_order(F.col(vec_id), hash_fn))
         .limit(n_centroids).collect()
     )
     cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
@@ -461,7 +473,7 @@ def _assign_clusters(vectors: DataFrame, cents: np.ndarray,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
              n_centroids: int = 16, nprobe: int = 4, iters: int = 5,
              vec_id: str = "vec_id", emb: str = "embedding",
-             query_id: str = "query_id") -> DataFrame:
+             query_id: str = "query_id", hash_fn: str = "portable") -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank).
 
     nprobe trades recall for candidate volume; nprobe == n_centroids
@@ -469,7 +481,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     import pyarrow as pa
 
     nprobe = min(nprobe, n_centroids)
-    cents = ivf_centroids(vectors, n_centroids, iters, vec_id, emb)
+    cents = ivf_centroids(vectors, n_centroids, iters, vec_id, emb,
+                          hash_fn=hash_fn)
     sv = _assign_clusters(vectors, cents, vec_id, emb)
 
     spark = vectors.sparkSession
