@@ -141,13 +141,31 @@ def sql_tile_x(lon: str, z: int) -> str:
     )
 
 
-def sql_tile_y(lat: str, z: int) -> str:
+def merc_tile_boundaries(z: int) -> list:
+    """Interior tile-row boundary latitudes lat_of(1 .. n-1) at zoom z
+    (lat_of(y) = degrees(atan(sinh(π(1 - 2y/n)))), descending)."""
+    import math
     n = _n(z)
-    clamped = f"least(greatest({lat}, {-MAX_LAT}), {MAX_LAT})"
-    return (
-        f"CAST(least(greatest(floor((1.0 - ln(tan(radians({clamped})) + "
-        f"1.0 / cos(radians({clamped}))) / 3.141592653589793) / 2.0 * {float(n)}), 0), {n - 1}) AS BIGINT)"
-    )
+    return [math.degrees(math.atan(math.sinh(
+        3.141592653589793 * (1.0 - 2.0 * yy / n)))) for yy in range(1, n)]
+
+
+def sql_tile_y(lat: str, z: int) -> str:
+    """Transcendental-free DuckDB twin of tile_y: tile row = how many
+    interior boundary latitudes sit at-or-above `lat` (row y covers
+    lat ∈ (s_lat(y), n_lat(y)], matching the engine's floor semantics in
+    real arithmetic, boundary belonging to the northern row's south edge).
+
+    The previous form repeated the engine's ln(tan+sec) formula in DuckDB;
+    mathematically identical, but two libms can round a boundary-adjacent
+    floor differently (VERDICT r3 #4 / ADVICE r2 #5). Injecting the
+    boundary latitudes as literals leaves exactly ONE transcendental
+    evaluation in the system (the engine's), and plain IEEE comparisons on
+    the oracle side; tests/test_tiles.py pins a >=1e-8 margin between
+    every testdata latitude's mercator position and the nearest tile
+    boundary at all oracle zooms, so the two classifications agree."""
+    bounds = ", ".join(repr(b) for b in merc_tile_boundaries(z))
+    return f"CAST(len(list_filter([{bounds}], b -> ({lat}) <= b)) AS BIGINT)"
 
 
 def sql_cell_id(z: int, x: str, y: str) -> str:

@@ -127,3 +127,40 @@ def test_cluster_by_morton_files_are_disjoint_ranges(spark, sf_small):
     assert len(ranges) > 1
     for a, b in zip(ranges[:-1], ranges[1:]):
         assert a.hi <= b.lo, f"overlapping file ranges: {a} vs {b}"
+
+
+def test_merc_boundary_margin_for_oracle_lats(spark):
+    """Every latitude the DuckDB oracles push through sql_tile_y (minted
+    points/rects, event points, synthesized pages) must clear every tile-row
+    boundary by >= 1e-8 tile units at every oracle zoom. sql_tile_y
+    classifies with literal boundary comparisons (exact IEEE) while the
+    engine runs floor(ln(tan+sec)); a few-ulp formula error (~1e-11 at
+    z=12) can only disagree with the literal classification inside this
+    margin — so the pinned margin proves the two agree on this data."""
+    import numpy as np
+
+    from geobuf_spark.sources import minted, pages
+
+    lats = []
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"]:
+        pts = minted.minted_points(spark, sf).select("lat").toPandas()
+        lats.append(pts["lat"].to_numpy())
+        r = minted.minted_rects(spark, sf).select("miny", "maxy").toPandas()
+        lats += [r["miny"].to_numpy(), r["maxy"].to_numpy()]
+        ev = spark.read.parquet(f"{sf}/events.parquet").select("user_id").toPandas()
+        u = ev["user_id"].to_numpy().astype(np.int64)
+        lats.append(((u * minted.LAT_MULT) % minted.LAT_MOD
+                     - minted.LAT_MOD // 2) / 1e7)
+    pg = pages.with_minted_geometry(pages.pages(spark, 20000)) \
+        .select("lat").toPandas()
+    lats.append(pg["lat"].to_numpy())
+    arr = np.unique(np.concatenate(lats))
+    assert len(arr) > 1000
+    worst = 1.0
+    for z in range(1, 13):
+        n = float(1 << z)
+        t = n * (1.0 - np.arcsinh(np.tan(np.radians(arr))) / np.pi) / 2.0
+        frac = np.abs(t - np.round(t))
+        worst = min(worst, float(frac.min()))
+    assert worst > 1e-8, f"testdata lat within {worst} of a tile boundary"
