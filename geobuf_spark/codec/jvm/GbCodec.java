@@ -229,14 +229,20 @@ public final class GbCodec {
             if (m == 0 || m % 2 != 0)
                 throw new IllegalArgumentException(
                     "line coords must be non-empty interleaved x,y (dim 2)");
+            // one iterator traversal into a primitive array: per-index
+            // apply() pays generic dispatch + unboxing twice per vertex,
+            // which dominates the encode at production vertex counts
+            long[] q = new long[m];
+            scala.collection.Iterator<Double> it = coords.iterator();
+            for (int i = 0; i < m; i++)
+                q[i] = (long) ((double) it.next() * 1e7);
             long[] zz = new long[m];
             long minx = Long.MAX_VALUE, maxx = Long.MIN_VALUE;
             long miny = Long.MAX_VALUE, maxy = Long.MIN_VALUE;
             long px = 0, py = 0;
             int glen = 0;
             for (int i = 0; i < m; i += 2) {
-                long x = (long) ((double) (Double) coords.apply(i) * 1e7);
-                long y = (long) ((double) (Double) coords.apply(i + 1) * 1e7);
+                long x = q[i], y = q[i + 1];
                 zz[i] = zigzag(i == 0 ? x : x - px);
                 zz[i + 1] = zigzag(i == 0 ? y : y - py);
                 glen += varintLen(zz[i]) + varintLen(zz[i + 1]);
