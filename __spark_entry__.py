@@ -1228,95 +1228,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r3 window: never-rowed first — pages_synth, range_join_sessions, the
-    # five newly-oracled approximate queries, and the 19 queries NEW in r3
-    # (knn_hex_k5, knn_s2_k5, embed_near_dups, cube_doc_counts,
-    # click_attribution, morton_keys_z8, the 13 TPC-H shapes
-    # q2/q7/q8/q9/q11/q13/q15/q16/q17/q18/q20/q21/q22) — then changed-
-    # this-round (pip_join_rects_salted planner salt, MVT framing,
-    # vector-tiles + split_clip oracles, codec guard roundtrips, knn_k5),
-    # then as much of the r01 cohort (oldest greens) as fits. Every
-    # rotated-out query is green in CORRECTNESS_r02 and covered by the
-    # local 91-query sweep.
+    # r4 window: (a) the 18 queries whose code or oracle changed this
+    # round — every sql_tile_y oracle moved to the literal boundary-count
+    # form, tpch_q18's raw-sum filter, ann_ivf_top5's hash_fn plumbing,
+    # embed_near_dups' multiprobe rewrite, knn_adaptive's restructure —
+    # then (b) 32 of the r3 rotated-out tail, oldest driver greens first
+    # (the r01 cohort members squeezed out longest: multimodal_bytes,
+    # feature_meta, props_roundtrip, tpch_q4/q6/q10/q12/q14/q19,
+    # pip_join_hex, pip_join_general, asof_purchase_view — VERDICT r3 #3).
+    # Rotated out past 50: the full r3-window cohort (fresh CORRECTNESS_r03
+    # greens) + mint_points/running_total/rollup/pivot (double-green
+    # r1+r2); every one is covered by the local 91-query sweep.
     return {
-        # — never driver-rowed / newly value-verified —
+        # — (a) code or oracle changed this round —
         "pages_synth": q_pages_synth,
-        "range_join_sessions": q_range_join_sessions,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_lsh_top5": q_ann_lsh_top5,
-        "ann_ivf_top5": q_ann_ivf_top5,
-        # — new / changed this round —
-        "knn_hex_k5": q_knn_hex_k5,
-        "knn_s2_k5": q_knn_s2_k5,
-        "embed_near_dups": q_embed_near_dups,
-        "cube_doc_counts": q_cube_doc_counts,
-        "click_attribution": q_click_attribution,
-        "morton_keys_z8": q_morton_keys_z8,
-        "pip_join_rects_salted": q_pip_join_rects_salted,
-        "mvt_tiles_z4": q_mvt_tiles_z4,
         "vector_tiles_z5": q_vector_tiles_z5,
-        # — r01 cohort (oldest greens) —
+        "mvt_tiles_z4": q_mvt_tiles_z4,
+        "split_clip_z5": q_split_clip_z5,
+        "tile_assign_z8": q_tile_assign_z8,
         "tile_counts_z6": q_tile_counts_z6,
         "tile_parent_promote": q_tile_parent_promote,
-        "hex_density": q_hex_density,
-        "s2_cells_l8": q_s2_cells_l8,
-        "pip_join_triangles": q_pip_join_triangles,
-        "knn_adaptive_k5": q_knn_adaptive_k5,
-        "feature_count": q_feature_count,
-        "increment_limit": q_increment_limit,
-        "union_datasets": q_union_datasets,
-        "csv_export": q_csv_export,
-        "distinct_prop_keys": q_distinct_prop_keys,
-        "map_features": q_map_features,
-        "cover_size_estimate": q_cover_size_estimate,
-        "sliding_window": q_sliding_window,
-        "rasterize_z4": q_rasterize_z4,
-        "embedding_norms_q": q_embedding_norms_q,
-        "topk_per_group": q_topk_per_group,
-        "doc_fingerprint": q_doc_fingerprint,
-        # — new this round: the remaining 13 TPC-H query shapes —
-        "tpch_q2": q_tpch_q2,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # — r02 greens re-verified (codec guard / changed-oracle queries) —
-        "geobuf_roundtrip": q_geobuf_roundtrip,
-        "polygon_roundtrip": q_polygon_roundtrip,
-        "split_clip_z5": q_split_clip_z5,
-        "knn_k5": q_knn_k5,
-        # ---- position 51+: green in CORRECTNESS_r02, pytest-covered ----
-        # (tpch_q5 rotated out for knn_s2_k5, bbox_intersect_join for
-        # embed_near_dups — both double-green r1+r2; tpch_q5's r3
-        # follow-up is a bench re-measure, which bench.py carries)
-        "tpch_q5": q_tpch_q5,
-        "bbox_intersect_join": q_bbox_intersect_join,
-        "multimodal_bytes": q_multimodal_bytes,
-        "props_roundtrip": q_props_roundtrip,
-        "feature_meta": q_feature_meta,
-        "tile_assign_z8": q_tile_assign_z8,
         "tile_pyramid": q_tile_pyramid,
         "tile_cover_rects_z7": q_tile_cover_rects_z7,
+        "cover_size_estimate": q_cover_size_estimate,
+        "rasterize_z4": q_rasterize_z4,
         "vectorize_z3": q_vectorize_z3,
-        "pip_join_rects": q_pip_join_rects,
-        "pip_join_s2": q_pip_join_s2,
+        "tile_stream_counts": q_tile_stream_counts,
+        "morton_keys_z8": q_morton_keys_z8,
+        "knn_adaptive_k5": q_knn_adaptive_k5,
+        "embed_near_dups": q_embed_near_dups,
+        "ann_ivf_top5": q_ann_ivf_top5,
+        "tpch_q18": q_tpch_q18,
+        # — (b) oldest-green tail, rotated back in —
+        "multimodal_bytes": q_multimodal_bytes,
+        "feature_meta": q_feature_meta,
+        "props_roundtrip": q_props_roundtrip,
         "pip_join_hex": q_pip_join_hex,
         "pip_join_general": q_pip_join_general,
-        "pip_semi": q_pip_semi,
         "asof_purchase_view": q_asof_purchase_view,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q5": q_tpch_q5,
+        "bbox_intersect_join": q_bbox_intersect_join,
+        "pip_join_rects": q_pip_join_rects,
+        "pip_join_s2": q_pip_join_s2,
+        "pip_semi": q_pip_semi,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "ann_cosine_top5": q_ann_cosine_top5,
-        "mint_points": q_mint_points,
         "geo_bounds": q_geo_bounds,
         "doc_quality": q_doc_quality,
         "token_totals": q_token_totals,
@@ -1327,15 +1290,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_enriched": q_events_enriched,
         "sessionize": q_sessionize,
-        "tile_stream_counts": q_tile_stream_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
+        # ---- position 51+: fresh greens in CORRECTNESS_r03 (the r3
+        # window cohort) or double-green r1+r2, all sweep-covered ----
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh_top5": q_ann_lsh_top5,
+        "knn_hex_k5": q_knn_hex_k5,
+        "knn_s2_k5": q_knn_s2_k5,
+        "knn_k5": q_knn_k5,
+        "cube_doc_counts": q_cube_doc_counts,
+        "click_attribution": q_click_attribution,
+        "pip_join_rects_salted": q_pip_join_rects_salted,
+        "pip_join_triangles": q_pip_join_triangles,
+        "hex_density": q_hex_density,
+        "s2_cells_l8": q_s2_cells_l8,
+        "range_join_sessions": q_range_join_sessions,
+        "feature_count": q_feature_count,
+        "increment_limit": q_increment_limit,
+        "union_datasets": q_union_datasets,
+        "csv_export": q_csv_export,
+        "distinct_prop_keys": q_distinct_prop_keys,
+        "map_features": q_map_features,
+        "sliding_window": q_sliding_window,
+        "embedding_norms_q": q_embedding_norms_q,
+        "topk_per_group": q_topk_per_group,
+        "doc_fingerprint": q_doc_fingerprint,
+        "geobuf_roundtrip": q_geobuf_roundtrip,
+        "polygon_roundtrip": q_polygon_roundtrip,
+        "mint_points": q_mint_points,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "running_total": q_running_total,
         "rollup_doc_counts": q_rollup_doc_counts,
         "pivot_lang_source": q_pivot_lang_source,
