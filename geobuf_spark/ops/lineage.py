@@ -297,28 +297,63 @@ def snapshots(path: str) -> list[dict]:
             and e["run_id"] not in expired]
 
 
+def current_snapshot_id(path: str) -> str | None:
+    """The snapshot a bare `read_snapshot(path)` resolves to: the last
+    manifest event wins — a snapshot commit moves the pointer forward, a
+    rollback moves it to its target (Iceberg current-snapshot-id parity).
+    None when no live snapshot exists."""
+    expired = {e["run_id"] for e in read_manifest(path)
+               if e.get("kind") == "expire"}
+    cur = None
+    for e in read_manifest(path):
+        if e.get("kind") == "snapshot" and e.get("status") == "committed":
+            cur = e["run_id"]
+        elif e.get("kind") == "rollback":
+            cur = e["target"]
+    return None if cur is None or cur in expired else cur
+
+
+def rollback_to_snapshot(path: str, run_id: str) -> dict:
+    """Iceberg `rollback_to_snapshot` parity: point the table's CURRENT
+    snapshot back at an older committed one. Pure manifest append — no
+    data moves, every other snapshot stays readable by explicit id, and
+    a later commit simply moves the pointer forward again."""
+    _check_run_id(run_id)
+    if not any(e["run_id"] == run_id for e in snapshots(path)):
+        raise ValueError(f"snapshot {run_id!r} not committed (or expired); "
+                         "cannot roll back to it")
+    entry = {"kind": "rollback", "target": run_id, "ts": time.time()}
+    with open(os.path.join(path, MANIFEST), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return entry
+
+
 def read_snapshot(spark, path: str, run_id: str | None = None) -> DataFrame:
-    """Time-travel read: the named committed snapshot, or the latest.
-    Iceberg `VERSION AS OF` parity on the manifest."""
+    """Time-travel read: the named committed snapshot, or the CURRENT one
+    (the latest commit unless a rollback re-pointed it). Iceberg
+    `VERSION AS OF` parity on the manifest."""
     snaps = snapshots(path)
     if not snaps:
         raise ValueError(f"no committed snapshots under {path}")
     if run_id is None:
-        entry = snaps[-1]
-    else:
-        match = [e for e in snaps if e["run_id"] == run_id]
-        if not match:
-            raise ValueError(f"snapshot {run_id!r} not committed (or expired)")
-        entry = match[0]
+        run_id = current_snapshot_id(path)
+    match = [e for e in snaps if e["run_id"] == run_id]
+    if not match:
+        raise ValueError(f"snapshot {run_id!r} not committed (or expired)")
+    entry = match[0]
     return spark.read.parquet(os.path.join(path, entry["dir"]))
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Expire all but the newest `keep_last` snapshots: manifest records
     the expiry FIRST (so a crash mid-delete never leaves a readable entry
-    pointing at vanished data), then the data dirs are dropped."""
+    pointing at vanished data), then the data dirs are dropped. The
+    CURRENT snapshot (which a rollback may have re-pointed at an old id)
+    is never expired."""
     snaps = snapshots(path)
     victims = snaps[:-keep_last] if keep_last > 0 else snaps
+    cur = current_snapshot_id(path)
+    victims = [e for e in victims if e["run_id"] != cur]
     with open(os.path.join(path, MANIFEST), "a") as f:
         for e in victims:
             f.write(json.dumps({"run_id": e["run_id"], "kind": "expire",

@@ -545,3 +545,38 @@ def test_cosine_near_pairs_multiprobe_matches_base(spark, sf_small):
           similarity.cosine_near_pairs(aug, threshold=0.9, bands=4,
                                        multiprobe=2).collect()}
     assert base and mp == base
+
+
+def test_snapshot_rollback(spark, tmp_path):
+    """rollback_to_snapshot (Iceberg rollback parity): the bare read
+    follows the rolled-back pointer, explicit ids still time-travel, a
+    later commit moves the pointer forward again, and expiry never drops
+    the current (rolled-back-to) snapshot."""
+    import pytest as _pytest
+
+    from geobuf_spark.ops import lineage as L
+
+    path = str(tmp_path / "rb")
+    for i, n in [(1, 10), (2, 20), (3, 30)]:
+        L.commit_snapshot(spark.range(n).withColumn("v", F.lit(i)),
+                          path, f"run-{i}")
+    assert L.current_snapshot_id(path) == "run-3"
+
+    L.rollback_to_snapshot(path, "run-1")
+    assert L.current_snapshot_id(path) == "run-1"
+    assert L.read_snapshot(spark, path).count() == 10       # pointer moved
+    assert L.read_snapshot(spark, path, "run-3").count() == 30  # still readable
+
+    # expiry keeps the current pointer alive even though run-1 is oldest
+    gone = L.expire_snapshots(path, keep_last=1)
+    assert "run-1" not in gone and L.read_snapshot(spark, path).count() == 10
+
+    # a new commit moves the pointer forward past the rollback
+    L.commit_snapshot(spark.range(40).withColumn("v", F.lit(4)), path, "run-4")
+    assert L.current_snapshot_id(path) == "run-4"
+    assert L.read_snapshot(spark, path).count() == 40
+
+    with _pytest.raises(ValueError, match="not committed"):
+        L.rollback_to_snapshot(path, "run-2")  # expired above
+    with _pytest.raises(ValueError, match="not a safe slug"):
+        L.rollback_to_snapshot(path, "../evil")

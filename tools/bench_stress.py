@@ -16,8 +16,10 @@ Legs (each min-of-`trials` in ONE session, per-trial loadavg recorded):
                `pip_join_planned`, the chosen plan is printed and the
                physical plan is asserted broadcast-free.
 
-Usage: python tools/bench_stress.py [n_pages] [trials] [rect_mult]
-Defaults: 50_000_000 pages, 3 trials, 16× rects.
+Usage: python tools/bench_stress.py [n_pages] [trials] [rect_mult] [n_pages_shuffle]
+Defaults: 50_000_000 pages, 3 trials, 16× rects, shuffle leg at n_pages/5
+(the replicated build side multiplies join-output rows by rect_mult, so
+the shuffle leg carries rect_mult× the refine+histogram volume per page).
 """
 from __future__ import annotations
 
@@ -32,6 +34,7 @@ from pyspark.sql import functions as F
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
 TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 RECT_MULT = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+N_SHUFFLE = int(sys.argv[4]) if len(sys.argv) > 4 else max(N_PAGES // 5, 1)
 SF_DIR = "/root/testdata/sf0.1"
 
 
@@ -87,8 +90,8 @@ def main() -> int:
         return tail(sj.pip_join(pts, rects, z=7, strategy="broadcast"))
 
     def leg_shuffle():
-        pts = probe_side(spark, N_PAGES)
-        joined, pl = strat.pip_join_planned(pts, big_rects, z=7)
+        pts = probe_side(spark, N_SHUFFLE)
+        joined, _ = strat.pip_join_planned(pts, big_rects, z=7)
         return tail(joined)
 
     # physical-plan guard: the forced leg must not smuggle a broadcast in
@@ -101,22 +104,24 @@ def main() -> int:
     print("shuffle-leg join node:", join_nodes[0] if join_nodes else "?",
           file=sys.stderr)
 
-    out = {"n_pages": N_PAGES, "rect_mult": RECT_MULT, "sf": SF_DIR,
-           "legs": {}}
-    for name, fn in [("broadcast", leg_broadcast), ("shuffle", leg_shuffle)]:
+    out = {"n_pages": N_PAGES, "n_pages_shuffle": N_SHUFFLE,
+           "rect_mult": RECT_MULT, "sf": SF_DIR, "legs": {}}
+    for name, fn, n in [("broadcast", leg_broadcast, N_PAGES),
+                        ("shuffle", leg_shuffle, N_SHUFFLE)]:
         walls, loads = [], []
-        for _ in range(TRIALS):
+        for t in range(TRIALS):
             loads.append(loadavg1())
             t0 = time.monotonic()
             n_tiles = fn()
             walls.append(round(time.monotonic() - t0, 2))
+            print(f"{name} trial {t}: {walls[-1]}s (loadavg {loads[-1]})",
+                  file=sys.stderr)
         best = min(walls)
         out["legs"][name] = {
             "walls_sec": walls, "loadavg": loads, "min_sec": best,
-            "features_per_sec": round(N_PAGES / best),
+            "n_pages": n, "features_per_sec": round(n / best),
             "n_hist_tiles": n_tiles,
         }
-        print(f"{name}: {walls} -> {round(N_PAGES/best)} feat/s", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return 0
