@@ -165,7 +165,10 @@ def sql_tile_y(lat: str, z: int) -> str:
     every testdata latitude's mercator position and the nearest tile
     boundary at all oracle zooms, so the two classifications agree."""
     bounds = ", ".join(repr(b) for b in merc_tile_boundaries(z))
-    return f"CAST(len(list_filter([{bounds}], b -> ({lat}) <= b)) AS BIGINT)"
+    # lambda var deliberately obscure: a plain `b` would shadow any outer
+    # column named b in the caller's lat expression
+    return (f"CAST(len(list_filter([{bounds}], _yb -> ({lat}) <= _yb)) "
+            "AS BIGINT)")
 
 
 def sql_cell_id(z: int, x: str, y: str) -> str:
