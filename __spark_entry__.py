@@ -1730,23 +1730,18 @@ def _ann_lsh_sql(k: int = 5, every: int = 25, nbits: int = 16, bands: int = 4,
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
 
 
-def _embed_near_dups_sql(threshold: float = 0.9, nbits: int = 64,
-                         bands: int = 8, seed: int = 7,
-                         max_bucket: int = 1000) -> str:
+def _embed_near_dups_sql(threshold: float = 0.9) -> str:
     """Oracle for q_embed_near_dups: DuckDB rebuilds the twin-planted table
     (indexed list_transform — 1-based i matches Spark's (i+1) — in double,
-    bit-identical), recomputes the 64 hyperplane projections from pinned
-    float literals, the width-8 band buckets, the deterministic per-bucket
-    cap, the a<b candidate self-join and the exact cosine refine. Same
-    sign-at-ulp residual risk as _ann_lsh_sql, validated on the testdata."""
-    from geobuf_spark.operators.similarity import _hyperplanes
-
-    width = nbits // bands
-    planes = _hyperplanes(64, nbits, seed)
-    dots = ", ".join(f"list_dot_product(e, {_vec_lit(planes[i])})" for i in range(nbits))
-    base = " + ".join(
-        f"(CASE WHEN p[{width} * t.band + {r + 1}] > 0 THEN {1 << r} ELSE 0 END)"
-        for r in range(width))
+    bit-identical) and computes the EXACT all-pairs ground truth: every
+    unordered pair with cosine >= threshold. This is deliberately NOT a
+    structural twin of the LSH pipeline (r4 review: the old bands=8
+    simulation silently stopped matching the query's bands=4+multiprobe
+    config): the operator's contract is "all pairs at or above the
+    threshold", so the brute-force set IS the semantics — if the engine's
+    LSH ever drops recall below 1 on these near-identical twins, the
+    driver goes red, which is the correct signal. O(n²) is fine at oracle
+    scale (the engine side stays the banded scale path)."""
     return f"""
         WITH aug AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1754,24 +1749,10 @@ def _embed_near_dups_sql(threshold: float = 0.9, nbits: int = 64,
             SELECT vec_id + 100000,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   (x, i) -> x * (1.0 + 0.002 * i))
-            FROM embeddings WHERE vec_id % 10 = 0),
-        pr AS (SELECT vec_id, e, [{dots}] AS p FROM aug),
-        vb AS (SELECT vec_id, e, t.band, CAST({base} AS BIGINT) AS bucket
-               FROM pr, (SELECT unnest(range({bands})) AS band) t),
-        capped AS (SELECT * FROM (
-                       SELECT vec_id, e, band, bucket,
-                              row_number() OVER (PARTITION BY band, bucket
-                                  ORDER BY vec_id) AS rn
-                       FROM vb) WHERE rn <= {max_bucket}),
-        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-                 FROM capped x JOIN capped y
-                   ON x.band = y.band AND x.bucket = y.bucket
-                  AND x.vec_id < y.vec_id),
-        scored AS (SELECT c.a, c.b, list_cosine_similarity(xa.e, xb.e) AS cos
-                   FROM cand c
-                   JOIN aug xa ON xa.vec_id = c.a
-                   JOIN aug xb ON xb.vec_id = c.b)
-        SELECT a, b FROM scored WHERE cos >= {threshold}"""
+            FROM embeddings WHERE vec_id % 10 = 0)
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.e, y.e) >= {threshold}"""
 
 
 def _ann_ivf_sql(k: int = 5, every: int = 25, n_centroids: int = 8,
@@ -1903,26 +1884,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT {hexgrid.sql_hex_cell('lon', 'lat', 5.0)} AS hex,
                    count(*) AS n_features
             FROM ({pts}) GROUP BY 1""",
+        # pyramid levels derive from ONE z=8 assign (literal boundary-count
+        # tile_y — r4 review: this entry and split_clip_z5 had pre-expanded
+        # copies of the old transcendental form, escaping the migration)
         "tile_pyramid": f"""
-            SELECT 8 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS x,
-                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 1) AS BIGINT) AS y,
-                   count(*) AS n_features
-            FROM ({pts}) GROUP BY 1, 2, 3
+            WITH t8 AS (SELECT {x8} AS x8, {y8} AS y8 FROM ({pts}))
+            SELECT 8 AS z, x8 AS x, y8 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
             UNION ALL
-            SELECT 7 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 2) AS BIGINT) AS x,
-                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 2) AS BIGINT) AS y,
-                   count(*) AS n_features
-            FROM ({pts}) GROUP BY 1, 2, 3
+            SELECT 7 AS z, x8 // 2 AS x, y8 // 2 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
             UNION ALL
-            SELECT 6 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 4) AS BIGINT) AS x,
-                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 4) AS BIGINT) AS y,
-                   count(*) AS n_features
-            FROM ({pts}) GROUP BY 1, 2, 3
+            SELECT 6 AS z, x8 // 4 AS x, y8 // 4 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
             UNION ALL
-            SELECT 5 AS z, CAST(floor((CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256.0), 0), 255) AS BIGINT)) / 8) AS BIGINT) AS x,
-                   CAST(floor((CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 256.0), 0), 255) AS BIGINT)) / 8) AS BIGINT) AS y,
-                   count(*) AS n_features
-            FROM ({pts}) GROUP BY 1, 2, 3""",
+            SELECT 5 AS z, x8 // 8 AS x, y8 // 8 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3""",
         "tile_cover_rects_z7": f"""
             WITH r AS ({rects}),
             rt AS (SELECT poly_id,
@@ -1939,7 +1916,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN (SELECT unnest(range(0, 32)) AS x) gx
                   ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
                 JOIN (SELECT unnest(range(0, 32)) AS y) gy
-                  ON gy.y BETWEEN CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.maxy, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066))) + 1.0 / cos(radians(least(greatest(r.miny, -85.0511287798066), 85.0511287798066)))) / 3.141592653589793) / 2.0 * 32.0), 0), 31) AS BIGINT)),
+                  ON gy.y BETWEEN {tiles.sql_tile_y('r.maxy', 5)}
+                              AND {tiles.sql_tile_y('r.miny', 5)}),
             yb AS (SELECT * FROM (VALUES {_merc_ybounds_values(5)}) t(yy, n_lat, s_lat)),
             piece AS (
                 SELECT poly_id, 5 AS z, x, y,

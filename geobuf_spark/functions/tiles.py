@@ -166,9 +166,12 @@ def sql_tile_y(lat: str, z: int) -> str:
     boundary at all oracle zooms, so the two classifications agree."""
     bounds = ", ".join(repr(b) for b in merc_tile_boundaries(z))
     # lambda var deliberately obscure: a plain `b` would shadow any outer
-    # column named b in the caller's lat expression
-    return (f"CAST(len(list_filter([{bounds}], _yb -> ({lat}) <= _yb)) "
-            "AS BIGINT)")
+    # column named b in the caller's lat expression. NULL propagates (the
+    # clamped-floor form did; list_filter would otherwise silently count 0
+    # → row 0); NaN latitudes remain unsupported on both engines.
+    return (f"CASE WHEN ({lat}) IS NULL THEN NULL ELSE "
+            f"CAST(len(list_filter([{bounds}], _yb -> ({lat}) <= _yb)) "
+            "AS BIGINT) END")
 
 
 def sql_cell_id(z: int, x: str, y: str) -> str:

@@ -373,7 +373,10 @@ def knn_adaptive(points: DataFrame, queries: DataFrame, k: int, *, z: int = 5,
     pieces = []
     r = 0
     passes = 0
-    while n_pending > 0 and passes < 8:
+    # the 8-pass cap bounds only the ADAPTIVE doubling path; explicit
+    # rings are honored in full (r4 review: capping them would silently
+    # swap a caller's carefully-sized ring ladder for a brute cross join)
+    while n_pending > 0 and (ring_seq is not None or passes < 8):
         if ring_seq is not None:
             if not ring_seq:
                 break  # explicit rings exhausted → brute-force the rest

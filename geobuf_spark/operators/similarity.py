@@ -572,6 +572,17 @@ def cosine_near_pairs(vectors: DataFrame, threshold: float = 0.9, *,
     if multiprobe:
         probes = _query_probes(vectors, nbits, bands, multiprobe, seed,
                                vec_id, emb)
+        # cap the probe side too (r4 review): without it a degenerate
+        # bucket of B rows joins B·(1+multiprobe) uncapped probe rows
+        # against max_bucket base rows — linear-in-B blowup the cap
+        # exists to prevent. (1+multiprobe)·max_bucket keeps every probe
+        # variant of the capped population while bounding pairs per
+        # bucket at O(max_bucket²·(1+multiprobe)).
+        # deterministic: per (band, bucket) a query_id appears at most once
+        # (a band's probe variants are distinct buckets by construction)
+        wp = Window.partitionBy("band", "bucket").orderBy("query_id")
+        probes = (probes.withColumn("_rn", F.row_number().over(wp))
+                  .filter(F.col("_rn") <= max_bucket * (1 + multiprobe)))
         left = probes.select("band", "bucket",
                              F.col("query_id").alias("a"),
                              F.col("qemb").alias("ea"))

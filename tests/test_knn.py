@@ -180,3 +180,51 @@ def test_knn_s2_empty_points(spark, sf_small):
     qs = minted.minted_points(spark, sf_small).limit(3) \
         .withColumnRenamed("doc_id", "query_id")
     assert K.knn_s2(pts, qs, k=3).count() == 0
+
+
+def test_knn_adaptive_default_dense_path(points, queries):
+    """rings=None default: optimistic ring-1 pass + budgeted lazy brute
+    tail (the dense path the driver query exercises) — exact rows vs
+    brute force (r4 review: the default path previously had no pytest)."""
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_adaptive(points, queries, 5, z=4).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, 5).collect()
+    }
+    assert got == want
+
+
+def test_knn_adaptive_default_escalation_path(points, queries, monkeypatch):
+    """Force the sparse-regime branches: with the brute budget at 0 the
+    loop must escalate through start_ring doubling (ring 1 → planned →
+    ×2 …) and still drain to exact rows; with the pass cap exhausted the
+    final brute tail covers what remains."""
+    monkeypatch.setattr(K, "BRUTE_BUDGET_PAIRS", 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_adaptive(points, queries, 5, z=6).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, 5).collect()
+    }
+    assert got == want
+
+
+def test_knn_adaptive_explicit_rings_honored_past_eight(points, queries):
+    """Explicit rings are never truncated by the adaptive pass cap: a
+    10-ring ladder (degenerate 1-rings so the frontier survives early
+    passes) completes and stays exact."""
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_adaptive(points, queries, 5, z=6,
+                                rings=(1,) * 9 + (8,)).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in K.knn_bruteforce(points, queries, 5).collect()
+    }
+    assert got == want

@@ -90,9 +90,12 @@ def main() -> int:
         return tail(sj.pip_join(pts, rects, z=7, strategy="broadcast"))
 
     def leg_shuffle():
+        # plan chosen once above (cheap here — build-side cover estimate
+        # only — but a histogram-scanning plan inside the timed region
+        # would bill the probe pipeline twice; cf. the bench_skew salt fix)
         pts = probe_side(spark, N_SHUFFLE)
-        joined, _ = strat.pip_join_planned(pts, big_rects, z=7)
-        return tail(joined)
+        return tail(sj.pip_join(pts, big_rects, z=7, strategy=plan.strategy,
+                                salt=plan.salt))
 
     # physical-plan guard: the forced leg must not smuggle a broadcast in
     pts_s = probe_side(spark, 1000)
