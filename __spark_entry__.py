@@ -1488,16 +1488,16 @@ def _merc_ybounds_values(z: int) -> str:
     literals keeps the oracle's y side from diverging by a last ulp from
     what the Spark kernel evaluates, which could flip a boundary-exact
     clip or floor snap."""
-    import math
-
-    nt = 1 << z
-
-    def lat_of(yy: int) -> float:
-        return math.degrees(math.atan(math.sinh(
-            3.141592653589793 * (1.0 - 2.0 / nt * yy))))
-
-    return ", ".join(f"({yy}, {lat_of(yy)!r}, {lat_of(yy + 1)!r})"
-                     for yy in range(nt))
+    # single source: the SAME list the engine's tile_bounds literal lookup
+    # reads, so clip bounds agree bit-for-bit across engines. CAST-from-
+    # string forces DOUBLE: a bare numeric literal lands as DECIMAL, and
+    # DuckDB then evaluates n - s in EXACT decimal while n - cy0 rounds
+    # through double — the mixed arithmetic flipped a boundary floor
+    # (found when the r4 extent-clamp change stopped masking it)
+    b = tiles.merc_lat_bounds(z)
+    return ", ".join(
+        f"({yy}, CAST('{b[yy]!r}' AS DOUBLE), CAST('{b[yy + 1]!r}' AS DOUBLE))"
+        for yy in range(1 << z))
 
 
 def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
@@ -1517,10 +1517,12 @@ def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
     lat_n, lat_s = "yb.n_lat", "yb.s_lat"
     def ty(v):
         return tiles.sql_tile_y(v, z)  # literal boundary-count form
+    # hi clamp = extent (tile-edge vertices snap to extent itself — the
+    # MVT convention tile_local_kernel follows since r4)
     snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
-              f"{extent - 1}) AS BIGINT)")
+              f"{extent}) AS BIGINT)")
     snap_y = (f"CAST(least(greatest(floor((n - ({{v}})) / (n - s) * {float(extent)!r}), 0), "
-              f"{extent - 1}) AS BIGINT)")
+              f"{extent}) AS BIGINT)")
     return f"""
         WITH r AS ({rects}),
         cov AS (

@@ -100,9 +100,23 @@ def point_commands_kernel(grid_coords: np.ndarray, part_nv: np.ndarray,
     for j in range(mg.shape[1]):
         sel = lg > j
         buf[base[sel] + j] = mg[sel, j]
+    return _binary_array(offsets, buf, n_feat)
+
+
+def _binary_array(offsets: np.ndarray, buf: np.ndarray, n: int) -> pa.Array:
+    """int64 offsets → Arrow binary, guarded: int32 Arrow offsets would
+    wrap silently past 2 GiB and corrupt every later blob (the same guard
+    mvt_tiles_frames_kernel carries — r4 review: the command kernels had
+    kept the unguarded pattern)."""
+    if int(offsets[-1]) > 2**31 - 1:
+        raise ValueError(
+            f"command batch of {int(offsets[-1])} bytes exceeds the 2 GiB "
+            "Arrow binary-offset limit — reduce "
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
     return pa.BinaryArray.from_buffers(
-        pa.binary(), n_feat,
-        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(buf.tobytes())],
     )
 
 
@@ -179,10 +193,7 @@ def _commands_kernel(grid_coords: np.ndarray, ring_nv: np.ndarray,
     for j in range(mg.shape[1]):
         sel = lg > j
         buf[base[sel] + j] = mg[sel, j]
-    return pa.BinaryArray.from_buffers(
-        pa.binary(), n_feat,
-        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
-    )
+    return _binary_array(offsets, buf, n_feat)
 
 
 def _field(tag: int, wire: int, payload: bytes) -> bytes:

@@ -143,11 +143,8 @@ def sql_tile_x(lon: str, z: int) -> str:
 
 def merc_tile_boundaries(z: int) -> list:
     """Interior tile-row boundary latitudes lat_of(1 .. n-1) at zoom z
-    (lat_of(y) = degrees(atan(sinh(π(1 - 2y/n)))), descending)."""
-    import math
-    n = _n(z)
-    return [math.degrees(math.atan(math.sinh(
-        3.141592653589793 * (1.0 - 2.0 * yy / n)))) for yy in range(1, n)]
+    (merc_lat_bounds without the two outer clamps)."""
+    return merc_lat_bounds(z)[1:-1]
 
 
 def sql_tile_y(lat: str, z: int) -> str:
@@ -181,12 +178,36 @@ def sql_cell_id(z: int, x: str, y: str) -> str:
             f"* CAST({CELL_SHIFT} AS BIGINT) + ({y}))")
 
 
+def merc_lat_bounds(z: int) -> list:
+    """Row-boundary latitudes lat_of(0 .. n) at zoom z — the ONE source of
+    truth the engine's tile_bounds lookup AND the DuckDB oracles' literal
+    injections both read, so clip bounds agree bit-for-bit across engines
+    (lat_of(y) = degrees(atan(sinh(π(1 - 2y/n)))), descending)."""
+    import math
+    n = _n(z)
+    return [math.degrees(math.atan(math.sinh(
+        3.141592653589793 * (1.0 - 2.0 * yy / n)))) for yy in range(n + 1)]
+
+
 def tile_bounds(z: int, x: Column, y: Column):
     """(west, south, east, north) of tile (z, x, y) — m.Extrema parity
-    (used at split_combine.go:47-49), pure Column expressions."""
+    (used at split_combine.go:47-49), pure Column expressions.
+
+    For z ≤ 12 the north/south bounds come from an array-literal lookup
+    over merc_lat_bounds (one element_at per row — cheaper than per-row
+    atan∘sinh, and bit-identical to the oracle's injected literals, so
+    boundary-exact clips can't diverge by a libm ulp); larger zooms fall
+    back to the closed-form expression (a 2^z-entry literal stops being
+    a sane plan constant)."""
     n = float(_n(z))
     west = x.cast("double") * F.lit(360.0 / n) - F.lit(180.0)
     east = (x.cast("double") + 1.0) * F.lit(360.0 / n) - F.lit(180.0)
+
+    if z <= 12:
+        lats = F.lit(merc_lat_bounds(z))
+        north = F.element_at(lats, (y + 1).cast("int"))
+        south = F.element_at(lats, (y + 2).cast("int"))
+        return west, south, east, north
 
     def lat_of(yy):
         return F.degrees(F.atan(F.sinh(

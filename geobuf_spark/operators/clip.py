@@ -162,6 +162,17 @@ def clip_lines_kernel(coords: np.ndarray, line_nv: np.ndarray,
     L = len(line_nv)
     line_nv = np.asarray(line_nv, dtype=np.int64)
     v_line = np.repeat(np.arange(L), line_nv)
+    # collapse consecutive duplicate vertices first: their zero-length
+    # segments are dropped later, and a dropped segment breaks the
+    # ksi-consecutive part join — a connected [(0,0),(1,0),(1,0),(2,0)]
+    # would otherwise split into two parts (r4 review)
+    if len(xy) > 1:
+        dup = np.zeros(len(xy), dtype=bool)
+        dup[1:] = (v_line[1:] == v_line[:-1]) & (xy[1:] == xy[:-1]).all(axis=1)
+        if dup.any():
+            xy = xy[~dup]
+            line_nv = np.bincount(v_line[~dup], minlength=L).astype(np.int64)
+            v_line = np.repeat(np.arange(L), line_nv)
     # segments: vertex i -> i+1 within the same line
     starts = np.zeros(L, dtype=np.int64)
     starts[1:] = np.cumsum(line_nv)[:-1]
@@ -232,10 +243,13 @@ def clip_lines_kernel(coords: np.ndarray, line_nv: np.ndarray,
 
 def tile_local_kernel(coords: np.ndarray, ring_nv: np.ndarray,
                       west, south, east, north, extent: int = 4096):
-    """Snap ring coords to the tile-local integer grid (0..extent-1) and
-    collapse consecutive duplicate vertices — the per-zoom simplification
-    every vector-tile pipeline applies (coarser zoom ⇒ bigger cells ⇒
-    more collapse). Per-ring bounds arrays; fully vectorized.
+    """Snap ring coords to the tile-local integer grid (0..extent, the
+    east/north tile edge snapping to extent itself — the MVT convention;
+    clamping to extent-1 pulled boundary vertices one cell inward and
+    opened 1-cell seams between adjacent tiles, r4 review) and collapse
+    consecutive duplicate vertices — the per-zoom simplification every
+    vector-tile pipeline applies (coarser zoom ⇒ bigger cells ⇒ more
+    collapse). Per-ring bounds arrays; fully vectorized.
 
     Returns (flat int coords, ring_nv) — rings may shrink; closing
     duplicates (last == first) are also dropped."""
@@ -249,9 +263,9 @@ def tile_local_kernel(coords: np.ndarray, ring_nv: np.ndarray,
     north = np.broadcast_to(np.asarray(north, np.float64), (R,))[ring_of]
 
     px = np.clip(np.floor((xy[:, 0] - west) / np.maximum(east - west, 1e-300) * extent),
-                 0, extent - 1).astype(np.int64)
+                 0, extent).astype(np.int64)
     py = np.clip(np.floor((north - xy[:, 1]) / np.maximum(north - south, 1e-300) * extent),
-                 0, extent - 1).astype(np.int64)
+                 0, extent).astype(np.int64)
 
     # consecutive-duplicate collapse per ring (incl. wrap-around closing dup)
     starts = np.zeros(R, dtype=np.int64)
@@ -286,9 +300,15 @@ def ring_areas_kernel(coords: np.ndarray, ring_nv: np.ndarray) -> np.ndarray:
     local = idx - starts[ring_of]
     nxt = starts[ring_of] + np.where(local == ring_nv[ring_of] - 1, 0, local + 1)
     cross = xy[:, 0] * xy[nxt, 1] - xy[nxt, 0] * xy[:, 1]
-    if len(cross) == 0:
-        return np.zeros(R, dtype=np.float64)
-    return np.add.reduceat(cross, starts) / 2.0
+    # reduceat only at NON-empty segment starts, scattered back: with
+    # empty rings present (clip_rings_kernel legitimately returns
+    # 0-vertex rings) a raw reduceat either raises on a trailing empty
+    # start == len(cross) or silently borrows the neighbor's sum
+    areas = np.zeros(R, dtype=np.float64)
+    nonempty = ring_nv > 0
+    if len(cross) and nonempty.any():
+        areas[nonempty] = np.add.reduceat(cross, starts[nonempty])
+    return areas / 2.0
 
 
 def normalize_winding_kernel(coords: np.ndarray, ring_nv: np.ndarray,

@@ -45,7 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str, ts: str,
         *[F.col(c) for c in lcols if c not in (key, ts)],
         F.lit(None).cast(rstruct_t).alias("_r"),
     )
-    r = right.select(
+    # NULL-ts build rows can never satisfy right.ts <= left.ts; unfiltered
+    # they sort to the partition head (NULLS FIRST) and last(ignorenulls)
+    # would hand their payload to every early probe row — phantom matches
+    # DuckDB's ASOF never produces
+    r = right.filter(F.col(ts).isNotNull()).select(
         F.col(key).alias("_k"), F.col(ts).alias("_t"),
         F.lit(0).alias("_probe"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, ts)],

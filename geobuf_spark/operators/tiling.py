@@ -301,10 +301,12 @@ def vector_tiles_points(points: DataFrame, z: int, extent: int = 4096,
     y = tiles.tile_y(la, z)
     w, s, e, n = tiles.tile_bounds(z, x, y)
     ext = F.lit(float(extent))
+    # clamp hi = extent (not extent-1): east/north tile-edge points snap
+    # to extent per the MVT convention, matching tile_local_kernel
     px = F.least(F.greatest(F.floor((lo - w) / (e - w) * ext), F.lit(0)),
-                 F.lit(extent - 1)).cast("bigint")
+                 F.lit(extent)).cast("bigint")
     py = F.least(F.greatest(F.floor((n - la) / (n - s) * ext), F.lit(0)),
-                 F.lit(extent - 1)).cast("bigint")
+                 F.lit(extent)).cast("bigint")
     return points.select(
         F.col(id_col),
         F.lit(z).alias("z"), x.alias("x"), y.alias("y"),

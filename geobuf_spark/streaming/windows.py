@@ -79,10 +79,24 @@ def sessionize_streaming(spark: SparkSession, parquet_dir: str,
                          gap_minutes: int = 30,
                          max_files_per_trigger: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization with
-    applyInPandasWithState. Per user, events accumulate into an open
-    session in state; a gap > threshold (or state timeout) closes the
-    session and emits it. The batch twin is :func:`sessionize` — on
-    bounded input both produce identical (user_id, session rows)."""
+    applyInPandasWithState. State per user is O(1) — (open session id,
+    count, t_start, t_last), never the event list (r4 review: the old
+    state held every open-session event, the exact unbounded-state
+    failure mode the dedup docstring warns about). A batch's events fold
+    into the open session or close it and start new ones; closed rows
+    are FINAL, the open session re-emits snapshots under its stable id
+    (is_open=True) — downstream keeps the last row per (user, id).
+
+    Ordering contract: sessions close as event time advances WITHIN the
+    arrival order; an event arriving in a later micro-batch with an
+    event time at or before an already-closed session starts a NEW
+    session instead of reopening the closed one (closed rows stay
+    final). The batch twin :func:`sessionize` therefore matches on
+    in-order replays — which the file source's modification-time
+    ordering provides and the pytest pins — not on arbitrarily late
+    data; a production deployment bounds that skew with a watermark
+    upstream, the same trade `dropDuplicatesWithinWatermark` makes."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -97,35 +111,42 @@ def sessionize_streaming(spark: SparkSession, parquet_dir: str,
 
     out_schema = ("user_id bigint, session_id bigint, n_events bigint, "
                   "t_start bigint, t_end bigint, is_open boolean")
-    state_schema = "base_id bigint, eps array<bigint>"
+    state_schema = ("open_id bigint, n_open bigint, t_start bigint, "
+                    "t_last bigint")
 
     def fn(key, pdfs, state: GroupState):
-        # state carries (next session id, open session's events): ids are
-        # globally monotone across micro-batches, closed rows are FINAL,
-        # and the open session re-emits as a snapshot under its stable id
-        # (is_open=True) — downstream keeps the last row per (user, id)
+        # sess rows: [n_events, t_start, t_end]; element 0 carries the
+        # open session from state so the generic merge below handles the
+        # continue/close decision uniformly
+        sess: list[list[int]] = []
         if state.exists:
-            base_id, eps = int(state.get[0]), list(state.get[1])
+            open_id, n0, s0, l0 = (int(v) for v in state.get)
+            sess.append([n0, s0, l0])
         else:
-            base_id, eps = 1, []
-        for pdf in pdfs:
-            eps.extend(int(e) for e in pdf["ep"])
-        eps.sort()
-        sessions = []
-        cur = [eps[0]] if eps else []
-        for e in eps[1:]:
-            if e - cur[-1] > gap:
-                sessions.append(cur)
-                cur = [e]
-            else:
-                cur.append(e)
+            open_id = 1
+        eps = np.sort(np.concatenate(
+            [pdf["ep"].to_numpy(dtype=np.int64) for pdf in pdfs]
+            or [np.zeros(0, np.int64)]))
+        if len(eps):
+            b = np.ones(len(eps), dtype=bool)
+            b[1:] = np.diff(eps) > gap
+            starts = np.flatnonzero(b)
+            ends = np.append(starts[1:], len(eps)) - 1
+            for s_i, e_i in zip(starts, ends):
+                c, s, e = int(e_i - s_i + 1), int(eps[s_i]), int(eps[e_i])
+                if sess and s - sess[-1][2] <= gap:
+                    sess[-1][0] += c
+                    sess[-1][2] = max(sess[-1][2], e)
+                else:
+                    sess.append([c, s, e])
         rows = []
-        for off, s in enumerate(sessions):
-            rows.append((key[0], base_id + off, len(s), s[0], s[-1], False))
-        base_id += len(sessions)
-        if cur:
-            rows.append((key[0], base_id, len(cur), cur[0], cur[-1], True))
-        state.update((base_id, cur))
+        for off, (c, s, e) in enumerate(sess[:-1]):
+            rows.append((key[0], open_id + off, c, s, e, False))
+        if sess:
+            oid = open_id + len(sess) - 1
+            c, s, e = sess[-1]
+            rows.append((key[0], oid, c, s, e, True))
+            state.update((oid, c, s, e))
         yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
                                           "t_start", "t_end", "is_open"])
 
@@ -189,6 +210,10 @@ def sliding_counts_streaming(spark: SparkSession, parquet_dir: str,
             F.unix_timestamp(F.col("window.start")).cast("bigint").alias("wstart"),
             "event_type", "n_events",
         )
+        # F.window emits negative window starts for events within
+        # length-slide of the epoch; the batch twin and the oracle both
+        # drop them — keep the twins identical on any input
+        .filter(F.col("wstart") >= 0)
     )
 
 

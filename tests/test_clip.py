@@ -231,11 +231,15 @@ def test_tile_local_kernel():
         east=np.array([10.0, 12.0]), north=np.array([10.0, 12.0]),
         extent=16)
     xy = out_c.reshape(-1, 2)
-    assert (xy >= 0).all() and (xy < 16).all()
+    # tile-edge vertices snap to extent itself (MVT convention, r4)
+    assert (xy >= 0).all() and (xy <= 16).all()
     # ring1: corners map to distinct cells, all 4 survive
     assert out_nv[0] == 4
-    # ring2: the three clustered points collapse to one; closing dup dropped
-    assert out_nv[1] == 2, out_nv
+    # ring2: with the edge snapping to extent, the south-edge points land
+    # on py=16 while the slightly-inset one lands on 15 — only the
+    # closing duplicate drops (under the old extent-1 clamp all three
+    # clustered points collapsed)
+    assert out_nv[1] == 4, out_nv
     # fully-degenerate ring keeps exactly one vertex
     tiny = np.array([[1.0, 1.0], [1.0001, 1.0001], [1.0002, 1.0]])
     out_c2, out_nv2 = C.tile_local_kernel(
@@ -255,7 +259,7 @@ def test_vector_tiles_end_to_end(spark, sf_small):
     assert len(vt) > 0
     for r in vt:
         g = np.asarray(r.grid_coords).reshape(-1, 2)
-        assert (g >= 0).all() and (g < 256).all(), r.poly_id
+        assert (g >= 0).all() and (g <= 256).all(), r.poly_id
         assert sum(r.ring_lens) * 2 == len(r.grid_coords)
         # consecutive grid vertices are distinct
         for i in range(1, len(g)):

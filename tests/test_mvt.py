@@ -64,7 +64,9 @@ def test_build_mvt_tiles_end_to_end(spark, sf_small):
         for feat in layer["features"]:
             for ringv in feat["rings"]:
                 for x, y in ringv:
-                    assert 0 <= x < 4096 and 0 <= y < 4096
+                    # coords may equal extent: tile-edge vertices snap to
+                    # extent itself (MVT convention, r4)
+                    assert 0 <= x <= 4096 and 0 <= y <= 4096
     # every (feature, tile) piece became one MVT feature
     assert total_feats == vt.count()
 
@@ -165,7 +167,8 @@ def test_build_mvt_line_tiles_end_to_end(spark):
             for part in feat["rings"]:
                 assert len(part) >= 2
                 for x, y in part:
-                    assert 0 <= x < 256 and 0 <= y < 256
+                    # coords may equal extent (tile-edge snap, r4)
+                    assert 0 <= x <= 256 and 0 <= y <= 256
     assert total == vt.count()
 
 

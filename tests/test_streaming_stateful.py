@@ -155,14 +155,15 @@ def test_stateful_sessionize_multi_batch(spark, sf_small, tmp_path):
         latest[(r.user_id, r.session_id)] = (i, r)
     got = {(k[0], k[1], v[1].n_events, v[1].t_start, v[1].t_end)
            for k, v in latest.items()}
-    # closed rows must never be contradicted by a later row
-    seen_closed = {}
+    # closed rows are FINAL: once a (user, session_id) is emitted closed,
+    # no later row may carry that key (the old form of this check was a
+    # tautology — r4 review)
+    closed = set()
     for r in rows:
         k = (r.user_id, r.session_id)
-        if k in seen_closed:
-            assert seen_closed[k] is False or False, f"closed session re-emitted: {k}"
+        assert k not in closed, f"closed session re-emitted: {k}"
         if not r.is_open:
-            seen_closed[k] = False
+            closed.add(k)
     want = {(r.user_id, r.session_id, r.n_events, r.t_start, r.t_end)
             for r in W.sessionize(
                 spark.read.parquet(f"{sf_small}/events.parquet"), gap_minutes=30).collect()}
