@@ -73,6 +73,74 @@ def sql_quality(text: str = "text") -> dict[str, str]:
     }
 
 
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings; empty array below n tokens.
+
+    The `when` guard matters: Spark's `sequence(1, k)` DESCENDS when k < 1,
+    so an unguarded short document would produce garbage grams instead of
+    an empty list.
+    """
+    ws = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_columns(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Gopher/C4-style duplicated-n-gram quality signal: the fraction of a
+    document's word n-grams that are repeats. Pure expressions — one
+    projection, no shuffle, no Python; at 100 TB this runs map-side inside
+    whole-stage codegen alongside the other quality columns."""
+    g = word_ngrams(F.col(text_col), n)
+    total, dist = F.size(g), F.size(F.array_distinct(g))
+    return (
+        df.withColumn("n_grams", total)
+        .withColumn("n_uniq_grams", dist)
+        .withColumn(
+            "dup_gram_frac",
+            F.when(total > 0, (total - dist).cast("double") / total.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def sql_dup_ngrams(src: str, id_col: str = "doc_id", text: str = "text",
+                   n: int = 3) -> str:
+    """DuckDB twin of dup_ngram_columns as a full query over `src`. Exact
+    across engines: the gram counts are integers and the fraction is one
+    IEEE double division of small exact ints, bit-identical in Spark and
+    DuckDB. DuckDB's range(a, b) is empty when b <= a, but the CASE guard
+    mirrors the Spark `when` anyway so both sides read the same."""
+    gram = " || chr(32) || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+        WITH toks AS (SELECT {id_col}, string_split({text}, chr(32)) AS ws
+                      FROM {src}),
+        grams AS (SELECT {id_col},
+                         CASE WHEN len(ws) >= {n} THEN
+                             list_transform(range(1, len(ws) - {n - 2}), i -> {gram})
+                         ELSE CAST([] AS VARCHAR[]) END AS g
+                  FROM toks)
+        SELECT {id_col},
+               len(g) AS n_grams,
+               len(list_distinct(g)) AS n_uniq_grams,
+               CASE WHEN len(g) > 0
+                    THEN (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+                    ELSE 0.0 END AS dup_gram_frac
+        FROM grams"""
+
+
+def url_host(url: Column) -> Column:
+    """Registrable-host extraction from a URL column — JVM-side parse_url."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def sql_url_host(url: str = "url") -> str:
+    """DuckDB twin of url_host (RE2 — no backtracking constructs)."""
+    return f"regexp_extract({url}, '^[a-z]+://([^/]+)', 1)"
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Stopword-hit count for one language over the token array."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
