@@ -98,6 +98,7 @@ def bench_queries(spark):
         "ngram_jaccard", "vector_tiles_z5", "mvt_tiles_z4",
         "tile_stream_counts", "ann_ivf_top5",
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q21",
+        "html_extract_text", "url_host_topk", "dup_ngram_stats",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
@@ -378,6 +379,86 @@ def bench_lines_vs_json(spark, n_lines: int, trials: int = 5):
         lines.unpersist(); enc.unpersist(); js.unpersist()
 
 
+def synth_polys(spark, n: int, min_v: int = 8, max_v: int = 24):
+    """Deterministic two-ring Polygon batch (outer walk + inner walk,
+    lattice coords) — the reference's county-polygons benchmark shape
+    (reader_test.go:16-38), generated with pure exprs. Ring closure is
+    irrelevant to the codec, which is what's being timed."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumnRenamed("id", "poly_id")
+    nv1 = F.pmod(F.hash("poly_id"), F.lit(max_v - min_v)) + min_v
+    nv2 = F.pmod(F.hash(F.col("poly_id") * 3), F.lit(5)) + 4
+    x0 = (F.pmod(F.hash(F.col("poly_id") * 7), F.lit(3_000_000_000)) - F.lit(1_500_000_000))
+    y0 = (F.pmod(F.hash(F.col("poly_id") * 13), F.lit(1_500_000_000)) - F.lit(750_000_000))
+
+    def ring(nv, salt):
+        return F.transform(F.sequence(F.lit(0), nv - 1), lambda j: F.array(
+            (x0 + j * 900 + F.pmod(F.hash(F.col("poly_id") * salt + j), F.lit(1800)) - 900) / F.lit(1e7),
+            (y0 + j * 700 + F.pmod(F.hash(F.col("poly_id") * (salt + 2) + j), F.lit(1400)) - 700) / F.lit(1e7)))
+
+    coords = F.flatten(F.concat(ring(nv1, 31), ring(nv2, 41)))
+    return df.select("poly_id", coords.alias("coords"),
+                     F.array(nv1.cast("int"), nv2.cast("int")).alias("ring_lens"))
+
+
+def bench_polys_vs_json(spark, n_polys: int, trials: int = 3):
+    """Ring-structured codec comparison (the reference's county-polygon
+    micro-bench shape): two-ring Polygons, geobuf Arrow/JVM codec vs
+    to_json/from_json with array coordinates + ring lengths."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import spark_codec
+
+    polys = synth_polys(spark, n_polys).cache()
+    polys.count()
+    enc = spark_codec.encode_polygons(polys).cache()
+    enc.count()
+    js = polys.select(F.to_json(F.struct("poly_id", "coords", "ring_lens")).alias("j")).cache()
+    js.count()
+
+    def geobuf_write():
+        return spark_codec.encode_polygons(polys) \
+            .agg(F.count("*"), F.sum(F.octet_length("geobuf"))).collect()[0][0]
+
+    def json_write():
+        return polys.select(F.to_json(F.struct("poly_id", "coords", "ring_lens")).alias("j")) \
+            .agg(F.count("*"), F.sum(F.octet_length("j"))).collect()[0][0]
+
+    def geobuf_read():
+        d = spark_codec.decode_polygons(enc)
+        return d.agg(F.count("*"), F.sum(F.size("coords_q")),
+                     F.sum(F.element_at("coords_q", 1))).collect()[0][0]
+
+    def json_read():
+        parsed = js.select(F.from_json(
+            "j", "poly_id bigint, coords array<double>, ring_lens array<int>").alias("s"))
+        return parsed.agg(F.count("*"), F.sum(F.size("s.coords")),
+                          F.sum(F.element_at("s.coords", 1))).collect()[0][0]
+
+    paths = [("geobuf_write", geobuf_write), ("json_write", json_write),
+             ("geobuf_read", geobuf_read), ("json_read", json_read)]
+
+    from geobuf_spark.codec import jvm_codec
+    if jvm_codec.register(spark):
+        def geobuf_read_jvm():
+            return jvm_codec.decode_polygons_agg_jvm(enc).collect()[0][0]
+
+        def geobuf_write_jvm():
+            return jvm_codec.encode_polygons_jvm(polys) \
+                .agg(F.count("*"), F.sum(F.octet_length("geobuf"))).collect()[0][0]
+        paths += [("geobuf_read_jvm", geobuf_read_jvm),
+                  ("geobuf_write_jvm", geobuf_write_jvm)]
+
+    try:
+        out, spread = _run_paths(paths, trials, n_polys)
+        out["geobuf_bytes"] = enc.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
+        out["json_bytes"] = js.agg(F.sum(F.octet_length("j"))).collect()[0][0]
+        return out, spread
+    finally:
+        polys.unpersist(); enc.unpersist(); js.unpersist()
+
+
 def run(cores: int, scaling_only: bool = False):
     from geobuf_spark.session import get_spark
 
@@ -398,6 +479,7 @@ def run(cores: int, scaling_only: bool = False):
             return {"flagship_sec": t_flagship, "features_per_sec": n_feat / t_flagship}
         codec, codec_spread = bench_codec_vs_json(spark, N_PAGES)
         lines, lines_spread = bench_lines_vs_json(spark, max(N_PAGES // 10, 10_000))
+        polys, polys_spread = bench_polys_vs_json(spark, max(N_PAGES // 20, 5_000))
         queries, q_spread, pass_loads = bench_queries(spark)
         queries["flagship_pipeline"] = round(t_flagship, 3)
         q_spread["flagship_pipeline"] = _spread(ts)
@@ -409,6 +491,8 @@ def run(cores: int, scaling_only: bool = False):
             "codec_spread": codec_spread,
             "lines": lines,
             "lines_spread": lines_spread,
+            "polys": polys,
+            "polys_spread": polys_spread,
             "queries_spread": q_spread,
             "pass_loadavg": pass_loads,
         }
@@ -489,6 +573,7 @@ def main():
     total = sum(v for k, v in r["queries"].items() if k != "flagship_pipeline")
     c = r["codec"]
     li = r["lines"]
+    po = r["polys"]
     print(json.dumps({
         "lines_read_speedup_vs_json": round(li["json_read"] / li["geobuf_read"], 2),
         **({"lines_read_jvm_speedup_vs_json":
@@ -501,6 +586,15 @@ def main():
         "lines_write_speedup_vs_json": round(li["json_write"] / li["geobuf_write"], 2),
         "lines_size_ratio_vs_json": round(li["geobuf_bytes"] / li["json_bytes"], 3),
         "lines_sec": {k: round(v, 3) for k, v in li.items() if k.endswith(("read", "write", "read_full", "scan", "jvm"))},
+        "polys_read_speedup_vs_json": round(po["json_read"] / po["geobuf_read"], 2),
+        **({"polys_read_jvm_speedup_vs_json":
+            round(po["json_read"] / po["geobuf_read_jvm"], 2),
+            "polys_write_jvm_speedup_vs_json":
+            round(po["json_write"] / po["geobuf_write_jvm"], 2)}
+           if "geobuf_read_jvm" in po else {}),
+        "polys_write_speedup_vs_json": round(po["json_write"] / po["geobuf_write"], 2),
+        "polys_size_ratio_vs_json": round(po["geobuf_bytes"] / po["json_bytes"], 3),
+        "polys_sec": {k: round(v, 3) for k, v in po.items() if k.endswith(("read", "write", "jvm"))},
         "metric": "geobuf encode+PIP-join+tile-assign features/sec (flagship); per-query sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -525,6 +619,7 @@ def main():
             "queries": r["queries_spread"],
             "codec": r["codec_spread"],
             "lines": r["lines_spread"],
+            "polys": r["polys_spread"],
         },
         "load_gate": calm,
         "query_pass_loadavg": r["pass_loadavg"],

@@ -182,6 +182,138 @@ public final class GbCodec {
     }
 
     /**
+     * gb_poly_dec(geobuf) -> [id, R, nv_1..nv_R, x0,y0,x1,y1,...] - the
+     * ring-structured decode (decode_rings_kernel parity for one frame,
+     * dim 2): R rings, each ring's vertex count, then the absolute
+     * quantized coords with the delta state RESET at each ring start
+     * (geom.go:103-111,127-157 - the first vertex of every ring is
+     * encoded absolute). Stricter than the Python batch kernel on corrupt
+     * counts: a ring token count that is zero, not divisible by dim, or
+     * overrunning the payload throws instead of bleeding into neighbor
+     * frames' token ranges.
+     */
+    public static final class PolyDecode implements UDF1<byte[], long[]> {
+        @Override
+        public long[] call(byte[] b) {
+            Frame f = walk(b);
+            if (f == null) return null;
+            int dim = f.code <= 6 ? 2 : (f.code & 0xF);
+            long[] t = f.tokens;
+            int m = t.length;
+            // first pass: count rings and coord tokens, validate counts
+            int rings = 0, coordToks = 0;
+            for (int p = 0; p < m; ) {
+                long cnt = t[p];
+                if (cnt <= 0 || cnt % dim != 0 || p + 1 + cnt > m)
+                    throw new IllegalArgumentException(
+                        "ring token count invalid or overrunning the payload"
+                        + " - truncated or corrupt input");
+                rings++;
+                coordToks += (int) cnt;
+                p += 1 + (int) cnt;
+            }
+            long[] out = new long[2 + rings + coordToks];
+            out[0] = f.id;
+            out[1] = rings;
+            int ri = 2, ci = 2 + rings;
+            for (int p = 0; p < m; ) {
+                int cnt = (int) t[p++];
+                out[ri++] = cnt / dim;
+                for (int d = 0; d < dim; d++) {
+                    long acc = 0;
+                    for (int i = d; i < cnt; i += dim) {
+                        acc += unzigzag(t[p + i]);
+                        out[ci + i] = acc;
+                    }
+                }
+                p += cnt;
+                ci += cnt;
+            }
+            return out;
+        }
+    }
+
+    /**
+     * gb_poly_enc(id, coords, ring_nv) -> geobuf Polygon frame (dim 2,
+     * code 3), byte-identical to encode_rings_kernel: per ring a varint
+     * nv*2 then that ring's zigzag deltas with the delta state reset at
+     * the ring start (geom.go:255-273), bbox min/max over ALL the
+     * feature's QUANTIZED vertices (bb.go:10-37). coords is the flat
+     * interleaved x,y array across all rings; ring_nv the vertices per
+     * ring.
+     */
+    public static final class PolyEnc implements UDF3<Long, Seq<Double>, Seq<Number>, byte[]> {
+        @Override
+        public byte[] call(Long id, Seq<Double> coords, Seq<Number> ringNv) {
+            if (id == null || coords == null || ringNv == null)
+                throw new IllegalArgumentException(
+                    "encode polygon: null id/coords/ring_nv - filter before encoding");
+            int m = coords.size(), r = ringNv.size();
+            if (m == 0 || m % 2 != 0 || r == 0)
+                throw new IllegalArgumentException(
+                    "polygon coords must be non-empty interleaved x,y with >=1 ring");
+            long[] q = new long[m];
+            scala.collection.Iterator<Double> it = coords.iterator();
+            for (int i = 0; i < m; i++)
+                q[i] = (long) ((double) it.next() * 1e7);
+            int[] nv = new int[r];
+            // Number, not Integer: Spark hands int or bigint array elements
+            // depending on the column type, and erasure would defer a bad
+            // cast to here anyway
+            scala.collection.Iterator<Number> rit = ringNv.iterator();
+            int totalV = 0;
+            for (int i = 0; i < r; i++) {
+                nv[i] = rit.next().intValue();
+                if (nv[i] <= 0)
+                    throw new IllegalArgumentException(
+                        "empty ring; filter before encoding");
+                totalV += nv[i];
+            }
+            if (totalV * 2 != m)
+                throw new IllegalArgumentException(
+                    "ring_nv sum does not match coords length");
+            // token stream: per ring [nv*2, zigzag deltas (reset at ring)]
+            long[] zz = new long[r + m];
+            long minx = Long.MAX_VALUE, maxx = Long.MIN_VALUE;
+            long miny = Long.MAX_VALUE, maxy = Long.MIN_VALUE;
+            int glen = 0, zi = 0, vi = 0;
+            for (int ring = 0; ring < r; ring++) {
+                zz[zi] = (long) nv[ring] * 2;
+                glen += varintLen(zz[zi]);
+                zi++;
+                long px = 0, py = 0;
+                for (int v = 0; v < nv[ring]; v++, vi += 2) {
+                    long x = q[vi], y = q[vi + 1];
+                    zz[zi] = zigzag(v == 0 ? x : x - px);
+                    zz[zi + 1] = zigzag(v == 0 ? y : y - py);
+                    glen += varintLen(zz[zi]) + varintLen(zz[zi + 1]);
+                    zi += 2;
+                    px = x; py = y;
+                    if (x < minx) minx = x;
+                    if (x > maxx) maxx = x;
+                    if (y < miny) miny = y;
+                    if (y > maxy) maxy = y;
+                }
+            }
+            long zb0 = zigzag(minx), zb1 = zigzag(miny);
+            long zb2 = zigzag(maxx), zb3 = zigzag(maxy);
+            int blen = varintLen(zb0) + varintLen(zb1) + varintLen(zb2) + varintLen(zb3);
+            long uid = id;
+            byte[] out = new byte[1 + varintLen(uid) + 2
+                    + 1 + varintLen(glen) + glen + 1 + varintLen(blen) + blen];
+            int p = 0;
+            out[p++] = 0x08; p = writeVarint(out, p, uid);
+            out[p++] = 0x18; out[p++] = 0x03;
+            out[p++] = 0x22; p = writeVarint(out, p, glen);
+            for (int i = 0; i < zi; i++) p = writeVarint(out, p, zz[i]);
+            out[p++] = 0x2A; p = writeVarint(out, p, blen);
+            p = writeVarint(out, p, zb0); p = writeVarint(out, p, zb1);
+            p = writeVarint(out, p, zb2); p = writeVarint(out, p, zb3);
+            return out;
+        }
+    }
+
+    /**
      * gb_point_enc(id, lon, lat) -> geobuf frame, byte-identical to the
      * Arrow kernel encode_points_kernel (write_feature.go:192-263 layout:
      * 0x08 id | 0x18 code=1 | 0x22 zigzag varint x,y | 0x2A degenerate

@@ -19,10 +19,12 @@ _UDFS = {
     "gb_point": "geobufspark.GbCodec$Point",
     "gb_line_stats": "geobufspark.GbCodec$LineStats",
     "gb_line_decode": "geobufspark.GbCodec$LineDecode",
+    "gb_poly_dec": "geobufspark.GbCodec$PolyDecode",
 }
 _ENC_UDFS = {
     "gb_point_enc": "geobufspark.GbCodec$PointEnc",
     "gb_line_enc": "geobufspark.GbCodec$LineEnc",
+    "gb_poly_enc": "geobufspark.GbCodec$PolyEnc",
 }
 def register(spark: SparkSession) -> bool:
     """ADD JAR + register the decode and encode UDFs. Idempotent per
@@ -32,8 +34,10 @@ def register(spark: SparkSession) -> bool:
     # is probed from the catalog itself: an applicationId key would skip
     # registration for a second session (spark.newSession()) in the same
     # app, and an id(spark) key can alias a GC'd session's address.
+    # probe the NEWEST udf name: a session registered before the polygon
+    # twins landed then re-registers the full set instead of reporting done
     try:
-        if spark.catalog.functionExists("gb_line_enc"):
+        if spark.catalog.functionExists("gb_poly_enc"):
             return True
     except Exception:
         pass
@@ -106,6 +110,37 @@ def decode_lines_jvm(df: DataFrame, bin_col: str = "geobuf",
     )
 
 
+def decode_polygons_jvm(df: DataFrame, bin_col: str = "geobuf",
+                        id_col: str = "poly_id") -> DataFrame:
+    """Materializing ring-structured decode → (id, ring_nv, coords_q), JVM
+    plan (decode_rings_kernel parity, dim 2): ring_nv is the per-ring
+    vertex counts, coords_q the absolute quantized flat array with the
+    delta state reset at each ring."""
+    a = F.expr(f"gb_poly_dec({bin_col})")
+    nr = F.element_at("a", 2).cast("int")
+    return df.select(a.alias("a")).select(
+        F.element_at("a", 1).alias(id_col),
+        F.slice(
+            "a", nr + 3,
+            F.greatest(F.size("a") - nr - 2, F.lit(0)),
+        ).alias("coords_q"),
+        F.slice("a", 3, nr).cast("array<int>").alias("ring_lens"),
+    )
+
+
+def decode_polygons_agg_jvm(df: DataFrame, bin_col: str = "geobuf") -> DataFrame:
+    """Fused decode→reduce for ring frames (JVM plan): per-frame the decode
+    emits [id, R, nv…, coords…]; the aggregate folds counts in the same
+    whole-stage pipeline — the polygon twin of decode_lines_agg_jvm."""
+    a = F.expr(f"gb_poly_dec({bin_col})")
+    return df.select(a.alias("a")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("a", 1)).alias("sum_id"),
+        F.sum(F.element_at("a", 2)).alias("sum_rings"),
+        F.sum(F.size("a") - F.element_at("a", 2) - 2).alias("sum_coord_tokens"),
+    )
+
+
 def encode_points_jvm(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",
                       lat: str = "lat", out: str = "geobuf") -> DataFrame:
     """(id, lon, lat) → (id, geobuf), JVM plan — byte-identical frames to
@@ -122,3 +157,14 @@ def encode_lines_jvm(df: DataFrame, id_col: str = "line_id",
     return df.select(
         F.col(id_col),
         F.expr(f"gb_line_enc({id_col}, {coords})").alias(out))
+
+
+def encode_polygons_jvm(df: DataFrame, id_col: str = "poly_id",
+                        coords: str = "coords", ring_lens: str = "ring_lens",
+                        out: str = "geobuf") -> DataFrame:
+    """(id, coords flat array<double>, ring_lens array<int>) → (id, geobuf),
+    JVM plan — byte-identical Polygon frames to spark_codec.encode_polygons
+    (geom_type 3, dim 2)."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"gb_poly_enc({id_col}, {coords}, {ring_lens})").alias(out))

@@ -113,6 +113,76 @@ def test_point_encode_byte_parity(jvm):
     assert [bytes(r.geobuf) for r in a] == [bytes(r.geobuf) for r in b]
 
 
+def _poly_fixture(rng, n):
+    """Random multi-ring polygons: (rows, ids, flat, ring_nv, rings_per_feat)."""
+    rows, flat, ring_nv, rpf = [], [], [], []
+    for i in range(n):
+        r = int(rng.integers(1, 4))
+        nvs = [int(rng.integers(3, 12)) for _ in range(r)]
+        c = rng.uniform(-180, 180, sum(nvs) * 2)
+        rows.append((i * 7 + 1, c.tolist(), nvs))
+        flat.append(c)
+        ring_nv.extend(nvs)
+        rpf.append(r)
+    return (rows, np.array([r[0] for r in rows], dtype=np.int64),
+            np.concatenate(flat), np.array(ring_nv, dtype=np.int64),
+            np.array(rpf, dtype=np.int64))
+
+
+def test_poly_encode_byte_parity(jvm):
+    """gb_poly_enc frames are byte-identical to encode_rings_kernel
+    (Polygon, dim 2), across ring counts 1-3 and negative coords."""
+    import pandas as pd
+    rng = np.random.default_rng(41)
+    rows, ids, flat, ring_nv, rpf = _poly_fixture(rng, 400)
+    df = jvm.createDataFrame(
+        pd.DataFrame(rows, columns=["poly_id", "coords", "ring_lens"]))
+    a = spark_codec.encode_polygons(df).orderBy("poly_id").collect()
+    b = jvm_codec.encode_polygons_jvm(df).orderBy("poly_id").collect()
+    assert [bytes(r.geobuf) for r in a] == [bytes(r.geobuf) for r in b]
+
+
+def test_poly_decode_parity(jvm):
+    """gb_poly_dec matches decode_rings_kernel: same ring_lens, same
+    absolute quantized coords with per-ring delta reset."""
+    rng = np.random.default_rng(42)
+    _, ids, flat, ring_nv, rpf = _poly_fixture(rng, 300)
+    df = _frames_df(
+        jvm, spark_codec.encode_rings_kernel(ids, flat, ring_nv, rpf))
+    a = {r["poly_id"]: (list(r["coords_q"]), list(r["ring_lens"]))
+         for r in spark_codec.decode_polygons(df).collect()}
+    b = {r["poly_id"]: (list(r["coords_q"]), list(r["ring_lens"]))
+         for r in jvm_codec.decode_polygons_jvm(df).collect()}
+    assert a == b
+
+
+def test_poly_agg_and_corrupt(jvm):
+    rng = np.random.default_rng(43)
+    _, ids, flat, ring_nv, rpf = _poly_fixture(rng, 500)
+    frames = spark_codec.encode_rings_kernel(ids, flat, ring_nv, rpf)
+    df = _frames_df(jvm, frames)
+    row = jvm_codec.decode_polygons_agg_jvm(df).collect()[0]
+    assert row["n"] == 500
+    assert row["sum_id"] == int(ids.sum())
+    assert row["sum_rings"] == int(rpf.sum())
+    assert row["sum_coord_tokens"] == int(ring_nv.sum()) * 2
+    # a ring count token overrunning the payload must fail the task. Use
+    # lattice-small coords (quantized deltas are single-byte varints, so
+    # glen < 128 and every byte offset is fixed): frame = 0x08 id | 0x18 3
+    # | 0x22 glen | count deltas... — corrupt the count token at gi+2.
+    tiny = spark_codec.encode_rings_kernel(
+        np.array([5], dtype=np.int64),
+        np.array([1e-7, 2e-7, 3e-7, 1e-7, 2e-7, 4e-7]),
+        np.array([3], dtype=np.int64), np.array([1], dtype=np.int64))
+    buf = bytearray(bytes(tiny[0].as_py()))
+    gi = buf.index(0x22)
+    assert buf[gi + 1] < 0x80 and buf[gi + 2] == 6  # glen 1 byte; count 3*2
+    buf[gi + 2] = 0x7E  # claims 126 tokens; payload has 6
+    dfc = _frames_df(jvm, pa.array([bytes(buf)], type=pa.binary()))
+    with pytest.raises(Exception):
+        jvm_codec.decode_polygons_jvm(dfc).collect()
+
+
 def test_line_encode_byte_parity_and_roundtrip(jvm):
     """gb_line_enc frames are byte-identical to encode_lines_kernel, and
     the JVM decode of the JVM encode recovers the quantized vertices."""
