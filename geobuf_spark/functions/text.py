@@ -141,6 +141,65 @@ def sql_url_host(url: str = "url") -> str:
     return f"regexp_extract({url}, '^[a-z]+://([^/]+)', 1)"
 
 
+_SCHEME_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonicalize an absolute URL — the Common-Crawl dedup key prep step.
+
+    Policy (kept deliberately small and twin-exact with sql_url_normalize):
+    lowercase scheme+host, strip default ports (:443 on https, :80 on http),
+    drop the fragment, drop utm_* tracking params (and the '?' if nothing
+    survives), drop a bare root-slash path. Non-absolute inputs pass through
+    unchanged. All JVM-side expressions — regex constructs restricted to the
+    Java-regex / RE2 common subset so the DuckDB twin matches byte-for-byte.
+    """
+    sh = F.regexp_extract(url, _SCHEME_HOST_RE, 0)
+    rest = F.substr(url, F.length(sh) + F.lit(1))
+    shn = F.regexp_replace(
+        F.regexp_replace(F.lower(sh), "^(https://[^:/]*):443$", "$1"),
+        "^(http://[^:/]*):80$", "$1")
+    nofrag = F.regexp_replace(rest, "#.*", "")
+    path = F.regexp_extract(nofrag, "^[^?]*", 0)
+    qs = F.substr(nofrag, F.length(path) + F.lit(2))
+    keep = F.filter(
+        F.split(qs, "&"),
+        lambda _pp: (_pp != F.lit("")) & ~_pp.startswith("utm_"))
+    qn = F.when(F.size(keep) > 0,
+                F.concat(F.lit("?"), F.array_join(keep, "&"))).otherwise(F.lit(""))
+    pathn = F.when(path == "/", F.lit("")).otherwise(path)
+    return F.when(sh == "", url).otherwise(F.concat(shn, pathn, qn))
+
+
+def sql_url_normalize(u: str) -> str:
+    """DuckDB twin of url_normalize. Pass a plain column name — the
+    sub-expressions repeat the input, so a complex expression would blow up
+    the generated SQL."""
+    sh = f"regexp_extract({u}, '{_SCHEME_HOST_RE}')"
+    shn = (f"regexp_replace(regexp_replace(lower({sh}),"
+           f" '^(https://[^:/]*):443$', '\\1'), '^(http://[^:/]*):80$', '\\1')")
+    rest = f"substr({u}, length({sh}) + 1)"
+    nofrag = f"regexp_replace({rest}, '#.*', '')"
+    path = f"regexp_extract({nofrag}, '^[^?]*')"
+    qs = f"substr({nofrag}, length({path}) + 2)"
+    keep = (f"list_filter(string_split({qs}, '&'),"
+            f" _pp -> _pp <> '' AND NOT starts_with(_pp, 'utm_'))")
+    qn = f"CASE WHEN len({keep}) > 0 THEN '?' || array_to_string({keep}, '&') ELSE '' END"
+    pathn = f"CASE WHEN {path} = '/' THEN '' ELSE {path} END"
+    return f"CASE WHEN {sh} = '' THEN {u} ELSE {shn} || {pathn} || {qn} END"
+
+
+def extract_links(html_text: Column) -> Column:
+    """href targets of every <a> tag in an HTML string column — one
+    regexp_extract_all pass, JVM-side, returns array<string>."""
+    return F.regexp_extract_all(html_text, F.lit('<a href="([^"]+)"'), 1)
+
+
+def sql_extract_links(h: str) -> str:
+    """DuckDB twin of extract_links."""
+    return f"regexp_extract_all({h}, '<a href=\"([^\"]+)\"', 1)"
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Stopword-hit count for one language over the token array."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

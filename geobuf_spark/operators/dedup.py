@@ -41,6 +41,34 @@ def dedup_exact(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     )
 
 
+def keep_latest(df: DataFrame, key, ts_col: str, tie_col: str,
+                payload_cols: list[str] | None = None) -> DataFrame:
+    """Latest-capture-wins dedup: one row per key, the one with the max
+    (ts, tie) — the canonical Common-Crawl recrawl collapse (keep the
+    newest WARC capture per URL).
+
+    Implemented as max(struct(ts, tie, payload...)) + count, NOT a window:
+    the struct-max is map-side combinable, so at 10^12 rows this is one
+    shuffle of distinct keys with partial aggregation, where a row_number
+    window would shuffle every row and sort each partition. The tie column
+    must be unique per key so the lexicographic max is total.
+
+    Output: (key, n_captures, <tie_col>, <ts_col>, payload...).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    key_name = key if isinstance(key, str) else "key"
+    payload_cols = payload_cols or []
+    m = F.max(F.struct(F.col(ts_col), F.col(tie_col),
+                       *[F.col(c) for c in payload_cols])).alias("_m")
+    g = df.groupBy(key_col.alias(key_name)).agg(m, F.count("*").alias("n_captures"))
+    return g.select(
+        key_name, "n_captures",
+        F.col(f"_m.{tie_col}").alias(tie_col),
+        F.col(f"_m.{ts_col}").alias(ts_col),
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def _shingles(text: Column, k: int) -> Column:
     """k-token shingles as strings (distinct)."""
     toks = tokens(text)

@@ -58,3 +58,77 @@ def test_html_extract_byte_identity(spark):
         .count()
     )
     assert bad == 0
+
+
+URL_NORM_CASES = [
+    # (input, expected)
+    ("HTTPS://Site1.Example/AbC", "https://site1.example/AbC"),  # host lower, path kept
+    ("https://a.example:443/x", "https://a.example/x"),          # default https port
+    ("http://a.example:80/x", "http://a.example/x"),             # default http port
+    ("https://a.example:8443/x", "https://a.example:8443/x"),    # non-default port kept
+    ("http://a.example:443/x", "http://a.example:443/x"),        # :443 on http kept
+    ("https://a.example/x#frag", "https://a.example/x"),         # fragment dropped
+    ("https://a.example/x?a=1&utm_source=s&b=2", "https://a.example/x?a=1&b=2"),
+    ("https://a.example/x?utm_source=s&utm_medium=m", "https://a.example/x"),
+    ("https://a.example/x?", "https://a.example/x"),             # empty query dropped
+    ("https://a.example/", "https://a.example"),                 # bare root slash
+    ("https://a.example", "https://a.example"),
+    ("HTTPS://A.EXAMPLE:443/p?utm_x=1#f", "https://a.example/p"),
+    ("not a url", "not a url"),                                  # passthrough
+    ("/relative/path", "/relative/path"),
+]
+
+
+def test_url_normalize_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_NORM_CASES], ["u"])
+    got = [r[0] for r in df.select(TXT.url_normalize(F.col("u"))).collect()]
+    assert got == [e for _, e in URL_NORM_CASES]
+
+
+def test_url_normalize_duckdb_twin(spark):
+    # the DuckDB twin must match the engine byte-for-byte on the same battery
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in URL_NORM_CASES])
+    got = [r[0] for r in
+           con.sql(f"SELECT {TXT.sql_url_normalize('u')} FROM t").fetchall()]
+    assert got == [e for _, e in URL_NORM_CASES]
+
+
+def test_extract_links(spark):
+    html = ('<html><body><a href="https://x.example/1">a</a>'
+            '<p>noise <a href="http://y.example/2?q=1">b</a></p>'
+            '<a class="c" href="https://z.example/3">c</a></body></html>')
+    df = spark.createDataFrame([(html,), ("<p>no links</p>",)], ["h"])
+    got = [r[0] for r in df.select(TXT.extract_links(F.col("h"))).collect()]
+    # the regex keys on the `<a href="` prefix: the class-first anchor is
+    # out of scope by design (documented operator contract)
+    assert got[0] == ["https://x.example/1", "http://y.example/2?q=1"]
+    assert got[1] == []
+
+
+def test_keep_latest_matches_window_and_breaks_ties(spark):
+    from pyspark.sql import Window
+
+    from geobuf_spark.operators import dedup
+
+    rows = [
+        ("u1", 100, 1, "a"), ("u1", 200, 2, "b"),   # plain latest
+        ("u2", 300, 3, "c"), ("u2", 300, 4, "d"),   # ts tie -> max page_id
+        ("u3", 50, 5, "e"),                          # singleton
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "page_id", "payload"])
+    got = {r["url"]: (r["n_captures"], r["page_id"], r["warc_ts"], r["payload"])
+           for r in dedup.keep_latest(df, "url", "warc_ts", "page_id",
+                                      ["payload"]).collect()}
+    assert got == {"u1": (2, 2, 200, "b"), "u2": (2, 4, 300, "d"),
+                   "u3": (1, 5, 50, "e")}
+    # equivalence with the row_number-window form (the oracle's shape)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("page_id"))
+    win = (df.withColumn("rn", F.row_number().over(w))
+             .withColumn("n", F.count("*").over(Window.partitionBy("url")))
+             .where("rn = 1"))
+    assert {(r["url"], r["n"], r["page_id"]) for r in win.collect()} == \
+           {(u, n, p) for u, (n, p, _, _) in got.items()}
