@@ -99,6 +99,8 @@ def bench_queries(spark):
         "tile_stream_counts", "ann_ivf_top5",
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q21",
         "html_extract_text", "url_host_topk", "dup_ngram_stats",
+        "boilerplate_lines", "line_dedup_clean", "warc_index",
+        "pagerank_hosts",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can

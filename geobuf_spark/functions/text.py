@@ -216,3 +216,22 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     for lg in reversed(list(scores)):  # earlier langs win ties
         pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
     return df.withColumn(out, pred)
+
+
+# robots noindex gate — Java-regex / RE2 common subset (alternation only, no
+# lookaround, no backreferences) so rlike and DuckDB regexp_matches agree
+# byte-for-byte. Catches double/single-quoted attributes in either order.
+ROBOTS_NOINDEX_RE = (
+    "<meta\\s+(name=[\"']robots[\"']\\s+content=[\"'][^\"']*noindex"
+    "|content=[\"'][^\"']*noindex[^\"']*[\"']\\s+name=[\"']robots[\"'])"
+)
+
+
+def is_noindex(html_text: Column) -> Column:
+    """True when the HTML string carries a robots-noindex meta tag."""
+    return html_text.rlike(ROBOTS_NOINDEX_RE)
+
+
+def sql_is_noindex(h: str) -> str:
+    """DuckDB twin of is_noindex (regexp_matches is unanchored like rlike)."""
+    return f"regexp_matches({h}, '{ROBOTS_NOINDEX_RE.replace(chr(39), chr(39) * 2)}')"

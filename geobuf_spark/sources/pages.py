@@ -82,3 +82,53 @@ def with_minted_geometry(pages_df: DataFrame) -> DataFrame:
     lon_q = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(3_600_000_000)) - F.lit(1_800_000_000)
     lat_q = F.pmod(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"), F.lit(1_700_000_000)) - F.lit(850_000_000)
     return pages_df.withColumn("lon", lon_q / F.lit(1e7)).withColumn("lat", lat_q / F.lit(1e7))
+
+# ---------------------------------------------------------------------------
+# Multi-paragraph body minting — the line-level (CCNet-style) job surface.
+# The site number is re-extracted from the url (not re-derived from the md5
+# draw) so the Spark and DuckDB definitions share ONE source of truth.
+# ---------------------------------------------------------------------------
+
+BOILER_VARIANTS = 37
+BOILER_HEADER = "boilerplate cookie notice v"
+BOILER_FOOTER = "subscribe to the example newsletter"
+_SITE_RE = r"site(\d+)\.example"
+
+
+def site_of(url: Column) -> "Column":
+    """Integer site number embedded in the minted url."""
+    return F.regexp_extract(url, _SITE_RE, 1).cast("int")
+
+
+def with_body(pages_df: DataFrame) -> DataFrame:
+    """Append a newline-joined multi-paragraph `body`: a site-cohort
+    boilerplate header (site % BOILER_VARIANTS picks the variant), the page
+    text, the header REPEATED for every 5th page (the within-doc duplicate
+    line), and a global footer on even sites. concat_ws skips the NULL
+    branches identically in Spark and DuckDB (sql_body_cte twin)."""
+    site = site_of(F.col("url"))
+    header = F.concat(F.lit(BOILER_HEADER),
+                      F.pmod(site, F.lit(BOILER_VARIANTS)).cast("string"))
+    body = F.concat_ws(
+        "\n",
+        header,
+        F.col("text"),
+        F.when(F.pmod(F.col("page_id"), F.lit(5)) == 0, header),
+        F.when(F.pmod(site, F.lit(2)) == 0, F.lit(BOILER_FOOTER)),
+    )
+    return pages_df.withColumn("body", body)
+
+
+def sql_body_cte(prefix: str = "") -> str:
+    """DuckDB twin of with_body: a CTE clause extending {prefix}txt with
+    (site, body). Append after a _pages_cte(...) fragment."""
+    p = prefix
+    site = f"CAST(regexp_extract(url, 'site(\\d+)\\.example', 1) AS INT)"
+    header = f"'{BOILER_HEADER}' || CAST({site} % {BOILER_VARIANTS} AS VARCHAR)"
+    return f"""{p}bdy AS (SELECT id, url, lang, ts_epoch, text, {site} AS site,
+                concat_ws(chr(10),
+                    {header},
+                    text,
+                    CASE WHEN id % 5 = 0 THEN {header} END,
+                    CASE WHEN {site} % 2 = 0 THEN '{BOILER_FOOTER}' END) AS body
+         FROM {p}txt)"""
