@@ -60,3 +60,23 @@ def test_embed_near_dups_single_join_shuffle(spark):
     plan = _executed_plan(similarity.cosine_near_pairs(emb, threshold=0.9))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_webtext_line_query_shuffle_budgets(spark):
+    """Shuffle budgets for the batch-3 corpus-hygiene queries — the shapes
+    that must survive a 100x scale-up: line_dedup_clean and
+    sample_stratified are pure per-row expression pipelines (ZERO
+    exchanges); meta_robots and warc_index each pay exactly one shuffle
+    (host agg / host window); boilerplate_lines pays the standard
+    two-exchange multi-distinct expand and nothing more. None of them may
+    evaluate Python."""
+    import __spark_entry__ as em
+
+    budgets = {"line_dedup_clean": 0, "sample_stratified": 0,
+               "meta_robots": 1, "warc_index": 1, "boilerplate_lines": 2}
+    for q, budget in budgets.items():
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == budget, f"{q}\n{plan}"
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, f"{q}: {marker}"
