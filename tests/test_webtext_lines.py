@@ -148,3 +148,60 @@ def test_boilerplate_lines_classify(spark):
         assert r["n_occurrences"] >= r["n_docs"] >= 20
         assert r["n_hosts"] <= r["n_docs"]
     assert len(rows) == pages.BOILER_VARIANTS + 1
+
+
+def test_text_normalize_recovers_bytes(spark):
+    # the scrubber must recover the original text byte-for-byte from every
+    # minted messy variant (the north-rule invariant survives cleaning)
+    p = pages.pages(spark, 400)
+    v = F.pmod(F.col("page_id"), F.lit(4))
+    messy = (F.when(v == 0, F.concat(F.lit("  "), F.col("text"), F.lit(" \t")))
+             .when(v == 1, F.replace(F.col("text"), F.lit(" "), F.lit("   ")))
+             .when(v == 2, F.concat(F.col("text"), F.lit("\x07\r\n")))
+             .otherwise(F.col("text")))
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(messy, r"[\x00-\x1f\x7f]", " "), " +", " "))
+    bad = p.select("page_id", "text", norm.alias("norm")) \
+           .where(F.col("norm") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_paragraph_owner_matches_python_recompute(spark):
+    import __spark_entry__ as E
+
+    got = {r["line_md5"]: (r["owner_ts"], r["owner_page_id"], r["n_copies"])
+           for r in E.q_paragraph_owner(spark, None).collect()}
+    src = pages.with_body(pages.pages(spark, 2000)) \
+        .select("page_id", F.unix_timestamp("warc_ts").alias("ts"), "body").collect()
+    expect = {}
+    for r in src:
+        for line in r["body"].split("\n"):
+            k = hashlib.md5(line.encode()).hexdigest()
+            ts_id = (r["ts"], r["page_id"])
+            if k in expect:
+                o, n = expect[k]
+                expect[k] = (min(o, ts_id), n + 1)
+            else:
+                expect[k] = (ts_id, 1)
+    assert got == {k: (o[0], o[1], n) for k, (o, n) in expect.items()}
+
+
+def test_ngram_topk_matches_python_recompute(spark):
+    from collections import Counter
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["gram"], r["n"], r["n_docs"])
+           for r in E.q_ngram_topk(spark, sf).collect()]
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    cnt, dc = Counter(), {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        cnt.update(grams)
+        for g in set(grams):
+            dc[g] = dc.get(g, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert got == [(g, n, dc[g]) for g, n in top]
