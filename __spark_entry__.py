@@ -1483,6 +1483,16 @@ def q_sample_stratified(spark, sf):
             .where(F.col("bucket") < rate))
 
 
+def q_dup_span_frac(spark, sf):
+    # exact-substring-dedup proxy: per-document fraction of word 8-grams
+    # shared with at least one other document (operators/dedup.
+    # dup_span_stats — no self-join, no pair blowup; hot spans collapse
+    # into one count per gram). The missing member of the dedup family
+    # next to exact/minhash/simhash/jaccard/embedding.
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return dedup.dup_span_stats(d, key="doc_id", text_col="text", n=8)
+
+
 def q_ngram_topk(spark, sf):
     # corpus-level collocation stats — top-25 word 3-grams with doc
     # frequency: the LM-corpus summary job. Explode is a 1:G flatMap (no
@@ -1575,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "dup_span_frac": q_dup_span_frac,
         "ngram_topk": q_ngram_topk,
         "host_quality_rollup": q_host_quality_rollup,
         "text_normalize": q_text_normalize,
@@ -1626,7 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q5": q_tpch_q5,
         "bbox_intersect_join": q_bbox_intersect_join,
-        "pip_join_rects": q_pip_join_rects,
         # ---- position 51+: fresh greens in CORRECTNESS_r03 (the r3
         # window cohort) or double-green r1+r2, all sweep-covered; the
         # eight new-this-round queries displaced sessionize/tpch_q1/
@@ -1636,9 +1646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_stratified) displaced ann_cosine_top5/geo_bounds/
         # doc_quality/token_totals/lang_id, and the four batch-4 queries
         # (ngram_topk/host_quality_rollup/text_normalize/paragraph_owner)
-        # displaced pip_join_s2/pip_semi/ngram_jaccard/dup_components
-        # (the youngest greens of the rotated-back tail — all
-        # sweep-green) ----
+        # + dup_span_frac displaced pip_join_rects/pip_join_s2/pip_semi/
+        # ngram_jaccard/dup_components (the youngest greens of the
+        # rotated-back tail — all sweep-green) ----
+        "pip_join_rects": q_pip_join_rects,
         "pip_join_s2": q_pip_join_s2,
         "pip_semi": q_pip_semi,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2454,6 +2465,33 @@ def _warc_index_sql(n: int = 2000, seed: int = 42) -> str:
         FROM r"""
 
 
+def _dup_span_frac_sql(n: int = 8) -> str:
+    """Oracle for q_dup_span_frac: same 8-gram construction; shared =
+    gram present in >= 2 distinct docs; the fraction is one IEEE division
+    of exact ints. Docs shorter than n tokens emit no grams and no row,
+    matching the operator."""
+    gram = " || chr(32) || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS ws
+                      FROM documents),
+        g AS (SELECT doc_id,
+                     md5(unnest(CASE WHEN len(ws) >= {n} THEN
+                         list_transform(range(1, len(ws) - {n - 2}),
+                                        i -> {gram})
+                     ELSE CAST([] AS VARCHAR[]) END)) AS gram
+              FROM toks),
+        per AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+        d AS (SELECT gram, count(*) AS nd FROM per GROUP BY 1)
+        SELECT per.doc_id,
+               CAST(sum(per.m) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN d.nd >= 2 THEN per.m ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               CAST(sum(CASE WHEN d.nd >= 2 THEN per.m ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(per.m) AS DOUBLE) AS dup_span_frac
+        FROM per JOIN d USING (gram)
+        GROUP BY 1"""
+
+
 def _ngram_topk_sql(k: int = 25) -> str:
     """Oracle for q_ngram_topk: the same 3-gram construction as
     sql_dup_ngrams, unnested and aggregated with a (n, gram) total order."""
@@ -3172,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "dup_span_frac": _dup_span_frac_sql(),
         "ngram_topk": _ngram_topk_sql(),
         "host_quality_rollup": _host_quality_rollup_sql(),
         "text_normalize": _text_normalize_sql(),

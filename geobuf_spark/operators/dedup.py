@@ -348,3 +348,38 @@ def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
             f"near_dup_components did not converge in {max_iters} rounds — "
             "raise max_iters (partial labels would split components)")
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("rep_id"))
+
+
+def dup_span_stats(df: DataFrame, key: str = "doc_id", text_col: str = "text",
+                   n: int = 8) -> DataFrame:
+    """Cross-document duplicated-span signal — the exact-substring-dedup
+    proxy (C4 / RefinedWeb style): for each document, the fraction of its
+    word n-grams that also occur in at least one OTHER document.
+
+    Shape: explode n-grams keyed by md5 (narrow shuffle rows) → per-(doc,
+    gram) multiplicity (shuffle 1, map-side partials) → distinct-doc count
+    per gram (shuffle 2, re-uses the gram partitioning) → gram equi-join
+    back (the doc-count side is gram-partitioned already; the multiplicity
+    side re-shuffles once) → per-doc rollup (shuffle 3). No self-join and
+    no pair materialization, so unlike ngram_jaccard_pairs this stays
+    linear in corpus size even when a span is shared by millions of
+    documents — at 10^12 docs the hot-gram skew lands in ONE bigint count
+    per gram, not a quadratic bucket.
+    """
+    from geobuf_spark.functions.text import word_ngrams
+
+    # md5 maps over the array BEFORE the explode (a generator can't nest
+    # inside an expression), so only narrow 32-char keys ever leave the row
+    g = df.select(F.col(key).alias("key"),
+                  F.explode(F.transform(word_ngrams(F.col(text_col), n),
+                                        F.md5)).alias("gram"))
+    per = g.groupBy("key", "gram").agg(F.count("*").alias("m"))
+    docs_per_gram = per.groupBy("gram").agg(F.count("*").alias("nd"))
+    j = per.join(docs_per_gram, "gram")
+    return (j.groupBy("key")
+            .agg(F.sum("m").alias("n_grams"),
+                 F.sum(F.when(F.col("nd") >= 2, F.col("m"))
+                        .otherwise(F.lit(0))).alias("n_shared"))
+            .select(F.col("key").alias(key), "n_grams", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / F.col("n_grams").cast("double")).alias("dup_span_frac")))

@@ -205,3 +205,24 @@ def test_ngram_topk_matches_python_recompute(spark):
             dc[g] = dc.get(g, 0) + 1
     top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     assert got == [(g, n, dc[g]) for g, n in top]
+
+
+def test_dup_span_stats_planted(spark):
+    from geobuf_spark.operators import dedup
+
+    ten = " ".join(f"w{i}" for i in range(10))        # 3 8-grams
+    rows = [
+        (1, ten),                                     # exact dup of 2
+        (2, ten),
+        (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 " + ten),     # suffix shares all 3
+        (4, " ".join(f"x{i}" for i in range(12))),    # fully unique
+        (5, "too short for any gram"),                # < 8 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"],
+                         round(r["dup_span_frac"], 6))
+           for r in dedup.dup_span_stats(df, n=8).collect()}
+    # doc 3 has 12 grams: 9 unique-prefix + 3 shared with docs 1/2
+    assert got == {1: (3, 3, 1.0), 2: (3, 3, 1.0),
+                   3: (12, 3, 0.25), 4: (5, 0, 0.0)}
+    assert 5 not in got
