@@ -1483,6 +1483,46 @@ def q_sample_stratified(spark, sf):
             .where(F.col("bucket") < rate))
 
 
+def q_host_tile_footprint(spark, sf):
+    # the graft cross-axis rollup: per HOST (payload axis), the spatial
+    # footprint of its pages (geometry axis) — distinct z8 tiles, page
+    # count, and the exact bbox of the host's minted points. ONE hash agg
+    # on host; the tile is packed into one bigint (x8*256 + y8) so the
+    # distinct count shuffles narrow integers; lon/lat min/max are exact
+    # lattice doubles (FIXTURES.md §1), so the bbox is oracle-exact.
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    tile = (tiles.tile_x(F.col("lon"), 8) * 256 + tiles.tile_y(F.col("lat"), 8))
+    return (p.groupBy(TXT.url_host(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct(tile).alias("n_tiles"),
+                 F.min("lon").alias("west"), F.min("lat").alias("south"),
+                 F.max("lon").alias("east"), F.max("lat").alias("north")))
+
+
+def q_lang_tile_mix(spark, sf):
+    # per-tile language mix at z6 — the geo × payload histogram a crawl
+    # planner reads: page count, language count, and the dominant language
+    # per tile. Two-phase: one hash agg on (tile, lang) with map-side
+    # partials, then window functions over the (much smaller) group table —
+    # the window re-shuffles tile-lang GROUPS, never pages. The row_number
+    # order (n desc, lang asc) is total, so the winner is deterministic.
+    from pyspark.sql import Window
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    g = (p.groupBy(tiles.tile_x(F.col("lon"), 6).alias("x6"),
+                   tiles.tile_y(F.col("lat"), 6).alias("y6"),
+                   "lang")
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("x6", "y6")
+    return (g.withColumn("rn", F.row_number().over(
+                w.orderBy(F.desc("n"), F.asc("lang"))))
+            .withColumn("n_pages", F.sum("n").over(w))
+            .withColumn("n_langs", F.count("*").over(w))
+            .where(F.col("rn") == 1)
+            .select("x6", "y6", "n_pages", "n_langs",
+                    F.col("lang").alias("top_lang"),
+                    F.col("n").alias("n_top")))
+
+
 def q_dup_span_frac(spark, sf):
     # exact-substring-dedup proxy: per-document fraction of word 8-grams
     # shared with at least one other document (operators/dedup.
@@ -1585,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "host_tile_footprint": q_host_tile_footprint,
+        "lang_tile_mix": q_lang_tile_mix,
         "dup_span_frac": q_dup_span_frac,
         "ngram_topk": q_ngram_topk,
         "host_quality_rollup": q_host_quality_rollup,
@@ -1635,8 +1677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
-        "tpch_q5": q_tpch_q5,
-        "bbox_intersect_join": q_bbox_intersect_join,
         # ---- position 51+: fresh greens in CORRECTNESS_r03 (the r3
         # window cohort) or double-green r1+r2, all sweep-covered; the
         # eight new-this-round queries displaced sessionize/tpch_q1/
@@ -1647,8 +1687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_quality/token_totals/lang_id, and the four batch-4 queries
         # (ngram_topk/host_quality_rollup/text_normalize/paragraph_owner)
         # + dup_span_frac displaced pip_join_rects/pip_join_s2/pip_semi/
-        # ngram_jaccard/dup_components (the youngest greens of the
-        # rotated-back tail — all sweep-green) ----
+        # ngram_jaccard/dup_components, and host_tile_footprint +
+        # lang_tile_mix displaced tpch_q5/bbox_intersect_join (the
+        # youngest greens of the rotated-back tail — all sweep-green) ----
+        "tpch_q5": q_tpch_q5,
+        "bbox_intersect_join": q_bbox_intersect_join,
         "pip_join_rects": q_pip_join_rects,
         "pip_join_s2": q_pip_join_s2,
         "pip_semi": q_pip_semi,
@@ -2224,15 +2267,21 @@ def _pages_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
                 FROM {p}d2)"""
 
 
-def _pages_synth_sql(n: int = 2000, seed: int = 42, z: int = 7) -> str:
-    """Oracle for q_pages_synth: pages regen + md5(url)-minted geometry."""
+def _pages_geo_cte() -> str:
+    """CTE clause twinning sources/pages.with_minted_geometry over txt:
+    geo(id, url, lang, text, lon, lat)."""
     mh = lambda s: f"CAST(('0x' || substr(md5(url), {s}, 8)) AS BIGINT)"  # noqa: E731
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        geo AS (SELECT id, lang, text,
+    return f"""geo AS (SELECT id, url, lang, text,
                        ({mh(1)} % 3600000000 - 1800000000) / 1e7 AS lon,
                        ({mh(9)} % 1700000000 - 850000000) / 1e7 AS lat
-                FROM txt)
+                FROM txt)"""
+
+
+def _pages_synth_sql(n: int = 2000, seed: int = 42, z: int = 7) -> str:
+    """Oracle for q_pages_synth: pages regen + md5(url)-minted geometry."""
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        {_pages_geo_cte()}
         SELECT id AS page_id, lang, CAST(strlen(text) AS INT) AS n_bytes,
                {tiles.sql_tile_x('lon', z)} AS x{z},
                {tiles.sql_tile_y('lat', z)} AS y{z}
@@ -2463,6 +2512,46 @@ def _warc_index_sql(n: int = 2000, seed: int = 42) -> str:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS "offset"
         FROM r"""
+
+
+def _host_tile_footprint_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_host_tile_footprint: regen pages + minted geometry,
+    pack the z8 tile, per-host rollup. min/max of exact lattice doubles
+    are order-insensitive, so the bbox compares exactly."""
+    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        {_pages_geo_cte()},
+        t AS (SELECT {TXT.sql_url_host('url')} AS host, lon, lat,
+                     ({x8}) * 256 + ({y8}) AS tile
+              FROM geo)
+        SELECT host, count(*) AS n_pages,
+               CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles,
+               min(lon) AS west, min(lat) AS south,
+               max(lon) AS east, max(lat) AS north
+        FROM t
+        GROUP BY host"""
+
+
+def _lang_tile_mix_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_lang_tile_mix: the same two-phase shape — (tile, lang)
+    counts, then windows over the group table with the identical
+    (n DESC, lang ASC) total order."""
+    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        {_pages_geo_cte()},
+        g AS (SELECT {x6} AS x6, {y6} AS y6, lang, count(*) AS n
+              FROM geo GROUP BY 1, 2, 3),
+        w AS (SELECT x6, y6, lang, n,
+                     row_number() OVER (PARTITION BY x6, y6
+                                        ORDER BY n DESC, lang) AS rn,
+                     CAST(sum(n) OVER (PARTITION BY x6, y6) AS BIGINT)
+                         AS n_pages,
+                     count(*) OVER (PARTITION BY x6, y6) AS n_langs
+              FROM g)
+        SELECT x6, y6, n_pages, n_langs, lang AS top_lang, n AS n_top
+        FROM w WHERE rn = 1"""
 
 
 def _dup_span_frac_sql(n: int = 8) -> str:
@@ -3210,6 +3299,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "host_tile_footprint": _host_tile_footprint_sql(),
+        "lang_tile_mix": _lang_tile_mix_sql(),
         "dup_span_frac": _dup_span_frac_sql(),
         "ngram_topk": _ngram_topk_sql(),
         "host_quality_rollup": _host_quality_rollup_sql(),
