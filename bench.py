@@ -100,7 +100,7 @@ def bench_queries(spark):
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q21",
         "html_extract_text", "url_host_topk", "dup_ngram_stats",
         "boilerplate_lines", "line_dedup_clean", "warc_index",
-        "pagerank_hosts",
+        "pagerank_hosts", "ngram_topk", "dup_span_frac",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can

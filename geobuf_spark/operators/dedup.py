@@ -356,15 +356,16 @@ def dup_span_stats(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     proxy (C4 / RefinedWeb style): for each document, the fraction of its
     word n-grams that also occur in at least one OTHER document.
 
-    Shape: explode n-grams keyed by md5 (narrow shuffle rows) → per-(doc,
-    gram) multiplicity (shuffle 1, map-side partials) → distinct-doc count
-    per gram (shuffle 2, re-uses the gram partitioning) → gram equi-join
-    back (the doc-count side is gram-partitioned already; the multiplicity
-    side re-shuffles once) → per-doc rollup (shuffle 3). No self-join and
-    no pair materialization, so unlike ngram_jaccard_pairs this stays
+    Shape — exactly THREE shuffles of the (doc, gram) table and nothing
+    else: explode n-grams keyed by md5 (narrow rows) → per-(doc, gram)
+    multiplicity (shuffle 1, map-side partials) → distinct-doc count per
+    gram as a COUNT OVER the gram partitioning (shuffle 2 — a window
+    count replaces the aggregate-then-self-join form, which would shuffle
+    the same table twice more) → per-doc rollup (shuffle 3). No self-join
+    and no pair materialization, so unlike ngram_jaccard_pairs this stays
     linear in corpus size even when a span is shared by millions of
-    documents — at 10^12 docs the hot-gram skew lands in ONE bigint count
-    per gram, not a quadratic bucket.
+    documents — at 10^12 docs the hot-gram skew lands in ONE partition's
+    count per gram, not a quadratic bucket.
     """
     from geobuf_spark.functions.text import word_ngrams
 
@@ -374,8 +375,7 @@ def dup_span_stats(df: DataFrame, key: str = "doc_id", text_col: str = "text",
                   F.explode(F.transform(word_ngrams(F.col(text_col), n),
                                         F.md5)).alias("gram"))
     per = g.groupBy("key", "gram").agg(F.count("*").alias("m"))
-    docs_per_gram = per.groupBy("gram").agg(F.count("*").alias("nd"))
-    j = per.join(docs_per_gram, "gram")
+    j = per.withColumn("nd", F.count("*").over(Window.partitionBy("gram")))
     return (j.groupBy("key")
             .agg(F.sum("m").alias("n_grams"),
                  F.sum(F.when(F.col("nd") >= 2, F.col("m"))

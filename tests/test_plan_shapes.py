@@ -73,10 +73,22 @@ def test_webtext_line_query_shuffle_budgets(spark):
     import __spark_entry__ as em
 
     budgets = {"line_dedup_clean": 0, "sample_stratified": 0,
-               "meta_robots": 1, "warc_index": 1, "boilerplate_lines": 2}
+               "meta_robots": 1, "warc_index": 1, "boilerplate_lines": 2,
+               # multi-distinct expand / group-table windows
+               "host_tile_footprint": 2, "lang_tile_mix": 2,
+               "ngram_topk": 2,
+               # (doc,gram) agg → gram window → doc rollup; the
+               # aggregate-then-join form costs 5 — regression guard
+               "dup_span_frac": 3}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
-                       "FlatMapGroupsInPandas", "MapInPandas"):
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "CartesianProduct", "BroadcastNestedLoop"):
             assert marker not in plan, f"{q}: {marker}"
+    # the corpus top-k must be a TakeOrdered (per-partition heaps), never
+    # a global sort
+    plan = _executed_plan(em.queries()["ngram_topk"](spark,
+                                                     "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan

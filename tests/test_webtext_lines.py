@@ -226,3 +226,17 @@ def test_dup_span_stats_planted(spark):
     assert got == {1: (3, 3, 1.0), 2: (3, 3, 1.0),
                    3: (12, 3, 0.25), 4: (5, 0, 0.0)}
     assert 5 not in got
+
+
+def test_dup_span_stats_partitioning_invariant(spark):
+    # the window-count form must give identical exact fractions under any
+    # input partitioning (strategy-invariance check for the family)
+    from geobuf_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    base = {(r["doc_id"], r["n_grams"], r["n_shared"], r["dup_span_frac"])
+            for r in dedup.dup_span_stats(d).collect()}
+    again = {(r["doc_id"], r["n_grams"], r["n_shared"], r["dup_span_frac"])
+             for r in dedup.dup_span_stats(d.repartition(17)).collect()}
+    assert base == again and len(base) == 500
