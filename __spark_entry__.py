@@ -1528,9 +1528,10 @@ def q_dup_span_frac(spark, sf):
     # shared with at least one other document (operators/dedup.
     # dup_span_stats — no self-join, no pair blowup; hot spans collapse
     # into one count per gram). The missing member of the dedup family
-    # next to exact/minhash/simhash/jaccard/embedding.
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
-    return dedup.dup_span_stats(d, key="doc_id", text_col="text", n=8)
+    # next to exact/minhash/simhash/jaccard/embedding. widen(): the gram
+    # explode must not inherit a one-row-group scan's single task.
+    return dedup.dup_span_stats(_docs(spark, sf).select("doc_id", "text"),
+                                key="doc_id", text_col="text", n=8)
 
 
 def q_ngram_topk(spark, sf):
@@ -1540,7 +1541,7 @@ def q_ngram_topk(spark, sf):
     # the limit is a TakeOrdered (per-partition top-k, then a driver merge
     # of k-sized heaps — never a full sort) and the (n, gram) order is
     # total so the boundary is deterministic.
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    d = _docs(spark, sf).select("doc_id", "text")  # widen: see q_dup_span_frac
     g = d.select("doc_id", F.explode(TXT.word_ngrams(F.col("text"), 3)).alias("gram"))
     return (g.groupBy("gram")
             .agg(F.count("*").alias("n"),

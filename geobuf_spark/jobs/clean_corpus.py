@@ -1,5 +1,6 @@
 """Training-corpus cleaning job: the classic web-text pipeline —
-lang filter → exact dedup → MinHash near-dup removal → quality gate —
+lang filter → exact dedup → MinHash near-dup removal → duplicated-span
+gate (exact-substring proxy) → quality gate —
 as one spark-submit job with stage metrics, partition lineage, and
 same-run-id resume (the same ops contract as jobs.tile_pages).
 
@@ -25,7 +26,8 @@ import sys
 
 
 def run_job(spark, sf_dir: str, out: str, run_id: str, *,
-            min_tokens: int = 10, jaccard: float = 0.8) -> dict:
+            min_tokens: int = 10, jaccard: float = 0.8,
+            max_dup_span: float = 0.9) -> dict:
     from pyspark.sql import functions as F
 
     from geobuf_spark.functions import text as TXT
@@ -74,12 +76,25 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         n3 = kept.count()
         t.set_counts(rows_in=n2, rows_out=n3)
 
+    with ctx.stage("span_dedup_gate") as t:
+        # exact-substring proxy: drop survivors that are mostly made of
+        # 8-gram spans shared with other surviving docs (boilerplate-heavy
+        # pages that near-dedup's whole-doc similarity can't see). Docs
+        # shorter than the span width emit no stats row and pass through —
+        # the token-length quality gate below owns that regime.
+        spans = dedup.dup_span_stats(kept, key="doc_id")
+        heavy = spans.filter(F.col("dup_span_frac") > max_dup_span) \
+            .select("doc_id")
+        kept = kept.join(heavy, "doc_id", "left_anti").localCheckpoint(eager=False)
+        n3b = kept.count()
+        t.set_counts(rows_in=n3, rows_out=n3b)
+
     with ctx.stage("quality_gate") as t:
         scored = TXT.quality_columns(kept)
         kept = scored.filter(F.col("n_tokens") >= min_tokens) \
             .select("doc_id", "lang", "text", "n_tokens", "n_uniq_tokens")
         n4 = kept.count()
-        t.set_counts(rows_in=n3, rows_out=n4)
+        t.set_counts(rows_in=n3b, rows_out=n4)
 
     with ctx.stage("commit") as t:
         entry = lineage.commit_output(
@@ -89,7 +104,8 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
 
     ctx.flush_metrics()
     return {"commit": entry, "rows": {"input": n0, "lang": n1, "exact": n2,
-                                      "near": n3, "quality": n4}}
+                                      "near": n3, "span": n3b,
+                                      "quality": n4}}
 
 
 def main(argv=None):
@@ -99,6 +115,7 @@ def main(argv=None):
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--max-dup-span", type=float, default=0.9)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -107,7 +124,8 @@ def main(argv=None):
     spark = get_spark("clean_corpus", cores=args.cores)
     try:
         result = run_job(spark, args.sf_dir, args.out, args.run_id,
-                         min_tokens=args.min_tokens, jaccard=args.jaccard)
+                         min_tokens=args.min_tokens, jaccard=args.jaccard,
+                         max_dup_span=args.max_dup_span)
         print(result)
         return 0
     finally:

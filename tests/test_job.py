@@ -42,10 +42,12 @@ def test_clean_corpus_job(spark, tmp_path, sf_small):
     from geobuf_spark.jobs.clean_corpus import run_job as clean_run
 
     out = str(tmp_path / "corpus_out")
-    r = clean_run(spark, sf_small, out, "c1", min_tokens=5, jaccard=0.8)
+    r = clean_run(spark, sf_small, out, "c1", min_tokens=5, jaccard=0.8,
+                  max_dup_span=0.9)
     rows = r["rows"]
     # monotone shrinkage through the funnel
-    assert rows["input"] >= rows["lang"] >= rows["exact"] >= rows["near"] >= rows["quality"] > 0
+    assert rows["input"] >= rows["lang"] >= rows["exact"] >= rows["near"] \
+        >= rows["span"] >= rows["quality"] > 0
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == rows["quality"]
     assert "lang" in data.columns and "n_tokens" in data.columns
@@ -53,7 +55,8 @@ def test_clean_corpus_job(spark, tmp_path, sf_small):
     assert data.select("text").distinct().count() == data.count()
     met = spark.read.parquet(f"{out}/_metrics")
     stages = {x.stage for x in met.collect()}
-    assert {"load", "lang_filter", "exact_dedup", "near_dedup", "quality_gate", "commit"} <= stages
+    assert {"load", "lang_filter", "exact_dedup", "near_dedup",
+            "span_dedup_gate", "quality_gate", "commit"} <= stages
     # idempotent rerun
     r2 = clean_run(spark, sf_small, out, "c1", min_tokens=5, jaccard=0.8)
     assert r2["commit"]["status"] == "already_committed"

@@ -76,10 +76,13 @@ def test_webtext_line_query_shuffle_budgets(spark):
                "meta_robots": 1, "warc_index": 1, "boilerplate_lines": 2,
                # multi-distinct expand / group-table windows
                "host_tile_footprint": 2, "lang_tile_mix": 2,
-               "ngram_topk": 2,
-               # (doc,gram) agg → gram window → doc rollup; the
-               # aggregate-then-join form costs 5 — regression guard
-               "dup_span_frac": 3}
+               # +1 exchange each: the widen() round-robin repartition
+               # that lifts the one-row-group testdata scan to session
+               # parallelism (a no-op at production row-group counts)
+               "ngram_topk": 3,
+               # widen + (doc,gram) agg → gram window → doc rollup; the
+               # aggregate-then-join form costs 2 more — regression guard
+               "dup_span_frac": 4}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
