@@ -1415,11 +1415,10 @@ def q_line_dedup_clean(spark, sf):
     # codegen'd array expressions, no explode and no window; md5 of the
     # cleaned body is the narrow driver-hashable witness of the bytes.
     p = pages.with_body(pages.pages(spark, 2000))
-    arr = F.split("body", "\n")
-    kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1))
+    kept = TXT.first_occurrence_lines(F.col("body"))
     return p.select(
         "page_id",
-        F.size(arr).cast("int").alias("n_lines"),
+        F.size(F.split("body", "\n")).cast("int").alias("n_lines"),
         F.size(kept).cast("int").alias("n_kept"),
         F.md5(F.array_join(kept, "\n")).alias("clean_md5"))
 
@@ -1581,8 +1580,7 @@ def q_text_normalize(spark, sf):
              .when(v == 1, F.replace(F.col("text"), F.lit(" "), F.lit("   ")))
              .when(v == 2, F.concat(F.col("text"), F.lit("\x07\r\n")))
              .otherwise(F.col("text")))
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(messy, r"[\x00-\x1f\x7f]", " "), " +", " "))
+    norm = TXT.normalize_text(messy)
     return p.select("page_id", v.cast("int").alias("variant"),
                     F.md5(messy).alias("messy_md5"),
                     F.md5(norm).alias("norm_md5"))

@@ -221,9 +221,14 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
 # robots noindex gate — Java-regex / RE2 common subset (alternation only, no
 # lookaround, no backreferences) so rlike and DuckDB regexp_matches agree
 # byte-for-byte. Catches double/single-quoted attributes in either order.
+# 'noindex' must be a whole comma/space-separated TOKEN of a properly
+# terminated content value: 'noindexifembargoed' / 'nonoindex' are not
+# directives, and an unterminated attribute never matches (symmetric in
+# both attribute orders).
+_NOINDEX_VAL = ("[\"']([^\"']*[,\\s])?noindex([,\\s][^\"']*)?[\"']")
 ROBOTS_NOINDEX_RE = (
-    "<meta\\s+(name=[\"']robots[\"']\\s+content=[\"'][^\"']*noindex"
-    "|content=[\"'][^\"']*noindex[^\"']*[\"']\\s+name=[\"']robots[\"'])"
+    f"<meta\\s+(name=[\"']robots[\"']\\s+content={_NOINDEX_VAL}"
+    f"|content={_NOINDEX_VAL}\\s+name=[\"']robots[\"'])"
 )
 
 
@@ -235,3 +240,20 @@ def is_noindex(html_text: Column) -> Column:
 def sql_is_noindex(h: str) -> str:
     """DuckDB twin of is_noindex (regexp_matches is unanchored like rlike)."""
     return f"regexp_matches({h}, '{ROBOTS_NOINDEX_RE.replace(chr(39), chr(39) * 2)}')"
+
+
+def first_occurrence_lines(body: Column) -> Column:
+    """Within-document repeated-line removal: the lines of a newline-joined
+    body with every later duplicate dropped (first occurrence kept). Pure
+    codegen'd array expressions — the single definition shared by the
+    line_dedup_clean query, its pytest battery, and the stress harness.
+    Spark's filter lambda index is 0-based; array_position is 1-based."""
+    arr = F.split(body, "\n")
+    return F.filter(arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1))
+
+
+def normalize_text(col: Column) -> Column:
+    """C4-style scrubber: control chars → space, whitespace-run collapse,
+    trim. Shared by the text_normalize query and its byte-recovery test."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(col, r"[\x00-\x1f\x7f]", " "), " +", " "))

@@ -123,7 +123,7 @@ def sql_body_cte(prefix: str = "") -> str:
     """DuckDB twin of with_body: a CTE clause extending {prefix}txt with
     (site, body). Append after a _pages_cte(...) fragment."""
     p = prefix
-    site = f"CAST(regexp_extract(url, 'site(\\d+)\\.example', 1) AS INT)"
+    site = f"CAST(regexp_extract(url, '{_SITE_RE}', 1) AS INT)"
     header = f"'{BOILER_HEADER}' || CAST({site} % {BOILER_VARIANTS} AS VARCHAR)"
     return f"""{p}bdy AS (SELECT id, url, lang, ts_epoch, text, {site} AS site,
                 concat_ws(chr(10),

@@ -83,8 +83,10 @@ def test_webtext_line_query_shuffle_budgets(spark):
                # widen + (doc,gram) agg → gram window → doc rollup; the
                # aggregate-then-join form costs 2 more — regression guard
                "dup_span_frac": 4}
+    plans = {}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        plans[q] = plan
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "FlatMapGroupsInPandas", "MapInPandas",
@@ -92,6 +94,4 @@ def test_webtext_line_query_shuffle_budgets(spark):
             assert marker not in plan, f"{q}: {marker}"
     # the corpus top-k must be a TakeOrdered (per-partition heaps), never
     # a global sort
-    plan = _executed_plan(em.queries()["ngram_topk"](spark,
-                                                     "/root/testdata/sf0.001"))
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plans["ngram_topk"]

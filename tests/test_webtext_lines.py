@@ -30,7 +30,6 @@ def _mini_pages(spark):
 def test_with_body_minting(spark):
     got = {r["page_id"]: r["body"]
            for r in pages.with_body(_mini_pages(spark)).collect()}
-    h = TXT  # noqa: F841  (readability)
     assert got[0] == ("boilerplate cookie notice v2\nalpha beta\n"
                       "boilerplate cookie notice v2\n"
                       "subscribe to the example newsletter")
@@ -65,8 +64,8 @@ def test_first_occurrence_filter_adversarial(spark):
         ("a\n\na\n\nb", "a\n\nb"),       # empty line is a line too
     ]
     df = spark.createDataFrame([(b,) for b, _ in cases], ["body"])
-    arr = F.split("body", "\n")
-    kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1))
+    # the SAME expression the query/stress harness use — not a local copy
+    kept = TXT.first_occurrence_lines(F.col("body"))
     got = [r[0] for r in df.select(F.array_join(kept, "\n")).collect()]
     assert got == [e for _, e in cases]
 
@@ -83,6 +82,12 @@ def test_is_noindex_battery_and_twin(spark):
         ('<meta name="robots" content="NOINDEX">', False),     # case: policy is exact-lower
         ("no meta at all", False),
         ('<p><meta name="robots" content="all,noindex"></p>', True),
+        # token-boundary battery: 'noindex' must be a whole directive
+        ('<meta name="robots" content="noindexifembargoed">', False),
+        ('<meta name="robots" content="nonoindex">', False),
+        ('<meta name="robots" content="all, noindex, nofollow">', True),
+        ('<meta name="robots" content="noindex', False),       # unterminated
+        ('<meta content="noindex" name="robots', False),       # unterminated, reversed
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
     got = [r[0] for r in df.select(TXT.is_noindex(F.col("h"))).collect()]
@@ -151,19 +156,20 @@ def test_boilerplate_lines_classify(spark):
 
 
 def test_text_normalize_recovers_bytes(spark):
-    # the scrubber must recover the original text byte-for-byte from every
-    # minted messy variant (the north-rule invariant survives cleaning)
-    p = pages.pages(spark, 400)
-    v = F.pmod(F.col("page_id"), F.lit(4))
-    messy = (F.when(v == 0, F.concat(F.lit("  "), F.col("text"), F.lit(" \t")))
-             .when(v == 1, F.replace(F.col("text"), F.lit(" "), F.lit("   ")))
-             .when(v == 2, F.concat(F.col("text"), F.lit("\x07\r\n")))
-             .otherwise(F.col("text")))
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(messy, r"[\x00-\x1f\x7f]", " "), " +", " "))
-    bad = p.select("page_id", "text", norm.alias("norm")) \
-           .where(F.col("norm") != F.col("text")).count()
-    assert bad == 0
+    # end-to-end against the SHIPPED query (not a local copy of its
+    # chain): the query's norm_md5 must equal md5(text) of the original
+    # pages table for every row — the scrubber recovers the exact bytes —
+    # and the messy variants must actually differ from text except v3
+    import __spark_entry__ as E
+
+    got = {r["page_id"]: (r["variant"], r["messy_md5"], r["norm_md5"])
+           for r in E.q_text_normalize(spark, None).collect()}
+    orig = {r["page_id"]: hashlib.md5(r["text"].encode()).hexdigest()
+            for r in pages.pages(spark, 2000).select("page_id", "text").collect()}
+    assert len(got) == 2000
+    for pid, (variant, messy_md5, norm_md5) in got.items():
+        assert norm_md5 == orig[pid], pid
+        assert (messy_md5 == orig[pid]) == (variant == 3), pid
 
 
 def test_paragraph_owner_matches_python_recompute(spark):

@@ -46,8 +46,8 @@ def main() -> int:
         return pages.with_body(pages.pages(spark, N_PAGES))
 
     def leg_line_clean():
-        arr = F.split("body", "\n")
-        kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1))
+        from geobuf_spark.functions.text import first_occurrence_lines
+        kept = first_occurrence_lines(F.col("body"))
         out = body_df().select(
             F.size(kept).alias("n_kept"),
             F.md5(F.array_join(kept, "\n")).alias("clean_md5"))
