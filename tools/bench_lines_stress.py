@@ -13,7 +13,12 @@ Legs (each min-of-`trials` in ONE session, per-trial loadavg recorded):
                  md5(line): the map-side-combinable attribution shuffle.
 
 Usage: python tools/bench_lines_stress.py [n_pages] [trials]
-Defaults: 10_000_000 pages, 3 trials.
+       python tools/bench_lines_stress.py --scaling [n_pages] [trials]
+Defaults: 10_000_000 pages, 3 trials. `--scaling` times the
+SHUFFLE-HEAVY boilerplate leg at local[2] and local[8] on the same
+input and reports throughput + efficiency — the flagship scaling sample
+in bench.py is map-dominated, so this is the complementary north-rule
+evidence point for an explode→shuffle→agg shape.
 """
 from __future__ import annotations
 
@@ -25,8 +30,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+SCALING = "--scaling" in sys.argv
+_pos = [a for a in sys.argv[1:] if a != "--scaling"]
+N_PAGES = int(_pos[0]) if _pos else (2_000_000 if SCALING else 10_000_000)
+TRIALS = int(_pos[1]) if len(_pos) > 1 else 3
 
 
 def loadavg1() -> float:
@@ -34,9 +41,53 @@ def loadavg1() -> float:
         return float(f.read().split()[0])
 
 
+def scaling() -> int:
+    from geobuf_spark.session import get_spark
+    from geobuf_spark.sources import pages
+
+    def run_at(cores: int) -> float:
+        spark = get_spark(f"lines_scaling_{cores}", cores=cores,
+                          shuffle_partitions=max(cores, 16))
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            def leg():
+                lines = pages.with_body(pages.pages(spark, N_PAGES)).select(
+                    "page_id", F.explode(F.split("body", "\n")).alias("line"))
+                return (lines.groupBy(F.md5("line").alias("k"))
+                        .agg(F.countDistinct("page_id").alias("n_docs"))
+                        .where(F.col("n_docs") >= 20).count())
+            leg()  # warmup
+            walls = []
+            for t in range(TRIALS):
+                t0 = time.monotonic()
+                n = leg()
+                walls.append(time.monotonic() - t0)
+                print(f"local[{cores}] trial {t}: {walls[-1]:.2f}s "
+                      f"(n_out={n}, loadavg {loadavg1()})", file=sys.stderr)
+            return min(walls)
+        finally:
+            spark.stop()
+
+    lo, hi = run_at(2), run_at(8)
+    speedup = lo / hi
+    print(json.dumps({
+        "metric": "scaling efficiency local[2]→local[8], boilerplate "
+                  "explode→shuffle→agg leg",
+        "n_pages": N_PAGES, "trials": TRIALS,
+        "local2_sec": round(lo, 2), "local8_sec": round(hi, 2),
+        "local2_pages_per_sec": round(N_PAGES / lo),
+        "local8_pages_per_sec": round(N_PAGES / hi),
+        "speedup": round(speedup, 3), "efficiency": round(speedup / 4.0, 4),
+    }))
+    return 0
+
+
 def main() -> int:
     from geobuf_spark.session import get_spark
     from geobuf_spark.sources import pages
+
+    if SCALING:
+        return scaling()
 
     spark = get_spark("bench_lines_stress", cores=32,
                       extra={"spark.driver.memory": "48g"})
