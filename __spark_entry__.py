@@ -1522,6 +1522,28 @@ def q_lang_tile_mix(spark, sf):
                     F.col("n").alias("n_top")))
 
 
+def q_doc_len_percentiles(spark, sf):
+    # per-language exact order statistics of document length — the corpus
+    # length-distribution report: p10/p50/p90 token counts by the
+    # "lower" method (sorted ascending, 1-based index floor(p*(n-1))+1 —
+    # pure integer arithmetic, so both engines index the same element and
+    # the values are oracle-exact; interpolated percentiles would hinge on
+    # cross-libm float formulas). collect_list is bounded by docs-per-
+    # language here; at 10^12 docs the production path is a two-pass
+    # count + offset lookup (or approx_percentile when ±ε is acceptable) —
+    # this exact form is the small-side/oracle tier.
+    t = _docs(spark, sf).select(
+        "lang", TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    g = (t.groupBy("lang")
+         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
+              F.count("*").alias("n_docs")))
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+    return g.select("lang", "n_docs", pick(1, 10, "p10_tokens"),
+                    pick(5, 10, "p50_tokens"), pick(9, 10, "p90_tokens"))
+
+
 def q_dup_span_frac(spark, sf):
     # exact-substring-dedup proxy: per-document fraction of word 8-grams
     # shared with at least one other document (operators/dedup.
@@ -1624,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "doc_len_percentiles": q_doc_len_percentiles,
         "host_tile_footprint": q_host_tile_footprint,
         "lang_tile_mix": q_lang_tile_mix,
         "dup_span_frac": q_dup_span_frac,
@@ -1675,7 +1698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
         # ---- position 51+: fresh greens in CORRECTNESS_r03 (the r3
         # window cohort) or double-green r1+r2, all sweep-covered; the
         # eight new-this-round queries displaced sessionize/tpch_q1/
@@ -1688,7 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + dup_span_frac displaced pip_join_rects/pip_join_s2/pip_semi/
         # ngram_jaccard/dup_components, and host_tile_footprint +
         # lang_tile_mix displaced tpch_q5/bbox_intersect_join (the
-        # youngest greens of the rotated-back tail — all sweep-green) ----
+        # youngest greens of the rotated-back tail — all sweep-green;
+        # doc_len_percentiles then displaced tpch_q19) ----
+        "tpch_q19": q_tpch_q19,
         "tpch_q5": q_tpch_q5,
         "bbox_intersect_join": q_bbox_intersect_join,
         "pip_join_rects": q_pip_join_rects,
@@ -2553,6 +2577,25 @@ def _lang_tile_mix_sql(n: int = 2000, seed: int = 42) -> str:
         FROM w WHERE rn = 1"""
 
 
+def _doc_len_percentiles_sql() -> str:
+    """Oracle for q_doc_len_percentiles: list_sort + the same 1-based
+    integer index floor(p*(n-1))+1 — DuckDB's // twins Spark's DIV."""
+    def pick(num, den, name):
+        return (f"list_sort(list(n_tok))[CAST((count(*) - 1) * {num} // {den} "
+                f"AS INT) + 1] AS {name}")
+    return f"""
+        WITH t AS (SELECT lang,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS n_tok
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               {pick(1, 10, 'p10_tokens')},
+               {pick(5, 10, 'p50_tokens')},
+               {pick(9, 10, 'p90_tokens')}
+        FROM t
+        GROUP BY lang"""
+
+
 def _dup_span_frac_sql(n: int = 8) -> str:
     """Oracle for q_dup_span_frac: same 8-gram construction; shared =
     gram present in >= 2 distinct docs; the fraction is one IEEE division
@@ -3298,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "doc_len_percentiles": _doc_len_percentiles_sql(),
         "host_tile_footprint": _host_tile_footprint_sql(),
         "lang_tile_mix": _lang_tile_mix_sql(),
         "dup_span_frac": _dup_span_frac_sql(),

@@ -246,3 +246,24 @@ def test_dup_span_stats_partitioning_invariant(spark):
     again = {(r["doc_id"], r["n_grams"], r["n_shared"], r["dup_span_frac"])
              for r in dedup.dup_span_stats(d.repartition(17)).collect()}
     assert base == again and len(base) == 500
+
+
+def test_doc_len_percentiles_matches_numpy_lower(spark):
+    import numpy as np
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lang"]: (r["n_docs"], r["p10_tokens"], r["p50_tokens"],
+                       r["p90_tokens"])
+           for r in E.q_doc_len_percentiles(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("lang", "text").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(len(r["text"].split(" ")))
+    for lang, toks in by_lang.items():
+        v = np.sort(np.array(toks))
+        expect = tuple(int(v[(len(v) - 1) * p // 10]) for p in (1, 5, 9))
+        assert got[lang] == (len(v),) + expect, lang
+    assert set(got) == set(by_lang)
