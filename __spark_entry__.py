@@ -1472,7 +1472,13 @@ def q_sample_stratified(spark, sf):
     # old members, unlike rand()-based sampling). Zero-shuffle filter; at
     # 100 TB this is a pure scan whose selectivity Catalyst can't misjudge
     # because the predicate is deterministic per row.
-    p = pages.pages(spark, 2000)
+    return _stratified_sample(pages.pages(spark, 2000))
+
+
+def _stratified_sample(p: DataFrame) -> DataFrame:
+    """The sampling expression behind q_sample_stratified, callable on any
+    pages-shaped input (the pytest invariance check feeds it repartitioned
+    input to prove membership is partitioning-independent)."""
     bucket = F.pmod(phash.hash60(F.concat(F.lit("smp-"), F.col("url"))),
                     F.lit(1000))
     rate = (F.when(F.col("lang") == "en", F.lit(500))
@@ -2311,6 +2317,18 @@ def _pages_synth_sql(n: int = 2000, seed: int = 42, z: int = 7) -> str:
         FROM geo"""
 
 
+def _html_sql(head_extra: str = "", body_tail: str = "") -> str:
+    """The minted html envelope (sources/pages.py html builder) as ONE
+    DuckDB expression over txt's (url, text) — the single source the
+    html-payload oracles splice into, with optional fragments after
+    <head> (meta_robots) or before </body> (link anchors)."""
+    he = f" || {head_extra}" if head_extra else ""
+    bt = f" || {body_tail}" if body_tail else ""
+    return ("'<html><head>'" + he
+            + " || '<title>' || url || '</title></head><body><p>' || text"
+            + " || '</p>'" + bt + " || '</body></html>'")
+
+
 def _html_extract_sql(n: int = 2000, seed: int = 42) -> str:
     """Oracle for q_html_extract_text: regenerate pages, build the SAME
     html envelope (sources/pages.py:69-75), extract with the SAME regexp.
@@ -2318,9 +2336,7 @@ def _html_extract_sql(n: int = 2000, seed: int = 42) -> str:
     byte-identity check per url."""
     return f"""
         WITH {_pages_cte(n, seed)},
-        h AS (SELECT id, url,
-                     '<html><head><title>' || url || '</title></head><body><p>'
-                         || text || '</p></body></html>' AS html
+        h AS (SELECT id, url, {_html_sql()} AS html
               FROM txt)
         SELECT id AS page_id, url,
                regexp_extract(html, '<p>(.*)</p>', 1) AS text_extracted
@@ -2388,17 +2404,14 @@ def _links_cte(n: int = 2000, seed: int = 42) -> str:
     anchors injected before </body>, run the same regexp_extract_all.
     Ends in e(src_host, dst)."""
     dst = phash.sql_hash60("'L' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
-    return f"""{_pages_cte(n, seed)},
-        a AS (SELECT id, url,
-                     '<html><head><title>' || url || '</title></head><body><p>'
-                     || text || '</p>'
-                     || array_to_string(list_transform(
+    anchors = f"""array_to_string(list_transform(
                             range(1, CAST(id % 3 AS INT) + 2),
                             i -> '<a href="https://site'
                                  || CAST(({dst}) % 1000 AS VARCHAR)
                                  || '.example/x' || CAST(i AS VARCHAR)
-                                 || '">l</a>'), '')
-                     || '</body></html>' AS html2
+                                 || '">l</a>'), '')"""
+    return f"""{_pages_cte(n, seed)},
+        a AS (SELECT id, url, {_html_sql(body_tail=anchors)} AS html2
               FROM txt),
         e AS (SELECT {TXT.sql_url_host('url')} AS src_host,
                      unnest({TXT.sql_extract_links('html2')}) AS dst
@@ -2505,9 +2518,7 @@ def _meta_robots_sql(n: int = 2000, seed: int = 42) -> str:
     return f"""
         WITH {_pages_cte(n, seed)},
         h AS (SELECT id, url,
-                     '<html><head>' || coalesce({meta}, '') || '<title>' || url
-                         || '</title></head><body><p>' || text
-                         || '</p></body></html>' AS html
+                     {_html_sql(head_extra=f"coalesce({meta}, '')")} AS html
               FROM txt)
         SELECT {TXT.sql_url_host('url')} AS host,
                count(*) AS n_pages,
@@ -2525,9 +2536,7 @@ def _warc_index_sql(n: int = 2000, seed: int = 42) -> str:
     return f"""
         WITH {_pages_cte(n, seed)},
         r AS (SELECT id, url, ts_epoch, {TXT.sql_url_host('url')} AS host,
-                     CAST(strlen('<html><head><title>' || url
-                          || '</title></head><body><p>' || text
-                          || '</p></body></html>') AS BIGINT) AS rec_len
+                     CAST(strlen({_html_sql()}) AS BIGINT) AS rec_len
               FROM txt)
         SELECT host, id AS page_id, url, rec_len,
                CAST(coalesce(sum(rec_len) OVER (

@@ -224,8 +224,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
 # 'noindex' must be a whole comma/space-separated TOKEN of a properly
 # terminated content value: 'noindexifembargoed' / 'nonoindex' are not
 # directives, and an unterminated attribute never matches (symmetric in
-# both attribute orders).
-_NOINDEX_VAL = ("[\"']([^\"']*[,\\s])?noindex([,\\s][^\"']*)?[\"']")
+# both attribute orders). The value runs also exclude <> so a truncated
+# tag can't borrow a closing quote from LATER markup ('content="noindex
+# <p>don''t</p>' must not close on the apostrophe).
+_NOINDEX_VAL = ("[\"']([^\"'<>]*[,\\s])?noindex([,\\s][^\"'<>]*)?[\"']")
 ROBOTS_NOINDEX_RE = (
     f"<meta\\s+(name=[\"']robots[\"']\\s+content={_NOINDEX_VAL}"
     f"|content={_NOINDEX_VAL}\\s+name=[\"']robots[\"'])"

@@ -88,6 +88,8 @@ def test_is_noindex_battery_and_twin(spark):
         ('<meta name="robots" content="all, noindex, nofollow">', True),
         ('<meta name="robots" content="noindex', False),       # unterminated
         ('<meta content="noindex" name="robots', False),       # unterminated, reversed
+        # truncated tag must NOT borrow a closing quote from later markup
+        ('<meta name="robots" content="noindex <p>don\'t panic</p>', False),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
     got = [r[0] for r in df.select(TXT.is_noindex(F.col("h"))).collect()]
@@ -131,9 +133,11 @@ def test_sample_stratified_membership_deterministic(spark):
         if b < rates.get(r["lang"], 100):
             expect.add((r["page_id"], r["lang"], b))
     assert got == expect
-    # partitioning invariance
+    # partitioning invariance: repartition the INPUT before the sampling
+    # expression runs (repartitioning the output would be vacuous)
     again = {(r["page_id"], r["lang"], r["bucket"])
-             for r in out.repartition(13).collect()}
+             for r in E._stratified_sample(
+                 pages.pages(spark, 2000).repartition(13)).collect()}
     assert again == got
 
 

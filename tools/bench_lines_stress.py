@@ -14,7 +14,9 @@ Legs (each min-of-`trials` in ONE session, per-trial loadavg recorded):
 
 Usage: python tools/bench_lines_stress.py [n_pages] [trials]
        python tools/bench_lines_stress.py --scaling [n_pages] [trials]
-Defaults: 10_000_000 pages, 3 trials. `--scaling` times the
+Defaults: 10_000_000 pages (2_000_000 in --scaling mode — the local[2]
+leg would otherwise run for ~10 min per trial), 3 trials. `--scaling`
+times the
 SHUFFLE-HEAVY boilerplate leg at local[2] and local[8] on the same
 input and reports throughput + efficiency — the flagship scaling sample
 in bench.py is map-dominated, so this is the complementary north-rule
