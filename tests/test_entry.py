@@ -88,3 +88,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"z", "x", "y", "n_features", "n_polys"} <= set(df.columns)
+
+
+def test_driver_window_invariants():
+    """The external driver checks only the FIRST 50 queries() entries
+    (CORRECTNESS_r01 evidence): every registry entry must have an oracle
+    twin, and every query that has never had a driver row — this round's
+    additions — must sit inside the window or it ships unverified."""
+    import __spark_entry__ as em
+
+    q, o = em.queries(), em.oracle_sql()
+    assert set(q) == set(o), (sorted(set(q) - set(o)), sorted(set(o) - set(q)))
+    window = list(q)[:50]
+    never_rowed = [
+        # r4 extension batches (new this round; rotate out only after a
+        # CORRECTNESS_rN records their first green row)
+        "boilerplate_lines", "line_dedup_clean", "meta_robots",
+        "warc_index", "sample_stratified", "ngram_topk",
+        "host_quality_rollup", "text_normalize", "paragraph_owner",
+        "dup_span_frac", "host_tile_footprint", "lang_tile_mix",
+        "doc_len_percentiles",
+        "latest_capture", "url_normalize", "link_host_graph",
+        "pagerank_hosts", "crawl_diff", "html_extract_text",
+        "url_host_topk", "dup_ngram_stats",
+    ]
+    missing = [n for n in never_rowed if n not in window]
+    assert not missing, missing
