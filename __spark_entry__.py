@@ -80,6 +80,13 @@ def _docs(spark, sf):
     return widen(spark.read.parquet(f"{sf}/documents.parquet"), spark)
 
 
+def _emb(spark, sf):
+    # sf0.1 embeddings.parquet is ONE row group — without widen() every
+    # pre-shuffle stage (signatures, norms, GEMM batches) runs on one task
+    from geobuf_spark.sources.tables import widen
+    return widen(spark.read.parquet(f"{sf}/embeddings.parquet"), spark)
+
+
 def q_mint_points(spark, sf):
     return _points(spark, sf)
 
@@ -630,7 +637,7 @@ def q_topk_per_group(spark, sf):
 
 def q_embedding_norms_q(spark, sf):
     # per-element integer quantization before the sum → order-free exact agg
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     qsum = F.aggregate(
         F.transform(
             F.col("embedding"),
@@ -1132,7 +1139,7 @@ def q_feature_meta(spark, sf):
     # the exact minted lattice ints) so both engines format identically —
     # double rendering differs across engines, integers never do.
     enc = spark_codec.encode_points(_points(spark, sf))
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _docs(spark, sf)
     lon7 = minted._mulmod(F.col("doc_id"), minted.LON_MULT, minted.LON_MOD) \
         - F.lit(minted.LON_MOD // 2)
     lat7 = minted._mulmod(F.col("doc_id"), minted.LAT_MULT, minted.LAT_MOD) \
@@ -1162,14 +1169,14 @@ def q_simhash_near_dups(spark, sf):
 
 
 def q_ann_cosine_top5(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") % 25 == 0) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
 def q_ann_lsh_top5(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") % 25 == 0) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ann_topk(emb, queries, k=5, multiprobe=2)
@@ -1178,7 +1185,7 @@ def q_ann_lsh_top5(spark, sf):
 def q_ann_ivf_top5(spark, sf):
     # IVF coarse-quantizer ANN (non-SQL; pytest proves recall + exact
     # degeneracy at nprobe == n_centroids)
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") % 25 == 0) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=3)
@@ -1191,7 +1198,7 @@ def q_embed_near_dups(spark, sf):
     # id+100000 with each element scaled by (1 + 0.002*(i+1)), an indexed
     # transform both engines evaluate bit-identically in double — and the
     # LSH-bucketed operator must recover exactly those pairs at cos >= 0.9
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+    emb = _emb(spark, sf) \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     twins = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -1254,8 +1261,9 @@ def q_url_host_topk(spark, sf):
 def q_dup_ngram_stats(spark, sf):
     # Gopher/C4-style duplicated 3-gram fraction per document — the
     # repetitiveness quality signal LLM corpus filters gate on. Pure
-    # expressions, zero shuffle (see functions/text.py).
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # expressions, zero shuffle (see functions/text.py); _docs widens the
+    # one-row-group scan (bench r4: 9.4 s -> 0.8 s at sf0.1 full-eval).
+    d = _docs(spark, sf).select("doc_id", "text")
     return TXT.dup_ngram_columns(d, "text", 3).select(
         "doc_id", "n_grams", "n_uniq_grams", "dup_gram_frac")
 
