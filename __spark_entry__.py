@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from geobuf_spark.codec import spark_codec
 from geobuf_spark.functions import text as TXT
 from geobuf_spark.functions import hexgrid, phash, tiles
-from geobuf_spark.operators import dedup, knn, similarity
+from geobuf_spark.operators import dedup, knn, similarity, sketch
 from geobuf_spark.operators import spatial_join as sj
 from geobuf_spark.operators import tiling
 from geobuf_spark.sources import minted, pages
@@ -57,6 +57,52 @@ def entry(spark: SparkSession) -> DataFrame:
         .agg(F.count("*").alias("n_features"), F.countDistinct("poly_id").alias("n_polys"))
         .orderBy("z", "x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch family — constant-size summaries a 100 TB corpus computes instead
+# of exact answers (operators/sketch.py; oracle twins are bit-identical)
+# ---------------------------------------------------------------------------
+
+def q_sketch_kmv_lang(spark, sf):
+    # per-language KMV (k minimum hashes) distinct-doc estimate: the
+    # shuffle carries distinct (lang, hash) pairs only, the sketch itself
+    # is k rows per group regardless of corpus size
+    return (sketch.kmv_distinct(_docs(spark, sf), ["lang"], "doc_id", k=16)
+            .select(F.col("lang").alias("grp"), "n_kmv", "kth_hash",
+                    "est_distinct"))
+
+
+def q_sketch_bloom_doc_gate(spark, sf):
+    # Bloom membership gate: build a 2^13-bit filter over the English
+    # doc ids (one bit_or agg, ≤128 words shipped), probe the full corpus
+    # via a broadcast word-join — the persisted-blocklist pattern (share a
+    # crawl's seen-set with the next crawl without shipping the keys)
+    d = _docs(spark, sf)
+    members = (d.filter(F.col("lang") == "en")
+               .select(F.col("doc_id").cast("string").alias("key")).distinct())
+    bloom = sketch.bloom_build(members, "key", m_bits=1 << 13, n_hashes=4)
+    probe = d.select(F.col("doc_id").cast("string").alias("key")).distinct()
+    return sketch.bloom_probe(probe, "key", bloom, m_bits=1 << 13, n_hashes=4)
+
+
+def q_sketch_cms_lang(spark, sf):
+    # Count-Min point estimates of per-language doc frequency: the 4x64
+    # counter matrix is built with one map-side-combinable agg, then each
+    # distinct language reads min-over-depth via a broadcast join
+    d = _docs(spark, sf)
+    cms = sketch.cms_build(d, "lang", depth=4, width=64)
+    items = d.select("lang").distinct()
+    return (sketch.cms_query(cms, items, "lang", depth=4, width=64)
+            .select(F.col("item").alias("lang"), "cms_est"))
+
+
+def q_sketch_hll_docs(spark, sf):
+    # HyperLogLog distinct-doc estimate, m=64 registers: ONE hash agg over
+    # the corpus, 64 rows out; the harmonic sum is kept as an exact int64
+    # so the external oracle reproduces it bit-identically
+    return sketch.hll_estimate(
+        sketch.hll_registers(_docs(spark, sf), "doc_id", b=6), b=6)
 
 
 # ---------------------------------------------------------------------------
@@ -1660,6 +1706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "sketch_kmv_lang": q_sketch_kmv_lang,
+        "sketch_bloom_doc_gate": q_sketch_bloom_doc_gate,
+        "sketch_cms_lang": q_sketch_cms_lang,
+        "sketch_hll_docs": q_sketch_hll_docs,
         "doc_len_percentiles": q_doc_len_percentiles,
         "host_tile_footprint": q_host_tile_footprint,
         "lang_tile_mix": q_lang_tile_mix,
@@ -1708,10 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_general": q_pip_join_general,
         "asof_purchase_view": q_asof_purchase_view,
         "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
         # ---- position 51+: fresh greens in CORRECTNESS_r03 (the r3
         # window cohort) or double-green r1+r2, all sweep-covered; the
         # eight new-this-round queries displaced sessionize/tpch_q1/
@@ -1725,7 +1771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard/dup_components, and host_tile_footprint +
         # lang_tile_mix displaced tpch_q5/bbox_intersect_join (the
         # youngest greens of the rotated-back tail — all sweep-green;
-        # doc_len_percentiles then displaced tpch_q19) ----
+        # doc_len_percentiles then displaced tpch_q19, and the four
+        # sketch queries displaced tpch_q6/q10/q12/q14 — r1-green,
+        # sweep-covered, next in line for the r5 rotation) ----
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q5": q_tpch_q5,
         "bbox_intersect_join": q_bbox_intersect_join,
@@ -2594,6 +2646,25 @@ def _lang_tile_mix_sql(n: int = 2000, seed: int = 42) -> str:
         FROM w WHERE rn = 1"""
 
 
+def _sketch_cms_lang_sql() -> str:
+    """DuckDB twin of q_sketch_cms_lang: the sql_cms_cte counter matrix,
+    then each distinct language probes min-over-depth — the same double
+    hash-salt string ('cms' SEP row SEP item) as the Spark side."""
+    cte = sketch.sql_cms_cte("documents", "lang", depth=4, width=64)
+    h = phash.sql_hash60_parts(
+        "'cms'", "CAST(g.i AS VARCHAR) || chr(30) || (item)")
+    return f"""
+        WITH {cte},
+        items AS (SELECT DISTINCT lang AS item FROM documents),
+        pp AS (SELECT item, g.i AS row, (({h}) % 64) AS bucket
+               FROM items, generate_series(0, 3) AS g(i)),
+        sel AS (SELECT pp.item, COALESCE(c.cnt, 0) AS cnt
+                FROM pp LEFT JOIN cms c
+                  ON pp.row = c.row AND pp.bucket = c.bucket)
+        SELECT item AS lang, CAST(min(cnt) AS BIGINT) AS cms_est
+        FROM sel GROUP BY item"""
+
+
 def _doc_len_percentiles_sql() -> str:
     """Oracle for q_doc_len_percentiles: list_sort + the same 1-based
     integer index floor(p*(n-1))+1 — DuckDB's // twins Spark's DIV."""
@@ -3358,6 +3429,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "sketch_kmv_lang": sketch.sql_kmv_distinct(
+            "documents", "lang", "doc_id", k=16),
+        "sketch_bloom_doc_gate": "WITH " + sketch.sql_bloom_cte(
+            "(SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents"
+            " WHERE lang = 'en')",
+            "(SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents)",
+            "k", "k", m_bits=1 << 13, n_hashes=4,
+        ) + " SELECT key, bloom_maybe FROM bloomed",
+        "sketch_cms_lang": _sketch_cms_lang_sql(),
+        "sketch_hll_docs": "WITH " + sketch.sql_hll_cte(
+            "documents", "doc_id", b=6,
+        ) + " SELECT m, n_present, n_zero, s_scaled, est_raw FROM hll",
         "doc_len_percentiles": _doc_len_percentiles_sql(),
         "host_tile_footprint": _host_tile_footprint_sql(),
         "lang_tile_mix": _lang_tile_mix_sql(),
