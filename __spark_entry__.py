@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 from geobuf_spark.codec import spark_codec
 from geobuf_spark.functions import text as TXT
-from geobuf_spark.functions import hexgrid, phash, tiles
-from geobuf_spark.operators import dedup, knn, similarity, sketch
+from geobuf_spark.functions import geom, hexgrid, phash, tiles
+from geobuf_spark.operators import dedup, knn, ranking, similarity, sketch
 from geobuf_spark.operators import spatial_join as sj
 from geobuf_spark.operators import tiling
 from geobuf_spark.sources import minted, pages
@@ -103,6 +103,91 @@ def q_sketch_hll_docs(spark, sf):
     # so the external oracle reproduces it bit-identically
     return sketch.hll_estimate(
         sketch.hll_registers(_docs(spark, sf), "doc_id", b=6), b=6)
+
+
+# ---------------------------------------------------------------------------
+# ranking / graph-analytics / measure family (operators/ranking.py,
+# operators/graph.py hits_int, functions/geom.py) — batch 7
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "tile", "graph"]
+
+
+def q_bm25_topk(spark, sf):
+    # fixed-point BM25 retrieval over the corpus for a seed term set: tf
+    # per term is an array expression (no explode, no shuffle), corpus
+    # stats (N, avgdl, df) are ONE global agg whose single row broadcasts
+    # back, every op is BIGINT (log-free RSJ idf) so both engines agree
+    # bit-for-bit; top-15 total-ordered on (score desc, doc_id)
+    s = ranking.bm25_scores(_docs(spark, sf), BM25_TERMS)
+    return s.orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(15)
+
+
+def q_inverted_postings(spark, sf):
+    # inverted-index posting statistics: explode → ONE (term, doc) hash agg
+    # (map-side partials collapse within-doc repeats pre-shuffle) → per-term
+    # df/tf_total + a rank-bounded 5-doc posting sample (row_number, NOT an
+    # unbounded collect_list — per-group state stays constant at 10^12 docs)
+    p = ranking.postings(_docs(spark, sf), sample_k=5)
+    return p.orderBy(F.desc("df"), F.asc("term")).limit(30)
+
+
+def q_hits_hosts(spark, sf):
+    # HITS hubs/authorities over the host link graph — 2 integer
+    # fixed-point iterations with max-normalization (one 1-row global agg
+    # per half-step, broadcast back); every step BIGINT so the DuckDB twin
+    # chains the identical CTEs. One shuffle per half-step.
+    from geobuf_spark.operators import graph
+    e = _page_link_edges(spark, 2000).select(
+        F.col("src_host").alias("src"),
+        TXT.url_host(F.col("dst")).alias("dst"))
+    r = graph.hits_int(e, iters=2)
+    return (r.orderBy(F.desc("auth_ppm"), F.desc("hub_ppm"), F.asc("host"))
+             .limit(25))
+
+
+def q_bloom_join_prune(spark, sf):
+    # runtime-filter join pruning — Spark's own bloom-filter join as an
+    # explicit operator: build a Bloom over the (tiny) blocklist, probe the
+    # distinct fact keys through the broadcast filter, prune the fact with
+    # the surviving keys, THEN run the exact join to kill false positives.
+    # At 100 TB the bloom gate drops ~all fact rows before the join
+    # shuffle; the final result is exactly the plain semi-join (oracle).
+    p = pages.pages(spark, 2000).select(
+        TXT.url_host(F.col("url")).alias("host"))
+    block = spark.range(40).select(
+        F.concat(F.lit("site"), (F.col("id") * 13).cast("string"),
+                 F.lit(".example")).alias("host"))
+    bloom = sketch.bloom_build(block, "host", m_bits=1 << 12, n_hashes=4)
+    maybe = (sketch.bloom_probe(p.select("host").distinct(), "host", bloom,
+                                m_bits=1 << 12, n_hashes=4)
+             .filter(F.col("bloom_maybe")).select("host"))
+    pruned = p.join(F.broadcast(maybe), "host")
+    exact = pruned.join(F.broadcast(block), "host")
+    return exact.groupBy("host").agg(F.count("*").alias("n_pages"))
+
+
+def q_quadkey_z8(spark, sf):
+    # Bing quadkey addressing of every minted point at z=8 — unrolled
+    # bit/string expressions (functions/tiles.quadkey), zero shuffle;
+    # quadkeys prefix-nest so LIKE-prefix scans prune tile subtrees
+    pts = _points(spark, sf)
+    x, y = tiles.tile_x(F.col("lon"), 8), tiles.tile_y(F.col("lat"), 8)
+    return pts.select("doc_id", x.alias("x"), y.alias("y"),
+                      tiles.quadkey(x, y, 8).alias("qk"))
+
+
+def q_geom_area_centroid(spark, sf):
+    # shoelace 2·area and floored centroid of every minted CCW ring
+    # (rects + triangles), computed entirely in int64 on the 1e-7 lattice
+    # (functions/geom.py local-origin + unit-rescale) — one projection,
+    # no shuffle, no Python
+    r = minted.minted_rings_q(spark, sf)
+    st = geom.ring_stats_q(F.col("xs_q"), F.col("ys_q"))
+    return (r.withColumn("st", st)
+             .select("poly_id", "kind", F.col("st.area2_u2").alias("area2_u2"),
+                     F.col("st.cx_q").alias("cx_q"),
+                     F.col("st.cy_q").alias("cy_q")))
 
 
 # ---------------------------------------------------------------------------
@@ -1706,6 +1791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "bm25_topk": q_bm25_topk,
+        "inverted_postings": q_inverted_postings,
+        "hits_hosts": q_hits_hosts,
+        "bloom_join_prune": q_bloom_join_prune,
+        "quadkey_z8": q_quadkey_z8,
+        "geom_area_centroid": q_geom_area_centroid,
         "sketch_kmv_lang": q_sketch_kmv_lang,
         "sketch_bloom_doc_gate": q_sketch_bloom_doc_gate,
         "sketch_cms_lang": q_sketch_cms_lang,
@@ -2506,6 +2597,54 @@ def _pagerank_hosts_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
         {pr}
         ORDER BY rank_ppm DESC, host
         LIMIT {k}"""
+
+
+def _hits_hosts_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
+    """Oracle for q_hits_hosts: the SAME 2 integer max-normalized HITS
+    iterations chained as CTEs (operators/graph.sql_hits_int)."""
+    from geobuf_spark.operators.graph import sql_hits_int
+    edges_cte = f"""{_links_cte(n, seed)},
+        edges AS (SELECT src_host AS src,
+                         {TXT.sql_url_host('dst')} AS dst
+                  FROM e)"""
+    return f"""
+        SELECT host, hub_ppm, auth_ppm FROM (
+        {sql_hits_int(edges_cte, iters=2)}
+        ) t
+        ORDER BY auth_ppm DESC, hub_ppm DESC, host
+        LIMIT {k}"""
+
+
+def _bloom_join_prune_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_bloom_join_prune: the PLAIN host join — the bloom gate
+    plus exact join must equal it exactly (no false negatives; positives
+    are killed by the exact join), so the oracle carries no bloom at all."""
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        hosts AS (SELECT {TXT.sql_url_host('url')} AS host FROM txt),
+        block AS (SELECT 'site' || CAST(g.i * 13 AS VARCHAR) || '.example' AS host
+                  FROM generate_series(0, 39) AS g(i))
+        SELECT h.host, count(*) AS n_pages
+        FROM hosts h JOIN block b ON b.host = h.host
+        GROUP BY 1"""
+
+
+def _geom_area_centroid_sql() -> str:
+    """Oracle for q_geom_area_centroid: the same local-origin unit-rescaled
+    shoelace terms expanded per shape (functions/geom.sql_ring_stats_q)
+    over the regenerated quantized ring coordinates."""
+    rx, ry, tx, ty = minted.sql_minted_ring_coords()
+    rs, ts = geom.sql_ring_stats_q(rx, ry), geom.sql_ring_stats_q(tx, ty)
+    return f"""
+        SELECT p_partkey AS poly_id, 'rect' AS kind,
+               {rs['area2_u2']} AS area2_u2,
+               {rs['cx_q']} AS cx_q, {rs['cy_q']} AS cy_q
+        FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT p_partkey AS poly_id, 'triangle' AS kind,
+               {ts['area2_u2']} AS area2_u2,
+               {ts['cx_q']} AS cx_q, {ts['cy_q']} AS cy_q
+        FROM part WHERE p_partkey % 2 = 1"""
 
 
 def _crawl_diff_sql(seed: int = 42) -> str:
@@ -3429,6 +3568,22 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "bm25_topk": "WITH " + ranking.sql_bm25_scores("documents", BM25_TERMS)
+        + """
+        SELECT doc_id, dl, score_ppm FROM bm25
+        ORDER BY score_ppm DESC, doc_id
+        LIMIT 15""",
+        "inverted_postings": "WITH " + ranking.sql_postings("documents")
+        + """
+        SELECT term, df, tf_total, first_docs FROM post
+        ORDER BY df DESC, term
+        LIMIT 30""",
+        "hits_hosts": _hits_hosts_sql(),
+        "bloom_join_prune": _bloom_join_prune_sql(),
+        "quadkey_z8": f"""
+            SELECT doc_id, x, y, {tiles.sql_quadkey('x', 'y', 8)} AS qk
+            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
+        "geom_area_centroid": _geom_area_centroid_sql(),
         "sketch_kmv_lang": sketch.sql_kmv_distinct(
             "documents", "lang", "doc_id", k=16),
         "sketch_bloom_doc_gate": "WITH " + sketch.sql_bloom_cte(

@@ -263,6 +263,31 @@ def sql_morton_key(x: str, y: str, z: int) -> str:
             f"{_spread_sql(f'CAST({x} AS BIGINT)')}) AS BIGINT)")
 
 
+def quadkey(x: Column, y: Column, z: int) -> Column:
+    """Bing-style quadkey string for tile (x, y) at zoom z: digit i
+    (most-significant first) is bit (z−i) of x plus twice bit (z−i) of y.
+    Pure bit/string expressions unrolled over the (small, fixed) z —
+    codegen-friendly, no UDF; quadkeys prefix-nest, so a LIKE 'qk%' scan
+    prunes to a subtree the way the reference's tile subfiles do."""
+    digits = []
+    for i in range(1, z + 1):
+        d = (F.shiftright(x.cast("long"), z - i).bitwiseAND(F.lit(1))
+             + F.shiftleft(F.shiftright(y.cast("long"), z - i).bitwiseAND(F.lit(1)), 1))
+        digits.append(
+            F.element_at(F.array(F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3")),
+                         (d + 1).cast("int")))
+    return F.concat(*digits)
+
+
+def sql_quadkey(x: str, y: str, z: int) -> str:
+    """DuckDB twin of quadkey — the same unrolled digit picks."""
+    parts = []
+    for i in range(1, z + 1):
+        d = f"((({x}) >> {z - i}) & 1) + 2 * ((({y}) >> {z - i}) & 1)"
+        parts.append(f"substr('0123', CAST({d} AS INT) + 1, 1)")
+    return " || ".join(parts)
+
+
 def cluster_by_morton(df, z: int, lon: str = "lon", lat: str = "lat",
                       num_ranges: int | None = None):
     """Range-partition + sort a point table along the Z-curve: each output

@@ -95,3 +95,87 @@ def sql_pagerank_int(edges_cte: str, iters: int = 3,
         prev = f"r{i}"
     return ("WITH " + ",\n        ".join(cte)
             + f"\n        SELECT host, rank_ppm FROM {prev}")
+
+
+# ---------------------------------------------------------------------------
+# HITS — hubs & authorities, integer fixed-point
+# ---------------------------------------------------------------------------
+
+def hits_int(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS over an edge list (src, dst): auth(v) = Σ_{u→v} hub(u),
+    hub(u) = Σ_{u→v} auth(v), max-normalized to SCALE each half-step.
+
+    All-integer: scores are micro-units, normalization is `· SCALE div max`
+    (one global max — a 1-row aggregate that broadcasts back, never a
+    collect), so the result is bit-reproducible across engines and
+    partitionings and the DuckDB oracle chains the same steps as CTEs.
+    Each half-step is one shuffle (edges ⋈ scores, groupBy the other end
+    with map-side partials). Magnitude bound: max in-degree · SCALE² < 2^63
+    → degree < ~9.2·10^6 at SCALE 1e6; denser graphs drop SCALE.
+
+    Output: (host, hub_ppm, auth_ppm) for every node.
+    """
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+    nodes = (e.select(F.col("src").alias("host"))
+              .unionByName(e.select(F.col("dst").alias("host")))
+              .distinct())
+    hub = nodes.select("host", F.lit(SCALE).cast("bigint").alias("s"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (e.join(hub.withColumnRenamed("host", "src"), "src")
+                  .groupBy(F.col("dst").alias("host"))
+                  .agg(F.sum("s").alias("raw")))
+        auth = _max_normalize(nodes, a_raw)
+        h_raw = (e.join(auth.withColumnRenamed("host", "dst")
+                        .withColumnRenamed("s", "as_"), "dst")
+                  .groupBy(F.col("src").alias("host"))
+                  .agg(F.sum("as_").alias("raw")))
+        hub = _max_normalize(nodes, h_raw)
+    return (hub.withColumnRenamed("s", "hub_ppm")
+            .join(auth.withColumnRenamed("s", "auth_ppm"), "host"))
+
+
+def _max_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(host, raw) → (host, s) with s = raw · SCALE div max(raw); absent
+    hosts score 0. greatest(max, 1) guards the empty/zero graph."""
+    mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+    return (nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(mx))
+            .select("host",
+                    F.expr(f"(coalesce(raw, 0) * {SCALE}) div mx")
+                    .cast("bigint").alias("s")))
+
+
+def sql_hits_int(edges_cte: str, iters: int = 2) -> str:
+    """DuckDB twin of hits_int over an `edges(src, dst)` CTE: the same
+    integer half-steps chained, max-normalization via a scalar subquery.
+    Ends in a SELECT of (host, hub_ppm, auth_ppm)."""
+    cte = [edges_cte,
+           """hnodes AS (SELECT src AS host FROM edges
+                         UNION SELECT dst FROM edges),
+        h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS s FROM hnodes)"""]
+    hub_prev = "h0"
+    auth_prev = None
+    for i in range(1, iters + 1):
+        cte.append(f"""ar{i} AS (SELECT e.dst AS host, sum(h.s) AS raw
+                 FROM edges e JOIN {hub_prev} h ON h.host = e.src
+                 GROUP BY 1),
+        a{i} AS (SELECT n.host,
+                        CAST(coalesce(r.raw, 0) * {SCALE} //
+                             greatest((SELECT max(raw) FROM ar{i}), 1)
+                             AS BIGINT) AS s
+                 FROM hnodes n LEFT JOIN ar{i} r ON r.host = n.host),
+        hr{i} AS (SELECT e.src AS host, sum(a.s) AS raw
+                 FROM edges e JOIN a{i} a ON a.host = e.dst
+                 GROUP BY 1),
+        h{i} AS (SELECT n.host,
+                        CAST(coalesce(r.raw, 0) * {SCALE} //
+                             greatest((SELECT max(raw) FROM hr{i}), 1)
+                             AS BIGINT) AS s
+                 FROM hnodes n LEFT JOIN hr{i} r ON r.host = n.host)""")
+        hub_prev, auth_prev = f"h{i}", f"a{i}"
+    return ("WITH " + ",\n        ".join(cte)
+            + f"""
+        SELECT h.host, h.s AS hub_ppm, a.s AS auth_ppm
+        FROM {hub_prev} h JOIN {auth_prev} a ON a.host = h.host""")

@@ -1,0 +1,185 @@
+"""Corpus ranking operators — fixed-point BM25 scoring and inverted-index
+posting statistics.
+
+A training-data pipeline ranks documents against seed queries (quality
+retrieval, topic filtering) and inspects term statistics (vocabulary audit,
+stopword discovery). Both operators here are expressed so the external
+DuckDB oracle reproduces them bit-identically:
+
+- BM25 is computed entirely in BIGINT fixed point. The classic formula's
+  two float hazards are removed: ln() in the IDF is replaced by the
+  Robertson–Sparck-Jones odds ratio itself, scaled ×1e6 (monotone in the
+  same argument, so rankings for a fixed df ordering are preserved), and
+  the dl/avgdl ratio is cleared by multiplying numerator and denominator
+  through by the integer avgdl_x100. Every division is integral
+  (Spark `div` / DuckDB `//`) on non-negative operands, where the two
+  engines agree exactly.
+- Per-document term frequencies come from array expressions over the
+  token split (size(filter(tokens, = t))) — NO explode and NO shuffle for
+  the tf stage; the corpus statistics (N, avgdl, per-term df) are ONE
+  global aggregation whose single row broadcasts back. At 10^12 docs the
+  whole score is two passes over the corpus with a 1-row broadcast
+  between them.
+
+Magnitude domain (int64-exact): dl·avgdl_x100 ≤ ~8·10^12 (documents up to
+~10^5 tokens at avgdl 10^3) and N ≤ ~10^12 keep every intermediate under
+2^63; the sandbox corpora are orders of magnitude inside this.
+
+Reference analog: none (geobuf is a codec) — this extends the SURVEY §2
+training-data-pipeline surface like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+IDF_SCALE = 1_000_000
+S_SCALE = 1_000_000
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
+                text_col: str = "text", k1_tenths: int = 12,
+                b_hundredths: int = 75) -> DataFrame:
+    """Per-document fixed-point BM25 score for a literal term set.
+
+    k1/b arrive as integer tenths/hundredths (defaults 1.2 / 0.75). Output:
+    (id_col, dl, score_ppm) with score_ppm = Σ_t idf_scaled_t · sat_t where
+    sat_t = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) in millionths, and
+    idf_scaled_t = (2N−2df_t+1)·1e6 // (2df_t+1) — the RSJ odds ratio, no
+    logarithm, exact across engines.
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty literal list")
+    toks = F.split(F.col(text_col), " ")
+
+    def tf(term):
+        # closure, NOT a default-arg lambda: a two-parameter lambda would
+        # make PySpark pass (element, index) and silently rebind the term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    ).select(
+        "n_docs",
+        F.expr("(sumdl * 100) div n_docs").alias("avgdl_x100"),
+        *[F.expr(f"((2 * n_docs - 2 * df_{i} + 1) * {IDF_SCALE}) div (2 * df_{i} + 1)")
+          .alias(f"idf_{i}") for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    num_f = (10 + k1_tenths) * 100
+    k1t, bh = k1_tenths, b_hundredths
+    term_scores = []
+    for i in range(len(terms)):
+        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
+               f" + {bh} * dl * 100))")
+        sat = f"((tf_{i} * {num_f} * avgdl_x100 * {S_SCALE}) div {den})"
+        term_scores.append(f"(idf_{i} * {sat}) div {S_SCALE}")
+    return scored.select(
+        id_col, "dl",
+        F.expr(" + ".join(term_scores)).cast("bigint").alias("score_ppm"),
+    )
+
+
+def sql_bm25_scores(source_sql: str, terms: list[str], id_col: str = "doc_id",
+                    text_col: str = "text", k1_tenths: int = 12,
+                    b_hundredths: int = 75, prefix: str = "") -> str:
+    """DuckDB twin of bm25_scores as a CTE chain ending in
+    {prefix}bm25(id_col, dl, score_ppm). source_sql is a FROM-able fragment.
+    Identical integer arithmetic; `//` matches Spark's `div` on the
+    non-negative operands used here."""
+    p = prefix
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(string_split({text_col}, chr(32)), x -> x = '{t}'))"
+        f" AS tf_{i}" for i, t in enumerate(terms))
+    df_cols = ",\n                   ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    idf_cols = ",\n                   ".join(
+        f"((2 * n_docs - 2 * df_{i} + 1) * {IDF_SCALE}) // (2 * df_{i} + 1)"
+        f" AS idf_{i}" for i in range(len(terms)))
+    num_f = (10 + k1_tenths) * 100
+    k1t, bh = k1_tenths, b_hundredths
+    term_scores = []
+    for i in range(len(terms)):
+        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
+               f" + {bh} * dl * 100))")
+        sat = f"((tf_{i} * {num_f} * avgdl_x100 * {S_SCALE}) // {den})"
+        term_scores.append(f"(idf_{i} * {sat}) // {S_SCALE}")
+    score = " + ".join(term_scores)
+    return f"""{p}bmb AS (SELECT {id_col},
+                   len(string_split({text_col}, chr(32))) AS dl,
+                   {tf_cols}
+            FROM {source_sql}),
+        {p}bms0 AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl,
+                   {df_cols}
+            FROM {p}bmb),
+        {p}bms AS (SELECT n_docs, (sumdl * 100) // n_docs AS avgdl_x100,
+                   {idf_cols}
+            FROM {p}bms0),
+        {p}bm25 AS (SELECT {id_col}, dl,
+                   CAST({score} AS BIGINT) AS score_ppm
+            FROM {p}bmb, {p}bms)"""
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", sample_k: int = 5) -> DataFrame:
+    """Inverted-index posting statistics per term: document frequency,
+    total term frequency, and the first `sample_k` doc ids (comma-joined,
+    ascending) as a bounded posting sample.
+
+    Plan shape: explode (1:L flatMap, no pre-shuffle) → ONE hash aggregate
+    on (term, doc) with map-side partials (this collapses per-doc repeats
+    before the shuffle, so shuffle rows are distinct pairs) → per-term agg
+    + a rank-bounded sample. The sample uses row_number over the pair
+    table, NOT collect_list over raw postings, so per-group state stays
+    bounded at 10^12-doc scale; both aggs reuse the same hash partitioning
+    on term (AQE keeps them in one exchange).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    pairs = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    stats = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"))
+    w = Window.partitionBy("term").orderBy("doc")
+    # sort AFTER collecting — collect_list order is partition-arbitrary
+    sample = (pairs.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= sample_k)
+              .groupBy("term")
+              .agg(F.array_join(
+                  F.transform(F.sort_array(F.collect_list("doc")),
+                              lambda d: d.cast("string")), ",")
+                   .alias("first_docs")))
+    return stats.join(sample, "term")
+
+
+def sql_postings(source_sql: str, id_col: str = "doc_id",
+                 text_col: str = "text", sample_k: int = 5,
+                 prefix: str = "") -> str:
+    """DuckDB twin of postings: CTE chain ending in
+    {prefix}post(term, df, tf_total, first_docs)."""
+    p = prefix
+    return f"""{p}ptok AS (SELECT {id_col} AS doc, unnest(string_split({text_col}, chr(32))) AS term
+              FROM {source_sql}),
+        {p}ppair AS (SELECT term, doc, count(*) AS tf
+              FROM {p}ptok GROUP BY 1, 2),
+        {p}pstat AS (SELECT term, count(*) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total
+              FROM {p}ppair GROUP BY 1),
+        {p}psamp AS (SELECT term,
+                   array_to_string(list_transform(
+                       (list_sort(list(doc)))[1:{sample_k}],
+                       d -> CAST(d AS VARCHAR)), ',') AS first_docs
+              FROM {p}ppair GROUP BY 1),
+        {p}post AS (SELECT s.term, s.df, s.tf_total, m.first_docs
+              FROM {p}pstat s JOIN {p}psamp m ON s.term = m.term)"""

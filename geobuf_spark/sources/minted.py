@@ -129,3 +129,43 @@ SELECT p_partkey AS poly_id,
        ({_CY} - {_HH}) / 1e7 AS y2
 FROM part
 """
+
+
+def minted_rings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-integer CCW rings for the measure operators: rectangles
+    (even p_partkey) and triangles (odd), as parallel bigint coordinate
+    arrays on the 1e-7 lattice — the exact same center/halfwidth draws as
+    minted_rects/minted_triangles, kept as integers so shoelace stats are
+    int64-exact. Every edge is a whole multiple of geom.UNIT (hw/hh are
+    built from 1e6-unit steps)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
+    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
+    hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
+    hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
+    is_rect = F.pmod(F.col("p_partkey"), F.lit(2)) == 0
+    # rect ring (minx,miny)→(maxx,miny)→(maxx,maxy)→(minx,maxy): CCW
+    rect_xs = F.array(cx - hw, cx + hw, cx + hw, cx - hw)
+    rect_ys = F.array(cy - hh, cy - hh, cy + hh, cy + hh)
+    # triangle ring (cx,cy+hh)→(cx−hw,cy−hh)→(cx+hw,cy−hh): CCW
+    tri_xs = F.array(cx, cx - hw, cx + hw)
+    tri_ys = F.array(cy + hh, cy - hh, cy - hh)
+    return part.select(
+        F.col("p_partkey").alias("poly_id"),
+        F.when(is_rect, F.lit("rect")).otherwise(F.lit("triangle")).alias("kind"),
+        F.when(is_rect, rect_xs).otherwise(tri_xs).alias("xs_q"),
+        F.when(is_rect, rect_ys).otherwise(tri_ys).alias("ys_q"),
+    )
+
+
+def sql_minted_ring_coords() -> tuple[list, list, list, list]:
+    """The DuckDB coordinate expressions of minted_rings_q's two shapes:
+    (rect_xs, rect_ys, tri_xs, tri_ys), each a list of quantized-integer
+    SQL expressions over `part`."""
+    rect_xs = [f"({_CX} - {_HW})", f"({_CX} + {_HW})",
+               f"({_CX} + {_HW})", f"({_CX} - {_HW})"]
+    rect_ys = [f"({_CY} - {_HH})", f"({_CY} - {_HH})",
+               f"({_CY} + {_HH})", f"({_CY} + {_HH})"]
+    tri_xs = [f"{_CX}", f"({_CX} - {_HW})", f"({_CX} + {_HW})"]
+    tri_ys = [f"({_CY} + {_HH})", f"({_CY} - {_HH})", f"({_CY} - {_HH})"]
+    return rect_xs, rect_ys, tri_xs, tri_ys

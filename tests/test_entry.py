@@ -103,6 +103,8 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "bm25_topk", "inverted_postings", "hits_hosts",
+        "bloom_join_prune", "quadkey_z8", "geom_area_centroid",
         "sketch_kmv_lang", "sketch_bloom_doc_gate", "sketch_cms_lang",
         "sketch_hll_docs",
         "boilerplate_lines", "line_dedup_clean", "meta_robots",

@@ -61,6 +61,56 @@ def test_pagerank_partition_invariance(spark):
     assert a == b
 
 
+def brute_hits_int(edges, iters=2, scale=1_000_000):
+    nodes = sorted({u for e in edges for u in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[d] += hub[s]
+        mx = max(max(raw.values()), 1)
+        auth = {n: raw[n] * scale // mx for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[s] += auth[d]
+        mx = max(max(raw.values()), 1)
+        hub = {n: raw[n] * scale // mx for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_int_vs_brute(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["host"]: (r["hub_ppm"], r["auth_ppm"])
+           for r in graph.hits_int(df, iters=2).collect()}
+    assert got == brute_hits_int(EDGES, 2)
+    # c is the most-linked node: top authority, normalized to SCALE
+    assert got["c"][1] == graph.SCALE
+    # f never links out: zero hub score
+    assert got["f"][0] == 0
+
+
+def test_hits_sql_twin_matches(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["host"]: (r["hub_ppm"], r["auth_ppm"])
+           for r in graph.hits_int(df, iters=3).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    sql = graph.sql_hits_int(
+        f"edges AS (SELECT * FROM (VALUES {vals}) v(src, dst))", iters=3)
+    con = duckdb.connect()
+    oracle = {h: (hub, auth) for h, hub, auth in con.sql(sql).fetchall()}
+    assert got == oracle
+
+
+def test_hits_partition_invariance(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    a = {r["host"]: (r["hub_ppm"], r["auth_ppm"])
+         for r in graph.hits_int(df.repartition(1), 2).collect()}
+    b = {r["host"]: (r["hub_ppm"], r["auth_ppm"])
+         for r in graph.hits_int(df.repartition(16), 2).collect()}
+    assert a == b
+
+
 def test_pagerank_empty_and_self_loop(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     assert graph.pagerank_int(empty, 3).count() == 0
