@@ -191,6 +191,80 @@ def q_geom_area_centroid(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# distance-join / simplification / geohash / hotspot family — batch 8
+# (operators/spatial_join.radius_self_join, functions/geom.vw_simplify_q,
+# functions/cells.geohash_q, dedup.near_dup_components over dense tiles)
+# ---------------------------------------------------------------------------
+
+RADIUS_R = 9_000_000       # 0.9° in 1e-7 lattice units
+VW_AREA2_MIN = 10 ** 14    # keeps ~half the interior walk vertices
+HOT_Z, HOT_MIN_PTS = 4, 4
+
+
+def q_radius_join_pairs(spark, sf):
+    # the distance self-join: all unordered point pairs within RADIUS_R,
+    # via one-cell-per-point grid bucketing + a 3x3 neighbor fan-out on
+    # the probe side (operators/spatial_join.radius_self_join — exactly
+    # one equi-join shuffle pair; exact integer d² refine after). Runs on
+    # the CLUSTERED minting — uniform rank-1 draws have no close pairs.
+    from geobuf_spark.sources.tables import widen
+    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
+    return sj.radius_self_join(p, r=RADIUS_R)
+
+
+def q_simplify_vw(spark, sf):
+    # polyline simplification: one-pass Visvalingam effective-area filter
+    # over the minted 9-vertex walk lines, integer cross products on
+    # vertex deltas — one projection, no shuffle, no Python
+    wl = minted.minted_walk_lines_q(spark, sf, k=9)
+    st = geom.vw_simplify_q(F.col("xs_q"), F.col("ys_q"), VW_AREA2_MIN)
+    return (wl.withColumn("st", st)
+              .select("doc_id", F.col("st.n_kept").alias("n_kept"),
+                      F.col("st.xy_s").alias("xy_s")))
+
+
+def q_geohash6(spark, sf):
+    # geohash cell addressing of every minted point at 6 characters —
+    # the third cell-encoding family next to quadkeys and morton keys;
+    # one exact integer division per axis + the morton spread ladder
+    from geobuf_spark.functions import cells
+    p = minted.minted_points_q(spark, sf)
+    return p.select("doc_id", cells.geohash_q(F.col("qx"), F.col("qy"), 6)
+                    .alias("gh"))
+
+
+def q_hotspot_clusters(spark, sf):
+    # density hotspots: HOT_Z tiles holding >= HOT_MIN_PTS points, merged
+    # into clusters across 4-adjacency by min-label connected components
+    # (reuses dedup.near_dup_components). Adjacency is TWO coordinate
+    # equi-joins (right + up neighbor) over the dense-tile table — tiny
+    # after the density gate, so both broadcast; the only corpus-scale
+    # work is the one tile-count aggregation.
+    dense = (tiling.assign_tiles_points(_points(spark, sf), z=HOT_Z)
+             .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
+             .filter(F.col("n_pts") >= HOT_MIN_PTS)
+             .withColumn("k", (F.col("x") * 1000 + F.col("y")).cast("bigint"))
+             .localCheckpoint(eager=False))
+
+    def shifted(dx, dy):
+        return dense.select(F.col("k").alias("a"),
+                            (F.col("x") + dx).alias("x"),
+                            (F.col("y") + dy).alias("y"))
+
+    nbr = dense.select(F.col("k").alias("b"), "x", "y")
+    pairs = (shifted(1, 0).join(nbr, ["x", "y"]).select("a", "b")
+             .unionByName(shifted(0, 1).join(nbr, ["x", "y"])
+                          .select("a", "b")))
+    comps = dedup.near_dup_components(pairs, "a", "b")
+    return (dense.join(comps.withColumnRenamed("doc_id", "k"), "k", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("rep_id", "k").cast("bigint"))
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.sum("n_pts").alias("n_pts")))
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
@@ -1791,6 +1865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "radius_join_pairs": q_radius_join_pairs,
+        "simplify_vw": q_simplify_vw,
+        "geohash6": q_geohash6,
+        "hotspot_clusters": q_hotspot_clusters,
         "bm25_topk": q_bm25_topk,
         "inverted_postings": q_inverted_postings,
         "hits_hosts": q_hits_hosts,
@@ -2645,6 +2723,80 @@ def _geom_area_centroid_sql() -> str:
                {ts['area2_u2']} AS area2_u2,
                {ts['cx_q']} AS cx_q, {ts['cy_q']} AS cy_q
         FROM part WHERE p_partkey % 2 = 1"""
+
+
+def _radius_join_sql(r: int = RADIUS_R) -> str:
+    """Oracle for q_radius_join_pairs: the brute-force O(n²) pair scan —
+    an independent method, not the grid join. HUGEINT squares on the
+    DuckDB side only (far pairs overflow int64 there; the Spark operator
+    never squares a pair outside the 3x3 cell neighborhood); surviving
+    dist2 values are back under 2^63 and cast to BIGINT."""
+    return f"""
+        WITH p AS ({minted.sql_minted_cluster_points_q()}),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.qx - b.qx AS dx, a.qy - b.qy AS dy
+                 FROM p a JOIN p b ON a.doc_id < b.doc_id),
+        d AS (SELECT id_a, id_b,
+                     CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy AS d2
+              FROM cand)
+        SELECT id_a, id_b, CAST(d2 AS BIGINT) AS dist2
+        FROM d WHERE d2 <= {r * r}"""
+
+
+def _simplify_vw_sql(k: int = 9, t: int = VW_AREA2_MIN) -> str:
+    """Oracle for q_simplify_vw: the same keep predicates unrolled per
+    vertex (functions/geom.sql_vw_simplify_q) over an inner CTE that
+    names each walk coordinate once."""
+    xs, ys = minted.sql_minted_walk_coords(k)
+    cols = ",\n               ".join(
+        [f"{e} AS x{i}" for i, e in enumerate(xs)]
+        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
+    d = geom.sql_vw_simplify_q([f"x{i}" for i in range(k)],
+                               [f"y{i}" for i in range(k)], t)
+    return f"""
+        WITH wl AS (SELECT doc_id, {cols} FROM documents)
+        SELECT doc_id, {d['n_kept']} AS n_kept, {d['xy_s']} AS xy_s
+        FROM wl"""
+
+
+def _geohash6_sql() -> str:
+    """Oracle for q_geohash6 — the mask ladder repeats its argument, so
+    qx/qy are named once in the inner select."""
+    from geobuf_spark.functions import cells
+    return f"""
+        SELECT doc_id, {cells.sql_geohash_q('qx', 'qy', 6)} AS gh
+        FROM ({minted.SQL_MINTED_POINTS_Q.strip()})"""
+
+
+def _hotspot_clusters_sql(z: int = HOT_Z, min_pts: int = HOT_MIN_PTS) -> str:
+    """Oracle for q_hotspot_clusters: dense-tile adjacency walked by a
+    recursive CTE (same min-label semantics as near_dup_components);
+    singleton dense tiles keep their own key."""
+    x, y = tiles.sql_tile_x("lon", z), tiles.sql_tile_y("lat", z)
+    return f"""
+        WITH RECURSIVE p AS (
+            SELECT {x} AS x, {y} AS y
+            FROM ({minted.SQL_MINTED_POINTS.strip()})),
+        dense AS (SELECT x, y, CAST(x * 1000 + y AS BIGINT) AS k,
+                         count(*) AS n_pts
+                  FROM p GROUP BY x, y HAVING count(*) >= {min_pts}),
+        edges AS (
+            SELECT u.k AS u, v.k AS v FROM dense u JOIN dense v
+              ON (u.x + 1 = v.x AND u.y = v.y)
+              OR (u.x = v.x AND u.y + 1 = v.y)
+            UNION
+            SELECT v.k, u.k FROM dense u JOIN dense v
+              ON (u.x + 1 = v.x AND u.y = v.y)
+              OR (u.x = v.x AND u.y + 1 = v.y)),
+        walk(u, label) AS (
+            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+        comp AS (SELECT u, min(label) AS rep FROM walk GROUP BY u)
+        SELECT coalesce(c.rep, d.k) AS cluster_id,
+               count(*) AS n_tiles, CAST(sum(d.n_pts) AS BIGINT) AS n_pts
+        FROM dense d LEFT JOIN comp c ON c.u = d.k
+        GROUP BY 1"""
 
 
 def _crawl_diff_sql(seed: int = 42) -> str:
@@ -3568,6 +3720,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "radius_join_pairs": _radius_join_sql(),
+        "simplify_vw": _simplify_vw_sql(),
+        "geohash6": _geohash6_sql(),
+        "hotspot_clusters": _hotspot_clusters_sql(),
         "bm25_topk": "WITH " + ranking.sql_bm25_scores("documents", BM25_TERMS)
         + """
         SELECT doc_id, dl, score_ppm FROM bm25

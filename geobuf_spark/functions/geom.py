@@ -103,3 +103,62 @@ def sql_ring_stats_q(xs: list[str], ys: list[str], unit: int = UNIT) -> dict:
         "cx_q": f"CAST({x0} + ({cxn}) * {unit} // (3 * ({area2})) AS BIGINT)",
         "cy_q": f"CAST({y0} + ({cyn}) * {unit} // (3 * ({area2})) AS BIGINT)",
     }
+
+
+# --- one-pass Visvalingam vertex filter ------------------------------------
+
+def vw_simplify_q(xs_q: Column, ys_q: Column, area2_min: int) -> Column:
+    """One-pass Visvalingam–Whyatt vertex filter over a quantized polyline:
+    keep both endpoints, keep interior vertex i iff the doubled area of the
+    triangle (p_{i-1}, p_i, p_{i+1}) — measured on the ORIGINAL neighbors,
+    a single pass, not the iterative min-heap — reaches area2_min.
+
+    The cross products run on raw coordinate DIFFERENCES, so the magnitude
+    contract is on vertex deltas, not absolutes: |Δx|·|Δy| < 2^62 (the
+    minted walk lines keep deltas < 2e7 → products < 4e14). Integer-exact,
+    no division anywhere, so the DuckDB twin matches bit-for-bit.
+
+    Returns struct(n_kept int, xy_s string) — the kept vertices rendered
+    "x:y" comma-joined (a value-hashable canonical form of the simplified
+    line).
+    """
+    n = F.size(xs_q)
+
+    def X(i):
+        return F.element_at(xs_q, i.cast("int"))
+
+    def Y(i):
+        return F.element_at(ys_q, i.cast("int"))
+
+    def cross(i):
+        return ((X(i) - X(i - 1)) * (Y(i + 1) - Y(i - 1))
+                - (X(i + 1) - X(i - 1)) * (Y(i) - Y(i - 1)))
+
+    kept = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (i == n) | (F.abs(cross(i)) >= F.lit(area2_min)))
+    xy = F.array_join(
+        F.transform(kept, lambda i: F.concat(X(i).cast("string"), F.lit(":"),
+                                             Y(i).cast("string"))), ",")
+    return F.struct(F.size(kept).alias("n_kept"), xy.alias("xy_s"))
+
+
+def sql_vw_simplify_q(xs: list[str], ys: list[str], area2_min: int) -> dict:
+    """DuckDB twin of vw_simplify_q for a fixed-size polyline given as
+    coordinate expression lists — the same keep predicates unrolled.
+    Returns {'n_kept', 'xy_s'} expression strings. concat_ws skips the
+    NULL fragments of dropped vertices on both engines."""
+    n = len(xs)
+
+    def cross(i):
+        return (f"(({xs[i]} - {xs[i - 1]}) * ({ys[i + 1]} - {ys[i - 1]}) - "
+                f"({xs[i + 1]} - {xs[i - 1]}) * ({ys[i]} - {ys[i - 1]}))")
+
+    keeps = ["TRUE" if i in (0, n - 1) else f"(abs({cross(i)}) >= {area2_min})"
+             for i in range(n)]
+    n_kept = " + ".join(f"(CASE WHEN {k} THEN 1 ELSE 0 END)" for k in keeps)
+    frags = ",\n                ".join(
+        f"CASE WHEN {k} THEN CAST({x} AS VARCHAR) || ':' || CAST({y} AS VARCHAR) END"
+        for k, x, y in zip(keeps, xs, ys))
+    return {"n_kept": f"CAST({n_kept} AS INT)",
+            "xy_s": f"concat_ws(',', {frags})"}

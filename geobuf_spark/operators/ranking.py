@@ -136,31 +136,31 @@ def postings(docs: DataFrame, id_col: str = "doc_id",
     total term frequency, and the first `sample_k` doc ids (comma-joined,
     ascending) as a bounded posting sample.
 
-    Plan shape: explode (1:L flatMap, no pre-shuffle) → ONE hash aggregate
-    on (term, doc) with map-side partials (this collapses per-doc repeats
-    before the shuffle, so shuffle rows are distinct pairs) → per-term agg
-    + a rank-bounded sample. The sample uses row_number over the pair
-    table, NOT collect_list over raw postings, so per-group state stays
-    bounded at 10^12-doc scale; both aggs reuse the same hash partitioning
-    on term (AQE keeps them in one exchange).
+    Plan shape — ONE pass over the exploded corpus, three exchanges:
+    explode (1:L flatMap, no pre-shuffle) → ONE hash aggregate on
+    (term, doc) with map-side partials (this collapses per-doc repeats
+    before the shuffle, so shuffle rows are distinct pairs) → repartition
+    to term for a row_number window → the final per-term agg reuses the
+    window's partitioning (no fourth exchange). The sample collects only
+    the rank-bounded rows (collect_list skips the NULLed rn > k docs),
+    NOT the full posting list, so per-group state stays bounded at
+    10^12-doc scale; nothing re-reads the explode.
     """
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"))
     pairs = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
-    stats = pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("tf_total"))
     w = Window.partitionBy("term").orderBy("doc")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
     # sort AFTER collecting — collect_list order is partition-arbitrary
-    sample = (pairs.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= sample_k)
-              .groupBy("term")
-              .agg(F.array_join(
-                  F.transform(F.sort_array(F.collect_list("doc")),
-                              lambda d: d.cast("string")), ",")
-                   .alias("first_docs")))
-    return stats.join(sample, "term")
+    return ranked.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("rn") <= sample_k, F.col("doc")))),
+                lambda d: d.cast("string")), ",").alias("first_docs"))
 
 
 def sql_postings(source_sql: str, id_col: str = "doc_id",

@@ -309,3 +309,50 @@ def pip_join_hex(points: DataFrame, polys: DataFrame, *, size_deg: float = 2.5,
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return joined.filter(refine).drop("hex")
+
+
+def radius_self_join(pts_q: DataFrame, r: int, id_col: str = "doc_id",
+                     qx: str = "qx", qy: str = "qy") -> DataFrame:
+    """All unordered point pairs within planar lattice distance r — the
+    distance self-join, as a grid-bucketed equi-join.
+
+    Coordinates must be NON-NEGATIVE quantized integers (sources/minted
+    minted_points_q); r is in the same lattice units. Plan: every point
+    lands in one r×r home cell; one side fans out to its 3×3 cell
+    neighborhood (map-side, ×9); equi-join on the cell key; exact integer
+    squared-distance refine. A qualifying pair meets exactly twice — (a
+    exploded)→(b home) and (b exploded)→(a home) — so the id_a < id_b
+    order filter keeps each exactly once; no distinct needed.
+
+    Scale: ONE shuffle per side on the cell key (the ×9 fan-out happens
+    before the exchange but the join stays an equi-join, so AQE's skew
+    split backstops hot cells; for adversarial density add a salt stage as
+    in pip_join). Integer-exact: cell index is `div` on non-negative
+    operands; dist2 ≤ 8r² needs r < 2^30. Output (id_a, id_b, dist2),
+    dist2 = Δx² + Δy² ≤ r².
+    """
+    if not 0 < r < 1 << 30:
+        raise ValueError("r must be in (0, 2^30) lattice units")
+    home = pts_q.select(
+        F.col(id_col), F.col(qx).cast("bigint").alias("qx"),
+        F.col(qy).cast("bigint").alias("qy"),
+        F.expr(f"cast({qx} as bigint) div {r}").alias("cx"),
+        F.expr(f"cast({qy} as bigint) div {r}").alias("cy"))
+    probe = home.select(
+        F.col(id_col).alias("id_a"), F.col("qx").alias("ax"),
+        F.col("qy").alias("ay"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + F.lit(dx)).alias("cx"),
+                     (F.col("cy") + F.lit(dy)).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nc"),
+    ).select("id_a", "ax", "ay", "nc.cx", "nc.cy")
+    build = home.select(
+        F.col(id_col).alias("id_b"), F.col("qx").alias("bx"),
+        F.col("qy").alias("by"), "cx", "cy")
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (probe.join(build, ["cx", "cy"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist2", d2)
+            .filter(F.col("dist2") <= F.lit(r * r))
+            .select("id_a", "id_b", "dist2"))

@@ -169,3 +169,112 @@ def sql_minted_ring_coords() -> tuple[list, list, list, list]:
     tri_xs = [f"{_CX}", f"({_CX} - {_HW})", f"({_CX} + {_HW})"]
     tri_ys = [f"({_CY} + {_HH})", f"({_CY} - {_HH})", f"({_CY} - {_HH})"]
     return rect_xs, rect_ys, tri_xs, tri_ys
+
+
+# --- raw-lattice (non-negative) quantized points and walk lines -----------
+# The distance-join / geohash / simplification operators need coordinates
+# that stay INTEGER end to end. The raw mulmod draw (before the center
+# offset) is non-negative, so integer division is identical in Spark
+# (`div`, truncating) and DuckDB (`//`, flooring) — the center shift is a
+# pure translation and distances / cell boundaries do not care.
+
+# per-vertex walk-offset draws: each vertex of a minted polyline adds an
+# offset inside a 2.0° x 1.6° box to the document's base corner
+WX_MULT, WX_MOD = 48271, 20_000_000
+WY_MULT, WY_MOD = 69621, 16_000_000
+_WALK_STEP = 1_000_003  # distinct mulmod argument per vertex index
+
+
+def minted_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One point per document on the RAW (non-negative) lattice:
+    (doc_id, qx, qy) with qx in [0, 3.6e9), qy in [0, 1.7e9) — the same
+    draws as minted_points before the center offset and the /1e7."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        _mulmod(F.col("doc_id"), LON_MULT, LON_MOD).cast("bigint").alias("qx"),
+        _mulmod(F.col("doc_id"), LAT_MULT, LAT_MOD).cast("bigint").alias("qy"),
+    )
+
+
+SQL_MINTED_POINTS_Q = f"""
+SELECT doc_id,
+       CAST({_sql_mulmod('doc_id', LON_MULT, LON_MOD)} AS BIGINT) AS qx,
+       CAST({_sql_mulmod('doc_id', LAT_MULT, LAT_MOD)} AS BIGINT) AS qy
+FROM documents
+"""
+
+
+def minted_walk_lines_q(spark: SparkSession, sf_dir: str, k: int = 9) -> DataFrame:
+    """One k-vertex polyline per document: the document's raw base corner
+    plus k walk offsets inside a 2.0° x 1.6° box, as parallel bigint
+    coordinate arrays (doc_id, xs_q, ys_q). Vertex deltas stay < 2e7, so
+    downstream integer cross products stay far below 2^63."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bx = _mulmod(F.col("doc_id"), LON_MULT, LON_MOD)
+    by = _mulmod(F.col("doc_id"), LAT_MULT, LAT_MOD)
+    xs = [bx + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP), WX_MULT, WX_MOD)
+          for i in range(k)]
+    ys = [by + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP), WY_MULT, WY_MOD)
+          for i in range(k)]
+    return docs.select(
+        "doc_id",
+        F.array(*[x.cast("bigint") for x in xs]).alias("xs_q"),
+        F.array(*[y.cast("bigint") for y in ys]).alias("ys_q"),
+    )
+
+
+def sql_minted_walk_coords(k: int = 9) -> tuple[list, list]:
+    """DuckDB twins of minted_walk_lines_q's vertex coordinates over
+    `documents`: ([x_0..x_{k-1}], [y_0..y_{k-1}]) expression strings."""
+    bx = _sql_mulmod("doc_id", LON_MULT, LON_MOD)
+    by = _sql_mulmod("doc_id", LAT_MULT, LAT_MOD)
+    xs = [f"({bx} + {_sql_mulmod(f'(doc_id + {i * _WALK_STEP})', WX_MULT, WX_MOD)})"
+          for i in range(k)]
+    ys = [f"({by} + {_sql_mulmod(f'(doc_id + {i * _WALK_STEP})', WY_MULT, WY_MOD)})"
+          for i in range(k)]
+    return xs, ys
+
+
+# clustered points: the uniform rank-1 draws never place two documents
+# within radius of each other (pairwise deltas are the ~n multiples of the
+# generator — the three-distance lattice structure), so the distance join
+# gets its own deliberately CLUSTERED minting: a coarse per-group center
+# plus a chained-mulmod (wrap-scrambled, so pair deltas mix) local offset.
+N_CLUSTERS = 37
+_CLX_MULT, _CLX_SPAN = 7919, LON_MOD - 60_000_000
+_CLY_MULT, _CLY_SPAN = 104729, LAT_MOD - 40_000_000
+_OFFX_MULT, _OFFX_SPAN = 48271, 30_000_000
+_OFFY_MULT, _OFFY_SPAN = 69621, 40_000_000
+
+
+def minted_cluster_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One point per document, clustered: (doc_id, qx, qy) non-negative
+    lattice ints — cluster center by doc_id mod N_CLUSTERS, local offset
+    inside a 3.0° x 4.0° box."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = F.col("doc_id") % F.lit(N_CLUSTERS)
+    cx = _mulmod(g * F.lit(_CLX_MULT), LON_MULT, _CLX_SPAN)
+    cy = _mulmod(g * F.lit(_CLY_MULT), LAT_MULT, _CLY_SPAN)
+    ox = _mulmod(_mulmod(F.col("doc_id"), LON_MULT, LON_MOD),
+                 _OFFX_MULT, _OFFX_SPAN)
+    oy = _mulmod(_mulmod(F.col("doc_id"), LAT_MULT, LAT_MOD),
+                 _OFFY_MULT, _OFFY_SPAN)
+    return docs.select(
+        "doc_id",
+        (cx + ox).cast("bigint").alias("qx"),
+        (cy + oy).cast("bigint").alias("qy"),
+    )
+
+
+def sql_minted_cluster_points_q() -> str:
+    """DuckDB twin of minted_cluster_points_q over `documents`."""
+    g = f"(doc_id % {N_CLUSTERS})"
+    cx = _sql_mulmod(f"{g} * {_CLX_MULT}", LON_MULT, _CLX_SPAN)
+    cy = _sql_mulmod(f"{g} * {_CLY_MULT}", LAT_MULT, _CLY_SPAN)
+    ox = _sql_mulmod(_sql_mulmod("doc_id", LON_MULT, LON_MOD),
+                     _OFFX_MULT, _OFFX_SPAN)
+    oy = _sql_mulmod(_sql_mulmod("doc_id", LAT_MULT, LAT_MOD),
+                     _OFFY_MULT, _OFFY_SPAN)
+    return (f"SELECT doc_id, CAST({cx} + {ox} AS BIGINT) AS qx, "
+            f"CAST({cy} + {oy} AS BIGINT) AS qy FROM documents")

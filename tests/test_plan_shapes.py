@@ -95,3 +95,27 @@ def test_webtext_line_query_shuffle_budgets(spark):
     # the corpus top-k must be a TakeOrdered (per-partition heaps), never
     # a global sort
     assert "TakeOrderedAndProject" in plans["ngram_topk"]
+
+
+def test_batch78_shuffle_budgets(spark):
+    """Shuffle budgets for the batch-7/8 families: the cell-encoding and
+    measure projections are shuffle-free; the radius join pays its two
+    widen round-robins plus the (broadcast at this SF) cell join; the
+    postings pipeline is the one-pass widen → pair-agg → term-repartition
+    chain and must never re-read the explode."""
+    import __spark_entry__ as em
+
+    budgets = {"quadkey_z8": 0, "geohash6": 0, "simplify_vw": 0,
+               "geom_area_centroid": 0,
+               "radius_join_pairs": 3, "inverted_postings": 3}
+    for q, budget in budgets.items():
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == budget, f"{q}\n{plan}"
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "CartesianProduct", "BroadcastNestedLoop"):
+            assert marker not in plan, f"{q}: {marker}"
+    # the postings top-k (df desc) rides per-partition heaps
+    plan = _executed_plan(em.queries()["inverted_postings"](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
