@@ -248,23 +248,32 @@ _OFFX_MULT, _OFFX_SPAN = 48271, 30_000_000
 _OFFY_MULT, _OFFY_SPAN = 69621, 40_000_000
 
 
-def minted_cluster_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One point per document, clustered: (doc_id, qx, qy) non-negative
-    lattice ints — cluster center by doc_id mod N_CLUSTERS, local offset
-    inside a 3.0° x 4.0° box."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    g = F.col("doc_id") % F.lit(N_CLUSTERS)
+def cluster_points_from(ids: DataFrame,
+                        n_clusters: int = N_CLUSTERS) -> DataFrame:
+    """Clustered minting over any (doc_id) frame: cluster center by
+    doc_id mod n_clusters, chained-mulmod local offset inside a
+    3.0° x 4.0° box. The stress harnesses raise n_clusters with N to hold
+    the per-point pair degree roughly constant."""
+    g = F.col("doc_id") % F.lit(n_clusters)
     cx = _mulmod(g * F.lit(_CLX_MULT), LON_MULT, _CLX_SPAN)
     cy = _mulmod(g * F.lit(_CLY_MULT), LAT_MULT, _CLY_SPAN)
     ox = _mulmod(_mulmod(F.col("doc_id"), LON_MULT, LON_MOD),
                  _OFFX_MULT, _OFFX_SPAN)
     oy = _mulmod(_mulmod(F.col("doc_id"), LAT_MULT, LAT_MOD),
                  _OFFY_MULT, _OFFY_SPAN)
-    return docs.select(
+    return ids.select(
         "doc_id",
         (cx + ox).cast("bigint").alias("qx"),
         (cy + oy).cast("bigint").alias("qy"),
     )
+
+
+def minted_cluster_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One point per document, clustered: (doc_id, qx, qy) non-negative
+    lattice ints — cluster center by doc_id mod N_CLUSTERS, local offset
+    inside a 3.0° x 4.0° box."""
+    return cluster_points_from(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
 
 def sql_minted_cluster_points_q() -> str:
