@@ -243,7 +243,7 @@ def q_hotspot_clusters(spark, sf):
     dense = (tiling.assign_tiles_points(_points(spark, sf), z=HOT_Z)
              .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
              .filter(F.col("n_pts") >= HOT_MIN_PTS)
-             .withColumn("k", (F.col("x") * 1000 + F.col("y")).cast("bigint"))
+             .withColumn("k", tiles.cell_id(HOT_Z, F.col("x"), F.col("y")))
              .localCheckpoint(eager=False))
 
     def shifted(dx, dy):
@@ -2777,7 +2777,7 @@ def _hotspot_clusters_sql(z: int = HOT_Z, min_pts: int = HOT_MIN_PTS) -> str:
         WITH RECURSIVE p AS (
             SELECT {x} AS x, {y} AS y
             FROM ({minted.SQL_MINTED_POINTS.strip()})),
-        dense AS (SELECT x, y, CAST(x * 1000 + y AS BIGINT) AS k,
+        dense AS (SELECT x, y, {tiles.sql_cell_id(z, 'x', 'y')} AS k,
                          count(*) AS n_pts
                   FROM p GROUP BY x, y HAVING count(*) >= {min_pts}),
         edges AS (

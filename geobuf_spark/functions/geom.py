@@ -67,9 +67,16 @@ def ring_stats_q(xs_q: Column, ys_q: Column, unit: int = UNIT) -> Column:
                * cross(i))
     cx = F.array_min(xs_q) + _idiv(cxn * unit, 3 * area2)
     cy = F.array_min(ys_q) + _idiv(cyn * unit, 3 * area2)
-    return F.struct(area2.alias("area2_u2"),
-                    cx.cast("long").alias("cx_q"),
-                    cy.cast("long").alias("cy_q"))
+    st = F.struct(
+        area2.alias("area2_u2"),
+        # zero-area (degenerate) rings: centroid is undefined — NULL on
+        # BOTH engines rather than Spark-NULL-vs-DuckDB-error divergence
+        F.when(area2 != 0, cx.cast("long")).alias("cx_q"),
+        F.when(area2 != 0, cy.cast("long")).alias("cy_q"))
+    # n < 3 can't form a ring — and must not be EVALUATED: sequence(1, 0)
+    # steps DOWN to [1, 0] and element_at(…, 0) throws; when() gates
+    # per-row evaluation, so the degenerate rows never touch the math
+    return F.when(n >= 3, st)
 
 
 def _idiv(num: Column, den: Column) -> Column:
@@ -86,8 +93,12 @@ def _idiv(num: Column, den: Column) -> Column:
 def sql_ring_stats_q(xs: list[str], ys: list[str], unit: int = UNIT) -> dict:
     """DuckDB twin of ring_stats_q for a fixed-size ring given as lists of
     quantized-coordinate SQL expressions. Returns {'area2_u2', 'cx_q',
-    'cy_q'} expression strings expanding the same local-origin terms."""
+    'cy_q'} expression strings expanding the same local-origin terms.
+    Fixed-size rings make the n >= 3 guard a generation-time check; the
+    zero-area centroid guard matches ring_stats_q's NULL."""
     n = len(xs)
+    if n < 3 or len(ys) != n:
+        raise ValueError("ring needs >= 3 vertices and equal-length axes")
     x0, y0 = f"least({', '.join(xs)})", f"least({', '.join(ys)})"
     dx = [f"(({e} - {x0}) // {unit})" for e in xs]
     dy = [f"(({e} - {y0}) // {unit})" for e in ys]
@@ -98,10 +109,11 @@ def sql_ring_stats_q(xs: list[str], ys: list[str], unit: int = UNIT) -> dict:
                      for i in range(n))
     cyn = " + ".join(f"({dy[i]} + {dy[(i + 1) % n]}) * {cross[i]}"
                      for i in range(n))
+    guard = f"CASE WHEN ({area2}) != 0 THEN"
     return {
         "area2_u2": f"CAST({area2} AS BIGINT)",
-        "cx_q": f"CAST({x0} + ({cxn}) * {unit} // (3 * ({area2})) AS BIGINT)",
-        "cy_q": f"CAST({y0} + ({cyn}) * {unit} // (3 * ({area2})) AS BIGINT)",
+        "cx_q": f"CAST({guard} {x0} + ({cxn}) * {unit} // (3 * ({area2})) END AS BIGINT)",
+        "cy_q": f"CAST({guard} {y0} + ({cyn}) * {unit} // (3 * ({area2})) END AS BIGINT)",
     }
 
 
@@ -140,7 +152,10 @@ def vw_simplify_q(xs_q: Column, ys_q: Column, area2_min: int) -> Column:
     xy = F.array_join(
         F.transform(kept, lambda i: F.concat(X(i).cast("string"), F.lit(":"),
                                              Y(i).cast("string"))), ",")
-    return F.struct(F.size(kept).alias("n_kept"), xy.alias("xy_s"))
+    st = F.struct(F.size(kept).alias("n_kept"), xy.alias("xy_s"))
+    # n < 2 is not a polyline — and sequence(1, 0) steps DOWN to [1, 0],
+    # so the guard must gate EVALUATION (when() does), not just the result
+    return F.when(n >= 2, st)
 
 
 def sql_vw_simplify_q(xs: list[str], ys: list[str], area2_min: int) -> dict:
@@ -149,6 +164,8 @@ def sql_vw_simplify_q(xs: list[str], ys: list[str], area2_min: int) -> dict:
     Returns {'n_kept', 'xy_s'} expression strings. concat_ws skips the
     NULL fragments of dropped vertices on both engines."""
     n = len(xs)
+    if n < 2 or len(ys) != n:
+        raise ValueError("polyline needs >= 2 vertices and equal-length axes")
 
     def cross(i):
         return (f"(({xs[i]} - {xs[i - 1]}) * ({ys[i + 1]} - {ys[i - 1]}) - "

@@ -21,9 +21,14 @@ DuckDB oracle reproduces them bit-identically:
   whole score is two passes over the corpus with a 1-row broadcast
   between them.
 
-Magnitude domain (int64-exact): dl·avgdl_x100 ≤ ~8·10^12 (documents up to
-~10^5 tokens at avgdl 10^3) and N ≤ ~10^12 keep every intermediate under
-2^63; the sandbox corpora are orders of magnitude inside this.
+Magnitude domain (int64-exact): the two ×1e6 rescale products are computed
+by exact quotient/remainder DECOMPOSITION — (a·S) div d = (a·1000 div d)·
+1000 + ((a·1000 mod d)·1000) div d and (idf·sat) div S = (idf div S)·sat +
+((idf mod S)·sat) div S — so no intermediate ever carries the full ×1e6
+factor. The resulting bounds: N ≤ 2·10^12 documents ((2N+1)·sat_max with
+sat_max = (10+k1)·100·1000 stays under 2^63) and tf·avgdl_x100 ≤ 4·10^12
+per document (e.g. tf ≤ 4·10^5 at avgdl 10^5 tokens). A naive
+idf·sat·1e6 chain would wrap int64 at N ≈ 1.4·10^7.
 
 Reference analog: none (geobuf is a codec) — this extends the SURVEY §2
 training-data-pipeline surface like operators/dedup.py.
@@ -36,6 +41,31 @@ from pyspark.sql import functions as F
 
 IDF_SCALE = 1_000_000
 S_SCALE = 1_000_000
+
+
+def _term_score_exprs(n_terms: int, k1_tenths: int, b_hundredths: int,
+                      div: str) -> list[str]:
+    """The per-term fixed-point score expression strings over columns
+    (dl, tf_i, avgdl_x100, idf_i) — the ONE source both engines render
+    (Spark passes div='div', DuckDB div='//'; operands are non-negative so
+    the two operators agree). Overflow-safe per the module docstring:
+    both ×S_SCALE products are exact two-stage decompositions."""
+    num_f = (10 + k1_tenths) * 100
+    k1t, bh = k1_tenths, b_hundredths
+    out = []
+    for i in range(n_terms):
+        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
+               f" + {bh} * dl * 100))")
+        a1000 = f"(tf_{i} * {num_f} * avgdl_x100 * 1000)"
+        s1 = f"({a1000} {div} {den})"
+        r1 = f"({a1000} % {den})"
+        # sat == (tf·numf·avgdl_x100·S_SCALE) div den, without the ×S_SCALE
+        # intermediate: a·S div d = (a·1000 div d)·1000 + (a·1000 % d)·1000 div d
+        sat = f"({s1} * 1000 + ({r1} * 1000) {div} {den})"
+        q, r = f"(idf_{i} {div} {S_SCALE})", f"(idf_{i} % {S_SCALE})"
+        # (idf·sat) div S == q·sat + (r·sat) div S  (idf = q·S + r, exact)
+        out.append(f"({q} * {sat} + ({r} * {sat}) {div} {S_SCALE})")
+    return out
 
 
 def bm25_scores(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
@@ -75,14 +105,8 @@ def bm25_scores(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
           .alias(f"idf_{i}") for i in range(len(terms))],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    num_f = (10 + k1_tenths) * 100
-    k1t, bh = k1_tenths, b_hundredths
-    term_scores = []
-    for i in range(len(terms)):
-        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
-               f" + {bh} * dl * 100))")
-        sat = f"((tf_{i} * {num_f} * avgdl_x100 * {S_SCALE}) div {den})"
-        term_scores.append(f"(idf_{i} * {sat}) div {S_SCALE}")
+    term_scores = _term_score_exprs(len(terms), k1_tenths, b_hundredths,
+                                    div="div")
     return scored.select(
         id_col, "dl",
         F.expr(" + ".join(term_scores)).cast("bigint").alias("score_ppm"),
@@ -106,15 +130,8 @@ def sql_bm25_scores(source_sql: str, terms: list[str], id_col: str = "doc_id",
     idf_cols = ",\n                   ".join(
         f"((2 * n_docs - 2 * df_{i} + 1) * {IDF_SCALE}) // (2 * df_{i} + 1)"
         f" AS idf_{i}" for i in range(len(terms)))
-    num_f = (10 + k1_tenths) * 100
-    k1t, bh = k1_tenths, b_hundredths
-    term_scores = []
-    for i in range(len(terms)):
-        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
-               f" + {bh} * dl * 100))")
-        sat = f"((tf_{i} * {num_f} * avgdl_x100 * {S_SCALE}) // {den})"
-        term_scores.append(f"(idf_{i} * {sat}) // {S_SCALE}")
-    score = " + ".join(term_scores)
+    score = " + ".join(_term_score_exprs(len(terms), k1_tenths,
+                                         b_hundredths, div="//"))
     return f"""{p}bmb AS (SELECT {id_col},
                    len(string_split({text_col}, chr(32))) AS dl,
                    {tf_cols}

@@ -65,6 +65,18 @@ FROM documents
 """
 
 
+def _part_draws():
+    """The ONE source of the per-part center/halfwidth draws every rect /
+    triangle / quantized-ring fixture family shares: (cx, cy, hw, hh)
+    Columns over `part` — diverging copies would silently desynchronize
+    the families (each is only checked against its own oracle)."""
+    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
+    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
+    hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
+    hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
+    return cx, cy, hw, hh
+
+
 def minted_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One axis-aligned rectangle per part: (poly_id, minx, miny, maxx, maxy).
 
@@ -72,10 +84,7 @@ def minted_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     rectangles, so the bbox prefilter (split_combine.go:324-331 Intersect)
     IS the exact containment predicate — SQL-expressible for the oracle."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
-    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
-    hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
-    hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
+    cx, cy, hw, hh = _part_draws()
     return part.select(
         F.col("p_partkey").alias("poly_id"),
         ((cx - hw) / F.lit(1e7)).alias("minx"),
@@ -104,10 +113,7 @@ def minted_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One triangle per part for general point-in-polygon:
     v0=(cx, cy+hh), v1=(cx-hw, cy-hh), v2=(cx+hw, cy-hh)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
-    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
-    hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
-    hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
+    cx, cy, hw, hh = _part_draws()
     return part.select(
         F.col("p_partkey").alias("poly_id"),
         (cx / F.lit(1e7)).alias("x0"),
@@ -139,10 +145,7 @@ def minted_rings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64-exact. Every edge is a whole multiple of geom.UNIT (hw/hh are
     built from 1e6-unit steps)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    cx = _mulmod(F.col("p_partkey"), CX_MULT, CX_MOD) - F.lit(CX_MOD // 2)
-    cy = _mulmod(F.col("p_partkey"), CY_MULT, CY_MOD) - F.lit(CY_MOD // 2)
-    hw = F.lit(10_000_000) + (F.col("p_partkey") % F.lit(100)) * F.lit(1_000_000)
-    hh = F.lit(8_000_000) + (F.col("p_partkey") % F.lit(80)) * F.lit(1_000_000)
+    cx, cy, hw, hh = _part_draws()
     is_rect = F.pmod(F.col("p_partkey"), F.lit(2)) == 0
     # rect ring (minx,miny)→(maxx,miny)→(maxx,maxy)→(minx,maxy): CCW
     rect_xs = F.array(cx - hw, cx + hw, cx + hw, cx - hw)

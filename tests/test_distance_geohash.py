@@ -217,11 +217,31 @@ def test_hotspot_vs_python_cc(spark):
     for t, n in tiles_.items():
         root = find(t)
         clusters.setdefault(root, []).append((t, n))
+    from geobuf_spark.functions.tiles import CELL_SHIFT
+
+    def pack(x, y):
+        return (em.HOT_Z * CELL_SHIFT + x) * CELL_SHIFT + y
+
     exp = sorted(
-        (min(x * 1000 + y for (x, y), _ in members),
+        (min(pack(x, y) for (x, y), _ in members),
          len(members), sum(n for _, n in members))
         for root, members in clusters.items())
     got = sorted(tuple(r) for r in
                  em.queries()["hotspot_clusters"](spark, SF).collect())
     assert got == exp
     assert len(got) >= 2  # fixture must exercise merging AND singletons
+
+
+def test_vw_degenerate_inputs(spark):
+    """n < 2 is not a polyline: NULL struct, never evaluated (sequence(1,0)
+    steps down and would throw on element_at 0)."""
+    rows = spark.createDataFrame(
+        [(0, [], []), (1, [7], [9]), (2, [0, 1], [0, 1])],
+        "id int, xs array<bigint>, ys array<bigint>") \
+        .withColumn("st", geom.vw_simplify_q(F.col("xs"), F.col("ys"), 10)) \
+        .select("id", "st.*").collect()
+    by_id = {r["id"]: (r["n_kept"], r["xy_s"]) for r in rows}
+    assert by_id[0] == (None, None) and by_id[1] == (None, None)
+    assert by_id[2] == (2, "0:0,1:1")
+    with pytest.raises(ValueError):
+        geom.sql_vw_simplify_q(["0"], ["0"], 10)

@@ -230,3 +230,52 @@ def test_bloom_prune_no_false_negatives(spark):
     a = sorted(r["key"] for r in pruned.collect())
     b = sorted(r["key"] for r in plain.collect())
     assert a == b and a  # non-empty intersection by construction
+
+
+def test_bm25_fixed_point_survives_huge_corpora(spark):
+    """The decomposed ×S_SCALE products must stay int64-exact at corpus
+    sizes where the naive idf·sat·1e6 chain wraps (N ≈ 1.4e7): evaluate
+    the shared term-score expression directly on crafted stat columns at
+    N = 2e12 / df = 1 / tf = 4e5 / avgdl = 1e5 tokens and compare with
+    python big-int arithmetic."""
+    n_docs, df, tf, dl, avgdl_x100 = 2 * 10**12, 1, 400_000, 500_000, 10**7
+    idf = ((2 * n_docs - 2 * df + 1) * ranking.IDF_SCALE) // (2 * df + 1)
+    k1t, bh, S = 12, 75, ranking.S_SCALE
+    den = tf * 1000 * avgdl_x100 + k1t * ((100 - bh) * avgdl_x100 + bh * dl * 100)
+    sat = (tf * (10 + k1t) * 100 * avgdl_x100 * S) // den
+    expected = (idf * sat) // S
+    assert idf * sat > 2**63  # the naive product WOULD wrap
+    expr = ranking._term_score_exprs(1, k1t, bh, div="div")[0]
+    row = spark.createDataFrame(
+        [(dl, tf, avgdl_x100, idf)], ["dl", "tf_0", "avgdl_x100", "idf_0"])
+    got = row.select(F.expr(expr).alias("s")).collect()[0]["s"]
+    assert got == expected
+    sql = ranking._term_score_exprs(1, k1t, bh, div="//")[0]
+    oracle = duckdb.sql(
+        f"SELECT CAST({sql} AS BIGINT) FROM (SELECT "
+        f"CAST({dl} AS BIGINT) AS dl, CAST({tf} AS BIGINT) AS tf_0, "
+        f"CAST({avgdl_x100} AS BIGINT) AS avgdl_x100, "
+        f"CAST({idf} AS BIGINT) AS idf_0)").fetchone()[0]
+    assert oracle == expected
+
+
+def test_ring_stats_degenerate_inputs(spark):
+    """n < 3 must return NULL without evaluating the ring math (an empty
+    array would otherwise hit sequence(1,0) → element_at(…,0)); a
+    zero-area ring keeps its area but NULLs the centroid — matching the
+    SQL twin's CASE instead of diverging NULL-vs-error across engines."""
+    rows = spark.createDataFrame(
+        [(1, [], []), (2, [0, 5], [0, 5]),
+         (3, [0, 1_000_000, 2_000_000], [0, 0, 0])],
+        "id int, xs array<bigint>, ys array<bigint>") \
+        .withColumn("st", geom.ring_stats_q(F.col("xs"), F.col("ys"))) \
+        .select("id", "st.*").collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["area2_u2"] is None and by_id[2]["area2_u2"] is None
+    assert by_id[3]["area2_u2"] == 0
+    assert by_id[3]["cx_q"] is None and by_id[3]["cy_q"] is None
+    d = geom.sql_ring_stats_q(["0", "1", "2"], ["0", "0", "0"])
+    a, cx = duckdb.sql(f"SELECT {d['area2_u2']}, {d['cx_q']}").fetchone()
+    assert a == 0 and cx is None
+    with pytest.raises(ValueError):
+        geom.sql_ring_stats_q(["0", "1"], ["0", "1"])
