@@ -107,7 +107,10 @@ def test_batch78_shuffle_budgets(spark):
 
     budgets = {"quadkey_z8": 0, "geohash6": 0, "simplify_vw": 0,
                "geom_area_centroid": 0,
-               "radius_join_pairs": 3, "inverted_postings": 3}
+               "radius_join_pairs": 3, "inverted_postings": 3,
+               # (host, anchor) agg + the host window repartition; the
+               # extraction/zip stage is pure expressions
+               "anchor_text_topk": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
