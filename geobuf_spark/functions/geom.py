@@ -69,10 +69,13 @@ def ring_stats_q(xs_q: Column, ys_q: Column, unit: int = UNIT) -> Column:
     cy = F.array_min(ys_q) + _idiv(cyn * unit, 3 * area2)
     st = F.struct(
         area2.alias("area2_u2"),
-        # zero-area (degenerate) rings: centroid is undefined — NULL on
-        # BOTH engines rather than Spark-NULL-vs-DuckDB-error divergence
-        F.when(area2 != 0, cx.cast("long")).alias("cx_q"),
-        F.when(area2 != 0, cy.cast("long")).alias("cy_q"))
+        # non-CCW rings get NO centroid: zero area makes it undefined, and
+        # a NEGATIVE area2 (clockwise input — contract violation, still
+        # reported in area2_u2) would feed _idiv negative operands where
+        # its floor correction and DuckDB's `//` disagree. NULL on BOTH
+        # engines instead of NULL-vs-error or off-by-one divergence.
+        F.when(area2 > 0, cx.cast("long")).alias("cx_q"),
+        F.when(area2 > 0, cy.cast("long")).alias("cy_q"))
     # n < 3 can't form a ring — and must not be EVALUATED: sequence(1, 0)
     # steps DOWN to [1, 0] and element_at(…, 0) throws; when() gates
     # per-row evaluation, so the degenerate rows never touch the math
@@ -109,7 +112,7 @@ def sql_ring_stats_q(xs: list[str], ys: list[str], unit: int = UNIT) -> dict:
                      for i in range(n))
     cyn = " + ".join(f"({dy[i]} + {dy[(i + 1) % n]}) * {cross[i]}"
                      for i in range(n))
-    guard = f"CASE WHEN ({area2}) != 0 THEN"
+    guard = f"CASE WHEN ({area2}) > 0 THEN"
     return {
         "area2_u2": f"CAST({area2} AS BIGINT)",
         "cx_q": f"CAST({guard} {x0} + ({cxn}) * {unit} // (3 * ({area2})) END AS BIGINT)",

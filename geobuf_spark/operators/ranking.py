@@ -25,10 +25,11 @@ Magnitude domain (int64-exact): the two ×1e6 rescale products are computed
 by exact quotient/remainder DECOMPOSITION — (a·S) div d = (a·1000 div d)·
 1000 + ((a·1000 mod d)·1000) div d and (idf·sat) div S = (idf div S)·sat +
 ((idf mod S)·sat) div S — so no intermediate ever carries the full ×1e6
-factor. The resulting bounds: N ≤ 2·10^12 documents ((2N+1)·sat_max with
-sat_max = (10+k1)·100·1000 stays under 2^63) and tf·avgdl_x100 ≤ 4·10^12
-per document (e.g. tf ≤ 4·10^5 at avgdl 10^5 tokens). A naive
-idf·sat·1e6 chain would wrap int64 at N ≈ 1.4·10^7.
+factor. The resulting bounds: N ≤ 2·10^12 / n_terms documents (each term
+score reaches (2N+1)·sat_max with sat_max = (10+k1)·100·1000, and the
+final score SUMS n_terms of them) and tf·avgdl_x100 ≤ 4·10^12 per
+document (e.g. tf ≤ 4·10^5 at avgdl 10^5 tokens). A naive idf·sat·1e6
+chain would wrap int64 at N ≈ 1.4·10^7.
 
 Reference analog: none (geobuf is a codec) — this extends the SURVEY §2
 training-data-pipeline surface like operators/dedup.py.
@@ -54,9 +55,13 @@ def _term_score_exprs(n_terms: int, k1_tenths: int, b_hundredths: int,
     k1t, bh = k1_tenths, b_hundredths
     out = []
     for i in range(n_terms):
-        den = (f"(tf_{i} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
-               f" + {bh} * dl * 100))")
-        a1000 = f"(tf_{i} * {num_f} * avgdl_x100 * 1000)"
+        # dl/tf arrive as 32-bit ints from F.size — widen HERE, inside the
+        # shared text, or Spark evaluates 75·dl·100 in int32 (overflow at
+        # dl ≈ 2.9e5) while DuckDB's len() is already BIGINT
+        dl, tf = "CAST(dl AS BIGINT)", f"CAST(tf_{i} AS BIGINT)"
+        den = (f"({tf} * 1000 * avgdl_x100 + {k1t} * ({100 - bh} * avgdl_x100"
+               f" + {bh} * {dl} * 100))")
+        a1000 = f"({tf} * {num_f} * avgdl_x100 * 1000)"
         s1 = f"({a1000} {div} {den})"
         r1 = f"({a1000} % {den})"
         # sat == (tf·numf·avgdl_x100·S_SCALE) div den, without the ×S_SCALE

@@ -246,8 +246,11 @@ def test_bm25_fixed_point_survives_huge_corpora(spark):
     expected = (idf * sat) // S
     assert idf * sat > 2**63  # the naive product WOULD wrap
     expr = ranking._term_score_exprs(1, k1t, bh, div="div")[0]
+    # dl/tf as 32-bit ints — the type F.size actually produces; the shared
+    # expression must widen them itself or 75·dl·100 wraps int32
     row = spark.createDataFrame(
-        [(dl, tf, avgdl_x100, idf)], ["dl", "tf_0", "avgdl_x100", "idf_0"])
+        [(dl, tf, avgdl_x100, idf)],
+        "dl int, tf_0 int, avgdl_x100 bigint, idf_0 bigint")
     got = row.select(F.expr(expr).alias("s")).collect()[0]["s"]
     assert got == expected
     sql = ranking._term_score_exprs(1, k1t, bh, div="//")[0]
@@ -266,7 +269,11 @@ def test_ring_stats_degenerate_inputs(spark):
     SQL twin's CASE instead of diverging NULL-vs-error across engines."""
     rows = spark.createDataFrame(
         [(1, [], []), (2, [0, 5], [0, 5]),
-         (3, [0, 1_000_000, 2_000_000], [0, 0, 0])],
+         (3, [0, 1_000_000, 2_000_000], [0, 0, 0]),
+         # CLOCKWISE triangle: negative area2 reported, centroid NULLed —
+         # _idiv's floor correction assumes non-negative operands and
+         # would diverge from DuckDB's // on a CW ring
+         (4, [0, 0, 2_000_000], [0, 2_000_000, 0])],
         "id int, xs array<bigint>, ys array<bigint>") \
         .withColumn("st", geom.ring_stats_q(F.col("xs"), F.col("ys"))) \
         .select("id", "st.*").collect()
@@ -274,8 +281,13 @@ def test_ring_stats_degenerate_inputs(spark):
     assert by_id[1]["area2_u2"] is None and by_id[2]["area2_u2"] is None
     assert by_id[3]["area2_u2"] == 0
     assert by_id[3]["cx_q"] is None and by_id[3]["cy_q"] is None
+    assert by_id[4]["area2_u2"] < 0
+    assert by_id[4]["cx_q"] is None and by_id[4]["cy_q"] is None
     d = geom.sql_ring_stats_q(["0", "1", "2"], ["0", "0", "0"])
     a, cx = duckdb.sql(f"SELECT {d['area2_u2']}, {d['cx_q']}").fetchone()
     assert a == 0 and cx is None
+    d = geom.sql_ring_stats_q(["0", "0", "2000000"], ["0", "2000000", "0"])
+    a, cx = duckdb.sql(f"SELECT {d['area2_u2']}, {d['cx_q']}").fetchone()
+    assert a < 0 and cx is None
     with pytest.raises(ValueError):
         geom.sql_ring_stats_q(["0", "1"], ["0", "1"])

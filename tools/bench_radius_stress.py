@@ -37,40 +37,10 @@ TRIALS = int(_pos[1]) if len(_pos) > 1 else 3
 N_CLUSTERS = max(37, N_POINTS // 40)
 
 
-def loadavg1() -> float:
-    with open("/proc/loadavg") as f:
-        return float(f.read().split()[0])
-
-
-def raw_cpu_speedup(n_lo: int, n_hi: int, secs: float = 2.0) -> float:
-    """Same-window environment ceiling (bench.py convention): aggregate
-    busy-loop throughput at n_hi vs n_lo worker processes. 8→32 on this
-    box measures ~3.1x, not 4x — 32 hw threads share one memory bus —
-    so the pipeline's speedup is reported both raw and ceiling-normed."""
-    import multiprocessing as mp
-
-    def burn(q):
-        t_end = time.time() + secs
-        x, it = 1.0, 0
-        while time.time() < t_end:
-            for _ in range(10_000):
-                x = x * 1.0000001 + 1e-9
-            it += 1
-        q.put(it + (x == -1))
-
-    def total(k):
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
-        for p in ps:
-            p.start()
-        out = sum(q.get() for _ in ps)
-        for p in ps:
-            p.join()
-        return out
-
-    lo = total(n_lo)
-    hi = total(n_hi)
-    return hi / lo if lo else float(n_hi) / n_lo
+# ceiling control + loadavg come from bench.py (repo root is on sys.path)
+# so the busy-loop calibration has ONE home
+from bench import _raw_cpu_speedup as raw_cpu_speedup  # noqa: E402
+from bench import loadavg1  # noqa: E402
 
 
 def _leg(spark) -> int:
