@@ -312,6 +312,38 @@ def q_anchor_text_topk(spark, sf):
             .select("dst_host", "rank", "anchor", "n"))
 
 
+def q_host_mirrors(spark, sf):
+    # mirror-host detection — the host-level dedup tier above document
+    # dedup: hosts whose content-fingerprint sets overlap at Jaccard >=
+    # 0.3. Fixture plants a mirror of every 3rd page under m{site}. Plan:
+    # (host, md5(text)) distinct (one shuffle, narrow keys) → fingerprint
+    # equi-self-join (hot boilerplate fingerprints would need a frequency
+    # cap/salt at 100 TB — the fixture's texts are unique) → per-pair
+    # rollup → integer Jaccard gate.
+    p = pages.pages(spark, 1500)
+    mirror = p.filter(F.col("page_id") % 3 == 0).withColumn(
+        "url", F.regexp_replace("url", "^https://site", "https://m"))
+    fp = (p.unionByName(mirror)
+          .select(TXT.url_host(F.col("url")).alias("host"),
+                  F.md5(F.col("text")).alias("fp"))
+          .distinct())
+    sizes = fp.groupBy("host").agg(F.count("*").alias("n"))
+    shared = (fp.alias("a").join(fp.alias("b"), "fp")
+              .filter(F.col("a.host") < F.col("b.host"))
+              .groupBy(F.col("a.host").alias("host_a"),
+                       F.col("b.host").alias("host_b"))
+              .agg(F.count("*").alias("shared")))
+    return (shared
+            .join(sizes.withColumnRenamed("host", "host_a")
+                  .withColumnRenamed("n", "na"), "host_a")
+            .join(sizes.withColumnRenamed("host", "host_b")
+                  .withColumnRenamed("n", "nb"), "host_b")
+            .withColumn("j_ppm",
+                        F.expr("(shared * 1000000) div (na + nb - shared)"))
+            .filter(F.col("j_ppm") >= 300000)
+            .select("host_a", "host_b", "shared", "j_ppm"))
+
+
 def q_knn_label_vote(spark, sf):
     # kNN classification: predict each query point's language by majority
     # vote among its 5 nearest neighbors (ties: higher vote count first,
@@ -1935,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — (new this round, never had a driver row: rotation rule (a)) —
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
+        "host_mirrors": q_host_mirrors,
         "radius_join_pairs": q_radius_join_pairs,
         "simplify_vw": q_simplify_vw,
         "geohash6": q_geohash6,
@@ -2822,6 +2855,33 @@ def _anchor_text_topk_sql(n: int = 2000, seed: int = 42, topk: int = 3) -> str:
                                         ORDER BY n DESC, anchor) AS rank
               FROM c)
         SELECT dst_host, rank, anchor, n FROM r WHERE rank <= {topk}"""
+
+
+def _host_mirrors_sql(n: int = 1500, seed: int = 42,
+                      j_min_ppm: int = 300_000) -> str:
+    """Oracle for q_host_mirrors: the same regeneration + planted mirrors,
+    fingerprint self-join and integer Jaccard in plain SQL."""
+    j = "(s.shared * 1000000) // (na.n + nb.n - s.shared)"
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        allp AS (
+            SELECT url, text FROM txt
+            UNION ALL
+            SELECT regexp_replace(url, '^https://site', 'https://m') AS url,
+                   text
+            FROM txt WHERE id % 3 = 0),
+        fp AS (SELECT DISTINCT {TXT.sql_url_host('url')} AS host,
+                      md5(text) AS fp
+               FROM allp),
+        sizes AS (SELECT host, count(*) AS n FROM fp GROUP BY 1),
+        shared AS (SELECT a.host AS host_a, b.host AS host_b,
+                          count(*) AS shared
+                   FROM fp a JOIN fp b ON a.fp = b.fp AND a.host < b.host
+                   GROUP BY 1, 2)
+        SELECT s.host_a, s.host_b, s.shared, {j} AS j_ppm
+        FROM shared s JOIN sizes na ON na.host = s.host_a
+                      JOIN sizes nb ON nb.host = s.host_b
+        WHERE {j} >= {j_min_ppm}"""
 
 
 def _knn_label_vote_sql() -> str:
@@ -3851,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _embed_near_dups_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
+        "host_mirrors": _host_mirrors_sql(),
         "radius_join_pairs": _radius_join_sql(),
         "simplify_vw": _simplify_vw_sql(),
         "geohash6": _geohash6_sql(),

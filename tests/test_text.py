@@ -172,3 +172,32 @@ def test_anchor_text_topk_vs_brute(spark):
     got = {tuple(r) for r in em.queries()["anchor_text_topk"](
         spark, "/root/testdata/sf0.001").collect()}
     assert got == exp
+
+
+def test_host_mirrors_vs_brute(spark):
+    """Every emitted pair must be a planted (m{k}, site{k}) mirror —
+    page texts are unique, so no cross-site pair can share a fingerprint —
+    and shared/j_ppm must match a python recompute from the page table."""
+    import __spark_entry__ as em
+
+    rows = pages.pages(spark, 1500).select("page_id", "url", "text").collect()
+    site_fps, mirror_fps = {}, {}
+    for r in rows:
+        host = r["url"].split("/")[2]
+        site_fps.setdefault(host, set()).add(r["text"])
+        if r["page_id"] % 3 == 0:
+            mirror_fps.setdefault("m" + host[4:], set()).add(r["text"])
+    exp = set()
+    for mh, fps in mirror_fps.items():
+        sh = "site" + mh[1:]
+        shared = len(fps & site_fps[sh])
+        union = len(fps) + len(site_fps[sh]) - shared
+        j = shared * 1_000_000 // union
+        if j >= 300_000:
+            a, b = sorted((mh, sh))
+            exp.add((a, b, shared, j))
+    got = {tuple(r) for r in em.queries()["host_mirrors"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert got == exp and got
+    for host_a, host_b, _, _ in got:
+        assert host_a.startswith("m") and host_b == "site" + host_a[1:]
