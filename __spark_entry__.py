@@ -312,6 +312,61 @@ def q_anchor_text_topk(spark, sf):
             .select("dst_host", "rank", "anchor", "n"))
 
 
+MLT_SEED_DOC = 40
+
+
+def q_mlt_topk(spark, sf):
+    # more-like-this retrieval THROUGH the inverted index — the join-shaped
+    # complement of bm25_topk's array-expression scan: the seed document's
+    # distinct terms (a tiny broadcast) probe the (doc, term) posting
+    # pairs; candidates score Σ idf (the same log-free RSJ idf as BM25).
+    # Magnitude: idf ≤ (2N+1)·1e6/3 (df ≥ 1 always — the seed holds the
+    # term) and the per-doc sum spans ≤ |seed terms| of them, so int64
+    # holds for N·n_seed_terms ≲ 1.4e13 — document that bound, don't
+    # decompose: rarer corpora shrink df, not N. Corpus N rides the same
+    # 1-row broadcast agg. Top-10 total-ordered.
+    docs = _docs(spark, sf)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"))
+    seed = (toks.filter(F.col("doc_id") == MLT_SEED_DOC)
+            .select("term").distinct())
+    n_row = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    idf = ("(((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1))")
+    return (toks.join(F.broadcast(seed), "term")
+            .filter(F.col("doc_id") != MLT_SEED_DOC)
+            .join(dfreq, "term")
+            .crossJoin(F.broadcast(n_row))
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr(idf)).alias("score_ppm"),
+                 F.count("*").alias("n_shared"))
+            .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+            .limit(10))
+
+
+def _mlt_topk_sql(seed_doc: int = MLT_SEED_DOC, k: int = 10) -> str:
+    """Oracle for q_mlt_topk: identical CTE chain over `documents`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, chr(32)))) AS term
+            FROM documents),
+        seed AS (SELECT DISTINCT term FROM toks WHERE doc_id = {seed_doc}),
+        nrow AS (SELECT count(*) AS n_docs FROM documents),
+        dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(sum(((2 * n.n_docs - 2 * f.df + 1) * 1000000)
+                        // (2 * f.df + 1)) AS BIGINT) AS score_ppm,
+               count(*) AS n_shared
+        FROM toks t JOIN seed s ON s.term = t.term
+                    JOIN dfreq f ON f.term = t.term, nrow n
+        WHERE t.doc_id != {seed_doc}
+        GROUP BY 1
+        ORDER BY score_ppm DESC, doc_id
+        LIMIT {k}"""
+
+
 def q_host_mirrors(spark, sf):
     # mirror-host detection — the host-level dedup tier above document
     # dedup: hosts whose content-fingerprint sets overlap at Jaccard >=
@@ -1968,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
+        "mlt_topk": q_mlt_topk,
         "radius_join_pairs": q_radius_join_pairs,
         "simplify_vw": q_simplify_vw,
         "geohash6": q_geohash6,
@@ -3912,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),
+        "mlt_topk": _mlt_topk_sql(),
         "radius_join_pairs": _radius_join_sql(),
         "simplify_vw": _simplify_vw_sql(),
         "geohash6": _geohash6_sql(),

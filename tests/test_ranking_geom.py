@@ -291,3 +291,32 @@ def test_ring_stats_degenerate_inputs(spark):
     assert a < 0 and cx is None
     with pytest.raises(ValueError):
         geom.sql_ring_stats_q(["0", "1"], ["0", "1"])
+
+
+def test_mlt_topk_vs_brute(spark, docs):
+    """Inverted-index more-like-this: python recompute of the Σ-idf score
+    over the seed document's distinct terms."""
+    import __spark_entry__ as em
+
+    rows = [(r["doc_id"], r["text"].split(" "))
+            for r in docs.select("doc_id", "text").collect()]
+    n = len(rows)
+    seed_terms = {t for i, tk in rows if i == em.MLT_SEED_DOC for t in tk}
+    dfreq = {}
+    for _, tk in rows:
+        for t in set(tk):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    scored = []
+    for i, tk in rows:
+        if i == em.MLT_SEED_DOC:
+            continue
+        sh = set(tk) & seed_terms
+        if not sh:
+            continue
+        s = sum(((2 * n - 2 * dfreq[t] + 1) * 1_000_000) // (2 * dfreq[t] + 1)
+                for t in sh)
+        scored.append((-s, i, s, len(sh)))
+    exp = [(i, s, m) for _, i, s, m in sorted(scored)[:10]]
+    got = [(r["doc_id"], r["score_ppm"], r["n_shared"]) for r in
+           em.queries()["mlt_topk"](spark, "/root/testdata/sf0.001").collect()]
+    assert got == exp
