@@ -1,6 +1,6 @@
 """Training-corpus cleaning job: the classic web-text pipeline —
-lang filter → exact dedup → MinHash near-dup removal → duplicated-span
-gate (exact-substring proxy) → quality gate —
+lang filter → source-mirror gate → exact dedup → MinHash near-dup removal
+→ duplicated-span gate (exact-substring proxy) → quality gate —
 as one spark-submit job with stage metrics, partition lineage, and
 same-run-id resume (the same ops contract as jobs.tile_pages).
 
@@ -27,7 +27,7 @@ import sys
 
 def run_job(spark, sf_dir: str, out: str, run_id: str, *,
             min_tokens: int = 10, jaccard: float = 0.8,
-            max_dup_span: float = 0.9) -> dict:
+            max_dup_span: float = 0.9, mirror_jaccard: float = 0.5) -> dict:
     from pyspark.sql import functions as F
 
     from geobuf_spark.functions import text as TXT
@@ -51,6 +51,36 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         n1 = kept.count()
         t.set_counts(rows_in=n0, rows_out=n1)
 
+    with ctx.stage("mirror_gate") as t:
+        # source-level mirror removal — MUST run before exact dedup, which
+        # would collapse the very cross-source duplicates that reveal the
+        # mirror. If source B's content-fingerprint set overlaps source
+        # A's at Jaccard >= mirror_jaccard, ALL of B's docs are dropped
+        # (including the near-mirror tail exact dedup can't see); the
+        # lexicographically smaller source survives as canonical. Same
+        # fingerprint self-join shape as the host_mirrors query: distinct
+        # narrow keys, one equi-join, per-pair rollup.
+        j_min = int(mirror_jaccard * 1_000_000)
+        fp = kept.select("source", F.md5("text").alias("fp")).distinct()
+        sizes = fp.groupBy("source").agg(F.count("*").alias("n"))
+        shared = (fp.alias("a").join(fp.alias("b"), "fp")
+                  .filter(F.col("a.source") < F.col("b.source"))
+                  .groupBy(F.col("a.source").alias("sa"),
+                           F.col("b.source").alias("sb"))
+                  .agg(F.count("*").alias("sh")))
+        mirrors = (shared
+                   .join(sizes.withColumnRenamed("source", "sa")
+                         .withColumnRenamed("n", "na"), "sa")
+                   .join(sizes.withColumnRenamed("source", "sb")
+                         .withColumnRenamed("n", "nb"), "sb")
+                   .filter(F.expr(
+                       f"(sh * 1000000) div (na + nb - sh) >= {j_min}"))
+                   .select(F.col("sb").alias("source")).distinct())
+        kept = kept.join(F.broadcast(mirrors), "source", "left_anti") \
+            .localCheckpoint(eager=False)
+        n1b = kept.count()
+        t.set_counts(rows_in=n1, rows_out=n1b)
+
     with ctx.stage("exact_dedup") as t:
         reps = dedup.dedup_exact(kept, key="doc_id")
         kept = kept.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
@@ -58,7 +88,7 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         # re-run the whole prefix pipeline per action
         kept = kept.localCheckpoint(eager=False)
         n2 = kept.count()
-        t.set_counts(rows_in=n1, rows_out=n2)
+        t.set_counts(rows_in=n1b, rows_out=n2)
 
     with ctx.stage("near_dedup") as t:
         # production path keeps xxhash64 (cheapest per shingle, and the
@@ -103,7 +133,8 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         t.set_counts(rows_in=n4)
 
     ctx.flush_metrics()
-    return {"commit": entry, "rows": {"input": n0, "lang": n1, "exact": n2,
+    return {"commit": entry, "rows": {"input": n0, "lang": n1,
+                                      "mirror": n1b, "exact": n2,
                                       "near": n3, "span": n3b,
                                       "quality": n4}}
 
@@ -116,6 +147,7 @@ def main(argv=None):
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-dup-span", type=float, default=0.9)
+    ap.add_argument("--mirror-jaccard", type=float, default=0.5)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -125,7 +157,8 @@ def main(argv=None):
     try:
         result = run_job(spark, args.sf_dir, args.out, args.run_id,
                          min_tokens=args.min_tokens, jaccard=args.jaccard,
-                         max_dup_span=args.max_dup_span)
+                         max_dup_span=args.max_dup_span,
+                         mirror_jaccard=args.mirror_jaccard)
         print(result)
         return 0
     finally:

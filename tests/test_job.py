@@ -46,8 +46,10 @@ def test_clean_corpus_job(spark, tmp_path, sf_small):
                   max_dup_span=0.9)
     rows = r["rows"]
     # monotone shrinkage through the funnel
-    assert rows["input"] >= rows["lang"] >= rows["exact"] >= rows["near"] \
-        >= rows["span"] >= rows["quality"] > 0
+    assert rows["input"] >= rows["lang"] >= rows["mirror"] >= rows["exact"] \
+        >= rows["near"] >= rows["span"] >= rows["quality"] > 0
+    # the stock fixture has no mirrored sources: the gate is a no-op here
+    assert rows["mirror"] == rows["lang"]
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == rows["quality"]
     assert "lang" in data.columns and "n_tokens" in data.columns
@@ -55,8 +57,43 @@ def test_clean_corpus_job(spark, tmp_path, sf_small):
     assert data.select("text").distinct().count() == data.count()
     met = spark.read.parquet(f"{out}/_metrics")
     stages = {x.stage for x in met.collect()}
-    assert {"load", "lang_filter", "exact_dedup", "near_dedup",
-            "span_dedup_gate", "quality_gate", "commit"} <= stages
+    assert {"load", "lang_filter", "mirror_gate", "exact_dedup",
+            "near_dedup", "span_dedup_gate", "quality_gate", "commit"} <= stages
     # idempotent rerun
     r2 = clean_run(spark, sf_small, out, "c1", min_tokens=5, jaccard=0.8)
     assert r2["commit"]["status"] == "already_committed"
+
+
+def test_clean_corpus_mirror_gate(spark, tmp_path, sf_small):
+    """Planted mirror source: src_m carries copies of most of src0's texts
+    plus one lightly edited page. The gate must drop ALL of src_m —
+    including the near-mirror page that exact dedup could never catch —
+    and must keep the canonical src0 docs intact."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.jobs.clean_corpus import run_job as clean_run
+
+    base = spark.read.parquet(f"{sf_small}/documents.parquet")
+    donors = base.filter(F.col("source") == "src0")
+    n_donor = donors.count()
+    mirror = donors.limit(n_donor - 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("text"), F.col("lang"), F.lit("src_m").alias("source"),
+        F.col("n_chars"))
+    near = donors.orderBy(F.desc("doc_id")).limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" edited tail")).alias("text"),
+        F.col("lang"), F.lit("src_m").alias("source"), F.col("n_chars"))
+    src = str(tmp_path / "mirror_sf")
+    base.unionByName(mirror).unionByName(near) \
+        .write.parquet(f"{src}/documents.parquet")
+
+    out = str(tmp_path / "mirror_out")
+    r = clean_run(spark, src, out, "m1", min_tokens=5, jaccard=0.8,
+                  max_dup_span=0.9, mirror_jaccard=0.5)
+    rows = r["rows"]
+    # every src_m doc is gone at the mirror gate (n_donor copies + 1 near)
+    assert rows["lang"] - rows["mirror"] == n_donor
+    data = spark.read.parquet(f"{out}/data")
+    # src0's own docs survive to the output (post-dedup they are the reps)
+    assert data.filter(F.col("text").contains("edited tail")).count() == 0
