@@ -333,7 +333,7 @@ def q_mlt_topk(spark, sf):
             .select("term").distinct())
     n_row = docs.agg(F.count("*").alias("n_docs"))
     dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
-    idf = ("(((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1))")
+    idf = ranking.idf_expr("n_docs", "df", "div")
     return (toks.join(F.broadcast(seed), "term")
             .filter(F.col("doc_id") != MLT_SEED_DOC)
             .join(dfreq, "term")
@@ -356,8 +356,8 @@ def _mlt_topk_sql(seed_doc: int = MLT_SEED_DOC, k: int = 10) -> str:
         nrow AS (SELECT count(*) AS n_docs FROM documents),
         dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
         SELECT t.doc_id,
-               CAST(sum(((2 * n.n_docs - 2 * f.df + 1) * 1000000)
-                        // (2 * f.df + 1)) AS BIGINT) AS score_ppm,
+               CAST(sum({ranking.idf_expr('n.n_docs', 'f.df', '//')})
+                    AS BIGINT) AS score_ppm,
                count(*) AS n_shared
         FROM toks t JOIN seed s ON s.term = t.term
                     JOIN dfreq f ON f.term = t.term, nrow n
@@ -378,25 +378,11 @@ def q_host_mirrors(spark, sf):
     p = pages.pages(spark, 1500)
     mirror = p.filter(F.col("page_id") % 3 == 0).withColumn(
         "url", F.regexp_replace("url", "^https://site", "https://m"))
-    fp = (p.unionByName(mirror)
-          .select(TXT.url_host(F.col("url")).alias("host"),
-                  F.md5(F.col("text")).alias("fp"))
-          .distinct())
-    sizes = fp.groupBy("host").agg(F.count("*").alias("n"))
-    shared = (fp.alias("a").join(fp.alias("b"), "fp")
-              .filter(F.col("a.host") < F.col("b.host"))
-              .groupBy(F.col("a.host").alias("host_a"),
-                       F.col("b.host").alias("host_b"))
-              .agg(F.count("*").alias("shared")))
-    return (shared
-            .join(sizes.withColumnRenamed("host", "host_a")
-                  .withColumnRenamed("n", "na"), "host_a")
-            .join(sizes.withColumnRenamed("host", "host_b")
-                  .withColumnRenamed("n", "nb"), "host_b")
-            .withColumn("j_ppm",
-                        F.expr("(shared * 1000000) div (na + nb - shared)"))
-            .filter(F.col("j_ppm") >= 300000)
-            .select("host_a", "host_b", "shared", "j_ppm"))
+    hosts = p.unionByName(mirror).select(
+        TXT.url_host(F.col("url")).alias("host"), "text")
+    return (dedup.mirror_pairs(hosts, group="host", j_min_ppm=300_000)
+            .select(F.col("g_a").alias("host_a"),
+                    F.col("g_b").alias("host_b"), "shared", "j_ppm"))
 
 
 def q_knn_label_vote(spark, sf):

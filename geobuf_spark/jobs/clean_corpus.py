@@ -57,25 +57,14 @@ def run_job(spark, sf_dir: str, out: str, run_id: str, *,
         # mirror. If source B's content-fingerprint set overlaps source
         # A's at Jaccard >= mirror_jaccard, ALL of B's docs are dropped
         # (including the near-mirror tail exact dedup can't see); the
-        # lexicographically smaller source survives as canonical. Same
-        # fingerprint self-join shape as the host_mirrors query: distinct
-        # narrow keys, one equi-join, per-pair rollup.
-        j_min = int(mirror_jaccard * 1_000_000)
-        fp = kept.select("source", F.md5("text").alias("fp")).distinct()
-        sizes = fp.groupBy("source").agg(F.count("*").alias("n"))
-        shared = (fp.alias("a").join(fp.alias("b"), "fp")
-                  .filter(F.col("a.source") < F.col("b.source"))
-                  .groupBy(F.col("a.source").alias("sa"),
-                           F.col("b.source").alias("sb"))
-                  .agg(F.count("*").alias("sh")))
-        mirrors = (shared
-                   .join(sizes.withColumnRenamed("source", "sa")
-                         .withColumnRenamed("n", "na"), "sa")
-                   .join(sizes.withColumnRenamed("source", "sb")
-                         .withColumnRenamed("n", "nb"), "sb")
-                   .filter(F.expr(
-                       f"(sh * 1000000) div (na + nb - sh) >= {j_min}"))
-                   .select(F.col("sb").alias("source")).distinct())
+        # lexicographically smaller source survives as canonical.
+        # dedup.mirror_pairs is the one implementation this stage shares
+        # with the host_mirrors query.
+        # round(), not int(): 0.3 * 1e6 is 299999.99999999994 in binary and
+        # truncation would loosen the user's threshold by 1 ppm
+        pairs = dedup.mirror_pairs(kept, group="source",
+                                   j_min_ppm=round(mirror_jaccard * 1_000_000))
+        mirrors = pairs.select(F.col("g_b").alias("source")).distinct()
         kept = kept.join(F.broadcast(mirrors), "source", "left_anti") \
             .localCheckpoint(eager=False)
         n1b = kept.count()

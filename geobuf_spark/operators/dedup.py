@@ -383,3 +383,36 @@ def dup_span_stats(df: DataFrame, key: str = "doc_id", text_col: str = "text",
             .select(F.col("key").alias(key), "n_grams", "n_shared",
                     (F.col("n_shared").cast("double")
                      / F.col("n_grams").cast("double")).alias("dup_span_frac")))
+
+
+def mirror_pairs(df: DataFrame, group: str, text: str = "text",
+                 j_min_ppm: int = 300_000) -> DataFrame:
+    """Group-level mirror detection: pairs of groups (hosts, sources, …)
+    whose DISTINCT content-fingerprint sets overlap at integer Jaccard ≥
+    j_min_ppm. Output (g_a, g_b, shared, j_ppm) with g_a < g_b.
+
+    The one implementation behind the host_mirrors query and the
+    clean_corpus mirror gate. Plan: (group, md5(text)) distinct — ONE
+    shuffle of narrow keys, lazily checkpointed so the self-join's two
+    sides and the size joins reuse a single materialization instead of
+    re-scanning the corpus — then a fingerprint equi-self-join, per-pair
+    rollup, and the integer Jaccard gate (sizes broadcast: one row per
+    group). At 100 TB a hot-fingerprint frequency cap/salt belongs before
+    the self-join; the minted fixtures have no hot fingerprints.
+    """
+    fp = (df.select(F.col(group).alias("g"), F.md5(F.col(text)).alias("fp"))
+          .distinct().localCheckpoint(eager=False))
+    sizes = fp.groupBy("g").agg(F.count("*").alias("n"))
+    shared = (fp.alias("a").join(fp.alias("b"), "fp")
+              .filter(F.col("a.g") < F.col("b.g"))
+              .groupBy(F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
+              .agg(F.count("*").alias("shared")))
+    return (shared
+            .join(F.broadcast(sizes.withColumnRenamed("g", "g_a")
+                              .withColumnRenamed("n", "na")), "g_a")
+            .join(F.broadcast(sizes.withColumnRenamed("g", "g_b")
+                              .withColumnRenamed("n", "nb")), "g_b")
+            .withColumn("j_ppm",
+                        F.expr("(shared * 1000000) div (na + nb - shared)"))
+            .filter(F.col("j_ppm") >= j_min_ppm)
+            .select("g_a", "g_b", "shared", "j_ppm"))

@@ -44,6 +44,13 @@ IDF_SCALE = 1_000_000
 S_SCALE = 1_000_000
 
 
+def idf_expr(n: str, df: str, div: str) -> str:
+    """The RSJ odds-ratio idf in IDF_SCALE millionths — the ONE rendering
+    of the formula every scorer (BM25 here, more-like-this in the query
+    registry) and both engines share (div='div' Spark, '//' DuckDB)."""
+    return f"(((2 * {n} - 2 * {df} + 1) * {IDF_SCALE}) {div} (2 * {df} + 1))"
+
+
 def _term_score_exprs(n_terms: int, k1_tenths: int, b_hundredths: int,
                       div: str) -> list[str]:
     """The per-term fixed-point score expression strings over columns
@@ -106,7 +113,7 @@ def bm25_scores(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
     ).select(
         "n_docs",
         F.expr("(sumdl * 100) div n_docs").alias("avgdl_x100"),
-        *[F.expr(f"((2 * n_docs - 2 * df_{i} + 1) * {IDF_SCALE}) div (2 * df_{i} + 1)")
+        *[F.expr(idf_expr("n_docs", f"df_{i}", "div"))
           .alias(f"idf_{i}") for i in range(len(terms))],
     )
     scored = base.crossJoin(F.broadcast(stats))
@@ -133,8 +140,8 @@ def sql_bm25_scores(source_sql: str, terms: list[str], id_col: str = "doc_id",
         f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
         for i in range(len(terms)))
     idf_cols = ",\n                   ".join(
-        f"((2 * n_docs - 2 * df_{i} + 1) * {IDF_SCALE}) // (2 * df_{i} + 1)"
-        f" AS idf_{i}" for i in range(len(terms)))
+        f"{idf_expr('n_docs', f'df_{i}', '//')} AS idf_{i}"
+        for i in range(len(terms)))
     score = " + ".join(_term_score_exprs(len(terms), k1_tenths,
                                          b_hundredths, div="//"))
     return f"""{p}bmb AS (SELECT {id_col},

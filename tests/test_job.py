@@ -95,5 +95,14 @@ def test_clean_corpus_mirror_gate(spark, tmp_path, sf_small):
     # every src_m doc is gone at the mirror gate (n_donor copies + 1 near)
     assert rows["lang"] - rows["mirror"] == n_donor
     data = spark.read.parquet(f"{out}/data")
-    # src0's own docs survive to the output (post-dedup they are the reps)
     assert data.filter(F.col("text").contains("edited tail")).count() == 0
+    # ...and the base corpus is POSITIVELY untouched: the gate removes the
+    # planted source before any dedup stage sees it, so the run's final
+    # output must equal a baseline run on the unpolluted fixture exactly
+    base_out = str(tmp_path / "base_out")
+    clean_run(spark, sf_small, base_out, "m0", min_tokens=5, jaccard=0.8,
+              max_dup_span=0.9, mirror_jaccard=0.5)
+    base_ids = {r["doc_id"] for r in spark.read.parquet(f"{base_out}/data")
+                .select("doc_id").collect()}
+    out_ids = {r["doc_id"] for r in data.select("doc_id").collect()}
+    assert out_ids == base_ids and out_ids
