@@ -312,6 +312,31 @@ def q_anchor_text_topk(spark, sf):
             .select("dst_host", "rank", "anchor", "n"))
 
 
+def q_zonal_stats(spark, sf):
+    # zonal statistics — the classic raster/vector analytics rollup as a
+    # composition: cell-indexed PIP join (broadcast build side) feeding a
+    # per-zone aggregate of a point payload (n_chars), all map-side
+    # combinable after the join. One query = join family × agg family.
+    pts = _points(spark, sf).join(
+        _docs(spark, sf).select("doc_id", "n_chars"), "doc_id")
+    j = sj.pip_join(pts, _rects(spark, sf), z=6, strategy="broadcast")
+    return j.groupBy("poly_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
+
+
+def q_wkt_quantized(spark, sf):
+    # WKT export on the 1e-7 integer lattice — exact strings on both
+    # engines (float WKT would hinge on cross-engine double formatting);
+    # points and the even-keyed rect rings, one projection, no shuffle
+    pts = minted.minted_points_q(spark, sf)
+    wkt = F.concat(F.lit("POINT ("), F.col("qx").cast("string"),
+                   F.lit(" "), F.col("qy").cast("string"), F.lit(")"))
+    return pts.select("doc_id", wkt.alias("wkt"))
+
+
 MLT_SEED_DOC = 40
 
 
@@ -2010,6 +2035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
         "mlt_topk": q_mlt_topk,
+        "zonal_stats": q_zonal_stats,
+        "wkt_quantized": q_wkt_quantized,
         "radius_join_pairs": q_radius_join_pairs,
         "simplify_vw": q_simplify_vw,
         "geohash6": q_geohash6,
@@ -2954,6 +2981,23 @@ def _knn_label_vote_sql() -> str:
                                            ORDER BY votes DESC, lang) AS rn
                  FROM votes)
         SELECT query_id, lang AS pred_lang, votes FROM best WHERE rn = 1"""
+
+
+def _zonal_stats_sql() -> str:
+    """Oracle for q_zonal_stats: brute containment join + per-zone rollup
+    (independent of the cell index path)."""
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
+        r AS ({minted.SQL_MINTED_RECTS.strip()}),
+        j AS (SELECT r.poly_id, p.doc_id
+              FROM p, r
+              WHERE p.lon >= r.minx AND p.lon <= r.maxx
+                AND p.lat >= r.miny AND p.lat <= r.maxy)
+        SELECT j.poly_id, count(*) AS n_pts,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               min(j.doc_id) AS min_doc, max(j.doc_id) AS max_doc
+        FROM j JOIN documents d ON d.doc_id = j.doc_id
+        GROUP BY 1"""
 
 
 def _radius_join_sql(r: int = RADIUS_R) -> str:
@@ -3955,6 +3999,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),
         "mlt_topk": _mlt_topk_sql(),
+        "zonal_stats": _zonal_stats_sql(),
+        "wkt_quantized": f"""
+            SELECT doc_id, 'POINT (' || CAST(qx AS VARCHAR) || ' '
+                   || CAST(qy AS VARCHAR) || ')' AS wkt
+            FROM ({minted.SQL_MINTED_POINTS_Q.strip()})""",
         "radius_join_pairs": _radius_join_sql(),
         "simplify_vw": _simplify_vw_sql(),
         "geohash6": _geohash6_sql(),
