@@ -312,6 +312,54 @@ def q_anchor_text_topk(spark, sf):
             .select("dst_host", "rank", "anchor", "n"))
 
 
+def q_line_cover(spark, sf):
+    # line cover — the missing third of the cover family (points carry ONE
+    # cell, polygons explode a bbox cover): every walk-line segment
+    # explodes to its conservative cell-bbox cover
+    # (spatial_join.line_cover_cells, two staged explodes, no shuffle),
+    # then a per-line rollup. Packed cell = cx*1000+cy (no neighbor
+    # arithmetic on the packed key; cy < 31 here).
+    cov = sj.line_cover_cells(minted.minted_walk_lines_q(spark, sf, k=9))
+    packed = F.col("cx") * 1000 + F.col("cy")
+    return cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(packed).alias("n_cells"),
+        F.min(packed).alias("cell_min"),
+        F.max(packed).alias("cell_max"))
+
+
+def _line_cover_sql(k: int = 9, cell: int = None) -> str:
+    """Oracle for q_line_cover: the segment bbox covers unrolled per fixed
+    segment index, expanded by staged generate_series unnests."""
+    if cell is None:
+        cell = sj.LINE_CELL
+    xs, ys = minted.sql_minted_walk_coords(k)
+    cols = ",\n               ".join(
+        [f"{e} AS x{i}" for i, e in enumerate(xs)]
+        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
+    seg_rows = "\n          UNION ALL ".join(
+        f"""SELECT doc_id, {j + 1} AS seg,
+                   least(x{j}, x{j + 1}) // {cell} AS gx1,
+                   greatest(x{j}, x{j + 1}) // {cell} AS gx2,
+                   least(y{j}, y{j + 1}) // {cell} AS gy1,
+                   greatest(y{j}, y{j + 1}) // {cell} AS gy2 FROM wl"""
+        for j in range(k - 1))
+    return f"""
+        WITH wl AS (SELECT doc_id, {cols} FROM documents),
+        seg AS ({seg_rows}),
+        ex AS (SELECT doc_id, seg, unnest(generate_series(gx1, gx2)) AS cx,
+                      gy1, gy2
+               FROM seg),
+        cells AS (SELECT doc_id, seg, cx,
+                         unnest(generate_series(gy1, gy2)) AS cy
+                  FROM ex)
+        SELECT doc_id, count(*) AS n_rows,
+               count(DISTINCT cx * 1000 + cy) AS n_cells,
+               min(cx * 1000 + cy) AS cell_min,
+               max(cx * 1000 + cy) AS cell_max
+        FROM cells GROUP BY 1"""
+
+
 def q_zonal_stats(spark, sf):
     # zonal statistics — the classic raster/vector analytics rollup as a
     # composition: cell-indexed PIP join (broadcast build side) feeding a
@@ -2037,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "zonal_stats": q_zonal_stats,
         "wkt_quantized": q_wkt_quantized,
+        "line_cover": q_line_cover,
         "radius_join_pairs": q_radius_join_pairs,
         "simplify_vw": q_simplify_vw,
         "geohash6": q_geohash6,
@@ -4000,6 +4049,7 @@ def oracle_sql() -> dict[str, str]:
         "host_mirrors": _host_mirrors_sql(),
         "mlt_topk": _mlt_topk_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "line_cover": _line_cover_sql(),
         "wkt_quantized": f"""
             SELECT doc_id, 'POINT (' || CAST(qx AS VARCHAR) || ' '
                    || CAST(qy AS VARCHAR) || ')' AS wkt

@@ -311,6 +311,58 @@ def pip_join_hex(points: DataFrame, polys: DataFrame, *, size_deg: float = 2.5,
     return joined.filter(refine).drop("hex")
 
 
+LINE_CELL = 56_250_000  # 5.625° in 1e-7 lattice units — the line-cover grid
+
+
+def line_cover_cells(lines_q: DataFrame, cell: int = LINE_CELL,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Conservative grid cover of quantized polylines — the line analog of
+    the polygon bbox-cover explode (points carry ONE cell, polygons
+    explode their bbox cover; this completes the family so lines can ride
+    the same cell equi-join). Each segment contributes the cells of its
+    bbox (a superset of the cells the segment truly crosses — the exact
+    refine after the join owns false positives, exactly like the polygon
+    path).
+
+    Input: (id_col, xs_q, ys_q) parallel non-negative bigint coordinate
+    arrays. Output: (id_col, seg, cx, cy), one row per (segment, cell),
+    duplicates across segments NOT collapsed (callers distinct() when
+    building an index key set). Pure expressions: two staged explodes —
+    segments, then the 2-D cell range (sequence × sequence) — no shuffle.
+    """
+    n = F.size("xs_q")
+    segs = lines_q.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("seg"),
+        F.col("xs_q"), F.col("ys_q"))
+
+    def coord(arr, i):
+        return F.element_at(F.col(arr), i.cast("int"))
+
+    i = F.col("seg")
+    x1, x2 = coord("xs_q", i), coord("xs_q", i + 1)
+    y1, y2 = coord("ys_q", i), coord("ys_q", i + 1)
+    # name the bbox corners first, then integer-divide by name: `div` on
+    # non-negative operands matches DuckDB `//` exactly (a double `/` +
+    # floor could round across a cell boundary)
+    b = (segs.select(id_col, "seg",
+                     F.least(x1, x2).alias("bx1"),
+                     F.greatest(x1, x2).alias("bx2"),
+                     F.least(y1, y2).alias("by1"),
+                     F.greatest(y1, y2).alias("by2"))
+         .select(id_col, "seg",
+                 F.expr(f"bx1 div {cell}").alias("gx1"),
+                 F.expr(f"bx2 div {cell}").alias("gx2"),
+                 F.expr(f"by1 div {cell}").alias("gy1"),
+                 F.expr(f"by2 div {cell}").alias("gy2")))
+    return (b.select(id_col, "seg",
+                     F.explode(F.sequence(F.col("gx1"), F.col("gx2")))
+                     .alias("cx"), "gy1", "gy2")
+            .select(id_col, "seg", "cx",
+                    F.explode(F.sequence(F.col("gy1"), F.col("gy2")))
+                    .alias("cy")))
+
+
 def radius_self_join(pts_q: DataFrame, r: int, id_col: str = "doc_id",
                      qx: str = "qx", qy: str = "qy") -> DataFrame:
     """All unordered point pairs within planar lattice distance r — the

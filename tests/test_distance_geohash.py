@@ -245,3 +245,59 @@ def test_vw_degenerate_inputs(spark):
     assert by_id[2] == (2, "0:0,1:1")
     with pytest.raises(ValueError):
         geom.sql_vw_simplify_q(["0"], ["0"], 10)
+
+
+# ---------------------------------------------------------------------------
+# line cover
+# ---------------------------------------------------------------------------
+
+def brute_line_cover(xs, ys, cell):
+    out = []
+    for j in range(len(xs) - 1):
+        gx1, gx2 = sorted((xs[j] // cell, xs[j + 1] // cell))
+        gy1, gy2 = sorted((ys[j] // cell, ys[j + 1] // cell))
+        for cx in range(gx1, gx2 + 1):
+            for cy in range(gy1, gy2 + 1):
+                out.append((j + 1, cx, cy))
+    return sorted(out)
+
+
+def test_line_cover_vs_brute_crafted(spark):
+    c = 100
+    lines = [
+        (1, [5, 250, 250, 5], [5, 310, 310, 7]),   # crossing + zero-length
+        (2, [50, 50], [10, 20]),                    # within one cell
+        (3, [99, 100], [199, 200]),                 # exact boundary touch
+    ]
+    df = spark.createDataFrame(lines, ["doc_id", "xs_q", "ys_q"])
+    got = {}
+    for r in sj.line_cover_cells(df, cell=c).collect():
+        got.setdefault(r["doc_id"], []).append((r["seg"], r["cx"], r["cy"]))
+    for i, xs, ys in lines:
+        assert sorted(got[i]) == brute_line_cover(xs, ys, c), i
+
+
+def test_line_cover_vs_brute_minted(spark):
+    wl = minted.minted_walk_lines_q(spark, SF, k=9)
+    rows = {r["doc_id"]: (r["xs_q"], r["ys_q"]) for r in wl.collect()}
+    got = {}
+    for r in sj.line_cover_cells(wl).collect():
+        got.setdefault(r["doc_id"], []).append((r["seg"], r["cx"], r["cy"]))
+    assert set(got) == set(rows)
+    for i, (xs, ys) in rows.items():
+        assert sorted(got[i]) == brute_line_cover(xs, ys, sj.LINE_CELL)
+
+
+def test_line_cover_superset_of_segment_cells(spark):
+    """Cover completeness: each segment's endpoint cells are in its cover
+    (the bbox cover is a superset of the true crossing set)."""
+    wl = minted.minted_walk_lines_q(spark, SF, k=9).limit(50)
+    cov = {}
+    for r in sj.line_cover_cells(wl).collect():
+        cov.setdefault((r["doc_id"], r["seg"]), set()).add((r["cx"], r["cy"]))
+    c = sj.LINE_CELL
+    for r in wl.collect():
+        xs, ys = r["xs_q"], r["ys_q"]
+        for j in range(len(xs) - 1):
+            for px, py in ((xs[j], ys[j]), (xs[j + 1], ys[j + 1])):
+                assert (px // c, py // c) in cov[(r["doc_id"], j + 1)]

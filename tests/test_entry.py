@@ -104,7 +104,7 @@ def test_driver_window_invariants():
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
-        "zonal_stats", "wkt_quantized",
+        "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
         "bm25_topk", "inverted_postings", "hits_hosts",
         "bloom_join_prune", "quadkey_z8", "geom_area_centroid",
