@@ -478,6 +478,193 @@ def q_knn_label_vote(spark, sf):
             .select("query_id", F.col("lang").alias("pred_lang"), "votes"))
 
 
+def q_gopher_quality_flags(spark, sf):
+    # Gopher document-quality rules (token count, mean token length,
+    # alpha-word fraction, stopword hits) + the combined gate — the
+    # paper-standard pretraining filter the simpler doc_quality columns
+    # don't cover. Zero-shuffle: every rule is a token-array lambda or a
+    # floored fixed-point ratio inside whole-stage codegen.
+    return TXT.gopher_columns(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "mean_token_len_x100", "alpha_frac_x10k",
+        "stop_hits", "gopher_pass")
+
+
+def q_top_ngram_frac(spark, sf):
+    # Gopher repetition rule: the fraction of a document's characters
+    # covered by occurrences of its most frequent word 2-gram. The modal
+    # gram comes from a sorted-array run-length fold (text.top_run_columns)
+    # — zero exchanges, unlike the explode→groupBy(doc, gram) formulation
+    # that shuffles one row per gram occurrence. Docs under 2 tokens have
+    # no 2-gram and no row.
+    d = _docs(spark, sf).filter(F.size(TXT.tokens(F.col("text"))) >= 2)
+    t = TXT.top_run_columns(d, "text", n=2)
+    frac = F.floor(
+        F.col("top_count").cast("double") * F.length("top_gram").cast("double")
+        * 10000.0 / F.length("text").cast("double")).cast("bigint")
+    return t.select("doc_id", "top_gram", "top_count",
+                    frac.alias("top_frac_x10k"))
+
+
+def q_pii_scrub(spark, sf):
+    # PII redaction with a byte witness: mint an email / a phone / both /
+    # neither onto each page text (deterministic md5 draws so the oracle
+    # re-mints identically), count matches, scrub, and hash the result.
+    # The md5 pair pins both the counts and the replacement bytes. Zero
+    # shuffles — regexp chains in codegen; at 100 TB this is a map-only
+    # pass fused into the corpus-clean scan.
+    p = pages.pages(spark, 2000)
+    h = F.md5(F.concat(F.lit("pii-"), F.col("page_id").cast("string")))
+    email = F.concat(F.substring(h, 1, 8), F.lit("@mail"),
+                     F.pmod(F.col("page_id"), F.lit(50)).cast("string"),
+                     F.lit(".example.com"))
+    phone = F.concat(
+        F.lit("+1-555-"),
+        F.lpad(F.pmod(F.conv(F.substring(h, 9, 4), 16, 10).cast("bigint"),
+                      F.lit(10000)).cast("string"), 4, "0"))
+    v = F.pmod(F.col("page_id"), F.lit(4))
+    messy = (F.when(v == 0, F.concat(F.col("text"), F.lit(" contact "), email))
+             .when(v == 1, F.concat(F.col("text"), F.lit(" call "), phone))
+             .when(v == 2, F.concat(F.col("text"), F.lit(" contact "), email,
+                                    F.lit(" or "), phone))
+             .otherwise(F.col("text")))
+    n_emails, n_phones = TXT.pii_counts(messy)
+    return p.select("page_id", v.cast("int").alias("variant"),
+                    n_emails.alias("n_emails"), n_phones.alias("n_phones"),
+                    F.md5(TXT.scrub_pii(messy)).alias("clean_md5"))
+
+
+ZIPF_DOCS_N = 2000
+ZIPF_DOC_TOKENS = 40
+ZIPF_U_MOD = 1 << 20
+
+
+def _zipf_docs(spark, n: int = ZIPF_DOCS_N, m: int = ZIPF_DOC_TOKENS):
+    """Minted heavy-tail corpus: token rank r = 2^20 // (u+1) with u a
+    portable-hash draw, so P(rank = r) ~ 1/r² — a Zipf-ish head (rank 1 is
+    ~half the corpus) plus a long rare tail. The real documents fixture has
+    a 31-word vocabulary where every token is corpus-frequent, which would
+    make a rare-token query vacuous. floor(2^20 / x) in doubles is exact:
+    the true quotient is ≥ 2^-20 from any integer unless it IS one."""
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.floor(F.lit(float(ZIPF_U_MOD)) / (
+                F.pmod(phash.hash60(F.concat(
+                    F.lit("z"), F.col("doc_id").cast("string"),
+                    F.lit("-"), i.cast("string"))), F.lit(ZIPF_U_MOD)) + 1
+            ).cast("double")).cast("bigint").cast("string")))
+    return ids.withColumn("text", F.array_join(toks, " "))
+
+
+def q_rare_token_ratio(spark, sf):
+    # corpus-rare-token quality signal over the minted Zipf corpus — the
+    # one quality rule that needs a corpus-wide pass (global token
+    # frequencies), exercising the heavy-hitter shuffle shape the per-doc
+    # Gopher rules never touch. See text.rare_token_ratio for the
+    # 100 TB plan notes.
+    return TXT.rare_token_ratio(_zipf_docs(spark), min_count=3).select(
+        "doc_id", "n_tokens_total", "n_rare", "rare_x10k")
+
+
+def _zipf_docs_cte(n: int = ZIPF_DOCS_N, m: int = ZIPF_DOC_TOKENS) -> str:
+    """DuckDB regeneration of _zipf_docs: zipf(doc_id, text)."""
+    u = phash.sql_hash60(
+        "'z' || CAST(t.id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
+    return f"""zipf AS (SELECT t.id AS doc_id,
+               array_to_string(list_transform(range(1, {m + 1}),
+                   i -> 'w' || CAST(CAST(floor({float(ZIPF_U_MOD)} /
+                        (({u}) % {ZIPF_U_MOD} + 1)) AS BIGINT) AS VARCHAR)),
+                   chr(32)) AS text
+        FROM range({n}) t(id))"""
+
+
+def _gopher_quality_sql() -> str:
+    """Oracle for q_gopher_quality_flags: the sql_gopher twins verbatim."""
+    gq = TXT.sql_gopher("text")
+    cols = ", ".join(f"{gq[c]} AS {c}" for c in
+                     ["n_tokens", "mean_token_len_x100", "alpha_frac_x10k",
+                      "stop_hits", "gopher_pass"])
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def _top_ngram_frac_sql() -> str:
+    """Oracle for q_top_ngram_frac. The fold's winner (longest equal run in
+    the ascending-sorted gram array, strictly-greater displacement) equals
+    (max count, lexicographically smallest gram among the argmax) — which
+    IS expressible relationally: max(c) then min(gram) at that count."""
+    return """
+        WITH toks AS (SELECT doc_id, text,
+                             string_split(text, chr(32)) AS ws
+                      FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || chr(32) || ws[i + 1])) AS gram
+              FROM toks WHERE len(ws) >= 2),
+        per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(c) AS mc FROM per GROUP BY 1),
+        sel AS (SELECT per.doc_id, min(per.gram) AS top_gram, mx.mc
+                FROM per JOIN mx ON per.doc_id = mx.doc_id AND per.c = mx.mc
+                GROUP BY per.doc_id, mx.mc)
+        SELECT sel.doc_id, sel.top_gram, CAST(sel.mc AS BIGINT) AS top_count,
+               CAST(floor(CAST(sel.mc AS DOUBLE)
+                    * CAST(length(sel.top_gram) AS DOUBLE) * 10000.0
+                    / CAST(length(t.text) AS DOUBLE)) AS BIGINT)
+                   AS top_frac_x10k
+        FROM sel JOIN toks t ON sel.doc_id = t.doc_id"""
+
+
+def _pii_scrub_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_pii_scrub: same mint, same regexes ('g' flag — Spark's
+    regexp_replace is global by default)."""
+    ne, np_ = TXT.sql_pii_counts("messy")
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        m AS (SELECT id, CAST(id % 4 AS INT) AS variant,
+                     md5('pii-' || CAST(id AS VARCHAR)) AS ph, text
+              FROM txt),
+        m2 AS (SELECT id, variant,
+                      substr(ph, 1, 8) || '@mail' || CAST(id % 50 AS VARCHAR)
+                          || '.example.com' AS email,
+                      '+1-555-' || lpad(CAST(CAST(('0x' || substr(ph, 9, 4))
+                          AS BIGINT) % 10000 AS VARCHAR), 4, '0') AS phone,
+                      text
+               FROM m),
+        msy AS (SELECT id, variant,
+                       CASE variant
+                         WHEN 0 THEN text || ' contact ' || email
+                         WHEN 1 THEN text || ' call ' || phone
+                         WHEN 2 THEN text || ' contact ' || email
+                                     || ' or ' || phone
+                         ELSE text END AS messy
+                FROM m2)
+        SELECT id AS page_id, variant, {ne} AS n_emails, {np_} AS n_phones,
+               md5({TXT.sql_scrub_pii('messy')}) AS clean_md5
+        FROM msy"""
+
+
+def _rare_token_ratio_sql(min_count: int = 3) -> str:
+    """Oracle for q_rare_token_ratio: zipf mint + the same two-level
+    aggregation; sums CAST to BIGINT before the fixed-point division so
+    DuckDB's HUGEINT sum matches Spark's int64."""
+    return f"""
+        WITH {_zipf_docs_cte()},
+        tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS tok
+                FROM zipf),
+        per AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
+        freq AS (SELECT tok, sum(m) AS n_corpus FROM per GROUP BY 1),
+        sel AS (SELECT per.doc_id,
+                       CAST(sum(per.m) AS BIGINT) AS total,
+                       CAST(sum(CASE WHEN f.n_corpus < {min_count}
+                                THEN per.m ELSE 0 END) AS BIGINT) AS rare
+                FROM per JOIN freq f USING (tok)
+                GROUP BY 1)
+        SELECT doc_id, total AS n_tokens_total, rare AS n_rare,
+               CAST(floor(rare * 10000.0 / total) AS BIGINT) AS rare_x10k
+        FROM sel"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2079,6 +2266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1+r2); every one is covered by the local 91-query sweep.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "top_ngram_frac": q_top_ngram_frac,
+        "pii_scrub": q_pii_scrub,
+        "rare_token_ratio": q_rare_token_ratio,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4044,6 +4235,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "gopher_quality_flags": _gopher_quality_sql(),
+        "top_ngram_frac": _top_ngram_frac_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "rare_token_ratio": _rare_token_ratio_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -280,3 +280,179 @@ def normalize_text(col: Column) -> Column:
     trim. Shared by the text_normalize query and its byte-recovery test."""
     return F.trim(F.regexp_replace(
         F.regexp_replace(col, r"[\x00-\x1f\x7f]", " "), " +", " "))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1 — public paper), kept
+# integer-exact so the DuckDB twins hash-match: every ratio is a floored
+# fixed-point of exact ints, every bound an integer constant.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_LEN_LO_X100 = 300   # mean token length in [3, 10] chars
+GOPHER_MEAN_LEN_HI_X100 = 1000
+GOPHER_MIN_ALPHA_X10K = 8000    # ≥80% of tokens contain a letter
+GOPHER_MIN_STOP_HITS = 2        # ≥2 English stopword hits
+
+
+def gopher_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher document-quality rule columns + the combined pass flag.
+
+    Zero-shuffle: token-array lambdas (filter/size) and floored fixed-point
+    ratios, all inside whole-stage codegen — at 100 TB this runs map-side in
+    the same scan as the rest of the quality gate, no exchange anywhere."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    n = F.size(ws).cast("bigint")
+    mean_x100 = F.floor(
+        (F.length(t) - n + 1).cast("double") / n.cast("double") * 100.0
+    ).cast("bigint")
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    alpha_x10k = F.when(
+        n > 0, F.floor(alpha.cast("double") * 10000.0 / n.cast("double"))
+    ).otherwise(F.lit(0)).cast("bigint")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("bigint")
+    gopher_pass = (
+        (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+        & (mean_x100 >= GOPHER_MEAN_LEN_LO_X100)
+        & (mean_x100 <= GOPHER_MEAN_LEN_HI_X100)
+        & (alpha_x10k >= GOPHER_MIN_ALPHA_X10K)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_token_len_x100", mean_x100)
+        .withColumn("alpha_frac_x10k", alpha_x10k)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("gopher_pass", gopher_pass.cast("int"))
+    )
+
+
+def sql_gopher(text: str = "text") -> dict[str, str]:
+    """DuckDB twins of gopher_columns (list_filter mirrors F.filter)."""
+    ws = f"string_split({text}, chr(32))"
+    n = f"CAST(len({ws}) AS BIGINT)"
+    mean = (f"CAST(floor((length({text}) - {n} + 1) * 1.0 / {n} * 100.0)"
+            f" AS BIGINT)")
+    alpha = (f"CAST(len(list_filter({ws},"
+             f" _w -> regexp_matches(_w, '[A-Za-z]'))) AS BIGINT)")
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    stop = (f"CAST(len(list_filter({ws},"
+            f" _w -> list_contains({sw}, _w))) AS BIGINT)")
+    alpha_x10k = (f"CASE WHEN {n} > 0 THEN CAST(floor({alpha} * 10000.0 / {n})"
+                  f" AS BIGINT) ELSE 0 END")
+    gpass = (
+        f"CAST(({n} >= {GOPHER_MIN_TOKENS} AND {n} <= {GOPHER_MAX_TOKENS}"
+        f" AND {mean} >= {GOPHER_MEAN_LEN_LO_X100}"
+        f" AND {mean} <= {GOPHER_MEAN_LEN_HI_X100}"
+        f" AND {alpha_x10k} >= {GOPHER_MIN_ALPHA_X10K}"
+        f" AND {stop} >= {GOPHER_MIN_STOP_HITS}) AS INT)")
+    return {
+        "n_tokens": n,
+        "mean_token_len_x100": mean,
+        "alpha_frac_x10k": alpha_x10k,
+        "stop_hits": stop,
+        "gopher_pass": gpass,
+    }
+
+
+def top_run_columns(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Most-frequent word n-gram per document — the Gopher top-n-gram
+    repetition signal — WITHOUT a (doc, gram) shuffle.
+
+    Sort the gram array, then one aggregate() fold finds the longest equal
+    run (= the modal gram; ties resolve to the lexicographically smallest,
+    because a strictly-greater run is required to displace the incumbent and
+    the array is ascending). Zero exchanges: at 100 TB the alternative
+    explode→groupBy(doc, gram) shuffles one row per gram occurrence — this
+    stays map-side in codegen. Docs with fewer than n tokens keep
+    top_count = 0 and top_gram = '' (callers filter)."""
+    g = F.array_sort(word_ngrams(F.col(text_col), n))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("best_gram"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    res = F.aggregate(g, init, step)
+    return (
+        df.withColumn("top_gram", res["best_gram"])
+        .withColumn("top_count", res["best"].cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regexes restricted to the Java-regex / RE2 common subset
+# (character classes + bounded counts only; no lookaround, no backrefs, no
+# ambiguous greediness) so Spark regexp_replace and the DuckDB twins agree
+# byte-for-byte.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phones (emails first: the email pattern can
+    contain '+digits-' in its local part, the phone pattern can't contain
+    '@'). Two codegen'd regexp_replace passes, zero-shuffle."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("bigint"),
+            F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("bigint"))
+
+
+def sql_scrub_pii(t: str) -> str:
+    """DuckDB twin of scrub_pii ('g' flag: Spark replaces all by default)."""
+    return (f"regexp_replace(regexp_replace({t}, '{PII_EMAIL_RE}', "
+            f"'<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g')")
+
+
+def sql_pii_counts(t: str) -> tuple[str, str]:
+    """DuckDB twins of pii_counts via regexp_extract_all."""
+    return (f"CAST(len(regexp_extract_all({t}, '{PII_EMAIL_RE}')) AS BIGINT)",
+            f"CAST(len(regexp_extract_all({t}, '{PII_PHONE_RE}')) AS BIGINT)")
+
+
+def rare_token_ratio(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 3) -> DataFrame:
+    """Per-document fraction of tokens that are corpus-rare (global
+    frequency < min_count) — the 'gibberish detector' quality signal that
+    needs a corpus-wide pass, unlike the per-doc Gopher rules.
+
+    Shape for 100 TB: (1) per-(doc, token) counts — ONE shuffle with
+    map-side combine, which collapses heavy hitters (the Zipf head is half
+    the corpus) to one row per doc before anything global; (2) token totals
+    re-aggregate those counts — the second shuffle moves only distinct
+    (doc, token) pairs; (3) join totals back on token (the totals side is
+    |vocab| rows — broadcast at any realistic vocabulary, AQE decides) and
+    (4) fold to one row per doc. No explode survives past stage 1."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count("*").alias("m"))
+    freq = per.groupBy("tok").agg(F.sum("m").alias("n_corpus"))
+    rare = F.when(F.col("n_corpus") < min_count, F.col("m")).otherwise(F.lit(0))
+    return (
+        per.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(F.sum("m").cast("bigint").alias("n_tokens_total"),
+             F.sum(rare).cast("bigint").alias("n_rare"))
+        .withColumn(
+            "rare_x10k",
+            F.floor(F.col("n_rare").cast("double") * 10000.0
+                    / F.col("n_tokens_total").cast("double")).cast("bigint"))
+    )
