@@ -665,6 +665,120 @@ def _rare_token_ratio_sql(min_count: int = 3) -> str:
         FROM sel"""
 
 
+def q_triangle_hosts(spark, sf):
+    # exact triangle census + global clustering coefficient of the host
+    # link graph — the cohesion measure pagerank/HITS (importance) don't
+    # give. Degree-ordered compact-forward orientation bounds the wedge
+    # join; see graph.triangle_stats for the 10^8-host plan notes.
+    from geobuf_spark.operators import graph
+    ed = _page_link_edges(spark, 2000).select(
+        "src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
+    return graph.triangle_stats(ed, "src_host", "dst_host")
+
+
+def q_kmv_setops(spark, sf):
+    # mergeable-sketch set algebra: union / intersection / Jaccard of two
+    # source-cohorts' shingle sets from their KMV sketches alone — two
+    # corpora compare through 2k hashes (k=64), never a shingle join.
+    d = _docs(spark, sf)
+    a_src = [f"src{i}" for i in range(5)]
+    b_src = [f"src{i}" for i in range(5, 10)]
+
+    def shingles(srcs):
+        return (d.filter(F.col("source").isin(srcs))
+                .select(F.explode(TXT.word_ngrams(F.col("text"), 3)).alias("g")))
+
+    return sketch.kmv_set_ops(shingles(a_src), shingles(b_src), "g", k=64)
+
+
+def q_funnel_conversion(spark, sf):
+    # ordered event-funnel attribution per user: first 'view', first
+    # 'click' strictly after it, first 'purchase' strictly after that.
+    # Three stacked unordered window-mins over ONE user_id partitioning
+    # (a single exchange; the final groupBy reuses it) — no per-user
+    # event-list collection, no self-joins. -1 sentinels keep the epoch
+    # columns non-null for the driver hash.
+    from pyspark.sql import Window
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    d = d.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+    d = d.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
+    g = d.groupBy("user_id").agg(F.min("t1").alias("t1"),
+                                 F.min("t2").alias("t2"),
+                                 F.min("t3").alias("t3"))
+
+    def ep(c):
+        return F.coalesce(F.unix_timestamp(F.col(c)), F.lit(-1)).cast("bigint")
+
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1).otherwise(0))
+    return g.select("user_id", ep("t1").alias("view_ep"),
+                    ep("t2").alias("click_ep"),
+                    ep("t3").alias("purchase_ep"),
+                    stage.cast("int").alias("funnel_stage"))
+
+
+def _triangle_hosts_sql() -> str:
+    """Oracle for q_triangle_hosts: regenerated link edges mapped to host
+    pairs, then the brute u<v<w three-way join (graph.sql_triangle_stats)."""
+    from geobuf_spark.operators import graph
+    cte = (_links_cte() + f""",
+        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
+               FROM e)""")
+    return graph.sql_triangle_stats(cte, "src", "dst")
+
+
+def _kmv_setops_sql(k: int = 64) -> str:
+    """Oracle for q_kmv_setops: same shingle construction per cohort, same
+    sketch algebra (operators/sketch.sql_kmv_set_ops)."""
+    def coh(srcs):
+        inlist = ", ".join(f"'{s}'" for s in srcs)
+        return f"""(SELECT unnest(CASE WHEN len(ws) >= 3 THEN
+                        list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || chr(32) || ws[i + 1]
+                                 || chr(32) || ws[i + 2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+                    FROM (SELECT string_split(text, chr(32)) AS ws
+                          FROM documents WHERE source IN ({inlist})))"""
+    a = coh([f"src{i}" for i in range(5)])
+    b = coh([f"src{i}" for i in range(5, 10)])
+    return sketch.sql_kmv_set_ops(a, b, "g", k=k)
+
+
+def _funnel_conversion_sql() -> str:
+    """Oracle for q_funnel_conversion: the sequential mins as chained
+    CTEs (each stage's min is conditional on the previous stage's ts, so
+    NULL stages propagate exactly like Spark's when() skipping)."""
+    return """
+        WITH f1 AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                    FROM events GROUP BY 1),
+        f2 AS (SELECT e.user_id,
+                      min(CASE WHEN e.event_type = 'click'
+                               AND e.ts > f1.t1 THEN e.ts END) AS t2
+               FROM events e JOIN f1 USING (user_id) GROUP BY 1),
+        f3 AS (SELECT e.user_id,
+                      min(CASE WHEN e.event_type = 'purchase'
+                               AND e.ts > f2.t2 THEN e.ts END) AS t3
+               FROM events e JOIN f2 USING (user_id) GROUP BY 1)
+        SELECT f1.user_id,
+               coalesce(CAST(floor(epoch(f1.t1)) AS BIGINT), -1) AS view_ep,
+               coalesce(CAST(floor(epoch(f2.t2)) AS BIGINT), -1) AS click_ep,
+               coalesce(CAST(floor(epoch(f3.t3)) AS BIGINT), -1) AS purchase_ep,
+               CASE WHEN f3.t3 IS NOT NULL THEN 3
+                    WHEN f2.t2 IS NOT NULL THEN 2
+                    WHEN f1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM f1 JOIN f2 USING (user_id) JOIN f3 USING (user_id)"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2270,6 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_frac": q_top_ngram_frac,
         "pii_scrub": q_pii_scrub,
         "rare_token_ratio": q_rare_token_ratio,
+        "triangle_hosts": q_triangle_hosts,
+        "kmv_setops": q_kmv_setops,
+        "funnel_conversion": q_funnel_conversion,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4239,6 +4356,9 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram_frac": _top_ngram_frac_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "rare_token_ratio": _rare_token_ratio_sql(),
+        "triangle_hosts": _triangle_hosts_sql(),
+        "kmv_setops": _kmv_setops_sql(),
+        "funnel_conversion": _funnel_conversion_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -179,3 +179,85 @@ def sql_hits_int(edges_cte: str, iters: int = 2) -> str:
             + f"""
         SELECT h.host, h.s AS hub_ppm, a.s AS auth_ppm
         FROM {hub_prev} h JOIN {auth_prev} a ON a.host = h.host""")
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census of the undirected simple host graph — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_cc_x10k).
+
+    Shape for 10^8-host graphs: edges canonicalize to u<v and dedup (ONE
+    distinct shuffle); each edge is then ORIENTED from its lower-(degree,
+    node) endpoint to the higher — the compact-forward orientation, which
+    bounds every out-neighborhood by O(sqrt(m)), so the wedge self-join
+    materializes Σ outdeg² pairs instead of Σ deg² (a star-shaped hub
+    generates ZERO wedges as a tail: its edges all point INTO it). Wedges
+    close against the oriented edge list with a second equi-join. The
+    wedge COUNT (denominator of the clustering coefficient) never joins at
+    all — it's Σ d(d-1)/2 off the degree table. Degree tables are
+    node-sized; AQE broadcasts them when they fit.
+
+    global_cc_x10k = floor(3·T·10000 / W) — exact ints into one IEEE
+    division, bit-identical across engines."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    e = (und
+         .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+         .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+         .alias("rb"))
+    w1 = o.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    w2 = o.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = w1.join(w2, "a").filter(F.col("rx") < F.col("ry"))
+    tri = (wedges.join(o.select(F.col("a").alias("x"), F.col("b").alias("y")),
+                       ["x", "y"])
+           .agg(F.count("*").alias("n_triangles")))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"))
+    return stats.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+               F.floor(F.col("n_triangles").cast("double") * 3.0 * 10000.0
+                       / F.col("n_wedges").cast("double")))
+         .otherwise(F.lit(0)).cast("bigint").alias("global_cc_x10k"))
+
+
+def sql_triangle_stats(edges_cte: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of triangle_stats over a WITH clause ending in
+    ed({src}, {dst}). The brute u<v<w three-way join counts each triangle
+    exactly once — no orientation needed at oracle scale."""
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least({src}, {dst}) AS u,
+                                greatest({src}, {dst}) AS v
+                FROM ed WHERE {src} <> {dst}),
+        deg AS (SELECT n, count(*) AS d
+                FROM (SELECT u AS n FROM und
+                      UNION ALL SELECT v AS n FROM und)
+                GROUP BY 1),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM und e1
+                JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                      CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+               FROM deg)
+        SELECT n_nodes, n_edges, n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN CAST(floor(CAST(n_triangles AS DOUBLE) * 3.0 * 10000.0
+                              / CAST(n_wedges AS DOUBLE)) AS BIGINT)
+                    ELSE 0 END AS global_cc_x10k
+        FROM st, tri"""

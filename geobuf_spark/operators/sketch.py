@@ -344,3 +344,94 @@ def sql_hll_cte(source_sql: str, value_expr: str, b: int = 6,
                          + ({m} - count(*)) * {1 << RHO_SHIFT}::BIGINT))
                        AS BIGINT) AS est_raw
             FROM {p}hllreg)"""
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra — union / intersection / Jaccard from two sketches
+# ---------------------------------------------------------------------------
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, k: int = 64,
+                hash_fn: str = "portable") -> DataFrame:
+    """Set-cardinality algebra on two KMV sketches — the MERGEABLE-sketch
+    property that matters at scale: each side reduces to its k smallest
+    distinct hashes (per-partition combine, then a TakeOrdered of k rows —
+    no full sort), and every estimate below works on those ≤2k rows. Two
+    100 TB corpora compare through 2k numbers.
+
+    union: the k smallest of the merged hash sets is exactly the KMV
+    sketch of A ∪ B → the usual (k−1)·2^60 / h_(k) estimate (exact count
+    when the merge holds < k hashes). intersection: among the merged
+    top-k, the fraction also present in BOTH sketches estimates Jaccard
+    (Beyer et al. 2007); est_intersect = floor(c · est_union / k_eff).
+
+    Output (one row): a_n_kmv, a_est, b_n_kmv, b_est, n_common,
+    union_est, inter_est, jaccard_x10k.
+    """
+    if not 2 <= k <= 64:
+        raise ValueError(f"k must be in [2, 64], got {k}")
+
+    def sk(df):
+        return (df.select(_hash60(F.col(value_col), "kmv", hash_fn).alias("h"))
+                .distinct().orderBy("h").limit(k))
+
+    ha, hb = sk(a), sk(b)
+    merged = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+
+    def est(n, kth):
+        return F.when(n < k, n).otherwise(
+            F.floor(F.lit(float((k - 1) * _H60_MAX)) / kth)).cast("bigint")
+
+    sa = ha.agg(F.count("*").alias("a_n_kmv"), F.max("h").alias("a_kth"))
+    sb = hb.agg(F.count("*").alias("b_n_kmv"), F.max("h").alias("b_kth"))
+    sm = merged.agg(F.count("*").alias("k_eff"), F.max("h").alias("m_kth"))
+    sc = (ha.join(hb, "h").join(merged, "h", "left_semi")
+          .agg(F.count("*").alias("n_common")))
+    r = sa.crossJoin(sb).crossJoin(sm).crossJoin(sc)
+    union_est = est(F.col("k_eff"), F.col("m_kth"))
+    return r.select(
+        "a_n_kmv", est(F.col("a_n_kmv"), F.col("a_kth")).alias("a_est"),
+        "b_n_kmv", est(F.col("b_n_kmv"), F.col("b_kth")).alias("b_est"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        union_est.alias("union_est"),
+        F.floor(F.col("n_common").cast("double") * union_est.cast("double")
+                / F.col("k_eff").cast("double")).cast("bigint")
+            .alias("inter_est"),
+        F.floor(F.col("n_common").cast("double") * 10000.0
+                / F.col("k_eff").cast("double")).cast("bigint")
+            .alias("jaccard_x10k"))
+
+
+def sql_kmv_set_ops(a_sql: str, b_sql: str, value_expr: str, k: int = 64) -> str:
+    """DuckDB twin of kmv_set_ops (portable hash path). a_sql/b_sql are
+    FROM-able fragments; value_expr is evaluated against each."""
+    h = phash.sql_hash60_parts("'kmv'", value_expr)
+    big = f"{float((k - 1) * _H60_MAX)!r}"
+
+    def est(n, kth):
+        return (f"CAST(CASE WHEN {n} < {k} THEN {n}"
+                f" ELSE FLOOR({big} / {kth}) END AS BIGINT)")
+
+    return f"""
+        WITH ska AS (SELECT DISTINCT {h} AS h FROM {a_sql} ORDER BY h LIMIT {k}),
+        skb AS (SELECT DISTINCT {h} AS h FROM {b_sql} ORDER BY h LIMIT {k}),
+        mrg AS (SELECT DISTINCT h FROM (SELECT h FROM ska
+                                        UNION ALL SELECT h FROM skb)
+                ORDER BY h LIMIT {k}),
+        sa AS (SELECT count(*) AS a_n_kmv, max(h) AS a_kth FROM ska),
+        sb AS (SELECT count(*) AS b_n_kmv, max(h) AS b_kth FROM skb),
+        sm AS (SELECT count(*) AS k_eff, max(h) AS m_kth FROM mrg),
+        sc AS (SELECT count(*) AS n_common
+               FROM ska JOIN skb USING (h)
+               WHERE h IN (SELECT h FROM mrg))
+        SELECT CAST(a_n_kmv AS BIGINT) AS a_n_kmv,
+               {est('a_n_kmv', 'a_kth')} AS a_est,
+               CAST(b_n_kmv AS BIGINT) AS b_n_kmv,
+               {est('b_n_kmv', 'b_kth')} AS b_est,
+               CAST(n_common AS BIGINT) AS n_common,
+               {est('k_eff', 'm_kth')} AS union_est,
+               CAST(FLOOR(CAST(n_common AS DOUBLE)
+                    * CAST({est('k_eff', 'm_kth')} AS DOUBLE)
+                    / CAST(k_eff AS DOUBLE)) AS BIGINT) AS inter_est,
+               CAST(FLOOR(CAST(n_common AS DOUBLE) * 10000.0
+                    / CAST(k_eff AS DOUBLE)) AS BIGINT) AS jaccard_x10k
+        FROM sa, sb, sm, sc"""

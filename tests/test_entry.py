@@ -104,7 +104,8 @@ def test_driver_window_invariants():
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
         "gopher_quality_flags", "top_ngram_frac", "pii_scrub",
-        "rare_token_ratio",
+        "rare_token_ratio", "triangle_hosts", "kmv_setops",
+        "funnel_conversion",
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
         "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
