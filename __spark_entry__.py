@@ -779,6 +779,184 @@ def _funnel_conversion_sql() -> str:
         FROM f1 JOIN f2 USING (user_id) JOIN f3 USING (user_id)"""
 
 
+AREAL_CELL = 50_000_000          # 5° planar grid for areal interpolation
+AREAL_SHIFT_X = 1_800_000_000    # lattice shift to non-negative (div == //)
+AREAL_SHIFT_Y = 900_000_000
+
+
+def q_areal_interp(spark, sf):
+    # areal interpolation: proportional allocation of each rectangle onto
+    # the planar grid — per (rect, cell) EXACT integer overlap area and
+    # ppm weight. The redistribution step zonal_stats (zone → rollup)
+    # doesn't give: this goes the other way (zone measure → raster).
+    # One staged 2-D explode, no shuffle (spatial_join.rect_cell_weights).
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    cx, cy, hw, hh = minted._part_draws()
+    r = part.select(
+        F.col("p_partkey").alias("poly_id"),
+        (cx - hw + AREAL_SHIFT_X).alias("x1"),
+        (cy - hh + AREAL_SHIFT_Y).alias("y1"),
+        (cx + hw + AREAL_SHIFT_X).alias("x2"),
+        (cy + hh + AREAL_SHIFT_Y).alias("y2"))
+    return sj.rect_cell_weights(r, AREAL_CELL)
+
+
+def q_quadtree_assign(spark, sf):
+    # quadtree fit-level assignment (the XZ-ordering write path of a
+    # spatial index — GeoMesa/Sedona publish this shape): the deepest
+    # zoom z ≤ 8 at which the whole rectangle lands in ONE tile, plus
+    # that tile. Containment is monotone in z, so z_fit is a SUM of
+    # per-level agreement indicators on the z=8 corner tiles — pure
+    # integer arithmetic, zero shuffles.
+    r = _rects(spark, sf)
+    xa, xb = tiles.tile_x(F.col("minx"), 8), tiles.tile_x(F.col("maxx"), 8)
+    ya, yb = tiles.tile_y(F.col("maxy"), 8), tiles.tile_y(F.col("miny"), 8)
+    d = r.select("poly_id", xa.alias("xa"), xb.alias("xb"),
+                 ya.alias("ya"), yb.alias("yb"))
+    agree = [
+        ((F.floor(F.col("xa") / (1 << (8 - z))) == F.floor(F.col("xb") / (1 << (8 - z))))
+         & (F.floor(F.col("ya") / (1 << (8 - z))) == F.floor(F.col("yb") / (1 << (8 - z)))))
+        .cast("bigint")
+        for z in range(1, 9)
+    ]
+    d = d.withColumn("z_fit", sum(agree[1:], agree[0]))
+    pw = F.pow(F.lit(2.0), (F.lit(8) - F.col("z_fit")).cast("double"))
+    return d.select(
+        "poly_id", "z_fit",
+        F.floor(F.col("xa").cast("double") / pw).cast("bigint").alias("qx"),
+        F.floor(F.col("ya").cast("double") / pw).cast("bigint").alias("qy"))
+
+
+def q_traj_steps(spark, sf):
+    # per-user trajectory measures: events get deterministic minted
+    # lattice positions, ordered by (ts, event_id); squared step lengths,
+    # the max step, and net displacement — all exact int64 (planar sqrt
+    # would be cross-engine float). ONE user_id exchange: the lag and the
+    # first/last-value windows share the partitioning, the rollup reuses
+    # it.
+    from pyspark.sql import Window
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = d.select(
+        "user_id",
+        (F.col("px") - F.lag("px").over(w)).alias("dx"),
+        (F.col("py") - F.lag("py").over(w)).alias("dy"),
+        F.first("px").over(wf).alias("fx"), F.first("py").over(wf).alias("fy"),
+        F.last("px").over(wf).alias("lx"), F.last("py").over(wf).alias("ly"))
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    net = ((F.col("lx") - F.col("fx")) * (F.col("lx") - F.col("fx"))
+           + (F.col("ly") - F.col("fy")) * (F.col("ly") - F.col("fy")))
+    return (d.select("user_id", d2.alias("d2"), net.alias("net"))
+            .groupBy("user_id")
+            .agg(F.count("d2").alias("n_steps"),
+                 F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint")
+                     .alias("sum_step_d2"),
+                 F.coalesce(F.max("d2"), F.lit(0)).cast("bigint")
+                     .alias("max_step_d2"),
+                 F.min("net").cast("bigint").alias("net_d2")))
+
+
+def _areal_interp_sql() -> str:
+    """Oracle for q_areal_interp: same shifted lattice boxes, same staged
+    generate_series cover, same least/greatest overlap arithmetic."""
+    c = AREAL_CELL
+    return f"""
+        WITH r AS (SELECT p_partkey AS poly_id,
+                          {minted._CX} - {minted._HW} + {AREAL_SHIFT_X} AS x1,
+                          {minted._CY} - {minted._HH} + {AREAL_SHIFT_Y} AS y1,
+                          {minted._CX} + {minted._HW} + {AREAL_SHIFT_X} AS x2,
+                          {minted._CY} + {minted._HH} + {AREAL_SHIFT_Y} AS y2
+                   FROM part),
+        g AS (SELECT *, x1 // {c} AS gx1, (x2 - 1) // {c} AS gx2,
+                     y1 // {c} AS gy1, (y2 - 1) // {c} AS gy2
+              FROM r),
+        ex AS (SELECT poly_id, x1, y1, x2, y2, gy1, gy2,
+                      unnest(generate_series(gx1, gx2)) AS cx
+               FROM g),
+        cov AS (SELECT poly_id, x1, y1, x2, y2, cx,
+                       unnest(generate_series(gy1, gy2)) AS cy
+                FROM ex)
+        SELECT poly_id, cx, cy,
+               (least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
+               * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
+                   AS overlap_area,
+               CAST(floor(CAST((least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
+                    * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
+                    AS DOUBLE) * 1000000.0
+                    / CAST((x2 - x1) * (y2 - y1) AS DOUBLE)) AS BIGINT)
+                   AS weight_ppm
+        FROM cov"""
+
+
+def _quadtree_assign_sql() -> str:
+    """Oracle for q_quadtree_assign: corner tiles at z=8 (literal
+    boundary-count tile_y), per-level agreement sum, power-of-two floor
+    divisions (exact in doubles)."""
+    rects = minted.SQL_MINTED_RECTS.strip()
+    xa, xb = tiles.sql_tile_x("minx", 8), tiles.sql_tile_x("maxx", 8)
+    ya, yb = tiles.sql_tile_y("maxy", 8), tiles.sql_tile_y("miny", 8)
+    agree = " + ".join(
+        f"(CASE WHEN xa // {1 << (8 - z)} = xb // {1 << (8 - z)}"
+        f" AND ya // {1 << (8 - z)} = yb // {1 << (8 - z)}"
+        f" THEN 1 ELSE 0 END)"
+        for z in range(1, 9))
+    return f"""
+        WITH r AS ({rects}),
+        t AS (SELECT poly_id, {xa} AS xa, {xb} AS xb, {ya} AS ya, {yb} AS yb
+              FROM r),
+        zf AS (SELECT poly_id, xa, ya, CAST({agree} AS BIGINT) AS z_fit
+               FROM t)
+        SELECT poly_id, z_fit,
+               CAST(floor(CAST(xa AS DOUBLE)
+                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qx,
+               CAST(floor(CAST(ya AS DOUBLE)
+                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qy
+        FROM zf"""
+
+
+def _traj_steps_sql() -> str:
+    """Oracle for q_traj_steps: same minted positions, same (ts, event_id)
+    window order, lag/first/last twins."""
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {pos('tx')} AS px, {pos('ty')} AS py
+                   FROM events),
+        d AS (SELECT user_id,
+                     px - lag(px) OVER w AS dx,
+                     py - lag(py) OVER w AS dy,
+                     first_value(px) OVER wf AS fx,
+                     first_value(py) OVER wf AS fy,
+                     last_value(px) OVER wf AS lx,
+                     last_value(py) OVER wf AS ly
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING))
+        SELECT user_id,
+               count(dx * dx + dy * dy) AS n_steps,
+               CAST(coalesce(sum(dx * dx + dy * dy), 0) AS BIGINT)
+                   AS sum_step_d2,
+               CAST(coalesce(max(dx * dx + dy * dy), 0) AS BIGINT)
+                   AS max_step_d2,
+               CAST(min((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy))
+                    AS BIGINT) AS net_d2
+        FROM d GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2387,6 +2565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_hosts": q_triangle_hosts,
         "kmv_setops": q_kmv_setops,
         "funnel_conversion": q_funnel_conversion,
+        "areal_interp": q_areal_interp,
+        "quadtree_assign": q_quadtree_assign,
+        "traj_steps": q_traj_steps,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4359,6 +4540,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_hosts": _triangle_hosts_sql(),
         "kmv_setops": _kmv_setops_sql(),
         "funnel_conversion": _funnel_conversion_sql(),
+        "areal_interp": _areal_interp_sql(),
+        "quadtree_assign": _quadtree_assign_sql(),
+        "traj_steps": _traj_steps_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

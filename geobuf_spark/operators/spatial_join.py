@@ -408,3 +408,39 @@ def radius_self_join(pts_q: DataFrame, r: int, id_col: str = "doc_id",
             .withColumn("dist2", d2)
             .filter(F.col("dist2") <= F.lit(r * r))
             .select("id_a", "id_b", "dist2"))
+
+
+def rect_cell_weights(rects_q: DataFrame, cell: int,
+                      id_col: str = "poly_id") -> DataFrame:
+    """Areal interpolation weights: for each rectangle, its planar-grid
+    cover with the EXACT integer overlap area per cell and the ppm weight
+    (overlap/rect area) — the classic proportional-allocation step that
+    redistributes a zone-level measure onto a raster grid.
+
+    Input: (id_col, x1, y1, x2, y2) non-negative half-open lattice boxes
+    (x2 > x1, y2 > y1). Output: (id_col, cx, cy, overlap_area,
+    weight_ppm). One staged 2-D explode (no shuffle): cells x1//cell ..
+    (x2-1)//cell per axis; overlap widths are least/greatest int
+    arithmetic, areas int64 (lattice boxes are < 2^31 per side), and the
+    ppm ratio is one IEEE floor division — bit-identical in the oracle.
+    `div` on non-negative operands matches DuckDB `//` exactly."""
+    g = rects_q.select(
+        id_col, "x1", "y1", "x2", "y2",
+        F.expr(f"x1 div {cell}").alias("gx1"),
+        F.expr(f"(x2 - 1) div {cell}").alias("gx2"),
+        F.expr(f"y1 div {cell}").alias("gy1"),
+        F.expr(f"(y2 - 1) div {cell}").alias("gy2"))
+    cov = (g.select(id_col, "x1", "y1", "x2", "y2", "gy1", "gy2",
+                    F.explode(F.sequence(F.col("gx1"), F.col("gx2"))).alias("cx"))
+           .select(id_col, "x1", "y1", "x2", "y2", "cx",
+                   F.explode(F.sequence(F.col("gy1"), F.col("gy2"))).alias("cy")))
+    w = (F.least(F.col("x2"), (F.col("cx") + 1) * cell)
+         - F.greatest(F.col("x1"), F.col("cx") * cell))
+    h = (F.least(F.col("y2"), (F.col("cy") + 1) * cell)
+         - F.greatest(F.col("y1"), F.col("cy") * cell))
+    area = (w * h).alias("overlap_area")
+    rect_area = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    return cov.select(
+        id_col, "cx", "cy", area,
+        F.floor((w * h).cast("double") * 1000000.0
+                / rect_area.cast("double")).cast("bigint").alias("weight_ppm"))
