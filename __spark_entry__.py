@@ -790,15 +790,7 @@ def q_areal_interp(spark, sf):
     # ppm weight. The redistribution step zonal_stats (zone → rollup)
     # doesn't give: this goes the other way (zone measure → raster).
     # One staged 2-D explode, no shuffle (spatial_join.rect_cell_weights).
-    part = spark.read.parquet(f"{sf}/part.parquet")
-    cx, cy, hw, hh = minted._part_draws()
-    r = part.select(
-        F.col("p_partkey").alias("poly_id"),
-        (cx - hw + AREAL_SHIFT_X).alias("x1"),
-        (cy - hh + AREAL_SHIFT_Y).alias("y1"),
-        (cx + hw + AREAL_SHIFT_X).alias("x2"),
-        (cy + hh + AREAL_SHIFT_Y).alias("y2"))
-    return sj.rect_cell_weights(r, AREAL_CELL)
+    return sj.rect_cell_weights(_shifted_rects(spark, sf), AREAL_CELL)
 
 
 def q_quadtree_assign(spark, sf):
@@ -871,12 +863,7 @@ def _areal_interp_sql() -> str:
     generate_series cover, same least/greatest overlap arithmetic."""
     c = AREAL_CELL
     return f"""
-        WITH r AS (SELECT p_partkey AS poly_id,
-                          {minted._CX} - {minted._HW} + {AREAL_SHIFT_X} AS x1,
-                          {minted._CY} - {minted._HH} + {AREAL_SHIFT_Y} AS y1,
-                          {minted._CX} + {minted._HW} + {AREAL_SHIFT_X} AS x2,
-                          {minted._CY} + {minted._HH} + {AREAL_SHIFT_Y} AS y2
-                   FROM part),
+        WITH {_shifted_rects_cte()},
         g AS (SELECT *, x1 // {c} AS gx1, (x2 - 1) // {c} AS gx2,
                      y1 // {c} AS gy1, (y2 - 1) // {c} AS gy2
               FROM r),
@@ -955,6 +942,121 @@ def _traj_steps_sql() -> str:
                CAST(min((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy))
                     AS BIGINT) AS net_d2
         FROM d GROUP BY 1"""
+
+
+def _shifted_rects(spark, sf):
+    """Minted rects as non-negative half-open lattice boxes (shared by
+    areal_interp and adaptive_cover)."""
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    cx, cy, hw, hh = minted._part_draws()
+    return part.select(
+        F.col("p_partkey").alias("poly_id"),
+        (cx - hw + AREAL_SHIFT_X).alias("x1"),
+        (cy - hh + AREAL_SHIFT_Y).alias("y1"),
+        (cx + hw + AREAL_SHIFT_X).alias("x2"),
+        (cy + hh + AREAL_SHIFT_Y).alias("y2"))
+
+
+def _shifted_rects_cte() -> str:
+    return f"""r AS (SELECT p_partkey AS poly_id,
+                {minted._CX} - {minted._HW} + {AREAL_SHIFT_X} AS x1,
+                {minted._CY} - {minted._HH} + {AREAL_SHIFT_Y} AS y1,
+                {minted._CX} + {minted._HW} + {AREAL_SHIFT_X} AS x2,
+                {minted._CY} + {minted._HH} + {AREAL_SHIFT_Y} AS y2
+         FROM part)"""
+
+
+def q_adaptive_cover(spark, sf):
+    # S2-RegionCoverer-style adaptive covering: mixed-level cells, coarse
+    # where fully inside, refined along the boundary — the normalized
+    # covering a spatial index builds query ranges from; work per region
+    # is O(perimeter / leaf_cell), not O(area). The fixed-z tile covers
+    # (tile_cover_rects_z7, line_cover) are the degenerate single-level
+    # case. Pure generator expressions, no shuffle.
+    return tiling.adaptive_cover(_shifted_rects(spark, sf), z_min=4, z_max=8)
+
+
+HEAT_T_REF = 1_760_000_000  # epoch ref above every minted warc_ts
+HEAT_Z = 6
+
+
+def q_tile_heat_decay(spark, sf):
+    # temporal-decay heatmap: per-tile Σ 2^(-age_bucket) over the pages'
+    # minted geometry — the freshness-weighted density a crawl scheduler
+    # reads. Dyadic weights (powers of two) make the float sum EXACT, so
+    # the cross-engine twin matches bit-for-bit where e^-λt never would.
+    # One shuffle (the tile rollup).
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    bucket = F.least(
+        F.expr(f"({HEAT_T_REF} - unix_timestamp(warc_ts)) div 86400 div 30"),
+        F.lit(10)).cast("double")
+    w = F.pow(F.lit(2.0), -bucket)
+    d = p.select(
+        tiles.tile_x(F.col("lon"), HEAT_Z).alias("x"),
+        tiles.tile_y(F.col("lat"), HEAT_Z).alias("y"),
+        w.alias("w"))
+    return (d.groupBy("x", "y")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("w").alias("heat")))
+
+
+def q_cocitation_pairs(spark, sf):
+    # co-citation similarity: host pairs endorsed by ≥2 common linking
+    # hosts — the bipartite projection that finds "related domains". The
+    # projection is quadratic per linker, so production caps linker
+    # out-fanout (the fixture's max is 3 — the cap is the contract,
+    # like the LSH bucket caps); distinct edges first so multi-links
+    # don't inflate the overlap.
+    e = (_page_link_edges(spark, 2000)
+         .select("src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
+         .filter(F.col("src_host") != F.col("dst_host"))
+         .distinct())
+    a = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("host_a"))
+    b = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("host_b"))
+    return (a.join(b, "s")
+            .filter(F.col("host_a") < F.col("host_b"))
+            .groupBy("host_a", "host_b")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= 2))
+
+
+def _adaptive_cover_sql() -> str:
+    """Oracle for q_adaptive_cover: the same per-level refinement unrolled
+    as chained CTEs (operators/tiling.sql_adaptive_cover)."""
+    return tiling.sql_adaptive_cover(_shifted_rects_cte(), z_min=4, z_max=8)
+
+
+def _tile_heat_decay_sql() -> str:
+    """Oracle for q_tile_heat_decay: same dyadic weights; sum of powers
+    of two is exact in IEEE doubles, so no tolerance is needed."""
+    x = tiles.sql_tile_x("lon", HEAT_Z)
+    y = tiles.sql_tile_y("lat", HEAT_Z)
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        {_pages_geo_cte()},
+        t AS (SELECT g.id, g.lon, g.lat, p.ts_epoch
+              FROM geo g JOIN txt p ON g.id = p.id),
+        w AS (SELECT {x} AS x, {y} AS y,
+                     power(2.0, -CAST(least(({HEAT_T_REF} - ts_epoch)
+                         // 86400 // 30, 10) AS DOUBLE)) AS w
+              FROM t)
+        SELECT x, y, count(*) AS n_pages, sum(w) AS heat
+        FROM w GROUP BY 1, 2"""
+
+
+def _cocitation_pairs_sql() -> str:
+    """Oracle for q_cocitation_pairs: regenerated edges, same distinct
+    projection + pair rollup."""
+    return f"""
+        WITH {_links_cte()},
+        ed AS (SELECT DISTINCT src_host AS s,
+                               {TXT.sql_url_host('dst')} AS h
+               FROM e
+               WHERE src_host <> {TXT.sql_url_host('dst')})
+        SELECT a.h AS host_a, b.h AS host_b, count(*) AS n_common
+        FROM ed a JOIN ed b ON a.s = b.s AND a.h < b.h
+        GROUP BY 1, 2
+        HAVING count(*) >= 2"""
 
 
 # ---------------------------------------------------------------------------
@@ -2568,6 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "quadtree_assign": q_quadtree_assign,
         "traj_steps": q_traj_steps,
+        "adaptive_cover": q_adaptive_cover,
+        "tile_heat_decay": q_tile_heat_decay,
+        "cocitation_pairs": q_cocitation_pairs,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4543,6 +4648,9 @@ def oracle_sql() -> dict[str, str]:
         "areal_interp": _areal_interp_sql(),
         "quadtree_assign": _quadtree_assign_sql(),
         "traj_steps": _traj_steps_sql(),
+        "adaptive_cover": _adaptive_cover_sql(),
+        "tile_heat_decay": _tile_heat_decay_sql(),
+        "cocitation_pairs": _cocitation_pairs_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

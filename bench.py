@@ -101,6 +101,10 @@ def bench_queries(spark):
         "html_extract_text", "url_host_topk", "dup_ngram_stats",
         "boilerplate_lines", "line_dedup_clean", "warc_index",
         "pagerank_hosts", "ngram_topk", "dup_span_frac",
+        # r4 extension families: quality filters, graph census, funnel,
+        # areal allocation, trajectories
+        "gopher_quality_flags", "top_ngram_frac", "rare_token_ratio",
+        "triangle_hosts", "funnel_conversion", "areal_interp", "traj_steps",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can

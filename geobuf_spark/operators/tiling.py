@@ -390,3 +390,135 @@ def split_clip_lines(lines: DataFrame, z: int) -> DataFrame:
         .withColumn("z", F.lit(z)) \
         .withColumnRenamed("tile_x", "x").withColumnRenamed("tile_y", "y")
     return clip_polylines(covered).drop("tminx", "tminy", "tmaxx", "tmaxy")
+
+
+def adaptive_cover(rects_q: DataFrame, z_min: int = 4, z_max: int = 8,
+                   span_bits: int = 32, id_col: str = "poly_id") -> DataFrame:
+    """S2-style ADAPTIVE region covering on the planar integer lattice:
+    mixed-level cells, coarse where the region fully contains them,
+    refined along the boundary — the normalized covering every spatial
+    index builds its query ranges from (S2 RegionCoverer parity; the
+    fixed-z tile cover is the degenerate z_min == z_max case).
+
+    Input: (id_col, x1, y1, x2, y2) non-negative half-open lattice boxes.
+    A level-z cell spans 2^(span_bits - z) lattice units. Per level:
+    cells FULLY inside the box emit (is_full=1) and stop; cells merely
+    intersecting refine into their 4 children; at z_max the boundary
+    cells emit with is_full=0. Output: (id_col, z, cx, cy, is_full).
+
+    Scale shape: the z_min seed is a bbox-cover explode; every deeper
+    level explodes exactly 4 children per surviving boundary cell, so
+    the work per region is O(perimeter / leaf_cell) — not O(area) — and
+    it's all generator expressions, NO shuffle and NO iteration-barrier:
+    the per-level frames are a lazy union the optimizer pipelines in one
+    stage. Cell coordinates are `div`s of non-negative ints, matching
+    the DuckDB oracle's `//` exactly."""
+    def cell_px(z):
+        return 1 << (span_bits - z)
+
+    def seed(z):
+        c = cell_px(z)
+        g = rects_q.select(
+            id_col, "x1", "y1", "x2", "y2",
+            F.expr(f"x1 div {c}").alias("gx1"),
+            F.expr(f"(x2 - 1) div {c}").alias("gx2"),
+            F.expr(f"y1 div {c}").alias("gy1"),
+            F.expr(f"(y2 - 1) div {c}").alias("gy2"))
+        return (g.select(id_col, "x1", "y1", "x2", "y2", "gy1", "gy2",
+                         F.explode(F.sequence(F.col("gx1"), F.col("gx2")))
+                         .alias("cx"))
+                .select(id_col, "x1", "y1", "x2", "y2", "cx",
+                        F.explode(F.sequence(F.col("gy1"), F.col("gy2")))
+                        .alias("cy")))
+
+    def full_pred(z):
+        c = cell_px(z)
+        return ((F.col("cx") * c >= F.col("x1"))
+                & ((F.col("cx") + 1) * c <= F.col("x2"))
+                & (F.col("cy") * c >= F.col("y1"))
+                & ((F.col("cy") + 1) * c <= F.col("y2")))
+
+    def intersect_pred(z):
+        c = cell_px(z)
+        return ((F.col("cx") * c < F.col("x2"))
+                & ((F.col("cx") + 1) * c > F.col("x1"))
+                & (F.col("cy") * c < F.col("y2"))
+                & ((F.col("cy") + 1) * c > F.col("y1")))
+
+    def emit(df, z, is_full):
+        return df.select(id_col, F.lit(z).alias("z"), "cx", "cy",
+                         F.lit(is_full).alias("is_full"))
+
+    lvl = seed(z_min)
+    out = []
+    for z in range(z_min, z_max + 1):
+        fp = full_pred(z)
+        out.append(emit(lvl.filter(fp), z, 1))
+        boundary = lvl.filter(~fp)
+        if z == z_max:
+            out.append(emit(boundary, z, 0))
+            break
+        # subdivide: 4 children each, keep those intersecting the box
+        kids = (boundary
+                .select(id_col, "x1", "y1", "x2", "y2",
+                        F.explode(F.array(
+                            *[F.struct(F.lit(dx).alias("dx"),
+                                       F.lit(dy).alias("dy"))
+                              for dx in (0, 1) for dy in (0, 1)])).alias("k"),
+                        "cx", "cy")
+                .select(id_col, "x1", "y1", "x2", "y2",
+                        (F.col("cx") * 2 + F.col("k.dx")).alias("cx"),
+                        (F.col("cy") * 2 + F.col("k.dy")).alias("cy")))
+        lvl = kids.filter(intersect_pred(z + 1))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def sql_adaptive_cover(rects_cte: str, z_min: int = 4, z_max: int = 8,
+                       span_bits: int = 32, id_col: str = "poly_id") -> str:
+    """DuckDB twin of adaptive_cover over a WITH body ending in
+    r({id_col}, x1, y1, x2, y2): the same per-level refinement unrolled
+    as chained CTEs."""
+    def cell_px(z):
+        return 1 << (span_bits - z)
+
+    def full(z):
+        c = cell_px(z)
+        return (f"cx * {c} >= x1 AND (cx + 1) * {c} <= x2"
+                f" AND cy * {c} >= y1 AND (cy + 1) * {c} <= y2")
+
+    def inter(z):
+        c = cell_px(z)
+        return (f"cx * {c} < x2 AND (cx + 1) * {c} > x1"
+                f" AND cy * {c} < y2 AND (cy + 1) * {c} > y1")
+
+    c0 = cell_px(z_min)
+    ctes = [f"""lvl{z_min} AS (
+        SELECT {id_col}, x1, y1, x2, y2, cx,
+               unnest(generate_series(y1 // {c0}, (y2 - 1) // {c0})) AS cy
+        FROM (SELECT {id_col}, x1, y1, x2, y2,
+                     unnest(generate_series(x1 // {c0}, (x2 - 1) // {c0})) AS cx
+              FROM r))"""]
+    emits = []
+    for z in range(z_min, z_max + 1):
+        emits.append(f"""SELECT {id_col}, {z} AS z, cx, cy, 1 AS is_full
+            FROM lvl{z} WHERE {full(z)}""")
+        if z == z_max:
+            emits.append(f"""SELECT {id_col}, {z} AS z, cx, cy, 0 AS is_full
+                FROM lvl{z} WHERE NOT ({full(z)})""")
+            break
+        ctes.append(f"""lvl{z + 1} AS (
+            SELECT * FROM (
+                SELECT {id_col}, x1, y1, x2, y2,
+                       cx * 2 + k.dx AS cx, cy * 2 + k.dy AS cy
+                FROM lvl{z},
+                     (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) k(dx, dy)
+                WHERE NOT ({full(z)}))
+            WHERE {inter(z + 1)})""")
+    body = "\n        UNION ALL ".join(emits)
+    return f"""
+        WITH {rects_cte},
+        {', '.join(ctes)}
+        {body}"""

@@ -106,7 +106,8 @@ def test_driver_window_invariants():
         "gopher_quality_flags", "top_ngram_frac", "pii_scrub",
         "rare_token_ratio", "triangle_hosts", "kmv_setops",
         "funnel_conversion", "areal_interp", "quadtree_assign",
-        "traj_steps",
+        "traj_steps", "adaptive_cover", "tile_heat_decay",
+        "cocitation_pairs",
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
         "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
