@@ -2647,17 +2647,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window: (a) the 18 queries whose code or oracle changed this
-    # round — every sql_tile_y oracle moved to the literal boundary-count
-    # form, tpch_q18's raw-sum filter, ann_ivf_top5's hash_fn plumbing,
-    # embed_near_dups' multiprobe rewrite, knn_adaptive's restructure —
-    # then (b) 32 of the r3 rotated-out tail, oldest driver greens first
-    # (the r01 cohort members squeezed out longest: multimodal_bytes,
-    # feature_meta, props_roundtrip, tpch_q4/q6/q10/q12/q14/q19,
-    # pip_join_hex, pip_join_general, asof_purchase_view — VERDICT r3 #3).
-    # Rotated out past 50: the full r3-window cohort (fresh CORRECTNESS_r03
-    # greens) + mint_points/running_total/rollup/pivot (double-green
-    # r1+r2); every one is covered by the local 91-query sweep.
+    # r4 window (final): the extension batches grew 55 never-rowed
+    # queries — more than the window holds — so the window is entirely
+    # rule (a): the 50 newest-registered never-rowed queries, newest
+    # batches first (they carry the least verification history, so a
+    # driver row is worth most there). The overflow five
+    # (pagerank_hosts/crawl_diff/html_extract_text/url_host_topk/
+    # dup_ngram_stats — earliest-registered, longest sweep-green) sit at
+    # positions 51-55 and lead the r5 window; the 18 changed-oracle r3
+    # queries that opened this round's window retain their r1-r3 rows and
+    # re-verified sweep-green after the change (test_entry pins the
+    # layout). Every rotated-out query is covered by the local
+    # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
         "gopher_quality_flags": q_gopher_quality_flags,

@@ -121,8 +121,14 @@ def test_driver_window_invariants():
         "dup_span_frac", "host_tile_footprint", "lang_tile_mix",
         "doc_len_percentiles",
         "latest_capture", "url_normalize", "link_host_graph",
-        "pagerank_hosts", "crawl_diff", "html_extract_text",
-        "url_host_topk", "dup_ngram_stats",
     ]
+    # the r4 extension grew 55 never-rowed queries — 5 more than the
+    # window holds. These five (earliest-registered, longest sweep-green
+    # history) queue for their first driver row in the NEXT window; they
+    # must sit immediately after position 50 so that rotation is
+    # mechanical. Every one is covered by the local full-contract sweep.
+    overflow = ["pagerank_hosts", "crawl_diff", "html_extract_text",
+                "url_host_topk", "dup_ngram_stats"]
     missing = [n for n in never_rowed if n not in window]
     assert not missing, missing
+    assert list(q)[50:55] == overflow
