@@ -1059,6 +1059,138 @@ def _cocitation_pairs_sql() -> str:
         HAVING count(*) >= 2"""
 
 
+SCD2_T0 = 1_750_000_000  # first snapshot epoch; one snapshot per day
+
+
+def q_scd2_history(spark, sf):
+    # SCD-2 history build from crawl snapshots — the warehouse shape of
+    # latest_capture/crawl_diff: three captures per url (every 5th page
+    # revises at snap 1, every 3rd at snap 2), consecutive duplicates
+    # dropped, validity intervals [valid_from, valid_to] + version +
+    # is_current per content version. ONE url exchange: the change-point
+    # lag, the interval lead, and the version row_number all share the
+    # (url, ts) sort.
+    from pyspark.sql import Window
+    p = pages.pages(spark, 2000).select("page_id", "url", "text")
+    snaps = []
+    for s in range(3):
+        nrev = (
+            (F.lit(1 if s >= 1 else 0)
+             * (F.pmod(F.col("page_id"), F.lit(5)) == 0).cast("int"))
+            + (F.lit(1 if s >= 2 else 0)
+               * (F.pmod(F.col("page_id"), F.lit(3)) == 0).cast("int")))
+        snaps.append(p.select(
+            "url", F.lit(SCD2_T0 + s * 86400).alias("ts"),
+            F.md5(F.concat(F.col("text"), F.lit("|"),
+                           nrev.cast("string"))).alias("content_md5")))
+    u = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    w = Window.partitionBy("url").orderBy("ts")
+    ch = (u.withColumn("prev", F.lag("content_md5").over(w))
+          .filter(F.col("prev").isNull()
+                  | (F.col("prev") != F.col("content_md5"))))
+    return ch.select(
+        "url", F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w) - 1, F.lit(-1)).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+        "content_md5")
+
+
+def q_geom_validity(spark, sf):
+    # exact geometric-validity gate over the closed walk rings: signed
+    # doubled area (winding), convexity, PROPER self-intersection count —
+    # the integer orientation-test primitives the clip/overlay passes rely
+    # on, surfaced as a per-feature quality column. Zero shuffles.
+    wl = minted.minted_walk_lines_q(spark, sf, k=9)
+    return geom.ring_validity_cols(wl, k=9).select(
+        "doc_id", "area2", "is_ccw", "is_convex", "n_self_x")
+
+
+def q_embed_quantize(spark, sf):
+    # int8 vector quantization (the vector-DB prep step): per-vector
+    # max-abs scale, floor-quantized components, summarised as exact
+    # integer witnesses (sum/min/max) + the scale. float32 → double is
+    # exact, so both engines quantize identically. Zero shuffles.
+    e = _emb(spark, sf)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x * 127.0 / maxabs).cast("bigint"))
+    return e.select(
+        "vec_id", maxabs.alias("maxabs"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b)
+            .alias("q_sum"),
+        F.array_min(q).alias("q_min"), F.array_max(q).alias("q_max"))
+
+
+def _scd2_history_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_scd2_history: same snapshot mint (cross join with a
+    3-row VALUES), same change-point filter and interval windows."""
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        snaps AS (SELECT url, {SCD2_T0} + s * 86400 AS ts,
+                         md5(text || '|' || CAST(
+                             (CASE WHEN s >= 1 AND id % 5 = 0 THEN 1 ELSE 0 END)
+                             + (CASE WHEN s >= 2 AND id % 3 = 0 THEN 1 ELSE 0 END)
+                             AS VARCHAR)) AS content_md5
+                  FROM txt, (VALUES (0), (1), (2)) v(s)),
+        ch AS (SELECT url, ts, content_md5 FROM (
+                   SELECT url, ts, content_md5,
+                          lag(content_md5) OVER (PARTITION BY url ORDER BY ts)
+                              AS prev
+                   FROM snaps)
+               WHERE prev IS NULL OR prev <> content_md5)
+        SELECT url, ts AS valid_from,
+               coalesce(lead(ts) OVER w - 1, -1) AS valid_to,
+               CAST(row_number() OVER w AS INT) AS version,
+               CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
+               content_md5
+        FROM ch
+        WINDOW w AS (PARTITION BY url ORDER BY ts)"""
+
+
+def _geom_validity_sql(k: int = 9) -> str:
+    """Oracle for q_geom_validity: walk coords named, local deltas via
+    least(), then the shared-index unrolled predicates
+    (geom.sql_ring_validity — ring_pair_indices is the SAME generator
+    both sides use)."""
+    xs, ys = minted.sql_minted_walk_coords(k)
+    cols = ",\n               ".join(
+        [f"{e} AS x{i}" for i, e in enumerate(xs)]
+        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
+    lx = "least(" + ", ".join(f"x{i}" for i in range(k)) + ")"
+    ly = "least(" + ", ".join(f"y{i}" for i in range(k)) + ")"
+    deltas = ", ".join(
+        [f"x{i} - lx AS vx{i}" for i in range(k)]
+        + [f"y{i} - ly AS vy{i}" for i in range(k)])
+    v = geom.sql_ring_validity(k)
+    return f"""
+        WITH wl AS (SELECT doc_id, {cols} FROM documents),
+        m AS (SELECT doc_id, *, {lx} AS lx, {ly} AS ly FROM wl),
+        dd AS (SELECT doc_id, {deltas} FROM m)
+        SELECT doc_id, {v['area2']} AS area2, {v['is_ccw']} AS is_ccw,
+               {v['is_convex']} AS is_convex, {v['n_self_x']} AS n_self_x
+        FROM dd"""
+
+
+def _embed_quantize_sql() -> str:
+    """Oracle for q_embed_quantize: DuckDB lambdas capture the outer
+    maxabs column; float32 → double casts keep both engines bit-equal."""
+    return """
+        WITH m AS (SELECT vec_id, embedding,
+                          list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                   FROM embeddings),
+        q AS (SELECT vec_id, maxabs,
+                     list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+                                   AS BIGINT)) AS qv
+              FROM m)
+        SELECT vec_id, maxabs,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min, list_max(qv) AS q_max
+        FROM q"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2647,14 +2779,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 55 never-rowed
+    # r4 window (final): the extension batches grew 58 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow five
-    # (pagerank_hosts/crawl_diff/html_extract_text/url_host_topk/
-    # dup_ngram_stats — earliest-registered, longest sweep-green) sit at
-    # positions 51-55 and lead the r5 window; the 18 changed-oracle r3
+    # driver row is worth most there). The overflow eight
+    # (latest_capture/url_normalize/link_host_graph/pagerank_hosts/
+    # crawl_diff/html_extract_text/url_host_topk/dup_ngram_stats —
+    # earliest-registered, longest sweep-green) sit at
+    # positions 51-58 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -2674,6 +2807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cover": q_adaptive_cover,
         "tile_heat_decay": q_tile_heat_decay,
         "cocitation_pairs": q_cocitation_pairs,
+        "scd2_history": q_scd2_history,
+        "geom_validity": q_geom_validity,
+        "embed_quantize": q_embed_quantize,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4652,6 +4788,9 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_cover": _adaptive_cover_sql(),
         "tile_heat_decay": _tile_heat_decay_sql(),
         "cocitation_pairs": _cocitation_pairs_sql(),
+        "scd2_history": _scd2_history_sql(),
+        "geom_validity": _geom_validity_sql(),
+        "embed_quantize": _embed_quantize_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -182,3 +182,102 @@ def sql_vw_simplify_q(xs: list[str], ys: list[str], area2_min: int) -> dict:
         for k, x, y in zip(keeps, xs, ys))
     return {"n_kept": f"CAST({n_kept} AS INT)",
             "xy_s": f"concat_ws(',', {frags})"}
+
+
+# --- ring validity: winding, convexity, self-intersection -------------------
+
+def ring_pair_indices(k: int) -> list:
+    """Non-adjacent segment pairs (p1, p2, q1, q2) of a closed k-ring —
+    the index generation SHARED by the Spark expressions and the SQL twin
+    so the two sides can't drift."""
+    out = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            if j == i + 1 or (i == 0 and j == k - 1):
+                continue
+            out.append((i, (i + 1) % k, j, (j + 1) % k))
+    return out
+
+
+def ring_validity_cols(df, k: int, xs: str = "xs_q", ys: str = "ys_q"):
+    """Exact geometric-validity predicates for the closed ring over the
+    k-vertex quantized polyline: signed doubled area (translated shoelace),
+    winding (is_ccw), convexity, and the PROPER self-intersection count —
+    the orientation-test primitives every clip/overlay pass relies on,
+    surfaced as a validity gate.
+
+    All integer arithmetic on local deltas (v − array_min): the fixture's
+    vertex spread is < 2e7, so each cross product stays < 4e14 and sign
+    COMPARISONS replace sign products (a product of two crosses would
+    overflow int64). Zero shuffles — one projection of unrolled terms.
+    """
+    mnx, mny = F.array_min(F.col(xs)), F.array_min(F.col(ys))
+    sel = list(df.columns)
+    named = [F.col(c) for c in df.columns]
+    for i in range(k):
+        named.append((F.element_at(F.col(xs), i + 1) - mnx).alias(f"_vx{i}"))
+        named.append((F.element_at(F.col(ys), i + 1) - mny).alias(f"_vy{i}"))
+    d = df.select(*named)
+    X = [F.col(f"_vx{i}") for i in range(k)]
+    Y = [F.col(f"_vy{i}") for i in range(k)]
+
+    def cr(a, b, c):
+        return ((X[b] - X[a]) * (Y[c] - Y[a])
+                - (Y[b] - Y[a]) * (X[c] - X[a]))
+
+    def opp(c1, c2):
+        return ((c1 > 0) & (c2 < 0)) | ((c1 < 0) & (c2 > 0))
+
+    area2 = None
+    for i in range(k):
+        j = (i + 1) % k
+        t = X[i] * Y[j] - X[j] * Y[i]
+        area2 = t if area2 is None else area2 + t
+    crosses = [cr(i, (i + 1) % k, (i + 2) % k) for i in range(k)]
+    all_nonneg = None
+    all_nonpos = None
+    for c in crosses:
+        nn, np_ = (c >= 0), (c <= 0)
+        all_nonneg = nn if all_nonneg is None else (all_nonneg & nn)
+        all_nonpos = np_ if all_nonpos is None else (all_nonpos & np_)
+    n_self = None
+    for p1, p2, q1, q2 in ring_pair_indices(k):
+        hit = (opp(cr(p1, p2, q1), cr(p1, p2, q2))
+               & opp(cr(q1, q2, p1), cr(q1, q2, p2))).cast("bigint")
+        n_self = hit if n_self is None else n_self + hit
+    return d.select(
+        *sel,
+        area2.cast("bigint").alias("area2"),
+        (area2 > 0).cast("int").alias("is_ccw"),
+        (all_nonneg | all_nonpos).cast("int").alias("is_convex"),
+        n_self.alias("n_self_x"))
+
+
+def sql_ring_validity(k: int) -> dict:
+    """DuckDB twins of ring_validity_cols over named delta columns
+    vx0..vx{k-1} / vy0..vy{k-1} (callers build those via least())."""
+    X = [f"vx{i}" for i in range(k)]
+    Y = [f"vy{i}" for i in range(k)]
+
+    def cr(a, b, c):
+        return (f"(({X[b]} - {X[a]}) * ({Y[c]} - {Y[a]})"
+                f" - ({Y[b]} - {Y[a]}) * ({X[c]} - {X[a]}))")
+
+    def opp(c1, c2):
+        return f"(({c1} > 0 AND {c2} < 0) OR ({c1} < 0 AND {c2} > 0))"
+
+    area2 = " + ".join(f"({X[i]} * {Y[(i + 1) % k]} - {X[(i + 1) % k]} * {Y[i]})"
+                       for i in range(k))
+    crosses = [cr(i, (i + 1) % k, (i + 2) % k) for i in range(k)]
+    convex = (f"(({' AND '.join(f'{c} >= 0' for c in crosses)})"
+              f" OR ({' AND '.join(f'{c} <= 0' for c in crosses)}))")
+    hits = " + ".join(
+        f"(CASE WHEN {opp(cr(p1, p2, q1), cr(p1, p2, q2))}"
+        f" AND {opp(cr(q1, q2, p1), cr(q1, q2, p2))} THEN 1 ELSE 0 END)"
+        for p1, p2, q1, q2 in ring_pair_indices(k))
+    return {
+        "area2": f"CAST({area2} AS BIGINT)",
+        "is_ccw": f"CAST(({area2}) > 0 AS INT)",
+        "is_convex": f"CAST({convex} AS INT)",
+        "n_self_x": f"CAST({hits} AS BIGINT)",
+    }
