@@ -1191,6 +1191,82 @@ def _embed_quantize_sql() -> str:
         FROM q"""
 
 
+def _overlay_boxes(spark, sf, salt: str, id_name: str,
+                   w_base: int, w_mod: int, w_step: int,
+                   h_base: int, h_mod: int, h_step: int):
+    """Overlay-layer mint: hash60-spread min corners over the whole
+    lattice plane (the minted_rects part layer is a dense 22°-wide stack
+    — right for PIP probe fixtures, degenerate for layer-vs-layer
+    overlay), deterministic per-key sizes. Non-negative half-open."""
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+
+    def h(axis, mod):
+        return F.pmod(phash.hash60(
+            F.concat(F.lit(salt + axis), k.cast("string"))), F.lit(mod))
+
+    w = F.lit(w_base) + F.pmod(k, F.lit(w_mod)) * w_step
+    hh = F.lit(h_base) + F.pmod(k, F.lit(h_mod)) * h_step
+    x1 = h("x", 3_000_000_000)
+    y1 = h("y", 1_300_000_000)
+    return part.select(k.alias(id_name), x1.alias("x1"), y1.alias("y1"),
+                       (x1 + 2 * w).alias("x2"), (y1 + 2 * hh).alias("y2"))
+
+
+def _overlay_boxes_cte(name: str, salt: str, id_name: str,
+                       w_base: int, w_mod: int, w_step: int,
+                       h_base: int, h_mod: int, h_step: int) -> str:
+    def h(axis, mod):
+        e = phash.sql_hash60(f"'{salt}{axis}' || CAST(p_partkey AS VARCHAR)")
+        return f"({e}) % {mod}"
+
+    w = f"({w_base} + (p_partkey % {w_mod}) * {w_step})"
+    hh = f"({h_base} + (p_partkey % {h_mod}) * {h_step})"
+    return f"""{name} AS (SELECT p_partkey AS {id_name},
+                {h('x', 3_000_000_000)} AS x1, {h('y', 1_300_000_000)} AS y1,
+                {h('x', 3_000_000_000)} + 2 * {w} AS x2,
+                {h('y', 1_300_000_000)} + 2 * {hh} AS y2
+         FROM part)"""
+
+
+_OVA = ("ova", "a_id", 10_000_000, 100, 1_000_000, 8_000_000, 80, 1_000_000)
+_OVB = ("ovb", "b_id", 1_000_000, 30, 200_000, 800_000, 25, 160_000)
+
+
+def q_rect_overlay_iou(spark, sf):
+    # two-layer overlay join with exact integer intersection areas + IoU
+    # (also the object-detection box-matching primitive). Cell-cover
+    # equi-join + REFERENCE-POINT dedup — a pair is kept only in the cell
+    # holding the intersection's min corner, so no distinct shuffle; see
+    # spatial_join.box_iou_join.
+    a = _overlay_boxes(spark, sf, *_OVA)
+    b = _overlay_boxes(spark, sf, *_OVB)
+    return sj.box_iou_join(a, b, AREAL_CELL)
+
+
+def _rect_overlay_iou_sql() -> str:
+    """Oracle for q_rect_overlay_iou: brute θ-join over both regenerated
+    layers (no cover, no dedup — the predicate alone), same exact-area
+    arithmetic."""
+    return f"""
+        WITH {_overlay_boxes_cte('r', *_OVA[0:1], 'a_id', *_OVA[2:])},
+        {_overlay_boxes_cte('rb', *_OVB[0:1], 'b_id', *_OVB[2:])},
+        p AS (SELECT r.a_id, rb.b_id,
+                     (least(r.x2, rb.x2) - greatest(r.x1, rb.x1))
+                     * (least(r.y2, rb.y2) - greatest(r.y1, rb.y1))
+                         AS inter_area,
+                     (r.x2 - r.x1) * (r.y2 - r.y1)
+                     + (rb.x2 - rb.x1) * (rb.y2 - rb.y1) AS sum_area
+              FROM r JOIN rb
+                ON r.x1 < rb.x2 AND rb.x1 < r.x2
+               AND r.y1 < rb.y2 AND rb.y1 < r.y2)
+        SELECT a_id, b_id, inter_area,
+               CAST(floor(CAST(inter_area AS DOUBLE) * 1000000.0
+                    / CAST(sum_area - inter_area AS DOUBLE)) AS BIGINT)
+                   AS iou_ppm
+        FROM p"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2810,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "geom_validity": q_geom_validity,
         "embed_quantize": q_embed_quantize,
+        "rect_overlay_iou": q_rect_overlay_iou,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4791,6 +4868,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _scd2_history_sql(),
         "geom_validity": _geom_validity_sql(),
         "embed_quantize": _embed_quantize_sql(),
+        "rect_overlay_iou": _rect_overlay_iou_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -108,7 +108,7 @@ def test_driver_window_invariants():
         "funnel_conversion", "areal_interp", "quadtree_assign",
         "traj_steps", "adaptive_cover", "tile_heat_decay",
         "cocitation_pairs", "scd2_history", "geom_validity",
-        "embed_quantize",
+        "embed_quantize", "rect_overlay_iou",
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
         "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
@@ -120,16 +120,16 @@ def test_driver_window_invariants():
         "warc_index", "sample_stratified", "ngram_topk",
         "host_quality_rollup", "text_normalize", "paragraph_owner",
         "dup_span_frac", "host_tile_footprint", "lang_tile_mix",
-        "doc_len_percentiles",
     ]
-    # the r4 extension grew 58 never-rowed queries — 8 more than the
-    # window holds. These eight (earliest-registered, longest sweep-green
+    # the r4 extension grew 59 never-rowed queries — 9 more than the
+    # window holds. These nine (earliest-registered, longest sweep-green
     # history) queue for their first driver row in the NEXT window; they
     # must sit immediately after position 50 so that rotation is
     # mechanical. Every one is covered by the local full-contract sweep.
-    overflow = ["latest_capture", "url_normalize", "link_host_graph",
+    overflow = ["doc_len_percentiles",
+                "latest_capture", "url_normalize", "link_host_graph",
                 "pagerank_hosts", "crawl_diff", "html_extract_text",
                 "url_host_topk", "dup_ngram_stats"]
     missing = [n for n in never_rowed if n not in window]
     assert not missing, missing
-    assert list(q)[50:58] == overflow
+    assert list(q)[50:59] == overflow

@@ -94,3 +94,47 @@ def test_traj_steps_vs_python_brute(spark):
         assert out[u]["max_step_d2"] == (max(steps) if steps else 0)
         net = (pts[-1][2] - pts[0][2]) ** 2 + (pts[-1][3] - pts[0][3]) ** 2
         assert out[u]["net_d2"] == net
+
+
+def test_box_iou_join_reference_point_dedup(spark):
+    # pair spanning MANY shared cells (cell=100) must appear exactly once,
+    # with exact area and IoU
+    a = spark.createDataFrame([(1, 0, 0, 450, 350)],
+                              ["a_id", "x1", "y1", "x2", "y2"])
+    b = spark.createDataFrame([(7, 50, 50, 500, 400), (8, 460, 0, 470, 10)],
+                              ["b_id", "x1", "y1", "x2", "y2"])
+    out = sj.box_iou_join(a, b, cell=100).collect()
+    assert len(out) == 1  # (1, 8) disjoint; (1, 7) deduped to one row
+    r = out[0]
+    inter = (450 - 50) * (350 - 50)
+    union = 450 * 350 + 450 * 350 - inter
+    assert (r["a_id"], r["b_id"], r["inter_area"]) == (1, 7, inter)
+    assert r["iou_ppm"] == int(inter * 1000000.0 / union)
+    # plan: the cell equi-join is the only join, and there is no distinct
+    plan = sj.box_iou_join(a, b, cell=100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Deduplicate" not in plan and "HashAggregate" not in plan
+
+
+def test_box_iou_join_vs_brute_random(spark):
+    import random
+    rng = random.Random(7)
+    A = [(i, *(lambda x, y, w, h: (x, y, x + w, y + h))(
+        rng.randrange(1000), rng.randrange(1000),
+        1 + rng.randrange(300), 1 + rng.randrange(300))) for i in range(40)]
+    B = [(j, *(lambda x, y, w, h: (x, y, x + w, y + h))(
+        rng.randrange(1000), rng.randrange(1000),
+        1 + rng.randrange(200), 1 + rng.randrange(200))) for j in range(40)]
+    da = spark.createDataFrame(A, ["a_id", "x1", "y1", "x2", "y2"])
+    db = spark.createDataFrame(B, ["b_id", "x1", "y1", "x2", "y2"])
+    got = {(r["a_id"], r["b_id"]): r["inter_area"]
+           for r in sj.box_iou_join(da, db, cell=128).collect()}
+    brute = {}
+    for ai, ax1, ay1, ax2, ay2 in A:
+        for bi, bx1, by1, bx2, by2 in B:
+            w = min(ax2, bx2) - max(ax1, bx1)
+            h = min(ay2, by2) - max(ay1, by1)
+            if w > 0 and h > 0:
+                brute[(ai, bi)] = w * h
+    assert got == brute and brute
