@@ -1267,6 +1267,152 @@ def _rect_overlay_iou_sql() -> str:
         FROM p"""
 
 
+def q_event_transitions(spark, sf):
+    # event-sequence mining (lite): the per-user Markov transition counts
+    # over event types, with each source type's outgoing share. One
+    # user_id exchange for the lag window; the (from, to) rollup and the
+    # per-from share window are narrow (|types|² keys).
+    from pyspark.sql import Window
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (e.select(F.lag("event_type").over(w).alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .filter(F.col("from_type").isNotNull()))
+    g = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return g.select(
+        "from_type", "to_type", "n",
+        F.expr("n * 1000000").cast("bigint").alias("_num"),
+        F.sum("n").over(wf).alias("_den")
+    ).select(
+        "from_type", "to_type", "n",
+        F.expr("_num div _den").alias("share_ppm"))
+
+
+def q_link_reciprocity(spark, sf):
+    # graph reciprocity: the share of directed host links whose reverse
+    # edge also exists — one row (n_edges, n_reciprocal,
+    # reciprocity_ppm). Distinct directed pairs, then a self-join on the
+    # swapped key; left_semi keeps it set-shaped.
+    e = (_page_link_edges(spark, 2000)
+         .select("src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
+         .filter(F.col("src_host") != F.col("dst_host"))
+         .distinct())
+    rev = e.select(F.col("dst_host").alias("src_host"),
+                   F.col("src_host").alias("dst_host"))
+    recip = e.join(rev, ["src_host", "dst_host"], "left_semi")
+    return (e.agg(F.count("*").alias("n_edges"))
+            .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+            .select("n_edges", "n_reciprocal",
+                    F.expr("n_reciprocal * 1000000 div n_edges")
+                    .alias("reciprocity_ppm")))
+
+
+def q_lang_diversity_simpson(spark, sf):
+    # per-source language diversity as the Simpson index, ppm fixed-point
+    # — entropy needs a cross-engine log (last-ulp risk), Simpson is pure
+    # integer: 1e6 − (Σ n_l²·1e6) div n². Two narrow aggregations.
+    d = _docs(spark, sf)
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("m"))
+    return (per.groupBy("source")
+            .agg(F.sum("m").alias("n_docs"),
+                 F.count("*").alias("n_langs"),
+                 F.sum(F.col("m") * F.col("m")).alias("_ss"))
+            .select("source", "n_docs", "n_langs",
+                    (F.lit(1_000_000)
+                     - F.expr("_ss * 1000000 div (n_docs * n_docs)"))
+                    .cast("bigint").alias("simpson_ppm")))
+
+
+def q_tile_gaps_anti(spark, sf):
+    # coverage-regression detection: tiles occupied by snapshot A but by
+    # nothing in snapshot B (crawl_diff's drop pattern) — the LEFT ANTI
+    # join shape on tile keys. Narrow: both sides reduce to distinct
+    # (x, y) before the anti join.
+    za = pages.with_minted_geometry(pages.pages(spark, 2000))
+    b_pages = pages.pages(spark, 2400).where(
+        F.pmod(F.col("page_id"), F.lit(17)) != 3)
+    zb = pages.with_minted_geometry(b_pages)
+
+    def tiles_of(p):
+        return p.select(tiles.tile_x(F.col("lon"), 7).alias("x"),
+                        tiles.tile_y(F.col("lat"), 7).alias("y")).distinct()
+
+    return (tiles_of(za).join(tiles_of(zb), ["x", "y"], "left_anti")
+            .select("x", "y"))
+
+
+def _event_transitions_sql() -> str:
+    """Oracle for q_event_transitions: same lag window and integer share."""
+    return """
+        WITH t AS (SELECT lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type,
+                       event_type AS to_type
+                   FROM events),
+        g AS (SELECT from_type, to_type, count(*) AS n
+              FROM t WHERE from_type IS NOT NULL
+              GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS share_ppm
+        FROM g"""
+
+
+def _link_reciprocity_sql() -> str:
+    """Oracle for q_link_reciprocity over the regenerated edges."""
+    return f"""
+        WITH {_links_cte()},
+        ed AS (SELECT DISTINCT src_host AS s, {TXT.sql_url_host('dst')} AS d
+               FROM e WHERE src_host <> {TXT.sql_url_host('dst')}),
+        r AS (SELECT count(*) AS n_reciprocal
+              FROM ed a WHERE EXISTS (SELECT 1 FROM ed b
+                                      WHERE b.s = a.d AND b.d = a.s)),
+        n AS (SELECT count(*) AS n_edges FROM ed)
+        SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+               CAST(n_reciprocal * 1000000 // n_edges AS BIGINT)
+                   AS reciprocity_ppm
+        FROM n, r"""
+
+
+def _lang_diversity_sql() -> str:
+    """Oracle for q_lang_diversity_simpson (integer Simpson, `//` twin)."""
+    return """
+        WITH per AS (SELECT source, lang, count(*) AS m
+                     FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(m) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(1000000 - CAST(sum(m * m) AS BIGINT) * 1000000
+                    // (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT))
+                    AS BIGINT) AS simpson_ppm
+        FROM per GROUP BY 1"""
+
+
+def _tile_gaps_anti_sql() -> str:
+    """Oracle for q_tile_gaps_anti: both snapshots' distinct z7 tiles,
+    EXCEPT (DuckDB's anti-join on full rows)."""
+    x7, y7 = tiles.sql_tile_x("lon", 7), tiles.sql_tile_y("lat", 7)
+    # regenerate snapshot A (n=2000) and B (n=2400 minus every 17th);
+    # b_geo repeats _pages_geo_cte's md5(url) mint against the b_ prefix
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        {_pages_geo_cte()},
+        at AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM geo),
+        {_pages_cte(2400, 42, prefix="b_")},
+        b_geo AS (SELECT id, url,
+                         (CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                          % 3600000000 - 1800000000) / 1e7 AS lon,
+                         (CAST(('0x' || substr(md5(url), 9, 8)) AS BIGINT)
+                          % 1700000000 - 850000000) / 1e7 AS lat
+                  FROM b_txt WHERE id % 17 <> 3),
+        bt AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM b_geo)
+        SELECT x, y FROM at
+        EXCEPT
+        SELECT x, y FROM bt"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2855,15 +3001,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 58 never-rowed
+    # r4 window (final): the extension batches grew 63 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow eight
-    # (latest_capture/url_normalize/link_host_graph/pagerank_hosts/
-    # crawl_diff/html_extract_text/url_host_topk/dup_ngram_stats —
-    # earliest-registered, longest sweep-green) sit at
-    # positions 51-58 and lead the r5 window; the 18 changed-oracle r3
+    # driver row is worth most there). The overflow thirteen
+    # (paragraph_owner through dup_ngram_stats — earliest-registered,
+    # longest sweep-green; test_entry pins the exact list) sit at
+    # positions 51-63 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -2887,6 +3032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_validity": q_geom_validity,
         "embed_quantize": q_embed_quantize,
         "rect_overlay_iou": q_rect_overlay_iou,
+        "event_transitions": q_event_transitions,
+        "link_reciprocity": q_link_reciprocity,
+        "lang_diversity_simpson": q_lang_diversity_simpson,
+        "tile_gaps_anti": q_tile_gaps_anti,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -4869,6 +5018,10 @@ def oracle_sql() -> dict[str, str]:
         "geom_validity": _geom_validity_sql(),
         "embed_quantize": _embed_quantize_sql(),
         "rect_overlay_iou": _rect_overlay_iou_sql(),
+        "event_transitions": _event_transitions_sql(),
+        "link_reciprocity": _link_reciprocity_sql(),
+        "lang_diversity_simpson": _lang_diversity_sql(),
+        "tile_gaps_anti": _tile_gaps_anti_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),
