@@ -1413,6 +1413,138 @@ def _tile_gaps_anti_sql() -> str:
         SELECT x, y FROM bt"""
 
 
+CRAWL_W_RANK = 2        # priority-score policy weights — arbitrary but
+CRAWL_W_FRESH = 1000    # deterministic constants, documented as policy
+
+
+def q_host_crawl_priority(spark, sf):
+    # the crawl-scheduler decision query: fuse host authority (integer
+    # PageRank), host quality (integer token average), and freshness
+    # (latest-capture age bucket) into one deterministic priority score,
+    # top-25. Every signal is an existing oracled operator; the fusion is
+    # one host-keyed join (both sides host-sized → broadcast at scale)
+    # plus integer arithmetic. score = rank_ppm·2 + avg_tokens_x100 +
+    # (10 − age_bucket)·1000 — policy weights, not physics.
+    from geobuf_spark.operators import graph
+    e = _page_link_edges(spark, 2000).select(
+        F.col("src_host").alias("src"),
+        TXT.url_host(F.col("dst")).alias("dst"))
+    pr = graph.pagerank_int(e, iters=3)
+    p = pages.pages(spark, 2000)
+    q = TXT.quality_columns(p, "text")
+    hq = (q.groupBy(TXT.url_host(F.col("url")).alias("host"))
+          .agg(F.count("*").alias("n_pages"),
+               F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+               F.max(F.unix_timestamp("warc_ts")).alias("latest_ts")))
+    j = hq.join(pr, "host", "left").na.fill({"rank_ppm": 0})
+    age_bucket = F.least(
+        F.expr(f"({HEAT_T_REF} - latest_ts) div 86400 div 30"), F.lit(10))
+    score = (F.col("rank_ppm") * CRAWL_W_RANK
+             + F.expr("(sum_tokens * 100) div n_pages")
+             + (F.lit(10) - age_bucket) * CRAWL_W_FRESH)
+    return (j.select("host", "rank_ppm", "n_pages",
+                     score.cast("bigint").alias("priority_score"))
+            .orderBy(F.desc("priority_score"), F.asc("host")).limit(25))
+
+
+def q_cell_skew_stats(spark, sf):
+    # skew diagnostics as a query — the cell histogram the salted-join
+    # planner (plans/strategy.plan_salt) reads, surfaced as shape stats:
+    # one row (n_cells, n_points, max_count, mean_x100, skew_ratio_x100 =
+    # max/mean). Two narrow aggregations, all integer.
+    a = tiling.assign_tiles_points(_points(spark, sf), z=6)
+    h = a.groupBy("x", "y").agg(F.count("*").alias("c"))
+    return h.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").cast("bigint").alias("n_points"),
+        F.max("c").alias("max_count"),
+        F.expr("sum(c) * 100 div count(*)").alias("mean_x100"),
+        F.expr("max(c) * count(*) * 100 div sum(c)").alias("skew_ratio_x100"))
+
+
+def q_lang_confusion(spark, sf):
+    # language-ID evaluation as a query: confusion counts of the
+    # stopword-argmax predictor against the labeled lang — the
+    # eval-as-query pattern (like knn_label_vote) over the documents
+    # table. One narrow (actual, pred) aggregation.
+    d = TXT.lang_id(_docs(spark, sf))
+    return (d.groupBy(F.col("lang").alias("actual"),
+                      F.col("lang_pred").alias("pred"))
+            .agg(F.count("*").alias("n")))
+
+
+def _host_crawl_priority_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
+    """Oracle for q_host_crawl_priority: the pagerank oracle as a derived
+    subquery (its own WITH scope), quality + freshness from the pages
+    CTE, same integer fusion."""
+    from geobuf_spark.operators.graph import sql_pagerank_int
+    edges_cte = f"""{_links_cte(n, seed)},
+        edges AS (SELECT src_host AS src,
+                         {TXT.sql_url_host('dst')} AS dst
+                  FROM e)"""
+    pr = sql_pagerank_int(edges_cte, iters=3)
+    ntok = TXT.sql_quality("text")["n_tokens"]
+    host = TXT.sql_url_host("url")
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        hq AS (SELECT {host} AS host, count(*) AS n_pages,
+                      CAST(sum({ntok}) AS BIGINT) AS sum_tokens,
+                      max(ts_epoch) AS latest_ts
+               FROM txt GROUP BY 1),
+        j AS (SELECT hq.*, coalesce(pr.rank_ppm, 0) AS rank_ppm
+              FROM hq LEFT JOIN ({pr}) pr USING (host))
+        SELECT host, rank_ppm, n_pages,
+               CAST(rank_ppm * {CRAWL_W_RANK}
+                    + (sum_tokens * 100) // n_pages
+                    + (10 - least(({HEAT_T_REF} - latest_ts) // 86400 // 30,
+                                  10)) * {CRAWL_W_FRESH} AS BIGINT)
+                   AS priority_score
+        FROM j
+        ORDER BY priority_score DESC, host
+        LIMIT {k}"""
+
+
+def _cell_skew_stats_sql() -> str:
+    """Oracle for q_cell_skew_stats over the minted points."""
+    pts = minted.SQL_MINTED_POINTS.strip()
+    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
+    return f"""
+        WITH h AS (SELECT {x6} AS x, {y6} AS y, count(*) AS c
+                   FROM ({pts}) GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(c) AS BIGINT) AS n_points,
+               CAST(max(c) AS BIGINT) AS max_count,
+               CAST(sum(c) * 100 // count(*) AS BIGINT) AS mean_x100,
+               CAST(max(c) * count(*) * 100 // sum(c) AS BIGINT)
+                   AS skew_ratio_x100
+        FROM h"""
+
+
+def _lang_confusion_sql() -> str:
+    """Oracle for q_lang_confusion: the lang_id argmax with the labeled
+    lang threaded through (same CASE order — earlier langs win ties)."""
+    langs = list(TXT.STOPWORDS)
+    score_cols = []
+    for lg in langs:
+        lst = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lg])
+        score_cols.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lg}")
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN g > 0 AND s_{lg} = g THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(lower(text), chr(32)) AS tk
+            FROM documents),
+        scores AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM toks),
+        best AS (SELECT doc_id, lang, {greatest} AS g, * FROM scores),
+        pred AS (SELECT lang AS actual,
+                        CASE {whens} ELSE 'und' END AS pred
+                 FROM best)
+        SELECT actual, pred, count(*) AS n
+        FROM pred GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -3001,14 +3133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 63 never-rowed
+    # r4 window (final): the extension batches grew 66 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow thirteen
-    # (paragraph_owner through dup_ngram_stats — earliest-registered,
+    # driver row is worth most there). The overflow sixteen
+    # (host_quality_rollup through dup_ngram_stats — earliest-registered,
     # longest sweep-green; test_entry pins the exact list) sit at
-    # positions 51-63 and lead the r5 window; the 18 changed-oracle r3
+    # positions 51-66 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -3036,6 +3168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "lang_diversity_simpson": q_lang_diversity_simpson,
         "tile_gaps_anti": q_tile_gaps_anti,
+        "host_crawl_priority": q_host_crawl_priority,
+        "cell_skew_stats": q_cell_skew_stats,
+        "lang_confusion": q_lang_confusion,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -5022,6 +5157,9 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": _link_reciprocity_sql(),
         "lang_diversity_simpson": _lang_diversity_sql(),
         "tile_gaps_anti": _tile_gaps_anti_sql(),
+        "host_crawl_priority": _host_crawl_priority_sql(),
+        "cell_skew_stats": _cell_skew_stats_sql(),
+        "lang_confusion": _lang_confusion_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),
