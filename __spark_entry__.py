@@ -1297,7 +1297,7 @@ def q_link_reciprocity(spark, sf):
     e = (_page_link_edges(spark, 2000)
          .select("src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
          .filter(F.col("src_host") != F.col("dst_host"))
-         .distinct())
+         .distinct().localCheckpoint(eager=False))
     rev = e.select(F.col("dst_host").alias("src_host"),
                    F.col("src_host").alias("dst_host"))
     recip = e.join(rev, ["src_host", "dst_host"], "left_semi")

@@ -198,9 +198,15 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     global_cc_x10k = floor(3·T·10000 / W) — exact ints into one IEEE
     division, bit-identical across engines."""
+    # lazily checkpointed: und feeds the degree union twice and both join
+    # sides, and the oriented list feeds the wedge self-join twice plus
+    # the closing join — without the checkpoint every branch re-runs the
+    # edge extraction + distinct (observed 35 exchanges on the host-graph
+    # fixture without the two checkpoints, ~6 with them)
     und = (edges.select(F.least(src, dst).alias("u"),
                         F.greatest(src, dst).alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct())
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
     deg = (und.select(F.col("u").alias("n"))
            .unionAll(und.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count("*").alias("d")))
@@ -214,7 +220,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
          .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-         .alias("rb"))
+         .alias("rb")).localCheckpoint(eager=False)
     w1 = o.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
     w2 = o.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
     wedges = w1.join(w2, "a").filter(F.col("rx") < F.col("ry"))

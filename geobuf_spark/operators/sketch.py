@@ -371,11 +371,16 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, k: int = 64,
         raise ValueError(f"k must be in [2, 64], got {k}")
 
     def sk(df):
+        # k rows, lazily checkpointed: each sketch feeds its own stats,
+        # the merge, and the common-hash join — one TakeOrdered each
+        # instead of one per consumer
         return (df.select(_hash60(F.col(value_col), "kmv", hash_fn).alias("h"))
-                .distinct().orderBy("h").limit(k))
+                .distinct().orderBy("h").limit(k)
+                .localCheckpoint(eager=False))
 
     ha, hb = sk(a), sk(b)
-    merged = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+    merged = (ha.unionAll(hb).distinct().orderBy("h").limit(k)
+              .localCheckpoint(eager=False))
 
     def est(n, kth):
         return F.when(n < k, n).otherwise(
