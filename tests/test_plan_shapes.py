@@ -122,3 +122,33 @@ def test_batch78_shuffle_budgets(spark):
     plan = _executed_plan(em.queries()["inverted_postings"](
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r4_extension_shuffle_budgets(spark):
+    """Shuffle budgets for the r4-extension families (batches 11-17) —
+    the shapes that must survive a 100x scale-up. Generator/projection
+    ops are shuffle-free; the window-shaped ops pay exactly ONE entity
+    exchange (lag/first/last/rollup all share it); the allocation and
+    overlay ops pay only their cover join; the aggregation rollups stay
+    at 2-4 narrow exchanges. The checkpointed graph/sketch ops
+    (triangle_hosts, kmv_setops, link_reciprocity) are pinned separately
+    by their value tests — localCheckpoint boundaries make static
+    exchange counts unstable. No Python nodes anywhere."""
+    import __spark_entry__ as em
+
+    budgets = {
+        "areal_interp": 0, "quadtree_assign": 0, "adaptive_cover": 0,
+        "geom_validity": 0,
+        "funnel_conversion": 1, "traj_steps": 1, "scd2_history": 1,
+        "tile_heat_decay": 1, "embed_quantize": 1, "rect_overlay_iou": 1,
+        "cell_skew_stats": 2, "lang_confusion": 2,
+        "event_transitions": 3, "lang_diversity_simpson": 3,
+        "tile_gaps_anti": 3, "cocitation_pairs": 4,
+    }
+    for q, budget in budgets.items():
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == budget, f"{q}\n{plan}"
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "CartesianProduct", "BroadcastNestedLoop"):
+            assert marker not in plan, f"{q}: {marker}"
