@@ -1545,6 +1545,143 @@ def _lang_confusion_sql() -> str:
         FROM pred GROUP BY 1, 2"""
 
 
+COHORT_T0 = 1_704_067_200  # 2024-01-01 UTC — the events table's epoch week 0
+
+
+def q_retention_cohorts(spark, sf):
+    # classic cohort-retention analytics: users grouped by first-activity
+    # week, counted per later-activity week offset. The cohort week rides
+    # a user-partition window min (ONE exchange shared with the rollup);
+    # all week arithmetic is integer floor-division.
+    from pyspark.sql import Window
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    wk = F.expr(f"(unix_timestamp(ts) - {COHORT_T0}) div 604800")
+    w = Window.partitionBy("user_id")
+    d = e.select("user_id", wk.alias("wk"))
+    d = d.withColumn("cohort", F.min("wk").over(w))
+    return (d.groupBy("cohort",
+                      (F.col("wk") - F.col("cohort")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def q_canonical_groups(spark, sf):
+    # rel=canonical consolidation — the dedup step BEFORE content hashing
+    # in a crawl pipeline: every page not ≡0 (mod 4) declares the group
+    # leader's url canonical via an injected <link rel="canonical">; the
+    # extractor (regex over the html payload) wins over the page's own
+    # url, and pages group by effective canonical target. ONE host-sized
+    # aggregation; extraction is a codegen'd regexp pass.
+    p = pages.pages(spark, 2000)
+    tgt = (F.col("page_id") - F.pmod(F.col("page_id"), F.lit(4)))
+    th = F.md5(F.concat(F.lit("s42-"), tgt.cast("string")))
+    tsite = F.pmod(F.conv(F.substring(th, 1, 6), 16, 10).cast("bigint"),
+                   F.lit(1000))
+    turl = F.concat(F.lit("https://site"), tsite.cast("string"),
+                    F.lit(".example/"), F.substring(th, 7, 12))
+    link = F.when(F.pmod(F.col("page_id"), F.lit(4)) != 0,
+                  F.concat(F.lit('<link rel="canonical" href="'), turl,
+                           F.lit('">'))).otherwise(F.lit(""))
+    html2 = F.replace(F.decode(F.col("html"), "utf-8"),
+                      F.lit("<head><title>"),
+                      F.concat(F.lit("<head>"), link, F.lit("<title>")))
+    canon = F.regexp_extract(html2, '<link rel="canonical" href="([^"]+)"', 1)
+    eff = F.when(canon != "", canon).otherwise(F.col("url"))
+    return (p.select(eff.alias("canonical_url"), "page_id")
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min("page_id").alias("rep_page_id")))
+
+
+def q_line_length_stats(spark, sf):
+    # linear-referencing measures per walk polyline: planar length (sum
+    # of per-segment sqrt — IEEE sqrt is correctly rounded, and the
+    # additions are unrolled in one fixed left-to-right order on BOTH
+    # engines, so the doubles match bit-for-bit), chord length, and
+    # integer sinuosity. Zero shuffles.
+    k = 9
+    wl = minted.minted_walk_lines_q(spark, sf, k=k)
+    X = [F.element_at(F.col("xs_q"), i + 1) for i in range(k)]
+    Y = [F.element_at(F.col("ys_q"), i + 1) for i in range(k)]
+    d2s = [(X[i + 1] - X[i]) * (X[i + 1] - X[i])
+           + (Y[i + 1] - Y[i]) * (Y[i + 1] - Y[i]) for i in range(k - 1)]
+    length = F.sqrt(d2s[0].cast("double"))
+    for d2 in d2s[1:]:
+        length = length + F.sqrt(d2.cast("double"))
+    chord2 = ((X[k - 1] - X[0]) * (X[k - 1] - X[0])
+              + (Y[k - 1] - Y[0]) * (Y[k - 1] - Y[0]))
+    chord = F.sqrt(chord2.cast("double"))
+    sinuosity = F.when(chord2 > 0,
+                       F.floor(length * 1000.0 / chord)).otherwise(F.lit(0))
+    return wl.select(
+        "doc_id", length.alias("length_q"), chord.alias("chord_q"),
+        F.greatest(*d2s).alias("max_seg_d2"),
+        sinuosity.cast("bigint").alias("sinuosity_x1000"))
+
+
+def _retention_cohorts_sql() -> str:
+    """Oracle for q_retention_cohorts (epoch floor == unix_timestamp)."""
+    return f"""
+        WITH d AS (SELECT user_id,
+                          (CAST(floor(epoch(ts)) AS BIGINT) - {COHORT_T0})
+                          // 604800 AS wk
+                   FROM events),
+        c AS (SELECT user_id, wk,
+                     min(wk) OVER (PARTITION BY user_id) AS cohort
+              FROM d)
+        SELECT cohort, wk - cohort AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM c GROUP BY 1, 2"""
+
+
+def _canonical_groups_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_canonical_groups: same link mint spliced into the
+    html envelope (head_extra slot), same regexp extraction."""
+    th = f"md5('s{seed}-' || CAST(id - id % 4 AS VARCHAR))"
+    turl = (f"'https://site' || CAST(CAST(('0x' || substr({th}, 1, 6))"
+            f" AS BIGINT) % 1000 AS VARCHAR) || '.example/'"
+            f" || substr({th}, 7, 12)")
+    link = (f"CASE WHEN id % 4 <> 0 THEN"
+            f" '<link rel=\"canonical\" href=\"' || {turl} || '\">'"
+            f" ELSE '' END")
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        h AS (SELECT id, url, {_html_sql(head_extra=f"({link})")} AS html2
+              FROM txt),
+        c AS (SELECT id, url,
+                     regexp_extract(html2,
+                         '<link rel="canonical" href="([^"]+)"', 1) AS canon
+              FROM h)
+        SELECT CASE WHEN canon <> '' THEN canon ELSE url END
+                   AS canonical_url,
+               count(*) AS n_pages, min(id) AS rep_page_id
+        FROM c GROUP BY 1"""
+
+
+def _line_length_stats_sql(k: int = 9) -> str:
+    """Oracle for q_line_length_stats: the same unrolled left-to-right
+    sqrt sum (IEEE sqrt + additions in identical order → bit-equal)."""
+    xs, ys = minted.sql_minted_walk_coords(k)
+    cols = ",\n               ".join(
+        [f"{e} AS x{i}" for i, e in enumerate(xs)]
+        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
+    d2s = [f"((x{i + 1} - x{i}) * (x{i + 1} - x{i})"
+           f" + (y{i + 1} - y{i}) * (y{i + 1} - y{i}))" for i in range(k - 1)]
+    length = " + ".join(f"sqrt(CAST({d} AS DOUBLE))" for d in d2s)
+    chord2 = (f"((x{k - 1} - x0) * (x{k - 1} - x0)"
+              f" + (y{k - 1} - y0) * (y{k - 1} - y0))")
+    return f"""
+        WITH wl AS (SELECT doc_id, {cols} FROM documents)
+        SELECT doc_id,
+               ({length}) AS length_q,
+               sqrt(CAST({chord2} AS DOUBLE)) AS chord_q,
+               CAST(greatest({', '.join(d2s)}) AS BIGINT) AS max_seg_d2,
+               CAST(CASE WHEN {chord2} > 0
+                    THEN floor(({length}) * 1000.0
+                               / sqrt(CAST({chord2} AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS sinuosity_x1000
+        FROM wl"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -3133,14 +3270,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 66 never-rowed
+    # r4 window (final): the extension batches grew 69 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow sixteen
-    # (host_quality_rollup through dup_ngram_stats — earliest-registered,
+    # driver row is worth most there). The overflow nineteen
+    # (lang_tile_mix through dup_ngram_stats — earliest-registered,
     # longest sweep-green; test_entry pins the exact list) sit at
-    # positions 51-66 and lead the r5 window; the 18 changed-oracle r3
+    # positions 51-69 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -3171,6 +3308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_crawl_priority": q_host_crawl_priority,
         "cell_skew_stats": q_cell_skew_stats,
         "lang_confusion": q_lang_confusion,
+        "retention_cohorts": q_retention_cohorts,
+        "canonical_groups": q_canonical_groups,
+        "line_length_stats": q_line_length_stats,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -5160,6 +5300,9 @@ def oracle_sql() -> dict[str, str]:
         "host_crawl_priority": _host_crawl_priority_sql(),
         "cell_skew_stats": _cell_skew_stats_sql(),
         "lang_confusion": _lang_confusion_sql(),
+        "retention_cohorts": _retention_cohorts_sql(),
+        "canonical_groups": _canonical_groups_sql(),
+        "line_length_stats": _line_length_stats_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -90,3 +90,64 @@ def test_tile_gaps_anti_properties(spark):
     b = tset(pages.pages(spark, 2400).where(
         F.pmod(F.col("page_id"), F.lit(17)) != 3))
     assert gaps == a - b
+
+
+def test_retention_cohorts_vs_brute(spark):
+    import __spark_entry__ as em
+
+    got = {(r["cohort"], r["week_offset"]): r["n_users"] for r in
+           em.q_retention_cohorts(spark, SF).collect()}
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("user_id", F.unix_timestamp("ts").alias("ep")).collect())
+    wk = {}
+    for r in ev:
+        wk.setdefault(r["user_id"], set()).add(
+            (r["ep"] - em.COHORT_T0) // 604800)
+    brute = {}
+    for u, ws in wk.items():
+        c = min(ws)
+        for w in ws:
+            brute.setdefault((c, w - c), set()).add(u)
+    assert got == {k: len(v) for k, v in brute.items()}
+
+
+def test_canonical_groups_structure(spark):
+    import __spark_entry__ as em
+
+    rows = em.q_canonical_groups(spark, SF).collect()
+    # 2000 pages in groups of 4: the regenerated leader url must equal the
+    # leader page's actual url, so exactly 500 groups of 4 led by id%4==0
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_pages"] == 4, r
+        assert r["rep_page_id"] % 4 == 0
+    urls = {r["url"]: r["page_id"] for r in
+            __import__("geobuf_spark.sources.pages", fromlist=["pages"])
+            .pages(spark, 2000).select("page_id", "url").collect()}
+    for r in rows:
+        assert urls[r["canonical_url"]] == r["rep_page_id"]
+
+
+def test_line_length_stats_vs_brute(spark):
+    import math
+
+    import __spark_entry__ as em
+    from geobuf_spark.sources import minted
+
+    out = {r["doc_id"]: r for r in
+           em.q_line_length_stats(spark, SF).collect()}
+    wl = minted.minted_walk_lines_q(spark, SF, k=9).limit(80).collect()
+    for r in wl:
+        xs, ys = r["xs_q"], r["ys_q"]
+        d2s = [(xs[i + 1] - xs[i]) ** 2 + (ys[i + 1] - ys[i]) ** 2
+               for i in range(8)]
+        length = 0.0
+        for d in d2s:
+            length = length + math.sqrt(d)
+        o = out[r["doc_id"]]
+        assert o["length_q"] == length  # bit-exact, not approx
+        assert o["max_seg_d2"] == max(d2s)
+        chord2 = (xs[8] - xs[0]) ** 2 + (ys[8] - ys[0]) ** 2
+        assert o["chord_q"] == math.sqrt(chord2)
+        assert o["sinuosity_x1000"] == math.floor(
+            length * 1000.0 / math.sqrt(chord2))
