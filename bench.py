@@ -105,6 +105,8 @@ def bench_queries(spark):
         # areal allocation, trajectories
         "gopher_quality_flags", "top_ngram_frac", "rare_token_ratio",
         "triangle_hosts", "funnel_conversion", "areal_interp", "traj_steps",
+        "adaptive_cover", "rect_overlay_iou", "scd2_history",
+        "retention_cohorts", "line_length_stats",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
