@@ -1249,8 +1249,8 @@ def _rect_overlay_iou_sql() -> str:
     layers (no cover, no dedup — the predicate alone), same exact-area
     arithmetic."""
     return f"""
-        WITH {_overlay_boxes_cte('r', *_OVA[0:1], 'a_id', *_OVA[2:])},
-        {_overlay_boxes_cte('rb', *_OVB[0:1], 'b_id', *_OVB[2:])},
+        WITH {_overlay_boxes_cte('r', *_OVA)},
+        {_overlay_boxes_cte('rb', *_OVB)},
         p AS (SELECT r.a_id, rb.b_id,
                      (least(r.x2, rb.x2) - greatest(r.x1, rb.x1))
                      * (least(r.y2, rb.y2) - greatest(r.y1, rb.y1))

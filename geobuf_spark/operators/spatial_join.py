@@ -424,16 +424,7 @@ def rect_cell_weights(rects_q: DataFrame, cell: int,
     arithmetic, areas int64 (lattice boxes are < 2^31 per side), and the
     ppm ratio is one IEEE floor division — bit-identical in the oracle.
     `div` on non-negative operands matches DuckDB `//` exactly."""
-    g = rects_q.select(
-        id_col, "x1", "y1", "x2", "y2",
-        F.expr(f"x1 div {cell}").alias("gx1"),
-        F.expr(f"(x2 - 1) div {cell}").alias("gx2"),
-        F.expr(f"y1 div {cell}").alias("gy1"),
-        F.expr(f"(y2 - 1) div {cell}").alias("gy2"))
-    cov = (g.select(id_col, "x1", "y1", "x2", "y2", "gy1", "gy2",
-                    F.explode(F.sequence(F.col("gx1"), F.col("gx2"))).alias("cx"))
-           .select(id_col, "x1", "y1", "x2", "y2", "cx",
-                   F.explode(F.sequence(F.col("gy1"), F.col("gy2"))).alias("cy")))
+    cov = _box_cover(rects_q, cell, id_col)
     w = (F.least(F.col("x2"), (F.col("cx") + 1) * cell)
          - F.greatest(F.col("x1"), F.col("cx") * cell))
     h = (F.least(F.col("y2"), (F.col("cy") + 1) * cell)
@@ -448,7 +439,11 @@ def rect_cell_weights(rects_q: DataFrame, cell: int,
 
 def _box_cover(df: DataFrame, cell: int, id_col: str) -> DataFrame:
     """Planar-grid cover of non-negative half-open lattice boxes: one row
-    per (box, cell), box coords carried along. Pure staged explodes."""
+    per (box, cell), box coords carried along. Pure staged explodes.
+    The ONE cover-explode implementation behind rect_cell_weights and
+    box_iou_join (tiling.adaptive_cover's seed is the same form at its
+    z_min cell size — kept separate there to avoid an import cycle, with
+    this docstring as the cross-reference)."""
     g = df.select(
         id_col, "x1", "y1", "x2", "y2",
         F.expr(f"x1 div {cell}").alias("gx1"),
