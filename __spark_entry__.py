@@ -1682,6 +1682,87 @@ def _line_length_stats_sql(k: int = 9) -> str:
         FROM wl"""
 
 
+def q_unpivot_lang_counts(spark, sf):
+    # UNPIVOT — the inverse of the pivot shape: per-lang counts of four
+    # source buckets widened, then melted back to (lang, src, n) via
+    # DataFrame.unpivot (SQL stack()). Round-trips the pivot family.
+    d = _docs(spark, sf)
+    wide = d.groupBy("lang").agg(*[
+        F.count(F.when(F.col("source") == f"src{i}", 1)).alias(f"src{i}_n")
+        for i in range(4)])
+    return wide.unpivot("lang", [f"src{i}_n" for i in range(4)],
+                        "src", "n")
+
+
+def q_grouping_sets_counts(spark, sf):
+    # explicit GROUPING SETS — finer than rollup/cube: exactly
+    # ((lang, source), (lang), (source)) with grouping_id disambiguating
+    # the all-NULL placeholder rows from real values.
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("_gs_docs")
+    return spark.sql("""
+        SELECT lang, source, count(*) AS n,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(source) AS INT) AS g_source
+        FROM _gs_docs
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source))""")
+
+
+def q_token_positions(spark, sf):
+    # positional explode semantics: the FIRST position (0-based) of each
+    # distinct token per document via posexplode + min — the dictionary
+    # builder's offset table. One (doc, token) combine-shuffle.
+    d = _docs(spark, sf)
+    t = d.select("doc_id", F.posexplode(TXT.tokens(F.col("text")))
+                 .alias("pos", "tok"))
+    return (t.groupBy("doc_id", "tok")
+            .agg(F.min("pos").cast("bigint").alias("first_pos"),
+                 F.count("*").alias("n_occ")))
+
+
+def _unpivot_lang_counts_sql() -> str:
+    """Oracle for q_unpivot_lang_counts: the CASE-sum pivot re-melted with
+    UNION ALL (portable; DuckDB UNPIVOT would work too)."""
+    wide = ", ".join(
+        f"count(CASE WHEN source = 'src{i}' THEN 1 END) AS src{i}_n"
+        for i in range(4))
+    arms = "\n        UNION ALL ".join(
+        f"SELECT lang, 'src{i}_n' AS src, src{i}_n AS n FROM w"
+        for i in range(4))
+    return f"""
+        WITH w AS (SELECT lang, {wide} FROM documents GROUP BY 1)
+        {arms}"""
+
+
+def _grouping_sets_counts_sql() -> str:
+    """Oracle for q_grouping_sets_counts (DuckDB GROUPING SETS +
+    GROUPING())."""
+    return """
+        SELECT lang, source, count(*) AS n,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(source) AS INT) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source))"""
+
+
+def _token_positions_sql() -> str:
+    """Oracle for q_token_positions: unnest WITH ORDINALITY is spelled
+    generate_subscripts-free in DuckDB via list_transform over indexes
+    (0-based to match posexplode)."""
+    return """
+        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS ws
+                      FROM documents),
+        t AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) + 1),
+                            i -> struct_pack(pos := i - 1, tok := ws[i])))
+                         AS pt
+              FROM toks)
+        SELECT doc_id, pt.tok AS tok,
+               CAST(min(pt.pos) AS BIGINT) AS first_pos,
+               count(*) AS n_occ
+        FROM t GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -3270,14 +3351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 69 never-rowed
+    # r4 window (final): the extension batches grew 72 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow nineteen
-    # (lang_tile_mix through dup_ngram_stats — earliest-registered,
+    # driver row is worth most there). The overflow twenty-two
+    # (sketch_hll_docs through dup_ngram_stats — earliest-registered,
     # longest sweep-green; test_entry pins the exact list) sit at
-    # positions 51-69 and lead the r5 window; the 18 changed-oracle r3
+    # positions 51-72 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -3311,6 +3392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "canonical_groups": q_canonical_groups,
         "line_length_stats": q_line_length_stats,
+        "unpivot_lang_counts": q_unpivot_lang_counts,
+        "grouping_sets_counts": q_grouping_sets_counts,
+        "token_positions": q_token_positions,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -5303,6 +5387,9 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _retention_cohorts_sql(),
         "canonical_groups": _canonical_groups_sql(),
         "line_length_stats": _line_length_stats_sql(),
+        "unpivot_lang_counts": _unpivot_lang_counts_sql(),
+        "grouping_sets_counts": _grouping_sets_counts_sql(),
+        "token_positions": _token_positions_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),
