@@ -1763,6 +1763,87 @@ def _token_positions_sql() -> str:
         FROM t GROUP BY 1, 2"""
 
 
+def q_hll_union_rollup(spark, sf):
+    # HLL mergeability demonstrated IN-ENGINE: per-lang register tables
+    # merged by register-wise max, estimated, next to the direct global
+    # sketch — s_scaled must match EXACTLY (merge_exact = 1). This is the
+    # property that lets 1000 executors sketch independently and a
+    # coordinator union in O(m): the rollup never rescans the corpus.
+    d = _docs(spark, sf)
+    per = sketch.hll_registers_by(d, ["lang"], "text")
+    merged = per.groupBy("bucket").agg(F.max("r").alias("r"))
+    me = sketch.hll_estimate(merged).select(
+        F.col("est_raw").alias("est_merged"),
+        F.col("s_scaled").alias("s_merged"))
+    de = sketch.hll_estimate(sketch.hll_registers(d, "text")).select(
+        F.col("est_raw").alias("est_direct"),
+        F.col("s_scaled").alias("s_direct"))
+    return me.crossJoin(de).select(
+        "est_merged", "est_direct", "s_merged", "s_direct",
+        (F.col("s_merged") == F.col("s_direct")).cast("int")
+        .alias("merge_exact"))
+
+
+def q_minhash_eval(spark, sf):
+    # LSH quality MEASURED as a query: MinHash candidate pairs joined
+    # against the exact n-gram Jaccard tier at the same threshold →
+    # precision/recall in ppm. The number the bucket-cap and band-count
+    # knobs trade off, pinned per-corpus instead of asserted in prose.
+    d = _docs(spark, sf)
+    lsh = (dedup.minhash_lsh_pairs(d, key="doc_id", jaccard_threshold=0.4)
+           .select("a", "b").localCheckpoint(eager=False))
+    exact = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
+                                       threshold=0.4)
+             .select("a", "b").localCheckpoint(eager=False))
+    both = lsh.join(exact, ["a", "b"], "left_semi")
+    r = (lsh.agg(F.count("*").alias("n_lsh"))
+         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+         .crossJoin(both.agg(F.count("*").alias("n_both"))))
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"{num} * 1000000 div {den}")
+    ).otherwise(F.lit(-1)).cast("bigint")
+    return r.select("n_lsh", "n_exact", "n_both",
+                    ppm("n_both", "n_lsh").alias("precision_ppm"),
+                    ppm("n_both", "n_exact").alias("recall_ppm"))
+
+
+def _hll_union_rollup_sql() -> str:
+    """Oracle for q_hll_union_rollup: per-lang register CTE → max-merge →
+    the shared estimate fragment; direct sketch alongside."""
+    return f"""
+        WITH {sketch.sql_hll_registers_cte('documents', 'text',
+                                           prefix='p', group_expr='lang')},
+        mreg AS (SELECT bucket, max(r) AS r FROM phllreg GROUP BY 1),
+        {sketch.sql_hll_estimate_from('mreg', prefix='m')},
+        {sketch.sql_hll_registers_cte('documents', 'text', prefix='d')},
+        {sketch.sql_hll_estimate_from('dhllreg', prefix='d')}
+        SELECT mhll.est_raw AS est_merged, dhll.est_raw AS est_direct,
+               mhll.s_scaled AS s_merged, dhll.s_scaled AS s_direct,
+               CAST(mhll.s_scaled = dhll.s_scaled AS INT) AS merge_exact
+        FROM mhll, dhll"""
+
+
+def _minhash_eval_sql() -> str:
+    """Oracle for q_minhash_eval: the minhash oracle as a derived
+    subquery (own WITH scope) against the exact-Jaccard CTE chain."""
+    return f"""
+        WITH {_ngram_sql(3, 0.4)},
+        lsh AS (SELECT a, b FROM ({_minhash_sql()})),
+        st AS (SELECT
+                   (SELECT count(*) FROM lsh) AS n_lsh,
+                   (SELECT count(*) FROM pairs) AS n_exact,
+                   (SELECT count(*) FROM lsh JOIN pairs USING (a, b))
+                       AS n_both)
+        SELECT CAST(n_lsh AS BIGINT) AS n_lsh,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(CASE WHEN n_lsh > 0 THEN n_both * 1000000 // n_lsh
+                    ELSE -1 END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN n_exact > 0 THEN n_both * 1000000 // n_exact
+                    ELSE -1 END AS BIGINT) AS recall_ppm
+        FROM st"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -3351,14 +3432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the cohort whose last green is oldest; fresh greens rotate past
     # 50 (they retain their prior-round row and stay pytest-covered).
     #
-    # r4 window (final): the extension batches grew 72 never-rowed
+    # r4 window (final): the extension batches grew 74 never-rowed
     # queries — more than the window holds — so the window is entirely
     # rule (a): the 50 newest-registered never-rowed queries, newest
     # batches first (they carry the least verification history, so a
-    # driver row is worth most there). The overflow twenty-two
-    # (sketch_hll_docs through dup_ngram_stats — earliest-registered,
-    # longest sweep-green; test_entry pins the exact list) sit at
-    # positions 51-72 and lead the r5 window; the 18 changed-oracle r3
+    # driver row is worth most there). The overflow twenty-four
+    # (sketch_bloom_doc_gate through dup_ngram_stats — earliest-
+    # registered, longest sweep-green; test_entry pins the exact list)
+    # sit at positions 51-74 and lead the r5 window; the 18 changed-oracle r3
     # queries that opened this round's window retain their r1-r3 rows and
     # re-verified sweep-green after the change (test_entry pins the
     # layout). Every rotated-out query is covered by the local
@@ -3395,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lang_counts": q_unpivot_lang_counts,
         "grouping_sets_counts": q_grouping_sets_counts,
         "token_positions": q_token_positions,
+        "hll_union_rollup": q_hll_union_rollup,
+        "minhash_eval": q_minhash_eval,
         "anchor_text_topk": q_anchor_text_topk,
         "knn_label_vote": q_knn_label_vote,
         "host_mirrors": q_host_mirrors,
@@ -5390,6 +5473,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lang_counts": _unpivot_lang_counts_sql(),
         "grouping_sets_counts": _grouping_sets_counts_sql(),
         "token_positions": _token_positions_sql(),
+        "hll_union_rollup": _hll_union_rollup_sql(),
+        "minhash_eval": _minhash_eval_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "host_mirrors": _host_mirrors_sql(),

@@ -269,15 +269,26 @@ def hll_registers(df: DataFrame, value_col: str, b: int = 6,
     if not 4 <= b <= 6:
         raise ValueError(f"b must be in [4, 6] (m ≤ 64 keeps the harmonic sum "
                          f"an exact int64), got {b}")
+    return hll_registers_by(df, [], value_col, b=b, hash_fn=hash_fn)
+
+
+def hll_registers_by(df: DataFrame, group_cols: list, value_col: str,
+                     b: int = 6, hash_fn: str = "portable") -> DataFrame:
+    """Per-group HLL register tables: (group..., bucket, r). The grouped
+    form exists for the MERGE demonstration — register-wise max across
+    groups reproduces the global sketch exactly (hll_union_rollup)."""
+    if not 4 <= b <= 6:
+        raise ValueError(f"b must be in [4, 6], got {b}")
     h = _hash60(F.col(value_col), "hll", hash_fn)
-    df = df.select(h.alias("h"))
+    df = df.select(*group_cols, h.alias("h"))
     rest = F.shiftright(F.col("h"), b)
     width = 60 - b
     rho = F.when(rest == 0, F.lit(width + 1)) \
         .otherwise(F.lit(width) - F.length(F.bin(rest)) + 1)
-    return (df.select(F.col("h").bitwiseAND(F.lit((1 << b) - 1)).alias("bucket"),
+    return (df.select(*group_cols,
+                      F.col("h").bitwiseAND(F.lit((1 << b) - 1)).alias("bucket"),
                       rho.cast("int").alias("rho"))
-            .groupBy("bucket")
+            .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").alias("r")))
 
 
@@ -316,23 +327,14 @@ def hll_estimate(reg_df: DataFrame, b: int = 6) -> DataFrame:
                                 / F.col("s_scaled")).cast("bigint")))
 
 
-def sql_hll_cte(source_sql: str, value_expr: str, b: int = 6,
-                prefix: str = "") -> str:
-    """DuckDB twin CTE chain ending in {prefix}hll(m, n_present, n_zero,
-    s_scaled, est_raw)."""
-    p = prefix
+def sql_hll_estimate_from(reg: str, b: int = 6, prefix: str = "") -> str:
+    """CTE fragment {prefix}hll(m, n_present, n_zero, s_scaled, est_raw)
+    folded from any register table {reg}(…, bucket, r) — the ONE rendering
+    of the estimate arithmetic (sql_hll_cte and the merge oracle both
+    splice it)."""
     m = 1 << b
-    width = 60 - b
-    h = phash.sql_hash60_parts("'hll'", value_expr)
     alpha_num = _hll_alpha(m) * m * m * float(1 << RHO_SHIFT)
-    return f"""{p}hllh AS (SELECT {h} AS h FROM {source_sql}),
-        {p}hllr AS (
-            SELECT h & {m - 1} AS bucket,
-                   CASE WHEN (h >> {b}) = 0 THEN {width + 1}
-                        ELSE {width} - length(bin(h >> {b})) + 1 END AS rho
-            FROM {p}hllh),
-        {p}hllreg AS (SELECT bucket, max(rho) AS r FROM {p}hllr GROUP BY 1),
-        {p}hll AS (
+    return f"""{prefix}hll AS (
             SELECT {m} AS m,
                    count(*) AS n_present,
                    {m} - count(*) AS n_zero,
@@ -343,7 +345,36 @@ def sql_hll_cte(source_sql: str, value_expr: str, b: int = 6,
                         (sum(1::BIGINT << ({RHO_SHIFT} - r))
                          + ({m} - count(*)) * {1 << RHO_SHIFT}::BIGINT))
                        AS BIGINT) AS est_raw
-            FROM {p}hllreg)"""
+            FROM {reg})"""
+
+
+def sql_hll_registers_cte(source_sql: str, value_expr: str, b: int = 6,
+                          prefix: str = "", group_expr: str = "") -> str:
+    """DuckDB twin CTE chain ending in {prefix}hllreg((group,) bucket, r)."""
+    p = prefix
+    m = 1 << b
+    width = 60 - b
+    h = phash.sql_hash60_parts("'hll'", value_expr)
+    g = f"{group_expr} AS grp, " if group_expr else ""
+    gsel = "grp, " if group_expr else ""
+    gby = "1, 2" if group_expr else "1"
+    return f"""{p}hllh AS (SELECT {g}{h} AS h FROM {source_sql}),
+        {p}hllr AS (
+            SELECT {gsel}h & {m - 1} AS bucket,
+                   CASE WHEN (h >> {b}) = 0 THEN {width + 1}
+                        ELSE {width} - length(bin(h >> {b})) + 1 END AS rho
+            FROM {p}hllh),
+        {p}hllreg AS (SELECT {gsel}bucket, max(rho) AS r
+                      FROM {p}hllr GROUP BY {gby})"""
+
+
+def sql_hll_cte(source_sql: str, value_expr: str, b: int = 6,
+                prefix: str = "") -> str:
+    """DuckDB twin CTE chain ending in {prefix}hll(m, n_present, n_zero,
+    s_scaled, est_raw)."""
+    p = prefix
+    return (sql_hll_registers_cte(source_sql, value_expr, b, p) + ",\n        "
+            + sql_hll_estimate_from(f"{p}hllreg", b, p))
 
 
 # ---------------------------------------------------------------------------

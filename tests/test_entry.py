@@ -113,20 +113,22 @@ def test_driver_window_invariants():
         "host_crawl_priority", "cell_skew_stats", "lang_confusion",
         "retention_cohorts", "canonical_groups", "line_length_stats",
         "unpivot_lang_counts", "grouping_sets_counts", "token_positions",
+        "hll_union_rollup", "minhash_eval",
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
         "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
         "bm25_topk", "inverted_postings", "hits_hosts",
         "bloom_join_prune", "quadkey_z8", "geom_area_centroid",
-        "sketch_kmv_lang", "sketch_bloom_doc_gate", "sketch_cms_lang",
+        "sketch_kmv_lang",
     ]
-    # the r4 extension grew 72 never-rowed queries — 22 more than the
-    # window holds. These twenty-two (registry tail order; longest
+    # the r4 extension grew 74 never-rowed queries — 24 more than the
+    # window holds. These twenty-four (registry tail order; longest
     # sweep-green history) queue for their first driver row in the NEXT
     # window; they must sit immediately after position 50 so that
     # rotation is mechanical. Every one is covered by the local
     # full-contract sweep.
-    overflow = ["sketch_hll_docs",
+    overflow = ["sketch_bloom_doc_gate", "sketch_cms_lang",
+                "sketch_hll_docs",
                 "doc_len_percentiles", "host_tile_footprint",
                 "lang_tile_mix", "dup_span_frac", "ngram_topk",
                 "host_quality_rollup", "text_normalize", "paragraph_owner",
@@ -137,4 +139,4 @@ def test_driver_window_invariants():
                 "url_host_topk", "dup_ngram_stats"]
     missing = [n for n in never_rowed if n not in window]
     assert not missing, missing
-    assert list(q)[50:72] == overflow
+    assert list(q)[50:74] == overflow
