@@ -3424,6 +3424,84 @@ def q_paragraph_owner(spark, sf):
                     F.col("o.page_id").alias("owner_page_id"), "n_copies"))
 
 
+# ---------------------------------------------------------------------------
+# r4 extension batch 19 — per-node graph analytics
+# ---------------------------------------------------------------------------
+
+def _host_edges(spark, n: int = 2000):
+    """Link edges as (src_host, dst_host) pairs — the shared input of the
+    node-level graph family (triangle census uses the same mapping)."""
+    return _page_link_edges(spark, n).select(
+        "src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
+
+
+def _host_edges_cte() -> str:
+    """Oracle twin of _host_edges: regenerated link edges as ed(src, dst)."""
+    return (_links_cte() + f""",
+        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
+               FROM e)""")
+
+
+def q_clustering_coeff(spark, sf):
+    # per-host LOCAL clustering coefficient — triangle_hosts gives the
+    # global census, this grades each host's neighborhood cohesion
+    # (link-farm rings score near 1e6 ppm, organic hubs near 0). Exact
+    # integers end-to-end; the compact-forward orientation finds each
+    # triangle once and ONE explode credits its three corners
+    # (graph.local_clustering for the 10^8-host plan notes).
+    from geobuf_spark.operators import graph
+    return graph.local_clustering(_host_edges(spark), "src_host", "dst_host")
+
+
+def _clustering_coeff_sql() -> str:
+    """Oracle for q_clustering_coeff: brute per-corner wedge close over
+    the regenerated edges (graph.sql_local_clustering)."""
+    from geobuf_spark.operators import graph
+    return graph.sql_local_clustering(_host_edges_cte(), "src", "dst")
+
+
+def q_link_prediction_ra(spark, sf):
+    # link prediction by resource allocation: non-adjacent host pairs
+    # ranked by Σ 1/deg(z) over common neighbors z, in exact pico-units
+    # (RA beats raw common-neighbor counts by discounting promiscuous
+    # hubs, and unlike Adamic-Adar needs no log — so the fixed-point form
+    # hashes identically on both engines). min_common=2 is the same
+    # fan-out cap contract as cocitation_pairs.
+    from geobuf_spark.operators import graph
+    return graph.resource_allocation(_host_edges(spark),
+                                     "src_host", "dst_host", min_common=2)
+
+
+def _link_prediction_ra_sql() -> str:
+    from geobuf_spark.operators import graph
+    return graph.sql_resource_allocation(_host_edges_cte(), "src", "dst",
+                                         min_common=2)
+
+
+def q_bfs_hops3(spark, sf):
+    # multi-source BFS: hop distance (≤3) from the round-number seed
+    # hosts (site*00.example) over the undirected host graph — the
+    # "crawl frontier depth" query. Each round is one join + one min-agg
+    # shuffle with lineage checkpoints (graph.bfs_hops); the oracle
+    # unrolls the same rounds as CTEs.
+    from geobuf_spark.operators import graph
+    ed = _host_edges(spark)
+    nodes = (ed.select(F.col("src_host").alias("host"))
+             .unionByName(ed.select(F.col("dst_host").alias("host")))
+             .distinct())
+    seeds = nodes.filter(F.col("host").endswith("00.example"))
+    return graph.bfs_hops(ed, seeds, max_hops=3,
+                          src="src_host", dst="dst_host")
+
+
+def _bfs_hops3_sql() -> str:
+    from geobuf_spark.operators import graph
+    return graph.sql_bfs_hops(_host_edges_cte(),
+                              "n LIKE '%00.example'", max_hops=3,
+                              src="src", dst="dst")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -3446,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "clustering_coeff": q_clustering_coeff,
+        "link_prediction_ra": q_link_prediction_ra,
+        "bfs_hops3": q_bfs_hops3,
         "gopher_quality_flags": q_gopher_quality_flags,
         "top_ngram_frac": q_top_ngram_frac,
         "pii_scrub": q_pii_scrub,
@@ -5443,6 +5524,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "ann_lsh_top5": _ann_lsh_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "clustering_coeff": _clustering_coeff_sql(),
+        "link_prediction_ra": _link_prediction_ra_sql(),
+        "bfs_hops3": _bfs_hops3_sql(),
         "gopher_quality_flags": _gopher_quality_sql(),
         "top_ngram_frac": _top_ngram_frac_sql(),
         "pii_scrub": _pii_scrub_sql(),

@@ -181,28 +181,16 @@ def sql_hits_int(edges_cte: str, iters: int = 2) -> str:
         FROM {hub_prev} h JOIN {auth_prev} a ON a.host = h.host""")
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Exact triangle census of the undirected simple host graph — one row:
-    (n_nodes, n_edges, n_wedges, n_triangles, global_cc_x10k).
-
-    Shape for 10^8-host graphs: edges canonicalize to u<v and dedup (ONE
-    distinct shuffle); each edge is then ORIENTED from its lower-(degree,
-    node) endpoint to the higher — the compact-forward orientation, which
-    bounds every out-neighborhood by O(sqrt(m)), so the wedge self-join
-    materializes Σ outdeg² pairs instead of Σ deg² (a star-shaped hub
-    generates ZERO wedges as a tail: its edges all point INTO it). Wedges
-    close against the oriented edge list with a second equi-join. The
-    wedge COUNT (denominator of the clustering coefficient) never joins at
-    all — it's Σ d(d-1)/2 off the degree table. Degree tables are
-    node-sized; AQE broadcasts them when they fit.
-
-    global_cc_x10k = floor(3·T·10000 / W) — exact ints into one IEEE
-    division, bit-identical across engines."""
-    # lazily checkpointed: und feeds the degree union twice and both join
-    # sides, and the oriented list feeds the wedge self-join twice plus
-    # the closing join — without the checkpoint every branch re-runs the
-    # edge extraction + distinct (observed 35 exchanges on the host-graph
-    # fixture without the two checkpoints, ~6 with them)
+def _und_deg_oriented(edges: DataFrame, src: str, dst: str):
+    """Shared triangle plumbing: (und, deg, o) where und is the
+    canonicalized simple undirected edge list u<v, deg the per-node degree
+    table, and o the degree-ordered compact-forward orientation a→b with
+    rb = struct(d(b), b) for rank comparisons. Lazily checkpointed: und
+    feeds the degree union twice and both join sides, and the oriented
+    list feeds the wedge self-join twice plus the closing join — without
+    the checkpoints every branch re-runs the edge extraction + distinct
+    (observed 35 exchanges on the host-graph fixture without them, ~6
+    with)."""
     und = (edges.select(F.least(src, dst).alias("u"),
                         F.greatest(src, dst).alias("v"))
            .filter(F.col("u") != F.col("v")).distinct()
@@ -221,6 +209,27 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
          .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
          .alias("rb")).localCheckpoint(eager=False)
+    return und, deg, o
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census of the undirected simple host graph — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_cc_x10k).
+
+    Shape for 10^8-host graphs: edges canonicalize to u<v and dedup (ONE
+    distinct shuffle); each edge is then ORIENTED from its lower-(degree,
+    node) endpoint to the higher — the compact-forward orientation, which
+    bounds every out-neighborhood by O(sqrt(m)), so the wedge self-join
+    materializes Σ outdeg² pairs instead of Σ deg² (a star-shaped hub
+    generates ZERO wedges as a tail: its edges all point INTO it). Wedges
+    close against the oriented edge list with a second equi-join. The
+    wedge COUNT (denominator of the clustering coefficient) never joins at
+    all — it's Σ d(d-1)/2 off the degree table. Degree tables are
+    node-sized; AQE broadcasts them when they fit.
+
+    global_cc_x10k = floor(3·T·10000 / W) — exact ints into one IEEE
+    division, bit-identical across engines."""
+    und, deg, o = _und_deg_oriented(edges, src, dst)
     w1 = o.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
     w2 = o.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
     wedges = w1.join(w2, "a").filter(F.col("rx") < F.col("ry"))
@@ -267,3 +276,189 @@ def sql_triangle_stats(edges_cte: str, src: str = "src", dst: str = "dst") -> st
                               / CAST(n_wedges AS DOUBLE)) AS BIGINT)
                     ELSE 0 END AS global_cc_x10k
         FROM st, tri"""
+
+
+RA_SCALE = 1_000_000_000_000  # resource-allocation unit mass, picos
+
+
+def local_clustering(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient — exact integers:
+    (host, degree, n_tri, cc_ppm) with cc_ppm = (2·t·1e6) div (d·(d-1)).
+
+    Same compact-forward orientation as triangle_stats (reference parity:
+    per-feature stats loops in geobuf readers are per-entity, this is the
+    graph analogue): each triangle is FOUND once as a closed wedge
+    (a; x, y) and then CREDITED to its three corners with one explode —
+    no per-corner re-join. Only nodes with d ≥ 2 can close a wedge, so
+    the output keeps exactly those (singletons/leaves carry no signal).
+    Scale: the wedge join is bounded by Σ outdeg² = O(m^1.5); the corner
+    explode is 3 rows per triangle; the degree join is node-sized (AQE
+    broadcasts it when it fits)."""
+    und, deg, o = _und_deg_oriented(edges, src, dst)
+    w1 = o.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    w2 = o.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = w1.join(w2, "a").filter(F.col("rx") < F.col("ry"))
+    tri = wedges.join(o.select(F.col("a").alias("x"), F.col("b").alias("y")),
+                      ["x", "y"])
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("n"))
+    tcnt = corners.groupBy("n").agg(F.count("*").alias("n_tri"))
+    return (deg.filter(F.col("d") >= 2)
+            .join(tcnt, "n", "left")
+            .select(F.col("n").alias("host"),
+                    F.col("d").cast("bigint").alias("degree"),
+                    F.coalesce(F.col("n_tri"), F.lit(0))
+                     .cast("bigint").alias("n_tri"),
+                    (F.coalesce(F.col("n_tri"), F.lit(0)) * 2 * 1_000_000)
+                    .cast("bigint").alias("_num"))
+            .withColumn("cc_ppm",
+                        F.expr("_num div (degree * (degree - 1))"))
+            .drop("_num"))
+
+
+def sql_local_clustering(edges_cte: str, src: str = "src",
+                         dst: str = "dst") -> str:
+    """DuckDB twin of local_clustering over a WITH clause ending in
+    ed({src}, {dst}). Brute per-corner wedge close at oracle scale; the
+    2·t·1e6 numerator stays far inside BIGINT."""
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least({src}, {dst}) AS u,
+                                greatest({src}, {dst}) AS v
+                FROM ed WHERE {src} <> {dst}),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+        tc AS (SELECT a.n, count(*) AS n_tri
+               FROM adj a JOIN adj b ON a.n = b.n AND a.nb < b.nb
+               JOIN und e ON e.u = a.nb AND e.v = b.nb
+               GROUP BY 1)
+        SELECT deg.n AS host, CAST(deg.d AS BIGINT) AS degree,
+               CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST((coalesce(tc.n_tri, 0) * 2 * 1000000)
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN tc ON tc.n = deg.n
+        WHERE deg.d >= 2"""
+
+
+def resource_allocation(edges: DataFrame, src: str = "src",
+                        dst: str = "dst", min_common: int = 2) -> DataFrame:
+    """Resource-allocation link prediction over the undirected simple
+    graph: for each non-adjacent pair (a, b) with ≥ min_common common
+    neighbors, score = Σ_z RA_SCALE div d(z) over common neighbors z —
+    the RA index in exact pico-units (no log, unlike Adamic-Adar, so the
+    fixed-point form is engine-exact). Output: (host_a, host_b, n_common,
+    ra_fp).
+
+    Scale: the center expansion is Σ d(z)² pairs — production caps center
+    degree (the fixture's hub cap is the contract, like the LSH bucket
+    caps); the existing-edge removal is a LEFT ANTI join on the
+    canonical pair, and the per-z mass d(z) rides the adjacency row so
+    the pair rollup is ONE shuffle."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"), F.col("u").alias("nb"))))
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    adw = adj.join(deg, "n").select(
+        F.col("n"), F.col("nb"),
+        F.expr(f"CAST({RA_SCALE} AS BIGINT) div d").alias("mass"))
+    a = adw.select(F.col("n"), F.col("nb").alias("host_a"), "mass")
+    b = adw.select(F.col("n"), F.col("nb").alias("host_b"))
+    pairs = (a.join(b, "n")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .join(und.select(F.col("u").alias("host_a"),
+                              F.col("v").alias("host_b")),
+                   ["host_a", "host_b"], "left_anti")
+             .groupBy("host_a", "host_b")
+             .agg(F.count("*").alias("n_common"),
+                  F.sum("mass").alias("ra_fp")))
+    return pairs.filter(F.col("n_common") >= min_common)
+
+
+def sql_resource_allocation(edges_cte: str, src: str = "src",
+                            dst: str = "dst", min_common: int = 2) -> str:
+    """DuckDB twin of resource_allocation over a WITH clause ending in
+    ed({src}, {dst})."""
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least({src}, {dst}) AS u,
+                                greatest({src}, {dst}) AS v
+                FROM ed WHERE {src} <> {dst}),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+        adw AS (SELECT adj.n, adj.nb,
+                       CAST({RA_SCALE} AS BIGINT) // deg.d AS mass
+                FROM adj JOIN deg ON deg.n = adj.n),
+        pr AS (SELECT a.nb AS host_a, b.nb AS host_b,
+                      count(*) AS n_common, sum(a.mass) AS ra_fp
+               FROM adw a JOIN adw b ON a.n = b.n AND a.nb < b.nb
+               WHERE NOT EXISTS (SELECT 1 FROM und e
+                                 WHERE e.u = a.nb AND e.v = b.nb)
+               GROUP BY 1, 2)
+        SELECT host_a, host_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(ra_fp AS BIGINT) AS ra_fp
+        FROM pr WHERE n_common >= {min_common}"""
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS distance (≤ max_hops) over the undirected simple
+    graph: (host, hop) with hop = min #edges from any seed. seeds is a
+    one-column DataFrame named 'host'.
+
+    The loop is frontier-style: each round joins the CURRENT distance
+    table against the adjacency list and re-mins — hop h settles in round
+    h, and min() keeps earlier settlements. Each round is ONE join + ONE
+    agg shuffle; localCheckpoint between rounds cuts the lineage so round
+    k does not replay rounds 1..k-1 (the same pattern as pagerank_int).
+    max_hops is a small constant (web-graph diameters at 3 hops already
+    cover most of a domain's neighborhood), so the unrolled oracle stays
+    finite."""
+    adj = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    adj = (adj.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(adj.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+           .localCheckpoint(eager=False))
+    dist = seeds.select(F.col("host"), F.lit(0).alias("hop"))
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hop") == h - 1)
+        nxt = (frontier.join(adj, frontier["host"] == adj["n"])
+               .select(F.col("nb").alias("host"), F.lit(h).alias("hop")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("host").agg(F.min("hop").alias("hop"))
+                .localCheckpoint(eager=False))
+    return dist.select("host", F.col("hop").cast("int").alias("hop"))
+
+
+def sql_bfs_hops(edges_cte: str, seed_pred: str, max_hops: int = 3,
+                 src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of bfs_hops: the frontier loop unrolled as chained
+    CTEs bfs0..bfs{max_hops}; seed_pred is a boolean SQL predicate over the
+    node name column `n` of the adjacency CTE."""
+    steps = []
+    for h in range(1, max_hops + 1):
+        steps.append(f"""
+        bfs{h} AS (SELECT host, min(hop) AS hop FROM (
+                    SELECT host, hop FROM bfs{h - 1}
+                    UNION ALL
+                    SELECT adj.nb AS host, {h} AS hop
+                    FROM bfs{h - 1} f JOIN adj ON adj.n = f.host
+                    WHERE f.hop = {h - 1})
+                 GROUP BY 1)""")
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least({src}, {dst}) AS u,
+                                greatest({src}, {dst}) AS v
+                FROM ed WHERE {src} <> {dst}),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        nodes AS (SELECT DISTINCT n FROM adj),
+        bfs0 AS (SELECT n AS host, 0 AS hop FROM nodes WHERE {seed_pred}),
+        {','.join(steps)}
+        SELECT host, CAST(hop AS INT) AS hop FROM bfs{max_hops}"""

@@ -118,3 +118,107 @@ def test_pagerank_empty_and_self_loop(spark):
     got = graph.pagerank_int(loop, 3).collect()
     assert len(got) == 1 and got[0]["rank_ppm"] == brute_pagerank_int(
         [("x", "x")], 3)["x"]
+
+
+# ---------------------------------------------------------------------------
+# batch 19: local clustering / resource allocation / BFS
+# ---------------------------------------------------------------------------
+
+# K4 on a-b-c-d (every pair linked) + pendant e-a + disjoint edge f-g:
+# all K4 nodes have cc = 1 except a (degree 4 with one open pendant wedge).
+CLUST_EDGES = [
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("e", "a"), ("f", "g"),
+    ("b", "a"),  # reverse duplicate must not double-count
+]
+
+
+def test_local_clustering_vs_known(spark):
+    df = spark.createDataFrame(CLUST_EDGES, ["src", "dst"])
+    got = {r["host"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+           for r in graph.local_clustering(df).collect()}
+    # e, f, g have degree < 2 → excluded
+    assert set(got) == {"a", "b", "c", "d"}
+    # a: degree 4 (b,c,d,e), triangles 3 (bcd pairs), cc = 6/12 = 0.5
+    assert got["a"] == (4, 3, 500_000)
+    # b, c, d: degree 3 inside K4, all 3 wedges closed
+    for n in ("b", "c", "d"):
+        assert got[n] == (3, 3, 1_000_000)
+
+
+def test_local_clustering_sql_twin(spark):
+    df = spark.createDataFrame(CLUST_EDGES, ["src", "dst"])
+    got = {r["host"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+           for r in graph.local_clustering(df).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in CLUST_EDGES)
+    sql = graph.sql_local_clustering(
+        f"ed AS (SELECT * FROM (VALUES {vals}) v(src, dst))")
+    oracle = {h: (d, t, c) for h, d, t, c in duckdb.sql(sql).fetchall()}
+    assert got == oracle
+
+
+def test_resource_allocation_vs_brute(spark):
+    df = spark.createDataFrame(CLUST_EDGES, ["src", "dst"])
+    got = {(r["host_a"], r["host_b"]): (r["n_common"], r["ra_fp"])
+           for r in graph.resource_allocation(df, min_common=1).collect()}
+    # brute: undirected simple graph
+    und = {tuple(sorted(e)) for e in CLUST_EDGES if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    exp = {}
+    for a in adj:
+        for b in adj:
+            if a < b and b not in adj[a]:
+                common = adj[a] & adj[b]
+                if common:
+                    exp[(a, b)] = (
+                        len(common),
+                        sum(graph.RA_SCALE // len(adj[z]) for z in common))
+    assert got == exp
+    # e-b: common neighbor a (deg 4) → 1/4 mass, and NOT adjacent
+    assert got[("b", "e")] == (1, graph.RA_SCALE // 4)
+
+
+def test_resource_allocation_sql_twin(spark):
+    df = spark.createDataFrame(CLUST_EDGES, ["src", "dst"])
+    got = {(r["host_a"], r["host_b"]): (r["n_common"], r["ra_fp"])
+           for r in graph.resource_allocation(df, min_common=2).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in CLUST_EDGES)
+    sql = graph.sql_resource_allocation(
+        f"ed AS (SELECT * FROM (VALUES {vals}) v(src, dst))", min_common=2)
+    oracle = {(a, b): (n, fp) for a, b, n, fp in duckdb.sql(sql).fetchall()}
+    assert got == oracle
+    # existing edges never appear
+    assert ("a", "b") not in got
+
+
+# path graph s-x1-x2-x3-x4 plus seed t adjacent to x3: min-hop semantics
+BFS_EDGES = [("s", "x1"), ("x1", "x2"), ("x2", "x3"), ("x3", "x4"),
+             ("t", "x3"), ("far1", "far2")]
+
+
+def test_bfs_hops_min_semantics(spark):
+    df = spark.createDataFrame(BFS_EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",), ("t",)], ["host"])
+    got = {r["host"]: r["hop"]
+           for r in graph.bfs_hops(df, seeds, max_hops=3).collect()}
+    # x3 is 3 hops from s but 1 from t → min wins; x4 settles via t at 2
+    assert got == {"s": 0, "t": 0, "x1": 1, "x2": 2, "x3": 1, "x4": 2}
+    # far1/far2 unreachable → absent
+
+
+def test_bfs_hops_sql_twin(spark):
+    df = spark.createDataFrame(BFS_EDGES, ["src", "dst"])
+    nodes = (df.selectExpr("src AS host").union(df.selectExpr("dst"))
+             .distinct())
+    seeds = nodes.filter("host IN ('s', 't')")
+    got = {r["host"]: r["hop"]
+           for r in graph.bfs_hops(df, seeds, max_hops=2).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in BFS_EDGES)
+    sql = graph.sql_bfs_hops(
+        f"ed AS (SELECT * FROM (VALUES {vals}) v(src, dst))",
+        "n IN ('s', 't')", max_hops=2)
+    oracle = dict(duckdb.sql(sql).fetchall())
+    assert got == oracle

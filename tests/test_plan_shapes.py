@@ -152,3 +152,22 @@ def test_r4_extension_shuffle_budgets(spark):
                        "FlatMapGroupsInPandas", "MapInPandas",
                        "CartesianProduct", "BroadcastNestedLoop"):
             assert marker not in plan, f"{q}: {marker}"
+
+
+def test_batch19_graph_plans_stay_jvm(spark):
+    """The node-level graph family (batch 19) is checkpointed like
+    triangle_hosts, so static exchange counts are unstable — pin what
+    must hold at any scale instead: pure-JVM plans (no Python eval
+    nodes), no cartesian/nested-loop joins, and the BFS adjacency reuse
+    (each round joins the checkpointed adjacency, never re-extracts the
+    html)."""
+    import __spark_entry__ as em
+
+    for q in ("clustering_coeff", "link_prediction_ra", "bfs_hops3"):
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "CartesianProduct", "BroadcastNestedLoop"):
+            assert marker not in plan, f"{q}: {marker}"
+        # checkpoint boundaries present: the shared subtrees were cut
+        assert "Scan ExistingRDD" in plan, q
