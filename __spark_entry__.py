@@ -3501,6 +3501,138 @@ def _bfs_hops3_sql() -> str:
                               src="src", dst="dst")
 
 
+# ---------------------------------------------------------------------------
+# Hilbert clustering key / spatial autocorrelation / window deciles /
+# collocation lift — batch 19
+# ---------------------------------------------------------------------------
+
+MORAN_BIN = 10_000_000  # 1° cells on the 1e-7 lattice
+PMI_MIN_COUNT, PMI_MIN_LIFT_PPM = 10, 1_050_000
+
+
+def q_hilbert_keys_z8(spark, sf):
+    # Hilbert-curve clustering key for every z=8 tile assignment — the
+    # tighter-locality sibling of morton_keys_z8 (a bbox window crosses
+    # O(perimeter) contiguous Hilbert ranges vs the Z-curve's diagonal
+    # jumps — why Iceberg grew hilbert next to zorder). Stateful per-level
+    # rotation → ONE vectorized numpy pass per Arrow batch, zero shuffle
+    # (functions/tiles.with_hilbert_key); the oracle runs the same scan as
+    # z nested subqueries, verified bit-exact over the full 256×256 grid.
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8)
+
+
+def _hilbert_keys_z8_sql() -> str:
+    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
+             f"{tiles.sql_tile_y('lat', 8)} AS y "
+             f"FROM ({minted.SQL_MINTED_POINTS})")
+    return tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
+
+
+def q_moran_i_tiles(spark, sf):
+    # global Moran's I over a 1°-cell count lattice (queen weights) —
+    # "are dense cells adjacent to dense cells?", the standard first
+    # question about any spatial rollup. Runs on the CLUSTERED minting
+    # (the uniform draws put ≤1 point per cell — zero variance, I
+    # undefined); binning is pure integer division on the quantized
+    # lattice. Exact integer num/den (deviations multiplied through by n)
+    # + one IEEE-deterministic double; plan is one corpus-scale cell agg,
+    # an 8-offset fan-out, ONE equi-join over occupied cells, two
+    # single-row aggs (operators/raster.morans_i).
+    from geobuf_spark.operators import raster
+    p = minted.minted_cluster_points_q(spark, sf)
+    counts = (p.groupBy((F.col("qx") / MORAN_BIN).cast("bigint").alias("x"),
+                        (F.col("qy") / MORAN_BIN).cast("bigint").alias("y"))
+              .agg(F.count("*").alias("n")))
+    return raster.morans_i(counts)
+
+
+def _moran_i_tiles_sql() -> str:
+    from geobuf_spark.operators import raster
+    counts = (f"SELECT qx // {MORAN_BIN} AS x, qy // {MORAN_BIN} AS y, "
+              f"count(*) AS n "
+              f"FROM ({minted.sql_minted_cluster_points_q()}) GROUP BY 1, 2")
+    return raster.sql_morans_i(counts)
+
+
+def q_ntile_len_deciles(spark, sf):
+    # per-language length deciles via the ntile window — the rank-family
+    # operator the registry lacked (row_number/topk exist; ntile's
+    # first-buckets-get-the-remainder split is its own contract, identical
+    # in Spark and DuckDB). (n_chars, doc_id) ordering makes every bucket
+    # assignment deterministic; output is the per-decile envelope.
+    from pyspark.sql import Window as Win
+    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (_docs(spark, sf)
+            .select("lang", "n_chars", "doc_id",
+                    F.ntile(10).over(w).alias("decile"))
+            .groupBy("lang", "decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def _ntile_len_deciles_sql() -> str:
+    return """
+        WITH d AS (SELECT lang, n_chars, doc_id,
+                          ntile(10) OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id) AS decile
+                   FROM documents)
+        SELECT lang, decile, count(*) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d GROUP BY 1, 2"""
+
+
+def q_pmi_bigrams(spark, sf):
+    # corpus collocations by directed lift P(w2|w1)/P(w2) — the PMI family
+    # in exact integer rationals (lift_ppm = 1e6·c_xy·M DIV c_x·c_y; no
+    # cross-engine log). Bigrams come from zipping the token array with
+    # its own tail (zero shuffle until the count agg); the two unigram
+    # lookups broadcast (vocab-sized); the corpus total joins on a literal
+    # key. Thresholds keep only real collocations: c_xy ≥ 10, lift > 1.05.
+    toks = _docs(spark, sf).select(F.split("text", " ").alias("t"))
+    big = (toks.select(F.explode(F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"))).alias("b"))
+           .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+           .agg(F.count("*").alias("c_xy")))
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    m = uni.agg(F.sum("c").alias("m_tokens")).withColumn("_k", F.lit(1))
+    out = (big
+           .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                        F.col("c").alias("c_x"))), "w1")
+           .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                        F.col("c").alias("c_y"))), "w2")
+           .withColumn("_k", F.lit(1))
+           .join(F.broadcast(m), "_k")
+           .withColumn("lift_ppm", F.expr(
+               "(1000000 * c_xy * m_tokens) DIV (c_x * c_y)")))
+    return (out.filter((F.col("c_xy") >= PMI_MIN_COUNT)
+                       & (F.col("lift_ppm") > PMI_MIN_LIFT_PPM))
+            .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm"))
+
+
+def _pmi_bigrams_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT string_split(text, chr(32)) AS t FROM documents),
+        big AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_xy
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+                GROUP BY 1, 2),
+        uni AS (SELECT t[i] AS w, count(*) AS c
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+                GROUP BY 1),
+        m AS (SELECT CAST(sum(c) AS BIGINT) AS m_tokens FROM uni)
+        SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+               CAST((1000000 * c_xy * m_tokens) // (a.c * b.c) AS BIGINT)
+                   AS lift_ppm
+        FROM big JOIN uni a ON a.w = big.w1 JOIN uni b ON b.w = big.w2, m
+        WHERE c_xy >= {PMI_MIN_COUNT}
+          AND CAST((1000000 * c_xy * m_tokens) // (a.c * b.c) AS BIGINT)
+              > {PMI_MIN_LIFT_PPM}"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
@@ -3524,6 +3656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "hilbert_keys_z8": q_hilbert_keys_z8,
+        "moran_i_tiles": q_moran_i_tiles,
+        "ntile_len_deciles": q_ntile_len_deciles,
+        "pmi_bigrams": q_pmi_bigrams,
         "clustering_coeff": q_clustering_coeff,
         "link_prediction_ra": q_link_prediction_ra,
         "bfs_hops3": q_bfs_hops3,
@@ -5527,6 +5663,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "hilbert_keys_z8": _hilbert_keys_z8_sql(),
+        "moran_i_tiles": _moran_i_tiles_sql(),
+        "ntile_len_deciles": _ntile_len_deciles_sql(),
+        "pmi_bigrams": _pmi_bigrams_sql(),
         "gopher_quality_flags": _gopher_quality_sql(),
         "top_ngram_frac": _top_ngram_frac_sql(),
         "pii_scrub": _pii_scrub_sql(),

@@ -299,3 +299,102 @@ def cluster_by_morton(df, z: int, lon: str = "lon", lat: str = "lat",
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     return (out.repartitionByRange(n, "_morton")
             .sortWithinPartitions("_morton"))
+
+
+# --- Hilbert spatial clustering key ----------------------------------------
+# The Hilbert curve is the tighter clustering sibling of the Z-curve: a
+# bbox scan window crosses O(perimeter) contiguous Hilbert ranges, where
+# the Z-curve takes long diagonal jumps across the window (the reason
+# Iceberg grew hilbert alongside zorder for sort-order transforms). The
+# per-level quadrant rotation threads STATE through the bit scan, so a
+# bounded Column tree can't express it (each level roughly triples the
+# expression after CollapseProject inlines the CASEs); the engine side is
+# one vectorized numpy pass per Arrow batch — zero shuffle, linear work —
+# and the oracle side is z nested subqueries, one level each (linear SQL).
+
+
+def hilbert_np(x, y, z: int):
+    """Vectorized xy→d Hilbert index (the classic rotate-and-accumulate
+    scan, one iteration per level over whole numpy arrays)."""
+    import numpy as np
+
+    x = x.astype(np.int64, copy=True)
+    y = y.astype(np.int64, copy=True)
+    d = np.zeros(len(x), dtype=np.int64)
+    n = 1 << z
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant: ry==0 → (flip when rx==1, then swap axes)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, n - 1 - x, x)
+        yf = np.where(flip, n - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def with_hilbert_key(df, x: str = "x", y: str = "y", z: int = 8,
+                     out: str = "hilbert"):
+    """df + `out` bigint Hilbert index of tile (`x`, `y`) at zoom z ≤ 16.
+
+    mapInArrow pass-through: every input column survives untouched (same
+    contract as the codec kernels); the key lands as the last column."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if z > 16:
+        raise ValueError("hilbert key supports z <= 16")
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.LongType())])
+    xi = df.columns.index(x)
+    yi = df.columns.index(y)
+
+    def _kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            xs = batch.column(xi).to_numpy(zero_copy_only=False)
+            ys = batch.column(yi).to_numpy(zero_copy_only=False)
+            d = hilbert_np(xs, ys, z)
+            yield batch.append_column(out, pa.array(d, pa.int64()))
+
+    return df.mapInArrow(_kernel, schema)
+
+
+def sql_hilbert_wrap(inner: str, passthrough: list, x: str = "x",
+                     y: str = "y", z: int = 8, out: str = "hilbert") -> str:
+    """DuckDB twin of with_hilbert_key: wraps `inner` (a query yielding
+    the passthrough columns plus integer `x`, `y`) in one subquery per
+    Hilbert level. Level-numbered column names keep every reference
+    unambiguous (DuckDB lateral alias references would otherwise be able
+    to capture a same-named output column)."""
+    if z > 16:
+        raise ValueError("hilbert key supports z <= 16")
+    cols = ", ".join(passthrough)
+    n = 1 << z
+    q = (f"SELECT {cols}, CAST({x} AS BIGINT) AS hx0, "
+         f"CAST({y} AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 "
+         f"FROM ({inner})")
+    lvl = 0
+    s = n >> 1
+    while s > 0:
+        hx, hy, hd = f"hx{lvl}", f"hy{lvl}", f"hd{lvl}"
+        lvl += 1
+        rx, ry = f"rx{lvl}", f"ry{lvl}"
+        q = (f"SELECT {cols}, {hx}, {hy}, "
+             f"CASE WHEN ({hx} & {s}) > 0 THEN 1 ELSE 0 END AS {rx}, "
+             f"CASE WHEN ({hy} & {s}) > 0 THEN 1 ELSE 0 END AS {ry}, "
+             f"{hd} + {s * s} * xor(3 * CASE WHEN ({hx} & {s}) > 0 THEN 1 "
+             f"ELSE 0 END, CASE WHEN ({hy} & {s}) > 0 THEN 1 ELSE 0 END) "
+             f"AS hd{lvl} FROM ({q})")
+        q = (f"SELECT {cols}, "
+             f"CASE WHEN {ry} = 1 THEN {hx} WHEN {rx} = 1 "
+             f"THEN {n - 1} - {hy} ELSE {hy} END AS hx{lvl}, "
+             f"CASE WHEN {ry} = 1 THEN {hy} WHEN {rx} = 1 "
+             f"THEN {n - 1} - {hx} ELSE {hx} END AS hy{lvl}, "
+             f"hd{lvl} FROM ({q})")
+        s >>= 1
+    return f"SELECT {cols}, hd{lvl} AS {out} FROM ({q})"

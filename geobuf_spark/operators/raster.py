@@ -100,3 +100,102 @@ def raster_to_tiles(raster: DataFrame, path: str) -> None:
     from geobuf_spark.operators.tiling import write_tiles
 
     write_tiles(raster, path)
+
+
+def morans_i(counts: DataFrame, x: str = "x", y: str = "y",
+             v: str = "n") -> DataFrame:
+    """Global Moran's I over a sparse tile-count lattice with queen
+    (8-neighbor) binary weights — the standard spatial-autocorrelation
+    statistic ("are dense tiles next to dense tiles?"), in EXACT integer
+    arithmetic so the DuckDB twin hashes identically.
+
+    With dev_i = n·v_i − S (deviations multiplied through by n to stay
+    integral, S = Σv), Moran's I = (n/W) · Σ_w dev_i dev_j / Σ dev_i².
+    The pair sum expands so each piece is a plain aggregate — no scalar
+    needs to reach the pair join:
+
+        Σ_w dev_i dev_j = n²·A − n·S·B + S²·W
+        Σ   dev_i²      = n²·Q − n·S²
+
+    where A = Σ_w v_i v_j, B = Σ_w (v_i + v_j), W = ordered adjacent pair
+    count, Q = Σ v². Plan: one 8-offset fan-out + ONE equi-join shuffle
+    over occupied tiles + two single-row aggregates joined on a literal
+    key (broadcast). Only observed (count>0) cells enter the lattice —
+    the sparse convention; at 10^12 docs the occupied-tile table is the
+    small rollup, never the corpus. num/den stay exact BIGINTs at any
+    bench SF (|num| ≤ n²·S² needs n·S < 3·10^9 — document scale, not
+    row scale); the headline double is two IEEE-exact casts, one multiply
+    each side, one divide — bit-equal cross-engine."""
+    cells = counts.select(
+        F.col(x).cast("bigint").alias("cx"),
+        F.col(y).cast("bigint").alias("cy"),
+        F.col(v).cast("bigint").alias("cv"),
+    ).localCheckpoint(eager=False)
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ])
+    probe = (cells.select("cx", "cy", "cv", F.explode(offs).alias("o"))
+             .select((F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy"),
+                     F.col("cv").alias("v_i")))
+    pairs = probe.join(cells, ["cx", "cy"]).select("v_i", F.col("cv").alias("v_j"))
+    pair_agg = pairs.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum(F.col("v_i") * F.col("v_j")).alias("a_sum"),
+        F.sum(F.col("v_i") + F.col("v_j")).alias("b_sum"),
+    ).withColumn("_k", F.lit(1))
+    cell_agg = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("cv").alias("s_sum"),
+        F.sum(F.col("cv") * F.col("cv")).alias("q_sum"),
+    ).withColumn("_k", F.lit(1))
+    j = cell_agg.join(F.broadcast(pair_agg), "_k")
+    n, s = F.col("n_cells"), F.col("s_sum")
+    num = n * n * F.col("a_sum") - n * s * F.col("b_sum") + s * s * F.col("w_pairs")
+    den = n * n * F.col("q_sum") - n * s * s
+    # zero variance (every occupied cell holds the same count) leaves I
+    # undefined — NULL, matching the oracle's NULLIF
+    ok = (den != 0) & (F.col("w_pairs") != 0)
+    return j.select(
+        "n_cells", "w_pairs",
+        num.alias("num_scaled"), den.alias("den_scaled"),
+        F.when(ok, (n.cast("double") * num.cast("double"))
+               / (F.col("w_pairs").cast("double") * den.cast("double")))
+        .alias("morans_i"),
+    )
+
+
+def sql_morans_i(counts_sql: str, x: str = "x", y: str = "y",
+                 v: str = "n") -> str:
+    """DuckDB twin of morans_i over a (x, y, v) counts subquery."""
+    return f"""
+        WITH mi_cells AS (SELECT CAST({x} AS BIGINT) AS cx,
+                                 CAST({y} AS BIGINT) AS cy,
+                                 CAST({v} AS BIGINT) AS cv
+                          FROM ({counts_sql})),
+        mi_offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                    (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        mi_pairs AS (SELECT i.cv AS v_i, j.cv AS v_j
+                     FROM mi_cells i CROSS JOIN mi_offs o
+                     JOIN mi_cells j ON j.cx = i.cx + o.dx
+                                    AND j.cy = i.cy + o.dy),
+        mi_pa AS (SELECT count(*) AS w_pairs, sum(v_i * v_j) AS a_sum,
+                         sum(v_i + v_j) AS b_sum FROM mi_pairs),
+        mi_ca AS (SELECT count(*) AS n_cells, sum(cv) AS s_sum,
+                         sum(cv * cv) AS q_sum FROM mi_cells)
+        SELECT CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(w_pairs AS BIGINT) AS w_pairs,
+               CAST(n_cells * n_cells * a_sum - n_cells * s_sum * b_sum
+                    + s_sum * s_sum * w_pairs AS BIGINT) AS num_scaled,
+               CAST(n_cells * n_cells * q_sum - n_cells * s_sum * s_sum
+                    AS BIGINT) AS den_scaled,
+               (CAST(n_cells AS DOUBLE)
+                * CAST(CAST(n_cells * n_cells * a_sum - n_cells * s_sum * b_sum
+                       + s_sum * s_sum * w_pairs AS BIGINT) AS DOUBLE))
+               / NULLIF(CAST(w_pairs AS DOUBLE)
+                  * CAST(CAST(n_cells * n_cells * q_sum
+                         - n_cells * s_sum * s_sum AS BIGINT) AS DOUBLE), 0.0)
+               AS morans_i
+        FROM mi_ca CROSS JOIN mi_pa"""

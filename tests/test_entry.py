@@ -103,6 +103,8 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "hilbert_keys_z8", "moran_i_tiles", "ntile_len_deciles",
+        "pmi_bigrams",
         "clustering_coeff", "link_prediction_ra", "bfs_hops3",
         "gopher_quality_flags", "top_ngram_frac", "pii_scrub",
         "rare_token_ratio", "triangle_hosts", "kmv_setops",
@@ -118,16 +120,16 @@ def test_driver_window_invariants():
         "anchor_text_topk", "knn_label_vote", "host_mirrors", "mlt_topk",
         "zonal_stats", "wkt_quantized", "line_cover",
         "radius_join_pairs", "simplify_vw", "geohash6", "hotspot_clusters",
-        "bm25_topk", "inverted_postings", "hits_hosts",
-        "bloom_join_prune",
     ]
-    # the r4 extension grew 77 never-rowed queries — 27 more than the
+    # the r4 extension grew 81 never-rowed queries — 31 more than the
     # window holds. These twenty-seven (registry tail order; longest
     # sweep-green history) queue for their first driver row in the NEXT
     # window; they must sit immediately after position 50 so that
     # rotation is mechanical. Every one is covered by the local
     # full-contract sweep.
-    overflow = ["quadkey_z8", "geom_area_centroid", "sketch_kmv_lang",
+    overflow = ["bm25_topk", "inverted_postings", "hits_hosts",
+                "bloom_join_prune",
+                "quadkey_z8", "geom_area_centroid", "sketch_kmv_lang",
                 "sketch_bloom_doc_gate", "sketch_cms_lang",
                 "sketch_hll_docs",
                 "doc_len_percentiles", "host_tile_footprint",
@@ -140,4 +142,4 @@ def test_driver_window_invariants():
                 "url_host_topk", "dup_ngram_stats"]
     missing = [n for n in never_rowed if n not in window]
     assert not missing, missing
-    assert list(q)[50:77] == overflow
+    assert list(q)[50:81] == overflow
