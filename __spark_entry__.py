@@ -3634,6 +3634,108 @@ def _pmi_bigrams_sql() -> str:
               > {PMI_MIN_LIFT_PPM}"""
 
 
+# ---------------------------------------------------------------------------
+# edit-distance near-dups / weighted sampling / NN distance stats — batch 20
+# ---------------------------------------------------------------------------
+
+WSAMPLE_MOD = 1000  # inclusion prob = n_chars per-mille (n_chars < 1000)
+
+
+def q_host_edit_near_dups(spark, sf):
+    # typosquat candidates: host pairs at edit distance ≤ 1, EXACT but
+    # never all-pairs — pigeonhole half-key blocking + thresholded
+    # levenshtein refine (operators/dedup.edit1_near_pairs; pytest pins
+    # completeness vs a brute-force oracle on adversarial strings). The
+    # minted hosts share their '.example' suffix half, so that one block
+    # is deliberately dense — the docstring documents the web-scale
+    # mitigation (strip the public suffix / cap blocks).
+    p = pages.pages(spark, 2000)
+    hosts = p.select(TXT.url_host(F.col("url")).alias("host"))
+    return (dedup.edit1_near_pairs(hosts, "host")
+            .select(F.col("s_a").alias("host_a"), F.col("s_b").alias("host_b")))
+
+
+def _host_edit_near_dups_sql() -> str:
+    # independent method: brute-force O(n²) over the distinct hosts —
+    # DuckDB's levenshtein is the same unit-cost edit distance
+    return f"""
+        WITH {_pages_cte()},
+        h AS (SELECT DISTINCT {TXT.sql_url_host('url')} AS host FROM txt)
+        SELECT a.host AS host_a, b.host AS host_b
+        FROM h a JOIN h b ON a.host < b.host
+        WHERE levenshtein(a.host, b.host) <= 1"""
+
+
+def q_weighted_sample_docs(spark, sf):
+    # deterministic length-weighted Bernoulli sample: doc kept iff
+    # hash60('ws-'||doc_id) mod 1000 < n_chars — inclusion probability
+    # n_chars per-mille, so long documents are oversampled exactly as a
+    # quality-weighted corpus draw would at 100 TB (pure per-row
+    # expressions, zero shuffle; Horvitz-Thompson reweighting downstream
+    # divides by incl_prob_pm). The md5 bridge makes the draw the SAME
+    # bits on both engines — no RNG, rerun-stable (sample_stratified's
+    # contract, with a per-row weight instead of per-stratum rates).
+    d = _docs(spark, sf)
+    u = F.pmod(phash.hash60(F.concat(F.lit("ws-"),
+                                     F.col("doc_id").cast("string"))),
+               F.lit(WSAMPLE_MOD))
+    return (d.filter(u < F.col("n_chars"))
+            .select("doc_id", "lang", "n_chars",
+                    F.col("n_chars").alias("incl_prob_pm")))
+
+
+def _weighted_sample_docs_sql() -> str:
+    u = phash.sql_hash60("'ws-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang, n_chars, n_chars AS incl_prob_pm
+        FROM documents
+        WHERE ({u}) % {WSAMPLE_MOD} < n_chars"""
+
+
+def q_nn_dist_stats(spark, sf):
+    # nearest-neighbor distance statistics per 1° cell — the point-pattern
+    # dispersion diagnostic (clustered vs dispersed) next to moran_i's
+    # intensity autocorrelation. NN comes from the SAME grid-bucketed
+    # distance join as radius_join_pairs (both pair orientations, min d²
+    # per point: exact lattice integers); points with no neighbor inside
+    # RADIUS_R drop out (documented estimator truncation — at corpus
+    # scale the radius is chosen from the density histogram).
+    from geobuf_spark.sources.tables import widen
+    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
+    pairs = sj.radius_self_join(p, r=RADIUS_R)
+    both = (pairs.select(F.col("id_a").alias("doc_id"), "dist2")
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "dist2")))
+    nn = both.groupBy("doc_id").agg(F.min("dist2").alias("nn_d2"))
+    cells = p.select("doc_id",
+                     (F.col("qx") / MORAN_BIN).cast("bigint").alias("cx"),
+                     (F.col("qy") / MORAN_BIN).cast("bigint").alias("cy"))
+    return (nn.join(cells, "doc_id")
+            .groupBy("cx", "cy")
+            .agg(F.count("*").alias("n_pts"),
+                 F.sum("nn_d2").alias("sum_nn_d2"),
+                 F.min("nn_d2").alias("min_nn_d2"),
+                 F.max("nn_d2").alias("max_nn_d2")))
+
+
+def _nn_dist_stats_sql() -> str:
+    return f"""
+        WITH p AS ({minted.sql_minted_cluster_points_q()}),
+        cand AS (SELECT a.doc_id, a.qx - b.qx AS dx, a.qy - b.qy AS dy
+                 FROM p a JOIN p b ON a.doc_id != b.doc_id),
+        d AS (SELECT doc_id,
+                     CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy AS d2
+              FROM cand),
+        nn AS (SELECT doc_id, CAST(min(d2) AS BIGINT) AS nn_d2
+               FROM d GROUP BY doc_id
+               HAVING min(d2) <= {RADIUS_R * RADIUS_R})
+        SELECT p.qx // {MORAN_BIN} AS cx, p.qy // {MORAN_BIN} AS cy,
+               count(*) AS n_pts,
+               CAST(sum(nn_d2) AS BIGINT) AS sum_nn_d2,
+               min(nn_d2) AS min_nn_d2, max(nn_d2) AS max_nn_d2
+        FROM nn JOIN p USING (doc_id)
+        GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -3656,6 +3758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "host_edit_near_dups": q_host_edit_near_dups,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "nn_dist_stats": q_nn_dist_stats,
         "hilbert_keys_z8": q_hilbert_keys_z8,
         "moran_i_tiles": q_moran_i_tiles,
         "ntile_len_deciles": q_ntile_len_deciles,
@@ -5663,6 +5768,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "host_edit_near_dups": _host_edit_near_dups_sql(),
+        "weighted_sample_docs": _weighted_sample_docs_sql(),
+        "nn_dist_stats": _nn_dist_stats_sql(),
         "hilbert_keys_z8": _hilbert_keys_z8_sql(),
         "moran_i_tiles": _moran_i_tiles_sql(),
         "ntile_len_deciles": _ntile_len_deciles_sql(),

@@ -416,3 +416,44 @@ def mirror_pairs(df: DataFrame, group: str, text: str = "text",
                         F.expr("(shared * 1000000) div (na + nb - shared)"))
             .filter(F.col("j_ppm") >= j_min_ppm)
             .select("g_a", "g_b", "shared", "j_ppm"))
+
+
+def edit1_near_pairs(df: DataFrame, s_col: str) -> DataFrame:
+    """Exact edit-distance-≤1 string pairs WITHOUT the quadratic self-join:
+    pigeonhole half-key blocking + levenshtein refine (the typosquat /
+    near-URL detector).
+
+    One edit (substitute, insert, or delete) leaves either the first
+    ⌊L/2⌋ or the last ⌊L/2⌋ characters of BOTH strings untouched, where
+    L is the shorter length. Each distinct string therefore emits four
+    tagged keys — prefix and suffix at lengths ⌊len/2⌋ and ⌊(len−1)/2⌋
+    (the two lengths that can equal ⌊L/2⌋ when the pair's lengths differ
+    by one) — and every qualifying pair collides on at least one key.
+    Same pigeonhole pattern as the SimHash 16-bit chunk join.
+
+    Plan: distinct → 4× key fan-out (map-side) → ONE equi-join on the
+    tagged key → length gate → dedup → thresholded levenshtein refine
+    (Spark's threshold form short-circuits). Block density is
+    data-dependent: a corpus whose strings share a literal half (the
+    minted `*.example` hosts share their suffix half) degenerates that
+    block toward quadratic — at web scale strip the shared public suffix
+    before calling, or cap blocks like minhash's max_bucket at a recall
+    cost. Output (s_a, s_b), s_a < s_b, exact.
+    """
+    base = df.select(F.col(s_col).alias("s")).distinct()
+    keys = []
+    for tag, side in ((0, "substring(s, 1, {k})"), (1, "right(s, {k})")):
+        for dk in (0, 1):
+            k = f"(length(s) - {dk}) div 2"
+            keys.append(F.struct(
+                F.lit(tag).alias("t"),
+                F.expr(k).cast("int").alias("k"),
+                F.expr(side.format(k=k)).alias("f")))
+    keyed = (base.select("s", F.explode(F.array(*keys)).alias("key"))
+             .localCheckpoint(eager=False))
+    cand = (keyed.select(F.col("s").alias("s_a"), "key")
+            .join(keyed.select(F.col("s").alias("s_b"), "key"), "key")
+            .filter((F.col("s_a") < F.col("s_b"))
+                    & (F.abs(F.length("s_a") - F.length("s_b")) <= 1))
+            .select("s_a", "s_b").dropDuplicates(["s_a", "s_b"]))
+    return cand.filter(F.levenshtein("s_a", "s_b", 1) >= 0)
