@@ -3736,6 +3736,224 @@ def _nn_dist_stats_sql() -> str:
         GROUP BY 1, 2"""
 
 
+# ---------------------------------------------------------------------------
+# delta-encoding cost by cell / distributional similarity / interval
+# union coverage — batch 21
+# ---------------------------------------------------------------------------
+
+DELTA_GRID = 256        # cells per axis over the quantized lattice
+COOC_MIN_DIMS, COOC_MIN_COS = 5, 0.60
+IVL_LEN_EXPR = "(event_id % 240 + 30) * 60"  # 0.5–4.5 h in seconds
+
+
+def _sql_zigzag(d: str) -> str:
+    """Portable zigzag (CASE form — bit-shift sign semantics differ across
+    dialects); identical text runs in Spark via F.expr and in DuckDB."""
+    return f"(CASE WHEN ({d}) >= 0 THEN 2 * ({d}) ELSE -2 * ({d}) - 1 END)"
+
+
+def _sql_varint_len(zz: str) -> str:
+    """Varint byte length of a non-negative value < 2^49 — the CASE-sum
+    twin of codec.core.varint_lengths, shared verbatim by both engines."""
+    steps = " + ".join(
+        f"(CASE WHEN ({zz}) >= {1 << (7 * k)} THEN 1 ELSE 0 END)"
+        for k in range(1, 7))
+    return f"(1 + {steps})"
+
+
+def q_delta_bytes_by_tile(spark, sf):
+    # the codec × layout analytic: per grid cell, the geobuf coordinate
+    # payload cost (Σ varint(zigzag(Δqx)) + varint(zigzag(Δqy)), first
+    # feature delta-from-zero — write_primitives.go semantics) under TWO
+    # within-cell orderings: arrival (doc_id) vs Hilbert. The hilbert
+    # column must shrink bytes — the measured justification for
+    # cluster-by-hilbert file layout, computed as pure expressions over
+    # ONE window shuffle (both windows share the cell partitioning; the
+    # second ordering adds a sort, not an exchange).
+    from pyspark.sql import Window as Win
+    p = minted.minted_points_q(spark, sf)
+    g = (p.withColumn("gx", F.expr(f"(qx * {DELTA_GRID}) div 3600000000"))
+         .withColumn("gy", F.expr(f"(qy * {DELTA_GRID}) div 1700000000"))
+         .withColumn("hx", F.expr("(qx * 4096) div 3600000000"))
+         .withColumn("hy", F.expr("(qy * 4096) div 1700000000")))
+    g = tiles.with_hilbert_key(g, x="hx", y="hy", z=12)
+
+    def cost(order_cols):
+        w = Win.partitionBy("gx", "gy").orderBy(*order_cols)
+        dx = F.col("qx") - F.coalesce(F.lag("qx").over(w), F.lit(0))
+        dy = F.col("qy") - F.coalesce(F.lag("qy").over(w), F.lit(0))
+        tmp = (g.withColumn("_dx", dx).withColumn("_dy", dy)
+               .withColumn("_b", F.expr(
+                   _sql_varint_len(_sql_zigzag("_dx")) + " + "
+                   + _sql_varint_len(_sql_zigzag("_dy")))))
+        return tmp.groupBy("gx", "gy").agg(
+            F.count("*").alias("n_pts"), F.sum("_b").alias("bytes"))
+
+    seq = cost(["doc_id"])
+    hil = (cost([F.col("hilbert"), F.col("doc_id")])
+           .withColumnRenamed("bytes", "bytes_hilbert").drop("n_pts"))
+    return (seq.withColumnRenamed("bytes", "bytes_seq")
+            .join(hil, ["gx", "gy"]))
+
+
+def _delta_bytes_by_tile_sql() -> str:
+    pq = minted.SQL_MINTED_POINTS_Q
+    inner = (f"SELECT doc_id, qx, qy, "
+             f"(qx * {DELTA_GRID}) // 3600000000 AS gx, "
+             f"(qy * {DELTA_GRID}) // 1700000000 AS gy, "
+             f"(qx * 4096) // 3600000000 AS x, "
+             f"(qy * 4096) // 1700000000 AS y FROM ({pq})")
+    hil = tiles.sql_hilbert_wrap(
+        inner, ["doc_id", "qx", "qy", "gx", "gy"], z=12)
+    byt = (_sql_varint_len(_sql_zigzag("_dx")) + " + "
+           + _sql_varint_len(_sql_zigzag("_dy")))
+    return f"""
+        WITH h AS ({hil}),
+        seq AS (SELECT gx, gy,
+                       qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
+                            ORDER BY doc_id), 0) AS _dx,
+                       qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
+                            ORDER BY doc_id), 0) AS _dy
+                FROM h),
+        hilo AS (SELECT gx, gy,
+                        qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
+                             ORDER BY hilbert, doc_id), 0) AS _dx,
+                        qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
+                             ORDER BY hilbert, doc_id), 0) AS _dy
+                 FROM h),
+        a AS (SELECT gx, gy, count(*) AS n_pts,
+                     CAST(sum({byt}) AS BIGINT) AS bytes_seq
+              FROM seq GROUP BY 1, 2),
+        b AS (SELECT gx, gy, CAST(sum({byt}) AS BIGINT) AS bytes_hilbert
+              FROM hilo GROUP BY 1, 2)
+        SELECT a.gx, a.gy, n_pts, bytes_seq, bytes_hilbert
+        FROM a JOIN b ON a.gx = b.gx AND a.gy = b.gy"""
+
+
+def q_word_cooc_cosine(spark, sf):
+    # distributional word similarity by counting: each word's vector is
+    # its symmetric ±1 co-occurrence profile; pairs scored by cosine.
+    # Inner products and norms are EXACT integers; the cosine itself is
+    # three IEEE-deterministic ops (two correctly-rounded sqrts, one
+    # multiply, one divide) over identical expression text — bit-equal
+    # cross-engine (line_length_stats precedent). Vocabulary-sized
+    # tables: both joins broadcast; the only corpus-scale work is the
+    # token-pair count.
+    toks = _docs(spark, sf).select(F.split("text", " ").alias("t"))
+    adj = (toks.select(F.explode(F.arrays_zip(
+               F.slice("t", 1, F.size("t") - 1).alias("a"),
+               F.slice("t", 2, F.size("t") - 1).alias("b"))).alias("p")))
+    cooc = (adj.select(F.col("p.a").alias("w"), F.col("p.b").alias("c"))
+            .unionByName(adj.select(F.col("p.b").alias("w"),
+                                    F.col("p.a").alias("c")))
+            .groupBy("w", "c").agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False))
+    norms = cooc.groupBy("w").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    pairs = (cooc.select(F.col("w").alias("w_a"), "c", F.col("cnt").alias("ca"))
+             .join(cooc.select(F.col("w").alias("w_b"), "c",
+                               F.col("cnt").alias("cb")), "c")
+             .filter(F.col("w_a") < F.col("w_b"))
+             .groupBy("w_a", "w_b")
+             .agg(F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+                  F.count("*").alias("shared_dims")))
+    out = (pairs
+           .join(F.broadcast(norms.select(F.col("w").alias("w_a"),
+                                          F.col("n2").alias("nx"))), "w_a")
+           .join(F.broadcast(norms.select(F.col("w").alias("w_b"),
+                                          F.col("n2").alias("ny"))), "w_b")
+           .withColumn("cos", F.expr(
+               "CAST(sxy AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) "
+               "* sqrt(CAST(ny AS DOUBLE)))")))
+    return (out.filter((F.col("shared_dims") >= COOC_MIN_DIMS)
+                       & (F.col("cos") >= COOC_MIN_COS))
+            .select("w_a", "w_b", "shared_dims", "sxy", "cos"))
+
+
+def _word_cooc_cosine_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT string_split(text, chr(32)) AS t FROM documents),
+        adj AS (SELECT t[i] AS a, t[i + 1] AS b
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+        cooc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+                     SELECT a AS w, b AS c FROM adj
+                     UNION ALL SELECT b AS w, a AS c FROM adj)
+                 GROUP BY 1, 2),
+        norms AS (SELECT w, CAST(sum(cnt * cnt) AS BIGINT) AS n2
+                  FROM cooc GROUP BY 1),
+        pairs AS (SELECT x.w AS w_a, y.w AS w_b,
+                         CAST(sum(x.cnt * y.cnt) AS BIGINT) AS sxy,
+                         count(*) AS shared_dims
+                  FROM cooc x JOIN cooc y ON x.c = y.c AND x.w < y.w
+                  GROUP BY 1, 2)
+        SELECT w_a, w_b, shared_dims, sxy,
+               CAST(sxy AS DOUBLE) / (sqrt(CAST(nx.n2 AS DOUBLE))
+                   * sqrt(CAST(ny.n2 AS DOUBLE))) AS cos
+        FROM pairs
+        JOIN norms nx ON nx.w = pairs.w_a
+        JOIN norms ny ON ny.w = pairs.w_b
+        WHERE shared_dims >= {COOC_MIN_DIMS}
+          AND CAST(sxy AS DOUBLE) / (sqrt(CAST(nx.n2 AS DOUBLE))
+              * sqrt(CAST(ny.n2 AS DOUBLE))) >= {COOC_MIN_COS}"""
+
+
+def q_interval_union_time(spark, sf):
+    # per-user interval-union coverage (gaps-and-islands): events carry a
+    # minted duration; overlapping intervals merge into islands via the
+    # running-max-end window, and the union length is Σ island extents —
+    # the classic "total active time" rollup, exact epoch-second
+    # integers (unix_timestamp / floor(epoch()) — the click_attribution
+    # precedent for NTZ parquet timestamps). One window shuffle on
+    # user_id, then a per-island agg that reuses the same partitioning.
+    from pyspark.sql import Window as Win
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.expr(IVL_LEN_EXPR)).alias("e"),
+        "event_id")
+    w = Win.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Win.unboundedPreceding, -1))
+    iv = (ev.withColumn("new_island",
+                        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)),
+                               1).otherwise(0))
+          .withColumn("island", F.sum("new_island").over(
+              w.rowsBetween(Win.unboundedPreceding, 0))))
+    isl = (iv.groupBy("user_id", "island")
+           .agg(F.min("s").alias("i_s"), F.max("e").alias("i_e"),
+                F.count("*").alias("n_ev")))
+    return (isl.groupBy("user_id")
+            .agg(F.count("*").alias("n_islands"),
+                 F.sum(F.col("i_e") - F.col("i_s")).alias("covered_s"),
+                 F.max("n_ev").alias("max_island_events")))
+
+
+def _interval_union_time_sql() -> str:
+    return f"""
+        WITH ev AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                           CAST(floor(epoch(ts)) AS BIGINT)
+                               + {IVL_LEN_EXPR} AS e, event_id
+                    FROM events),
+        iv AS (SELECT user_id, s, e, event_id,
+                      CASE WHEN s > coalesce(max(e) OVER (
+                               PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS new_island
+               FROM ev),
+        ii AS (SELECT user_id, s, e,
+                      sum(new_island) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+               FROM iv),
+        isl AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
+                       count(*) AS n_ev
+                FROM ii GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(i_e - i_s) AS BIGINT) AS covered_s,
+               max(n_ev) AS max_island_events
+        FROM isl GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -3758,6 +3976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "delta_bytes_by_tile": q_delta_bytes_by_tile,
+        "word_cooc_cosine": q_word_cooc_cosine,
+        "interval_union_time": q_interval_union_time,
         "host_edit_near_dups": q_host_edit_near_dups,
         "weighted_sample_docs": q_weighted_sample_docs,
         "nn_dist_stats": q_nn_dist_stats,
@@ -5768,6 +5989,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "delta_bytes_by_tile": _delta_bytes_by_tile_sql(),
+        "word_cooc_cosine": _word_cooc_cosine_sql(),
+        "interval_union_time": _interval_union_time_sql(),
         "host_edit_near_dups": _host_edit_near_dups_sql(),
         "weighted_sample_docs": _weighted_sample_docs_sql(),
         "nn_dist_stats": _nn_dist_stats_sql(),
