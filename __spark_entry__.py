@@ -3954,6 +3954,286 @@ def _interval_union_time_sql() -> str:
         FROM isl GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# segment-intersection join / robots longest-prefix rules / staypoint
+# detection — batch 22
+# ---------------------------------------------------------------------------
+
+SEG_CELL = 20_000_000   # grid span ≥ the walk box extent (2.0° x 1.6°), so
+                        # every segment bbox covers ≤ 2 cells per axis
+STAY_R2 = 90_000_000_000          # dwell radius² on the traj lattice (3e5)²
+ROBOTS_PAGES, ROBOTS_SITES = 2000, 1000
+
+
+def _sql_cross(ox, oy, px, py, qx, qy) -> str:
+    """2D integer cross product (p-o) × (q-o): the exact orientation test
+    (geom.ring_validity_cols sibling). Candidate deltas are bounded by one
+    grid cell + two walk-box extents (≤ 6e7), so products stay < 2^53 —
+    exact in both engines' int64."""
+    return (f"((({px}) - ({ox})) * (({qy}) - ({oy})) "
+            f"- (({py}) - ({oy})) * (({qx}) - ({ox})))")
+
+
+def _sql_proper_xing() -> str:
+    """Strict proper-crossing predicate over candidate columns a_ax..b_by —
+    identical expression text runs in Spark (F.expr) and DuckDB."""
+    d1 = _sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay")
+    d2 = _sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_bx", "a_by")
+    d3 = _sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay")
+    d4 = _sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_bx", "b_by")
+
+    def opp(u, v):
+        return f"((({u}) > 0 AND ({v}) < 0) OR (({u}) < 0 AND ({v}) > 0))"
+
+    return f"({opp(d1, d2)} AND {opp(d3, d4)})"
+
+
+def q_segment_xing_join(spark, sf):
+    # exact segment-intersection join (roads × rivers analog) over the
+    # minted walk polylines: grid-cell candidate generation (never
+    # all-pairs), reference-point dedup (NO distinct — each candidate pair
+    # is kept only in the cell holding the max of the two bbox min-corners,
+    # the rect_overlay_iou technique), then the strict integer orientation
+    # predicate. Scale: one equi-join shuffle on (cx, cy); cell span tunes
+    # to density; hot cells fall under plan_salt like any cell join.
+    # Fixture: the CLUSTERED walk mint (the rank-1 base never overlaps).
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9)
+    seg = (wl.select("doc_id", F.explode(F.arrays_zip(
+               F.slice("xs_q", 1, 8).alias("ax"),
+               F.slice("ys_q", 1, 8).alias("ay"),
+               F.slice("xs_q", 2, 8).alias("bx"),
+               F.slice("ys_q", 2, 8).alias("by"))).alias("s"))
+           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
+           .withColumn("x1", F.least("ax", "bx"))
+           .withColumn("x2", F.greatest("ax", "bx"))
+           .withColumn("y1", F.least("ay", "by"))
+           .withColumn("y2", F.greatest("ay", "by")))
+    sc = (seg.withColumn("cx", F.explode(F.sequence(
+              F.expr(f"x1 div {SEG_CELL}"), F.expr(f"x2 div {SEG_CELL}"))))
+          .withColumn("cy", F.explode(F.sequence(
+              F.expr(f"y1 div {SEG_CELL}"), F.expr(f"y2 div {SEG_CELL}")))))
+
+    def pref(p):
+        return sc.select([F.col(c).alias(p + c) for c in sc.columns])
+
+    cand = (pref("a_").join(
+                pref("b_"),
+                (F.col("a_cx") == F.col("b_cx"))
+                & (F.col("a_cy") == F.col("b_cy"))
+                & (F.col("a_doc_id") < F.col("b_doc_id")))
+            .filter(F.expr(f"a_cx = greatest(a_x1, b_x1) div {SEG_CELL} "
+                           f"AND a_cy = greatest(a_y1, b_y1) div {SEG_CELL}"))
+            .filter(F.expr("a_x1 <= b_x2 AND b_x1 <= a_x2 "
+                           "AND a_y1 <= b_y2 AND b_y1 <= a_y2")))
+    return (cand.filter(F.expr(_sql_proper_xing()))
+            .groupBy(F.col("a_doc_id").alias("doc_a"),
+                     F.col("b_doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_xings")))
+
+
+def _segment_xing_join_sql() -> str:
+    return f"""
+        WITH w AS ({minted.sql_cluster_walk_lines_q(9)}),
+        seg AS (SELECT doc_id, xs[i + 1] AS ax, ys[i + 1] AS ay,
+                       xs[i + 2] AS bx, ys[i + 2] AS by
+                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
+        sb AS (SELECT seg.*,
+                      least(ax, bx) AS x1, greatest(ax, bx) AS x2,
+                      least(ay, by) AS y1, greatest(ay, by) AS y2
+               FROM seg),
+        sc AS (SELECT sb.*, cxs.cx, cys.cy FROM sb,
+               LATERAL (SELECT unnest(range(x1 // {SEG_CELL},
+                                            x2 // {SEG_CELL} + 1)) AS cx) cxs,
+               LATERAL (SELECT unnest(range(y1 // {SEG_CELL},
+                                            y2 // {SEG_CELL} + 1)) AS cy) cys),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by,
+                        b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by
+                 FROM sc a JOIN sc b
+                   ON a.cx = b.cx AND a.cy = b.cy AND a.doc_id < b.doc_id
+                 WHERE a.cx = greatest(a.x1, b.x1) // {SEG_CELL}
+                   AND a.cy = greatest(a.y1, b.y1) // {SEG_CELL}
+                   AND a.x1 <= b.x2 AND b.x1 <= a.x2
+                   AND a.y1 <= b.y2 AND b.y1 <= a.y2)
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_xings
+        FROM cand WHERE {_sql_proper_xing()}
+        GROUP BY 1, 2"""
+
+
+def q_robots_prefix_rules(spark, sf):
+    # robots.txt semantics as a longest-prefix-match join: pages get
+    # minted multi-segment paths (depth 1-3), each site gets two minted
+    # path rules (depths 1 and 2) with an allow/deny bit; a page matches
+    # the LONGEST rule prefix of its path, default-allow when none
+    # matches. Distinct equal-length prefixes can't both prefix one path,
+    # so max_by is tie-free. Plan: explode ≤3 prefixes per page, ONE
+    # broadcast-able equi-join on (site, prefix) (the rule table is
+    # sites × 2 rows), groupBy page, left-join back for the default.
+    p = pages.pages(spark, ROBOTS_PAGES)
+    words = F.array(*[F.lit(w) for w in pages.WORDS])
+    nw = len(pages.WORDS)
+    pid = F.col("page_id").cast("string")
+    depth = F.pmod(phash.hash60(F.concat(F.lit("pd-"), pid)), F.lit(3)) + 1
+    segs = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda j: F.element_at(words, (F.pmod(
+            phash.hash60(F.concat(F.lit("ps-"), pid, F.lit("-"),
+                                  j.cast("string"))),
+            F.lit(nw)) + 1).cast("int")))
+    pg = p.select(
+        "page_id", pages.site_of(F.col("url")).alias("site"),
+        depth.alias("path_depth"),
+        F.transform(F.sequence(F.lit(1), depth),
+                    lambda t: F.concat(F.lit("/"), F.array_join(
+                        F.slice(segs, F.lit(1), t), "/"))).alias("pfx"))
+    px = pg.select("page_id", "site", F.explode("pfx").alias("prefix"))
+
+    r = spark.range(2 * ROBOTS_SITES).select(
+        (F.col("id") % ROBOTS_SITES).cast("int").alias("site"),
+        F.expr(f"id div {ROBOTS_SITES} + 1").alias("k"))
+    rsegs = F.transform(
+        F.sequence(F.lit(1), F.col("k")),
+        lambda m: F.element_at(words, (F.pmod(
+            phash.hash60(F.concat(F.lit("rs-"), F.col("site").cast("string"),
+                                  F.lit("-"), F.col("k").cast("string"),
+                                  F.lit("-"), m.cast("string"))),
+            F.lit(nw)) + 1).cast("int")))
+    rules = r.select(
+        "site",
+        F.concat(F.lit("/"), F.array_join(rsegs, "/")).alias("prefix"),
+        F.pmod(phash.hash60(F.concat(
+            F.lit("ra-"), F.col("site").cast("string"), F.lit("-"),
+            F.col("k").cast("string"))), F.lit(2)).alias("allow"))
+
+    m = (px.join(F.broadcast(rules), ["site", "prefix"])
+         .groupBy("page_id")
+         .agg(F.max(F.length("prefix")).cast("bigint").alias("matched_len"),
+              F.max_by("allow", F.length("prefix")).alias("allowed")))
+    return (pg.select("page_id", "site", "path_depth")
+            .join(m, "page_id", "left")
+            .select("page_id", "site", "path_depth",
+                    F.coalesce("matched_len", F.lit(0)).alias("matched_len"),
+                    F.coalesce("allowed", F.lit(1)).alias("allowed")))
+
+
+def _robots_prefix_rules_sql() -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in pages.WORDS) + "]"
+    nw = len(pages.WORDS)
+    h = phash.sql_hash60
+    dep = h("'pd-' || CAST(id AS VARCHAR)")
+    seg = h("'ps-' || CAST(id AS VARCHAR) || '-' || CAST(j AS VARCHAR)")
+    rs = h("'rs-' || CAST(site AS VARCHAR) || '-' || CAST(k AS VARCHAR)"
+           " || '-' || CAST(m AS VARCHAR)")
+    ra = h("'ra-' || CAST(site AS VARCHAR) || '-' || CAST(k AS VARCHAR)")
+    return f"""
+        WITH {_pages_cte(ROBOTS_PAGES, 42)},
+        pg0 AS (SELECT id,
+                       CAST(regexp_extract(url, 'site(\\d+)\\.example', 1)
+                            AS INT) AS site,
+                       {dep} % 3 + 1 AS path_depth
+                FROM txt),
+        pg AS (SELECT id, site, path_depth,
+                      list_transform(range(1, path_depth + 1),
+                          j -> {words}[{seg} % {nw} + 1]) AS segs
+               FROM pg0),
+        px AS (SELECT id, site,
+                      unnest(list_transform(range(1, path_depth + 1),
+                          t -> '/' || array_to_string(segs[1:t], '/')))
+                          AS prefix
+               FROM pg),
+        rules AS (SELECT site, '/' || array_to_string(
+                             list_transform(range(1, k + 1),
+                                 m -> {words}[{rs} % {nw} + 1]), '/')
+                             AS prefix,
+                         {ra} % 2 AS allow
+                  FROM (SELECT CAST(id % {ROBOTS_SITES} AS INT) AS site,
+                               id // {ROBOTS_SITES} + 1 AS k
+                        FROM range({2 * ROBOTS_SITES}) t(id))),
+        m AS (SELECT px.id,
+                     CAST(max(length(rules.prefix)) AS BIGINT)
+                         AS matched_len,
+                     arg_max(rules.allow, length(rules.prefix)) AS allowed
+              FROM px JOIN rules
+                ON px.site = rules.site AND px.prefix = rules.prefix
+              GROUP BY 1)
+        SELECT pg.id AS page_id, pg.site, pg.path_depth,
+               coalesce(m.matched_len, 0) AS matched_len,
+               coalesce(m.allowed, 1) AS allowed
+        FROM pg LEFT JOIN m ON pg.id = m.id"""
+
+
+def q_staypoints(spark, sf):
+    # trajectory dwell detection over the SAME minted trajectory as
+    # traj_steps: a staypoint is a maximal run of consecutive fixes whose
+    # successive squared displacement stays ≤ STAY_R2 (gaps-and-islands —
+    # the spatial twin of interval_union_time's running window). Exact
+    # int64 lattice arithmetic + epoch-second dwell times; ONE user_id
+    # exchange shared by the lag, the island sum, and both rollups.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 F.unix_timestamp("ts").alias("te"),
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    dx = F.col("px") - F.lag("px").over(w)
+    dy = F.col("py") - F.lag("py").over(w)
+    d2 = dx * dx + dy * dy
+    iv = (d.withColumn("new_island",
+                       F.when(d2.isNull() | (d2 > STAY_R2), 1).otherwise(0))
+          .withColumn("island", F.sum("new_island").over(
+              w.rowsBetween(Win.unboundedPreceding, 0))))
+    isl = (iv.groupBy("user_id", "island")
+           .agg(F.count("*").alias("n_ev"),
+                F.min("te").alias("t0"), F.max("te").alias("t1")))
+    return (isl.filter(F.col("n_ev") >= 2)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_staypoints"),
+                 F.sum(F.col("t1") - F.col("t0")).alias("dwell_s"),
+                 F.max(F.col("t1") - F.col("t0")).alias("max_dwell_s"),
+                 F.max("n_ev").alias("max_fixes")))
+
+
+def _staypoints_sql() -> str:
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          {pos('tx')} AS px, {pos('ty')} AS py
+                   FROM events),
+        d AS (SELECT user_id, ts, event_id, te,
+                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        iv AS (SELECT user_id, ts, event_id, te,
+                      CASE WHEN dx IS NULL
+                             OR dx * dx + dy * dy > {STAY_R2}
+                           THEN 1 ELSE 0 END AS new_island
+               FROM d),
+        ii AS (SELECT user_id, te,
+                      sum(new_island) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+               FROM iv),
+        isl AS (SELECT user_id, island, count(*) AS n_ev,
+                       min(te) AS t0, max(te) AS t1
+                FROM ii GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_staypoints,
+               CAST(sum(t1 - t0) AS BIGINT) AS dwell_s,
+               CAST(max(t1 - t0) AS BIGINT) AS max_dwell_s,
+               max(n_ev) AS max_fixes
+        FROM isl WHERE n_ev >= 2 GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -3976,6 +4256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "segment_xing_join": q_segment_xing_join,
+        "robots_prefix_rules": q_robots_prefix_rules,
+        "staypoints": q_staypoints,
         "delta_bytes_by_tile": q_delta_bytes_by_tile,
         "word_cooc_cosine": q_word_cooc_cosine,
         "interval_union_time": q_interval_union_time,
@@ -5989,6 +6272,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "segment_xing_join": _segment_xing_join_sql(),
+        "robots_prefix_rules": _robots_prefix_rules_sql(),
+        "staypoints": _staypoints_sql(),
         "delta_bytes_by_tile": _delta_bytes_by_tile_sql(),
         "word_cooc_cosine": _word_cooc_cosine_sql(),
         "interval_union_time": _interval_union_time_sql(),

@@ -290,3 +290,37 @@ def sql_minted_cluster_points_q() -> str:
                      _OFFY_MULT, _OFFY_SPAN)
     return (f"SELECT doc_id, CAST({cx} + {ox} AS BIGINT) AS qx, "
             f"CAST({cy} + {oy} AS BIGINT) AS qy FROM documents")
+
+
+def cluster_walk_lines_q(spark: SparkSession, sf_dir: str,
+                         k: int = 9, stride: int = 7) -> DataFrame:
+    """k-vertex polylines on the CLUSTERED base (segment-join fixtures):
+    the rank-1 point draws never overlap walk boxes (three-distance
+    lattice structure), so intersection fixtures mint from the clustered
+    corners instead. `stride` thins the corpus to keep candidate-pair
+    counts test-sized; values are per-doc deterministic either way."""
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if stride > 1:
+        ids = ids.filter(F.col("doc_id") % stride == 0)
+    b = cluster_points_from(ids)
+    xs = [F.col("qx") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
+                                WX_MULT, WX_MOD) for i in range(k)]
+    ys = [F.col("qy") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
+                                WY_MULT, WY_MOD) for i in range(k)]
+    return b.select(
+        "doc_id",
+        F.array(*[x.cast("bigint") for x in xs]).alias("xs_q"),
+        F.array(*[y.cast("bigint") for y in ys]).alias("ys_q"),
+    )
+
+
+def sql_cluster_walk_lines_q(k: int = 9, stride: int = 7) -> str:
+    """DuckDB twin of cluster_walk_lines_q: SELECT doc_id, xs, ys."""
+    base = sql_minted_cluster_points_q()
+    xs = [f"(qx + {_sql_mulmod(f'(doc_id + {i * _WALK_STEP})', WX_MULT, WX_MOD)})"
+          for i in range(k)]
+    ys = [f"(qy + {_sql_mulmod(f'(doc_id + {i * _WALK_STEP})', WY_MULT, WY_MOD)})"
+          for i in range(k)]
+    return (f"SELECT doc_id, [{', '.join(xs)}] AS xs, "
+            f"[{', '.join(ys)}] AS ys FROM ({base}) b "
+            f"WHERE doc_id % {stride} = 0")
