@@ -171,3 +171,34 @@ def test_batch19_graph_plans_stay_jvm(spark):
             assert marker not in plan, f"{q}: {marker}"
         # checkpoint boundaries present: the shared subtrees were cut
         assert "Scan ExistingRDD" in plan, q
+
+
+def test_batch2122_shuffle_budgets(spark):
+    """Batches 21-22: interval union and staypoints share ONE entity
+    window exchange; the segment-intersection join pays its cell
+    equi-join + the pair rollup; robots pays prefix-join + group +
+    default left-join; the delta-bytes layout analytic pays the cell
+    window (shared by both orderings) + the seq/hilbert self-join.
+    word_cooc_cosine is localCheckpoint-bounded (unstable static count)
+    — pinned JVM-only instead. Hilbert is the established MapInArrow
+    kernel; everything else stays whole-stage JVM."""
+    import __spark_entry__ as em
+
+    budgets = {"interval_union_time": 1, "staypoints": 1,
+               "segment_xing_join": 2, "robots_prefix_rules": 3,
+               "delta_bytes_by_tile": 3}
+    for q, budget in budgets.items():
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == budget, f"{q}\n{plan}"
+        allowed = ("MapInArrow",) if q == "delta_bytes_by_tile" else ()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "CartesianProduct", "BroadcastNestedLoop"):
+            if marker in allowed:
+                continue
+            assert marker not in plan, f"{q}: {marker}"
+    cooc = _executed_plan(
+        em.queries()["word_cooc_cosine"](spark, "/root/testdata/sf0.001"))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                   "CartesianProduct", "BroadcastNestedLoop"):
+        assert marker not in cooc, f"word_cooc_cosine: {marker}"
