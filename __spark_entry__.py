@@ -4234,6 +4234,159 @@ def _staypoints_sql() -> str:
         FROM isl WHERE n_ev >= 2 GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# clickstream path analysis / asymmetric containment dedup / DBSCAN core
+# points — batch 23
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+DBSCAN_EPS = 6_000_000           # lattice units (0.6°)
+DBSCAN_MIN_NBRS = 2              # core ⇔ ≥ 2 neighbours within eps
+
+
+def q_session_paths(spark, sf):
+    # clickstream path analysis: sessionize by 30-min gap (the sessionize
+    # op's semantics), then the ordered event_type path per session,
+    # rolled up to path frequencies. Order safety: the path is built from
+    # an array_sort over (te, event_id, type) structs — deterministic
+    # regardless of partitioning — not from collect_list's arrival order.
+    # ONE user_id window exchange; the path rollup is map-side light.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_timestamp("ts").alias("te"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("te") - F.lag("te").over(w)
+    sess = (e.withColumn("new_s",
+                         F.when(gap.isNull() | (gap > SESSION_GAP_S), 1)
+                         .otherwise(0))
+            .withColumn("session", F.sum("new_s").over(
+                w.rowsBetween(Win.unboundedPreceding, 0))))
+    paths = (sess.groupBy("user_id", "session")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("te", "event_id", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .filter(F.col("n_sessions") >= 2))
+
+
+def _session_paths_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id, event_id, event_type, ts,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te
+                   FROM events),
+        g AS (SELECT *, CASE WHEN te - lag(te) OVER w IS NULL
+                               OR te - lag(te) OVER w > {SESSION_GAP_S}
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS session
+              FROM g),
+        p AS (SELECT user_id, session,
+                     string_agg(event_type, '>' ORDER BY te, event_id,
+                                event_type) AS path
+              FROM s GROUP BY 1, 2)
+        SELECT path, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM p GROUP BY 1 HAVING count(*) >= 2"""
+
+
+def q_containment_pairs(spark, sf):
+    # asymmetric near-dup tier: shingle containment |A∩B|/min(|A|,|B|)
+    # catches short-doc-inside-long-doc pairs Jaccard dilutes away.
+    # Inverted shingle join with a document-frequency cap (operators/
+    # dedup.containment_pairs) — never all-pairs.
+    return dedup.containment_pairs(_docs(spark, sf), key="doc_id",
+                                   shingle_k=3, threshold=0.6)
+
+
+def _containment_pairs_sql(k: int = 3, threshold: float = 0.6,
+                           max_df: int = 1000) -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
+                   FROM documents),
+        sh0 AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
+                                                chr(31)))) AS shs
+                FROM d),
+        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+        shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+        SELECT a, b, inter,
+               CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+        FROM shared
+        JOIN counts ca ON ca.doc_id = a
+        JOIN counts cb ON cb.doc_id = b
+        WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= {threshold}"""
+
+
+def q_dbscan_core(spark, sf):
+    # DBSCAN's expensive step — eps-neighbourhood counting — as a 3x3
+    # grid-cell join over the clustered point mint (point-level density,
+    # vs hotspot_clusters' tile-count density): each point probes its 9
+    # neighbour cells at cell = eps, exact integer d² ≤ eps² refine, core
+    # flag at ≥ DBSCAN_MIN_NBRS. Never all-pairs; cells bound candidates
+    # by local density, the 100 TB shape (salting applies to hot cells).
+    p = minted.minted_cluster_points_q(spark, sf)
+    a = (p.select(F.col("doc_id").alias("a_id"),
+                  F.col("qx").alias("ax"), F.col("qy").alias("ay"))
+         .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .withColumn("cx", F.expr(f"ax div {DBSCAN_EPS} + dx"))
+         .withColumn("cy", F.expr(f"ay div {DBSCAN_EPS} + dy")))
+    b = p.select(F.col("doc_id").alias("b_id"),
+                 F.col("qx").alias("bx"), F.col("qy").alias("by"),
+                 F.expr(f"qx div {DBSCAN_EPS}").alias("cx"),
+                 F.expr(f"qy div {DBSCAN_EPS}").alias("cy"))
+    nbrs = (a.join(b, ["cx", "cy"])
+            .filter((F.col("a_id") != F.col("b_id"))
+                    & ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                       + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                       <= DBSCAN_EPS * DBSCAN_EPS))
+            .groupBy("a_id").agg(F.count("*").alias("n_nbrs")))
+    return (p.select(F.col("doc_id"), F.col("qx"), F.col("qy"))
+            .join(nbrs.withColumnRenamed("a_id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
+                    (F.coalesce("n_nbrs", F.lit(0)) >= DBSCAN_MIN_NBRS)
+                    .alias("is_core")))
+
+
+def _dbscan_core_sql() -> str:
+    eps = DBSCAN_EPS
+    return f"""
+        WITH p AS ({minted.sql_minted_cluster_points_q()}),
+        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay,
+                     qx // {eps} + dxs.dx AS cx, qy // {eps} + dys.dy AS cy
+              FROM p,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by,
+                     qx // {eps} AS cx, qy // {eps} AS cy
+              FROM p),
+        n AS (SELECT a_id, count(*) AS n_nbrs
+              FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
+                           AND a_id <> b_id
+              WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+                    <= {eps * eps}
+              GROUP BY 1)
+        SELECT p.doc_id, coalesce(n.n_nbrs, 0) AS n_nbrs,
+               coalesce(n.n_nbrs, 0) >= {DBSCAN_MIN_NBRS} AS is_core
+        FROM p LEFT JOIN n ON p.doc_id = n.a_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -4256,6 +4409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "session_paths": q_session_paths,
+        "containment_pairs": q_containment_pairs,
+        "dbscan_core": q_dbscan_core,
         "segment_xing_join": q_segment_xing_join,
         "robots_prefix_rules": q_robots_prefix_rules,
         "staypoints": q_staypoints,
@@ -6272,6 +6428,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "session_paths": _session_paths_sql(),
+        "containment_pairs": _containment_pairs_sql(),
+        "dbscan_core": _dbscan_core_sql(),
         "segment_xing_join": _segment_xing_join_sql(),
         "robots_prefix_rules": _robots_prefix_rules_sql(),
         "staypoints": _staypoints_sql(),

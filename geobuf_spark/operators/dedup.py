@@ -457,3 +457,39 @@ def edit1_near_pairs(df: DataFrame, s_col: str) -> DataFrame:
                     & (F.abs(F.length("s_a") - F.length("s_b")) <= 1))
             .select("s_a", "s_b").dropDuplicates(["s_a", "s_b"]))
     return cand.filter(F.levenshtein("s_a", "s_b", 1) >= 0)
+
+
+def containment_pairs(df: DataFrame, key: str, text_col: str = "text",
+                      shingle_k: int = 3, threshold: float = 0.6,
+                      max_df: int = 1000) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / min(|A|, |B|): catches a
+    short document embedded in a longer one, which symmetric Jaccard
+    dilutes below threshold (the dedup gap the reference's exact tier
+    shares). Same inverted-join shape as ngram_jaccard_pairs — never
+    all-pairs. Shingles with document frequency > max_df are dropped from
+    candidate generation only (the stopword-shingle blowup guard at
+    corpus scale); the intersection then under-counts those shingles, so
+    the score is a LOWER bound — exact whenever no shingle exceeds
+    max_df, which the fixture satisfies and pytest pins."""
+    sh = (df.select(F.col(key).alias("key"),
+                    F.explode(_shingles(F.col(text_col), shingle_k))
+                    .alias("s"))
+          .localCheckpoint(eager=False))
+    counts = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    rare = (sh.groupBy("s").agg(F.count("*").alias("df_s"))
+            .filter(F.col("df_s") <= max_df).select("s"))
+    shf = sh.join(rare, "s")
+    shared = (shf.select(F.col("key").alias("a"), "s")
+              .join(shf.select(F.col("key").alias("b"), "s"), "s")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (shared
+            .join(counts.select(F.col("key").alias("a"),
+                                F.col("n_sh").alias("na")), "a")
+            .join(counts.select(F.col("key").alias("b"),
+                                F.col("n_sh").alias("nb")), "b")
+            .withColumn("containment",
+                        F.col("inter").cast("double")
+                        / F.least("na", "nb"))
+            .filter(F.col("containment") >= threshold)
+            .select("a", "b", "inter", "containment"))

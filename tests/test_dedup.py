@@ -159,3 +159,42 @@ def test_simhash_string_keys(spark):
     assert sh["u1"] == sh["u2"] != sh["u3"]
     pairs = dedup.simhash_near_pairs(df, key="name", max_hamming=3).collect()
     assert {(r.a, r.b) for r in pairs} == {("u1", "u2")}
+
+
+def test_containment_catches_short_in_long(spark):
+    """A short doc embedded verbatim in a 4x longer one: containment = 1.0
+    while symmetric Jaccard ~ 0.25 stays below any useful threshold — the
+    asymmetric tier's reason to exist. Also pins the exactness claim: no
+    shingle here exceeds max_df, so the score is exact, and the planted
+    pair is the ONLY one reported at threshold 0.9."""
+    short = " ".join(f"tok{i}" for i in range(30))
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(90))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], ["doc_id", "text"])
+    got = dedup.containment_pairs(df, key="doc_id", shingle_k=3,
+                                  threshold=0.9).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["a"], row["b"]) == (1, 2)
+    assert row["containment"] == 1.0
+    # symmetric Jaccard on the same pair stays low
+    jac = dedup.ngram_jaccard_pairs(df, key="doc_id", shingle_k=3,
+                                    threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_df_cap_is_candidate_only(spark):
+    """max_df drops frequent shingles from CANDIDATE GENERATION only: with
+    the cap below the planted shingle's document frequency, the pair is
+    simply not generated (lower-bound semantics), never mis-scored."""
+    t = " ".join(f"c{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, t) for i in range(5)], ["doc_id", "text"])
+    # every shingle appears in all 5 docs -> df = 5 > max_df = 4
+    got = dedup.containment_pairs(df, key="doc_id", shingle_k=3,
+                                  threshold=0.1, max_df=4).collect()
+    assert got == []
+    got2 = dedup.containment_pairs(df, key="doc_id", shingle_k=3,
+                                   threshold=0.99, max_df=5).collect()
+    assert len(got2) == 10 and all(r["containment"] == 1.0 for r in got2)

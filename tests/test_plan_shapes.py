@@ -186,7 +186,8 @@ def test_batch2122_shuffle_budgets(spark):
 
     budgets = {"interval_union_time": 1, "staypoints": 1,
                "segment_xing_join": 2, "robots_prefix_rules": 3,
-               "delta_bytes_by_tile": 3}
+               "delta_bytes_by_tile": 3, "session_paths": 2,
+               "dbscan_core": 3}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -197,8 +198,10 @@ def test_batch2122_shuffle_budgets(spark):
             if marker in allowed:
                 continue
             assert marker not in plan, f"{q}: {marker}"
-    cooc = _executed_plan(
-        em.queries()["word_cooc_cosine"](spark, "/root/testdata/sf0.001"))
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
-                   "CartesianProduct", "BroadcastNestedLoop"):
-        assert marker not in cooc, f"word_cooc_cosine: {marker}"
+    # checkpoint-bounded plans (unstable static exchange counts): pin
+    # JVM-only + no cartesian instead.
+    for q in ("word_cooc_cosine", "containment_pairs"):
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "CartesianProduct", "BroadcastNestedLoop"):
+            assert marker not in plan, f"{q}: {marker}"
