@@ -4387,6 +4387,186 @@ def _dbscan_core_sql() -> str:
         FROM p LEFT JOIN n ON p.doc_id = n.a_id"""
 
 
+# ---------------------------------------------------------------------------
+# robust MAD outliers / exact bearing octants / event-time lateness audit
+# — batch 24
+# ---------------------------------------------------------------------------
+
+MAD_K = 5  # outlier gate: |dev| > MAD_K * MAD
+
+
+def q_outlier_mad(spark, sf):
+    # robust per-language length outliers: median and MAD by the exact
+    # "lower" order statistic (doc_len_percentiles' integer indexing — no
+    # cross-libm interpolation), outlier gate |n_tok − median| > 5·MAD in
+    # pure int64. The language spine is tiny, so both join-backs
+    # broadcast; the only corpus-scale work is two lang aggregations.
+    t = (_docs(spark, sf)
+         .select("lang",
+                 TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+         .localCheckpoint(eager=False))  # shared by m1 and dev
+
+    def med(col_df, val, out):
+        g = (col_df.groupBy("lang")
+             .agg(F.sort_array(F.collect_list(val)).alias("v"),
+                  F.count("*").alias("n")))
+        return g.select(
+            "lang", F.col("n"),
+            F.element_at("v", F.expr("CAST((n - 1) DIV 2 AS INT) + 1"))
+            .alias(out))
+
+    m1 = med(t, "n_tok", "median_tokens").withColumnRenamed("n", "n_docs")
+    dev = (t.join(F.broadcast(m1), "lang")
+           .withColumn("dev", F.abs(F.col("n_tok") - F.col("median_tokens")))
+           .localCheckpoint(eager=False))  # shared by m2 and the rollup
+    m2 = med(dev.select("lang", F.col("dev").alias("n_tok")), "n_tok",
+             "mad_tokens").drop("n")
+    return (dev.join(F.broadcast(m2), "lang")
+            .groupBy("lang")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.max("median_tokens").alias("median_tokens"),
+                 F.max("mad_tokens").alias("mad_tokens"),
+                 F.sum(F.when(F.col("dev") > MAD_K * F.col("mad_tokens"),
+                              1).otherwise(0)).cast("bigint")
+                 .alias("n_outliers")))
+
+
+def _outlier_mad_sql() -> str:
+    ntok = "len(string_split(text, chr(32)))"
+    return f"""
+        WITH t AS (SELECT lang, CAST({ntok} AS BIGINT) AS n_tok
+                   FROM documents),
+        m1 AS (SELECT lang, count(*) AS n_docs,
+                      (list_sort(list(n_tok)))[CAST((count(*) - 1) // 2
+                          AS INT) + 1] AS median_tokens
+               FROM t GROUP BY 1),
+        dev AS (SELECT t.lang, n_docs, median_tokens,
+                       abs(n_tok - median_tokens) AS dev
+                FROM t JOIN m1 ON t.lang = m1.lang),
+        m2 AS (SELECT lang, (list_sort(list(dev)))[CAST((count(*) - 1) // 2
+                          AS INT) + 1] AS mad_tokens
+               FROM dev GROUP BY 1)
+        SELECT dev.lang, max(n_docs) AS n_docs,
+               max(median_tokens) AS median_tokens,
+               max(mad_tokens) AS mad_tokens,
+               CAST(sum(CASE WHEN dev > {MAD_K} * mad_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN m2 ON dev.lang = m2.lang
+        GROUP BY 1"""
+
+
+_OCTANT_EXPR = """(CASE
+    WHEN dx >= 0 AND dy >= 0 THEN (CASE WHEN dx >= dy THEN 0 ELSE 1 END)
+    WHEN dx < 0 AND dy >= 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
+    WHEN dx < 0 AND dy < 0 THEN (CASE WHEN -dx >= -dy THEN 4 ELSE 5 END)
+    ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END)"""
+
+
+def q_bearing_sectors(spark, sf):
+    # movement-bearing histogram over the minted trajectories: each step
+    # classified into one of 8 octants by EXACT integer comparisons
+    # (signs + |dx| vs |dy| — no atan2, whose libm rounding differs
+    # across engines). Shared CASE text runs in both engines. ONE user
+    # window exchange, then a tiny 8-row rollup.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (d.select("user_id",
+                      (F.col("px") - F.lag("px").over(w)).alias("dx"),
+                      (F.col("py") - F.lag("py").over(w)).alias("dy"))
+             .filter(F.col("dx").isNotNull()))
+    return (steps.withColumn("sector", F.expr(_OCTANT_EXPR))
+            .groupBy("sector")
+            .agg(F.count("*").alias("n_steps"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+                 .cast("bigint").alias("sum_d2")))
+
+
+def _bearing_sectors_sql() -> str:
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {pos('tx')} AS px, {pos('ty')} AS py
+                   FROM events),
+        s AS (SELECT user_id,
+                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT {_OCTANT_EXPR} AS sector,
+               count(*) AS n_steps,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_d2
+        FROM s WHERE dx IS NOT NULL
+        GROUP BY 1"""
+
+
+def q_late_arrival_hist(spark, sf):
+    # watermark-tuning audit: per-user event-time lateness vs the running
+    # max event time in ARRIVAL order (event_id), bucketed into integer
+    # lateness classes. This is the statistic that sizes
+    # withWatermark()'s delay — the streaming family's batch-side twin.
+    # Per-key running max keeps the window partitioned (a global arrival
+    # order would need a two-pass prefix max at scale). The synthetic
+    # events table is already time-ordered by event_id, so arrival is a
+    # minted shard-interleave permutation (real logs arrive shuffled
+    # across shards). ONE exchange.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
+        phash.hash60(F.concat(F.lit("arr-"),
+                              F.col("event_id").cast("string")))
+        .alias("arr"))
+    w = (Win.partitionBy("user_id").orderBy("arr", "event_id")
+         .rowsBetween(Win.unboundedPreceding, -1))
+    late = (e.withColumn("late_s",
+                         F.greatest(F.lit(0),
+                                    F.coalesce(F.max("te").over(w), F.lit(0))
+                                    - F.col("te"))))
+    bucket = F.expr("CASE WHEN late_s = 0 THEN 'on_time' "
+                    "WHEN late_s < 60 THEN 'lt_1m' "
+                    "WHEN late_s < 600 THEN 'lt_10m' "
+                    "WHEN late_s < 3600 THEN 'lt_1h' ELSE 'ge_1h' END")
+    return (late.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.max("late_s").alias("max_late_s"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _late_arrival_hist_sql() -> str:
+    arr = phash.sql_hash60("'arr-' || CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          {arr} AS arr
+                   FROM events),
+        l AS (SELECT user_id,
+                     greatest(0, coalesce(max(te) OVER (
+                         PARTITION BY user_id ORDER BY arr, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) - te) AS late_s
+              FROM e)
+        SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                    WHEN late_s < 60 THEN 'lt_1m'
+                    WHEN late_s < 600 THEN 'lt_10m'
+                    WHEN late_s < 3600 THEN 'lt_1h' ELSE 'ge_1h' END AS bucket,
+               count(*) AS n_events,
+               max(late_s) AS max_late_s,
+               count(DISTINCT user_id) AS n_users
+        FROM l GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -4409,6 +4589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "outlier_mad": q_outlier_mad,
+        "bearing_sectors": q_bearing_sectors,
+        "late_arrival_hist": q_late_arrival_hist,
         "session_paths": q_session_paths,
         "containment_pairs": q_containment_pairs,
         "dbscan_core": q_dbscan_core,
@@ -6428,6 +6611,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "outlier_mad": _outlier_mad_sql(),
+        "bearing_sectors": _bearing_sectors_sql(),
+        "late_arrival_hist": _late_arrival_hist_sql(),
         "session_paths": _session_paths_sql(),
         "containment_pairs": _containment_pairs_sql(),
         "dbscan_core": _dbscan_core_sql(),

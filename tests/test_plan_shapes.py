@@ -187,7 +187,8 @@ def test_batch2122_shuffle_budgets(spark):
     budgets = {"interval_union_time": 1, "staypoints": 1,
                "segment_xing_join": 2, "robots_prefix_rules": 3,
                "delta_bytes_by_tile": 3, "session_paths": 2,
-               "dbscan_core": 3}
+               "dbscan_core": 3, "bearing_sectors": 2,
+               "late_arrival_hist": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -200,7 +201,7 @@ def test_batch2122_shuffle_budgets(spark):
             assert marker not in plan, f"{q}: {marker}"
     # checkpoint-bounded plans (unstable static exchange counts): pin
     # JVM-only + no cartesian instead.
-    for q in ("word_cooc_cosine", "containment_pairs"):
+    for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
