@@ -188,7 +188,8 @@ def test_batch2122_shuffle_budgets(spark):
                "segment_xing_join": 2, "robots_prefix_rules": 3,
                "delta_bytes_by_tile": 3, "session_paths": 2,
                "dbscan_core": 3, "bearing_sectors": 2,
-               "late_arrival_hist": 2}
+               "late_arrival_hist": 2, "prefix_autocomplete_topk": 3,
+               "trend_slope_weekly": 2, "copresence_pairs": 4}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
