@@ -4709,6 +4709,156 @@ def _copresence_pairs_sql() -> str:
         GROUP BY 1, 2 HAVING count(*) >= {COPRES_MIN}"""
 
 
+# ---------------------------------------------------------------------------
+# discrete Hausdorff distance / skyline (Pareto dominance) / raster focal
+# mean — batch 26
+# ---------------------------------------------------------------------------
+
+FOCAL_Z = 6
+
+
+def q_hausdorff_pairs(spark, sf):
+    # discrete Hausdorff distance² between each clustered walk line and
+    # its successor in the same cluster — the trajectory-similarity
+    # measure (map-matching / route-dedup building block). All 81 vertex
+    # distances fold inside ONE projection (nested transform +
+    # array_min/max — no join, no explode); the only exchange is the
+    # cluster window that picks the successor. Exact int64 throughout.
+    from pyspark.sql import Window as Win
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
+    w = Win.partitionBy(F.col("doc_id") % 37).orderBy("doc_id")
+    p = (wl.withColumn("b_id", F.lead("doc_id").over(w))
+         .withColumn("bxs", F.lead("xs_q").over(w))
+         .withColumn("bys", F.lead("ys_q").over(w))
+         .filter(F.col("b_id").isNotNull()))
+    idx = F.sequence(F.lit(1), F.lit(9))
+
+    def dmin(xs_a, ys_a, i, xs_b, ys_b):
+        ax = F.element_at(xs_a, i)
+        ay = F.element_at(ys_a, i)
+        return F.array_min(F.transform(
+            F.sequence(F.lit(1), F.lit(9)),
+            lambda j: (ax - F.element_at(xs_b, j))
+            * (ax - F.element_at(xs_b, j))
+            + (ay - F.element_at(ys_b, j))
+            * (ay - F.element_at(ys_b, j))))
+
+    h_ab = F.array_max(F.transform(
+        idx, lambda i: dmin(F.col("xs_q"), F.col("ys_q"), i,
+                            F.col("bxs"), F.col("bys"))))
+    h_ba = F.array_max(F.transform(
+        idx, lambda i: dmin(F.col("bxs"), F.col("bys"), i,
+                            F.col("xs_q"), F.col("ys_q"))))
+    return p.select(F.col("doc_id").alias("doc_a"),
+                    F.col("b_id").alias("doc_b"),
+                    F.greatest(h_ab, h_ba).alias("hausdorff2"))
+
+
+def _hausdorff_pairs_sql() -> str:
+    base = minted.sql_cluster_walk_lines_q(9, stride=1)
+    d2 = ("(axs[i] - bxs[j]) * (axs[i] - bxs[j])"
+          " + (ays[i] - bys[j]) * (ays[i] - bys[j])")
+    fold = (f"list_max(list_transform(range(1, 10), i -> "
+            f"list_min(list_transform(range(1, 10), j -> {d2}))))")
+    d2r = ("(bxs[i] - axs[j]) * (bxs[i] - axs[j])"
+           " + (bys[i] - ays[j]) * (bys[i] - ays[j])")
+    foldr = (f"list_max(list_transform(range(1, 10), i -> "
+             f"list_min(list_transform(range(1, 10), j -> {d2r}))))")
+    return f"""
+        WITH w AS ({base}),
+        p AS (SELECT doc_id AS doc_a, xs AS axs, ys AS ays,
+                     lead(doc_id) OVER cw AS doc_b,
+                     lead(xs) OVER cw AS bxs, lead(ys) OVER cw AS bys
+              FROM w WINDOW cw AS (PARTITION BY doc_id % 37
+                                   ORDER BY doc_id))
+        SELECT doc_a, doc_b, greatest({fold}, {foldr}) AS hausdorff2
+        FROM p WHERE doc_b IS NOT NULL"""
+
+
+def q_skyline_docs(spark, sf):
+    # skyline / Pareto-dominance operator over (n_tok, n_types): a doc
+    # survives iff no other doc is ≥ on both metrics and strictly better
+    # on one. NOT the quadratic anti-join — the sort-sweep form: ordered
+    # by n_tok desc, a doc is dominated exactly when some strictly-longer
+    # doc reaches its n_types (RANGE frame excludes n_tok ties) or a
+    # same-length doc strictly exceeds it (per-group max). ONE global
+    # sort exchange; at cluster scale the same sweep runs per range
+    # partition with a boundary-max merge.
+    from pyspark.sql import Window as Win
+    t = _docs(spark, sf).select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+        .alias("n_types"))
+    ws = (Win.orderBy(F.col("n_tok").desc())
+          .rangeBetween(Win.unboundedPreceding, -1))
+    wt = Win.partitionBy("n_tok")
+    return (t.withColumn("best_longer",
+                         F.coalesce(F.max("n_types").over(ws), F.lit(-1)))
+            .withColumn("best_tie", F.max("n_types").over(wt))
+            .filter((F.col("n_types") > F.col("best_longer"))
+                    & (F.col("n_types") == F.col("best_tie")))
+            .select("doc_id", "n_tok", "n_types"))
+
+
+def _skyline_docs_sql() -> str:
+    return """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS n_tok,
+                          CAST(len(list_distinct(string_split(text,
+                              chr(32)))) AS BIGINT) AS n_types
+                   FROM documents),
+        s AS (SELECT doc_id, n_tok, n_types,
+                     coalesce(max(n_types) OVER (ORDER BY n_tok DESC
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1) AS best_longer,
+                     max(n_types) OVER (PARTITION BY n_tok) AS best_tie
+              FROM t)
+        SELECT doc_id, n_tok, n_types FROM s
+        WHERE n_types > best_longer AND n_types = best_tie"""
+
+
+def q_tile_focal_mean(spark, sf):
+    # raster focal statistics: per occupied z6 tile, the 3×3
+    # neighbourhood sum / tile count of point density — the smoothing
+    # kernel every heat-map pipeline runs. The corpus-scale work is ONE
+    # tile aggregation; the focal pass explodes the tiny tile table 9×
+    # and re-groups (integer sums only — the mean ships as num/den).
+    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
+         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
+         .localCheckpoint(eager=False))
+    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .select((F.col("x") + F.col("dx")).alias("x"),
+                   (F.col("y") + F.col("dy")).alias("y"),
+                   F.col("n_pts").alias("c")))
+    focal = (nbr.groupBy("x", "y")
+             .agg(F.sum("c").alias("focal_sum"),
+                  F.count("*").alias("n_nbr_tiles")))
+    return (t.join(focal, ["x", "y"])
+            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
+
+
+def _tile_focal_mean_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
+                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y,
+                     count(*) AS n_pts
+              FROM p GROUP BY 1, 2),
+        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
+                FROM t,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
+                     count(*) AS n_nbr_tiles
+              FROM nbr GROUP BY 1, 2)
+        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
+        FROM t JOIN f ON t.x = f.x AND t.y = f.y"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -4731,6 +4881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "hausdorff_pairs": q_hausdorff_pairs,
+        "skyline_docs": q_skyline_docs,
+        "tile_focal_mean": q_tile_focal_mean,
         "prefix_autocomplete_topk": q_prefix_autocomplete_topk,
         "trend_slope_weekly": q_trend_slope_weekly,
         "copresence_pairs": q_copresence_pairs,
@@ -6756,6 +6909,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "hausdorff_pairs": _hausdorff_pairs_sql(),
+        "skyline_docs": _skyline_docs_sql(),
+        "tile_focal_mean": _tile_focal_mean_sql(),
         "prefix_autocomplete_topk": _prefix_autocomplete_topk_sql(),
         "trend_slope_weekly": _trend_slope_weekly_sql(),
         "copresence_pairs": _copresence_pairs_sql(),
