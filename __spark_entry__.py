@@ -4859,6 +4859,191 @@ def _tile_focal_mean_sql() -> str:
         FROM t JOIN f ON t.x = f.x AND t.y = f.y"""
 
 
+# ---------------------------------------------------------------------------
+# point→polyline snap join / weighted median / shard balance — batch 27
+# ---------------------------------------------------------------------------
+
+SNAP_R = 5_000_000          # snap radius (lattice units, 0.5°)
+SNAP_CELL = SNAP_R          # probe grid = radius ⇒ 3×3 ring is complete
+N_SHARDS = 64
+
+# point-to-segment distance² as shared expression text: integer dot/len²
+# feed three IEEE ops (clamp, multiply, subtract) — identical text in both
+# engines ⇒ bit-equal doubles (line_length_stats precedent). Candidate
+# deltas ≤ one probe ring + segment extent, so the integer products stay
+# far inside int64.
+_SNAP_D2 = """(CASE WHEN (vx * vx + vy * vy) = 0
+    THEN CAST(wx * wx + wy * wy AS DOUBLE)
+    ELSE (wx - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
+                              / (vx * vx + vy * vy), 0.0), 1.0) * vx)
+       * (wx - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
+                              / (vx * vx + vy * vy), 0.0), 1.0) * vx)
+       + (wy - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
+                              / (vx * vx + vy * vy), 0.0), 1.0) * vy)
+       * (wy - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
+                              / (vx * vx + vy * vy), 0.0), 1.0) * vy)
+    END)"""
+
+
+def q_route_snap_join(spark, sf):
+    # map-matching step 1: snap every clustered point to the nearest
+    # OTHER document's walk segment within SNAP_R — a point→polyline
+    # distance join. Grid candidates (point probes its 3×3 ring at
+    # cell = R; segments cover their bbox cells), exact integer
+    # dot/len² feeding the shared IEEE distance text, nearest picked by
+    # row_number over (d2, seg ids) so ties are total-ordered. Never
+    # all-pairs; the 3×3 ring is complete for radius R by construction.
+    from pyspark.sql import Window as Win
+    pts = minted.minted_cluster_points_q(spark, sf)
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=7)
+    seg = (wl.select(F.col("doc_id").alias("seg_doc"),
+                     F.posexplode(F.arrays_zip(
+                         F.slice("xs_q", 1, 8).alias("ax"),
+                         F.slice("ys_q", 1, 8).alias("ay"),
+                         F.slice("xs_q", 2, 8).alias("bx"),
+                         F.slice("ys_q", 2, 8).alias("by")))
+                     .alias("seg_i", "s"))
+           .select("seg_doc", "seg_i", "s.ax", "s.ay", "s.bx", "s.by"))
+    segc = (seg
+            .withColumn("cx", F.explode(F.sequence(
+                F.expr(f"least(ax, bx) div {SNAP_CELL}"),
+                F.expr(f"greatest(ax, bx) div {SNAP_CELL}"))))
+            .withColumn("cy", F.explode(F.sequence(
+                F.expr(f"least(ay, by) div {SNAP_CELL}"),
+                F.expr(f"greatest(ay, by) div {SNAP_CELL}")))))
+    ptc = (pts
+           .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .select("doc_id", "qx", "qy",
+                   F.expr(f"qx div {SNAP_CELL} + dx").alias("cx"),
+                   F.expr(f"qy div {SNAP_CELL} + dy").alias("cy")))
+    cand = (ptc.join(segc, ["cx", "cy"])
+            .filter(F.col("doc_id") != F.col("seg_doc"))
+            .dropDuplicates(["doc_id", "seg_doc", "seg_i"])
+            .withColumn("vx", F.col("bx") - F.col("ax"))
+            .withColumn("vy", F.col("by") - F.col("ay"))
+            .withColumn("wx", F.col("qx") - F.col("ax"))
+            .withColumn("wy", F.col("qy") - F.col("ay"))
+            .withColumn("d2", F.expr(_SNAP_D2))
+            .filter(F.col("d2") <= float(SNAP_R) * float(SNAP_R)))
+    w = Win.partitionBy("doc_id").orderBy("d2", "seg_doc", "seg_i")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "seg_doc", "seg_i", "d2"))
+
+
+def _route_snap_join_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    wl = minted.sql_cluster_walk_lines_q(9, stride=7)
+    return f"""
+        WITH p AS ({pts}),
+        w AS ({wl}),
+        seg AS (SELECT doc_id AS seg_doc, i AS seg_i,
+                       xs[i + 1] AS ax, ys[i + 1] AS ay,
+                       xs[i + 2] AS bx, ys[i + 2] AS by
+                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
+        segc AS (SELECT seg.*, cxs.cx, cys.cy FROM seg,
+                 LATERAL (SELECT unnest(range(least(ax, bx) // {SNAP_CELL},
+                     greatest(ax, bx) // {SNAP_CELL} + 1)) AS cx) cxs,
+                 LATERAL (SELECT unnest(range(least(ay, by) // {SNAP_CELL},
+                     greatest(ay, by) // {SNAP_CELL} + 1)) AS cy) cys),
+        ptc AS (SELECT doc_id, qx, qy,
+                       qx // {SNAP_CELL} + dxs.dx AS cx,
+                       qy // {SNAP_CELL} + dys.dy AS cy
+                FROM p,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        cand0 AS (SELECT DISTINCT doc_id, qx, qy, seg_doc, seg_i,
+                         ax, ay, bx, by
+                  FROM ptc JOIN segc ON ptc.cx = segc.cx
+                       AND ptc.cy = segc.cy AND doc_id <> seg_doc),
+        cand AS (SELECT doc_id, seg_doc, seg_i, {_SNAP_D2} AS d2
+                 FROM (SELECT doc_id, seg_doc, seg_i,
+                              bx - ax AS vx, by - ay AS vy,
+                              qx - ax AS wx, qy - ay AS wy
+                       FROM cand0)),
+        r AS (SELECT doc_id, seg_doc, seg_i, d2,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY d2, seg_doc, seg_i) AS rn
+              FROM cand WHERE d2 <= {float(SNAP_R) * float(SNAP_R)!r})
+        SELECT doc_id, seg_doc, seg_i, d2 FROM r WHERE rn = 1"""
+
+
+def q_weighted_median_tokens(spark, sf):
+    # weighted exact order statistic: per language, the byte-weighted
+    # median token count (each doc weighted by its UTF-8 length) — the
+    # "what length does the median BYTE live in" corpus diagnostic.
+    # Cum-sum window over the per-lang (n_tok, doc_id) order, first row
+    # where 2·cumw ≥ W wins; pure integers, ONE lang exchange.
+    from pyspark.sql import Window as Win
+    t = _docs(spark, sf).select(
+        "lang",
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.octet_length("text").cast("bigint").alias("wt"))
+    w = Win.partitionBy("lang").orderBy("n_tok", "doc_id")
+    wf = Win.partitionBy("lang")
+    c = (t.withColumn("cumw", F.sum("wt").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("tot", F.sum("wt").over(wf))
+         .filter(F.col("cumw") * 2 >= F.col("tot")))
+    wpick = Win.partitionBy("lang").orderBy("n_tok", "doc_id")
+    return (c.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select("lang", F.col("n_tok").alias("w_median_tokens"),
+                    F.col("tot").alias("total_bytes")))
+
+
+def _weighted_median_tokens_sql() -> str:
+    return """
+        WITH t AS (SELECT lang, doc_id,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS n_tok,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS wt
+                   FROM documents),
+        c AS (SELECT lang, doc_id, n_tok, wt,
+                     sum(wt) OVER (PARTITION BY lang ORDER BY n_tok, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cumw,
+                     sum(wt) OVER (PARTITION BY lang) AS tot
+              FROM t),
+        f AS (SELECT lang, n_tok, tot,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY n_tok, doc_id) AS rn
+              FROM c WHERE cumw * 2 >= tot)
+        SELECT lang, n_tok AS w_median_tokens,
+               CAST(tot AS BIGINT) AS total_bytes
+        FROM f WHERE rn = 1"""
+
+
+def q_shard_balance(spark, sf):
+    # shard-assignment audit: hash-shard the corpus into N_SHARDS by the
+    # portable hash, report per-shard doc counts and byte totals — the
+    # balance check run before any repartition(N, key) write. Includes
+    # the min/max witness columns the skew alarm reads. One aggregation.
+    d = _docs(spark, sf).select(
+        F.pmod(phash.hash60(F.concat(F.lit("shard-"),
+                                     F.col("doc_id").cast("string"))),
+               F.lit(N_SHARDS)).alias("shard"),
+        F.octet_length("text").cast("bigint").alias("b"))
+    return (d.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("b").alias("total_bytes"),
+                 F.max("b").alias("max_doc_bytes")))
+
+
+def _shard_balance_sql() -> str:
+    h = phash.sql_hash60("'shard-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT ({h}) % {N_SHARDS} AS shard,
+               count(*) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT)
+                   AS max_doc_bytes
+        FROM documents GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -4881,6 +5066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "route_snap_join": q_route_snap_join,
+        "weighted_median_tokens": q_weighted_median_tokens,
+        "shard_balance": q_shard_balance,
         "hausdorff_pairs": q_hausdorff_pairs,
         "skyline_docs": q_skyline_docs,
         "tile_focal_mean": q_tile_focal_mean,
@@ -6909,6 +7097,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "route_snap_join": _route_snap_join_sql(),
+        "weighted_median_tokens": _weighted_median_tokens_sql(),
+        "shard_balance": _shard_balance_sql(),
         "hausdorff_pairs": _hausdorff_pairs_sql(),
         "skyline_docs": _skyline_docs_sql(),
         "tile_focal_mean": _tile_focal_mean_sql(),

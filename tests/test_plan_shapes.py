@@ -191,7 +191,8 @@ def test_batch2122_shuffle_budgets(spark):
                "late_arrival_hist": 2, "prefix_autocomplete_topk": 3,
                "trend_slope_weekly": 2, "copresence_pairs": 4,
                "hausdorff_pairs": 3, "skyline_docs": 2,
-               "tile_focal_mean": 2}
+               "tile_focal_mean": 2, "route_snap_join": 3,
+               "weighted_median_tokens": 2, "shard_balance": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
