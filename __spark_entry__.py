@@ -5044,6 +5044,188 @@ def _shard_balance_sql() -> str:
         FROM documents GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# grid line density (Liang-Barsky, fixed-point sums) / k-core peeling /
+# integer Chebyshev anomaly days — batch 28
+# ---------------------------------------------------------------------------
+
+GLD_G = 20_000_000        # density grid span (lattice units)
+GLD_FP = 1 << 20          # fixed-point scale for order-independent sums
+KCORE_K, KCORE_ROUNDS = 2, 4
+ANOM_K2 = 9               # |z| > 3 ⇔ (n·x − S)² > 9·(n·Σx² − S²)
+
+# Liang-Barsky parametric clip of segment (ax,ay)→(bx,by) against the
+# closed box [x1,x2]×[y1,y2], as shared expression text over columns
+# ax/ay/vx/vy/x1/x2/y1/y2 (v = b − a). Sentinels for the axis-parallel
+# cases: inside → (0,1), outside → (2,−1) (empty). All divisions are
+# double/int64 with identical text, so t0/t1 are bit-equal cross-engine.
+_LB_TMIN_X = ("(CASE WHEN vx > 0 THEN CAST(x1 - ax AS DOUBLE) / vx "
+              "WHEN vx < 0 THEN CAST(x2 - ax AS DOUBLE) / vx "
+              "ELSE (CASE WHEN ax >= x1 AND ax <= x2 THEN 0.0 ELSE 2.0 END) "
+              "END)")
+_LB_TMAX_X = ("(CASE WHEN vx > 0 THEN CAST(x2 - ax AS DOUBLE) / vx "
+              "WHEN vx < 0 THEN CAST(x1 - ax AS DOUBLE) / vx "
+              "ELSE (CASE WHEN ax >= x1 AND ax <= x2 THEN 1.0 ELSE -1.0 END) "
+              "END)")
+_LB_TMIN_Y = _LB_TMIN_X.replace("vx", "vy").replace("ax", "ay") \
+    .replace("x1", "y1").replace("x2", "y2")
+_LB_TMAX_Y = _LB_TMAX_X.replace("vx", "vy").replace("ax", "ay") \
+    .replace("x1", "y1").replace("x2", "y2")
+_LB_T0 = f"greatest(0.0, {_LB_TMIN_X}, {_LB_TMIN_Y})"
+_LB_T1 = f"least(1.0, {_LB_TMAX_X}, {_LB_TMAX_Y})"
+# clipped piece length, fixed-point floor: per-row doubles are bit-equal
+# (identical text), floor makes them exact integers, and the INTEGER sum
+# is order-independent — the trick that lets a float-valued rollup hash
+# match across engines and partitionings.
+_LB_PIECE_FP = (f"CAST(floor(({_LB_T1} - {_LB_T0}) "
+                f"* sqrt(CAST(vx * vx + vy * vy AS DOUBLE)) * {GLD_FP}.0) "
+                "AS BIGINT)")
+
+
+def q_grid_line_density(spark, sf):
+    # road-density raster: per lattice grid cell, the total clipped
+    # polyline length (Liang-Barsky parametric clip — the clip family's
+    # pure-expression sibling of operators/clip.py's Arrow kernels).
+    # Candidates from the bbox cell cover (≤ 2 cells/axis at this span);
+    # the float piece lengths are floored to 2^-20 fixed point per row so
+    # the per-cell SUM is an exact int64 — order-independent, hashable.
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=3)
+    seg = (wl.select(F.col("doc_id"),
+                     F.explode(F.arrays_zip(
+                         F.slice("xs_q", 1, 8).alias("ax"),
+                         F.slice("ys_q", 1, 8).alias("ay"),
+                         F.slice("xs_q", 2, 8).alias("bx"),
+                         F.slice("ys_q", 2, 8).alias("by"))).alias("s"))
+           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
+           .withColumn("vx", F.col("bx") - F.col("ax"))
+           .withColumn("vy", F.col("by") - F.col("ay")))
+    cand = (seg.withColumn("gx", F.explode(F.sequence(
+                F.expr(f"least(ax, bx) div {GLD_G}"),
+                F.expr(f"greatest(ax, bx) div {GLD_G}"))))
+            .withColumn("gy", F.explode(F.sequence(
+                F.expr(f"least(ay, by) div {GLD_G}"),
+                F.expr(f"greatest(ay, by) div {GLD_G}"))))
+            .withColumn("x1", F.col("gx") * GLD_G)
+            .withColumn("x2", (F.col("gx") + 1) * GLD_G)
+            .withColumn("y1", F.col("gy") * GLD_G)
+            .withColumn("y2", (F.col("gy") + 1) * GLD_G)
+            .filter(F.expr(f"{_LB_T1} > {_LB_T0}")))
+    return (cand.withColumn("fp", F.expr(_LB_PIECE_FP))
+            .groupBy("gx", "gy")
+            .agg(F.count("*").alias("n_pieces"),
+                 F.sum("fp").alias("len_fp")))
+
+
+def _grid_line_density_sql() -> str:
+    base = minted.sql_cluster_walk_lines_q(9, stride=3)
+    return f"""
+        WITH w AS ({base}),
+        seg AS (SELECT doc_id, xs[i + 1] AS ax, ys[i + 1] AS ay,
+                       xs[i + 2] - xs[i + 1] AS vx,
+                       ys[i + 2] - ys[i + 1] AS vy,
+                       xs[i + 2] AS bx, ys[i + 2] AS by
+                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
+        cand AS (SELECT seg.*, gxs.gx, gys.gy,
+                        gxs.gx * {GLD_G} AS x1, (gxs.gx + 1) * {GLD_G} AS x2,
+                        gys.gy * {GLD_G} AS y1, (gys.gy + 1) * {GLD_G} AS y2
+                 FROM seg,
+                 LATERAL (SELECT unnest(range(least(ax, bx) // {GLD_G},
+                     greatest(ax, bx) // {GLD_G} + 1)) AS gx) gxs,
+                 LATERAL (SELECT unnest(range(least(ay, by) // {GLD_G},
+                     greatest(ay, by) // {GLD_G} + 1)) AS gy) gys)
+        SELECT gx, gy, count(*) AS n_pieces,
+               CAST(sum({_LB_PIECE_FP}) AS BIGINT) AS len_fp
+        FROM cand WHERE {_LB_T1} > {_LB_T0}
+        GROUP BY 1, 2"""
+
+
+def q_kcore_hosts(spark, sf):
+    # k-core decomposition (k=2) by synchronous peeling over the host
+    # link graph: drop degree-<k nodes, re-derive degrees, repeat — the
+    # graph-cleaning pass that strips leaf chains before community /
+    # centrality work. KCORE_ROUNDS fixed rounds (pytest pins the
+    # fixpoint on this fixture); each round is one degree aggregation +
+    # two semi-joins, lineage cut per round like the pagerank iterations.
+    und = (_host_edges(spark, 2000)
+           .filter(F.col("src_host") != F.col("dst_host"))
+           .select(F.least("src_host", "dst_host").alias("u"),
+                   F.greatest("src_host", "dst_host").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    e = und
+    for _ in range(KCORE_ROUNDS):
+        deg = (e.select(F.col("u").alias("n"))
+               .unionByName(e.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("c")))
+        keep = deg.filter(F.col("c") >= KCORE_K).select("n")
+        e = (e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+             .localCheckpoint(eager=False))
+    return (e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("degree"))
+            .select(F.col("n").alias("host"), "degree"))
+
+
+def _kcore_hosts_sql() -> str:
+    parts = [f"""{_host_edges_cte()},
+        e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM ed WHERE src <> dst)"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+        d{r} AS (SELECT n, count(*) AS c FROM (
+                     SELECT u AS n FROM e{r - 1}
+                     UNION ALL SELECT v AS n FROM e{r - 1})
+                 GROUP BY 1),
+        k{r} AS (SELECT n FROM d{r} WHERE c >= {KCORE_K}),
+        e{r} AS (SELECT e.u, e.v FROM e{r - 1} e
+                 JOIN k{r} a ON e.u = a.n JOIN k{r} b ON e.v = b.n)""")
+    final = KCORE_ROUNDS
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT n AS host, count(*) AS degree FROM (
+            SELECT u AS n FROM e{final} UNION ALL SELECT v AS n FROM e{final})
+        GROUP BY 1""")
+
+
+def q_anomaly_days(spark, sf):
+    # burst days in EXACT integers: per event_type, daily counts x with
+    # per-type totals (n days, S = Σx, Q = Σx²); day flagged when
+    # (n·x − S)² > ANOM_K2 · (n·Q − S²) — algebraically |z| > 3 with the
+    # n² cleared, so no float mean/std and the oracle hashes exactly.
+    # Two small aggregations over the daily rollup; one day exchange.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("x"))
+    tot = (daily.groupBy("event_type")
+           .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+                F.sum(F.col("x") * F.col("x")).alias("q")))
+    j = daily.join(F.broadcast(tot), "event_type")
+    lhs = (F.col("n") * F.col("x") - F.col("s"))
+    rhs = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (j.filter(lhs * lhs > ANOM_K2 * rhs)
+            .select("event_type", "day", "x",
+                    (lhs * lhs).alias("dev2_scaled"),
+                    rhs.alias("var_scaled")))
+
+
+def _anomaly_days_sql() -> str:
+    return f"""
+        WITH e AS (SELECT event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                   FROM events),
+        daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+                  FROM e GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s,
+                       CAST(sum(x * x) AS BIGINT) AS q
+                FROM daily GROUP BY 1)
+        SELECT daily.event_type, day, x,
+               (n * x - s) * (n * x - s) AS dev2_scaled,
+               n * q - s * s AS var_scaled
+        FROM daily JOIN tot ON daily.event_type = tot.event_type
+        WHERE (n * x - s) * (n * x - s) > {ANOM_K2} * (n * q - s * s)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
