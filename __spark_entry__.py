@@ -5052,7 +5052,7 @@ def _shard_balance_sql() -> str:
 GLD_G = 20_000_000        # density grid span (lattice units)
 GLD_FP = 1 << 20          # fixed-point scale for order-independent sums
 KCORE_K, KCORE_ROUNDS = 2, 4
-ANOM_K2 = 9               # |z| > 3 ⇔ (n·x − S)² > 9·(n·Σx² − S²)
+ANOM_K2 = 4               # |z| > 2 ⇔ (n·x − S)² > 4·(n·Σx² − S²)
 
 # Liang-Barsky parametric clip of segment (ax,ay)→(bx,by) against the
 # closed box [x1,x2]×[y1,y2], as shared expression text over columns
@@ -5169,28 +5169,30 @@ def q_kcore_hosts(spark, sf):
 
 def _kcore_hosts_sql() -> str:
     parts = [f"""{_host_edges_cte()},
-        e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-               FROM ed WHERE src <> dst)"""]
+        ke0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                       greatest(src, dst) AS v
+                FROM ed WHERE src <> dst)"""]
     for r in range(1, KCORE_ROUNDS + 1):
         parts.append(f"""
-        d{r} AS (SELECT n, count(*) AS c FROM (
-                     SELECT u AS n FROM e{r - 1}
-                     UNION ALL SELECT v AS n FROM e{r - 1})
-                 GROUP BY 1),
-        k{r} AS (SELECT n FROM d{r} WHERE c >= {KCORE_K}),
-        e{r} AS (SELECT e.u, e.v FROM e{r - 1} e
-                 JOIN k{r} a ON e.u = a.n JOIN k{r} b ON e.v = b.n)""")
+        kd{r} AS MATERIALIZED (SELECT n, count(*) AS c FROM (
+                      SELECT u AS n FROM ke{r - 1}
+                      UNION ALL SELECT v AS n FROM ke{r - 1})
+                  GROUP BY 1),
+        kk{r} AS (SELECT n FROM kd{r} WHERE c >= {KCORE_K}),
+        ke{r} AS MATERIALIZED (SELECT e.u, e.v FROM ke{r - 1} e
+                  JOIN kk{r} a ON e.u = a.n JOIN kk{r} b ON e.v = b.n)""")
     final = KCORE_ROUNDS
     return ("WITH " + ",".join(parts) + f"""
         SELECT n AS host, count(*) AS degree FROM (
-            SELECT u AS n FROM e{final} UNION ALL SELECT v AS n FROM e{final})
+            SELECT u AS n FROM ke{final}
+            UNION ALL SELECT v AS n FROM ke{final})
         GROUP BY 1""")
 
 
 def q_anomaly_days(spark, sf):
     # burst days in EXACT integers: per event_type, daily counts x with
     # per-type totals (n days, S = Σx, Q = Σx²); day flagged when
-    # (n·x − S)² > ANOM_K2 · (n·Q − S²) — algebraically |z| > 3 with the
+    # (n·x − S)² > ANOM_K2 · (n·Q − S²) — algebraically |z| > 2 with the
     # n² cleared, so no float mean/std and the oracle hashes exactly.
     # Two small aggregations over the daily rollup; one day exchange.
     e = spark.read.parquet(f"{sf}/events.parquet").select(
@@ -5248,6 +5250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "grid_line_density": q_grid_line_density,
+        "kcore_hosts": q_kcore_hosts,
+        "anomaly_days": q_anomaly_days,
         "route_snap_join": q_route_snap_join,
         "weighted_median_tokens": q_weighted_median_tokens,
         "shard_balance": q_shard_balance,
@@ -7279,6 +7284,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "grid_line_density": _grid_line_density_sql(),
+        "kcore_hosts": _kcore_hosts_sql(),
+        "anomaly_days": _anomaly_days_sql(),
         "route_snap_join": _route_snap_join_sql(),
         "weighted_median_tokens": _weighted_median_tokens_sql(),
         "shard_balance": _shard_balance_sql(),

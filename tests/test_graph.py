@@ -222,3 +222,25 @@ def test_bfs_hops_sql_twin(spark):
         "n IN ('s', 't')", max_hops=2)
     oracle = dict(duckdb.sql(sql).fetchall())
     assert got == oracle
+
+
+def test_kcore_reaches_fixpoint_and_is_a_2core(spark):
+    """KCORE_ROUNDS fixed peeling rounds must reach the fixpoint on the
+    fixture: every surviving node has degree >= 2 (a valid 2-core), and
+    one additional peeling round changes nothing."""
+    import __spark_entry__ as em
+
+    out = em.q_kcore_hosts(spark, "/root/testdata/sf0.001")
+    rows = {r["host"]: r["degree"] for r in out.collect()}
+    assert rows, "fixture 2-core should be non-empty"
+    assert min(rows.values()) >= em.KCORE_K
+    # one more round is a no-op
+    old = em.KCORE_ROUNDS
+    try:
+        em.KCORE_ROUNDS = old + 1
+        again = {r["host"]: r["degree"]
+                 for r in em.q_kcore_hosts(spark,
+                                           "/root/testdata/sf0.001").collect()}
+    finally:
+        em.KCORE_ROUNDS = old
+    assert again == rows

@@ -192,7 +192,8 @@ def test_batch2122_shuffle_budgets(spark):
                "trend_slope_weekly": 2, "copresence_pairs": 4,
                "hausdorff_pairs": 3, "skyline_docs": 2,
                "tile_focal_mean": 2, "route_snap_join": 3,
-               "weighted_median_tokens": 2, "shard_balance": 2}
+               "weighted_median_tokens": 2, "shard_balance": 2,
+               "grid_line_density": 1, "anomaly_days": 4}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -205,7 +206,8 @@ def test_batch2122_shuffle_budgets(spark):
             assert marker not in plan, f"{q}: {marker}"
     # checkpoint-bounded plans (unstable static exchange counts): pin
     # JVM-only + no cartesian instead.
-    for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad"):
+    for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad",
+              "kcore_hosts"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
