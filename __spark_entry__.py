@@ -5228,6 +5228,200 @@ def _anomaly_days_sql() -> str:
         WHERE (n * x - s) * (n * x - s) > {ANOM_K2} * (n * q - s * s)"""
 
 
+# ---------------------------------------------------------------------------
+# origin-destination flows / weekly corpus novelty / exact union area of
+# boxes — batch 29
+# ---------------------------------------------------------------------------
+
+OD_BIN = 400_000                 # traj lattice span 2e6 → 5×5 OD grid
+
+
+def q_od_flows(spark, sf):
+    # origin-destination matrix over the minted trajectories: consecutive
+    # fixes binned to a coarse grid, (from, to) transition counts + the
+    # moved/dwell split — the spatial-flow rollup behind every mobility
+    # dashboard. ONE user window exchange + a tiny flow rollup.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    d2 = d.select("user_id", "ts", "event_id",
+                  F.expr(f"(px + 1000000) div {OD_BIN}").alias("cx"),
+                  F.expr(f"(py + 1000000) div {OD_BIN}").alias("cy"))
+    fl = (d2.select("user_id",
+                    F.lag("cx").over(w).alias("fx"),
+                    F.lag("cy").over(w).alias("fy"),
+                    F.col("cx").alias("tx"), F.col("cy").alias("ty"))
+          .filter(F.col("fx").isNotNull()))
+    return (fl.groupBy("fx", "fy", "tx", "ty")
+            .agg(F.count("*").alias("n_trips"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .withColumn("moved",
+                        (F.col("fx") != F.col("tx"))
+                        | (F.col("fy") != F.col("ty"))))
+
+
+def _od_flows_sql() -> str:
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          ({pos('tx')} + 1000000) // {OD_BIN} AS cx,
+                          ({pos('ty')} + 1000000) // {OD_BIN} AS cy
+                   FROM events),
+        fl AS (SELECT user_id,
+                      lag(cx) OVER w AS fx, lag(cy) OVER w AS fy,
+                      cx AS tx, cy AS ty
+               FROM p
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT fx, fy, tx, ty, count(*) AS n_trips,
+               count(DISTINCT user_id) AS n_users,
+               (fx <> tx OR fy <> ty) AS moved
+        FROM fl WHERE fx IS NOT NULL
+        GROUP BY 1, 2, 3, 4"""
+
+
+def q_novelty_weekly(spark, sf):
+    # corpus freshness curve: per capture week, how many distinct word
+    # 8-grams appear at all, and how many appear for the FIRST time
+    # (global min-week per gram) — the dedup-aware novelty signal that
+    # decides whether another crawl week is worth ingesting. Two hash
+    # aggregations over the gram explode; grams never leave their
+    # shuffle partition between them.
+    p = pages.pages(spark, 2000).select(
+        F.expr("unix_timestamp(warc_ts) div 604800").alias("wk"),
+        F.col("text"))
+    grams = p.select("wk", F.explode(dedup._shingles(F.col("text"), 8))
+                     .alias("g"))
+    per_wk = grams.groupBy("wk", "g").agg(F.count("*").alias("n"))
+    first = per_wk.groupBy("g").agg(F.min("wk").alias("first_wk"))
+    j = per_wk.join(first, "g")
+    return (j.groupBy("wk")
+            .agg(F.count("*").alias("n_distinct_grams"),
+                 F.sum(F.when(F.col("wk") == F.col("first_wk"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel")))
+
+
+def _novelty_weekly_sql(k: int = 8) -> str:
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        pw AS (SELECT ts_epoch // 604800 AS wk,
+                      string_split(text, chr(32)) AS toks
+               FROM txt),
+        sh AS (SELECT wk, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + {k - 1}),
+                                        chr(31))))) AS g
+               FROM pw),
+        per_wk AS (SELECT wk, g, count(*) AS n FROM sh GROUP BY 1, 2),
+        first AS (SELECT g, min(wk) AS first_wk FROM per_wk GROUP BY 1)
+        SELECT per_wk.wk, count(*) AS n_distinct_grams,
+               CAST(sum(CASE WHEN per_wk.wk = first.first_wk
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM per_wk JOIN first ON per_wk.g = first.g
+        GROUP BY 1"""
+
+
+def q_union_area_rects(spark, sf):
+    # EXACT area of the union of all minted boxes — the slab
+    # decomposition: x-slabs between consecutive distinct x-boundaries,
+    # per-slab y-interval union via gaps-and-islands, Σ width × covered.
+    # Every step is an equi-join or a window (rect → slab-index range via
+    # boundary ranks, then explode — no inequality join); pure int64.
+    # At cluster scale the same sweep runs per coarse x-band with
+    # band-clipped rects — exactness is preserved band-by-band.
+    from pyspark.sql import Window as Win
+    # stride-5 fixture: the slab decomposition is inherently ~quadratic
+    # in overlapping-rect density (rr rows = slabs x rects-per-slab);
+    # production bounds it with coarse x-bands, the fixture by thinning.
+    r = _shifted_rects(spark, sf).filter(F.col("poly_id") % 5 == 0)
+    bx = (r.select(F.col("x1").alias("b"))
+          .unionByName(r.select(F.col("x2").alias("b")))
+          .distinct())
+    ranked = bx.withColumn("rk", F.row_number().over(Win.orderBy("b")))
+    slabs = (ranked
+             .withColumn("nb", F.lead("b").over(Win.orderBy("rk")))
+             .filter(F.col("nb").isNotNull())
+             .select("rk", (F.col("nb") - F.col("b")).alias("w")))
+    rr = (r.join(ranked.select(F.col("b").alias("x1"),
+                               F.col("rk").alias("r1")), "x1")
+          .join(ranked.select(F.col("b").alias("x2"),
+                              F.col("rk").alias("r2")), "x2")
+          .withColumn("s", F.explode(F.sequence(
+              F.col("r1"), F.col("r2") - 1)))
+          .select("s", "y1", "y2", "poly_id"))
+    w = Win.partitionBy("s").orderBy("y1", "y2", "poly_id")
+    prev_max = F.max("y2").over(w.rowsBetween(Win.unboundedPreceding, -1))
+    isl = (rr.withColumn("ni", F.when(
+               F.col("y1") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0))
+           .withColumn("island", F.sum("ni").over(
+               w.rowsBetween(Win.unboundedPreceding, 0)))
+           .groupBy("s", "island")
+           .agg(F.min("y1").alias("i_y1"), F.max("y2").alias("i_y2")))
+    cov = (isl.groupBy("s")
+           .agg(F.sum(F.col("i_y2") - F.col("i_y1")).alias("cov")))
+    area = (cov.join(slabs, F.col("s") == F.col("rk"))
+            .agg(F.sum(F.col("w") * F.col("cov")).alias("union_area")))
+    # Σ of individual areas overflows int64 at corpus scale; widths and
+    # heights are multiples of 1e6 by construction (hw/hh minting), so
+    # the witness ships exactly in kilounit² instead.
+    tot = r.agg(
+        F.count("*").alias("n_rects"),
+        F.sum(F.expr("((x2 - x1) div 1000) * ((y2 - y1) div 1000)"))
+        .alias("sum_area_k"))
+    return tot.crossJoin(area).select(
+        "n_rects", "sum_area_k", "union_area")
+
+
+def _union_area_rects_sql() -> str:
+    return f"""
+        WITH {_shifted_rects_cte()},
+        r5 AS (SELECT * FROM r WHERE poly_id % 5 = 0),
+        bx AS (SELECT DISTINCT b FROM (
+                   SELECT x1 AS b FROM r5 UNION SELECT x2 AS b FROM r5)),
+        ranked AS (SELECT b, row_number() OVER (ORDER BY b) AS rk FROM bx),
+        slabs AS (SELECT rk, lead(b) OVER (ORDER BY rk) - b AS w
+                  FROM ranked QUALIFY lead(b) OVER (ORDER BY rk) IS NOT NULL),
+        rr AS (SELECT sx.s, r5.y1, r5.y2, r5.poly_id
+               FROM r5
+               JOIN ranked a ON r5.x1 = a.b
+               JOIN ranked bq ON r5.x2 = bq.b,
+               LATERAL (SELECT unnest(range(a.rk, bq.rk)) AS s) sx),
+        iv AS (SELECT s, y1, y2, poly_id,
+                      CASE WHEN y1 > coalesce(max(y2) OVER (
+                               PARTITION BY s ORDER BY y1, y2, poly_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS ni
+               FROM rr),
+        ii AS (SELECT s, y1, y2,
+                      sum(ni) OVER (PARTITION BY s
+                          ORDER BY y1, y2, poly_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+               FROM iv),
+        isl AS (SELECT s, island, min(y1) AS i_y1, max(y2) AS i_y2
+                FROM ii GROUP BY 1, 2),
+        cov AS (SELECT s, sum(i_y2 - i_y1) AS cov FROM isl GROUP BY 1),
+        area AS (SELECT CAST(sum(slabs.w * cov.cov) AS BIGINT)
+                     AS union_area
+                 FROM cov JOIN slabs ON cov.s = slabs.rk),
+        tot AS (SELECT count(*) AS n_rects,
+                       CAST(sum(((x2 - x1) // 1000) * ((y2 - y1) // 1000))
+                            AS BIGINT) AS sum_area_k
+                FROM r5)
+        SELECT n_rects, sum_area_k, union_area FROM tot, area"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -5250,6 +5444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "od_flows": q_od_flows,
+        "novelty_weekly": q_novelty_weekly,
+        "union_area_rects": q_union_area_rects,
         "grid_line_density": q_grid_line_density,
         "kcore_hosts": q_kcore_hosts,
         "anomaly_days": q_anomaly_days,
@@ -7284,6 +7481,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "od_flows": _od_flows_sql(),
+        "novelty_weekly": _novelty_weekly_sql(),
+        "union_area_rects": _union_area_rects_sql(),
         "grid_line_density": _grid_line_density_sql(),
         "kcore_hosts": _kcore_hosts_sql(),
         "anomaly_days": _anomaly_days_sql(),

@@ -107,6 +107,13 @@ def bench_queries(spark):
         "triangle_hosts", "funnel_conversion", "areal_interp", "traj_steps",
         "adaptive_cover", "rect_overlay_iou", "scd2_history",
         "retention_cohorts", "line_length_stats",
+        # second extension session: geometry joins, interval/trajectory
+        # analytics, dedup/similarity tiers, density rasters
+        "segment_xing_join", "route_snap_join", "hausdorff_pairs",
+        "grid_line_density", "dbscan_core", "tile_focal_mean",
+        "containment_pairs", "word_cooc_cosine", "skyline_docs",
+        "interval_union_time", "staypoints", "copresence_pairs",
+        "session_paths", "kcore_hosts", "delta_bytes_by_tile",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can

@@ -193,7 +193,8 @@ def test_batch2122_shuffle_budgets(spark):
                "hausdorff_pairs": 3, "skyline_docs": 2,
                "tile_focal_mean": 2, "route_snap_join": 3,
                "weighted_median_tokens": 2, "shard_balance": 2,
-               "grid_line_density": 1, "anomaly_days": 4}
+               "grid_line_density": 1, "anomaly_days": 4,
+               "od_flows": 2, "novelty_weekly": 4}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -212,3 +213,10 @@ def test_batch2122_shuffle_budgets(spark):
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
             assert marker not in plan, f"{q}: {marker}"
+    # union_area_rects combines two single-row aggregates — the one
+    # BroadcastNestedLoop in the registry that is legitimate (1x1).
+    ua = _executed_plan(
+        em.queries()["union_area_rects"](spark, "/root/testdata/sf0.001"))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                   "CartesianProduct"):
+        assert marker not in ua, f"union_area_rects: {marker}"
