@@ -195,7 +195,8 @@ def test_batch2122_shuffle_budgets(spark):
                "weighted_median_tokens": 2, "shard_balance": 2,
                "grid_line_density": 1, "anomaly_days": 4,
                "od_flows": 2, "novelty_weekly": 4,
-               "phrase_search": 4, "tile_percentile_rank": 2}
+               "phrase_search": 4, "tile_percentile_rank": 2,
+               "active_users_7d": 3, "conjunctive_search": 3}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -209,7 +210,7 @@ def test_batch2122_shuffle_budgets(spark):
     # checkpoint-bounded plans (unstable static exchange counts): pin
     # JVM-only + no cartesian instead.
     for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad",
-              "kcore_hosts", "idw_interpolate"):
+              "kcore_hosts", "idw_interpolate", "flow_divergence"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
