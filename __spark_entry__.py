@@ -3965,27 +3965,9 @@ STAY_R2 = 90_000_000_000          # dwell radius² on the traj lattice (3e5)²
 ROBOTS_PAGES, ROBOTS_SITES = 2000, 1000
 
 
-def _sql_cross(ox, oy, px, py, qx, qy) -> str:
-    """2D integer cross product (p-o) × (q-o): the exact orientation test
-    (geom.ring_validity_cols sibling). Candidate deltas are bounded by one
-    grid cell + two walk-box extents (≤ 6e7), so products stay < 2^53 —
-    exact in both engines' int64."""
-    return (f"((({px}) - ({ox})) * (({qy}) - ({oy})) "
-            f"- (({py}) - ({oy})) * (({qx}) - ({ox})))")
-
-
 def _sql_proper_xing() -> str:
-    """Strict proper-crossing predicate over candidate columns a_ax..b_by —
-    identical expression text runs in Spark (F.expr) and DuckDB."""
-    d1 = _sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay")
-    d2 = _sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_bx", "a_by")
-    d3 = _sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay")
-    d4 = _sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_bx", "b_by")
-
-    def opp(u, v):
-        return f"((({u}) > 0 AND ({v}) < 0) OR (({u}) < 0 AND ({v}) > 0))"
-
-    return f"({opp(d1, d2)} AND {opp(d3, d4)})"
+    """Shared predicate text (operators/spatial_join.sql_proper_xing)."""
+    return sj.sql_proper_xing()
 
 
 def q_segment_xing_join(spark, sf):
@@ -3997,38 +3979,10 @@ def q_segment_xing_join(spark, sf):
     # predicate. Scale: one equi-join shuffle on (cx, cy); cell span tunes
     # to density; hot cells fall under plan_salt like any cell join.
     # Fixture: the CLUSTERED walk mint (the rank-1 base never overlaps).
+    # Core: operators/spatial_join.segment_xing_join (stress harness
+    # tools/bench_segment_stress.py runs the same code at arbitrary N).
     wl = minted.cluster_walk_lines_q(spark, sf, k=9)
-    seg = (wl.select("doc_id", F.explode(F.arrays_zip(
-               F.slice("xs_q", 1, 8).alias("ax"),
-               F.slice("ys_q", 1, 8).alias("ay"),
-               F.slice("xs_q", 2, 8).alias("bx"),
-               F.slice("ys_q", 2, 8).alias("by"))).alias("s"))
-           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
-           .withColumn("x1", F.least("ax", "bx"))
-           .withColumn("x2", F.greatest("ax", "bx"))
-           .withColumn("y1", F.least("ay", "by"))
-           .withColumn("y2", F.greatest("ay", "by")))
-    sc = (seg.withColumn("cx", F.explode(F.sequence(
-              F.expr(f"x1 div {SEG_CELL}"), F.expr(f"x2 div {SEG_CELL}"))))
-          .withColumn("cy", F.explode(F.sequence(
-              F.expr(f"y1 div {SEG_CELL}"), F.expr(f"y2 div {SEG_CELL}")))))
-
-    def pref(p):
-        return sc.select([F.col(c).alias(p + c) for c in sc.columns])
-
-    cand = (pref("a_").join(
-                pref("b_"),
-                (F.col("a_cx") == F.col("b_cx"))
-                & (F.col("a_cy") == F.col("b_cy"))
-                & (F.col("a_doc_id") < F.col("b_doc_id")))
-            .filter(F.expr(f"a_cx = greatest(a_x1, b_x1) div {SEG_CELL} "
-                           f"AND a_cy = greatest(a_y1, b_y1) div {SEG_CELL}"))
-            .filter(F.expr("a_x1 <= b_x2 AND b_x1 <= a_x2 "
-                           "AND a_y1 <= b_y2 AND b_y1 <= a_y2")))
-    return (cand.filter(F.expr(_sql_proper_xing()))
-            .groupBy(F.col("a_doc_id").alias("doc_a"),
-                     F.col("b_doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("n_xings")))
+    return sj.segment_xing_join(wl, cell=SEG_CELL, k=9)
 
 
 def _segment_xing_join_sql() -> str:

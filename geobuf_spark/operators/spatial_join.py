@@ -494,3 +494,70 @@ def box_iou_join(a: DataFrame, b: DataFrame, cell: int,
                     F.floor(inter.cast("double") * 1000000.0
                             / union.cast("double")).cast("bigint")
                     .alias("iou_ppm")))
+
+
+def sql_cross(ox, oy, px, py, qx, qy) -> str:
+    """2D integer cross product (p−o) × (q−o) as shared expression text —
+    the exact orientation predicate both engines evaluate identically."""
+    return (f"((({px}) - ({ox})) * (({qy}) - ({oy})) "
+            f"- (({py}) - ({oy})) * (({qx}) - ({ox})))")
+
+
+def sql_proper_xing() -> str:
+    """Strict proper-crossing predicate over candidate columns
+    a_ax..b_by (segment a = a_a→a_b, segment b = b_a→b_b)."""
+    d1 = sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay")
+    d2 = sql_cross("b_ax", "b_ay", "b_bx", "b_by", "a_bx", "a_by")
+    d3 = sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay")
+    d4 = sql_cross("a_ax", "a_ay", "a_bx", "a_by", "b_bx", "b_by")
+
+    def opp(u, v):
+        return f"((({u}) > 0 AND ({v}) < 0) OR (({u}) < 0 AND ({v}) > 0))"
+
+    return f"({opp(d1, d2)} AND {opp(d3, d4)})"
+
+
+def segment_xing_join(wl: DataFrame, cell: int, k: int = 9) -> DataFrame:
+    """Exact segment-intersection join over (doc_id, xs_q, ys_q) walk
+    polylines: grid-cell candidate generation (never all-pairs),
+    reference-point dedup (each candidate pair kept only in the cell of
+    max(bbox min-corners) — no distinct), strict integer orientation
+    refine, per-(doc_a, doc_b) crossing counts.
+
+    Scale shape: ONE equi-join shuffle on (cx, cy); `cell` must be ≥ the
+    max per-segment extent (cover ≤ 2 cells/axis) and tunes to density;
+    hot cells salt like any cell join (plans/strategy.plan_salt).
+    Reference analog: the bbox prefilter staging of split_combine.go's
+    Intersect, upgraded to an exact predicate."""
+    n = k - 1
+    seg = (wl.select("doc_id", F.explode(F.arrays_zip(
+               F.slice("xs_q", 1, n).alias("ax"),
+               F.slice("ys_q", 1, n).alias("ay"),
+               F.slice("xs_q", 2, n).alias("bx"),
+               F.slice("ys_q", 2, n).alias("by"))).alias("s"))
+           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
+           .withColumn("x1", F.least("ax", "bx"))
+           .withColumn("x2", F.greatest("ax", "bx"))
+           .withColumn("y1", F.least("ay", "by"))
+           .withColumn("y2", F.greatest("ay", "by")))
+    sc = (seg.withColumn("cx", F.explode(F.sequence(
+              F.expr(f"x1 div {cell}"), F.expr(f"x2 div {cell}"))))
+          .withColumn("cy", F.explode(F.sequence(
+              F.expr(f"y1 div {cell}"), F.expr(f"y2 div {cell}")))))
+
+    def pref(p):
+        return sc.select([F.col(c).alias(p + c) for c in sc.columns])
+
+    cand = (pref("a_").join(
+                pref("b_"),
+                (F.col("a_cx") == F.col("b_cx"))
+                & (F.col("a_cy") == F.col("b_cy"))
+                & (F.col("a_doc_id") < F.col("b_doc_id")))
+            .filter(F.expr(f"a_cx = greatest(a_x1, b_x1) div {cell} "
+                           f"AND a_cy = greatest(a_y1, b_y1) div {cell}"))
+            .filter(F.expr("a_x1 <= b_x2 AND b_x1 <= a_x2 "
+                           "AND a_y1 <= b_y2 AND b_y1 <= a_y2")))
+    return (cand.filter(F.expr(sql_proper_xing()))
+            .groupBy(F.col("a_doc_id").alias("doc_a"),
+                     F.col("b_doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_xings")))

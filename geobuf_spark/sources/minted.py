@@ -292,6 +292,21 @@ def sql_minted_cluster_points_q() -> str:
             f"CAST({cy} + {oy} AS BIGINT) AS qy FROM documents")
 
 
+def walk_lines_from(base: DataFrame, k: int = 9) -> DataFrame:
+    """k-vertex walk polylines from any (doc_id, qx, qy) base frame —
+    shared by the fixture readers and the stress harnesses (which mint
+    the base from spark.range at arbitrary N)."""
+    xs = [F.col("qx") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
+                                WX_MULT, WX_MOD) for i in range(k)]
+    ys = [F.col("qy") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
+                                WY_MULT, WY_MOD) for i in range(k)]
+    return base.select(
+        "doc_id",
+        F.array(*[x.cast("bigint") for x in xs]).alias("xs_q"),
+        F.array(*[y.cast("bigint") for y in ys]).alias("ys_q"),
+    )
+
+
 def cluster_walk_lines_q(spark: SparkSession, sf_dir: str,
                          k: int = 9, stride: int = 7) -> DataFrame:
     """k-vertex polylines on the CLUSTERED base (segment-join fixtures):
@@ -302,16 +317,7 @@ def cluster_walk_lines_q(spark: SparkSession, sf_dir: str,
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if stride > 1:
         ids = ids.filter(F.col("doc_id") % stride == 0)
-    b = cluster_points_from(ids)
-    xs = [F.col("qx") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
-                                WX_MULT, WX_MOD) for i in range(k)]
-    ys = [F.col("qy") + _mulmod(F.col("doc_id") + F.lit(i * _WALK_STEP),
-                                WY_MULT, WY_MOD) for i in range(k)]
-    return b.select(
-        "doc_id",
-        F.array(*[x.cast("bigint") for x in xs]).alias("xs_q"),
-        F.array(*[y.cast("bigint") for y in ys]).alias("ys_q"),
-    )
+    return walk_lines_from(cluster_points_from(ids), k)
 
 
 def sql_cluster_walk_lines_q(k: int = 9, stride: int = 7) -> str:
