@@ -5628,6 +5628,156 @@ def _conjunctive_search_sql() -> str:
         GROUP BY 1 HAVING count(DISTINCT w) = {len(CONJ_TERMS)}"""
 
 
+# ---------------------------------------------------------------------------
+# SCD2 as-of enrichment / bot behavior flags / FK integrity audit
+# — batch 32
+# ---------------------------------------------------------------------------
+
+VISITS_PER_URL = 3
+BOT_BURST = 3  # flag users with ≥ this many events inside one minute
+
+
+def q_scd2_asof_enrich(spark, sf):
+    # the warehouse enrichment pattern: minted visit events joined to the
+    # SCD2 dimension version valid AT the visit time (valid_from ≤ t ≤
+    # valid_to, open current interval). SCD2 bounds versions-per-key by
+    # construction, so the scalable plan is the url equi-join + interval
+    # filter — no range-join machinery needed. Output is visit-grained.
+    dim = q_scd2_history(spark, sf)
+    p = pages.pages(spark, 2000).select("page_id", "url")
+    vt = F.lit(SCD2_T0) + F.pmod(
+        phash.hash60(F.concat(F.lit("vt-"), F.col("page_id").cast("string"),
+                              F.lit("-"), F.col("j").cast("string"))),
+        F.lit(3 * 86400))
+    visits = (p.withColumn("j", F.explode(F.sequence(
+                  F.lit(1), F.lit(VISITS_PER_URL))))
+              .select("url", vt.alias("vt")))
+    return (visits.join(dim, "url")
+            .filter((F.col("valid_from") <= F.col("vt"))
+                    & ((F.col("valid_to") == -1)
+                       | (F.col("vt") <= F.col("valid_to"))))
+            .select("url", "vt", "version", "is_current"))
+
+
+def _scd2_asof_enrich_sql() -> str:
+    h = phash.sql_hash60(
+        "'vt-' || CAST(id AS VARCHAR) || '-' || CAST(j AS VARCHAR)")
+    return f"""
+        WITH dim AS (SELECT * FROM ({_scd2_history_sql()})),
+        {_pages_cte(2000, 42, prefix="v_")},
+        visits AS (SELECT url, {SCD2_T0} + ({h}) % {3 * 86400} AS vt
+                   FROM v_txt,
+                   LATERAL (SELECT unnest(range(1, {VISITS_PER_URL + 1}))
+                            AS j) jj)
+        SELECT visits.url, vt, version, is_current
+        FROM visits JOIN dim ON visits.url = dim.url
+        WHERE valid_from <= vt AND (valid_to = -1 OR vt <= valid_to)"""
+
+
+def q_bot_flags(spark, sf):
+    # crawler/bot behavior heuristics in exact integers: per user, the
+    # peak events-in-any-60s window (RANGE frame over epoch seconds),
+    # zero-gap duplicates, and metronome periodicity (identical
+    # consecutive inter-arrivals). ONE user exchange shared by the range
+    # window, both lags, and the rollup.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+    wr = (Win.partitionBy("user_id").orderBy("te")
+          .rangeBetween(-59, 0))
+    wo = Win.partitionBy("user_id").orderBy("te", "event_id")
+    gap = F.col("te") - F.lag("te").over(wo)
+    d = (e.withColumn("burst60", F.count("*").over(wr))
+         .withColumn("gap", gap)
+         .withColumn("same_gap",
+                     (F.col("gap") == F.lag("gap").over(wo)).cast("int")))
+    return (d.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("burst60").alias("max_burst_60s"),
+                 F.sum(F.when(F.col("gap") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_zero_gaps"),
+                 F.coalesce(F.sum("same_gap"), F.lit(0)).cast("bigint")
+                 .alias("n_same_gaps"))
+            .withColumn("burst_bot",
+                        F.col("max_burst_60s") >= BOT_BURST))
+
+
+def _bot_flags_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te
+                   FROM events),
+        g1 AS (SELECT user_id, event_id, te,
+                      count(*) OVER (PARTITION BY user_id ORDER BY te
+                          RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                          AS burst60,
+                      te - lag(te) OVER wo AS gap
+               FROM e
+               WINDOW wo AS (PARTITION BY user_id ORDER BY te, event_id)),
+        d AS (SELECT user_id, burst60, gap,
+                     CASE WHEN gap = lag(gap) OVER wo2
+                          THEN 1 ELSE 0 END AS same_gap
+              FROM g1
+              WINDOW wo2 AS (PARTITION BY user_id ORDER BY te, event_id))
+        SELECT user_id, count(*) AS n_events,
+               max(burst60) AS max_burst_60s,
+               CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_gaps,
+               CAST(coalesce(sum(same_gap), 0) AS BIGINT) AS n_same_gaps,
+               max(burst60) >= {BOT_BURST} AS burst_bot
+        FROM d GROUP BY 1"""
+
+
+def q_fk_audit(spark, sf):
+    # referential-integrity audit across the relational spine: child
+    # table sizes + orphan counts for the four FK edges — the
+    # data-contract gate a pipeline runs before trusting a snapshot.
+    # Four LEFT ANTI joins (each broadcastable on the parent's key set);
+    # the result row per edge carries child cardinality as the witness.
+    def edge(name, child, ck, parent, pk):
+        c = spark.read.parquet(f"{sf}/{child}.parquet").select(
+            F.col(ck).alias("k"))
+        par = spark.read.parquet(f"{sf}/{parent}.parquet").select(
+            F.col(pk).alias("k")).distinct()
+        orphans = c.join(par, "k", "left_anti")
+        return (c.agg(F.count("*").alias("n_child"))
+                .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+                .select(F.lit(name).alias("fk_edge"), "n_child",
+                        "n_orphans"))
+
+    edges = [edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+                  "orders", "o_orderkey"),
+             edge("lineitem.partkey->part", "lineitem", "l_partkey",
+                  "part", "p_partkey"),
+             edge("orders.custkey->customer", "orders", "o_custkey",
+                  "customer", "c_custkey"),
+             edge("customer.nationkey->nation", "customer", "c_nationkey",
+                  "nation", "n_nationkey")]
+    out = edges[0]
+    for x in edges[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _fk_audit_sql() -> str:
+    def edge(name, child, ck, parent, pk):
+        return f"""
+        SELECT '{name}' AS fk_edge,
+               (SELECT count(*) FROM {child}) AS n_child,
+               (SELECT count(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{ck})) AS n_orphans"""
+    return " UNION ALL ".join([
+        edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem.partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("orders.custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer.nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey")])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -5650,6 +5800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "scd2_asof_enrich": q_scd2_asof_enrich,
+        "bot_flags": q_bot_flags,
+        "fk_audit": q_fk_audit,
         "active_users_7d": q_active_users_7d,
         "flow_divergence": q_flow_divergence,
         "conjunctive_search": q_conjunctive_search,
@@ -7693,6 +7846,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "scd2_asof_enrich": _scd2_asof_enrich_sql(),
+        "bot_flags": _bot_flags_sql(),
+        "fk_audit": _fk_audit_sql(),
         "active_users_7d": _active_users_7d_sql(),
         "flow_divergence": _flow_divergence_sql(),
         "conjunctive_search": _conjunctive_search_sql(),

@@ -196,7 +196,8 @@ def test_batch2122_shuffle_budgets(spark):
                "grid_line_density": 1, "anomaly_days": 4,
                "od_flows": 2, "novelty_weekly": 4,
                "phrase_search": 4, "tile_percentile_rank": 2,
-               "active_users_7d": 3, "conjunctive_search": 3}
+               "active_users_7d": 3, "conjunctive_search": 3,
+               "scd2_asof_enrich": 2, "bot_flags": 1}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -215,10 +216,10 @@ def test_batch2122_shuffle_budgets(spark):
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
             assert marker not in plan, f"{q}: {marker}"
-    # union_area_rects combines two single-row aggregates — the one
-    # BroadcastNestedLoop in the registry that is legitimate (1x1).
-    ua = _executed_plan(
-        em.queries()["union_area_rects"](spark, "/root/testdata/sf0.001"))
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
-                   "CartesianProduct"):
-        assert marker not in ua, f"union_area_rects: {marker}"
+    # single-row-aggregate combiners: the only BroadcastNestedLoops in
+    # the registry are 1x1 joins of scalar aggregates — legitimate.
+    for q in ("union_area_rects", "fk_audit"):
+        plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "CartesianProduct"):
+            assert marker not in plan, f"{q}: {marker}"
