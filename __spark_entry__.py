@@ -5778,6 +5778,187 @@ def _fk_audit_sql() -> str:
              "nation", "n_nationkey")])
 
 
+# ---------------------------------------------------------------------------
+# interval intersection (dwell∩session) / per-tile p90 / multi-grain
+# actives — batch 33
+# ---------------------------------------------------------------------------
+
+
+def _user_islands(spark, sf, gate_expr, min_ev):
+    """Shared gaps-and-islands builder: per-user maximal runs where the
+    new-island gate holds, as disjoint [t0, t1] intervals (staypoints /
+    sessionize share this shape)."""
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 F.unix_timestamp("ts").alias("te"),
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (d.withColumn("gap", F.col("te") - F.lag("te").over(w))
+         .withColumn("dx", F.col("px") - F.lag("px").over(w))
+         .withColumn("dy", F.col("py") - F.lag("py").over(w)))
+    iv = (d.withColumn("ni", F.when(F.expr(gate_expr), 0).otherwise(1))
+          .withColumn("island", F.sum("ni").over(
+              w.rowsBetween(Win.unboundedPreceding, 0))))
+    return (iv.groupBy("user_id", "island")
+            .agg(F.count("*").alias("n_ev"),
+                 F.min("te").alias("t0"), F.max("te").alias("t1"))
+            .filter(F.col("n_ev") >= min_ev)
+            .drop("island", "n_ev"))
+
+
+_STAY_GATE = f"dx IS NOT NULL AND dx * dx + dy * dy <= {STAY_R2}"
+_SESS_GATE = f"gap IS NOT NULL AND gap <= {SESSION_GAP_S}"
+
+
+def q_dwell_session_overlap(spark, sf):
+    # interval algebra composition: per user, total seconds where a
+    # STAYPOINT dwell interval and a SESSION interval coincide — "active
+    # time while stationary". Both interval sets are disjoint islands by
+    # construction, so per-user Σ of pairwise clamped overlaps IS the
+    # intersection measure; interval counts per user are small, so the
+    # per-key join is bounded (the SCD2-enrich argument). Exact ints.
+    a = _user_islands(spark, sf, _STAY_GATE, 2).withColumnsRenamed(
+        {"t0": "a0", "t1": "a1"})
+    b = _user_islands(spark, sf, _SESS_GATE, 2).withColumnsRenamed(
+        {"t0": "b0", "t1": "b1"})
+    ov = (F.least("a1", "b1") - F.greatest("a0", "b0"))
+    j = (a.join(b, "user_id")
+         .withColumn("ov", ov)
+         .filter(F.col("ov") > 0))
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_overlaps"),
+                 F.sum("ov").alias("overlap_s"),
+                 F.max("ov").alias("max_overlap_s")))
+
+
+def _islands_sql(gate, min_ev):
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""(
+        SELECT user_id, min(te) AS t0, max(te) AS t1
+        FROM (SELECT user_id, te,
+                     sum(ni) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS island
+              FROM (SELECT user_id, ts, event_id, te,
+                           CASE WHEN {gate} THEN 0 ELSE 1 END AS ni
+                    FROM (SELECT user_id, ts, event_id,
+                                 CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                                 CAST(floor(epoch(ts)) AS BIGINT)
+                                     - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                       OVER wo AS gap,
+                                 {pos('tx')} - lag({pos('tx')}) OVER wo
+                                     AS dx,
+                                 {pos('ty')} - lag({pos('ty')}) OVER wo
+                                     AS dy
+                          FROM events
+                          WINDOW wo AS (PARTITION BY user_id
+                                        ORDER BY ts, event_id))))
+        GROUP BY user_id, island HAVING count(*) >= {min_ev})"""
+
+
+def _dwell_session_overlap_sql() -> str:
+    return f"""
+        WITH a AS (SELECT user_id, t0 AS a0, t1 AS a1
+                   FROM {_islands_sql(_STAY_GATE, 2)} t),
+        b AS (SELECT user_id, t0 AS b0, t1 AS b1
+              FROM {_islands_sql(_SESS_GATE, 2)} t),
+        j AS (SELECT a.user_id,
+                     least(a1, b1) - greatest(a0, b0) AS ov
+              FROM a JOIN b ON a.user_id = b.user_id)
+        SELECT user_id, count(*) AS n_overlaps,
+               CAST(sum(ov) AS BIGINT) AS overlap_s,
+               CAST(max(ov) AS BIGINT) AS max_overlap_s
+        FROM j WHERE ov > 0 GROUP BY 1"""
+
+
+def q_tile_p90_tokens(spark, sf):
+    # geo × order statistics: per occupied z6 tile, the exact p50/p90
+    # document token count (lower-method integer indexing — the
+    # doc_len_percentiles family, keyed by tile instead of language).
+    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
+         .join(_docs(spark, sf).select(
+             "doc_id",
+             TXT.token_count(F.col("text")).cast("bigint").alias("n_tok")),
+             "doc_id"))
+    g = (t.groupBy("x", "y")
+         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
+              F.count("*").alias("n_docs")))
+
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+
+    return g.select("x", "y", "n_docs", pick(5, 10, "p50_tokens"),
+                    pick(9, 10, "p90_tokens"))
+
+
+def _tile_p90_tokens_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT doc_id, {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
+                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y
+              FROM p),
+        j AS (SELECT x, y,
+                     CAST(len(string_split(text, chr(32))) AS BIGINT)
+                         AS n_tok
+              FROM t JOIN documents d ON t.doc_id = d.doc_id)
+        SELECT x, y, count(*) AS n_docs,
+               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 5 // 10
+                   AS INT) + 1] AS p50_tokens,
+               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 9 // 10
+                   AS INT) + 1] AS p90_tokens
+        FROM j GROUP BY 1, 2"""
+
+
+def q_multi_grain_actives(spark, sf):
+    # day/week/month distinct actives from ONE scan: each (user, day)
+    # bin explodes to its three grain labels, then a single distinct
+    # count per (grain, bucket) — the dashboard spine without three
+    # separate scans. Exact; month via epoch-day div 30 (fixed-width
+    # "month" keeps both engines integer-only and partition-stable).
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    bins = e.distinct()
+    g = bins.select(
+        "user_id",
+        F.explode(F.array(
+            F.struct(F.lit("day").alias("grain"), F.col("day").alias("b")),
+            F.struct(F.lit("week").alias("grain"),
+                     F.expr("day div 7").alias("b")),
+            F.struct(F.lit("month30").alias("grain"),
+                     F.expr("day div 30").alias("b")))).alias("g"))
+    return (g.groupBy(F.col("g.grain").alias("grain"),
+                      F.col("g.b").alias("bucket"))
+            .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+def _multi_grain_actives_sql() -> str:
+    return """
+        WITH bins AS (SELECT DISTINCT user_id,
+                             CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day
+                      FROM events),
+        g AS (SELECT user_id, 'day' AS grain, day AS bucket FROM bins
+              UNION ALL
+              SELECT user_id, 'week', day // 7 FROM bins
+              UNION ALL
+              SELECT user_id, 'month30', day // 30 FROM bins)
+        SELECT grain, bucket, count(DISTINCT user_id) AS active_users
+        FROM g GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -5800,6 +5981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "dwell_session_overlap": q_dwell_session_overlap,
+        "tile_p90_tokens": q_tile_p90_tokens,
+        "multi_grain_actives": q_multi_grain_actives,
         "scd2_asof_enrich": q_scd2_asof_enrich,
         "bot_flags": q_bot_flags,
         "fk_audit": q_fk_audit,
@@ -7846,6 +8030,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "dwell_session_overlap": _dwell_session_overlap_sql(),
+        "tile_p90_tokens": _tile_p90_tokens_sql(),
+        "multi_grain_actives": _multi_grain_actives_sql(),
         "scd2_asof_enrich": _scd2_asof_enrich_sql(),
         "bot_flags": _bot_flags_sql(),
         "fk_audit": _fk_audit_sql(),

@@ -197,7 +197,9 @@ def test_batch2122_shuffle_budgets(spark):
                "od_flows": 2, "novelty_weekly": 4,
                "phrase_search": 4, "tile_percentile_rank": 2,
                "active_users_7d": 3, "conjunctive_search": 3,
-               "scd2_asof_enrich": 2, "bot_flags": 1}
+               "scd2_asof_enrich": 2, "bot_flags": 1,
+               "dwell_session_overlap": 3, "tile_p90_tokens": 3,
+               "multi_grain_actives": 3}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
