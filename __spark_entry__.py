@@ -5959,6 +5959,104 @@ def _multi_grain_actives_sql() -> str:
         FROM g GROUP BY 1, 2"""
 
 
+# ---------------------------------------------------------------------------
+# JSON props stats / Benford first-digit audit / null-profile report
+# — batch 34
+# ---------------------------------------------------------------------------
+
+
+def q_props_json_stats(spark, sf):
+    # semi-structured column surface: parse the JSON props payload
+    # (get_json_object stays JVM-side / codegen), typed stats of the
+    # extracted integer per event_type — the "JSON column you never
+    # schema'd" analytic. One aggregation.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_null_k"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"), F.max("k").alias("k_max"),
+                 F.countDistinct("k").alias("k_distinct")))
+
+
+def _props_json_stats_sql() -> str:
+    return """
+        WITH e AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              AS k
+                   FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_k,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               min(k) AS k_min, max(k) AS k_max,
+               count(DISTINCT k) AS k_distinct
+        FROM e GROUP BY 1"""
+
+
+def q_benford_values(spark, sf):
+    # Benford first-significant-digit audit over the monetary value
+    # column — the fraud screen. Cents via floor(value·100 + 0.5)
+    # (identical double text; CAST alone truncates in Spark but ROUNDS in
+    # DuckDB), first digit via the decimal-string head — no logs, no
+    # per-engine float formatting.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    d = e.filter(F.col("cents") > 0).withColumn(
+        "first_digit",
+        F.expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+    return (d.groupBy("first_digit")
+            .agg(F.count("*").alias("n"),
+                 F.sum("cents").alias("cents_sum")))
+
+
+def _benford_values_sql() -> str:
+    return """
+        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS cents
+                   FROM events)
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS first_digit,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM e WHERE cents > 0
+        GROUP BY 1"""
+
+
+def q_null_profile(spark, sf):
+    # data-profiling report: per events column, null count + distinct
+    # count + total — the schema-health gate a pipeline runs on every new
+    # snapshot before trusting it. One scan per column family, unioned;
+    # at scale this is the one full-scan profile pass.
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = []
+    for c in cols:
+        parts.append(e.agg(
+            F.lit(c).alias("column"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct")))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _null_profile_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct
+            FROM events""" for c in cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -5981,6 +6079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "props_json_stats": q_props_json_stats,
+        "benford_values": q_benford_values,
+        "null_profile": q_null_profile,
         "dwell_session_overlap": q_dwell_session_overlap,
         "tile_p90_tokens": q_tile_p90_tokens,
         "multi_grain_actives": q_multi_grain_actives,
@@ -8030,6 +8131,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "props_json_stats": _props_json_stats_sql(),
+        "benford_values": _benford_values_sql(),
+        "null_profile": _null_profile_sql(),
         "dwell_session_overlap": _dwell_session_overlap_sql(),
         "tile_p90_tokens": _tile_p90_tokens_sql(),
         "multi_grain_actives": _multi_grain_actives_sql(),

@@ -199,7 +199,8 @@ def test_batch2122_shuffle_budgets(spark):
                "active_users_7d": 3, "conjunctive_search": 3,
                "scd2_asof_enrich": 2, "bot_flags": 1,
                "dwell_session_overlap": 3, "tile_p90_tokens": 3,
-               "multi_grain_actives": 3}
+               "multi_grain_actives": 3, "props_json_stats": 2,
+               "benford_values": 1, "null_profile": 12}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
