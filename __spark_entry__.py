@@ -6057,6 +6057,143 @@ def _null_profile_sql() -> str:
             FROM events""" for c in cols)
 
 
+# ---------------------------------------------------------------------------
+# host URL longest-common-prefix / tile spatial outliers / ship-delay
+# order statistics — batch 35
+# ---------------------------------------------------------------------------
+
+SPATIAL_OUT_K = 2  # own-count × neighbours > K × focal-sum ⇒ outlier
+SPATIAL_OUT_G = 20_000_000
+
+
+def q_host_url_lcp(spark, sf):
+    # per-host longest common URL prefix — sitemap-root discovery. LCP
+    # over a SET is LCP(lexicographic min, lexicographic max), so the
+    # corpus-scale work is one min/max aggregation; the prefix length is
+    # then the count of i where the i-prefixes agree (prefix equality is
+    # monotone), a pure expression with no loops.
+    p = pages.pages(spark, 2000).select(
+        TXT.url_host(F.col("url")).alias("host"), "url")
+    g = (p.groupBy("host")
+         .agg(F.count("*").alias("n_urls"),
+              F.min("url").alias("lo"), F.max("url").alias("hi")))
+    return (g.withColumn(
+                "lcp_len",
+                F.expr("size(filter(sequence(1, least(length(lo), "
+                       "length(hi))), i -> substr(lo, 1, i) "
+                       "= substr(hi, 1, i)))").cast("bigint"))
+            .select("host", "n_urls",
+                    "lcp_len",
+                    F.expr("substr(lo, 1, CAST(lcp_len AS INT))")
+                    .alias("lcp")))
+
+
+def _host_url_lcp_sql() -> str:
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        p AS (SELECT {TXT.sql_url_host('url')} AS host, url FROM txt),
+        g AS (SELECT host, count(*) AS n_urls,
+                     min(url) AS lo, max(url) AS hi
+              FROM p GROUP BY 1),
+        l AS (SELECT host, n_urls,
+                     CAST(len(list_filter(range(1,
+                         least(length(lo), length(hi)) + 1),
+                         i -> substr(lo, 1, CAST(i AS INT))
+                              = substr(hi, 1, CAST(i AS INT))))
+                         AS BIGINT) AS lcp_len,
+                     lo
+              FROM g)
+        SELECT host, n_urls, lcp_len,
+               substr(lo, 1, CAST(lcp_len AS INT)) AS lcp
+        FROM l"""
+
+
+def q_tile_spatial_outliers(spark, sf):
+    # local spatial outliers: grid cells whose own density exceeds
+    # SPATIAL_OUT_K × their 3×3 occupied-neighbourhood average — the
+    # local-Moran hot-single detector, exact integers via the
+    # cross-multiplied comparison (n_pts · n_nbr > K · focal_sum). Runs
+    # on the CLUSTERED mint (density spikes exist to find; the uniform
+    # mint is flat by construction). Witnesses ship with the flag.
+    p = minted.minted_cluster_points_q(spark, sf)
+    t = (p.select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
+                  F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
+         .localCheckpoint(eager=False))
+    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .select((F.col("x") + F.col("dx")).alias("x"),
+                   (F.col("y") + F.col("dy")).alias("y"),
+                   F.col("n_pts").alias("c")))
+    focal = (nbr.groupBy("x", "y")
+             .agg(F.sum("c").alias("focal_sum"),
+                  F.count("*").alias("n_nbr_tiles")))
+    return (t.join(focal, ["x", "y"])
+            .filter(F.col("n_pts") * F.col("n_nbr_tiles")
+                    > SPATIAL_OUT_K * F.col("focal_sum"))
+            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
+
+
+def _tile_spatial_outliers_sql() -> str:
+    return f"""
+        WITH p AS ({minted.sql_minted_cluster_points_q()}),
+        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
+                     count(*) AS n_pts
+              FROM p GROUP BY 1, 2),
+        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
+                FROM t,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
+                     count(*) AS n_nbr_tiles
+              FROM nbr GROUP BY 1, 2)
+        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
+        FROM t JOIN f ON t.x = f.x AND t.y = f.y
+        WHERE t.n_pts * f.n_nbr_tiles > {SPATIAL_OUT_K} * f.focal_sum"""
+
+
+def q_ship_delay_stats(spark, sf):
+    # order-fulfilment latency: days between order date and each line's
+    # ship date, exact p50/p90 per order priority (lower-method integer
+    # indexing). One broadcastable join (orders keys into lineitem), one
+    # priority aggregation.
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select("o_orderpriority",
+                 F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+                 .alias("delay_d")))
+    g = (j.groupBy("o_orderpriority")
+         .agg(F.sort_array(F.collect_list("delay_d")).alias("v"),
+              F.count("*").alias("n_lines"),
+              F.sum("delay_d").alias("delay_sum")))
+
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_lines - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+
+    return g.select("o_orderpriority", "n_lines", "delay_sum",
+                    pick(5, 10, "p50_delay_d"), pick(9, 10, "p90_delay_d"))
+
+
+def _ship_delay_stats_sql() -> str:
+    return """
+        WITH j AS (SELECT o_orderpriority,
+                          CAST(date_diff('day', o_orderdate, l_shipdate)
+                               AS BIGINT) AS delay_d
+                   FROM lineitem JOIN orders
+                     ON l_orderkey = o_orderkey)
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum(delay_d) AS BIGINT) AS delay_sum,
+               (list_sort(list(delay_d)))[CAST((count(*) - 1) * 5 // 10
+                   AS INT) + 1] AS p50_delay_d,
+               (list_sort(list(delay_d)))[CAST((count(*) - 1) * 9 // 10
+                   AS INT) + 1] AS p90_delay_d
+        FROM j GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6079,6 +6216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "host_url_lcp": q_host_url_lcp,
+        "tile_spatial_outliers": q_tile_spatial_outliers,
+        "ship_delay_stats": q_ship_delay_stats,
         "props_json_stats": q_props_json_stats,
         "benford_values": q_benford_values,
         "null_profile": q_null_profile,
@@ -8131,6 +8271,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "host_url_lcp": _host_url_lcp_sql(),
+        "tile_spatial_outliers": _tile_spatial_outliers_sql(),
+        "ship_delay_stats": _ship_delay_stats_sql(),
         "props_json_stats": _props_json_stats_sql(),
         "benford_values": _benford_values_sql(),
         "null_profile": _null_profile_sql(),

@@ -200,7 +200,9 @@ def test_batch2122_shuffle_budgets(spark):
                "scd2_asof_enrich": 2, "bot_flags": 1,
                "dwell_session_overlap": 3, "tile_p90_tokens": 3,
                "multi_grain_actives": 3, "props_json_stats": 2,
-               "benford_values": 1, "null_profile": 12}
+               "benford_values": 1, "null_profile": 12,
+               "host_url_lcp": 1, "tile_spatial_outliers": 2,
+               "ship_delay_stats": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
