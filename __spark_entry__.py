@@ -6194,6 +6194,146 @@ def _ship_delay_stats_sql() -> str:
         FROM j GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# range-partition boundary planner / host concentration / dominant
+# bearing — batch 36
+# ---------------------------------------------------------------------------
+
+RANGE_BUCKETS = 16
+
+
+def q_range_bounds_planner(spark, sf):
+    # the repartitionByRange planner surfaced as a query: exact
+    # equi-depth boundaries over the doc token-count key (lower-method
+    # order statistics at i/N quantiles) + the realized bucket counts —
+    # the balance audit a 100 TB writer runs before choosing range
+    # bounds. ntile gives both in ONE global-sort window; boundaries are
+    # the per-bucket max key.
+    from pyspark.sql import Window as Win
+    t = _docs(spark, sf).select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("bigint").alias("k"))
+    w = Win.orderBy("k", "doc_id")
+    b = t.withColumn("bucket", F.ntile(RANGE_BUCKETS).over(w))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("k").alias("lo_key"),
+                 F.max("k").alias("hi_key")))
+
+
+def _range_bounds_planner_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS k
+                   FROM documents),
+        b AS (SELECT k, ntile({RANGE_BUCKETS})
+                         OVER (ORDER BY k, doc_id) AS bucket
+              FROM t)
+        SELECT bucket, count(*) AS n_docs,
+               min(k) AS lo_key, max(k) AS hi_key
+        FROM b GROUP BY 1"""
+
+
+def q_host_concentration(spark, sf):
+    # corpus head-concentration: hosts ranked by page count, the
+    # cumulative-coverage curve reduced to its scalars — how many hosts
+    # cover half the corpus (k50), the top-1 share in exact ppm, and the
+    # totals. One host rollup + one global-sort window over the tiny
+    # host table.
+    from pyspark.sql import Window as Win
+    h = (pages.pages(spark, 2000)
+         .select(TXT.url_host(F.col("url")).alias("host"))
+         .groupBy("host").agg(F.count("*").alias("n")))
+    w = Win.orderBy(F.col("n").desc(), F.col("host"))
+    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
+    c = (h.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum", F.sum("n").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("tot", F.sum("n").over(wf)))
+    return (c.agg(
+        F.count("*").alias("n_hosts"),
+        F.max("tot").alias("n_pages"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
+        .alias("k50_hosts"),
+        F.max(F.when(F.col("rk") == 1,
+                     F.expr("n * 1000000 div tot"))).alias("top1_ppm")))
+
+
+def _host_concentration_sql() -> str:
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        h AS (SELECT {TXT.sql_url_host('url')} AS host, count(*) AS n
+              FROM txt GROUP BY 1),
+        c AS (SELECT n,
+                     row_number() OVER (ORDER BY n DESC, host) AS rk,
+                     sum(n) OVER (ORDER BY n DESC, host
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(n) OVER () AS tot
+              FROM h)
+        SELECT count(*) AS n_hosts,
+               CAST(max(tot) AS BIGINT) AS n_pages,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
+                   AS k50_hosts,
+               CAST(max(CASE WHEN rk = 1 THEN n * 1000000 // tot END)
+                    AS BIGINT) AS top1_ppm
+        FROM c"""
+
+
+def q_dominant_bearing(spark, sf):
+    # per-user dominant movement octant + its share — the directional
+    # summary of the bearing histogram (migration-corridor detector).
+    # Reuses the octant CASE text; the mode is a max(struct) over the
+    # tiny per-user sector table — tie-free via the (count, sector)
+    # total order.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (d.select("user_id",
+                      (F.col("px") - F.lag("px").over(w)).alias("dx"),
+                      (F.col("py") - F.lag("py").over(w)).alias("dy"))
+             .filter(F.col("dx").isNotNull())
+             .withColumn("sector", F.expr(_OCTANT_EXPR)))
+    per = steps.groupBy("user_id", "sector").agg(F.count("*").alias("c"))
+    return (per.groupBy("user_id")
+            .agg(F.sum("c").alias("n_steps"),
+                 F.max(F.struct(F.col("c"), F.col("sector"))).alias("m"))
+            .select("user_id", "n_steps",
+                    F.col("m.sector").alias("dominant_sector"),
+                    F.col("m.c").alias("dominant_n")))
+
+
+def _dominant_bearing_sql() -> str:
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {pos('tx')} AS px, {pos('ty')} AS py
+                   FROM events),
+        s AS (SELECT user_id,
+                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        per AS (SELECT user_id, {_OCTANT_EXPR} AS sector,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM s WHERE dx IS NOT NULL GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_steps,
+               arg_max(sector, c * 8 + sector) AS dominant_sector,
+               CAST(max(c) AS BIGINT) AS dominant_n
+        FROM per GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6216,6 +6356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "range_bounds_planner": q_range_bounds_planner,
+        "host_concentration": q_host_concentration,
+        "dominant_bearing": q_dominant_bearing,
         "host_url_lcp": q_host_url_lcp,
         "tile_spatial_outliers": q_tile_spatial_outliers,
         "ship_delay_stats": q_ship_delay_stats,
@@ -8271,6 +8414,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "range_bounds_planner": _range_bounds_planner_sql(),
+        "host_concentration": _host_concentration_sql(),
+        "dominant_bearing": _dominant_bearing_sql(),
         "host_url_lcp": _host_url_lcp_sql(),
         "tile_spatial_outliers": _tile_spatial_outliers_sql(),
         "ship_delay_stats": _ship_delay_stats_sql(),

@@ -202,7 +202,8 @@ def test_batch2122_shuffle_budgets(spark):
                "multi_grain_actives": 3, "props_json_stats": 2,
                "benford_values": 1, "null_profile": 12,
                "host_url_lcp": 1, "tile_spatial_outliers": 2,
-               "ship_delay_stats": 2}
+               "ship_delay_stats": 2, "range_bounds_planner": 2,
+               "host_concentration": 2, "dominant_bearing": 1}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
