@@ -6334,6 +6334,165 @@ def _dominant_bearing_sql() -> str:
         FROM per GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion / A/B lift / time-to-purchase survival
+# — batch 37
+# ---------------------------------------------------------------------------
+
+RRF_K, RRF_TOP = 60, 20
+RRF_SCALE = 1_000_000_000
+
+
+def q_rrf_fusion(spark, sf):
+    # rank fusion (the IR ensemble step): two independent document
+    # rankings — by token count and by distinct-type count — fused with
+    # reciprocal-rank fusion in exact integer micro-units
+    # (Σ 1e9 div (k + rank)), top-RRF_TOP with a total-order tie-break.
+    # Rankings are windows over the same scored table; the fusion is one
+    # small join.
+    from pyspark.sql import Window as Win
+    t = _docs(spark, sf).select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("bigint").alias("s1"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+        .alias("s2")).localCheckpoint(eager=False)
+    r1 = t.withColumn("r1", F.row_number().over(
+        Win.orderBy(F.col("s1").desc(), F.col("doc_id")))).select(
+        "doc_id", "r1")
+    r2 = t.withColumn("r2", F.row_number().over(
+        Win.orderBy(F.col("s2").desc(), F.col("doc_id")))).select(
+        "doc_id", "r2")
+    f = (r1.join(r2, "doc_id")
+         .withColumn("rrf", F.expr(f"{RRF_SCALE} div ({RRF_K} + r1) "
+                                   f"+ {RRF_SCALE} div ({RRF_K} + r2)")))
+    w = Win.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (f.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RRF_TOP)
+            .select("rank", "doc_id", "r1", "r2", "rrf"))
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS s1,
+                          CAST(len(list_distinct(string_split(text,
+                              chr(32)))) AS BIGINT) AS s2
+                   FROM documents),
+        r AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY s1 DESC, doc_id) AS r1,
+                     row_number() OVER (ORDER BY s2 DESC, doc_id) AS r2
+              FROM t),
+        f AS (SELECT doc_id, r1, r2,
+                     {RRF_SCALE} // ({RRF_K} + r1)
+                     + {RRF_SCALE} // ({RRF_K} + r2) AS rrf
+              FROM r),
+        k AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+                  AS rank
+              FROM f)
+        SELECT rank, doc_id, CAST(r1 AS BIGINT) AS r1,
+               CAST(r2 AS BIGINT) AS r2, rrf
+        FROM k WHERE rank <= {RRF_TOP}"""
+
+
+def q_ab_lift(spark, sf):
+    # A/B readout in exact integers: users hash-split into two arms (the
+    # portable bridge hash → reproducible assignment across engines and
+    # reruns), per-arm event counts and value cents, and the B-vs-A
+    # lift in ppm via integer cross-multiplication. One aggregation.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.pmod(phash.hash60(F.concat(F.lit("arm-"),
+                                     F.col("user_id").cast("string"))),
+               F.lit(2)).alias("arm"))
+    g = (e.groupBy("arm")
+         .agg(F.countDistinct("user_id").alias("n_users"),
+              F.count("*").alias("n_events"),
+              F.sum("cents").alias("cents_sum")))
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("a_users"), F.col("n_events").alias("a_events"),
+        F.col("cents_sum").alias("a_cents"))
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("b_users"), F.col("n_events").alias("b_events"),
+        F.col("cents_sum").alias("b_cents"))
+    return (a.crossJoin(b)
+            .withColumn("lift_ppm", F.expr(
+                "(b_cents * a_users - a_cents * b_users) * 1000000 "
+                "div (a_cents * b_users)")))
+
+
+def _ab_lift_sql() -> str:
+    h = phash.sql_hash60("'arm-' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH e AS (SELECT user_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                          ({h}) % 2 AS arm
+                   FROM events),
+        g AS (SELECT arm, count(DISTINCT user_id) AS n_users,
+                     count(*) AS n_events,
+                     CAST(sum(cents) AS BIGINT) AS cents_sum
+              FROM e GROUP BY 1)
+        SELECT a.n_users AS a_users, a.n_events AS a_events,
+               a.cents_sum AS a_cents,
+               b.n_users AS b_users, b.n_events AS b_events,
+               b.cents_sum AS b_cents,
+               (b.cents_sum * a.n_users - a.cents_sum * b.n_users)
+                   * 1000000 // (a.cents_sum * b.n_users) AS lift_ppm
+        FROM (SELECT * FROM g WHERE arm = 0) a,
+             (SELECT * FROM g WHERE arm = 1) b"""
+
+
+def q_time_to_purchase(spark, sf):
+    # survival-style funnel latency: per user, days from first activity
+    # to first 'purchase' event, bucketed — the activation-latency
+    # histogram. ONE user aggregation (conditional mins), then a tiny
+    # bucket rollup; users who never purchase land in the 'never'
+    # bucket, preserving the denominator.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    g = (e.groupBy("user_id")
+         .agg(F.min("day").alias("first_day"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("day"))).alias("first_purchase_day")))
+    d = g.withColumn(
+        "bucket",
+        F.expr("CASE WHEN first_purchase_day IS NULL THEN 'never' "
+               "WHEN first_purchase_day - first_day = 0 THEN 'same_day' "
+               "WHEN first_purchase_day - first_day <= 7 THEN 'within_7d' "
+               "WHEN first_purchase_day - first_day <= 30 THEN 'within_30d' "
+               "ELSE 'later' END"))
+    return (d.groupBy("bucket")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum(F.coalesce(F.col("first_purchase_day")
+                                  - F.col("first_day"), F.lit(0)))
+                 .alias("delay_days_sum")))
+
+
+def _time_to_purchase_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id, event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                   FROM events),
+        g AS (SELECT user_id, min(day) AS first_day,
+                     min(CASE WHEN event_type = 'purchase' THEN day END)
+                         AS first_purchase_day
+              FROM e GROUP BY 1),
+        d AS (SELECT CASE
+                  WHEN first_purchase_day IS NULL THEN 'never'
+                  WHEN first_purchase_day - first_day = 0 THEN 'same_day'
+                  WHEN first_purchase_day - first_day <= 7 THEN 'within_7d'
+                  WHEN first_purchase_day - first_day <= 30
+                      THEN 'within_30d'
+                  ELSE 'later' END AS bucket,
+                     coalesce(first_purchase_day - first_day, 0) AS delay
+              FROM g)
+        SELECT bucket, count(*) AS n_users,
+               CAST(sum(delay) AS BIGINT) AS delay_days_sum
+        FROM d GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6356,6 +6515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "rrf_fusion": q_rrf_fusion,
+        "ab_lift": q_ab_lift,
+        "time_to_purchase": q_time_to_purchase,
         "range_bounds_planner": q_range_bounds_planner,
         "host_concentration": q_host_concentration,
         "dominant_bearing": q_dominant_bearing,
@@ -8414,6 +8576,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "rrf_fusion": _rrf_fusion_sql(),
+        "ab_lift": _ab_lift_sql(),
+        "time_to_purchase": _time_to_purchase_sql(),
         "range_bounds_planner": _range_bounds_planner_sql(),
         "host_concentration": _host_concentration_sql(),
         "dominant_bearing": _dominant_bearing_sql(),

@@ -203,7 +203,8 @@ def test_batch2122_shuffle_budgets(spark):
                "benford_values": 1, "null_profile": 12,
                "host_url_lcp": 1, "tile_spatial_outliers": 2,
                "ship_delay_stats": 2, "range_bounds_planner": 2,
-               "host_concentration": 2, "dominant_bearing": 1}
+               "host_concentration": 2, "dominant_bearing": 1,
+               "rrf_fusion": 3, "time_to_purchase": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -224,7 +225,7 @@ def test_batch2122_shuffle_budgets(spark):
             assert marker not in plan, f"{q}: {marker}"
     # single-row-aggregate combiners: the only BroadcastNestedLoops in
     # the registry are 1x1 joins of scalar aggregates — legitimate.
-    for q in ("union_area_rects", "fk_audit"):
+    for q in ("union_area_rects", "fk_audit", "ab_lift"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct"):
