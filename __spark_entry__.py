@@ -6493,6 +6493,133 @@ def _time_to_purchase_sql() -> str:
         FROM d GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# revisit cadence / day-of-week profile / customer Pareto share
+# — batch 38
+# ---------------------------------------------------------------------------
+
+
+def q_revisit_cadence(spark, sf):
+    # repeat-engagement cadence: per event_type, the exact median and
+    # p90 inter-arrival seconds WITHIN a user's stream of that type —
+    # the re-engagement clock product teams tune against. One
+    # (user, type) window for the lag, one type aggregation with the
+    # order-statistic pick.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("te"), "ts")
+    w = Win.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (e.withColumn("gap", F.col("te") - F.lag("te").over(w))
+            .filter(F.col("gap").isNotNull()))
+    g = (gaps.groupBy("event_type")
+         .agg(F.sort_array(F.collect_list("gap")).alias("v"),
+              F.count("*").alias("n_gaps")))
+
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_gaps - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+
+    return g.select("event_type", "n_gaps",
+                    pick(5, 10, "p50_gap_s"), pick(9, 10, "p90_gap_s"))
+
+
+def _revisit_cadence_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id, event_type, event_id, ts,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te
+                   FROM events),
+        g AS (SELECT event_type,
+                     te - lag(te) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap
+              FROM e)
+        SELECT event_type, count(*) AS n_gaps,
+               (list_sort(list(gap)))[CAST((count(*) - 1) * 5 // 10
+                   AS INT) + 1] AS p50_gap_s,
+               (list_sort(list(gap)))[CAST((count(*) - 1) * 9 // 10
+                   AS INT) + 1] AS p90_gap_s
+        FROM g WHERE gap IS NOT NULL GROUP BY 1"""
+
+
+def q_dow_profile(spark, sf):
+    # weekly seasonality profile: event volume and value cents by
+    # day-of-week × event_type. Epoch-aligned integer dow ((day+4) % 7,
+    # 0=Sunday — 1970-01-01 was a Thursday) keeps both engines off their
+    # locale-dependent date functions. One aggregation.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) div 86400 + 4) % 7").alias("dow"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    return (e.groupBy("event_type", "dow")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents_sum")))
+
+
+def _dow_profile_sql() -> str:
+    return """
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM events GROUP BY 1, 2"""
+
+
+def q_customer_pareto(spark, sf):
+    # revenue concentration (the 80/20 audit): customers ranked by
+    # order-total cents, share of revenue captured by the top 20% of
+    # customers in exact ppm, plus the k50 head count — the
+    # host_concentration pattern on the relational spine. One customer
+    # rollup + one global-sort window over the customer table.
+    from pyspark.sql import Window as Win
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    c = o.groupBy("o_custkey").agg(F.sum("cents").alias("rev"))
+    w = Win.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
+    r = (c.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum", F.sum("rev").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("tot", F.sum("rev").over(wf))
+         .withColumn("n", F.count("*").over(wf)))
+    return (r.agg(
+        F.max("n").alias("n_customers"),
+        F.max("tot").alias("rev_cents"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
+        .alias("k50_customers"),
+        F.max(F.when(F.col("rk") * 5 <= F.col("n"),
+                     F.expr("cum * 1000000 div tot"))).alias("top20pct_ppm")))
+
+
+def _customer_pareto_sql() -> str:
+    return """
+        WITH o AS (SELECT o_custkey,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM orders),
+        c AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS rev
+              FROM o GROUP BY 1),
+        r AS (SELECT rev, o_custkey,
+                     row_number() OVER (ORDER BY rev DESC, o_custkey)
+                         AS rk,
+                     sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(rev) OVER () AS tot,
+                     count(*) OVER () AS n
+              FROM c)
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(max(tot) AS BIGINT) AS rev_cents,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
+                   AS k50_customers,
+               CAST(max(CASE WHEN rk * 5 <= n
+                             THEN cum * 1000000 // tot END) AS BIGINT)
+                   AS top20pct_ppm
+        FROM r"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6515,6 +6642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "revisit_cadence": q_revisit_cadence,
+        "dow_profile": q_dow_profile,
+        "customer_pareto": q_customer_pareto,
         "rrf_fusion": q_rrf_fusion,
         "ab_lift": q_ab_lift,
         "time_to_purchase": q_time_to_purchase,
@@ -8576,6 +8706,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "revisit_cadence": _revisit_cadence_sql(),
+        "dow_profile": _dow_profile_sql(),
+        "customer_pareto": _customer_pareto_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
         "ab_lift": _ab_lift_sql(),
         "time_to_purchase": _time_to_purchase_sql(),

@@ -204,7 +204,9 @@ def test_batch2122_shuffle_budgets(spark):
                "host_url_lcp": 1, "tile_spatial_outliers": 2,
                "ship_delay_stats": 2, "range_bounds_planner": 2,
                "host_concentration": 2, "dominant_bearing": 1,
-               "rrf_fusion": 3, "time_to_purchase": 2}
+               "rrf_fusion": 3, "time_to_purchase": 2,
+               "revisit_cadence": 2, "dow_profile": 1,
+               "customer_pareto": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
