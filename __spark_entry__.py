@@ -6620,6 +6620,187 @@ def _customer_pareto_sql() -> str:
         FROM r"""
 
 
+# ---------------------------------------------------------------------------
+# ring orientation normalization / cluster bounding circles / spatial
+# split leakage audit — batch 39
+# ---------------------------------------------------------------------------
+
+SPLIT_BLOCK = 4 * DBSCAN_EPS     # block-level split grain
+SPLIT_TEST_MOD = 5               # 1-in-5 blocks → test
+
+
+def q_ring_normalize(spark, sf):
+    # geometry normalization: enforce CCW ring orientation (the MVT /
+    # geobuf writer convention) — rings already CCW keep their vertex
+    # order, CW rings reverse. Witnessed by the exact signed doubled
+    # area and an order-sensitive position-weighted checksum of the
+    # normalized ring (Σ (i+1)·(x_i mod 2^20)), which flips iff the
+    # reversal happened. Zero shuffles beyond one projection.
+    wl = minted.minted_walk_lines_q(spark, sf, k=9)
+    v = geom.ring_validity_cols(wl, k=9)
+    xs_n = F.when(F.col("is_ccw") == 1, F.col("xs_q")).otherwise(
+        F.reverse(F.col("xs_q")))
+    chk = F.aggregate(
+        F.zip_with(xs_n, F.sequence(F.lit(1), F.lit(9)),
+                   lambda x, i: (x % 1048576) * i),
+        F.lit(0).cast("bigint"), lambda a, b: a + b)
+    return v.select("doc_id", "area2", "is_ccw",
+                    chk.alias("norm_checksum"))
+
+
+def _ring_normalize_sql() -> str:
+    xs, ys = minted.sql_minted_walk_coords(9)
+    xl = "[" + ", ".join(xs) + "]"
+    yl = "[" + ", ".join(ys) + "]"
+    # translated shoelace over the CLOSED ring (vertex k+1 = vertex 1),
+    # same local-delta form as geom.ring_validity_cols
+    terms = []
+    for i in range(9):
+        j = (i + 1) % 9
+        terms.append(f"((xs[{i + 1}] - mnx) * (ys[{j + 1}] - mny) "
+                     f"- (xs[{j + 1}] - mnx) * (ys[{i + 1}] - mny))")
+    area2 = " + ".join(terms)
+    return f"""
+        WITH w AS (SELECT doc_id, {xl} AS xs, {yl} AS ys FROM documents),
+        m AS (SELECT doc_id, xs, ys,
+                     list_min(xs) AS mnx, list_min(ys) AS mny
+              FROM w),
+        a AS (SELECT doc_id, xs, CAST({area2} AS BIGINT) AS area2
+              FROM m),
+        n AS (SELECT doc_id, area2,
+                     CAST(area2 > 0 AS INT) AS is_ccw,
+                     CASE WHEN area2 > 0 THEN xs
+                          ELSE list_reverse(xs) END AS xs_n
+              FROM a)
+        SELECT doc_id, area2, is_ccw,
+               CAST(list_sum(list_transform(range(1, 10),
+                   i -> (xs_n[CAST(i AS INT)] % 1048576) * i)) AS BIGINT)
+                   AS norm_checksum
+        FROM n"""
+
+
+def q_bounding_circles(spark, sf):
+    # per-cluster bounding circle (box-center form — exact integers):
+    # center = bbox midpoint (div 2), radius² = max distance² to it.
+    # The two-pass shape (extent then max-dist) shares one cluster
+    # partitioning; the summary every spatial-index root stores.
+    p = (minted.minted_cluster_points_q(spark, sf)
+         .withColumn("g", F.col("doc_id") % 37))
+    ext = (p.groupBy("g")
+           .agg(F.count("*").alias("n_pts"),
+                F.min("qx").alias("x1"), F.max("qx").alias("x2"),
+                F.min("qy").alias("y1"), F.max("qy").alias("y2"))
+           .withColumn("cx", F.expr("(x1 + x2) div 2"))
+           .withColumn("cy", F.expr("(y1 + y2) div 2")))
+    j = (p.join(F.broadcast(ext.select("g", "cx", "cy")), "g")
+         .withColumn("d2", (F.col("qx") - F.col("cx"))
+                     * (F.col("qx") - F.col("cx"))
+                     + (F.col("qy") - F.col("cy"))
+                     * (F.col("qy") - F.col("cy"))))
+    r = j.groupBy("g").agg(F.max("d2").alias("r2"))
+    return (ext.join(r, "g")
+            .select("g", "n_pts", "cx", "cy", "r2"))
+
+
+def _bounding_circles_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p AS (SELECT doc_id % 37 AS g, qx, qy FROM ({pts})),
+        ext AS (SELECT g, count(*) AS n_pts,
+                       min(qx) AS x1, max(qx) AS x2,
+                       min(qy) AS y1, max(qy) AS y2,
+                       (min(qx) + max(qx)) // 2 AS cx,
+                       (min(qy) + max(qy)) // 2 AS cy
+                FROM p GROUP BY 1),
+        r AS (SELECT p.g, max((qx - cx) * (qx - cx)
+                              + (qy - cy) * (qy - cy)) AS r2
+              FROM p JOIN ext ON p.g = ext.g GROUP BY 1)
+        SELECT ext.g, n_pts, cx, cy, CAST(r2 AS BIGINT) AS r2
+        FROM ext JOIN r ON ext.g = r.g"""
+
+
+def q_spatial_split_leakage(spark, sf):
+    # ML-data hygiene for geospatial training sets: block-level
+    # train/test split (hash over SPLIT_BLOCK-sized blocks, so nearby
+    # points usually share a side), then the LEAKAGE audit — cross-split
+    # point pairs within DBSCAN_EPS, counted via the same 3×3 cell join
+    # as dbscan_core. One row: split sizes + leak-pair count + nearest
+    # leak distance² witness.
+    p = minted.minted_cluster_points_q(spark, sf)
+    blk_split = F.pmod(phash.hash60_parts(
+        F.lit("split"), F.expr(f"qx div {SPLIT_BLOCK}"),
+        F.expr(f"qy div {SPLIT_BLOCK}")), F.lit(SPLIT_TEST_MOD))
+    d = (p.withColumn("is_test", (blk_split == 0).cast("int"))
+         .localCheckpoint(eager=False))
+    sizes = d.agg(
+        F.sum(F.lit(1) - F.col("is_test")).cast("bigint").alias("n_train"),
+        F.sum("is_test").cast("bigint").alias("n_test"))
+    a = (d.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .select(F.col("doc_id").alias("a_id"), F.col("qx").alias("ax"),
+                 F.col("qy").alias("ay"), F.col("is_test").alias("a_t"),
+                 F.expr(f"qx div {DBSCAN_EPS} + dx").alias("cx"),
+                 F.expr(f"qy div {DBSCAN_EPS} + dy").alias("cy")))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("qx").alias("bx"),
+                 F.col("qy").alias("by"), F.col("is_test").alias("b_t"),
+                 F.expr(f"qx div {DBSCAN_EPS}").alias("cx"),
+                 F.expr(f"qy div {DBSCAN_EPS}").alias("cy"))
+    leaks = (a.join(b, ["cx", "cy"])
+             .filter((F.col("a_id") < F.col("b_id"))
+                     & (F.col("a_t") != F.col("b_t"))
+                     & ((F.col("ax") - F.col("bx"))
+                        * (F.col("ax") - F.col("bx"))
+                        + (F.col("ay") - F.col("by"))
+                        * (F.col("ay") - F.col("by"))
+                        <= DBSCAN_EPS * DBSCAN_EPS))
+             .dropDuplicates(["a_id", "b_id"])
+             .agg(F.count("*").alias("n_leak_pairs"),
+                  F.min((F.col("ax") - F.col("bx"))
+                        * (F.col("ax") - F.col("bx"))
+                        + (F.col("ay") - F.col("by"))
+                        * (F.col("ay") - F.col("by")))
+                  .alias("min_leak_d2")))
+    return (sizes.crossJoin(leaks)
+            .select("n_train", "n_test", "n_leak_pairs",
+                    F.coalesce("min_leak_d2", F.lit(-1))
+                    .alias("min_leak_d2")))
+
+
+def _spatial_split_leakage_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    h = phash.sql_hash60_parts(
+        "'split'", f"qx // {SPLIT_BLOCK}", f"qy // {SPLIT_BLOCK}")
+    eps = DBSCAN_EPS
+    return f"""
+        WITH p AS (SELECT doc_id, qx, qy,
+                          CASE WHEN ({h}) % {SPLIT_TEST_MOD} = 0
+                               THEN 1 ELSE 0 END AS is_test
+                   FROM ({pts})),
+        sizes AS (SELECT CAST(sum(1 - is_test) AS BIGINT) AS n_train,
+                         CAST(sum(is_test) AS BIGINT) AS n_test
+                  FROM p),
+        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay, is_test AS a_t,
+                     qx // {eps} + dxs.dx AS cx, qy // {eps} + dys.dy AS cy
+              FROM p,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by, is_test AS b_t,
+                     qx // {eps} AS cx, qy // {eps} AS cy
+              FROM p),
+        lp AS (SELECT DISTINCT a_id, b_id, ax, ay, bx, by
+               FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
+               WHERE a_id < b_id AND a_t <> b_t
+                 AND (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+                     <= {eps * eps}),
+        leaks AS (SELECT count(*) AS n_leak_pairs,
+                         min((ax - bx) * (ax - bx)
+                             + (ay - by) * (ay - by)) AS min_leak_d2
+                  FROM lp)
+        SELECT n_train, n_test, n_leak_pairs,
+               CAST(coalesce(min_leak_d2, -1) AS BIGINT) AS min_leak_d2
+        FROM sizes, leaks"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6642,6 +6823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ring_normalize": q_ring_normalize,
+        "bounding_circles": q_bounding_circles,
+        "spatial_split_leakage": q_spatial_split_leakage,
         "revisit_cadence": q_revisit_cadence,
         "dow_profile": q_dow_profile,
         "customer_pareto": q_customer_pareto,
@@ -8706,6 +8890,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "ring_normalize": _ring_normalize_sql(),
+        "bounding_circles": _bounding_circles_sql(),
+        "spatial_split_leakage": _spatial_split_leakage_sql(),
         "revisit_cadence": _revisit_cadence_sql(),
         "dow_profile": _dow_profile_sql(),
         "customer_pareto": _customer_pareto_sql(),

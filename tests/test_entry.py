@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "ring_normalize", "bounding_circles", "spatial_split_leakage",
         "revisit_cadence", "dow_profile", "customer_pareto",
         "rrf_fusion", "ab_lift", "time_to_purchase",
         "range_bounds_planner", "host_concentration", "dominant_bearing",
@@ -119,15 +120,15 @@ def test_driver_window_invariants():
         "prefix_autocomplete_topk", "trend_slope_weekly",
         "copresence_pairs",
         "outlier_mad", "bearing_sectors", "late_arrival_hist",
-        "session_paths", "containment_pairs", "dbscan_core",
-        "segment_xing_join", "robots_prefix_rules",
+        "session_paths", "containment_pairs",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["staypoints", "delta_bytes_by_tile", "word_cooc_cosine",
+    overflow = ["dbscan_core", "segment_xing_join", "robots_prefix_rules",
+                "staypoints", "delta_bytes_by_tile", "word_cooc_cosine",
                 "interval_union_time", "host_edit_near_dups",
                 "weighted_sample_docs",
                 "nn_dist_stats", "hilbert_keys_z8", "moran_i_tiles",

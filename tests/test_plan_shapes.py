@@ -206,7 +206,8 @@ def test_batch2122_shuffle_budgets(spark):
                "host_concentration": 2, "dominant_bearing": 1,
                "rrf_fusion": 3, "time_to_purchase": 2,
                "revisit_cadence": 2, "dow_profile": 1,
-               "customer_pareto": 2}
+               "customer_pareto": 2, "ring_normalize": 0,
+               "bounding_circles": 5}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -227,7 +228,8 @@ def test_batch2122_shuffle_budgets(spark):
             assert marker not in plan, f"{q}: {marker}"
     # single-row-aggregate combiners: the only BroadcastNestedLoops in
     # the registry are 1x1 joins of scalar aggregates — legitimate.
-    for q in ("union_area_rects", "fk_audit", "ab_lift"):
+    for q in ("union_area_rects", "fk_audit", "ab_lift",
+              "spatial_split_leakage"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct"):
