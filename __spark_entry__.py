@@ -6801,6 +6801,179 @@ def _spatial_split_leakage_sql() -> str:
         FROM sizes, leaks"""
 
 
+# ---------------------------------------------------------------------------
+# watermark policy simulator / turning angles / outage gaps — batch 40
+# ---------------------------------------------------------------------------
+
+WM_DELAYS = (0, 60, 600, 3600)
+
+
+def q_watermark_policy_sim(spark, sf):
+    # the withWatermark() sizing decision as a query: for each candidate
+    # delay, how many events the watermark WOULD drop (lateness vs the
+    # per-user running max in the minted arrival order — the
+    # late_arrival_hist machinery) and the drop rate in ppm. One window
+    # + one explode over the tiny delay list.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
+        phash.hash60(F.concat(F.lit("arr-"),
+                              F.col("event_id").cast("string")))
+        .alias("arr"))
+    w = (Win.partitionBy("user_id").orderBy("arr", "event_id")
+         .rowsBetween(Win.unboundedPreceding, -1))
+    late = e.withColumn(
+        "late_s", F.greatest(F.lit(0),
+                             F.coalesce(F.max("te").over(w), F.lit(0))
+                             - F.col("te")))
+    d = late.withColumn(
+        "delay_s", F.explode(F.array(*[F.lit(x) for x in WM_DELAYS])))
+    return (d.groupBy("delay_s")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("late_s") > F.col("delay_s"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_dropped"))
+            .withColumn("drop_ppm",
+                        F.expr("n_dropped * 1000000 div n_events")))
+
+
+def _watermark_policy_sim_sql() -> str:
+    arr = phash.sql_hash60("'arr-' || CAST(event_id AS VARCHAR)")
+    delays = ", ".join(str(x) for x in WM_DELAYS)
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          {arr} AS arr
+                   FROM events),
+        l AS (SELECT greatest(0, coalesce(max(te) OVER (
+                         PARTITION BY user_id ORDER BY arr, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) - te) AS late_s
+              FROM e),
+        d AS (SELECT late_s, dd.delay_s
+              FROM l, LATERAL (SELECT unnest([{delays}]) AS delay_s) dd)
+        SELECT CAST(delay_s AS BIGINT) AS delay_s, count(*) AS n_events,
+               CAST(sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS drop_ppm
+        FROM d GROUP BY 1"""
+
+
+def q_turning_angles(spark, sf):
+    # trajectory curvature without trig: each consecutive step pair is
+    # classified left / straight / right by the EXACT sign of the step
+    # cross product, plus the reversal count (dot < 0 and collinear).
+    # Per-user turn bias in ppm — the tortuosity signal. ONE user window
+    # exchange (two lags share it).
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet")
+
+    def pos(axis):
+        return F.pmod(
+            phash.hash60(F.concat(F.lit(axis),
+                                  F.col("event_id").cast("string"))),
+            F.lit(2_000_001)) - 1_000_000
+
+    d = e.select("user_id", "ts", "event_id",
+                 pos("tx").alias("px"), pos("ty").alias("py"))
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (d.withColumn("dx", F.col("px") - F.lag("px").over(w))
+         .withColumn("dy", F.col("py") - F.lag("py").over(w))
+         .withColumn("pdx", F.lag("dx").over(w))
+         .withColumn("pdy", F.lag("dy").over(w))
+         .filter(F.col("pdx").isNotNull()))
+    cross = F.col("pdx") * F.col("dy") - F.col("pdy") * F.col("dx")
+    dot = F.col("pdx") * F.col("dx") + F.col("pdy") * F.col("dy")
+    return (s.groupBy("user_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.when(cross > 0, 1).otherwise(0)).cast("bigint")
+                 .alias("n_left"),
+                 F.sum(F.when(cross < 0, 1).otherwise(0)).cast("bigint")
+                 .alias("n_right"),
+                 F.sum(F.when((cross == 0) & (dot < 0), 1).otherwise(0))
+                 .cast("bigint").alias("n_reversals"))
+            .withColumn("left_bias_ppm", F.expr(
+                "(n_left - n_right) * 1000000 div n_turns")))
+
+
+def _turning_angles_sql() -> str:
+    def pos(axis):
+        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
+        return f"(({h}) % 2000001 - 1000000)"
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {pos('tx')} AS px, {pos('ty')} AS py
+                   FROM events),
+        s1 AS (SELECT user_id, ts, event_id,
+                      px - lag(px) OVER wo AS dx,
+                      py - lag(py) OVER wo AS dy
+               FROM p
+               WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (SELECT user_id, dx, dy,
+                      lag(dx) OVER wo AS pdx, lag(dy) OVER wo AS pdy
+               FROM s1
+               WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (SELECT user_id,
+                     pdx * dy - pdy * dx AS cr,
+                     pdx * dx + pdy * dy AS dt
+              FROM s2 WHERE pdx IS NOT NULL)
+        SELECT user_id, count(*) AS n_turns,
+               CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_left,
+               CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_right,
+               CAST(sum(CASE WHEN cr = 0 AND dt < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reversals,
+               (CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                - CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT))
+                   * 1000000 // count(*) AS left_bias_ppm
+        FROM t GROUP BY 1"""
+
+
+def q_outage_gaps(spark, sf):
+    # pipeline-health gap detector: per event_type, the largest
+    # inter-arrival gap in the GLOBAL stream of that type and when it
+    # started — the "did ingestion stall" readout. One type-partitioned
+    # window; the max-with-witness ships as max(struct) (tie-free via
+    # the (gap, start, event_id) total order).
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("te"))
+    w = Win.partitionBy("event_type").orderBy("te", "event_id")
+    g = (e.withColumn("gap", F.col("te") - F.lag("te").over(w))
+         .withColumn("gap_start", F.lag("te").over(w))
+         .filter(F.col("gap").isNotNull()))
+    return (g.groupBy("event_type")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.max(F.struct("gap", "gap_start", "event_id")).alias("m"))
+            .select("event_type", "n_gaps",
+                    F.col("m.gap").alias("max_gap_s"),
+                    F.col("m.gap_start").alias("gap_start_epoch")))
+
+
+def _outage_gaps_sql() -> str:
+    return """
+        WITH e AS (SELECT event_type, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te
+                   FROM events),
+        g AS (SELECT event_type,
+                     te - lag(te) OVER wo AS gap,
+                     lag(te) OVER wo AS gap_start,
+                     event_id
+              FROM e
+              WINDOW wo AS (PARTITION BY event_type ORDER BY te, event_id)),
+        gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        c AS (SELECT event_type, count(*) AS n_gaps FROM gg GROUP BY 1),
+        r AS (SELECT event_type, gap AS max_gap_s,
+                     gap_start AS gap_start_epoch,
+                     row_number() OVER (PARTITION BY event_type
+                         ORDER BY gap DESC, gap_start DESC, event_id DESC)
+                         AS rn
+              FROM gg)
+        SELECT c.event_type, n_gaps, max_gap_s, gap_start_epoch
+        FROM c JOIN r ON c.event_type = r.event_type AND r.rn = 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6823,6 +6996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "watermark_policy_sim": q_watermark_policy_sim,
+        "turning_angles": q_turning_angles,
+        "outage_gaps": q_outage_gaps,
         "ring_normalize": q_ring_normalize,
         "bounding_circles": q_bounding_circles,
         "spatial_split_leakage": q_spatial_split_leakage,
@@ -8890,6 +9066,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "watermark_policy_sim": _watermark_policy_sim_sql(),
+        "turning_angles": _turning_angles_sql(),
+        "outage_gaps": _outage_gaps_sql(),
         "ring_normalize": _ring_normalize_sql(),
         "bounding_circles": _bounding_circles_sql(),
         "spatial_split_leakage": _spatial_split_leakage_sql(),

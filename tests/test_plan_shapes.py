@@ -207,7 +207,8 @@ def test_batch2122_shuffle_budgets(spark):
                "rrf_fusion": 3, "time_to_purchase": 2,
                "revisit_cadence": 2, "dow_profile": 1,
                "customer_pareto": 2, "ring_normalize": 0,
-               "bounding_circles": 5}
+               "bounding_circles": 5, "watermark_policy_sim": 2,
+               "turning_angles": 1, "outage_gaps": 1}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
