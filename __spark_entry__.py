@@ -6974,6 +6974,180 @@ def _outage_gaps_sql() -> str:
         FROM c JOIN r ON c.event_type = r.event_type AND r.rn = 1"""
 
 
+# ---------------------------------------------------------------------------
+# exact KS drift statistic / top-k vocabulary drift / cell coverage
+# curve — batch 41
+# ---------------------------------------------------------------------------
+
+KS_LANG_A, KS_LANG_B = "en", "de"
+DRIFT_TOPK = 25
+
+
+def q_ks_two_langs(spark, sf):
+    # distribution-drift detection without floats: the two-sample
+    # Kolmogorov-Smirnov statistic between token-count distributions of
+    # two languages, as the EXACT rational max |F_a − F_b| =
+    # max |cum_a·n_b − cum_b·n_a| / (n_a·n_b). One global-sort window
+    # over the merged value stream; ties resolved by evaluating AFTER
+    # each distinct value (both cums at the value's last row). The
+    # training-data drift gate, oracle-exact.
+    from pyspark.sql import Window as Win
+    t = (_docs(spark, sf)
+         .filter(F.col("lang").isin([KS_LANG_A, KS_LANG_B]))
+         .select((F.col("lang") == KS_LANG_A).cast("int").alias("is_a"),
+                 TXT.token_count(F.col("text")).cast("bigint").alias("v")))
+    w = Win.orderBy("v")
+    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
+    # per distinct value: running counts of a and b up to AND INCLUDING v
+    per_v = (t.groupBy("v")
+             .agg(F.sum("is_a").alias("na_v"),
+                  F.sum(F.lit(1) - F.col("is_a")).alias("nb_v")))
+    c = (per_v
+         .withColumn("cum_a", F.sum("na_v").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("cum_b", F.sum("nb_v").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("n_a", F.sum("na_v").over(wf))
+         .withColumn("n_b", F.sum("nb_v").over(wf))
+         .withColumn("dev", F.abs(F.col("cum_a") * F.col("n_b")
+                                  - F.col("cum_b") * F.col("n_a"))))
+    return (c.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                  F.max("dev").alias("ks_num"))
+            .withColumn("ks_den", F.col("n_a") * F.col("n_b")))
+
+
+def _ks_two_langs_sql() -> str:
+    return f"""
+        WITH t AS (SELECT CASE WHEN lang = '{KS_LANG_A}' THEN 1 ELSE 0 END
+                       AS is_a,
+                       CAST(len(string_split(text, chr(32))) AS BIGINT)
+                           AS v
+                   FROM documents
+                   WHERE lang IN ('{KS_LANG_A}', '{KS_LANG_B}')),
+        per_v AS (SELECT v, CAST(sum(is_a) AS BIGINT) AS na_v,
+                         CAST(sum(1 - is_a) AS BIGINT) AS nb_v
+                  FROM t GROUP BY 1),
+        c AS (SELECT sum(na_v) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum_a,
+                     sum(nb_v) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum_b,
+                     sum(na_v) OVER () AS n_a,
+                     sum(nb_v) OVER () AS n_b
+              FROM per_v)
+        SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+               CAST(max(n_b) AS BIGINT) AS n_b,
+               CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                   AS ks_num,
+               CAST(max(n_a) * max(n_b) AS BIGINT) AS ks_den
+        FROM c"""
+
+
+def q_topk_drift(spark, sf):
+    # vocabulary drift between the first and second half of the crawl
+    # window: the top-K tokens of each half, their set overlap, and the
+    # entered/exited counts — the heavy-hitter change alarm. Two ranked
+    # halves from ONE token aggregation (grouping by (half, token)),
+    # full-outer-joined on token.
+    from pyspark.sql import Window as Win
+    p = pages.pages(spark, 2000).select(
+        (F.expr("unix_timestamp(warc_ts) div 86400") >= 1700000000 // 86400
+         + 183).cast("int").alias("half"),
+        F.explode(F.split("text", " ")).alias("w"))
+    cnt = p.groupBy("half", "w").agg(F.count("*").alias("c"))
+    w = Win.partitionBy("half").orderBy(F.col("c").desc(), F.col("w"))
+    top = (cnt.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= DRIFT_TOPK)
+           .localCheckpoint(eager=False))
+    a = top.filter(F.col("half") == 0).select(
+        F.col("w").alias("w"), F.lit(1).alias("in_a"))
+    b = top.filter(F.col("half") == 1).select(
+        F.col("w").alias("w"), F.lit(1).alias("in_b"))
+    j = a.join(b, "w", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_stayed"),
+        F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_entered"),
+        F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_exited"))
+
+
+def _topk_drift_sql() -> str:
+    split_day = 1700000000 // 86400 + 183
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        p AS (SELECT CASE WHEN ts_epoch // 86400 >= {split_day}
+                          THEN 1 ELSE 0 END AS half,
+                     unnest(string_split(text, chr(32))) AS w
+              FROM txt),
+        cnt AS (SELECT half, w, count(*) AS c FROM p GROUP BY 1, 2),
+        top AS (SELECT half, w,
+                       row_number() OVER (PARTITION BY half
+                           ORDER BY c DESC, w) AS rk
+                FROM cnt),
+        tk AS (SELECT half, w FROM top WHERE rk <= {DRIFT_TOPK}),
+        a AS (SELECT w FROM tk WHERE half = 0),
+        b AS (SELECT w FROM tk WHERE half = 1)
+        SELECT CAST(sum(CASE WHEN a.w IS NOT NULL AND b.w IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+               CAST(sum(CASE WHEN a.w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_entered,
+               CAST(sum(CASE WHEN b.w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exited
+        FROM a FULL OUTER JOIN b ON a.w = b.w"""
+
+
+def q_cell_coverage_curve(spark, sf):
+    # spatial concentration: cells ranked by point count — how many
+    # cells cover half the corpus (k50), the densest cell's share in
+    # ppm — the host_concentration pattern on the clustered spatial
+    # grid (storage-tiering / cache-sizing input).
+    from pyspark.sql import Window as Win
+    t = (minted.minted_cluster_points_q(spark, sf)
+         .select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
+                 F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n")))
+    w = Win.orderBy(F.col("n").desc(), F.col("x"), F.col("y"))
+    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
+    c = (t.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum", F.sum("n").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("tot", F.sum("n").over(wf)))
+    return c.agg(
+        F.count("*").alias("n_cells"),
+        F.max("tot").alias("n_pts"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
+        .alias("k50_cells"),
+        F.max(F.when(F.col("rk") == 1, F.expr("n * 1000000 div tot")))
+        .alias("top_cell_ppm"))
+
+
+def _cell_coverage_curve_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2),
+        c AS (SELECT n,
+                     row_number() OVER (ORDER BY n DESC, x, y) AS rk,
+                     sum(n) OVER (ORDER BY n DESC, x, y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(n) OVER () AS tot
+              FROM t)
+        SELECT count(*) AS n_cells,
+               CAST(max(tot) AS BIGINT) AS n_pts,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
+                   AS k50_cells,
+               CAST(max(CASE WHEN rk = 1 THEN n * 1000000 // tot END)
+                    AS BIGINT) AS top_cell_ppm
+        FROM c"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -6996,6 +7170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ks_two_langs": q_ks_two_langs,
+        "topk_drift": q_topk_drift,
+        "cell_coverage_curve": q_cell_coverage_curve,
         "watermark_policy_sim": q_watermark_policy_sim,
         "turning_angles": q_turning_angles,
         "outage_gaps": q_outage_gaps,
@@ -9066,6 +9243,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "ks_two_langs": _ks_two_langs_sql(),
+        "topk_drift": _topk_drift_sql(),
+        "cell_coverage_curve": _cell_coverage_curve_sql(),
         "watermark_policy_sim": _watermark_policy_sim_sql(),
         "turning_angles": _turning_angles_sql(),
         "outage_gaps": _outage_gaps_sql(),

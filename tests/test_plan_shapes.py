@@ -208,7 +208,8 @@ def test_batch2122_shuffle_budgets(spark):
                "revisit_cadence": 2, "dow_profile": 1,
                "customer_pareto": 2, "ring_normalize": 0,
                "bounding_circles": 5, "watermark_policy_sim": 2,
-               "turning_angles": 1, "outage_gaps": 1}
+               "turning_angles": 1, "outage_gaps": 1,
+               "ks_two_langs": 3, "cell_coverage_curve": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -222,7 +223,8 @@ def test_batch2122_shuffle_budgets(spark):
     # checkpoint-bounded plans (unstable static exchange counts): pin
     # JVM-only + no cartesian instead.
     for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad",
-              "kcore_hosts", "idw_interpolate", "flow_divergence"):
+              "kcore_hosts", "idw_interpolate", "flow_divergence",
+              "topk_drift"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
