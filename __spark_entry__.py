@@ -7148,6 +7148,126 @@ def _cell_coverage_curve_sql() -> str:
         FROM c"""
 
 
+# ---------------------------------------------------------------------------
+# rectangle nesting depth / dwell event mix — batch 42
+# ---------------------------------------------------------------------------
+
+NEST_CELL = 100_000_000
+
+
+def q_rect_nesting(spark, sf):
+    # containment hierarchy (R-tree nesting audit): for each minted box,
+    # how many OTHER boxes fully contain it. Candidates: the contained
+    # box's min corner lands in exactly ONE grid cell, and any container
+    # covers that cell — so the join is (corner cell) = (cover cell),
+    # never all-pairs and naturally asymmetric (no pair dedup needed).
+    # Exact integer containment predicate.
+    r = _shifted_rects(spark, sf).localCheckpoint(eager=False)
+    inner = r.select(
+        F.col("poly_id").alias("i_id"),
+        F.col("x1").alias("ix1"), F.col("x2").alias("ix2"),
+        F.col("y1").alias("iy1"), F.col("y2").alias("iy2"),
+        F.expr(f"x1 div {NEST_CELL}").alias("cx"),
+        F.expr(f"y1 div {NEST_CELL}").alias("cy"))
+    outer = (r.select(
+                F.col("poly_id").alias("o_id"),
+                F.col("x1").alias("ox1"), F.col("x2").alias("ox2"),
+                F.col("y1").alias("oy1"), F.col("y2").alias("oy2"))
+             .withColumn("cx", F.explode(F.sequence(
+                 F.expr(f"ox1 div {NEST_CELL}"),
+                 F.expr(f"ox2 div {NEST_CELL}"))))
+             .withColumn("cy", F.explode(F.sequence(
+                 F.expr(f"oy1 div {NEST_CELL}"),
+                 F.expr(f"oy2 div {NEST_CELL}")))))
+    contained = (inner.join(outer, ["cx", "cy"])
+                 .filter((F.col("i_id") != F.col("o_id"))
+                         & (F.col("ox1") <= F.col("ix1"))
+                         & (F.col("ix2") <= F.col("ox2"))
+                         & (F.col("oy1") <= F.col("iy1"))
+                         & (F.col("iy2") <= F.col("oy2")))
+                 .groupBy("i_id").agg(F.count("*").alias("n_containers")))
+    return (r.select(F.col("poly_id"))
+            .join(contained.withColumnRenamed("i_id", "poly_id"),
+                  "poly_id", "left")
+            .select("poly_id",
+                    F.coalesce("n_containers", F.lit(0))
+                    .alias("n_containers"))
+            .groupBy("n_containers")
+            .agg(F.count("*").alias("n_rects")))
+
+
+def _rect_nesting_sql() -> str:
+    return f"""
+        WITH {_shifted_rects_cte()},
+        inner_r AS (SELECT poly_id AS i_id, x1 AS ix1, x2 AS ix2,
+                           y1 AS iy1, y2 AS iy2,
+                           x1 // {NEST_CELL} AS cx, y1 // {NEST_CELL} AS cy
+                    FROM r),
+        outer_r AS (SELECT poly_id AS o_id, x1 AS ox1, x2 AS ox2,
+                           y1 AS oy1, y2 AS oy2, cxs.cx, cys.cy
+                    FROM r,
+                    LATERAL (SELECT unnest(range(x1 // {NEST_CELL},
+                        x2 // {NEST_CELL} + 1)) AS cx) cxs,
+                    LATERAL (SELECT unnest(range(y1 // {NEST_CELL},
+                        y2 // {NEST_CELL} + 1)) AS cy) cys),
+        contained AS (SELECT i_id, count(*) AS n_containers
+                      FROM inner_r JOIN outer_r
+                        ON inner_r.cx = outer_r.cx
+                       AND inner_r.cy = outer_r.cy
+                       AND i_id <> o_id
+                       AND ox1 <= ix1 AND ix2 <= ox2
+                       AND oy1 <= iy1 AND iy2 <= oy2
+                      GROUP BY 1)
+        SELECT coalesce(n_containers, 0) AS n_containers,
+               count(*) AS n_rects
+        FROM r LEFT JOIN contained ON r.poly_id = contained.i_id
+        GROUP BY 1"""
+
+
+def q_dwell_event_mix(spark, sf):
+    # behavioral composition: which event types happen WHILE dwelling
+    # (inside a staypoint interval) vs in transit — per type counts and
+    # the in-dwell rate in ppm. Events join their user's (small) dwell
+    # interval set; membership = any interval containing te (the
+    # SCD2-enrich bounded-per-key argument).
+    stays = _user_islands(spark, sf, _STAY_GATE, 2)
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("te"))
+    hit = (e.join(stays, "user_id")
+           .filter((F.col("te") >= F.col("t0"))
+                   & (F.col("te") <= F.col("t1")))
+           .select("event_id").distinct()
+           .withColumn("in_dwell", F.lit(1)))
+    return (e.join(hit, "event_id", "left")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.coalesce("in_dwell", F.lit(0))).cast("bigint")
+                 .alias("n_in_dwell"))
+            .withColumn("in_dwell_ppm",
+                        F.expr("n_in_dwell * 1000000 div n_events")))
+
+
+def _dwell_event_mix_sql() -> str:
+    return f"""
+        WITH stays AS (SELECT user_id, t0, t1
+                       FROM {_islands_sql(_STAY_GATE, 2)} t),
+        e AS (SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS te
+              FROM events),
+        hit AS (SELECT DISTINCT event_id FROM e JOIN stays
+                  ON e.user_id = stays.user_id
+                 AND te >= t0 AND te <= t1)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN hit.event_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dwell,
+               CAST(sum(CASE WHEN hit.event_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 1000000 // count(*)
+                    AS BIGINT) AS in_dwell_ppm
+        FROM e LEFT JOIN hit ON e.event_id = hit.event_id
+        GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7170,6 +7290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "rect_nesting": q_rect_nesting,
+        "dwell_event_mix": q_dwell_event_mix,
         "ks_two_langs": q_ks_two_langs,
         "topk_drift": q_topk_drift,
         "cell_coverage_curve": q_cell_coverage_curve,
@@ -9243,6 +9365,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "rect_nesting": _rect_nesting_sql(),
+        "dwell_event_mix": _dwell_event_mix_sql(),
         "ks_two_langs": _ks_two_langs_sql(),
         "topk_drift": _topk_drift_sql(),
         "cell_coverage_curve": _cell_coverage_curve_sql(),
