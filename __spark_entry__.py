@@ -7268,6 +7268,122 @@ def _dwell_event_mix_sql() -> str:
         GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# event 3-motifs / dup-pair language mix / week-over-week change
+# — batch 43
+# ---------------------------------------------------------------------------
+
+MOTIF_MIN = 5
+
+
+def q_event_motifs_3(spark, sf):
+    # behavioral 3-grams: consecutive event-type triples per user stream
+    # (two leads share ONE user window), rolled up to motif counts — the
+    # sequence-mining step above event_transitions' 2-grams. Motifs below
+    # MOTIF_MIN are cut to keep the tail stable.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (e.withColumn("t2", F.lead("event_type", 1).over(w))
+         .withColumn("t3", F.lead("event_type", 2).over(w))
+         .filter(F.col("t3").isNotNull()))
+    return (t.groupBy(F.col("event_type").alias("m1"),
+                      F.col("t2").alias("m2"), F.col("t3").alias("m3"))
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .filter(F.col("n") >= MOTIF_MIN))
+
+
+def _event_motifs_3_sql() -> str:
+    return f"""
+        WITH t AS (SELECT user_id, event_type AS m1,
+                          lead(event_type, 1) OVER wo AS m2,
+                          lead(event_type, 2) OVER wo AS m3
+                   FROM events
+                   WINDOW wo AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+        SELECT m1, m2, m3, count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM t WHERE m3 IS NOT NULL
+        GROUP BY 1, 2, 3 HAVING count(*) >= {MOTIF_MIN}"""
+
+
+def q_dup_pair_lang_mix(spark, sf):
+    # dedup diagnostics: of the exact near-dup pairs (n-gram Jaccard
+    # tier), how many join documents of the SAME language vs across
+    # languages — cross-language "dups" flag template/boilerplate
+    # contamination rather than true duplication. Rides the existing
+    # pair operator; the lang join-backs broadcast.
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
+                                      shingle_k=3, threshold=0.4)
+    langs = _docs(spark, sf).select("doc_id", "lang")
+    j = (pairs
+         .join(F.broadcast(langs.select(F.col("doc_id").alias("a"),
+                                        F.col("lang").alias("lang_a"))),
+               "a")
+         .join(F.broadcast(langs.select(F.col("doc_id").alias("b"),
+                                        F.col("lang").alias("lang_b"))),
+               "b"))
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0))
+        .cast("bigint").alias("n_same_lang"),
+        F.sum(F.when(F.col("lang_a") != F.col("lang_b"), 1).otherwise(0))
+        .cast("bigint").alias("n_cross_lang"))
+
+
+def _dup_pair_lang_mix_sql() -> str:
+    return f"""
+        WITH {_ngram_sql()},
+        dlm AS (SELECT la.lang AS lang_a, lb.lang AS lang_b
+                FROM pairs
+                JOIN documents la ON la.doc_id = pairs.a
+                JOIN documents lb ON lb.doc_id = pairs.b)
+        SELECT count(*) AS n_pairs,
+               CAST(sum(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_lang,
+               CAST(sum(CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_lang
+        FROM dlm"""
+
+
+def q_wow_change(spark, sf):
+    # week-over-week movement per event_type: weekly counts with the
+    # previous week's count (ONE type window) and the exact ppm delta —
+    # the growth dashboard row. Weeks with no predecessor drop (no
+    # fabricated zeros; real pipelines densify explicitly).
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.expr("unix_timestamp(ts) div 604800").alias("wk"))
+    weekly = e.groupBy("event_type", "wk").agg(F.count("*").alias("n"))
+    w = Win.partitionBy("event_type").orderBy("wk")
+    return (weekly.withColumn("prev_n", F.lag("n").over(w))
+            .withColumn("prev_wk", F.lag("wk").over(w))
+            .filter(F.col("prev_n").isNotNull()
+                    & (F.col("prev_wk") == F.col("wk") - 1))
+            .select("event_type", "wk", "n", "prev_n",
+                    F.expr("(n - prev_n) * 1000000 div prev_n")
+                    .alias("wow_ppm")))
+
+
+def _wow_change_sql() -> str:
+    return """
+        WITH weekly AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 604800
+                                   AS wk,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, wk, n,
+                     lag(n) OVER wo AS prev_n,
+                     lag(wk) OVER wo AS prev_wk
+              FROM weekly
+              WINDOW wo AS (PARTITION BY event_type ORDER BY wk))
+        SELECT event_type, wk, n, prev_n,
+               (n - prev_n) * 1000000 // prev_n AS wow_ppm
+        FROM l WHERE prev_n IS NOT NULL AND prev_wk = wk - 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7290,6 +7406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "event_motifs_3": q_event_motifs_3,
+        "dup_pair_lang_mix": q_dup_pair_lang_mix,
+        "wow_change": q_wow_change,
         "rect_nesting": q_rect_nesting,
         "dwell_event_mix": q_dwell_event_mix,
         "ks_two_langs": q_ks_two_langs,
@@ -9365,6 +9484,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "event_motifs_3": _event_motifs_3_sql(),
+        "dup_pair_lang_mix": _dup_pair_lang_mix_sql(),
+        "wow_change": _wow_change_sql(),
         "rect_nesting": _rect_nesting_sql(),
         "dwell_event_mix": _dwell_event_mix_sql(),
         "ks_two_langs": _ks_two_langs_sql(),

@@ -210,7 +210,8 @@ def test_batch2122_shuffle_budgets(spark):
                "bounding_circles": 5, "watermark_policy_sim": 2,
                "turning_angles": 1, "outage_gaps": 1,
                "ks_two_langs": 3, "cell_coverage_curve": 2,
-               "dwell_event_mix": 5}
+               "dwell_event_mix": 5, "event_motifs_3": 2,
+               "wow_change": 2}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -225,7 +226,7 @@ def test_batch2122_shuffle_budgets(spark):
     # JVM-only + no cartesian instead.
     for q in ("word_cooc_cosine", "containment_pairs", "outlier_mad",
               "kcore_hosts", "idw_interpolate", "flow_divergence",
-              "topk_drift", "rect_nesting"):
+              "topk_drift", "rect_nesting", "dup_pair_lang_mix"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct", "BroadcastNestedLoop"):
