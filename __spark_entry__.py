@@ -7384,6 +7384,115 @@ def _wow_change_sql() -> str:
         FROM l WHERE prev_n IS NOT NULL AND prev_wk = wk - 1"""
 
 
+# ---------------------------------------------------------------------------
+# Ripley distance-band pair counts / churn rollup — batch 44
+# ---------------------------------------------------------------------------
+
+RIPLEY_BAND = 2_000_000
+RIPLEY_MAX = 8_000_000  # 4 bands; cell = max radius ⇒ 3×3 ring complete
+
+
+def q_ripley_band_pairs(spark, sf):
+    # spatial second-order statistics: point-pair counts by distance
+    # band (the Ripley K / pair-correlation numerator) over the
+    # clustered mint — exact integer d² band classification, candidates
+    # from the 3×3 cell ring at cell = max radius (complete by
+    # construction), each unordered pair counted once via id ordering +
+    # reference-cell dedup-free a<b filter.
+    p = minted.minted_cluster_points_q(spark, sf)
+    a = (p.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+         .select(F.col("doc_id").alias("a_id"),
+                 F.col("qx").alias("ax"), F.col("qy").alias("ay"),
+                 F.expr(f"qx div {RIPLEY_MAX} + dx").alias("cx"),
+                 F.expr(f"qy div {RIPLEY_MAX} + dy").alias("cy")))
+    b = p.select(F.col("doc_id").alias("b_id"),
+                 F.col("qx").alias("bx"), F.col("qy").alias("by"),
+                 F.expr(f"qx div {RIPLEY_MAX}").alias("cx"),
+                 F.expr(f"qy div {RIPLEY_MAX}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    pairs = (a.join(b, ["cx", "cy"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .dropDuplicates(["a_id", "b_id"])
+             .withColumn("d2", d2)
+             .filter(F.col("d2") <= RIPLEY_MAX * RIPLEY_MAX)
+             # integer CASE thresholds — sqrt+CAST would hit the
+             # Spark-truncates / DuckDB-rounds divergence
+             .withColumn("band", F.expr("CASE WHEN d2 < 4000000000000 THEN 0 WHEN d2 < 16000000000000 THEN 1 WHEN d2 < 36000000000000 THEN 2 ELSE 3 END")))
+    return (pairs.groupBy("band")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("d2").alias("min_d2"), F.max("d2").alias("max_d2")))
+
+
+def _ripley_band_pairs_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    r = RIPLEY_MAX
+    return f"""
+        WITH p AS ({pts}),
+        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay,
+                     qx // {r} + dxs.dx AS cx, qy // {r} + dys.dy AS cy
+              FROM p,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by,
+                     qx // {r} AS cx, qy // {r} AS cy
+              FROM p),
+        prs AS (SELECT DISTINCT a_id, b_id, ax, ay, bx, by
+                FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
+                     AND a_id < b_id),
+        d AS (SELECT (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS d2
+              FROM prs)
+        SELECT CASE WHEN d2 < 4000000000000 THEN 0 WHEN d2 < 16000000000000 THEN 1 WHEN d2 < 36000000000000 THEN 2 ELSE 3 END AS band,
+               count(*) AS n_pairs,
+               CAST(min(d2) AS BIGINT) AS min_d2,
+               CAST(max(d2) AS BIGINT) AS max_d2
+        FROM d WHERE d2 <= {r * r}
+        GROUP BY 1"""
+
+
+def q_churn_rollup(spark, sf):
+    # churn/inactivity report: users bucketed by days since their last
+    # event relative to the corpus high-water mark — active / 7d / 30d /
+    # churned. The high-water max is a one-row broadcast; everything
+    # else is one user aggregation.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    last = e.groupBy("user_id").agg(F.max("day").alias("last_day"),
+                                    F.count("*").alias("n_events"))
+    hw = e.agg(F.max("day").alias("hw"))
+    d = (last.crossJoin(F.broadcast(hw))
+         .withColumn("idle_d", F.col("hw") - F.col("last_day"))
+         .withColumn("bucket", F.expr(
+             "CASE WHEN idle_d = 0 THEN 'active_today' "
+             "WHEN idle_d <= 7 THEN 'active_7d' "
+             "WHEN idle_d <= 30 THEN 'active_30d' ELSE 'churned' END")))
+    return (d.groupBy("bucket")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("idle_d").alias("max_idle_d")))
+
+
+def _churn_rollup_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                   FROM events),
+        last AS (SELECT user_id, max(day) AS last_day,
+                        count(*) AS n_events
+                 FROM e GROUP BY 1),
+        hw AS (SELECT max(day) AS hw FROM e),
+        d AS (SELECT hw - last_day AS idle_d, n_events FROM last, hw)
+        SELECT CASE WHEN idle_d = 0 THEN 'active_today'
+                    WHEN idle_d <= 7 THEN 'active_7d'
+                    WHEN idle_d <= 30 THEN 'active_30d'
+                    ELSE 'churned' END AS bucket,
+               count(*) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(idle_d) AS BIGINT) AS max_idle_d
+        FROM d GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7406,6 +7515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ripley_band_pairs": q_ripley_band_pairs,
+        "churn_rollup": q_churn_rollup,
         "event_motifs_3": q_event_motifs_3,
         "dup_pair_lang_mix": q_dup_pair_lang_mix,
         "wow_change": q_wow_change,
@@ -9484,6 +9595,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "ripley_band_pairs": _ripley_band_pairs_sql(),
+        "churn_rollup": _churn_rollup_sql(),
         "event_motifs_3": _event_motifs_3_sql(),
         "dup_pair_lang_mix": _dup_pair_lang_mix_sql(),
         "wow_change": _wow_change_sql(),

@@ -211,7 +211,7 @@ def test_batch2122_shuffle_budgets(spark):
                "turning_angles": 1, "outage_gaps": 1,
                "ks_two_langs": 3, "cell_coverage_curve": 2,
                "dwell_event_mix": 5, "event_motifs_3": 2,
-               "wow_change": 2}
+               "wow_change": 2, "ripley_band_pairs": 3}
     for q, budget in budgets.items():
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == budget, f"{q}\n{plan}"
@@ -234,7 +234,7 @@ def test_batch2122_shuffle_budgets(spark):
     # single-row-aggregate combiners: the only BroadcastNestedLoops in
     # the registry are 1x1 joins of scalar aggregates — legitimate.
     for q in ("union_area_rects", "fk_audit", "ab_lift",
-              "spatial_split_leakage"):
+              "spatial_split_leakage", "churn_rollup"):
         plan = _executed_plan(em.queries()[q](spark, "/root/testdata/sf0.001"))
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
                        "CartesianProduct"):
