@@ -7493,6 +7493,224 @@ def _churn_rollup_sql() -> str:
         FROM d GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# exact corpus statistics — batch 45 (Gini, Kendall τ, χ², Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+def q_gini_chars(spark, sf):
+    # corpus-concentration audit: exact Gini coefficient of document
+    # character mass per language, as an integer rational —
+    # G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    # sizes. Permuting tied x values leaves Σ i·x unchanged, so the
+    # row_number tie order (doc_id) is value-irrelevant; it is pinned
+    # only for plan determinism. One shuffle (the per-lang sort window),
+    # then a map-side-combinable aggregate. Int64 bound: Σ i·x ≤
+    # n²·max(x) ≈ 1.9e13 at sf0.1 — safe through sf100.
+    from pyspark.sql import Window as Win
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "lang", "n_chars", "doc_id")
+    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.col("i") * F.col("n_chars")).alias("rank_mass"))
+            .select("lang", "n_docs", "total_chars",
+                    (F.lit(2) * F.col("rank_mass")
+                     - (F.col("n_docs") + 1) * F.col("total_chars"))
+                    .alias("gini_num"),
+                    (F.col("n_docs") * F.col("total_chars"))
+                    .alias("gini_den"))
+            .withColumn("gini_ppm",
+                        F.expr("gini_num * 1000000 div gini_den")))
+
+
+def _gini_chars_sql() -> str:
+    return """
+        WITH ranked AS (SELECT lang, n_chars,
+                               row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS i
+                        FROM documents),
+        a AS (SELECT lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(sum(i * n_chars) AS BIGINT) AS rank_mass
+              FROM ranked GROUP BY 1)
+        SELECT lang, n_docs, total_chars,
+               2 * rank_mass - (n_docs + 1) * total_chars AS gini_num,
+               n_docs * total_chars AS gini_den,
+               (2 * rank_mass - (n_docs + 1) * total_chars) * 1000000
+                   // (n_docs * total_chars) AS gini_ppm
+        FROM a"""
+
+
+def q_kendall_daily(spark, sf):
+    # exact Kendall τ-a between the daily 'view' and 'purchase' count
+    # series: concordant/discordant/tied day pairs by integer sign of
+    # (x1−x2)(y1−y2). The series is an aggregate (≤ one row per day),
+    # so the d1<d2 pair join is a broadcast nested-loop over a tiny
+    # side — quadratic in DAYS, not events; a year is ~66k pairs.
+    # Production path for long series is the O(n log n) merge-sort
+    # inversion count; this is the exact small-series tier.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = (e.filter(F.col("event_type").isin("view", "purchase"))
+             .groupBy("day")
+             .agg(F.sum(F.expr("if(event_type = 'view', 1, 0)")).alias("x"),
+                  F.sum(F.expr("if(event_type = 'purchase', 1, 0)"))
+                  .alias("y")))
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"),
+                     F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"),
+                     F.col("y").alias("y2"))
+    s = F.signum((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")))
+    pairs = (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+             .withColumn("s", s.cast("long")))
+    return (pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.expr("if(s = 1, 1, 0)")).alias("concordant"),
+        F.sum(F.expr("if(s = -1, 1, 0)")).alias("discordant"),
+        F.sum(F.expr("if(s = 0, 1, 0)")).alias("tied"))
+        .withColumn("tau_a_ppm",
+                    F.expr("(concordant - discordant) * 1000000"
+                           " div n_pairs")))
+
+
+def _kendall_daily_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                  AS day,
+                              sum(CASE WHEN event_type = 'view'
+                                       THEN 1 ELSE 0 END) AS x,
+                              sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS y
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')
+                       GROUP BY 1),
+        p AS (SELECT CAST(sign((a.x - b.x) * (a.y - b.y)) AS BIGINT) AS s
+              FROM daily a JOIN daily b ON a.day < b.day),
+        agg AS (SELECT count(*) AS n_pairs,
+                       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS concordant,
+                       CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS discordant,
+                       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tied
+                FROM p)
+        SELECT n_pairs, concordant, discordant, tied,
+               (concordant - discordant) * 1000000 // n_pairs AS tau_a_ppm
+        FROM agg"""
+
+
+def q_chi2_lang_source(spark, sf):
+    # lang × source independence audit: per-cell exact χ² term as an
+    # integer rational — with O observed, R/C margins, N total, the
+    # term (O−RC/N)²/(RC/N) = (N·O−R·C)²/(N·R·C); we emit
+    # term_ppm = 1e6·(N·O−R·C)² div (N·R·C) per cell, zero cells
+    # included via the margin grid (5×20 broadcast cross). Int64 bound:
+    # (N·O−R·C)² ≤ (N·R)² — safe to sf1 (N=5e4); beyond that the
+    # numerator needs decimal(38).
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("lang",
+                                                             "source")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    r = d.groupBy("lang").agg(F.count("*").alias("r"))
+    c = d.groupBy("source").agg(F.count("*").alias("c"))
+    n = d.agg(F.count("*").alias("n"))
+    grid = (r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(n))
+            .join(obs, ["lang", "source"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0))))
+    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    return grid.select(
+        "lang", "source", "o", "r", "c",
+        (dev * dev).alias("dev2"),
+        F.expr("(n * o - r * c) * (n * o - r * c) * 1000000"
+               " div (n * r * c)").alias("term_ppm"))
+
+
+def _chi2_lang_source_sql() -> str:
+    return """
+        WITH obs AS (SELECT lang, source, count(*) AS o
+                     FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+        c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        grid AS (SELECT r.lang, c.source, r.r, c.c, n.n,
+                        COALESCE(obs.o, 0) AS o
+                 FROM r CROSS JOIN c CROSS JOIN n
+                 LEFT JOIN obs ON obs.lang = r.lang
+                      AND obs.source = c.source)
+        SELECT lang, source, CAST(o AS BIGINT) AS o, r, c,
+               (n * o - r * c) * (n * o - r * c) AS dev2,
+               (n * o - r * c) * (n * o - r * c) * 1000000
+                   // (n * r * c) AS term_ppm
+        FROM grid"""
+
+
+def q_mannwhitney_len(spark, sf):
+    # distribution-shift gate: exact Mann-Whitney U (doubled, so ties
+    # stay integral) of n_chars for English vs every other language —
+    # U×2 = 2·#{en > other} + #{en = other}, computed from value-count
+    # tables with a running less-than prefix sum (one window per
+    # comparison), never a pair join: linear in distinct values, not
+    # quadratic in docs. auc_ppm = 1e6·U×2 div (2·n_en·n_oth) is the
+    # exact AUC of "en docs are longer".
+    from pyspark.sql import Window as Win
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("lang",
+                                                             "n_chars")
+    langs = d.filter(F.col("lang") != "en").select(
+        F.col("lang").alias("cmp")).distinct()
+    en = (d.filter(F.col("lang") == "en")
+          .crossJoin(F.broadcast(langs))
+          .select("cmp", "n_chars", F.lit(1).alias("is_en")))
+    oth = (d.filter(F.col("lang") != "en")
+           .select(F.col("lang").alias("cmp"), "n_chars",
+                   F.lit(0).alias("is_en")))
+    per = (en.unionByName(oth)
+           .groupBy("cmp", "n_chars")
+           .agg(F.sum("is_en").alias("c_en"),
+                F.sum(F.lit(1) - F.col("is_en")).alias("c_oth")))
+    w = (Win.partitionBy("cmp").orderBy("n_chars")
+         .rowsBetween(Win.unboundedPreceding, -1))
+    scored = per.withColumn(
+        "less_oth", F.coalesce(F.sum("c_oth").over(w), F.lit(0)))
+    return (scored.groupBy("cmp")
+            .agg(F.sum("c_en").alias("n_en"),
+                 F.sum("c_oth").alias("n_oth"),
+                 F.sum(F.col("c_en")
+                       * (F.lit(2) * F.col("less_oth") + F.col("c_oth")))
+                 .alias("u_x2"))
+            .withColumn("auc_ppm",
+                        F.expr("u_x2 * 1000000 div (2 * n_en * n_oth)"))
+            .withColumnRenamed("cmp", "lang"))
+
+
+def _mannwhitney_len_sql() -> str:
+    return """
+        WITH langs AS (SELECT DISTINCT lang AS cmp FROM documents
+                       WHERE lang <> 'en'),
+        en AS (SELECT langs.cmp, d.n_chars, 1 AS is_en
+               FROM documents d, langs WHERE d.lang = 'en'),
+        oth AS (SELECT lang AS cmp, n_chars, 0 AS is_en
+                FROM documents WHERE lang <> 'en'),
+        per AS (SELECT cmp, n_chars,
+                       sum(is_en) AS c_en, sum(1 - is_en) AS c_oth
+                FROM (SELECT * FROM en UNION ALL SELECT * FROM oth)
+                GROUP BY 1, 2),
+        scored AS (SELECT cmp, c_en, c_oth,
+                          COALESCE(sum(c_oth) OVER (PARTITION BY cmp
+                              ORDER BY n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS less_oth
+                   FROM per)
+        SELECT cmp AS lang,
+               CAST(sum(c_en) AS BIGINT) AS n_en,
+               CAST(sum(c_oth) AS BIGINT) AS n_oth,
+               CAST(sum(c_en * (2 * less_oth + c_oth)) AS BIGINT) AS u_x2,
+               CAST(sum(c_en * (2 * less_oth + c_oth)) AS BIGINT)
+                   * 1000000 // (2 * CAST(sum(c_en) AS BIGINT)
+                                   * CAST(sum(c_oth) AS BIGINT)) AS auc_ppm
+        FROM scored GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7515,6 +7733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "gini_chars": q_gini_chars,
+        "kendall_daily": q_kendall_daily,
+        "chi2_lang_source": q_chi2_lang_source,
+        "mannwhitney_len": q_mannwhitney_len,
         "ripley_band_pairs": q_ripley_band_pairs,
         "churn_rollup": q_churn_rollup,
         "event_motifs_3": q_event_motifs_3,
@@ -9595,6 +9817,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "gini_chars": _gini_chars_sql(),
+        "kendall_daily": _kendall_daily_sql(),
+        "chi2_lang_source": _chi2_lang_source_sql(),
+        "mannwhitney_len": _mannwhitney_len_sql(),
         "ripley_band_pairs": _ripley_band_pairs_sql(),
         "churn_rollup": _churn_rollup_sql(),
         "event_motifs_3": _event_motifs_3_sql(),

@@ -103,6 +103,8 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "gini_chars", "kendall_daily", "chi2_lang_source",
+        "mannwhitney_len",
         "ripley_band_pairs", "churn_rollup",
         "event_motifs_3", "dup_pair_lang_mix", "wow_change",
         "rect_nesting", "dwell_event_mix",
@@ -119,15 +121,15 @@ def test_driver_window_invariants():
         "active_users_7d", "flow_divergence", "conjunctive_search",
         "phrase_search", "idw_interpolate", "tile_percentile_rank",
         "od_flows", "novelty_weekly", "union_area_rects",
-        "grid_line_density", "kcore_hosts", "anomaly_days",
-        "route_snap_join",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["weighted_median_tokens", "shard_balance",
+    overflow = ["grid_line_density", "kcore_hosts", "anomaly_days",
+                "route_snap_join",
+                "weighted_median_tokens", "shard_balance",
                 "hausdorff_pairs", "skyline_docs", "tile_focal_mean",
                 "prefix_autocomplete_topk", "trend_slope_weekly",
                 "copresence_pairs", "outlier_mad", "bearing_sectors",
