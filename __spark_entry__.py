@@ -7711,6 +7711,163 @@ def _mannwhitney_len_sql() -> str:
         FROM scored GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 46 — cluster diameter, polyline self-intersection, autocorrelation
+# ---------------------------------------------------------------------------
+
+DIAM_PACK = 10_000_000  # witness-pair packing: safe to 1e7 docs (sf ~200)
+
+
+def q_cluster_diameter(spark, sf):
+    # exact per-cluster diameter: max pairwise d² inside each minted
+    # cluster with a deterministic witness pair (smallest (a,b) among
+    # maxima, via packed-min — never min(a),min(b) across different
+    # pairs). Equi-join on the cluster id only — quadratic in CLUSTER
+    # size, never corpus size; the 100 TB path runs convex hull +
+    # rotating calipers per cluster, this is the exact small-cluster
+    # tier. d² ≤ (7e7)² ≈ 5e15 — int64-safe.
+    p = (minted.minted_cluster_points_q(spark, sf)
+         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
+    a = p.select("gid", F.col("doc_id").alias("a_id"),
+                 F.col("qx").alias("ax"), F.col("qy").alias("ay"))
+    b = p.select("gid", F.col("doc_id").alias("b_id"),
+                 F.col("qx").alias("bx"), F.col("qy").alias("by"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    pairs = (a.join(b, ["gid"]).filter(F.col("a_id") < F.col("b_id"))
+             .select("gid", "a_id", "b_id", d2.alias("d2"))
+             .localCheckpoint(eager=False))  # feeds max + witness passes
+    mx = pairs.groupBy("gid").agg(F.max("d2").alias("max_d2"))
+    npts = p.groupBy("gid").agg(F.count("*").alias("n_pts"))
+    wit = (pairs.join(mx, "gid")
+           .filter(F.col("d2") == F.col("max_d2"))
+           .groupBy("gid")
+           .agg(F.min(F.col("a_id") * DIAM_PACK + F.col("b_id"))
+                .alias("pack")))
+    return (npts.join(mx, "gid").join(wit, "gid")
+            .select("gid", "n_pts", "max_d2",
+                    F.expr(f"pack div {DIAM_PACK}").alias("diam_a"),
+                    F.expr(f"pack % {DIAM_PACK}").alias("diam_b")))
+
+
+def _cluster_diameter_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p AS (SELECT doc_id, qx, qy, doc_id % {minted.N_CLUSTERS}
+                       AS gid
+                   FROM ({pts})),
+        pr AS (SELECT a.gid, a.doc_id AS a_id, b.doc_id AS b_id,
+                      (a.qx - b.qx) * (a.qx - b.qx)
+                      + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+               FROM p a JOIN p b
+                 ON a.gid = b.gid AND a.doc_id < b.doc_id),
+        mx AS (SELECT gid, max(d2) AS max_d2 FROM pr GROUP BY 1),
+        np AS (SELECT gid, count(*) AS n_pts FROM p GROUP BY 1),
+        w AS (SELECT pr.gid,
+                     min(a_id * {DIAM_PACK} + b_id) AS pack
+              FROM pr JOIN mx ON pr.gid = mx.gid AND pr.d2 = mx.max_d2
+              GROUP BY 1)
+        SELECT np.gid, np.n_pts, mx.max_d2,
+               pack // {DIAM_PACK} AS diam_a,
+               pack % {DIAM_PACK} AS diam_b
+        FROM np JOIN mx ON np.gid = mx.gid JOIN w ON np.gid = w.gid"""
+
+
+def _self_xing_count(elem, k: int = 9) -> str:
+    """Shared-text self-intersection counter over a k-vertex polyline:
+    Σ over non-adjacent segment pairs (i, j≥i+2) of the strict integer
+    proper-crossing predicate (sj.sql_cross orientation signs). `elem`
+    formats an element accessor, e.g. lambda a, i: f"{a}[{i+1}]" —
+    integer-exact, so accessor SYNTAX may differ per engine even though
+    the arithmetic is shared."""
+    terms = []
+    for i in range(k - 1):
+        for j in range(i + 2, k - 1):
+            ax, ay = elem("xs", i), elem("ys", i)
+            bx, by = elem("xs", i + 1), elem("ys", i + 1)
+            cx, cy = elem("xs", j), elem("ys", j)
+            dx, dy = elem("xs", j + 1), elem("ys", j + 1)
+            d1 = sj.sql_cross(cx, cy, dx, dy, ax, ay)
+            d2 = sj.sql_cross(cx, cy, dx, dy, bx, by)
+            d3 = sj.sql_cross(ax, ay, bx, by, cx, cy)
+            d4 = sj.sql_cross(ax, ay, bx, by, dx, dy)
+            opp1 = f"(({d1}) > 0 AND ({d2}) < 0 OR ({d1}) < 0 AND ({d2}) > 0)"
+            opp2 = f"(({d3}) > 0 AND ({d4}) < 0 OR ({d3}) < 0 AND ({d4}) > 0)"
+            terms.append(f"(CASE WHEN {opp1} AND {opp2} THEN 1 ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_line_self_intersect(spark, sf):
+    # geometry-validity tier for LINES: proper self-crossings per walk
+    # polyline, counted over the 21 non-adjacent segment pairs entirely
+    # inside the row (one projection, ZERO joins / ZERO shuffles —
+    # segment_xing_join is the cross-FEATURE sibling). A crossing count
+    # of 0 certifies the line simple; the exact integer orientation
+    # predicate has no epsilon.
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
+    cnt = _self_xing_count(lambda a, i: f"element_at({a}_q, {i + 1})")
+    return wl.select("doc_id", F.expr(cnt).alias("n_self"))
+
+
+def _line_self_intersect_sql() -> str:
+    wl = minted.sql_cluster_walk_lines_q(k=9, stride=1)
+    cnt = _self_xing_count(lambda a, i: f"{a}[{i + 1}]")
+    return f"SELECT doc_id, {cnt} AS n_self FROM ({wl}) w"
+
+
+def q_autocorr_daily(spark, sf):
+    # lag-1 autocorrelation of the daily event-count series: integer
+    # moments over consecutive-day pairs (missing days break pairs, not
+    # fabricate zeros), r in 1e-6 units from the SAME float expression
+    # text both engines evaluate on the same integers (sqrt is IEEE
+    # correctly-rounded; identical text ⇒ identical double ⇒ identical
+    # floor). The integer moments are the verifiable payload; r_e6 is
+    # the dashboard number.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").alias("x"))
+    w = Win.orderBy("day")
+    lp = (daily
+          .withColumn("nday", F.lead("day").over(w))
+          .withColumn("y", F.lead("x").over(w))
+          .filter(F.col("nday") == F.col("day") + 1))
+    agg = lp.agg(F.count("*").alias("np"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    return agg.withColumn("r_e6", F.expr(
+        "CAST(floor(1000000.0 * CAST(np * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)"
+        " * CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT)"))
+
+
+def _autocorr_daily_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                  AS day,
+                              count(*) AS x
+                       FROM events GROUP BY 1),
+        lp AS (SELECT day, x,
+                      lead(day) OVER (ORDER BY day) AS nday,
+                      lead(x) OVER (ORDER BY day) AS y
+               FROM daily),
+        m AS (SELECT count(*) AS np,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM lp WHERE nday = day + 1)
+        SELECT np, sx, sy, sxx, syy, sxy,
+               CAST(floor(1000000.0 * CAST(np * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                   * CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT)
+                   AS r_e6
+        FROM m"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7733,6 +7890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "cluster_diameter": q_cluster_diameter,
+        "line_self_intersect": q_line_self_intersect,
+        "autocorr_daily": q_autocorr_daily,
         "gini_chars": q_gini_chars,
         "kendall_daily": q_kendall_daily,
         "chi2_lang_source": q_chi2_lang_source,
@@ -9817,6 +9977,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "cluster_diameter": _cluster_diameter_sql(),
+        "line_self_intersect": _line_self_intersect_sql(),
+        "autocorr_daily": _autocorr_daily_sql(),
         "gini_chars": _gini_chars_sql(),
         "kendall_daily": _kendall_daily_sql(),
         "chi2_lang_source": _chi2_lang_source_sql(),
