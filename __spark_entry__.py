@@ -7868,6 +7868,143 @@ def _autocorr_daily_sql() -> str:
         FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# batch 47 — Fano dispersion, degree assortativity, event run-length encoding
+# ---------------------------------------------------------------------------
+
+def q_fano_dispersion(spark, sf):
+    # over/under-dispersion gate per event_type: exact Fano factor
+    # (population variance / mean) of the daily count series as integer
+    # ppm — fano = (nd·Σn² − S²)/(nd·S). Poisson arrivals sit at 1e6;
+    # bursty traffic reads high, metronome bots low. Two map-side-
+    # combinable aggregations, no window.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    return (daily.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 F.sum("n").alias("s"),
+                 F.sum(F.col("n") * F.col("n")).alias("ss"))
+            .withColumn("fano_ppm",
+                        F.expr("(n_days * ss - s * s) * 1000000"
+                               " div (n_days * s)")))
+
+
+def _fano_dispersion_sql() -> str:
+    return """
+        WITH daily AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                  AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, count(*) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS s,
+                     CAST(sum(n * n) AS BIGINT) AS ss
+              FROM daily GROUP BY 1)
+        SELECT event_type, n_days, s, ss,
+               (n_days * ss - s * s) * 1000000 // (n_days * s) AS fano_ppm
+        FROM m"""
+
+
+def q_degree_assortativity(spark, sf):
+    # link-graph mixing structure: Pearson correlation between the
+    # source's out-degree and the target's in-degree across EDGES —
+    # negative r = hubs point at leaves (web-like), positive = rich club.
+    # Integer moments (the verifiable payload) + r_e6 from shared float
+    # text, exactly the autocorr_daily recipe. Degree tables are
+    # host-sized → AQE broadcasts them onto the edge stream; one edge
+    # scan, no edge-side shuffle beyond the two degree aggs.
+    e = _page_link_edges(spark, 2000).select(
+        F.col("src_host").alias("src"),
+        TXT.url_host(F.col("dst")).alias("dst"))
+    outd = e.groupBy("src").agg(F.count("*").alias("j"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("k"))
+    em = e.join(outd, "src").join(ind, "dst")
+    agg = em.agg(F.count("*").alias("m"),
+                 F.sum("j").alias("sj"), F.sum("k").alias("sk"),
+                 F.sum(F.col("j") * F.col("j")).alias("sjj"),
+                 F.sum(F.col("k") * F.col("k")).alias("skk"),
+                 F.sum(F.col("j") * F.col("k")).alias("sjk"))
+    return agg.withColumn("r_e6", F.expr(
+        "CAST(floor(1000000.0 * CAST(m * sjk - sj * sk AS DOUBLE)"
+        " / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)"
+        " * CAST(m * skk - sk * sk AS DOUBLE))) AS BIGINT)"))
+
+
+def _degree_assortativity_sql(n: int = 2000, seed: int = 42) -> str:
+    return f"""
+        WITH {_links_cte(n, seed)},
+        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
+               FROM e),
+        outd AS (SELECT src, count(*) AS j FROM ed GROUP BY 1),
+        ind AS (SELECT dst, count(*) AS k FROM ed GROUP BY 1),
+        em AS (SELECT outd.j, ind.k
+               FROM ed JOIN outd ON ed.src = outd.src
+                       JOIN ind ON ed.dst = ind.dst),
+        m AS (SELECT count(*) AS m,
+                     CAST(sum(j) AS BIGINT) AS sj,
+                     CAST(sum(k) AS BIGINT) AS sk,
+                     CAST(sum(j * j) AS BIGINT) AS sjj,
+                     CAST(sum(k * k) AS BIGINT) AS skk,
+                     CAST(sum(j * k) AS BIGINT) AS sjk
+              FROM em)
+        SELECT m, sj, sk, sjj, skk, sjk,
+               CAST(floor(1000000.0 * CAST(m * sjk - sj * sk AS DOUBLE)
+                   / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
+                   * CAST(m * skk - sk * sk AS DOUBLE))) AS BIGINT)
+                   AS r_e6
+        FROM m"""
+
+
+def q_event_rle(spark, sf):
+    # behavioral run-length encoding: consecutive same-type events per
+    # user collapse to runs (gaps-and-islands — lag-compare then a
+    # running sum of run starts), then the run-length histogram per
+    # event_type. Long 'error' runs = incident signature; long 'view'
+    # runs = scroll sessions. ONE user-keyed sort shuffle feeds both
+    # windows; deterministic tie order via (ts, event_id).
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_run",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")),
+               F.lit(1)).otherwise(F.lit(0)))
+    runs = (marked
+            .withColumn("run_id", F.sum("new_run").over(
+                w.rowsBetween(Win.unboundedPreceding, 0)))
+            .groupBy("user_id", "run_id", "event_type")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("event_type", "run_len")
+            .agg(F.count("*").alias("n_runs")))
+
+
+def _event_rle_sql() -> str:
+    return """
+        WITH m AS (SELECT user_id, event_type, ts, event_id,
+                          CASE WHEN lag(event_type) OVER uw IS NULL
+                                    OR lag(event_type) OVER uw
+                                       <> event_type
+                               THEN 1 ELSE 0 END AS new_run
+                   FROM events
+                   WINDOW uw AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+        r AS (SELECT user_id, event_type,
+                     sum(new_run) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run_id
+              FROM m),
+        runs AS (SELECT user_id, run_id, event_type,
+                        count(*) AS run_len
+                 FROM r GROUP BY 1, 2, 3)
+        SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
+               count(*) AS n_runs
+        FROM runs GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -7890,6 +8027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "fano_dispersion": q_fano_dispersion,
+        "degree_assortativity": q_degree_assortativity,
+        "event_rle": q_event_rle,
         "cluster_diameter": q_cluster_diameter,
         "line_self_intersect": q_line_self_intersect,
         "autocorr_daily": q_autocorr_daily,
@@ -9977,6 +10117,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "fano_dispersion": _fano_dispersion_sql(),
+        "degree_assortativity": _degree_assortativity_sql(),
+        "event_rle": _event_rle_sql(),
         "cluster_diameter": _cluster_diameter_sql(),
         "line_self_intersect": _line_self_intersect_sql(),
         "autocorr_daily": _autocorr_daily_sql(),

@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "fano_dispersion", "degree_assortativity", "event_rle",
         "cluster_diameter", "line_self_intersect", "autocorr_daily",
         "gini_chars", "kendall_daily", "chi2_lang_source",
         "mannwhitney_len",
@@ -120,14 +121,14 @@ def test_driver_window_invariants():
         "dwell_session_overlap", "tile_p90_tokens", "multi_grain_actives",
         "scd2_asof_enrich", "bot_flags", "fk_audit",
         "active_users_7d", "flow_divergence", "conjunctive_search",
-        "phrase_search", "idw_interpolate", "tile_percentile_rank",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["od_flows", "novelty_weekly", "union_area_rects",
+    overflow = ["phrase_search", "idw_interpolate", "tile_percentile_rank",
+                "od_flows", "novelty_weekly", "union_area_rects",
                 "grid_line_density", "kcore_hosts", "anomaly_days",
                 "route_snap_join",
                 "weighted_median_tokens", "shard_balance",
