@@ -8005,6 +8005,107 @@ def _event_rle_sql() -> str:
         FROM runs GROUP BY 1, 2"""
 
 
+# ---------------------------------------------------------------------------
+# batch 48 — quadkey prefix-range PIP join, exact trimmed mean
+# ---------------------------------------------------------------------------
+
+QKRJ_Z, QKRJ_ZMIN, QKRJ_ZMAX = 12, 4, 7
+
+
+def q_quadkey_range_join(spark, sf):
+    # the ORDERED-INDEX spatial join: rects become disjoint mixed-level
+    # quadkey prefixes (tiling.adaptive_cover on the z12 tile lattice),
+    # points carry their z12 quadkey, and containment is the prefix
+    # RANGE qk ∈ [prefix, prefix‖'4') — the S2/quadkey range-scan plan a
+    # clustered 100 TB point table answers with file-level min/max
+    # pruning instead of a cell-equality explode (pip_join_rects is the
+    # equality sibling). Here the range join is bucketed by the shared
+    # z4 ancestor so Spark executes a broadcast HASH join on the bucket
+    # with the range as an in-partition filter; exact closed-interval
+    # refine last, so the cover only proposes. Cover cells are disjoint
+    # by construction — no pair dedup needed.
+    pts = minted.minted_points(spark, sf)
+    qk = tiles.quadkey(tiles.tile_x(F.col("lon"), QKRJ_Z),
+                       tiles.tile_y(F.col("lat"), QKRJ_Z), QKRJ_Z)
+    p = pts.select("doc_id", "lon", "lat", qk.alias("qk"),
+                   F.substring(qk, 1, QKRJ_ZMIN).alias("b4"))
+    r = minted.minted_rects(spark, sf)
+    boxes = r.select(
+        "poly_id", "minx", "miny", "maxx", "maxy",
+        tiles.tile_x(F.col("minx"), QKRJ_Z).alias("x1"),
+        (tiles.tile_x(F.col("maxx"), QKRJ_Z) + 1).alias("x2"),
+        tiles.tile_y(F.col("maxy"), QKRJ_Z).alias("y1"),
+        (tiles.tile_y(F.col("miny"), QKRJ_Z) + 1).alias("y2"))
+    cov = tiling.adaptive_cover(boxes, z_min=QKRJ_ZMIN, z_max=QKRJ_ZMAX,
+                                span_bits=QKRJ_Z, id_col="poly_id")
+    cov = cov.join(F.broadcast(r), "poly_id")
+    pref = None
+    for zz in range(QKRJ_ZMIN, QKRJ_ZMAX + 1):
+        lvl = (cov.filter(F.col("z") == zz)
+               .select("poly_id", "minx", "miny", "maxx", "maxy",
+                       tiles.quadkey(F.col("cx"), F.col("cy"), zz)
+                       .alias("lo")))
+        pref = lvl if pref is None else pref.unionByName(lvl)
+    pref = pref.withColumn("hi", F.concat(F.col("lo"), F.lit("4"))) \
+               .withColumn("b4", F.substring("lo", 1, QKRJ_ZMIN))
+    cand = (p.join(F.broadcast(pref), "b4")
+            .filter((F.col("qk") >= F.col("lo"))
+                    & (F.col("qk") < F.col("hi"))))
+    return (cand.filter(sj.rect_contains(F.col("lon"), F.col("lat")))
+            .select("doc_id", "poly_id"))
+
+
+def _quadkey_range_join_sql() -> str:
+    # deliberately NOT the quadkey mechanics: the oracle is the direct
+    # containment join, so the cover+range plumbing is verified against
+    # an independent formulation.
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
+        r AS ({minted.SQL_MINTED_RECTS.strip()})
+        SELECT p.doc_id, r.poly_id
+        FROM p JOIN r
+          ON p.lon >= r.minx AND p.lon <= r.maxx
+         AND p.lat >= r.miny AND p.lat <= r.maxy"""
+
+
+def q_trimmed_mean_chars(spark, sf):
+    # robust corpus statistic: exact 10%-trimmed mean of document length
+    # per language — drop exactly ⌊n/10⌋ smallest and largest (by value;
+    # tie order can only swap EQUAL values across the trim boundary, so
+    # the kept multiset is order-invariant), emit the kept sum and count
+    # as integers plus the ppm mean. One sort window + one aggregate.
+    from pyspark.sql import Window as Win
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "lang", "n_chars", "doc_id")
+    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cw = Win.partitionBy("lang")
+    ranked = (d.withColumn("i", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(cw)))
+    kept = ranked.filter((F.col("i") > F.expr("n div 10"))
+                         & (F.col("i") <= F.col("n") - F.expr("n div 10")))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("sum_kept"))
+            .withColumn("trimmed_mean_ppm",
+                        F.expr("sum_kept * 1000000 div n_kept")))
+
+
+def _trimmed_mean_chars_sql() -> str:
+    return """
+        WITH ranked AS (SELECT lang, n_chars,
+                               row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS i,
+                               count(*) OVER (PARTITION BY lang) AS n
+                        FROM documents),
+        kept AS (SELECT lang, n_chars FROM ranked
+                 WHERE i > n // 10 AND i <= n - n // 10)
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_kept,
+               CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*)
+                   AS trimmed_mean_ppm
+        FROM kept GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8027,6 +8128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "quadkey_range_join": q_quadkey_range_join,
+        "trimmed_mean_chars": q_trimmed_mean_chars,
         "fano_dispersion": q_fano_dispersion,
         "degree_assortativity": q_degree_assortativity,
         "event_rle": q_event_rle,
@@ -10117,6 +10220,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "quadkey_range_join": _quadkey_range_join_sql(),
+        "trimmed_mean_chars": _trimmed_mean_chars_sql(),
         "fano_dispersion": _fano_dispersion_sql(),
         "degree_assortativity": _degree_assortativity_sql(),
         "event_rle": _event_rle_sql(),
