@@ -114,6 +114,11 @@ def bench_queries(spark):
         "containment_pairs", "word_cooc_cosine", "skyline_docs",
         "interval_union_time", "staypoints", "copresence_pairs",
         "session_paths", "kcore_hosts", "delta_bytes_by_tile",
+        # third extension session: exact statistics tier + the ordered-
+        # index (prefix-range) spatial join sibling
+        "gini_chars", "mannwhitney_len", "cluster_diameter",
+        "line_self_intersect", "event_rle", "degree_assortativity",
+        "quadkey_range_join", "trimmed_mean_chars",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
