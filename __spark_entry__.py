@@ -8207,6 +8207,113 @@ def _embed_covariance_sql() -> str:
         FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# batch 50 — per-host fan-out capping, HLL estimate-vs-exact evaluation
+# ---------------------------------------------------------------------------
+
+HOST_CAP = 5
+
+
+def q_host_cap_sample(spark, sf):
+    # frequency-capped corpus sampling: keep at most HOST_CAP pages per
+    # host, selected deterministically by content-free hash order
+    # (md5(url)) so recrawls don't churn the sample — the anti-head
+    # measure every CC-derived training set applies to megadomains.
+    # The kept-set byte sum verifies WHICH pages were kept, not just how
+    # many. One host-keyed sort window.
+    from pyspark.sql import Window as Win
+    p = pages.pages(spark, 2000).select(
+        TXT.url_host(F.col("url")).alias("host"), "url",
+        F.octet_length("text").alias("nb"))
+    w = Win.partitionBy("host").orderBy(F.md5("url"), "url")
+    r = p.withColumn("rk", F.row_number().over(w))
+    return (r.groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.expr(f"if(rk <= {HOST_CAP}, 1, 0)"))
+                 .alias("n_kept"),
+                 F.sum(F.expr(f"if(rk <= {HOST_CAP}, nb, 0)"))
+                 .alias("kept_bytes")))
+
+
+def _host_cap_sample_sql(n: int = 2000, seed: int = 42) -> str:
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        p AS (SELECT {TXT.sql_url_host('url')} AS host, url,
+                     octet_length(encode(text)) AS nb
+              FROM txt),
+        r AS (SELECT host, nb,
+                     row_number() OVER (PARTITION BY host
+                         ORDER BY md5(url), url) AS rk
+              FROM p)
+        SELECT host, count(*) AS n_pages,
+               CAST(sum(CASE WHEN rk <= {HOST_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rk <= {HOST_CAP} THEN nb ELSE 0 END)
+                    AS BIGINT) AS kept_bytes
+        FROM r GROUP BY 1"""
+
+
+def q_hll_error_eval(spark, sf):
+    # sketch-accuracy evaluation tier (the cardinality sibling of
+    # minhash_eval): per event_type, the m=64 HLL raw estimate of
+    # distinct users NEXT TO the exact distinct count, with the signed
+    # error in ppm — the number you read before trusting the sketch at
+    # 10^12 keys. Registers fold per group; the estimate arithmetic is
+    # the exact-integer harmonic sum + one correctly-rounded double
+    # divide (operators/sketch.hll_estimate semantics, grouped).
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "user_id")
+    reg = sketch.hll_registers_by(e, ["event_type"], "user_id", b=6)
+    m = 64
+    alpha_num = sketch._hll_alpha(m) * m * m * float(1 << sketch.RHO_SHIFT)
+    est = (reg.groupBy("event_type")
+           .agg(F.count("*").alias("n_present"),
+                F.sum(F.expr(f"shiftleft(1L, {sketch.RHO_SHIFT} - r)"))
+                .alias("s_present"))
+           .select("event_type",
+                   F.col("n_present").cast("bigint").alias("n_present"),
+                   (F.col("s_present")
+                    + (F.lit(m) - F.col("n_present"))
+                    * F.lit(1 << sketch.RHO_SHIFT))
+                   .cast("bigint").alias("s_scaled"))
+           .withColumn("est_raw",
+                       F.floor(F.lit(alpha_num) / F.col("s_scaled"))
+                       .cast("bigint")))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n"))
+    return (est.join(exact, "event_type")
+            .withColumn("err_ppm",
+                        F.expr("(est_raw - exact_n) * 1000000"
+                               " div exact_n")))
+
+
+def _hll_error_eval_sql() -> str:
+    m = 64
+    alpha_num = sketch._hll_alpha(m) * m * m * float(1 << sketch.RHO_SHIFT)
+    regs = sketch.sql_hll_registers_cte(
+        "events", "CAST(user_id AS VARCHAR)", b=6,
+        group_expr="event_type")
+    return f"""
+        WITH {regs},
+        est AS (SELECT grp AS event_type,
+                       count(*) AS n_present,
+                       CAST(sum(1::BIGINT << ({sketch.RHO_SHIFT} - r))
+                            + ({m} - count(*))
+                              * {1 << sketch.RHO_SHIFT}::BIGINT
+                           AS BIGINT) AS s_scaled
+                FROM hllreg GROUP BY 1),
+        est2 AS (SELECT event_type, n_present, s_scaled,
+                        CAST(FLOOR({alpha_num!r} / s_scaled) AS BIGINT)
+                            AS est_raw
+                 FROM est),
+        ex AS (SELECT event_type,
+                      count(DISTINCT user_id) AS exact_n
+               FROM events GROUP BY 1)
+        SELECT est2.event_type, n_present, s_scaled, est_raw, exact_n,
+               (est_raw - exact_n) * 1000000 // exact_n AS err_ppm
+        FROM est2 JOIN ex ON est2.event_type = ex.event_type"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8229,6 +8336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "host_cap_sample": q_host_cap_sample,
+        "hll_error_eval": q_hll_error_eval,
         "time_weighted_value": q_time_weighted_value,
         "embed_covariance": q_embed_covariance,
         "quadkey_range_join": q_quadkey_range_join,
@@ -10323,6 +10432,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "host_cap_sample": _host_cap_sample_sql(),
+        "hll_error_eval": _hll_error_eval_sql(),
         "time_weighted_value": _time_weighted_value_sql(),
         "embed_covariance": _embed_covariance_sql(),
         "quadkey_range_join": _quadkey_range_join_sql(),
