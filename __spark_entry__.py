@@ -8314,6 +8314,72 @@ def _hll_error_eval_sql() -> str:
         FROM est2 JOIN ex ON est2.event_type = ex.event_type"""
 
 
+# ---------------------------------------------------------------------------
+# batch 51 — Borůvka round 1: nearest-neighbor forest components
+# ---------------------------------------------------------------------------
+
+def q_boruvka_round1(spark, sf):
+    # the first round of distributed Borůvka / single-linkage (HDBSCAN's
+    # skeleton): every point contracts along its exact nearest-neighbor
+    # edge, components of the NN forest become the round-1 clusters.
+    # NN from the grid-bucketed radius join (exact lattice d², min per
+    # point with a deterministic (d², nb) tie-break); components via
+    # min-label + pointer jumping (operators/dedup.near_dup_components —
+    # O(log diameter) rounds). Points with no neighbor inside RADIUS_R
+    # stay singletons. Output: one row per cluster (rep, size).
+    from geobuf_spark.sources.tables import widen
+    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
+    pairs = sj.radius_self_join(p, r=RADIUS_R)
+    both = (pairs.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("nb"), "dist2")
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                      F.col("id_a").alias("nb"), "dist2"))
+            .localCheckpoint(eager=False))  # feeds min + argmin passes
+    nnd = both.groupBy("doc_id").agg(F.min("dist2").alias("nn_d2"))
+    nn = (both.join(nnd, "doc_id")
+          .filter(F.col("dist2") == F.col("nn_d2"))
+          .groupBy("doc_id").agg(F.min("nb").alias("nb")))
+    edges = nn.select(F.least("doc_id", "nb").alias("u"),
+                      F.greatest("doc_id", "nb").alias("v")).distinct()
+    comp = dedup.near_dup_components(edges, "u", "v")
+    lab = (p.select("doc_id").join(comp, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("rep_id", "doc_id").alias("rep")))
+    return lab.groupBy("rep").agg(F.count("*").alias("n_pts"))
+
+
+def _boruvka_round1_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH RECURSIVE p AS ({pts}),
+        cand AS (SELECT a.doc_id, b.doc_id AS nb,
+                        CAST(a.qx - b.qx AS HUGEINT) * (a.qx - b.qx)
+                        + CAST(a.qy - b.qy AS HUGEINT) * (a.qy - b.qy)
+                            AS d2
+                 FROM p a JOIN p b ON a.doc_id <> b.doc_id),
+        inr AS (SELECT doc_id, nb, d2 FROM cand
+                WHERE d2 <= {RADIUS_R}::HUGEINT * {RADIUS_R}),
+        nnd AS (SELECT doc_id, min(d2) AS nn_d2 FROM inr GROUP BY 1),
+        nn AS (SELECT inr.doc_id, min(nb) AS nb
+               FROM inr JOIN nnd ON inr.doc_id = nnd.doc_id
+                    AND inr.d2 = nnd.nn_d2
+               GROUP BY 1),
+        e0 AS (SELECT DISTINCT least(doc_id, nb) AS u,
+                      greatest(doc_id, nb) AS v
+               FROM nn),
+        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        walk(u, label) AS (
+            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+        comp AS (SELECT u AS doc_id, min(label) AS rep_id
+                 FROM walk GROUP BY u)
+        SELECT coalesce(c.rep_id, p.doc_id) AS rep,
+               count(*) AS n_pts
+        FROM p LEFT JOIN comp c ON c.doc_id = p.doc_id
+        GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8336,6 +8402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "boruvka_round1": q_boruvka_round1,
         "host_cap_sample": q_host_cap_sample,
         "hll_error_eval": q_hll_error_eval,
         "time_weighted_value": q_time_weighted_value,
@@ -10432,6 +10499,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "boruvka_round1": _boruvka_round1_sql(),
         "host_cap_sample": _host_cap_sample_sql(),
         "hll_error_eval": _hll_error_eval_sql(),
         "time_weighted_value": _time_weighted_value_sql(),
