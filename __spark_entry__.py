@@ -8380,6 +8380,131 @@ def _boruvka_round1_sql() -> str:
         GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 52 — Markov stationary distribution, exact rolling median
+# ---------------------------------------------------------------------------
+
+MARKOV_V0 = 200_000  # uniform start over the 5 event types, ppm
+
+
+def _markov_step(v, trans):
+    # one synchronous integer power-iteration step: v'[t] =
+    # Σ_p v[p]·C[p,t] div R[p] — the per-term integer div is the SAME
+    # arithmetic the oracle chains, so the iterate is bit-exact
+    return (trans.join(v, trans["p"] == v["event_type"])
+            .select("t", F.expr("v * c div r").alias("term"))
+            .groupBy(F.col("t").alias("event_type"))
+            .agg(F.sum("term").alias("v")))
+
+
+def q_markov_stationary(spark, sf):
+    # behavioral steady state: the empirical event-type transition
+    # matrix (per-user consecutive pairs) powered 3 integer fixed-point
+    # iterations from the uniform ppm vector — the Markov sibling of
+    # pagerank_int, same bit-exactness argument. The matrix is
+    # |types|² = 25 rows, so every join broadcasts; the only real
+    # shuffle is the transition-pair count.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.withColumn("nxt", F.lead("event_type").over(w))
+             .filter(F.col("nxt").isNotNull()))
+    trans = (pairs.groupBy(F.col("event_type").alias("p"),
+                           F.col("nxt").alias("t"))
+             .agg(F.count("*").alias("c")))
+    rowsum = trans.groupBy("p").agg(F.sum("c").alias("r"))
+    trans = trans.join(rowsum, "p").localCheckpoint(eager=False)
+    v = (trans.select(F.col("p").alias("event_type")).distinct()
+         .withColumn("v", F.lit(MARKOV_V0).cast("bigint")))
+    outs = []
+    for _ in range(3):
+        v = _markov_step(v, trans).localCheckpoint(eager=False)
+        outs.append(v)
+    out = (outs[0].withColumnRenamed("v", "v1")
+           .join(outs[1].withColumnRenamed("v", "v2"), "event_type")
+           .join(outs[2].withColumnRenamed("v", "v3"), "event_type"))
+    return out
+
+
+def _markov_stationary_sql() -> str:
+    step = """
+        v{n} AS (SELECT t AS event_type,
+                        CAST(sum(v * c // r) AS BIGINT) AS v
+                 FROM trans JOIN v{m} ON trans.p = v{m}.event_type
+                 GROUP BY 1)"""
+    return f"""
+        WITH pr AS (SELECT user_id, event_type, ts, event_id,
+                           lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                    FROM events),
+        cnt AS (SELECT event_type AS p, nxt AS t, count(*) AS c
+                FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        rs AS (SELECT p, CAST(sum(c) AS BIGINT) AS r FROM cnt GROUP BY 1),
+        trans AS (SELECT cnt.p, cnt.t, CAST(c AS BIGINT) AS c, r
+                  FROM cnt JOIN rs ON cnt.p = rs.p),
+        v0 AS (SELECT DISTINCT p AS event_type,
+                      {MARKOV_V0}::BIGINT AS v
+               FROM trans),
+        {step.format(n=1, m=0)},
+        {step.format(n=2, m=1)},
+        {step.format(n=3, m=2)}
+        SELECT v1.event_type, v1.v AS v1, v2.v AS v2, v3.v AS v3
+        FROM v1 JOIN v2 USING (event_type) JOIN v3 USING (event_type)"""
+
+
+def q_rolling_median_7d(spark, sf):
+    # exact trailing-7-day rolling MEDIAN of the daily event count — the
+    # robust sibling of a rolling mean (one outage day can't drag it).
+    # Implemented by value-range contribution (each day fans out to the
+    # ≤7 windows it belongs to — missing days shrink the window, never
+    # fabricate zeros) + per-window order statistics; med_x2 = lower +
+    # upper median, so even windows stay integral.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").alias("x"))
+    contrib = (daily
+               .withColumn("w", F.explode(F.sequence(
+                   F.col("day"), F.col("day") + 6)))
+               .join(daily.select(F.col("day").alias("w")).distinct(),
+                     "w"))
+    ww = Win.partitionBy("w").orderBy("x", "day")
+    cw = Win.partitionBy("w")
+    ranked = (contrib.withColumn("i", F.row_number().over(ww))
+              .withColumn("n", F.count("*").over(cw)))
+    med = (ranked.filter((F.col("i") == F.expr("(n + 1) div 2"))
+                         | (F.col("i") == F.expr("n div 2 + 1")))
+           .groupBy("w")
+           .agg(F.max("n").alias("n_win"),
+                # odd windows hit ONE rank — double it; even hit two
+                (F.sum("x") * (F.lit(3) - F.count("*"))).alias("med_x2")))
+    return med.select(F.col("w").alias("day"), "n_win", "med_x2")
+
+
+def _rolling_median_7d_sql() -> str:
+    return """
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                              AS day
+                   FROM events),
+        daily AS (SELECT day, count(*) AS x FROM e GROUP BY 1),
+        contrib AS (SELECT d2.day AS w, d1.x, d1.day
+                    FROM daily d1
+                    JOIN daily d2
+                      ON d2.day BETWEEN d1.day AND d1.day + 6),
+        ranked AS (SELECT w, x,
+                          row_number() OVER (PARTITION BY w
+                              ORDER BY x, day) AS i,
+                          count(*) OVER (PARTITION BY w) AS n
+                   FROM contrib),
+        med AS (SELECT w, max(n) AS n_win,
+                       CAST(sum(x) * (3 - count(*)) AS BIGINT) AS med_x2
+                FROM ranked
+                WHERE i = (n + 1) // 2 OR i = n // 2 + 1
+                GROUP BY 1)
+        SELECT w AS day, n_win, med_x2 FROM med"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8402,6 +8527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "markov_stationary": q_markov_stationary,
+        "rolling_median_7d": q_rolling_median_7d,
         "boruvka_round1": q_boruvka_round1,
         "host_cap_sample": q_host_cap_sample,
         "hll_error_eval": q_hll_error_eval,
@@ -10499,6 +10626,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "markov_stationary": _markov_stationary_sql(),
+        "rolling_median_7d": _rolling_median_7d_sql(),
         "boruvka_round1": _boruvka_round1_sql(),
         "host_cap_sample": _host_cap_sample_sql(),
         "hll_error_eval": _hll_error_eval_sql(),

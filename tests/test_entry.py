@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "markov_stationary", "rolling_median_7d",
         "boruvka_round1",
         "host_cap_sample", "hll_error_eval",
         "time_weighted_value", "embed_covariance",
@@ -122,14 +123,14 @@ def test_driver_window_invariants():
         "range_bounds_planner", "host_concentration", "dominant_bearing",
         "host_url_lcp", "tile_spatial_outliers", "ship_delay_stats",
         "props_json_stats", "benford_values", "null_profile",
-        "dwell_session_overlap", "tile_p90_tokens",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["multi_grain_actives",
+    overflow = ["dwell_session_overlap", "tile_p90_tokens",
+                "multi_grain_actives",
                 "scd2_asof_enrich", "bot_flags",
                 "fk_audit", "active_users_7d",
                 "flow_divergence", "conjunctive_search",
