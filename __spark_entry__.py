@@ -8505,6 +8505,162 @@ def _rolling_median_7d_sql() -> str:
         SELECT w AS day, n_win, med_x2 FROM med"""
 
 
+# ---------------------------------------------------------------------------
+# batch 53 — vocabulary growth, peak session concurrency, grid morphology
+# ---------------------------------------------------------------------------
+
+VOCAB_KS = [10, 25, 50, 100, 250, 500]
+
+
+def q_vocab_growth(spark, sf):
+    # Heaps-law curve: distinct vocabulary after the first k documents,
+    # for a ladder of k — the corpus-saturation diagnostic (flattening
+    # vocab growth = diminishing new-data value). One token explode →
+    # first-occurrence doc per token (min, map-side combinable) → the
+    # ladder is a 6-row broadcast. No per-k rescan.
+    d = _docs(spark, sf).select("doc_id", "text")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k bigint")
+    vocab = (first.crossJoin(F.broadcast(ks))
+             .filter(F.col("fd") < F.col("k"))
+             .groupBy("k").agg(F.count("*").alias("vocab")))
+    toktot = (toks.crossJoin(F.broadcast(ks))
+              .filter(F.col("doc_id") < F.col("k"))
+              .groupBy("k").agg(F.count("*").alias("total_tokens")))
+    return (vocab.join(toktot, "k")
+            .select("k", "total_tokens", "vocab"))
+
+
+def _vocab_growth_sql() -> str:
+    ks = ", ".join(f"({k})" for k in VOCAB_KS)
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                                 AS tok
+                      FROM documents),
+        t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        first AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+        ks(k) AS (VALUES {ks}),
+        vocab AS (SELECT CAST(k AS BIGINT) AS k, count(*) AS vocab
+                  FROM first, ks WHERE fd < k GROUP BY 1),
+        tt AS (SELECT CAST(k AS BIGINT) AS k, count(*) AS total_tokens
+               FROM t, ks WHERE doc_id < k GROUP BY 1)
+        SELECT k, total_tokens, vocab
+        FROM vocab JOIN tt USING (k)"""
+
+
+def q_peak_concurrency(spark, sf):
+    # classic interval sweep: maximum number of simultaneously-open
+    # sessions (sessionize's gap islands) and the first instant it is
+    # reached. Boundaries pre-aggregate per (t, delta) so the running
+    # sum orders over UNIQUE keys — tie-order inside a timestamp can
+    # never split between engines; starts sort before ends at equal t
+    # (closed intervals). One tiny global window over 2·n_sessions rows.
+    from pyspark.sql import Window as Win
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    sess = W.sessionize(raw, gap_minutes=30)
+    b = (sess.select(F.col("t_start").alias("t"), F.lit(1).alias("d"))
+         .unionByName(sess.select(F.col("t_end").alias("t"),
+                                  F.lit(-1).alias("d")))
+         .groupBy("t", "d").agg(F.sum("d").alias("delta")))
+    w = Win.orderBy("t", F.desc("d")).rowsBetween(
+        Win.unboundedPreceding, 0)
+    run = b.withColumn("running", F.sum("delta").over(w))
+    peak = run.agg(F.max("running").alias("peak"))
+    n = sess.agg(F.count("*").alias("n_sessions"))
+    return (run.join(F.broadcast(peak), F.col("running") == F.col("peak"))
+            .agg(F.min("t").alias("first_peak_t"),
+                 F.max(F.col("peak")).alias("peak"))
+            .crossJoin(F.broadcast(n))
+            .select("n_sessions", "peak", "first_peak_t"))
+
+
+def _peak_concurrency_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                   FROM events),
+        lagged AS (SELECT user_id, event_id, ep,
+                          lag(ep) OVER (PARTITION BY user_id
+                              ORDER BY ep, event_id) AS prev_ep
+                   FROM e),
+        flagged AS (SELECT user_id, ep,
+                           CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+                                THEN 1 ELSE 0 END AS new_sess,
+                           event_id
+                    FROM lagged),
+        sess0 AS (SELECT user_id, ep,
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS session_id
+                  FROM flagged),
+        sess AS (SELECT user_id, session_id,
+                        min(ep) AS t_start, max(ep) AS t_end
+                 FROM sess0 GROUP BY 1, 2),
+        b AS (SELECT t, d, CAST(sum(d) AS BIGINT) AS delta FROM (
+                  SELECT t_start AS t, 1 AS d FROM sess
+                  UNION ALL
+                  SELECT t_end AS t, -1 AS d FROM sess)
+              GROUP BY 1, 2),
+        run AS (SELECT t, d,
+                       CAST(sum(delta) OVER (ORDER BY t, d DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS running
+                FROM b),
+        pk AS (SELECT max(running) AS peak FROM run),
+        ns AS (SELECT count(*) AS n_sessions FROM sess)
+        SELECT ns.n_sessions, pk.peak,
+               (SELECT min(t) FROM run, pk WHERE running = peak)
+                   AS first_peak_t
+        FROM ns, pk"""
+
+
+GRIDB_CELL = 5_000_000
+
+
+def q_grid_boundary_cells(spark, sf):
+    # occupied-grid morphology: classify every occupied cell by its
+    # 4-neighbor occupancy count — n_nb < 4 is the region BOUNDARY, 4 is
+    # interior. The boundary/interior ratio is the compactness signal
+    # raster pipelines read before vectorizing. One distinct + one
+    # self-join on the (unit-offset) cell key.
+    p = minted.minted_cluster_points_q(spark, sf)
+    occ = (p.select(F.expr(f"qx div {GRIDB_CELL}").alias("cx"),
+                    F.expr(f"qy div {GRIDB_CELL}").alias("cy"))
+           .distinct().localCheckpoint(eager=False))
+    nb = (occ.withColumn("o", F.explode(F.array(
+              F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+              F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+              F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+              F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))))
+          .select((F.col("cx") + F.col("o.dx")).alias("cx"),
+                  (F.col("cy") + F.col("o.dy")).alias("cy")))
+    cnt = nb.groupBy("cx", "cy").agg(F.count("*").alias("n_nb"))
+    classified = (occ.join(cnt, ["cx", "cy"], "left")
+                  .select(F.coalesce("n_nb", F.lit(0)).alias("n_nb")))
+    return classified.groupBy("n_nb").agg(F.count("*").alias("n_cells"))
+
+
+def _grid_boundary_cells_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    c = GRIDB_CELL
+    return f"""
+        WITH p AS ({pts}),
+        occ AS (SELECT DISTINCT qx // {c} AS cx, qy // {c} AS cy FROM p),
+        nb AS (SELECT cx + o.dx AS cx, cy + o.dy AS cy
+               FROM occ, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                   o(dx, dy)),
+        cnt AS (SELECT cx, cy, count(*) AS n_nb FROM nb GROUP BY 1, 2),
+        cls AS (SELECT coalesce(cnt.n_nb, 0) AS n_nb
+                FROM occ LEFT JOIN cnt ON occ.cx = cnt.cx
+                     AND occ.cy = cnt.cy)
+        SELECT CAST(n_nb AS BIGINT) AS n_nb, count(*) AS n_cells
+        FROM cls GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8527,6 +8683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "vocab_growth": q_vocab_growth,
+        "peak_concurrency": q_peak_concurrency,
+        "grid_boundary_cells": q_grid_boundary_cells,
         "markov_stationary": q_markov_stationary,
         "rolling_median_7d": q_rolling_median_7d,
         "boruvka_round1": q_boruvka_round1,
@@ -10626,6 +10785,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "vocab_growth": _vocab_growth_sql(),
+        "peak_concurrency": _peak_concurrency_sql(),
+        "grid_boundary_cells": _grid_boundary_cells_sql(),
         "markov_stationary": _markov_stationary_sql(),
         "rolling_median_7d": _rolling_median_7d_sql(),
         "boruvka_round1": _boruvka_round1_sql(),
