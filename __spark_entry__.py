@@ -8661,6 +8661,128 @@ def _grid_boundary_cells_sql() -> str:
         FROM cls GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 54 — redirect chain resolution (pointer doubling), tile gradient
+# ---------------------------------------------------------------------------
+
+REDIR_N = 2000
+
+
+def _redir_parent_col():
+    # deterministic redirect graph over page ids: multiples of 5 are
+    # terminal; everyone else redirects DOWN by 1 + (id % 3), clamped at
+    # 0 — strictly decreasing, so chains terminate but depth has no
+    # closed form (the resolver must actually walk).
+    return F.when(F.col("id") % 5 == 0, F.col("id")).otherwise(
+        F.greatest(F.col("id") - (F.lit(1) + F.col("id") % 3), F.lit(0)))
+
+
+def q_redirect_resolve(spark, sf):
+    # canonical redirect resolution — the URL-graph fixpoint every crawl
+    # dedup runs before grouping by final target: follow next-hops to
+    # the terminal with POINTER DOUBLING (state[i] ← state[state[i]],
+    # depths add), so a depth-d chain resolves in ⌈log₂ d⌉ rounds of
+    # self-joins instead of d sequential hops — the only shape that
+    # works when 10^12 urls hide 1000-hop chains. Converges or raises
+    # (a partial resolve would alias distinct targets).
+    ids = spark.range(REDIR_N).select(F.col("id").cast("bigint"))
+    st = ids.select(
+        "id", _redir_parent_col().alias("nxt"),
+        F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.lit(1))
+        .cast("bigint").alias("depth"))
+    for _ in range(8):  # covers depth ≤ 2^8
+        hop = st.select(F.col("id").alias("nxt"),
+                        F.col("nxt").alias("nxt2"),
+                        F.col("depth").alias("d2"))
+        st = (st.join(hop, "nxt")
+              .select("id", F.col("nxt2").alias("nxt"),
+                      (F.col("depth") + F.col("d2")).alias("depth"))
+              .localCheckpoint(eager=True))
+    unresolved = st.filter(F.col("nxt") % 5 != 0).limit(1).count()
+    if unresolved:
+        raise RuntimeError("redirect_resolve: chains deeper than 2^8")
+    return (st.select("id", F.col("nxt").alias("final_id"), "depth")
+            .groupBy("final_id")
+            .agg(F.count("*").alias("n_urls"),
+                 F.max("depth").alias("max_depth"),
+                 F.sum("depth").alias("total_hops")))
+
+
+def _redirect_resolve_sql() -> str:
+    return f"""
+        WITH RECURSIVE ids AS (SELECT CAST(t.id AS BIGINT) AS id
+                               FROM range({REDIR_N}) t(id)),
+        par AS (SELECT id,
+                       CASE WHEN id % 5 = 0 THEN id
+                            ELSE greatest(id - (1 + id % 3), 0) END
+                           AS nxt
+                FROM ids),
+        walk(id, cur, depth) AS (
+            SELECT id, id, CAST(0 AS BIGINT) FROM ids
+            UNION
+            SELECT w.id, p.nxt, w.depth + 1
+            FROM walk w JOIN par p ON p.id = w.cur
+            WHERE w.cur % 5 <> 0),
+        fin AS (SELECT id, cur AS final_id, depth FROM walk
+                WHERE cur % 5 = 0)
+        SELECT final_id, count(*) AS n_urls,
+               max(depth) AS max_depth,
+               CAST(sum(depth) AS BIGINT) AS total_hops
+        FROM fin GROUP BY 1"""
+
+
+GRAD_Z = 6
+
+
+def q_tile_gradient(spark, sf):
+    # raster first derivative: central-difference gradient of the tile
+    # density surface — (E−W, N−S) count differences per occupied tile
+    # (absent neighbors read 0) plus the squared magnitude. The edge-
+    # detection sibling of tile_focal_mean's smoothing; pure equi-joins
+    # on offset cell keys.
+    pts = _points(spark, sf)
+    d = (pts.select(tiles.tile_x(F.col("lon"), GRAD_Z).alias("x"),
+                    tiles.tile_y(F.col("lat"), GRAD_Z).alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n"))
+         .localCheckpoint(eager=False))
+
+    def nb(dx, dy, name):
+        return d.select((F.col("x") + dx).alias("x"),
+                        (F.col("y") + dy).alias("y"),
+                        F.col("n").alias(name))
+
+    out = (d.join(nb(-1, 0, "e"), ["x", "y"], "left")
+           .join(nb(1, 0, "w"), ["x", "y"], "left")
+           .join(nb(0, -1, "s"), ["x", "y"], "left")
+           .join(nb(0, 1, "nn"), ["x", "y"], "left")
+           .select("x", "y", "n",
+                   (F.coalesce("e", F.lit(0)) - F.coalesce("w", F.lit(0)))
+                   .alias("gx"),
+                   (F.coalesce("s", F.lit(0)) - F.coalesce("nn", F.lit(0)))
+                   .alias("gy")))
+    return out.withColumn("g2", F.expr("gx * gx + gy * gy"))
+
+
+def _tile_gradient_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    x, y = tiles.sql_tile_x("lon", GRAD_Z), tiles.sql_tile_y("lat", GRAD_Z)
+    return f"""
+        WITH d AS (SELECT {x} AS x, {y} AS y, count(*) AS n
+                   FROM ({pts}) GROUP BY 1, 2)
+        SELECT d.x, d.y, d.n,
+               coalesce(e.n, 0) - coalesce(w.n, 0) AS gx,
+               coalesce(s.n, 0) - coalesce(nn.n, 0) AS gy,
+               (coalesce(e.n, 0) - coalesce(w.n, 0))
+                   * (coalesce(e.n, 0) - coalesce(w.n, 0))
+               + (coalesce(s.n, 0) - coalesce(nn.n, 0))
+                   * (coalesce(s.n, 0) - coalesce(nn.n, 0)) AS g2
+        FROM d
+        LEFT JOIN d e ON e.x = d.x + 1 AND e.y = d.y
+        LEFT JOIN d w ON w.x = d.x - 1 AND w.y = d.y
+        LEFT JOIN d s ON s.x = d.x AND s.y = d.y + 1
+        LEFT JOIN d nn ON nn.x = d.x AND nn.y = d.y - 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8683,6 +8805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "redirect_resolve": q_redirect_resolve,
+        "tile_gradient": q_tile_gradient,
         "vocab_growth": q_vocab_growth,
         "peak_concurrency": q_peak_concurrency,
         "grid_boundary_cells": q_grid_boundary_cells,
@@ -10785,6 +10909,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "redirect_resolve": _redirect_resolve_sql(),
+        "tile_gradient": _tile_gradient_sql(),
         "vocab_growth": _vocab_growth_sql(),
         "peak_concurrency": _peak_concurrency_sql(),
         "grid_boundary_cells": _grid_boundary_cells_sql(),

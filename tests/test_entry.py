@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "redirect_resolve", "tile_gradient",
         "vocab_growth", "peak_concurrency", "grid_boundary_cells",
         "markov_stationary", "rolling_median_7d",
         "boruvka_round1",
@@ -122,14 +123,15 @@ def test_driver_window_invariants():
         "revisit_cadence", "dow_profile", "customer_pareto",
         "rrf_fusion", "ab_lift", "time_to_purchase",
         "range_bounds_planner", "host_concentration", "dominant_bearing",
-        "host_url_lcp", "tile_spatial_outliers", "ship_delay_stats",
+        "host_url_lcp",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["props_json_stats", "benford_values", "null_profile",
+    overflow = ["tile_spatial_outliers", "ship_delay_stats",
+                "props_json_stats", "benford_values", "null_profile",
                 "dwell_session_overlap", "tile_p90_tokens",
                 "multi_grain_actives",
                 "scd2_asof_enrich", "bot_flags",
