@@ -8783,6 +8783,134 @@ def _tile_gradient_sql() -> str:
         LEFT JOIN d nn ON nn.x = d.x AND nn.y = d.y - 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 55 — SCD2-versioned PIP join, seasonally-adjusted outliers
+# ---------------------------------------------------------------------------
+
+PIPV_T0 = 1_704_067_200     # 2024-01-01, the events fixture's epoch floor
+PIPV_EPOCH_S = 10 * 86400   # three 10-day validity windows span the month
+
+
+def q_pip_versioned(spark, sf):
+    # the geo × time cross-axis join: polygons are SCD2-VERSIONED (three
+    # 10-day validity windows; each version shifts the rect east by
+    # e·0.5° — exactly representable, so the float containment text
+    # stays cross-engine identical) and every event point joins the
+    # version VALID AT ITS TIMESTAMP before the containment refine —
+    # boundary drift answered with time travel, not a snapshot. Points
+    # mint from event_id with the standard mulmod draw. versions×rects
+    # is a 600-row broadcast; one aggregate out.
+    from geobuf_spark.sources.minted import (LAT_MOD, LAT_MULT, LON_MOD,
+                                             LON_MULT, _mulmod)
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", F.expr("unix_timestamp(ts)").alias("s"))
+    pts = e.select(
+        "event_id", "s",
+        ((_mulmod(F.col("event_id"), LON_MULT, LON_MOD)
+          - F.lit(LON_MOD // 2)) / F.lit(1e7)).alias("lon"),
+        ((_mulmod(F.col("event_id"), LAT_MULT, LAT_MOD)
+          - F.lit(LAT_MOD // 2)) / F.lit(1e7)).alias("lat"))
+    r = minted.minted_rects(spark, sf)
+    vers = (r.withColumn("ver", F.explode(F.sequence(F.lit(0), F.lit(2))))
+            .select("poly_id", "ver",
+                    (F.col("minx") + F.col("ver") * 0.5).alias("minx"),
+                    (F.col("maxx") + F.col("ver") * 0.5).alias("maxx"),
+                    "miny", "maxy",
+                    (F.lit(PIPV_T0) + F.col("ver") * PIPV_EPOCH_S)
+                    .alias("vf"),
+                    (F.lit(PIPV_T0) + (F.col("ver") + 1) * PIPV_EPOCH_S)
+                    .alias("vt")))
+    j = (pts.join(F.broadcast(vers),
+                  (F.col("s") >= F.col("vf")) & (F.col("s") < F.col("vt"))
+                  & (F.col("lon") >= F.col("minx"))
+                  & (F.col("lon") <= F.col("maxx"))
+                  & (F.col("lat") >= F.col("miny"))
+                  & (F.col("lat") <= F.col("maxy"))))
+    return (j.groupBy("poly_id", "ver")
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("event_id").alias("first_event")))
+
+
+def _pip_versioned_sql() -> str:
+    from geobuf_spark.sources.minted import (LAT_MOD, LAT_MULT, LON_MOD,
+                                             LON_MULT, _sql_mulmod)
+    lon = f"({_sql_mulmod('event_id', LON_MULT, LON_MOD)} - {LON_MOD // 2}) / 1e7"
+    lat = f"({_sql_mulmod('event_id', LAT_MULT, LAT_MOD)} - {LAT_MOD // 2}) / 1e7"
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                            {lon} AS lon, {lat} AS lat
+                     FROM events),
+        r AS ({minted.SQL_MINTED_RECTS.strip()}),
+        vers AS (SELECT poly_id, v.ver,
+                        minx + v.ver * 0.5 AS minx,
+                        maxx + v.ver * 0.5 AS maxx,
+                        miny, maxy,
+                        {PIPV_T0} + v.ver * {PIPV_EPOCH_S} AS vf,
+                        {PIPV_T0} + (v.ver + 1) * {PIPV_EPOCH_S} AS vt
+                 FROM r, (VALUES (0), (1), (2)) v(ver)),
+        j AS (SELECT p.event_id, vers.poly_id, vers.ver
+              FROM pts p JOIN vers
+                ON p.s >= vers.vf AND p.s < vers.vt
+               AND p.lon >= vers.minx AND p.lon <= vers.maxx
+               AND p.lat >= vers.miny AND p.lat <= vers.maxy)
+        SELECT poly_id, CAST(ver AS BIGINT) AS ver,
+               count(*) AS n_hits,
+               min(event_id) AS first_event
+        FROM j GROUP BY 1, 2"""
+
+
+DOW_K = 4  # Chebyshev multiplier on the residual second moment
+
+
+def q_dow_residual_outliers(spark, sf):
+    # seasonally-adjusted anomaly gate: remove the day-of-week profile
+    # FIRST (resid = x·n_dow − s_dow, integer-scaled so no division),
+    # then flag days whose squared residual exceeds K× the corpus
+    # residual second moment — the Chebyshev test anomaly_days applies
+    # globally, here applied AFTER deseasonalization so a quiet Sunday
+    # doesn't read as an outage. Exact integers end to end; per-dow
+    # residuals sum to zero by construction, so the gate needs only Q.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").alias("x"))
+    dd = daily.withColumn("dow", F.expr("day % 7"))
+    prof = dd.groupBy("dow").agg(F.count("*").alias("n_dow"),
+                                 F.sum("x").alias("s_dow"))
+    rz = (dd.join(F.broadcast(prof), "dow")
+          .withColumn("resid",
+                      F.col("x") * F.col("n_dow") - F.col("s_dow")))
+    tot = rz.agg(F.count("*").alias("n_tot"),
+                 F.sum(F.col("resid") * F.col("resid")).alias("q_tot"))
+    return (rz.crossJoin(F.broadcast(tot))
+            .withColumn("is_outlier",
+                        (F.col("resid") * F.col("resid") * F.col("n_tot")
+                         > F.lit(DOW_K) * F.col("q_tot")).cast("int"))
+            .select("day", "dow", "x", "n_dow", "resid", "is_outlier"))
+
+
+def _dow_residual_outliers_sql() -> str:
+    return f"""
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                              AS day
+                   FROM events),
+        daily AS (SELECT day, count(*) AS x FROM e GROUP BY 1),
+        dd AS (SELECT day, x, day % 7 AS dow FROM daily),
+        prof AS (SELECT dow, count(*) AS n_dow,
+                        CAST(sum(x) AS BIGINT) AS s_dow
+                 FROM dd GROUP BY 1),
+        rz AS (SELECT day, dd.dow, x, n_dow,
+                      x * n_dow - s_dow AS resid
+               FROM dd JOIN prof ON dd.dow = prof.dow),
+        tot AS (SELECT count(*) AS n_tot,
+                       CAST(sum(resid * resid) AS BIGINT) AS q_tot
+                FROM rz)
+        SELECT day, dow, x, n_dow, resid,
+               CAST(CASE WHEN resid * resid * n_tot > {DOW_K} * q_tot
+                         THEN 1 ELSE 0 END AS INT) AS is_outlier
+        FROM rz, tot"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8805,6 +8933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "pip_versioned": q_pip_versioned,
+        "dow_residual_outliers": q_dow_residual_outliers,
         "redirect_resolve": q_redirect_resolve,
         "tile_gradient": q_tile_gradient,
         "vocab_growth": q_vocab_growth,
@@ -10909,6 +11039,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "pip_versioned": _pip_versioned_sql(),
+        "dow_residual_outliers": _dow_residual_outliers_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "tile_gradient": _tile_gradient_sql(),
         "vocab_growth": _vocab_growth_sql(),
