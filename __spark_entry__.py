@@ -8911,6 +8911,135 @@ def _dow_residual_outliers_sql() -> str:
         FROM rz, tot"""
 
 
+# ---------------------------------------------------------------------------
+# batch 56 — rank-biased overlap, longest duplicated-span run
+# ---------------------------------------------------------------------------
+
+RBO_DEPTH = 20
+
+
+def q_rbo_rankings(spark, sf):
+    # rank-agreement audit between two host rankings (by page count vs
+    # by byte mass): overlap at every depth d ≤ 20 plus the rank-biased-
+    # overlap term (1e6·ov) div (d·2^d) — dyadic weights keep the whole
+    # curve integer-exact (the geometric p=½ RBO, truncated and
+    # unnormalized; the per-depth curve is the diagnostic). Overlap@d
+    # counts hosts whose max(rank_a, rank_b) ≤ d — one host join, one
+    # 20-row broadcast.
+    from pyspark.sql import Window as Win
+    p = pages.pages(spark, 2000)
+    h = (p.groupBy(TXT.url_host(F.col("url")).alias("host"))
+         .agg(F.count("*").alias("n_pages"),
+              F.sum(F.octet_length("text")).alias("total_bytes"))
+         .localCheckpoint(eager=False))
+    ra = (h.withColumn("a_rk", F.row_number().over(
+              Win.orderBy(F.desc("n_pages"), F.asc("host"))))
+          .filter(F.col("a_rk") <= RBO_DEPTH).select("host", "a_rk"))
+    rb = (h.withColumn("b_rk", F.row_number().over(
+              Win.orderBy(F.desc("total_bytes"), F.asc("host"))))
+          .filter(F.col("b_rk") <= RBO_DEPTH).select("host", "b_rk"))
+    shared = ra.join(rb, "host").select(
+        F.greatest("a_rk", "b_rk").alias("mx"))
+    ds = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").cast("bigint").alias("d"))
+    return (ds.crossJoin(shared)
+            .groupBy("d")
+            .agg(F.sum(F.expr("if(mx <= d, 1, 0)")).alias("ov"))
+            .withColumn("term_ppm",
+                        F.expr("(1000000 * ov) div (d * shiftleft(1L, "
+                               "cast(d as int)))")))
+
+
+def _rbo_rankings_sql(n: int = 2000, seed: int = 42) -> str:
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        h AS (SELECT {TXT.sql_url_host('url')} AS host,
+                     count(*) AS n_pages,
+                     CAST(sum(octet_length(encode(text))) AS BIGINT)
+                         AS total_bytes
+              FROM txt GROUP BY 1),
+        ra AS (SELECT host, row_number() OVER
+                   (ORDER BY n_pages DESC, host) AS a_rk FROM h
+               QUALIFY a_rk <= {RBO_DEPTH}),
+        rb AS (SELECT host, row_number() OVER
+                   (ORDER BY total_bytes DESC, host) AS b_rk FROM h
+               QUALIFY b_rk <= {RBO_DEPTH}),
+        shared AS (SELECT greatest(a_rk, b_rk) AS mx
+                   FROM ra JOIN rb USING (host)),
+        ds AS (SELECT CAST(t.d + 1 AS BIGINT) AS d
+               FROM range({RBO_DEPTH}) t(d))
+        SELECT d,
+               CAST(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ov,
+               (1000000 * CAST(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END)
+                    AS BIGINT)) // (d * (1::BIGINT << CAST(d AS INT)))
+                   AS term_ppm
+        FROM ds CROSS JOIN shared
+        GROUP BY 1"""
+
+
+def q_dup_span_maxrun(spark, sf):
+    # exact-substring-dedup refinement: the LONGEST consecutive run of
+    # cross-document-duplicated 8-grams per doc — dup_span_frac says how
+    # much is shared, this says whether it's one contiguous lifted block
+    # (the remove-the-span signal) or scattered collocations. Islands by
+    # pos − row_number over the flagged positions; the shared-gram flag
+    # is the same windowed distinct-doc count as dup_span_stats.
+    from pyspark.sql import Window as Win
+    d = _docs(spark, sf).select("doc_id", "text")
+    g = d.select("doc_id", F.posexplode(
+        F.transform(TXT.word_ngrams(F.col("text"), 8), F.md5))
+        .alias("pos", "gram"))
+    per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("m"))
+    nd = per.withColumn(
+        "nd", F.count("*").over(Win.partitionBy("gram")))
+    flagged = (g.join(nd.filter(F.col("nd") >= 2)
+                      .select("doc_id", "gram").distinct(),
+                      ["doc_id", "gram"]))
+    iw = Win.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged
+            .withColumn("grp", F.col("pos") - F.row_number().over(iw))
+            .groupBy("doc_id", "grp").agg(F.count("*").alias("run")))
+    mx = runs.groupBy("doc_id").agg(F.max("run").alias("max_dup_run"))
+    tot = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (tot.join(mx, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("max_dup_run", F.lit(0))
+                    .alias("max_dup_run")))
+
+
+def _dup_span_maxrun_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        g AS (SELECT doc_id, t.i AS pos,
+                     md5(array_to_string(w[t.i + 1:t.i + 8], ' '))
+                         AS gram
+              FROM toks,
+              LATERAL (SELECT unnest(range(len(w) - 7)) AS i) t
+              WHERE len(w) >= 8),
+        per AS (SELECT doc_id, gram FROM g GROUP BY 1, 2),
+        nd AS (SELECT doc_id, gram,
+                      count(*) OVER (PARTITION BY gram) AS nd
+               FROM per),
+        flagged AS (SELECT g.doc_id, g.pos
+                    FROM g JOIN (SELECT doc_id, gram FROM nd
+                                 WHERE nd >= 2) s
+                      ON g.doc_id = s.doc_id AND g.gram = s.gram),
+        runs AS (SELECT doc_id,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                            ORDER BY pos) AS grp
+                 FROM flagged),
+        mx AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_dup_run
+               FROM (SELECT doc_id, grp, count(*) AS cnt
+                     FROM runs GROUP BY 1, 2)
+               GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+               coalesce(mx.max_dup_run, 0) AS max_dup_run
+        FROM tot LEFT JOIN mx ON tot.doc_id = mx.doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -8933,6 +9062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "rbo_rankings": q_rbo_rankings,
+        "dup_span_maxrun": q_dup_span_maxrun,
         "pip_versioned": q_pip_versioned,
         "dow_residual_outliers": q_dow_residual_outliers,
         "redirect_resolve": q_redirect_resolve,
@@ -11039,6 +11170,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "rbo_rankings": _rbo_rankings_sql(),
+        "dup_span_maxrun": _dup_span_maxrun_sql(),
         "pip_versioned": _pip_versioned_sql(),
         "dow_residual_outliers": _dow_residual_outliers_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
