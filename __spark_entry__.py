@@ -8009,49 +8009,57 @@ def _event_rle_sql() -> str:
 # batch 48 — quadkey prefix-range PIP join, exact trimmed mean
 # ---------------------------------------------------------------------------
 
-QKRJ_Z, QKRJ_ZMIN, QKRJ_ZMAX = 12, 4, 7
+QKRJ_Z, QKRJ_ZMIN, QKRJ_ZMAX = 12, 6, 7  # z6 buckets: 1.5 s at sf0.1
+# (vs 5.4 s for the first string-key z4-bucket cut and 0.97 s for the
+# cell-equality sibling — the measured tuning ladder lives in
+# BENCH/BASELINE.md "quadkey range join")
 
 
 def q_quadkey_range_join(spark, sf):
     # the ORDERED-INDEX spatial join: rects become disjoint mixed-level
-    # quadkey prefixes (tiling.adaptive_cover on the z12 tile lattice),
-    # points carry their z12 quadkey, and containment is the prefix
-    # RANGE qk ∈ [prefix, prefix‖'4') — the S2/quadkey range-scan plan a
-    # clustered 100 TB point table answers with file-level min/max
-    # pruning instead of a cell-equality explode (pip_join_rects is the
-    # equality sibling). Here the range join is bucketed by the shared
-    # z4 ancestor so Spark executes a broadcast HASH join on the bucket
-    # with the range as an in-partition filter; exact closed-interval
-    # refine last, so the cover only proposes. Cover cells are disjoint
-    # by construction — no pair dedup needed.
+    # quadkey-prefix cells (tiling.adaptive_cover on the z12 tile
+    # lattice), points carry their z12 key, and containment is the
+    # prefix RANGE key ∈ [m·4^(12−z), (m+1)·4^(12−z)) — the S2/quadkey
+    # range-scan plan a Z-curve-clustered 100 TB point table answers
+    # with file-level min/max pruning instead of a cell-equality
+    # explode (pip_join_rects is the equality sibling). The key is the
+    # INTEGER morton form of the quadkey (same digit string, base-4
+    # int): integer range compares, a 3-column broadcast (the box joins
+    # back per-poly for the exact refine, it never rides the cover).
+    # Buckets = the shared z5 ancestor, so Spark executes a broadcast
+    # HASH join on the bucket with the range as an in-partition filter;
+    # cover cells are disjoint by construction — no pair dedup needed.
     pts = minted.minted_points(spark, sf)
-    qk = tiles.quadkey(tiles.tile_x(F.col("lon"), QKRJ_Z),
-                       tiles.tile_y(F.col("lat"), QKRJ_Z), QKRJ_Z)
-    p = pts.select("doc_id", "lon", "lat", qk.alias("qk"),
-                   F.substring(qk, 1, QKRJ_ZMIN).alias("b4"))
-    r = minted.minted_rects(spark, sf)
+    mk = tiles.morton_key(tiles.tile_x(F.col("lon"), QKRJ_Z),
+                          tiles.tile_y(F.col("lat"), QKRJ_Z), QKRJ_Z)
+    p = pts.select("doc_id", "lon", "lat", mk.alias("mk"),
+                   F.shiftright(mk, 2 * (QKRJ_Z - QKRJ_ZMIN))
+                   .alias("bkt"))
+    r = minted.minted_rects(spark, sf).localCheckpoint(eager=False)
     boxes = r.select(
-        "poly_id", "minx", "miny", "maxx", "maxy",
+        "poly_id",
         tiles.tile_x(F.col("minx"), QKRJ_Z).alias("x1"),
         (tiles.tile_x(F.col("maxx"), QKRJ_Z) + 1).alias("x2"),
         tiles.tile_y(F.col("maxy"), QKRJ_Z).alias("y1"),
         (tiles.tile_y(F.col("miny"), QKRJ_Z) + 1).alias("y2"))
     cov = tiling.adaptive_cover(boxes, z_min=QKRJ_ZMIN, z_max=QKRJ_ZMAX,
                                 span_bits=QKRJ_Z, id_col="poly_id")
-    cov = cov.join(F.broadcast(r), "poly_id")
     pref = None
     for zz in range(QKRJ_ZMIN, QKRJ_ZMAX + 1):
+        m = tiles.morton_key(F.col("cx"), F.col("cy"), zz)
+        shift = 2 * (QKRJ_Z - zz)
         lvl = (cov.filter(F.col("z") == zz)
-               .select("poly_id", "minx", "miny", "maxx", "maxy",
-                       tiles.quadkey(F.col("cx"), F.col("cy"), zz)
-                       .alias("lo")))
+               .select("poly_id",
+                       F.shiftleft(m, shift).alias("lo"),
+                       F.shiftleft(m + 1, shift).alias("hi")))
         pref = lvl if pref is None else pref.unionByName(lvl)
-    pref = pref.withColumn("hi", F.concat(F.col("lo"), F.lit("4"))) \
-               .withColumn("b4", F.substring("lo", 1, QKRJ_ZMIN))
-    cand = (p.join(F.broadcast(pref), "b4")
-            .filter((F.col("qk") >= F.col("lo"))
-                    & (F.col("qk") < F.col("hi"))))
-    return (cand.filter(sj.rect_contains(F.col("lon"), F.col("lat")))
+    pref = pref.withColumn(
+        "bkt", F.shiftright(F.col("lo"), 2 * (QKRJ_Z - QKRJ_ZMIN)))
+    cand = (p.join(F.broadcast(pref), "bkt")
+            .filter((F.col("mk") >= F.col("lo"))
+                    & (F.col("mk") < F.col("hi"))))
+    return (cand.join(F.broadcast(r), "poly_id")
+            .filter(sj.rect_contains(F.col("lon"), F.col("lat")))
             .select("doc_id", "poly_id"))
 
 
