@@ -9048,6 +9048,111 @@ def _dup_span_maxrun_sql() -> str:
         FROM tot LEFT JOIN mx ON tot.doc_id = mx.doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# batch 57 — bulk kNN graph, language unigram-profile cosine
+# ---------------------------------------------------------------------------
+
+KNNG_K = 3
+
+
+def q_knn_graph_k3(spark, sf):
+    # bulk kNN-GRAPH construction (the UMAP/HDBSCAN input): every
+    # point's 3 nearest neighbors within RADIUS_R, from ONE grid-
+    # bucketed radius self-join + a per-point top-k window with the
+    # deterministic (d², nb) tie order. The query-set kNN operator
+    # (knn_k5) answers "k nearest to THESE probes"; this materializes
+    # the whole graph in one pass — at 100 TB the radius prefilter is
+    # what keeps it from being the quadratic all-pairs.
+    from pyspark.sql import Window as Win
+    from geobuf_spark.sources.tables import widen
+    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
+    pairs = sj.radius_self_join(p, r=RADIUS_R)
+    both = (pairs.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("nb"), "dist2")
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                      F.col("id_a").alias("nb"), "dist2")))
+    w = Win.partitionBy("doc_id").orderBy("dist2", "nb")
+    return (both.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNNG_K)
+            .select("doc_id", "rk", "nb", "dist2"))
+
+
+def _knn_graph_k3_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p AS ({pts}),
+        cand AS (SELECT a.doc_id, b.doc_id AS nb,
+                        CAST(a.qx - b.qx AS HUGEINT) * (a.qx - b.qx)
+                        + CAST(a.qy - b.qy AS HUGEINT) * (a.qy - b.qy)
+                            AS d2
+                 FROM p a JOIN p b ON a.doc_id <> b.doc_id),
+        inr AS (SELECT doc_id, nb, CAST(d2 AS BIGINT) AS dist2
+                FROM cand
+                WHERE d2 <= {RADIUS_R}::HUGEINT * {RADIUS_R}),
+        rk AS (SELECT doc_id, nb, dist2,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY dist2, nb) AS rk
+               FROM inr)
+        SELECT doc_id, rk, nb, dist2 FROM rk WHERE rk <= {KNNG_K}"""
+
+
+def q_lang_profile_cosine(spark, sf):
+    # corpus-profile similarity: cosine between the unigram COUNT
+    # vectors of every language pair — integer dot products and norms
+    # (the verifiable payload; distributional similarity by counting,
+    # word_cooc_cosine's corpus-level sibling) + cos_e6 from shared
+    # float text. One token aggregate, then a self-join on token over
+    # lang-count rows (vocabulary-sized, not corpus-sized).
+    d = _docs(spark, sf).select("lang", "text")
+    tc = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("lang", "tok").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
+    norms = tc.groupBy("lang").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = tc.select(F.col("lang").alias("lang_a"), "tok",
+                  F.col("c").alias("ca"))
+    b = tc.select(F.col("lang").alias("lang_b"), "tok",
+                  F.col("c").alias("cb"))
+    dots = (a.join(b, "tok").filter(F.col("lang_a") < F.col("lang_b"))
+            .groupBy("lang_a", "lang_b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    na = norms.select(F.col("lang").alias("lang_a"),
+                      F.col("n2").alias("na2"))
+    nb = norms.select(F.col("lang").alias("lang_b"),
+                      F.col("n2").alias("nb2"))
+    return (dots.join(na, "lang_a").join(nb, "lang_b")
+            .select("lang_a", "lang_b", "dot", "na2", "nb2")
+            .withColumn("cos_e6", F.expr(
+                "CAST(floor(1000000.0 * CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)))"
+                " AS BIGINT)")))
+
+
+def _lang_profile_cosine_sql() -> str:
+    return """
+        WITH toks AS (SELECT lang, unnest(string_split(text, ' '))
+                                 AS tok
+                      FROM documents),
+        tc AS (SELECT lang, tok, count(*) AS c FROM toks
+               WHERE tok <> '' GROUP BY 1, 2),
+        norms AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2
+                  FROM tc GROUP BY 1),
+        dots AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                        CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                 FROM tc a JOIN tc b
+                   ON a.tok = b.tok AND a.lang < b.lang
+                 GROUP BY 1, 2)
+        SELECT lang_a, lang_b, dot,
+               na.n2 AS na2, nb.n2 AS nb2,
+               CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                   AS BIGINT) AS cos_e6
+        FROM dots
+        JOIN norms na ON na.lang = dots.lang_a
+        JOIN norms nb ON nb.lang = dots.lang_b"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9070,6 +9175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "knn_graph_k3": q_knn_graph_k3,
+        "lang_profile_cosine": q_lang_profile_cosine,
         "rbo_rankings": q_rbo_rankings,
         "dup_span_maxrun": q_dup_span_maxrun,
         "pip_versioned": q_pip_versioned,
@@ -11178,6 +11285,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "knn_graph_k3": _knn_graph_k3_sql(),
+        "lang_profile_cosine": _lang_profile_cosine_sql(),
         "rbo_rankings": _rbo_rankings_sql(),
         "dup_span_maxrun": _dup_span_maxrun_sql(),
         "pip_versioned": _pip_versioned_sql(),
