@@ -9153,6 +9153,122 @@ def _lang_profile_cosine_sql() -> str:
         JOIN norms nb ON nb.lang = dots.lang_b"""
 
 
+# ---------------------------------------------------------------------------
+# batch 58 — integer Epanechnikov KDE, market-basket pair lift
+# ---------------------------------------------------------------------------
+
+KDE_R = 9_000_000  # bandwidth = cell size ⇒ the 3×3 ring is complete
+
+
+def q_kde_cells(spark, sf):
+    # kernel density at cell centers with the Epanechnikov kernel kept
+    # INTEGER: w(d) = max(0, R² − d²) on the lattice — the density
+    # surface idw interpolates point values over, but as a pure
+    # second-moment sum (no division at all). Centers are the occupied
+    # R-cells' midpoints; candidates from the 3×3 ring (complete
+    # because bandwidth == cell size). One distinct + one equi-join.
+    p = minted.minted_cluster_points_q(spark, sf)
+    cells = (p.select(F.expr(f"qx div {KDE_R}").alias("cx"),
+                      F.expr(f"qy div {KDE_R}").alias("cy"))
+             .distinct()
+             .withColumn("mx", F.expr(f"cx * {KDE_R} + {KDE_R // 2}"))
+             .withColumn("my", F.expr(f"cy * {KDE_R} + {KDE_R // 2}")))
+    ring = (cells.withColumn("dx", F.explode(F.sequence(F.lit(-1),
+                                                        F.lit(1))))
+            .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .select("cx", "cy", "mx", "my",
+                    (F.col("cx") + F.col("dx")).alias("jx"),
+                    (F.col("cy") + F.col("dy")).alias("jy")))
+    pts = p.select(F.expr(f"qx div {KDE_R}").alias("jx"),
+                   F.expr(f"qy div {KDE_R}").alias("jy"), "qx", "qy")
+    d2 = ((F.col("mx") - F.col("qx")) * (F.col("mx") - F.col("qx"))
+          + (F.col("my") - F.col("qy")) * (F.col("my") - F.col("qy")))
+    r2 = F.lit(KDE_R).cast("bigint") * F.lit(KDE_R)
+    j = (ring.join(pts, ["jx", "jy"])
+         .withColumn("d2", d2)
+         .filter(F.col("d2") < r2))
+    return (j.groupBy("cx", "cy")
+            .agg(F.count("*").alias("n_in_r"),
+                 F.sum(r2 - F.col("d2")).alias("kde")))
+
+
+def _kde_cells_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    r = KDE_R
+    return f"""
+        WITH p AS ({pts}),
+        cells AS (SELECT DISTINCT qx // {r} AS cx, qy // {r} AS cy
+                  FROM p),
+        ctr AS (SELECT cx, cy, cx * {r} + {r // 2} AS mx,
+                       cy * {r} + {r // 2} AS my
+                FROM cells),
+        ring AS (SELECT cx, cy, mx, my,
+                        cx + o.dx AS jx, cy + o.dy AS jy
+                 FROM ctr, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                   (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        pp AS (SELECT qx // {r} AS jx, qy // {r} AS jy, qx, qy FROM p),
+        j AS (SELECT ring.cx, ring.cy,
+                     (mx - qx) * (mx - qx) + (my - qy) * (my - qy) AS d2
+              FROM ring JOIN pp ON ring.jx = pp.jx AND ring.jy = pp.jy)
+        SELECT cx, cy, count(*) AS n_in_r,
+               CAST(sum({r}::BIGINT * {r} - d2) AS BIGINT) AS kde
+        FROM j WHERE d2 < {r}::BIGINT * {r}
+        GROUP BY 1, 2"""
+
+
+BASKET_MIN = 2
+
+
+def q_basket_pairs(spark, sf):
+    # market-basket association over TPC-H: part pairs co-ordered in
+    # ≥ BASKET_MIN orders, with support and the exact integer lift
+    # lift_ppm = 1e6·N·c_ab div (c_a·c_b). Quadratic per ORDER (≤7
+    # lineitems — the bound is the contract, like the LSH bucket caps),
+    # linear in orders; part marginals broadcast back onto the pair
+    # table.
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+          .localCheckpoint(eager=False))
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count("*").alias("c_ab"))
+             .filter(F.col("c_ab") >= BASKET_MIN))
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    n = li.select("l_orderkey").distinct().count()
+    return (pairs
+            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pa"),
+                                          F.col("c").alias("c_a"))), "pa")
+            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pb"),
+                                          F.col("c").alias("c_b"))), "pb")
+            .select("pa", "pb", "c_ab", "c_a", "c_b",
+                    F.expr(f"{n}L * c_ab * 1000000 div (c_a * c_b)")
+                    .alias("lift_ppm")))
+
+
+def _basket_pairs_sql() -> str:
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem),
+        pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                         count(*) AS c_ab
+                  FROM li a JOIN li b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2
+                  HAVING count(*) >= {BASKET_MIN}),
+        marg AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li)
+        SELECT pa, pb, c_ab, ma.c AS c_a, mb.c AS c_b,
+               n.n * c_ab * 1000000 // (ma.c * mb.c) AS lift_ppm
+        FROM pairs
+        JOIN marg ma ON ma.l_partkey = pairs.pa
+        JOIN marg mb ON mb.l_partkey = pairs.pb
+        CROSS JOIN n"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9175,6 +9291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "kde_cells": q_kde_cells,
+        "basket_pairs": q_basket_pairs,
         "knn_graph_k3": q_knn_graph_k3,
         "lang_profile_cosine": q_lang_profile_cosine,
         "rbo_rankings": q_rbo_rankings,
@@ -11285,6 +11403,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "kde_cells": _kde_cells_sql(),
+        "basket_pairs": _basket_pairs_sql(),
         "knn_graph_k3": _knn_graph_k3_sql(),
         "lang_profile_cosine": _lang_profile_cosine_sql(),
         "rbo_rankings": _rbo_rankings_sql(),

@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "kde_cells", "basket_pairs",
         "knn_graph_k3", "lang_profile_cosine",
         "rbo_rankings", "dup_span_maxrun",
         "pip_versioned", "dow_residual_outliers",
@@ -123,15 +124,15 @@ def test_driver_window_invariants():
         "ks_two_langs", "topk_drift", "cell_coverage_curve",
         "watermark_policy_sim", "turning_angles", "outage_gaps",
         "ring_normalize", "bounding_circles", "spatial_split_leakage",
-        "revisit_cadence", "dow_profile", "customer_pareto",
-        "rrf_fusion",
+        "revisit_cadence", "dow_profile",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["ab_lift", "time_to_purchase",
+    overflow = ["customer_pareto", "rrf_fusion",
+                "ab_lift", "time_to_purchase",
                 "range_bounds_planner", "host_concentration",
                 "dominant_bearing", "host_url_lcp",
                 "tile_spatial_outliers", "ship_delay_stats",
