@@ -9269,6 +9269,150 @@ def _basket_pairs_sql() -> str:
         CROSS JOIN n"""
 
 
+# ---------------------------------------------------------------------------
+# batch 59 — prefix-filtered set-similarity join, summed-area-table counts
+# ---------------------------------------------------------------------------
+
+SSJOIN_TAU_PPM = 500_000  # Jaccard ≥ 0.5, kept rational: 2·inter ≥ union
+
+
+def q_ssjoin_prefix(spark, sf):
+    # exact shingle-Jaccard τ-join whose CANDIDATES come from PPJoin-style
+    # prefix filtering (operators/dedup.prefix_filter_pairs): only the
+    # p = n − ⌈τn⌉ + 1 globally-rarest shingles of each document generate
+    # pairs, plus the τ length filter — lossless by the prefix-filter
+    # theorem, and the stop-shingle df² blowup never reaches the verify
+    # join. The oracle is the INDEPENDENT full inverted join (no prefix
+    # logic at all), so a green row proves losslessness end to end.
+    return dedup.prefix_filter_pairs(_docs(spark, sf), key="doc_id",
+                                     shingle_k=3, tau_ppm=SSJOIN_TAU_PPM)
+
+
+def _ssjoin_prefix_sql(k: int = 3, tau_ppm: int = SSJOIN_TAU_PPM) -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
+                   FROM documents),
+        sh0 AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
+                                                chr(31)))) AS shs
+                FROM d),
+        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+        counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM sh GROUP BY 1),
+        shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+        SELECT a, b, inter, ca.n AS na, cb.n AS nb,
+               1000000 * inter // (ca.n + cb.n - inter) AS jacc_ppm
+        FROM shared
+        JOIN counts ca ON ca.doc_id = a
+        JOIN counts cb ON cb.doc_id = b
+        WHERE 1000000 * inter >= {tau_ppm} * (ca.n + cb.n - inter)"""
+
+
+# summed-area table over the full minted lattice: cell = 1e8 lattice units
+# (10°), so the dense grid is a CONSTANT 36×17 = 612 cells at every scale —
+# the separable two-scan SAT costs O(grid), only the per-cell count sees N.
+SAT_R = 100_000_000
+SAT_W = 36  # ceil(LON_MOD / SAT_R)
+SAT_H = 17  # ceil(LAT_MOD / SAT_R)
+
+
+def q_rect_prefix_counts(spark, sf):
+    # rectangle COUNT queries answered from a 2D summed-area table:
+    # occupied-cell counts (the only N-sized aggregate, map-side
+    # combinable) densified onto the constant 36×17 grid, then two
+    # cascaded cumulative windows (cum over cy within cx, then cum over
+    # cx within cy) build S(x,y) = Σ_{i≤x,j≤y} c — the separable-scan
+    # identity. Each minted query rectangle is answered by the 4-corner
+    # inclusion-exclusion S(x2,y2)−S(x1−1,y2)−S(x2,y1−1)+S(x1−1,y1−1):
+    # O(1) per query regardless of rectangle area, vs the direct
+    # containment join the oracle runs. Corners at −1 fall off the dense
+    # grid and contribute 0 via the left join.
+    from pyspark.sql import Window
+    p = minted.minted_points_q(spark, sf)
+    occ = (p.select(F.expr(f"qx div {SAT_R}").alias("cx"),
+                    F.expr(f"qy div {SAT_R}").alias("cy"))
+           .groupBy("cx", "cy").agg(F.count("*").alias("c")))
+    grid = (spark.range(SAT_W * SAT_H)
+            .select(F.expr(f"id div {SAT_H}").alias("cx"),
+                    F.expr(f"id % {SAT_H}").alias("cy")))
+    dense = (grid.join(occ, ["cx", "cy"], "left")
+             .select("cx", "cy", F.coalesce("c", F.lit(0)).alias("c")))
+    wy = (Window.partitionBy("cx").orderBy("cy")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wx = (Window.partitionBy("cy").orderBy("cx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sat = (dense.withColumn("sy", F.sum("c").over(wy))
+           .withColumn("s", F.sum("sy").over(wx))
+           .select("cx", "cy", "s"))
+    rects = _sat_rects(spark, sf)
+    corners = (rects.select(
+        "rect_id", "x1", "y1", "x2", "y2",
+        F.explode(F.array(
+            F.struct(F.col("x2").alias("px"), F.col("y2").alias("py"),
+                     F.lit(1).alias("sgn")),
+            F.struct((F.col("x1") - 1).alias("px"), F.col("y2").alias("py"),
+                     F.lit(-1).alias("sgn")),
+            F.struct(F.col("x2").alias("px"), (F.col("y1") - 1).alias("py"),
+                     F.lit(-1).alias("sgn")),
+            F.struct((F.col("x1") - 1).alias("px"),
+                     (F.col("y1") - 1).alias("py"),
+                     F.lit(1).alias("sgn")))).alias("k")))
+    joined = corners.join(
+        F.broadcast(sat),
+        (F.col("k.px") == F.col("cx")) & (F.col("k.py") == F.col("cy")),
+        "left")
+    return (joined.groupBy("rect_id", "x1", "y1", "x2", "y2")
+            .agg(F.sum(F.col("k.sgn") * F.coalesce(F.col("s"), F.lit(0)))
+                 .alias("n_points")))
+
+
+def _sat_rects(spark, sf):
+    # deterministic cell-space query rectangles, one per customer —
+    # the same chained-mulmod mint idiom as the geometry fixtures
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+    x1 = minted._mulmod(F.col("c_custkey"), 48271, SAT_W)
+    y1 = minted._mulmod(F.col("c_custkey"), 69621, SAT_H)
+    wd = minted._mulmod(F.col("c_custkey"), 7919, 12) + 1
+    ht = minted._mulmod(F.col("c_custkey"), 104729, 8) + 1
+    return cust.select(
+        F.col("c_custkey").alias("rect_id"),
+        x1.cast("bigint").alias("x1"), y1.cast("bigint").alias("y1"),
+        F.least(x1 + wd, F.lit(SAT_W - 1)).cast("bigint").alias("x2"),
+        F.least(y1 + ht, F.lit(SAT_H - 1)).cast("bigint").alias("y2"))
+
+
+def _sat_rects_sql() -> str:
+    x1 = minted._sql_mulmod("c_custkey", 48271, SAT_W)
+    y1 = minted._sql_mulmod("c_custkey", 69621, SAT_H)
+    wd = f"({minted._sql_mulmod('c_custkey', 7919, 12)} + 1)"
+    ht = f"({minted._sql_mulmod('c_custkey', 104729, 8)} + 1)"
+    return f"""SELECT c_custkey AS rect_id,
+               CAST({x1} AS BIGINT) AS x1, CAST({y1} AS BIGINT) AS y1,
+               CAST(least({x1} + {wd}, {SAT_W - 1}) AS BIGINT) AS x2,
+               CAST(least({y1} + {ht}, {SAT_H - 1}) AS BIGINT) AS y2
+               FROM customer"""
+
+
+def _rect_prefix_counts_sql() -> str:
+    # independent oracle: the DIRECT containment count per rectangle
+    # (no SAT, no prefix sums) — left join keeps empty rectangles at 0
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS_Q.strip()}),
+        cells AS (SELECT qx // {SAT_R} AS cx, qy // {SAT_R} AS cy FROM p),
+        r AS ({_sat_rects_sql()})
+        SELECT r.rect_id, r.x1, r.y1, r.x2, r.y2,
+               CAST(count(cells.cx) AS BIGINT) AS n_points
+        FROM r LEFT JOIN cells
+          ON cells.cx BETWEEN r.x1 AND r.x2
+         AND cells.cy BETWEEN r.y1 AND r.y2
+        GROUP BY 1, 2, 3, 4, 5"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9291,6 +9435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ssjoin_prefix": q_ssjoin_prefix,
+        "rect_prefix_counts": q_rect_prefix_counts,
         "kde_cells": q_kde_cells,
         "basket_pairs": q_basket_pairs,
         "knn_graph_k3": q_knn_graph_k3,
@@ -11403,6 +11549,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "ssjoin_prefix": _ssjoin_prefix_sql(),
+        "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
         "basket_pairs": _basket_pairs_sql(),
         "knn_graph_k3": _knn_graph_k3_sql(),

@@ -299,6 +299,64 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, text_col: str = "text",
     return out
 
 
+def prefix_filter_pairs(df: DataFrame, key: str, text_col: str = "text",
+                        shingle_k: int = 3,
+                        tau_ppm: int = 500_000) -> DataFrame:
+    """Exact Jaccard τ-join with PPJoin-style prefix filtering.
+
+    Same output as an exact shingle-Jaccard join at threshold
+    τ = tau_ppm/1e6, but candidate pairs are generated ONLY from each
+    document's prefix under the global (df ASC, shingle ASC) order: the
+    p = n − ⌈τ·n⌉ + 1 rarest shingles. Losslessness is the standard
+    prefix-filter argument — if |A∩B|/|A∪B| ≥ τ then A and B must share
+    at least one shingle inside both prefixes (skipping p items from
+    either set leaves fewer than ⌈τ·n⌉ ≤ |A∩B| common ones). A length
+    filter (τ·max(n_a,n_b) ≤ min(n_a,n_b)) prunes further; exact
+    intersections are then computed for candidates only, never all
+    shared-shingle pairs — at corpus scale the stop-shingle df² blowup
+    lands solely on the (tiny) prefix join, not the verify join.
+
+    Everything stays integer: prefix length via ⌈τ·n⌉ =
+    (tau_ppm·n + 999999) div 1e6, the threshold as
+    1e6·inter ≥ tau_ppm·(n_a + n_b − inter), and the reported score as
+    jacc_ppm = 1e6·inter div union. Reference parity: the exact tier
+    under uniquevalues/uniquevalues.go's property de-dup, re-expressed
+    as the published prefix-filter candidate scheme (Chaudhuri et al.,
+    ICDE'06; Xiao et al., WWW'08)."""
+    sh = (df.select(F.col(key).alias("key"),
+                    F.explode(_shingles(F.col(text_col), shingle_k))
+                    .alias("s"))
+          .localCheckpoint(eager=False))  # reused: rank, verify, counts
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
+    w = Window.partitionBy("key").orderBy("df_s", "s")
+    ranked = (sh.join(dfreq, "s")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy("key"))))
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr(
+            f"n - (({tau_ppm} * n + 999999) div 1000000) + 1")
+    ).select("key", "s", "n")
+    cand = (prefix.select(F.col("key").alias("a"), "s",
+                          F.col("n").alias("na"))
+            .join(prefix.select(F.col("key").alias("b"), "s",
+                                F.col("n").alias("nb")), "s")
+            .filter((F.col("a") < F.col("b"))
+                    & (F.lit(tau_ppm) * F.greatest("na", "nb")
+                       <= F.lit(1_000_000) * F.least("na", "nb")))
+            .select("a", "b", "na", "nb").distinct())
+    inter = (cand.join(sh.select(F.col("key").alias("a"), "s"), "a")
+             .join(sh.select(F.col("key").alias("b"), "s"), ["b", "s"])
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .filter(F.lit(1_000_000) * F.col("inter")
+                    >= F.lit(tau_ppm)
+                    * (F.col("na") + F.col("nb") - F.col("inter")))
+            .select("a", "b", "inter", "na", "nb",
+                    F.expr("1000000 * inter div (na + nb - inter)")
+                    .alias("jacc_ppm")))
+
+
 def near_dup_components(pairs: DataFrame, a: str = "a", b: str = "b",
                         max_iters: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph → one
