@@ -9413,6 +9413,124 @@ def _rect_prefix_counts_sql() -> str:
         GROUP BY 1, 2, 3, 4, 5"""
 
 
+# ---------------------------------------------------------------------------
+# batch 60 — bounded weighted shortest path, Allen interval-relation census
+# ---------------------------------------------------------------------------
+
+
+def _host_wedges(spark):
+    # weighted host-link edges: the shared _host_edges mint plus a
+    # deterministic integer latency weight 10..99 per UNDIRECTED pair
+    # (hash60 of the canonicalised "u>v" string, so both directions and
+    # both engines agree)
+    ed = _host_edges(spark)
+    u = F.least("src_host", "dst_host")
+    v = F.greatest("src_host", "dst_host")
+    w = F.pmod(phash.hash60(F.concat(u, F.lit(">"), v)), F.lit(90)) + F.lit(10)
+    return ed.select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"), w.alias("w"))
+
+
+def _host_wedges_cte() -> str:
+    h = phash.sql_hash60("least(src, dst) || '>' || greatest(src, dst)")
+    return (_host_edges_cte() + f""",
+        wed AS (SELECT src, dst, {h} % 90 + 10 AS w FROM ed)""")
+
+
+def q_sssp_w3(spark, sf):
+    # bounded-hop WEIGHTED shortest path from the seed hosts over the
+    # link graph with minted integer latencies — the weighted sibling of
+    # bfs_hops3 ("cheapest crawl route within 3 hops"). Bellman-Ford
+    # with a changed-set frontier (graph.sssp_bounded): round k relaxes
+    # only nodes improved in round k-1, so the per-round join shrinks as
+    # the wave settles. The oracle is the INDEPENDENT algorithm — full
+    # ≤3-edge walk enumeration with one final min, no relaxation — so a
+    # green row checks the frontier delta argument end to end.
+    from geobuf_spark.operators import graph
+    ed = _host_wedges(spark)
+    nodes = (ed.select(F.col("src").alias("host"))
+             .unionByName(ed.select(F.col("dst").alias("host")))
+             .distinct())
+    seeds = nodes.filter(F.col("host").endswith("00.example"))
+    return graph.sssp_bounded(ed, seeds, max_rounds=3)
+
+
+def _sssp_w3_sql() -> str:
+    from geobuf_spark.operators import graph
+    return graph.sql_sssp_bounded(_host_wedges_cte(),
+                                  "n LIKE '%00.example'", max_rounds=3)
+
+
+def q_allen_census(spark, sf):
+    # Allen interval-algebra census over CONSECUTIVE per-user event
+    # intervals (the interval_union_time mint): classify each (earlier,
+    # next) pair by its exact temporal relation — precedes / meets /
+    # overlaps / finished_by / contains / starts / equals / started_by
+    # (the 8 relations possible once pairs are ordered by start) — and
+    # count pairs + distinct users per relation. This is the diagnostic
+    # that sizes session gap thresholds: "do successive intervals chain,
+    # overlap, or nest?". Intervals live on a 600 s lattice (start
+    # snapped down, duration 1..24 lattice steps) so the boundary
+    # relations (meets/starts/finished_by/started_by) actually occur —
+    # raw-second timestamps never tie. One window shuffle on user_id,
+    # everything else integer comparisons; output ≤8 rows.
+    from pyspark.sql import Window as Win
+    u = F.unix_timestamp("ts")
+    s0 = (u - F.pmod(u, F.lit(600)))
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", s0.alias("s"),
+        (s0 + (F.pmod(F.col("event_id"), F.lit(24)) + 1) * 600).alias("e"),
+        "event_id")
+    w = Win.partitionBy("user_id").orderBy("s", "event_id")
+    p = (ev.select("user_id", "s", "e",
+                   F.lead("s").over(w).alias("s2"),
+                   F.lead("e").over(w).alias("e2"))
+         .filter(F.col("s2").isNotNull()))
+    s, e, s2, e2 = F.col("s"), F.col("e"), F.col("s2"), F.col("e2")
+    rel = (F.when(e < s2, "precedes")
+           .when(e == s2, "meets")
+           .when((s < s2) & (e < e2), "overlaps")
+           .when((s < s2) & (e == e2), "finished_by")
+           .when(s < s2, "contains")
+           .when(e < e2, "starts")
+           .when(e == e2, "equals")
+           .otherwise("started_by"))
+    return (p.select("user_id", rel.alias("rel"))
+            .groupBy("rel")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _allen_census_sql() -> str:
+    return f"""
+        WITH ev AS (SELECT user_id,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600
+                               AS s,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600
+                               + ((event_id % 24) + 1) * 600 AS e, event_id
+                    FROM events),
+        p AS (SELECT user_id, s, e,
+                     lead(s) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id) AS s2,
+                     lead(e) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id) AS e2
+              FROM ev)
+        SELECT CASE
+                 WHEN e < s2 THEN 'precedes'
+                 WHEN e = s2 THEN 'meets'
+                 WHEN s < s2 AND e < e2 THEN 'overlaps'
+                 WHEN s < s2 AND e = e2 THEN 'finished_by'
+                 WHEN s < s2 THEN 'contains'
+                 WHEN e < e2 THEN 'starts'
+                 WHEN e = e2 THEN 'equals'
+                 ELSE 'started_by'
+               END AS rel,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM p WHERE s2 IS NOT NULL
+        GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9435,6 +9553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "sssp_w3": q_sssp_w3,
+        "allen_census": q_allen_census,
         "ssjoin_prefix": q_ssjoin_prefix,
         "rect_prefix_counts": q_rect_prefix_counts,
         "kde_cells": q_kde_cells,
@@ -11549,6 +11669,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_sql(),
         "link_prediction_ra": _link_prediction_ra_sql(),
         "bfs_hops3": _bfs_hops3_sql(),
+        "sssp_w3": _sssp_w3_sql(),
+        "allen_census": _allen_census_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

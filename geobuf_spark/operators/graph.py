@@ -462,3 +462,77 @@ def sql_bfs_hops(edges_cte: str, seed_pred: str, max_hops: int = 3,
         bfs0 AS (SELECT n AS host, 0 AS hop FROM nodes WHERE {seed_pred}),
         {','.join(steps)}
         SELECT host, CAST(hop AS INT) AS hop FROM bfs{max_hops}"""
+
+
+def sssp_bounded(edges: DataFrame, seeds: DataFrame, max_rounds: int = 3,
+                 src: str = "src", dst: str = "dst",
+                 weight: str = "w") -> DataFrame:
+    """Bounded-hop weighted shortest path over the undirected weighted
+    simple graph: (host, dist) with dist = min total weight over any path
+    of ≤ max_rounds edges from any seed (integer weights, exact).
+
+    Bellman-Ford with a changed-set frontier: round k relaxes only the
+    nodes whose distance improved in round k-1 — the classical delta
+    argument, so after k rounds dist is exactly the ≤k-edge-path minimum
+    while the per-round join shrinks as the wave settles (at web scale
+    most mass settles in 1-2 rounds around the seeds; the frontier join
+    is tiny thereafter). Multi-edges collapse to their min weight once,
+    up front. Each round is one join + one min-agg shuffle with
+    localCheckpoint lineage cuts — the bfs_hops/pagerank_int pattern.
+    The oracle twin (sql_sssp_bounded) is the INDEPENDENT algorithm:
+    full ≤k-edge walk enumeration with a final min, no relaxation."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"),
+                        F.col(weight).cast("bigint").alias("w"))
+           .filter(F.col("u") != F.col("v"))
+           .groupBy("u", "v").agg(F.min("w").alias("w")))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"), "w")
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb"), "w"))
+           .localCheckpoint(eager=False))
+    dist = seeds.select("host", F.lit(0).cast("bigint").alias("dist"))
+    frontier = dist
+    for _ in range(max_rounds):
+        relax = (frontier.join(adj, frontier["host"] == adj["n"])
+                 .select(F.col("nb").alias("host"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        nd = (dist.unionByName(relax)
+              .groupBy("host").agg(F.min("dist").alias("dist"))
+              .localCheckpoint(eager=False))
+        frontier = (nd.join(dist.withColumnRenamed("dist", "old"),
+                            "host", "left")
+                    .filter(F.col("old").isNull()
+                            | (F.col("dist") < F.col("old")))
+                    .select("host", "dist")
+                    .localCheckpoint(eager=False))
+        dist = nd
+    return dist.select("host", F.col("dist").cast("bigint").alias("dist"))
+
+
+def sql_sssp_bounded(wedges_cte: str, seed_pred: str,
+                     max_rounds: int = 3) -> str:
+    """DuckDB twin of sssp_bounded by a DIFFERENT algorithm: enumerate
+    every ≤max_rounds-edge walk from the seeds (chained CTEs p1..pk,
+    no per-round minimisation) and take one final min per node — walks
+    that revisit nodes can't beat the simple-path min, so the result is
+    identical. wedges_cte must end in wed(src, dst, w)."""
+    steps = []
+    for h in range(1, max_rounds + 1):
+        steps.append(f"""
+        p{h} AS (SELECT adj.nb AS host, p{h - 1}.d + adj.w AS d
+                 FROM p{h - 1} JOIN adj ON adj.n = p{h - 1}.host)""")
+    allp = "\n                 UNION ALL ".join(
+        f"SELECT host, d FROM p{h}" for h in range(max_rounds + 1))
+    return f"""
+        WITH {wedges_cte},
+        und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                       CAST(min(w) AS BIGINT) AS w
+                FROM wed WHERE src <> dst GROUP BY 1, 2),
+        adj AS (SELECT u AS n, v AS nb, w FROM und
+                UNION ALL SELECT v AS n, u AS nb, w FROM und),
+        nodes AS (SELECT DISTINCT n FROM adj),
+        p0 AS (SELECT n AS host, CAST(0 AS BIGINT) AS d FROM nodes
+               WHERE {seed_pred}),
+        {','.join(steps)}
+        SELECT host, CAST(min(d) AS BIGINT) AS dist
+        FROM ({allp}) GROUP BY 1"""
