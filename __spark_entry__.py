@@ -9531,6 +9531,125 @@ def _allen_census_sql() -> str:
         GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 61 — constant-folded Voronoi / k-means assignment step, CUSUM
+# changepoint scan
+# ---------------------------------------------------------------------------
+
+
+def q_voronoi_assign(spark, sf):
+    # one Lloyd iteration's assign+update over the clustered point mint:
+    # each point goes to its nearest of the 37 true cluster centers by
+    # EXACT integer d² (decimal(23) products — (Δ≤3.6e9)² overflows
+    # int64), ties broken by min site_id; per site emit the count, the
+    # exact integer centroid (floor(Σq/n) — decimal sums, so the same
+    # plan survives 10^12 rows where Σqx ~ 3.6e21), and own_ppm (the
+    # fraction minted from that center — cluster-recovery diagnostic).
+    # The site table is 37 plan-time constants: assignment is a pure
+    # projection via array_min over 37 structs — NO join, NO broadcast,
+    # whole-stage codegen end to end; the only exchange is the final
+    # 37-group map-side-combinable agg. The oracle is the INDEPENDENT
+    # plan: cross join × row_number over a range()-minted site relation.
+    from geobuf_spark.sources import minted
+    pts = minted.minted_cluster_points_q(spark, sf)
+    cand = []
+    for g, sx, sy in minted.cluster_centers():
+        dx = (F.col("qx") - F.lit(sx)).cast("decimal(11,0)")
+        dy = (F.col("qy") - F.lit(sy)).cast("decimal(11,0)")
+        cand.append(F.struct((dx * dx + dy * dy).alias("d2"),
+                             F.lit(g).alias("site_id")))
+    a = pts.select(
+        "doc_id", "qx", "qy",
+        F.array_min(F.array(*cand)).getField("site_id").alias("site_id"))
+    own = (F.col("doc_id") % minted.N_CLUSTERS
+           == F.col("site_id").cast("bigint")).cast("bigint")
+    return (a.groupBy("site_id")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(F.col("qx").cast("decimal(20,0)")).alias("sqx"),
+                 F.sum(F.col("qy").cast("decimal(20,0)")).alias("sqy"),
+                 F.sum(own).alias("n_own"))
+            .select("site_id",
+                    F.col("n_points").cast("bigint").alias("n_points"),
+                    F.floor(F.col("sqx") / F.col("n_points"))
+                    .cast("bigint").alias("cent_qx"),
+                    F.floor(F.col("sqy") / F.col("n_points"))
+                    .cast("bigint").alias("cent_qy"),
+                    F.expr("1000000 * n_own div n_points")
+                    .cast("bigint").alias("own_ppm")))
+
+
+def _voronoi_assign_sql() -> str:
+    from geobuf_spark.sources import minted
+    return f"""
+        WITH pts AS ({minted.sql_minted_cluster_points_q()}),
+        sites AS ({minted.sql_cluster_centers()}),
+        d AS (SELECT p.doc_id, p.qx, p.qy, s.site_id,
+                     CAST(p.qx - s.sx AS HUGEINT) * (p.qx - s.sx)
+                     + CAST(p.qy - s.sy AS HUGEINT) * (p.qy - s.sy) AS d2
+              FROM pts p CROSS JOIN sites s),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY d2, site_id) AS rn
+              FROM d)
+        SELECT site_id, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(CAST(sum(qx) AS HUGEINT) // count(*) AS BIGINT)
+                   AS cent_qx,
+               CAST(CAST(sum(qy) AS HUGEINT) // count(*) AS BIGINT)
+                   AS cent_qy,
+               CAST(1000000 * sum(CASE WHEN doc_id % {minted.N_CLUSTERS}
+                                            = site_id
+                                       THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS own_ppm
+        FROM r WHERE rn = 1 GROUP BY 1"""
+
+
+def q_cusum_days(spark, sf):
+    # CUSUM level-shift changepoint over the daily event-count series —
+    # the drift gate that catches "the crawler slowed down mid-month"
+    # (anomaly_days flags single burst days; this finds the sustained
+    # shift). Exact integers: with D days and T total events, the
+    # running sum of (n_d·D − T) is D × the classical CUSUM of (n_d −
+    # T/D); its |max| locates the changepoint (tie → earliest day) and
+    # it telescopes to exactly 0 at the end. The daily rollup is the
+    # only real exchange (map-side combinable); the window then runs
+    # over ≤ a few hundred day rows — a deliberate single-partition
+    # frame on a bounded series, same shape at any corpus size.
+    from pyspark.sql import Window as Win
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    days = ev.groupBy("day").agg(F.count("*").alias("n"))
+    wall = Win.partitionBy()
+    wcum = (Win.partitionBy().orderBy("day")
+            .rowsBetween(Win.unboundedPreceding, 0))
+    d = (days.withColumn("nd", F.count("*").over(wall))
+         .withColumn("tot", F.sum("n").over(wall))
+         .withColumn("cusum", F.sum(F.col("n") * F.col("nd")
+                                    - F.col("tot")).over(wcum)))
+    return (d.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+            .limit(1)
+            .select(F.col("day").cast("bigint").alias("day"),
+                    F.col("cusum").cast("bigint").alias("cusum_scaled"),
+                    F.col("n").cast("bigint").alias("n_day"),
+                    F.col("nd").cast("int").alias("n_days"),
+                    F.col("tot").cast("bigint").alias("total_events")))
+
+
+def _cusum_days_sql() -> str:
+    return """
+        WITH days AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                          AS day, count(*) AS n
+                      FROM events GROUP BY 1),
+        tot AS (SELECT count(*) AS nd, sum(n) AS tot FROM days),
+        c AS (SELECT day, n, nd, tot,
+                     sum(n * nd - tot) OVER (ORDER BY day) AS cusum
+              FROM days, tot)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(cusum AS BIGINT) AS cusum_scaled,
+               CAST(n AS BIGINT) AS n_day,
+               CAST(nd AS INT) AS n_days,
+               CAST(tot AS BIGINT) AS total_events
+        FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9553,6 +9672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "voronoi_assign": q_voronoi_assign,
+        "cusum_days": q_cusum_days,
         "sssp_w3": q_sssp_w3,
         "allen_census": q_allen_census,
         "ssjoin_prefix": q_ssjoin_prefix,
@@ -11671,6 +11792,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops3": _bfs_hops3_sql(),
         "sssp_w3": _sssp_w3_sql(),
         "allen_census": _allen_census_sql(),
+        "voronoi_assign": _voronoi_assign_sql(),
+        "cusum_days": _cusum_days_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -292,6 +292,30 @@ def sql_minted_cluster_points_q() -> str:
             f"CAST({cy} + {oy} AS BIGINT) AS qy FROM documents")
 
 
+def cluster_centers(n_clusters: int = N_CLUSTERS) -> list:
+    """The n cluster centers as plain python ints [(g, cx, cy)] — the same
+    values cluster_points_from assigns, so a nearest-center query can fold
+    the site table into constant expressions (no join at all). Python's
+    arbitrary-precision (g·mult·LON_MULT) % span equals the engines'
+    overflow-safe split-mulmod exactly."""
+    return [(g,
+             (g * _CLX_MULT * LON_MULT) % _CLX_SPAN,
+             (g * _CLY_MULT * LAT_MULT) % _CLY_SPAN)
+            for g in range(n_clusters)]
+
+
+def sql_cluster_centers(n_clusters: int = N_CLUSTERS) -> str:
+    """DuckDB sites relation (site_id, sx, sy) by the INDEPENDENT route:
+    range() + the shared split-mulmod expression text (the python twin
+    above multiplies directly)."""
+    cx = _sql_mulmod(f"g * {_CLX_MULT}", LON_MULT, _CLX_SPAN)
+    cy = _sql_mulmod(f"g * {_CLY_MULT}", LAT_MULT, _CLY_SPAN)
+    return (f"SELECT CAST(g AS INT) AS site_id, CAST({cx} AS BIGINT) AS sx, "
+            f"CAST({cy} AS BIGINT) AS sy "
+            f"FROM (SELECT CAST(range AS BIGINT) AS g "
+            f"FROM range(0, {n_clusters}))")
+
+
 def walk_lines_from(base: DataFrame, k: int = 9) -> DataFrame:
     """k-vertex walk polylines from any (doc_id, qx, qy) base frame —
     shared by the fixture readers and the stress harnesses (which mint
