@@ -9650,6 +9650,157 @@ def _cusum_days_sql() -> str:
         FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 62 — MMR diversified top-k selection, per-language TF-IDF
+# characteristic terms
+# ---------------------------------------------------------------------------
+
+MMR_K = 3          # selections (bounded constant — one 1-row driver
+MMR_LAM = 200      # round-trip per pick, never data-sized)
+
+
+def q_mmr_topk(spark, sf):
+    # Maximal-Marginal-Relevance diversified selection — the dedup-aware
+    # "pick k exemplar documents" step of a training-data curation
+    # pipeline. Greedy, exact integers: rel(d) = |distinct 3-shingles|,
+    # round r picks argmax of 1e6·rel − MMR_LAM·maxsim_ppm where
+    # maxsim_ppm is the max exact Jaccard (ppm, floor) against the
+    # already-selected docs; ties → min doc_id. Each round is ONE
+    # distributed argmax (orderBy→limit 1); the selected shingle sets
+    # ride along as plan literals (array_intersect against a constant
+    # array — no join), so per-round cost is a projection + top-1, and
+    # only MMR_K=3 single-row collects touch the driver (the loop lives
+    # in operators/similarity.mmr_select). The oracle is the same greedy
+    # chain as materialized chained CTEs with an inverted shingle JOIN
+    # for the intersections — an independent formulation of every
+    # intersection/union.
+    from geobuf_spark.operators import similarity
+    sel = similarity.mmr_select(_docs(spark, sf), key="doc_id",
+                                k=MMR_K, lam=MMR_LAM)
+    out = [(rank, int(key), rel, maxsim, score)
+           for rank, key, rel, maxsim, score in sel]
+    return spark.createDataFrame(
+        out, "rank int, doc_id bigint, rel bigint, maxsim_ppm bigint, "
+             "score bigint")
+
+
+def _mmr_topk_sql(k_rounds: int = MMR_K, lam: int = MMR_LAM) -> str:
+    # chained greedy rounds; round r computes sim against each of the
+    # r−1 previously-picked docs by an inverted shingle join
+    parts = [f"""
+        d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
+              FROM documents),
+        sh0 AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2),
+                                                chr(31)))) AS shs
+                FROM d),
+        rel AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS rel FROM sh0),
+        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+        p1 AS (SELECT doc_id, rel, CAST(0 AS BIGINT) AS maxsim,
+                      1000000 * rel AS score
+               FROM rel ORDER BY rel DESC, doc_id LIMIT 1)"""]
+    for r in range(2, k_rounds + 1):
+        prev = " UNION ALL ".join(f"SELECT doc_id FROM p{j}"
+                                  for j in range(1, r))
+        sims = []
+        for j in range(1, r):
+            sims.append(f"""
+        i{r}_{j} AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS inter
+                     FROM sh a JOIN sh b ON a.s = b.s
+                     WHERE b.doc_id = (SELECT doc_id FROM p{j})
+                     GROUP BY 1),
+        s{r}_{j} AS (SELECT r.doc_id,
+                            coalesce(1000000 * i.inter
+                                     // (r.rel + (SELECT rel FROM rel
+                                                  WHERE doc_id =
+                                                  (SELECT doc_id FROM p{j}))
+                                        - i.inter), 0) AS sim
+                     FROM rel r LEFT JOIN i{r}_{j} i USING (doc_id))""")
+        greatest = "greatest(" + ", ".join(
+            f"s{r}_{j}.sim" for j in range(1, r)) + ")"
+        joins = " ".join(f"JOIN s{r}_{j} USING (doc_id)"
+                         for j in range(1, r))
+        parts.append(",".join(sims) + f""",
+        c{r} AS (SELECT rel.doc_id, rel.rel, {greatest} AS maxsim,
+                        1000000 * rel.rel - {lam} * {greatest} AS score
+                 FROM rel {joins}
+                 WHERE rel.doc_id NOT IN ({prev})),
+        p{r} AS (SELECT doc_id, rel, CAST(maxsim AS BIGINT) AS maxsim,
+                        CAST(score AS BIGINT) AS score
+                 FROM c{r} ORDER BY score DESC, doc_id LIMIT 1)""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rank, doc_id, rel, maxsim, score FROM p{r}"
+        for r in range(1, k_rounds + 1))
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT CAST(rank AS INT) AS rank, doc_id, rel,
+               CAST(maxsim AS BIGINT) AS maxsim_ppm,
+               CAST(score AS BIGINT) AS score
+        FROM ({sel})""")
+
+
+def q_tfidf_top_terms(spark, sf):
+    # per-language characteristic PHRASES: group-level TF-IDF with the
+    # languages as the "documents" and token trigrams as the terms
+    # (unigram df is vacuous on a shared vocabulary — the corpus's 31
+    # base tokens appear in every language; trigram coverage differs).
+    # tf = trigram occurrences inside the lang, df = number of langs
+    # containing it, N = number of langs; score = (1e6·tf·N) div df,
+    # EXACT integer (no log — ranking inside a fixed N is identical and
+    # the oracle hashes). Top-3 per lang, ties → lexicographically
+    # first term. Trigram agg is map-side combinable; the df side joins
+    # on term (shuffle); the final window runs per lang.
+    from pyspark.sql import Window as Win
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws("\x1f", F.slice(toks, i, 3)))
+    tok = d.select("lang", F.explode(grams).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("lang").alias("df"))
+    nl = d.select(F.countDistinct("lang").alias("nl"))
+    j = (tf.join(df_, "term").crossJoin(F.broadcast(nl))
+         .withColumn("score", F.expr("1000000 * tf * nl div df")))
+    w = Win.partitionBy("lang").orderBy(F.col("score").desc(),
+                                        F.col("term").asc())
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("lang", "term", F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("rn").cast("int").alias("rank"),
+                    F.col("score").cast("bigint").alias("score")))
+
+
+def _tfidf_top_terms_sql() -> str:
+    return """
+        WITH d AS (SELECT lang, string_split(text, chr(32)) AS toks
+                   FROM documents),
+        tok AS (SELECT lang,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2),
+                                                chr(31)))) AS term
+                FROM d),
+        tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT lang) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        nl AS (SELECT count(DISTINCT lang) AS nl FROM documents),
+        j AS (SELECT tf.lang, tf.term, tf.tf, df.df,
+                     1000000 * tf.tf * nl.nl // df.df AS score
+              FROM tf JOIN df USING (term), nl),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, term ASC)
+                  AS rank
+              FROM j)
+        SELECT lang, term, tf, df, CAST(rank AS INT) AS rank,
+               CAST(score AS BIGINT) AS score
+        FROM r WHERE rank <= 3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9672,6 +9823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "mmr_topk": q_mmr_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "voronoi_assign": q_voronoi_assign,
         "cusum_days": q_cusum_days,
         "sssp_w3": q_sssp_w3,
@@ -11794,6 +11947,8 @@ def oracle_sql() -> dict[str, str]:
         "allen_census": _allen_census_sql(),
         "voronoi_assign": _voronoi_assign_sql(),
         "cusum_days": _cusum_days_sql(),
+        "mmr_topk": _mmr_topk_sql(),
+        "tfidf_top_terms": _tfidf_top_terms_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

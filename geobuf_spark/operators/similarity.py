@@ -607,3 +607,57 @@ def cosine_near_pairs(vectors: DataFrame, threshold: float = 0.9, *,
 
     scored = _cosine_refine(pairs, "a", "b", "ea", "eb")
     return scored.filter(F.col("cos") >= F.lit(threshold)).select("a", "b", "cos")
+
+
+def mmr_select(docs: DataFrame, key: str = "doc_id", text_col: str = "text",
+               k: int = 3, lam: int = 200, shingle_k: int = 3) -> list:
+    """Greedy Maximal-Marginal-Relevance selection of k exemplar
+    documents — the diversity-aware "pick representatives" step of a
+    curation pipeline. Exact integers end to end: rel(d) = |distinct
+    shingle_k-token shingles|, round r maximizes 1e6·rel −
+    lam·maxsim_ppm where maxsim_ppm is the max floor-ppm Jaccard against
+    the already-selected docs; ties → min key.
+
+    Each round is ONE distributed argmax (orderBy → limit 1). The
+    selected shingle sets ride along as plan literals (array_intersect
+    against a constant array — no join), so per-round cost is a
+    projection + top-1 over the corpus and exactly k single-row collects
+    touch the driver; k is a small constant, never data-sized. Returns
+    [(rank, key, rel, maxsim_ppm, score)].
+    """
+    from geobuf_spark.operators import dedup
+
+    sh = (docs.select(F.col(key).alias("_k"),
+                      dedup._shingles(F.col(text_col), shingle_k)
+                      .alias("shs"))
+          .withColumn("rel", F.size("shs").cast("bigint"))
+          .localCheckpoint(eager=False))
+    sel = []  # (key, rel, maxsim, score, shingle_list)
+    for _ in range(k):
+        df = sh
+        sims = []
+        for j, (_, _, _, _, shl) in enumerate(sel):
+            lit = F.array(*[F.lit(s) for s in shl])
+            df = df.withColumn(
+                f"i{j}",
+                F.size(F.array_intersect("shs", lit)).cast("bigint"))
+            sims.append(F.expr(
+                f"1000000 * i{j} div (rel + {len(shl)} - i{j})"))
+        if not sims:
+            maxsim = F.lit(0).cast("bigint")
+        elif len(sims) == 1:
+            maxsim = sims[0]
+        else:
+            maxsim = F.greatest(*sims)
+        df = df.withColumn("maxsim", maxsim)
+        df = df.withColumn(
+            "score", F.expr(f"1000000 * rel - {lam} * maxsim"))
+        if sel:
+            df = df.filter(~F.col("_k").isin([s[0] for s in sel]))
+        row = (df.orderBy(F.col("score").desc(), F.col("_k").asc())
+               .limit(1).select("_k", "rel", "maxsim", "score", "shs")
+               .collect()[0])
+        sel.append((row["_k"], row["rel"], row["maxsim"], row["score"],
+                    row["shs"]))
+    return [(r + 1, s[0], int(s[1]), int(s[2]), int(s[3]))
+            for r, s in enumerate(sel)]
