@@ -9801,6 +9801,93 @@ def _tfidf_top_terms_sql() -> str:
         FROM r WHERE rank <= 3"""
 
 
+# ---------------------------------------------------------------------------
+# batch 63 — label-propagation communities, consistent-hash ring sharding
+# ---------------------------------------------------------------------------
+
+N_VNODES = 64
+
+
+def q_lpa_communities(spark, sf):
+    # community detection over the host link graph by 2 rounds of
+    # deterministic synchronous label propagation (graph.lpa_labels:
+    # neighbor-majority + one self-vote, ties → lexicographically
+    # smallest label — partitioning-invariant by construction). Output
+    # is the community census (label, n_hosts), the input to "sample
+    # training pages per community" stratification. Oracle: the same
+    # rounds as MATERIALIZED chained CTEs — independent engine, same
+    # fixpoint; a python brute guards the shared-formula blindness.
+    from geobuf_spark.operators import graph
+    lab = graph.lpa_labels(
+        _host_edges(spark).select(F.col("src_host").alias("src"),
+                                  F.col("dst_host").alias("dst")),
+        rounds=2)
+    return (lab.groupBy(F.col("lab").alias("community"))
+            .agg(F.count("*").alias("n_hosts"),
+                 F.min("host").alias("first_host")))
+
+
+def _lpa_communities_sql() -> str:
+    from geobuf_spark.operators import graph
+    inner = graph.sql_lpa_labels(_host_edges_cte(), rounds=2)
+    return f"""
+        SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_hosts,
+               min(host) AS first_host
+        FROM ({inner}) GROUP BY 1"""
+
+
+def q_consistent_shards(spark, sf):
+    # consistent-hashing ring assignment — the shard router that keeps
+    # rebalance bounded to 1/V of keys when a vnode joins/leaves. The
+    # V=64 vnode ring positions are hash60("vnode:v") computed at PLAN
+    # TIME in python (phash.py_hash60 is bit-identical to both engines'
+    # column md5), so assignment is a pure projection: successor = the
+    # (count of ring positions < h)-th entry of the sorted-position
+    # constant array, wrapping past the top — no join, no broadcast;
+    # the only exchange is the 64-group balance rollup. Oracle: the
+    # INDEPENDENT plan — range()-minted ring, cross join, FILTERed min
+    # successor, wrap via global min.
+    from geobuf_spark.functions import phash
+    ring = sorted((phash.py_hash60(f"vnode:{v}"), v)
+                  for v in range(N_VNODES))
+    pos_arr = F.array(*[F.lit(p).cast("bigint") for p, _ in ring])
+    ids_arr = F.array(*[F.lit(v) for _, v in ring])
+    d = _docs(spark, sf).select(
+        "doc_id",
+        phash.hash60(F.concat(F.lit("doc:"),
+                              F.col("doc_id").cast("string"))).alias("h"))
+    cnt = F.size(F.filter(pos_arr, lambda p: p < F.col("h")))
+    vnode = F.element_at(ids_arr, F.pmod(cnt, F.lit(N_VNODES)) + F.lit(1))
+    return (d.withColumn("vnode", vnode)
+            .groupBy("vnode")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("h").alias("min_h"), F.max("h").alias("max_h"))
+            .select(F.col("vnode").cast("int").alias("vnode"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    "min_h", "max_h"))
+
+
+def _consistent_shards_sql() -> str:
+    from geobuf_spark.functions import phash
+    vh = phash.sql_hash60("'vnode:' || CAST(v AS VARCHAR)")
+    dh = phash.sql_hash60("'doc:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH ring AS (SELECT CAST(v AS INT) AS vnode,
+                             {vh} AS pos
+                      FROM (SELECT CAST(range AS BIGINT) AS v
+                            FROM range(0, {N_VNODES}))),
+        docs AS (SELECT doc_id, {dh} AS h FROM documents),
+        succ AS (SELECT d.doc_id, d.h,
+                        coalesce(min(r.pos) FILTER (WHERE r.pos >= d.h),
+                                 min(r.pos)) AS tpos
+                 FROM docs d CROSS JOIN ring r
+                 GROUP BY 1, 2)
+        SELECT r.vnode, CAST(count(*) AS BIGINT) AS n_docs,
+               min(s.h) AS min_h, max(s.h) AS max_h
+        FROM succ s JOIN ring r ON r.pos = s.tpos
+        GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9823,6 +9910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "lpa_communities": q_lpa_communities,
+        "consistent_shards": q_consistent_shards,
         "mmr_topk": q_mmr_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "voronoi_assign": q_voronoi_assign,
@@ -11949,6 +12038,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_days": _cusum_days_sql(),
         "mmr_topk": _mmr_topk_sql(),
         "tfidf_top_terms": _tfidf_top_terms_sql(),
+        "lpa_communities": _lpa_communities_sql(),
+        "consistent_shards": _consistent_shards_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -44,3 +44,12 @@ def sql_hash60_parts(*exprs: str) -> str:
     """DuckDB twin of hash60_parts (casts each part to VARCHAR)."""
     joined = f" || chr(30) || ".join(f"CAST(({e}) AS VARCHAR)" for e in exprs)
     return sql_hash60(joined)
+
+
+def py_hash60(s: str) -> int:
+    """Python twin of hash60 — lets a query fold small deterministic hash
+    tables (vnode ring positions, planted keys) into plan-time constants
+    that both engines' column hashes will agree with."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -22,7 +22,7 @@ multiplicity (a host linking twice contributes twice).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000  # rank 1.0 in micro-units
@@ -536,3 +536,69 @@ def sql_sssp_bounded(wedges_cte: str, seed_pred: str,
         {','.join(steps)}
         SELECT host, CAST(min(d) AS BIGINT) AS dist
         FROM ({allp}) GROUP BY 1"""
+
+
+def lpa_labels(edges: DataFrame, rounds: int = 2,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation over the undirected simple graph:
+    (host, lab) after `rounds` rounds. Every node starts labeled with
+    itself; each round it re-labels to the most frequent label among its
+    neighbors PLUS its own current label (one self-vote — damps 2-cycle
+    flapping), ties broken by the lexicographically smallest label, so
+    the result is fully deterministic and partitioning-invariant.
+
+    Each round is one shuffle join (labels by node) + one count agg +
+    one per-node argmax window, with localCheckpoint lineage cuts — the
+    pagerank_int/bfs_hops shape. Community detection this way is the
+    standard near-linear web-graph method (Raghavan et al. 2007); the
+    deterministic tie-break trades some community quality for exact
+    reproducibility, which the 10^12-page dedup pipeline needs more."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb")))
+           .localCheckpoint(eager=False))
+    lab = (adj.select(F.col("n").alias("host")).distinct()
+           .withColumn("lab", F.col("host")))
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(),
+                                        F.col("lab").asc())
+    for _ in range(rounds):
+        nbr = (adj.join(lab, adj["nb"] == lab["host"])
+               .select("n", "lab"))
+        votes = nbr.unionAll(lab.select(F.col("host").alias("n"), "lab"))
+        cnt = votes.groupBy("n", "lab").agg(F.count("*").alias("c"))
+        lab = (cnt.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select(F.col("n").alias("host"), "lab")
+               .localCheckpoint(eager=False))
+    return lab
+
+
+def sql_lpa_labels(edges_cte: str, rounds: int = 2) -> str:
+    """DuckDB twin of lpa_labels — same synchronous rounds as chained
+    MATERIALIZED CTEs (plain CTEs re-inline exponentially, the kcore
+    lesson). edges_cte must end in ed(src, dst)."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+        v{r} AS MATERIALIZED (
+            SELECT a.n, l.lab FROM adj a JOIN l{r - 1} l ON l.host = a.nb
+            UNION ALL SELECT host, lab FROM l{r - 1}),
+        c{r} AS (SELECT n, lab, count(*) AS c FROM v{r} GROUP BY 1, 2),
+        l{r} AS MATERIALIZED (
+            SELECT n AS host, lab
+            FROM (SELECT *, row_number() OVER (PARTITION BY n
+                      ORDER BY c DESC, lab ASC) AS rn FROM c{r})
+            WHERE rn = 1)""")
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst)
+                    AS v
+                FROM ed WHERE src <> dst),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        l0 AS (SELECT DISTINCT n AS host, n AS lab FROM adj),
+        {','.join(steps)}
+        SELECT host, lab FROM l{rounds}"""
