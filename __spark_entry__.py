@@ -9888,6 +9888,140 @@ def _consistent_shards_sql() -> str:
         GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 64 — nearest-either-direction as-of join, exact collinear
+# polyline simplification
+# ---------------------------------------------------------------------------
+
+ASOF_NEAR_TOL = 86_400  # 1 day — partial coverage at fixture density
+
+
+def q_asof_nearest(spark, sf):
+    # attribution when causality can run either way: each purchase joins
+    # its NEAREST view by the same user within ±1 day (asof_purchase_view
+    # is the backward-only sibling). temporal.asof_nearest: one union +
+    # one user exchange; backward candidate via last() over the
+    # preceding frame, forward via first() over the following frame —
+    # |Δ| ties prefer backward, equal-ts ties the min view id, so the
+    # result is fully deterministic. The oracle is the INDEPENDENT
+    # algorithm — tolerance band join + per-purchase argmin by
+    # (|dt|, dt, vid) — so a green row checks the two-window frame
+    # logic end to end.
+    from geobuf_spark.operators import temporal
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.unix_timestamp("ts").alias("te")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("view_id"),
+                 F.unix_timestamp("ts").alias("te")))
+    out = temporal.asof_nearest(p, v, key="user_id", ts="te",
+                                right_id="view_id", tol=ASOF_NEAR_TOL)
+    return out.select("user_id", "purchase_id",
+                      F.col("view_id").cast("bigint").alias("view_id"),
+                      F.col("dt_sec").cast("bigint").alias("dt_sec"))
+
+
+def _asof_nearest_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          event_type
+                   FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, te FROM e
+              WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, event_id AS view_id, te AS tv FROM e
+              WHERE event_type = 'view'),
+        j AS (SELECT p.user_id, p.purchase_id, p.te, v.view_id,
+                     v.tv - p.te AS dt
+              FROM p JOIN v USING (user_id)
+              WHERE abs(v.tv - p.te) <= {ASOF_NEAR_TOL}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+                  ORDER BY abs(dt), dt, view_id) AS rn
+              FROM j)
+        SELECT user_id, purchase_id, CAST(view_id AS BIGINT) AS view_id,
+               CAST(dt AS BIGINT) AS dt_sec
+        FROM r WHERE rn = 1"""
+
+
+def q_simplify_collinear(spark, sf):
+    # exact collinear-vertex removal (the integer-predicate sibling of
+    # simplify_vw): one pass marks interior vertex i iff
+    # cross(v_{i-1}, v_i, v_{i+1}) == 0 with ORIGINAL neighbors, then
+    # drops marked — deterministic, no epsilon. Input plants exact
+    # midpoints on the doubled lattice between each pair of walk
+    # vertices (17 per line), so the 8 planted vertices must vanish —
+    # and the walk mint's constant-step deltas (mulmod wraps aside)
+    # make many ORIGINAL triples exactly collinear too, so the pass
+    # does real compression beyond the plant (pytest pins both).
+    # Everything is a fixed-width unrolled projection (17 coordinate
+    # expressions, 15 cross products) — zero joins, zero shuffles, pure
+    # whole-stage codegen; per-row output keeps the hash surface.
+    from geobuf_spark.sources import minted
+    w = minted.minted_walk_lines_q(spark, sf)
+    ex = [F.element_at("xs_q", i + 1) for i in range(9)]
+    ey = [F.element_at("ys_q", i + 1) for i in range(9)]
+    x2, y2 = [], []
+    for i in range(17):
+        if i % 2 == 0:
+            x2.append(ex[i // 2] * 2)
+            y2.append(ey[i // 2] * 2)
+        else:
+            x2.append(ex[(i - 1) // 2] + ex[(i + 1) // 2])
+            y2.append(ey[(i - 1) // 2] + ey[(i + 1) // 2])
+    kept = [F.lit(True)]
+    for i in range(1, 16):
+        cr = ((x2[i] - x2[i - 1]) * (y2[i + 1] - y2[i - 1])
+              - (y2[i] - y2[i - 1]) * (x2[i + 1] - x2[i - 1]))
+        kept.append(cr != F.lit(0))
+    kept.append(F.lit(True))
+    n_after = sum(k.cast("int") for k in kept)
+    sx = sum(F.when(kept[i], x2[i]).otherwise(F.lit(0)) for i in range(17))
+    sy = sum(F.when(kept[i], y2[i]).otherwise(F.lit(0)) for i in range(17))
+    return w.select("doc_id", n_after.cast("int").alias("n_after"),
+                    sx.cast("bigint").alias("sum_kept_x"),
+                    sy.cast("bigint").alias("sum_kept_y"))
+
+
+def _simplify_collinear_sql() -> str:
+    from geobuf_spark.sources import minted
+    xs, ys = minted.sql_minted_walk_coords(9)
+    base = ", ".join([f"{xs[i]} AS x{i}" for i in range(9)]
+                     + [f"{ys[i]} AS y{i}" for i in range(9)])
+    v2 = []
+    for i in range(17):
+        if i % 2 == 0:
+            v2.append(f"2*x{i // 2} AS a{i}")
+            v2.append(f"2*y{i // 2} AS b{i}")
+        else:
+            v2.append(f"x{(i - 1) // 2} + x{(i + 1) // 2} AS a{i}")
+            v2.append(f"y{(i - 1) // 2} + y{(i + 1) // 2} AS b{i}")
+    keeps = ["TRUE"]
+    for i in range(1, 16):
+        keeps.append(
+            f"((a{i} - a{i - 1}) * (b{i + 1} - b{i - 1})"
+            f" - (b{i} - b{i - 1}) * (a{i + 1} - a{i - 1})) <> 0")
+    keeps.append("TRUE")
+    kcols = ", ".join(f"({keeps[i]}) AS k{i}" for i in range(17))
+    n_after = " + ".join(f"CASE WHEN k{i} THEN 1 ELSE 0 END"
+                         for i in range(17))
+    sx = " + ".join(f"CASE WHEN k{i} THEN a{i} ELSE 0 END"
+                    for i in range(17))
+    sy = " + ".join(f"CASE WHEN k{i} THEN b{i} ELSE 0 END"
+                    for i in range(17))
+    return f"""
+        WITH w AS (SELECT doc_id, {base} FROM documents),
+        v AS (SELECT doc_id, {', '.join(v2)} FROM w),
+        k AS (SELECT doc_id, {kcols},
+                     {', '.join(f'a{i}' for i in range(17))},
+                     {', '.join(f'b{i}' for i in range(17))}
+              FROM v)
+        SELECT doc_id, CAST({n_after} AS INT) AS n_after,
+               CAST({sx} AS BIGINT) AS sum_kept_x,
+               CAST({sy} AS BIGINT) AS sum_kept_y
+        FROM k"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -9910,6 +10044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "asof_nearest": q_asof_nearest,
+        "simplify_collinear": q_simplify_collinear,
         "lpa_communities": q_lpa_communities,
         "consistent_shards": q_consistent_shards,
         "mmr_topk": q_mmr_topk,
@@ -12040,6 +12176,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_top_terms_sql(),
         "lpa_communities": _lpa_communities_sql(),
         "consistent_shards": _consistent_shards_sql(),
+        "asof_nearest": _asof_nearest_sql(),
+        "simplify_collinear": _simplify_collinear_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

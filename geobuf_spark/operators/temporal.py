@@ -87,3 +87,61 @@ def range_bucket_join(left: DataFrame, right: DataFrame, *, key: str,
         .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) <= F.col(hi)))
         .drop("_b")
     )
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, *, key: str, ts: str,
+                 right_id: str, tol: int) -> DataFrame:
+    """For each left row: the id and signed delta of the NEAREST right
+    row on the same key within |right.ts − left.ts| ≤ tol, in either
+    direction (asof_join is backward-only). Ties on |Δ| prefer the
+    backward match; equal-ts right rows resolve to the min right_id.
+    Inner semantics — left rows with no candidate in tolerance drop.
+
+    Same shape as asof_join: ONE union + ONE partition-by-key exchange;
+    the backward candidate comes from last() over the preceding frame,
+    the forward one from first() over the following frame (two sorts,
+    one shuffle — Spark reuses the exchange). dt = right.ts − left.ts
+    (backward ≤ 0, forward > 0)."""
+    l = left.select(
+        F.col(key).alias("_k"), F.col(ts).cast("bigint").alias("_t"),
+        F.lit(1).alias("_probe"),
+        *[F.col(c) for c in left.columns if c not in (key, ts)],
+        F.lit(None).cast("struct<t:bigint,rid:bigint>").alias("_r"),
+    )
+    r = right.filter(F.col(ts).isNotNull()).select(
+        F.col(key).alias("_k"), F.col(ts).cast("bigint").alias("_t"),
+        F.lit(0).alias("_probe"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, ts)],
+        F.struct(F.col(ts).cast("bigint").alias("t"),
+                 F.col(right_id).cast("bigint").alias("rid")).alias("_r"),
+    )
+    u = l.unionByName(r)
+    # backward: build rows sort BEFORE probes at equal ts (dt=0 counts as
+    # backward); among equal-ts builds, rid DESC so last() lands on the
+    # min rid. forward: frame starts at the probe, so equal-ts builds
+    # (sorted before it) are excluded; rid ASC so first() is the min rid.
+    wb = (Window.partitionBy("_k")
+          .orderBy(F.col("_t").asc(), F.col("_probe").asc(),
+                   F.col("_r.rid").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("_k")
+          .orderBy(F.col("_t").asc(), F.col("_probe").asc(),
+                   F.col("_r.rid").asc())
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    c = (u.withColumn("_b", F.last("_r", ignorenulls=True).over(wb))
+         .withColumn("_f", F.first("_r", ignorenulls=True).over(wf))
+         .filter(F.col("_probe") == 1))
+    db = F.col("_t") - F.col("_b.t")          # ≥ 0 when present
+    df_ = F.col("_f.t") - F.col("_t")         # > 0 when present
+    ok_b = F.col("_b").isNotNull() & (db <= F.lit(tol))
+    ok_f = F.col("_f").isNotNull() & (df_ <= F.lit(tol))
+    use_b = ok_b & (~ok_f | (db <= df_))
+    out = (c.filter(ok_b | ok_f)
+           .select(F.col("_k").alias(key), F.col("_t").alias(ts),
+                   *[F.col(c2) for c2 in left.columns
+                     if c2 not in (key, ts)],
+                   F.when(use_b, F.col("_b.rid"))
+                   .otherwise(F.col("_f.rid")).alias(right_id),
+                   F.when(use_b, -db).otherwise(df_).alias("dt_sec")))
+    return out
