@@ -10022,6 +10022,163 @@ def _simplify_collinear_sql() -> str:
         FROM k"""
 
 
+# ---------------------------------------------------------------------------
+# batch 65 — greedy max-coverage host selection, exact Welch t² gate
+# ---------------------------------------------------------------------------
+
+MAXCOV_K = 3
+WELCH_K = 4  # |t| > 2
+
+
+def q_max_coverage_hosts(spark, sf):
+    # greedy maximum-coverage: pick MAXCOV_K hosts whose pages jointly
+    # cover the most distinct token trigrams — the "which sites to
+    # crawl deeper first" budget allocator (greedy is the classical
+    # (1−1/e)-approximation; with a fixed small k it is the standard
+    # choice at corpus scale). Round r: per-host gain = |terms \
+    # covered| via LEFT ANTI against the covered set (bounded by the
+    # selected hosts' vocabularies — Spark broadcasts it), one count
+    # agg, one distributed argmax; k bounded single-row collects. By
+    # the greedy identity, covered_total = running Σ gains. Oracle:
+    # chained CTEs with NOT IN coverage subtraction — an independent
+    # formulation of each round.
+    from geobuf_spark.functions import text as TXT
+    from geobuf_spark.sources import pages as P
+    pg = P.pages(spark, 2000, 42)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws("\x1f", F.slice(toks, i, 3)))
+    ht = (pg.select(TXT.url_host(F.col("url")).alias("host"),
+                    F.explode(grams).alias("term"))
+          .distinct().localCheckpoint(eager=False))
+    covered = None
+    sel, cum = [], 0
+    for r in range(MAXCOV_K):
+        cand = (ht if covered is None
+                else ht.join(covered, "term", "left_anti"))
+        gains = cand.groupBy("host").agg(F.count("*").alias("gain"))
+        row = (gains.orderBy(F.col("gain").desc(), F.col("host").asc())
+               .limit(1).collect()[0])
+        cum += int(row["gain"])
+        sel.append((r + 1, row["host"], int(row["gain"]), cum))
+        new = ht.filter(F.col("host") == row["host"]).select("term")
+        covered = (new if covered is None
+                   else covered.unionByName(new).distinct())
+        covered = covered.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        sel, "rank int, host string, gain bigint, covered_total bigint")
+
+
+def _max_coverage_hosts_sql(k: int = MAXCOV_K) -> str:
+    from geobuf_spark.functions import text as TXT
+    host = TXT.sql_url_host("url")
+    parts = [f"""
+        ht AS (SELECT DISTINCT {host} AS host,
+                      unnest(list_transform(
+                          range(1, greatest(len(string_split(text,
+                              chr(32))) - 2, 1) + 1),
+                          i -> array_to_string(list_slice(
+                              string_split(text, chr(32)), i, i + 2),
+                              chr(31)))) AS term
+               FROM txt),
+        g1 AS (SELECT host, CAST(count(*) AS BIGINT) AS gain FROM ht
+               GROUP BY 1),
+        p1 AS (SELECT host, gain FROM g1
+               ORDER BY gain DESC, host LIMIT 1),
+        cov1 AS (SELECT DISTINCT term FROM ht
+                 WHERE host = (SELECT host FROM p1))"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+        g{r} AS (SELECT host, CAST(count(*) AS BIGINT) AS gain FROM ht
+                 WHERE term NOT IN (SELECT term FROM cov{r - 1})
+                 GROUP BY 1),
+        p{r} AS (SELECT host, gain FROM g{r}
+                 ORDER BY gain DESC, host LIMIT 1),
+        cov{r} AS (SELECT term FROM cov{r - 1}
+                   UNION SELECT term FROM ht
+                   WHERE host = (SELECT host FROM p{r}))""")
+    cums = []
+    for r in range(1, k + 1):
+        cum = " + ".join(f"(SELECT gain FROM p{j})"
+                         for j in range(1, r + 1))
+        cums.append(f"SELECT {r} AS rank, host, gain, {cum} AS "
+                    f"covered_total FROM p{r}")
+    sel = "\n        UNION ALL ".join(cums)
+    return (f"WITH {_pages_cte(2000, 42)},{','.join(parts)}"
+            f"""
+        SELECT CAST(rank AS INT) AS rank, host, gain,
+               CAST(covered_total AS BIGINT) AS covered_total
+        FROM ({sel})""")
+
+
+def q_welch_gate(spark, sf):
+    # which language pairs differ SIGNIFICANTLY in mean document length
+    # — Welch's unequal-variance t² as an EXACT rational inequality
+    # (the anomaly_days trick taken cross-group): with S=Σx, Q=Σx²,
+    # A_i = n_iQ_i−S_i², D = S_1n_2−S_2n_1,
+    #   t² > K  ⟺  D²(n_1−1)(n_2−1) > K·[A_1n_2²(n_2−1)+A_2n_1²(n_1−1)]
+    # — denominators cleared, so no float mean/std and the oracle
+    # hashes bit-for-bit. Products reach ~1e30 at corpus scale, so both
+    # engines compute in wide integers (decimal(38) / HUGEINT). One
+    # tiny moments agg (map-side combinable), then a 20×20 source-pair
+    # join on the driver-sized moment table (langs are too homogeneous
+    # on this corpus to ever flag — sources split 8-9 of 190 pairs);
+    # t2_ppm = floor(1e6·t²) reported.
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("source").alias("lang"), F.col("n_chars").cast("bigint").alias("x"))
+    m = (d.groupBy("lang")
+         .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+              F.sum(F.col("x") * F.col("x")).alias("q")))
+    a = m.select(*[F.col(c).alias(f"{c}a") for c in ("lang", "n", "s",
+                                                     "q")])
+    b = m.select(*[F.col(c).alias(f"{c}b") for c in ("lang", "n", "s",
+                                                     "q")])
+    j = a.join(b, F.col("langa") < F.col("langb"))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    D = dec(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+    A1 = dec(F.col("na") * F.col("qa") - F.col("sa") * F.col("sa"))
+    A2 = dec(F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
+    n1, n2 = F.col("na"), F.col("nb")
+    lhs = D * D * dec((n1 - 1) * (n2 - 1))
+    den = (A1 * dec(n2 * n2 * (n2 - 1)) + A2 * dec(n1 * n1 * (n1 - 1)))
+    return (j.select(F.col("langa").alias("src_a"),
+                     F.col("langb").alias("src_b"),
+                     n1.cast("bigint").alias("n_a"),
+                     n2.cast("bigint").alias("n_b"),
+                     F.floor(lhs * 1_000_000 / den).cast("bigint")
+                     .alias("t2_ppm"),
+                     (lhs > den * WELCH_K).alias("significant"))
+            .orderBy("src_a", "src_b"))
+
+
+def _welch_gate_sql() -> str:
+    return f"""
+        WITH m AS (SELECT source AS lang, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(n_chars) AS BIGINT) AS s,
+                          CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+                   FROM documents GROUP BY 1),
+        j AS (SELECT a.lang AS src_a, b.lang AS src_b,
+                     a.n AS na, a.s AS sa, a.q AS qa,
+                     b.n AS nb, b.s AS sb, b.q AS qb
+              FROM m a JOIN m b ON a.lang < b.lang),
+        w AS (SELECT src_a, src_b, na, nb,
+                     CAST(sa*nb - sb*na AS HUGEINT) AS d,
+                     CAST(na*qa - sa*sa AS HUGEINT) AS a1,
+                     CAST(nb*qb - sb*sb AS HUGEINT) AS a2
+              FROM j),
+        t AS (SELECT src_a, src_b, na, nb,
+                     d*d*(na-1)*(nb-1) AS lhs,
+                     a1*nb*nb*(nb-1) + a2*na*na*(na-1) AS den
+              FROM w)
+        SELECT src_a, src_b, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(1000000 * lhs // den AS BIGINT) AS t2_ppm,
+               lhs > den * {WELCH_K} AS significant
+        FROM t ORDER BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10044,6 +10201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "max_coverage_hosts": q_max_coverage_hosts,
+        "welch_gate": q_welch_gate,
         "asof_nearest": q_asof_nearest,
         "simplify_collinear": q_simplify_collinear,
         "lpa_communities": q_lpa_communities,
@@ -12178,6 +12337,8 @@ def oracle_sql() -> dict[str, str]:
         "consistent_shards": _consistent_shards_sql(),
         "asof_nearest": _asof_nearest_sql(),
         "simplify_collinear": _simplify_collinear_sql(),
+        "max_coverage_hosts": _max_coverage_hosts_sql(),
+        "welch_gate": _welch_gate_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

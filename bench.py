@@ -119,6 +119,12 @@ def bench_queries(spark):
         "gini_chars", "mannwhitney_len", "cluster_diameter",
         "line_self_intersect", "event_rle", "degree_assortativity",
         "quadkey_range_join", "trimmed_mean_chars",
+        # fourth extension session: graph propagation, selection /
+        # sharding, temporal nearest, exact geometry simplification
+        "ssjoin_prefix", "kde_cells", "knn_graph_k3", "sssp_w3",
+        "allen_census", "voronoi_assign", "mmr_topk", "tfidf_top_terms",
+        "lpa_communities", "consistent_shards", "asof_nearest",
+        "simplify_collinear",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
