@@ -10179,6 +10179,87 @@ def _welch_gate_sql() -> str:
         FROM t ORDER BY 1, 2"""
 
 
+# ---------------------------------------------------------------------------
+# batch 66 — IBLT snapshot reconciliation, persistent heavy hitters
+# ---------------------------------------------------------------------------
+
+RECON_CELLS = 256
+PHH_TOP = 5
+PHH_MIN_DAYS = 4  # splits (neither empty nor all-users) at both test SFs
+
+
+def q_snapshot_reconcile(spark, sf):
+    # diff two crawl snapshots by exchanging O(|diff|) state: both sides
+    # fold into a signed 256-cell Invertible Bloom Lookup Table
+    # (operators/reconcile.py — constant-size mergeable aggregation,
+    # common keys cancel exactly), the driver peels the ~30-key diff,
+    # and one fingerprint-filter scan maps fingerprints back to urls.
+    # At 10^12 rows per snapshot this moves kilobytes where EXCEPT
+    # shuffles terabytes. Snapshots: page ids [0,2000) vs [10,2020) of
+    # the same deterministic mint → 10 urls only-in-A, 20 only-in-B.
+    # The oracle IS the terabyte plan — two EXCEPTs over the
+    # regenerated snapshot tables — so a green row proves the sketch
+    # path recovers the exact symmetric difference.
+    from geobuf_spark.operators import reconcile
+    from geobuf_spark.sources import pages as P
+    full = P.pages(spark, 2020, 42).select("page_id", "url")
+    a = full.filter(F.col("page_id") < 2000).select("url")
+    b = full.filter(F.col("page_id") >= 10).select("url")
+    return reconcile.reconcile(a, b, key="url", n_cells=RECON_CELLS)
+
+
+def _snapshot_reconcile_sql() -> str:
+    return f"""
+        WITH {_pages_cte(2020, 42)},
+        a AS (SELECT url FROM txt WHERE id < 2000),
+        b AS (SELECT url FROM txt WHERE id >= 10)
+        SELECT url, CAST(1 AS INT) AS side
+        FROM (SELECT url FROM a EXCEPT SELECT url FROM b)
+        UNION ALL
+        SELECT url, CAST(-1 AS INT) AS side
+        FROM (SELECT url FROM b EXCEPT SELECT url FROM a)"""
+
+
+def q_persistent_heavy_hitters(spark, sf):
+    # persistence beats volume for capacity planning: users who crack
+    # the daily top-PHH_TOP by event count on ≥ PHH_MIN_DAYS of the
+    # month (a one-day burst is an anomaly; a every-other-day regular
+    # sizes the cache). Daily rollup is map-side combinable; the
+    # per-day argmax window partitions by day (tiny frames); ties →
+    # min user_id, so the day ranking — and therefore the persistence
+    # census — is fully deterministic.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"), "user_id")
+    daily = e.groupBy("day", "user_id").agg(F.count("*").alias("c"))
+    w = Win.partitionBy("day").orderBy(F.col("c").desc(),
+                                       F.col("user_id").asc())
+    top = (daily.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= PHH_TOP))
+    return (top.groupBy("user_id")
+            .agg(F.count("*").alias("n_days_top"),
+                 F.sum("c").alias("events_on_top_days"))
+            .filter(F.col("n_days_top") >= PHH_MIN_DAYS)
+            .select("user_id",
+                    F.col("n_days_top").cast("bigint").alias("n_days_top"),
+                    F.col("events_on_top_days").cast("bigint")
+                    .alias("events_on_top_days")))
+
+
+def _persistent_heavy_hitters_sql() -> str:
+    return f"""
+        WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       AS day, user_id, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY day
+                  ORDER BY c DESC, user_id ASC) AS rn
+              FROM d)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_top,
+               CAST(sum(c) AS BIGINT) AS events_on_top_days
+        FROM r WHERE rn <= {PHH_TOP}
+        GROUP BY 1 HAVING count(*) >= {PHH_MIN_DAYS}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10201,6 +10282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "persistent_heavy_hitters": q_persistent_heavy_hitters,
         "max_coverage_hosts": q_max_coverage_hosts,
         "welch_gate": q_welch_gate,
         "asof_nearest": q_asof_nearest,
@@ -12339,6 +12422,8 @@ def oracle_sql() -> dict[str, str]:
         "simplify_collinear": _simplify_collinear_sql(),
         "max_coverage_hosts": _max_coverage_hosts_sql(),
         "welch_gate": _welch_gate_sql(),
+        "snapshot_reconcile": _snapshot_reconcile_sql(),
+        "persistent_heavy_hitters": _persistent_heavy_hitters_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
