@@ -10260,6 +10260,138 @@ def _persistent_heavy_hitters_sql() -> str:
         GROUP BY 1 HAVING count(*) >= {PHH_MIN_DAYS}"""
 
 
+# ---------------------------------------------------------------------------
+# batch 67 — STR R-tree bulk-load packing, Cohen's kappa
+# ---------------------------------------------------------------------------
+
+STR_S = 8  # 8 x-slices × 8 y-leaves = 64 leaves
+
+
+def q_str_pack(spark, sf):
+    # Sort-Tile-Recursive R-tree bulk load — THE spatial partitioner for
+    # bulk-building an index over 10^12 rects: sort by center x into S
+    # vertical slices, sort each slice by center y into S leaves; two
+    # sort exchanges total (production swaps the global row_number for
+    # repartitionByRange quantile boundaries — range_bounds_planner is
+    # that op; the leaf assignment formula is identical). Integer
+    # q-unit centers/extents (the county-rect draws before /1e7), so
+    # slice/leaf cuts are exact on both engines: leaf =
+    # slice·S + (rn_y−1)·S div n_slice. Output per leaf: count + MBR.
+    from pyspark.sql import Window as Win
+    from geobuf_spark.sources import minted
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    cx, cy, hw, hh = minted._part_draws()
+    r = part.select(F.col("p_partkey").alias("rid"),
+                    cx.cast("bigint").alias("cx"),
+                    cy.cast("bigint").alias("cy"),
+                    (cx - hw).cast("bigint").alias("x1"),
+                    (cy - hh).cast("bigint").alias("y1"),
+                    (cx + hw).cast("bigint").alias("x2"),
+                    (cy + hh).cast("bigint").alias("y2"))
+    wx = Win.orderBy(F.col("cx").asc(), F.col("rid").asc())
+    wall = Win.partitionBy()
+    r = (r.withColumn("rnx", F.row_number().over(wx))
+         .withColumn("ntot", F.count("*").over(wall))
+         .withColumn("slice", F.expr(f"(rnx - 1) * {STR_S} div ntot")))
+    wy = Win.partitionBy("slice").orderBy(F.col("cy").asc(),
+                                          F.col("rid").asc())
+    ws = Win.partitionBy("slice")
+    r = (r.withColumn("rny", F.row_number().over(wy))
+         .withColumn("nsl", F.count("*").over(ws))
+         .withColumn("leaf", F.expr(
+             f"slice * {STR_S} + (rny - 1) * {STR_S} div nsl")))
+    return (r.groupBy("leaf")
+            .agg(F.count("*").alias("n_rects"),
+                 F.min("x1").alias("mbr_x1"), F.min("y1").alias("mbr_y1"),
+                 F.max("x2").alias("mbr_x2"), F.max("y2").alias("mbr_y2"))
+            .select(F.col("leaf").cast("int").alias("leaf"),
+                    F.col("n_rects").cast("bigint").alias("n_rects"),
+                    "mbr_x1", "mbr_y1", "mbr_x2", "mbr_y2"))
+
+
+def _str_pack_sql() -> str:
+    from geobuf_spark.sources import minted as M
+    cx = f"({M._sql_mulmod('p_partkey', M.CX_MULT, M.CX_MOD)} - {M.CX_MOD // 2})"
+    cy = f"({M._sql_mulmod('p_partkey', M.CY_MULT, M.CY_MOD)} - {M.CY_MOD // 2})"
+    hw = "(10000000 + (p_partkey % 100) * 1000000)"
+    hh = "(8000000 + (p_partkey % 80) * 1000000)"
+    return f"""
+        WITH r AS (SELECT p_partkey AS rid,
+                          CAST({cx} AS BIGINT) AS cx,
+                          CAST({cy} AS BIGINT) AS cy,
+                          CAST({cx} - {hw} AS BIGINT) AS x1,
+                          CAST({cy} - {hh} AS BIGINT) AS y1,
+                          CAST({cx} + {hw} AS BIGINT) AS x2,
+                          CAST({cy} + {hh} AS BIGINT) AS y2
+                   FROM part),
+        s AS (SELECT *, row_number() OVER (ORDER BY cx, rid) AS rnx,
+                     count(*) OVER () AS ntot
+              FROM r),
+        s2 AS (SELECT *, (rnx - 1) * {STR_S} // ntot AS slice FROM s),
+        t AS (SELECT *, row_number() OVER (PARTITION BY slice
+                            ORDER BY cy, rid) AS rny,
+                     count(*) OVER (PARTITION BY slice) AS nsl
+              FROM s2),
+        t2 AS (SELECT *, slice * {STR_S} + (rny - 1) * {STR_S} // nsl
+                   AS leaf
+               FROM t)
+        SELECT CAST(leaf AS INT) AS leaf,
+               CAST(count(*) AS BIGINT) AS n_rects,
+               min(x1) AS mbr_x1, min(y1) AS mbr_y1,
+               max(x2) AS mbr_x2, max(y2) AS mbr_y2
+        FROM t2 GROUP BY 1"""
+
+
+def q_cohens_kappa(spark, sf):
+    # inter-rater agreement between the stopword-argmax language
+    # predictor and the labeled lang, chance-corrected: κ =
+    # (p_o − p_e)/(1 − p_e) as the exact integer rational
+    # (N·Σdiag − Σ r_i·c_i) / (N² − Σ r_i·c_i), reported in ppm (floor)
+    # — the accept/retrain gate on classifier drift. Builds on the
+    # lang_confusion rollup; labels missing on one side contribute 0 to
+    # Σrc (inner join). One tiny confusion agg; everything after runs
+    # on a ≤|langs|² frame.
+    conf = (q_lang_confusion(spark, sf)
+            .select("actual", "pred", F.col("n").cast("bigint").alias("n"))
+            .localCheckpoint(eager=False))
+    tot = conf.agg(F.sum("n").alias("N"),
+                   F.sum(F.when(F.col("actual") == F.col("pred"),
+                                F.col("n")).otherwise(0)).alias("diag"))
+    rows = conf.groupBy(F.col("actual").alias("lbl")).agg(
+        F.sum("n").alias("r"))
+    cols = conf.groupBy(F.col("pred").alias("lbl")).agg(
+        F.sum("n").alias("c"))
+    rc = (rows.join(cols, "lbl")
+          .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+               .alias("src")))
+    return (tot.crossJoin(rc)
+            .select(F.col("N").cast("bigint").alias("n_docs"),
+                    F.col("diag").cast("bigint").alias("n_agree"),
+                    F.col("src").cast("bigint").alias("sum_rc"),
+                    F.expr("1000000 * (N * diag - src) div (N * N - src)")
+                    .cast("bigint").alias("kappa_ppm")))
+
+
+def _cohens_kappa_sql() -> str:
+    return f"""
+        WITH conf AS (SELECT actual, pred, CAST(n AS BIGINT) AS n
+                      FROM ({_lang_confusion_sql()})),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+                       CAST(sum(CASE WHEN actual = pred THEN n ELSE 0
+                                END) AS BIGINT) AS diag
+                FROM conf),
+        r AS (SELECT actual AS lbl, CAST(sum(n) AS BIGINT) AS r
+              FROM conf GROUP BY 1),
+        c AS (SELECT pred AS lbl, CAST(sum(n) AS BIGINT) AS c
+              FROM conf GROUP BY 1),
+        rc AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS src
+               FROM r JOIN c USING (lbl))
+        SELECT N AS n_docs, diag AS n_agree, src AS sum_rc,
+               CAST(1000000 * (N * diag - src) // (N * N - src)
+                    AS BIGINT) AS kappa_ppm
+        FROM tot, rc"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10282,6 +10414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "str_pack": q_str_pack,
+        "cohens_kappa": q_cohens_kappa,
         "snapshot_reconcile": q_snapshot_reconcile,
         "persistent_heavy_hitters": q_persistent_heavy_hitters,
         "max_coverage_hosts": q_max_coverage_hosts,
@@ -12424,6 +12558,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_gate": _welch_gate_sql(),
         "snapshot_reconcile": _snapshot_reconcile_sql(),
         "persistent_heavy_hitters": _persistent_heavy_hitters_sql(),
+        "str_pack": _str_pack_sql(),
+        "cohens_kappa": _cohens_kappa_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
