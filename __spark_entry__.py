@@ -10392,6 +10392,108 @@ def _cohens_kappa_sql() -> str:
         FROM tot, rc"""
 
 
+# ---------------------------------------------------------------------------
+# batch 68 — content-defined chunking, k-anonymity audit
+# ---------------------------------------------------------------------------
+
+CDC_P = 16    # boundary when pair-hash % P == 0 → ~16-token chunks
+CDC_TOP = 10
+K_ANON = 5
+
+
+def q_cdc_chunks(spark, sf):
+    # content-defined chunking — the rsync/LBFS storage-dedup primitive:
+    # cut each document where the hash of a token PAIR lands ≡ 0
+    # (mod CDC_P), so chunk boundaries depend only on LOCAL content and
+    # survive insertions/deletions (fixed-size blocks would shift every
+    # boundary after an edit). Chunks fingerprint via the portable
+    # hash60; the rollup reports the CDC_TOP most-shared chunks —
+    # duplicated runs the storage layer would store once. Boundary
+    # detection, slicing, and fingerprints are all array expressions in
+    # one projection; the only exchange is the fingerprint rollup.
+    from geobuf_spark.functions import phash
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.pmod(
+            phash.hash60(F.concat(F.element_at(toks, i), F.lit("\x1e"),
+                                  F.element_at(toks, i + 1))),
+            F.lit(CDC_P)) == 0)
+    edges = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(edges) - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, F.element_at(edges, j) + 1,
+                         F.element_at(edges, j + 1)
+                         - F.element_at(edges, j))))
+    c = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    fp = phash.hash60(F.col("chunk"))
+    return (c.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
+                     F.col("fp").asc())
+            .limit(CDC_TOP)
+            .select("fp", F.col("n_occ").cast("bigint").alias("n_occ"),
+                    F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
+def _cdc_chunks_sql() -> str:
+    from geobuf_spark.functions import phash
+    bh = phash.sql_hash60("tk[i] || chr(30) || tk[i + 1]")
+    cf = phash.sql_hash60("c")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
+                   FROM documents),
+        b AS (SELECT doc_id, tk,
+                     list_filter(range(1, greatest(len(tk) - 1, 0) + 1),
+                                 i -> {bh} % {CDC_P} = 0) AS bp
+              FROM d),
+        e AS (SELECT doc_id, tk,
+                     list_concat(list_concat([0], bp), [len(tk)]) AS ed
+              FROM b),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(
+                          range(1, len(ed)),
+                          j -> array_to_string(
+                              list_slice(tk, ed[j] + 1, ed[j + 1]),
+                              chr(32)))) AS c
+               FROM e),
+        f AS (SELECT doc_id, {cf} AS fp FROM ch)
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM f GROUP BY 1
+        ORDER BY n_docs DESC, n_occ DESC, fp ASC LIMIT {CDC_TOP}"""
+
+
+def q_k_anonymity_audit(spark, sf):
+    # k-anonymity release audit over the quasi-identifier tuple (lang,
+    # source, length bucket): any combination shared by fewer than
+    # K_ANON documents re-identifies its members — the governance gate
+    # a corpus release runs before publishing per-document metadata.
+    # One map-side-combinable rollup + a filter; output is the
+    # violating cells with their sizes.
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (d.groupBy("lang", "source",
+                      F.expr("n_chars div 200").alias("len_bucket"))
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") < K_ANON)
+            .select("lang", "source",
+                    F.col("len_bucket").cast("bigint").alias("len_bucket"),
+                    F.col("n").cast("bigint").alias("n")))
+
+
+def _k_anonymity_audit_sql() -> str:
+    return f"""
+        SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2, 3
+        HAVING count(*) < {K_ANON}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10414,6 +10516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "cdc_chunks": q_cdc_chunks,
+        "k_anonymity_audit": q_k_anonymity_audit,
         "str_pack": q_str_pack,
         "cohens_kappa": q_cohens_kappa,
         "snapshot_reconcile": q_snapshot_reconcile,
@@ -12560,6 +12664,8 @@ def oracle_sql() -> dict[str, str]:
         "persistent_heavy_hitters": _persistent_heavy_hitters_sql(),
         "str_pack": _str_pack_sql(),
         "cohens_kappa": _cohens_kappa_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
+        "k_anonymity_audit": _k_anonymity_audit_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
