@@ -551,3 +551,30 @@ def containment_pairs(df: DataFrame, key: str, text_col: str = "text",
                         / F.least("na", "nb"))
             .filter(F.col("containment") >= threshold)
             .select("a", "b", "inter", "containment"))
+
+
+def winnow_fingerprints(df: DataFrame, key: str, text_col: str = "text",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, slide a w-gram window,
+    keep each window's MINIMUM hash, distinct per document. Guarantee:
+    any shared run of ≥ w+k−1 tokens between two documents shares at
+    least one selected fingerprint, while only ~2/(w+1) of grams are
+    kept — the index stays small without losing long matches.
+
+    Pure array expressions in one projection (gram hashes → window
+    minima → distinct); returns (key, fp) exploded. Hashes use the
+    portable md5 bridge so DuckDB/python agree."""
+    from geobuf_spark.functions import phash
+    from geobuf_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: phash.hash60(F.concat_ws(" ", F.slice(toks, i, k))))
+    m = F.size(grams)
+    fps = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w))))
+    return df.select(F.col(key), F.explode(fps).alias("fp"))
