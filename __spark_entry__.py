@@ -10610,6 +10610,145 @@ def _log_histogram_p99_sql() -> str:
         FROM est, ex"""
 
 
+# ---------------------------------------------------------------------------
+# batch 70 — distributed BPE merge rounds, exact L1 medoid per cluster
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark, sf):
+    # the tokenizer-training primitive at corpus scale: BPE merge
+    # rounds. Each round counts adjacent token pairs (map-side
+    # combinable explode+agg), takes the global argmax (ties → lexico-
+    # graphically first pair), and REWRITES the corpus by merging that
+    # pair — greedy leftmost-non-overlapping, which is exactly what
+    # replace() does in BOTH engines (verified: 'a a a' merges once).
+    # Tokens travel sentinel-wrapped ('\\x02tok\\x02', joined by
+    # spaces) so the pattern '\\x02a\\x02 \\x02b\\x02' can never match
+    # inside a token; the merged token keeps '\\x01' as the join mark,
+    # so later rounds can merge merged tokens. One bounded 1-row
+    # collect per round; the rewrite is a pure projection.
+    d = _docs(spark, sf)
+    s0 = F.concat(F.lit("\x02"),
+                  F.array_join(F.split("text", " "), "\x02 \x02"),
+                  F.lit("\x02"))
+    cur = d.select(s0.alias("s")).localCheckpoint(eager=False)
+    out = []
+    for r in range(1, BPE_ROUNDS + 1):
+        toks = F.split("s", " ")
+        n = F.size(toks)
+        pairs = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
+        top = (cur.select(F.explode(pairs).alias("pr"))
+               .groupBy("pr").agg(F.count("*").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("pr").asc())
+               .limit(1).collect()[0])
+        pattern, freq = top["pr"], int(top["c"])
+        merged = pattern.replace("\x02 \x02", "\x01")
+        out.append((r, pattern.replace("\x02", ""), freq))
+        cur = (cur.select(F.replace(F.col("s"), F.lit(pattern),
+                                    F.lit(merged)).alias("s"))
+               .localCheckpoint(eager=False))
+    return spark.createDataFrame(out, "round int, pair string, freq bigint")
+
+
+def _bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
+    pair_list = ("list_transform(range(1, greatest(len(tk) - 1, 0) + 1), "
+                 "i -> tk[i] || ' ' || tk[i + 1])")
+    parts = ["""
+        d0 AS MATERIALIZED (
+            SELECT chr(2) || array_to_string(string_split(text, chr(32)),
+                       chr(2) || ' ' || chr(2)) || chr(2) AS s
+            FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        c{r} AS (SELECT unnest({pair_list}) AS pr
+                 FROM (SELECT string_split(s, ' ') AS tk FROM d{r - 1})),
+        p{r} AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM c{r}
+                 GROUP BY 1 ORDER BY c DESC, pr ASC LIMIT 1),
+        d{r} AS MATERIALIZED (
+            SELECT replace(s, (SELECT pr FROM p{r}),
+                           (SELECT replace(pr, chr(2) || ' ' || chr(2),
+                                           chr(1)) FROM p{r})) AS s
+            FROM d{r - 1})""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round, replace(pr, chr(2), '') AS pair, c "
+        f"AS freq FROM p{r}" for r in range(1, rounds + 1))
+    return (f"WITH {','.join(parts)}"
+            f"""
+        SELECT CAST(round AS INT) AS round, pair, freq FROM ({sel})""")
+
+
+def q_l1_medoid(spark, sf):
+    # robust cluster centers under L1: the per-axis exact median (L1 is
+    # separable, so (med_x, med_y) minimizes Σ|dx|+|dy| over the
+    # PLANE), plus the in-cluster medoid — the actual member point
+    # nearest that center (argmin L1 distance, ties → min doc_id) —
+    # the representative you can actually serve. Exact order
+    # statistics via per-group windows (rank (n+1) div 2 on the sorted
+    # axis); everything shuffles once on the cluster key.
+    from pyspark.sql import Window as Win
+    from geobuf_spark.sources import minted
+    pts = (minted.minted_cluster_points_q(spark, sf)
+           .withColumn("g", F.col("doc_id") % minted.N_CLUSTERS))
+    wn = Win.partitionBy("g")
+    wx = Win.partitionBy("g").orderBy("qx", "doc_id")
+    wy = Win.partitionBy("g").orderBy("qy", "doc_id")
+    p = (pts.withColumn("n", F.count("*").over(wn))
+         .withColumn("rx", F.row_number().over(wx))
+         .withColumn("ry", F.row_number().over(wy)))
+    medx = (p.filter(F.expr("rx = (n + 1) div 2"))
+            .select("g", F.col("qx").alias("medx")))
+    medy = (p.filter(F.expr("ry = (n + 1) div 2"))
+            .select("g", F.col("qy").alias("medy")))
+    j = pts.join(F.broadcast(medx), "g").join(F.broadcast(medy), "g")
+    dist = (F.abs(F.col("qx") - F.col("medx"))
+            + F.abs(F.col("qy") - F.col("medy")))
+    best = (j.groupBy("g")
+            .agg(F.count("*").alias("n"),
+                 F.min(F.struct(dist.alias("d"),
+                                F.col("doc_id").alias("doc"))).alias("m"),
+                 F.first("medx").alias("medx"),
+                 F.first("medy").alias("medy")))
+    return (best.select(F.col("g").cast("bigint").alias("g"),
+                        F.col("n").cast("bigint").alias("n"),
+                        "medx", "medy",
+                        F.col("m.doc").alias("medoid_doc"),
+                        F.col("m.d").cast("bigint").alias("medoid_dist")))
+
+
+def _l1_medoid_sql() -> str:
+    from geobuf_spark.sources import minted
+    return f"""
+        WITH pts AS (SELECT doc_id, qx, qy,
+                            doc_id % {minted.N_CLUSTERS} AS g
+                     FROM ({minted.sql_minted_cluster_points_q()})),
+        p AS (SELECT *, count(*) OVER (PARTITION BY g) AS n,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY qx, doc_id) AS rx,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY qy, doc_id) AS ry
+              FROM pts),
+        mx AS (SELECT g, qx AS medx FROM p WHERE rx = (n + 1) // 2),
+        my AS (SELECT g, qy AS medy FROM p WHERE ry = (n + 1) // 2),
+        j AS (SELECT pts.g, pts.doc_id, pts.qx, pts.qy, mx.medx, my.medy,
+                     abs(pts.qx - mx.medx) + abs(pts.qy - my.medy) AS d
+              FROM pts JOIN mx USING (g) JOIN my USING (g)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY g
+                  ORDER BY d, doc_id) AS rn
+              FROM j)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST((SELECT count(*) FROM pts p2 WHERE p2.g = r.g)
+                    AS BIGINT) AS n,
+               medx, medy, doc_id AS medoid_doc,
+               CAST(d AS BIGINT) AS medoid_dist
+        FROM r WHERE rn = 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10632,6 +10771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "bpe_merges": q_bpe_merges,
+        "l1_medoid": q_l1_medoid,
         "winnow_fps": q_winnow_fps,
         "log_histogram_p99": q_log_histogram_p99,
         "cdc_chunks": q_cdc_chunks,
@@ -12786,6 +12927,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": _k_anonymity_audit_sql(),
         "winnow_fps": _winnow_fps_sql(),
         "log_histogram_p99": _log_histogram_p99_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "l1_medoid": _l1_medoid_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "bpe_merges", "l1_medoid",
         "winnow_fps", "log_histogram_p99",
         "cdc_chunks", "k_anonymity_audit",
         "str_pack", "cohens_kappa",
@@ -126,14 +127,15 @@ def test_driver_window_invariants():
         "time_weighted_value", "embed_covariance",
         "quadkey_range_join", "trimmed_mean_chars",
         "fano_dispersion", "degree_assortativity", "event_rle",
-        "cluster_diameter", "line_self_intersect", "autocorr_daily",
+        "cluster_diameter",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["gini_chars", "kendall_daily",
+    overflow = ["line_self_intersect", "autocorr_daily",
+                "gini_chars", "kendall_daily",
                 "chi2_lang_source", "mannwhitney_len",
                 "ripley_band_pairs", "churn_rollup",
                 "event_motifs_3", "dup_pair_lang_mix",
