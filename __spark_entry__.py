@@ -10749,6 +10749,96 @@ def _l1_medoid_sql() -> str:
         FROM r WHERE rn = 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 71 — deterministic maximal matching, topic segmentation
+# ---------------------------------------------------------------------------
+
+TSEG_BLOCK = 10
+TSEG_TAU = 300_000  # boundary when adjacent-block Jaccard < τ ppm
+
+
+def q_maximal_matching(spark, sf):
+    # deterministic distributed maximal matching over the host link
+    # graph (graph.maximal_matching): handshake rounds on the portable
+    # edge-hash order, so the matching — and the 2-approx vertex cover
+    # its endpoints form — is partitioning-invariant. The matched pairs
+    # are the "merge these two mirrors first" worklist. Oracle: the
+    # same rounds as MATERIALIZED CTEs; the pytest independently checks
+    # validity (no shared vertex) and maximality (no live edge left).
+    from geobuf_spark.operators import graph
+    return graph.maximal_matching(
+        _host_edges(spark).select(F.col("src_host").alias("src"),
+                                  F.col("dst_host").alias("dst")),
+        rounds=12)
+
+
+def _maximal_matching_sql() -> str:
+    from geobuf_spark.operators import graph
+    return graph.sql_maximal_matching(_host_edges_cte(), rounds=12)
+
+
+def q_text_segments(spark, sf):
+    # TextTiling-style topic segmentation — the RAG-chunking shape: cut
+    # a document where adjacent TSEG_BLOCK-token blocks' vocabulary
+    # overlap dips (exact Jaccard ppm < τ), i.e. where the text changes
+    # subject. Blocks, pairwise overlaps, and cut counts are all array
+    # expressions in one projection — zero shuffles, per-doc output.
+    # min_sim_ppm = −1 marks single-block docs (no interior boundary).
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(TSEG_BLOCK)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda k: F.array_distinct(
+            F.slice(toks, k * TSEG_BLOCK + 1, TSEG_BLOCK)))
+    sims = F.when(nb >= 2, F.transform(
+        F.sequence(F.lit(1), nb - 1),
+        lambda b: F.floor(
+            F.lit(1_000_000)
+            * F.size(F.array_intersect(F.element_at(blocks, b),
+                                       F.element_at(blocks, b + 1)))
+            / F.size(F.array_union(F.element_at(blocks, b),
+                                   F.element_at(blocks, b + 1))))
+        .cast("bigint"))).otherwise(F.array().cast("array<bigint>"))
+    cuts = F.size(F.filter(sims, lambda s: s < F.lit(TSEG_TAU)))
+    return d.select(
+        "doc_id", nb.alias("n_blocks"),
+        (cuts + 1).cast("int").alias("n_segments"),
+        F.coalesce(F.array_min(sims), F.lit(-1)).cast("bigint")
+        .alias("min_sim_ppm"))
+
+
+def _text_segments_sql() -> str:
+    b = TSEG_BLOCK
+    inter = ("len(list_intersect(bl[x], bl[x + 1]))")
+    uni = ("len(list_distinct(list_concat(bl[x], bl[x + 1])))")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
+                   FROM documents),
+        w AS (SELECT doc_id, tk,
+                     CAST(ceil(len(tk) / {b}.0) AS INT) AS nb
+              FROM d),
+        bl0 AS (SELECT doc_id, nb,
+                       list_transform(range(0, nb),
+                           k -> list_distinct(list_slice(
+                               tk, k * {b} + 1, (k + 1) * {b}))) AS bl
+                FROM w),
+        s AS (SELECT doc_id, nb,
+                     CASE WHEN nb >= 2 THEN
+                         list_transform(range(1, nb),
+                             x -> CAST(1000000 * {inter} // {uni}
+                                       AS BIGINT))
+                     ELSE [] END AS sims
+              FROM bl0)
+        SELECT doc_id, nb AS n_blocks,
+               CAST(len(list_filter(sims, v -> v < {TSEG_TAU})) + 1
+                    AS INT) AS n_segments,
+               CAST(coalesce(list_min(sims), -1) AS BIGINT)
+                   AS min_sim_ppm
+        FROM s"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10771,6 +10861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "maximal_matching": q_maximal_matching,
+        "text_segments": q_text_segments,
         "bpe_merges": q_bpe_merges,
         "l1_medoid": q_l1_medoid,
         "winnow_fps": q_winnow_fps,
@@ -12929,6 +13021,8 @@ def oracle_sql() -> dict[str, str]:
         "log_histogram_p99": _log_histogram_p99_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "l1_medoid": _l1_medoid_sql(),
+        "maximal_matching": _maximal_matching_sql(),
+        "text_segments": _text_segments_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

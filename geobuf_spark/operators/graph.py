@@ -602,3 +602,89 @@ def sql_lpa_labels(edges_cte: str, rounds: int = 2) -> str:
         l0 AS (SELECT DISTINCT n AS host, n AS lab FROM adj),
         {','.join(steps)}
         SELECT host, lab FROM l{rounds}"""
+
+
+def maximal_matching(edges: DataFrame, rounds: int = 12,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic distributed maximal matching (→ matched endpoints
+    are a 2-approx vertex cover). Each round: every live vertex
+    nominates its minimum incident edge by (portable edge hash, u, v);
+    an edge joins the matching iff BOTH endpoints nominated it
+    (handshake), matched vertices drop out, repeat. The hash order makes
+    every round — and the final matching — independent of partitioning.
+    Luby-style symmetry breaking: each handshake round removes a
+    constant fraction of live edges in expectation (the fixture's 2k
+    edges die in 6), so the loop runs to an EMPTY live set — maximality
+    guaranteed — and raises if `rounds` caps out first (the
+    redirect_resolve convergence-or-raise contract). Extra rounds after
+    emptiness are no-ops, which is what lets the fixed-round SQL twin
+    match exactly.
+
+    Each round: one per-vertex argmin + a handshake count + an
+    anti-join shrink, with localCheckpoint lineage cuts and one bounded
+    count() action. Returns matched edges (u, v)."""
+    from geobuf_spark.functions import phash
+
+    live = (edges.select(F.least(src, dst).alias("u"),
+                         F.greatest(src, dst).alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct()
+            .withColumn("h", phash.hash60_parts(F.col("u"), F.col("v")))
+            .localCheckpoint(eager=False))
+    matched = None
+    for _ in range(rounds):
+        # nominations are per VERTEX across both endpoint positions — a
+        # node living as u in one edge and v in another must still
+        # nominate exactly once, or it could match twice
+        inc = (live.select(F.col("u").alias("n"), "h", "u", "v")
+               .unionByName(live.select(F.col("v").alias("n"), "h",
+                                        "u", "v")))
+        nom = (inc.groupBy("n")
+               .agg(F.min(F.struct("h", "u", "v")).alias("m"))
+               .select(F.col("m.u").alias("u"), F.col("m.v").alias("v")))
+        new = (nom.groupBy("u", "v").agg(F.count("*").alias("c"))
+               .filter(F.col("c") == 2).select("u", "v")
+               .localCheckpoint(eager=False))
+        matched = new if matched is None else matched.unionByName(new)
+        mv = (new.select(F.col("u").alias("x"))
+              .unionByName(new.select(F.col("v").alias("x"))).distinct())
+        live = (live.join(mv, live["u"] == mv["x"], "left_anti")
+                .join(mv, live["v"] == mv["x"], "left_anti")
+                .localCheckpoint(eager=False))
+        if live.count() == 0:
+            return matched.select("u", "v")
+    raise ValueError(
+        f"maximal_matching did not converge in {rounds} rounds — "
+        "live edges remain; raise the round budget")
+
+
+def sql_maximal_matching(edges_cte: str, rounds: int = 12) -> str:
+    """DuckDB twin — same handshake rounds as MATERIALIZED CTEs.
+    edges_cte must end in ed(src, dst)."""
+    from geobuf_spark.functions import phash
+    h = phash.sql_hash60_parts("u", "v")
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        steps.append(f"""
+        in{r} AS (SELECT u AS n, h, u, v FROM {prev}
+                  UNION ALL SELECT v AS n, h, u, v FROM {prev}),
+        nm{r} AS (SELECT u, v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY n
+                ORDER BY h, u, v) AS rn FROM in{r}) WHERE rn = 1),
+        m{r} AS MATERIALIZED (SELECT u, v FROM nm{r}
+                              GROUP BY 1, 2 HAVING count(*) = 2),
+        mv{r} AS (SELECT u AS x FROM m{r} UNION SELECT v FROM m{r}),
+        l{r} AS MATERIALIZED (
+            SELECT * FROM {prev}
+            WHERE u NOT IN (SELECT x FROM mv{r})
+              AND v NOT IN (SELECT x FROM mv{r}))""")
+    allm = "\n        UNION ALL ".join(
+        f"SELECT u, v FROM m{r}" for r in range(1, rounds + 1))
+    return f"""
+        WITH {edges_cte},
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst)
+                       AS v, {h} AS h
+            FROM ed WHERE src <> dst),
+        {','.join(steps)}
+        SELECT u, v FROM ({allm})"""
