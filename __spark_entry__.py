@@ -10839,6 +10839,179 @@ def _text_segments_sql() -> str:
         FROM s"""
 
 
+# ---------------------------------------------------------------------------
+# batch 72 — discrete Fréchet distance pairs, multi-vector maxsim retrieval
+# ---------------------------------------------------------------------------
+
+
+def q_frechet_pairs(spark, sf):
+    # discrete Fréchet distance² between each clustered walk line and
+    # its cluster successor — the ORDER-AWARE trajectory similarity
+    # (Hausdorff ignores traversal order; Fréchet is the leash length,
+    # so reversed or re-ordered routes stop looking identical). The
+    # 9×9 DP runs as ONE Arrow-batched pandas UDF vectorized across
+    # pairs (81 numpy steps regardless of pair count — no per-row
+    # python); pairing reuses the hausdorff_pairs successor window.
+    # Exact int64 d² throughout. The oracle is a recursive CTE whose
+    # step builds each DP row via DuckDB lateral column references —
+    # a fully independent formulation.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql import Window as Win
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
+    w = Win.partitionBy(F.col("doc_id") % 37).orderBy("doc_id")
+    p = (wl.withColumn("b_id", F.lead("doc_id").over(w))
+         .withColumn("bxs", F.lead("xs_q").over(w))
+         .withColumn("bys", F.lead("ys_q").over(w))
+         .filter(F.col("b_id").isNotNull()))
+
+    @pandas_udf("long")
+    def frechet2(axs, ays, bxs, bys):
+        ax = np.stack(axs.to_numpy()).astype(np.int64)
+        ay = np.stack(ays.to_numpy()).astype(np.int64)
+        bx = np.stack(bxs.to_numpy()).astype(np.int64)
+        by = np.stack(bys.to_numpy()).astype(np.int64)
+        # d2[p, i, j] over all pairs at once
+        dx = ax[:, :, None] - bx[:, None, :]
+        dy = ay[:, :, None] - by[:, None, :]
+        d2 = dx * dx + dy * dy
+        n = d2.shape[1]
+        c = np.empty_like(d2)
+        c[:, 0, 0] = d2[:, 0, 0]
+        for j in range(1, n):
+            c[:, 0, j] = np.maximum(d2[:, 0, j], c[:, 0, j - 1])
+        for i in range(1, n):
+            c[:, i, 0] = np.maximum(d2[:, i, 0], c[:, i - 1, 0])
+            for j in range(1, n):
+                m = np.minimum(np.minimum(c[:, i - 1, j],
+                                          c[:, i - 1, j - 1]),
+                               c[:, i, j - 1])
+                c[:, i, j] = np.maximum(d2[:, i, j], m)
+        return pd.Series(c[:, n - 1, n - 1])
+
+    return p.select(F.col("doc_id").alias("doc_a"),
+                    F.col("b_id").alias("doc_b"),
+                    frechet2("xs_q", "ys_q", "bxs", "bys")
+                    .alias("frechet2"))
+
+
+def _frechet_pairs_sql() -> str:
+    base = minted.sql_cluster_walk_lines_q(9, stride=1)
+    d2 = ("(axs[{i}] - bxs[j]) * (axs[{i}] - bxs[j])"
+          " + (ays[{i}] - bys[j]) * (ays[{i}] - bys[j])")
+    d2row = ("list_transform(range(1, 10), j -> " + d2 + ")")
+    # DP row i from row i−1 via lateral column references n1..n9
+    cols = ["greatest(d[1], r[1]) AS n1"]
+    for j in range(2, 10):
+        cols.append(f"greatest(d[{j}], least(r[{j}], r[{j - 1}], "
+                    f"n{j - 1})) AS n{j}")
+    nlist = "[" + ", ".join(f"n{j}" for j in range(1, 10)) + "]"
+    # row 1 is the prefix-max of d2 row 1 — same lateral-ref chain
+    r1 = ["d[1] AS n1"]
+    for j in range(2, 10):
+        r1.append(f"greatest(d[{j}], n{j - 1}) AS n{j}")
+    return f"""
+        WITH RECURSIVE w AS ({base}),
+        p AS (SELECT doc_id AS doc_a, xs AS axs, ys AS ays,
+                     lead(doc_id) OVER cw AS doc_b,
+                     lead(xs) OVER cw AS bxs, lead(ys) OVER cw AS bys
+              FROM w WINDOW cw AS (PARTITION BY doc_id % 37
+                                   ORDER BY doc_id)),
+        pp AS (SELECT * FROM p WHERE doc_b IS NOT NULL),
+        dp AS (
+            SELECT doc_a, doc_b, axs, ays, bxs, bys, 1 AS i, {nlist} AS r
+            FROM (SELECT *, {', '.join(r1)}
+                  FROM (SELECT *, {d2row.format(i=1)} AS d FROM pp))
+            UNION ALL
+            SELECT doc_a, doc_b, axs, ays, bxs, bys, i + 1, {nlist}
+            FROM (SELECT *, {', '.join(cols)}
+                  FROM (SELECT *, {d2row.format(i='i + 1')} AS d
+                        FROM dp WHERE i < 9))
+        )
+        SELECT doc_a, doc_b, CAST(r[9] AS BIGINT) AS frechet2
+        FROM dp WHERE i = 9"""
+
+
+MAXSIM_SUB = 4    # 64-dim embeddings → 4 sub-vectors of 16
+MAXSIM_EVERY = 50
+MAXSIM_K = 3
+
+
+def q_colbert_maxsim(spark, sf):
+    # multi-vector late-interaction retrieval (ColBERT-style): each
+    # embedding splits into 4 sub-vectors; score(q, v) = Σ_i max_j
+    # ⟨q_i, v_j⟩ — a query facet matches its BEST document facet
+    # instead of one pooled dot product. Brute top-k over the corpus
+    # (the exactness baseline, like ann_cosine_top5); the 16 dots are
+    # explicit 16-term addition chains so both engines sum in the
+    # IDENTICAL order — float-exact ranks, and only integer ranks are
+    # emitted. Queries broadcast; one window per query for top-k.
+    from pyspark.sql import Window as Win
+    e = _emb(spark, sf).select("vec_id",
+                               F.col("embedding").cast("array<double>")
+                               .alias("emb"))
+    q = (e.filter(F.col("vec_id") % MAXSIM_EVERY == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("qe")))
+    j = (e.withColumnRenamed("vec_id", "neighbor_id")
+         .withColumnRenamed("emb", "ve")
+         .crossJoin(F.broadcast(q))
+         .filter(F.col("neighbor_id") != F.col("query_id")))
+    sub = 64 // MAXSIM_SUB
+    maxes = []
+    for i in range(MAXSIM_SUB):
+        dots = []
+        for jj in range(MAXSIM_SUB):
+            terms = [F.element_at("qe", i * sub + k + 1)
+                     * F.element_at("ve", jj * sub + k + 1)
+                     for k in range(sub)]
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            dots.append(acc)
+        maxes.append(F.greatest(*dots))
+    score = maxes[0]
+    for m in maxes[1:]:
+        score = score + m
+    w = Win.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc())
+    return (j.withColumn("s", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= MAXSIM_K)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _colbert_maxsim_sql() -> str:
+    sub = 64 // MAXSIM_SUB
+    maxes = []
+    for i in range(MAXSIM_SUB):
+        dots = []
+        for jj in range(MAXSIM_SUB):
+            dots.append(" + ".join(
+                f"qe[{i * sub + k + 1}] * ve[{jj * sub + k + 1}]"
+                for k in range(sub)))
+        maxes.append("greatest(" + ", ".join(f"({d})" for d in dots) + ")")
+    score = " + ".join(f"({m})" for m in maxes)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+              WHERE vec_id % {MAXSIM_EVERY} = 0),
+        s AS (SELECT q.query_id, v.vec_id AS neighbor_id, v.emb AS ve,
+                     q.qe
+              FROM q CROSS JOIN e v WHERE v.vec_id <> q.query_id),
+        sc AS (SELECT query_id, neighbor_id, {score} AS s FROM s),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY s DESC, neighbor_id) AS rank
+              FROM sc)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {MAXSIM_K}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -10861,6 +11034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "frechet_pairs": q_frechet_pairs,
+        "colbert_maxsim": q_colbert_maxsim,
         "maximal_matching": q_maximal_matching,
         "text_segments": q_text_segments,
         "bpe_merges": q_bpe_merges,
@@ -13023,6 +13198,8 @@ def oracle_sql() -> dict[str, str]:
         "l1_medoid": _l1_medoid_sql(),
         "maximal_matching": _maximal_matching_sql(),
         "text_segments": _text_segments_sql(),
+        "frechet_pairs": _frechet_pairs_sql(),
+        "colbert_maxsim": _colbert_maxsim_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
