@@ -10556,7 +10556,8 @@ def q_log_histogram_p99(spark, sf):
     # the histogram avoids; here it doubles as the oracle of the bound.
     from pyspark.sql import Window as Win
     e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("CAST(value * 100 AS BIGINT)").alias("v"), "event_id")
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+        "event_id")
     bl = F.length(F.conv(F.col("v").cast("string"), 10, 2))
     shift = F.greatest(bl - F.lit(LOGH_SUB_BITS + 1), F.lit(0))
     b = (e.withColumn("sh", shift)
@@ -10586,7 +10587,8 @@ def q_log_histogram_p99(spark, sf):
 def _log_histogram_p99_sql() -> str:
     sb = LOGH_SUB_BITS + 1
     return f"""
-        WITH e AS (SELECT CAST(value * 100 AS BIGINT) AS v, event_id
+        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS v, event_id
                    FROM events),
         b AS (SELECT v, event_id,
                      greatest(length(bin(v)) - {sb}, 0) AS sh
@@ -11012,6 +11014,267 @@ def _colbert_maxsim_sql() -> str:
         FROM r WHERE rank <= {MAXSIM_K}"""
 
 
+# ---------------------------------------------------------------------------
+# batch 73 — two-phase exact median, first-vs-last-touch attribution
+# ---------------------------------------------------------------------------
+
+TPM_BUCKET = 1024
+ATTR_WINDOW = 7 * 86_400
+
+
+def q_two_phase_median(spark, sf):
+    # exact median WITHOUT a global sort — the 10^12-row pattern: pass 1
+    # is a map-side-combinable bucket histogram (width TPM_BUCKET);
+    # the cumulative counts locate the single bucket holding the target
+    # rank; pass 2 sorts ONLY that bucket (~n/#buckets rows) and picks
+    # the in-bucket offset. At extreme scale the second pass recurses;
+    # one level is already enough for any realistic bucket width. The
+    # oracle is the INDEPENDENT plan — a direct full-sort order
+    # statistic — so a green row checks the rank bookkeeping exactly.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+        "event_id")
+    h = (e.groupBy(F.expr(f"v div {TPM_BUCKET}").alias("b"))
+         .agg(F.count("*").alias("c")))
+    wcum = Win.orderBy("b").rowsBetween(Win.unboundedPreceding, 0)
+    wall = Win.partitionBy()
+    h = (h.withColumn("cum", F.sum("c").over(wcum))
+         .withColumn("n", F.sum("c").over(wall))
+         .withColumn("k", F.expr("(n + 1) div 2")))
+    tgt = (h.filter(F.col("cum") >= F.col("k"))
+           .orderBy("b").limit(1)
+           .select("b", (F.col("cum") - F.col("c")).alias("cum_prev"),
+                   "n", "k", F.col("c").alias("n_in_bucket")))
+    cand = e.join(F.broadcast(tgt),
+                  F.expr(f"v div {TPM_BUCKET}") == F.col("b"))
+    wv = Win.partitionBy("b").orderBy(F.col("v").asc(),
+                                      F.col("event_id").asc())
+    med = (cand.withColumn("rn", F.row_number().over(wv))
+           .filter(F.col("rn") == F.col("k") - F.col("cum_prev")))
+    return med.select(F.col("n").cast("bigint").alias("n_events"),
+                      F.col("v").alias("median_cents"),
+                      (F.col("b") * TPM_BUCKET).cast("bigint")
+                      .alias("bucket_lo"),
+                      F.col("n_in_bucket").cast("bigint")
+                      .alias("n_in_bucket"))
+
+
+def _two_phase_median_sql() -> str:
+    return f"""
+        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS v, event_id
+                   FROM events),
+        r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM e)
+        SELECT CAST(n AS BIGINT) AS n_events, v AS median_cents,
+               CAST((v // {TPM_BUCKET}) * {TPM_BUCKET} AS BIGINT)
+                   AS bucket_lo,
+               CAST((SELECT count(*) FROM e e2
+                     WHERE e2.v // {TPM_BUCKET} = r.v // {TPM_BUCKET})
+                    AS BIGINT) AS n_in_bucket
+        FROM r WHERE rn = (n + 1) // 2"""
+
+
+def q_attribution_compare(spark, sf):
+    # does attribution model choice matter on this corpus? For every
+    # purchase, find the FIRST-touch and LAST-touch click by the same
+    # user within the trailing 7-day window (t_click ≤ t_purchase; ties
+    # → min event_id) and census the disagreement. One band join on
+    # user (temporal.range_bucket_join is the at-scale form; events
+    # here are driver-tiny) + min/max struct aggregates; output is a
+    # single summary row.
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
+        "event_type")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 F.col("te").alias("tp")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("cid"),
+                 F.col("te").alias("tc")))
+    j = (p.join(c, "user_id")
+         .filter((F.col("tc") <= F.col("tp"))
+                 & (F.col("tc") > F.col("tp") - ATTR_WINDOW)))
+    per = (j.groupBy("pid")
+           .agg(F.min(F.struct("tc", "cid")).alias("ft"),
+                F.max(F.struct(F.col("tc"),
+                               (-F.col("cid")).alias("nc"))).alias("lt")))
+    per = per.select(
+        "pid", F.col("ft.cid").alias("first_click"),
+        (-F.col("lt.nc")).alias("last_click"))
+    n_p = p.count()
+    agg = per.agg(
+        F.count("*").alias("n_attributed"),
+        F.coalesce(F.sum((F.col("first_click") == F.col("last_click"))
+                         .cast("bigint")), F.lit(0)).alias("n_same"))
+    return agg.select(
+        F.lit(n_p).cast("bigint").alias("n_purchases"),
+        F.col("n_attributed").cast("bigint").alias("n_attributed"),
+        F.col("n_same").cast("bigint").alias("n_same"),
+        (F.col("n_attributed") - F.col("n_same")).cast("bigint")
+        .alias("n_diff"))
+
+
+def _attribution_compare_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          event_type
+                   FROM events),
+        p AS (SELECT user_id, event_id AS pid, te AS tp FROM e
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS cid, te AS tc FROM e
+              WHERE event_type = 'click'),
+        j AS (SELECT p.pid, c.cid, c.tc
+              FROM p JOIN c USING (user_id)
+              WHERE c.tc <= p.tp AND c.tc > p.tp - {ATTR_WINDOW}),
+        r1 AS (SELECT pid, cid,
+                      row_number() OVER (PARTITION BY pid
+                          ORDER BY tc, cid) AS rf,
+                      row_number() OVER (PARTITION BY pid
+                          ORDER BY tc DESC, cid) AS rl
+               FROM j),
+        per AS (SELECT pid,
+                       max(CASE WHEN rf = 1 THEN cid END) AS first_click,
+                       max(CASE WHEN rl = 1 THEN cid END) AS last_click
+                FROM r1 GROUP BY 1)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchases,
+               CAST(count(*) AS BIGINT) AS n_attributed,
+               CAST(coalesce(sum(CASE WHEN first_click = last_click
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_same,
+               CAST(count(*) - coalesce(sum(CASE WHEN first_click =
+                                       last_click THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_diff
+        FROM per"""
+
+
+# ---------------------------------------------------------------------------
+# batch 74 — gap-bounded sequence mining, integer Otsu thresholding
+# ---------------------------------------------------------------------------
+
+SEQ_GAP = 3
+OTSU_LEVEL = 128  # cents → 256-ish levels before the threshold scan
+OTSU_Q = 1000     # |diff| quantum — keeps the squared score in int64
+
+
+def q_gapped_sequences(spark, sf):
+    # sequential-pattern support with a gap bound: for every ordered
+    # type pair (a → b), how many USERS have an a-event followed by a
+    # b-event within the next SEQ_GAP events (event_motifs_3 counts
+    # strictly-consecutive runs; real funnels tolerate noise between
+    # steps). Per-user sequence numbers from one window, then a
+    # self-join on user with 1 ≤ Δrn ≤ gap — the join fans out at most
+    # gap× before the distinct, so it scales linearly in events.
+    from pyspark.sql import Window as Win
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("te"),
+        "event_id")
+    w = Win.partitionBy("user_id").orderBy("te", "event_id")
+    s = ev.withColumn("rn", F.row_number().over(w))
+    a = s.select("user_id", F.col("event_type").alias("a"),
+                 F.col("rn").alias("ra"))
+    b = s.select("user_id", F.col("event_type").alias("b"),
+                 F.col("rn").alias("rb"))
+    j = (a.join(b, "user_id")
+         .filter((F.col("rb") > F.col("ra"))
+                 & (F.col("rb") <= F.col("ra") + SEQ_GAP)))
+    return (j.groupBy("a", "b")
+            .agg(F.countDistinct("user_id").alias("support_users"),
+                 F.count("*").alias("n_occurrences"))
+            .select("a", "b",
+                    F.col("support_users").cast("bigint")
+                    .alias("support_users"),
+                    F.col("n_occurrences").cast("bigint")
+                    .alias("n_occurrences")))
+
+
+def _gapped_sequences_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id, event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          event_id
+                   FROM events),
+        s AS (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY te, event_id) AS rn
+              FROM e)
+        SELECT a.event_type AS a, b.event_type AS b,
+               CAST(count(DISTINCT a.user_id) AS BIGINT)
+                   AS support_users,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM s a JOIN s b ON a.user_id = b.user_id
+                         AND b.rn > a.rn AND b.rn <= a.rn + {SEQ_GAP}
+        GROUP BY 1, 2"""
+
+
+def q_otsu_threshold(spark, sf):
+    # Otsu's optimal threshold on the event-value histogram — the
+    # unsupervised "split cheap from expensive" binarization. Integer
+    # scan: level = cents div OTSU_LEVEL; for every candidate cut t
+    # (class 0 = level ≤ t), between-class separation is the monotone
+    # transform |S0·n1 − S1·n0|² / (n0·n1) of w0w1(μ0−μ1)². To keep
+    # the whole scan in int64 at any corpus size, |diff| is quantized
+    # (div OTSU_Q) before squaring — BOTH engines run the identical
+    # quantized formula, so the argmax (ties → lowest cut) is fully
+    # deterministic, and the pytest cross-checks the pick against the
+    # float Otsu optimum. One tiny histogram agg + cumulative sums
+    # over ≤256 levels.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr(f"CAST(floor(value * 100 + 0.5) AS BIGINT)"
+               f" div {OTSU_LEVEL}").alias("lv"))
+    h = e.groupBy("lv").agg(F.count("*").alias("c"),
+                            F.sum("lv").alias("sv"))
+    wcum = Win.orderBy("lv").rowsBetween(Win.unboundedPreceding, 0)
+    wall = Win.partitionBy()
+    d = (h.withColumn("n0", F.sum("c").over(wcum))
+         .withColumn("s0", F.sum(F.col("sv")).over(wcum))
+         .withColumn("n", F.sum("c").over(wall))
+         .withColumn("s", F.sum(F.col("sv")).over(wall))
+         .filter(F.col("n0") < F.col("n"))
+         .withColumn("ad", F.abs(F.col("s0") * (F.col("n") - F.col("n0"))
+                                 - (F.col("s") - F.col("s0"))
+                                 * F.col("n0")))
+         .withColumn("score", F.expr(
+             f"((ad div {OTSU_Q}) * (ad div {OTSU_Q}))"
+             " div (n0 * (n - n0))")))
+    return (d.orderBy(F.col("score").desc(), F.col("lv").asc()).limit(1)
+            .select((F.col("lv") * OTSU_LEVEL).cast("bigint")
+                    .alias("threshold_cents"),
+                    F.col("score").cast("bigint").alias("score"),
+                    F.col("n0").cast("bigint").alias("n_low"),
+                    (F.col("n") - F.col("n0")).cast("bigint")
+                    .alias("n_high")))
+
+
+def _otsu_threshold_sql() -> str:
+    return f"""
+        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       // {OTSU_LEVEL} AS lv
+                   FROM events),
+        h AS (SELECT lv, count(*) AS c, sum(lv) AS sv FROM e
+              GROUP BY 1),
+        d AS (SELECT lv,
+                     sum(c) OVER (ORDER BY lv) AS n0,
+                     sum(sv) OVER (ORDER BY lv) AS s0,
+                     sum(c) OVER () AS n, sum(sv) OVER () AS s
+              FROM h),
+        f AS (SELECT lv, n0, n - n0 AS n1,
+                     abs(s0 * (n - n0) - (s - s0) * n0) AS ad
+              FROM d WHERE n0 < n),
+        sc AS (SELECT lv, n0, n1,
+                      ((ad // {OTSU_Q}) * (ad // {OTSU_Q}))
+                          // (n0 * n1) AS score
+               FROM f)
+        SELECT CAST(lv * {OTSU_LEVEL} AS BIGINT) AS threshold_cents,
+               CAST(score AS BIGINT) AS score,
+               CAST(n0 AS BIGINT) AS n_low, CAST(n1 AS BIGINT) AS n_high
+        FROM sc ORDER BY score DESC, lv ASC LIMIT 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -11034,6 +11297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "gapped_sequences": q_gapped_sequences,
+        "otsu_threshold": q_otsu_threshold,
+        "two_phase_median": q_two_phase_median,
+        "attribution_compare": q_attribution_compare,
         "frechet_pairs": q_frechet_pairs,
         "colbert_maxsim": q_colbert_maxsim,
         "maximal_matching": q_maximal_matching,
@@ -13200,6 +13467,10 @@ def oracle_sql() -> dict[str, str]:
         "text_segments": _text_segments_sql(),
         "frechet_pairs": _frechet_pairs_sql(),
         "colbert_maxsim": _colbert_maxsim_sql(),
+        "two_phase_median": _two_phase_median_sql(),
+        "attribution_compare": _attribution_compare_sql(),
+        "gapped_sequences": _gapped_sequences_sql(),
+        "otsu_threshold": _otsu_threshold_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

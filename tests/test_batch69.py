@@ -64,7 +64,7 @@ def test_winnow_guarantee_and_density(spark):
 def test_log_histogram_p99_bound(spark):
     ev = pd.read_parquet(f"{SF}/events.parquet",
                          columns=["value", "event_id"])
-    v = (ev["value"] * 100).astype("int64").to_numpy()
+    v = np.floor(ev["value"] * 100 + 0.5).astype("int64").to_numpy()
     n = len(v)
     rank = math.ceil(n * 0.99)
     exact = int(np.sort(v)[rank - 1])

@@ -103,6 +103,8 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "gapped_sequences", "otsu_threshold",
+        "two_phase_median", "attribution_compare",
         "frechet_pairs", "colbert_maxsim",
         "maximal_matching", "text_segments",
         "bpe_merges", "l1_medoid",
@@ -126,15 +128,15 @@ def test_driver_window_invariants():
         "markov_stationary", "rolling_median_7d",
         "boruvka_round1",
         "host_cap_sample", "hll_error_eval",
-        "time_weighted_value", "embed_covariance",
-        "quadkey_range_join", "trimmed_mean_chars",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["fano_dispersion", "degree_assortativity",
+    overflow = ["time_weighted_value", "embed_covariance",
+                "quadkey_range_join", "trimmed_mean_chars",
+                "fano_dispersion", "degree_assortativity",
                 "event_rle", "cluster_diameter",
                 "line_self_intersect", "autocorr_daily",
                 "gini_chars", "kendall_daily",
