@@ -11275,6 +11275,150 @@ def _otsu_threshold_sql() -> str:
         FROM sc ORDER BY score DESC, lv ASC LIMIT 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 75 — Apriori frequent triples, double-sweep diameter bound
+# ---------------------------------------------------------------------------
+
+APRIORI_SUP = 12  # basket support threshold (tuned to split at both SFs)
+
+
+def _baskets(spark, sf):
+    # basket = (user, day); item = event_type × value-quartile — 20
+    # possible items, sparse enough per basket that the apriori lattice
+    # actually prunes
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    it = F.concat_ws(
+        "#", F.col("event_type"),
+        F.least(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                       " div 10000"), F.lit(3)).cast("string"))
+    return (e.select(F.concat_ws("|", F.col("user_id").cast("string"),
+                                 day.cast("string")).alias("bk"),
+                     it.alias("item"))
+            .distinct())
+
+
+def q_apriori_triples(spark, sf):
+    # frequent 3-itemsets by the Apriori levelwise plan — the
+    # market-basket generalization of basket_pairs: candidates for
+    # level 3 come ONLY from joining frequent pairs that share their
+    # first item, then the (b, c) subset must itself be frequent (the
+    # downward-closure prune) before any counting happens. At corpus
+    # scale this is the difference between counting C(n_items, 3)
+    # triples and counting a few survivors; the pytest measures the
+    # prune. Basket building is one distinct; each level is a
+    # self-join + count, all map-side combinable.
+    bi = _baskets(spark, sf).localCheckpoint(eager=False)
+    f1 = (bi.groupBy("item").agg(F.count("*").alias("s"))
+          .filter(F.col("s") >= APRIORI_SUP).select("item"))
+    b1 = bi.join(F.broadcast(f1), "item")
+    p = (b1.select("bk", F.col("item").alias("a"))
+         .join(b1.select("bk", F.col("item").alias("b")), "bk")
+         .filter(F.col("a") < F.col("b")))
+    f2 = (p.groupBy("a", "b").agg(F.count("*").alias("s"))
+          .filter(F.col("s") >= APRIORI_SUP).select("a", "b")
+          .localCheckpoint(eager=False))
+    cand = (f2.join(f2.select(F.col("a").alias("a"),
+                              F.col("b").alias("c")), "a")
+            .filter(F.col("b") < F.col("c")))
+    cand = (cand.join(f2.select(F.col("a").alias("b"),
+                                F.col("b").alias("c")), ["b", "c"]))
+    t = (cand.join(b1.select("bk", F.col("item").alias("a")), "a")
+         .join(b1.select("bk", F.col("item").alias("b")),
+               ["bk", "b"])
+         .join(b1.select("bk", F.col("item").alias("c")),
+               ["bk", "c"]))
+    return (t.groupBy("a", "b", "c").agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= APRIORI_SUP)
+            .select("a", "b", "c",
+                    F.col("support").cast("bigint").alias("support")))
+
+
+def _apriori_triples_sql() -> str:
+    return f"""
+        WITH e AS (SELECT CAST(user_id AS VARCHAR) || '|' ||
+                          CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                               AS VARCHAR) AS bk,
+                          event_type || '#' ||
+                          CAST(least(CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT) // 10000, 3)
+                               AS VARCHAR) AS item
+                   FROM events),
+        bi AS (SELECT DISTINCT bk, item FROM e),
+        f1 AS (SELECT item FROM bi GROUP BY 1
+               HAVING count(*) >= {APRIORI_SUP}),
+        b1 AS (SELECT bi.bk, bi.item FROM bi JOIN f1 USING (item)),
+        f2 AS (SELECT x.item AS a, y.item AS b
+               FROM b1 x JOIN b1 y ON x.bk = y.bk AND x.item < y.item
+               GROUP BY 1, 2 HAVING count(*) >= {APRIORI_SUP}),
+        cand AS (SELECT p.a, p.b, q.b AS c
+                 FROM f2 p JOIN f2 q ON p.a = q.a AND p.b < q.b),
+        cand2 AS (SELECT cand.a, cand.b, cand.c
+                  FROM cand JOIN f2 r ON r.a = cand.b AND r.b = cand.c),
+        t AS (SELECT x.bk, cand2.a, cand2.b, cand2.c
+              FROM cand2
+              JOIN b1 x ON x.item = cand2.a
+              JOIN b1 y ON y.bk = x.bk AND y.item = cand2.b
+              JOIN b1 z ON z.bk = x.bk AND z.item = cand2.c)
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        FROM t GROUP BY 1, 2, 3 HAVING count(*) >= {APRIORI_SUP}"""
+
+
+DIAM_CAP = 16
+
+
+def q_diameter_sweep(spark, sf):
+    # graph-diameter lower bound by the classic double BFS sweep: full
+    # BFS from the lexicographically smallest host → farthest node w
+    # (ties → min host); full BFS from w → its eccentricity, which
+    # lower-bounds the diameter (and is exact on trees). Each BFS runs
+    # the bfs_hops frontier loop to exhaustion under a DIAM_CAP budget.
+    # Output one row: the two sweep endpoints and both eccentricities.
+    from geobuf_spark.operators import graph
+    ed = (_host_edges(spark)
+          .select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst")))
+    nodes = (ed.select(F.col("src").alias("host"))
+             .unionByName(ed.select(F.col("dst").alias("host")))
+             .distinct())
+    seed0 = nodes.orderBy("host").limit(1)
+    b1 = graph.bfs_hops(ed, seed0, max_hops=DIAM_CAP)
+    far1 = (b1.orderBy(F.col("hop").desc(), F.col("host").asc())
+            .limit(1).collect()[0])
+    b2 = graph.bfs_hops(ed, spark.createDataFrame(
+        [(far1["host"],)], ["host"]), max_hops=DIAM_CAP)
+    far2 = (b2.orderBy(F.col("hop").desc(), F.col("host").asc())
+            .limit(1).collect()[0])
+    start = seed0.collect()[0]["host"]
+    return spark.createDataFrame(
+        [(start, far1["host"], int(far1["hop"]), far2["host"],
+          int(far2["hop"]))],
+        "start string, far1 string, ecc1 int, far2 string, "
+        "diameter_lb int")
+
+
+def _diameter_sweep_sql() -> str:
+    from geobuf_spark.operators import graph
+    b1 = graph.sql_bfs_hops(_host_edges_cte(), "n = (SELECT min(n) "
+                            "FROM nodes)", max_hops=DIAM_CAP)
+    # second sweep: seed = argmax hop of sweep 1 (ties → min host)
+    b2 = graph.sql_bfs_hops(
+        _host_edges_cte(),
+        "n = (SELECT host FROM s1 ORDER BY hop DESC, host LIMIT 1)",
+        max_hops=DIAM_CAP)
+    return f"""
+        WITH s1 AS ({b1}),
+        s2 AS ({b2}),
+        f1 AS (SELECT host, hop FROM s1
+               ORDER BY hop DESC, host LIMIT 1),
+        f2 AS (SELECT host, hop FROM s2
+               ORDER BY hop DESC, host LIMIT 1),
+        st AS (SELECT min(host) AS start FROM s1 WHERE hop = 0)
+        SELECT st.start, f1.host AS far1, CAST(f1.hop AS INT) AS ecc1,
+               f2.host AS far2, CAST(f2.hop AS INT) AS diameter_lb
+        FROM st, f1, f2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
