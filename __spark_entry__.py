@@ -11364,7 +11364,7 @@ def _apriori_triples_sql() -> str:
         FROM t GROUP BY 1, 2, 3 HAVING count(*) >= {APRIORI_SUP}"""
 
 
-DIAM_CAP = 16
+DIAM_CAP = 10
 
 
 def q_diameter_sweep(spark, sf):
@@ -11441,6 +11441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "apriori_triples": q_apriori_triples,
+        "diameter_sweep": q_diameter_sweep,
         "gapped_sequences": q_gapped_sequences,
         "otsu_threshold": q_otsu_threshold,
         "two_phase_median": q_two_phase_median,
@@ -13615,6 +13617,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_compare": _attribution_compare_sql(),
         "gapped_sequences": _gapped_sequences_sql(),
         "otsu_threshold": _otsu_threshold_sql(),
+        "apriori_triples": _apriori_triples_sql(),
+        "diameter_sweep": _diameter_sweep_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -444,7 +444,7 @@ def sql_bfs_hops(edges_cte: str, seed_pred: str, max_hops: int = 3,
     steps = []
     for h in range(1, max_hops + 1):
         steps.append(f"""
-        bfs{h} AS (SELECT host, min(hop) AS hop FROM (
+        bfs{h} AS MATERIALIZED (SELECT host, min(hop) AS hop FROM (
                     SELECT host, hop FROM bfs{h - 1}
                     UNION ALL
                     SELECT adj.nb AS host, {h} AS hop
