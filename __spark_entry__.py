@@ -11578,6 +11578,136 @@ def _fold_leakage_audit_sql() -> str:
         FROM agg"""
 
 
+# ---------------------------------------------------------------------------
+# batch 77 — independence-assumption selectivity audit, rsync block delta
+# ---------------------------------------------------------------------------
+
+RSYNC_BLOCK = 16
+
+
+def q_selectivity_audit(spark, sf):
+    # the cardinality-estimation error a histogram-only planner makes:
+    # for every (lang, source) value pair, compare the
+    # independence-assumption estimate n_a·n_b/N against the TRUE
+    # conjunctive count — exactly what Spark's CBO does with column
+    # stats, made measurable. est/act in exact ppm of N; err signed.
+    # Three tiny aggregations (two marginals + one joint), broadcast
+    # everywhere.
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n = d.count()
+    la = d.groupBy("lang").agg(F.count("*").alias("na"))
+    so = d.groupBy("source").agg(F.count("*").alias("nb"))
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("nj"))
+    j = (la.crossJoin(so)
+         .join(joint, ["lang", "source"], "left")
+         .withColumn("nj", F.coalesce(F.col("nj"), F.lit(0))))
+    return (j.select(
+        "lang", "source",
+        F.expr(f"1000000 * na * nb div ({n} * CAST({n} AS BIGINT))")
+        .cast("bigint").alias("est_ppm"),
+        F.expr(f"1000000 * nj div {n}").cast("bigint").alias("act_ppm"))
+        .withColumn("err_ppm",
+                    (F.col("est_ppm") - F.col("act_ppm")).cast("bigint")))
+
+
+def _selectivity_audit_sql() -> str:
+    return """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        la AS (SELECT lang, CAST(count(*) AS BIGINT) AS na
+               FROM documents GROUP BY 1),
+        so AS (SELECT source, CAST(count(*) AS BIGINT) AS nb
+               FROM documents GROUP BY 1),
+        joint AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nj
+                  FROM documents GROUP BY 1, 2),
+        j AS (SELECT la.lang, so.source, la.na, so.nb,
+                     coalesce(joint.nj, 0) AS nj, n.n
+              FROM la CROSS JOIN so CROSS JOIN n
+              LEFT JOIN joint ON joint.lang = la.lang
+                             AND joint.source = so.source)
+        SELECT lang, source,
+               CAST(1000000 * na * nb // (n * n) AS BIGINT) AS est_ppm,
+               CAST(1000000 * nj // n AS BIGINT) AS act_ppm,
+               CAST(1000000 * na * nb // (n * n)
+                    - 1000000 * nj // n AS BIGINT) AS err_ppm
+        FROM j"""
+
+
+def q_rsync_delta(spark, sf):
+    # incremental-crawl storage: how much of a re-fetched page does the
+    # rsync block protocol re-use? Version B = the doc with a planted
+    # 3-token insertion at a content-derived position; A's fixed
+    # RSYNC_BLOCK-token blocks match against EVERY B window by hash —
+    # an insertion breaks at most the ONE block it lands inside, so
+    # n_matched ≥ n_blocks − 1 and the literal tail is the insertion
+    # plus the broken block (pytest pins the bound). All array
+    # expressions on one row — zero joins, zero shuffles; the block
+    # hashes use the portable bridge so DuckDB replays the match.
+    from geobuf_spark.functions import phash
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    nA = F.size(toks)
+    p = F.pmod(phash.hash60(F.concat(F.lit("ins:"),
+                                     F.col("doc_id").cast("string"))),
+               nA + 1)
+    ins = F.array(F.lit("zz1"), F.lit("zz2"), F.lit("zz3"))
+    btoks = F.concat(F.slice(toks, 1, p), ins,
+                     F.slice(toks, p + 1, nA - p))
+    nb_blocks = nA.cast("int") / F.lit(RSYNC_BLOCK)
+    nblocks = F.floor(nb_blocks).cast("int")
+    ah = F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda k: phash.hash60(F.concat_ws(
+            " ", F.slice(toks, k * RSYNC_BLOCK + 1, RSYNC_BLOCK))))
+    nB = F.size(btoks)
+    wh = F.transform(
+        F.sequence(F.lit(1), nB - (RSYNC_BLOCK - 1)),
+        lambda i: phash.hash60(F.concat_ws(
+            " ", F.slice(btoks, i, RSYNC_BLOCK))))
+    matched = F.size(F.filter(ah, lambda h: F.array_contains(wh, h)))
+    out = d.filter(nA >= RSYNC_BLOCK).select(
+        "doc_id", nblocks.cast("bigint").alias("n_blocks"),
+        matched.cast("bigint").alias("n_matched"),
+        (nB - matched * RSYNC_BLOCK).cast("bigint")
+        .alias("literal_tokens"))
+    return out
+
+
+def _rsync_delta_sql() -> str:
+    from geobuf_spark.functions import phash
+    b = RSYNC_BLOCK
+    ph = phash.sql_hash60("'ins:' || CAST(doc_id AS VARCHAR)")
+    bh = phash.sql_hash60(
+        f"array_to_string(list_slice(tk, k * {b} + 1, (k + 1) * {b}),"
+        f" chr(32))")
+    wh = phash.sql_hash60(
+        f"array_to_string(list_slice(bt, i, i + {b - 1}), chr(32))")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
+                   FROM documents),
+        e AS (SELECT doc_id, tk, len(tk) AS na,
+                     {ph} % (len(tk) + 1) AS p
+              FROM d WHERE len(tk) >= {b}),
+        v AS (SELECT doc_id, tk, na,
+                     list_concat(list_concat(
+                         list_slice(tk, 1, p), ['zz1', 'zz2', 'zz3']),
+                         list_slice(tk, p + 1, na)) AS bt
+              FROM e),
+        h AS (SELECT doc_id, na // {b} AS nblocks,
+                     list_transform(range(0, na // {b}),
+                                    k -> {bh}) AS ah,
+                     list_transform(range(1, len(bt) - {b - 1} + 1),
+                                    i -> {wh}) AS whs,
+                     len(bt) AS nb2
+              FROM v)
+        SELECT doc_id, CAST(nblocks AS BIGINT) AS n_blocks,
+               CAST(len(list_filter(ah, x -> list_contains(whs, x)))
+                    AS BIGINT) AS n_matched,
+               CAST(nb2 - len(list_filter(ah,
+                        x -> list_contains(whs, x))) * {b} AS BIGINT)
+                   AS literal_tokens
+        FROM h"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -11600,6 +11730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "selectivity_audit": q_selectivity_audit,
+        "rsync_delta": q_rsync_delta,
         "kcenter_greedy": q_kcenter_greedy,
         "fold_leakage_audit": q_fold_leakage_audit,
         "apriori_triples": q_apriori_triples,
@@ -13782,6 +13914,8 @@ def oracle_sql() -> dict[str, str]:
         "diameter_sweep": _diameter_sweep_sql(),
         "kcenter_greedy": _kcenter_greedy_sql(),
         "fold_leakage_audit": _fold_leakage_audit_sql(),
+        "selectivity_audit": _selectivity_audit_sql(),
+        "rsync_delta": _rsync_delta_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
