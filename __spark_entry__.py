@@ -11708,6 +11708,135 @@ def _rsync_delta_sql() -> str:
         FROM h"""
 
 
+# ---------------------------------------------------------------------------
+# batch 78 — effective corpus size after dedup, Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+
+def q_effective_tokens(spark, sf):
+    # "how big is the corpus REALLY": token mass after collapsing each
+    # near-dup component (exact-Jaccard tier) to its representative —
+    # the number that prices training-data value, not raw bytes.
+    # Composition of existing operators: pair graph → components → one
+    # anti-join discount of non-representative docs; single summary
+    # row with the savings in ppm.
+    from geobuf_spark.operators import dedup
+    d = _docs(spark, sf).select(
+        "doc_id", TXT.token_count(F.col("text")).cast("bigint")
+        .alias("n_tok"))
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
+                                      shingle_k=3, threshold=0.4)
+    comp = dedup.near_dup_components(pairs.select("a", "b"))
+    nonrep = comp.filter(F.col("doc_id") != F.col("rep_id")) \
+        .select("doc_id")
+    tot = d.agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("tokens_total"))
+    disc = (d.join(nonrep, "doc_id")
+            .agg(F.count("*").alias("n_dup_docs"),
+                 F.coalesce(F.sum("n_tok"), F.lit(0))
+                 .alias("tokens_dropped")))
+    return (tot.crossJoin(disc)
+            .select(F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_dup_docs").cast("bigint").alias("n_dup_docs"),
+                    F.col("tokens_total").cast("bigint")
+                    .alias("tokens_total"),
+                    (F.col("tokens_total") - F.col("tokens_dropped"))
+                    .cast("bigint").alias("tokens_effective"),
+                    F.expr("1000000 * tokens_dropped div tokens_total")
+                    .cast("bigint").alias("savings_ppm")))
+
+
+def _effective_tokens_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_ngram_sql()},
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        walk(u, label) AS (
+            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+        comp AS (SELECT u AS doc_id, min(label) AS rep_id FROM walk
+                 GROUP BY u),
+        tk AS (SELECT doc_id,
+                      CAST(len(string_split(text, chr(32))) AS BIGINT)
+                          AS n_tok
+               FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS tokens_total
+                FROM tk),
+        disc AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
+                        CAST(coalesce(sum(tk.n_tok), 0) AS BIGINT)
+                            AS tokens_dropped
+                 FROM comp JOIN tk USING (doc_id)
+                 WHERE comp.doc_id <> comp.rep_id)
+        SELECT n_docs, n_dup_docs, tokens_total,
+               CAST(tokens_total - tokens_dropped AS BIGINT)
+                   AS tokens_effective,
+               CAST(1000000 * tokens_dropped // tokens_total AS BIGINT)
+                   AS savings_ppm
+        FROM tot, disc"""
+
+
+def q_zipf_fit(spark, sf):
+    # does the corpus vocabulary follow a power law? Rank-frequency
+    # slope on the log-log plot, kept exact: log2 via the binary-string
+    # bit length (both engines agree bit-for-bit — the log_histogram
+    # trick), slope by integer least squares over (lx, ly) as the
+    # EXACT rational num/den (the trend_slope_weekly form). A Zipfian
+    # vocabulary fits slope ≈ −1; flat synthetic vocabularies read
+    # near 0 — the drift gate for "did the tokenizer/corpus change
+    # shape". One term rollup + a ≤vocab-size ranking.
+    from pyspark.sql import Window as Win
+    t = (_docs(spark, sf)
+         .select(F.explode(F.split("text", " ")).alias("w"))
+         .groupBy("w").agg(F.count("*").alias("f")))
+    wr = Win.orderBy(F.col("f").desc(), F.col("w").asc())
+    r = (t.withColumn("rank", F.row_number().over(wr))
+         .select(
+             (F.length(F.conv(F.col("rank").cast("string"), 10, 2)) - 1)
+             .cast("bigint").alias("lx"),
+             (F.length(F.conv(F.col("f").cast("string"), 10, 2)) - 1)
+             .cast("bigint").alias("ly")))
+    a = r.agg(F.count("*").alias("n"), F.sum("lx").alias("sx"),
+              F.sum("ly").alias("sy"),
+              F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+              F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    return a.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint").alias("slope_den"),
+        F.expr("1000000 * (n * sxy - sx * sy) div "
+               "(n * sxx - sx * sx)").cast("bigint")
+        .alias("slope_ppm"))
+
+
+def _zipf_fit_sql() -> str:
+    return """
+        WITH t AS (SELECT w, count(*) AS f FROM (
+                       SELECT unnest(string_split(text, chr(32))) AS w
+                       FROM documents)
+                   GROUP BY 1),
+        r AS (SELECT CAST(length(bin(row_number() OVER (
+                          ORDER BY f DESC, w ASC))) - 1 AS BIGINT)
+                         AS lx,
+                     CAST(length(bin(f)) - 1 AS BIGINT) AS ly
+              FROM t),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(lx) AS BIGINT) AS sx,
+                     CAST(sum(ly) AS BIGINT) AS sy,
+                     CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                     CAST(sum(lx * lx) AS BIGINT) AS sxx
+              FROM r)
+        SELECT n AS n_terms,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(1000000 * (n * sxy - sx * sy)
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        FROM a"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -11730,6 +11859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "effective_tokens": q_effective_tokens,
+        "zipf_fit": q_zipf_fit,
         "selectivity_audit": q_selectivity_audit,
         "rsync_delta": q_rsync_delta,
         "kcenter_greedy": q_kcenter_greedy,
@@ -13916,6 +14047,8 @@ def oracle_sql() -> dict[str, str]:
         "fold_leakage_audit": _fold_leakage_audit_sql(),
         "selectivity_audit": _selectivity_audit_sql(),
         "rsync_delta": _rsync_delta_sql(),
+        "effective_tokens": _effective_tokens_sql(),
+        "zipf_fit": _zipf_fit_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

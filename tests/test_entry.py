@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "effective_tokens", "zipf_fit",
         "selectivity_audit", "rsync_delta",
         "kcenter_greedy", "fold_leakage_audit",
         "apriori_triples", "diameter_sweep",
@@ -127,14 +128,14 @@ def test_driver_window_invariants():
         "rbo_rankings", "dup_span_maxrun",
         "pip_versioned", "dow_residual_outliers",
         "redirect_resolve", "tile_gradient",
-        "vocab_growth", "peak_concurrency",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["grid_boundary_cells", "markov_stationary",
+    overflow = ["vocab_growth", "peak_concurrency",
+                "grid_boundary_cells", "markov_stationary",
                 "rolling_median_7d", "boruvka_round1",
                 "host_cap_sample", "hll_error_eval",
                 "time_weighted_value", "embed_covariance",
