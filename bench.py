@@ -125,6 +125,11 @@ def bench_queries(spark):
         "allen_census", "voronoi_assign", "mmr_topk", "tfidf_top_terms",
         "lpa_communities", "consistent_shards", "asof_nearest",
         "simplify_collinear",
+        # fourth extension, second half: matching/selection/sketch/text
+        "maximal_matching", "snapshot_reconcile", "max_coverage_hosts",
+        "frechet_pairs", "colbert_maxsim", "bpe_merges", "winnow_fps",
+        "cdc_chunks", "two_phase_median", "str_pack", "kcenter_greedy",
+        "rsync_delta", "effective_tokens",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
