@@ -11837,6 +11837,184 @@ def _zipf_fit_sql() -> str:
         FROM a"""
 
 
+# ---------------------------------------------------------------------------
+# batch 79 — Haar multiresolution energy, negative-sample audit
+# ---------------------------------------------------------------------------
+
+HAAR_N = 32  # days padded to the next power of two
+NEG_K = 2
+
+
+def q_haar_energy(spark, sf):
+    # which TIMESCALE carries the crawl-volume variance: unnormalized
+    # Haar wavelet decomposition of the daily event-count series
+    # (padded to 32), exact integers — level-l details are differences
+    # of 2^(l-1)-day sums, so level 3 ≈ half-week structure, level 5 ≈
+    # fortnight trend. Output per level: coefficient count and detail
+    # energy Σd². The daily rollup is the only data-sized exchange; the
+    # 32-point transform happens in ONE single-row projection via
+    # map lookup + unrolled per-level transforms.
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    days = ev.groupBy("day").agg(F.count("*").alias("n"))
+    one = (days.agg(
+        F.min("day").alias("d0"),
+        F.map_from_entries(F.collect_list(F.struct("day", "n")))
+        .alias("m")))
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(HAAR_N - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"),
+                         (F.col("d0") + i.cast("bigint"))),
+            F.lit(0)).cast("bigint"))
+    one = one.select(x.alias("x"))
+    rows = []
+    cur = F.col("x")
+    n = HAAR_N
+    for lvl in range(1, 6):
+        half = n // 2
+        idx = F.sequence(F.lit(1), F.lit(half))
+        det = F.transform(
+            idx, lambda j: F.element_at(cur, 2 * j - 1)
+            - F.element_at(cur, 2 * j))
+        app = F.transform(
+            idx, lambda j: F.element_at(cur, 2 * j - 1)
+            + F.element_at(cur, 2 * j))
+        energy = F.aggregate(det, F.lit(0).cast("bigint"),
+                             lambda a, d: a + d * d)
+        rows.append(one.select(F.lit(lvl).alias("level"),
+                               F.lit(half).cast("bigint")
+                               .alias("n_coeffs"),
+                               energy.alias("energy")))
+        one = one.select(app.alias("x"))
+        cur = F.col("x")
+        n = half
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(F.col("level").cast("int").alias("level"),
+                      "n_coeffs",
+                      F.col("energy").cast("bigint").alias("energy"))
+
+
+def _haar_energy_sql() -> str:
+    parts = [f"""
+        d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+        d0 AS (SELECT min(day) AS d0 FROM d),
+        grid AS (SELECT CAST(range AS BIGINT) AS i FROM
+                     range(0, {HAAR_N})),
+        x0 AS (SELECT list(coalesce(d.n, 0) ORDER BY grid.i) AS x
+               FROM grid CROSS JOIN d0
+               LEFT JOIN d ON d.day = d0.d0 + grid.i)"""]
+    n = HAAR_N
+    sels = []
+    for lvl in range(1, 6):
+        half = n // 2
+        parts.append(f"""
+        l{lvl} AS (SELECT
+            list_transform(range(1, {half} + 1),
+                j -> x[2*j - 1] - x[2*j]) AS det,
+            list_transform(range(1, {half} + 1),
+                j -> x[2*j - 1] + x[2*j]) AS x
+            FROM {'x0' if lvl == 1 else f'l{lvl - 1}'})""")
+        sels.append(f"SELECT {lvl} AS level, {half} AS n_coeffs, "
+                    f"list_sum(list_transform(det, v -> v * v)) "
+                    f"AS energy FROM l{lvl}")
+        n = half
+    u = "\n        UNION ALL ".join(sels)
+    return (f"WITH {','.join(parts)}"
+            f"""
+        SELECT CAST(level AS INT) AS level,
+               CAST(n_coeffs AS BIGINT) AS n_coeffs,
+               CAST(energy AS BIGINT) AS energy
+        FROM ({u})""")
+
+
+def q_negative_samples(spark, sf):
+    # link-prediction training needs negatives: for every positive host
+    # edge, mint NEG_K deterministic candidates (hash-indexed into the
+    # ranked host table) and AUDIT them — a candidate that equals the
+    # source or hits a real edge is a false negative that poisons the
+    # training set. Output: positives, candidates, self-collisions,
+    # edge-collisions, clean_ppm. One broadcast of the host index + one
+    # semi-join against the edge set; at 10^8 hosts the index join
+    # stays a hash join on int keys.
+    from geobuf_spark.functions import phash
+    from pyspark.sql import Window as Win
+    ed = (_host_edges(spark)
+          .select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst")).distinct()
+          .localCheckpoint(eager=False))
+    hosts = (ed.select(F.col("src").alias("h"))
+             .unionByName(ed.select(F.col("dst").alias("h"))).distinct())
+    w = Win.orderBy("h")
+    hid = hosts.withColumn("idx",
+                           F.row_number().over(w).cast("bigint") - 1)
+    nh = hid.count()
+    cands = None
+    for k in range(NEG_K):
+        c = ed.select(
+            "src", "dst",
+            F.pmod(phash.hash60_parts(F.lit("neg"), F.col("src"),
+                                      F.col("dst"), F.lit(k)),
+                   F.lit(nh)).alias("idx"))
+        cands = c if cands is None else cands.unionByName(c)
+    j = cands.join(F.broadcast(hid), "idx").withColumnRenamed("h", "cand")
+    hit = (j.join(ed.select(F.col("src").alias("src"),
+                            F.col("dst").alias("cand"))
+                  .withColumn("_e", F.lit(1)).distinct(),
+                  ["src", "cand"], "left"))
+    agg = hit.agg(
+        F.count("*").alias("n_cand"),
+        F.sum((F.col("cand") == F.col("src")).cast("bigint"))
+        .alias("n_self"),
+        F.sum(F.col("_e").isNotNull().cast("bigint")).alias("n_hit"))
+    npos = ed.count()
+    return agg.select(
+        F.lit(npos).cast("bigint").alias("n_pos"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_self").cast("bigint").alias("n_self"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.expr("1000000 * (n_cand - n_self - n_hit) div n_cand")
+        .cast("bigint").alias("clean_ppm"))
+
+
+def _negative_samples_sql() -> str:
+    from geobuf_spark.functions import phash
+    h = phash.sql_hash60_parts("'neg'", "src", "dst", "k")
+    return f"""
+        WITH {_host_edges_cte()},
+        pe AS (SELECT DISTINCT src, dst FROM ed),
+        hosts AS (SELECT src AS h FROM pe UNION SELECT dst FROM pe),
+        hid AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS idx
+                FROM hosts),
+        nh AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hid),
+        cand AS (SELECT pe.src, pe.dst, k.k,
+                        {h} % nh.nh AS idx
+                 FROM pe CROSS JOIN (SELECT CAST(range AS BIGINT) AS k
+                                     FROM range(0, {NEG_K})) k
+                 CROSS JOIN nh),
+        jj AS (SELECT cand.src, hid.h AS cand_h
+               FROM cand JOIN hid USING (idx)),
+        hit AS (SELECT jj.src, jj.cand_h,
+                       CASE WHEN jj.cand_h = jj.src THEN 1 ELSE 0 END
+                           AS is_self,
+                       CASE WHEN EXISTS (SELECT 1 FROM pe
+                                         WHERE pe.src = jj.src
+                                           AND pe.dst = jj.cand_h)
+                            THEN 1 ELSE 0 END AS is_hit
+                FROM jj)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pe) AS n_pos,
+               CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(is_self) AS BIGINT) AS n_self,
+               CAST(sum(is_hit) AS BIGINT) AS n_hit,
+               CAST(1000000 * (count(*) - sum(is_self) - sum(is_hit))
+                    // count(*) AS BIGINT) AS clean_ppm
+        FROM hit"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -11859,6 +12037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "haar_energy": q_haar_energy,
+        "negative_samples": q_negative_samples,
         "effective_tokens": q_effective_tokens,
         "zipf_fit": q_zipf_fit,
         "selectivity_audit": q_selectivity_audit,
@@ -14049,6 +14229,8 @@ def oracle_sql() -> dict[str, str]:
         "rsync_delta": _rsync_delta_sql(),
         "effective_tokens": _effective_tokens_sql(),
         "zipf_fit": _zipf_fit_sql(),
+        "haar_energy": _haar_energy_sql(),
+        "negative_samples": _negative_samples_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
