@@ -12015,6 +12015,158 @@ def _negative_samples_sql() -> str:
         FROM hit"""
 
 
+# ---------------------------------------------------------------------------
+# batch 80 — greedy bandit replay evaluation, LSH blocking quality
+# ---------------------------------------------------------------------------
+
+BANDIT_ARMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_bandit_replay(spark, sf):
+    # offline policy evaluation by replay (Li et al. 2011): walk each
+    # user's event stream in time order; at every step the greedy
+    # policy picks the arm (event type) with the best PRIOR empirical
+    # mean value for that user — unexplored arms first (optimistic,
+    # alphabetical), means compared in deterministic milli-cent
+    # quantization, ties → alphabetical. The step scores only when the
+    # logged action matches the policy's pick (the unbiased replay
+    # estimator). Per-user windows (5 count + 5 sum aggregates over ONE
+    # sort) — no global sequence, so the plan scales with users.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("te"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"))
+    w = (Win.partitionBy("user_id").orderBy("te", "event_id")
+         .rowsBetween(Win.unboundedPreceding, -1))
+    d = e
+    for arm in BANDIT_ARMS:
+        is_a = (F.col("event_type") == arm).cast("bigint")
+        d = (d.withColumn(f"c_{arm}", F.coalesce(
+                F.sum(is_a).over(w), F.lit(0)))
+             .withColumn(f"s_{arm}", F.coalesce(
+                F.sum(is_a * F.col("v")).over(w), F.lit(0))))
+    # chosen arm: first unexplored alphabetically, else argmax of the
+    # quantized prior mean (1000·s div c), ties → alphabetical
+    unexplored = None
+    for arm in BANDIT_ARMS:
+        cond = F.col(f"c_{arm}") == 0
+        pick = F.when(cond, F.lit(arm))
+        unexplored = pick if unexplored is None else \
+            F.coalesce(unexplored, pick)
+    # argmax by (mean, arm-asc) via ONE array_max over (m, −idx)
+    # structs — the nested-CASE form blew past the codegen method
+    # limit; this stays inside whole-stage codegen (and differs from
+    # the oracle's CASE chain, which is a feature: two formulations)
+    cands = [F.struct(
+        F.expr(f"1000 * s_{arm} div greatest(c_{arm}, 1)").alias("m"),
+        F.lit(-i).alias("ni")) for i, arm in enumerate(BANDIT_ARMS)]
+    bi = (-F.array_max(F.array(*cands)).getField("ni")).cast("int")
+    arm_arr = F.array(*[F.lit(a) for a in BANDIT_ARMS])
+    chosen = F.coalesce(unexplored, F.element_at(arm_arr, bi + 1))
+    d = d.withColumn("chosen", chosen)
+    m = (F.col("chosen") == F.col("event_type")).cast("bigint")
+    return (d.agg(F.count("*").alias("n_events"),
+                  F.sum(m).alias("n_matches"),
+                  F.sum(m * F.col("v")).alias("reward_cents"))
+            .select(F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("n_matches").cast("bigint").alias("n_matches"),
+                    F.col("reward_cents").cast("bigint")
+                    .alias("reward_cents"),
+                    F.expr("1000000 * n_matches div n_events")
+                    .cast("bigint").alias("match_ppm")))
+
+
+def _bandit_replay_sql() -> str:
+    arms = BANDIT_ARMS
+    cs = ", ".join(
+        f"coalesce(sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) "
+        f"OVER wp, 0) AS c_{a}, "
+        f"coalesce(sum(CASE WHEN event_type = '{a}' THEN v ELSE 0 END) "
+        f"OVER wp, 0) AS s_{a}" for a in arms)
+    unex = "CASE " + " ".join(
+        f"WHEN c_{a} = 0 THEN '{a}'" for a in arms) + " ELSE NULL END"
+    # argmax by (mean, arm-asc) via chained comparisons
+    best = f"'{arms[0]}'"
+    bm = f"(1000 * s_{arms[0]} // greatest(c_{arms[0]}, 1))"
+    for a in arms[1:]:
+        m = f"(1000 * s_{a} // greatest(c_{a}, 1))"
+        best = (f"CASE WHEN {m} > {bm} THEN '{a}' "
+                f"WHEN {m} = {bm} AND '{a}' < ({best}) THEN '{a}' "
+                f"ELSE ({best}) END")
+        bm = f"greatest({bm}, {m})"
+    return f"""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        d AS (SELECT *, {cs}
+              FROM e
+              WINDOW wp AS (PARTITION BY user_id ORDER BY te, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)),
+        p AS (SELECT *, coalesce({unex}, {best}) AS chosen FROM d)
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN chosen = event_type THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_matches,
+               CAST(sum(CASE WHEN chosen = event_type THEN v ELSE 0
+                        END) AS BIGINT) AS reward_cents,
+               CAST(1000000 * sum(CASE WHEN chosen = event_type THEN 1
+                                  ELSE 0 END) // count(*) AS BIGINT)
+                   AS match_ppm
+        FROM p"""
+
+
+def q_blocking_quality(spark, sf):
+    # does the LSH blocking stage earn its keep? Pair completeness
+    # (share of TRUE near-dup pairs the bands catch) and reduction
+    # ratio (share of the C(n,2) pair space never considered) — the
+    # standard blocking-evaluation metrics, here tying the minhash
+    # candidate tier to the exact-Jaccard truth tier in one row.
+    from geobuf_spark.operators import dedup
+    d = _docs(spark, sf)
+    cand = (dedup.minhash_lsh_pairs(d, key="doc_id",
+                                    jaccard_threshold=0.0,
+                                    hash_fn="portable")
+            .select("a", "b").distinct().localCheckpoint(eager=False))
+    truth = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
+                                       threshold=0.4)
+             .select("a", "b").distinct())
+    n = d.count()
+    caught = truth.join(cand, ["a", "b"]).count()
+    n_true, n_cand = truth.count(), cand.count()
+    total = n * (n - 1) // 2
+    return spark.createDataFrame(
+        [(n_true, n_cand, caught,
+          10**6 * caught // n_true if n_true else 0,
+          10**6 * (total - n_cand) // total)],
+        "n_true bigint, n_cand bigint, n_caught bigint, pc_ppm bigint, "
+        "rr_ppm bigint")
+
+
+def _blocking_quality_sql() -> str:
+    return f"""
+        WITH cand AS (SELECT DISTINCT a, b
+                      FROM ({_minhash_sql(threshold=0.0)})),
+        tr AS (SELECT a, b FROM (WITH {_ngram_sql()}
+                                 SELECT a, b FROM pairs)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr)
+                         AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                         AS n_cand,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tr
+                      JOIN cand USING (a, b)) AS n_caught,
+                     (SELECT n * (n - 1) // 2 FROM nn) AS total)
+        SELECT n_true, n_cand, n_caught,
+               CAST(CASE WHEN n_true > 0
+                         THEN 1000000 * n_caught // n_true
+                         ELSE 0 END AS BIGINT) AS pc_ppm,
+               CAST(1000000 * (total - n_cand) // total AS BIGINT)
+                   AS rr_ppm
+        FROM m"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12037,6 +12189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "bandit_replay": q_bandit_replay,
+        "blocking_quality": q_blocking_quality,
         "haar_energy": q_haar_energy,
         "negative_samples": q_negative_samples,
         "effective_tokens": q_effective_tokens,
@@ -14231,6 +14385,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _zipf_fit_sql(),
         "haar_energy": _haar_energy_sql(),
         "negative_samples": _negative_samples_sql(),
+        "bandit_replay": _bandit_replay_sql(),
+        "blocking_quality": _blocking_quality_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
