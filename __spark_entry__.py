@@ -12167,6 +12167,110 @@ def _blocking_quality_sql() -> str:
         FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# batch 81 — full k-core decomposition, Gini decision stump
+# ---------------------------------------------------------------------------
+
+STUMP_LEVEL = 100  # n_chars bucket width for candidate thresholds
+STUMP_Q = 1000     # impurity quantum (the otsu_threshold trick)
+
+
+def q_coreness(spark, sf):
+    # full k-core decomposition of the host graph (kcore_hosts peels
+    # only k=2): coreness per node via the h-index fixpoint
+    # (graph.coreness — c(v) ← h-index of neighbors' values, converges
+    # to the exact coreness, convergence-or-raise). The crawl scheduler
+    # reads it as "how deep in the mutually-dense web is this host".
+    # Oracle: the SAME rounds fixed-length MATERIALIZED; the pytest's
+    # sequential peeling is the independent algorithm.
+    from geobuf_spark.operators import graph
+    c = graph.coreness(
+        _host_edges(spark).select(F.col("src_host").alias("src"),
+                                  F.col("dst_host").alias("dst")),
+        max_rounds=20)
+    return (c.groupBy("coreness")
+            .agg(F.count("*").alias("n_hosts"),
+                 F.min("host").alias("first_host")))
+
+
+def _coreness_sql() -> str:
+    from geobuf_spark.operators import graph
+    inner = graph.sql_coreness(_host_edges_cte(), rounds=20)
+    return f"""
+        SELECT coreness, CAST(count(*) AS BIGINT) AS n_hosts,
+               min(host) AS first_host
+        FROM ({inner}) GROUP BY 1"""
+
+
+def q_stump_split(spark, sf):
+    # the decision-tree building block as a query: the best single
+    # threshold on n_chars separating English from non-English docs by
+    # weighted Gini impurity. For cut t: impurity_side = n_side −
+    # Σ_c n_c²/n_side; minimize the sum over sides. Kept deterministic
+    # cross-engine by the otsu trick — per-side impurity quantized as
+    # (n_side² − Σn_c²)·STUMP_Q div n_side, summed, argmin by
+    # (score, t). One histogram agg over (level, label), cumulative
+    # sums over ≤ a few hundred levels.
+    from pyspark.sql import Window as Win
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.expr(f"n_chars div {STUMP_LEVEL}").alias("lv"),
+        (F.col("lang") == "en").cast("bigint").alias("y"))
+    h = d.groupBy("lv").agg(F.count("*").alias("c"),
+                            F.sum("y").alias("p"))
+    wcum = Win.orderBy("lv").rowsBetween(Win.unboundedPreceding, 0)
+    wall = Win.partitionBy()
+    g = (h.withColumn("n0", F.sum("c").over(wcum))
+         .withColumn("p0", F.sum("p").over(wcum))
+         .withColumn("n", F.sum("c").over(wall))
+         .withColumn("p", F.sum(F.col("p")).over(wall))
+         .filter(F.col("n0") < F.col("n")))
+    imp = ("((n0 * n0 - p0 * p0 - (n0 - p0) * (n0 - p0))"
+           f" * {STUMP_Q} div n0"
+           " + ((n - n0) * (n - n0) - (p - p0) * (p - p0)"
+           " - ((n - n0) - (p - p0)) * ((n - n0) - (p - p0)))"
+           f" * {STUMP_Q} div (n - n0))")
+    g = g.withColumn("score", F.expr(imp))
+    return (g.orderBy(F.col("score").asc(), F.col("lv").asc()).limit(1)
+            .select((F.col("lv") * STUMP_LEVEL).cast("bigint")
+                    .alias("threshold_chars"),
+                    F.col("score").cast("bigint")
+                    .alias("impurity_scaled"),
+                    F.col("n0").cast("bigint").alias("n_left"),
+                    (F.col("n") - F.col("n0")).cast("bigint")
+                    .alias("n_right"),
+                    F.col("p0").cast("bigint").alias("pos_left"),
+                    (F.col("p") - F.col("p0")).cast("bigint")
+                    .alias("pos_right")))
+
+
+def _stump_split_sql() -> str:
+    return f"""
+        WITH d AS (SELECT n_chars // {STUMP_LEVEL} AS lv,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM documents),
+        h AS (SELECT lv, count(*) AS c, sum(y) AS p FROM d GROUP BY 1),
+        g AS (SELECT lv,
+                     sum(c) OVER (ORDER BY lv) AS n0,
+                     sum(p) OVER (ORDER BY lv) AS p0,
+                     sum(c) OVER () AS n, sum(p) OVER () AS p
+              FROM h),
+        f AS (SELECT lv, n0, p0, n, p,
+                     ((n0 * n0 - p0 * p0 - (n0 - p0) * (n0 - p0))
+                      * {STUMP_Q} // n0
+                      + ((n - n0) * (n - n0) - (p - p0) * (p - p0)
+                         - ((n - n0) - (p - p0))
+                           * ((n - n0) - (p - p0)))
+                        * {STUMP_Q} // (n - n0)) AS score
+              FROM g WHERE n0 < n)
+        SELECT CAST(lv * {STUMP_LEVEL} AS BIGINT) AS threshold_chars,
+               CAST(score AS BIGINT) AS impurity_scaled,
+               CAST(n0 AS BIGINT) AS n_left,
+               CAST(n - n0 AS BIGINT) AS n_right,
+               CAST(p0 AS BIGINT) AS pos_left,
+               CAST(p - p0 AS BIGINT) AS pos_right
+        FROM f ORDER BY score ASC, lv ASC LIMIT 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12189,6 +12293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "coreness": q_coreness,
+        "stump_split": q_stump_split,
         "bandit_replay": q_bandit_replay,
         "blocking_quality": q_blocking_quality,
         "haar_energy": q_haar_energy,
@@ -14387,6 +14493,8 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _negative_samples_sql(),
         "bandit_replay": _bandit_replay_sql(),
         "blocking_quality": _blocking_quality_sql(),
+        "coreness": _coreness_sql(),
+        "stump_split": _stump_split_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -688,3 +688,69 @@ def sql_maximal_matching(edges_cte: str, rounds: int = 12) -> str:
             FROM ed WHERE src <> dst),
         {','.join(steps)}
         SELECT u, v FROM ({allm})"""
+
+
+def coreness(edges: DataFrame, max_rounds: int = 20,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Full k-core decomposition: (host, coreness) for every node of the
+    undirected simple graph, by the h-index fixpoint (Lü et al. 2016):
+    start from degrees and repeatedly set c(v) ← h-index of the
+    multiset {c(u) : u ∈ N(v)}; the (unique) fixpoint is exactly the
+    coreness. Monotone non-increasing, so convergence is detectable by
+    one count; raises if max_rounds caps out (convergence-or-raise, the
+    maximal_matching contract). Each round: one join + one per-node
+    window (rank neighbors by value, h = max(min(rank, value))). The
+    classic sequential peeling is the pytest's independent oracle."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb")))
+           .localCheckpoint(eager=False))
+    c = (adj.groupBy("n").agg(F.count("*").alias("c"))
+         .localCheckpoint(eager=False))
+    w = Window.partitionBy("n").orderBy(F.col("cv").desc(),
+                                        F.col("nb").asc())
+    for _ in range(max_rounds):
+        j = (adj.join(c.select(F.col("n").alias("nb"),
+                               F.col("c").alias("cv")), "nb"))
+        h = (j.withColumn("rk", F.row_number().over(w))
+             .groupBy("n")
+             .agg(F.max(F.least(F.col("rk"), F.col("cv")))
+                  .alias("c"))
+             .localCheckpoint(eager=False))
+        changed = (h.join(c.withColumnRenamed("c", "old"), "n")
+                   .filter(F.col("c") != F.col("old")).count())
+        c = h
+        if changed == 0:
+            return c.select(F.col("n").alias("host"),
+                            F.col("c").cast("int").alias("coreness"))
+    raise ValueError(
+        f"coreness did not converge in {max_rounds} rounds")
+
+
+def sql_coreness(edges_cte: str, rounds: int = 20) -> str:
+    """DuckDB twin: the same h-index rounds as MATERIALIZED CTEs, run a
+    FIXED `rounds` times — extra rounds past the fixpoint are no-ops,
+    which is what lets the converge-then-stop engine side match."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+        j{r} AS (SELECT a.n, c.c AS cv, a.nb,
+                        row_number() OVER (PARTITION BY a.n
+                            ORDER BY c.c DESC, a.nb ASC) AS rk
+                 FROM adj a JOIN c{r - 1} c ON c.n = a.nb),
+        c{r} AS MATERIALIZED (
+            SELECT n, max(least(rk, cv)) AS c FROM j{r} GROUP BY 1)""")
+    return f"""
+        WITH {edges_cte},
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        c0 AS MATERIALIZED (SELECT n, count(*) AS c FROM adj
+                            GROUP BY 1),
+        {','.join(steps)}
+        SELECT n AS host, CAST(c AS INT) AS coreness FROM c{rounds}"""
