@@ -129,7 +129,9 @@ def bench_queries(spark):
         "maximal_matching", "snapshot_reconcile", "max_coverage_hosts",
         "frechet_pairs", "colbert_maxsim", "bpe_merges", "winnow_fps",
         "cdc_chunks", "two_phase_median", "str_pack", "kcenter_greedy",
-        "rsync_delta", "effective_tokens",
+        "rsync_delta", "effective_tokens", "haar_energy",
+        "negative_samples", "bandit_replay", "blocking_quality",
+        "coreness", "stump_split",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
