@@ -12271,6 +12271,130 @@ def _stump_split_sql() -> str:
         FROM f ORDER BY score ASC, lv ASC LIMIT 1"""
 
 
+# ---------------------------------------------------------------------------
+# batch 82 — two-level exact top-k, difference-in-differences
+# ---------------------------------------------------------------------------
+
+TOPK2_K = 10
+TOPK2_B = 8
+DID_SPLIT_DAY = 15  # cutover: day-of-series < 15 = "before"
+
+
+def q_topk_two_level(spark, sf):
+    # the EXACT distributed top-k pattern spelled out as a query: hash-
+    # partition hosts into B buckets, take each bucket's local top-k,
+    # then re-top the B·k survivors — correct BECAUSE the bucket key is
+    # the group key (each host's full count lives in one bucket), so
+    # the union provably contains the global top-k. The final top runs
+    # on B·k rows — no global sort of the host table. Ties → host asc.
+    # Oracle: the direct single-level top-k; equality IS the proof.
+    from pyspark.sql import Window as Win
+    from geobuf_spark.functions import phash
+    counts = (_docs(spark, sf)
+              .select(TXT.url_host(F.concat(F.lit("https://"),
+                                            F.col("source"),
+                                            F.lit(".example/x")))
+                      .alias("host"))
+              .groupBy("host").agg(F.count("*").alias("n")))
+    b = F.pmod(phash.hash60(F.col("host")), F.lit(TOPK2_B))
+    wb = Win.partitionBy("b").orderBy(F.col("n").desc(),
+                                      F.col("host").asc())
+    local = (counts.withColumn("b", b)
+             .withColumn("rn", F.row_number().over(wb))
+             .filter(F.col("rn") <= TOPK2_K))
+    wg = Win.orderBy(F.col("n").desc(), F.col("host").asc())
+    return (local.withColumn("rk", F.row_number().over(wg))
+            .filter(F.col("rk") <= TOPK2_K)
+            .select("host", F.col("n").cast("bigint").alias("n"),
+                    F.col("rk").cast("int").alias("rank")))
+
+
+def _topk_two_level_sql() -> str:
+    from geobuf_spark.functions import text as T2
+    host = T2.sql_url_host("'https://' || source || '.example/x'")
+    return f"""
+        WITH c AS (SELECT {host} AS host, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1),
+        r AS (SELECT host, n, row_number() OVER (ORDER BY n DESC,
+                  host ASC) AS rank
+              FROM c)
+        SELECT host, n, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {TOPK2_K}"""
+
+
+def q_did_purchases(spark, sf):
+    # difference-in-differences on purchase value: treatment = odd
+    # user_id, cutover = day DID_SPLIT_DAY of the series; DiD =
+    # (T_after − T_before) − (C_after − C_before) on mean cents, with
+    # every mean quantized identically (1000·sum div n) so the
+    # estimate hashes exactly. One four-cell rollup; the output keeps
+    # all four cell means plus the DiD — the causal-analytics shape.
+    e = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase")
+    day0 = e.agg(F.expr("min(unix_timestamp(ts) div 86400)")
+                 .alias("d0")).collect()[0]["d0"]
+    cell = e.select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        (F.expr("unix_timestamp(ts) div 86400") - F.lit(day0)
+         >= DID_SPLIT_DAY).cast("int").alias("after"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"))
+    g = (cell.groupBy("treat", "after")
+         .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+         .withColumn("mean_m", F.expr("1000 * s div n")))
+    # four quantized cell means via conditional aggregation
+    m = g.agg(
+        F.sum(F.when((F.col("treat") == 1) & (F.col("after") == 1),
+                     F.col("mean_m"))).alias("t_after"),
+        F.sum(F.when((F.col("treat") == 1) & (F.col("after") == 0),
+                     F.col("mean_m"))).alias("t_before"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("after") == 1),
+                     F.col("mean_m"))).alias("c_after"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("after") == 0),
+                     F.col("mean_m"))).alias("c_before"))
+    return m.select(
+        F.col("t_before").cast("bigint").alias("t_before_m"),
+        F.col("t_after").cast("bigint").alias("t_after_m"),
+        F.col("c_before").cast("bigint").alias("c_before_m"),
+        F.col("c_after").cast("bigint").alias("c_after_m"),
+        ((F.col("t_after") - F.col("t_before"))
+         - (F.col("c_after") - F.col("c_before"))).cast("bigint")
+        .alias("did_millicents"))
+
+
+def _did_purchases_sql() -> str:
+    return f"""
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                              AS day,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE event_type = 'purchase'),
+        d0 AS (SELECT min(day) AS d0 FROM e),
+        c AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
+                         AS treat,
+                     CASE WHEN e.day - d0.d0 >= {DID_SPLIT_DAY} THEN 1
+                          ELSE 0 END AS after, v
+              FROM e, d0),
+        g AS (SELECT treat, after, 1000 * sum(v) // count(*) AS mean_m
+              FROM c GROUP BY 1, 2)
+        SELECT CAST(sum(CASE WHEN treat = 1 AND after = 0 THEN mean_m
+                        END) AS BIGINT) AS t_before_m,
+               CAST(sum(CASE WHEN treat = 1 AND after = 1 THEN mean_m
+                        END) AS BIGINT) AS t_after_m,
+               CAST(sum(CASE WHEN treat = 0 AND after = 0 THEN mean_m
+                        END) AS BIGINT) AS c_before_m,
+               CAST(sum(CASE WHEN treat = 0 AND after = 1 THEN mean_m
+                        END) AS BIGINT) AS c_after_m,
+               CAST((sum(CASE WHEN treat = 1 AND after = 1 THEN mean_m
+                         END)
+                     - sum(CASE WHEN treat = 1 AND after = 0 THEN
+                           mean_m END))
+                    - (sum(CASE WHEN treat = 0 AND after = 1 THEN
+                           mean_m END)
+                       - sum(CASE WHEN treat = 0 AND after = 0 THEN
+                             mean_m END)) AS BIGINT) AS did_millicents
+        FROM g"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12293,6 +12417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "topk_two_level": q_topk_two_level,
+        "did_purchases": q_did_purchases,
         "coreness": q_coreness,
         "stump_split": q_stump_split,
         "bandit_replay": q_bandit_replay,
@@ -14495,6 +14621,8 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": _blocking_quality_sql(),
         "coreness": _coreness_sql(),
         "stump_split": _stump_split_sql(),
+        "topk_two_level": _topk_two_level_sql(),
+        "did_purchases": _did_purchases_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
