@@ -132,6 +132,8 @@ def bench_queries(spark):
         "rsync_delta", "effective_tokens", "haar_energy",
         "negative_samples", "bandit_replay", "blocking_quality",
         "coreness", "stump_split",
+        # fifth extension session
+        "topk_two_level", "did_purchases",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
