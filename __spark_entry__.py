@@ -12395,6 +12395,135 @@ def _did_purchases_sql() -> str:
         FROM g"""
 
 
+# ---------------------------------------------------------------------------
+# batch 83 — k-truss peeling, deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 8
+
+_PB_B = 40         # bootstrap resamples
+_PB_LO, _PB_HI = 2, 39  # order-statistic ranks of the 95%-ish CI
+# integer thresholds of the Poisson(1) inverse CDF on a 60-bit hash:
+# u < _PB_T[j] ⇒ weight j (first match), else 5 — exact in both engines
+import math as _math
+_PB_T = []
+_c = 0.0
+for _j in range(5):
+    _c += _math.exp(-1.0) / _math.factorial(_j)
+    _PB_T.append(int(_c * (1 << 60)))
+del _c, _j
+
+
+def q_ktruss_edges(spark, sf):
+    # 3-truss of the host link graph: every surviving edge sits in ≥1
+    # triangle WITHIN the surviving subgraph — the cohesion peel that
+    # kills star-spam which survives k-core (a k-truss is a (k−1)-core
+    # but not conversely; kcore_hosts/coreness grade nodes, this grades
+    # edges). graph.ktruss is the compact-forward support + peeling
+    # fixpoint, convergence-or-raise; the oracle runs the SAME rounds
+    # fixed-length MATERIALIZED; the pytest's sequential peeling is the
+    # independent algorithm.
+    from geobuf_spark.operators import graph
+    t = graph.ktruss(
+        _host_edges(spark).select(F.col("src_host").alias("src"),
+                                  F.col("dst_host").alias("dst")),
+        k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
+    return t.select(F.col("u").alias("host_a"),
+                    F.col("v").alias("host_b"), "support")
+
+
+def _ktruss_edges_sql() -> str:
+    from geobuf_spark.operators import graph
+    inner = graph.sql_ktruss(_host_edges_cte(), k=KTRUSS_K,
+                             rounds=KTRUSS_ROUNDS)
+    return f"""
+        SELECT u AS host_a, v AS host_b, support FROM ({inner})"""
+
+
+def q_poisson_bootstrap(spark, sf):
+    # deterministic Poisson bootstrap of the per-language mean document
+    # length — THE bootstrap that works at 100 TB: instead of resampling
+    # n rows with replacement (impossible distributed), each row gets an
+    # independent Poisson(1) weight per resample; one pass, map-side
+    # combinable, no global state. Determinism: the weight is the
+    # Poisson inverse CDF evaluated on a 60-bit md5 hash of
+    # (doc_id, b) against integer thresholds — bit-identical in Spark,
+    # DuckDB, and the pytest's hashlib brute. Every resample mean is
+    # quantized (1000·sum div n) so the CI order statistics hash
+    # exactly; the CI is ranks 2/39 of B=40 resample means (~95%).
+    from geobuf_spark.functions import phash
+    from pyspark.sql import Window as Win
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", F.col("n_chars").alias("x"))
+    u = phash.hash60_parts(F.lit("pb"), F.col("doc_id"), F.col("b"))
+    w = F.when(u < _PB_T[0], 0)
+    for j in range(1, 5):
+        w = w.when(u < _PB_T[j], j)
+    w = w.otherwise(5)
+    r = (d.select("doc_id", "lang", "x",
+                  F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1)))
+                  .alias("b"))
+         .withColumn("w", w))
+    g = (r.groupBy("lang", "b")
+         .agg(F.sum(F.col("w") * F.col("x")).alias("s"),
+              F.sum("w").alias("wn"))
+         .filter(F.col("wn") > 0)
+         .withColumn("mean_m", F.expr("1000 * s div wn")))
+    win = Win.partitionBy("lang").orderBy("mean_m", "b")
+    ci = (g.withColumn("rn", F.row_number().over(win))
+          .groupBy("lang")
+          .agg(F.max(F.when(F.col("rn") == _PB_LO, F.col("mean_m")))
+               .alias("lo_m"),
+               F.max(F.when(F.col("rn") == _PB_HI, F.col("mean_m")))
+               .alias("hi_m"),
+               F.count("*").alias("n_boot")))
+    point = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("1000 * sum(x) div count(*)").alias("point_m"))
+    return (point.join(ci, "lang")
+            .select("lang", F.col("n_docs").cast("bigint"),
+                    F.col("point_m").cast("bigint"),
+                    F.col("lo_m").cast("bigint"),
+                    F.col("hi_m").cast("bigint"),
+                    F.col("n_boot").cast("int").alias("n_boot")))
+
+
+def _poisson_bootstrap_sql() -> str:
+    from geobuf_spark.functions import phash
+    u = phash.sql_hash60_parts("'pb'", "doc_id", "b")
+    cases = " ".join(f"WHEN u < {t} THEN {j}"
+                     for j, t in enumerate(_PB_T))
+    return f"""
+        WITH d AS (SELECT doc_id, lang, n_chars AS x FROM documents),
+        r AS (SELECT lang, x, b, {u} AS u
+              FROM d, range(0, {_PB_B}) t(b)),
+        w AS (SELECT lang, b, x, CASE {cases} ELSE 5 END AS w FROM r),
+        g AS (SELECT lang, b, sum(w * x) AS s, sum(w) AS wn
+              FROM w GROUP BY 1, 2),
+        m AS (SELECT lang, b, 1000 * s // wn AS mean_m
+              FROM g WHERE wn > 0),
+        rk AS (SELECT lang, mean_m, row_number() OVER (
+                   PARTITION BY lang ORDER BY mean_m, b) AS rn
+               FROM m),
+        ci AS (SELECT lang,
+                      max(CASE WHEN rn = {_PB_LO} THEN mean_m END)
+                          AS lo_m,
+                      max(CASE WHEN rn = {_PB_HI} THEN mean_m END)
+                          AS hi_m,
+                      count(*) AS n_boot
+               FROM rk GROUP BY 1),
+        p AS (SELECT lang, count(*) AS n_docs,
+                     1000 * sum(x) // count(*) AS point_m
+              FROM d GROUP BY 1)
+        SELECT p.lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(point_m AS BIGINT) AS point_m,
+               CAST(lo_m AS BIGINT) AS lo_m,
+               CAST(hi_m AS BIGINT) AS hi_m,
+               CAST(n_boot AS INT) AS n_boot
+        FROM p JOIN ci USING (lang)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12417,6 +12546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ktruss_edges": q_ktruss_edges,
+        "poisson_bootstrap": q_poisson_bootstrap,
         "topk_two_level": q_topk_two_level,
         "did_purchases": q_did_purchases,
         "coreness": q_coreness,
@@ -14623,6 +14754,8 @@ def oracle_sql() -> dict[str, str]:
         "stump_split": _stump_split_sql(),
         "topk_two_level": _topk_two_level_sql(),
         "did_purchases": _did_purchases_sql(),
+        "ktruss_edges": _ktruss_edges_sql(),
+        "poisson_bootstrap": _poisson_bootstrap_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -754,3 +754,101 @@ def sql_coreness(edges_cte: str, rounds: int = 20) -> str:
                             GROUP BY 1),
         {','.join(steps)}
         SELECT n AS host, CAST(c AS INT) AS coreness FROM c{rounds}"""
+
+
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 12,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-truss of the undirected simple graph: the maximal subgraph in
+    which every edge is supported by ≥ k−2 triangles (within the
+    subgraph). Peeling fixpoint: compute per-edge support by compact-
+    forward triangle enumeration (each triangle a<b<c found exactly once
+    from its two lower edges, then closed against the edge set), drop
+    edges below threshold, repeat until no edge is removed — raises if
+    `max_rounds` caps out (convergence-or-raise, the coreness contract).
+
+    Cohesion is stricter than k-core (a k-truss is a (k−1)-core but not
+    vice versa), which is why community pipelines peel trusses to kill
+    star-spam that survives coring. Each round is two self-joins + one
+    closure join + one aggregation, all on the canonical (u<v) edge key
+    — shuffle-partitioned by edge endpoints, no driver state; rounds are
+    O(peeling depth), small on real web graphs. Returns the surviving
+    edges with their final support (support computed on the CONVERGED
+    edge set — the last round is a no-op, so its support is current).
+    """
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=False))
+    thr = k - 2
+    for _ in range(max_rounds):
+        sup = _edge_support(e)
+        keep = (e.join(sup, ["u", "v"], "left")
+                .select("u", "v",
+                        F.coalesce("sup", F.lit(0)).alias("sup")))
+        nxt = (keep.filter(F.col("sup") >= thr).select("u", "v")
+               .localCheckpoint(eager=False))
+        removed = e.count() - nxt.count()
+        e = nxt
+        if removed == 0:
+            return (keep.filter(F.col("sup") >= thr)
+                    .select("u", "v",
+                            F.col("sup").cast("int").alias("support")))
+    raise ValueError(f"ktruss(k={k}) did not converge in {max_rounds}")
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (u<v) edge set: compact-
+    forward wedges (a,b)(a,c) with b<c closed against (b,c); each found
+    triangle credits all three edges via a 3-way projection union."""
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "a")
+           .filter(F.col("b") < F.col("c"))
+           .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+                 ["b", "c"]))
+    per_edge = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionAll(tri.select(F.col("a").alias("u"),
+                                     F.col("c").alias("v")))
+                .unionAll(tri.select(F.col("b").alias("u"),
+                                     F.col("c").alias("v"))))
+    return per_edge.groupBy("u", "v").agg(F.count("*").alias("sup"))
+
+
+def sql_ktruss(edges_cte: str, k: int = 3, rounds: int = 12) -> str:
+    """DuckDB twin of `ktruss`: the same peeling rounds as fixed-length
+    MATERIALIZED CTEs (extra rounds past the fixpoint are no-ops, which
+    is what lets the converge-then-stop engine side match), then one
+    final support pass over e{rounds} for the reported counts."""
+    thr = k - 2
+
+    def _sup(src_cte: str, name: str) -> str:
+        return f"""
+        t{name} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM {src_cte} e1 JOIN {src_cte} e2 ON e1.u = e2.u
+                        AND e1.v < e2.v
+                    JOIN {src_cte} e3 ON e3.u = e1.v AND e3.v = e2.v),
+        s{name} AS MATERIALIZED (
+            SELECT u, v, count(*) AS sup FROM (
+                SELECT a AS u, b AS v FROM t{name}
+                UNION ALL SELECT a AS u, c AS v FROM t{name}
+                UNION ALL SELECT b AS u, c AS v FROM t{name})
+            GROUP BY 1, 2)"""
+
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(_sup(f"e{r - 1}", str(r)) + f""",
+        e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e JOIN s{r} s
+                ON s.u = e.u AND s.v = e.v
+            WHERE s.sup >= {thr})""")
+    return f"""
+        WITH {edges_cte},
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u,
+                            greatest(src, dst) AS v
+            FROM ed WHERE src <> dst),
+        {','.join(steps)},
+        {_sup(f'e{rounds}', 'F').lstrip()}
+        SELECT e.u, e.v, CAST(s.sup AS INT) AS support
+        FROM e{rounds} e JOIN sF s ON s.u = e.u AND s.v = e.v
+        WHERE s.sup >= {thr}"""
