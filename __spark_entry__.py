@@ -12524,6 +12524,62 @@ def _poisson_bootstrap_sql() -> str:
         FROM p JOIN ci USING (lang)"""
 
 
+# ---------------------------------------------------------------------------
+# batch 84 — per-cluster convex hull, token-bucket rate-limit replay
+# ---------------------------------------------------------------------------
+
+TB_CAP = 3
+TB_REFILL = 14_400  # one token per 4 h — sized so fixture bursts throttle
+
+
+def q_convex_hull_stats(spark, sf):
+    # exact convex hull per minted cluster: strict-corner count, doubled
+    # shoelace area, and squared-edge-length sum — all exact int64 (the
+    # bbox family's next geometry summary; hull cover beats bbox cover
+    # on diagonal clusters). Engine: Andrew monotone chain per group via
+    # applyInPandas (groups are cluster-bounded — the inherently
+    # sequential part rides inside one task; the shuffle is just the
+    # cluster id). Oracle: the INDEPENDENT O(n³) hull-edge test — a
+    # directed pair is a CCW hull edge iff every other point is strictly
+    # left, or collinear strictly between (which is exactly what makes
+    # the strict-turn chain's corners match). Degenerate groups excluded
+    # by both sides.
+    from geobuf_spark.operators import hull
+    p = (minted.minted_cluster_points_q(spark, sf)
+         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
+    return hull.convex_hull_stats(p)
+
+
+def _convex_hull_stats_sql() -> str:
+    from geobuf_spark.operators import hull
+    pts = (f"SELECT doc_id % {minted.N_CLUSTERS} AS gid, qx, qy "
+           f"FROM ({minted.sql_minted_cluster_points_q()})")
+    return hull.sql_convex_hull_stats(pts)
+
+
+def q_token_bucket(spark, sf):
+    # per-user token-bucket throttling replay over the event stream —
+    # the audit that sizes a production rate limiter: how many requests
+    # WOULD have dropped under (capacity=3, refill=4h)? Integer state
+    # machine (refill floor-div, remainder resets) so the recursive-CTE
+    # oracle replays it exactly; engine side is applyInPandas per user
+    # (the custom-stateful seam; the streaming twin is
+    # applyInPandasWithState with the same transition).
+    from geobuf_spark.operators import temporal
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id")
+    return temporal.token_bucket_replay(
+        e, capacity=TB_CAP, refill_sec=TB_REFILL)
+
+
+def _token_bucket_sql() -> str:
+    from geobuf_spark.operators import temporal
+    ev = ("SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, "
+          "event_id FROM events")
+    return temporal.sql_token_bucket_replay(
+        ev, capacity=TB_CAP, refill_sec=TB_REFILL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12546,6 +12602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "convex_hull_stats": q_convex_hull_stats,
+        "token_bucket": q_token_bucket,
         "ktruss_edges": q_ktruss_edges,
         "poisson_bootstrap": q_poisson_bootstrap,
         "topk_two_level": q_topk_two_level,
@@ -14756,6 +14814,8 @@ def oracle_sql() -> dict[str, str]:
         "did_purchases": _did_purchases_sql(),
         "ktruss_edges": _ktruss_edges_sql(),
         "poisson_bootstrap": _poisson_bootstrap_sql(),
+        "convex_hull_stats": _convex_hull_stats_sql(),
+        "token_bucket": _token_bucket_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -145,3 +145,87 @@ def asof_nearest(left: DataFrame, right: DataFrame, *, key: str, ts: str,
                    .otherwise(F.col("_f.rid")).alias(right_id),
                    F.when(use_b, -db).otherwise(df_).alias("dt_sec")))
     return out
+
+
+def token_bucket_replay(events: DataFrame, *, key: str = "user_id",
+                        ts_sec: str = "t", order: str = "event_id",
+                        capacity: int = 3,
+                        refill_sec: int = 14400) -> DataFrame:
+    """Offline replay of a per-key token-bucket rate limiter — the audit
+    that sizes a production limiter before it ships: how many requests
+    WOULD each key have had throttled under (capacity, refill_sec)?
+
+    Spec (integer-exact, so a recursive-CTE oracle can replay it):
+    events per key in (ts_sec, order) order; the bucket starts full;
+    each event first refills `(t − t_prev) div refill_sec` tokens
+    (capped at capacity; t_prev is the PREVIOUS EVENT's time, accepted
+    or not — the fractional remainder deliberately resets, keeping the
+    state a single integer), then consumes one token if available, else
+    drops. Returns (key, n_events, n_dropped, final_tokens).
+
+    The state machine is inherently sequential per key, so the engine
+    side is `applyInPandas` per key — the documented custom-stateful
+    seam (same contract as the streaming sessionizer): keys partition
+    the shuffle, each group is one key's event list (bounded by per-key
+    activity, never corpus-sized), no driver state. The streaming twin
+    would be applyInPandasWithState with the identical transition."""
+    schema = (f"{key} long, n_events long, n_dropped long, "
+              "final_tokens long")
+
+    def per_key(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values([ts_sec, order], kind="mergesort")
+        tokens, drops = capacity, 0
+        t_prev = None
+        for t in pdf[ts_sec].astype("int64"):
+            t = int(t)
+            if t_prev is not None:
+                tokens = min(capacity,
+                             tokens + (t - t_prev) // refill_sec)
+            if tokens >= 1:
+                tokens -= 1
+            else:
+                drops += 1
+            t_prev = t
+        return pd.DataFrame([{key: int(pdf[key].iloc[0]),
+                              "n_events": len(pdf),
+                              "n_dropped": drops,
+                              "final_tokens": tokens}])
+
+    return events.groupBy(key).applyInPandas(per_key, schema)
+
+
+def sql_token_bucket_replay(events_sql: str, *, key: str = "user_id",
+                            ts_sec: str = "t", order: str = "event_id",
+                            capacity: int = 3,
+                            refill_sec: int = 14400) -> str:
+    """DuckDB twin: one recursive CTE stepping every key's cursor one
+    event per round (depth = max per-key event count). The refill-then-
+    consume arithmetic is textually the same integer spec."""
+    avail = (f"least({capacity}, s.tokens + (e.tt - s.t_prev) "
+             f"// {refill_sec})")
+    return f"""
+        WITH RECURSIVE tb_ev AS (
+            SELECT {key} AS k, {ts_sec} AS tt,
+                   row_number() OVER (PARTITION BY {key}
+                       ORDER BY {ts_sec}, {order}) AS rk
+            FROM ({events_sql})),
+        tb AS (
+            SELECT k, rk, tt AS t_prev,
+                   {capacity} - 1 AS tokens, 0 AS drops
+            FROM tb_ev WHERE rk = 1
+            UNION ALL
+            SELECT e.k, e.rk, e.tt,
+                   CASE WHEN {avail} >= 1 THEN {avail} - 1
+                        ELSE {avail} END,
+                   s.drops + CASE WHEN {avail} >= 1 THEN 0 ELSE 1 END
+            FROM tb s JOIN tb_ev e ON e.k = s.k AND e.rk = s.rk + 1),
+        tb_last AS (
+            SELECT k, rk, tokens, drops,
+                   row_number() OVER (PARTITION BY k
+                       ORDER BY rk DESC) AS rr
+            FROM tb)
+        SELECT k AS {key}, CAST(rk AS BIGINT) AS n_events,
+               CAST(drops AS BIGINT) AS n_dropped,
+               CAST(tokens AS BIGINT) AS final_tokens
+        FROM tb_last WHERE rr = 1"""
