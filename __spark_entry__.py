@@ -12772,6 +12772,143 @@ def _theil_sen_daily_sql() -> str:
         WHERE rn = (n_pairs + 1) // 2"""
 
 
+# ---------------------------------------------------------------------------
+# batch 86 — compaction bin-packing plan, Simpson's-paradox audit
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 4096  # bytes per compacted output file (fixture-scaled)
+
+
+def q_compaction_plan(spark, sf):
+    # small-file compaction planning — the table-maintenance op every
+    # 100 TB lakehouse runs nightly: within each partition (source),
+    # pack the per-lang data files into target-sized output bins by
+    # next-fit-decreasing (sort size DESC — tie lang ASC — and split
+    # the sorted stream greedily at the target; files larger than the
+    # target become single-file oversized bins, exactly what Iceberg's
+    # binpack rewrite does). The file LIST is metadata-sized, so the
+    # sequential greedy rides applyInPandas per partition — the shuffle
+    # is only the partition key; the oracle replays the same stream
+    # with one recursive CTE (state = (bin, fill), depth = files per
+    # partition).
+    schema = ("source string, bin int, n_files long, fill_bytes long, "
+              "oversized boolean")
+
+    def pack(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(["size", "lang"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        src = pdf["source"].iloc[0]
+        bins = []  # (bin, n_files, fill)
+        b, n, fill = 0, 0, 0
+        for s in pdf["size"].astype("int64"):
+            s = int(s)
+            if b == 0 or fill + s > COMPACT_TARGET:
+                if b > 0:
+                    bins.append((b, n, fill))
+                b, n, fill = b + 1, 1, s
+            else:
+                n, fill = n + 1, fill + s
+        bins.append((b, n, fill))
+        return pd.DataFrame(
+            [{"source": src, "bin": b, "n_files": n, "fill_bytes": f,
+              "oversized": f > COMPACT_TARGET} for b, n, f in bins])
+
+    files = (_docs(spark, sf)
+             .groupBy("source", "lang")
+             .agg((F.lit(256) + F.sum("n_chars")).alias("size")))
+    return files.groupBy("source").applyInPandas(pack, schema)
+
+
+def _compaction_plan_sql() -> str:
+    t = COMPACT_TARGET
+    return f"""
+        WITH RECURSIVE cf AS (
+            SELECT source, lang, 256 + sum(n_chars) AS size,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY 256 + sum(n_chars) DESC, lang ASC)
+                       AS rn
+            FROM documents GROUP BY source, lang),
+        st AS (
+            SELECT source, rn, 1 AS bin, size AS fill
+            FROM cf WHERE rn = 1
+            UNION ALL
+            SELECT f.source, f.rn,
+                   CASE WHEN s.fill + f.size > {t} THEN s.bin + 1
+                        ELSE s.bin END,
+                   CASE WHEN s.fill + f.size > {t} THEN f.size
+                        ELSE s.fill + f.size END
+            FROM st s JOIN cf f ON f.source = s.source
+                AND f.rn = s.rn + 1)
+        SELECT source, CAST(bin AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(max(fill) AS BIGINT) AS fill_bytes,
+               max(fill) > {t} AS oversized
+        FROM st GROUP BY source, bin"""
+
+
+def q_simpsons_paradox(spark, sf):
+    # Simpson's-paradox audit on purchase conversion: treatment (odd
+    # user_id, the did_purchases cohort) vs control, stratified by
+    # day-of-week — does the pooled direction of the conversion-rate
+    # difference contradict the strata? Direction without division:
+    # sign(t_conv·c_tot − c_conv·t_tot) is exact int64, so the audit is
+    # hashable. Emits the 7 strata plus the pooled row (stratum −1);
+    # one conditional rollup, map-side combinable.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        F.expr("(unix_timestamp(ts) div 86400) % 7").alias("dow"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"))
+    cells = (e.groupBy("dow").agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("conv"))).alias("tc"),
+        F.sum(F.col("treat").cast("long")).alias("tt"),
+        F.sum(F.when(F.col("treat") == 0, F.col("conv"))).alias("cc"),
+        F.sum((1 - F.col("treat")).cast("long")).alias("ct")))
+    pooled = (cells.agg(F.sum("tc").alias("tc"), F.sum("tt").alias("tt"),
+                        F.sum("cc").alias("cc"), F.sum("ct").alias("ct"))
+              .withColumn("dow", F.lit(-1)))
+    allrows = cells.unionByName(pooled.select("dow", "tc", "tt",
+                                              "cc", "ct"))
+    d = F.col("tc") * F.col("ct") - F.col("cc") * F.col("tt")
+    return allrows.select(
+        F.col("dow").cast("int").alias("stratum"),
+        F.col("tc").cast("bigint").alias("t_conv"),
+        F.col("tt").cast("bigint").alias("t_tot"),
+        F.col("cc").cast("bigint").alias("c_conv"),
+        F.col("ct").cast("bigint").alias("c_tot"),
+        F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+        .cast("int").alias("dir"))
+
+
+def _simpsons_paradox_sql() -> str:
+    return """
+        WITH e AS (SELECT
+                CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+                (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS conv
+            FROM events),
+        c AS (SELECT dow,
+                     sum(CASE WHEN treat = 1 THEN conv END) AS tc,
+                     sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS tt,
+                     sum(CASE WHEN treat = 0 THEN conv END) AS cc,
+                     sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS ct
+              FROM e GROUP BY 1),
+        u AS (SELECT dow, tc, tt, cc, ct FROM c
+              UNION ALL
+              SELECT -1, sum(tc), sum(tt), sum(cc), sum(ct) FROM c)
+        SELECT CAST(dow AS INT) AS stratum,
+               CAST(tc AS BIGINT) AS t_conv,
+               CAST(tt AS BIGINT) AS t_tot,
+               CAST(cc AS BIGINT) AS c_conv,
+               CAST(ct AS BIGINT) AS c_tot,
+               CAST(CASE WHEN tc * ct - cc * tt > 0 THEN 1
+                         WHEN tc * ct - cc * tt < 0 THEN -1
+                         ELSE 0 END AS INT) AS dir
+        FROM u"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12794,6 +12931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "compaction_plan": q_compaction_plan,
+        "simpsons_paradox": q_simpsons_paradox,
         "dbscan_clusters": q_dbscan_clusters,
         "theil_sen_daily": q_theil_sen_daily,
         "convex_hull_stats": q_convex_hull_stats,
@@ -15012,6 +15151,8 @@ def oracle_sql() -> dict[str, str]:
         "token_bucket": _token_bucket_sql(),
         "dbscan_clusters": _dbscan_clusters_sql(),
         "theil_sen_daily": _theil_sen_daily_sql(),
+        "compaction_plan": _compaction_plan_sql(),
+        "simpsons_paradox": _simpsons_paradox_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

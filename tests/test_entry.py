@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "compaction_plan", "simpsons_paradox",
         "dbscan_clusters", "theil_sen_daily",
         "convex_hull_stats", "token_bucket",
         "ktruss_edges", "poisson_bootstrap",
@@ -127,14 +128,14 @@ def test_driver_window_invariants():
         "asof_nearest", "simplify_collinear",
         "lpa_communities", "consistent_shards",
         "mmr_topk", "tfidf_top_terms",
-        "voronoi_assign", "cusum_days",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["sssp_w3", "allen_census",
+    overflow = ["voronoi_assign", "cusum_days",
+                "sssp_w3", "allen_census",
                 "ssjoin_prefix", "rect_prefix_counts",
                 "kde_cells", "basket_pairs",
                 "knn_graph_k3", "lang_profile_cosine",
