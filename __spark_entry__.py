@@ -12909,6 +12909,153 @@ def _simpsons_paradox_sql() -> str:
         FROM u"""
 
 
+# ---------------------------------------------------------------------------
+# batch 87 — sorted-neighborhood blocking, LZ76 prefix complexity
+# ---------------------------------------------------------------------------
+
+SN_W = 6        # sorted-neighborhood sliding-window width
+LZ_PREFIX = 48  # chars of each doc the LZ76 pass reads
+
+
+def q_sorted_neighborhood(spark, sf):
+    # the OTHER classic entity-resolution blocking scheme, evaluated
+    # with the same harness as blocking_quality (LSH) so the two are
+    # directly comparable: sort docs by a similarity-clustering key
+    # (their single minhash — min over shingle md5s), slide a width-W
+    # window over the sorted order, candidates = pairs within a window.
+    # The window join is the SCALE shape: each row explodes to its W−1
+    # future rank slots and equi-joins — no rank range join. Metrics:
+    # pair completeness vs the exact-Jaccard truth tier (threshold 0.4,
+    # same as blocking_quality) and reduction ratio.
+    from geobuf_spark.functions import phash
+    from geobuf_spark.operators import dedup
+    from pyspark.sql import Window as Win
+    d = _docs(spark, sf)
+    sh = d.select("doc_id",
+                  F.explode(dedup._shingles(F.col("text"), 3))
+                  .alias("s"))
+    mh = sh.groupBy("doc_id").agg(
+        F.min(phash.hash60(F.col("s"))).alias("mh"))
+    rk = mh.withColumn(
+        "rk", F.row_number().over(Win.orderBy("mh", "doc_id")))
+    probe = (rk.withColumn(
+        "slot", F.explode(F.sequence(F.col("rk") + 1,
+                                     F.col("rk") + SN_W - 1)))
+        .select(F.col("doc_id").alias("x"), "slot"))
+    cand = (probe.join(rk.select(F.col("doc_id").alias("y"),
+                                 F.col("rk").alias("slot")), "slot")
+            .select(F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b"))
+            .distinct().localCheckpoint(eager=False))
+    truth = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
+                                       threshold=0.4)
+             .select("a", "b").distinct())
+    n = d.count()
+    caught = truth.join(cand, ["a", "b"]).count()
+    n_true, n_cand = truth.count(), cand.count()
+    total = n * (n - 1) // 2
+    return spark.createDataFrame(
+        [(n_true, n_cand, caught,
+          10**6 * caught // n_true if n_true else 0,
+          10**6 * (total - n_cand) // total)],
+        "n_true bigint, n_cand bigint, n_caught bigint, pc_ppm bigint, "
+        "rr_ppm bigint")
+
+
+def _sorted_neighborhood_sql() -> str:
+    from geobuf_spark.functions import phash
+    h = phash.sql_hash60("s")
+    return f"""
+        WITH {_ngram_sql()},
+        mh AS (SELECT doc_id, min({h}) AS mh FROM sh GROUP BY 1),
+        rkt AS (SELECT doc_id, row_number() OVER (ORDER BY mh, doc_id)
+                    AS rk
+                FROM mh),
+        cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+                        greatest(x.doc_id, y.doc_id) AS b
+                 FROM rkt x JOIN rkt y ON y.rk > x.rk
+                     AND y.rk <= x.rk + {SN_W - 1}),
+        tr AS (SELECT a, b FROM pairs),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr)
+                         AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                         AS n_cand,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tr
+                      JOIN cand USING (a, b)) AS n_caught,
+                     (SELECT n * (n - 1) // 2 FROM nn) AS total)
+        SELECT n_true, n_cand, n_caught,
+               CAST(CASE WHEN n_true > 0
+                         THEN 1000000 * n_caught // n_true
+                         ELSE 0 END AS BIGINT) AS pc_ppm,
+               CAST(1000000 * (total - n_cand) // total AS BIGINT)
+                   AS rr_ppm
+        FROM m"""
+
+
+def q_lz_factors(spark, sf):
+    # LZ76 factor count of each document's first LZ_PREFIX chars — the
+    # compression-complexity quality signal (templated/boilerplate text
+    # factorizes into few long factors, diverse text into many): greedy
+    # shortest-unseen-prefix productions, matches restricted to the
+    # already-emitted prefix (non-overlapping variant, so the spec is a
+    # pure function both engines replay). Engine side: one Arrow-
+    # batched pandas UDF (the factorization is sequential IN A DOC but
+    # the corpus is embarrassingly parallel); oracle: one recursive CTE
+    # stepping every doc one factor per round.
+    def f(s):
+        s = s[:LZ_PREFIX]
+        n = len(s)
+        pos, nf = 0, 0
+        while pos < n:
+            lmax = 0
+            prefix = s[:pos]
+            for l in range(1, n - pos + 1):
+                if s[pos:pos + l] in prefix:
+                    lmax = l  # monotone: longer fails ⇒ stop
+                else:
+                    break
+            pos += min(lmax + 1, n - pos)
+            nf += 1
+        return nf
+
+    def mapper(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["plen"] = (pdf["text"].str.slice(0, LZ_PREFIX)
+                           .str.len().astype("int32"))
+            out["n_factors"] = pdf["text"].map(f).astype("int32")
+            yield out
+
+    return (_docs(spark, sf).select("doc_id", "text")
+            .mapInPandas(mapper, "doc_id long, plen int, n_factors int"))
+
+
+def _lz_factors_sql() -> str:
+    p = LZ_PREFIX
+    return f"""
+        WITH RECURSIVE lzd AS (
+            SELECT doc_id, substr(text, 1, {p}) AS t,
+                   length(substr(text, 1, {p})) AS n
+            FROM documents),
+        st AS (
+            SELECT doc_id, 1 AS pos, 0 AS nf FROM lzd
+            UNION ALL
+            SELECT s.doc_id,
+                   CAST(s.pos + least(
+                       (SELECT coalesce(max(l), 0)
+                        FROM (SELECT unnest(range(1, d.n - s.pos + 2))
+                                  AS l) ls
+                        WHERE strpos(substr(d.t, 1, s.pos - 1),
+                                     substr(d.t, s.pos, l)) > 0) + 1,
+                       d.n - s.pos + 1) AS INT),
+                   s.nf + 1
+            FROM st s JOIN lzd d USING (doc_id) WHERE s.pos <= d.n)
+        SELECT doc_id, CAST(any_value(n) AS INT) AS plen,
+               CAST(max(nf) AS INT) AS n_factors
+        FROM st JOIN lzd USING (doc_id) GROUP BY doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -12931,6 +13078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "lz_factors": q_lz_factors,
         "compaction_plan": q_compaction_plan,
         "simpsons_paradox": q_simpsons_paradox,
         "dbscan_clusters": q_dbscan_clusters,
@@ -15153,6 +15302,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_daily": _theil_sen_daily_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "simpsons_paradox": _simpsons_paradox_sql(),
+        "sorted_neighborhood": _sorted_neighborhood_sql(),
+        "lz_factors": _lz_factors_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
