@@ -13056,6 +13056,172 @@ def _lz_factors_sql() -> str:
         FROM st JOIN lzd USING (doc_id) GROUP BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# batch 88 — integer power iteration, Huffman code lengths
+# ---------------------------------------------------------------------------
+
+PI_ROUNDS = 30             # the fixture spectrum is nearly flat
+                           # (λ1/λ2 ≈ 1.07) — 30 rounds reach |cos|>0.9
+PI_SCALE = 1_000_000       # |v| normalization target after each round
+PI_SHIFT = 1_048_576       # covariance numerator downscale (2^20) —
+                           # keeps w = C'·v inside int64 at 64 dims
+HUF_ROUNDS = 34            # ≥ vocab−1 merges; extra rounds are no-ops
+
+
+def q_power_iteration(spark, sf):
+    # dominant eigenvector of the embedding covariance by quantized
+    # integer power iteration — the PCA first component, computed so
+    # both engines produce BIT-IDENTICAL vectors: the covariance
+    # numerator (embed_covariance's exact integers) is downscaled by
+    # 2^20 into a deterministic int64 matrix C', and each round is
+    # w = C'·v followed by v ← w div (max|w| div SCALE) — integer-only
+    # normalization (toward-zero div matches across engines), no floats
+    # anywhere. PI_ROUNDS rounds from the all-ones vector; the pytest checks
+    # the exact integer trajectory against numpy AND that the direction
+    # converges to numpy's float dominant eigenvector of C'.
+    e = _emb(spark, sf)
+    q = e.select("vec_id", F.posexplode(
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * EMB_COV_SCALE)
+                    .cast("bigint"))).alias("i", "qi"))
+    a = q.select("vec_id", "i", "qi")
+    b = q.select("vec_id", F.col("i").alias("j"),
+                 F.col("qi").alias("qj"))
+    mom = (a.join(b, "vec_id").filter(F.col("i") <= F.col("j"))
+           .groupBy("i", "j")
+           .agg(F.count("*").alias("n"), F.sum("qi").alias("s_i"),
+                F.sum("qj").alias("s_j"),
+                F.sum(F.col("qi") * F.col("qj")).alias("s_ij")))
+    upper = mom.select("i", "j", F.expr(
+        f"(n * s_ij - s_i * s_j) div {PI_SHIFT}").alias("c"))
+    C = (upper.unionByName(
+            upper.filter(F.col("i") != F.col("j"))
+            .select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+         .localCheckpoint(eager=False))
+    v = C.select(F.col("i").alias("j")).distinct() \
+         .withColumn("v", F.lit(PI_SCALE).cast("bigint"))
+    for _ in range(PI_ROUNDS):
+        w = (C.join(v, "j")
+             .groupBy("i").agg(F.sum(F.col("c") * F.col("v"))
+                               .alias("w")))
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+             .select(F.col("i").alias("j"),
+                     F.expr(f"w div (m div {PI_SCALE})").alias("v"))
+             .localCheckpoint(eager=False))
+    return v.select(F.col("j").cast("int").alias("dim"),
+                    F.col("v").cast("bigint").alias("v"))
+
+
+def _power_iteration_sql() -> str:
+    steps = []
+    for r in range(1, PI_ROUNDS + 1):
+        steps.append(f"""
+        w{r} AS (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+                 FROM pic c JOIN v{r - 1} v ON v.j = c.j GROUP BY 1),
+        m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+        v{r} AS MATERIALIZED (
+            SELECT w.i AS j, CAST(w.w // (m.m // {PI_SCALE}) AS BIGINT)
+                       AS v
+            FROM w{r} w, m{r} m)""")
+    return f"""
+        WITH q AS (SELECT vec_id, i - 1 AS i,
+                          CAST(floor(CAST(e AS DOUBLE)
+                                     * {EMB_COV_SCALE}) AS BIGINT)
+                              AS qi
+                   FROM (SELECT vec_id, unnest(embedding) AS e,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings)),
+        mom AS (SELECT a.i, b.i AS j, count(*) AS n,
+                       sum(a.qi) AS s_i, sum(b.qi) AS s_j,
+                       sum(a.qi * b.qi) AS s_ij
+                FROM q a JOIN q b ON a.vec_id = b.vec_id
+                    AND a.i <= b.i
+                GROUP BY 1, 2),
+        upperc AS (SELECT i, j,
+                          CAST((n * s_ij - s_i * s_j) // {PI_SHIFT}
+                               AS BIGINT) AS c
+                   FROM mom),
+        pic AS MATERIALIZED (
+            SELECT i, j, c FROM upperc
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM upperc WHERE i <> j),
+        v0 AS (SELECT DISTINCT j, CAST({PI_SCALE} AS BIGINT) AS v
+               FROM pic),
+        {','.join(steps)}
+        SELECT CAST(j AS INT) AS dim, v FROM v{PI_ROUNDS}"""
+
+
+def q_huffman_cost(spark, sf):
+    # optimal prefix-code (Huffman) length per vocabulary token — the
+    # entropy-coding cost model a storage/tokenizer planner reads
+    # (bpe_merges builds merges, this prices the result): repeatedly
+    # merge the two lightest nodes, every leaf in a merged subtree gets
+    # one bit deeper. Tie-breaks pinned to (count, min-token-label) so
+    # the tree — not just the total cost — is deterministic and the
+    # fixed-round MATERIALIZED oracle replays it. The token histogram
+    # is VOCAB-sized (bounded, 31 on the fixture), so folding it on the
+    # driver is the documented bounded-aggregate edge — the corpus-
+    # sized token count stays a distributed aggregation.
+    toks = (_docs(spark, sf)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt")))
+    hist = sorted((r["tok"], int(r["cnt"])) for r in toks.collect())
+    # greedy merges on (count, min-label); track per-leaf depth
+    nodes = {t: (c, t, frozenset([t])) for t, c in hist}
+    depth = {t: 0 for t, _ in hist}
+    while len(nodes) > 1:
+        picked = sorted(nodes.values(), key=lambda n: (n[0], n[1]))[:2]
+        (c1, l1, m1), (c2, l2, m2) = picked
+        for t in m1 | m2:
+            depth[t] += 1
+        del nodes[l1], nodes[l2]
+        lab = min(l1, l2)
+        nodes[lab] = (c1 + c2, lab, m1 | m2)
+    cnts = dict(hist)
+    return spark.createDataFrame(
+        [(t, cnts[t], depth[t]) for t in sorted(depth)],
+        "tok string, cnt bigint, code_len int")
+
+
+def _huffman_cost_sql() -> str:
+    steps = []
+    for r in range(1, HUF_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+        n{r} AS (SELECT nlabel, ncnt FROM s{p} GROUP BY 1, 2),
+        t{r} AS (SELECT nlabel, ncnt, row_number() OVER (
+                     ORDER BY ncnt, nlabel) AS rk FROM n{r}),
+        p{r} AS (SELECT (SELECT count(*) FROM n{r}) AS nn,
+                        min(CASE WHEN rk = 1 THEN nlabel END) AS l1,
+                        min(CASE WHEN rk = 2 THEN nlabel END) AS l2,
+                        min(CASE WHEN rk = 1 THEN ncnt END) AS c1,
+                        min(CASE WHEN rk = 2 THEN ncnt END) AS c2
+                 FROM t{r}),
+        s{r} AS MATERIALIZED (
+            SELECT s.tok, s.cnt,
+                   s.depth + CASE WHEN p.nn >= 2
+                                   AND s.nlabel IN (p.l1, p.l2)
+                             THEN 1 ELSE 0 END AS depth,
+                   CASE WHEN p.nn >= 2 AND s.nlabel IN (p.l1, p.l2)
+                        THEN least(p.l1, p.l2) ELSE s.nlabel END
+                       AS nlabel,
+                   CASE WHEN p.nn >= 2 AND s.nlabel IN (p.l1, p.l2)
+                        THEN p.c1 + p.c2 ELSE s.ncnt END AS ncnt
+            FROM s{p} s, p{r} p)""")
+    return f"""
+        WITH s0 AS (
+            SELECT tok, count(*) AS cnt, 0 AS depth, tok AS nlabel,
+                   count(*) AS ncnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok),
+        {','.join(steps)}
+        SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+               CAST(depth AS INT) AS code_len
+        FROM s{HUF_ROUNDS}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -13078,6 +13244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "power_iteration": q_power_iteration,
+        "huffman_cost": q_huffman_cost,
         "sorted_neighborhood": q_sorted_neighborhood,
         "lz_factors": q_lz_factors,
         "compaction_plan": q_compaction_plan,
@@ -15304,6 +15472,8 @@ def oracle_sql() -> dict[str, str]:
         "simpsons_paradox": _simpsons_paradox_sql(),
         "sorted_neighborhood": _sorted_neighborhood_sql(),
         "lz_factors": _lz_factors_sql(),
+        "power_iteration": _power_iteration_sql(),
+        "huffman_cost": _huffman_cost_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
