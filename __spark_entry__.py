@@ -13222,6 +13222,149 @@ def _huffman_cost_sql() -> str:
         FROM s{HUF_ROUNDS}"""
 
 
+# ---------------------------------------------------------------------------
+# batch 89 — bipartiteness audit, mutual-kNN pairs
+# ---------------------------------------------------------------------------
+
+BIP_CAP = 12  # BFS budget; > the host graph's sweep eccentricity (≤10)
+
+
+def q_bipartite_check(spark, sf):
+    # per-component bipartiteness audit of the host graph — the odd-
+    # cycle detector (a bipartite link structure is the mirror/feed
+    # signature; odd cycles mean organic cross-linking). ONE fused
+    # min-label loop computes components AND BFS levels: each node
+    # starts as its own label; synchronous min-propagation spreads the
+    # component minimum (the representative) outward exactly one hop
+    # per round, so the round of a node's LAST label improvement is its
+    # BFS distance from the rep. Level parity two-colors the component;
+    # an edge joining EQUAL levels witnesses an odd cycle. Converge-or-
+    # raise within BIP_CAP; the oracle runs the same rounds fixed-
+    # length (past the fixpoint they are no-ops). O(E) per round, no
+    # transitive closure anywhere.
+    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
+                                   F.col("dst_host").alias("dst"))
+    und = (ed.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb")))
+           .localCheckpoint(eager=False))
+    st = (adj.select("n").distinct()
+          .select("n", F.col("n").alias("lab"), F.lit(0).alias("hop")))
+    converged = False
+    for r in range(1, BIP_CAP + 1):
+        cand = (adj.join(st.select(F.col("n").alias("nb"),
+                                   F.col("lab").alias("nlab")), "nb")
+                .groupBy("n").agg(F.min("nlab").alias("cand")))
+        new = (st.join(cand, "n")
+               .select("n",
+                       F.least("lab", "cand").alias("newlab"),
+                       F.when(F.col("cand") < F.col("lab"), F.lit(r))
+                       .otherwise(F.col("hop")).alias("hop"),
+                       F.col("lab").alias("old"))
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("newlab") != F.col("old")) \
+                     .limit(1).count()
+        st = new.select("n", F.col("newlab").alias("lab"), "hop")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"bipartite_check did not converge in {BIP_CAP} rounds")
+    ec = (und.join(st.select(F.col("n").alias("u"),
+                             F.col("lab").alias("rep"),
+                             F.col("hop").alias("hu")), "u")
+          .join(st.select(F.col("n").alias("v"),
+                          F.col("hop").alias("hv")), "v"))
+    per = (ec.groupBy("rep")
+           .agg(F.count("*").alias("n_edges"),
+                F.sum((F.col("hu") == F.col("hv")).cast("long"))
+                .alias("n_conflicts")))
+    nn = st.groupBy("lab").agg(F.count("*").alias("n_nodes"))
+    return (per.join(nn.withColumnRenamed("lab", "rep"), "rep")
+            .select(F.col("rep").alias("rep_host"),
+                    F.col("n_nodes").cast("bigint"),
+                    F.col("n_edges").cast("bigint"),
+                    F.col("n_conflicts").cast("bigint"),
+                    (F.col("n_conflicts") == 0).alias("is_bipartite")))
+
+
+def _bipartite_check_sql() -> str:
+    steps = []
+    for r in range(1, BIP_CAP + 1):
+        p = r - 1
+        steps.append(f"""
+        c{r} AS (SELECT a.n, min(s.lab) AS cand
+                 FROM adj a JOIN s{p} s ON s.n = a.nb GROUP BY 1),
+        s{r} AS MATERIALIZED (
+            SELECT s.n, least(s.lab, c.cand) AS lab,
+                   CASE WHEN c.cand < s.lab THEN {r} ELSE s.hop END
+                       AS hop
+            FROM s{p} s JOIN c{r} c ON c.n = s.n)""")
+    return f"""
+        WITH {_host_edges_cte()},
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        s0 AS MATERIALIZED (
+            SELECT n, n AS lab, 0 AS hop
+            FROM (SELECT DISTINCT n FROM adj)),
+        {','.join(steps)},
+        lv AS (SELECT n, lab, hop FROM s{BIP_CAP}),
+        ec AS (SELECT lu.lab AS rep, lu.hop AS hu, lw.hop AS hv
+               FROM und JOIN lv lu ON lu.n = und.u
+                        JOIN lv lw ON lw.n = und.v),
+        per AS (SELECT rep, count(*) AS n_edges,
+                       sum(CASE WHEN hu = hv THEN 1 ELSE 0 END)
+                           AS n_conflicts
+                FROM ec GROUP BY 1),
+        nn AS (SELECT lab AS rep, count(*) AS n_nodes FROM lv
+               GROUP BY 1)
+        SELECT per.rep AS rep_host,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_conflicts AS BIGINT) AS n_conflicts,
+               n_conflicts = 0 AS is_bipartite
+        FROM per JOIN nn USING (rep)"""
+
+
+def q_mutual_knn(spark, sf):
+    # reciprocal-nearest-neighbor pairs from the kNN graph — the
+    # classic tight-cluster seed (RNN pairs start agglomerative
+    # clustering and flag regions where density peaks): (a, b) such
+    # that b is among a's KNNG_K nearest AND a is among b's. One
+    # self-join of the knn_graph edge list on the reversed key; keeps
+    # both directed ranks so asymmetry is visible.
+    g = q_knn_graph_k3(spark, sf).localCheckpoint(eager=False)
+    rev = g.select(F.col("nb").alias("doc_id"),
+                   F.col("doc_id").alias("nb"),
+                   F.col("rk").alias("rk_ba"))
+    return (g.join(rev, ["doc_id", "nb"])
+            .filter(F.col("doc_id") < F.col("nb"))
+            .select(F.col("doc_id").alias("a"), F.col("nb").alias("b"),
+                    F.col("dist2").cast("bigint").alias("dist2"),
+                    F.col("rk").cast("int").alias("rk_ab"),
+                    F.col("rk_ba").cast("int").alias("rk_ba")))
+
+
+def _mutual_knn_sql() -> str:
+    g = _knn_graph_k3_sql()
+    return f"""
+        WITH kg AS ({g})
+        SELECT a.doc_id AS a, a.nb AS b,
+               CAST(a.dist2 AS BIGINT) AS dist2,
+               CAST(a.rk AS INT) AS rk_ab,
+               CAST(b.rk AS INT) AS rk_ba
+        FROM kg a JOIN kg b ON b.doc_id = a.nb AND b.nb = a.doc_id
+        WHERE a.doc_id < a.nb"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -13244,6 +13387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "bipartite_check": q_bipartite_check,
+        "mutual_knn": q_mutual_knn,
         "power_iteration": q_power_iteration,
         "huffman_cost": q_huffman_cost,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -15474,6 +15619,8 @@ def oracle_sql() -> dict[str, str]:
         "lz_factors": _lz_factors_sql(),
         "power_iteration": _power_iteration_sql(),
         "huffman_cost": _huffman_cost_sql(),
+        "bipartite_check": _bipartite_check_sql(),
+        "mutual_knn": _mutual_knn_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
