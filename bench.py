@@ -134,6 +134,11 @@ def bench_queries(spark):
         "coreness", "stump_split",
         # fifth extension session
         "topk_two_level", "did_purchases",
+        "ktruss_edges", "poisson_bootstrap", "convex_hull_stats",
+        "token_bucket", "dbscan_clusters", "theil_sen_daily",
+        "compaction_plan", "simpsons_paradox", "sorted_neighborhood",
+        "lz_factors", "power_iteration", "huffman_cost",
+        "bipartite_check", "mutual_knn",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
