@@ -13365,6 +13365,230 @@ def _mutual_knn_sql() -> str:
         WHERE a.doc_id < a.nb"""
 
 
+# ---------------------------------------------------------------------------
+# batch 90 — Gale–Shapley stable matching, deterministic RANSAC line
+# ---------------------------------------------------------------------------
+
+SM_U, SM_S = 12, 6   # proposers × slots; 10 simultaneous rounds on the
+SM_ROUNDS = 14       # fixture, cap (and fixed oracle length) 14
+RS_TOL = 1_000_000   # RANSAC inlier distance (0.1° in lattice units)
+
+
+def q_stable_matching(spark, sf):
+    # proposer-optimal stable matching by SIMULTANEOUS-proposal
+    # Gale–Shapley (all free proposers propose each round, acceptors
+    # hold their best; converges to the same unique proposer-optimal
+    # matching as the sequential algorithm): the assignment-with-
+    # preferences shape (crawl slots, shard leases, reviewer routing).
+    # Preferences are deterministic md5 orders — proposer u ranks slots
+    # by hash60('sm-p',u,s), slot s compares proposers by
+    # hash60('sm-a',s,u) directly (unique ⇒ tie-free). Pointers only
+    # ever advance (each proposer walks his list once — the classic
+    # O(U·S) total-work bound), converge-or-raise within SM_ROUNDS; the
+    # oracle replays the same rounds fixed-length.
+    from geobuf_spark.functions import phash
+    from pyspark.sql import Window as Win
+    users = (spark.read.parquet(f"{sf}/events.parquet")
+             .select("user_id").distinct()
+             .withColumn("urk", F.row_number().over(
+                 Win.orderBy("user_id")))
+             .filter(F.col("urk") <= SM_U).select(F.col("user_id")
+                                                  .alias("u")))
+    slots = spark.range(SM_S).select(F.col("id").alias("s"))
+    cart = users.crossJoin(F.broadcast(slots))
+    pref = (cart.select("u", "s",
+                        phash.hash60_parts(F.lit("sm-p"), F.col("u"),
+                                           F.col("s")).alias("ph"))
+            .withColumn("rk", F.row_number().over(
+                Win.partitionBy("u").orderBy("ph", "s")))
+            .select("u", "s", "rk").localCheckpoint(eager=False))
+    apref = (cart.select("s", "u",
+                         phash.hash60_parts(F.lit("sm-a"), F.col("s"),
+                                            F.col("u")).alias("ah"))
+             .localCheckpoint(eager=False))
+    ptr = users.select("u", F.lit(1).alias("ptr"))
+    held = spark.createDataFrame([], "s long, u long")
+    converged = False
+    for _ in range(SM_ROUNDS):
+        free = (ptr.filter(F.col("ptr") <= SM_S)
+                .join(held.select("u"), "u", "left_anti"))
+        prefj = pref.select(F.col("u").alias("pu"),
+                            F.col("s").alias("ps"),
+                            F.col("rk").alias("prk"))
+        props = (free.join(prefj, (free["u"] == F.col("pu"))
+                           & (free["ptr"] == F.col("prk")))
+                 .select(F.col("ps").alias("s"),
+                         F.col("pu").alias("u"))
+                 .localCheckpoint(eager=True))
+        if props.count() == 0:
+            converged = True
+            break
+        cont = props.unionByName(held)
+        aprefj = apref.select(F.col("s").alias("as2"),
+                              F.col("u").alias("au2"), "ah")
+        held = (cont.join(aprefj, (cont["s"] == F.col("as2"))
+                          & (cont["u"] == F.col("au2")))
+                .groupBy("s").agg(F.expr("min_by(u, ah)").alias("u"))
+                .localCheckpoint(eager=True))
+        ptr = (ptr.join(props.select("u").withColumn("adv", F.lit(1)),
+                        "u", "left")
+               .select("u", (F.col("ptr")
+                             + F.coalesce("adv", F.lit(0))).alias("ptr"))
+               .localCheckpoint(eager=True))
+    if not converged:
+        raise ValueError(
+            f"stable_matching did not converge in {SM_ROUNDS} rounds")
+    preff = pref.select(F.col("u").alias("fu"),
+                        F.col("s").alias("fs"),
+                        F.col("rk").alias("frk"))
+    return (held.join(preff, (held["u"] == F.col("fu"))
+                      & (held["s"] == F.col("fs")))
+            .select(F.col("fs").cast("bigint").alias("slot"),
+                    F.col("fu").cast("bigint").alias("user"),
+                    F.col("frk").cast("int").alias("proposer_rank")))
+
+
+def _stable_matching_sql() -> str:
+    from geobuf_spark.functions import phash
+    ph = phash.sql_hash60_parts("'sm-p'", "u", "s")
+    ah = phash.sql_hash60_parts("'sm-a'", "s", "u")
+    steps = []
+    for r in range(1, SM_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+        fr{r} AS (SELECT p.u, p.ptr FROM p{p} p
+                  WHERE p.ptr <= {SM_S}
+                    AND p.u NOT IN (SELECT u FROM h{p})),
+        pr{r} AS (SELECT pr.s, pr.u FROM fr{r} f
+                  JOIN pref pr ON pr.u = f.u AND pr.rk = f.ptr),
+        h{r} AS MATERIALIZED (
+            SELECT c.s, arg_min(c.u, a.ah) AS u
+            FROM (SELECT s, u FROM pr{r}
+                  UNION ALL SELECT s, u FROM h{p}) c
+            JOIN apref a ON a.s = c.s AND a.u = c.u
+            GROUP BY c.s),
+        p{r} AS MATERIALIZED (
+            SELECT p.u, p.ptr + CASE WHEN p.u IN (SELECT u FROM pr{r})
+                                     THEN 1 ELSE 0 END AS ptr
+            FROM p{p} p)""")
+    return f"""
+        WITH su AS (SELECT u FROM (
+                SELECT user_id AS u, row_number() OVER
+                    (ORDER BY user_id) AS urk
+                FROM (SELECT DISTINCT user_id FROM events))
+            WHERE urk <= {SM_U}),
+        sl AS (SELECT unnest(range(0, {SM_S})) AS s),
+        cart AS (SELECT u, s FROM su, sl),
+        pref AS MATERIALIZED (
+            SELECT u, s, row_number() OVER (PARTITION BY u
+                ORDER BY {ph}, s) AS rk
+            FROM cart),
+        apref AS MATERIALIZED (
+            SELECT s, u, {ah} AS ah FROM cart),
+        p0 AS (SELECT u, 1 AS ptr FROM su),
+        h0 AS (SELECT CAST(NULL AS BIGINT) AS s,
+                      CAST(NULL AS BIGINT) AS u WHERE false),
+        {','.join(steps)}
+        SELECT CAST(h.s AS BIGINT) AS slot, CAST(h.u AS BIGINT)
+                   AS "user",
+               CAST(pr.rk AS INT) AS proposer_rank
+        FROM h{SM_ROUNDS} h JOIN pref pr ON pr.u = h.u AND pr.s = h.s"""
+
+
+def q_ransac_line(spark, sf):
+    # deterministic RANSAC line fit per cluster — robust structure
+    # detection with EXACT integers: candidate models pair hash-ranked
+    # points (rank 2t−1 with 2t), a point is an inlier iff its squared
+    # line distance ≤ tol² without any division — cross² ≤ tol²·len²
+    # (cross ≤ ~5e15 so cross² rides decimal(38)/HUGEINT); the winner
+    # per cluster is max inliers, tie → lowest candidate index. One
+    # candidates×points equi-join on the cluster id — RANSAC's random
+    # sampling replaced by a pinned hash draw so both engines and the
+    # brute see the same models.
+    from geobuf_spark.functions import phash
+    from pyspark.sql import Window as Win
+    p = (minted.minted_cluster_points_q(spark, sf)
+         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
+    rkd = p.withColumn("rn", F.row_number().over(
+        Win.partitionBy("gid").orderBy(
+            phash.hash60_parts(F.lit("rs"), F.col("doc_id")),
+            "doc_id")))
+    a = rkd.filter(F.col("rn") % 2 == 1).select(
+        "gid", F.expr("CAST((rn + 1) div 2 AS INT)").alias("t"),
+        F.col("qx").alias("px"), F.col("qy").alias("py"))
+    b = rkd.filter(F.col("rn") % 2 == 0).select(
+        "gid", F.expr("CAST(rn div 2 AS INT)").alias("t"),
+        F.col("qx").alias("qx2"), F.col("qy").alias("qy2"))
+    cand = (a.join(b, ["gid", "t"])
+            .filter((F.col("px") != F.col("qx2"))
+                    | (F.col("py") != F.col("qy2"))))
+    j = cand.join(p.select("gid", F.col("qx").alias("rx"),
+                           F.col("qy").alias("ry")), "gid")
+    cross = ((F.col("qx2") - F.col("px")) * (F.col("ry") - F.col("py"))
+             - (F.col("qy2") - F.col("py"))
+             * (F.col("rx") - F.col("px"))).cast("decimal(38,0)")
+    len2 = ((F.col("qx2") - F.col("px")) * (F.col("qx2") - F.col("px"))
+            + (F.col("qy2") - F.col("py"))
+            * (F.col("qy2") - F.col("py"))).cast("decimal(38,0)")
+    inl = (j.withColumn("isin", (cross * cross
+                                 <= F.lit(RS_TOL).cast("decimal(38,0)")
+                                 * F.lit(RS_TOL) * len2).cast("long"))
+           .groupBy("gid", "t")
+           .agg(F.sum("isin").alias("n_inliers")))
+    w = Win.partitionBy("gid").orderBy(F.col("n_inliers").desc(),
+                                       F.col("t").asc())
+    best = (inl.withColumn("brk", F.row_number().over(w))
+            .filter(F.col("brk") == 1))
+    npts = p.groupBy("gid").agg(F.count("*").alias("n_pts"))
+    return (best.join(npts, "gid")
+            .select(F.col("gid").cast("bigint"),
+                    F.col("t").cast("int").alias("cand_t"),
+                    F.col("n_inliers").cast("bigint"),
+                    F.col("n_pts").cast("bigint")))
+
+
+def _ransac_line_sql() -> str:
+    from geobuf_spark.functions import phash
+    h = phash.sql_hash60_parts("'rs'", "doc_id")
+    return f"""
+        WITH rp AS (SELECT doc_id % {minted.N_CLUSTERS} AS gid, qx, qy,
+                           doc_id
+                    FROM ({minted.sql_minted_cluster_points_q()})),
+        rkd AS (SELECT gid, qx, qy, row_number() OVER (
+                    PARTITION BY gid ORDER BY {h}, doc_id) AS rn
+                FROM rp),
+        ca AS (SELECT gid, (rn + 1) // 2 AS t, qx AS px, qy AS py
+               FROM rkd WHERE rn % 2 = 1),
+        cb AS (SELECT gid, rn // 2 AS t, qx AS qx2, qy AS qy2
+               FROM rkd WHERE rn % 2 = 0),
+        cand AS (SELECT ca.gid, ca.t, px, py, qx2, qy2
+                 FROM ca JOIN cb ON cb.gid = ca.gid AND cb.t = ca.t
+                 WHERE px <> qx2 OR py <> qy2),
+        jn AS (SELECT c.gid, c.t,
+                      CAST((qx2 - px) * (r.qy - py)
+                           - (qy2 - py) * (r.qx - px) AS HUGEINT)
+                          AS cr,
+                      CAST((qx2 - px) * (qx2 - px)
+                           + (qy2 - py) * (qy2 - py) AS HUGEINT)
+                          AS l2
+               FROM cand c JOIN rp r ON r.gid = c.gid),
+        inl AS (SELECT gid, t,
+                       sum(CASE WHEN cr * cr
+                                <= {RS_TOL}::HUGEINT * {RS_TOL} * l2
+                                THEN 1 ELSE 0 END) AS n_inliers
+                FROM jn GROUP BY 1, 2),
+        best AS (SELECT gid, t, n_inliers, row_number() OVER (
+                     PARTITION BY gid ORDER BY n_inliers DESC, t ASC)
+                     AS brk
+                 FROM inl),
+        np AS (SELECT gid, count(*) AS n_pts FROM rp GROUP BY 1)
+        SELECT CAST(best.gid AS BIGINT) AS gid,
+               CAST(t AS INT) AS cand_t,
+               CAST(n_inliers AS BIGINT) AS n_inliers,
+               CAST(n_pts AS BIGINT) AS n_pts
+        FROM best JOIN np USING (gid) WHERE brk = 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -13387,6 +13611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "stable_matching": q_stable_matching,
+        "ransac_line": q_ransac_line,
         "bipartite_check": q_bipartite_check,
         "mutual_knn": q_mutual_knn,
         "power_iteration": q_power_iteration,
@@ -15621,6 +15847,8 @@ def oracle_sql() -> dict[str, str]:
         "huffman_cost": _huffman_cost_sql(),
         "bipartite_check": _bipartite_check_sql(),
         "mutual_knn": _mutual_knn_sql(),
+        "stable_matching": _stable_matching_sql(),
+        "ransac_line": _ransac_line_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
