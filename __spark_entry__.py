@@ -13796,6 +13796,122 @@ def _dtw_daily_sql() -> str:
         FROM dp WHERE i = {n}"""
 
 
+# ---------------------------------------------------------------------------
+# batch 92 — quantile normalization, Markov next-event prediction eval
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark, sf):
+    # cross-source quantile normalization of document lengths — the
+    # batch-effect correction a mixed-corpus pipeline runs so one
+    # crawler's length distribution can't masquerade as quality: each
+    # doc's within-source rank r (of n_s) maps to the GLOBAL order
+    # statistic at position (r−1)·N div n_s + 1 — all integer, so the
+    # mapping is exact and hashable. Two rank windows + one equi-join
+    # on position; both rank orders tie-break by doc_id so the mapping
+    # is a function.
+    from pyspark.sql import Window as Win
+    d = _docs(spark, sf).select("doc_id", "source",
+                                F.col("n_chars").alias("x"))
+    ws = Win.partitionBy("source").orderBy("x", "doc_id")
+    wg = Win.orderBy("x", "doc_id")
+    ranked = d.withColumn("r", F.row_number().over(ws))
+    ns = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    N = d.count()
+    glob = (d.withColumn("gpos", F.row_number().over(wg))
+            .select(F.col("gpos"), F.col("x").alias("gx")))
+    pos = (ranked.join(ns, "source")
+           .withColumn("gpos", F.expr(
+               f"(r - 1) * {N} div n_s + 1")))
+    return (pos.join(glob, "gpos")
+            .select("doc_id", "source",
+                    F.col("x").cast("bigint").alias("n_chars"),
+                    F.col("gx").cast("bigint").alias("norm_chars")))
+
+
+def _quantile_normalize_sql() -> str:
+    return """
+        WITH d AS (SELECT doc_id, source, n_chars AS x
+                   FROM documents),
+        nn AS (SELECT count(*) AS n FROM d),
+        rk AS (SELECT doc_id, source, x, row_number() OVER (
+                   PARTITION BY source ORDER BY x, doc_id) AS r
+               FROM d),
+        ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        gl AS (SELECT x AS gx, row_number() OVER (ORDER BY x, doc_id)
+                   AS gpos
+               FROM d),
+        ps AS (SELECT rk.doc_id, rk.source, rk.x,
+                      (r - 1) * nn.n // n_s + 1 AS gpos
+               FROM rk JOIN ns USING (source), nn)
+        SELECT doc_id, source, CAST(x AS BIGINT) AS n_chars,
+               CAST(gx AS BIGINT) AS norm_chars
+        FROM ps JOIN gl USING (gpos)"""
+
+
+def q_markov_predict_eval(spark, sf):
+    # does the event-transition matrix actually predict? Train on even
+    # user_ids (transition counts prev→next), predict the argmax next
+    # type (tie → lexicographic min), evaluate on odd users'
+    # transitions — the honest train/eval split version of
+    # markov_stationary's matrix. Per prev type: eval count, hits,
+    # accuracy ppm, and the predicted label. Window lag per user, two
+    # aggregations, exact integers end to end.
+    from pyspark.sql import Window as Win
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    wu = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (e.withColumn("nxt", F.lead("event_type").over(wu))
+          .filter(F.col("nxt").isNotNull())
+          .select("user_id", F.col("event_type").alias("prev"), "nxt"))
+    train = (tr.filter(F.col("user_id") % 2 == 0)
+             .groupBy("prev", "nxt").agg(F.count("*").alias("c")))
+    wp = Win.partitionBy("prev").orderBy(F.col("c").desc(),
+                                         F.col("nxt").asc())
+    pred = (train.withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") == 1)
+            .select("prev", F.col("nxt").alias("predicted")))
+    ev = (tr.filter(F.col("user_id") % 2 == 1)
+          .join(pred, "prev")
+          .groupBy("prev", "predicted")
+          .agg(F.count("*").alias("n_eval"),
+               F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
+               .alias("n_hits")))
+    return ev.select("prev", "predicted",
+                     F.col("n_eval").cast("bigint"),
+                     F.col("n_hits").cast("bigint"),
+                     F.expr("1000000 * n_hits div n_eval")
+                     .cast("bigint").alias("acc_ppm"))
+
+
+def _markov_predict_eval_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id, event_type, ts, event_id
+                   FROM events),
+        tr AS (SELECT user_id, event_type AS prev,
+                      lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+               FROM e),
+        t2 AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
+        train AS (SELECT prev, nxt, count(*) AS c FROM t2
+                  WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        pred AS (SELECT prev, nxt AS predicted FROM (
+                     SELECT prev, nxt, row_number() OVER (
+                         PARTITION BY prev ORDER BY c DESC, nxt ASC)
+                         AS rk
+                     FROM train) WHERE rk = 1),
+        ev AS (SELECT t2.prev, predicted, count(*) AS n_eval,
+                      sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+                          AS n_hits
+               FROM t2 JOIN pred ON pred.prev = t2.prev
+               WHERE user_id % 2 = 1
+               GROUP BY 1, 2)
+        SELECT prev, predicted, CAST(n_eval AS BIGINT) AS n_eval,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(1000000 * n_hits // n_eval AS BIGINT) AS acc_ppm
+        FROM ev"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -13818,6 +13934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "quantile_normalize": q_quantile_normalize,
+        "markov_predict_eval": q_markov_predict_eval,
         "max_burst_window": q_max_burst_window,
         "dtw_daily": q_dtw_daily,
         "stable_matching": q_stable_matching,
@@ -16060,6 +16178,8 @@ def oracle_sql() -> dict[str, str]:
         "ransac_line": _ransac_line_sql(),
         "max_burst_window": _max_burst_window_sql(),
         "dtw_daily": _dtw_daily_sql(),
+        "quantile_normalize": _quantile_normalize_sql(),
+        "markov_predict_eval": _markov_predict_eval_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
