@@ -14062,6 +14062,166 @@ def _rmq_daily_sql() -> str:
         FROM qq"""
 
 
+# ---------------------------------------------------------------------------
+# batch 94 — isotonic regression (parallel PAVA), seasonal MASE eval
+# ---------------------------------------------------------------------------
+
+ISO_ROUNDS = 10
+
+
+def q_isotonic_daily(spark, sf):
+    # monotone (isotonic) regression of each event type's daily series
+    # by PARALLEL pool-adjacent-violators: blocks carry exact (sum,
+    # len); a round flags every adjacent pair whose means violate
+    # (cross-multiplied — no division), groups each maximal violating
+    # CHAIN to its head with one conditional running-max window, and
+    # merges chains in one aggregation. The PAV optimum is unique and
+    # invariant to merge order, so chain-merging converges to the same
+    # fit as the sequential stack algorithm (the pytest's independent
+    # brute). Converge-or-raise in ISO_ROUNDS; fitted values reported
+    # as the exact block rational (sum, len) plus a quantized milli
+    # value.
+    from pyspark.sql import Window as Win
+    daily = (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy("event_type",
+                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
+             .agg(F.count("*").alias("c")))
+    wo = Win.partitionBy("event_type").orderBy("d")
+    pts = (daily.withColumn("i", F.row_number().over(wo))
+           .localCheckpoint(eager=False))
+    blocks = pts.select("event_type", F.col("i").alias("bs"),
+                        F.col("i").alias("be"),
+                        F.col("c").cast("bigint").alias("s"),
+                        F.lit(1).cast("bigint").alias("l"))
+    wb = Win.partitionBy("event_type").orderBy("bs")
+    whead = (Win.partitionBy("event_type").orderBy("bs")
+             .rowsBetween(Win.unboundedPreceding, 0))
+    converged = False
+    for _ in range(ISO_ROUNDS):
+        flagged = (blocks
+                   .withColumn("ps", F.lag("s").over(wb))
+                   .withColumn("pl", F.lag("l").over(wb))
+                   .withColumn("viol_prev",
+                               F.coalesce(F.col("ps") * F.col("l")
+                                          > F.col("s") * F.col("pl"),
+                                          F.lit(False))))
+        nviol = flagged.filter(F.col("viol_prev")).limit(1).count()
+        if nviol == 0:
+            converged = True
+            break
+        grouped = (flagged.withColumn(
+            "grp", F.max(F.when(~F.col("viol_prev"), F.col("bs")))
+            .over(whead)))
+        blocks = (grouped.groupBy("event_type", "grp")
+                  .agg(F.min("bs").alias("bs"), F.max("be").alias("be"),
+                       F.sum("s").alias("s"), F.sum("l").alias("l"))
+                  .select("event_type", "bs", "be", "s", "l")
+                  .localCheckpoint(eager=True))
+    if not converged:
+        raise ValueError(
+            f"isotonic_daily did not converge in {ISO_ROUNDS} rounds")
+    fit = (pts.join(blocks, (pts["event_type"] == blocks["event_type"])
+                    & (pts["i"] >= F.col("bs"))
+                    & (pts["i"] <= F.col("be")))
+           .select(pts["event_type"], "d",
+                   F.col("c").cast("bigint").alias("c"),
+                   F.col("s").alias("fit_num"),
+                   F.col("l").alias("fit_den"),
+                   F.expr("1000 * s div l").alias("fit_milli")))
+    return fit
+
+
+def _isotonic_daily_sql() -> str:
+    steps = []
+    for r in range(1, ISO_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+        f{r} AS (SELECT *,
+                        coalesce(lag(s) OVER wb * l
+                                 > s * lag(l) OVER wb, false)
+                            AS viol_prev
+                 FROM b{p}
+                 WINDOW wb AS (PARTITION BY event_type ORDER BY bs)),
+        g{r} AS (SELECT *, max(CASE WHEN NOT viol_prev THEN bs END)
+                     OVER (PARTITION BY event_type ORDER BY bs
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS grp
+                 FROM f{r}),
+        b{r} AS MATERIALIZED (
+            SELECT event_type, min(bs) AS bs, max(be) AS be,
+                   sum(s) AS s, sum(l) AS l
+            FROM g{r} GROUP BY event_type, grp)""")
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+        pts AS (SELECT event_type, d, CAST(c AS BIGINT) AS c,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY d) AS i
+                FROM daily),
+        b0 AS (SELECT event_type, i AS bs, i AS be, c AS s,
+                      CAST(1 AS BIGINT) AS l
+               FROM pts),
+        {','.join(steps)}
+        SELECT p.event_type, p.d, p.c,
+               CAST(b.s AS BIGINT) AS fit_num,
+               CAST(b.l AS BIGINT) AS fit_den,
+               CAST(1000 * b.s // b.l AS BIGINT) AS fit_milli
+        FROM pts p JOIN b{ISO_ROUNDS} b
+            ON b.event_type = p.event_type
+            AND p.i >= b.bs AND p.i <= b.be"""
+
+
+def q_mase_seasonal(spark, sf):
+    # seasonal-naive forecast evaluation (MASE-style): predict each
+    # day as the value 7 days earlier, scale by the one-step naive
+    # |Δ| over the SAME index set — both absolute-error sums exact
+    # integers, the ratio quantized to milli. The forecast-backtest
+    # shape: two lag windows and one rollup, nothing else.
+    from pyspark.sql import Window as Win
+    daily = (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy("event_type",
+                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
+             .agg(F.count("*").alias("c")))
+    wo = Win.partitionBy("event_type").orderBy("d")
+    lagd = (daily.withColumn("c7", F.lag("c", 7).over(wo))
+            .withColumn("c1", F.lag("c", 1).over(wo))
+            .filter(F.col("c7").isNotNull()))
+    return (lagd.groupBy("event_type")
+            .agg(F.count("*").alias("n_terms"),
+                 F.sum(F.abs(F.col("c") - F.col("c7")))
+                 .alias("m_abs_sum"),
+                 F.sum(F.abs(F.col("c") - F.col("c1")))
+                 .alias("naive_abs_sum"))
+            .select("event_type", F.col("n_terms").cast("bigint"),
+                    F.col("m_abs_sum").cast("bigint"),
+                    F.col("naive_abs_sum").cast("bigint"),
+                    F.expr("1000 * m_abs_sum div naive_abs_sum")
+                    .cast("bigint").alias("mase_milli")))
+
+
+def _mase_seasonal_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+        lagd AS (SELECT event_type, c,
+                        lag(c, 7) OVER wo AS c7,
+                        lag(c, 1) OVER wo AS c1
+                 FROM daily
+                 WINDOW wo AS (PARTITION BY event_type ORDER BY d))
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(abs(c - c7)) AS BIGINT) AS m_abs_sum,
+               CAST(sum(abs(c - c1)) AS BIGINT) AS naive_abs_sum,
+               CAST(1000 * sum(abs(c - c7)) // sum(abs(c - c1))
+                    AS BIGINT) AS mase_milli
+        FROM lagd WHERE c7 IS NOT NULL GROUP BY event_type"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -14084,6 +14244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "isotonic_daily": q_isotonic_daily,
+        "mase_seasonal": q_mase_seasonal,
         "interval_schedule": q_interval_schedule,
         "rmq_daily": q_rmq_daily,
         "quantile_normalize": q_quantile_normalize,
@@ -16334,6 +16496,8 @@ def oracle_sql() -> dict[str, str]:
         "markov_predict_eval": _markov_predict_eval_sql(),
         "interval_schedule": _interval_schedule_sql(),
         "rmq_daily": _rmq_daily_sql(),
+        "isotonic_daily": _isotonic_daily_sql(),
+        "mase_seasonal": _mase_seasonal_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
