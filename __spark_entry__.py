@@ -14222,6 +14222,154 @@ def _mase_seasonal_sql() -> str:
         FROM lagd WHERE c7 IS NOT NULL GROUP BY event_type"""
 
 
+# ---------------------------------------------------------------------------
+# batch 95 — Euclidean MST per cluster (full Borůvka), join-size audit
+# ---------------------------------------------------------------------------
+
+def q_emst_clusters(spark, sf):
+    # exact Euclidean minimum spanning tree per cluster. Clusters are
+    # BOUNDED groups (the convex-hull argument), so the right 100 TB
+    # shape is one shuffle on the cluster id + an in-task algorithm via
+    # applyInPandas — distributed Borůvka rounds are for graphs that
+    # don't partition (boruvka_round1 demonstrates that tier; a first
+    # cut of THIS query ran CC-per-round distributed and cost minutes
+    # on 500 points — wrong altitude). Edge order is the strict total
+    # order (d², a, b): all "weights" distinct ⇒ the MST is unique ⇒
+    # the in-task BORŮVKA here, the oracle's recursive PRIM, and the
+    # pytest's KRUSKAL must agree exactly — three algorithms, one tree.
+    p = (minted.minted_cluster_points_q(spark, sf)
+         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
+    schema = "gid long, n_pts long, mst_edges long, total_d2 long"
+
+    def boruvka(pdf):
+        import pandas as pd
+        gid = int(pdf["gid"].iloc[0])
+        pts = sorted((int(i), int(x), int(y)) for i, x, y in
+                     zip(pdf["doc_id"], pdf["qx"], pdf["qy"]))
+        n = len(pts)
+        if n < 2:
+            return pd.DataFrame([{"gid": gid, "n_pts": n,
+                                  "mst_edges": 0, "total_d2": 0}])
+        edges = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                (a, ax, ay), (b, bx, by) = pts[i], pts[j]
+                edges.append(((ax - bx) ** 2 + (ay - by) ** 2, a, b))
+        lab = {i: i for (i, _, _) in pts}
+
+        def find(x):
+            while lab[x] != x:
+                lab[x] = lab[lab[x]]
+                x = lab[x]
+            return x
+
+        total, cnt = 0, 0
+        while cnt < n - 1:
+            best = {}
+            for w, a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                for r in (ra, rb):
+                    if r not in best or (w, a, b) < best[r]:
+                        best[r] = (w, a, b)
+            if not best:
+                raise ValueError("emst: disconnected cluster")
+            for w, a, b in set(best.values()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lab[max(ra, rb)] = min(ra, rb)
+                    total += w
+                    cnt += 1
+        return pd.DataFrame([{"gid": gid, "n_pts": n,
+                              "mst_edges": cnt, "total_d2": total}])
+
+    return p.groupBy("gid").applyInPandas(boruvka, schema)
+
+
+def _emst_clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE ep AS (
+            SELECT doc_id % {minted.N_CLUSTERS} AS gid, doc_id, qx, qy
+            FROM ({minted.sql_minted_cluster_points_q()})),
+        pr AS (SELECT x.gid, x.doc_id AS a, y.doc_id AS b,
+                      (x.qx - y.qx) * (x.qx - y.qx)
+                      + (x.qy - y.qy) * (x.qy - y.qy) AS d2
+               FROM ep x JOIN ep y ON x.gid = y.gid
+                   AND x.doc_id < y.doc_id),
+        prd AS (SELECT gid, a, b, d2 FROM pr
+                UNION ALL SELECT gid, b, a, d2 FROM pr),
+        np AS (SELECT gid, count(*) AS n FROM ep GROUP BY 1),
+        st AS (
+            SELECT gid, [min(doc_id)] AS visited,
+                   CAST(0 AS BIGINT) AS total, 0 AS cnt
+            FROM ep GROUP BY gid
+            UNION ALL
+            SELECT s.gid, list_append(s.visited, pk.y),
+                   s.total + pk.d2, s.cnt + 1
+            FROM st s JOIN np ON np.gid = s.gid,
+            LATERAL (SELECT p.b AS y, p.d2 FROM prd p
+                     WHERE p.gid = s.gid
+                       AND list_contains(s.visited, p.a)
+                       AND NOT list_contains(s.visited, p.b)
+                     ORDER BY p.d2, p.a, p.b LIMIT 1) pk
+            WHERE s.cnt < np.n - 1)
+        SELECT CAST(st.gid AS BIGINT) AS gid,
+               CAST(np.n AS BIGINT) AS n_pts,
+               CAST(cnt AS BIGINT) AS mst_edges,
+               CAST(total AS BIGINT) AS total_d2
+        FROM st JOIN np ON np.gid = st.gid WHERE st.cnt = np.n - 1"""
+
+
+def q_join_size_audit(spark, sf):
+    # the join-size side of the CBO audit (selectivity_audit covers
+    # conjunctive filters): for three self-equi-joins, compare the
+    # optimizer's independence estimate |A|·|B| div ndv(key) against
+    # the exact join size Σ n_k² — signed error in ppm, all integers.
+    # The skew the estimate misses (Σ n² ≥ N²/ndv by Cauchy–Schwarz)
+    # is exactly why AQE skew handling exists; this query measures it.
+    def one(df, key, name):
+        g = df.groupBy(key).agg(F.count("*").alias("n"))
+        return g.agg(
+            F.lit(name).alias("join_key"),
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("ndv"),
+            F.sum(F.col("n") * F.col("n")).alias("true_size")
+        ).select(
+            "join_key", F.col("n_rows").cast("bigint"),
+            F.col("ndv").cast("bigint"),
+            F.expr("n_rows * n_rows div ndv").cast("bigint")
+            .alias("est_size"),
+            F.col("true_size").cast("bigint"),
+            F.expr("1000000 * (n_rows * n_rows div ndv - true_size) "
+                   "div true_size").cast("bigint").alias("err_ppm"))
+
+    d = _docs(spark, sf)
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (one(d, "lang", "documents.lang")
+            .unionByName(one(d, "source", "documents.source"))
+            .unionByName(one(e, "user_id", "events.user_id")))
+
+
+def _join_size_audit_sql() -> str:
+    def one(table, key, name):
+        return f"""
+        SELECT '{name}' AS join_key,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS ndv,
+               CAST(sum(n) * sum(n) // count(*) AS BIGINT) AS est_size,
+               CAST(sum(n * n) AS BIGINT) AS true_size,
+               CAST(1000000 * (sum(n) * sum(n) // count(*)
+                               - sum(n * n)) // sum(n * n) AS BIGINT)
+                   AS err_ppm
+        FROM (SELECT {key}, count(*) AS n FROM {table} GROUP BY 1)"""
+    return (one("documents", "lang", "documents.lang")
+            + " UNION ALL " + one("documents", "source",
+                                  "documents.source")
+            + " UNION ALL " + one("events", "user_id",
+                                  "events.user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -14244,6 +14392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "emst_clusters": q_emst_clusters,
+        "join_size_audit": q_join_size_audit,
         "isotonic_daily": q_isotonic_daily,
         "mase_seasonal": q_mase_seasonal,
         "interval_schedule": q_interval_schedule,
@@ -16498,6 +16648,8 @@ def oracle_sql() -> dict[str, str]:
         "rmq_daily": _rmq_daily_sql(),
         "isotonic_daily": _isotonic_daily_sql(),
         "mase_seasonal": _mase_seasonal_sql(),
+        "emst_clusters": _emst_clusters_sql(),
+        "join_size_audit": _join_size_audit_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
