@@ -139,6 +139,10 @@ def bench_queries(spark):
         "compaction_plan", "simpsons_paradox", "sorted_neighborhood",
         "lz_factors", "power_iteration", "huffman_cost",
         "bipartite_check", "mutual_knn",
+        "stable_matching", "ransac_line", "max_burst_window",
+        "dtw_daily", "quantile_normalize", "markov_predict_eval",
+        "interval_schedule", "rmq_daily", "isotonic_daily",
+        "mase_seasonal", "emst_clusters", "join_size_audit",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
