@@ -14370,6 +14370,164 @@ def _join_size_audit_sql() -> str:
                                   "events.user_id"))
 
 
+# ---------------------------------------------------------------------------
+# batch 96 — Luby maximal independent set, Burrows–Wheeler runs
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 12
+BWT_PREFIX = 32
+
+
+def q_mis_luby(spark, sf):
+    # maximal independent set on the host graph by Luby's algorithm —
+    # THE distributed symmetry-breaking primitive (scheduling
+    # non-interfering hosts, picking cluster exemplars): each round a
+    # live node joins the MIS iff its (hash, node) key is strictly
+    # smallest in its live neighborhood — the per-round hash
+    # hash60('mis', n, r) replaces Luby's fresh coins deterministically
+    # — then winners and their neighbors leave. O(log n) expected
+    # rounds, converge-or-raise; the oracle replays the same fixed
+    # rounds. Output is the MIS with the round each node joined.
+    from geobuf_spark.functions import phash
+    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
+                                   F.col("dst_host").alias("dst"))
+    und = (ed.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb")))
+           .localCheckpoint(eager=True))
+    live = adj.select("n").distinct().localCheckpoint(eager=True)
+    mis = spark.createDataFrame([], "host string, round int")
+    converged = False
+    for r in range(1, MIS_ROUNDS + 1):
+        h = phash.hash60_parts(F.lit("mis"), F.col("n"), F.lit(r))
+        keyed = live.select("n", h.alias("h"))
+        nbk = (adj.join(keyed.withColumnRenamed("n", "nb")
+                        .withColumnRenamed("h", "nbh"), "nb")
+               .join(live.withColumnRenamed("n", "nb2"),
+                     F.col("nb") == F.col("nb2"))
+               .groupBy("n")
+               .agg(F.min(F.struct("nbh", "nb")).alias("mn")))
+        cand = (keyed.join(nbk, "n", "left")
+                .filter(F.col("mn").isNull()
+                        | (F.struct(F.col("h"), F.col("n"))
+                           < F.col("mn"))))
+        winners = (cand.select("n").localCheckpoint(eager=True))
+        if winners.limit(1).count() == 0:
+            converged = live.limit(1).count() == 0
+            break
+        mis = mis.unionByName(
+            winners.select(F.col("n").alias("host"),
+                           F.lit(r).alias("round")))
+        killed = (winners.unionByName(
+            adj.join(winners, "n").select(F.col("nb").alias("n")))
+            .distinct())
+        live = (live.join(killed, "n", "left_anti")
+                .localCheckpoint(eager=True))
+        if live.limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"mis_luby did not converge in {MIS_ROUNDS} rounds")
+    return mis.select("host", F.col("round").cast("int"))
+
+
+def _mis_luby_sql() -> str:
+    from geobuf_spark.functions import phash
+    steps = []
+    for r in range(1, MIS_ROUNDS + 1):
+        p = r - 1
+        h = phash.sql_hash60_parts("'mis'", "n", str(r))
+        steps.append(f"""
+        k{r} AS (SELECT n, {h} AS h FROM l{p}),
+        nk{r} AS (SELECT a.n, min(struct_pack(h := k.h, nb := a.nb))
+                      AS mn
+                  FROM adj a JOIN k{r} k ON k.n = a.nb
+                  GROUP BY a.n),
+        w{r} AS MATERIALIZED (
+            SELECT k.n FROM k{r} k LEFT JOIN nk{r} x ON x.n = k.n
+            WHERE x.mn IS NULL
+               OR struct_pack(h := k.h, nb := k.n) < x.mn),
+        m{r} AS (SELECT n AS host, {r} AS rnd FROM w{r}),
+        l{r} AS MATERIALIZED (
+            SELECT n FROM l{p}
+            WHERE n NOT IN (SELECT n FROM w{r})
+              AND n NOT IN (SELECT a.nb FROM adj a
+                            JOIN w{r} w ON w.n = a.n))""")
+    allm = " UNION ALL ".join(f"SELECT host, rnd FROM m{r}"
+                              for r in range(1, MIS_ROUNDS + 1))
+    return f"""
+        WITH {_host_edges_cte()},
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        l0 AS (SELECT DISTINCT n FROM adj),
+        {','.join(steps)}
+        SELECT host, CAST(rnd AS INT) AS round FROM ({allm})"""
+
+
+def q_bwt_runs(spark, sf):
+    # Burrows–Wheeler transform of each document's first BWT_PREFIX
+    # chars (+ a chr(1) sentinel, lexicographically smallest and
+    # unique, so every rotation is distinct and the transform is
+    # invertible — the pytest RECONSTRUCTS the input by LF mapping,
+    # which is the independent proof): rotations by posexplode, one
+    # per-doc sort window, last-column concat, plus equal-run counts
+    # before/after — the clustering the bzip2 family exploits, here a
+    # per-doc compressibility signal. Pure column expressions; the
+    # per-doc rotation set is bounded by the prefix length.
+    s = F.concat(F.substring("text", 1, BWT_PREFIX), F.lit("\x01"))
+    d = _docs(spark, sf).select("doc_id", s.alias("s"),
+                                F.length(s).alias("ln"))
+    rot = (d.select("doc_id", "s", "ln",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.col("ln") - 1)).alias("i"))
+           .select("doc_id",
+                   F.concat(F.expr("substring(s, i + 1, ln - i)"),
+                            F.expr("substring(s, 1, i)")).alias("rt")))
+    runs = ("size(filter(sequence(2, length({0})), "
+            "k -> substring({0}, k, 1) != substring({0}, k - 1, 1)))"
+            " + 1")
+    bwt = (rot.groupBy("doc_id")
+           .agg(F.expr(
+               "array_join(transform(array_sort(collect_list(rt)),"
+               " x -> substring(x, length(x), 1)), '')").alias("bwt")))
+    return (bwt.join(d.select("doc_id", "s"), "doc_id")
+            .select("doc_id", "bwt",
+                    F.expr(runs.format("s")).cast("int")
+                    .alias("runs_raw"),
+                    F.expr(runs.format("bwt")).cast("int")
+                    .alias("runs_bwt")))
+
+
+def _bwt_runs_sql() -> str:
+    runs = ("len(list_filter(range(2, len({0}) + 1), "
+            "k -> substr({0}, k, 1) <> substr({0}, k - 1, 1))) + 1")
+    return f"""
+        WITH bd AS (SELECT doc_id,
+                           substr(text, 1, {BWT_PREFIX}) || chr(1)
+                               AS s
+                    FROM documents),
+        rot AS (SELECT doc_id,
+                       substr(s, i + 1, len(s) - i)
+                           || substr(s, 1, i) AS rt
+                FROM bd, LATERAL (SELECT unnest(range(0, len(s)))
+                                  AS i) t),
+        bw AS (SELECT doc_id,
+                      string_agg(substr(rt, len(rt), 1), ''
+                                 ORDER BY rt) AS bwt
+               FROM rot GROUP BY 1)
+        SELECT bd.doc_id, bwt,
+               CAST({runs.format('s')} AS INT) AS runs_raw,
+               CAST({runs.format('bwt')} AS INT) AS runs_bwt
+        FROM bw JOIN bd USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -14392,6 +14550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "mis_luby": q_mis_luby,
+        "bwt_runs": q_bwt_runs,
         "emst_clusters": q_emst_clusters,
         "join_size_audit": q_join_size_audit,
         "isotonic_daily": q_isotonic_daily,
@@ -16650,6 +16810,8 @@ def oracle_sql() -> dict[str, str]:
         "mase_seasonal": _mase_seasonal_sql(),
         "emst_clusters": _emst_clusters_sql(),
         "join_size_audit": _join_size_audit_sql(),
+        "mis_luby": _mis_luby_sql(),
+        "bwt_runs": _bwt_runs_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
