@@ -14528,6 +14528,218 @@ def _bwt_runs_sql() -> str:
         FROM bw JOIN bd USING (doc_id)"""
 
 
+# ---------------------------------------------------------------------------
+# batch 97 — ear-clipping triangulation, feature-hash collision audit
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 64
+
+
+def q_ear_triangulate(spark, sf):
+    # polygon triangulation by ear clipping over minted NON-CONVEX
+    # L-shaped hexagons (the rect draws bent into an L, so every ring
+    # has a reflex vertex and naive fan triangulation would be wrong):
+    # repeatedly clip the LOWEST-INDEX strictly convex vertex whose ear
+    # triangle contains no other ring vertex (boundary counts as
+    # blocking) — the pinned deterministic spec both the list-state
+    # recursive oracle and the python brute replay. Rings are bounded,
+    # rows are independent → mapInPandas, zero shuffles. The output
+    # carries the conservation invariant in the open: Σ|ear area2| ==
+    # |ring shoelace area2|, exact int64.
+    cx, cy, hw, hh = minted._part_draws()
+    x0, x1, x2 = cx - hw, cx, cx + hw
+    y0, y1, y2 = cy - hh, cy, cy + hh
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        F.col("p_partkey").alias("poly_id"),
+        F.array(x0, x2, x2, x1, x1, x0).alias("xs"),
+        F.array(y0, y0, y1, y1, y2, y2).alias("ys"))
+
+    def clip(xs, ys):
+        xs, ys = list(xs), list(ys)
+        tacc, tcnt = 0, 0
+        while len(xs) >= 3:
+            n = len(xs)
+            ear = None
+            for j in range(n):
+                p_, c_, nx = (j - 1) % n, j, (j + 1) % n
+                cr = ((xs[c_] - xs[p_]) * (ys[nx] - ys[p_])
+                      - (ys[c_] - ys[p_]) * (xs[nx] - xs[p_]))
+                if cr <= 0:
+                    continue
+                blocked = False
+                for k in range(n):
+                    if k in (p_, c_, nx):
+                        continue
+                    c1 = ((xs[c_] - xs[p_]) * (ys[k] - ys[p_])
+                          - (ys[c_] - ys[p_]) * (xs[k] - xs[p_]))
+                    c2 = ((xs[nx] - xs[c_]) * (ys[k] - ys[c_])
+                          - (ys[nx] - ys[c_]) * (xs[k] - xs[c_]))
+                    c3 = ((xs[p_] - xs[nx]) * (ys[k] - ys[nx])
+                          - (ys[p_] - ys[nx]) * (xs[k] - xs[nx]))
+                    if c1 >= 0 and c2 >= 0 and c3 >= 0:
+                        blocked = True
+                        break
+                if not blocked:
+                    ear = (j, cr)
+                    break
+            if ear is None:
+                raise ValueError("ear_triangulate: no ear (bad ring)")
+            j, cr = ear
+            tacc += abs(cr)
+            tcnt += 1
+            del xs[j], ys[j]
+        return tcnt, tacc
+
+    def mapper(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                xs = [int(v) for v in r.xs]
+                ys = [int(v) for v in r.ys]
+                area2 = abs(sum(
+                    xs[i] * ys[(i + 1) % len(xs)]
+                    - xs[(i + 1) % len(xs)] * ys[i]
+                    for i in range(len(xs))))
+                tcnt, tacc = clip(xs, ys)
+                rows.append({"poly_id": int(r.poly_id),
+                             "n_vertices": len(xs),
+                             "n_triangles": tcnt,
+                             "tri_area2_sum": tacc,
+                             "ring_area2": area2})
+            yield pd.DataFrame(rows, columns=[
+                "poly_id", "n_vertices", "n_triangles",
+                "tri_area2_sum", "ring_area2"])
+
+    return p.mapInPandas(mapper, ("poly_id long, n_vertices int, "
+                                  "n_triangles int, tri_area2_sum "
+                                  "long, ring_area2 long"))
+
+
+def _ear_triangulate_sql() -> str:
+    xs = (f"[{minted._CX} - {minted._HW}, {minted._CX} + {minted._HW},"
+          f" {minted._CX} + {minted._HW}, {minted._CX},"
+          f" {minted._CX}, {minted._CX} - {minted._HW}]::BIGINT[]")
+    ys = (f"[{minted._CY} - {minted._HH}, {minted._CY} - {minted._HH},"
+          f" {minted._CY}, {minted._CY},"
+          f" {minted._CY} + {minted._HH}, {minted._CY} + {minted._HH}]"
+          "::BIGINT[]")
+    return f"""
+        WITH RECURSIVE ply AS (
+            SELECT p_partkey AS pid, {xs} AS xs, {ys} AS ys
+            FROM part),
+        ring AS (SELECT pid,
+                        abs(xs[1]*ys[2]-xs[2]*ys[1] + xs[2]*ys[3]-xs[3]*ys[2]
+                          + xs[3]*ys[4]-xs[4]*ys[3] + xs[4]*ys[5]-xs[5]*ys[4]
+                          + xs[5]*ys[6]-xs[6]*ys[5] + xs[6]*ys[1]-xs[1]*ys[6])
+                            AS ring_area2
+                 FROM ply),
+        est AS (
+            SELECT pid, xs, ys, CAST(0 AS BIGINT) AS tacc, 0 AS tcnt
+            FROM ply
+            UNION ALL
+            SELECT s.pid,
+                   s.xs[:e.j-1] || s.xs[e.j+1:],
+                   s.ys[:e.j-1] || s.ys[e.j+1:],
+                   s.tacc + e.a2, s.tcnt + 1
+            FROM est s,
+            LATERAL (
+                SELECT j,
+                       abs((s.xs[cur]-s.xs[prv])*(s.ys[nxt]-s.ys[prv])
+                         - (s.ys[cur]-s.ys[prv])*(s.xs[nxt]-s.xs[prv]))
+                           AS a2
+                FROM (SELECT j,
+                             CASE WHEN j = 1 THEN len(s.xs)
+                                  ELSE j - 1 END AS prv,
+                             j AS cur,
+                             CASE WHEN j = len(s.xs) THEN 1
+                                  ELSE j + 1 END AS nxt
+                      FROM (SELECT unnest(range(1, len(s.xs) + 1))
+                                AS j)) c
+                WHERE (s.xs[cur]-s.xs[prv])*(s.ys[nxt]-s.ys[prv])
+                    - (s.ys[cur]-s.ys[prv])*(s.xs[nxt]-s.xs[prv]) > 0
+                  AND NOT EXISTS (
+                    SELECT 1 FROM (SELECT unnest(
+                        range(1, len(s.xs) + 1)) AS k)
+                    WHERE k NOT IN (prv, cur, nxt)
+                      AND (s.xs[cur]-s.xs[prv])*(s.ys[k]-s.ys[prv])
+                        - (s.ys[cur]-s.ys[prv])*(s.xs[k]-s.xs[prv])
+                            >= 0
+                      AND (s.xs[nxt]-s.xs[cur])*(s.ys[k]-s.ys[cur])
+                        - (s.ys[nxt]-s.ys[cur])*(s.xs[k]-s.xs[cur])
+                            >= 0
+                      AND (s.xs[prv]-s.xs[nxt])*(s.ys[k]-s.ys[nxt])
+                        - (s.ys[prv]-s.ys[nxt])*(s.xs[k]-s.xs[nxt])
+                            >= 0)
+                ORDER BY j LIMIT 1) e
+            WHERE len(s.xs) >= 3)
+        SELECT est.pid AS poly_id, CAST(6 AS INT) AS n_vertices,
+               CAST(tcnt AS INT) AS n_triangles,
+               CAST(tacc AS BIGINT) AS tri_area2_sum,
+               CAST(ring_area2 AS BIGINT) AS ring_area2
+        FROM est JOIN ring ON ring.pid = est.pid
+        WHERE len(est.xs) = 2"""
+
+
+def q_hash_collision_audit(spark, sf):
+    # feature-hashing collision audit: hash three key spaces (vocab
+    # tokens, user ids, doc ids) into FH_BUCKETS buckets with the
+    # portable hash and measure what the hashing trick actually costs —
+    # used buckets, keys sharing a bucket, the hottest bucket. One
+    # groupBy per space, exact integers (the birthday arithmetic is the
+    # pytest's job).
+    from geobuf_spark.functions import phash
+
+    def one(df, col, name):
+        keys = df.select(F.col(col).cast("string").alias("k")).distinct()
+        b = keys.select(
+            F.pmod(phash.hash60_parts(F.lit("fh"), F.col("k")),
+                   F.lit(FH_BUCKETS)).alias("b"))
+        g = b.groupBy("b").agg(F.count("*").alias("n"))
+        return g.agg(
+            F.lit(name).alias("space"),
+            F.sum("n").alias("n_keys"),
+            F.count("*").alias("n_used"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .alias("n_colliding"),
+            F.max("n").alias("max_bucket")
+        ).select("space", F.col("n_keys").cast("bigint"),
+                 F.col("n_used").cast("bigint"),
+                 F.col("n_colliding").cast("bigint"),
+                 F.col("max_bucket").cast("bigint"))
+
+    d = _docs(spark, sf)
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (one(toks, "tok", "tokens")
+            .unionByName(one(e, "user_id", "users"))
+            .unionByName(one(d, "doc_id", "docs")))
+
+
+def _hash_collision_audit_sql() -> str:
+    from geobuf_spark.functions import phash
+
+    def one(src, name):
+        h = phash.sql_hash60_parts("'fh'", "k")
+        return f"""
+        SELECT '{name}' AS space,
+               CAST(sum(n) AS BIGINT) AS n_keys,
+               CAST(count(*) AS BIGINT) AS n_used,
+               CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_colliding,
+               CAST(max(n) AS BIGINT) AS max_bucket
+        FROM (SELECT {h} % {FH_BUCKETS} AS b, count(*) AS n
+              FROM (SELECT DISTINCT CAST(k AS VARCHAR) AS k
+                    FROM ({src}) t(k)) GROUP BY 1)"""
+
+    return (one("SELECT unnest(string_split(text, ' ')) FROM documents",
+                "tokens")
+            + " UNION ALL "
+            + one("SELECT user_id FROM events", "users")
+            + " UNION ALL "
+            + one("SELECT doc_id FROM documents", "docs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -14550,6 +14762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ear_triangulate": q_ear_triangulate,
+        "hash_collision_audit": q_hash_collision_audit,
         "mis_luby": q_mis_luby,
         "bwt_runs": q_bwt_runs,
         "emst_clusters": q_emst_clusters,
@@ -16812,6 +17026,8 @@ def oracle_sql() -> dict[str, str]:
         "join_size_audit": _join_size_audit_sql(),
         "mis_luby": _mis_luby_sql(),
         "bwt_runs": _bwt_runs_sql(),
+        "ear_triangulate": _ear_triangulate_sql(),
+        "hash_collision_audit": _hash_collision_audit_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
