@@ -14905,6 +14905,87 @@ def _soundex_groups_sql() -> str:
         FROM coded"""
 
 
+# ---------------------------------------------------------------------------
+# batch 99 — personalized PageRank, source histogram overlap
+# ---------------------------------------------------------------------------
+
+
+def q_ppr_hosts(spark, sf):
+    # personalized (seed-teleport) PageRank — seed-relative authority,
+    # the TrustRank/topic-rank variant: the (1−d) teleport mass lands
+    # only on the site*00.example seed hosts (the bfs_hops3 seed set),
+    # so rank measures reachability-weighted proximity to the trusted
+    # core instead of global importance. Same integer fixed-point
+    # iteration as pagerank_hosts (bit-reproducible, one shuffle per
+    # iteration; graph.ppr_int).
+    from geobuf_spark.operators import graph
+    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
+                                   F.col("dst_host").alias("dst"))
+    nodes = (ed.select(F.col("src").alias("host"))
+             .unionByName(ed.select(F.col("dst").alias("host")))
+             .distinct())
+    seeds = nodes.filter(F.col("host").endswith("00.example"))
+    return graph.ppr_int(ed, seeds, iters=3)
+
+
+def _ppr_hosts_sql() -> str:
+    from geobuf_spark.operators import graph
+    edges = (_host_edges_cte()
+             + ", edges AS (SELECT src, dst FROM ed)")
+    return graph.sql_ppr_int(edges, "host LIKE '%00.example'",
+                             iters=3)
+
+
+def q_source_overlap(spark, sf):
+    # pairwise histogram-intersection similarity between sources over
+    # their language mix — the distribution-overlap audit that says
+    # which crawlers feed interchangeable content: inter(a,b) =
+    # Σ_lang min(n_a,lang, n_b,lang), normalized by the smaller source
+    # in exact ppm. One rollup + one language equi-join (never a full
+    # cross of rows — only the bounded histogram table self-joins).
+    h = (_docs(spark, sf).groupBy("source", "lang")
+         .agg(F.count("*").alias("n")))
+    tot = h.groupBy("source").agg(F.sum("n").alias("tot"))
+    a = h.select(F.col("source").alias("src_a"), "lang",
+                 F.col("n").alias("na"))
+    b = h.select(F.col("source").alias("src_b"), "lang",
+                 F.col("n").alias("nb"))
+    inter = (a.join(b, "lang")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.sum(F.least("na", "nb")).alias("inter")))
+    return (inter
+            .join(tot.withColumnRenamed("source", "src_a")
+                  .withColumnRenamed("tot", "tot_a"), "src_a")
+            .join(tot.withColumnRenamed("source", "src_b")
+                  .withColumnRenamed("tot", "tot_b"), "src_b")
+            .select("src_a", "src_b",
+                    F.col("inter").cast("bigint"),
+                    F.col("tot_a").cast("bigint"),
+                    F.col("tot_b").cast("bigint"),
+                    F.expr("1000000 * inter div least(tot_a, tot_b)")
+                    .cast("bigint").alias("overlap_ppm")))
+
+
+def _source_overlap_sql() -> str:
+    return """
+        WITH h AS (SELECT source, lang, count(*) AS n FROM documents
+                   GROUP BY 1, 2),
+        tt AS (SELECT source, sum(n) AS tot FROM h GROUP BY 1),
+        iv AS (SELECT a.source AS src_a, b.source AS src_b,
+                      sum(least(a.n, b.n)) AS inter
+               FROM h a JOIN h b ON a.lang = b.lang
+                   AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+               CAST(ta.tot AS BIGINT) AS tot_a,
+               CAST(tb.tot AS BIGINT) AS tot_b,
+               CAST(1000000 * inter // least(ta.tot, tb.tot)
+                    AS BIGINT) AS overlap_ppm
+        FROM iv JOIN tt ta ON ta.source = iv.src_a
+                JOIN tt tb ON tb.source = iv.src_b"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -14927,6 +15008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "ppr_hosts": q_ppr_hosts,
+        "source_overlap": q_source_overlap,
         "convex_layers": q_convex_layers,
         "soundex_groups": q_soundex_groups,
         "ear_triangulate": q_ear_triangulate,
@@ -17197,6 +17280,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_collision_audit": _hash_collision_audit_sql(),
         "convex_layers": _convex_layers_sql(),
         "soundex_groups": _soundex_groups_sql(),
+        "ppr_hosts": _ppr_hosts_sql(),
+        "source_overlap": _source_overlap_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -852,3 +852,79 @@ def sql_ktruss(edges_cte: str, k: int = 3, rounds: int = 12) -> str:
         SELECT e.u, e.v, CAST(s.sup AS INT) AS support
         FROM e{rounds} e JOIN sF s ON s.u = e.u AND s.v = e.v
         WHERE s.sup >= {thr}"""
+
+
+def ppr_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
+            damping_ppm: int = 850_000) -> DataFrame:
+    """Personalized PageRank, integer fixed-point: identical iteration
+    shape to `pagerank_int`, but the teleport mass lands ONLY on the
+    seed set (rank starts at SCALE on seeds, 0 elsewhere; each round
+    adds the (1−d) base only to seeds) — the topic/trust-rank variant
+    used for seed-relative authority. Same one-shuffle-per-iteration
+    plan and bit-reproducible integer arithmetic. `seeds` is a
+    one-column (host) DataFrame."""
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+    nodes = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct())
+    marked = (nodes.join(seeds.withColumn("is_seed", F.lit(1)),
+                         "host", "left")
+              .select("host", F.coalesce("is_seed", F.lit(0))
+                      .alias("is_seed"))
+              .localCheckpoint(eager=False))
+    out_deg = e.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("out_deg"))
+    base = F.col("is_seed") * F.lit(SCALE - damping_ppm)
+    ranks = marked.select("host",
+                          (F.col("is_seed") * F.lit(SCALE))
+                          .cast("bigint").alias("rank_ppm"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("host", "src"), "src")
+             .join(out_deg.withColumnRenamed("host", "src"), "src")
+             .select(F.col("dst").alias("host"),
+                     (F.col("rank_ppm") / F.col("out_deg"))
+                     .cast("bigint").alias("c")))
+        agg = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = (marked.join(agg, "host", "left")
+                 .select("host",
+                         (base + F.lit(damping_ppm)
+                          * F.coalesce(F.col("s"), F.lit(0))
+                          / F.lit(SCALE)).cast("bigint")
+                         .alias("rank_ppm")))
+    return ranks
+
+
+def sql_ppr_int(edges_cte: str, seed_pred: str, iters: int = 3,
+                damping_ppm: int = 850_000) -> str:
+    """DuckDB twin of ppr_int; `seed_pred` is a boolean SQL predicate
+    over the node name column `host`."""
+    base = SCALE - damping_ppm
+    cte = [edges_cte,
+           f"""nodes AS (SELECT src AS host FROM edges
+                        UNION SELECT dst FROM edges),
+        marked AS (SELECT host, CASE WHEN {seed_pred} THEN 1 ELSE 0 END
+                       AS is_seed
+                   FROM nodes),
+        out_deg AS (SELECT src AS host, count(*) AS out_deg
+                    FROM edges GROUP BY 1),
+        r0 AS (SELECT host, CAST(is_seed * {SCALE} AS BIGINT)
+                   AS rank_ppm
+               FROM marked)"""]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cte.append(f"""c{i} AS (SELECT e.dst AS host,
+                       r.rank_ppm // d.out_deg AS c
+                FROM edges e
+                JOIN {prev} r ON r.host = e.src
+                JOIN out_deg d ON d.host = e.src),
+        a{i} AS (SELECT host, sum(c) AS s FROM c{i} GROUP BY 1),
+        r{i} AS (SELECT n.host,
+                        CAST(n.is_seed * {base}
+                             + {damping_ppm} * coalesce(a.s, 0)
+                             // {SCALE} AS BIGINT) AS rank_ppm
+                 FROM marked n LEFT JOIN a{i} a ON a.host = n.host)""")
+        prev = f"r{i}"
+    return ("WITH " + ",\n        ".join(cte)
+            + f"\n        SELECT host, rank_ppm FROM {prev}")
