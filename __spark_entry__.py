@@ -14986,6 +14986,149 @@ def _source_overlap_sql() -> str:
                 JOIN tt tb ON tb.source = iv.src_b"""
 
 
+# ---------------------------------------------------------------------------
+# batch 100 — DAG longest-path layers, space-filling-curve locality audit
+# ---------------------------------------------------------------------------
+
+DAG_ROUNDS = 24  # > the fixture DAG's depth (20)
+
+
+def q_dag_layers(spark, sf):
+    # longest-path layering of the host DAG — the critical-path /
+    # topological-depth operator (build schedulers and lineage engines
+    # read it as "earliest stage this node can run in"): edges oriented
+    # lexicographically src<dst (acyclic BY CONSTRUCTION — every cycle
+    # needs a descent), layer(v) = 1 + max over predecessors, settled
+    # by synchronous relaxation in depth rounds, converge-or-raise; the
+    # oracle replays the same rounds fixed-length. Output also rolls up
+    # the layer histogram invariantly checked by the brute.
+    ed = _host_edges(spark).select(F.col("src_host").alias("a"),
+                                   F.col("dst_host").alias("b"))
+    dag = (ed.select(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    nodes = (dag.select(F.col("u").alias("host"))
+             .unionByName(dag.select(F.col("v").alias("host")))
+             .distinct())
+    lay = nodes.select("host", F.lit(0).alias("layer"))
+    converged = False
+    for _ in range(DAG_ROUNDS):
+        cand = (dag.join(lay.withColumnRenamed("host", "u")
+                         .withColumnRenamed("layer", "ul"), "u")
+                .groupBy(F.col("v").alias("host"))
+                .agg((F.max("ul") + 1).alias("cl")))
+        new = (lay.join(cand, "host", "left")
+               .select("host", F.greatest(
+                   "layer", F.coalesce("cl", F.lit(0))).alias("layer"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(lay.withColumnRenamed("layer", "old"),
+                            "host")
+                   .filter(F.col("layer") != F.col("old"))
+                   .limit(1).count())
+        lay = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"dag_layers did not converge in {DAG_ROUNDS} rounds")
+    return (lay.groupBy("layer")
+            .agg(F.count("*").alias("n_hosts"),
+                 F.min("host").alias("first_host"))
+            .select(F.col("layer").cast("int"),
+                    F.col("n_hosts").cast("bigint"), "first_host"))
+
+
+def _dag_layers_sql() -> str:
+    steps = []
+    for r in range(1, DAG_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+        dc{r} AS (SELECT d.v AS host, max(l.layer) + 1 AS cl
+                  FROM dag d JOIN dl{p} l ON l.host = d.u
+                  GROUP BY 1),
+        dl{r} AS MATERIALIZED (
+            SELECT l.host, greatest(l.layer, coalesce(c.cl, 0))
+                       AS layer
+            FROM dl{p} l LEFT JOIN dc{r} c ON c.host = l.host)""")
+    return f"""
+        WITH {_host_edges_cte()},
+        dag AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        dn AS (SELECT u AS host FROM dag
+               UNION SELECT v FROM dag),
+        dl0 AS (SELECT host, 0 AS layer FROM dn),
+        {','.join(steps)}
+        SELECT CAST(layer AS INT) AS layer,
+               CAST(count(*) AS BIGINT) AS n_hosts,
+               min(host) AS first_host
+        FROM dl{DAG_ROUNDS} GROUP BY 1"""
+
+
+def q_zorder_locality(spark, sf):
+    # does the clustering key actually buy locality? Walk the z=8 tile
+    # assignments in three file orders — raw doc_id, Z-order (morton),
+    # Hilbert — and sum the L1 tile jump between CONSECUTIVE rows: the
+    # number the cluster_by_morton/hilbert writers exist to minimize
+    # (small jumps ⇒ consecutive rows share parquet row groups ⇒ bbox
+    # scans prune). One window lag per ordering, exact integers — the
+    # measured justification next to delta_bytes_by_tile's byte-cost
+    # view.
+    from pyspark.sql import Window as Win
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    keyed = tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8) \
+        .withColumn("morton",
+                    tiles.morton_key(F.col("x"), F.col("y"), 8))
+
+    def leg(order_col, name):
+        w = Win.orderBy(F.col(order_col), F.col("doc_id"))
+        d = (keyed
+             .withColumn("px", F.lag("x").over(w))
+             .withColumn("py", F.lag("y").over(w))
+             .filter(F.col("px").isNotNull())
+             .select((F.abs(F.col("x") - F.col("px"))
+                      + F.abs(F.col("y") - F.col("py"))).alias("j")))
+        return d.agg(F.lit(name).alias("ordering"),
+                     F.count("*").alias("n_steps"),
+                     F.sum("j").alias("total_l1"),
+                     F.max("j").alias("max_jump")).select(
+            "ordering", F.col("n_steps").cast("bigint"),
+            F.col("total_l1").cast("bigint"),
+            F.col("max_jump").cast("bigint"))
+
+    return (leg("doc_id", "raw")
+            .unionByName(leg("morton", "zorder"))
+            .unionByName(leg("hilbert", "hilbert")))
+
+
+def _zorder_locality_sql() -> str:
+    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
+             f"{tiles.sql_tile_y('lat', 8)} AS y "
+             f"FROM ({minted.SQL_MINTED_POINTS})")
+    hil = tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
+    mor = tiles.sql_morton_key("x", "y", 8)
+
+    def leg(order_col, name):
+        return f"""
+        SELECT '{name}' AS ordering,
+               CAST(count(*) AS BIGINT) AS n_steps,
+               CAST(sum(j) AS BIGINT) AS total_l1,
+               CAST(max(j) AS BIGINT) AS max_jump
+        FROM (SELECT abs(x - lag(x) OVER wo) + abs(y - lag(y) OVER wo)
+                  AS j
+              FROM zk WINDOW wo AS (ORDER BY {order_col}, doc_id))
+        WHERE j IS NOT NULL"""
+
+    return f"""
+        WITH zk AS (SELECT doc_id, x, y, hilbert, {mor} AS morton
+                    FROM ({hil}))
+        {leg('doc_id', 'raw')}
+        UNION ALL {leg('morton', 'zorder')}
+        UNION ALL {leg('hilbert', 'hilbert')}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -15008,6 +15151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "dag_layers": q_dag_layers,
+        "zorder_locality": q_zorder_locality,
         "ppr_hosts": q_ppr_hosts,
         "source_overlap": q_source_overlap,
         "convex_layers": q_convex_layers,
@@ -17282,6 +17427,8 @@ def oracle_sql() -> dict[str, str]:
         "soundex_groups": _soundex_groups_sql(),
         "ppr_hosts": _ppr_hosts_sql(),
         "source_overlap": _source_overlap_sql(),
+        "dag_layers": _dag_layers_sql(),
+        "zorder_locality": _zorder_locality_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
