@@ -143,6 +143,10 @@ def bench_queries(spark):
         "dtw_daily", "quantile_normalize", "markov_predict_eval",
         "interval_schedule", "rmq_daily", "isotonic_daily",
         "mase_seasonal", "emst_clusters", "join_size_audit",
+        "mis_luby", "bwt_runs", "ear_triangulate",
+        "hash_collision_audit", "convex_layers", "soundex_groups",
+        "ppr_hosts", "source_overlap", "dag_layers",
+        "zorder_locality",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
