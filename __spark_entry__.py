@@ -15129,6 +15129,180 @@ def _zorder_locality_sql() -> str:
         UNION ALL {leg('hilbert', 'hilbert')}"""
 
 
+# ---------------------------------------------------------------------------
+# batch 101 — weighted interval scheduling DP, longest increasing
+# subsequence
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_schedule(spark, sf):
+    # weighted interval scheduling — the DP-optimal sibling of
+    # interval_schedule's greedy (greedy is optimal only for COUNTING;
+    # with values the classic best[i] = max(best[i−1], w_i + best[p_i])
+    # recurrence is required): same event-anchored jobs, value = the
+    # event's cents. p(i) — the last job ending strictly before job i
+    # starts — is ONE backward as-of-style join; the DP itself rides
+    # applyInPandas per user, and the oracle replays it with a
+    # LIST-state recursion (bests[] grows one slot per step, random
+    # access to bests[p] is a list index). Output per user: jobs, DP
+    # optimum in cents, and the greedy COUNT for contrast.
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t0"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("w"))
+    iv = e.select("user_id", "event_id", "t0",
+                  (F.col("t0") + 1800 + F.col("event_id") % 7200)
+                  .alias("t1"), "w")
+    schema = ("user_id long, n_jobs long, best_cents long, "
+              "n_greedy long")
+
+    def dp(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(["t1", "t0", "event_id"],
+                              kind="mergesort")
+        t0s = pdf["t0"].astype("int64").tolist()
+        t1s = pdf["t1"].astype("int64").tolist()
+        ws = pdf["w"].astype("int64").tolist()
+        n = len(t0s)
+        best = [0] * (n + 1)
+        for i in range(1, n + 1):
+            # p(i): last j (1-based) with t1[j] < t0[i] — ends sorted
+            p = 0
+            for j in range(i - 1, 0, -1):
+                if t1s[j - 1] < t0s[i - 1]:
+                    p = j
+                    break
+            best[i] = max(best[i - 1], ws[i - 1] + best[p])
+        cur, cnt = None, 0
+        for a, b in zip(t0s, t1s):
+            if cur is None or a > cur:
+                cnt += 1
+                cur = b
+        return pd.DataFrame([{"user_id": int(pdf["user_id"].iloc[0]),
+                              "n_jobs": n, "best_cents": best[n],
+                              "n_greedy": cnt}])
+
+    return iv.groupBy("user_id").applyInPandas(dp, schema)
+
+
+def _weighted_schedule_sql() -> str:
+    return """
+        WITH RECURSIVE wiv AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 1800
+                       + event_id % 7200 AS t1,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
+            FROM events),
+        wrk AS (SELECT user_id, t0, t1, w, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY t1, t0, event_id) AS rn
+                FROM wiv),
+        wp AS (SELECT a.user_id, a.rn,
+                      coalesce(max(b.rn), 0) AS p
+               FROM wrk a LEFT JOIN wrk b ON b.user_id = a.user_id
+                   AND b.rn < a.rn AND b.t1 < a.t0
+               GROUP BY 1, 2),
+        wst AS (
+            SELECT user_id, 0 AS rn, [CAST(0 AS BIGINT)] AS bests
+            FROM (SELECT DISTINCT user_id FROM wrk)
+            UNION ALL
+            SELECT s.user_id, s.rn + 1,
+                   list_append(s.bests,
+                       greatest(s.bests[s.rn + 1],
+                                r.w + s.bests[p.p + 1]))
+            FROM wst s
+            JOIN wrk r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+            JOIN wp p ON p.user_id = s.user_id AND p.rn = s.rn + 1),
+        wlast AS (SELECT user_id, rn, bests[rn + 1] AS best,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY rn DESC) AS rr
+                  FROM wst),
+        wgreedy AS (
+            SELECT user_id, 1 AS rn, t1 AS cur_end, 1 AS cnt
+            FROM wrk WHERE rn = 1
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN r.t0 > g.cur_end THEN r.t1
+                        ELSE g.cur_end END,
+                   g.cnt + CASE WHEN r.t0 > g.cur_end THEN 1
+                                ELSE 0 END
+            FROM wgreedy g JOIN wrk r ON r.user_id = g.user_id
+                AND r.rn = g.rn + 1),
+        wglast AS (SELECT user_id, cnt, row_number() OVER (
+                       PARTITION BY user_id ORDER BY rn DESC) AS rr
+                   FROM wgreedy)
+        SELECT l.user_id, CAST(l.rn AS BIGINT) AS n_jobs,
+               CAST(l.best AS BIGINT) AS best_cents,
+               CAST(g.cnt AS BIGINT) AS n_greedy
+        FROM wlast l JOIN wglast g ON g.user_id = l.user_id
+            AND g.rr = 1
+        WHERE l.rr = 1"""
+
+
+def q_lis_daily(spark, sf):
+    # longest strictly-increasing subsequence of each event type's
+    # daily series — the monotone-trend persistence length (how long a
+    # growth story can be told without cherry-picking reversals; the
+    # Erdős–Szekeres counterpart of the runs tests). O(n²) DP per
+    # bounded series via mapInPandas; LIST-state recursion oracle
+    # (lis[] grows one slot per step, the inner max is a list
+    # comprehension over earlier slots).
+    sers = (spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("event_type",
+                     F.expr("unix_timestamp(ts) div 86400").alias("d"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("event_type")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(d, c))),"
+                " x -> x.c)").alias("cs")))
+
+    def mapper(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                cs = [int(v) for v in r.cs]
+                n = len(cs)
+                lis = [1] * n
+                for i in range(n):
+                    for j in range(i):
+                        if cs[j] < cs[i]:
+                            lis[i] = max(lis[i], lis[j] + 1)
+                rows.append({"event_type": r.event_type,
+                             "n_days": n, "lis_len": max(lis)})
+            yield pd.DataFrame(rows, columns=["event_type", "n_days",
+                                              "lis_len"])
+
+    return sers.mapInPandas(
+        mapper, "event_type string, n_days int, lis_len int")
+
+
+def _lis_daily_sql() -> str:
+    return """
+        WITH RECURSIVE lsr AS (
+            SELECT event_type, list(c ORDER BY d) AS cs FROM (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2)
+            GROUP BY 1),
+        lst AS (
+            SELECT event_type, cs, 0 AS i, []::INT[] AS lis
+            FROM lsr
+            UNION ALL
+            SELECT event_type, cs, i + 1,
+                   list_append(lis,
+                       1 + coalesce(list_max(list_filter(
+                           list_transform(range(1, i + 1),
+                               j -> CASE WHEN cs[j] < cs[i + 1]
+                                         THEN lis[j] END),
+                           x -> x IS NOT NULL)), 0))
+            FROM lst WHERE i < len(cs))
+        SELECT event_type, CAST(len(cs) AS INT) AS n_days,
+               CAST(list_max(lis) AS INT) AS lis_len
+        FROM lst WHERE i = len(cs)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -15151,6 +15325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "weighted_schedule": q_weighted_schedule,
+        "lis_daily": q_lis_daily,
         "dag_layers": q_dag_layers,
         "zorder_locality": q_zorder_locality,
         "ppr_hosts": q_ppr_hosts,
@@ -17429,6 +17605,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _source_overlap_sql(),
         "dag_layers": _dag_layers_sql(),
         "zorder_locality": _zorder_locality_sql(),
+        "weighted_schedule": _weighted_schedule_sql(),
+        "lis_daily": _lis_daily_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
