@@ -15303,6 +15303,160 @@ def _lis_daily_sql() -> str:
         FROM lst WHERE i = len(cs)"""
 
 
+# ---------------------------------------------------------------------------
+# batch 102 — linear-threshold influence spread, rich-club coefficient
+# ---------------------------------------------------------------------------
+
+INF_ROUNDS = 20
+RC_KS = [2, 4, 8, 16, 32]
+
+
+def q_influence_spread(spark, sf):
+    # deterministic linear-threshold cascade from the trusted seed set
+    # (the influence-maximization evaluation primitive): node n has
+    # threshold θ(n) = hash60('th', n) mod 1e6; it activates when the
+    # ACTIVE fraction of its neighborhood reaches θ — integer test
+    # active_nbrs·1e6 ≥ θ·deg, no division. Activation is monotone, so
+    # synchronous rounds converge (converge-or-raise; fixed-round
+    # oracle). Output: every activated host with its activation round —
+    # the cascade horizon audit.
+    from geobuf_spark.functions import phash
+    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
+                                   F.col("dst_host").alias("dst"))
+    und = (ed.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+           .unionAll(und.select(F.col("v").alias("n"),
+                                F.col("u").alias("nb")))
+           .localCheckpoint(eager=True))
+    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
+    thr = (deg.select("n", "deg",
+                      (F.pmod(phash.hash60_parts(F.lit("th"),
+                                                 F.col("n")),
+                              F.lit(1_000_000))).alias("theta"))
+           .localCheckpoint(eager=True))
+    active = (adj.select("n").distinct()
+              .filter(F.col("n").endswith("00.example"))
+              .withColumn("round", F.lit(0))
+              .localCheckpoint(eager=True))
+    converged = False
+    for r in range(1, INF_ROUNDS + 1):
+        acts = (adj.join(active.select(F.col("n").alias("nb")), "nb")
+                .groupBy("n").agg(F.count("*").alias("na")))
+        newly = (acts.join(thr, "n")
+                 .filter(F.col("na") * 1_000_000
+                         >= F.col("theta") * F.col("deg"))
+                 .join(active.select("n"), "n", "left_anti")
+                 .select("n", F.lit(r).alias("round")))
+        newly = newly.localCheckpoint(eager=True)
+        if newly.limit(1).count() == 0:
+            converged = True
+            break
+        active = active.unionByName(newly).localCheckpoint(eager=True)
+    if not converged:
+        raise ValueError(
+            f"influence_spread did not converge in {INF_ROUNDS}")
+    return active.select(F.col("n").alias("host"),
+                         F.col("round").cast("int"))
+
+
+def _influence_spread_sql() -> str:
+    from geobuf_spark.functions import phash
+    th = phash.sql_hash60_parts("'th'", "n")
+    steps = []
+    for r in range(1, INF_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+        ic{r} AS (SELECT a.n, count(*) AS na
+                  FROM adj a JOIN ia{p} x ON x.n = a.nb
+                  GROUP BY 1),
+        ia{r} AS MATERIALIZED (
+            SELECT n, rnd FROM ia{p}
+            UNION ALL
+            SELECT c.n, {r} AS rnd
+            FROM ic{r} c JOIN ith t ON t.n = c.n
+            WHERE c.na * 1000000 >= t.theta * t.deg
+              AND c.n NOT IN (SELECT n FROM ia{p}))""")
+    return f"""
+        WITH {_host_edges_cte()},
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        adj AS (SELECT u AS n, v AS nb FROM und
+                UNION ALL SELECT v AS n, u AS nb FROM und),
+        ith AS (SELECT n, count(*) AS deg, {th} % 1000000 AS theta
+                FROM adj GROUP BY n),
+        ia0 AS (SELECT DISTINCT n, 0 AS rnd FROM adj
+                WHERE n LIKE '%00.example'),
+        {','.join(steps)}
+        SELECT n AS host, CAST(rnd AS INT) AS round
+        FROM ia{INF_ROUNDS}"""
+
+
+def q_rich_club(spark, sf):
+    # rich-club coefficient of the host graph: do high-degree hosts
+    # link to EACH OTHER more densely than chance (the elite-core
+    # signature of scale-free webs)? For each degree threshold k:
+    # φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
+    # deg > k, in exact ppm. One degree rollup + one threshold-tagged
+    # edge join per k (k list is a constant).
+    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
+                                   F.col("dst_host").alias("dst"))
+    und = (ed.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
+    out = None
+    for k in RC_KS:
+        elite = deg.filter(F.col("deg") > k).select("n")
+        nk = elite.count()
+        ek = (und.join(elite.withColumnRenamed("n", "u"), "u")
+              .join(elite.withColumnRenamed("n", "v"), "v").count())
+        phi = (10**6 * 2 * ek // (nk * (nk - 1))
+               if nk >= 2 else 0)
+        row = spark.createDataFrame(
+            [(k, nk, ek, phi)],
+            "k int, n_nodes bigint, n_edges bigint, phi_ppm bigint")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _rich_club_sql() -> str:
+    legs = []
+    for k in RC_KS:
+        legs.append(f"""
+        SELECT {k} AS k,
+               CAST((SELECT count(*) FROM rdeg WHERE deg > {k})
+                    AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM und
+                     JOIN rdeg a ON a.n = und.u AND a.deg > {k}
+                     JOIN rdeg b ON b.n = und.v AND b.deg > {k})
+                    AS BIGINT) AS n_edges,
+               CAST(CASE WHEN (SELECT count(*) FROM rdeg
+                               WHERE deg > {k}) >= 2
+                    THEN 1000000 * 2 * (SELECT count(*) FROM und
+                        JOIN rdeg a ON a.n = und.u AND a.deg > {k}
+                        JOIN rdeg b ON b.n = und.v AND b.deg > {k})
+                        // ((SELECT count(*) FROM rdeg WHERE deg > {k})
+                            * ((SELECT count(*) FROM rdeg
+                                WHERE deg > {k}) - 1))
+                    ELSE 0 END AS BIGINT) AS phi_ppm""")
+    return f"""
+        WITH {_host_edges_cte()},
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM ed WHERE src <> dst),
+        rdeg AS (SELECT n, count(*) AS deg FROM (
+                     SELECT u AS n FROM und
+                     UNION ALL SELECT v FROM und) GROUP BY 1)
+        {' UNION ALL '.join(legs)}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -15325,6 +15479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "influence_spread": q_influence_spread,
+        "rich_club": q_rich_club,
         "weighted_schedule": q_weighted_schedule,
         "lis_daily": q_lis_daily,
         "dag_layers": q_dag_layers,
@@ -17607,6 +17763,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_locality": _zorder_locality_sql(),
         "weighted_schedule": _weighted_schedule_sql(),
         "lis_daily": _lis_daily_sql(),
+        "influence_spread": _influence_spread_sql(),
+        "rich_club": _rich_club_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),
