@@ -147,7 +147,8 @@ def bench_queries(spark):
         "hash_collision_audit", "convex_layers", "soundex_groups",
         "ppr_hosts", "source_overlap", "dag_layers",
         "zorder_locality", "weighted_schedule", "lis_daily",
-        "influence_spread", "rich_club",
+        "influence_spread", "rich_club", "morisita_tiles",
+        "runs_test_daily",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
