@@ -15590,6 +15590,127 @@ def _runs_test_daily_sql() -> str:
         FROM rr GROUP BY event_type"""
 
 
+# ---------------------------------------------------------------------------
+# batch 104 — Hodges–Lehmann location, Qn-style robust scale
+# ---------------------------------------------------------------------------
+
+
+def q_hodges_lehmann(spark, sf):
+    # Hodges–Lehmann pseudo-median of each type's daily counts: the
+    # lower median of all pairwise Walsh averages (x_i + x_j)/2 over
+    # i ≤ j — the location estimator dual to the Wilcoxon test (30%
+    # breakdown, far more efficient than the median at the Gaussian).
+    # Exact: sums x_i + x_j are integers, ordered by (sum, i, j), the
+    # selected element reported as (sum, 2) — no halving, no floats.
+    # Pair set is days², bounded at any SF.
+    from pyspark.sql import Window as Win
+    daily = (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy("event_type",
+                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
+             .agg(F.count("*").alias("c")))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("da") <= F.col("db"))
+             .select("event_type",
+                     (F.col("ca") + F.col("cb")).alias("s"),
+                     "da", "db"))
+    w = Win.partitionBy("event_type").orderBy("s", "da", "db")
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+              .withColumn("np", F.count("*").over(
+                  Win.partitionBy("event_type"))))
+    return (ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+            .select("event_type",
+                    F.col("np").cast("bigint").alias("n_pairs"),
+                    F.col("s").cast("bigint").alias("hl_num"),
+                    F.lit(2).cast("bigint").alias("hl_den")))
+
+
+def _hodges_lehmann_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.event_type, a.c + b.c AS s, a.d AS da, b.d AS db
+            FROM daily a JOIN daily b ON a.event_type = b.event_type
+                AND a.d <= b.d),
+        rk AS (SELECT event_type, s,
+                      row_number() OVER (PARTITION BY event_type
+                          ORDER BY s, da, db) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS np
+               FROM pairs)
+        SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+               CAST(s AS BIGINT) AS hl_num,
+               CAST(2 AS BIGINT) AS hl_den
+        FROM rk WHERE rn = (np + 1) // 2"""
+
+
+def q_qn_scale(spark, sf):
+    # the Qn robust-scale core for each type's daily counts: the k-th
+    # smallest pairwise absolute difference |x_i − x_j| (i < j) with
+    # k = C(h,2), h = n div 2 + 1 — Rousseeuw–Croux's 50%-breakdown
+    # dispersion that, unlike MAD (outlier_mad), needs no location
+    # estimate and stays efficient at the Gaussian. Exact integer
+    # selection, deterministic ties by (diff, i, j); the consistency
+    # CONSTANT is deliberately omitted (it is irrational) — the core
+    # statistic is the exact part.
+    from pyspark.sql import Window as Win
+    daily = (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy("event_type",
+                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
+             .agg(F.count("*").alias("c")))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("da") < F.col("db"))
+             .select("event_type",
+                     F.abs(F.col("ca") - F.col("cb")).alias("ad"),
+                     "da", "db"))
+    w = Win.partitionBy("event_type").orderBy("ad", "da", "db")
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+              .join(nd, "event_type")
+              .withColumn("k", F.expr(
+                  "((n div 2 + 1) * (n div 2)) div 2")))
+    return (ranked.filter(F.col("rn") == F.col("k"))
+            .select("event_type", F.col("n").cast("bigint")
+                    .alias("n_days"),
+                    F.col("k").cast("bigint").alias("k"),
+                    F.col("ad").cast("bigint").alias("qn_core")))
+
+
+def _qn_scale_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.event_type, abs(a.c - b.c) AS ad,
+                   a.d AS da, b.d AS db
+            FROM daily a JOIN daily b ON a.event_type = b.event_type
+                AND a.d < b.d),
+        nd AS (SELECT event_type, count(*) AS n FROM daily
+               GROUP BY 1),
+        rk AS (SELECT p.event_type, ad, nd.n,
+                      ((nd.n // 2 + 1) * (nd.n // 2)) // 2 AS k,
+                      row_number() OVER (PARTITION BY p.event_type
+                          ORDER BY ad, da, db) AS rn
+               FROM pairs p JOIN nd ON nd.event_type = p.event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(k AS BIGINT) AS k,
+               CAST(ad AS BIGINT) AS qn_core
+        FROM rk WHERE rn = k"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the external correctness driver checks the
     # FIRST 50 entries only (observed in CORRECTNESS_r01). Rotation policy
@@ -15612,6 +15733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-contract sweep at sf0.001 + sf0.01.
     return {
         # — (new this round, never had a driver row: rotation rule (a)) —
+        "hodges_lehmann": q_hodges_lehmann,
+        "qn_scale": q_qn_scale,
         "morisita_tiles": q_morisita_tiles,
         "runs_test_daily": q_runs_test_daily,
         "influence_spread": q_influence_spread,
@@ -17902,6 +18025,8 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(),
         "morisita_tiles": _morisita_tiles_sql(),
         "runs_test_daily": _runs_test_daily_sql(),
+        "hodges_lehmann": _hodges_lehmann_sql(),
+        "qn_scale": _qn_scale_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "rect_prefix_counts": _rect_prefix_counts_sql(),
         "kde_cells": _kde_cells_sql(),

@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     never_rowed = [
         # r4 extension batches (new this round; rotate out only after a
         # CORRECTNESS_rN records their first green row)
+        "hodges_lehmann", "qn_scale",
         "morisita_tiles", "runs_test_daily",
         "influence_spread", "rich_club",
         "weighted_schedule", "lis_daily",
@@ -127,14 +128,14 @@ def test_driver_window_invariants():
         "topk_two_level", "did_purchases",
         "coreness", "stump_split",
         "bandit_replay", "blocking_quality",
-        "haar_energy", "negative_samples",
     ]
     # the r4 extension grew more never-rowed queries than the window
     # holds. These (registry tail order; longest sweep-green history)
     # queue for their first driver row in the NEXT window; they must sit
     # immediately after position 50 so that rotation is mechanical.
     # Every one is covered by the local full-contract sweep.
-    overflow = ["effective_tokens", "zipf_fit",
+    overflow = ["haar_energy", "negative_samples",
+                "effective_tokens", "zipf_fit",
                 "selectivity_audit", "rsync_delta",
                 "kcenter_greedy", "fold_leakage_audit",
                 "apriori_triples", "diameter_sweep",
