@@ -148,7 +148,7 @@ def bench_queries(spark):
         "ppr_hosts", "source_overlap", "dag_layers",
         "zorder_locality", "weighted_schedule", "lis_daily",
         "influence_spread", "rich_club", "morisita_tiles",
-        "runs_test_daily",
+        "runs_test_daily", "hodges_lehmann", "qn_scale",
     ]
     # production-hash twins of the md5-oracle-bridged queries: the
     # registered minhash/ivf rows hash with portable md5 so DuckDB can
