@@ -92,152 +92,54 @@ def test_entry_smoke(spark):
 
 def test_driver_window_invariants():
     """The external driver checks only the FIRST 50 queries() entries
-    (CORRECTNESS_r01 evidence): every registry entry must have an oracle
-    twin, and every query that has never had a driver row — this round's
-    additions — must sit inside the window or it ships unverified."""
+    (CORRECTNESS_r01 evidence). The order is explicit data in
+    geobuf_spark/registry/window.py; this test pins (1) queries() actually
+    follows it, (2) every entry has an oracle twin, (3) the r5 window
+    composition mandated by VERDICT r4 #1 — the 18 changed-in-r4 queries
+    first, then the committed overflow cohort (sketch_bloom_doc_gate ..
+    dup_ngram_stats, incl. the north-rule invariant html_extract_text),
+    then the next-oldest never-rowed block — with the registry FROZEN at
+    369 (zero new queries this round)."""
     import __spark_entry__ as em
+    from geobuf_spark.registry.window import QUEUE, WINDOW
 
     q, o = em.queries(), em.oracle_sql()
     assert set(q) == set(o), (sorted(set(q) - set(o)), sorted(set(o) - set(q)))
-    window = list(q)[:50]
-    never_rowed = [
-        # r4 extension batches (new this round; rotate out only after a
-        # CORRECTNESS_rN records their first green row)
-        "hodges_lehmann", "qn_scale",
-        "morisita_tiles", "runs_test_daily",
-        "influence_spread", "rich_club",
-        "weighted_schedule", "lis_daily",
-        "dag_layers", "zorder_locality",
-        "ppr_hosts", "source_overlap",
-        "convex_layers", "soundex_groups",
-        "ear_triangulate", "hash_collision_audit",
-        "mis_luby", "bwt_runs",
-        "emst_clusters", "join_size_audit",
-        "isotonic_daily", "mase_seasonal",
-        "interval_schedule", "rmq_daily",
-        "quantile_normalize", "markov_predict_eval",
-        "max_burst_window", "dtw_daily",
-        "stable_matching", "ransac_line",
-        "bipartite_check", "mutual_knn",
-        "power_iteration", "huffman_cost",
-        "sorted_neighborhood", "lz_factors",
-        "compaction_plan", "simpsons_paradox",
-        "dbscan_clusters", "theil_sen_daily",
-        "convex_hull_stats", "token_bucket",
-        "ktruss_edges", "poisson_bootstrap",
-        "topk_two_level", "did_purchases",
-        "coreness", "stump_split",
-        "bandit_replay", "blocking_quality",
+    assert len(q) == 369  # frozen — r5 adds no queries
+    assert list(q) == WINDOW + QUEUE  # dict order IS the explicit data
+
+    changed_in_r4 = [
+        "pages_synth", "vector_tiles_z5", "mvt_tiles_z4", "split_clip_z5",
+        "tile_assign_z8", "tile_counts_z6", "tile_parent_promote",
+        "tile_pyramid", "tile_cover_rects_z7", "cover_size_estimate",
+        "rasterize_z4", "vectorize_z3", "tile_stream_counts",
+        "morton_keys_z8", "knn_adaptive_k5", "embed_near_dups",
+        "ann_ivf_top5", "tpch_q18",
     ]
-    # the r4 extension grew more never-rowed queries than the window
-    # holds. These (registry tail order; longest sweep-green history)
-    # queue for their first driver row in the NEXT window; they must sit
-    # immediately after position 50 so that rotation is mechanical.
-    # Every one is covered by the local full-contract sweep.
-    overflow = ["haar_energy", "negative_samples",
-                "effective_tokens", "zipf_fit",
-                "selectivity_audit", "rsync_delta",
-                "kcenter_greedy", "fold_leakage_audit",
-                "apriori_triples", "diameter_sweep",
-                "gapped_sequences", "otsu_threshold",
-                "two_phase_median", "attribution_compare",
-                "frechet_pairs", "colbert_maxsim",
-                "maximal_matching", "text_segments",
-                "bpe_merges", "l1_medoid",
-                "winnow_fps", "log_histogram_p99",
-                "cdc_chunks", "k_anonymity_audit",
-                "str_pack", "cohens_kappa",
-                "snapshot_reconcile", "persistent_heavy_hitters",
-                "max_coverage_hosts", "welch_gate",
-                "asof_nearest", "simplify_collinear",
-                "lpa_communities", "consistent_shards",
-                "mmr_topk", "tfidf_top_terms",
-                "voronoi_assign", "cusum_days",
-                "sssp_w3", "allen_census",
-                "ssjoin_prefix", "rect_prefix_counts",
-                "kde_cells", "basket_pairs",
-                "knn_graph_k3", "lang_profile_cosine",
-                "rbo_rankings", "dup_span_maxrun",
-                "pip_versioned", "dow_residual_outliers",
-                "redirect_resolve", "tile_gradient",
-                "vocab_growth", "peak_concurrency",
-                "grid_boundary_cells", "markov_stationary",
-                "rolling_median_7d", "boruvka_round1",
-                "host_cap_sample", "hll_error_eval",
-                "time_weighted_value", "embed_covariance",
-                "quadkey_range_join", "trimmed_mean_chars",
-                "fano_dispersion", "degree_assortativity",
-                "event_rle", "cluster_diameter",
-                "line_self_intersect", "autocorr_daily",
-                "gini_chars", "kendall_daily",
-                "chi2_lang_source", "mannwhitney_len",
-                "ripley_band_pairs", "churn_rollup",
-                "event_motifs_3", "dup_pair_lang_mix",
-                "wow_change", "rect_nesting",
-                "dwell_event_mix", "ks_two_langs",
-                "topk_drift", "cell_coverage_curve",
-                "watermark_policy_sim", "turning_angles",
-                "outage_gaps", "ring_normalize",
-                "bounding_circles", "spatial_split_leakage",
-                "revisit_cadence", "dow_profile",
-                "customer_pareto", "rrf_fusion",
-                "ab_lift", "time_to_purchase",
-                "range_bounds_planner", "host_concentration",
-                "dominant_bearing", "host_url_lcp",
-                "tile_spatial_outliers", "ship_delay_stats",
-                "props_json_stats", "benford_values", "null_profile",
-                "dwell_session_overlap", "tile_p90_tokens",
-                "multi_grain_actives",
-                "scd2_asof_enrich", "bot_flags",
-                "fk_audit", "active_users_7d",
-                "flow_divergence", "conjunctive_search",
-                "phrase_search", "idw_interpolate", "tile_percentile_rank",
-                "od_flows", "novelty_weekly", "union_area_rects",
-                "grid_line_density", "kcore_hosts", "anomaly_days",
-                "route_snap_join",
-                "weighted_median_tokens", "shard_balance",
-                "hausdorff_pairs", "skyline_docs", "tile_focal_mean",
-                "prefix_autocomplete_topk", "trend_slope_weekly",
-                "copresence_pairs", "outlier_mad", "bearing_sectors",
-                "late_arrival_hist", "session_paths", "containment_pairs",
-                "dbscan_core", "segment_xing_join", "robots_prefix_rules",
-                "staypoints", "delta_bytes_by_tile", "word_cooc_cosine",
-                "interval_union_time", "host_edit_near_dups",
-                "weighted_sample_docs",
-                "nn_dist_stats", "hilbert_keys_z8", "moran_i_tiles",
-                "ntile_len_deciles", "pmi_bigrams", "clustering_coeff",
-                "link_prediction_ra", "bfs_hops3", "gopher_quality_flags",
-                "top_ngram_frac", "pii_scrub", "rare_token_ratio",
-                "triangle_hosts", "kmv_setops", "funnel_conversion",
-                "areal_interp", "quadtree_assign", "traj_steps",
-                "adaptive_cover", "tile_heat_decay", "cocitation_pairs",
-                "scd2_history", "geom_validity", "embed_quantize",
-                "rect_overlay_iou", "event_transitions",
-                "link_reciprocity",
-                "lang_diversity_simpson", "tile_gaps_anti",
-                "host_crawl_priority",
-                "cell_skew_stats", "lang_confusion", "retention_cohorts",
-                "canonical_groups", "line_length_stats",
-                "unpivot_lang_counts",
-                "grouping_sets_counts", "token_positions",
-                "hll_union_rollup",
-                "minhash_eval", "anchor_text_topk", "knn_label_vote",
-                "host_mirrors", "mlt_topk", "zonal_stats",
-                "wkt_quantized", "line_cover", "radius_join_pairs",
-                "simplify_vw", "geohash6", "hotspot_clusters",
-                "bm25_topk", "inverted_postings", "hits_hosts",
-                "bloom_join_prune",
-                "quadkey_z8", "geom_area_centroid", "sketch_kmv_lang",
-                "sketch_bloom_doc_gate", "sketch_cms_lang",
-                "sketch_hll_docs",
-                "doc_len_percentiles", "host_tile_footprint",
-                "lang_tile_mix", "dup_span_frac", "ngram_topk",
-                "host_quality_rollup", "text_normalize", "paragraph_owner",
-                "boilerplate_lines", "line_dedup_clean", "meta_robots",
-                "warc_index", "sample_stratified",
-                "latest_capture", "url_normalize", "link_host_graph",
-                "pagerank_hosts", "crawl_diff", "html_extract_text",
-                "url_host_topk", "dup_ngram_stats"]
-    missing = [n for n in never_rowed if n not in window]
-    assert not missing, missing
-    assert list(q)[50:50 + len(overflow)] == overflow
+    assert WINDOW[:18] == changed_in_r4
+
+    overflow_cohort = [
+        "sketch_bloom_doc_gate", "sketch_cms_lang", "sketch_hll_docs",
+        "doc_len_percentiles", "host_tile_footprint", "lang_tile_mix",
+        "dup_span_frac", "ngram_topk", "host_quality_rollup",
+        "text_normalize", "paragraph_owner", "boilerplate_lines",
+        "line_dedup_clean", "meta_robots", "warc_index",
+        "sample_stratified", "latest_capture", "url_normalize",
+        "link_host_graph", "pagerank_hosts", "crawl_diff",
+        "html_extract_text", "url_host_topk", "dup_ngram_stats",
+    ]
+    assert WINDOW[18:42] == overflow_cohort
+
+    oldest_never_rowed = [
+        "hotspot_clusters", "bm25_topk", "inverted_postings", "hits_hosts",
+        "bloom_join_prune", "quadkey_z8", "geom_area_centroid",
+        "sketch_kmv_lang",
+    ]
+    assert WINDOW[42:] == oldest_never_rowed
+
+    # the north-rule byte-identity invariant finally gets its driver row
+    assert "html_extract_text" in WINDOW
+
+    # rotation stays mechanical: the QUEUE head (next round's window if
+    # nothing changes) is the still-never-rowed cohort, haar_energy first
+    assert QUEUE[0] == "haar_energy"
