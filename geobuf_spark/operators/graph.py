@@ -780,6 +780,10 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 12,
          .filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=False))
     thr = k - 2
+    # one count() action per round: carry the previous round's edge count
+    # forward instead of re-counting e (ADVICE r4 — e.count() on the
+    # lazily-checkpointed frame re-ran the support join every round)
+    n_edges = e.count()
     for _ in range(max_rounds):
         sup = _edge_support(e)
         keep = (e.join(sup, ["u", "v"], "left")
@@ -787,7 +791,9 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 12,
                         F.coalesce("sup", F.lit(0)).alias("sup")))
         nxt = (keep.filter(F.col("sup") >= thr).select("u", "v")
                .localCheckpoint(eager=False))
-        removed = e.count() - nxt.count()
+        n_nxt = nxt.count()
+        removed = n_edges - n_nxt
+        n_edges = n_nxt
         e = nxt
         if removed == 0:
             return (keep.filter(F.col("sup") >= thr)
@@ -818,7 +824,13 @@ def sql_ktruss(edges_cte: str, k: int = 3, rounds: int = 12) -> str:
     """DuckDB twin of `ktruss`: the same peeling rounds as fixed-length
     MATERIALIZED CTEs (extra rounds past the fixpoint are no-ops, which
     is what lets the converge-then-stop engine side match), then one
-    final support pass over e{rounds} for the reported counts."""
+    final support pass over e{rounds} for the reported counts.
+
+    `rounds` must be >= the converged peeling depth; where the Spark twin
+    raises on non-convergence, this query guards with a final-round no-op
+    assertion — if e{rounds-1} and e{rounds} still differ, the guard CTE
+    calls DuckDB's error() and the query fails loudly instead of silently
+    returning a non-converged edge set (ADVICE r4)."""
     thr = k - 2
 
     def _sup(src_cte: str, name: str) -> str:
@@ -848,10 +860,17 @@ def sql_ktruss(edges_cte: str, k: int = 3, rounds: int = 12) -> str:
                             greatest(src, dst) AS v
             FROM ed WHERE src <> dst),
         {','.join(steps)},
-        {_sup(f'e{rounds}', 'F').lstrip()}
+        {_sup(f'e{rounds}', 'F').lstrip()},
+        conv_guard AS (
+            SELECT CASE WHEN (SELECT count(*) FROM e{rounds - 1})
+                           = (SELECT count(*) FROM e{rounds})
+                   THEN 1 ELSE CAST(error('sql_ktruss: not converged in '
+                                          || {rounds} || ' rounds') AS INT)
+                   END AS ok)
         SELECT e.u, e.v, CAST(s.sup AS INT) AS support
         FROM e{rounds} e JOIN sF s ON s.u = e.u AND s.v = e.v
-        WHERE s.sup >= {thr}"""
+        CROSS JOIN conv_guard
+        WHERE s.sup >= {thr} AND conv_guard.ok = 1"""
 
 
 def ppr_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
@@ -884,14 +903,16 @@ def ppr_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
             e.join(ranks.withColumnRenamed("host", "src"), "src")
              .join(out_deg.withColumnRenamed("host", "src"), "src")
              .select(F.col("dst").alias("host"),
-                     (F.col("rank_ppm") / F.col("out_deg"))
-                     .cast("bigint").alias("c")))
+                     F.expr("rank_ppm div out_deg").alias("c")))
         agg = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        # integer `div` end-to-end (ADVICE r4): no float intermediate, so
+        # the bit-identical claim vs DuckDB's `//` holds unconditionally,
+        # not just while products stay under 2^53
         ranks = (marked.join(agg, "host", "left")
                  .select("host",
-                         (base + F.lit(damping_ppm)
-                          * F.coalesce(F.col("s"), F.lit(0))
-                          / F.lit(SCALE)).cast("bigint")
+                         (base.cast("bigint")
+                          + F.expr(f"({damping_ppm} * coalesce(s, 0))"
+                                   f" div {SCALE}"))
                          .alias("rank_ppm")))
     return ranks
 

@@ -169,6 +169,8 @@ def token_bucket_replay(events: DataFrame, *, key: str = "user_id",
     the shuffle, each group is one key's event list (bounded by per-key
     activity, never corpus-sized), no driver state. The streaming twin
     would be applyInPandasWithState with the identical transition."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
     schema = (f"{key} long, n_events long, n_dropped long, "
               "final_tokens long")
 
@@ -201,7 +203,15 @@ def sql_token_bucket_replay(events_sql: str, *, key: str = "user_id",
                             refill_sec: int = 14400) -> str:
     """DuckDB twin: one recursive CTE stepping every key's cursor one
     event per round (depth = max per-key event count). The refill-then-
-    consume arithmetic is textually the same integer spec."""
+    consume arithmetic is textually the same integer spec.
+
+    The recursion anchor hardcodes the first event as accepted
+    (tokens = capacity - 1, drops = 0), which matches the Spark replay
+    only when the bucket starts with at least one token — hence the
+    same capacity >= 1 guard as token_bucket_replay (ADVICE r4: the two
+    engines would diverge for capacity < 1)."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
     avail = (f"least({capacity}, s.tokens + (e.tt - s.t_prev) "
              f"// {refill_sec})")
     return f"""
