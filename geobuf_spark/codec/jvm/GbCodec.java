@@ -401,4 +401,48 @@ public final class GbCodec {
             return out;
         }
     }
+
+    /**
+     * gb_frames(file_bytes) -> array&lt;binary&gt; of raw feature frames —
+     * the JVM twin of core.read_frames with skip_metadata=False (the
+     * subfile/bench contract: mid-file ranges and freshly written
+     * buffers carry no gob metadata dummy; reader.go:84-93 framing:
+     * 0x0A, varint length, frame bytes). Lets the whole concurrent
+     * many-file read (the reference's geobuf_concurrent.go:18-63
+     * headline path) run binaryFile-scan → explode → decode with zero
+     * Python in the plan. Truncated streams fail the task loudly, same
+     * as the Python reader's assert.
+     */
+    public static final class Frames implements UDF1<byte[], java.util.List<byte[]>> {
+        @Override
+        public java.util.List<byte[]> call(byte[] b) {
+            if (b == null) return null;
+            java.util.ArrayList<byte[]> out = new java.util.ArrayList<>();
+            int p = 0;
+            final int end = b.length;
+            while (p < end) {
+                if ((b[p] & 0xFF) != 0x0A)
+                    throw new IllegalArgumentException(
+                        "bad frame tag at offset " + p + " - truncated or corrupt stream");
+                p++;
+                long len = 0;
+                int shift = 0;
+                while (true) {
+                    if (p >= end)
+                        throw new IllegalArgumentException(
+                            "frame length varint running past the stream end");
+                    int c = b[p++] & 0xFF;
+                    len |= (long) (c & 0x7F) << shift;
+                    shift += 7;
+                    if (c < 0x80) break;
+                }
+                if (p + len > end)
+                    throw new IllegalArgumentException(
+                        "frame payload running past the stream end - truncated or corrupt stream");
+                out.add(java.util.Arrays.copyOfRange(b, p, p + (int) len));
+                p += (int) len;
+            }
+            return out;
+        }
+    }
 }

@@ -26,6 +26,8 @@ _ENC_UDFS = {
     "gb_line_enc": "geobufspark.GbCodec$LineEnc",
     "gb_poly_enc": "geobufspark.GbCodec$PolyEnc",
 }
+# file-stream splitter (array<binary> return type, registered separately)
+_FRAMES_UDF = ("gb_frames", "geobufspark.GbCodec$Frames")
 def register(spark: SparkSession) -> bool:
     """ADD JAR + register the decode and encode UDFs. Idempotent per
     session; False (never raises) when neither a prebuilt jar nor a JDK
@@ -34,10 +36,10 @@ def register(spark: SparkSession) -> bool:
     # is probed from the catalog itself: an applicationId key would skip
     # registration for a second session (spark.newSession()) in the same
     # app, and an id(spark) key can alias a GC'd session's address.
-    # probe the NEWEST udf name: a session registered before the polygon
-    # twins landed then re-registers the full set instead of reporting done
+    # probe the NEWEST udf name: a session registered before the frame
+    # splitter landed then re-registers the full set instead of reporting done
     try:
-        if spark.catalog.functionExists("gb_poly_enc"):
+        if spark.catalog.functionExists("gb_frames"):
             return True
     except Exception:
         pass
@@ -57,6 +59,8 @@ def register(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(name, cls, arr)
         for name, cls in _ENC_UDFS.items():
             spark.udf.registerJavaFunction(name, cls, T.BinaryType())
+        spark.udf.registerJavaFunction(
+            _FRAMES_UDF[0], _FRAMES_UDF[1], T.ArrayType(T.BinaryType()))
     except Exception:
         return False
     return True
@@ -139,6 +143,22 @@ def decode_polygons_agg_jvm(df: DataFrame, bin_col: str = "geobuf") -> DataFrame
         F.sum(F.element_at("a", 2)).alias("sum_rings"),
         F.sum(F.size("a") - F.element_at("a", 2) - 2).alias("sum_coord_tokens"),
     )
+
+
+def read_geobuf_files_jvm(spark: SparkSession, path: str,
+                          bin_col: str = "geobuf") -> DataFrame:
+    """Many framed .geobuf files → one DataFrame of raw frames, zero
+    Python in the plan: JVM binaryFile scan → gb_frames split → explode.
+    The concurrent-read shape of the reference (geobuf_concurrent.go:
+    18-63 fans file reads across goroutines; here the files fan across
+    tasks — one task per file by default, binaryFile never splits a
+    file). Python twin: sources.geobuf_file.read_geobuf (mapInArrow).
+    Mid-file metadata dummies don't occur in subfile layouts
+    (read_frames skip_metadata=False contract)."""
+    files = spark.read.format("binaryFile").load(path)
+    return (files.select(
+        F.col("path"),
+        F.explode(F.expr("gb_frames(content)")).alias(bin_col)))
 
 
 def encode_points_jvm(df: DataFrame, id_col: str = "doc_id", lon: str = "lon",

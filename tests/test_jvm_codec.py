@@ -204,3 +204,43 @@ def test_line_encode_byte_parity_and_roundtrip(jvm):
     from geobuf_spark.codec import core
     for i, c in rows:
         assert dec[i] == core.quantize_vec(np.array(c)).tolist()
+
+
+def test_frames_split_parity(jvm, tmp_path):
+    """gb_frames (JVM stream splitter) vs core.read_frames byte-parity on
+    a framed multi-feature stream, and the full many-files read plan
+    (read_geobuf_files_jvm) vs the python mapInArrow reader."""
+    from pyspark.sql import functions as F
+
+    from geobuf_spark.codec import core
+
+    ids = np.arange(50, dtype=np.int64)
+    enc = spark_codec.encode_points_kernel(
+        ids, ids * 0.001, ids * -0.002)
+    frames = [bytes(enc[i].as_py()) for i in range(len(ids))]
+    stream = core.write_frames(frames)
+
+    # splitter parity on one stream
+    got = (jvm.createDataFrame([(stream,)], "content binary")
+           .select(F.posexplode(F.expr("gb_frames(content)")))
+           .orderBy("pos").collect())
+    assert [bytes(r[1]) for r in got] == frames
+    assert [bytes(f) for f in core.read_frames(stream)] == frames
+
+    # many-files plan parity vs the python reader
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(4):
+        part = frames[i * 12:(i + 1) * 12]
+        (d / f"part-{i}.geobuf").write_bytes(core.write_frames(part))
+    jdf = jvm_codec.read_geobuf_files_jvm(jvm, str(d))
+    from geobuf_spark.sources import geobuf_file
+    pdf = geobuf_file.read_geobuf(jvm, str(d))
+    jb = sorted(bytes(r["geobuf"]) for r in jdf.collect())
+    pb = sorted(bytes(r["geobuf"]) for r in pdf.collect())
+    assert jb == pb == sorted(frames[:48])
+
+    # truncated stream fails loudly
+    with pytest.raises(Exception):
+        (jvm.createDataFrame([(stream[:-1],)], "content binary")
+         .select(F.explode(F.expr("gb_frames(content)"))).collect())
