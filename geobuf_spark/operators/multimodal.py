@@ -2,11 +2,12 @@
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
 mapInArrow batch shape, magic-byte sniffing, deterministic feature
-extraction — while the actual media decode is stubbed (no image/audio libs
-in this container): `decode_image_stub` raises NotImplementedError unless
-`fake=True`, in which case it produces a deterministic fake decode
-(dimensions derived from the payload hash) so downstream operators are
-exercisable end-to-end.
+extraction. The pixel decode itself routes through an optional-dependency
+probe (`IMAGING`): with PIL or pyvips installed, `fake=False` decodes for
+real; in this container (which ships neither), `decode_image_stub` raises
+NotImplementedError unless `fake=True`, which produces a deterministic
+fake decode (dimensions derived from the payload hash) so downstream
+operators are exercisable end-to-end either way.
 
 At 100 TB: media bytes stay in their own column so parquet column pruning
 skips them unless a stage touches them; feature extraction runs in
@@ -55,14 +56,43 @@ def media_metadata(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     )
 
 
+def _probe_imaging() -> str | None:
+    """Optional-dependency probe (VERDICT r4 #8): detect an imaging
+    library at import so the real decode path routes automatically when
+    one is present, while this container (which ships none) keeps the
+    deterministic fake for CI. Probe order: PIL, then pyvips."""
+    import importlib.util
+    for name in ("PIL", "pyvips"):
+        if importlib.util.find_spec(name) is not None:
+            return name
+    return None
+
+
+IMAGING = _probe_imaging()
+
+
 def decode_image_stub(payload: bytes, fake: bool = False):
-    """Media decode seam. Real decode requires an image library that is not
-    in this container — STUB: raises unless fake=True, where a
-    deterministic (height, width, channels) is derived from the payload."""
+    """Media decode seam. Real decode requires an image library — when
+    none is installed this raises unless fake=True, where a deterministic
+    (height, width, channels) is derived from the payload hash. When PIL
+    or pyvips IS present (IMAGING non-None), fake=False routes to the
+    real decoder — code-complete here, exercised only where the optional
+    dependency exists (pytest skips it in this container)."""
     if not fake:
+        if IMAGING == "PIL":
+            from io import BytesIO
+
+            from PIL import Image
+            with Image.open(BytesIO(payload)) as im:
+                return im.height, im.width, len(im.getbands())
+        if IMAGING == "pyvips":
+            import pyvips
+            im = pyvips.Image.new_from_buffer(payload, "")
+            return im.height, im.width, im.bands
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "container; pass fake=True for the deterministic test double"
+            "image decode requires an imaging library (PIL/pyvips) not "
+            "present in this container; pass fake=True for the "
+            "deterministic test double"
         )
     h = hashlib.sha1(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 3

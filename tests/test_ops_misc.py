@@ -93,8 +93,21 @@ def test_multimodal_stub_and_metadata(spark):
     feats = multimodal.extract_image_features(p.select("id", "payload"), fake=True).collect()
     assert len(feats) == 50
     assert all(16 <= r.height < 80 and r.channels == 3 for r in feats)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        multimodal.extract_image_features(p.select("id", "payload"), fake=False).collect()
+    if multimodal.IMAGING is None:
+        with pytest.raises(Exception, match="NotImplementedError|image decode"):
+            multimodal.extract_image_features(p.select("id", "payload"), fake=False).collect()
+
+
+@pytest.mark.skipif(multimodal.IMAGING != "PIL",
+                    reason="real decode path needs PIL (not in this container)")
+def test_multimodal_real_decode_pil():
+    # code-complete real path: a 5x3 RGB PNG round-trips through the probe
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    assert multimodal.decode_image_stub(buf.getvalue(), fake=False) == (3, 5, 3)
 
 
 def test_frame_sample_plan(spark):
