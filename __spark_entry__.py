@@ -1,18228 +1,20 @@
-"""Driver contract for the geobuf_spark engine.
+"""Driver contract facade — entry/queries/oracle_sql.
 
-`queries()` maps every implemented operator from SURVEY.md §2 (plus the
-training-data-pipeline operators) to a (spark, sf_dir) → DataFrame
-callable; `oracle_sql()` supplies the DuckDB-equivalent ANSI SQL. Column
-names and arithmetic are kept byte-identical between both sides so the
-driver's order-insensitive value hash matches.
-
-Non-SQL-expressible ops (geobuf binary round-trips through real encode /
-decode kernels, MinHash/SimHash LSH, ANN re-rank) either return integer
-lattice values with arithmetic oracles or are registered without an oracle
-(rows-only check) — pytest covers them against brute-force oracles instead.
+The query registry itself lives in geobuf_spark/registry/ (one module
+per family, oracles beside their queries, driver-window order as
+explicit data in window.py — the r5 split of the former 18k-line
+monolith, VERDICT r4 #2). This facade re-exports the whole registry
+namespace so tests and tools keep addressing `__spark_entry__.q_foo`,
+helpers and constants exactly as before.
 """
-
-from __future__ import annotations
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from geobuf_spark.codec import spark_codec
-from geobuf_spark.registry.window import QUEUE as _QUEUE
-from geobuf_spark.registry.window import WINDOW as _WINDOW
-from geobuf_spark.functions import text as TXT
-from geobuf_spark.functions import geom, hexgrid, phash, tiles
-from geobuf_spark.operators import dedup, knn, ranking, similarity, sketch
-from geobuf_spark.operators import spatial_join as sj
-from geobuf_spark.operators import tiling
-from geobuf_spark.sources import minted, pages
-from geobuf_spark.streaming import windows as W
-
-SF_SMALL = "/root/testdata/sf0.001"
-
-
-# ---------------------------------------------------------------------------
-# flagship
-# ---------------------------------------------------------------------------
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship pipeline on sf0.001: mint points from documents → encode to
-    geobuf (vectorized Arrow kernel) → decode back (exact integer path) →
-    cell-indexed PIP join against minted rectangles → tile assignment at
-    z=8 → per-tile feature counts. Exercises codec + join + tiling in one
-    plan."""
-    pts = minted.minted_points(spark, SF_SMALL)
-    enc = spark_codec.encode_points(pts)
-    dec = spark_codec.decode_points(enc, quantized=True)
-    pts2 = dec.select(
-        F.col("id").alias("doc_id"),
-        (F.col("lon_q") / 1e7).alias("lon"),
-        (F.col("lat_q") / 1e7).alias("lat"),
-    )
-    rects = minted.minted_rects(spark, SF_SMALL)
-    joined = sj.pip_join(pts2, rects, z=6, strategy="broadcast")
-    assigned = tiling.assign_tiles_points(joined, z=8)
-    return (
-        assigned.groupBy("z", "x", "y")
-        .agg(F.count("*").alias("n_features"), F.countDistinct("poly_id").alias("n_polys"))
-        .orderBy("z", "x", "y")
-    )
-
-
-# ---------------------------------------------------------------------------
-# sketch family — constant-size summaries a 100 TB corpus computes instead
-# of exact answers (operators/sketch.py; oracle twins are bit-identical)
-# ---------------------------------------------------------------------------
-
-def q_sketch_kmv_lang(spark, sf):
-    # per-language KMV (k minimum hashes) distinct-doc estimate: the
-    # shuffle carries distinct (lang, hash) pairs only, the sketch itself
-    # is k rows per group regardless of corpus size
-    return (sketch.kmv_distinct(_docs(spark, sf), ["lang"], "doc_id", k=16)
-            .select(F.col("lang").alias("grp"), "n_kmv", "kth_hash",
-                    "est_distinct"))
-
-
-def q_sketch_bloom_doc_gate(spark, sf):
-    # Bloom membership gate: build a 2^13-bit filter over the English
-    # doc ids (one bit_or agg, ≤128 words shipped), probe the full corpus
-    # via a broadcast word-join — the persisted-blocklist pattern (share a
-    # crawl's seen-set with the next crawl without shipping the keys)
-    d = _docs(spark, sf)
-    members = (d.filter(F.col("lang") == "en")
-               .select(F.col("doc_id").cast("string").alias("key")).distinct())
-    bloom = sketch.bloom_build(members, "key", m_bits=1 << 13, n_hashes=4)
-    probe = d.select(F.col("doc_id").cast("string").alias("key")).distinct()
-    return sketch.bloom_probe(probe, "key", bloom, m_bits=1 << 13, n_hashes=4)
-
-
-def q_sketch_cms_lang(spark, sf):
-    # Count-Min point estimates of per-language doc frequency: the 4x64
-    # counter matrix is built with one map-side-combinable agg, then each
-    # distinct language reads min-over-depth via a broadcast join
-    d = _docs(spark, sf)
-    cms = sketch.cms_build(d, "lang", depth=4, width=64)
-    items = d.select("lang").distinct()
-    return (sketch.cms_query(cms, items, "lang", depth=4, width=64)
-            .select(F.col("item").alias("lang"), "cms_est"))
-
-
-def q_sketch_hll_docs(spark, sf):
-    # HyperLogLog distinct-doc estimate, m=64 registers: ONE hash agg over
-    # the corpus, 64 rows out; the harmonic sum is kept as an exact int64
-    # so the external oracle reproduces it bit-identically
-    return sketch.hll_estimate(
-        sketch.hll_registers(_docs(spark, sf), "doc_id", b=6), b=6)
-
-
-# ---------------------------------------------------------------------------
-# ranking / graph-analytics / measure family (operators/ranking.py,
-# operators/graph.py hits_int, functions/geom.py) — batch 7
-# ---------------------------------------------------------------------------
-
-BM25_TERMS = ["spark", "tile", "graph"]
-
-
-def q_bm25_topk(spark, sf):
-    # fixed-point BM25 retrieval over the corpus for a seed term set: tf
-    # per term is an array expression (no explode, no shuffle), corpus
-    # stats (N, avgdl, df) are ONE global agg whose single row broadcasts
-    # back, every op is BIGINT (log-free RSJ idf) so both engines agree
-    # bit-for-bit; top-15 total-ordered on (score desc, doc_id)
-    s = ranking.bm25_scores(_docs(spark, sf), BM25_TERMS)
-    return s.orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(15)
-
-
-def q_inverted_postings(spark, sf):
-    # inverted-index posting statistics: explode → ONE (term, doc) hash agg
-    # (map-side partials collapse within-doc repeats pre-shuffle) → per-term
-    # df/tf_total + a rank-bounded 5-doc posting sample (row_number, NOT an
-    # unbounded collect_list — per-group state stays constant at 10^12 docs)
-    p = ranking.postings(_docs(spark, sf), sample_k=5)
-    return p.orderBy(F.desc("df"), F.asc("term")).limit(30)
-
-
-def q_hits_hosts(spark, sf):
-    # HITS hubs/authorities over the host link graph — 2 integer
-    # fixed-point iterations with max-normalization (one 1-row global agg
-    # per half-step, broadcast back); every step BIGINT so the DuckDB twin
-    # chains the identical CTEs. One shuffle per half-step.
-    from geobuf_spark.operators import graph
-    e = _page_link_edges(spark, 2000).select(
-        F.col("src_host").alias("src"),
-        TXT.url_host(F.col("dst")).alias("dst"))
-    r = graph.hits_int(e, iters=2)
-    return (r.orderBy(F.desc("auth_ppm"), F.desc("hub_ppm"), F.asc("host"))
-             .limit(25))
-
-
-def q_bloom_join_prune(spark, sf):
-    # runtime-filter join pruning — Spark's own bloom-filter join as an
-    # explicit operator: build a Bloom over the (tiny) blocklist, probe the
-    # distinct fact keys through the broadcast filter, prune the fact with
-    # the surviving keys, THEN run the exact join to kill false positives.
-    # At 100 TB the bloom gate drops ~all fact rows before the join
-    # shuffle; the final result is exactly the plain semi-join (oracle).
-    p = pages.pages(spark, 2000).select(
-        TXT.url_host(F.col("url")).alias("host"))
-    block = spark.range(40).select(
-        F.concat(F.lit("site"), (F.col("id") * 13).cast("string"),
-                 F.lit(".example")).alias("host"))
-    bloom = sketch.bloom_build(block, "host", m_bits=1 << 12, n_hashes=4)
-    maybe = (sketch.bloom_probe(p.select("host").distinct(), "host", bloom,
-                                m_bits=1 << 12, n_hashes=4)
-             .filter(F.col("bloom_maybe")).select("host"))
-    pruned = p.join(F.broadcast(maybe), "host")
-    exact = pruned.join(F.broadcast(block), "host")
-    return exact.groupBy("host").agg(F.count("*").alias("n_pages"))
-
-
-def q_quadkey_z8(spark, sf):
-    # Bing quadkey addressing of every minted point at z=8 — unrolled
-    # bit/string expressions (functions/tiles.quadkey), zero shuffle;
-    # quadkeys prefix-nest so LIKE-prefix scans prune tile subtrees
-    pts = _points(spark, sf)
-    x, y = tiles.tile_x(F.col("lon"), 8), tiles.tile_y(F.col("lat"), 8)
-    return pts.select("doc_id", x.alias("x"), y.alias("y"),
-                      tiles.quadkey(x, y, 8).alias("qk"))
-
-
-def q_geom_area_centroid(spark, sf):
-    # shoelace 2·area and floored centroid of every minted CCW ring
-    # (rects + triangles), computed entirely in int64 on the 1e-7 lattice
-    # (functions/geom.py local-origin + unit-rescale) — one projection,
-    # no shuffle, no Python
-    r = minted.minted_rings_q(spark, sf)
-    st = geom.ring_stats_q(F.col("xs_q"), F.col("ys_q"))
-    return (r.withColumn("st", st)
-             .select("poly_id", "kind", F.col("st.area2_u2").alias("area2_u2"),
-                     F.col("st.cx_q").alias("cx_q"),
-                     F.col("st.cy_q").alias("cy_q")))
-
-
-# ---------------------------------------------------------------------------
-# distance-join / simplification / geohash / hotspot family — batch 8
-# (operators/spatial_join.radius_self_join, functions/geom.vw_simplify_q,
-# functions/cells.geohash_q, dedup.near_dup_components over dense tiles)
-# ---------------------------------------------------------------------------
-
-RADIUS_R = 9_000_000       # 0.9° in 1e-7 lattice units
-VW_AREA2_MIN = 10 ** 14    # keeps ~half the interior walk vertices
-HOT_Z, HOT_MIN_PTS = 4, 4
-
-
-def q_radius_join_pairs(spark, sf):
-    # the distance self-join: all unordered point pairs within RADIUS_R,
-    # via one-cell-per-point grid bucketing + a 3x3 neighbor fan-out on
-    # the probe side (operators/spatial_join.radius_self_join — exactly
-    # one equi-join shuffle pair; exact integer d² refine after). Runs on
-    # the CLUSTERED minting — uniform rank-1 draws have no close pairs.
-    from geobuf_spark.sources.tables import widen
-    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
-    return sj.radius_self_join(p, r=RADIUS_R)
-
-
-def q_simplify_vw(spark, sf):
-    # polyline simplification: one-pass Visvalingam effective-area filter
-    # over the minted 9-vertex walk lines, integer cross products on
-    # vertex deltas — one projection, no shuffle, no Python
-    wl = minted.minted_walk_lines_q(spark, sf, k=9)
-    st = geom.vw_simplify_q(F.col("xs_q"), F.col("ys_q"), VW_AREA2_MIN)
-    return (wl.withColumn("st", st)
-              .select("doc_id", F.col("st.n_kept").alias("n_kept"),
-                      F.col("st.xy_s").alias("xy_s")))
-
-
-def q_geohash6(spark, sf):
-    # geohash cell addressing of every minted point at 6 characters —
-    # the third cell-encoding family next to quadkeys and morton keys;
-    # one exact integer division per axis + the morton spread ladder
-    from geobuf_spark.functions import cells
-    p = minted.minted_points_q(spark, sf)
-    return p.select("doc_id", cells.geohash_q(F.col("qx"), F.col("qy"), 6)
-                    .alias("gh"))
-
-
-def q_hotspot_clusters(spark, sf):
-    # density hotspots: HOT_Z tiles holding >= HOT_MIN_PTS points, merged
-    # into clusters across 4-adjacency by min-label connected components
-    # (reuses dedup.near_dup_components). Adjacency is TWO coordinate
-    # equi-joins (right + up neighbor) over the dense-tile table — tiny
-    # after the density gate, so both broadcast; the only corpus-scale
-    # work is the one tile-count aggregation.
-    dense = (tiling.assign_tiles_points(_points(spark, sf), z=HOT_Z)
-             .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
-             .filter(F.col("n_pts") >= HOT_MIN_PTS)
-             .withColumn("k", tiles.cell_id(HOT_Z, F.col("x"), F.col("y")))
-             .localCheckpoint(eager=False))
-
-    def shifted(dx, dy):
-        return dense.select(F.col("k").alias("a"),
-                            (F.col("x") + dx).alias("x"),
-                            (F.col("y") + dy).alias("y"))
-
-    nbr = dense.select(F.col("k").alias("b"), "x", "y")
-    pairs = (shifted(1, 0).join(nbr, ["x", "y"]).select("a", "b")
-             .unionByName(shifted(0, 1).join(nbr, ["x", "y"])
-                          .select("a", "b")))
-    comps = dedup.near_dup_components(pairs, "a", "b")
-    return (dense.join(comps.withColumnRenamed("doc_id", "k"), "k", "left")
-            .withColumn("cluster_id",
-                        F.coalesce("rep_id", "k").cast("bigint"))
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("n_tiles"),
-                 F.sum("n_pts").alias("n_pts")))
-
-
-# ---------------------------------------------------------------------------
-# anchor-text aggregation + kNN classification — batch 9
-# ---------------------------------------------------------------------------
-
-def _page_link_edges_anchored(spark, n: int = 2000):
-    # like _page_link_edges but every minted anchor carries a varied text
-    # token w{dst mod 37}; hrefs and anchor texts are extracted by the
-    # PAIRED regex twins (functions/text) and zipped positionally —
-    # (src_host, dst, anchor), zero shuffle
-    p = pages.pages(spark, n)
-    k = F.pmod(F.col("page_id"), F.lit(3)) + F.lit(1)
-
-    def anchor(i):
-        dst = F.pmod(
-            phash.hash60(F.concat(F.lit("L"), F.col("page_id").cast("string"),
-                                  F.lit("-"), i.cast("string"))),
-            F.lit(1000))
-        return F.concat(F.lit('<a href="https://site'), dst.cast("string"),
-                        F.lit(".example/x"), i.cast("string"), F.lit('">w'),
-                        F.pmod(dst, F.lit(37)).cast("string"), F.lit("</a>"))
-
-    anchors = F.concat_ws("", F.transform(F.sequence(F.lit(1), k), anchor))
-    html2 = F.replace(F.decode(F.col("html"), "utf-8"),
-                      F.lit("</body></html>"),
-                      F.concat(anchors, F.lit("</body></html>")))
-    z = F.arrays_zip(TXT.extract_links(html2).alias("dst"),
-                     TXT.extract_link_anchors(html2).alias("anchor"))
-    return (p.select(TXT.url_host(F.col("url")).alias("src_host"),
-                     F.explode(z).alias("z"))
-            .select("src_host", F.col("z.dst").alias("dst"),
-                    F.col("z.anchor").alias("anchor")))
-
-
-def q_anchor_text_topk(spark, sf):
-    # anchor-text aggregation (the search/quality signal a crawl pipeline
-    # rolls up per target): (dst_host, anchor) counts — ONE hash shuffle
-    # with map-side partials — then the top-3 anchors per host via a
-    # window over the GROUP table (never over raw edges)
-    from pyspark.sql import Window
-    e = _page_link_edges_anchored(spark, 2000)
-    c = (e.groupBy(TXT.url_host(F.col("dst")).alias("dst_host"), "anchor")
-         .agg(F.count("*").alias("n")))
-    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("anchor"))
-    return (c.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("dst_host", "rank", "anchor", "n"))
-
-
-def q_line_cover(spark, sf):
-    # line cover — the missing third of the cover family (points carry ONE
-    # cell, polygons explode a bbox cover): every walk-line segment
-    # explodes to its conservative cell-bbox cover
-    # (spatial_join.line_cover_cells, two staged explodes, no shuffle),
-    # then a per-line rollup. Packed cell = cx*1000+cy (no neighbor
-    # arithmetic on the packed key; cy < 31 here).
-    cov = sj.line_cover_cells(minted.minted_walk_lines_q(spark, sf, k=9))
-    packed = F.col("cx") * 1000 + F.col("cy")
-    return cov.groupBy("doc_id").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct(packed).alias("n_cells"),
-        F.min(packed).alias("cell_min"),
-        F.max(packed).alias("cell_max"))
-
-
-def _line_cover_sql(k: int = 9, cell: int = None) -> str:
-    """Oracle for q_line_cover: the segment bbox covers unrolled per fixed
-    segment index, expanded by staged generate_series unnests."""
-    if cell is None:
-        cell = sj.LINE_CELL
-    xs, ys = minted.sql_minted_walk_coords(k)
-    cols = ",\n               ".join(
-        [f"{e} AS x{i}" for i, e in enumerate(xs)]
-        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
-    seg_rows = "\n          UNION ALL ".join(
-        f"""SELECT doc_id, {j + 1} AS seg,
-                   least(x{j}, x{j + 1}) // {cell} AS gx1,
-                   greatest(x{j}, x{j + 1}) // {cell} AS gx2,
-                   least(y{j}, y{j + 1}) // {cell} AS gy1,
-                   greatest(y{j}, y{j + 1}) // {cell} AS gy2 FROM wl"""
-        for j in range(k - 1))
-    return f"""
-        WITH wl AS (SELECT doc_id, {cols} FROM documents),
-        seg AS ({seg_rows}),
-        ex AS (SELECT doc_id, seg, unnest(generate_series(gx1, gx2)) AS cx,
-                      gy1, gy2
-               FROM seg),
-        cells AS (SELECT doc_id, seg, cx,
-                         unnest(generate_series(gy1, gy2)) AS cy
-                  FROM ex)
-        SELECT doc_id, count(*) AS n_rows,
-               count(DISTINCT cx * 1000 + cy) AS n_cells,
-               min(cx * 1000 + cy) AS cell_min,
-               max(cx * 1000 + cy) AS cell_max
-        FROM cells GROUP BY 1"""
-
-
-def q_zonal_stats(spark, sf):
-    # zonal statistics — the classic raster/vector analytics rollup as a
-    # composition: cell-indexed PIP join (broadcast build side) feeding a
-    # per-zone aggregate of a point payload (n_chars), all map-side
-    # combinable after the join. One query = join family × agg family.
-    pts = _points(spark, sf).join(
-        _docs(spark, sf).select("doc_id", "n_chars"), "doc_id")
-    j = sj.pip_join(pts, _rects(spark, sf), z=6, strategy="broadcast")
-    return j.groupBy("poly_id").agg(
-        F.count("*").alias("n_pts"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"))
-
-
-def q_wkt_quantized(spark, sf):
-    # WKT export on the 1e-7 integer lattice — exact strings on both
-    # engines (float WKT would hinge on cross-engine double formatting);
-    # points and the even-keyed rect rings, one projection, no shuffle
-    pts = minted.minted_points_q(spark, sf)
-    wkt = F.concat(F.lit("POINT ("), F.col("qx").cast("string"),
-                   F.lit(" "), F.col("qy").cast("string"), F.lit(")"))
-    return pts.select("doc_id", wkt.alias("wkt"))
-
-
-MLT_SEED_DOC = 40
-
-
-def q_mlt_topk(spark, sf):
-    # more-like-this retrieval THROUGH the inverted index — the join-shaped
-    # complement of bm25_topk's array-expression scan: the seed document's
-    # distinct terms (a tiny broadcast) probe the (doc, term) posting
-    # pairs; candidates score Σ idf (the same log-free RSJ idf as BM25).
-    # Magnitude: idf ≤ (2N+1)·1e6/3 (df ≥ 1 always — the seed holds the
-    # term) and the per-doc sum spans ≤ |seed terms| of them, so int64
-    # holds for N·n_seed_terms ≲ 1.4e13 — document that bound, don't
-    # decompose: rarer corpora shrink df, not N. Corpus N rides the same
-    # 1-row broadcast agg. Top-10 total-ordered.
-    docs = _docs(spark, sf)
-    toks = docs.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"))
-    seed = (toks.filter(F.col("doc_id") == MLT_SEED_DOC)
-            .select("term").distinct())
-    n_row = docs.agg(F.count("*").alias("n_docs"))
-    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
-    idf = ranking.idf_expr("n_docs", "df", "div")
-    return (toks.join(F.broadcast(seed), "term")
-            .filter(F.col("doc_id") != MLT_SEED_DOC)
-            .join(dfreq, "term")
-            .crossJoin(F.broadcast(n_row))
-            .groupBy("doc_id")
-            .agg(F.sum(F.expr(idf)).alias("score_ppm"),
-                 F.count("*").alias("n_shared"))
-            .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
-            .limit(10))
-
-
-def _mlt_topk_sql(seed_doc: int = MLT_SEED_DOC, k: int = 10) -> str:
-    """Oracle for q_mlt_topk: identical CTE chain over `documents`."""
-    return f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(list_distinct(string_split(text, chr(32)))) AS term
-            FROM documents),
-        seed AS (SELECT DISTINCT term FROM toks WHERE doc_id = {seed_doc}),
-        nrow AS (SELECT count(*) AS n_docs FROM documents),
-        dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
-        SELECT t.doc_id,
-               CAST(sum({ranking.idf_expr('n.n_docs', 'f.df', '//')})
-                    AS BIGINT) AS score_ppm,
-               count(*) AS n_shared
-        FROM toks t JOIN seed s ON s.term = t.term
-                    JOIN dfreq f ON f.term = t.term, nrow n
-        WHERE t.doc_id != {seed_doc}
-        GROUP BY 1
-        ORDER BY score_ppm DESC, doc_id
-        LIMIT {k}"""
-
-
-def q_host_mirrors(spark, sf):
-    # mirror-host detection — the host-level dedup tier above document
-    # dedup: hosts whose content-fingerprint sets overlap at Jaccard >=
-    # 0.3. Fixture plants a mirror of every 3rd page under m{site}. Plan:
-    # (host, md5(text)) distinct (one shuffle, narrow keys) → fingerprint
-    # equi-self-join (hot boilerplate fingerprints would need a frequency
-    # cap/salt at 100 TB — the fixture's texts are unique) → per-pair
-    # rollup → integer Jaccard gate.
-    p = pages.pages(spark, 1500)
-    mirror = p.filter(F.col("page_id") % 3 == 0).withColumn(
-        "url", F.regexp_replace("url", "^https://site", "https://m"))
-    hosts = p.unionByName(mirror).select(
-        TXT.url_host(F.col("url")).alias("host"), "text")
-    return (dedup.mirror_pairs(hosts, group="host", j_min_ppm=300_000)
-            .select(F.col("g_a").alias("host_a"),
-                    F.col("g_b").alias("host_b"), "shared", "j_ppm"))
-
-
-def q_knn_label_vote(spark, sf):
-    # kNN classification: predict each query point's language by majority
-    # vote among its 5 nearest neighbors (ties: higher vote count first,
-    # then lexicographic lang — deterministic on both engines). Reuses the
-    # exact cell-ring kNN; the label join is a hash join on neighbor id.
-    from pyspark.sql import Window
-    pts = _points(spark, sf)
-    queries = pts.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    nn = knn.knn(pts, queries, 5, z=4, ring=1)
-    lab = nn.join(
-        _docs(spark, sf).select(F.col("doc_id").alias("neighbor_id"), "lang"),
-        "neighbor_id")
-    votes = lab.groupBy("query_id", "lang").agg(F.count("*").alias("votes"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("lang"))
-    return (votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("lang").alias("pred_lang"), "votes"))
-
-
-def q_gopher_quality_flags(spark, sf):
-    # Gopher document-quality rules (token count, mean token length,
-    # alpha-word fraction, stopword hits) + the combined gate — the
-    # paper-standard pretraining filter the simpler doc_quality columns
-    # don't cover. Zero-shuffle: every rule is a token-array lambda or a
-    # floored fixed-point ratio inside whole-stage codegen.
-    return TXT.gopher_columns(_docs(spark, sf)).select(
-        "doc_id", "n_tokens", "mean_token_len_x100", "alpha_frac_x10k",
-        "stop_hits", "gopher_pass")
-
-
-def q_top_ngram_frac(spark, sf):
-    # Gopher repetition rule: the fraction of a document's characters
-    # covered by occurrences of its most frequent word 2-gram. The modal
-    # gram comes from a sorted-array run-length fold (text.top_run_columns)
-    # — zero exchanges, unlike the explode→groupBy(doc, gram) formulation
-    # that shuffles one row per gram occurrence. Docs under 2 tokens have
-    # no 2-gram and no row.
-    d = _docs(spark, sf).filter(F.size(TXT.tokens(F.col("text"))) >= 2)
-    t = TXT.top_run_columns(d, "text", n=2)
-    frac = F.floor(
-        F.col("top_count").cast("double") * F.length("top_gram").cast("double")
-        * 10000.0 / F.length("text").cast("double")).cast("bigint")
-    return t.select("doc_id", "top_gram", "top_count",
-                    frac.alias("top_frac_x10k"))
-
-
-def q_pii_scrub(spark, sf):
-    # PII redaction with a byte witness: mint an email / a phone / both /
-    # neither onto each page text (deterministic md5 draws so the oracle
-    # re-mints identically), count matches, scrub, and hash the result.
-    # The md5 pair pins both the counts and the replacement bytes. Zero
-    # shuffles — regexp chains in codegen; at 100 TB this is a map-only
-    # pass fused into the corpus-clean scan.
-    p = pages.pages(spark, 2000)
-    h = F.md5(F.concat(F.lit("pii-"), F.col("page_id").cast("string")))
-    email = F.concat(F.substring(h, 1, 8), F.lit("@mail"),
-                     F.pmod(F.col("page_id"), F.lit(50)).cast("string"),
-                     F.lit(".example.com"))
-    phone = F.concat(
-        F.lit("+1-555-"),
-        F.lpad(F.pmod(F.conv(F.substring(h, 9, 4), 16, 10).cast("bigint"),
-                      F.lit(10000)).cast("string"), 4, "0"))
-    v = F.pmod(F.col("page_id"), F.lit(4))
-    messy = (F.when(v == 0, F.concat(F.col("text"), F.lit(" contact "), email))
-             .when(v == 1, F.concat(F.col("text"), F.lit(" call "), phone))
-             .when(v == 2, F.concat(F.col("text"), F.lit(" contact "), email,
-                                    F.lit(" or "), phone))
-             .otherwise(F.col("text")))
-    n_emails, n_phones = TXT.pii_counts(messy)
-    return p.select("page_id", v.cast("int").alias("variant"),
-                    n_emails.alias("n_emails"), n_phones.alias("n_phones"),
-                    F.md5(TXT.scrub_pii(messy)).alias("clean_md5"))
-
-
-ZIPF_DOCS_N = 2000
-ZIPF_DOC_TOKENS = 40
-ZIPF_U_MOD = 1 << 20
-
-
-def _zipf_docs(spark, n: int = ZIPF_DOCS_N, m: int = ZIPF_DOC_TOKENS):
-    """Minted heavy-tail corpus: token rank r = 2^20 // (u+1) with u a
-    portable-hash draw, so P(rank = r) ~ 1/r² — a Zipf-ish head (rank 1 is
-    ~half the corpus) plus a long rare tail. The real documents fixture has
-    a 31-word vocabulary where every token is corpus-frequent, which would
-    make a rare-token query vacuous. floor(2^20 / x) in doubles is exact:
-    the true quotient is ≥ 2^-20 from any integer unless it IS one."""
-    ids = spark.range(n).select(F.col("id").alias("doc_id"))
-    toks = F.transform(
-        F.sequence(F.lit(1), F.lit(m)),
-        lambda i: F.concat(
-            F.lit("w"),
-            F.floor(F.lit(float(ZIPF_U_MOD)) / (
-                F.pmod(phash.hash60(F.concat(
-                    F.lit("z"), F.col("doc_id").cast("string"),
-                    F.lit("-"), i.cast("string"))), F.lit(ZIPF_U_MOD)) + 1
-            ).cast("double")).cast("bigint").cast("string")))
-    return ids.withColumn("text", F.array_join(toks, " "))
-
-
-def q_rare_token_ratio(spark, sf):
-    # corpus-rare-token quality signal over the minted Zipf corpus — the
-    # one quality rule that needs a corpus-wide pass (global token
-    # frequencies), exercising the heavy-hitter shuffle shape the per-doc
-    # Gopher rules never touch. See text.rare_token_ratio for the
-    # 100 TB plan notes.
-    return TXT.rare_token_ratio(_zipf_docs(spark), min_count=3).select(
-        "doc_id", "n_tokens_total", "n_rare", "rare_x10k")
-
-
-def _zipf_docs_cte(n: int = ZIPF_DOCS_N, m: int = ZIPF_DOC_TOKENS) -> str:
-    """DuckDB regeneration of _zipf_docs: zipf(doc_id, text)."""
-    u = phash.sql_hash60(
-        "'z' || CAST(t.id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
-    return f"""zipf AS (SELECT t.id AS doc_id,
-               array_to_string(list_transform(range(1, {m + 1}),
-                   i -> 'w' || CAST(CAST(floor({float(ZIPF_U_MOD)} /
-                        (({u}) % {ZIPF_U_MOD} + 1)) AS BIGINT) AS VARCHAR)),
-                   chr(32)) AS text
-        FROM range({n}) t(id))"""
-
-
-def _gopher_quality_sql() -> str:
-    """Oracle for q_gopher_quality_flags: the sql_gopher twins verbatim."""
-    gq = TXT.sql_gopher("text")
-    cols = ", ".join(f"{gq[c]} AS {c}" for c in
-                     ["n_tokens", "mean_token_len_x100", "alpha_frac_x10k",
-                      "stop_hits", "gopher_pass"])
-    return f"SELECT doc_id, {cols} FROM documents"
-
-
-def _top_ngram_frac_sql() -> str:
-    """Oracle for q_top_ngram_frac. The fold's winner (longest equal run in
-    the ascending-sorted gram array, strictly-greater displacement) equals
-    (max count, lexicographically smallest gram among the argmax) — which
-    IS expressible relationally: max(c) then min(gram) at that count."""
-    return """
-        WITH toks AS (SELECT doc_id, text,
-                             string_split(text, chr(32)) AS ws
-                      FROM documents),
-        g AS (SELECT doc_id,
-                     unnest(list_transform(range(1, len(ws)),
-                            i -> ws[i] || chr(32) || ws[i + 1])) AS gram
-              FROM toks WHERE len(ws) >= 2),
-        per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-        mx AS (SELECT doc_id, max(c) AS mc FROM per GROUP BY 1),
-        sel AS (SELECT per.doc_id, min(per.gram) AS top_gram, mx.mc
-                FROM per JOIN mx ON per.doc_id = mx.doc_id AND per.c = mx.mc
-                GROUP BY per.doc_id, mx.mc)
-        SELECT sel.doc_id, sel.top_gram, CAST(sel.mc AS BIGINT) AS top_count,
-               CAST(floor(CAST(sel.mc AS DOUBLE)
-                    * CAST(length(sel.top_gram) AS DOUBLE) * 10000.0
-                    / CAST(length(t.text) AS DOUBLE)) AS BIGINT)
-                   AS top_frac_x10k
-        FROM sel JOIN toks t ON sel.doc_id = t.doc_id"""
-
-
-def _pii_scrub_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_pii_scrub: same mint, same regexes ('g' flag — Spark's
-    regexp_replace is global by default)."""
-    ne, np_ = TXT.sql_pii_counts("messy")
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        m AS (SELECT id, CAST(id % 4 AS INT) AS variant,
-                     md5('pii-' || CAST(id AS VARCHAR)) AS ph, text
-              FROM txt),
-        m2 AS (SELECT id, variant,
-                      substr(ph, 1, 8) || '@mail' || CAST(id % 50 AS VARCHAR)
-                          || '.example.com' AS email,
-                      '+1-555-' || lpad(CAST(CAST(('0x' || substr(ph, 9, 4))
-                          AS BIGINT) % 10000 AS VARCHAR), 4, '0') AS phone,
-                      text
-               FROM m),
-        msy AS (SELECT id, variant,
-                       CASE variant
-                         WHEN 0 THEN text || ' contact ' || email
-                         WHEN 1 THEN text || ' call ' || phone
-                         WHEN 2 THEN text || ' contact ' || email
-                                     || ' or ' || phone
-                         ELSE text END AS messy
-                FROM m2)
-        SELECT id AS page_id, variant, {ne} AS n_emails, {np_} AS n_phones,
-               md5({TXT.sql_scrub_pii('messy')}) AS clean_md5
-        FROM msy"""
-
-
-def _rare_token_ratio_sql(min_count: int = 3) -> str:
-    """Oracle for q_rare_token_ratio: zipf mint + the same two-level
-    aggregation; sums CAST to BIGINT before the fixed-point division so
-    DuckDB's HUGEINT sum matches Spark's int64."""
-    return f"""
-        WITH {_zipf_docs_cte()},
-        tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS tok
-                FROM zipf),
-        per AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
-        freq AS (SELECT tok, sum(m) AS n_corpus FROM per GROUP BY 1),
-        sel AS (SELECT per.doc_id,
-                       CAST(sum(per.m) AS BIGINT) AS total,
-                       CAST(sum(CASE WHEN f.n_corpus < {min_count}
-                                THEN per.m ELSE 0 END) AS BIGINT) AS rare
-                FROM per JOIN freq f USING (tok)
-                GROUP BY 1)
-        SELECT doc_id, total AS n_tokens_total, rare AS n_rare,
-               CAST(floor(rare * 10000.0 / total) AS BIGINT) AS rare_x10k
-        FROM sel"""
-
-
-def q_triangle_hosts(spark, sf):
-    # exact triangle census + global clustering coefficient of the host
-    # link graph — the cohesion measure pagerank/HITS (importance) don't
-    # give. Degree-ordered compact-forward orientation bounds the wedge
-    # join; see graph.triangle_stats for the 10^8-host plan notes.
-    from geobuf_spark.operators import graph
-    ed = _page_link_edges(spark, 2000).select(
-        "src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
-    return graph.triangle_stats(ed, "src_host", "dst_host")
-
-
-def q_kmv_setops(spark, sf):
-    # mergeable-sketch set algebra: union / intersection / Jaccard of two
-    # source-cohorts' shingle sets from their KMV sketches alone — two
-    # corpora compare through 2k hashes (k=64), never a shingle join.
-    d = _docs(spark, sf)
-    a_src = [f"src{i}" for i in range(5)]
-    b_src = [f"src{i}" for i in range(5, 10)]
-
-    def shingles(srcs):
-        return (d.filter(F.col("source").isin(srcs))
-                .select(F.explode(TXT.word_ngrams(F.col("text"), 3)).alias("g")))
-
-    return sketch.kmv_set_ops(shingles(a_src), shingles(b_src), "g", k=64)
-
-
-def q_funnel_conversion(spark, sf):
-    # ordered event-funnel attribution per user: first 'view', first
-    # 'click' strictly after it, first 'purchase' strictly after that.
-    # Three stacked unordered window-mins over ONE user_id partitioning
-    # (a single exchange; the final groupBy reuses it) — no per-user
-    # event-list collection, no self-joins. -1 sentinels keep the epoch
-    # columns non-null for the driver hash.
-    from pyspark.sql import Window
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    w = Window.partitionBy("user_id")
-    d = e.withColumn(
-        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
-    d = d.withColumn(
-        "t2", F.min(F.when((F.col("event_type") == "click")
-                           & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
-    d = d.withColumn(
-        "t3", F.min(F.when((F.col("event_type") == "purchase")
-                           & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
-    g = d.groupBy("user_id").agg(F.min("t1").alias("t1"),
-                                 F.min("t2").alias("t2"),
-                                 F.min("t3").alias("t3"))
-
-    def ep(c):
-        return F.coalesce(F.unix_timestamp(F.col(c)), F.lit(-1)).cast("bigint")
-
-    stage = (F.when(F.col("t3").isNotNull(), 3)
-             .when(F.col("t2").isNotNull(), 2)
-             .when(F.col("t1").isNotNull(), 1).otherwise(0))
-    return g.select("user_id", ep("t1").alias("view_ep"),
-                    ep("t2").alias("click_ep"),
-                    ep("t3").alias("purchase_ep"),
-                    stage.cast("int").alias("funnel_stage"))
-
-
-def _triangle_hosts_sql() -> str:
-    """Oracle for q_triangle_hosts: regenerated link edges mapped to host
-    pairs, then the brute u<v<w three-way join (graph.sql_triangle_stats)."""
-    from geobuf_spark.operators import graph
-    cte = (_links_cte() + f""",
-        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
-               FROM e)""")
-    return graph.sql_triangle_stats(cte, "src", "dst")
-
-
-def _kmv_setops_sql(k: int = 64) -> str:
-    """Oracle for q_kmv_setops: same shingle construction per cohort, same
-    sketch algebra (operators/sketch.sql_kmv_set_ops)."""
-    def coh(srcs):
-        inlist = ", ".join(f"'{s}'" for s in srcs)
-        return f"""(SELECT unnest(CASE WHEN len(ws) >= 3 THEN
-                        list_transform(range(1, len(ws) - 1),
-                            i -> ws[i] || chr(32) || ws[i + 1]
-                                 || chr(32) || ws[i + 2])
-                    ELSE CAST([] AS VARCHAR[]) END) AS g
-                    FROM (SELECT string_split(text, chr(32)) AS ws
-                          FROM documents WHERE source IN ({inlist})))"""
-    a = coh([f"src{i}" for i in range(5)])
-    b = coh([f"src{i}" for i in range(5, 10)])
-    return sketch.sql_kmv_set_ops(a, b, "g", k=k)
-
-
-def _funnel_conversion_sql() -> str:
-    """Oracle for q_funnel_conversion: the sequential mins as chained
-    CTEs (each stage's min is conditional on the previous stage's ts, so
-    NULL stages propagate exactly like Spark's when() skipping)."""
-    return """
-        WITH f1 AS (SELECT user_id,
-                           min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-                    FROM events GROUP BY 1),
-        f2 AS (SELECT e.user_id,
-                      min(CASE WHEN e.event_type = 'click'
-                               AND e.ts > f1.t1 THEN e.ts END) AS t2
-               FROM events e JOIN f1 USING (user_id) GROUP BY 1),
-        f3 AS (SELECT e.user_id,
-                      min(CASE WHEN e.event_type = 'purchase'
-                               AND e.ts > f2.t2 THEN e.ts END) AS t3
-               FROM events e JOIN f2 USING (user_id) GROUP BY 1)
-        SELECT f1.user_id,
-               coalesce(CAST(floor(epoch(f1.t1)) AS BIGINT), -1) AS view_ep,
-               coalesce(CAST(floor(epoch(f2.t2)) AS BIGINT), -1) AS click_ep,
-               coalesce(CAST(floor(epoch(f3.t3)) AS BIGINT), -1) AS purchase_ep,
-               CASE WHEN f3.t3 IS NOT NULL THEN 3
-                    WHEN f2.t2 IS NOT NULL THEN 2
-                    WHEN f1.t1 IS NOT NULL THEN 1
-                    ELSE 0 END AS funnel_stage
-        FROM f1 JOIN f2 USING (user_id) JOIN f3 USING (user_id)"""
-
-
-AREAL_CELL = 50_000_000          # 5° planar grid for areal interpolation
-AREAL_SHIFT_X = 1_800_000_000    # lattice shift to non-negative (div == //)
-AREAL_SHIFT_Y = 900_000_000
-
-
-def q_areal_interp(spark, sf):
-    # areal interpolation: proportional allocation of each rectangle onto
-    # the planar grid — per (rect, cell) EXACT integer overlap area and
-    # ppm weight. The redistribution step zonal_stats (zone → rollup)
-    # doesn't give: this goes the other way (zone measure → raster).
-    # One staged 2-D explode, no shuffle (spatial_join.rect_cell_weights).
-    return sj.rect_cell_weights(_shifted_rects(spark, sf), AREAL_CELL)
-
-
-def q_quadtree_assign(spark, sf):
-    # quadtree fit-level assignment (the XZ-ordering write path of a
-    # spatial index — GeoMesa/Sedona publish this shape): the deepest
-    # zoom z ≤ 8 at which the whole rectangle lands in ONE tile, plus
-    # that tile. Containment is monotone in z, so z_fit is a SUM of
-    # per-level agreement indicators on the z=8 corner tiles — pure
-    # integer arithmetic, zero shuffles.
-    r = _rects(spark, sf)
-    xa, xb = tiles.tile_x(F.col("minx"), 8), tiles.tile_x(F.col("maxx"), 8)
-    ya, yb = tiles.tile_y(F.col("maxy"), 8), tiles.tile_y(F.col("miny"), 8)
-    d = r.select("poly_id", xa.alias("xa"), xb.alias("xb"),
-                 ya.alias("ya"), yb.alias("yb"))
-    agree = [
-        ((F.floor(F.col("xa") / (1 << (8 - z))) == F.floor(F.col("xb") / (1 << (8 - z))))
-         & (F.floor(F.col("ya") / (1 << (8 - z))) == F.floor(F.col("yb") / (1 << (8 - z)))))
-        .cast("bigint")
-        for z in range(1, 9)
-    ]
-    d = d.withColumn("z_fit", sum(agree[1:], agree[0]))
-    pw = F.pow(F.lit(2.0), (F.lit(8) - F.col("z_fit")).cast("double"))
-    return d.select(
-        "poly_id", "z_fit",
-        F.floor(F.col("xa").cast("double") / pw).cast("bigint").alias("qx"),
-        F.floor(F.col("ya").cast("double") / pw).cast("bigint").alias("qy"))
-
-
-def q_traj_steps(spark, sf):
-    # per-user trajectory measures: events get deterministic minted
-    # lattice positions, ordered by (ts, event_id); squared step lengths,
-    # the max step, and net displacement — all exact int64 (planar sqrt
-    # would be cross-engine float). ONE user_id exchange: the lag and the
-    # first/last-value windows share the partitioning, the rollup reuses
-    # it.
-    from pyspark.sql import Window
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    d = d.select(
-        "user_id",
-        (F.col("px") - F.lag("px").over(w)).alias("dx"),
-        (F.col("py") - F.lag("py").over(w)).alias("dy"),
-        F.first("px").over(wf).alias("fx"), F.first("py").over(wf).alias("fy"),
-        F.last("px").over(wf).alias("lx"), F.last("py").over(wf).alias("ly"))
-    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
-    net = ((F.col("lx") - F.col("fx")) * (F.col("lx") - F.col("fx"))
-           + (F.col("ly") - F.col("fy")) * (F.col("ly") - F.col("fy")))
-    return (d.select("user_id", d2.alias("d2"), net.alias("net"))
-            .groupBy("user_id")
-            .agg(F.count("d2").alias("n_steps"),
-                 F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint")
-                     .alias("sum_step_d2"),
-                 F.coalesce(F.max("d2"), F.lit(0)).cast("bigint")
-                     .alias("max_step_d2"),
-                 F.min("net").cast("bigint").alias("net_d2")))
-
-
-def _areal_interp_sql() -> str:
-    """Oracle for q_areal_interp: same shifted lattice boxes, same staged
-    generate_series cover, same least/greatest overlap arithmetic."""
-    c = AREAL_CELL
-    return f"""
-        WITH {_shifted_rects_cte()},
-        g AS (SELECT *, x1 // {c} AS gx1, (x2 - 1) // {c} AS gx2,
-                     y1 // {c} AS gy1, (y2 - 1) // {c} AS gy2
-              FROM r),
-        ex AS (SELECT poly_id, x1, y1, x2, y2, gy1, gy2,
-                      unnest(generate_series(gx1, gx2)) AS cx
-               FROM g),
-        cov AS (SELECT poly_id, x1, y1, x2, y2, cx,
-                       unnest(generate_series(gy1, gy2)) AS cy
-                FROM ex)
-        SELECT poly_id, cx, cy,
-               (least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
-               * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
-                   AS overlap_area,
-               CAST(floor(CAST((least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
-                    * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
-                    AS DOUBLE) * 1000000.0
-                    / CAST((x2 - x1) * (y2 - y1) AS DOUBLE)) AS BIGINT)
-                   AS weight_ppm
-        FROM cov"""
-
-
-def _quadtree_assign_sql() -> str:
-    """Oracle for q_quadtree_assign: corner tiles at z=8 (literal
-    boundary-count tile_y), per-level agreement sum, power-of-two floor
-    divisions (exact in doubles)."""
-    rects = minted.SQL_MINTED_RECTS.strip()
-    xa, xb = tiles.sql_tile_x("minx", 8), tiles.sql_tile_x("maxx", 8)
-    ya, yb = tiles.sql_tile_y("maxy", 8), tiles.sql_tile_y("miny", 8)
-    agree = " + ".join(
-        f"(CASE WHEN xa // {1 << (8 - z)} = xb // {1 << (8 - z)}"
-        f" AND ya // {1 << (8 - z)} = yb // {1 << (8 - z)}"
-        f" THEN 1 ELSE 0 END)"
-        for z in range(1, 9))
-    return f"""
-        WITH r AS ({rects}),
-        t AS (SELECT poly_id, {xa} AS xa, {xb} AS xb, {ya} AS ya, {yb} AS yb
-              FROM r),
-        zf AS (SELECT poly_id, xa, ya, CAST({agree} AS BIGINT) AS z_fit
-               FROM t)
-        SELECT poly_id, z_fit,
-               CAST(floor(CAST(xa AS DOUBLE)
-                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qx,
-               CAST(floor(CAST(ya AS DOUBLE)
-                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qy
-        FROM zf"""
-
-
-def _traj_steps_sql() -> str:
-    """Oracle for q_traj_steps: same minted positions, same (ts, event_id)
-    window order, lag/first/last twins."""
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          {pos('tx')} AS px, {pos('ty')} AS py
-                   FROM events),
-        d AS (SELECT user_id,
-                     px - lag(px) OVER w AS dx,
-                     py - lag(py) OVER w AS dy,
-                     first_value(px) OVER wf AS fx,
-                     first_value(py) OVER wf AS fy,
-                     last_value(px) OVER wf AS lx,
-                     last_value(py) OVER wf AS ly
-              FROM p
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-                     wf AS (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND UNBOUNDED FOLLOWING))
-        SELECT user_id,
-               count(dx * dx + dy * dy) AS n_steps,
-               CAST(coalesce(sum(dx * dx + dy * dy), 0) AS BIGINT)
-                   AS sum_step_d2,
-               CAST(coalesce(max(dx * dx + dy * dy), 0) AS BIGINT)
-                   AS max_step_d2,
-               CAST(min((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy))
-                    AS BIGINT) AS net_d2
-        FROM d GROUP BY 1"""
-
-
-def _shifted_rects(spark, sf):
-    """Minted rects as non-negative half-open lattice boxes (shared by
-    areal_interp and adaptive_cover)."""
-    part = spark.read.parquet(f"{sf}/part.parquet")
-    cx, cy, hw, hh = minted._part_draws()
-    return part.select(
-        F.col("p_partkey").alias("poly_id"),
-        (cx - hw + AREAL_SHIFT_X).alias("x1"),
-        (cy - hh + AREAL_SHIFT_Y).alias("y1"),
-        (cx + hw + AREAL_SHIFT_X).alias("x2"),
-        (cy + hh + AREAL_SHIFT_Y).alias("y2"))
-
-
-def _shifted_rects_cte() -> str:
-    return f"""r AS (SELECT p_partkey AS poly_id,
-                {minted._CX} - {minted._HW} + {AREAL_SHIFT_X} AS x1,
-                {minted._CY} - {minted._HH} + {AREAL_SHIFT_Y} AS y1,
-                {minted._CX} + {minted._HW} + {AREAL_SHIFT_X} AS x2,
-                {minted._CY} + {minted._HH} + {AREAL_SHIFT_Y} AS y2
-         FROM part)"""
-
-
-def q_adaptive_cover(spark, sf):
-    # S2-RegionCoverer-style adaptive covering: mixed-level cells, coarse
-    # where fully inside, refined along the boundary — the normalized
-    # covering a spatial index builds query ranges from; work per region
-    # is O(perimeter / leaf_cell), not O(area). The fixed-z tile covers
-    # (tile_cover_rects_z7, line_cover) are the degenerate single-level
-    # case. Pure generator expressions, no shuffle.
-    return tiling.adaptive_cover(_shifted_rects(spark, sf), z_min=4, z_max=8)
-
-
-HEAT_T_REF = 1_760_000_000  # epoch ref above every minted warc_ts
-HEAT_Z = 6
-
-
-def q_tile_heat_decay(spark, sf):
-    # temporal-decay heatmap: per-tile Σ 2^(-age_bucket) over the pages'
-    # minted geometry — the freshness-weighted density a crawl scheduler
-    # reads. Dyadic weights (powers of two) make the float sum EXACT, so
-    # the cross-engine twin matches bit-for-bit where e^-λt never would.
-    # One shuffle (the tile rollup).
-    p = pages.with_minted_geometry(pages.pages(spark, 2000))
-    bucket = F.least(
-        F.expr(f"({HEAT_T_REF} - unix_timestamp(warc_ts)) div 86400 div 30"),
-        F.lit(10)).cast("double")
-    w = F.pow(F.lit(2.0), -bucket)
-    d = p.select(
-        tiles.tile_x(F.col("lon"), HEAT_Z).alias("x"),
-        tiles.tile_y(F.col("lat"), HEAT_Z).alias("y"),
-        w.alias("w"))
-    return (d.groupBy("x", "y")
-            .agg(F.count("*").alias("n_pages"),
-                 F.sum("w").alias("heat")))
-
-
-def q_cocitation_pairs(spark, sf):
-    # co-citation similarity: host pairs endorsed by ≥2 common linking
-    # hosts — the bipartite projection that finds "related domains". The
-    # projection is quadratic per linker, so production caps linker
-    # out-fanout (the fixture's max is 3 — the cap is the contract,
-    # like the LSH bucket caps); distinct edges first so multi-links
-    # don't inflate the overlap.
-    e = (_page_link_edges(spark, 2000)
-         .select("src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
-         .filter(F.col("src_host") != F.col("dst_host"))
-         .distinct())
-    a = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("host_a"))
-    b = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("host_b"))
-    return (a.join(b, "s")
-            .filter(F.col("host_a") < F.col("host_b"))
-            .groupBy("host_a", "host_b")
-            .agg(F.count("*").alias("n_common"))
-            .filter(F.col("n_common") >= 2))
-
-
-def _adaptive_cover_sql() -> str:
-    """Oracle for q_adaptive_cover: the same per-level refinement unrolled
-    as chained CTEs (operators/tiling.sql_adaptive_cover)."""
-    return tiling.sql_adaptive_cover(_shifted_rects_cte(), z_min=4, z_max=8)
-
-
-def _tile_heat_decay_sql() -> str:
-    """Oracle for q_tile_heat_decay: same dyadic weights; sum of powers
-    of two is exact in IEEE doubles, so no tolerance is needed."""
-    x = tiles.sql_tile_x("lon", HEAT_Z)
-    y = tiles.sql_tile_y("lat", HEAT_Z)
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        {_pages_geo_cte()},
-        t AS (SELECT g.id, g.lon, g.lat, p.ts_epoch
-              FROM geo g JOIN txt p ON g.id = p.id),
-        w AS (SELECT {x} AS x, {y} AS y,
-                     power(2.0, -CAST(least(({HEAT_T_REF} - ts_epoch)
-                         // 86400 // 30, 10) AS DOUBLE)) AS w
-              FROM t)
-        SELECT x, y, count(*) AS n_pages, sum(w) AS heat
-        FROM w GROUP BY 1, 2"""
-
-
-def _cocitation_pairs_sql() -> str:
-    """Oracle for q_cocitation_pairs: regenerated edges, same distinct
-    projection + pair rollup."""
-    return f"""
-        WITH {_links_cte()},
-        ed AS (SELECT DISTINCT src_host AS s,
-                               {TXT.sql_url_host('dst')} AS h
-               FROM e
-               WHERE src_host <> {TXT.sql_url_host('dst')})
-        SELECT a.h AS host_a, b.h AS host_b, count(*) AS n_common
-        FROM ed a JOIN ed b ON a.s = b.s AND a.h < b.h
-        GROUP BY 1, 2
-        HAVING count(*) >= 2"""
-
-
-SCD2_T0 = 1_750_000_000  # first snapshot epoch; one snapshot per day
-
-
-def q_scd2_history(spark, sf):
-    # SCD-2 history build from crawl snapshots — the warehouse shape of
-    # latest_capture/crawl_diff: three captures per url (every 5th page
-    # revises at snap 1, every 3rd at snap 2), consecutive duplicates
-    # dropped, validity intervals [valid_from, valid_to] + version +
-    # is_current per content version. ONE url exchange: the change-point
-    # lag, the interval lead, and the version row_number all share the
-    # (url, ts) sort.
-    from pyspark.sql import Window
-    p = pages.pages(spark, 2000).select("page_id", "url", "text")
-    snaps = []
-    for s in range(3):
-        nrev = (
-            (F.lit(1 if s >= 1 else 0)
-             * (F.pmod(F.col("page_id"), F.lit(5)) == 0).cast("int"))
-            + (F.lit(1 if s >= 2 else 0)
-               * (F.pmod(F.col("page_id"), F.lit(3)) == 0).cast("int")))
-        snaps.append(p.select(
-            "url", F.lit(SCD2_T0 + s * 86400).alias("ts"),
-            F.md5(F.concat(F.col("text"), F.lit("|"),
-                           nrev.cast("string"))).alias("content_md5")))
-    u = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
-    w = Window.partitionBy("url").orderBy("ts")
-    ch = (u.withColumn("prev", F.lag("content_md5").over(w))
-          .filter(F.col("prev").isNull()
-                  | (F.col("prev") != F.col("content_md5"))))
-    return ch.select(
-        "url", F.col("ts").alias("valid_from"),
-        F.coalesce(F.lead("ts").over(w) - 1, F.lit(-1)).alias("valid_to"),
-        F.row_number().over(w).alias("version"),
-        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
-        "content_md5")
-
-
-def q_geom_validity(spark, sf):
-    # exact geometric-validity gate over the closed walk rings: signed
-    # doubled area (winding), convexity, PROPER self-intersection count —
-    # the integer orientation-test primitives the clip/overlay passes rely
-    # on, surfaced as a per-feature quality column. Zero shuffles.
-    wl = minted.minted_walk_lines_q(spark, sf, k=9)
-    return geom.ring_validity_cols(wl, k=9).select(
-        "doc_id", "area2", "is_ccw", "is_convex", "n_self_x")
-
-
-def q_embed_quantize(spark, sf):
-    # int8 vector quantization (the vector-DB prep step): per-vector
-    # max-abs scale, floor-quantized components, summarised as exact
-    # integer witnesses (sum/min/max) + the scale. float32 → double is
-    # exact, so both engines quantize identically. Zero shuffles.
-    e = _emb(spark, sf)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(x * 127.0 / maxabs).cast("bigint"))
-    return e.select(
-        "vec_id", maxabs.alias("maxabs"),
-        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b)
-            .alias("q_sum"),
-        F.array_min(q).alias("q_min"), F.array_max(q).alias("q_max"))
-
-
-def _scd2_history_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_scd2_history: same snapshot mint (cross join with a
-    3-row VALUES), same change-point filter and interval windows."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        snaps AS (SELECT url, {SCD2_T0} + s * 86400 AS ts,
-                         md5(text || '|' || CAST(
-                             (CASE WHEN s >= 1 AND id % 5 = 0 THEN 1 ELSE 0 END)
-                             + (CASE WHEN s >= 2 AND id % 3 = 0 THEN 1 ELSE 0 END)
-                             AS VARCHAR)) AS content_md5
-                  FROM txt, (VALUES (0), (1), (2)) v(s)),
-        ch AS (SELECT url, ts, content_md5 FROM (
-                   SELECT url, ts, content_md5,
-                          lag(content_md5) OVER (PARTITION BY url ORDER BY ts)
-                              AS prev
-                   FROM snaps)
-               WHERE prev IS NULL OR prev <> content_md5)
-        SELECT url, ts AS valid_from,
-               coalesce(lead(ts) OVER w - 1, -1) AS valid_to,
-               CAST(row_number() OVER w AS INT) AS version,
-               CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
-               content_md5
-        FROM ch
-        WINDOW w AS (PARTITION BY url ORDER BY ts)"""
-
-
-def _geom_validity_sql(k: int = 9) -> str:
-    """Oracle for q_geom_validity: walk coords named, local deltas via
-    least(), then the shared-index unrolled predicates
-    (geom.sql_ring_validity — ring_pair_indices is the SAME generator
-    both sides use)."""
-    xs, ys = minted.sql_minted_walk_coords(k)
-    cols = ",\n               ".join(
-        [f"{e} AS x{i}" for i, e in enumerate(xs)]
-        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
-    lx = "least(" + ", ".join(f"x{i}" for i in range(k)) + ")"
-    ly = "least(" + ", ".join(f"y{i}" for i in range(k)) + ")"
-    deltas = ", ".join(
-        [f"x{i} - lx AS vx{i}" for i in range(k)]
-        + [f"y{i} - ly AS vy{i}" for i in range(k)])
-    v = geom.sql_ring_validity(k)
-    return f"""
-        WITH wl AS (SELECT doc_id, {cols} FROM documents),
-        m AS (SELECT doc_id, *, {lx} AS lx, {ly} AS ly FROM wl),
-        dd AS (SELECT doc_id, {deltas} FROM m)
-        SELECT doc_id, {v['area2']} AS area2, {v['is_ccw']} AS is_ccw,
-               {v['is_convex']} AS is_convex, {v['n_self_x']} AS n_self_x
-        FROM dd"""
-
-
-def _embed_quantize_sql() -> str:
-    """Oracle for q_embed_quantize: DuckDB lambdas capture the outer
-    maxabs column; float32 → double casts keep both engines bit-equal."""
-    return """
-        WITH m AS (SELECT vec_id, embedding,
-                          list_max(list_transform(embedding,
-                              x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-                   FROM embeddings),
-        q AS (SELECT vec_id, maxabs,
-                     list_transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
-                                   AS BIGINT)) AS qv
-              FROM m)
-        SELECT vec_id, maxabs,
-               CAST(list_sum(qv) AS BIGINT) AS q_sum,
-               list_min(qv) AS q_min, list_max(qv) AS q_max
-        FROM q"""
-
-
-def _overlay_boxes(spark, sf, salt: str, id_name: str,
-                   w_base: int, w_mod: int, w_step: int,
-                   h_base: int, h_mod: int, h_step: int):
-    """Overlay-layer mint: hash60-spread min corners over the whole
-    lattice plane (the minted_rects part layer is a dense 22°-wide stack
-    — right for PIP probe fixtures, degenerate for layer-vs-layer
-    overlay), deterministic per-key sizes. Non-negative half-open."""
-    part = spark.read.parquet(f"{sf}/part.parquet")
-    k = F.col("p_partkey")
-
-    def h(axis, mod):
-        return F.pmod(phash.hash60(
-            F.concat(F.lit(salt + axis), k.cast("string"))), F.lit(mod))
-
-    w = F.lit(w_base) + F.pmod(k, F.lit(w_mod)) * w_step
-    hh = F.lit(h_base) + F.pmod(k, F.lit(h_mod)) * h_step
-    x1 = h("x", 3_000_000_000)
-    y1 = h("y", 1_300_000_000)
-    return part.select(k.alias(id_name), x1.alias("x1"), y1.alias("y1"),
-                       (x1 + 2 * w).alias("x2"), (y1 + 2 * hh).alias("y2"))
-
-
-def _overlay_boxes_cte(name: str, salt: str, id_name: str,
-                       w_base: int, w_mod: int, w_step: int,
-                       h_base: int, h_mod: int, h_step: int) -> str:
-    def h(axis, mod):
-        e = phash.sql_hash60(f"'{salt}{axis}' || CAST(p_partkey AS VARCHAR)")
-        return f"({e}) % {mod}"
-
-    w = f"({w_base} + (p_partkey % {w_mod}) * {w_step})"
-    hh = f"({h_base} + (p_partkey % {h_mod}) * {h_step})"
-    return f"""{name} AS (SELECT p_partkey AS {id_name},
-                {h('x', 3_000_000_000)} AS x1, {h('y', 1_300_000_000)} AS y1,
-                {h('x', 3_000_000_000)} + 2 * {w} AS x2,
-                {h('y', 1_300_000_000)} + 2 * {hh} AS y2
-         FROM part)"""
-
-
-_OVA = ("ova", "a_id", 10_000_000, 100, 1_000_000, 8_000_000, 80, 1_000_000)
-_OVB = ("ovb", "b_id", 1_000_000, 30, 200_000, 800_000, 25, 160_000)
-
-
-def q_rect_overlay_iou(spark, sf):
-    # two-layer overlay join with exact integer intersection areas + IoU
-    # (also the object-detection box-matching primitive). Cell-cover
-    # equi-join + REFERENCE-POINT dedup — a pair is kept only in the cell
-    # holding the intersection's min corner, so no distinct shuffle; see
-    # spatial_join.box_iou_join.
-    a = _overlay_boxes(spark, sf, *_OVA)
-    b = _overlay_boxes(spark, sf, *_OVB)
-    return sj.box_iou_join(a, b, AREAL_CELL)
-
-
-def _rect_overlay_iou_sql() -> str:
-    """Oracle for q_rect_overlay_iou: brute θ-join over both regenerated
-    layers (no cover, no dedup — the predicate alone), same exact-area
-    arithmetic."""
-    return f"""
-        WITH {_overlay_boxes_cte('r', *_OVA)},
-        {_overlay_boxes_cte('rb', *_OVB)},
-        p AS (SELECT r.a_id, rb.b_id,
-                     (least(r.x2, rb.x2) - greatest(r.x1, rb.x1))
-                     * (least(r.y2, rb.y2) - greatest(r.y1, rb.y1))
-                         AS inter_area,
-                     (r.x2 - r.x1) * (r.y2 - r.y1)
-                     + (rb.x2 - rb.x1) * (rb.y2 - rb.y1) AS sum_area
-              FROM r JOIN rb
-                ON r.x1 < rb.x2 AND rb.x1 < r.x2
-               AND r.y1 < rb.y2 AND rb.y1 < r.y2)
-        SELECT a_id, b_id, inter_area,
-               CAST(floor(CAST(inter_area AS DOUBLE) * 1000000.0
-                    / CAST(sum_area - inter_area AS DOUBLE)) AS BIGINT)
-                   AS iou_ppm
-        FROM p"""
-
-
-def q_event_transitions(spark, sf):
-    # event-sequence mining (lite): the per-user Markov transition counts
-    # over event types, with each source type's outgoing share. One
-    # user_id exchange for the lag window; the (from, to) rollup and the
-    # per-from share window are narrow (|types|² keys).
-    from pyspark.sql import Window
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (e.select(F.lag("event_type").over(w).alias("from_type"),
-                  F.col("event_type").alias("to_type"))
-         .filter(F.col("from_type").isNotNull()))
-    g = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
-    wf = Window.partitionBy("from_type")
-    return g.select(
-        "from_type", "to_type", "n",
-        F.expr("n * 1000000").cast("bigint").alias("_num"),
-        F.sum("n").over(wf).alias("_den")
-    ).select(
-        "from_type", "to_type", "n",
-        F.expr("_num div _den").alias("share_ppm"))
-
-
-def q_link_reciprocity(spark, sf):
-    # graph reciprocity: the share of directed host links whose reverse
-    # edge also exists — one row (n_edges, n_reciprocal,
-    # reciprocity_ppm). Distinct directed pairs, then a self-join on the
-    # swapped key; left_semi keeps it set-shaped.
-    e = (_page_link_edges(spark, 2000)
-         .select("src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
-         .filter(F.col("src_host") != F.col("dst_host"))
-         .distinct().localCheckpoint(eager=False))
-    rev = e.select(F.col("dst_host").alias("src_host"),
-                   F.col("src_host").alias("dst_host"))
-    recip = e.join(rev, ["src_host", "dst_host"], "left_semi")
-    return (e.agg(F.count("*").alias("n_edges"))
-            .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
-            .select("n_edges", "n_reciprocal",
-                    F.expr("n_reciprocal * 1000000 div n_edges")
-                    .alias("reciprocity_ppm")))
-
-
-def q_lang_diversity_simpson(spark, sf):
-    # per-source language diversity as the Simpson index, ppm fixed-point
-    # — entropy needs a cross-engine log (last-ulp risk), Simpson is pure
-    # integer: 1e6 − (Σ n_l²·1e6) div n². Two narrow aggregations.
-    d = _docs(spark, sf)
-    per = d.groupBy("source", "lang").agg(F.count("*").alias("m"))
-    return (per.groupBy("source")
-            .agg(F.sum("m").alias("n_docs"),
-                 F.count("*").alias("n_langs"),
-                 F.sum(F.col("m") * F.col("m")).alias("_ss"))
-            .select("source", "n_docs", "n_langs",
-                    (F.lit(1_000_000)
-                     - F.expr("_ss * 1000000 div (n_docs * n_docs)"))
-                    .cast("bigint").alias("simpson_ppm")))
-
-
-def q_tile_gaps_anti(spark, sf):
-    # coverage-regression detection: tiles occupied by snapshot A but by
-    # nothing in snapshot B (crawl_diff's drop pattern) — the LEFT ANTI
-    # join shape on tile keys. Narrow: both sides reduce to distinct
-    # (x, y) before the anti join.
-    za = pages.with_minted_geometry(pages.pages(spark, 2000))
-    b_pages = pages.pages(spark, 2400).where(
-        F.pmod(F.col("page_id"), F.lit(17)) != 3)
-    zb = pages.with_minted_geometry(b_pages)
-
-    def tiles_of(p):
-        return p.select(tiles.tile_x(F.col("lon"), 7).alias("x"),
-                        tiles.tile_y(F.col("lat"), 7).alias("y")).distinct()
-
-    return (tiles_of(za).join(tiles_of(zb), ["x", "y"], "left_anti")
-            .select("x", "y"))
-
-
-def _event_transitions_sql() -> str:
-    """Oracle for q_event_transitions: same lag window and integer share."""
-    return """
-        WITH t AS (SELECT lag(event_type) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS from_type,
-                       event_type AS to_type
-                   FROM events),
-        g AS (SELECT from_type, to_type, count(*) AS n
-              FROM t WHERE from_type IS NOT NULL
-              GROUP BY 1, 2)
-        SELECT from_type, to_type, n,
-               CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
-                    AS BIGINT) AS share_ppm
-        FROM g"""
-
-
-def _link_reciprocity_sql() -> str:
-    """Oracle for q_link_reciprocity over the regenerated edges."""
-    return f"""
-        WITH {_links_cte()},
-        ed AS (SELECT DISTINCT src_host AS s, {TXT.sql_url_host('dst')} AS d
-               FROM e WHERE src_host <> {TXT.sql_url_host('dst')}),
-        r AS (SELECT count(*) AS n_reciprocal
-              FROM ed a WHERE EXISTS (SELECT 1 FROM ed b
-                                      WHERE b.s = a.d AND b.d = a.s)),
-        n AS (SELECT count(*) AS n_edges FROM ed)
-        SELECT CAST(n_edges AS BIGINT) AS n_edges,
-               CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
-               CAST(n_reciprocal * 1000000 // n_edges AS BIGINT)
-                   AS reciprocity_ppm
-        FROM n, r"""
-
-
-def _lang_diversity_sql() -> str:
-    """Oracle for q_lang_diversity_simpson (integer Simpson, `//` twin)."""
-    return """
-        WITH per AS (SELECT source, lang, count(*) AS m
-                     FROM documents GROUP BY 1, 2)
-        SELECT source,
-               CAST(sum(m) AS BIGINT) AS n_docs,
-               CAST(count(*) AS BIGINT) AS n_langs,
-               CAST(1000000 - CAST(sum(m * m) AS BIGINT) * 1000000
-                    // (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT))
-                    AS BIGINT) AS simpson_ppm
-        FROM per GROUP BY 1"""
-
-
-def _tile_gaps_anti_sql() -> str:
-    """Oracle for q_tile_gaps_anti: both snapshots' distinct z7 tiles,
-    EXCEPT (DuckDB's anti-join on full rows)."""
-    x7, y7 = tiles.sql_tile_x("lon", 7), tiles.sql_tile_y("lat", 7)
-    # regenerate snapshot A (n=2000) and B (n=2400 minus every 17th);
-    # b_geo repeats _pages_geo_cte's md5(url) mint against the b_ prefix
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        {_pages_geo_cte()},
-        at AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM geo),
-        {_pages_cte(2400, 42, prefix="b_")},
-        b_geo AS (SELECT id, url,
-                         (CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
-                          % 3600000000 - 1800000000) / 1e7 AS lon,
-                         (CAST(('0x' || substr(md5(url), 9, 8)) AS BIGINT)
-                          % 1700000000 - 850000000) / 1e7 AS lat
-                  FROM b_txt WHERE id % 17 <> 3),
-        bt AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM b_geo)
-        SELECT x, y FROM at
-        EXCEPT
-        SELECT x, y FROM bt"""
-
-
-CRAWL_W_RANK = 2        # priority-score policy weights — arbitrary but
-CRAWL_W_FRESH = 1000    # deterministic constants, documented as policy
-
-
-def q_host_crawl_priority(spark, sf):
-    # the crawl-scheduler decision query: fuse host authority (integer
-    # PageRank), host quality (integer token average), and freshness
-    # (latest-capture age bucket) into one deterministic priority score,
-    # top-25. Every signal is an existing oracled operator; the fusion is
-    # one host-keyed join (both sides host-sized → broadcast at scale)
-    # plus integer arithmetic. score = rank_ppm·2 + avg_tokens_x100 +
-    # (10 − age_bucket)·1000 — policy weights, not physics.
-    from geobuf_spark.operators import graph
-    e = _page_link_edges(spark, 2000).select(
-        F.col("src_host").alias("src"),
-        TXT.url_host(F.col("dst")).alias("dst"))
-    pr = graph.pagerank_int(e, iters=3)
-    p = pages.pages(spark, 2000)
-    q = TXT.quality_columns(p, "text")
-    hq = (q.groupBy(TXT.url_host(F.col("url")).alias("host"))
-          .agg(F.count("*").alias("n_pages"),
-               F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-               F.max(F.unix_timestamp("warc_ts")).alias("latest_ts")))
-    j = hq.join(pr, "host", "left").na.fill({"rank_ppm": 0})
-    age_bucket = F.least(
-        F.expr(f"({HEAT_T_REF} - latest_ts) div 86400 div 30"), F.lit(10))
-    score = (F.col("rank_ppm") * CRAWL_W_RANK
-             + F.expr("(sum_tokens * 100) div n_pages")
-             + (F.lit(10) - age_bucket) * CRAWL_W_FRESH)
-    return (j.select("host", "rank_ppm", "n_pages",
-                     score.cast("bigint").alias("priority_score"))
-            .orderBy(F.desc("priority_score"), F.asc("host")).limit(25))
-
-
-def q_cell_skew_stats(spark, sf):
-    # skew diagnostics as a query — the cell histogram the salted-join
-    # planner (plans/strategy.plan_salt) reads, surfaced as shape stats:
-    # one row (n_cells, n_points, max_count, mean_x100, skew_ratio_x100 =
-    # max/mean). Two narrow aggregations, all integer.
-    a = tiling.assign_tiles_points(_points(spark, sf), z=6)
-    h = a.groupBy("x", "y").agg(F.count("*").alias("c"))
-    return h.agg(
-        F.count("*").alias("n_cells"),
-        F.sum("c").cast("bigint").alias("n_points"),
-        F.max("c").alias("max_count"),
-        F.expr("sum(c) * 100 div count(*)").alias("mean_x100"),
-        F.expr("max(c) * count(*) * 100 div sum(c)").alias("skew_ratio_x100"))
-
-
-def q_lang_confusion(spark, sf):
-    # language-ID evaluation as a query: confusion counts of the
-    # stopword-argmax predictor against the labeled lang — the
-    # eval-as-query pattern (like knn_label_vote) over the documents
-    # table. One narrow (actual, pred) aggregation.
-    d = TXT.lang_id(_docs(spark, sf))
-    return (d.groupBy(F.col("lang").alias("actual"),
-                      F.col("lang_pred").alias("pred"))
-            .agg(F.count("*").alias("n")))
-
-
-def _host_crawl_priority_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
-    """Oracle for q_host_crawl_priority: the pagerank oracle as a derived
-    subquery (its own WITH scope), quality + freshness from the pages
-    CTE, same integer fusion."""
-    from geobuf_spark.operators.graph import sql_pagerank_int
-    edges_cte = f"""{_links_cte(n, seed)},
-        edges AS (SELECT src_host AS src,
-                         {TXT.sql_url_host('dst')} AS dst
-                  FROM e)"""
-    pr = sql_pagerank_int(edges_cte, iters=3)
-    ntok = TXT.sql_quality("text")["n_tokens"]
-    host = TXT.sql_url_host("url")
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        hq AS (SELECT {host} AS host, count(*) AS n_pages,
-                      CAST(sum({ntok}) AS BIGINT) AS sum_tokens,
-                      max(ts_epoch) AS latest_ts
-               FROM txt GROUP BY 1),
-        j AS (SELECT hq.*, coalesce(pr.rank_ppm, 0) AS rank_ppm
-              FROM hq LEFT JOIN ({pr}) pr USING (host))
-        SELECT host, rank_ppm, n_pages,
-               CAST(rank_ppm * {CRAWL_W_RANK}
-                    + (sum_tokens * 100) // n_pages
-                    + (10 - least(({HEAT_T_REF} - latest_ts) // 86400 // 30,
-                                  10)) * {CRAWL_W_FRESH} AS BIGINT)
-                   AS priority_score
-        FROM j
-        ORDER BY priority_score DESC, host
-        LIMIT {k}"""
-
-
-def _cell_skew_stats_sql() -> str:
-    """Oracle for q_cell_skew_stats over the minted points."""
-    pts = minted.SQL_MINTED_POINTS.strip()
-    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
-    return f"""
-        WITH h AS (SELECT {x6} AS x, {y6} AS y, count(*) AS c
-                   FROM ({pts}) GROUP BY 1, 2)
-        SELECT CAST(count(*) AS BIGINT) AS n_cells,
-               CAST(sum(c) AS BIGINT) AS n_points,
-               CAST(max(c) AS BIGINT) AS max_count,
-               CAST(sum(c) * 100 // count(*) AS BIGINT) AS mean_x100,
-               CAST(max(c) * count(*) * 100 // sum(c) AS BIGINT)
-                   AS skew_ratio_x100
-        FROM h"""
-
-
-def _lang_confusion_sql() -> str:
-    """Oracle for q_lang_confusion: the lang_id argmax with the labeled
-    lang threaded through (same CASE order — earlier langs win ties)."""
-    langs = list(TXT.STOPWORDS)
-    score_cols = []
-    for lg in langs:
-        lst = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lg])
-        score_cols.append(
-            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lg}")
-    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-    whens = " ".join(
-        f"WHEN g > 0 AND s_{lg} = g THEN '{lg}'" for lg in langs)
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, lang, string_split(lower(text), chr(32)) AS tk
-            FROM documents),
-        scores AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM toks),
-        best AS (SELECT doc_id, lang, {greatest} AS g, * FROM scores),
-        pred AS (SELECT lang AS actual,
-                        CASE {whens} ELSE 'und' END AS pred
-                 FROM best)
-        SELECT actual, pred, count(*) AS n
-        FROM pred GROUP BY 1, 2"""
-
-
-COHORT_T0 = 1_704_067_200  # 2024-01-01 UTC — the events table's epoch week 0
-
-
-def q_retention_cohorts(spark, sf):
-    # classic cohort-retention analytics: users grouped by first-activity
-    # week, counted per later-activity week offset. The cohort week rides
-    # a user-partition window min (ONE exchange shared with the rollup);
-    # all week arithmetic is integer floor-division.
-    from pyspark.sql import Window
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    wk = F.expr(f"(unix_timestamp(ts) - {COHORT_T0}) div 604800")
-    w = Window.partitionBy("user_id")
-    d = e.select("user_id", wk.alias("wk"))
-    d = d.withColumn("cohort", F.min("wk").over(w))
-    return (d.groupBy("cohort",
-                      (F.col("wk") - F.col("cohort")).alias("week_offset"))
-            .agg(F.countDistinct("user_id").alias("n_users")))
-
-
-def q_canonical_groups(spark, sf):
-    # rel=canonical consolidation — the dedup step BEFORE content hashing
-    # in a crawl pipeline: every page not ≡0 (mod 4) declares the group
-    # leader's url canonical via an injected <link rel="canonical">; the
-    # extractor (regex over the html payload) wins over the page's own
-    # url, and pages group by effective canonical target. ONE host-sized
-    # aggregation; extraction is a codegen'd regexp pass.
-    p = pages.pages(spark, 2000)
-    tgt = (F.col("page_id") - F.pmod(F.col("page_id"), F.lit(4)))
-    th = F.md5(F.concat(F.lit("s42-"), tgt.cast("string")))
-    tsite = F.pmod(F.conv(F.substring(th, 1, 6), 16, 10).cast("bigint"),
-                   F.lit(1000))
-    turl = F.concat(F.lit("https://site"), tsite.cast("string"),
-                    F.lit(".example/"), F.substring(th, 7, 12))
-    link = F.when(F.pmod(F.col("page_id"), F.lit(4)) != 0,
-                  F.concat(F.lit('<link rel="canonical" href="'), turl,
-                           F.lit('">'))).otherwise(F.lit(""))
-    html2 = F.replace(F.decode(F.col("html"), "utf-8"),
-                      F.lit("<head><title>"),
-                      F.concat(F.lit("<head>"), link, F.lit("<title>")))
-    canon = F.regexp_extract(html2, '<link rel="canonical" href="([^"]+)"', 1)
-    eff = F.when(canon != "", canon).otherwise(F.col("url"))
-    return (p.select(eff.alias("canonical_url"), "page_id")
-            .groupBy("canonical_url")
-            .agg(F.count("*").alias("n_pages"),
-                 F.min("page_id").alias("rep_page_id")))
-
-
-def q_line_length_stats(spark, sf):
-    # linear-referencing measures per walk polyline: planar length (sum
-    # of per-segment sqrt — IEEE sqrt is correctly rounded, and the
-    # additions are unrolled in one fixed left-to-right order on BOTH
-    # engines, so the doubles match bit-for-bit), chord length, and
-    # integer sinuosity. Zero shuffles.
-    k = 9
-    wl = minted.minted_walk_lines_q(spark, sf, k=k)
-    X = [F.element_at(F.col("xs_q"), i + 1) for i in range(k)]
-    Y = [F.element_at(F.col("ys_q"), i + 1) for i in range(k)]
-    d2s = [(X[i + 1] - X[i]) * (X[i + 1] - X[i])
-           + (Y[i + 1] - Y[i]) * (Y[i + 1] - Y[i]) for i in range(k - 1)]
-    length = F.sqrt(d2s[0].cast("double"))
-    for d2 in d2s[1:]:
-        length = length + F.sqrt(d2.cast("double"))
-    chord2 = ((X[k - 1] - X[0]) * (X[k - 1] - X[0])
-              + (Y[k - 1] - Y[0]) * (Y[k - 1] - Y[0]))
-    chord = F.sqrt(chord2.cast("double"))
-    sinuosity = F.when(chord2 > 0,
-                       F.floor(length * 1000.0 / chord)).otherwise(F.lit(0))
-    return wl.select(
-        "doc_id", length.alias("length_q"), chord.alias("chord_q"),
-        F.greatest(*d2s).alias("max_seg_d2"),
-        sinuosity.cast("bigint").alias("sinuosity_x1000"))
-
-
-def _retention_cohorts_sql() -> str:
-    """Oracle for q_retention_cohorts (epoch floor == unix_timestamp)."""
-    return f"""
-        WITH d AS (SELECT user_id,
-                          (CAST(floor(epoch(ts)) AS BIGINT) - {COHORT_T0})
-                          // 604800 AS wk
-                   FROM events),
-        c AS (SELECT user_id, wk,
-                     min(wk) OVER (PARTITION BY user_id) AS cohort
-              FROM d)
-        SELECT cohort, wk - cohort AS week_offset,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        FROM c GROUP BY 1, 2"""
-
-
-def _canonical_groups_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_canonical_groups: same link mint spliced into the
-    html envelope (head_extra slot), same regexp extraction."""
-    th = f"md5('s{seed}-' || CAST(id - id % 4 AS VARCHAR))"
-    turl = (f"'https://site' || CAST(CAST(('0x' || substr({th}, 1, 6))"
-            f" AS BIGINT) % 1000 AS VARCHAR) || '.example/'"
-            f" || substr({th}, 7, 12)")
-    link = (f"CASE WHEN id % 4 <> 0 THEN"
-            f" '<link rel=\"canonical\" href=\"' || {turl} || '\">'"
-            f" ELSE '' END")
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        h AS (SELECT id, url, {_html_sql(head_extra=f"({link})")} AS html2
-              FROM txt),
-        c AS (SELECT id, url,
-                     regexp_extract(html2,
-                         '<link rel="canonical" href="([^"]+)"', 1) AS canon
-              FROM h)
-        SELECT CASE WHEN canon <> '' THEN canon ELSE url END
-                   AS canonical_url,
-               count(*) AS n_pages, min(id) AS rep_page_id
-        FROM c GROUP BY 1"""
-
-
-def _line_length_stats_sql(k: int = 9) -> str:
-    """Oracle for q_line_length_stats: the same unrolled left-to-right
-    sqrt sum (IEEE sqrt + additions in identical order → bit-equal)."""
-    xs, ys = minted.sql_minted_walk_coords(k)
-    cols = ",\n               ".join(
-        [f"{e} AS x{i}" for i, e in enumerate(xs)]
-        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
-    d2s = [f"((x{i + 1} - x{i}) * (x{i + 1} - x{i})"
-           f" + (y{i + 1} - y{i}) * (y{i + 1} - y{i}))" for i in range(k - 1)]
-    length = " + ".join(f"sqrt(CAST({d} AS DOUBLE))" for d in d2s)
-    chord2 = (f"((x{k - 1} - x0) * (x{k - 1} - x0)"
-              f" + (y{k - 1} - y0) * (y{k - 1} - y0))")
-    return f"""
-        WITH wl AS (SELECT doc_id, {cols} FROM documents)
-        SELECT doc_id,
-               ({length}) AS length_q,
-               sqrt(CAST({chord2} AS DOUBLE)) AS chord_q,
-               CAST(greatest({', '.join(d2s)}) AS BIGINT) AS max_seg_d2,
-               CAST(CASE WHEN {chord2} > 0
-                    THEN floor(({length}) * 1000.0
-                               / sqrt(CAST({chord2} AS DOUBLE)))
-                    ELSE 0 END AS BIGINT) AS sinuosity_x1000
-        FROM wl"""
-
-
-def q_unpivot_lang_counts(spark, sf):
-    # UNPIVOT — the inverse of the pivot shape: per-lang counts of four
-    # source buckets widened, then melted back to (lang, src, n) via
-    # DataFrame.unpivot (SQL stack()). Round-trips the pivot family.
-    d = _docs(spark, sf)
-    wide = d.groupBy("lang").agg(*[
-        F.count(F.when(F.col("source") == f"src{i}", 1)).alias(f"src{i}_n")
-        for i in range(4)])
-    return wide.unpivot("lang", [f"src{i}_n" for i in range(4)],
-                        "src", "n")
-
-
-def q_grouping_sets_counts(spark, sf):
-    # explicit GROUPING SETS — finer than rollup/cube: exactly
-    # ((lang, source), (lang), (source)) with grouping_id disambiguating
-    # the all-NULL placeholder rows from real values.
-    d = _docs(spark, sf)
-    d.createOrReplaceTempView("_gs_docs")
-    return spark.sql("""
-        SELECT lang, source, count(*) AS n,
-               CAST(grouping(lang) AS INT) AS g_lang,
-               CAST(grouping(source) AS INT) AS g_source
-        FROM _gs_docs
-        GROUP BY GROUPING SETS ((lang, source), (lang), (source))""")
-
-
-def q_token_positions(spark, sf):
-    # positional explode semantics: the FIRST position (0-based) of each
-    # distinct token per document via posexplode + min — the dictionary
-    # builder's offset table. One (doc, token) combine-shuffle.
-    d = _docs(spark, sf)
-    t = d.select("doc_id", F.posexplode(TXT.tokens(F.col("text")))
-                 .alias("pos", "tok"))
-    return (t.groupBy("doc_id", "tok")
-            .agg(F.min("pos").cast("bigint").alias("first_pos"),
-                 F.count("*").alias("n_occ")))
-
-
-def _unpivot_lang_counts_sql() -> str:
-    """Oracle for q_unpivot_lang_counts: the CASE-sum pivot re-melted with
-    UNION ALL (portable; DuckDB UNPIVOT would work too)."""
-    wide = ", ".join(
-        f"count(CASE WHEN source = 'src{i}' THEN 1 END) AS src{i}_n"
-        for i in range(4))
-    arms = "\n        UNION ALL ".join(
-        f"SELECT lang, 'src{i}_n' AS src, src{i}_n AS n FROM w"
-        for i in range(4))
-    return f"""
-        WITH w AS (SELECT lang, {wide} FROM documents GROUP BY 1)
-        {arms}"""
-
-
-def _grouping_sets_counts_sql() -> str:
-    """Oracle for q_grouping_sets_counts (DuckDB GROUPING SETS +
-    GROUPING())."""
-    return """
-        SELECT lang, source, count(*) AS n,
-               CAST(grouping(lang) AS INT) AS g_lang,
-               CAST(grouping(source) AS INT) AS g_source
-        FROM documents
-        GROUP BY GROUPING SETS ((lang, source), (lang), (source))"""
-
-
-def _token_positions_sql() -> str:
-    """Oracle for q_token_positions: unnest WITH ORDINALITY is spelled
-    generate_subscripts-free in DuckDB via list_transform over indexes
-    (0-based to match posexplode)."""
-    return """
-        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS ws
-                      FROM documents),
-        t AS (SELECT doc_id,
-                     unnest(list_transform(range(1, len(ws) + 1),
-                            i -> struct_pack(pos := i - 1, tok := ws[i])))
-                         AS pt
-              FROM toks)
-        SELECT doc_id, pt.tok AS tok,
-               CAST(min(pt.pos) AS BIGINT) AS first_pos,
-               count(*) AS n_occ
-        FROM t GROUP BY 1, 2"""
-
-
-def q_hll_union_rollup(spark, sf):
-    # HLL mergeability demonstrated IN-ENGINE: per-lang register tables
-    # merged by register-wise max, estimated, next to the direct global
-    # sketch — s_scaled must match EXACTLY (merge_exact = 1). This is the
-    # property that lets 1000 executors sketch independently and a
-    # coordinator union in O(m): the rollup never rescans the corpus.
-    d = _docs(spark, sf)
-    per = sketch.hll_registers_by(d, ["lang"], "text")
-    merged = per.groupBy("bucket").agg(F.max("r").alias("r"))
-    me = sketch.hll_estimate(merged).select(
-        F.col("est_raw").alias("est_merged"),
-        F.col("s_scaled").alias("s_merged"))
-    de = sketch.hll_estimate(sketch.hll_registers(d, "text")).select(
-        F.col("est_raw").alias("est_direct"),
-        F.col("s_scaled").alias("s_direct"))
-    return me.crossJoin(de).select(
-        "est_merged", "est_direct", "s_merged", "s_direct",
-        (F.col("s_merged") == F.col("s_direct")).cast("int")
-        .alias("merge_exact"))
-
-
-def q_minhash_eval(spark, sf):
-    # LSH quality MEASURED as a query: MinHash candidate pairs joined
-    # against the exact n-gram Jaccard tier at the same threshold →
-    # precision/recall in ppm. The number the bucket-cap and band-count
-    # knobs trade off, pinned per-corpus instead of asserted in prose.
-    d = _docs(spark, sf)
-    lsh = (dedup.minhash_lsh_pairs(d, key="doc_id", jaccard_threshold=0.4)
-           .select("a", "b").localCheckpoint(eager=False))
-    exact = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
-                                       threshold=0.4)
-             .select("a", "b").localCheckpoint(eager=False))
-    both = lsh.join(exact, ["a", "b"], "left_semi")
-    r = (lsh.agg(F.count("*").alias("n_lsh"))
-         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
-         .crossJoin(both.agg(F.count("*").alias("n_both"))))
-    ppm = lambda num, den: F.when(  # noqa: E731
-        F.col(den) > 0, F.expr(f"{num} * 1000000 div {den}")
-    ).otherwise(F.lit(-1)).cast("bigint")
-    return r.select("n_lsh", "n_exact", "n_both",
-                    ppm("n_both", "n_lsh").alias("precision_ppm"),
-                    ppm("n_both", "n_exact").alias("recall_ppm"))
-
-
-def _hll_union_rollup_sql() -> str:
-    """Oracle for q_hll_union_rollup: per-lang register CTE → max-merge →
-    the shared estimate fragment; direct sketch alongside."""
-    return f"""
-        WITH {sketch.sql_hll_registers_cte('documents', 'text',
-                                           prefix='p', group_expr='lang')},
-        mreg AS (SELECT bucket, max(r) AS r FROM phllreg GROUP BY 1),
-        {sketch.sql_hll_estimate_from('mreg', prefix='m')},
-        {sketch.sql_hll_registers_cte('documents', 'text', prefix='d')},
-        {sketch.sql_hll_estimate_from('dhllreg', prefix='d')}
-        SELECT mhll.est_raw AS est_merged, dhll.est_raw AS est_direct,
-               mhll.s_scaled AS s_merged, dhll.s_scaled AS s_direct,
-               CAST(mhll.s_scaled = dhll.s_scaled AS INT) AS merge_exact
-        FROM mhll, dhll"""
-
-
-def _minhash_eval_sql() -> str:
-    """Oracle for q_minhash_eval: the minhash oracle as a derived
-    subquery (own WITH scope) against the exact-Jaccard CTE chain."""
-    return f"""
-        WITH {_ngram_sql(3, 0.4)},
-        lsh AS (SELECT a, b FROM ({_minhash_sql()})),
-        st AS (SELECT
-                   (SELECT count(*) FROM lsh) AS n_lsh,
-                   (SELECT count(*) FROM pairs) AS n_exact,
-                   (SELECT count(*) FROM lsh JOIN pairs USING (a, b))
-                       AS n_both)
-        SELECT CAST(n_lsh AS BIGINT) AS n_lsh,
-               CAST(n_exact AS BIGINT) AS n_exact,
-               CAST(n_both AS BIGINT) AS n_both,
-               CAST(CASE WHEN n_lsh > 0 THEN n_both * 1000000 // n_lsh
-                    ELSE -1 END AS BIGINT) AS precision_ppm,
-               CAST(CASE WHEN n_exact > 0 THEN n_both * 1000000 // n_exact
-                    ELSE -1 END AS BIGINT) AS recall_ppm
-        FROM st"""
-
-
-# ---------------------------------------------------------------------------
-# queries
-# ---------------------------------------------------------------------------
-
-def _points(spark, sf):
-    return minted.minted_points(spark, sf)
-
-
-def _rects(spark, sf):
-    return minted.minted_rects(spark, sf)
-
-
-def _tris(spark, sf):
-    return minted.minted_triangles(spark, sf)
-
-
-def _docs(spark, sf):
-    from geobuf_spark.sources.tables import widen
-    return widen(spark.read.parquet(f"{sf}/documents.parquet"), spark)
-
-
-def _emb(spark, sf):
-    # sf0.1 embeddings.parquet is ONE row group — without widen() every
-    # pre-shuffle stage (signatures, norms, GEMM batches) runs on one task
-    from geobuf_spark.sources.tables import widen
-    return widen(spark.read.parquet(f"{sf}/embeddings.parquet"), spark)
-
-
-def q_mint_points(spark, sf):
-    return _points(spark, sf)
-
-
-def q_geo_bounds(spark, sf):
-    # Expand_BoundingBoxs / Splitter bounds accumulation (bb.go:39-86,
-    # split_combine.go:137-152) as one global agg
-    return _points(spark, sf).agg(
-        F.min("lon").alias("west"), F.min("lat").alias("south"),
-        F.max("lon").alias("east"), F.max("lat").alias("north"),
-        F.count("*").alias("n_features"),
-    )
-
-
-def q_tile_assign_z8(spark, sf):
-    return tiling.assign_tiles_points(_points(spark, sf), z=8).select("doc_id", "z", "x", "y")
-
-
-def q_morton_keys_z8(spark, sf):
-    # Z-order clustering key (Iceberg/Delta Z-ORDER parity): the 1-D sort
-    # key cluster_by_morton range-partitions files on, so bbox scans prune
-    # via parquet min/max stats
-    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
-    return a.select("doc_id", "x", "y",
-                    tiles.morton_key(F.col("x"), F.col("y"), 8).alias("morton"))
-
-
-def q_tile_counts_z6(spark, sf):
-    return tiling.tile_histogram(tiling.assign_tiles_points(_points(spark, sf), z=6))
-
-
-def q_tile_parent_promote(spark, sf):
-    # z=10 assignment promoted to z=7 — parent arithmetic (split_combine.go:390-394)
-    a = tiling.assign_tiles_points(_points(spark, sf), z=10)
-    return tiling.promote_to_zoom(a, 7).select("doc_id", "z", "x", "y")
-
-
-def q_hex_density(spark, sf):
-    # H3-style hex binning (flat-plane axial + cube rounding) as a density
-    # rollup — hexagonal analog of tile_counts
-    return (
-        _points(spark, sf)
-        .withColumn("hex", hexgrid.hex_cell(F.col("lon"), F.col("lat"), 5.0))
-        .groupBy("hex").agg(F.count("*").alias("n_features"))
-    )
-
-
-def q_tile_pyramid(spark, sf):
-    # multi-zoom rollup z=8 → z=5: one scan + per-level folds
-    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
-    return tiling.tile_pyramid(a, z_min=5)
-
-
-def q_tile_cover_rects_z7(spark, sf):
-    return tiling.assign_tiles_bbox(_rects(spark, sf), z=7).select("poly_id", "z", "x", "y")
-
-
-def q_split_clip_z5(spark, sf):
-    # full MapGeobuf-with-ClipFeature semantics on rect features: each
-    # (rect, tile) piece is the rect∩tile box — oracle-exact arithmetic
-    r = _rects(spark, sf)
-    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
-    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
-                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
-    out = tiling.split_clip_tiles(polys, z=5)
-    idxs = F.sequence(F.lit(0), (F.size("coords") / 2).cast("int") - 1)
-    xs = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 1))
-    ys = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 2))
-    piece = out.select(
-        "poly_id", "z", "x", "y",
-        F.round(F.array_min(xs), 7).alias("pminx"),
-        F.round(F.array_min(ys), 7).alias("pminy"),
-        F.round(F.array_max(xs), 7).alias("pmaxx"),
-        F.round(F.array_max(ys), 7).alias("pmaxy"),
-    )
-    return piece.filter((F.col("pmaxx") > F.col("pminx")) & (F.col("pmaxy") > F.col("pminy")))
-
-
-def q_vector_tiles_z5(spark, sf):
-    # capstone tiling pipeline: cover → clip → tile-local grid snap.
-    # Output = the snapped grid box of every surviving (rect, tile) ring
-    # plus the ring's grid-value count — for axis-aligned rects the
-    # Sutherland–Hodgman clip is exactly the rect∩tile box, so the whole
-    # pipeline (cover, clip, snap with clamps, degenerate-ring drop) has
-    # an exact DuckDB twin. The snap's x side runs the IDENTICAL float
-    # expression both engines; the y side is self-consistent per engine
-    # (each clips and snaps against its own mercator bounds).
-    r = _rects(spark, sf)
-    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
-    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
-                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
-    out = tiling.vector_tiles(polys, z=5, extent=256)
-    xs = F.filter("grid_coords", lambda v, i: i % 2 == 0)
-    ys = F.filter("grid_coords", lambda v, i: i % 2 == 1)
-    return out.select(
-        "poly_id", "z", "x", "y",
-        F.size("grid_coords").alias("n_grid_values"),
-        F.array_min(xs).alias("gx0"), F.array_max(xs).alias("gx1"),
-        F.array_min(ys).alias("gy0"), F.array_max(ys).alias("gy1"))
-
-
-def q_mvt_tiles_z4(spark, sf):
-    # real Mapbox Vector Tile blobs (spec 2.1 wire format) from the full
-    # cover→clip→snap pipeline; rows-only (binary output), round-trip
-    # verified by the spec-conformant parser in pytest
-    from geobuf_spark.functions import mvt as MVT
-    r = _rects(spark, sf)
-    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
-    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
-                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
-    vt = tiling.vector_tiles(polys, z=4, extent=4096)
-    poly_tiles = MVT.build_mvt_tiles(vt, layer_name="rects") \
-        .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features")
-    # point layer (MULTIPOINT MoveTo runs) over the minted doc points
-    vp = tiling.vector_tiles_points(_points(spark, sf), z=4, extent=4096)
-    pt_tiles = MVT.build_mvt_tiles(vp, id_col="doc_id", layer_name="docs",
-                                   geom="point") \
-        .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features")
-    # per-tile feature ROUTING is driver-oracled; the blob bytes themselves
-    # are pinned by the parse_mvt round-trip fuzz tests
-    return poly_tiles.unionByName(pt_tiles)
-
-
-def q_pip_join_rects(spark, sf):
-    return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
-                       strategy="broadcast").select("doc_id", "poly_id")
-
-
-def q_pip_join_rects_salted(spark, sf):
-    # salt factor comes from plan_salt on the probe histogram (VERDICT r2
-    # #6) — at sandbox scale that is k=1 (no hot cell), i.e. the planner
-    # correctly refuses to replicate the build side; pytest exercises
-    # multi-salt correctness with explicit k
-    return sj.pip_join(_points(spark, sf), _rects(spark, sf), z=6,
-                       strategy="salted").select("doc_id", "poly_id")
-
-
-def q_pip_join_s2(spark, sf):
-    # same semantics as pip_join_rects, s2 cube-face cells as the equi-key;
-    # level auto-chosen by the cover-budget planner (choose_s2_level)
-    return sj.pip_join_s2(_points(spark, sf), _rects(spark, sf),
-                          strategy="broadcast").select("doc_id", "poly_id")
-
-
-def q_pip_join_hex(spark, sf):
-    # hex-indexed variant — identical pairs to the tile/s2 joins
-    return sj.pip_join_hex(_points(spark, sf), _rects(spark, sf), size_deg=3.0,
-                           strategy="broadcast").select("doc_id", "poly_id")
-
-
-def q_pip_join_triangles(spark, sf):
-    tri = _tris(spark, sf) \
-        .withColumn("minx", F.col("x1")).withColumn("maxx", F.col("x2")) \
-        .withColumn("miny", F.col("y1")).withColumn("maxy", F.col("y0"))
-    return sj.pip_join(
-        _points(spark, sf), tri, z=6,
-        refine=sj.triangle_contains(F.col("lon"), F.col("lat")),
-    ).select("doc_id", "poly_id")
-
-
-def q_pip_semi(spark, sf):
-    return sj.pip_join_semi(_points(spark, sf), _rects(spark, sf), z=6).select("doc_id")
-
-
-def q_knn_k5(spark, sf):
-    pts = _points(spark, sf)
-    queries = pts.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    return knn.knn(pts, queries, 5, z=4, ring=1).select("query_id", "neighbor_id", "rank")
-
-
-def q_knn_hex_k5(spark, sf):
-    # hex index family kNN (TODO r2 item): identical rows to knn_k5 via
-    # the flat-plane hex completeness guard (operators/knn.knn_hex)
-    pts = _points(spark, sf)
-    queries = pts.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    return knn.knn_hex(pts, queries, 5, size_deg=8.0, ring=1) \
-        .select("query_id", "neighbor_id", "rank")
-
-
-def q_knn_s2_k5(spark, sf):
-    # S2 cube-face index kNN (TODO r2's parked cross-face guard): radius-
-    # cover candidates span faces, completeness via the cover superset
-    # property (operators/knn.knn_s2) — identical rows to knn_k5
-    pts = _points(spark, sf)
-    queries = pts.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    return knn.knn_s2(pts, queries, 5, level=3) \
-        .select("query_id", "neighbor_id", "rank")
-
-
-def q_knn_adaptive_k5(spark, sf):
-    # geometric ring growth from the histogram-chosen start ring — same
-    # exact rows as knn_k5; sparse queries escalate instead of falling
-    # straight to brute force, and the pass loop stops once the frontier
-    # drains (dense data pays one ring pass, no fallback stages)
-    pts = _points(spark, sf)
-    queries = pts.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "lon", "lat")
-    return knn.knn_adaptive(pts, queries, 5, z=4) \
-        .select("query_id", "neighbor_id", "rank")
-
-
-def q_geobuf_roundtrip(spark, sf):
-    # real encode → decode through the binary column; exact integer lattice
-    enc = spark_codec.encode_points(_points(spark, sf))
-    return spark_codec.decode_points(enc, quantized=True) \
-        .select(F.col("id").alias("doc_id"), "lon_q", "lat_q")
-
-
-def q_polygon_roundtrip(spark, sf):
-    # ring-structured codec through the vectorized Polygon kernel: rect →
-    # 5-vertex ring → encode → decode; corners exact on the 1e-7 lattice
-    r = _rects(spark, sf)
-    ring = F.array(
-        "minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy", "minx", "miny",
-    )
-    src = r.select("poly_id", ring.alias("coords"),
-                   F.array(F.lit(5)).alias("ring_lens"))
-    dec = spark_codec.decode_polygons(spark_codec.encode_polygons(src))
-    return dec.select(
-        "poly_id",
-        F.element_at("coords_q", 1).alias("x0_q"),
-        F.element_at("coords_q", 2).alias("y0_q"),
-        F.element_at("coords_q", 5).alias("x2_q"),
-        F.element_at("coords_q", 6).alias("y2_q"),
-    )
-
-
-def q_props_roundtrip(spark, sf):
-    # property key/value tables through the REAL binary, vectorized BOTH
-    # ways: fixed-schema encode → wire-level lazy single-prop reads
-    # (LazyFeatureTileID semantics) — no per-row Python anywhere
-    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
-    pts = minted.minted_points(spark, sf).join(d, "doc_id")
-    enc = spark_codec.encode_points_with_props(pts, props=["lang", "n_chars"]) \
-        .localCheckpoint(eager=False)  # two lazy readers share one encode
-    langs = spark_codec.lazy_property(enc, "lang")
-    nchars = spark_codec.lazy_property(enc, "n_chars", value_type="bigint")
-    return langs.join(nchars, "id").select(
-        F.col("id").alias("doc_id"), "lang", "n_chars")
-
-
-def q_feature_count(spark, sf):
-    # NumberFeatures counter (reader.go:27) — total + per-lang
-    return _docs(spark, sf).groupBy("lang").agg(F.count("*").alias("n_features"))
-
-
-def q_increment_limit(spark, sf):
-    # Increment (increment.go:9-32): take first N by id, tag COLORKEY purple
-    return (
-        _docs(spark, sf).orderBy("doc_id").limit(20)
-        .select("doc_id", F.lit("purple").alias("COLORKEY"))
-    )
-
-
-def q_union_datasets(spark, sf):
-    # AddGeobuf / CombineFileSubFiles (writer.go:119-130) — union of subsets
-    d = _docs(spark, sf)
-    return d.filter(F.col("lang") == "en").select("doc_id", "lang").unionAll(
-        d.filter(F.col("lang") == "de").select("doc_id", "lang")
-    )
-
-
-def q_csv_export(spark, sf):
-    # ReadGeobufCSV projection (read_geobuf_stdout.go:188-221): fixed column
-    # list flattened to a pipe-delimited line
-    return _docs(spark, sf).select(
-        "doc_id",
-        F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias("line"),
-    )
-
-
-def q_distinct_prop_keys(spark, sf):
-    # GetKeys (read_geobuf_stdout.go:168-186): distinct property keys over
-    # the dynamic per-row map (events.props JSON)
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    return (
-        ev.select(F.explode(F.json_object_keys("props")).alias("key"))
-        .groupBy("key").agg(F.count("*").alias("n"))
-    )
-
-
-def q_doc_quality(spark, sf):
-    return TXT.quality_columns(_docs(spark, sf)).select(
-        "doc_id", "n_bytes", "n_tokens", "n_uniq_tokens", "mean_token_len_x100"
-    )
-
-
-def q_doc_fingerprint(spark, sf):
-    return _docs(spark, sf).select(
-        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
-    )
-
-
-def q_dedup_exact(spark, sf):
-    return dedup.dedup_exact(_docs(spark, sf), key="doc_id")
-
-
-def q_corpus_clean(spark, sf):
-    # the SQL-expressible slice of jobs.clean_corpus: lang allowlist →
-    # exact dedup (keep min doc_id per text hash) → token-count gate.
-    # (minhash near-dup removal is the job-only, non-SQL stage.)
-    d = _docs(spark, sf).filter(F.col("lang").isin("en", "de", "fr", "es", "zh"))
-    reps = dedup.dedup_exact(d, key="doc_id")
-    kept = d.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
-    scored = TXT.quality_columns(kept)
-    return scored.filter(F.col("n_tokens") >= 5) \
-        .select("doc_id", "lang", "n_tokens")
-
-
-def q_token_totals(spark, sf):
-    return (
-        TXT.quality_columns(_docs(spark, sf))
-        .groupBy("lang")
-        .agg(F.sum("n_tokens").alias("total_tokens"),
-             F.count("*").alias("n_docs"),
-             F.max("n_uniq_tokens").alias("max_uniq"))
-    )
-
-
-def q_events_window(spark, sf):
-    return W.tumbling_counts(spark.read.parquet(f"{sf}/events.parquet"), minutes=5)
-
-
-def q_sliding_window(spark, sf):
-    # hopping windows 10min/5min: each event lands in two windows
-    return W.sliding_counts(spark.read.parquet(f"{sf}/events.parquet"),
-                            length_minutes=10, slide_minutes=5)
-
-
-def q_events_enriched(spark, sf):
-    # stream-static enrichment rollup (batch twin; streaming twin tested
-    # batch≡stream with a broadcast dimension)
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    dim = spark.read.parquet(f"{sf}/customer.parquet")
-    return W.enrich_events(ev, dim)
-
-
-def q_sessionize(spark, sf):
-    return W.sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
-
-
-def q_click_attribution(spark, sf):
-    # stream-stream-join shape (batch twin; the Structured Streaming twin
-    # with watermarked two-sided state is click_attribution_streaming,
-    # batch==stream pytest-pinned)
-    return W.click_attribution(spark.read.parquet(f"{sf}/events.parquet"))
-
-
-def q_ngram_jaccard(spark, sf):
-    # exact n-gram Jaccard tier (the verification tier under the LSH
-    # near-dup operators): token shingles self-join + inclusion-exclusion
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
-                                     shingle_k=3, threshold=0.4)
-
-
-def q_dup_components(spark, sf):
-    # connected components over the exact near-dup pair graph → one
-    # representative per duplicate cluster (min-label + pointer jumping)
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
-                                      shingle_k=3, threshold=0.4)
-    return dedup.near_dup_components(pairs)
-
-
-def q_range_join_sessions(spark, sf):
-    # interval range join via bucketized equi-join (the range analog of
-    # the cell join): events ⋈ their user's session windows. Sessions are
-    # disjoint with gaps > the threshold, so n_in_window == the session's
-    # own event count — the oracle checks the join, not a tautology.
-    from geobuf_spark.operators import temporal
-
-    # both branches (event probe + session build) share ONE physical scan
-    raw = spark.read.parquet(f"{sf}/events.parquet").localCheckpoint(eager=False)
-    ev = raw.withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
-    sess = W.sessionize(raw, gap_minutes=30)
-    joined = temporal.range_bucket_join(
-        ev.select("user_id", "ep"), sess, key="user_id", ts="ep",
-        lo="t_start", hi="t_end", bucket=3600)
-    return joined.groupBy("user_id", "session_id") \
-        .agg(F.count("*").alias("n_in_window"))
-
-
-def q_tile_stream_counts(spark, sf):
-    # geo × event-time rollup: minted event points → mercator tile at z=6
-    # → tumbling 10-min counts per (window, tile); streaming twin tested
-    # batch≡stream in pytest
-    return W.tile_event_counts(spark.read.parquet(f"{sf}/events.parquet"),
-                               z=6, minutes=10)
-
-
-def q_multimodal_bytes(spark, sf):
-    # binary-column plumbing: documents.text → binary payload + metadata
-    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    return d.select(
-        "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
-        F.hex(F.substring(F.col("text"), 1, 4)).alias("magic_hex"),
-    )
-
-
-def q_multimodal_ann_top3(spark, sf):
-    # cross-operator chain: binary payloads → vectorized byte-histogram
-    # embeddings → exact cosine top-k (rows-only; pytest proves the
-    # planted-duplicate rank-1 property)
-    from geobuf_spark.operators import multimodal
-    d = _docs(spark, sf).withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    emb = multimodal.payload_embedding(d.select("doc_id", "payload"))
-    queries = emb.filter(F.col("doc_id") % 50 == 0) \
-        .select(F.col("doc_id").alias("query_id"), "embedding")
-    return similarity.brute_force_topk(
-        emb.withColumnRenamed("doc_id", "vec_id"), queries, k=3)
-
-
-def q_tpch_q1(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-def q_tpch_q3(spark, sf):
-    # lineitem is the streamed side: the filtered orders x customer chain
-    # builds a shuffle-hash table (small SFs under-estimate the pruned
-    # lineitem scan and would otherwise broadcast the fact table)
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    chain = (
-        o.filter(F.col("o_orderdate") < "1995-03-15").select("o_orderkey", "o_custkey")
-        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-    ).hint("shuffle_hash")
-    return (
-        li.filter(F.col("l_shipdate") > "1995-03-15")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    )
-
-
-def q_tpch_q5(spark, sf):
-    r = spark.read.parquet(f"{sf}/region.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    # stream lineitem once; region->nation and supplier are true dims and
-    # broadcast explicitly; the filtered orders x customer chain is the
-    # shuffle-hash build side (the static planner's pruned-scan estimate
-    # at small SFs would otherwise broadcast the whole fact table)
-    n_asia = (
-        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-               F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("n_nationkey", "n_name")
-    )
-    chain = (
-        o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .select("o_orderkey", "o_custkey")
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-    ).hint("shuffle_hash")
-    return (
-        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
-              (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
-        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    )
-
-
-def q_bbox_intersect_join(spark, sf):
-    # Intersect — the reference's only spatial predicate
-    # (split_combine.go:324-331, two Overlapping_1D conjuncts): all
-    # intersecting rect pairs, via cell cover equi-join + exact predicate
-    a = _rects(spark, sf)
-    b = _rects(spark, sf).select(
-        F.col("poly_id").alias("b_id"), F.col("minx").alias("b_minx"),
-        F.col("miny").alias("b_miny"), F.col("maxx").alias("b_maxx"),
-        F.col("maxy").alias("b_maxy"),
-    )
-    ca = tiling.assign_tiles_bbox(a, z=4).withColumn(
-        "cell", tiles.cell_id(4, F.col("x"), F.col("y"))).drop("z", "x", "y")
-    cb = tiling.assign_tiles_bbox(
-        b.withColumnRenamed("b_minx", "minx").withColumnRenamed("b_miny", "miny")
-         .withColumnRenamed("b_maxx", "maxx").withColumnRenamed("b_maxy", "maxy"), z=4
-    ).withColumn("cell", tiles.cell_id(4, F.col("x"), F.col("y"))).drop("z", "x", "y") \
-     .withColumnRenamed("minx", "b_minx").withColumnRenamed("miny", "b_miny") \
-     .withColumnRenamed("maxx", "b_maxx").withColumnRenamed("maxy", "b_maxy")
-    pairs = (
-        ca.join(cb, "cell")
-        .filter(F.col("poly_id") < F.col("b_id"))
-        .filter(
-            (F.col("maxx") >= F.col("b_minx")) & (F.col("b_maxx") >= F.col("minx"))
-            & (F.col("maxy") >= F.col("b_miny")) & (F.col("b_maxy") >= F.col("miny"))
-        )
-        .select("poly_id", "b_id").distinct()  # pairs can share several cells
-    )
-    return pairs
-
-
-def q_map_features(spark, sf):
-    # MapGeobuf (convert_geojson.go:195-206): user feature→feature transform
-    # — a projection: shift each point one lattice-safe step northeast
-    p = _points(spark, sf)
-    return p.select(
-        "doc_id",
-        (F.col("lon") + F.lit(0.5)).alias("lon"),
-        (F.col("lat") + F.lit(0.25)).alias("lat"),
-    )
-
-
-def q_cover_size_estimate(spark, sf):
-    # GetSizeGrid (split_combine.go:44-53): planned tile fan-out per feature
-    from geobuf_spark.functions.tiles import bbox_tile_range
-    r = _rects(spark, sf)
-    x0, x1, y0, y1 = bbox_tile_range(F.col("minx"), F.col("miny"),
-                                     F.col("maxx"), F.col("maxy"), 7)
-    return r.select(
-        "poly_id", ((x1 - x0 + 1) * (y1 - y0 + 1)).alias("n_tiles")
-    )
-
-
-def q_topk_per_group(spark, sf):
-    # top-3 lineitems by extendedprice per returnflag (window op surface)
-    from pyspark.sql import Window
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc())
-    return (
-        li.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("l_returnflag", "l_orderkey", "l_linenumber", "rnk")
-    )
-
-
-def q_embedding_norms_q(spark, sf):
-    # per-element integer quantization before the sum → order-free exact agg
-    emb = _emb(spark, sf)
-    qsum = F.aggregate(
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e6)).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    return emb.select("vec_id", F.size("embedding").alias("dim"), qsum.alias("normsq_q"))
-
-
-def q_pip_join_general(spark, sf):
-    # the general-polygon PIP machinery (edge explode + crossing parity)
-    # driven end-to-end on rect-shaped polygons, where ray-casting equals
-    # half-open containment [minx,maxx)×[miny,maxy) — SQL-expressible
-    r = _rects(spark, sf)
-    polys = r.select(
-        "poly_id", "minx", "miny", "maxx", "maxy",
-        F.array("minx", "miny", "maxx", "miny", "maxx", "maxy",
-                "minx", "maxy", "minx", "miny").alias("coords"),
-        F.array(F.lit(5)).alias("ring_lens"),
-    )
-    return sj.pip_join_general(_points(spark, sf), polys, z=6) \
-        .select("doc_id", "poly_id")
-
-
-def q_s2_cells_l8(spark, sf):
-    # S2-style cube-face cell index (functions/cells.py): id + parent
-    from geobuf_spark.functions import cells
-    p = _points(spark, sf)
-    c = cells.s2_cell(F.col("lon"), F.col("lat"), 8)
-    return p.select("doc_id", c.alias("s2_cell"),
-                    cells.s2_parent(c, 8).alias("s2_parent"))
-
-
-def q_asof_purchase_view(spark, sf):
-    # as-of join (no Spark native): each purchase matched to the user's
-    # latest view at-or-before it; right side deduped per (user, second)
-    # for deterministic ties. Oracle: DuckDB native ASOF JOIN.
-    from geobuf_spark.operators import temporal
-    ev = spark.read.parquet(f"{sf}/events.parquet") \
-        .withColumn("ep", F.floor(F.unix_timestamp("ts")).cast("bigint"))
-    purchases = ev.filter(F.col("event_type") == "purchase") \
-        .select("event_id", "user_id", "ep")
-    views = ev.filter(F.col("event_type") == "view") \
-        .groupBy("user_id", "ep").agg(F.max("event_id").alias("view_event_id")) \
-        .select("user_id", "ep", "view_event_id")
-    out = temporal.asof_join(purchases, views, key="user_id", ts="ep",
-                             right_cols=["view_event_id"])
-    return out.select("event_id", "user_id", "ep", "view_event_id")
-
-
-def q_tpch_q6(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    return li.filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
-
-
-def q_rasterize_z4(spark, sf):
-    from geobuf_spark.operators import raster
-    return raster.rasterize(_points(spark, sf), z=4, res_bits=4)
-
-
-def q_vectorize_z3(spark, sf):
-    from geobuf_spark.operators import raster
-    return raster.vectorize(raster.rasterize(_points(spark, sf), z=3, res_bits=4))
-
-
-def q_tpch_q4(spark, sf):
-    # EXISTS / left-semi shape
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    # adapted q4 predicate (no commit/receipt dates in this schema):
-    # orders having ≥1 deeply-discounted lineitem
-    late = li.filter(F.col("l_discount") > 0.05).select("l_orderkey").distinct()
-    return (
-        o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01"))
-        .join(late, o.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
-    )
-
-
-
-def q_tpch_q10(spark, sf):
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    # same shape as q5: lineitem streams, the filtered orders x customer
-    # chain is the shuffle-hash build, nation broadcasts
-    chain = (
-        o.filter((F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .select("o_orderkey", "o_custkey")
-        .join(c.select("c_custkey", "c_name", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-    ).hint("shuffle_hash")
-    return (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")),
-              F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    )
-
-
-
-def q_tpch_q14(spark, sf):
-    # conditional-aggregate ratio (promo effect)
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey")) \
-        .filter((F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-    return joined.agg(
-        F.round(promo, 2).alias("promo_revenue"),
-        F.round(F.sum(rev), 2).alias("total_revenue"),
-    )
-
-
-def q_tpch_q12(spark, sf):
-    # q12 shape on this testdata's columns: priority-class line counts per
-    # linestatus for a ship-date year (the CASE-aggregation pattern)
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    # fact-fact edge: shuffle-hash, never broadcast either table
-    j = (
-        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
-        .select("l_orderkey", "l_linestatus")
-        .join(o.select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-    )
-    hi = F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
-    lo = F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
-    return j.groupBy("l_linestatus").agg(hi.alias("high_line_count"),
-                                         lo.alias("low_line_count"))
-
-
-def q_tpch_q19(spark, sf):
-    # disjunctive multi-predicate join filter (q19 shape, simplified brands)
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-    c1 = (F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
-    c2 = (F.col("p_size").between(16, 30) & F.col("l_quantity").between(10, 30))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(c1 | c2).agg(
-        F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_lines"))
-
-
-def q_tpch_q2(spark, sf):
-    # min-cost supplier per part (q2 shape; no partsupp table in the
-    # testdata, so the part<->supplier link comes from lineitem). Dims
-    # (supplier x nation x region, filtered part) broadcast; the only
-    # shuffle is the distinct over (partkey, suppkey) pairs.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet").filter(F.col("p_size") == 15)
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    r = spark.read.parquet(f"{sf}/region.parquet")
-    eu = (s.join(F.broadcast(n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
-                                    F.col("n_regionkey") == F.col("r_regionkey"))),
-                 F.col("s_nationkey") == F.col("n_nationkey"))
-          .select("s_suppkey", "s_name", "s_acctbal"))
-    offers = (li.join(F.broadcast(p.select("p_partkey", "p_name")),
-                      F.col("l_partkey") == F.col("p_partkey"))
-              .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-              .select("p_partkey", "p_name", "s_name", "s_acctbal")
-              .distinct())
-    from pyspark.sql import Window
-    w = Window.partitionBy("p_partkey")
-    return (offers.withColumn("_mn", F.min("s_acctbal").over(w))
-            .filter(F.col("s_acctbal") == F.col("_mn"))
-            .select("p_partkey", "p_name", "s_name",
-                    F.round("s_acctbal", 2).alias("s_acctbal")))
-
-
-def q_tpch_q7(spark, sf):
-    # bilateral shipping volume (q7): lineitem pruned FIRST by the
-    # two-nation supplier dim (2/25 of suppliers, broadcast), then the
-    # orders x customer chain builds shuffle-hash against the shrunken
-    # stream; never broadcast a fact table.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    pair = n.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
-    sn = (s.join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
-          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
-    cn = (c.join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
-          .select("c_custkey", F.col("n_name").alias("cust_nation")))
-    chain = (o.select("o_orderkey", "o_custkey")
-             .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
-             .select("o_orderkey", "cust_nation")).hint("shuffle_hash")
-    return (li.filter((F.col("l_shipdate") >= "1996-01-01") &
-                      (F.col("l_shipdate") < "1998-01-01"))
-            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("supp_nation") != F.col("cust_nation"))
-            .groupBy("supp_nation", "cust_nation",
-                     F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
-
-
-def q_tpch_q8(spark, sf):
-    # market-share (q8): one streamed pass over lineitem pruned by the
-    # broadcast part dim (p_type = 1/6 of rows); nation volume and total
-    # volume as conditional sums in the SAME aggregate — no second scan.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    r = spark.read.parquet(f"{sf}/region.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    cn = (c.join(F.broadcast(
-            n.join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
-                   F.col("n_regionkey") == F.col("r_regionkey"))),
-          F.col("c_nationkey") == F.col("n_nationkey")).select("c_custkey"))
-    chain = (o.filter((F.col("o_orderdate") >= "1996-01-01") &
-                      (F.col("o_orderdate") < "1998-01-01"))
-             .select("o_orderkey", "o_custkey", "o_orderdate")
-             .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
-             .select("o_orderkey", "o_orderdate")).hint("shuffle_hash")
-    sn = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
-                    F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(chain, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
-                               .otherwise(0.0)), 2).alias("nation_volume"),
-                 F.round(F.sum(vol), 2).alias("total_volume")))
-
-
-def q_tpch_q9(spark, sf):
-    # product-profit (q9; p_retailprice*qty*0.1 stands in for the missing
-    # ps_supplycost): part + supplier dims broadcast, lineitem streams
-    # into one shuffle join with orders on the order key.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    sn = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-          .select("s_suppkey", F.col("n_name").alias("nation")))
-    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - F.col("p_retailprice") * F.col("l_quantity") * 0.1)
-    return (li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))
-                                .select("p_partkey", "p_retailprice")),
-                    F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(o.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(profit), 2).alias("sum_profit")))
-
-
-def q_tpch_q11(spark, sf):
-    # inventory-value concentration (q11 shape over lineitem x part):
-    # per-part value, kept iff > 2x the mean part value (the official
-    # query's fraction scales 0.0001/SF — a scale-free multiple-of-mean
-    # keeps the query non-vacuous at every SF). The threshold is a 1-row
-    # aggregate broadcast back over the per-part values — the scalar
-    # subquery stays declarative, no driver collect.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    nat = (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_9")),
-                  F.col("s_nationkey") == F.col("n_nationkey"))
-           .select("s_suppkey"))
-    val = (li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
-           .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
-                 F.col("l_partkey") == F.col("p_partkey"))
-           .groupBy("l_partkey")
-           .agg(F.sum(F.col("p_retailprice") * F.col("l_quantity")).alias("v")))
-    total = val.agg((F.avg("v") * 2.0).alias("_thr"))
-    return (val.join(F.broadcast(total))
-            .filter(F.col("v") > F.col("_thr"))
-            .select(F.col("l_partkey").alias("p_partkey"),
-                    F.round("v", 2).alias("part_value")))
-
-
-def q_tpch_q13(spark, sf):
-    # customer order-count distribution (q13): left join survives the
-    # priority filter inside the join condition (not a WHERE — customers
-    # with zero qualifying orders must keep their c_count = 0 row).
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    per = (c.select("c_custkey")
-           .join(o.filter(F.col("o_orderpriority") != "1-URGENT")
-                  .select("o_custkey", "o_orderkey"),
-                 F.col("c_custkey") == F.col("o_custkey"), "left")
-           .groupBy("c_custkey")
-           .agg(F.count("o_orderkey").alias("c_count")))
-    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-def q_tpch_q15(spark, sf):
-    # top supplier by quarterly revenue (q15): the revenue "view" is one
-    # partial-aggregated pass over the pruned lineitem scan; the max is a
-    # 1-row broadcast, equality keeps ties like the reference query.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01") &
-                     (F.col("l_shipdate") < "1996-04-01"))
-           .groupBy("l_suppkey")
-           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .alias("_rev")))
-    mx = rev.agg(F.max("_rev").alias("_mx"))
-    return (rev.join(F.broadcast(mx)).filter(F.col("_rev") == F.col("_mx"))
-            .join(F.broadcast(s.select("s_suppkey", "s_name")),
-                  F.col("l_suppkey") == F.col("s_suppkey"))
-            .select("s_suppkey", "s_name",
-                    F.round("_rev", 2).alias("total_revenue")))
-
-
-def q_tpch_q16(spark, sf):
-    # supplier diversity per part class (q16 shape; supplier link via
-    # lineitem, comment-exclusion adapted to s_acctbal >= 0): broadcast
-    # part filter + broadcast semi join, then countDistinct — the only
-    # shuffle is the final (brand, type, size) aggregate.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    pf = p.filter((F.col("p_brand") != "Brand#11") & (F.col("p_type") != "PROMO")
-                  & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
-    good = s.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
-    return (li.join(F.broadcast(pf.select("p_partkey", "p_brand", "p_type", "p_size")),
-                    F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(good), F.col("l_suppkey") == F.col("s_suppkey"),
-                  "left_semi")
-            .groupBy("p_brand", "p_type", "p_size")
-            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
-
-
-def q_tpch_q17(spark, sf):
-    # small-quantity revenue (q17): the correlated per-part avg is a
-    # window over the SAME pruned join output — every lineitem of a
-    # qualifying part survives the part-key equi-join, so the window avg
-    # equals the subquery's full-table avg with one shuffle, not two.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    from pyspark.sql import Window
-    lip = li.join(F.broadcast(p.filter((F.col("p_brand") == "Brand#3")
-                                       & (F.col("p_type") == "SMALL"))
-                              .select("p_partkey")),
-                  F.col("l_partkey") == F.col("p_partkey"))
-    w = Window.partitionBy("l_partkey")
-    return (lip.withColumn("_halfavg", 0.5 * F.avg("l_quantity").over(w))
-            .filter(F.col("l_quantity") < F.col("_halfavg"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
-
-
-def q_tpch_q18(spark, sf):
-    # large-volume orders (q18): the HAVING subquery is the same per-order
-    # aggregate the outer query needs — computed once, filtered, and the
-    # small survivor set broadcast back against orders + customer.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    # filter on the RAW sum (matching the oracle's HAVING sum(..) > 300);
-    # rounding only in the projection — filtering the rounded value would
-    # diverge for totals in (300, 300.005)
-    big = (li.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("raw_qty"))
-           .filter(F.col("raw_qty") > 300)
-           .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty")))
-    return (o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(F.broadcast(c.select("c_custkey", "c_name")),
-                  F.col("o_custkey") == F.col("c_custkey"))
-            .select("c_name", "c_custkey", "o_orderkey",
-                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-                    F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty"))
-
-
-def q_tpch_q20(spark, sf):
-    # excess-stock suppliers (q20 shape; shipped volume stands in for the
-    # missing partsupp availability): the graded IN-chain collapses to one
-    # aggregate over the part-pruned lineitem scan + a broadcast semi join.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf}/part.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    heavy = (li.filter((F.col("l_shipdate") >= "1996-01-01") &
-                       (F.col("l_shipdate") < "1997-01-01"))
-             .join(F.broadcast(p.filter(F.col("p_name").like("small%"))
-                               .select("p_partkey")),
-                   F.col("l_partkey") == F.col("p_partkey"))
-             .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("_q"))
-             .filter(F.col("_q") > 50).select("l_suppkey"))
-    return (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_2")),
-                   F.col("s_nationkey") == F.col("n_nationkey"))
-            .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"),
-                  "left_semi")
-            .select("s_suppkey", "s_name"))
-
-
-def q_tpch_q21(spark, sf):
-    # suppliers who kept orders waiting (q21; "late" = shipped > 90 days
-    # after the order date, replacing the missing commit/receipt dates).
-    # The double EXISTS collapses to per-order distinct-supplier sets via
-    # window collect_set — one shuffle on the order key, no self-joins.
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    s = spark.read.parquet(f"{sf}/supplier.parquet")
-    n = spark.read.parquet(f"{sf}/nation.parquet")
-    from pyspark.sql import Window
-    j = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
-         .join(o.filter(F.col("o_orderstatus") == "F")
-                .select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
-               F.col("l_orderkey") == F.col("o_orderkey"))
-         .withColumn("_late", F.col("l_shipdate")
-                     > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
-    w = Window.partitionBy("l_orderkey")
-    j = (j.withColumn("_supps", F.size(F.collect_set("l_suppkey").over(w)))
-         .withColumn("_late_supps",
-                     F.size(F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w))))
-    sn = (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_4")),
-                 F.col("s_nationkey") == F.col("n_nationkey"))
-          .select("s_suppkey", "s_name"))
-    return (j.filter(F.col("_late") & (F.col("_supps") >= 2) & (F.col("_late_supps") == 1))
-            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-            .groupBy("s_name").agg(F.count("*").alias("numwait")))
-
-
-def q_tpch_q22(spark, sf):
-    # dormant high-balance customers (q22; nation keys replace the missing
-    # phone country codes, "no orders" adapted to "no orders since
-    # 2000-06"): scalar avg broadcast, then a shuffle anti join against
-    # the date-pruned orders scan — the fact side is never broadcast.
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    base = (c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
-            .select("c_custkey", "c_nationkey", "c_acctbal"))
-    ab = base.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_ab"))
-    recent = o.filter(F.col("o_orderdate") >= "2000-06-01").select("o_custkey")
-    return (base.join(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("_ab"))
-            .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-            .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
-            .agg(F.count("*").alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
-
-
-def q_running_total(spark, sf):
-    # running cumulative aggregation per group (window frame op)
-    from pyspark.sql import Window
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    return o.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
-    )
-
-
-def q_rollup_doc_counts(spark, sf):
-    return (
-        _docs(spark, sf).rollup("lang", "source")
-        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
-    )
-
-
-def q_cube_doc_counts(spark, sf):
-    # full CUBE (rollup's sibling: all 4 grouping sets incl. per-source
-    # totals across langs) + grouping_id so each stratum is identifiable
-    return (
-        _docs(spark, sf).cube("lang", "source")
-        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"),
-             F.grouping_id().alias("gid"))
-    )
-
-
-def q_pivot_lang_source(spark, sf):
-    # pivot shape with controlled output columns (CASE-sum twin in SQL)
-    d = _docs(spark, sf)
-    cols = [
-        F.count(F.when(F.col("source") == f"src{i}", 1)).alias(f"src{i}_n")
-        for i in range(4)
-    ]
-    return d.groupBy("lang").agg(*cols)
-
-
-# --- ops without SQL oracles (rows-only driver check; pytest has oracles) ---
-
-
-def q_feature_meta(spark, sf):
-    # metadata.MakeMeta (meta.go:54-105): per-feature size stats, JSON vs BUF.
-    # The JSON twin uses the quantized-integer canonical form (lon7/lat7 are
-    # the exact minted lattice ints) so both engines format identically —
-    # double rendering differs across engines, integers never do.
-    enc = spark_codec.encode_points(_points(spark, sf))
-    d = _docs(spark, sf)
-    lon7 = minted._mulmod(F.col("doc_id"), minted.LON_MULT, minted.LON_MOD) \
-        - F.lit(minted.LON_MOD // 2)
-    lat7 = minted._mulmod(F.col("doc_id"), minted.LAT_MULT, minted.LAT_MOD) \
-        - F.lit(minted.LAT_MOD // 2)
-    j = d.select(
-        "doc_id",
-        F.octet_length(F.concat(
-            F.lit('{"doc_id":'), F.col("doc_id").cast("string"),
-            F.lit(',"lon7":'), lon7.cast("string"),
-            F.lit(',"lat7":'), lat7.cast("string"), F.lit("}"),
-        )).alias("json_bytes"),
-    )
-    return (
-        enc.select("doc_id", F.octet_length("geobuf").alias("buf_bytes"))
-        .join(j, "doc_id")
-        .withColumn("ratio_x100",
-                    F.floor(F.col("buf_bytes") * 100.0 / F.col("json_bytes")).cast("bigint"))
-    )
-
-def q_minhash_near_dups(spark, sf):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf), key="doc_id",
-                                   jaccard_threshold=0.4)
-
-
-def q_simhash_near_dups(spark, sf):
-    return dedup.simhash_near_pairs(_docs(spark, sf), key="doc_id", max_hamming=3)
-
-
-def q_ann_cosine_top5(spark, sf):
-    emb = _emb(spark, sf)
-    queries = emb.filter(F.col("vec_id") % 25 == 0) \
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.brute_force_topk(emb, queries, k=5)
-
-
-def q_ann_lsh_top5(spark, sf):
-    emb = _emb(spark, sf)
-    queries = emb.filter(F.col("vec_id") % 25 == 0) \
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ann_topk(emb, queries, k=5, multiprobe=2)
-
-
-def q_ann_ivf_top5(spark, sf):
-    # IVF coarse-quantizer ANN (non-SQL; pytest proves recall + exact
-    # degeneracy at nprobe == n_centroids)
-    emb = _emb(spark, sf)
-    queries = emb.filter(F.col("vec_id") % 25 == 0) \
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=3)
-
-
-def q_embed_near_dups(spark, sf):
-    # embedding-cosine near-dup (the embedding tier of the dedup family):
-    # the testdata vectors are near-orthogonal (max pairwise cos ~0.6), so
-    # the query plants deterministic twins — vec_id % 10 == 0 duplicated at
-    # id+100000 with each element scaled by (1 + 0.002*(i+1)), an indexed
-    # transform both engines evaluate bit-identically in double — and the
-    # LSH-bucketed operator must recover exactly those pairs at cos >= 0.9
-    emb = _emb(spark, sf) \
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding",
-                    lambda x, i: x * (F.lit(1.0) + F.lit(0.002) * (i + F.lit(1)))
-                    ).alias("embedding"))
-    aug = emb.unionByName(twins)
-    # bands=4 + multiprobe=2 (r4): half the band fan-out, 16-bit buckets,
-    # weakest-bit probes carry the recall — measured 41x fewer candidate
-    # pairs than bands=8 on this input with identical output pairs
-    return (similarity.cosine_near_pairs(aug, threshold=0.9, bands=4,
-                                         multiprobe=2)
-            .select("a", "b"))
-
-
-def q_lang_id(spark, sf):
-    return TXT.lang_id(_docs(spark, sf)).groupBy("lang_pred").agg(F.count("*").alias("n"))
-
-
-def q_pages_synth(spark, sf):
-    # the north-rule pages table: synthesize 2k rows, mint geometry, verify
-    # shape; byte-identity of text is pytest-checked
-    p = pages.with_minted_geometry(pages.pages(spark, 2000))
-    return p.select("page_id", "lang", F.octet_length("text").alias("n_bytes"),
-                    tiles.tile_x(F.col("lon"), 7).alias("x7"),
-                    tiles.tile_y(F.col("lat"), 7).alias("y7"))
-
-
-def q_html_extract_text(spark, sf):
-    # the north-rule byte-identity invariant as a DRIVER row (BASELINE.json
-    # input_hint: "byte-identical extracted text per url"): recover `text`
-    # from the html binary payload with a JVM-side regexp; the oracle
-    # regenerates the pages table in DuckDB, builds the same html, and does
-    # the same extraction — the driver's value hash over (url,
-    # text_extracted) IS the byte-identity check, per url.
-    p = pages.pages(spark, 2000)
-    return p.select(
-        "page_id", "url",
-        F.regexp_extract(F.decode(F.col("html"), "utf-8"),
-                         "<p>(.*)</p>", 1).alias("text_extracted"),
-    )
-
-
-def q_url_host_topk(spark, sf):
-    # Common-Crawl-style host rollup over the pages table: parse_url(HOST)
-    # stays in whole-stage codegen; one hash aggregate (map-side partials),
-    # top-20 with a total order (host is the group key, so ties can't make
-    # the limit nondeterministic). At 100 TB this is the canonical
-    # host-level corpus-stats job.
-    p = pages.pages(spark, 2000)
-    return (
-        p.groupBy(TXT.url_host(F.col("url")).alias("host"))
-        .agg(F.count("*").alias("n_pages"),
-             F.sum(F.octet_length("text")).alias("total_bytes"))
-        .orderBy(F.desc("n_pages"), F.asc("host"))
-        .limit(20)
-    )
-
-
-def q_dup_ngram_stats(spark, sf):
-    # Gopher/C4-style duplicated 3-gram fraction per document — the
-    # repetitiveness quality signal LLM corpus filters gate on. Pure
-    # expressions, zero shuffle (see functions/text.py); _docs widens the
-    # one-row-group scan (bench r4: 9.4 s -> 0.8 s at sf0.1 full-eval).
-    d = _docs(spark, sf).select("doc_id", "text")
-    return TXT.dup_ngram_columns(d, "text", 3).select(
-        "doc_id", "n_grams", "n_uniq_grams", "dup_gram_frac")
-
-
-def q_latest_capture(spark, sf):
-    # Common-Crawl latest-capture-wins dedup: collapse recrawls of a URL to
-    # the newest warc_ts. The pages generator mints unique URLs, so
-    # recrawls are simulated by remapping onto 613 URL slots (deterministic
-    # in page_id). The dedup itself is operators/dedup.keep_latest — a
-    # map-side-combinable max(struct(warc_ts, page_id)), ONE shuffle of
-    # distinct URLs; a row_number window would shuffle and sort every
-    # capture, which is the wrong shape at 10^12 rows.
-    p = pages.pages(spark, 2000)
-    c = p.select(
-        F.concat(F.lit("https://re.example/p"),
-                 F.pmod(F.col("page_id"), F.lit(613)).cast("string")).alias("url"),
-        "warc_ts", "page_id")
-    out = dedup.keep_latest(c, "url", "warc_ts", "page_id")
-    return out.select(
-        "url", "n_captures",
-        F.col("page_id").alias("latest_page_id"),
-        F.unix_timestamp("warc_ts").alias("latest_ts"))
-
-
-def q_url_normalize(spark, sf):
-    # URL canonicalization — the dedup-key prep every CC pipeline runs
-    # before collapsing captures. Four deterministic "messy" variants are
-    # minted per page (UPPERCASED scheme+host / explicit :443 / fragment /
-    # mixed utm_* params), then normalized back with functions/text.
-    # url_normalize. Pure JVM expressions, zero shuffle; the driver hash
-    # over (page_id, url_messy, url_norm) pins both the minting and the
-    # normalizer byte-for-byte against the DuckDB twin.
-    p = pages.pages(spark, 2000)
-    sh = F.regexp_extract(F.col("url"), TXT._SCHEME_HOST_RE, 0)
-    rest = F.substr(F.col("url"), F.length(sh) + F.lit(1))
-    v = F.pmod(F.col("page_id"), F.lit(4))
-    messy = (
-        F.when(v == 0, F.concat(F.upper(sh), rest))
-        .when(v == 1, F.concat(sh, F.lit(":443"), rest))
-        .when(v == 2, F.concat(F.col("url"), F.lit("#sec-"),
-                               F.pmod(F.col("page_id"), F.lit(7)).cast("string")))
-        .otherwise(F.concat(F.col("url"), F.lit("?a=1&utm_source=rss&utm_campaign=c"))))
-    return (p.select("page_id", messy.alias("url_messy"))
-             .select("page_id", "url_messy",
-                     TXT.url_normalize(F.col("url_messy")).alias("url_norm")))
-
-
-def _page_link_edges(spark, n: int = 2000):
-    # (src_host, dst url) link edges from the pages table: inject k∈{1,2,3}
-    # deterministic <a> anchors per page into the html payload
-    # (exact-string replace before </body>), extract hrefs with ONE
-    # regexp_extract_all pass (functions/text.extract_links), explode.
-    # Zero-shuffle — shared by link_host_graph / pagerank_hosts.
-    p = pages.pages(spark, n)
-    k = F.pmod(F.col("page_id"), F.lit(3)) + F.lit(1)
-
-    def anchor(i):
-        dst = F.pmod(
-            phash.hash60(F.concat(F.lit("L"), F.col("page_id").cast("string"),
-                                  F.lit("-"), i.cast("string"))),
-            F.lit(1000)).cast("string")
-        return F.concat(F.lit('<a href="https://site'), dst,
-                        F.lit(".example/x"), i.cast("string"), F.lit('">l</a>'))
-
-    anchors = F.concat_ws("", F.transform(F.sequence(F.lit(1), k), anchor))
-    html2 = F.replace(F.decode(F.col("html"), "utf-8"),
-                      F.lit("</body></html>"),
-                      F.concat(anchors, F.lit("</body></html>")))
-    return p.select(TXT.url_host(F.col("url")).alias("src_host"),
-                    F.explode(TXT.extract_links(html2)).alias("dst"))
-
-
-def q_link_host_graph(spark, sf):
-    # Host graph over the extracted link edges: in-degree + distinct
-    # linking hosts per target host. At 100 TB: extraction is zero-shuffle;
-    # the edge agg is one hash shuffle on dst_host with map-side partials;
-    # top-20 is a TakeOrdered, total-ordered on (in_degree, dst_host) so
-    # the limit boundary is stable.
-    e = _page_link_edges(spark, 2000)
-    return (e.groupBy(TXT.url_host(F.col("dst")).alias("dst_host"))
-             .agg(F.count("*").alias("in_degree"),
-                  F.countDistinct("src_host").alias("n_src_hosts"))
-             .orderBy(F.desc("in_degree"), F.asc("dst_host"))
-             .limit(20))
-
-
-def q_pagerank_hosts(spark, sf):
-    # Host-authority PageRank over the link graph — 3 synchronous integer
-    # fixed-point iterations (operators/graph.pagerank_int): every step is
-    # BIGINT arithmetic, so the result is bit-exact across engines and
-    # partitionings (no float summation-order sensitivity) and the DuckDB
-    # oracle chains the SAME iterations as CTEs. One shuffle per iteration
-    # (edges ⋈ ranks, groupBy dst with partial sums); rank/degree tables
-    # are hosts-sized, broadcast by AQE when they fit. Top-25 by rank with
-    # a (rank_ppm, host) total order.
-    from geobuf_spark.operators import graph
-    e = _page_link_edges(spark, 2000).select(
-        F.col("src_host").alias("src"),
-        TXT.url_host(F.col("dst")).alias("dst"))
-    r = graph.pagerank_int(e, iters=3)
-    return r.orderBy(F.desc("rank_ppm"), F.asc("host")).limit(25)
-
-
-def q_crawl_diff(spark, sf):
-    # Crawl-over-crawl diff — the incremental-recrawl bookkeeping job:
-    # snapshot A = pages(2000); snapshot B = pages(2400) with every 17th
-    # page dropped (removed) and every 10th text revised (changed). Full
-    # outer join on url, md5(text) equality classifies each url, then a
-    # per-host rollup of added/removed/changed/unchanged counts. At 100 TB
-    # this is two scans + one shuffle join on url + one host agg; content
-    # hashes travel instead of bodies, so the join is narrow.
-    a = pages.pages(spark, 2000).select("url", F.md5("text").alias("ha"))
-    b = (pages.pages(spark, 2400)
-         .where(F.pmod(F.col("page_id"), F.lit(17)) != 3)
-         .select("url",
-                 F.md5(F.when(F.pmod(F.col("page_id"), F.lit(10)) == 0,
-                              F.concat(F.col("text"), F.lit(" rev2")))
-                        .otherwise(F.col("text"))).alias("hb")))
-    j = a.join(b, a["url"] == b["url"], "full_outer").select(
-        F.coalesce(a["url"], b["url"]).alias("url"), "ha", "hb")
-    return (j.groupBy(TXT.url_host(F.col("url")).alias("host"))
-             .agg(F.sum(F.col("ha").isNull().cast("bigint")).alias("n_added"),
-                  F.sum(F.col("hb").isNull().cast("bigint")).alias("n_removed"),
-                  # when/otherwise(0), not a bare boolean cast: a NULL
-                  # comparison must count 0 (and keep the sum non-null for
-                  # hosts with no matching rows) exactly like the oracle's
-                  # CASE … ELSE 0
-                  F.sum(F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull()
-                               & (F.col("ha") != F.col("hb")), F.lit(1))
-                         .otherwise(F.lit(0)).cast("bigint")).alias("n_changed"),
-                  F.sum(F.when(F.col("ha") == F.col("hb"), F.lit(1))
-                         .otherwise(F.lit(0)).cast("bigint")).alias("n_unchanged")))
-
-
-def q_boilerplate_lines(spark, sf):
-    # CCNet-style frequent-line (boilerplate) detection: mint the
-    # multi-paragraph body, explode lines (a 1:L flatMap — no pre-shuffle),
-    # then ONE hash aggregate keyed on the line with map-side partials;
-    # lines seen in >= 20 docs are boilerplate. At 10^12 docs the agg key
-    # would be md5(line) so shuffle rows stay narrow and the strings are
-    # resolved once per bucket; here the line itself travels so the driver
-    # hash pins the exact strings.
-    p = pages.with_body(pages.pages(spark, 2000))
-    lines = p.select("page_id", TXT.url_host(F.col("url")).alias("host"),
-                     F.explode(F.split("body", "\n")).alias("line"))
-    return (lines.groupBy("line")
-            .agg(F.countDistinct("page_id").alias("n_docs"),
-                 F.count("*").alias("n_occurrences"),
-                 F.countDistinct("host").alias("n_hosts"))
-            .where(F.col("n_docs") >= 20))
-
-
-def q_line_dedup_clean(spark, sf):
-    # within-document repeated-line removal (keep first occurrence) with a
-    # byte-exact rebuild — the normalization pass that runs before corpus
-    # dedup. Zero-shuffle: split / filter-with-index / array_join are all
-    # codegen'd array expressions, no explode and no window; md5 of the
-    # cleaned body is the narrow driver-hashable witness of the bytes.
-    p = pages.with_body(pages.pages(spark, 2000))
-    kept = TXT.first_occurrence_lines(F.col("body"))
-    return p.select(
-        "page_id",
-        F.size(F.split("body", "\n")).cast("int").alias("n_lines"),
-        F.size(kept).cast("int").alias("n_kept"),
-        F.md5(F.array_join(kept, "\n")).alias("clean_md5"))
-
-
-def q_meta_robots(spark, sf):
-    # robots-noindex gate: mint three <meta> robots variants (double /
-    # single quotes, reversed attribute order) into every 7th page's
-    # <head>, classify with ONE shared-regex rlike (functions/text.
-    # ROBOTS_NOINDEX_RE — RE2/Java common subset), roll up per host.
-    # Zero-shuffle mint+classify, one host hash-agg with map-side partials.
-    p = pages.pages(spark, 2000)
-    v = F.pmod(F.col("page_id"), F.lit(21))
-    meta = (F.when(v == 0, F.lit('<meta name="robots" content="noindex">'))
-            .when(v == 7, F.lit("<meta name='robots' content='noindex,nofollow'>"))
-            .when(v == 14, F.lit('<meta content="noindex" name="robots">')))
-    doc = F.decode(F.col("html"), "utf-8")
-    html2 = F.when(meta.isNotNull(),
-                   F.replace(doc, F.lit("<head>"), F.concat(F.lit("<head>"), meta))
-                   ).otherwise(doc)
-    return (p.select(TXT.url_host(F.col("url")).alias("host"),
-                     TXT.is_noindex(html2).alias("noindex"))
-            .groupBy("host")
-            .agg(F.count("*").alias("n_pages"),
-                 F.sum(F.col("noindex").cast("bigint")).alias("n_noindex")))
-
-
-def q_warc_index(spark, sf):
-    # CDX-style byte-offset index: pages concatenated per host in
-    # (warc_ts, page_id) order — offset = running sum of record lengths.
-    # ONE shuffle (hash-partition on host) + in-partition sort; the window
-    # never re-shuffles. At 10^12 rows a mega-host would additionally be
-    # range-split within host (offset rebased per split file) to bound
-    # task size; the tie-break on page_id makes the order total so the
-    # offsets are deterministic under any partitioning.
-    from pyspark.sql import Window
-    p = pages.pages(spark, 2000)
-    w = (Window.partitionBy("host").orderBy("warc_ts", "page_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    return (p.select(TXT.url_host(F.col("url")).alias("host"), "page_id", "url",
-                     F.octet_length("html").cast("bigint").alias("rec_len"),
-                     "warc_ts")
-            .withColumn("offset", F.coalesce(F.sum("rec_len").over(w), F.lit(0)))
-            .drop("warc_ts"))
-
-
-def q_sample_stratified(spark, sf):
-    # deterministic stratified mixture sampling — the training-mix step:
-    # per-language keep-rates (en 50%, de/fr 25%, rest 10%) applied via the
-    # portable md5 bridge hash of the url, so membership is reproducible
-    # across engines, partitionings, and reruns (new crawls never reshuffle
-    # old members, unlike rand()-based sampling). Zero-shuffle filter; at
-    # 100 TB this is a pure scan whose selectivity Catalyst can't misjudge
-    # because the predicate is deterministic per row.
-    return _stratified_sample(pages.pages(spark, 2000))
-
-
-def _stratified_sample(p: DataFrame) -> DataFrame:
-    """The sampling expression behind q_sample_stratified, callable on any
-    pages-shaped input (the pytest invariance check feeds it repartitioned
-    input to prove membership is partitioning-independent)."""
-    bucket = F.pmod(phash.hash60(F.concat(F.lit("smp-"), F.col("url"))),
-                    F.lit(1000))
-    rate = (F.when(F.col("lang") == "en", F.lit(500))
-            .when(F.col("lang").isin("de", "fr"), F.lit(250))
-            .otherwise(F.lit(100)))
-    return (p.select("page_id", "lang", bucket.alias("bucket"))
-            .where(F.col("bucket") < rate))
-
-
-def q_host_tile_footprint(spark, sf):
-    # the graft cross-axis rollup: per HOST (payload axis), the spatial
-    # footprint of its pages (geometry axis) — distinct z8 tiles, page
-    # count, and the exact bbox of the host's minted points. ONE hash agg
-    # on host; the tile is packed into one bigint (x8*256 + y8) so the
-    # distinct count shuffles narrow integers; lon/lat min/max are exact
-    # lattice doubles (FIXTURES.md §1), so the bbox is oracle-exact.
-    p = pages.with_minted_geometry(pages.pages(spark, 2000))
-    tile = (tiles.tile_x(F.col("lon"), 8) * 256 + tiles.tile_y(F.col("lat"), 8))
-    return (p.groupBy(TXT.url_host(F.col("url")).alias("host"))
-            .agg(F.count("*").alias("n_pages"),
-                 F.countDistinct(tile).alias("n_tiles"),
-                 F.min("lon").alias("west"), F.min("lat").alias("south"),
-                 F.max("lon").alias("east"), F.max("lat").alias("north")))
-
-
-def q_lang_tile_mix(spark, sf):
-    # per-tile language mix at z6 — the geo × payload histogram a crawl
-    # planner reads: page count, language count, and the dominant language
-    # per tile. Two-phase: one hash agg on (tile, lang) with map-side
-    # partials, then window functions over the (much smaller) group table —
-    # the window re-shuffles tile-lang GROUPS, never pages. The row_number
-    # order (n desc, lang asc) is total, so the winner is deterministic.
-    from pyspark.sql import Window
-    p = pages.with_minted_geometry(pages.pages(spark, 2000))
-    g = (p.groupBy(tiles.tile_x(F.col("lon"), 6).alias("x6"),
-                   tiles.tile_y(F.col("lat"), 6).alias("y6"),
-                   "lang")
-         .agg(F.count("*").alias("n")))
-    w = Window.partitionBy("x6", "y6")
-    return (g.withColumn("rn", F.row_number().over(
-                w.orderBy(F.desc("n"), F.asc("lang"))))
-            .withColumn("n_pages", F.sum("n").over(w))
-            .withColumn("n_langs", F.count("*").over(w))
-            .where(F.col("rn") == 1)
-            .select("x6", "y6", "n_pages", "n_langs",
-                    F.col("lang").alias("top_lang"),
-                    F.col("n").alias("n_top")))
-
-
-def q_doc_len_percentiles(spark, sf):
-    # per-language exact order statistics of document length — the corpus
-    # length-distribution report: p10/p50/p90 token counts by the
-    # "lower" method (sorted ascending, 1-based index floor(p*(n-1))+1 —
-    # pure integer arithmetic, so both engines index the same element and
-    # the values are oracle-exact; interpolated percentiles would hinge on
-    # cross-libm float formulas). collect_list is bounded by docs-per-
-    # language here; at 10^12 docs the production path is a two-pass
-    # count + offset lookup (or approx_percentile when ±ε is acceptable) —
-    # this exact form is the small-side/oracle tier.
-    t = _docs(spark, sf).select(
-        "lang", TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"))
-    g = (t.groupBy("lang")
-         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
-              F.count("*").alias("n_docs")))
-    def pick(num, den, name):
-        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
-        return F.element_at("v", idx).alias(name)
-    return g.select("lang", "n_docs", pick(1, 10, "p10_tokens"),
-                    pick(5, 10, "p50_tokens"), pick(9, 10, "p90_tokens"))
-
-
-def q_dup_span_frac(spark, sf):
-    # exact-substring-dedup proxy: per-document fraction of word 8-grams
-    # shared with at least one other document (operators/dedup.
-    # dup_span_stats — no self-join, no pair blowup; hot spans collapse
-    # into one count per gram). The missing member of the dedup family
-    # next to exact/minhash/simhash/jaccard/embedding. widen(): the gram
-    # explode must not inherit a one-row-group scan's single task.
-    return dedup.dup_span_stats(_docs(spark, sf).select("doc_id", "text"),
-                                key="doc_id", text_col="text", n=8)
-
-
-def q_ngram_topk(spark, sf):
-    # corpus-level collocation stats — top-25 word 3-grams with doc
-    # frequency: the LM-corpus summary job. Explode is a 1:G flatMap (no
-    # pre-shuffle); the agg is one hash shuffle with map-side partials;
-    # the limit is a TakeOrdered (per-partition top-k, then a driver merge
-    # of k-sized heaps — never a full sort) and the (n, gram) order is
-    # total so the boundary is deterministic.
-    d = _docs(spark, sf).select("doc_id", "text")  # widen: see q_dup_span_frac
-    g = d.select("doc_id", F.explode(TXT.word_ngrams(F.col("text"), 3)).alias("gram"))
-    return (g.groupBy("gram")
-            .agg(F.count("*").alias("n"),
-                 F.countDistinct("doc_id").alias("n_docs"))
-            .orderBy(F.desc("n"), F.asc("gram"))
-            .limit(25))
-
-
-def q_host_quality_rollup(spark, sf):
-    # per-host corpus-quality rollup — the host-reputation signal feeding
-    # crawl prioritization: quality_columns stays in whole-stage codegen
-    # (zero shuffle), then ONE host hash-agg of exact integer sums; the
-    # average is integer floor-division so the oracle compares exactly
-    # (no float summation-order sensitivity).
-    p = pages.pages(spark, 2000)
-    q = TXT.quality_columns(p, "text")
-    return (q.groupBy(TXT.url_host(F.col("url")).alias("host"))
-            .agg(F.count("*").alias("n_pages"),
-                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-                 F.sum("n_uniq_tokens").cast("bigint").alias("sum_uniq_tokens"),
-                 F.sum("n_bytes").cast("bigint").alias("sum_bytes"))
-            .withColumn("avg_tokens_x100",
-                        F.expr("(sum_tokens * 100) DIV n_pages")))
-
-
-def q_text_normalize(spark, sf):
-    # C4-style text normalization with a byte witness: mint four messy
-    # variants (leading/trailing whitespace+tab, tripled spaces, trailing
-    # control chars + CRLF, untouched), then recover — control chars →
-    # space, whitespace-run collapse, trim. The md5 pair pins both the
-    # minting and the normalizer; pytest asserts norm == original text
-    # byte-for-byte (the north-rule invariant survives the scrubber).
-    # Zero-shuffle: regexp_replace chains in codegen.
-    p = pages.pages(spark, 2000)
-    v = F.pmod(F.col("page_id"), F.lit(4))
-    messy = (F.when(v == 0, F.concat(F.lit("  "), F.col("text"), F.lit(" \t")))
-             .when(v == 1, F.replace(F.col("text"), F.lit(" "), F.lit("   ")))
-             .when(v == 2, F.concat(F.col("text"), F.lit("\x07\r\n")))
-             .otherwise(F.col("text")))
-    norm = TXT.normalize_text(messy)
-    return p.select("page_id", v.cast("int").alias("variant"),
-                    F.md5(messy).alias("messy_md5"),
-                    F.md5(norm).alias("norm_md5"))
-
-
-def q_paragraph_owner(spark, sf):
-    # cross-document paragraph attribution — the global-dedup "who keeps
-    # the paragraph" pass: every line of every body, keyed by md5(line),
-    # owned by the earliest (warc_ts, page_id) capture. min(struct) is
-    # map-side combinable (ONE shuffle of distinct line hashes, like
-    # latest_capture but min); a row_number window would sort every
-    # occurrence. Only boilerplate + within-doc dup lines have n_copies>1.
-    p = pages.with_body(pages.pages(spark, 2000))
-    lines = p.select("page_id", F.unix_timestamp("warc_ts").alias("ts"),
-                     F.explode(F.split("body", "\n")).alias("line"))
-    return (lines.groupBy(F.md5("line").alias("line_md5"))
-            .agg(F.min(F.struct(F.col("ts"), F.col("page_id"))).alias("o"),
-                 F.count("*").alias("n_copies"))
-            .select("line_md5", F.col("o.ts").alias("owner_ts"),
-                    F.col("o.page_id").alias("owner_page_id"), "n_copies"))
-
-
-# ---------------------------------------------------------------------------
-# r4 extension batch 19 — per-node graph analytics
-# ---------------------------------------------------------------------------
-
-def _host_edges(spark, n: int = 2000):
-    """Link edges as (src_host, dst_host) pairs — the shared input of the
-    node-level graph family (triangle census uses the same mapping)."""
-    return _page_link_edges(spark, n).select(
-        "src_host", TXT.url_host(F.col("dst")).alias("dst_host"))
-
-
-def _host_edges_cte() -> str:
-    """Oracle twin of _host_edges: regenerated link edges as ed(src, dst)."""
-    return (_links_cte() + f""",
-        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
-               FROM e)""")
-
-
-def q_clustering_coeff(spark, sf):
-    # per-host LOCAL clustering coefficient — triangle_hosts gives the
-    # global census, this grades each host's neighborhood cohesion
-    # (link-farm rings score near 1e6 ppm, organic hubs near 0). Exact
-    # integers end-to-end; the compact-forward orientation finds each
-    # triangle once and ONE explode credits its three corners
-    # (graph.local_clustering for the 10^8-host plan notes).
-    from geobuf_spark.operators import graph
-    return graph.local_clustering(_host_edges(spark), "src_host", "dst_host")
-
-
-def _clustering_coeff_sql() -> str:
-    """Oracle for q_clustering_coeff: brute per-corner wedge close over
-    the regenerated edges (graph.sql_local_clustering)."""
-    from geobuf_spark.operators import graph
-    return graph.sql_local_clustering(_host_edges_cte(), "src", "dst")
-
-
-def q_link_prediction_ra(spark, sf):
-    # link prediction by resource allocation: non-adjacent host pairs
-    # ranked by Σ 1/deg(z) over common neighbors z, in exact pico-units
-    # (RA beats raw common-neighbor counts by discounting promiscuous
-    # hubs, and unlike Adamic-Adar needs no log — so the fixed-point form
-    # hashes identically on both engines). min_common=2 is the same
-    # fan-out cap contract as cocitation_pairs.
-    from geobuf_spark.operators import graph
-    return graph.resource_allocation(_host_edges(spark),
-                                     "src_host", "dst_host", min_common=2)
-
-
-def _link_prediction_ra_sql() -> str:
-    from geobuf_spark.operators import graph
-    return graph.sql_resource_allocation(_host_edges_cte(), "src", "dst",
-                                         min_common=2)
-
-
-def q_bfs_hops3(spark, sf):
-    # multi-source BFS: hop distance (≤3) from the round-number seed
-    # hosts (site*00.example) over the undirected host graph — the
-    # "crawl frontier depth" query. Each round is one join + one min-agg
-    # shuffle with lineage checkpoints (graph.bfs_hops); the oracle
-    # unrolls the same rounds as CTEs.
-    from geobuf_spark.operators import graph
-    ed = _host_edges(spark)
-    nodes = (ed.select(F.col("src_host").alias("host"))
-             .unionByName(ed.select(F.col("dst_host").alias("host")))
-             .distinct())
-    seeds = nodes.filter(F.col("host").endswith("00.example"))
-    return graph.bfs_hops(ed, seeds, max_hops=3,
-                          src="src_host", dst="dst_host")
-
-
-def _bfs_hops3_sql() -> str:
-    from geobuf_spark.operators import graph
-    return graph.sql_bfs_hops(_host_edges_cte(),
-                              "n LIKE '%00.example'", max_hops=3,
-                              src="src", dst="dst")
-
-
-# ---------------------------------------------------------------------------
-# Hilbert clustering key / spatial autocorrelation / window deciles /
-# collocation lift — batch 19
-# ---------------------------------------------------------------------------
-
-MORAN_BIN = 10_000_000  # 1° cells on the 1e-7 lattice
-PMI_MIN_COUNT, PMI_MIN_LIFT_PPM = 10, 1_050_000
-
-
-def q_hilbert_keys_z8(spark, sf):
-    # Hilbert-curve clustering key for every z=8 tile assignment — the
-    # tighter-locality sibling of morton_keys_z8 (a bbox window crosses
-    # O(perimeter) contiguous Hilbert ranges vs the Z-curve's diagonal
-    # jumps — why Iceberg grew hilbert next to zorder). Stateful per-level
-    # rotation → ONE vectorized numpy pass per Arrow batch, zero shuffle
-    # (functions/tiles.with_hilbert_key); the oracle runs the same scan as
-    # z nested subqueries, verified bit-exact over the full 256×256 grid.
-    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
-    return tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8)
-
-
-def _hilbert_keys_z8_sql() -> str:
-    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
-             f"{tiles.sql_tile_y('lat', 8)} AS y "
-             f"FROM ({minted.SQL_MINTED_POINTS})")
-    return tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
-
-
-def q_moran_i_tiles(spark, sf):
-    # global Moran's I over a 1°-cell count lattice (queen weights) —
-    # "are dense cells adjacent to dense cells?", the standard first
-    # question about any spatial rollup. Runs on the CLUSTERED minting
-    # (the uniform draws put ≤1 point per cell — zero variance, I
-    # undefined); binning is pure integer division on the quantized
-    # lattice. Exact integer num/den (deviations multiplied through by n)
-    # + one IEEE-deterministic double; plan is one corpus-scale cell agg,
-    # an 8-offset fan-out, ONE equi-join over occupied cells, two
-    # single-row aggs (operators/raster.morans_i).
-    from geobuf_spark.operators import raster
-    p = minted.minted_cluster_points_q(spark, sf)
-    counts = (p.groupBy((F.col("qx") / MORAN_BIN).cast("bigint").alias("x"),
-                        (F.col("qy") / MORAN_BIN).cast("bigint").alias("y"))
-              .agg(F.count("*").alias("n")))
-    return raster.morans_i(counts)
-
-
-def _moran_i_tiles_sql() -> str:
-    from geobuf_spark.operators import raster
-    counts = (f"SELECT qx // {MORAN_BIN} AS x, qy // {MORAN_BIN} AS y, "
-              f"count(*) AS n "
-              f"FROM ({minted.sql_minted_cluster_points_q()}) GROUP BY 1, 2")
-    return raster.sql_morans_i(counts)
-
-
-def q_ntile_len_deciles(spark, sf):
-    # per-language length deciles via the ntile window — the rank-family
-    # operator the registry lacked (row_number/topk exist; ntile's
-    # first-buckets-get-the-remainder split is its own contract, identical
-    # in Spark and DuckDB). (n_chars, doc_id) ordering makes every bucket
-    # assignment deterministic; output is the per-decile envelope.
-    from pyspark.sql import Window as Win
-    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return (_docs(spark, sf)
-            .select("lang", "n_chars", "doc_id",
-                    F.ntile(10).over(w).alias("decile"))
-            .groupBy("lang", "decile")
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("n_chars").alias("min_chars"),
-                 F.max("n_chars").alias("max_chars"),
-                 F.sum("n_chars").alias("sum_chars")))
-
-
-def _ntile_len_deciles_sql() -> str:
-    return """
-        WITH d AS (SELECT lang, n_chars, doc_id,
-                          ntile(10) OVER (PARTITION BY lang
-                                          ORDER BY n_chars, doc_id) AS decile
-                   FROM documents)
-        SELECT lang, decile, count(*) AS n_docs,
-               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM d GROUP BY 1, 2"""
-
-
-def q_pmi_bigrams(spark, sf):
-    # corpus collocations by directed lift P(w2|w1)/P(w2) — the PMI family
-    # in exact integer rationals (lift_ppm = 1e6·c_xy·M DIV c_x·c_y; no
-    # cross-engine log). Bigrams come from zipping the token array with
-    # its own tail (zero shuffle until the count agg); the two unigram
-    # lookups broadcast (vocab-sized); the corpus total joins on a literal
-    # key. Thresholds keep only real collocations: c_xy ≥ 10, lift > 1.05.
-    toks = _docs(spark, sf).select(F.split("text", " ").alias("t"))
-    big = (toks.select(F.explode(F.arrays_zip(
-                F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                F.slice("t", 2, F.size("t") - 1).alias("w2"))).alias("b"))
-           .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-           .agg(F.count("*").alias("c_xy")))
-    uni = (toks.select(F.explode("t").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("c")))
-    m = uni.agg(F.sum("c").alias("m_tokens")).withColumn("_k", F.lit(1))
-    out = (big
-           .join(F.broadcast(uni.select(F.col("w").alias("w1"),
-                                        F.col("c").alias("c_x"))), "w1")
-           .join(F.broadcast(uni.select(F.col("w").alias("w2"),
-                                        F.col("c").alias("c_y"))), "w2")
-           .withColumn("_k", F.lit(1))
-           .join(F.broadcast(m), "_k")
-           .withColumn("lift_ppm", F.expr(
-               "(1000000 * c_xy * m_tokens) DIV (c_x * c_y)")))
-    return (out.filter((F.col("c_xy") >= PMI_MIN_COUNT)
-                       & (F.col("lift_ppm") > PMI_MIN_LIFT_PPM))
-            .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm"))
-
-
-def _pmi_bigrams_sql() -> str:
-    return f"""
-        WITH toks AS (SELECT string_split(text, chr(32)) AS t FROM documents),
-        big AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_xy
-                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
-                GROUP BY 1, 2),
-        uni AS (SELECT t[i] AS w, count(*) AS c
-                FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
-                GROUP BY 1),
-        m AS (SELECT CAST(sum(c) AS BIGINT) AS m_tokens FROM uni)
-        SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
-               CAST((1000000 * c_xy * m_tokens) // (a.c * b.c) AS BIGINT)
-                   AS lift_ppm
-        FROM big JOIN uni a ON a.w = big.w1 JOIN uni b ON b.w = big.w2, m
-        WHERE c_xy >= {PMI_MIN_COUNT}
-          AND CAST((1000000 * c_xy * m_tokens) // (a.c * b.c) AS BIGINT)
-              > {PMI_MIN_LIFT_PPM}"""
-
-
-# ---------------------------------------------------------------------------
-# edit-distance near-dups / weighted sampling / NN distance stats — batch 20
-# ---------------------------------------------------------------------------
-
-WSAMPLE_MOD = 1000  # inclusion prob = n_chars per-mille (n_chars < 1000)
-
-
-def q_host_edit_near_dups(spark, sf):
-    # typosquat candidates: host pairs at edit distance ≤ 1, EXACT but
-    # never all-pairs — pigeonhole half-key blocking + thresholded
-    # levenshtein refine (operators/dedup.edit1_near_pairs; pytest pins
-    # completeness vs a brute-force oracle on adversarial strings). The
-    # minted hosts share their '.example' suffix half, so that one block
-    # is deliberately dense — the docstring documents the web-scale
-    # mitigation (strip the public suffix / cap blocks).
-    p = pages.pages(spark, 2000)
-    hosts = p.select(TXT.url_host(F.col("url")).alias("host"))
-    return (dedup.edit1_near_pairs(hosts, "host")
-            .select(F.col("s_a").alias("host_a"), F.col("s_b").alias("host_b")))
-
-
-def _host_edit_near_dups_sql() -> str:
-    # independent method: brute-force O(n²) over the distinct hosts —
-    # DuckDB's levenshtein is the same unit-cost edit distance
-    return f"""
-        WITH {_pages_cte()},
-        h AS (SELECT DISTINCT {TXT.sql_url_host('url')} AS host FROM txt)
-        SELECT a.host AS host_a, b.host AS host_b
-        FROM h a JOIN h b ON a.host < b.host
-        WHERE levenshtein(a.host, b.host) <= 1"""
-
-
-def q_weighted_sample_docs(spark, sf):
-    # deterministic length-weighted Bernoulli sample: doc kept iff
-    # hash60('ws-'||doc_id) mod 1000 < n_chars — inclusion probability
-    # n_chars per-mille, so long documents are oversampled exactly as a
-    # quality-weighted corpus draw would at 100 TB (pure per-row
-    # expressions, zero shuffle; Horvitz-Thompson reweighting downstream
-    # divides by incl_prob_pm). The md5 bridge makes the draw the SAME
-    # bits on both engines — no RNG, rerun-stable (sample_stratified's
-    # contract, with a per-row weight instead of per-stratum rates).
-    d = _docs(spark, sf)
-    u = F.pmod(phash.hash60(F.concat(F.lit("ws-"),
-                                     F.col("doc_id").cast("string"))),
-               F.lit(WSAMPLE_MOD))
-    return (d.filter(u < F.col("n_chars"))
-            .select("doc_id", "lang", "n_chars",
-                    F.col("n_chars").alias("incl_prob_pm")))
-
-
-def _weighted_sample_docs_sql() -> str:
-    u = phash.sql_hash60("'ws-' || CAST(doc_id AS VARCHAR)")
-    return f"""
-        SELECT doc_id, lang, n_chars, n_chars AS incl_prob_pm
-        FROM documents
-        WHERE ({u}) % {WSAMPLE_MOD} < n_chars"""
-
-
-def q_nn_dist_stats(spark, sf):
-    # nearest-neighbor distance statistics per 1° cell — the point-pattern
-    # dispersion diagnostic (clustered vs dispersed) next to moran_i's
-    # intensity autocorrelation. NN comes from the SAME grid-bucketed
-    # distance join as radius_join_pairs (both pair orientations, min d²
-    # per point: exact lattice integers); points with no neighbor inside
-    # RADIUS_R drop out (documented estimator truncation — at corpus
-    # scale the radius is chosen from the density histogram).
-    from geobuf_spark.sources.tables import widen
-    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
-    pairs = sj.radius_self_join(p, r=RADIUS_R)
-    both = (pairs.select(F.col("id_a").alias("doc_id"), "dist2")
-            .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "dist2")))
-    nn = both.groupBy("doc_id").agg(F.min("dist2").alias("nn_d2"))
-    cells = p.select("doc_id",
-                     (F.col("qx") / MORAN_BIN).cast("bigint").alias("cx"),
-                     (F.col("qy") / MORAN_BIN).cast("bigint").alias("cy"))
-    return (nn.join(cells, "doc_id")
-            .groupBy("cx", "cy")
-            .agg(F.count("*").alias("n_pts"),
-                 F.sum("nn_d2").alias("sum_nn_d2"),
-                 F.min("nn_d2").alias("min_nn_d2"),
-                 F.max("nn_d2").alias("max_nn_d2")))
-
-
-def _nn_dist_stats_sql() -> str:
-    return f"""
-        WITH p AS ({minted.sql_minted_cluster_points_q()}),
-        cand AS (SELECT a.doc_id, a.qx - b.qx AS dx, a.qy - b.qy AS dy
-                 FROM p a JOIN p b ON a.doc_id != b.doc_id),
-        d AS (SELECT doc_id,
-                     CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy AS d2
-              FROM cand),
-        nn AS (SELECT doc_id, CAST(min(d2) AS BIGINT) AS nn_d2
-               FROM d GROUP BY doc_id
-               HAVING min(d2) <= {RADIUS_R * RADIUS_R})
-        SELECT p.qx // {MORAN_BIN} AS cx, p.qy // {MORAN_BIN} AS cy,
-               count(*) AS n_pts,
-               CAST(sum(nn_d2) AS BIGINT) AS sum_nn_d2,
-               min(nn_d2) AS min_nn_d2, max(nn_d2) AS max_nn_d2
-        FROM nn JOIN p USING (doc_id)
-        GROUP BY 1, 2"""
-
-
-# ---------------------------------------------------------------------------
-# delta-encoding cost by cell / distributional similarity / interval
-# union coverage — batch 21
-# ---------------------------------------------------------------------------
-
-DELTA_GRID = 256        # cells per axis over the quantized lattice
-COOC_MIN_DIMS, COOC_MIN_COS = 5, 0.60
-IVL_LEN_EXPR = "(event_id % 240 + 30) * 60"  # 0.5–4.5 h in seconds
-
-
-def _sql_zigzag(d: str) -> str:
-    """Portable zigzag (CASE form — bit-shift sign semantics differ across
-    dialects); identical text runs in Spark via F.expr and in DuckDB."""
-    return f"(CASE WHEN ({d}) >= 0 THEN 2 * ({d}) ELSE -2 * ({d}) - 1 END)"
-
-
-def _sql_varint_len(zz: str) -> str:
-    """Varint byte length of a non-negative value < 2^49 — the CASE-sum
-    twin of codec.core.varint_lengths, shared verbatim by both engines."""
-    steps = " + ".join(
-        f"(CASE WHEN ({zz}) >= {1 << (7 * k)} THEN 1 ELSE 0 END)"
-        for k in range(1, 7))
-    return f"(1 + {steps})"
-
-
-def q_delta_bytes_by_tile(spark, sf):
-    # the codec × layout analytic: per grid cell, the geobuf coordinate
-    # payload cost (Σ varint(zigzag(Δqx)) + varint(zigzag(Δqy)), first
-    # feature delta-from-zero — write_primitives.go semantics) under TWO
-    # within-cell orderings: arrival (doc_id) vs Hilbert. The hilbert
-    # column must shrink bytes — the measured justification for
-    # cluster-by-hilbert file layout, computed as pure expressions over
-    # ONE window shuffle (both windows share the cell partitioning; the
-    # second ordering adds a sort, not an exchange).
-    from pyspark.sql import Window as Win
-    p = minted.minted_points_q(spark, sf)
-    g = (p.withColumn("gx", F.expr(f"(qx * {DELTA_GRID}) div 3600000000"))
-         .withColumn("gy", F.expr(f"(qy * {DELTA_GRID}) div 1700000000"))
-         .withColumn("hx", F.expr("(qx * 4096) div 3600000000"))
-         .withColumn("hy", F.expr("(qy * 4096) div 1700000000")))
-    g = tiles.with_hilbert_key(g, x="hx", y="hy", z=12)
-
-    def cost(order_cols):
-        w = Win.partitionBy("gx", "gy").orderBy(*order_cols)
-        dx = F.col("qx") - F.coalesce(F.lag("qx").over(w), F.lit(0))
-        dy = F.col("qy") - F.coalesce(F.lag("qy").over(w), F.lit(0))
-        tmp = (g.withColumn("_dx", dx).withColumn("_dy", dy)
-               .withColumn("_b", F.expr(
-                   _sql_varint_len(_sql_zigzag("_dx")) + " + "
-                   + _sql_varint_len(_sql_zigzag("_dy")))))
-        return tmp.groupBy("gx", "gy").agg(
-            F.count("*").alias("n_pts"), F.sum("_b").alias("bytes"))
-
-    seq = cost(["doc_id"])
-    hil = (cost([F.col("hilbert"), F.col("doc_id")])
-           .withColumnRenamed("bytes", "bytes_hilbert").drop("n_pts"))
-    return (seq.withColumnRenamed("bytes", "bytes_seq")
-            .join(hil, ["gx", "gy"]))
-
-
-def _delta_bytes_by_tile_sql() -> str:
-    pq = minted.SQL_MINTED_POINTS_Q
-    inner = (f"SELECT doc_id, qx, qy, "
-             f"(qx * {DELTA_GRID}) // 3600000000 AS gx, "
-             f"(qy * {DELTA_GRID}) // 1700000000 AS gy, "
-             f"(qx * 4096) // 3600000000 AS x, "
-             f"(qy * 4096) // 1700000000 AS y FROM ({pq})")
-    hil = tiles.sql_hilbert_wrap(
-        inner, ["doc_id", "qx", "qy", "gx", "gy"], z=12)
-    byt = (_sql_varint_len(_sql_zigzag("_dx")) + " + "
-           + _sql_varint_len(_sql_zigzag("_dy")))
-    return f"""
-        WITH h AS ({hil}),
-        seq AS (SELECT gx, gy,
-                       qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
-                            ORDER BY doc_id), 0) AS _dx,
-                       qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
-                            ORDER BY doc_id), 0) AS _dy
-                FROM h),
-        hilo AS (SELECT gx, gy,
-                        qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
-                             ORDER BY hilbert, doc_id), 0) AS _dx,
-                        qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
-                             ORDER BY hilbert, doc_id), 0) AS _dy
-                 FROM h),
-        a AS (SELECT gx, gy, count(*) AS n_pts,
-                     CAST(sum({byt}) AS BIGINT) AS bytes_seq
-              FROM seq GROUP BY 1, 2),
-        b AS (SELECT gx, gy, CAST(sum({byt}) AS BIGINT) AS bytes_hilbert
-              FROM hilo GROUP BY 1, 2)
-        SELECT a.gx, a.gy, n_pts, bytes_seq, bytes_hilbert
-        FROM a JOIN b ON a.gx = b.gx AND a.gy = b.gy"""
-
-
-def q_word_cooc_cosine(spark, sf):
-    # distributional word similarity by counting: each word's vector is
-    # its symmetric ±1 co-occurrence profile; pairs scored by cosine.
-    # Inner products and norms are EXACT integers; the cosine itself is
-    # three IEEE-deterministic ops (two correctly-rounded sqrts, one
-    # multiply, one divide) over identical expression text — bit-equal
-    # cross-engine (line_length_stats precedent). Vocabulary-sized
-    # tables: both joins broadcast; the only corpus-scale work is the
-    # token-pair count.
-    toks = _docs(spark, sf).select(F.split("text", " ").alias("t"))
-    adj = (toks.select(F.explode(F.arrays_zip(
-               F.slice("t", 1, F.size("t") - 1).alias("a"),
-               F.slice("t", 2, F.size("t") - 1).alias("b"))).alias("p")))
-    cooc = (adj.select(F.col("p.a").alias("w"), F.col("p.b").alias("c"))
-            .unionByName(adj.select(F.col("p.b").alias("w"),
-                                    F.col("p.a").alias("c")))
-            .groupBy("w", "c").agg(F.count("*").alias("cnt"))
-            .localCheckpoint(eager=False))
-    norms = cooc.groupBy("w").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
-    pairs = (cooc.select(F.col("w").alias("w_a"), "c", F.col("cnt").alias("ca"))
-             .join(cooc.select(F.col("w").alias("w_b"), "c",
-                               F.col("cnt").alias("cb")), "c")
-             .filter(F.col("w_a") < F.col("w_b"))
-             .groupBy("w_a", "w_b")
-             .agg(F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
-                  F.count("*").alias("shared_dims")))
-    out = (pairs
-           .join(F.broadcast(norms.select(F.col("w").alias("w_a"),
-                                          F.col("n2").alias("nx"))), "w_a")
-           .join(F.broadcast(norms.select(F.col("w").alias("w_b"),
-                                          F.col("n2").alias("ny"))), "w_b")
-           .withColumn("cos", F.expr(
-               "CAST(sxy AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) "
-               "* sqrt(CAST(ny AS DOUBLE)))")))
-    return (out.filter((F.col("shared_dims") >= COOC_MIN_DIMS)
-                       & (F.col("cos") >= COOC_MIN_COS))
-            .select("w_a", "w_b", "shared_dims", "sxy", "cos"))
-
-
-def _word_cooc_cosine_sql() -> str:
-    return f"""
-        WITH toks AS (SELECT string_split(text, chr(32)) AS t FROM documents),
-        adj AS (SELECT t[i] AS a, t[i + 1] AS b
-                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
-        cooc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS cnt FROM (
-                     SELECT a AS w, b AS c FROM adj
-                     UNION ALL SELECT b AS w, a AS c FROM adj)
-                 GROUP BY 1, 2),
-        norms AS (SELECT w, CAST(sum(cnt * cnt) AS BIGINT) AS n2
-                  FROM cooc GROUP BY 1),
-        pairs AS (SELECT x.w AS w_a, y.w AS w_b,
-                         CAST(sum(x.cnt * y.cnt) AS BIGINT) AS sxy,
-                         count(*) AS shared_dims
-                  FROM cooc x JOIN cooc y ON x.c = y.c AND x.w < y.w
-                  GROUP BY 1, 2)
-        SELECT w_a, w_b, shared_dims, sxy,
-               CAST(sxy AS DOUBLE) / (sqrt(CAST(nx.n2 AS DOUBLE))
-                   * sqrt(CAST(ny.n2 AS DOUBLE))) AS cos
-        FROM pairs
-        JOIN norms nx ON nx.w = pairs.w_a
-        JOIN norms ny ON ny.w = pairs.w_b
-        WHERE shared_dims >= {COOC_MIN_DIMS}
-          AND CAST(sxy AS DOUBLE) / (sqrt(CAST(nx.n2 AS DOUBLE))
-              * sqrt(CAST(ny.n2 AS DOUBLE))) >= {COOC_MIN_COS}"""
-
-
-def q_interval_union_time(spark, sf):
-    # per-user interval-union coverage (gaps-and-islands): events carry a
-    # minted duration; overlapping intervals merge into islands via the
-    # running-max-end window, and the union length is Σ island extents —
-    # the classic "total active time" rollup, exact epoch-second
-    # integers (unix_timestamp / floor(epoch()) — the click_attribution
-    # precedent for NTZ parquet timestamps). One window shuffle on
-    # user_id, then a per-island agg that reuses the same partitioning.
-    from pyspark.sql import Window as Win
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.unix_timestamp("ts").alias("s"),
-        (F.unix_timestamp("ts") + F.expr(IVL_LEN_EXPR)).alias("e"),
-        "event_id")
-    w = Win.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max = F.max("e").over(w.rowsBetween(Win.unboundedPreceding, -1))
-    iv = (ev.withColumn("new_island",
-                        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)),
-                               1).otherwise(0))
-          .withColumn("island", F.sum("new_island").over(
-              w.rowsBetween(Win.unboundedPreceding, 0))))
-    isl = (iv.groupBy("user_id", "island")
-           .agg(F.min("s").alias("i_s"), F.max("e").alias("i_e"),
-                F.count("*").alias("n_ev")))
-    return (isl.groupBy("user_id")
-            .agg(F.count("*").alias("n_islands"),
-                 F.sum(F.col("i_e") - F.col("i_s")).alias("covered_s"),
-                 F.max("n_ev").alias("max_island_events")))
-
-
-def _interval_union_time_sql() -> str:
-    return f"""
-        WITH ev AS (SELECT user_id,
-                           CAST(floor(epoch(ts)) AS BIGINT) AS s,
-                           CAST(floor(epoch(ts)) AS BIGINT)
-                               + {IVL_LEN_EXPR} AS e, event_id
-                    FROM events),
-        iv AS (SELECT user_id, s, e, event_id,
-                      CASE WHEN s > coalesce(max(e) OVER (
-                               PARTITION BY user_id ORDER BY s, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING), -1)
-                           THEN 1 ELSE 0 END AS new_island
-               FROM ev),
-        ii AS (SELECT user_id, s, e,
-                      sum(new_island) OVER (PARTITION BY user_id
-                          ORDER BY s, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS island
-               FROM iv),
-        isl AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
-                       count(*) AS n_ev
-                FROM ii GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_islands,
-               CAST(sum(i_e - i_s) AS BIGINT) AS covered_s,
-               max(n_ev) AS max_island_events
-        FROM isl GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# segment-intersection join / robots longest-prefix rules / staypoint
-# detection — batch 22
-# ---------------------------------------------------------------------------
-
-SEG_CELL = 20_000_000   # grid span ≥ the walk box extent (2.0° x 1.6°), so
-                        # every segment bbox covers ≤ 2 cells per axis
-STAY_R2 = 90_000_000_000          # dwell radius² on the traj lattice (3e5)²
-ROBOTS_PAGES, ROBOTS_SITES = 2000, 1000
-
-
-def _sql_proper_xing() -> str:
-    """Shared predicate text (operators/spatial_join.sql_proper_xing)."""
-    return sj.sql_proper_xing()
-
-
-def q_segment_xing_join(spark, sf):
-    # exact segment-intersection join (roads × rivers analog) over the
-    # minted walk polylines: grid-cell candidate generation (never
-    # all-pairs), reference-point dedup (NO distinct — each candidate pair
-    # is kept only in the cell holding the max of the two bbox min-corners,
-    # the rect_overlay_iou technique), then the strict integer orientation
-    # predicate. Scale: one equi-join shuffle on (cx, cy); cell span tunes
-    # to density; hot cells fall under plan_salt like any cell join.
-    # Fixture: the CLUSTERED walk mint (the rank-1 base never overlaps).
-    # Core: operators/spatial_join.segment_xing_join (stress harness
-    # tools/bench_segment_stress.py runs the same code at arbitrary N).
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9)
-    return sj.segment_xing_join(wl, cell=SEG_CELL, k=9)
-
-
-def _segment_xing_join_sql() -> str:
-    return f"""
-        WITH w AS ({minted.sql_cluster_walk_lines_q(9)}),
-        seg AS (SELECT doc_id, xs[i + 1] AS ax, ys[i + 1] AS ay,
-                       xs[i + 2] AS bx, ys[i + 2] AS by
-                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
-        sb AS (SELECT seg.*,
-                      least(ax, bx) AS x1, greatest(ax, bx) AS x2,
-                      least(ay, by) AS y1, greatest(ay, by) AS y2
-               FROM seg),
-        sc AS (SELECT sb.*, cxs.cx, cys.cy FROM sb,
-               LATERAL (SELECT unnest(range(x1 // {SEG_CELL},
-                                            x2 // {SEG_CELL} + 1)) AS cx) cxs,
-               LATERAL (SELECT unnest(range(y1 // {SEG_CELL},
-                                            y2 // {SEG_CELL} + 1)) AS cy) cys),
-        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by,
-                        b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by
-                 FROM sc a JOIN sc b
-                   ON a.cx = b.cx AND a.cy = b.cy AND a.doc_id < b.doc_id
-                 WHERE a.cx = greatest(a.x1, b.x1) // {SEG_CELL}
-                   AND a.cy = greatest(a.y1, b.y1) // {SEG_CELL}
-                   AND a.x1 <= b.x2 AND b.x1 <= a.x2
-                   AND a.y1 <= b.y2 AND b.y1 <= a.y2)
-        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_xings
-        FROM cand WHERE {_sql_proper_xing()}
-        GROUP BY 1, 2"""
-
-
-def q_robots_prefix_rules(spark, sf):
-    # robots.txt semantics as a longest-prefix-match join: pages get
-    # minted multi-segment paths (depth 1-3), each site gets two minted
-    # path rules (depths 1 and 2) with an allow/deny bit; a page matches
-    # the LONGEST rule prefix of its path, default-allow when none
-    # matches. Distinct equal-length prefixes can't both prefix one path,
-    # so max_by is tie-free. Plan: explode ≤3 prefixes per page, ONE
-    # broadcast-able equi-join on (site, prefix) (the rule table is
-    # sites × 2 rows), groupBy page, left-join back for the default.
-    p = pages.pages(spark, ROBOTS_PAGES)
-    words = F.array(*[F.lit(w) for w in pages.WORDS])
-    nw = len(pages.WORDS)
-    pid = F.col("page_id").cast("string")
-    depth = F.pmod(phash.hash60(F.concat(F.lit("pd-"), pid)), F.lit(3)) + 1
-    segs = F.transform(
-        F.sequence(F.lit(1), depth),
-        lambda j: F.element_at(words, (F.pmod(
-            phash.hash60(F.concat(F.lit("ps-"), pid, F.lit("-"),
-                                  j.cast("string"))),
-            F.lit(nw)) + 1).cast("int")))
-    pg = p.select(
-        "page_id", pages.site_of(F.col("url")).alias("site"),
-        depth.alias("path_depth"),
-        F.transform(F.sequence(F.lit(1), depth),
-                    lambda t: F.concat(F.lit("/"), F.array_join(
-                        F.slice(segs, F.lit(1), t), "/"))).alias("pfx"))
-    px = pg.select("page_id", "site", F.explode("pfx").alias("prefix"))
-
-    r = spark.range(2 * ROBOTS_SITES).select(
-        (F.col("id") % ROBOTS_SITES).cast("int").alias("site"),
-        F.expr(f"id div {ROBOTS_SITES} + 1").alias("k"))
-    rsegs = F.transform(
-        F.sequence(F.lit(1), F.col("k")),
-        lambda m: F.element_at(words, (F.pmod(
-            phash.hash60(F.concat(F.lit("rs-"), F.col("site").cast("string"),
-                                  F.lit("-"), F.col("k").cast("string"),
-                                  F.lit("-"), m.cast("string"))),
-            F.lit(nw)) + 1).cast("int")))
-    rules = r.select(
-        "site",
-        F.concat(F.lit("/"), F.array_join(rsegs, "/")).alias("prefix"),
-        F.pmod(phash.hash60(F.concat(
-            F.lit("ra-"), F.col("site").cast("string"), F.lit("-"),
-            F.col("k").cast("string"))), F.lit(2)).alias("allow"))
-
-    m = (px.join(F.broadcast(rules), ["site", "prefix"])
-         .groupBy("page_id")
-         .agg(F.max(F.length("prefix")).cast("bigint").alias("matched_len"),
-              F.max_by("allow", F.length("prefix")).alias("allowed")))
-    return (pg.select("page_id", "site", "path_depth")
-            .join(m, "page_id", "left")
-            .select("page_id", "site", "path_depth",
-                    F.coalesce("matched_len", F.lit(0)).alias("matched_len"),
-                    F.coalesce("allowed", F.lit(1)).alias("allowed")))
-
-
-def _robots_prefix_rules_sql() -> str:
-    words = "[" + ", ".join(f"'{w}'" for w in pages.WORDS) + "]"
-    nw = len(pages.WORDS)
-    h = phash.sql_hash60
-    dep = h("'pd-' || CAST(id AS VARCHAR)")
-    seg = h("'ps-' || CAST(id AS VARCHAR) || '-' || CAST(j AS VARCHAR)")
-    rs = h("'rs-' || CAST(site AS VARCHAR) || '-' || CAST(k AS VARCHAR)"
-           " || '-' || CAST(m AS VARCHAR)")
-    ra = h("'ra-' || CAST(site AS VARCHAR) || '-' || CAST(k AS VARCHAR)")
-    return f"""
-        WITH {_pages_cte(ROBOTS_PAGES, 42)},
-        pg0 AS (SELECT id,
-                       CAST(regexp_extract(url, 'site(\\d+)\\.example', 1)
-                            AS INT) AS site,
-                       {dep} % 3 + 1 AS path_depth
-                FROM txt),
-        pg AS (SELECT id, site, path_depth,
-                      list_transform(range(1, path_depth + 1),
-                          j -> {words}[{seg} % {nw} + 1]) AS segs
-               FROM pg0),
-        px AS (SELECT id, site,
-                      unnest(list_transform(range(1, path_depth + 1),
-                          t -> '/' || array_to_string(segs[1:t], '/')))
-                          AS prefix
-               FROM pg),
-        rules AS (SELECT site, '/' || array_to_string(
-                             list_transform(range(1, k + 1),
-                                 m -> {words}[{rs} % {nw} + 1]), '/')
-                             AS prefix,
-                         {ra} % 2 AS allow
-                  FROM (SELECT CAST(id % {ROBOTS_SITES} AS INT) AS site,
-                               id // {ROBOTS_SITES} + 1 AS k
-                        FROM range({2 * ROBOTS_SITES}) t(id))),
-        m AS (SELECT px.id,
-                     CAST(max(length(rules.prefix)) AS BIGINT)
-                         AS matched_len,
-                     arg_max(rules.allow, length(rules.prefix)) AS allowed
-              FROM px JOIN rules
-                ON px.site = rules.site AND px.prefix = rules.prefix
-              GROUP BY 1)
-        SELECT pg.id AS page_id, pg.site, pg.path_depth,
-               coalesce(m.matched_len, 0) AS matched_len,
-               coalesce(m.allowed, 1) AS allowed
-        FROM pg LEFT JOIN m ON pg.id = m.id"""
-
-
-def q_staypoints(spark, sf):
-    # trajectory dwell detection over the SAME minted trajectory as
-    # traj_steps: a staypoint is a maximal run of consecutive fixes whose
-    # successive squared displacement stays ≤ STAY_R2 (gaps-and-islands —
-    # the spatial twin of interval_union_time's running window). Exact
-    # int64 lattice arithmetic + epoch-second dwell times; ONE user_id
-    # exchange shared by the lag, the island sum, and both rollups.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 F.unix_timestamp("ts").alias("te"),
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    dx = F.col("px") - F.lag("px").over(w)
-    dy = F.col("py") - F.lag("py").over(w)
-    d2 = dx * dx + dy * dy
-    iv = (d.withColumn("new_island",
-                       F.when(d2.isNull() | (d2 > STAY_R2), 1).otherwise(0))
-          .withColumn("island", F.sum("new_island").over(
-              w.rowsBetween(Win.unboundedPreceding, 0))))
-    isl = (iv.groupBy("user_id", "island")
-           .agg(F.count("*").alias("n_ev"),
-                F.min("te").alias("t0"), F.max("te").alias("t1")))
-    return (isl.filter(F.col("n_ev") >= 2)
-            .groupBy("user_id")
-            .agg(F.count("*").alias("n_staypoints"),
-                 F.sum(F.col("t1") - F.col("t0")).alias("dwell_s"),
-                 F.max(F.col("t1") - F.col("t0")).alias("max_dwell_s"),
-                 F.max("n_ev").alias("max_fixes")))
-
-
-def _staypoints_sql() -> str:
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          {pos('tx')} AS px, {pos('ty')} AS py
-                   FROM events),
-        d AS (SELECT user_id, ts, event_id, te,
-                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
-              FROM p
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        iv AS (SELECT user_id, ts, event_id, te,
-                      CASE WHEN dx IS NULL
-                             OR dx * dx + dy * dy > {STAY_R2}
-                           THEN 1 ELSE 0 END AS new_island
-               FROM d),
-        ii AS (SELECT user_id, te,
-                      sum(new_island) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS island
-               FROM iv),
-        isl AS (SELECT user_id, island, count(*) AS n_ev,
-                       min(te) AS t0, max(te) AS t1
-                FROM ii GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_staypoints,
-               CAST(sum(t1 - t0) AS BIGINT) AS dwell_s,
-               CAST(max(t1 - t0) AS BIGINT) AS max_dwell_s,
-               max(n_ev) AS max_fixes
-        FROM isl WHERE n_ev >= 2 GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# clickstream path analysis / asymmetric containment dedup / DBSCAN core
-# points — batch 23
-# ---------------------------------------------------------------------------
-
-SESSION_GAP_S = 1800
-DBSCAN_EPS = 6_000_000           # lattice units (0.6°)
-DBSCAN_MIN_NBRS = 2              # core ⇔ ≥ 2 neighbours within eps
-
-
-def q_session_paths(spark, sf):
-    # clickstream path analysis: sessionize by 30-min gap (the sessionize
-    # op's semantics), then the ordered event_type path per session,
-    # rolled up to path frequencies. Order safety: the path is built from
-    # an array_sort over (te, event_id, type) structs — deterministic
-    # regardless of partitioning — not from collect_list's arrival order.
-    # ONE user_id window exchange; the path rollup is map-side light.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", "event_type", "ts",
-        F.unix_timestamp("ts").alias("te"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("te") - F.lag("te").over(w)
-    sess = (e.withColumn("new_s",
-                         F.when(gap.isNull() | (gap > SESSION_GAP_S), 1)
-                         .otherwise(0))
-            .withColumn("session", F.sum("new_s").over(
-                w.rowsBetween(Win.unboundedPreceding, 0))))
-    paths = (sess.groupBy("user_id", "session")
-             .agg(F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("te", "event_id", "event_type"))),
-                     lambda s: s["event_type"]), ">").alias("path")))
-    return (paths.groupBy("path")
-            .agg(F.count("*").alias("n_sessions"),
-                 F.countDistinct("user_id").alias("n_users"))
-            .filter(F.col("n_sessions") >= 2))
-
-
-def _session_paths_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id, event_id, event_type, ts,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te
-                   FROM events),
-        g AS (SELECT *, CASE WHEN te - lag(te) OVER w IS NULL
-                               OR te - lag(te) OVER w > {SESSION_GAP_S}
-                             THEN 1 ELSE 0 END AS new_s
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND CURRENT ROW) AS session
-              FROM g),
-        p AS (SELECT user_id, session,
-                     string_agg(event_type, '>' ORDER BY te, event_id,
-                                event_type) AS path
-              FROM s GROUP BY 1, 2)
-        SELECT path, count(*) AS n_sessions,
-               count(DISTINCT user_id) AS n_users
-        FROM p GROUP BY 1 HAVING count(*) >= 2"""
-
-
-def q_containment_pairs(spark, sf):
-    # asymmetric near-dup tier: shingle containment |A∩B|/min(|A|,|B|)
-    # catches short-doc-inside-long-doc pairs Jaccard dilutes away.
-    # Inverted shingle join with a document-frequency cap (operators/
-    # dedup.containment_pairs) — never all-pairs.
-    return dedup.containment_pairs(_docs(spark, sf), key="doc_id",
-                                   shingle_k=3, threshold=0.6)
-
-
-def _containment_pairs_sql(k: int = 3, threshold: float = 0.6,
-                           max_df: int = 1000) -> str:
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
-                   FROM documents),
-        sh0 AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
-                                                chr(31)))) AS shs
-                FROM d),
-        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
-        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
-        shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                          CAST(count(*) AS BIGINT) AS inter
-                   FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
-                   GROUP BY 1, 2)
-        SELECT a, b, inter,
-               CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
-        FROM shared
-        JOIN counts ca ON ca.doc_id = a
-        JOIN counts cb ON cb.doc_id = b
-        WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= {threshold}"""
-
-
-def q_dbscan_core(spark, sf):
-    # DBSCAN's expensive step — eps-neighbourhood counting — as a 3x3
-    # grid-cell join over the clustered point mint (point-level density,
-    # vs hotspot_clusters' tile-count density): each point probes its 9
-    # neighbour cells at cell = eps, exact integer d² ≤ eps² refine, core
-    # flag at ≥ DBSCAN_MIN_NBRS. Never all-pairs; cells bound candidates
-    # by local density, the 100 TB shape (salting applies to hot cells).
-    p = minted.minted_cluster_points_q(spark, sf)
-    a = (p.select(F.col("doc_id").alias("a_id"),
-                  F.col("qx").alias("ax"), F.col("qy").alias("ay"))
-         .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("cx", F.expr(f"ax div {DBSCAN_EPS} + dx"))
-         .withColumn("cy", F.expr(f"ay div {DBSCAN_EPS} + dy")))
-    b = p.select(F.col("doc_id").alias("b_id"),
-                 F.col("qx").alias("bx"), F.col("qy").alias("by"),
-                 F.expr(f"qx div {DBSCAN_EPS}").alias("cx"),
-                 F.expr(f"qy div {DBSCAN_EPS}").alias("cy"))
-    nbrs = (a.join(b, ["cx", "cy"])
-            .filter((F.col("a_id") != F.col("b_id"))
-                    & ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-                       + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
-                       <= DBSCAN_EPS * DBSCAN_EPS))
-            .groupBy("a_id").agg(F.count("*").alias("n_nbrs")))
-    return (p.select(F.col("doc_id"), F.col("qx"), F.col("qy"))
-            .join(nbrs.withColumnRenamed("a_id", "doc_id"), "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
-                    (F.coalesce("n_nbrs", F.lit(0)) >= DBSCAN_MIN_NBRS)
-                    .alias("is_core")))
-
-
-def _dbscan_core_sql() -> str:
-    eps = DBSCAN_EPS
-    return f"""
-        WITH p AS ({minted.sql_minted_cluster_points_q()}),
-        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay,
-                     qx // {eps} + dxs.dx AS cx, qy // {eps} + dys.dy AS cy
-              FROM p,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by,
-                     qx // {eps} AS cx, qy // {eps} AS cy
-              FROM p),
-        n AS (SELECT a_id, count(*) AS n_nbrs
-              FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
-                           AND a_id <> b_id
-              WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
-                    <= {eps * eps}
-              GROUP BY 1)
-        SELECT p.doc_id, coalesce(n.n_nbrs, 0) AS n_nbrs,
-               coalesce(n.n_nbrs, 0) >= {DBSCAN_MIN_NBRS} AS is_core
-        FROM p LEFT JOIN n ON p.doc_id = n.a_id"""
-
-
-# ---------------------------------------------------------------------------
-# robust MAD outliers / exact bearing octants / event-time lateness audit
-# — batch 24
-# ---------------------------------------------------------------------------
-
-MAD_K = 5  # outlier gate: |dev| > MAD_K * MAD
-
-
-def q_outlier_mad(spark, sf):
-    # robust per-language length outliers: median and MAD by the exact
-    # "lower" order statistic (doc_len_percentiles' integer indexing — no
-    # cross-libm interpolation), outlier gate |n_tok − median| > 5·MAD in
-    # pure int64. The language spine is tiny, so both join-backs
-    # broadcast; the only corpus-scale work is two lang aggregations.
-    t = (_docs(spark, sf)
-         .select("lang",
-                 TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"))
-         .localCheckpoint(eager=False))  # shared by m1 and dev
-
-    def med(col_df, val, out):
-        g = (col_df.groupBy("lang")
-             .agg(F.sort_array(F.collect_list(val)).alias("v"),
-                  F.count("*").alias("n")))
-        return g.select(
-            "lang", F.col("n"),
-            F.element_at("v", F.expr("CAST((n - 1) DIV 2 AS INT) + 1"))
-            .alias(out))
-
-    m1 = med(t, "n_tok", "median_tokens").withColumnRenamed("n", "n_docs")
-    dev = (t.join(F.broadcast(m1), "lang")
-           .withColumn("dev", F.abs(F.col("n_tok") - F.col("median_tokens")))
-           .localCheckpoint(eager=False))  # shared by m2 and the rollup
-    m2 = med(dev.select("lang", F.col("dev").alias("n_tok")), "n_tok",
-             "mad_tokens").drop("n")
-    return (dev.join(F.broadcast(m2), "lang")
-            .groupBy("lang")
-            .agg(F.max("n_docs").alias("n_docs"),
-                 F.max("median_tokens").alias("median_tokens"),
-                 F.max("mad_tokens").alias("mad_tokens"),
-                 F.sum(F.when(F.col("dev") > MAD_K * F.col("mad_tokens"),
-                              1).otherwise(0)).cast("bigint")
-                 .alias("n_outliers")))
-
-
-def _outlier_mad_sql() -> str:
-    ntok = "len(string_split(text, chr(32)))"
-    return f"""
-        WITH t AS (SELECT lang, CAST({ntok} AS BIGINT) AS n_tok
-                   FROM documents),
-        m1 AS (SELECT lang, count(*) AS n_docs,
-                      (list_sort(list(n_tok)))[CAST((count(*) - 1) // 2
-                          AS INT) + 1] AS median_tokens
-               FROM t GROUP BY 1),
-        dev AS (SELECT t.lang, n_docs, median_tokens,
-                       abs(n_tok - median_tokens) AS dev
-                FROM t JOIN m1 ON t.lang = m1.lang),
-        m2 AS (SELECT lang, (list_sort(list(dev)))[CAST((count(*) - 1) // 2
-                          AS INT) + 1] AS mad_tokens
-               FROM dev GROUP BY 1)
-        SELECT dev.lang, max(n_docs) AS n_docs,
-               max(median_tokens) AS median_tokens,
-               max(mad_tokens) AS mad_tokens,
-               CAST(sum(CASE WHEN dev > {MAD_K} * mad_tokens
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        FROM dev JOIN m2 ON dev.lang = m2.lang
-        GROUP BY 1"""
-
-
-_OCTANT_EXPR = """(CASE
-    WHEN dx >= 0 AND dy >= 0 THEN (CASE WHEN dx >= dy THEN 0 ELSE 1 END)
-    WHEN dx < 0 AND dy >= 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
-    WHEN dx < 0 AND dy < 0 THEN (CASE WHEN -dx >= -dy THEN 4 ELSE 5 END)
-    ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END)"""
-
-
-def q_bearing_sectors(spark, sf):
-    # movement-bearing histogram over the minted trajectories: each step
-    # classified into one of 8 octants by EXACT integer comparisons
-    # (signs + |dx| vs |dy| — no atan2, whose libm rounding differs
-    # across engines). Shared CASE text runs in both engines. ONE user
-    # window exchange, then a tiny 8-row rollup.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = (d.select("user_id",
-                      (F.col("px") - F.lag("px").over(w)).alias("dx"),
-                      (F.col("py") - F.lag("py").over(w)).alias("dy"))
-             .filter(F.col("dx").isNotNull()))
-    return (steps.withColumn("sector", F.expr(_OCTANT_EXPR))
-            .groupBy("sector")
-            .agg(F.count("*").alias("n_steps"),
-                 F.countDistinct("user_id").alias("n_users"),
-                 F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
-                 .cast("bigint").alias("sum_d2")))
-
-
-def _bearing_sectors_sql() -> str:
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          {pos('tx')} AS px, {pos('ty')} AS py
-                   FROM events),
-        s AS (SELECT user_id,
-                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
-              FROM p
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        SELECT {_OCTANT_EXPR} AS sector,
-               count(*) AS n_steps,
-               count(DISTINCT user_id) AS n_users,
-               CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_d2
-        FROM s WHERE dx IS NOT NULL
-        GROUP BY 1"""
-
-
-def q_late_arrival_hist(spark, sf):
-    # watermark-tuning audit: per-user event-time lateness vs the running
-    # max event time in ARRIVAL order (event_id), bucketed into integer
-    # lateness classes. This is the statistic that sizes
-    # withWatermark()'s delay — the streaming family's batch-side twin.
-    # Per-key running max keeps the window partitioned (a global arrival
-    # order would need a two-pass prefix max at scale). The synthetic
-    # events table is already time-ordered by event_id, so arrival is a
-    # minted shard-interleave permutation (real logs arrive shuffled
-    # across shards). ONE exchange.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
-        phash.hash60(F.concat(F.lit("arr-"),
-                              F.col("event_id").cast("string")))
-        .alias("arr"))
-    w = (Win.partitionBy("user_id").orderBy("arr", "event_id")
-         .rowsBetween(Win.unboundedPreceding, -1))
-    late = (e.withColumn("late_s",
-                         F.greatest(F.lit(0),
-                                    F.coalesce(F.max("te").over(w), F.lit(0))
-                                    - F.col("te"))))
-    bucket = F.expr("CASE WHEN late_s = 0 THEN 'on_time' "
-                    "WHEN late_s < 60 THEN 'lt_1m' "
-                    "WHEN late_s < 600 THEN 'lt_10m' "
-                    "WHEN late_s < 3600 THEN 'lt_1h' ELSE 'ge_1h' END")
-    return (late.groupBy(bucket.alias("bucket"))
-            .agg(F.count("*").alias("n_events"),
-                 F.max("late_s").alias("max_late_s"),
-                 F.countDistinct("user_id").alias("n_users")))
-
-
-def _late_arrival_hist_sql() -> str:
-    arr = phash.sql_hash60("'arr-' || CAST(event_id AS VARCHAR)")
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          {arr} AS arr
-                   FROM events),
-        l AS (SELECT user_id,
-                     greatest(0, coalesce(max(te) OVER (
-                         PARTITION BY user_id ORDER BY arr, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) - te) AS late_s
-              FROM e)
-        SELECT CASE WHEN late_s = 0 THEN 'on_time'
-                    WHEN late_s < 60 THEN 'lt_1m'
-                    WHEN late_s < 600 THEN 'lt_10m'
-                    WHEN late_s < 3600 THEN 'lt_1h' ELSE 'ge_1h' END AS bucket,
-               count(*) AS n_events,
-               max(late_s) AS max_late_s,
-               count(DISTINCT user_id) AS n_users
-        FROM l GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# prefix autocomplete / exact integer trend slopes / co-presence linkage
-# — batch 25
-# ---------------------------------------------------------------------------
-
-COPRES_Z = 9                     # co-presence tile zoom
-COPRES_MIN = 3                   # ≥ 3 shared (tile, hour) bins → linked
-
-
-def q_prefix_autocomplete_topk(spark, sf):
-    # search-infra prefix index: for every 2-char token prefix, the top-3
-    # completions by corpus frequency (ties by word — total order, so the
-    # row_number cut is deterministic). One token-count aggregation (the
-    # only corpus-scale work), then a window over the tiny
-    # (prefix, word) vocabulary table.
-    from pyspark.sql import Window as Win
-    toks = (_docs(spark, sf)
-            .select(F.explode(F.split("text", " ")).alias("w"))
-            .filter(F.length("w") >= 2)
-            .groupBy("w").agg(F.count("*").alias("cnt"))
-            .withColumn("prefix", F.substring("w", 1, 2)))
-    w = Win.partitionBy("prefix").orderBy(F.col("cnt").desc(), F.col("w"))
-    return (toks.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 3)
-            .select("prefix", "w", "cnt", "rnk"))
-
-
-def _prefix_autocomplete_topk_sql() -> str:
-    return """
-        WITH t AS (SELECT unnest(string_split(text, chr(32))) AS w
-                   FROM documents),
-        c AS (SELECT w, count(*) AS cnt FROM t
-              WHERE length(w) >= 2 GROUP BY 1),
-        r AS (SELECT substr(w, 1, 2) AS prefix, w, cnt,
-                     row_number() OVER (PARTITION BY substr(w, 1, 2)
-                         ORDER BY cnt DESC, w) AS rnk
-              FROM c)
-        SELECT prefix, w, cnt, CAST(rnk AS BIGINT) AS rnk
-        FROM r WHERE rnk <= 3"""
-
-
-def q_trend_slope_weekly(spark, sf):
-    # burst/decline detection with EXACT integers: per event_type, weekly
-    # counts y over week index x, and the least-squares slope as the
-    # exact rational (num, den) = (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) — no
-    # float regression, so the oracle matches bit-for-bit and the sign
-    # IS the trend verdict. Two small aggregations after the weekly
-    # rollup; everything stays int64 (weeks ≤ 60, counts ≤ corpus).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", F.expr("unix_timestamp(ts) div 604800").alias("wk"))
-    weekly = (e.groupBy("event_type", "wk")
-              .agg(F.count("*").alias("y"))
-              .withColumn("x", F.col("wk") - F.lit(2840)))  # 2024 epoch wk
-    return (weekly.groupBy("event_type")
-            .agg(F.count("*").alias("n_weeks"),
-                 F.sum("y").alias("total"),
-                 (F.count("*") * F.sum(F.col("x") * F.col("y"))
-                  - F.sum("x") * F.sum("y")).alias("slope_num"),
-                 (F.count("*") * F.sum(F.col("x") * F.col("x"))
-                  - F.sum("x") * F.sum("x")).alias("slope_den")))
-
-
-def _trend_slope_weekly_sql() -> str:
-    return """
-        WITH e AS (SELECT event_type,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
-                   FROM events),
-        weekly AS (SELECT event_type, wk, wk - 2840 AS x,
-                          CAST(count(*) AS BIGINT) AS y
-                   FROM e GROUP BY 1, 2)
-        SELECT event_type, count(*) AS n_weeks,
-               CAST(sum(y) AS BIGINT) AS total,
-               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
-                   AS slope_num,
-               CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
-                   AS slope_den
-        FROM weekly GROUP BY 1"""
-
-
-COPRES_BIN_X, COPRES_BIN_Y = 7_031_250, 3_320_313  # ~z9 bin spans
-COPRES_JIT = 4_000_000
-
-
-def q_copresence_pairs(spark, sf):
-    # trajectory linkage: user pairs co-present in ≥ COPRES_MIN distinct
-    # (spatial bin, day) cells — the entity-resolution join over space ×
-    # time. Fixture: user cohorts (user_id mod 5) share a minted per-day
-    # anchor, events jitter around it, so genuine co-presence exists to
-    # find. Distinct bins first (multi-events in one bin count once),
-    # then the bin self-join; production caps bin occupancy exactly like
-    # the LSH bucket caps. Never all-pairs: candidates exist only inside
-    # a shared bin. Pure integer arithmetic (div bins, no floats).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.expr("unix_timestamp(ts) div 86400")
-        .alias("day"))
-    g = F.col("user_id") % 5
-    cx = minted._mulmod(g * 1009 + F.col("day") * 31,
-                        minted.LON_MULT, minted.LON_MOD - 8_000_000)
-    cy = minted._mulmod(g * 2003 + F.col("day") * 57,
-                        minted.LAT_MULT, minted.LAT_MOD - 8_000_000)
-    jx = minted._mulmod(F.col("event_id"), 48271, COPRES_JIT)
-    jy = minted._mulmod(F.col("event_id"), 69621, COPRES_JIT)
-    bins = (e.select(
-                "user_id", "day",
-                (cx + jx).cast("bigint").alias("x"),
-                (cy + jy).cast("bigint").alias("y"))
-            .select("user_id", "day",
-                    F.expr(f"x div {COPRES_BIN_X}").alias("tx"),
-                    F.expr(f"y div {COPRES_BIN_Y}").alias("ty"))
-            .distinct())
-    a = bins.select(F.col("user_id").alias("u_a"), "day", "tx", "ty")
-    b = bins.select(F.col("user_id").alias("u_b"), "day", "tx", "ty")
-    return (a.join(b, ["day", "tx", "ty"])
-            .filter(F.col("u_a") < F.col("u_b"))
-            .groupBy("u_a", "u_b")
-            .agg(F.count("*").alias("n_bins"))
-            .filter(F.col("n_bins") >= COPRES_MIN))
-
-
-def _copresence_pairs_sql() -> str:
-    cx = minted._sql_mulmod("((user_id % 5) * 1009 + day * 31)",
-                            minted.LON_MULT, minted.LON_MOD - 8_000_000)
-    cy = minted._sql_mulmod("((user_id % 5) * 2003 + day * 57)",
-                            minted.LAT_MULT, minted.LAT_MOD - 8_000_000)
-    jx = minted._sql_mulmod("event_id", 48271, COPRES_JIT)
-    jy = minted._sql_mulmod("event_id", 69621, COPRES_JIT)
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-                   FROM events),
-        bins AS (SELECT DISTINCT user_id, day,
-                        ({cx} + {jx}) // {COPRES_BIN_X} AS tx,
-                        ({cy} + {jy}) // {COPRES_BIN_Y} AS ty
-                 FROM e)
-        SELECT a.user_id AS u_a, b.user_id AS u_b,
-               CAST(count(*) AS BIGINT) AS n_bins
-        FROM bins a JOIN bins b
-          ON a.day = b.day AND a.tx = b.tx AND a.ty = b.ty
-             AND a.user_id < b.user_id
-        GROUP BY 1, 2 HAVING count(*) >= {COPRES_MIN}"""
-
-
-# ---------------------------------------------------------------------------
-# discrete Hausdorff distance / skyline (Pareto dominance) / raster focal
-# mean — batch 26
-# ---------------------------------------------------------------------------
-
-FOCAL_Z = 6
-
-
-def q_hausdorff_pairs(spark, sf):
-    # discrete Hausdorff distance² between each clustered walk line and
-    # its successor in the same cluster — the trajectory-similarity
-    # measure (map-matching / route-dedup building block). All 81 vertex
-    # distances fold inside ONE projection (nested transform +
-    # array_min/max — no join, no explode); the only exchange is the
-    # cluster window that picks the successor. Exact int64 throughout.
-    from pyspark.sql import Window as Win
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
-    w = Win.partitionBy(F.col("doc_id") % 37).orderBy("doc_id")
-    p = (wl.withColumn("b_id", F.lead("doc_id").over(w))
-         .withColumn("bxs", F.lead("xs_q").over(w))
-         .withColumn("bys", F.lead("ys_q").over(w))
-         .filter(F.col("b_id").isNotNull()))
-    idx = F.sequence(F.lit(1), F.lit(9))
-
-    def dmin(xs_a, ys_a, i, xs_b, ys_b):
-        ax = F.element_at(xs_a, i)
-        ay = F.element_at(ys_a, i)
-        return F.array_min(F.transform(
-            F.sequence(F.lit(1), F.lit(9)),
-            lambda j: (ax - F.element_at(xs_b, j))
-            * (ax - F.element_at(xs_b, j))
-            + (ay - F.element_at(ys_b, j))
-            * (ay - F.element_at(ys_b, j))))
-
-    h_ab = F.array_max(F.transform(
-        idx, lambda i: dmin(F.col("xs_q"), F.col("ys_q"), i,
-                            F.col("bxs"), F.col("bys"))))
-    h_ba = F.array_max(F.transform(
-        idx, lambda i: dmin(F.col("bxs"), F.col("bys"), i,
-                            F.col("xs_q"), F.col("ys_q"))))
-    return p.select(F.col("doc_id").alias("doc_a"),
-                    F.col("b_id").alias("doc_b"),
-                    F.greatest(h_ab, h_ba).alias("hausdorff2"))
-
-
-def _hausdorff_pairs_sql() -> str:
-    base = minted.sql_cluster_walk_lines_q(9, stride=1)
-    d2 = ("(axs[i] - bxs[j]) * (axs[i] - bxs[j])"
-          " + (ays[i] - bys[j]) * (ays[i] - bys[j])")
-    fold = (f"list_max(list_transform(range(1, 10), i -> "
-            f"list_min(list_transform(range(1, 10), j -> {d2}))))")
-    d2r = ("(bxs[i] - axs[j]) * (bxs[i] - axs[j])"
-           " + (bys[i] - ays[j]) * (bys[i] - ays[j])")
-    foldr = (f"list_max(list_transform(range(1, 10), i -> "
-             f"list_min(list_transform(range(1, 10), j -> {d2r}))))")
-    return f"""
-        WITH w AS ({base}),
-        p AS (SELECT doc_id AS doc_a, xs AS axs, ys AS ays,
-                     lead(doc_id) OVER cw AS doc_b,
-                     lead(xs) OVER cw AS bxs, lead(ys) OVER cw AS bys
-              FROM w WINDOW cw AS (PARTITION BY doc_id % 37
-                                   ORDER BY doc_id))
-        SELECT doc_a, doc_b, greatest({fold}, {foldr}) AS hausdorff2
-        FROM p WHERE doc_b IS NOT NULL"""
-
-
-def q_skyline_docs(spark, sf):
-    # skyline / Pareto-dominance operator over (n_tok, n_types): a doc
-    # survives iff no other doc is ≥ on both metrics and strictly better
-    # on one. NOT the quadratic anti-join — the sort-sweep form: ordered
-    # by n_tok desc, a doc is dominated exactly when some strictly-longer
-    # doc reaches its n_types (RANGE frame excludes n_tok ties) or a
-    # same-length doc strictly exceeds it (per-group max). ONE global
-    # sort exchange; at cluster scale the same sweep runs per range
-    # partition with a boundary-max merge.
-    from pyspark.sql import Window as Win
-    t = _docs(spark, sf).select(
-        "doc_id",
-        TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"),
-        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
-        .alias("n_types"))
-    ws = (Win.orderBy(F.col("n_tok").desc())
-          .rangeBetween(Win.unboundedPreceding, -1))
-    wt = Win.partitionBy("n_tok")
-    return (t.withColumn("best_longer",
-                         F.coalesce(F.max("n_types").over(ws), F.lit(-1)))
-            .withColumn("best_tie", F.max("n_types").over(wt))
-            .filter((F.col("n_types") > F.col("best_longer"))
-                    & (F.col("n_types") == F.col("best_tie")))
-            .select("doc_id", "n_tok", "n_types"))
-
-
-def _skyline_docs_sql() -> str:
-    return """
-        WITH t AS (SELECT doc_id,
-                          CAST(len(string_split(text, chr(32))) AS BIGINT)
-                              AS n_tok,
-                          CAST(len(list_distinct(string_split(text,
-                              chr(32)))) AS BIGINT) AS n_types
-                   FROM documents),
-        s AS (SELECT doc_id, n_tok, n_types,
-                     coalesce(max(n_types) OVER (ORDER BY n_tok DESC
-                         RANGE BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), -1) AS best_longer,
-                     max(n_types) OVER (PARTITION BY n_tok) AS best_tie
-              FROM t)
-        SELECT doc_id, n_tok, n_types FROM s
-        WHERE n_types > best_longer AND n_types = best_tie"""
-
-
-def q_tile_focal_mean(spark, sf):
-    # raster focal statistics: per occupied z6 tile, the 3×3
-    # neighbourhood sum / tile count of point density — the smoothing
-    # kernel every heat-map pipeline runs. The corpus-scale work is ONE
-    # tile aggregation; the focal pass explodes the tiny tile table 9×
-    # and re-groups (integer sums only — the mean ships as num/den).
-    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
-         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
-         .localCheckpoint(eager=False))
-    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .select((F.col("x") + F.col("dx")).alias("x"),
-                   (F.col("y") + F.col("dy")).alias("y"),
-                   F.col("n_pts").alias("c")))
-    focal = (nbr.groupBy("x", "y")
-             .agg(F.sum("c").alias("focal_sum"),
-                  F.count("*").alias("n_nbr_tiles")))
-    return (t.join(focal, ["x", "y"])
-            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
-
-
-def _tile_focal_mean_sql() -> str:
-    pts = minted.SQL_MINTED_POINTS.strip()
-    return f"""
-        WITH p AS ({pts}),
-        t AS (SELECT {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
-                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y,
-                     count(*) AS n_pts
-              FROM p GROUP BY 1, 2),
-        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
-                FROM t,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
-                     count(*) AS n_nbr_tiles
-              FROM nbr GROUP BY 1, 2)
-        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
-        FROM t JOIN f ON t.x = f.x AND t.y = f.y"""
-
-
-# ---------------------------------------------------------------------------
-# point→polyline snap join / weighted median / shard balance — batch 27
-# ---------------------------------------------------------------------------
-
-SNAP_R = 5_000_000          # snap radius (lattice units, 0.5°)
-SNAP_CELL = SNAP_R          # probe grid = radius ⇒ 3×3 ring is complete
-N_SHARDS = 64
-
-# point-to-segment distance² as shared expression text: integer dot/len²
-# feed three IEEE ops (clamp, multiply, subtract) — identical text in both
-# engines ⇒ bit-equal doubles (line_length_stats precedent). Candidate
-# deltas ≤ one probe ring + segment extent, so the integer products stay
-# far inside int64.
-_SNAP_D2 = """(CASE WHEN (vx * vx + vy * vy) = 0
-    THEN CAST(wx * wx + wy * wy AS DOUBLE)
-    ELSE (wx - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
-                              / (vx * vx + vy * vy), 0.0), 1.0) * vx)
-       * (wx - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
-                              / (vx * vx + vy * vy), 0.0), 1.0) * vx)
-       + (wy - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
-                              / (vx * vx + vy * vy), 0.0), 1.0) * vy)
-       * (wy - least(greatest(CAST(wx * vx + wy * vy AS DOUBLE)
-                              / (vx * vx + vy * vy), 0.0), 1.0) * vy)
-    END)"""
-
-
-def q_route_snap_join(spark, sf):
-    # map-matching step 1: snap every clustered point to the nearest
-    # OTHER document's walk segment within SNAP_R — a point→polyline
-    # distance join. Grid candidates (point probes its 3×3 ring at
-    # cell = R; segments cover their bbox cells), exact integer
-    # dot/len² feeding the shared IEEE distance text, nearest picked by
-    # row_number over (d2, seg ids) so ties are total-ordered. Never
-    # all-pairs; the 3×3 ring is complete for radius R by construction.
-    from pyspark.sql import Window as Win
-    pts = minted.minted_cluster_points_q(spark, sf)
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=7)
-    seg = (wl.select(F.col("doc_id").alias("seg_doc"),
-                     F.posexplode(F.arrays_zip(
-                         F.slice("xs_q", 1, 8).alias("ax"),
-                         F.slice("ys_q", 1, 8).alias("ay"),
-                         F.slice("xs_q", 2, 8).alias("bx"),
-                         F.slice("ys_q", 2, 8).alias("by")))
-                     .alias("seg_i", "s"))
-           .select("seg_doc", "seg_i", "s.ax", "s.ay", "s.bx", "s.by"))
-    segc = (seg
-            .withColumn("cx", F.explode(F.sequence(
-                F.expr(f"least(ax, bx) div {SNAP_CELL}"),
-                F.expr(f"greatest(ax, bx) div {SNAP_CELL}"))))
-            .withColumn("cy", F.explode(F.sequence(
-                F.expr(f"least(ay, by) div {SNAP_CELL}"),
-                F.expr(f"greatest(ay, by) div {SNAP_CELL}")))))
-    ptc = (pts
-           .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .select("doc_id", "qx", "qy",
-                   F.expr(f"qx div {SNAP_CELL} + dx").alias("cx"),
-                   F.expr(f"qy div {SNAP_CELL} + dy").alias("cy")))
-    cand = (ptc.join(segc, ["cx", "cy"])
-            .filter(F.col("doc_id") != F.col("seg_doc"))
-            .dropDuplicates(["doc_id", "seg_doc", "seg_i"])
-            .withColumn("vx", F.col("bx") - F.col("ax"))
-            .withColumn("vy", F.col("by") - F.col("ay"))
-            .withColumn("wx", F.col("qx") - F.col("ax"))
-            .withColumn("wy", F.col("qy") - F.col("ay"))
-            .withColumn("d2", F.expr(_SNAP_D2))
-            .filter(F.col("d2") <= float(SNAP_R) * float(SNAP_R)))
-    w = Win.partitionBy("doc_id").orderBy("d2", "seg_doc", "seg_i")
-    return (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "seg_doc", "seg_i", "d2"))
-
-
-def _route_snap_join_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    wl = minted.sql_cluster_walk_lines_q(9, stride=7)
-    return f"""
-        WITH p AS ({pts}),
-        w AS ({wl}),
-        seg AS (SELECT doc_id AS seg_doc, i AS seg_i,
-                       xs[i + 1] AS ax, ys[i + 1] AS ay,
-                       xs[i + 2] AS bx, ys[i + 2] AS by
-                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
-        segc AS (SELECT seg.*, cxs.cx, cys.cy FROM seg,
-                 LATERAL (SELECT unnest(range(least(ax, bx) // {SNAP_CELL},
-                     greatest(ax, bx) // {SNAP_CELL} + 1)) AS cx) cxs,
-                 LATERAL (SELECT unnest(range(least(ay, by) // {SNAP_CELL},
-                     greatest(ay, by) // {SNAP_CELL} + 1)) AS cy) cys),
-        ptc AS (SELECT doc_id, qx, qy,
-                       qx // {SNAP_CELL} + dxs.dx AS cx,
-                       qy // {SNAP_CELL} + dys.dy AS cy
-                FROM p,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        cand0 AS (SELECT DISTINCT doc_id, qx, qy, seg_doc, seg_i,
-                         ax, ay, bx, by
-                  FROM ptc JOIN segc ON ptc.cx = segc.cx
-                       AND ptc.cy = segc.cy AND doc_id <> seg_doc),
-        cand AS (SELECT doc_id, seg_doc, seg_i, {_SNAP_D2} AS d2
-                 FROM (SELECT doc_id, seg_doc, seg_i,
-                              bx - ax AS vx, by - ay AS vy,
-                              qx - ax AS wx, qy - ay AS wy
-                       FROM cand0)),
-        r AS (SELECT doc_id, seg_doc, seg_i, d2,
-                     row_number() OVER (PARTITION BY doc_id
-                         ORDER BY d2, seg_doc, seg_i) AS rn
-              FROM cand WHERE d2 <= {float(SNAP_R) * float(SNAP_R)!r})
-        SELECT doc_id, seg_doc, seg_i, d2 FROM r WHERE rn = 1"""
-
-
-def q_weighted_median_tokens(spark, sf):
-    # weighted exact order statistic: per language, the byte-weighted
-    # median token count (each doc weighted by its UTF-8 length) — the
-    # "what length does the median BYTE live in" corpus diagnostic.
-    # Cum-sum window over the per-lang (n_tok, doc_id) order, first row
-    # where 2·cumw ≥ W wins; pure integers, ONE lang exchange.
-    from pyspark.sql import Window as Win
-    t = _docs(spark, sf).select(
-        "lang",
-        "doc_id",
-        TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"),
-        F.octet_length("text").cast("bigint").alias("wt"))
-    w = Win.partitionBy("lang").orderBy("n_tok", "doc_id")
-    wf = Win.partitionBy("lang")
-    c = (t.withColumn("cumw", F.sum("wt").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("tot", F.sum("wt").over(wf))
-         .filter(F.col("cumw") * 2 >= F.col("tot")))
-    wpick = Win.partitionBy("lang").orderBy("n_tok", "doc_id")
-    return (c.withColumn("rn", F.row_number().over(wpick))
-            .filter(F.col("rn") == 1)
-            .select("lang", F.col("n_tok").alias("w_median_tokens"),
-                    F.col("tot").alias("total_bytes")))
-
-
-def _weighted_median_tokens_sql() -> str:
-    return """
-        WITH t AS (SELECT lang, doc_id,
-                          CAST(len(string_split(text, chr(32))) AS BIGINT)
-                              AS n_tok,
-                          CAST(octet_length(encode(text)) AS BIGINT) AS wt
-                   FROM documents),
-        c AS (SELECT lang, doc_id, n_tok, wt,
-                     sum(wt) OVER (PARTITION BY lang ORDER BY n_tok, doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cumw,
-                     sum(wt) OVER (PARTITION BY lang) AS tot
-              FROM t),
-        f AS (SELECT lang, n_tok, tot,
-                     row_number() OVER (PARTITION BY lang
-                         ORDER BY n_tok, doc_id) AS rn
-              FROM c WHERE cumw * 2 >= tot)
-        SELECT lang, n_tok AS w_median_tokens,
-               CAST(tot AS BIGINT) AS total_bytes
-        FROM f WHERE rn = 1"""
-
-
-def q_shard_balance(spark, sf):
-    # shard-assignment audit: hash-shard the corpus into N_SHARDS by the
-    # portable hash, report per-shard doc counts and byte totals — the
-    # balance check run before any repartition(N, key) write. Includes
-    # the min/max witness columns the skew alarm reads. One aggregation.
-    d = _docs(spark, sf).select(
-        F.pmod(phash.hash60(F.concat(F.lit("shard-"),
-                                     F.col("doc_id").cast("string"))),
-               F.lit(N_SHARDS)).alias("shard"),
-        F.octet_length("text").cast("bigint").alias("b"))
-    return (d.groupBy("shard")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("b").alias("total_bytes"),
-                 F.max("b").alias("max_doc_bytes")))
-
-
-def _shard_balance_sql() -> str:
-    h = phash.sql_hash60("'shard-' || CAST(doc_id AS VARCHAR)")
-    return f"""
-        SELECT ({h}) % {N_SHARDS} AS shard,
-               count(*) AS n_docs,
-               CAST(sum(octet_length(encode(text))) AS BIGINT)
-                   AS total_bytes,
-               CAST(max(octet_length(encode(text))) AS BIGINT)
-                   AS max_doc_bytes
-        FROM documents GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# grid line density (Liang-Barsky, fixed-point sums) / k-core peeling /
-# integer Chebyshev anomaly days — batch 28
-# ---------------------------------------------------------------------------
-
-GLD_G = 20_000_000        # density grid span (lattice units)
-GLD_FP = 1 << 20          # fixed-point scale for order-independent sums
-KCORE_K, KCORE_ROUNDS = 2, 4
-ANOM_K2 = 4               # |z| > 2 ⇔ (n·x − S)² > 4·(n·Σx² − S²)
-
-# Liang-Barsky parametric clip of segment (ax,ay)→(bx,by) against the
-# closed box [x1,x2]×[y1,y2], as shared expression text over columns
-# ax/ay/vx/vy/x1/x2/y1/y2 (v = b − a). Sentinels for the axis-parallel
-# cases: inside → (0,1), outside → (2,−1) (empty). All divisions are
-# double/int64 with identical text, so t0/t1 are bit-equal cross-engine.
-_LB_TMIN_X = ("(CASE WHEN vx > 0 THEN CAST(x1 - ax AS DOUBLE) / vx "
-              "WHEN vx < 0 THEN CAST(x2 - ax AS DOUBLE) / vx "
-              "ELSE (CASE WHEN ax >= x1 AND ax <= x2 THEN 0.0 ELSE 2.0 END) "
-              "END)")
-_LB_TMAX_X = ("(CASE WHEN vx > 0 THEN CAST(x2 - ax AS DOUBLE) / vx "
-              "WHEN vx < 0 THEN CAST(x1 - ax AS DOUBLE) / vx "
-              "ELSE (CASE WHEN ax >= x1 AND ax <= x2 THEN 1.0 ELSE -1.0 END) "
-              "END)")
-_LB_TMIN_Y = _LB_TMIN_X.replace("vx", "vy").replace("ax", "ay") \
-    .replace("x1", "y1").replace("x2", "y2")
-_LB_TMAX_Y = _LB_TMAX_X.replace("vx", "vy").replace("ax", "ay") \
-    .replace("x1", "y1").replace("x2", "y2")
-_LB_T0 = f"greatest(0.0, {_LB_TMIN_X}, {_LB_TMIN_Y})"
-_LB_T1 = f"least(1.0, {_LB_TMAX_X}, {_LB_TMAX_Y})"
-# clipped piece length, fixed-point floor: per-row doubles are bit-equal
-# (identical text), floor makes them exact integers, and the INTEGER sum
-# is order-independent — the trick that lets a float-valued rollup hash
-# match across engines and partitionings.
-_LB_PIECE_FP = (f"CAST(floor(({_LB_T1} - {_LB_T0}) "
-                f"* sqrt(CAST(vx * vx + vy * vy AS DOUBLE)) * {GLD_FP}.0) "
-                "AS BIGINT)")
-
-
-def q_grid_line_density(spark, sf):
-    # road-density raster: per lattice grid cell, the total clipped
-    # polyline length (Liang-Barsky parametric clip — the clip family's
-    # pure-expression sibling of operators/clip.py's Arrow kernels).
-    # Candidates from the bbox cell cover (≤ 2 cells/axis at this span);
-    # the float piece lengths are floored to 2^-20 fixed point per row so
-    # the per-cell SUM is an exact int64 — order-independent, hashable.
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=3)
-    seg = (wl.select(F.col("doc_id"),
-                     F.explode(F.arrays_zip(
-                         F.slice("xs_q", 1, 8).alias("ax"),
-                         F.slice("ys_q", 1, 8).alias("ay"),
-                         F.slice("xs_q", 2, 8).alias("bx"),
-                         F.slice("ys_q", 2, 8).alias("by"))).alias("s"))
-           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
-           .withColumn("vx", F.col("bx") - F.col("ax"))
-           .withColumn("vy", F.col("by") - F.col("ay")))
-    cand = (seg.withColumn("gx", F.explode(F.sequence(
-                F.expr(f"least(ax, bx) div {GLD_G}"),
-                F.expr(f"greatest(ax, bx) div {GLD_G}"))))
-            .withColumn("gy", F.explode(F.sequence(
-                F.expr(f"least(ay, by) div {GLD_G}"),
-                F.expr(f"greatest(ay, by) div {GLD_G}"))))
-            .withColumn("x1", F.col("gx") * GLD_G)
-            .withColumn("x2", (F.col("gx") + 1) * GLD_G)
-            .withColumn("y1", F.col("gy") * GLD_G)
-            .withColumn("y2", (F.col("gy") + 1) * GLD_G)
-            .filter(F.expr(f"{_LB_T1} > {_LB_T0}")))
-    return (cand.withColumn("fp", F.expr(_LB_PIECE_FP))
-            .groupBy("gx", "gy")
-            .agg(F.count("*").alias("n_pieces"),
-                 F.sum("fp").alias("len_fp")))
-
-
-def _grid_line_density_sql() -> str:
-    base = minted.sql_cluster_walk_lines_q(9, stride=3)
-    return f"""
-        WITH w AS ({base}),
-        seg AS (SELECT doc_id, xs[i + 1] AS ax, ys[i + 1] AS ay,
-                       xs[i + 2] - xs[i + 1] AS vx,
-                       ys[i + 2] - ys[i + 1] AS vy,
-                       xs[i + 2] AS bx, ys[i + 2] AS by
-                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
-        cand AS (SELECT seg.*, gxs.gx, gys.gy,
-                        gxs.gx * {GLD_G} AS x1, (gxs.gx + 1) * {GLD_G} AS x2,
-                        gys.gy * {GLD_G} AS y1, (gys.gy + 1) * {GLD_G} AS y2
-                 FROM seg,
-                 LATERAL (SELECT unnest(range(least(ax, bx) // {GLD_G},
-                     greatest(ax, bx) // {GLD_G} + 1)) AS gx) gxs,
-                 LATERAL (SELECT unnest(range(least(ay, by) // {GLD_G},
-                     greatest(ay, by) // {GLD_G} + 1)) AS gy) gys)
-        SELECT gx, gy, count(*) AS n_pieces,
-               CAST(sum({_LB_PIECE_FP}) AS BIGINT) AS len_fp
-        FROM cand WHERE {_LB_T1} > {_LB_T0}
-        GROUP BY 1, 2"""
-
-
-def q_kcore_hosts(spark, sf):
-    # k-core decomposition (k=2) by synchronous peeling over the host
-    # link graph: drop degree-<k nodes, re-derive degrees, repeat — the
-    # graph-cleaning pass that strips leaf chains before community /
-    # centrality work. KCORE_ROUNDS fixed rounds (pytest pins the
-    # fixpoint on this fixture); each round is one degree aggregation +
-    # two semi-joins, lineage cut per round like the pagerank iterations.
-    und = (_host_edges(spark, 2000)
-           .filter(F.col("src_host") != F.col("dst_host"))
-           .select(F.least("src_host", "dst_host").alias("u"),
-                   F.greatest("src_host", "dst_host").alias("v"))
-           .distinct()
-           .localCheckpoint(eager=False))
-    e = und
-    for _ in range(KCORE_ROUNDS):
-        deg = (e.select(F.col("u").alias("n"))
-               .unionByName(e.select(F.col("v").alias("n")))
-               .groupBy("n").agg(F.count("*").alias("c")))
-        keep = deg.filter(F.col("c") >= KCORE_K).select("n")
-        e = (e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
-             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
-             .localCheckpoint(eager=False))
-    return (e.select(F.col("u").alias("n"))
-            .unionByName(e.select(F.col("v").alias("n")))
-            .groupBy("n").agg(F.count("*").alias("degree"))
-            .select(F.col("n").alias("host"), "degree"))
-
-
-def _kcore_hosts_sql() -> str:
-    parts = [f"""{_host_edges_cte()},
-        ke0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
-                       greatest(src, dst) AS v
-                FROM ed WHERE src <> dst)"""]
-    for r in range(1, KCORE_ROUNDS + 1):
-        parts.append(f"""
-        kd{r} AS MATERIALIZED (SELECT n, count(*) AS c FROM (
-                      SELECT u AS n FROM ke{r - 1}
-                      UNION ALL SELECT v AS n FROM ke{r - 1})
-                  GROUP BY 1),
-        kk{r} AS (SELECT n FROM kd{r} WHERE c >= {KCORE_K}),
-        ke{r} AS MATERIALIZED (SELECT e.u, e.v FROM ke{r - 1} e
-                  JOIN kk{r} a ON e.u = a.n JOIN kk{r} b ON e.v = b.n)""")
-    final = KCORE_ROUNDS
-    return ("WITH " + ",".join(parts) + f"""
-        SELECT n AS host, count(*) AS degree FROM (
-            SELECT u AS n FROM ke{final}
-            UNION ALL SELECT v AS n FROM ke{final})
-        GROUP BY 1""")
-
-
-def q_anomaly_days(spark, sf):
-    # burst days in EXACT integers: per event_type, daily counts x with
-    # per-type totals (n days, S = Σx, Q = Σx²); day flagged when
-    # (n·x − S)² > ANOM_K2 · (n·Q − S²) — algebraically |z| > 2 with the
-    # n² cleared, so no float mean/std and the oracle hashes exactly.
-    # Two small aggregations over the daily rollup; one day exchange.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("x"))
-    tot = (daily.groupBy("event_type")
-           .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
-                F.sum(F.col("x") * F.col("x")).alias("q")))
-    j = daily.join(F.broadcast(tot), "event_type")
-    lhs = (F.col("n") * F.col("x") - F.col("s"))
-    rhs = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    return (j.filter(lhs * lhs > ANOM_K2 * rhs)
-            .select("event_type", "day", "x",
-                    (lhs * lhs).alias("dev2_scaled"),
-                    rhs.alias("var_scaled")))
-
-
-def _anomaly_days_sql() -> str:
-    return f"""
-        WITH e AS (SELECT event_type,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-                   FROM events),
-        daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
-                  FROM e GROUP BY 1, 2),
-        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(x) AS BIGINT) AS s,
-                       CAST(sum(x * x) AS BIGINT) AS q
-                FROM daily GROUP BY 1)
-        SELECT daily.event_type, day, x,
-               (n * x - s) * (n * x - s) AS dev2_scaled,
-               n * q - s * s AS var_scaled
-        FROM daily JOIN tot ON daily.event_type = tot.event_type
-        WHERE (n * x - s) * (n * x - s) > {ANOM_K2} * (n * q - s * s)"""
-
-
-# ---------------------------------------------------------------------------
-# origin-destination flows / weekly corpus novelty / exact union area of
-# boxes — batch 29
-# ---------------------------------------------------------------------------
-
-OD_BIN = 400_000                 # traj lattice span 2e6 → 5×5 OD grid
-
-
-def q_od_flows(spark, sf):
-    # origin-destination matrix over the minted trajectories: consecutive
-    # fixes binned to a coarse grid, (from, to) transition counts + the
-    # moved/dwell split — the spatial-flow rollup behind every mobility
-    # dashboard. ONE user window exchange + a tiny flow rollup.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    d2 = d.select("user_id", "ts", "event_id",
-                  F.expr(f"(px + 1000000) div {OD_BIN}").alias("cx"),
-                  F.expr(f"(py + 1000000) div {OD_BIN}").alias("cy"))
-    fl = (d2.select("user_id",
-                    F.lag("cx").over(w).alias("fx"),
-                    F.lag("cy").over(w).alias("fy"),
-                    F.col("cx").alias("tx"), F.col("cy").alias("ty"))
-          .filter(F.col("fx").isNotNull()))
-    return (fl.groupBy("fx", "fy", "tx", "ty")
-            .agg(F.count("*").alias("n_trips"),
-                 F.countDistinct("user_id").alias("n_users"))
-            .withColumn("moved",
-                        (F.col("fx") != F.col("tx"))
-                        | (F.col("fy") != F.col("ty"))))
-
-
-def _od_flows_sql() -> str:
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          ({pos('tx')} + 1000000) // {OD_BIN} AS cx,
-                          ({pos('ty')} + 1000000) // {OD_BIN} AS cy
-                   FROM events),
-        fl AS (SELECT user_id,
-                      lag(cx) OVER w AS fx, lag(cy) OVER w AS fy,
-                      cx AS tx, cy AS ty
-               FROM p
-               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        SELECT fx, fy, tx, ty, count(*) AS n_trips,
-               count(DISTINCT user_id) AS n_users,
-               (fx <> tx OR fy <> ty) AS moved
-        FROM fl WHERE fx IS NOT NULL
-        GROUP BY 1, 2, 3, 4"""
-
-
-def q_novelty_weekly(spark, sf):
-    # corpus freshness curve: per capture week, how many distinct word
-    # 8-grams appear at all, and how many appear for the FIRST time
-    # (global min-week per gram) — the dedup-aware novelty signal that
-    # decides whether another crawl week is worth ingesting. Two hash
-    # aggregations over the gram explode; grams never leave their
-    # shuffle partition between them.
-    p = pages.pages(spark, 2000).select(
-        F.expr("unix_timestamp(warc_ts) div 604800").alias("wk"),
-        F.col("text"))
-    grams = p.select("wk", F.explode(dedup._shingles(F.col("text"), 8))
-                     .alias("g"))
-    per_wk = grams.groupBy("wk", "g").agg(F.count("*").alias("n"))
-    first = per_wk.groupBy("g").agg(F.min("wk").alias("first_wk"))
-    j = per_wk.join(first, "g")
-    return (j.groupBy("wk")
-            .agg(F.count("*").alias("n_distinct_grams"),
-                 F.sum(F.when(F.col("wk") == F.col("first_wk"), 1)
-                       .otherwise(0)).cast("bigint").alias("n_novel")))
-
-
-def _novelty_weekly_sql(k: int = 8) -> str:
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        pw AS (SELECT ts_epoch // 604800 AS wk,
-                      string_split(text, chr(32)) AS toks
-               FROM txt),
-        sh AS (SELECT wk, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(toks) - {k - 1}, 1) + 1),
-                   i -> array_to_string(list_slice(toks, i, i + {k - 1}),
-                                        chr(31))))) AS g
-               FROM pw),
-        per_wk AS (SELECT wk, g, count(*) AS n FROM sh GROUP BY 1, 2),
-        first AS (SELECT g, min(wk) AS first_wk FROM per_wk GROUP BY 1)
-        SELECT per_wk.wk, count(*) AS n_distinct_grams,
-               CAST(sum(CASE WHEN per_wk.wk = first.first_wk
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-        FROM per_wk JOIN first ON per_wk.g = first.g
-        GROUP BY 1"""
-
-
-def q_union_area_rects(spark, sf):
-    # EXACT area of the union of all minted boxes — the slab
-    # decomposition: x-slabs between consecutive distinct x-boundaries,
-    # per-slab y-interval union via gaps-and-islands, Σ width × covered.
-    # Every step is an equi-join or a window (rect → slab-index range via
-    # boundary ranks, then explode — no inequality join); pure int64.
-    # At cluster scale the same sweep runs per coarse x-band with
-    # band-clipped rects — exactness is preserved band-by-band.
-    from pyspark.sql import Window as Win
-    # stride-5 fixture: the slab decomposition is inherently ~quadratic
-    # in overlapping-rect density (rr rows = slabs x rects-per-slab);
-    # production bounds it with coarse x-bands, the fixture by thinning.
-    r = _shifted_rects(spark, sf).filter(F.col("poly_id") % 5 == 0)
-    bx = (r.select(F.col("x1").alias("b"))
-          .unionByName(r.select(F.col("x2").alias("b")))
-          .distinct())
-    ranked = bx.withColumn("rk", F.row_number().over(Win.orderBy("b")))
-    slabs = (ranked
-             .withColumn("nb", F.lead("b").over(Win.orderBy("rk")))
-             .filter(F.col("nb").isNotNull())
-             .select("rk", (F.col("nb") - F.col("b")).alias("w")))
-    rr = (r.join(ranked.select(F.col("b").alias("x1"),
-                               F.col("rk").alias("r1")), "x1")
-          .join(ranked.select(F.col("b").alias("x2"),
-                              F.col("rk").alias("r2")), "x2")
-          .withColumn("s", F.explode(F.sequence(
-              F.col("r1"), F.col("r2") - 1)))
-          .select("s", "y1", "y2", "poly_id"))
-    w = Win.partitionBy("s").orderBy("y1", "y2", "poly_id")
-    prev_max = F.max("y2").over(w.rowsBetween(Win.unboundedPreceding, -1))
-    isl = (rr.withColumn("ni", F.when(
-               F.col("y1") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0))
-           .withColumn("island", F.sum("ni").over(
-               w.rowsBetween(Win.unboundedPreceding, 0)))
-           .groupBy("s", "island")
-           .agg(F.min("y1").alias("i_y1"), F.max("y2").alias("i_y2")))
-    cov = (isl.groupBy("s")
-           .agg(F.sum(F.col("i_y2") - F.col("i_y1")).alias("cov")))
-    area = (cov.join(slabs, F.col("s") == F.col("rk"))
-            .agg(F.sum(F.col("w") * F.col("cov")).alias("union_area")))
-    # Σ of individual areas overflows int64 at corpus scale; widths and
-    # heights are multiples of 1e6 by construction (hw/hh minting), so
-    # the witness ships exactly in kilounit² instead.
-    tot = r.agg(
-        F.count("*").alias("n_rects"),
-        F.sum(F.expr("((x2 - x1) div 1000) * ((y2 - y1) div 1000)"))
-        .alias("sum_area_k"))
-    return tot.crossJoin(area).select(
-        "n_rects", "sum_area_k", "union_area")
-
-
-def _union_area_rects_sql() -> str:
-    return f"""
-        WITH {_shifted_rects_cte()},
-        r5 AS (SELECT * FROM r WHERE poly_id % 5 = 0),
-        bx AS (SELECT DISTINCT b FROM (
-                   SELECT x1 AS b FROM r5 UNION SELECT x2 AS b FROM r5)),
-        ranked AS (SELECT b, row_number() OVER (ORDER BY b) AS rk FROM bx),
-        slabs AS (SELECT rk, lead(b) OVER (ORDER BY rk) - b AS w
-                  FROM ranked QUALIFY lead(b) OVER (ORDER BY rk) IS NOT NULL),
-        rr AS (SELECT sx.s, r5.y1, r5.y2, r5.poly_id
-               FROM r5
-               JOIN ranked a ON r5.x1 = a.b
-               JOIN ranked bq ON r5.x2 = bq.b,
-               LATERAL (SELECT unnest(range(a.rk, bq.rk)) AS s) sx),
-        iv AS (SELECT s, y1, y2, poly_id,
-                      CASE WHEN y1 > coalesce(max(y2) OVER (
-                               PARTITION BY s ORDER BY y1, y2, poly_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING), -1)
-                           THEN 1 ELSE 0 END AS ni
-               FROM rr),
-        ii AS (SELECT s, y1, y2,
-                      sum(ni) OVER (PARTITION BY s
-                          ORDER BY y1, y2, poly_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS island
-               FROM iv),
-        isl AS (SELECT s, island, min(y1) AS i_y1, max(y2) AS i_y2
-                FROM ii GROUP BY 1, 2),
-        cov AS (SELECT s, sum(i_y2 - i_y1) AS cov FROM isl GROUP BY 1),
-        area AS (SELECT CAST(sum(slabs.w * cov.cov) AS BIGINT)
-                     AS union_area
-                 FROM cov JOIN slabs ON cov.s = slabs.rk),
-        tot AS (SELECT count(*) AS n_rects,
-                       CAST(sum(((x2 - x1) // 1000) * ((y2 - y1) // 1000))
-                            AS BIGINT) AS sum_area_k
-                FROM r5)
-        SELECT n_rects, sum_area_k, union_area FROM tot, area"""
-
-
-# ---------------------------------------------------------------------------
-# positional phrase search / integer IDW interpolation / tile percentile
-# ranks — batch 30
-# ---------------------------------------------------------------------------
-
-PHRASE_W1, PHRASE_W2 = "data", "slow"
-IDW_G = 20_000_000
-
-
-def q_phrase_search(spark, sf):
-    # exact phrase query over positional postings ("w1 w2" adjacency):
-    # postings are filtered to the two phrase terms BEFORE the shuffle
-    # (the inverted-index seek analog — the corpus-scale explode never
-    # ships non-matching terms), then ONE (doc, position) equi-join
-    # checks adjacency. Per-doc hit counts + first hit offset.
-    toks = _docs(spark, sf).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    a = (toks.filter(F.col("w") == PHRASE_W1)
-         .select("doc_id", F.col("pos").alias("pa")))
-    b = (toks.filter(F.col("w") == PHRASE_W2)
-         .select("doc_id", (F.col("pos") - 1).alias("pa")))
-    return (a.join(b, ["doc_id", "pa"])
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hits"),
-                 F.min("pa").cast("bigint").alias("first_pos")))
-
-
-def _phrase_search_sql() -> str:
-    return f"""
-        WITH toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
-                      FROM (SELECT doc_id, string_split(text, chr(32)) AS t
-                            FROM documents),
-                      LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r)
-        SELECT a.doc_id, count(*) AS n_hits,
-               CAST(min(a.pos) AS BIGINT) AS first_pos
-        FROM toks a JOIN toks b
-          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        WHERE a.w = '{PHRASE_W1}' AND b.w = '{PHRASE_W2}'
-        GROUP BY 1"""
-
-
-def q_idw_interpolate(spark, sf):
-    # inverse-distance-weighted interpolation of a scalar field (doc
-    # token counts at clustered points) onto the occupied-cell grid —
-    # the geo-interpolation kernel, in PURE integer rationals: weight =
-    # 1e12 div (1e6 + d² div 1e6), value = Σv·w / Σw shipped as exact
-    # (num, den) int64 plus the floored quotient. Candidates via the
-    # 3×3 neighbour-cell join; no floats anywhere, so the oracle hashes
-    # exactly and the sum order is irrelevant.
-    pts = (minted.minted_cluster_points_q(spark, sf)
-           .join(_docs(spark, sf).select(
-               "doc_id",
-               TXT.token_count(F.col("text")).cast("bigint").alias("v")),
-               "doc_id")
-           .localCheckpoint(eager=False))  # shared by occupied + src
-    occupied = (pts.select(F.expr(f"qx div {IDW_G}").alias("gx"),
-                           F.expr(f"qy div {IDW_G}").alias("gy"))
-                .distinct()
-                .withColumn("cx", (F.col("gx") * IDW_G + IDW_G // 2))
-                .withColumn("cy", (F.col("gy") * IDW_G + IDW_G // 2)))
-    probe = (occupied
-             .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-             .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-             .select("gx", "gy", "cx", "cy",
-                     (F.col("gx") + F.col("dx")).alias("px"),
-                     (F.col("gy") + F.col("dy")).alias("py")))
-    src = pts.select(F.expr(f"qx div {IDW_G}").alias("px"),
-                     F.expr(f"qy div {IDW_G}").alias("py"),
-                     "qx", "qy", "v")
-    j = (probe.join(src, ["px", "py"])
-         .withColumn("d2", (F.col("qx") - F.col("cx"))
-                     * (F.col("qx") - F.col("cx"))
-                     + (F.col("qy") - F.col("cy"))
-                     * (F.col("qy") - F.col("cy")))
-         .withColumn("w", F.expr("1000000000000 div (1000000 + d2 div 1000000)")))
-    return (j.groupBy("gx", "gy")
-            .agg(F.count("*").alias("n_pts"),
-                 F.sum(F.col("v") * F.col("w")).alias("num"),
-                 F.sum("w").alias("den"))
-            .withColumn("idw_q", F.expr("num div den")))
-
-
-def _idw_interpolate_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH p0 AS ({pts}),
-        pts AS (SELECT p0.doc_id, qx, qy,
-                       CAST(len(string_split(text, chr(32))) AS BIGINT) AS v
-                FROM p0 JOIN documents d ON p0.doc_id = d.doc_id),
-        occ AS (SELECT DISTINCT qx // {IDW_G} AS gx, qy // {IDW_G} AS gy
-                FROM pts),
-        probe AS (SELECT gx, gy,
-                         gx * {IDW_G} + {IDW_G // 2} AS cx,
-                         gy * {IDW_G} + {IDW_G // 2} AS cy,
-                         gx + dxs.dx AS px, gy + dys.dy AS py
-                  FROM occ,
-                  LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-                  LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        src AS (SELECT qx // {IDW_G} AS px, qy // {IDW_G} AS py, qx, qy, v
-                FROM pts),
-        j AS (SELECT gx, gy,
-                     (qx - cx) * (qx - cx) + (qy - cy) * (qy - cy) AS d2,
-                     v
-              FROM probe JOIN src ON probe.px = src.px
-                   AND probe.py = src.py),
-        k AS (SELECT gx, gy, v,
-                     1000000000000 // (1000000 + d2 // 1000000) AS w
-              FROM j)
-        SELECT gx, gy, count(*) AS n_pts,
-               CAST(sum(v * w) AS BIGINT) AS num,
-               CAST(sum(w) AS BIGINT) AS den,
-               CAST(sum(v * w) AS BIGINT) // CAST(sum(w) AS BIGINT)
-                   AS idw_q
-        FROM k GROUP BY 1, 2"""
-
-
-def q_tile_percentile_rank(spark, sf):
-    # per-tile density percentile: tiles ranked by count with the exact
-    # rational percent-rank (rank−1)/(n−1) — identical division text so
-    # the double hashes bit-for-bit; ties broken by (x, y) for a total
-    # order. The heat-map normalization step before rendering.
-    from pyspark.sql import Window as Win
-    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
-         .groupBy("x", "y").agg(F.count("*").alias("n_pts")))
-    w = Win.orderBy("n_pts", "x", "y")
-    return (t.withColumn("rk", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(
-                Win.rowsBetween(Win.unboundedPreceding,
-                                Win.unboundedFollowing)))
-            .select("x", "y", "n_pts",
-                    F.expr("CAST(rk - 1 AS DOUBLE) / (n - 1)").alias("pr")))
-
-
-def _tile_percentile_rank_sql() -> str:
-    pts = minted.SQL_MINTED_POINTS.strip()
-    return f"""
-        WITH p AS ({pts}),
-        t AS (SELECT {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
-                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y,
-                     count(*) AS n_pts
-              FROM p GROUP BY 1, 2),
-        r AS (SELECT x, y, n_pts,
-                     row_number() OVER (ORDER BY n_pts, x, y) AS rk,
-                     count(*) OVER () AS n
-              FROM t)
-        SELECT x, y, n_pts, CAST(rk - 1 AS DOUBLE) / (n - 1) AS pr
-        FROM r"""
-
-
-# ---------------------------------------------------------------------------
-# rolling 7-day actives / OD flow divergence / conjunctive search
-# — batch 31
-# ---------------------------------------------------------------------------
-
-WAU_DAYS = 7
-CONJ_TERMS = ("data", "spark", "join")
-
-
-def q_active_users_7d(spark, sf):
-    # exact trailing 7-day active users per day — the WAU metric without
-    # approximation: distinct (user, day) bins first (corpus-scale work
-    # collapses to one bin per active day), each bin contributes to the
-    # 7 trailing report days via a bounded explode, then ONE distinct
-    # count per report day. Windows ending past the last data day are
-    # reported too (trailing-window semantics, identical both engines).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    bins = e.distinct()
-    contrib = bins.withColumn(
-        "report_day",
-        F.explode(F.sequence(F.col("day"),
-                             F.col("day") + (WAU_DAYS - 1))))
-    return (contrib.groupBy("report_day")
-            .agg(F.countDistinct("user_id").alias("active_users"),
-                 F.count("*").alias("active_user_days")))
-
-
-def _active_users_7d_sql() -> str:
-    return f"""
-        WITH bins AS (SELECT DISTINCT user_id,
-                             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-                      FROM events),
-        contrib AS (SELECT user_id, day + o.o AS report_day
-                    FROM bins,
-                    LATERAL (SELECT unnest(range({WAU_DAYS})) AS o) o)
-        SELECT report_day, count(DISTINCT user_id) AS active_users,
-               count(*) AS active_user_days
-        FROM contrib GROUP BY 1"""
-
-
-def q_flow_divergence(spark, sf):
-    # net flow per OD cell: inflow − outflow over the moved transitions
-    # of the od_flows fixture — the "net migration" rollup. The flow
-    # table is tiny after the OD rollup; the corpus-scale work is the
-    # same single user window.
-    fl = (q_od_flows(spark, sf)
-          .filter(F.col("moved"))
-          .localCheckpoint(eager=False))
-    inf = (fl.groupBy(F.col("tx").alias("cx"), F.col("ty").alias("cy"))
-           .agg(F.sum("n_trips").alias("inflow")))
-    outf = (fl.groupBy(F.col("fx").alias("cx"), F.col("fy").alias("cy"))
-            .agg(F.sum("n_trips").alias("outflow")))
-    return (inf.join(outf, ["cx", "cy"], "full_outer")
-            .select("cx", "cy",
-                    F.coalesce("inflow", F.lit(0)).alias("inflow"),
-                    F.coalesce("outflow", F.lit(0)).alias("outflow"))
-            .withColumn("net", F.col("inflow") - F.col("outflow")))
-
-
-def _flow_divergence_sql() -> str:
-    return f"""
-        WITH flows AS ({_od_flows_sql()}),
-        mv AS (SELECT * FROM flows WHERE moved),
-        i AS (SELECT tx AS cx, ty AS cy, CAST(sum(n_trips) AS BIGINT)
-                  AS inflow FROM mv GROUP BY 1, 2),
-        o AS (SELECT fx AS cx, fy AS cy, CAST(sum(n_trips) AS BIGINT)
-                  AS outflow FROM mv GROUP BY 1, 2)
-        SELECT coalesce(i.cx, o.cx) AS cx, coalesce(i.cy, o.cy) AS cy,
-               coalesce(inflow, 0) AS inflow,
-               coalesce(outflow, 0) AS outflow,
-               coalesce(inflow, 0) - coalesce(outflow, 0) AS net
-        FROM i FULL OUTER JOIN o ON i.cx = o.cx AND i.cy = o.cy"""
-
-
-def q_conjunctive_search(spark, sf):
-    # conjunctive (AND) retrieval: documents containing ALL query terms,
-    # scored by total term frequency — postings filtered to the query
-    # vocabulary BEFORE the shuffle, matched via having
-    # count(distinct term) == |query|. One aggregation; never touches
-    # non-matching postings.
-    terms = list(CONJ_TERMS)
-    toks = (_docs(spark, sf)
-            .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-            .filter(F.col("w").isin(terms)))
-    return (toks.groupBy("doc_id")
-            .agg(F.countDistinct("w").alias("n_terms"),
-                 F.count("*").alias("tf_total"))
-            .filter(F.col("n_terms") == len(terms))
-            .select("doc_id", "tf_total"))
-
-
-def _conjunctive_search_sql() -> str:
-    lst = ", ".join(f"'{t}'" for t in CONJ_TERMS)
-    return f"""
-        WITH toks AS (SELECT doc_id, unnest(string_split(text, chr(32)))
-                          AS w
-                      FROM documents)
-        SELECT doc_id, count(*) AS tf_total
-        FROM toks WHERE w IN ({lst})
-        GROUP BY 1 HAVING count(DISTINCT w) = {len(CONJ_TERMS)}"""
-
-
-# ---------------------------------------------------------------------------
-# SCD2 as-of enrichment / bot behavior flags / FK integrity audit
-# — batch 32
-# ---------------------------------------------------------------------------
-
-VISITS_PER_URL = 3
-BOT_BURST = 3  # flag users with ≥ this many events inside one minute
-
-
-def q_scd2_asof_enrich(spark, sf):
-    # the warehouse enrichment pattern: minted visit events joined to the
-    # SCD2 dimension version valid AT the visit time (valid_from ≤ t ≤
-    # valid_to, open current interval). SCD2 bounds versions-per-key by
-    # construction, so the scalable plan is the url equi-join + interval
-    # filter — no range-join machinery needed. Output is visit-grained.
-    dim = q_scd2_history(spark, sf)
-    p = pages.pages(spark, 2000).select("page_id", "url")
-    vt = F.lit(SCD2_T0) + F.pmod(
-        phash.hash60(F.concat(F.lit("vt-"), F.col("page_id").cast("string"),
-                              F.lit("-"), F.col("j").cast("string"))),
-        F.lit(3 * 86400))
-    visits = (p.withColumn("j", F.explode(F.sequence(
-                  F.lit(1), F.lit(VISITS_PER_URL))))
-              .select("url", vt.alias("vt")))
-    return (visits.join(dim, "url")
-            .filter((F.col("valid_from") <= F.col("vt"))
-                    & ((F.col("valid_to") == -1)
-                       | (F.col("vt") <= F.col("valid_to"))))
-            .select("url", "vt", "version", "is_current"))
-
-
-def _scd2_asof_enrich_sql() -> str:
-    h = phash.sql_hash60(
-        "'vt-' || CAST(id AS VARCHAR) || '-' || CAST(j AS VARCHAR)")
-    return f"""
-        WITH dim AS (SELECT * FROM ({_scd2_history_sql()})),
-        {_pages_cte(2000, 42, prefix="v_")},
-        visits AS (SELECT url, {SCD2_T0} + ({h}) % {3 * 86400} AS vt
-                   FROM v_txt,
-                   LATERAL (SELECT unnest(range(1, {VISITS_PER_URL + 1}))
-                            AS j) jj)
-        SELECT visits.url, vt, version, is_current
-        FROM visits JOIN dim ON visits.url = dim.url
-        WHERE valid_from <= vt AND (valid_to = -1 OR vt <= valid_to)"""
-
-
-def q_bot_flags(spark, sf):
-    # crawler/bot behavior heuristics in exact integers: per user, the
-    # peak events-in-any-60s window (RANGE frame over epoch seconds),
-    # zero-gap duplicates, and metronome periodicity (identical
-    # consecutive inter-arrivals). ONE user exchange shared by the range
-    # window, both lags, and the rollup.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("te"))
-    wr = (Win.partitionBy("user_id").orderBy("te")
-          .rangeBetween(-59, 0))
-    wo = Win.partitionBy("user_id").orderBy("te", "event_id")
-    gap = F.col("te") - F.lag("te").over(wo)
-    d = (e.withColumn("burst60", F.count("*").over(wr))
-         .withColumn("gap", gap)
-         .withColumn("same_gap",
-                     (F.col("gap") == F.lag("gap").over(wo)).cast("int")))
-    return (d.groupBy("user_id")
-            .agg(F.count("*").alias("n_events"),
-                 F.max("burst60").alias("max_burst_60s"),
-                 F.sum(F.when(F.col("gap") == 0, 1).otherwise(0))
-                 .cast("bigint").alias("n_zero_gaps"),
-                 F.coalesce(F.sum("same_gap"), F.lit(0)).cast("bigint")
-                 .alias("n_same_gaps"))
-            .withColumn("burst_bot",
-                        F.col("max_burst_60s") >= BOT_BURST))
-
-
-def _bot_flags_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te
-                   FROM events),
-        g1 AS (SELECT user_id, event_id, te,
-                      count(*) OVER (PARTITION BY user_id ORDER BY te
-                          RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
-                          AS burst60,
-                      te - lag(te) OVER wo AS gap
-               FROM e
-               WINDOW wo AS (PARTITION BY user_id ORDER BY te, event_id)),
-        d AS (SELECT user_id, burst60, gap,
-                     CASE WHEN gap = lag(gap) OVER wo2
-                          THEN 1 ELSE 0 END AS same_gap
-              FROM g1
-              WINDOW wo2 AS (PARTITION BY user_id ORDER BY te, event_id))
-        SELECT user_id, count(*) AS n_events,
-               max(burst60) AS max_burst_60s,
-               CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_zero_gaps,
-               CAST(coalesce(sum(same_gap), 0) AS BIGINT) AS n_same_gaps,
-               max(burst60) >= {BOT_BURST} AS burst_bot
-        FROM d GROUP BY 1"""
-
-
-def q_fk_audit(spark, sf):
-    # referential-integrity audit across the relational spine: child
-    # table sizes + orphan counts for the four FK edges — the
-    # data-contract gate a pipeline runs before trusting a snapshot.
-    # Four LEFT ANTI joins (each broadcastable on the parent's key set);
-    # the result row per edge carries child cardinality as the witness.
-    def edge(name, child, ck, parent, pk):
-        c = spark.read.parquet(f"{sf}/{child}.parquet").select(
-            F.col(ck).alias("k"))
-        par = spark.read.parquet(f"{sf}/{parent}.parquet").select(
-            F.col(pk).alias("k")).distinct()
-        orphans = c.join(par, "k", "left_anti")
-        return (c.agg(F.count("*").alias("n_child"))
-                .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
-                .select(F.lit(name).alias("fk_edge"), "n_child",
-                        "n_orphans"))
-
-    edges = [edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
-                  "orders", "o_orderkey"),
-             edge("lineitem.partkey->part", "lineitem", "l_partkey",
-                  "part", "p_partkey"),
-             edge("orders.custkey->customer", "orders", "o_custkey",
-                  "customer", "c_custkey"),
-             edge("customer.nationkey->nation", "customer", "c_nationkey",
-                  "nation", "n_nationkey")]
-    out = edges[0]
-    for x in edges[1:]:
-        out = out.unionByName(x)
-    return out
-
-
-def _fk_audit_sql() -> str:
-    def edge(name, child, ck, parent, pk):
-        return f"""
-        SELECT '{name}' AS fk_edge,
-               (SELECT count(*) FROM {child}) AS n_child,
-               (SELECT count(*) FROM {child} c
-                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
-                                  WHERE p.{pk} = c.{ck})) AS n_orphans"""
-    return " UNION ALL ".join([
-        edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
-             "orders", "o_orderkey"),
-        edge("lineitem.partkey->part", "lineitem", "l_partkey",
-             "part", "p_partkey"),
-        edge("orders.custkey->customer", "orders", "o_custkey",
-             "customer", "c_custkey"),
-        edge("customer.nationkey->nation", "customer", "c_nationkey",
-             "nation", "n_nationkey")])
-
-
-# ---------------------------------------------------------------------------
-# interval intersection (dwell∩session) / per-tile p90 / multi-grain
-# actives — batch 33
-# ---------------------------------------------------------------------------
-
-
-def _user_islands(spark, sf, gate_expr, min_ev):
-    """Shared gaps-and-islands builder: per-user maximal runs where the
-    new-island gate holds, as disjoint [t0, t1] intervals (staypoints /
-    sessionize share this shape)."""
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 F.unix_timestamp("ts").alias("te"),
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    d = (d.withColumn("gap", F.col("te") - F.lag("te").over(w))
-         .withColumn("dx", F.col("px") - F.lag("px").over(w))
-         .withColumn("dy", F.col("py") - F.lag("py").over(w)))
-    iv = (d.withColumn("ni", F.when(F.expr(gate_expr), 0).otherwise(1))
-          .withColumn("island", F.sum("ni").over(
-              w.rowsBetween(Win.unboundedPreceding, 0))))
-    return (iv.groupBy("user_id", "island")
-            .agg(F.count("*").alias("n_ev"),
-                 F.min("te").alias("t0"), F.max("te").alias("t1"))
-            .filter(F.col("n_ev") >= min_ev)
-            .drop("island", "n_ev"))
-
-
-_STAY_GATE = f"dx IS NOT NULL AND dx * dx + dy * dy <= {STAY_R2}"
-_SESS_GATE = f"gap IS NOT NULL AND gap <= {SESSION_GAP_S}"
-
-
-def q_dwell_session_overlap(spark, sf):
-    # interval algebra composition: per user, total seconds where a
-    # STAYPOINT dwell interval and a SESSION interval coincide — "active
-    # time while stationary". Both interval sets are disjoint islands by
-    # construction, so per-user Σ of pairwise clamped overlaps IS the
-    # intersection measure; interval counts per user are small, so the
-    # per-key join is bounded (the SCD2-enrich argument). Exact ints.
-    a = _user_islands(spark, sf, _STAY_GATE, 2).withColumnsRenamed(
-        {"t0": "a0", "t1": "a1"})
-    b = _user_islands(spark, sf, _SESS_GATE, 2).withColumnsRenamed(
-        {"t0": "b0", "t1": "b1"})
-    ov = (F.least("a1", "b1") - F.greatest("a0", "b0"))
-    j = (a.join(b, "user_id")
-         .withColumn("ov", ov)
-         .filter(F.col("ov") > 0))
-    return (j.groupBy("user_id")
-            .agg(F.count("*").alias("n_overlaps"),
-                 F.sum("ov").alias("overlap_s"),
-                 F.max("ov").alias("max_overlap_s")))
-
-
-def _islands_sql(gate, min_ev):
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""(
-        SELECT user_id, min(te) AS t0, max(te) AS t1
-        FROM (SELECT user_id, te,
-                     sum(ni) OVER (PARTITION BY user_id
-                         ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS island
-              FROM (SELECT user_id, ts, event_id, te,
-                           CASE WHEN {gate} THEN 0 ELSE 1 END AS ni
-                    FROM (SELECT user_id, ts, event_id,
-                                 CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                                 CAST(floor(epoch(ts)) AS BIGINT)
-                                     - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                                       OVER wo AS gap,
-                                 {pos('tx')} - lag({pos('tx')}) OVER wo
-                                     AS dx,
-                                 {pos('ty')} - lag({pos('ty')}) OVER wo
-                                     AS dy
-                          FROM events
-                          WINDOW wo AS (PARTITION BY user_id
-                                        ORDER BY ts, event_id))))
-        GROUP BY user_id, island HAVING count(*) >= {min_ev})"""
-
-
-def _dwell_session_overlap_sql() -> str:
-    return f"""
-        WITH a AS (SELECT user_id, t0 AS a0, t1 AS a1
-                   FROM {_islands_sql(_STAY_GATE, 2)} t),
-        b AS (SELECT user_id, t0 AS b0, t1 AS b1
-              FROM {_islands_sql(_SESS_GATE, 2)} t),
-        j AS (SELECT a.user_id,
-                     least(a1, b1) - greatest(a0, b0) AS ov
-              FROM a JOIN b ON a.user_id = b.user_id)
-        SELECT user_id, count(*) AS n_overlaps,
-               CAST(sum(ov) AS BIGINT) AS overlap_s,
-               CAST(max(ov) AS BIGINT) AS max_overlap_s
-        FROM j WHERE ov > 0 GROUP BY 1"""
-
-
-def q_tile_p90_tokens(spark, sf):
-    # geo × order statistics: per occupied z6 tile, the exact p50/p90
-    # document token count (lower-method integer indexing — the
-    # doc_len_percentiles family, keyed by tile instead of language).
-    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
-         .join(_docs(spark, sf).select(
-             "doc_id",
-             TXT.token_count(F.col("text")).cast("bigint").alias("n_tok")),
-             "doc_id"))
-    g = (t.groupBy("x", "y")
-         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
-              F.count("*").alias("n_docs")))
-
-    def pick(num, den, name):
-        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
-        return F.element_at("v", idx).alias(name)
-
-    return g.select("x", "y", "n_docs", pick(5, 10, "p50_tokens"),
-                    pick(9, 10, "p90_tokens"))
-
-
-def _tile_p90_tokens_sql() -> str:
-    pts = minted.SQL_MINTED_POINTS.strip()
-    return f"""
-        WITH p AS ({pts}),
-        t AS (SELECT doc_id, {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
-                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y
-              FROM p),
-        j AS (SELECT x, y,
-                     CAST(len(string_split(text, chr(32))) AS BIGINT)
-                         AS n_tok
-              FROM t JOIN documents d ON t.doc_id = d.doc_id)
-        SELECT x, y, count(*) AS n_docs,
-               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 5 // 10
-                   AS INT) + 1] AS p50_tokens,
-               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 9 // 10
-                   AS INT) + 1] AS p90_tokens
-        FROM j GROUP BY 1, 2"""
-
-
-def q_multi_grain_actives(spark, sf):
-    # day/week/month distinct actives from ONE scan: each (user, day)
-    # bin explodes to its three grain labels, then a single distinct
-    # count per (grain, bucket) — the dashboard spine without three
-    # separate scans. Exact; month via epoch-day div 30 (fixed-width
-    # "month" keeps both engines integer-only and partition-stable).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    bins = e.distinct()
-    g = bins.select(
-        "user_id",
-        F.explode(F.array(
-            F.struct(F.lit("day").alias("grain"), F.col("day").alias("b")),
-            F.struct(F.lit("week").alias("grain"),
-                     F.expr("day div 7").alias("b")),
-            F.struct(F.lit("month30").alias("grain"),
-                     F.expr("day div 30").alias("b")))).alias("g"))
-    return (g.groupBy(F.col("g.grain").alias("grain"),
-                      F.col("g.b").alias("bucket"))
-            .agg(F.countDistinct("user_id").alias("active_users")))
-
-
-def _multi_grain_actives_sql() -> str:
-    return """
-        WITH bins AS (SELECT DISTINCT user_id,
-                             CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                                 AS day
-                      FROM events),
-        g AS (SELECT user_id, 'day' AS grain, day AS bucket FROM bins
-              UNION ALL
-              SELECT user_id, 'week', day // 7 FROM bins
-              UNION ALL
-              SELECT user_id, 'month30', day // 30 FROM bins)
-        SELECT grain, bucket, count(DISTINCT user_id) AS active_users
-        FROM g GROUP BY 1, 2"""
-
-
-# ---------------------------------------------------------------------------
-# JSON props stats / Benford first-digit audit / null-profile report
-# — batch 34
-# ---------------------------------------------------------------------------
-
-
-def q_props_json_stats(spark, sf):
-    # semi-structured column surface: parse the JSON props payload
-    # (get_json_object stays JVM-side / codegen), typed stats of the
-    # extracted integer per event_type — the "JSON column you never
-    # schema'd" analytic. One aggregation.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
-    return (e.groupBy("event_type")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
-                 .cast("bigint").alias("n_null_k"),
-                 F.sum("k").alias("k_sum"),
-                 F.min("k").alias("k_min"), F.max("k").alias("k_max"),
-                 F.countDistinct("k").alias("k_distinct")))
-
-
-def _props_json_stats_sql() -> str:
-    return """
-        WITH e AS (SELECT event_type,
-                          CAST(json_extract_string(props, '$.k') AS BIGINT)
-                              AS k
-                   FROM events)
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_null_k,
-               CAST(sum(k) AS BIGINT) AS k_sum,
-               min(k) AS k_min, max(k) AS k_max,
-               count(DISTINCT k) AS k_distinct
-        FROM e GROUP BY 1"""
-
-
-def q_benford_values(spark, sf):
-    # Benford first-significant-digit audit over the monetary value
-    # column — the fraud screen. Cents via floor(value·100 + 0.5)
-    # (identical double text; CAST alone truncates in Spark but ROUNDS in
-    # DuckDB), first digit via the decimal-string head — no logs, no
-    # per-engine float formatting.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
-    d = e.filter(F.col("cents") > 0).withColumn(
-        "first_digit",
-        F.expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
-    return (d.groupBy("first_digit")
-            .agg(F.count("*").alias("n"),
-                 F.sum("cents").alias("cents_sum")))
-
-
-def _benford_values_sql() -> str:
-    return """
-        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
-                       AS cents
-                   FROM events)
-        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
-                   AS first_digit,
-               count(*) AS n,
-               CAST(sum(cents) AS BIGINT) AS cents_sum
-        FROM e WHERE cents > 0
-        GROUP BY 1"""
-
-
-def q_null_profile(spark, sf):
-    # data-profiling report: per events column, null count + distinct
-    # count + total — the schema-health gate a pipeline runs on every new
-    # snapshot before trusting it. One scan per column family, unioned;
-    # at scale this is the one full-scan profile pass.
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    parts = []
-    for c in cols:
-        parts.append(e.agg(
-            F.lit(c).alias("column"),
-            F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint").alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct")))
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
-    return out
-
-
-def _null_profile_sql() -> str:
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    return " UNION ALL ".join(
-        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
-                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_nulls,
-                   count(DISTINCT {c}) AS n_distinct
-            FROM events""" for c in cols)
-
-
-# ---------------------------------------------------------------------------
-# host URL longest-common-prefix / tile spatial outliers / ship-delay
-# order statistics — batch 35
-# ---------------------------------------------------------------------------
-
-SPATIAL_OUT_K = 2  # own-count × neighbours > K × focal-sum ⇒ outlier
-SPATIAL_OUT_G = 20_000_000
-
-
-def q_host_url_lcp(spark, sf):
-    # per-host longest common URL prefix — sitemap-root discovery. LCP
-    # over a SET is LCP(lexicographic min, lexicographic max), so the
-    # corpus-scale work is one min/max aggregation; the prefix length is
-    # then the count of i where the i-prefixes agree (prefix equality is
-    # monotone), a pure expression with no loops.
-    p = pages.pages(spark, 2000).select(
-        TXT.url_host(F.col("url")).alias("host"), "url")
-    g = (p.groupBy("host")
-         .agg(F.count("*").alias("n_urls"),
-              F.min("url").alias("lo"), F.max("url").alias("hi")))
-    return (g.withColumn(
-                "lcp_len",
-                F.expr("size(filter(sequence(1, least(length(lo), "
-                       "length(hi))), i -> substr(lo, 1, i) "
-                       "= substr(hi, 1, i)))").cast("bigint"))
-            .select("host", "n_urls",
-                    "lcp_len",
-                    F.expr("substr(lo, 1, CAST(lcp_len AS INT))")
-                    .alias("lcp")))
-
-
-def _host_url_lcp_sql() -> str:
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        p AS (SELECT {TXT.sql_url_host('url')} AS host, url FROM txt),
-        g AS (SELECT host, count(*) AS n_urls,
-                     min(url) AS lo, max(url) AS hi
-              FROM p GROUP BY 1),
-        l AS (SELECT host, n_urls,
-                     CAST(len(list_filter(range(1,
-                         least(length(lo), length(hi)) + 1),
-                         i -> substr(lo, 1, CAST(i AS INT))
-                              = substr(hi, 1, CAST(i AS INT))))
-                         AS BIGINT) AS lcp_len,
-                     lo
-              FROM g)
-        SELECT host, n_urls, lcp_len,
-               substr(lo, 1, CAST(lcp_len AS INT)) AS lcp
-        FROM l"""
-
-
-def q_tile_spatial_outliers(spark, sf):
-    # local spatial outliers: grid cells whose own density exceeds
-    # SPATIAL_OUT_K × their 3×3 occupied-neighbourhood average — the
-    # local-Moran hot-single detector, exact integers via the
-    # cross-multiplied comparison (n_pts · n_nbr > K · focal_sum). Runs
-    # on the CLUSTERED mint (density spikes exist to find; the uniform
-    # mint is flat by construction). Witnesses ship with the flag.
-    p = minted.minted_cluster_points_q(spark, sf)
-    t = (p.select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
-                  F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
-         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
-         .localCheckpoint(eager=False))
-    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-           .select((F.col("x") + F.col("dx")).alias("x"),
-                   (F.col("y") + F.col("dy")).alias("y"),
-                   F.col("n_pts").alias("c")))
-    focal = (nbr.groupBy("x", "y")
-             .agg(F.sum("c").alias("focal_sum"),
-                  F.count("*").alias("n_nbr_tiles")))
-    return (t.join(focal, ["x", "y"])
-            .filter(F.col("n_pts") * F.col("n_nbr_tiles")
-                    > SPATIAL_OUT_K * F.col("focal_sum"))
-            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
-
-
-def _tile_spatial_outliers_sql() -> str:
-    return f"""
-        WITH p AS ({minted.sql_minted_cluster_points_q()}),
-        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
-                     count(*) AS n_pts
-              FROM p GROUP BY 1, 2),
-        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
-                FROM t,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
-                     count(*) AS n_nbr_tiles
-              FROM nbr GROUP BY 1, 2)
-        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
-        FROM t JOIN f ON t.x = f.x AND t.y = f.y
-        WHERE t.n_pts * f.n_nbr_tiles > {SPATIAL_OUT_K} * f.focal_sum"""
-
-
-def q_ship_delay_stats(spark, sf):
-    # order-fulfilment latency: days between order date and each line's
-    # ship date, exact p50/p90 per order priority (lower-method integer
-    # indexing). One broadcastable join (orders keys into lineitem), one
-    # priority aggregation.
-    o = spark.read.parquet(f"{sf}/orders.parquet").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-        "l_orderkey", "l_shipdate")
-    j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .select("o_orderpriority",
-                 F.datediff("l_shipdate", "o_orderdate").cast("bigint")
-                 .alias("delay_d")))
-    g = (j.groupBy("o_orderpriority")
-         .agg(F.sort_array(F.collect_list("delay_d")).alias("v"),
-              F.count("*").alias("n_lines"),
-              F.sum("delay_d").alias("delay_sum")))
-
-    def pick(num, den, name):
-        idx = F.expr(f"CAST((n_lines - 1) * {num} DIV {den} AS INT) + 1")
-        return F.element_at("v", idx).alias(name)
-
-    return g.select("o_orderpriority", "n_lines", "delay_sum",
-                    pick(5, 10, "p50_delay_d"), pick(9, 10, "p90_delay_d"))
-
-
-def _ship_delay_stats_sql() -> str:
-    return """
-        WITH j AS (SELECT o_orderpriority,
-                          CAST(date_diff('day', o_orderdate, l_shipdate)
-                               AS BIGINT) AS delay_d
-                   FROM lineitem JOIN orders
-                     ON l_orderkey = o_orderkey)
-        SELECT o_orderpriority, count(*) AS n_lines,
-               CAST(sum(delay_d) AS BIGINT) AS delay_sum,
-               (list_sort(list(delay_d)))[CAST((count(*) - 1) * 5 // 10
-                   AS INT) + 1] AS p50_delay_d,
-               (list_sort(list(delay_d)))[CAST((count(*) - 1) * 9 // 10
-                   AS INT) + 1] AS p90_delay_d
-        FROM j GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# range-partition boundary planner / host concentration / dominant
-# bearing — batch 36
-# ---------------------------------------------------------------------------
-
-RANGE_BUCKETS = 16
-
-
-def q_range_bounds_planner(spark, sf):
-    # the repartitionByRange planner surfaced as a query: exact
-    # equi-depth boundaries over the doc token-count key (lower-method
-    # order statistics at i/N quantiles) + the realized bucket counts —
-    # the balance audit a 100 TB writer runs before choosing range
-    # bounds. ntile gives both in ONE global-sort window; boundaries are
-    # the per-bucket max key.
-    from pyspark.sql import Window as Win
-    t = _docs(spark, sf).select(
-        "doc_id",
-        TXT.token_count(F.col("text")).cast("bigint").alias("k"))
-    w = Win.orderBy("k", "doc_id")
-    b = t.withColumn("bucket", F.ntile(RANGE_BUCKETS).over(w))
-    return (b.groupBy("bucket")
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("k").alias("lo_key"),
-                 F.max("k").alias("hi_key")))
-
-
-def _range_bounds_planner_sql() -> str:
-    return f"""
-        WITH t AS (SELECT doc_id,
-                          CAST(len(string_split(text, chr(32))) AS BIGINT)
-                              AS k
-                   FROM documents),
-        b AS (SELECT k, ntile({RANGE_BUCKETS})
-                         OVER (ORDER BY k, doc_id) AS bucket
-              FROM t)
-        SELECT bucket, count(*) AS n_docs,
-               min(k) AS lo_key, max(k) AS hi_key
-        FROM b GROUP BY 1"""
-
-
-def q_host_concentration(spark, sf):
-    # corpus head-concentration: hosts ranked by page count, the
-    # cumulative-coverage curve reduced to its scalars — how many hosts
-    # cover half the corpus (k50), the top-1 share in exact ppm, and the
-    # totals. One host rollup + one global-sort window over the tiny
-    # host table.
-    from pyspark.sql import Window as Win
-    h = (pages.pages(spark, 2000)
-         .select(TXT.url_host(F.col("url")).alias("host"))
-         .groupBy("host").agg(F.count("*").alias("n")))
-    w = Win.orderBy(F.col("n").desc(), F.col("host"))
-    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
-    c = (h.withColumn("rk", F.row_number().over(w))
-         .withColumn("cum", F.sum("n").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("tot", F.sum("n").over(wf)))
-    return (c.agg(
-        F.count("*").alias("n_hosts"),
-        F.max("tot").alias("n_pages"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
-        .alias("k50_hosts"),
-        F.max(F.when(F.col("rk") == 1,
-                     F.expr("n * 1000000 div tot"))).alias("top1_ppm")))
-
-
-def _host_concentration_sql() -> str:
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        h AS (SELECT {TXT.sql_url_host('url')} AS host, count(*) AS n
-              FROM txt GROUP BY 1),
-        c AS (SELECT n,
-                     row_number() OVER (ORDER BY n DESC, host) AS rk,
-                     sum(n) OVER (ORDER BY n DESC, host
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum,
-                     sum(n) OVER () AS tot
-              FROM h)
-        SELECT count(*) AS n_hosts,
-               CAST(max(tot) AS BIGINT) AS n_pages,
-               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
-                   AS k50_hosts,
-               CAST(max(CASE WHEN rk = 1 THEN n * 1000000 // tot END)
-                    AS BIGINT) AS top1_ppm
-        FROM c"""
-
-
-def q_dominant_bearing(spark, sf):
-    # per-user dominant movement octant + its share — the directional
-    # summary of the bearing histogram (migration-corridor detector).
-    # Reuses the octant CASE text; the mode is a max(struct) over the
-    # tiny per-user sector table — tie-free via the (count, sector)
-    # total order.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = (d.select("user_id",
-                      (F.col("px") - F.lag("px").over(w)).alias("dx"),
-                      (F.col("py") - F.lag("py").over(w)).alias("dy"))
-             .filter(F.col("dx").isNotNull())
-             .withColumn("sector", F.expr(_OCTANT_EXPR)))
-    per = steps.groupBy("user_id", "sector").agg(F.count("*").alias("c"))
-    return (per.groupBy("user_id")
-            .agg(F.sum("c").alias("n_steps"),
-                 F.max(F.struct(F.col("c"), F.col("sector"))).alias("m"))
-            .select("user_id", "n_steps",
-                    F.col("m.sector").alias("dominant_sector"),
-                    F.col("m.c").alias("dominant_n")))
-
-
-def _dominant_bearing_sql() -> str:
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          {pos('tx')} AS px, {pos('ty')} AS py
-                   FROM events),
-        s AS (SELECT user_id,
-                     px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
-              FROM p
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        per AS (SELECT user_id, {_OCTANT_EXPR} AS sector,
-                       CAST(count(*) AS BIGINT) AS c
-                FROM s WHERE dx IS NOT NULL GROUP BY 1, 2)
-        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_steps,
-               arg_max(sector, c * 8 + sector) AS dominant_sector,
-               CAST(max(c) AS BIGINT) AS dominant_n
-        FROM per GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# reciprocal-rank fusion / A/B lift / time-to-purchase survival
-# — batch 37
-# ---------------------------------------------------------------------------
-
-RRF_K, RRF_TOP = 60, 20
-RRF_SCALE = 1_000_000_000
-
-
-def q_rrf_fusion(spark, sf):
-    # rank fusion (the IR ensemble step): two independent document
-    # rankings — by token count and by distinct-type count — fused with
-    # reciprocal-rank fusion in exact integer micro-units
-    # (Σ 1e9 div (k + rank)), top-RRF_TOP with a total-order tie-break.
-    # Rankings are windows over the same scored table; the fusion is one
-    # small join.
-    from pyspark.sql import Window as Win
-    t = _docs(spark, sf).select(
-        "doc_id",
-        TXT.token_count(F.col("text")).cast("bigint").alias("s1"),
-        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
-        .alias("s2")).localCheckpoint(eager=False)
-    r1 = t.withColumn("r1", F.row_number().over(
-        Win.orderBy(F.col("s1").desc(), F.col("doc_id")))).select(
-        "doc_id", "r1")
-    r2 = t.withColumn("r2", F.row_number().over(
-        Win.orderBy(F.col("s2").desc(), F.col("doc_id")))).select(
-        "doc_id", "r2")
-    f = (r1.join(r2, "doc_id")
-         .withColumn("rrf", F.expr(f"{RRF_SCALE} div ({RRF_K} + r1) "
-                                   f"+ {RRF_SCALE} div ({RRF_K} + r2)")))
-    w = Win.orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (f.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= RRF_TOP)
-            .select("rank", "doc_id", "r1", "r2", "rrf"))
-
-
-def _rrf_fusion_sql() -> str:
-    return f"""
-        WITH t AS (SELECT doc_id,
-                          CAST(len(string_split(text, chr(32))) AS BIGINT)
-                              AS s1,
-                          CAST(len(list_distinct(string_split(text,
-                              chr(32)))) AS BIGINT) AS s2
-                   FROM documents),
-        r AS (SELECT doc_id,
-                     row_number() OVER (ORDER BY s1 DESC, doc_id) AS r1,
-                     row_number() OVER (ORDER BY s2 DESC, doc_id) AS r2
-              FROM t),
-        f AS (SELECT doc_id, r1, r2,
-                     {RRF_SCALE} // ({RRF_K} + r1)
-                     + {RRF_SCALE} // ({RRF_K} + r2) AS rrf
-              FROM r),
-        k AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
-                  AS rank
-              FROM f)
-        SELECT rank, doc_id, CAST(r1 AS BIGINT) AS r1,
-               CAST(r2 AS BIGINT) AS r2, rrf
-        FROM k WHERE rank <= {RRF_TOP}"""
-
-
-def q_ab_lift(spark, sf):
-    # A/B readout in exact integers: users hash-split into two arms (the
-    # portable bridge hash → reproducible assignment across engines and
-    # reruns), per-arm event counts and value cents, and the B-vs-A
-    # lift in ppm via integer cross-multiplication. One aggregation.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id",
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-        F.pmod(phash.hash60(F.concat(F.lit("arm-"),
-                                     F.col("user_id").cast("string"))),
-               F.lit(2)).alias("arm"))
-    g = (e.groupBy("arm")
-         .agg(F.countDistinct("user_id").alias("n_users"),
-              F.count("*").alias("n_events"),
-              F.sum("cents").alias("cents_sum")))
-    a = g.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("a_users"), F.col("n_events").alias("a_events"),
-        F.col("cents_sum").alias("a_cents"))
-    b = g.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("b_users"), F.col("n_events").alias("b_events"),
-        F.col("cents_sum").alias("b_cents"))
-    return (a.crossJoin(b)
-            .withColumn("lift_ppm", F.expr(
-                "(b_cents * a_users - a_cents * b_users) * 1000000 "
-                "div (a_cents * b_users)")))
-
-
-def _ab_lift_sql() -> str:
-    h = phash.sql_hash60("'arm-' || CAST(user_id AS VARCHAR)")
-    return f"""
-        WITH e AS (SELECT user_id,
-                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-                          ({h}) % 2 AS arm
-                   FROM events),
-        g AS (SELECT arm, count(DISTINCT user_id) AS n_users,
-                     count(*) AS n_events,
-                     CAST(sum(cents) AS BIGINT) AS cents_sum
-              FROM e GROUP BY 1)
-        SELECT a.n_users AS a_users, a.n_events AS a_events,
-               a.cents_sum AS a_cents,
-               b.n_users AS b_users, b.n_events AS b_events,
-               b.cents_sum AS b_cents,
-               (b.cents_sum * a.n_users - a.cents_sum * b.n_users)
-                   * 1000000 // (a.cents_sum * b.n_users) AS lift_ppm
-        FROM (SELECT * FROM g WHERE arm = 0) a,
-             (SELECT * FROM g WHERE arm = 1) b"""
-
-
-def q_time_to_purchase(spark, sf):
-    # survival-style funnel latency: per user, days from first activity
-    # to first 'purchase' event, bucketed — the activation-latency
-    # histogram. ONE user aggregation (conditional mins), then a tiny
-    # bucket rollup; users who never purchase land in the 'never'
-    # bucket, preserving the denominator.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type",
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    g = (e.groupBy("user_id")
-         .agg(F.min("day").alias("first_day"),
-              F.min(F.when(F.col("event_type") == "purchase",
-                           F.col("day"))).alias("first_purchase_day")))
-    d = g.withColumn(
-        "bucket",
-        F.expr("CASE WHEN first_purchase_day IS NULL THEN 'never' "
-               "WHEN first_purchase_day - first_day = 0 THEN 'same_day' "
-               "WHEN first_purchase_day - first_day <= 7 THEN 'within_7d' "
-               "WHEN first_purchase_day - first_day <= 30 THEN 'within_30d' "
-               "ELSE 'later' END"))
-    return (d.groupBy("bucket")
-            .agg(F.count("*").alias("n_users"),
-                 F.sum(F.coalesce(F.col("first_purchase_day")
-                                  - F.col("first_day"), F.lit(0)))
-                 .alias("delay_days_sum")))
-
-
-def _time_to_purchase_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id, event_type,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-                   FROM events),
-        g AS (SELECT user_id, min(day) AS first_day,
-                     min(CASE WHEN event_type = 'purchase' THEN day END)
-                         AS first_purchase_day
-              FROM e GROUP BY 1),
-        d AS (SELECT CASE
-                  WHEN first_purchase_day IS NULL THEN 'never'
-                  WHEN first_purchase_day - first_day = 0 THEN 'same_day'
-                  WHEN first_purchase_day - first_day <= 7 THEN 'within_7d'
-                  WHEN first_purchase_day - first_day <= 30
-                      THEN 'within_30d'
-                  ELSE 'later' END AS bucket,
-                     coalesce(first_purchase_day - first_day, 0) AS delay
-              FROM g)
-        SELECT bucket, count(*) AS n_users,
-               CAST(sum(delay) AS BIGINT) AS delay_days_sum
-        FROM d GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# revisit cadence / day-of-week profile / customer Pareto share
-# — batch 38
-# ---------------------------------------------------------------------------
-
-
-def q_revisit_cadence(spark, sf):
-    # repeat-engagement cadence: per event_type, the exact median and
-    # p90 inter-arrival seconds WITHIN a user's stream of that type —
-    # the re-engagement clock product teams tune against. One
-    # (user, type) window for the lag, one type aggregation with the
-    # order-statistic pick.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type", "event_id",
-        F.unix_timestamp("ts").alias("te"), "ts")
-    w = Win.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gaps = (e.withColumn("gap", F.col("te") - F.lag("te").over(w))
-            .filter(F.col("gap").isNotNull()))
-    g = (gaps.groupBy("event_type")
-         .agg(F.sort_array(F.collect_list("gap")).alias("v"),
-              F.count("*").alias("n_gaps")))
-
-    def pick(num, den, name):
-        idx = F.expr(f"CAST((n_gaps - 1) * {num} DIV {den} AS INT) + 1")
-        return F.element_at("v", idx).alias(name)
-
-    return g.select("event_type", "n_gaps",
-                    pick(5, 10, "p50_gap_s"), pick(9, 10, "p90_gap_s"))
-
-
-def _revisit_cadence_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id, event_type, event_id, ts,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te
-                   FROM events),
-        g AS (SELECT event_type,
-                     te - lag(te) OVER (PARTITION BY user_id, event_type
-                         ORDER BY ts, event_id) AS gap
-              FROM e)
-        SELECT event_type, count(*) AS n_gaps,
-               (list_sort(list(gap)))[CAST((count(*) - 1) * 5 // 10
-                   AS INT) + 1] AS p50_gap_s,
-               (list_sort(list(gap)))[CAST((count(*) - 1) * 9 // 10
-                   AS INT) + 1] AS p90_gap_s
-        FROM g WHERE gap IS NOT NULL GROUP BY 1"""
-
-
-def q_dow_profile(spark, sf):
-    # weekly seasonality profile: event volume and value cents by
-    # day-of-week × event_type. Epoch-aligned integer dow ((day+4) % 7,
-    # 0=Sunday — 1970-01-01 was a Thursday) keeps both engines off their
-    # locale-dependent date functions. One aggregation.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type",
-        F.expr("(unix_timestamp(ts) div 86400 + 4) % 7").alias("dow"),
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
-    return (e.groupBy("event_type", "dow")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum("cents").alias("cents_sum")))
-
-
-def _dow_profile_sql() -> str:
-    return """
-        SELECT event_type,
-               (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
-               count(*) AS n_events,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS cents_sum
-        FROM events GROUP BY 1, 2"""
-
-
-def q_customer_pareto(spark, sf):
-    # revenue concentration (the 80/20 audit): customers ranked by
-    # order-total cents, share of revenue captured by the top 20% of
-    # customers in exact ppm, plus the k50 head count — the
-    # host_concentration pattern on the relational spine. One customer
-    # rollup + one global-sort window over the customer table.
-    from pyspark.sql import Window as Win
-    o = spark.read.parquet(f"{sf}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-        .alias("cents"))
-    c = o.groupBy("o_custkey").agg(F.sum("cents").alias("rev"))
-    w = Win.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
-    r = (c.withColumn("rk", F.row_number().over(w))
-         .withColumn("cum", F.sum("rev").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("tot", F.sum("rev").over(wf))
-         .withColumn("n", F.count("*").over(wf)))
-    return (r.agg(
-        F.max("n").alias("n_customers"),
-        F.max("tot").alias("rev_cents"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
-        .alias("k50_customers"),
-        F.max(F.when(F.col("rk") * 5 <= F.col("n"),
-                     F.expr("cum * 1000000 div tot"))).alias("top20pct_ppm")))
-
-
-def _customer_pareto_sql() -> str:
-    return """
-        WITH o AS (SELECT o_custkey,
-                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                              AS cents
-                   FROM orders),
-        c AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS rev
-              FROM o GROUP BY 1),
-        r AS (SELECT rev, o_custkey,
-                     row_number() OVER (ORDER BY rev DESC, o_custkey)
-                         AS rk,
-                     sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum,
-                     sum(rev) OVER () AS tot,
-                     count(*) OVER () AS n
-              FROM c)
-        SELECT CAST(max(n) AS BIGINT) AS n_customers,
-               CAST(max(tot) AS BIGINT) AS rev_cents,
-               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
-                   AS k50_customers,
-               CAST(max(CASE WHEN rk * 5 <= n
-                             THEN cum * 1000000 // tot END) AS BIGINT)
-                   AS top20pct_ppm
-        FROM r"""
-
-
-# ---------------------------------------------------------------------------
-# ring orientation normalization / cluster bounding circles / spatial
-# split leakage audit — batch 39
-# ---------------------------------------------------------------------------
-
-SPLIT_BLOCK = 4 * DBSCAN_EPS     # block-level split grain
-SPLIT_TEST_MOD = 5               # 1-in-5 blocks → test
-
-
-def q_ring_normalize(spark, sf):
-    # geometry normalization: enforce CCW ring orientation (the MVT /
-    # geobuf writer convention) — rings already CCW keep their vertex
-    # order, CW rings reverse. Witnessed by the exact signed doubled
-    # area and an order-sensitive position-weighted checksum of the
-    # normalized ring (Σ (i+1)·(x_i mod 2^20)), which flips iff the
-    # reversal happened. Zero shuffles beyond one projection.
-    wl = minted.minted_walk_lines_q(spark, sf, k=9)
-    v = geom.ring_validity_cols(wl, k=9)
-    xs_n = F.when(F.col("is_ccw") == 1, F.col("xs_q")).otherwise(
-        F.reverse(F.col("xs_q")))
-    chk = F.aggregate(
-        F.zip_with(xs_n, F.sequence(F.lit(1), F.lit(9)),
-                   lambda x, i: (x % 1048576) * i),
-        F.lit(0).cast("bigint"), lambda a, b: a + b)
-    return v.select("doc_id", "area2", "is_ccw",
-                    chk.alias("norm_checksum"))
-
-
-def _ring_normalize_sql() -> str:
-    xs, ys = minted.sql_minted_walk_coords(9)
-    xl = "[" + ", ".join(xs) + "]"
-    yl = "[" + ", ".join(ys) + "]"
-    # translated shoelace over the CLOSED ring (vertex k+1 = vertex 1),
-    # same local-delta form as geom.ring_validity_cols
-    terms = []
-    for i in range(9):
-        j = (i + 1) % 9
-        terms.append(f"((xs[{i + 1}] - mnx) * (ys[{j + 1}] - mny) "
-                     f"- (xs[{j + 1}] - mnx) * (ys[{i + 1}] - mny))")
-    area2 = " + ".join(terms)
-    return f"""
-        WITH w AS (SELECT doc_id, {xl} AS xs, {yl} AS ys FROM documents),
-        m AS (SELECT doc_id, xs, ys,
-                     list_min(xs) AS mnx, list_min(ys) AS mny
-              FROM w),
-        a AS (SELECT doc_id, xs, CAST({area2} AS BIGINT) AS area2
-              FROM m),
-        n AS (SELECT doc_id, area2,
-                     CAST(area2 > 0 AS INT) AS is_ccw,
-                     CASE WHEN area2 > 0 THEN xs
-                          ELSE list_reverse(xs) END AS xs_n
-              FROM a)
-        SELECT doc_id, area2, is_ccw,
-               CAST(list_sum(list_transform(range(1, 10),
-                   i -> (xs_n[CAST(i AS INT)] % 1048576) * i)) AS BIGINT)
-                   AS norm_checksum
-        FROM n"""
-
-
-def q_bounding_circles(spark, sf):
-    # per-cluster bounding circle (box-center form — exact integers):
-    # center = bbox midpoint (div 2), radius² = max distance² to it.
-    # The two-pass shape (extent then max-dist) shares one cluster
-    # partitioning; the summary every spatial-index root stores.
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("g", F.col("doc_id") % 37))
-    ext = (p.groupBy("g")
-           .agg(F.count("*").alias("n_pts"),
-                F.min("qx").alias("x1"), F.max("qx").alias("x2"),
-                F.min("qy").alias("y1"), F.max("qy").alias("y2"))
-           .withColumn("cx", F.expr("(x1 + x2) div 2"))
-           .withColumn("cy", F.expr("(y1 + y2) div 2")))
-    j = (p.join(F.broadcast(ext.select("g", "cx", "cy")), "g")
-         .withColumn("d2", (F.col("qx") - F.col("cx"))
-                     * (F.col("qx") - F.col("cx"))
-                     + (F.col("qy") - F.col("cy"))
-                     * (F.col("qy") - F.col("cy"))))
-    r = j.groupBy("g").agg(F.max("d2").alias("r2"))
-    return (ext.join(r, "g")
-            .select("g", "n_pts", "cx", "cy", "r2"))
-
-
-def _bounding_circles_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH p AS (SELECT doc_id % 37 AS g, qx, qy FROM ({pts})),
-        ext AS (SELECT g, count(*) AS n_pts,
-                       min(qx) AS x1, max(qx) AS x2,
-                       min(qy) AS y1, max(qy) AS y2,
-                       (min(qx) + max(qx)) // 2 AS cx,
-                       (min(qy) + max(qy)) // 2 AS cy
-                FROM p GROUP BY 1),
-        r AS (SELECT p.g, max((qx - cx) * (qx - cx)
-                              + (qy - cy) * (qy - cy)) AS r2
-              FROM p JOIN ext ON p.g = ext.g GROUP BY 1)
-        SELECT ext.g, n_pts, cx, cy, CAST(r2 AS BIGINT) AS r2
-        FROM ext JOIN r ON ext.g = r.g"""
-
-
-def q_spatial_split_leakage(spark, sf):
-    # ML-data hygiene for geospatial training sets: block-level
-    # train/test split (hash over SPLIT_BLOCK-sized blocks, so nearby
-    # points usually share a side), then the LEAKAGE audit — cross-split
-    # point pairs within DBSCAN_EPS, counted via the same 3×3 cell join
-    # as dbscan_core. One row: split sizes + leak-pair count + nearest
-    # leak distance² witness.
-    p = minted.minted_cluster_points_q(spark, sf)
-    blk_split = F.pmod(phash.hash60_parts(
-        F.lit("split"), F.expr(f"qx div {SPLIT_BLOCK}"),
-        F.expr(f"qy div {SPLIT_BLOCK}")), F.lit(SPLIT_TEST_MOD))
-    d = (p.withColumn("is_test", (blk_split == 0).cast("int"))
-         .localCheckpoint(eager=False))
-    sizes = d.agg(
-        F.sum(F.lit(1) - F.col("is_test")).cast("bigint").alias("n_train"),
-        F.sum("is_test").cast("bigint").alias("n_test"))
-    a = (d.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .select(F.col("doc_id").alias("a_id"), F.col("qx").alias("ax"),
-                 F.col("qy").alias("ay"), F.col("is_test").alias("a_t"),
-                 F.expr(f"qx div {DBSCAN_EPS} + dx").alias("cx"),
-                 F.expr(f"qy div {DBSCAN_EPS} + dy").alias("cy")))
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("qx").alias("bx"),
-                 F.col("qy").alias("by"), F.col("is_test").alias("b_t"),
-                 F.expr(f"qx div {DBSCAN_EPS}").alias("cx"),
-                 F.expr(f"qy div {DBSCAN_EPS}").alias("cy"))
-    leaks = (a.join(b, ["cx", "cy"])
-             .filter((F.col("a_id") < F.col("b_id"))
-                     & (F.col("a_t") != F.col("b_t"))
-                     & ((F.col("ax") - F.col("bx"))
-                        * (F.col("ax") - F.col("bx"))
-                        + (F.col("ay") - F.col("by"))
-                        * (F.col("ay") - F.col("by"))
-                        <= DBSCAN_EPS * DBSCAN_EPS))
-             .dropDuplicates(["a_id", "b_id"])
-             .agg(F.count("*").alias("n_leak_pairs"),
-                  F.min((F.col("ax") - F.col("bx"))
-                        * (F.col("ax") - F.col("bx"))
-                        + (F.col("ay") - F.col("by"))
-                        * (F.col("ay") - F.col("by")))
-                  .alias("min_leak_d2")))
-    return (sizes.crossJoin(leaks)
-            .select("n_train", "n_test", "n_leak_pairs",
-                    F.coalesce("min_leak_d2", F.lit(-1))
-                    .alias("min_leak_d2")))
-
-
-def _spatial_split_leakage_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    h = phash.sql_hash60_parts(
-        "'split'", f"qx // {SPLIT_BLOCK}", f"qy // {SPLIT_BLOCK}")
-    eps = DBSCAN_EPS
-    return f"""
-        WITH p AS (SELECT doc_id, qx, qy,
-                          CASE WHEN ({h}) % {SPLIT_TEST_MOD} = 0
-                               THEN 1 ELSE 0 END AS is_test
-                   FROM ({pts})),
-        sizes AS (SELECT CAST(sum(1 - is_test) AS BIGINT) AS n_train,
-                         CAST(sum(is_test) AS BIGINT) AS n_test
-                  FROM p),
-        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay, is_test AS a_t,
-                     qx // {eps} + dxs.dx AS cx, qy // {eps} + dys.dy AS cy
-              FROM p,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by, is_test AS b_t,
-                     qx // {eps} AS cx, qy // {eps} AS cy
-              FROM p),
-        lp AS (SELECT DISTINCT a_id, b_id, ax, ay, bx, by
-               FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
-               WHERE a_id < b_id AND a_t <> b_t
-                 AND (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
-                     <= {eps * eps}),
-        leaks AS (SELECT count(*) AS n_leak_pairs,
-                         min((ax - bx) * (ax - bx)
-                             + (ay - by) * (ay - by)) AS min_leak_d2
-                  FROM lp)
-        SELECT n_train, n_test, n_leak_pairs,
-               CAST(coalesce(min_leak_d2, -1) AS BIGINT) AS min_leak_d2
-        FROM sizes, leaks"""
-
-
-# ---------------------------------------------------------------------------
-# watermark policy simulator / turning angles / outage gaps — batch 40
-# ---------------------------------------------------------------------------
-
-WM_DELAYS = (0, 60, 600, 3600)
-
-
-def q_watermark_policy_sim(spark, sf):
-    # the withWatermark() sizing decision as a query: for each candidate
-    # delay, how many events the watermark WOULD drop (lateness vs the
-    # per-user running max in the minted arrival order — the
-    # late_arrival_hist machinery) and the drop rate in ppm. One window
-    # + one explode over the tiny delay list.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
-        phash.hash60(F.concat(F.lit("arr-"),
-                              F.col("event_id").cast("string")))
-        .alias("arr"))
-    w = (Win.partitionBy("user_id").orderBy("arr", "event_id")
-         .rowsBetween(Win.unboundedPreceding, -1))
-    late = e.withColumn(
-        "late_s", F.greatest(F.lit(0),
-                             F.coalesce(F.max("te").over(w), F.lit(0))
-                             - F.col("te")))
-    d = late.withColumn(
-        "delay_s", F.explode(F.array(*[F.lit(x) for x in WM_DELAYS])))
-    return (d.groupBy("delay_s")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.when(F.col("late_s") > F.col("delay_s"), 1)
-                       .otherwise(0)).cast("bigint").alias("n_dropped"))
-            .withColumn("drop_ppm",
-                        F.expr("n_dropped * 1000000 div n_events")))
-
-
-def _watermark_policy_sim_sql() -> str:
-    arr = phash.sql_hash60("'arr-' || CAST(event_id AS VARCHAR)")
-    delays = ", ".join(str(x) for x in WM_DELAYS)
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          {arr} AS arr
-                   FROM events),
-        l AS (SELECT greatest(0, coalesce(max(te) OVER (
-                         PARTITION BY user_id ORDER BY arr, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) - te) AS late_s
-              FROM e),
-        d AS (SELECT late_s, dd.delay_s
-              FROM l, LATERAL (SELECT unnest([{delays}]) AS delay_s) dd)
-        SELECT CAST(delay_s AS BIGINT) AS delay_s, count(*) AS n_events,
-               CAST(sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dropped,
-               CAST(sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
-                    * 1000000 // count(*) AS BIGINT) AS drop_ppm
-        FROM d GROUP BY 1"""
-
-
-def q_turning_angles(spark, sf):
-    # trajectory curvature without trig: each consecutive step pair is
-    # classified left / straight / right by the EXACT sign of the step
-    # cross product, plus the reversal count (dot < 0 and collinear).
-    # Per-user turn bias in ppm — the tortuosity signal. ONE user window
-    # exchange (two lags share it).
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet")
-
-    def pos(axis):
-        return F.pmod(
-            phash.hash60(F.concat(F.lit(axis),
-                                  F.col("event_id").cast("string"))),
-            F.lit(2_000_001)) - 1_000_000
-
-    d = e.select("user_id", "ts", "event_id",
-                 pos("tx").alias("px"), pos("ty").alias("py"))
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    s = (d.withColumn("dx", F.col("px") - F.lag("px").over(w))
-         .withColumn("dy", F.col("py") - F.lag("py").over(w))
-         .withColumn("pdx", F.lag("dx").over(w))
-         .withColumn("pdy", F.lag("dy").over(w))
-         .filter(F.col("pdx").isNotNull()))
-    cross = F.col("pdx") * F.col("dy") - F.col("pdy") * F.col("dx")
-    dot = F.col("pdx") * F.col("dx") + F.col("pdy") * F.col("dy")
-    return (s.groupBy("user_id")
-            .agg(F.count("*").alias("n_turns"),
-                 F.sum(F.when(cross > 0, 1).otherwise(0)).cast("bigint")
-                 .alias("n_left"),
-                 F.sum(F.when(cross < 0, 1).otherwise(0)).cast("bigint")
-                 .alias("n_right"),
-                 F.sum(F.when((cross == 0) & (dot < 0), 1).otherwise(0))
-                 .cast("bigint").alias("n_reversals"))
-            .withColumn("left_bias_ppm", F.expr(
-                "(n_left - n_right) * 1000000 div n_turns")))
-
-
-def _turning_angles_sql() -> str:
-    def pos(axis):
-        h = phash.sql_hash60(f"'{axis}' || CAST(event_id AS VARCHAR)")
-        return f"(({h}) % 2000001 - 1000000)"
-    return f"""
-        WITH p AS (SELECT user_id, ts, event_id,
-                          {pos('tx')} AS px, {pos('ty')} AS py
-                   FROM events),
-        s1 AS (SELECT user_id, ts, event_id,
-                      px - lag(px) OVER wo AS dx,
-                      py - lag(py) OVER wo AS dy
-               FROM p
-               WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        s2 AS (SELECT user_id, dx, dy,
-                      lag(dx) OVER wo AS pdx, lag(dy) OVER wo AS pdy
-               FROM s1
-               WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        t AS (SELECT user_id,
-                     pdx * dy - pdy * dx AS cr,
-                     pdx * dx + pdy * dy AS dt
-              FROM s2 WHERE pdx IS NOT NULL)
-        SELECT user_id, count(*) AS n_turns,
-               CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_left,
-               CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_right,
-               CAST(sum(CASE WHEN cr = 0 AND dt < 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_reversals,
-               (CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                - CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT))
-                   * 1000000 // count(*) AS left_bias_ppm
-        FROM t GROUP BY 1"""
-
-
-def q_outage_gaps(spark, sf):
-    # pipeline-health gap detector: per event_type, the largest
-    # inter-arrival gap in the GLOBAL stream of that type and when it
-    # started — the "did ingestion stall" readout. One type-partitioned
-    # window; the max-with-witness ships as max(struct) (tie-free via
-    # the (gap, start, event_id) total order).
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", "event_id", F.unix_timestamp("ts").alias("te"))
-    w = Win.partitionBy("event_type").orderBy("te", "event_id")
-    g = (e.withColumn("gap", F.col("te") - F.lag("te").over(w))
-         .withColumn("gap_start", F.lag("te").over(w))
-         .filter(F.col("gap").isNotNull()))
-    return (g.groupBy("event_type")
-            .agg(F.count("*").alias("n_gaps"),
-                 F.max(F.struct("gap", "gap_start", "event_id")).alias("m"))
-            .select("event_type", "n_gaps",
-                    F.col("m.gap").alias("max_gap_s"),
-                    F.col("m.gap_start").alias("gap_start_epoch")))
-
-
-def _outage_gaps_sql() -> str:
-    return """
-        WITH e AS (SELECT event_type, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te
-                   FROM events),
-        g AS (SELECT event_type,
-                     te - lag(te) OVER wo AS gap,
-                     lag(te) OVER wo AS gap_start,
-                     event_id
-              FROM e
-              WINDOW wo AS (PARTITION BY event_type ORDER BY te, event_id)),
-        gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
-        c AS (SELECT event_type, count(*) AS n_gaps FROM gg GROUP BY 1),
-        r AS (SELECT event_type, gap AS max_gap_s,
-                     gap_start AS gap_start_epoch,
-                     row_number() OVER (PARTITION BY event_type
-                         ORDER BY gap DESC, gap_start DESC, event_id DESC)
-                         AS rn
-              FROM gg)
-        SELECT c.event_type, n_gaps, max_gap_s, gap_start_epoch
-        FROM c JOIN r ON c.event_type = r.event_type AND r.rn = 1"""
-
-
-# ---------------------------------------------------------------------------
-# exact KS drift statistic / top-k vocabulary drift / cell coverage
-# curve — batch 41
-# ---------------------------------------------------------------------------
-
-KS_LANG_A, KS_LANG_B = "en", "de"
-DRIFT_TOPK = 25
-
-
-def q_ks_two_langs(spark, sf):
-    # distribution-drift detection without floats: the two-sample
-    # Kolmogorov-Smirnov statistic between token-count distributions of
-    # two languages, as the EXACT rational max |F_a − F_b| =
-    # max |cum_a·n_b − cum_b·n_a| / (n_a·n_b). One global-sort window
-    # over the merged value stream; ties resolved by evaluating AFTER
-    # each distinct value (both cums at the value's last row). The
-    # training-data drift gate, oracle-exact.
-    from pyspark.sql import Window as Win
-    t = (_docs(spark, sf)
-         .filter(F.col("lang").isin([KS_LANG_A, KS_LANG_B]))
-         .select((F.col("lang") == KS_LANG_A).cast("int").alias("is_a"),
-                 TXT.token_count(F.col("text")).cast("bigint").alias("v")))
-    w = Win.orderBy("v")
-    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
-    # per distinct value: running counts of a and b up to AND INCLUDING v
-    per_v = (t.groupBy("v")
-             .agg(F.sum("is_a").alias("na_v"),
-                  F.sum(F.lit(1) - F.col("is_a")).alias("nb_v")))
-    c = (per_v
-         .withColumn("cum_a", F.sum("na_v").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("cum_b", F.sum("nb_v").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("n_a", F.sum("na_v").over(wf))
-         .withColumn("n_b", F.sum("nb_v").over(wf))
-         .withColumn("dev", F.abs(F.col("cum_a") * F.col("n_b")
-                                  - F.col("cum_b") * F.col("n_a"))))
-    return (c.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
-                  F.max("dev").alias("ks_num"))
-            .withColumn("ks_den", F.col("n_a") * F.col("n_b")))
-
-
-def _ks_two_langs_sql() -> str:
-    return f"""
-        WITH t AS (SELECT CASE WHEN lang = '{KS_LANG_A}' THEN 1 ELSE 0 END
-                       AS is_a,
-                       CAST(len(string_split(text, chr(32))) AS BIGINT)
-                           AS v
-                   FROM documents
-                   WHERE lang IN ('{KS_LANG_A}', '{KS_LANG_B}')),
-        per_v AS (SELECT v, CAST(sum(is_a) AS BIGINT) AS na_v,
-                         CAST(sum(1 - is_a) AS BIGINT) AS nb_v
-                  FROM t GROUP BY 1),
-        c AS (SELECT sum(na_v) OVER (ORDER BY v
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum_a,
-                     sum(nb_v) OVER (ORDER BY v
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum_b,
-                     sum(na_v) OVER () AS n_a,
-                     sum(nb_v) OVER () AS n_b
-              FROM per_v)
-        SELECT CAST(max(n_a) AS BIGINT) AS n_a,
-               CAST(max(n_b) AS BIGINT) AS n_b,
-               CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
-                   AS ks_num,
-               CAST(max(n_a) * max(n_b) AS BIGINT) AS ks_den
-        FROM c"""
-
-
-def q_topk_drift(spark, sf):
-    # vocabulary drift between the first and second half of the crawl
-    # window: the top-K tokens of each half, their set overlap, and the
-    # entered/exited counts — the heavy-hitter change alarm. Two ranked
-    # halves from ONE token aggregation (grouping by (half, token)),
-    # full-outer-joined on token.
-    from pyspark.sql import Window as Win
-    p = pages.pages(spark, 2000).select(
-        (F.expr("unix_timestamp(warc_ts) div 86400") >= 1700000000 // 86400
-         + 183).cast("int").alias("half"),
-        F.explode(F.split("text", " ")).alias("w"))
-    cnt = p.groupBy("half", "w").agg(F.count("*").alias("c"))
-    w = Win.partitionBy("half").orderBy(F.col("c").desc(), F.col("w"))
-    top = (cnt.withColumn("rk", F.row_number().over(w))
-           .filter(F.col("rk") <= DRIFT_TOPK)
-           .localCheckpoint(eager=False))
-    a = top.filter(F.col("half") == 0).select(
-        F.col("w").alias("w"), F.lit(1).alias("in_a"))
-    b = top.filter(F.col("half") == 1).select(
-        F.col("w").alias("w"), F.lit(1).alias("in_b"))
-    j = a.join(b, "w", "full_outer")
-    return j.agg(
-        F.sum(F.when(F.col("in_a").isNotNull()
-                     & F.col("in_b").isNotNull(), 1).otherwise(0))
-        .cast("bigint").alias("n_stayed"),
-        F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0))
-        .cast("bigint").alias("n_entered"),
-        F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0))
-        .cast("bigint").alias("n_exited"))
-
-
-def _topk_drift_sql() -> str:
-    split_day = 1700000000 // 86400 + 183
-    return f"""
-        WITH {_pages_cte(2000, 42)},
-        p AS (SELECT CASE WHEN ts_epoch // 86400 >= {split_day}
-                          THEN 1 ELSE 0 END AS half,
-                     unnest(string_split(text, chr(32))) AS w
-              FROM txt),
-        cnt AS (SELECT half, w, count(*) AS c FROM p GROUP BY 1, 2),
-        top AS (SELECT half, w,
-                       row_number() OVER (PARTITION BY half
-                           ORDER BY c DESC, w) AS rk
-                FROM cnt),
-        tk AS (SELECT half, w FROM top WHERE rk <= {DRIFT_TOPK}),
-        a AS (SELECT w FROM tk WHERE half = 0),
-        b AS (SELECT w FROM tk WHERE half = 1)
-        SELECT CAST(sum(CASE WHEN a.w IS NOT NULL AND b.w IS NOT NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
-               CAST(sum(CASE WHEN a.w IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_entered,
-               CAST(sum(CASE WHEN b.w IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_exited
-        FROM a FULL OUTER JOIN b ON a.w = b.w"""
-
-
-def q_cell_coverage_curve(spark, sf):
-    # spatial concentration: cells ranked by point count — how many
-    # cells cover half the corpus (k50), the densest cell's share in
-    # ppm — the host_concentration pattern on the clustered spatial
-    # grid (storage-tiering / cache-sizing input).
-    from pyspark.sql import Window as Win
-    t = (minted.minted_cluster_points_q(spark, sf)
-         .select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
-                 F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
-         .groupBy("x", "y").agg(F.count("*").alias("n")))
-    w = Win.orderBy(F.col("n").desc(), F.col("x"), F.col("y"))
-    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
-    c = (t.withColumn("rk", F.row_number().over(w))
-         .withColumn("cum", F.sum("n").over(
-             w.rowsBetween(Win.unboundedPreceding, 0)))
-         .withColumn("tot", F.sum("n").over(wf)))
-    return c.agg(
-        F.count("*").alias("n_cells"),
-        F.max("tot").alias("n_pts"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
-        .alias("k50_cells"),
-        F.max(F.when(F.col("rk") == 1, F.expr("n * 1000000 div tot")))
-        .alias("top_cell_ppm"))
-
-
-def _cell_coverage_curve_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH p AS ({pts}),
-        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM p GROUP BY 1, 2),
-        c AS (SELECT n,
-                     row_number() OVER (ORDER BY n DESC, x, y) AS rk,
-                     sum(n) OVER (ORDER BY n DESC, x, y
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum,
-                     sum(n) OVER () AS tot
-              FROM t)
-        SELECT count(*) AS n_cells,
-               CAST(max(tot) AS BIGINT) AS n_pts,
-               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
-                   AS k50_cells,
-               CAST(max(CASE WHEN rk = 1 THEN n * 1000000 // tot END)
-                    AS BIGINT) AS top_cell_ppm
-        FROM c"""
-
-
-# ---------------------------------------------------------------------------
-# rectangle nesting depth / dwell event mix — batch 42
-# ---------------------------------------------------------------------------
-
-NEST_CELL = 100_000_000
-
-
-def q_rect_nesting(spark, sf):
-    # containment hierarchy (R-tree nesting audit): for each minted box,
-    # how many OTHER boxes fully contain it. Candidates: the contained
-    # box's min corner lands in exactly ONE grid cell, and any container
-    # covers that cell — so the join is (corner cell) = (cover cell),
-    # never all-pairs and naturally asymmetric (no pair dedup needed).
-    # Exact integer containment predicate.
-    r = _shifted_rects(spark, sf).localCheckpoint(eager=False)
-    inner = r.select(
-        F.col("poly_id").alias("i_id"),
-        F.col("x1").alias("ix1"), F.col("x2").alias("ix2"),
-        F.col("y1").alias("iy1"), F.col("y2").alias("iy2"),
-        F.expr(f"x1 div {NEST_CELL}").alias("cx"),
-        F.expr(f"y1 div {NEST_CELL}").alias("cy"))
-    outer = (r.select(
-                F.col("poly_id").alias("o_id"),
-                F.col("x1").alias("ox1"), F.col("x2").alias("ox2"),
-                F.col("y1").alias("oy1"), F.col("y2").alias("oy2"))
-             .withColumn("cx", F.explode(F.sequence(
-                 F.expr(f"ox1 div {NEST_CELL}"),
-                 F.expr(f"ox2 div {NEST_CELL}"))))
-             .withColumn("cy", F.explode(F.sequence(
-                 F.expr(f"oy1 div {NEST_CELL}"),
-                 F.expr(f"oy2 div {NEST_CELL}")))))
-    contained = (inner.join(outer, ["cx", "cy"])
-                 .filter((F.col("i_id") != F.col("o_id"))
-                         & (F.col("ox1") <= F.col("ix1"))
-                         & (F.col("ix2") <= F.col("ox2"))
-                         & (F.col("oy1") <= F.col("iy1"))
-                         & (F.col("iy2") <= F.col("oy2")))
-                 .groupBy("i_id").agg(F.count("*").alias("n_containers")))
-    return (r.select(F.col("poly_id"))
-            .join(contained.withColumnRenamed("i_id", "poly_id"),
-                  "poly_id", "left")
-            .select("poly_id",
-                    F.coalesce("n_containers", F.lit(0))
-                    .alias("n_containers"))
-            .groupBy("n_containers")
-            .agg(F.count("*").alias("n_rects")))
-
-
-def _rect_nesting_sql() -> str:
-    return f"""
-        WITH {_shifted_rects_cte()},
-        inner_r AS (SELECT poly_id AS i_id, x1 AS ix1, x2 AS ix2,
-                           y1 AS iy1, y2 AS iy2,
-                           x1 // {NEST_CELL} AS cx, y1 // {NEST_CELL} AS cy
-                    FROM r),
-        outer_r AS (SELECT poly_id AS o_id, x1 AS ox1, x2 AS ox2,
-                           y1 AS oy1, y2 AS oy2, cxs.cx, cys.cy
-                    FROM r,
-                    LATERAL (SELECT unnest(range(x1 // {NEST_CELL},
-                        x2 // {NEST_CELL} + 1)) AS cx) cxs,
-                    LATERAL (SELECT unnest(range(y1 // {NEST_CELL},
-                        y2 // {NEST_CELL} + 1)) AS cy) cys),
-        contained AS (SELECT i_id, count(*) AS n_containers
-                      FROM inner_r JOIN outer_r
-                        ON inner_r.cx = outer_r.cx
-                       AND inner_r.cy = outer_r.cy
-                       AND i_id <> o_id
-                       AND ox1 <= ix1 AND ix2 <= ox2
-                       AND oy1 <= iy1 AND iy2 <= oy2
-                      GROUP BY 1)
-        SELECT coalesce(n_containers, 0) AS n_containers,
-               count(*) AS n_rects
-        FROM r LEFT JOIN contained ON r.poly_id = contained.i_id
-        GROUP BY 1"""
-
-
-def q_dwell_event_mix(spark, sf):
-    # behavioral composition: which event types happen WHILE dwelling
-    # (inside a staypoint interval) vs in transit — per type counts and
-    # the in-dwell rate in ppm. Events join their user's (small) dwell
-    # interval set; membership = any interval containing te (the
-    # SCD2-enrich bounded-per-key argument).
-    stays = _user_islands(spark, sf, _STAY_GATE, 2)
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", "event_type",
-        F.unix_timestamp("ts").alias("te"))
-    hit = (e.join(stays, "user_id")
-           .filter((F.col("te") >= F.col("t0"))
-                   & (F.col("te") <= F.col("t1")))
-           .select("event_id").distinct()
-           .withColumn("in_dwell", F.lit(1)))
-    return (e.join(hit, "event_id", "left")
-            .groupBy("event_type")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.coalesce("in_dwell", F.lit(0))).cast("bigint")
-                 .alias("n_in_dwell"))
-            .withColumn("in_dwell_ppm",
-                        F.expr("n_in_dwell * 1000000 div n_events")))
-
-
-def _dwell_event_mix_sql() -> str:
-    return f"""
-        WITH stays AS (SELECT user_id, t0, t1
-                       FROM {_islands_sql(_STAY_GATE, 2)} t),
-        e AS (SELECT user_id, event_id, event_type,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS te
-              FROM events),
-        hit AS (SELECT DISTINCT event_id FROM e JOIN stays
-                  ON e.user_id = stays.user_id
-                 AND te >= t0 AND te <= t1)
-        SELECT event_type, count(*) AS n_events,
-               CAST(sum(CASE WHEN hit.event_id IS NOT NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dwell,
-               CAST(sum(CASE WHEN hit.event_id IS NOT NULL
-                             THEN 1 ELSE 0 END) * 1000000 // count(*)
-                    AS BIGINT) AS in_dwell_ppm
-        FROM e LEFT JOIN hit ON e.event_id = hit.event_id
-        GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# event 3-motifs / dup-pair language mix / week-over-week change
-# — batch 43
-# ---------------------------------------------------------------------------
-
-MOTIF_MIN = 5
-
-
-def q_event_motifs_3(spark, sf):
-    # behavioral 3-grams: consecutive event-type triples per user stream
-    # (two leads share ONE user window), rolled up to motif counts — the
-    # sequence-mining step above event_transitions' 2-grams. Motifs below
-    # MOTIF_MIN are cut to keep the tail stable.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type", "ts", "event_id")
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (e.withColumn("t2", F.lead("event_type", 1).over(w))
-         .withColumn("t3", F.lead("event_type", 2).over(w))
-         .filter(F.col("t3").isNotNull()))
-    return (t.groupBy(F.col("event_type").alias("m1"),
-                      F.col("t2").alias("m2"), F.col("t3").alias("m3"))
-            .agg(F.count("*").alias("n"),
-                 F.countDistinct("user_id").alias("n_users"))
-            .filter(F.col("n") >= MOTIF_MIN))
-
-
-def _event_motifs_3_sql() -> str:
-    return f"""
-        WITH t AS (SELECT user_id, event_type AS m1,
-                          lead(event_type, 1) OVER wo AS m2,
-                          lead(event_type, 2) OVER wo AS m3
-                   FROM events
-                   WINDOW wo AS (PARTITION BY user_id
-                                 ORDER BY ts, event_id))
-        SELECT m1, m2, m3, count(*) AS n,
-               count(DISTINCT user_id) AS n_users
-        FROM t WHERE m3 IS NOT NULL
-        GROUP BY 1, 2, 3 HAVING count(*) >= {MOTIF_MIN}"""
-
-
-def q_dup_pair_lang_mix(spark, sf):
-    # dedup diagnostics: of the exact near-dup pairs (n-gram Jaccard
-    # tier), how many join documents of the SAME language vs across
-    # languages — cross-language "dups" flag template/boilerplate
-    # contamination rather than true duplication. Rides the existing
-    # pair operator; the lang join-backs broadcast.
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
-                                      shingle_k=3, threshold=0.4)
-    langs = _docs(spark, sf).select("doc_id", "lang")
-    j = (pairs
-         .join(F.broadcast(langs.select(F.col("doc_id").alias("a"),
-                                        F.col("lang").alias("lang_a"))),
-               "a")
-         .join(F.broadcast(langs.select(F.col("doc_id").alias("b"),
-                                        F.col("lang").alias("lang_b"))),
-               "b"))
-    return j.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0))
-        .cast("bigint").alias("n_same_lang"),
-        F.sum(F.when(F.col("lang_a") != F.col("lang_b"), 1).otherwise(0))
-        .cast("bigint").alias("n_cross_lang"))
-
-
-def _dup_pair_lang_mix_sql() -> str:
-    return f"""
-        WITH {_ngram_sql()},
-        dlm AS (SELECT la.lang AS lang_a, lb.lang AS lang_b
-                FROM pairs
-                JOIN documents la ON la.doc_id = pairs.a
-                JOIN documents lb ON lb.doc_id = pairs.b)
-        SELECT count(*) AS n_pairs,
-               CAST(sum(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_same_lang,
-               CAST(sum(CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_cross_lang
-        FROM dlm"""
-
-
-def q_wow_change(spark, sf):
-    # week-over-week movement per event_type: weekly counts with the
-    # previous week's count (ONE type window) and the exact ppm delta —
-    # the growth dashboard row. Weeks with no predecessor drop (no
-    # fabricated zeros; real pipelines densify explicitly).
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", F.expr("unix_timestamp(ts) div 604800").alias("wk"))
-    weekly = e.groupBy("event_type", "wk").agg(F.count("*").alias("n"))
-    w = Win.partitionBy("event_type").orderBy("wk")
-    return (weekly.withColumn("prev_n", F.lag("n").over(w))
-            .withColumn("prev_wk", F.lag("wk").over(w))
-            .filter(F.col("prev_n").isNotNull()
-                    & (F.col("prev_wk") == F.col("wk") - 1))
-            .select("event_type", "wk", "n", "prev_n",
-                    F.expr("(n - prev_n) * 1000000 div prev_n")
-                    .alias("wow_ppm")))
-
-
-def _wow_change_sql() -> str:
-    return """
-        WITH weekly AS (SELECT event_type,
-                               CAST(floor(epoch(ts)) AS BIGINT) // 604800
-                                   AS wk,
-                               CAST(count(*) AS BIGINT) AS n
-                        FROM events GROUP BY 1, 2),
-        l AS (SELECT event_type, wk, n,
-                     lag(n) OVER wo AS prev_n,
-                     lag(wk) OVER wo AS prev_wk
-              FROM weekly
-              WINDOW wo AS (PARTITION BY event_type ORDER BY wk))
-        SELECT event_type, wk, n, prev_n,
-               (n - prev_n) * 1000000 // prev_n AS wow_ppm
-        FROM l WHERE prev_n IS NOT NULL AND prev_wk = wk - 1"""
-
-
-# ---------------------------------------------------------------------------
-# Ripley distance-band pair counts / churn rollup — batch 44
-# ---------------------------------------------------------------------------
-
-RIPLEY_BAND = 2_000_000
-RIPLEY_MAX = 8_000_000  # 4 bands; cell = max radius ⇒ 3×3 ring complete
-
-
-def q_ripley_band_pairs(spark, sf):
-    # spatial second-order statistics: point-pair counts by distance
-    # band (the Ripley K / pair-correlation numerator) over the
-    # clustered mint — exact integer d² band classification, candidates
-    # from the 3×3 cell ring at cell = max radius (complete by
-    # construction), each unordered pair counted once via id ordering +
-    # reference-cell dedup-free a<b filter.
-    p = minted.minted_cluster_points_q(spark, sf)
-    a = (p.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .select(F.col("doc_id").alias("a_id"),
-                 F.col("qx").alias("ax"), F.col("qy").alias("ay"),
-                 F.expr(f"qx div {RIPLEY_MAX} + dx").alias("cx"),
-                 F.expr(f"qy div {RIPLEY_MAX} + dy").alias("cy")))
-    b = p.select(F.col("doc_id").alias("b_id"),
-                 F.col("qx").alias("bx"), F.col("qy").alias("by"),
-                 F.expr(f"qx div {RIPLEY_MAX}").alias("cx"),
-                 F.expr(f"qy div {RIPLEY_MAX}").alias("cy"))
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    pairs = (a.join(b, ["cx", "cy"])
-             .filter(F.col("a_id") < F.col("b_id"))
-             .dropDuplicates(["a_id", "b_id"])
-             .withColumn("d2", d2)
-             .filter(F.col("d2") <= RIPLEY_MAX * RIPLEY_MAX)
-             # integer CASE thresholds — sqrt+CAST would hit the
-             # Spark-truncates / DuckDB-rounds divergence
-             .withColumn("band", F.expr("CASE WHEN d2 < 4000000000000 THEN 0 WHEN d2 < 16000000000000 THEN 1 WHEN d2 < 36000000000000 THEN 2 ELSE 3 END")))
-    return (pairs.groupBy("band")
-            .agg(F.count("*").alias("n_pairs"),
-                 F.min("d2").alias("min_d2"), F.max("d2").alias("max_d2")))
-
-
-def _ripley_band_pairs_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    r = RIPLEY_MAX
-    return f"""
-        WITH p AS ({pts}),
-        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay,
-                     qx // {r} + dxs.dx AS cx, qy // {r} + dys.dy AS cy
-              FROM p,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by,
-                     qx // {r} AS cx, qy // {r} AS cy
-              FROM p),
-        prs AS (SELECT DISTINCT a_id, b_id, ax, ay, bx, by
-                FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
-                     AND a_id < b_id),
-        d AS (SELECT (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS d2
-              FROM prs)
-        SELECT CASE WHEN d2 < 4000000000000 THEN 0 WHEN d2 < 16000000000000 THEN 1 WHEN d2 < 36000000000000 THEN 2 ELSE 3 END AS band,
-               count(*) AS n_pairs,
-               CAST(min(d2) AS BIGINT) AS min_d2,
-               CAST(max(d2) AS BIGINT) AS max_d2
-        FROM d WHERE d2 <= {r * r}
-        GROUP BY 1"""
-
-
-def q_churn_rollup(spark, sf):
-    # churn/inactivity report: users bucketed by days since their last
-    # event relative to the corpus high-water mark — active / 7d / 30d /
-    # churned. The high-water max is a one-row broadcast; everything
-    # else is one user aggregation.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    last = e.groupBy("user_id").agg(F.max("day").alias("last_day"),
-                                    F.count("*").alias("n_events"))
-    hw = e.agg(F.max("day").alias("hw"))
-    d = (last.crossJoin(F.broadcast(hw))
-         .withColumn("idle_d", F.col("hw") - F.col("last_day"))
-         .withColumn("bucket", F.expr(
-             "CASE WHEN idle_d = 0 THEN 'active_today' "
-             "WHEN idle_d <= 7 THEN 'active_7d' "
-             "WHEN idle_d <= 30 THEN 'active_30d' ELSE 'churned' END")))
-    return (d.groupBy("bucket")
-            .agg(F.count("*").alias("n_users"),
-                 F.sum("n_events").alias("n_events"),
-                 F.max("idle_d").alias("max_idle_d")))
-
-
-def _churn_rollup_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-                   FROM events),
-        last AS (SELECT user_id, max(day) AS last_day,
-                        count(*) AS n_events
-                 FROM e GROUP BY 1),
-        hw AS (SELECT max(day) AS hw FROM e),
-        d AS (SELECT hw - last_day AS idle_d, n_events FROM last, hw)
-        SELECT CASE WHEN idle_d = 0 THEN 'active_today'
-                    WHEN idle_d <= 7 THEN 'active_7d'
-                    WHEN idle_d <= 30 THEN 'active_30d'
-                    ELSE 'churned' END AS bucket,
-               count(*) AS n_users,
-               CAST(sum(n_events) AS BIGINT) AS n_events,
-               CAST(max(idle_d) AS BIGINT) AS max_idle_d
-        FROM d GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# exact corpus statistics — batch 45 (Gini, Kendall τ, χ², Mann-Whitney U)
-# ---------------------------------------------------------------------------
-
-def q_gini_chars(spark, sf):
-    # corpus-concentration audit: exact Gini coefficient of document
-    # character mass per language, as an integer rational —
-    # G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted
-    # sizes. Permuting tied x values leaves Σ i·x unchanged, so the
-    # row_number tie order (doc_id) is value-irrelevant; it is pinned
-    # only for plan determinism. One shuffle (the per-lang sort window),
-    # then a map-side-combinable aggregate. Int64 bound: Σ i·x ≤
-    # n²·max(x) ≈ 1.9e13 at sf0.1 — safe through sf100.
-    from pyspark.sql import Window as Win
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
-        "lang", "n_chars", "doc_id")
-    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = d.withColumn("i", F.row_number().over(w))
-    return (ranked.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars"),
-                 F.sum(F.col("i") * F.col("n_chars")).alias("rank_mass"))
-            .select("lang", "n_docs", "total_chars",
-                    (F.lit(2) * F.col("rank_mass")
-                     - (F.col("n_docs") + 1) * F.col("total_chars"))
-                    .alias("gini_num"),
-                    (F.col("n_docs") * F.col("total_chars"))
-                    .alias("gini_den"))
-            .withColumn("gini_ppm",
-                        F.expr("gini_num * 1000000 div gini_den")))
-
-
-def _gini_chars_sql() -> str:
-    return """
-        WITH ranked AS (SELECT lang, n_chars,
-                               row_number() OVER (PARTITION BY lang
-                                   ORDER BY n_chars, doc_id) AS i
-                        FROM documents),
-        a AS (SELECT lang, count(*) AS n_docs,
-                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                     CAST(sum(i * n_chars) AS BIGINT) AS rank_mass
-              FROM ranked GROUP BY 1)
-        SELECT lang, n_docs, total_chars,
-               2 * rank_mass - (n_docs + 1) * total_chars AS gini_num,
-               n_docs * total_chars AS gini_den,
-               (2 * rank_mass - (n_docs + 1) * total_chars) * 1000000
-                   // (n_docs * total_chars) AS gini_ppm
-        FROM a"""
-
-
-def q_kendall_daily(spark, sf):
-    # exact Kendall τ-a between the daily 'view' and 'purchase' count
-    # series: concordant/discordant/tied day pairs by integer sign of
-    # (x1−x2)(y1−y2). The series is an aggregate (≤ one row per day),
-    # so the d1<d2 pair join is a broadcast nested-loop over a tiny
-    # side — quadratic in DAYS, not events; a year is ~66k pairs.
-    # Production path for long series is the O(n log n) merge-sort
-    # inversion count; this is the exact small-series tier.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = (e.filter(F.col("event_type").isin("view", "purchase"))
-             .groupBy("day")
-             .agg(F.sum(F.expr("if(event_type = 'view', 1, 0)")).alias("x"),
-                  F.sum(F.expr("if(event_type = 'purchase', 1, 0)"))
-                  .alias("y")))
-    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"),
-                     F.col("y").alias("y1"))
-    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"),
-                     F.col("y").alias("y2"))
-    s = F.signum((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")))
-    pairs = (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-             .withColumn("s", s.cast("long")))
-    return (pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.expr("if(s = 1, 1, 0)")).alias("concordant"),
-        F.sum(F.expr("if(s = -1, 1, 0)")).alias("discordant"),
-        F.sum(F.expr("if(s = 0, 1, 0)")).alias("tied"))
-        .withColumn("tau_a_ppm",
-                    F.expr("(concordant - discordant) * 1000000"
-                           " div n_pairs")))
-
-
-def _kendall_daily_sql() -> str:
-    return """
-        WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                                  AS day,
-                              sum(CASE WHEN event_type = 'view'
-                                       THEN 1 ELSE 0 END) AS x,
-                              sum(CASE WHEN event_type = 'purchase'
-                                       THEN 1 ELSE 0 END) AS y
-                       FROM events
-                       WHERE event_type IN ('view', 'purchase')
-                       GROUP BY 1),
-        p AS (SELECT CAST(sign((a.x - b.x) * (a.y - b.y)) AS BIGINT) AS s
-              FROM daily a JOIN daily b ON a.day < b.day),
-        agg AS (SELECT count(*) AS n_pairs,
-                       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS concordant,
-                       CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS discordant,
-                       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS tied
-                FROM p)
-        SELECT n_pairs, concordant, discordant, tied,
-               (concordant - discordant) * 1000000 // n_pairs AS tau_a_ppm
-        FROM agg"""
-
-
-def q_chi2_lang_source(spark, sf):
-    # lang × source independence audit: per-cell exact χ² term as an
-    # integer rational — with O observed, R/C margins, N total, the
-    # term (O−RC/N)²/(RC/N) = (N·O−R·C)²/(N·R·C); we emit
-    # term_ppm = 1e6·(N·O−R·C)² div (N·R·C) per cell, zero cells
-    # included via the margin grid (5×20 broadcast cross). Int64 bound:
-    # (N·O−R·C)² ≤ (N·R)² — safe to sf1 (N=5e4); beyond that the
-    # numerator needs decimal(38).
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("lang",
-                                                             "source")
-    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    r = d.groupBy("lang").agg(F.count("*").alias("r"))
-    c = d.groupBy("source").agg(F.count("*").alias("c"))
-    n = d.agg(F.count("*").alias("n"))
-    grid = (r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(n))
-            .join(obs, ["lang", "source"], "left")
-            .withColumn("o", F.coalesce(F.col("o"), F.lit(0))))
-    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c")
-    return grid.select(
-        "lang", "source", "o", "r", "c",
-        (dev * dev).alias("dev2"),
-        F.expr("(n * o - r * c) * (n * o - r * c) * 1000000"
-               " div (n * r * c)").alias("term_ppm"))
-
-
-def _chi2_lang_source_sql() -> str:
-    return """
-        WITH obs AS (SELECT lang, source, count(*) AS o
-                     FROM documents GROUP BY 1, 2),
-        r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
-        c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
-        grid AS (SELECT r.lang, c.source, r.r, c.c, n.n,
-                        COALESCE(obs.o, 0) AS o
-                 FROM r CROSS JOIN c CROSS JOIN n
-                 LEFT JOIN obs ON obs.lang = r.lang
-                      AND obs.source = c.source)
-        SELECT lang, source, CAST(o AS BIGINT) AS o, r, c,
-               (n * o - r * c) * (n * o - r * c) AS dev2,
-               (n * o - r * c) * (n * o - r * c) * 1000000
-                   // (n * r * c) AS term_ppm
-        FROM grid"""
-
-
-def q_mannwhitney_len(spark, sf):
-    # distribution-shift gate: exact Mann-Whitney U (doubled, so ties
-    # stay integral) of n_chars for English vs every other language —
-    # U×2 = 2·#{en > other} + #{en = other}, computed from value-count
-    # tables with a running less-than prefix sum (one window per
-    # comparison), never a pair join: linear in distinct values, not
-    # quadratic in docs. auc_ppm = 1e6·U×2 div (2·n_en·n_oth) is the
-    # exact AUC of "en docs are longer".
-    from pyspark.sql import Window as Win
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("lang",
-                                                             "n_chars")
-    langs = d.filter(F.col("lang") != "en").select(
-        F.col("lang").alias("cmp")).distinct()
-    en = (d.filter(F.col("lang") == "en")
-          .crossJoin(F.broadcast(langs))
-          .select("cmp", "n_chars", F.lit(1).alias("is_en")))
-    oth = (d.filter(F.col("lang") != "en")
-           .select(F.col("lang").alias("cmp"), "n_chars",
-                   F.lit(0).alias("is_en")))
-    per = (en.unionByName(oth)
-           .groupBy("cmp", "n_chars")
-           .agg(F.sum("is_en").alias("c_en"),
-                F.sum(F.lit(1) - F.col("is_en")).alias("c_oth")))
-    w = (Win.partitionBy("cmp").orderBy("n_chars")
-         .rowsBetween(Win.unboundedPreceding, -1))
-    scored = per.withColumn(
-        "less_oth", F.coalesce(F.sum("c_oth").over(w), F.lit(0)))
-    return (scored.groupBy("cmp")
-            .agg(F.sum("c_en").alias("n_en"),
-                 F.sum("c_oth").alias("n_oth"),
-                 F.sum(F.col("c_en")
-                       * (F.lit(2) * F.col("less_oth") + F.col("c_oth")))
-                 .alias("u_x2"))
-            .withColumn("auc_ppm",
-                        F.expr("u_x2 * 1000000 div (2 * n_en * n_oth)"))
-            .withColumnRenamed("cmp", "lang"))
-
-
-def _mannwhitney_len_sql() -> str:
-    return """
-        WITH langs AS (SELECT DISTINCT lang AS cmp FROM documents
-                       WHERE lang <> 'en'),
-        en AS (SELECT langs.cmp, d.n_chars, 1 AS is_en
-               FROM documents d, langs WHERE d.lang = 'en'),
-        oth AS (SELECT lang AS cmp, n_chars, 0 AS is_en
-                FROM documents WHERE lang <> 'en'),
-        per AS (SELECT cmp, n_chars,
-                       sum(is_en) AS c_en, sum(1 - is_en) AS c_oth
-                FROM (SELECT * FROM en UNION ALL SELECT * FROM oth)
-                GROUP BY 1, 2),
-        scored AS (SELECT cmp, c_en, c_oth,
-                          COALESCE(sum(c_oth) OVER (PARTITION BY cmp
-                              ORDER BY n_chars
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS less_oth
-                   FROM per)
-        SELECT cmp AS lang,
-               CAST(sum(c_en) AS BIGINT) AS n_en,
-               CAST(sum(c_oth) AS BIGINT) AS n_oth,
-               CAST(sum(c_en * (2 * less_oth + c_oth)) AS BIGINT) AS u_x2,
-               CAST(sum(c_en * (2 * less_oth + c_oth)) AS BIGINT)
-                   * 1000000 // (2 * CAST(sum(c_en) AS BIGINT)
-                                   * CAST(sum(c_oth) AS BIGINT)) AS auc_ppm
-        FROM scored GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 46 — cluster diameter, polyline self-intersection, autocorrelation
-# ---------------------------------------------------------------------------
-
-DIAM_PACK = 10_000_000  # witness-pair packing: safe to 1e7 docs (sf ~200)
-
-
-def q_cluster_diameter(spark, sf):
-    # exact per-cluster diameter: max pairwise d² inside each minted
-    # cluster with a deterministic witness pair (smallest (a,b) among
-    # maxima, via packed-min — never min(a),min(b) across different
-    # pairs). Equi-join on the cluster id only — quadratic in CLUSTER
-    # size, never corpus size; the 100 TB path runs convex hull +
-    # rotating calipers per cluster, this is the exact small-cluster
-    # tier. d² ≤ (7e7)² ≈ 5e15 — int64-safe.
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
-    a = p.select("gid", F.col("doc_id").alias("a_id"),
-                 F.col("qx").alias("ax"), F.col("qy").alias("ay"))
-    b = p.select("gid", F.col("doc_id").alias("b_id"),
-                 F.col("qx").alias("bx"), F.col("qy").alias("by"))
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    pairs = (a.join(b, ["gid"]).filter(F.col("a_id") < F.col("b_id"))
-             .select("gid", "a_id", "b_id", d2.alias("d2"))
-             .localCheckpoint(eager=False))  # feeds max + witness passes
-    mx = pairs.groupBy("gid").agg(F.max("d2").alias("max_d2"))
-    npts = p.groupBy("gid").agg(F.count("*").alias("n_pts"))
-    wit = (pairs.join(mx, "gid")
-           .filter(F.col("d2") == F.col("max_d2"))
-           .groupBy("gid")
-           .agg(F.min(F.col("a_id") * DIAM_PACK + F.col("b_id"))
-                .alias("pack")))
-    return (npts.join(mx, "gid").join(wit, "gid")
-            .select("gid", "n_pts", "max_d2",
-                    F.expr(f"pack div {DIAM_PACK}").alias("diam_a"),
-                    F.expr(f"pack % {DIAM_PACK}").alias("diam_b")))
-
-
-def _cluster_diameter_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH p AS (SELECT doc_id, qx, qy, doc_id % {minted.N_CLUSTERS}
-                       AS gid
-                   FROM ({pts})),
-        pr AS (SELECT a.gid, a.doc_id AS a_id, b.doc_id AS b_id,
-                      (a.qx - b.qx) * (a.qx - b.qx)
-                      + (a.qy - b.qy) * (a.qy - b.qy) AS d2
-               FROM p a JOIN p b
-                 ON a.gid = b.gid AND a.doc_id < b.doc_id),
-        mx AS (SELECT gid, max(d2) AS max_d2 FROM pr GROUP BY 1),
-        np AS (SELECT gid, count(*) AS n_pts FROM p GROUP BY 1),
-        w AS (SELECT pr.gid,
-                     min(a_id * {DIAM_PACK} + b_id) AS pack
-              FROM pr JOIN mx ON pr.gid = mx.gid AND pr.d2 = mx.max_d2
-              GROUP BY 1)
-        SELECT np.gid, np.n_pts, mx.max_d2,
-               pack // {DIAM_PACK} AS diam_a,
-               pack % {DIAM_PACK} AS diam_b
-        FROM np JOIN mx ON np.gid = mx.gid JOIN w ON np.gid = w.gid"""
-
-
-def _self_xing_count(elem, k: int = 9) -> str:
-    """Shared-text self-intersection counter over a k-vertex polyline:
-    Σ over non-adjacent segment pairs (i, j≥i+2) of the strict integer
-    proper-crossing predicate (sj.sql_cross orientation signs). `elem`
-    formats an element accessor, e.g. lambda a, i: f"{a}[{i+1}]" —
-    integer-exact, so accessor SYNTAX may differ per engine even though
-    the arithmetic is shared."""
-    terms = []
-    for i in range(k - 1):
-        for j in range(i + 2, k - 1):
-            ax, ay = elem("xs", i), elem("ys", i)
-            bx, by = elem("xs", i + 1), elem("ys", i + 1)
-            cx, cy = elem("xs", j), elem("ys", j)
-            dx, dy = elem("xs", j + 1), elem("ys", j + 1)
-            d1 = sj.sql_cross(cx, cy, dx, dy, ax, ay)
-            d2 = sj.sql_cross(cx, cy, dx, dy, bx, by)
-            d3 = sj.sql_cross(ax, ay, bx, by, cx, cy)
-            d4 = sj.sql_cross(ax, ay, bx, by, dx, dy)
-            opp1 = f"(({d1}) > 0 AND ({d2}) < 0 OR ({d1}) < 0 AND ({d2}) > 0)"
-            opp2 = f"(({d3}) > 0 AND ({d4}) < 0 OR ({d3}) < 0 AND ({d4}) > 0)"
-            terms.append(f"(CASE WHEN {opp1} AND {opp2} THEN 1 ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
-
-
-def q_line_self_intersect(spark, sf):
-    # geometry-validity tier for LINES: proper self-crossings per walk
-    # polyline, counted over the 21 non-adjacent segment pairs entirely
-    # inside the row (one projection, ZERO joins / ZERO shuffles —
-    # segment_xing_join is the cross-FEATURE sibling). A crossing count
-    # of 0 certifies the line simple; the exact integer orientation
-    # predicate has no epsilon.
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
-    cnt = _self_xing_count(lambda a, i: f"element_at({a}_q, {i + 1})")
-    return wl.select("doc_id", F.expr(cnt).alias("n_self"))
-
-
-def _line_self_intersect_sql() -> str:
-    wl = minted.sql_cluster_walk_lines_q(k=9, stride=1)
-    cnt = _self_xing_count(lambda a, i: f"{a}[{i + 1}]")
-    return f"SELECT doc_id, {cnt} AS n_self FROM ({wl}) w"
-
-
-def q_autocorr_daily(spark, sf):
-    # lag-1 autocorrelation of the daily event-count series: integer
-    # moments over consecutive-day pairs (missing days break pairs, not
-    # fabricate zeros), r in 1e-6 units from the SAME float expression
-    # text both engines evaluate on the same integers (sqrt is IEEE
-    # correctly-rounded; identical text ⇒ identical double ⇒ identical
-    # floor). The integer moments are the verifiable payload; r_e6 is
-    # the dashboard number.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = e.groupBy("day").agg(F.count("*").alias("x"))
-    w = Win.orderBy("day")
-    lp = (daily
-          .withColumn("nday", F.lead("day").over(w))
-          .withColumn("y", F.lead("x").over(w))
-          .filter(F.col("nday") == F.col("day") + 1))
-    agg = lp.agg(F.count("*").alias("np"),
-                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                 F.sum(F.col("y") * F.col("y")).alias("syy"),
-                 F.sum(F.col("x") * F.col("y")).alias("sxy"))
-    return agg.withColumn("r_e6", F.expr(
-        "CAST(floor(1000000.0 * CAST(np * sxy - sx * sy AS DOUBLE)"
-        " / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)"
-        " * CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT)"))
-
-
-def _autocorr_daily_sql() -> str:
-    return """
-        WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                                  AS day,
-                              count(*) AS x
-                       FROM events GROUP BY 1),
-        lp AS (SELECT day, x,
-                      lead(day) OVER (ORDER BY day) AS nday,
-                      lead(x) OVER (ORDER BY day) AS y
-               FROM daily),
-        m AS (SELECT count(*) AS np,
-                     CAST(sum(x) AS BIGINT) AS sx,
-                     CAST(sum(y) AS BIGINT) AS sy,
-                     CAST(sum(x * x) AS BIGINT) AS sxx,
-                     CAST(sum(y * y) AS BIGINT) AS syy,
-                     CAST(sum(x * y) AS BIGINT) AS sxy
-              FROM lp WHERE nday = day + 1)
-        SELECT np, sx, sy, sxx, syy, sxy,
-               CAST(floor(1000000.0 * CAST(np * sxy - sx * sy AS DOUBLE)
-                   / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
-                   * CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT)
-                   AS r_e6
-        FROM m"""
-
-
-# ---------------------------------------------------------------------------
-# batch 47 — Fano dispersion, degree assortativity, event run-length encoding
-# ---------------------------------------------------------------------------
-
-def q_fano_dispersion(spark, sf):
-    # over/under-dispersion gate per event_type: exact Fano factor
-    # (population variance / mean) of the daily count series as integer
-    # ppm — fano = (nd·Σn² − S²)/(nd·S). Poisson arrivals sit at 1e6;
-    # bursty traffic reads high, metronome bots low. Two map-side-
-    # combinable aggregations, no window.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
-    return (daily.groupBy("event_type")
-            .agg(F.count("*").alias("n_days"),
-                 F.sum("n").alias("s"),
-                 F.sum(F.col("n") * F.col("n")).alias("ss"))
-            .withColumn("fano_ppm",
-                        F.expr("(n_days * ss - s * s) * 1000000"
-                               " div (n_days * s)")))
-
-
-def _fano_dispersion_sql() -> str:
-    return """
-        WITH daily AS (SELECT event_type,
-                              CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                                  AS day,
-                              count(*) AS n
-                       FROM events GROUP BY 1, 2),
-        m AS (SELECT event_type, count(*) AS n_days,
-                     CAST(sum(n) AS BIGINT) AS s,
-                     CAST(sum(n * n) AS BIGINT) AS ss
-              FROM daily GROUP BY 1)
-        SELECT event_type, n_days, s, ss,
-               (n_days * ss - s * s) * 1000000 // (n_days * s) AS fano_ppm
-        FROM m"""
-
-
-def q_degree_assortativity(spark, sf):
-    # link-graph mixing structure: Pearson correlation between the
-    # source's out-degree and the target's in-degree across EDGES —
-    # negative r = hubs point at leaves (web-like), positive = rich club.
-    # Integer moments (the verifiable payload) + r_e6 from shared float
-    # text, exactly the autocorr_daily recipe. Degree tables are
-    # host-sized → AQE broadcasts them onto the edge stream; one edge
-    # scan, no edge-side shuffle beyond the two degree aggs.
-    e = _page_link_edges(spark, 2000).select(
-        F.col("src_host").alias("src"),
-        TXT.url_host(F.col("dst")).alias("dst"))
-    outd = e.groupBy("src").agg(F.count("*").alias("j"))
-    ind = e.groupBy("dst").agg(F.count("*").alias("k"))
-    em = e.join(outd, "src").join(ind, "dst")
-    agg = em.agg(F.count("*").alias("m"),
-                 F.sum("j").alias("sj"), F.sum("k").alias("sk"),
-                 F.sum(F.col("j") * F.col("j")).alias("sjj"),
-                 F.sum(F.col("k") * F.col("k")).alias("skk"),
-                 F.sum(F.col("j") * F.col("k")).alias("sjk"))
-    return agg.withColumn("r_e6", F.expr(
-        "CAST(floor(1000000.0 * CAST(m * sjk - sj * sk AS DOUBLE)"
-        " / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)"
-        " * CAST(m * skk - sk * sk AS DOUBLE))) AS BIGINT)"))
-
-
-def _degree_assortativity_sql(n: int = 2000, seed: int = 42) -> str:
-    return f"""
-        WITH {_links_cte(n, seed)},
-        ed AS (SELECT src_host AS src, {TXT.sql_url_host('dst')} AS dst
-               FROM e),
-        outd AS (SELECT src, count(*) AS j FROM ed GROUP BY 1),
-        ind AS (SELECT dst, count(*) AS k FROM ed GROUP BY 1),
-        em AS (SELECT outd.j, ind.k
-               FROM ed JOIN outd ON ed.src = outd.src
-                       JOIN ind ON ed.dst = ind.dst),
-        m AS (SELECT count(*) AS m,
-                     CAST(sum(j) AS BIGINT) AS sj,
-                     CAST(sum(k) AS BIGINT) AS sk,
-                     CAST(sum(j * j) AS BIGINT) AS sjj,
-                     CAST(sum(k * k) AS BIGINT) AS skk,
-                     CAST(sum(j * k) AS BIGINT) AS sjk
-              FROM em)
-        SELECT m, sj, sk, sjj, skk, sjk,
-               CAST(floor(1000000.0 * CAST(m * sjk - sj * sk AS DOUBLE)
-                   / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
-                   * CAST(m * skk - sk * sk AS DOUBLE))) AS BIGINT)
-                   AS r_e6
-        FROM m"""
-
-
-def q_event_rle(spark, sf):
-    # behavioral run-length encoding: consecutive same-type events per
-    # user collapse to runs (gaps-and-islands — lag-compare then a
-    # running sum of run starts), then the run-length histogram per
-    # event_type. Long 'error' runs = incident signature; long 'view'
-    # runs = scroll sessions. ONE user-keyed sort shuffle feeds both
-    # windows; deterministic tie order via (ts, event_id).
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type", "ts", "event_id")
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = e.withColumn(
-        "new_run",
-        F.when(F.lag("event_type").over(w).isNull()
-               | (F.lag("event_type").over(w) != F.col("event_type")),
-               F.lit(1)).otherwise(F.lit(0)))
-    runs = (marked
-            .withColumn("run_id", F.sum("new_run").over(
-                w.rowsBetween(Win.unboundedPreceding, 0)))
-            .groupBy("user_id", "run_id", "event_type")
-            .agg(F.count("*").alias("run_len")))
-    return (runs.groupBy("event_type", "run_len")
-            .agg(F.count("*").alias("n_runs")))
-
-
-def _event_rle_sql() -> str:
-    return """
-        WITH m AS (SELECT user_id, event_type, ts, event_id,
-                          CASE WHEN lag(event_type) OVER uw IS NULL
-                                    OR lag(event_type) OVER uw
-                                       <> event_type
-                               THEN 1 ELSE 0 END AS new_run
-                   FROM events
-                   WINDOW uw AS (PARTITION BY user_id
-                                 ORDER BY ts, event_id)),
-        r AS (SELECT user_id, event_type,
-                     sum(new_run) OVER (PARTITION BY user_id
-                         ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS run_id
-              FROM m),
-        runs AS (SELECT user_id, run_id, event_type,
-                        count(*) AS run_len
-                 FROM r GROUP BY 1, 2, 3)
-        SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
-               count(*) AS n_runs
-        FROM runs GROUP BY 1, 2"""
-
-
-# ---------------------------------------------------------------------------
-# batch 48 — quadkey prefix-range PIP join, exact trimmed mean
-# ---------------------------------------------------------------------------
-
-QKRJ_Z, QKRJ_ZMIN, QKRJ_ZMAX = 12, 6, 7  # z6 buckets: 1.5 s at sf0.1
-# (vs 5.4 s for the first string-key z4-bucket cut and 0.97 s for the
-# cell-equality sibling — the measured tuning ladder lives in
-# BENCH/BASELINE.md "quadkey range join")
-
-
-def q_quadkey_range_join(spark, sf):
-    # the ORDERED-INDEX spatial join: rects become disjoint mixed-level
-    # quadkey-prefix cells (tiling.adaptive_cover on the z12 tile
-    # lattice), points carry their z12 key, and containment is the
-    # prefix RANGE key ∈ [m·4^(12−z), (m+1)·4^(12−z)) — the S2/quadkey
-    # range-scan plan a Z-curve-clustered 100 TB point table answers
-    # with file-level min/max pruning instead of a cell-equality
-    # explode (pip_join_rects is the equality sibling). The key is the
-    # INTEGER morton form of the quadkey (same digit string, base-4
-    # int): integer range compares, a 3-column broadcast (the box joins
-    # back per-poly for the exact refine, it never rides the cover).
-    # Buckets = the shared z5 ancestor, so Spark executes a broadcast
-    # HASH join on the bucket with the range as an in-partition filter;
-    # cover cells are disjoint by construction — no pair dedup needed.
-    pts = minted.minted_points(spark, sf)
-    mk = tiles.morton_key(tiles.tile_x(F.col("lon"), QKRJ_Z),
-                          tiles.tile_y(F.col("lat"), QKRJ_Z), QKRJ_Z)
-    p = pts.select("doc_id", "lon", "lat", mk.alias("mk"),
-                   F.shiftright(mk, 2 * (QKRJ_Z - QKRJ_ZMIN))
-                   .alias("bkt"))
-    r = minted.minted_rects(spark, sf).localCheckpoint(eager=False)
-    boxes = r.select(
-        "poly_id",
-        tiles.tile_x(F.col("minx"), QKRJ_Z).alias("x1"),
-        (tiles.tile_x(F.col("maxx"), QKRJ_Z) + 1).alias("x2"),
-        tiles.tile_y(F.col("maxy"), QKRJ_Z).alias("y1"),
-        (tiles.tile_y(F.col("miny"), QKRJ_Z) + 1).alias("y2"))
-    cov = tiling.adaptive_cover(boxes, z_min=QKRJ_ZMIN, z_max=QKRJ_ZMAX,
-                                span_bits=QKRJ_Z, id_col="poly_id")
-    pref = None
-    for zz in range(QKRJ_ZMIN, QKRJ_ZMAX + 1):
-        m = tiles.morton_key(F.col("cx"), F.col("cy"), zz)
-        shift = 2 * (QKRJ_Z - zz)
-        lvl = (cov.filter(F.col("z") == zz)
-               .select("poly_id",
-                       F.shiftleft(m, shift).alias("lo"),
-                       F.shiftleft(m + 1, shift).alias("hi")))
-        pref = lvl if pref is None else pref.unionByName(lvl)
-    pref = pref.withColumn(
-        "bkt", F.shiftright(F.col("lo"), 2 * (QKRJ_Z - QKRJ_ZMIN)))
-    cand = (p.join(F.broadcast(pref), "bkt")
-            .filter((F.col("mk") >= F.col("lo"))
-                    & (F.col("mk") < F.col("hi"))))
-    return (cand.join(F.broadcast(r), "poly_id")
-            .filter(sj.rect_contains(F.col("lon"), F.col("lat")))
-            .select("doc_id", "poly_id"))
-
-
-def _quadkey_range_join_sql() -> str:
-    # deliberately NOT the quadkey mechanics: the oracle is the direct
-    # containment join, so the cover+range plumbing is verified against
-    # an independent formulation.
-    return f"""
-        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
-        r AS ({minted.SQL_MINTED_RECTS.strip()})
-        SELECT p.doc_id, r.poly_id
-        FROM p JOIN r
-          ON p.lon >= r.minx AND p.lon <= r.maxx
-         AND p.lat >= r.miny AND p.lat <= r.maxy"""
-
-
-def q_trimmed_mean_chars(spark, sf):
-    # robust corpus statistic: exact 10%-trimmed mean of document length
-    # per language — drop exactly ⌊n/10⌋ smallest and largest (by value;
-    # tie order can only swap EQUAL values across the trim boundary, so
-    # the kept multiset is order-invariant), emit the kept sum and count
-    # as integers plus the ppm mean. One sort window + one aggregate.
-    from pyspark.sql import Window as Win
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
-        "lang", "n_chars", "doc_id")
-    w = Win.partitionBy("lang").orderBy("n_chars", "doc_id")
-    cw = Win.partitionBy("lang")
-    ranked = (d.withColumn("i", F.row_number().over(w))
-              .withColumn("n", F.count("*").over(cw)))
-    kept = ranked.filter((F.col("i") > F.expr("n div 10"))
-                         & (F.col("i") <= F.col("n") - F.expr("n div 10")))
-    return (kept.groupBy("lang")
-            .agg(F.count("*").alias("n_kept"),
-                 F.sum("n_chars").alias("sum_kept"))
-            .withColumn("trimmed_mean_ppm",
-                        F.expr("sum_kept * 1000000 div n_kept")))
-
-
-def _trimmed_mean_chars_sql() -> str:
-    return """
-        WITH ranked AS (SELECT lang, n_chars,
-                               row_number() OVER (PARTITION BY lang
-                                   ORDER BY n_chars, doc_id) AS i,
-                               count(*) OVER (PARTITION BY lang) AS n
-                        FROM documents),
-        kept AS (SELECT lang, n_chars FROM ranked
-                 WHERE i > n // 10 AND i <= n - n // 10)
-        SELECT lang, count(*) AS n_kept,
-               CAST(sum(n_chars) AS BIGINT) AS sum_kept,
-               CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*)
-                   AS trimmed_mean_ppm
-        FROM kept GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 49 — time-weighted value integral, embedding covariance moments
-# ---------------------------------------------------------------------------
-
-def q_time_weighted_value(spark, sf):
-    # TWA billing/metering: per user, the exact last-observation-
-    # carried-forward integral of `value` over [first_ts, last_ts] —
-    # Σ (next_ts − ts)·cents in integer (seconds × rounded cents, the
-    # benford_values convention), so partitioning can't reorder a float
-    # sum. One user-keyed sort window; users with <2 events drop (no
-    # interval to integrate).
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id",
-        F.expr("unix_timestamp(ts)").alias("sec"),
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
-    w = Win.partitionBy("user_id").orderBy("sec", "event_id")
-    seg = (e.withColumn("nsec", F.lead("sec").over(w))
-           .filter(F.col("nsec").isNotNull())
-           .withColumn("dt", F.col("nsec") - F.col("sec")))
-    return (seg.groupBy("user_id")
-            .agg((F.count("*") + 1).alias("n_events"),
-                 F.sum("dt").alias("span_s"),
-                 F.sum(F.col("dt") * F.col("cents")).alias("twa_num"))
-            .filter(F.col("span_s") > 0)
-            .withColumn("twa_cents", F.expr("twa_num div span_s")))
-
-
-def _time_weighted_value_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                          CAST(floor(value * 100 + 0.5) AS BIGINT)
-                              AS cents
-                   FROM events),
-        seg AS (SELECT user_id, sec, cents,
-                       lead(sec) OVER (PARTITION BY user_id
-                           ORDER BY sec, event_id) AS nsec
-                FROM e),
-        s AS (SELECT user_id, nsec - sec AS dt, cents
-              FROM seg WHERE nsec IS NOT NULL),
-        a AS (SELECT user_id, count(*) + 1 AS n_events,
-                     CAST(sum(dt) AS BIGINT) AS span_s,
-                     CAST(sum(dt * cents) AS BIGINT) AS twa_num
-              FROM s GROUP BY 1)
-        SELECT user_id, n_events, span_s, twa_num,
-               twa_num // span_s AS twa_cents
-        FROM a WHERE span_s > 0"""
-
-
-EMB_COV_SCALE = 10_000  # |x|≤1 floats → |q|≤1e4; moments int64-safe to sf1
-
-
-def q_embed_covariance(spark, sf):
-    # the PCA/whitening input: exact integer second-moment matrix over
-    # fixed-point-quantized embeddings — q = floor(x·1e4) (float32→
-    # double is exact, so both engines quantize identically), upper
-    # triangle (i ≤ j) of Σ qᵢqⱼ plus the first moments and the
-    # covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ. Shape: posexplode →
-    # self-join on vec_id (64 dims → 2080 pair rows per vector) →
-    # one hash aggregate; at 100 TB you'd mapInArrow a per-partition
-    # GEMM and tree-reduce the 2080 partials instead — the row count
-    # out is identical, which is what the oracle pins.
-    e = _emb(spark, sf)
-    q = (e.select("vec_id", F.posexplode(
-            F.transform("embedding",
-                        lambda x: F.floor(x.cast("double")
-                                          * EMB_COV_SCALE).cast("bigint")))
-          .alias("i", "qi")))
-    a = q.select("vec_id", F.col("i"), F.col("qi"))
-    b = q.select("vec_id", F.col("i").alias("j"), F.col("qi").alias("qj"))
-    pairs = a.join(b, "vec_id").filter(F.col("i") <= F.col("j"))
-    mom = (pairs.groupBy("i", "j")
-           .agg(F.count("*").alias("n"),
-                F.sum("qi").alias("s_i"), F.sum("qj").alias("s_j"),
-                F.sum(F.col("qi") * F.col("qj")).alias("s_ij")))
-    return mom.withColumn("cov_num",
-                          F.expr("n * s_ij - s_i * s_j"))
-
-
-def _embed_covariance_sql() -> str:
-    return f"""
-        WITH q AS (SELECT vec_id, i - 1 AS i,
-                          CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE})
-                               AS BIGINT) AS qi
-                   FROM (SELECT vec_id,
-                                unnest(embedding) AS e,
-                                generate_subscripts(embedding, 1) AS i
-                         FROM embeddings)),
-        pr AS (SELECT a.i, b.i AS j, a.qi, b.qi AS qj
-               FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i),
-        m AS (SELECT i, j, count(*) AS n,
-                     CAST(sum(qi) AS BIGINT) AS s_i,
-                     CAST(sum(qj) AS BIGINT) AS s_j,
-                     CAST(sum(qi * qj) AS BIGINT) AS s_ij
-              FROM pr GROUP BY 1, 2)
-        SELECT i, j, n, s_i, s_j, s_ij,
-               n * s_ij - s_i * s_j AS cov_num
-        FROM m"""
-
-
-# ---------------------------------------------------------------------------
-# batch 50 — per-host fan-out capping, HLL estimate-vs-exact evaluation
-# ---------------------------------------------------------------------------
-
-HOST_CAP = 5
-
-
-def q_host_cap_sample(spark, sf):
-    # frequency-capped corpus sampling: keep at most HOST_CAP pages per
-    # host, selected deterministically by content-free hash order
-    # (md5(url)) so recrawls don't churn the sample — the anti-head
-    # measure every CC-derived training set applies to megadomains.
-    # The kept-set byte sum verifies WHICH pages were kept, not just how
-    # many. One host-keyed sort window.
-    from pyspark.sql import Window as Win
-    p = pages.pages(spark, 2000).select(
-        TXT.url_host(F.col("url")).alias("host"), "url",
-        F.octet_length("text").alias("nb"))
-    w = Win.partitionBy("host").orderBy(F.md5("url"), "url")
-    r = p.withColumn("rk", F.row_number().over(w))
-    return (r.groupBy("host")
-            .agg(F.count("*").alias("n_pages"),
-                 F.sum(F.expr(f"if(rk <= {HOST_CAP}, 1, 0)"))
-                 .alias("n_kept"),
-                 F.sum(F.expr(f"if(rk <= {HOST_CAP}, nb, 0)"))
-                 .alias("kept_bytes")))
-
-
-def _host_cap_sample_sql(n: int = 2000, seed: int = 42) -> str:
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        p AS (SELECT {TXT.sql_url_host('url')} AS host, url,
-                     octet_length(encode(text)) AS nb
-              FROM txt),
-        r AS (SELECT host, nb,
-                     row_number() OVER (PARTITION BY host
-                         ORDER BY md5(url), url) AS rk
-              FROM p)
-        SELECT host, count(*) AS n_pages,
-               CAST(sum(CASE WHEN rk <= {HOST_CAP} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_kept,
-               CAST(sum(CASE WHEN rk <= {HOST_CAP} THEN nb ELSE 0 END)
-                    AS BIGINT) AS kept_bytes
-        FROM r GROUP BY 1"""
-
-
-def q_hll_error_eval(spark, sf):
-    # sketch-accuracy evaluation tier (the cardinality sibling of
-    # minhash_eval): per event_type, the m=64 HLL raw estimate of
-    # distinct users NEXT TO the exact distinct count, with the signed
-    # error in ppm — the number you read before trusting the sketch at
-    # 10^12 keys. Registers fold per group; the estimate arithmetic is
-    # the exact-integer harmonic sum + one correctly-rounded double
-    # divide (operators/sketch.hll_estimate semantics, grouped).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_type", "user_id")
-    reg = sketch.hll_registers_by(e, ["event_type"], "user_id", b=6)
-    m = 64
-    alpha_num = sketch._hll_alpha(m) * m * m * float(1 << sketch.RHO_SHIFT)
-    est = (reg.groupBy("event_type")
-           .agg(F.count("*").alias("n_present"),
-                F.sum(F.expr(f"shiftleft(1L, {sketch.RHO_SHIFT} - r)"))
-                .alias("s_present"))
-           .select("event_type",
-                   F.col("n_present").cast("bigint").alias("n_present"),
-                   (F.col("s_present")
-                    + (F.lit(m) - F.col("n_present"))
-                    * F.lit(1 << sketch.RHO_SHIFT))
-                   .cast("bigint").alias("s_scaled"))
-           .withColumn("est_raw",
-                       F.floor(F.lit(alpha_num) / F.col("s_scaled"))
-                       .cast("bigint")))
-    exact = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_n"))
-    return (est.join(exact, "event_type")
-            .withColumn("err_ppm",
-                        F.expr("(est_raw - exact_n) * 1000000"
-                               " div exact_n")))
-
-
-def _hll_error_eval_sql() -> str:
-    m = 64
-    alpha_num = sketch._hll_alpha(m) * m * m * float(1 << sketch.RHO_SHIFT)
-    regs = sketch.sql_hll_registers_cte(
-        "events", "CAST(user_id AS VARCHAR)", b=6,
-        group_expr="event_type")
-    return f"""
-        WITH {regs},
-        est AS (SELECT grp AS event_type,
-                       count(*) AS n_present,
-                       CAST(sum(1::BIGINT << ({sketch.RHO_SHIFT} - r))
-                            + ({m} - count(*))
-                              * {1 << sketch.RHO_SHIFT}::BIGINT
-                           AS BIGINT) AS s_scaled
-                FROM hllreg GROUP BY 1),
-        est2 AS (SELECT event_type, n_present, s_scaled,
-                        CAST(FLOOR({alpha_num!r} / s_scaled) AS BIGINT)
-                            AS est_raw
-                 FROM est),
-        ex AS (SELECT event_type,
-                      count(DISTINCT user_id) AS exact_n
-               FROM events GROUP BY 1)
-        SELECT est2.event_type, n_present, s_scaled, est_raw, exact_n,
-               (est_raw - exact_n) * 1000000 // exact_n AS err_ppm
-        FROM est2 JOIN ex ON est2.event_type = ex.event_type"""
-
-
-# ---------------------------------------------------------------------------
-# batch 51 — Borůvka round 1: nearest-neighbor forest components
-# ---------------------------------------------------------------------------
-
-def q_boruvka_round1(spark, sf):
-    # the first round of distributed Borůvka / single-linkage (HDBSCAN's
-    # skeleton): every point contracts along its exact nearest-neighbor
-    # edge, components of the NN forest become the round-1 clusters.
-    # NN from the grid-bucketed radius join (exact lattice d², min per
-    # point with a deterministic (d², nb) tie-break); components via
-    # min-label + pointer jumping (operators/dedup.near_dup_components —
-    # O(log diameter) rounds). Points with no neighbor inside RADIUS_R
-    # stay singletons. Output: one row per cluster (rep, size).
-    from geobuf_spark.sources.tables import widen
-    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
-    pairs = sj.radius_self_join(p, r=RADIUS_R)
-    both = (pairs.select(F.col("id_a").alias("doc_id"),
-                         F.col("id_b").alias("nb"), "dist2")
-            .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
-                                      F.col("id_a").alias("nb"), "dist2"))
-            .localCheckpoint(eager=False))  # feeds min + argmin passes
-    nnd = both.groupBy("doc_id").agg(F.min("dist2").alias("nn_d2"))
-    nn = (both.join(nnd, "doc_id")
-          .filter(F.col("dist2") == F.col("nn_d2"))
-          .groupBy("doc_id").agg(F.min("nb").alias("nb")))
-    edges = nn.select(F.least("doc_id", "nb").alias("u"),
-                      F.greatest("doc_id", "nb").alias("v")).distinct()
-    comp = dedup.near_dup_components(edges, "u", "v")
-    lab = (p.select("doc_id").join(comp, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("rep_id", "doc_id").alias("rep")))
-    return lab.groupBy("rep").agg(F.count("*").alias("n_pts"))
-
-
-def _boruvka_round1_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH RECURSIVE p AS ({pts}),
-        cand AS (SELECT a.doc_id, b.doc_id AS nb,
-                        CAST(a.qx - b.qx AS HUGEINT) * (a.qx - b.qx)
-                        + CAST(a.qy - b.qy AS HUGEINT) * (a.qy - b.qy)
-                            AS d2
-                 FROM p a JOIN p b ON a.doc_id <> b.doc_id),
-        inr AS (SELECT doc_id, nb, d2 FROM cand
-                WHERE d2 <= {RADIUS_R}::HUGEINT * {RADIUS_R}),
-        nnd AS (SELECT doc_id, min(d2) AS nn_d2 FROM inr GROUP BY 1),
-        nn AS (SELECT inr.doc_id, min(nb) AS nb
-               FROM inr JOIN nnd ON inr.doc_id = nnd.doc_id
-                    AND inr.d2 = nnd.nn_d2
-               GROUP BY 1),
-        e0 AS (SELECT DISTINCT least(doc_id, nb) AS u,
-                      greatest(doc_id, nb) AS v
-               FROM nn),
-        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-        walk(u, label) AS (
-            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
-        comp AS (SELECT u AS doc_id, min(label) AS rep_id
-                 FROM walk GROUP BY u)
-        SELECT coalesce(c.rep_id, p.doc_id) AS rep,
-               count(*) AS n_pts
-        FROM p LEFT JOIN comp c ON c.doc_id = p.doc_id
-        GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 52 — Markov stationary distribution, exact rolling median
-# ---------------------------------------------------------------------------
-
-MARKOV_V0 = 200_000  # uniform start over the 5 event types, ppm
-
-
-def _markov_step(v, trans):
-    # one synchronous integer power-iteration step: v'[t] =
-    # Σ_p v[p]·C[p,t] div R[p] — the per-term integer div is the SAME
-    # arithmetic the oracle chains, so the iterate is bit-exact
-    return (trans.join(v, trans["p"] == v["event_type"])
-            .select("t", F.expr("v * c div r").alias("term"))
-            .groupBy(F.col("t").alias("event_type"))
-            .agg(F.sum("term").alias("v")))
-
-
-def q_markov_stationary(spark, sf):
-    # behavioral steady state: the empirical event-type transition
-    # matrix (per-user consecutive pairs) powered 3 integer fixed-point
-    # iterations from the uniform ppm vector — the Markov sibling of
-    # pagerank_int, same bit-exactness argument. The matrix is
-    # |types|² = 25 rows, so every join broadcasts; the only real
-    # shuffle is the transition-pair count.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type", "ts", "event_id")
-    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (e.withColumn("nxt", F.lead("event_type").over(w))
-             .filter(F.col("nxt").isNotNull()))
-    trans = (pairs.groupBy(F.col("event_type").alias("p"),
-                           F.col("nxt").alias("t"))
-             .agg(F.count("*").alias("c")))
-    rowsum = trans.groupBy("p").agg(F.sum("c").alias("r"))
-    trans = trans.join(rowsum, "p").localCheckpoint(eager=False)
-    v = (trans.select(F.col("p").alias("event_type")).distinct()
-         .withColumn("v", F.lit(MARKOV_V0).cast("bigint")))
-    outs = []
-    for _ in range(3):
-        v = _markov_step(v, trans).localCheckpoint(eager=False)
-        outs.append(v)
-    out = (outs[0].withColumnRenamed("v", "v1")
-           .join(outs[1].withColumnRenamed("v", "v2"), "event_type")
-           .join(outs[2].withColumnRenamed("v", "v3"), "event_type"))
-    return out
-
-
-def _markov_stationary_sql() -> str:
-    step = """
-        v{n} AS (SELECT t AS event_type,
-                        CAST(sum(v * c // r) AS BIGINT) AS v
-                 FROM trans JOIN v{m} ON trans.p = v{m}.event_type
-                 GROUP BY 1)"""
-    return f"""
-        WITH pr AS (SELECT user_id, event_type, ts, event_id,
-                           lead(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS nxt
-                    FROM events),
-        cnt AS (SELECT event_type AS p, nxt AS t, count(*) AS c
-                FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        rs AS (SELECT p, CAST(sum(c) AS BIGINT) AS r FROM cnt GROUP BY 1),
-        trans AS (SELECT cnt.p, cnt.t, CAST(c AS BIGINT) AS c, r
-                  FROM cnt JOIN rs ON cnt.p = rs.p),
-        v0 AS (SELECT DISTINCT p AS event_type,
-                      {MARKOV_V0}::BIGINT AS v
-               FROM trans),
-        {step.format(n=1, m=0)},
-        {step.format(n=2, m=1)},
-        {step.format(n=3, m=2)}
-        SELECT v1.event_type, v1.v AS v1, v2.v AS v2, v3.v AS v3
-        FROM v1 JOIN v2 USING (event_type) JOIN v3 USING (event_type)"""
-
-
-def q_rolling_median_7d(spark, sf):
-    # exact trailing-7-day rolling MEDIAN of the daily event count — the
-    # robust sibling of a rolling mean (one outage day can't drag it).
-    # Implemented by value-range contribution (each day fans out to the
-    # ≤7 windows it belongs to — missing days shrink the window, never
-    # fabricate zeros) + per-window order statistics; med_x2 = lower +
-    # upper median, so even windows stay integral.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = e.groupBy("day").agg(F.count("*").alias("x"))
-    contrib = (daily
-               .withColumn("w", F.explode(F.sequence(
-                   F.col("day"), F.col("day") + 6)))
-               .join(daily.select(F.col("day").alias("w")).distinct(),
-                     "w"))
-    ww = Win.partitionBy("w").orderBy("x", "day")
-    cw = Win.partitionBy("w")
-    ranked = (contrib.withColumn("i", F.row_number().over(ww))
-              .withColumn("n", F.count("*").over(cw)))
-    med = (ranked.filter((F.col("i") == F.expr("(n + 1) div 2"))
-                         | (F.col("i") == F.expr("n div 2 + 1")))
-           .groupBy("w")
-           .agg(F.max("n").alias("n_win"),
-                # odd windows hit ONE rank — double it; even hit two
-                (F.sum("x") * (F.lit(3) - F.count("*"))).alias("med_x2")))
-    return med.select(F.col("w").alias("day"), "n_win", "med_x2")
-
-
-def _rolling_median_7d_sql() -> str:
-    return """
-        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                              AS day
-                   FROM events),
-        daily AS (SELECT day, count(*) AS x FROM e GROUP BY 1),
-        contrib AS (SELECT d2.day AS w, d1.x, d1.day
-                    FROM daily d1
-                    JOIN daily d2
-                      ON d2.day BETWEEN d1.day AND d1.day + 6),
-        ranked AS (SELECT w, x,
-                          row_number() OVER (PARTITION BY w
-                              ORDER BY x, day) AS i,
-                          count(*) OVER (PARTITION BY w) AS n
-                   FROM contrib),
-        med AS (SELECT w, max(n) AS n_win,
-                       CAST(sum(x) * (3 - count(*)) AS BIGINT) AS med_x2
-                FROM ranked
-                WHERE i = (n + 1) // 2 OR i = n // 2 + 1
-                GROUP BY 1)
-        SELECT w AS day, n_win, med_x2 FROM med"""
-
-
-# ---------------------------------------------------------------------------
-# batch 53 — vocabulary growth, peak session concurrency, grid morphology
-# ---------------------------------------------------------------------------
-
-VOCAB_KS = [10, 25, 50, 100, 250, 500]
-
-
-def q_vocab_growth(spark, sf):
-    # Heaps-law curve: distinct vocabulary after the first k documents,
-    # for a ladder of k — the corpus-saturation diagnostic (flattening
-    # vocab growth = diminishing new-data value). One token explode →
-    # first-occurrence doc per token (min, map-side combinable) → the
-    # ladder is a 6-row broadcast. No per-k rescan.
-    d = _docs(spark, sf).select("doc_id", "text")
-    toks = d.select("doc_id",
-                    F.explode(F.split("text", " ")).alias("tok")) \
-        .filter(F.col("tok") != "")
-    first = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
-    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k bigint")
-    vocab = (first.crossJoin(F.broadcast(ks))
-             .filter(F.col("fd") < F.col("k"))
-             .groupBy("k").agg(F.count("*").alias("vocab")))
-    toktot = (toks.crossJoin(F.broadcast(ks))
-              .filter(F.col("doc_id") < F.col("k"))
-              .groupBy("k").agg(F.count("*").alias("total_tokens")))
-    return (vocab.join(toktot, "k")
-            .select("k", "total_tokens", "vocab"))
-
-
-def _vocab_growth_sql() -> str:
-    ks = ", ".join(f"({k})" for k in VOCAB_KS)
-    return f"""
-        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
-                                 AS tok
-                      FROM documents),
-        t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        first AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
-        ks(k) AS (VALUES {ks}),
-        vocab AS (SELECT CAST(k AS BIGINT) AS k, count(*) AS vocab
-                  FROM first, ks WHERE fd < k GROUP BY 1),
-        tt AS (SELECT CAST(k AS BIGINT) AS k, count(*) AS total_tokens
-               FROM t, ks WHERE doc_id < k GROUP BY 1)
-        SELECT k, total_tokens, vocab
-        FROM vocab JOIN tt USING (k)"""
-
-
-def q_peak_concurrency(spark, sf):
-    # classic interval sweep: maximum number of simultaneously-open
-    # sessions (sessionize's gap islands) and the first instant it is
-    # reached. Boundaries pre-aggregate per (t, delta) so the running
-    # sum orders over UNIQUE keys — tie-order inside a timestamp can
-    # never split between engines; starts sort before ends at equal t
-    # (closed intervals). One tiny global window over 2·n_sessions rows.
-    from pyspark.sql import Window as Win
-    raw = spark.read.parquet(f"{sf}/events.parquet")
-    sess = W.sessionize(raw, gap_minutes=30)
-    b = (sess.select(F.col("t_start").alias("t"), F.lit(1).alias("d"))
-         .unionByName(sess.select(F.col("t_end").alias("t"),
-                                  F.lit(-1).alias("d")))
-         .groupBy("t", "d").agg(F.sum("d").alias("delta")))
-    w = Win.orderBy("t", F.desc("d")).rowsBetween(
-        Win.unboundedPreceding, 0)
-    run = b.withColumn("running", F.sum("delta").over(w))
-    peak = run.agg(F.max("running").alias("peak"))
-    n = sess.agg(F.count("*").alias("n_sessions"))
-    return (run.join(F.broadcast(peak), F.col("running") == F.col("peak"))
-            .agg(F.min("t").alias("first_peak_t"),
-                 F.max(F.col("peak")).alias("peak"))
-            .crossJoin(F.broadcast(n))
-            .select("n_sessions", "peak", "first_peak_t"))
-
-
-def _peak_concurrency_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS ep
-                   FROM events),
-        lagged AS (SELECT user_id, event_id, ep,
-                          lag(ep) OVER (PARTITION BY user_id
-                              ORDER BY ep, event_id) AS prev_ep
-                   FROM e),
-        flagged AS (SELECT user_id, ep,
-                           CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
-                                THEN 1 ELSE 0 END AS new_sess,
-                           event_id
-                    FROM lagged),
-        sess0 AS (SELECT user_id, ep,
-                         CAST(sum(new_sess) OVER (PARTITION BY user_id
-                             ORDER BY ep, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                             AS session_id
-                  FROM flagged),
-        sess AS (SELECT user_id, session_id,
-                        min(ep) AS t_start, max(ep) AS t_end
-                 FROM sess0 GROUP BY 1, 2),
-        b AS (SELECT t, d, CAST(sum(d) AS BIGINT) AS delta FROM (
-                  SELECT t_start AS t, 1 AS d FROM sess
-                  UNION ALL
-                  SELECT t_end AS t, -1 AS d FROM sess)
-              GROUP BY 1, 2),
-        run AS (SELECT t, d,
-                       CAST(sum(delta) OVER (ORDER BY t, d DESC
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                           AS running
-                FROM b),
-        pk AS (SELECT max(running) AS peak FROM run),
-        ns AS (SELECT count(*) AS n_sessions FROM sess)
-        SELECT ns.n_sessions, pk.peak,
-               (SELECT min(t) FROM run, pk WHERE running = peak)
-                   AS first_peak_t
-        FROM ns, pk"""
-
-
-GRIDB_CELL = 5_000_000
-
-
-def q_grid_boundary_cells(spark, sf):
-    # occupied-grid morphology: classify every occupied cell by its
-    # 4-neighbor occupancy count — n_nb < 4 is the region BOUNDARY, 4 is
-    # interior. The boundary/interior ratio is the compactness signal
-    # raster pipelines read before vectorizing. One distinct + one
-    # self-join on the (unit-offset) cell key.
-    p = minted.minted_cluster_points_q(spark, sf)
-    occ = (p.select(F.expr(f"qx div {GRIDB_CELL}").alias("cx"),
-                    F.expr(f"qy div {GRIDB_CELL}").alias("cy"))
-           .distinct().localCheckpoint(eager=False))
-    nb = (occ.withColumn("o", F.explode(F.array(
-              F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
-              F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
-              F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
-              F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))))
-          .select((F.col("cx") + F.col("o.dx")).alias("cx"),
-                  (F.col("cy") + F.col("o.dy")).alias("cy")))
-    cnt = nb.groupBy("cx", "cy").agg(F.count("*").alias("n_nb"))
-    classified = (occ.join(cnt, ["cx", "cy"], "left")
-                  .select(F.coalesce("n_nb", F.lit(0)).alias("n_nb")))
-    return classified.groupBy("n_nb").agg(F.count("*").alias("n_cells"))
-
-
-def _grid_boundary_cells_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    c = GRIDB_CELL
-    return f"""
-        WITH p AS ({pts}),
-        occ AS (SELECT DISTINCT qx // {c} AS cx, qy // {c} AS cy FROM p),
-        nb AS (SELECT cx + o.dx AS cx, cy + o.dy AS cy
-               FROM occ, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
-                   o(dx, dy)),
-        cnt AS (SELECT cx, cy, count(*) AS n_nb FROM nb GROUP BY 1, 2),
-        cls AS (SELECT coalesce(cnt.n_nb, 0) AS n_nb
-                FROM occ LEFT JOIN cnt ON occ.cx = cnt.cx
-                     AND occ.cy = cnt.cy)
-        SELECT CAST(n_nb AS BIGINT) AS n_nb, count(*) AS n_cells
-        FROM cls GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 54 — redirect chain resolution (pointer doubling), tile gradient
-# ---------------------------------------------------------------------------
-
-REDIR_N = 2000
-
-
-def _redir_parent_col():
-    # deterministic redirect graph over page ids: multiples of 5 are
-    # terminal; everyone else redirects DOWN by 1 + (id % 3), clamped at
-    # 0 — strictly decreasing, so chains terminate but depth has no
-    # closed form (the resolver must actually walk).
-    return F.when(F.col("id") % 5 == 0, F.col("id")).otherwise(
-        F.greatest(F.col("id") - (F.lit(1) + F.col("id") % 3), F.lit(0)))
-
-
-def q_redirect_resolve(spark, sf):
-    # canonical redirect resolution — the URL-graph fixpoint every crawl
-    # dedup runs before grouping by final target: follow next-hops to
-    # the terminal with POINTER DOUBLING (state[i] ← state[state[i]],
-    # depths add), so a depth-d chain resolves in ⌈log₂ d⌉ rounds of
-    # self-joins instead of d sequential hops — the only shape that
-    # works when 10^12 urls hide 1000-hop chains. Converges or raises
-    # (a partial resolve would alias distinct targets).
-    ids = spark.range(REDIR_N).select(F.col("id").cast("bigint"))
-    st = ids.select(
-        "id", _redir_parent_col().alias("nxt"),
-        F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.lit(1))
-        .cast("bigint").alias("depth"))
-    for _ in range(8):  # covers depth ≤ 2^8
-        hop = st.select(F.col("id").alias("nxt"),
-                        F.col("nxt").alias("nxt2"),
-                        F.col("depth").alias("d2"))
-        st = (st.join(hop, "nxt")
-              .select("id", F.col("nxt2").alias("nxt"),
-                      (F.col("depth") + F.col("d2")).alias("depth"))
-              .localCheckpoint(eager=True))
-    unresolved = st.filter(F.col("nxt") % 5 != 0).limit(1).count()
-    if unresolved:
-        raise RuntimeError("redirect_resolve: chains deeper than 2^8")
-    return (st.select("id", F.col("nxt").alias("final_id"), "depth")
-            .groupBy("final_id")
-            .agg(F.count("*").alias("n_urls"),
-                 F.max("depth").alias("max_depth"),
-                 F.sum("depth").alias("total_hops")))
-
-
-def _redirect_resolve_sql() -> str:
-    return f"""
-        WITH RECURSIVE ids AS (SELECT CAST(t.id AS BIGINT) AS id
-                               FROM range({REDIR_N}) t(id)),
-        par AS (SELECT id,
-                       CASE WHEN id % 5 = 0 THEN id
-                            ELSE greatest(id - (1 + id % 3), 0) END
-                           AS nxt
-                FROM ids),
-        walk(id, cur, depth) AS (
-            SELECT id, id, CAST(0 AS BIGINT) FROM ids
-            UNION
-            SELECT w.id, p.nxt, w.depth + 1
-            FROM walk w JOIN par p ON p.id = w.cur
-            WHERE w.cur % 5 <> 0),
-        fin AS (SELECT id, cur AS final_id, depth FROM walk
-                WHERE cur % 5 = 0)
-        SELECT final_id, count(*) AS n_urls,
-               max(depth) AS max_depth,
-               CAST(sum(depth) AS BIGINT) AS total_hops
-        FROM fin GROUP BY 1"""
-
-
-GRAD_Z = 6
-
-
-def q_tile_gradient(spark, sf):
-    # raster first derivative: central-difference gradient of the tile
-    # density surface — (E−W, N−S) count differences per occupied tile
-    # (absent neighbors read 0) plus the squared magnitude. The edge-
-    # detection sibling of tile_focal_mean's smoothing; pure equi-joins
-    # on offset cell keys.
-    pts = _points(spark, sf)
-    d = (pts.select(tiles.tile_x(F.col("lon"), GRAD_Z).alias("x"),
-                    tiles.tile_y(F.col("lat"), GRAD_Z).alias("y"))
-         .groupBy("x", "y").agg(F.count("*").alias("n"))
-         .localCheckpoint(eager=False))
-
-    def nb(dx, dy, name):
-        return d.select((F.col("x") + dx).alias("x"),
-                        (F.col("y") + dy).alias("y"),
-                        F.col("n").alias(name))
-
-    out = (d.join(nb(-1, 0, "e"), ["x", "y"], "left")
-           .join(nb(1, 0, "w"), ["x", "y"], "left")
-           .join(nb(0, -1, "s"), ["x", "y"], "left")
-           .join(nb(0, 1, "nn"), ["x", "y"], "left")
-           .select("x", "y", "n",
-                   (F.coalesce("e", F.lit(0)) - F.coalesce("w", F.lit(0)))
-                   .alias("gx"),
-                   (F.coalesce("s", F.lit(0)) - F.coalesce("nn", F.lit(0)))
-                   .alias("gy")))
-    return out.withColumn("g2", F.expr("gx * gx + gy * gy"))
-
-
-def _tile_gradient_sql() -> str:
-    pts = minted.SQL_MINTED_POINTS.strip()
-    x, y = tiles.sql_tile_x("lon", GRAD_Z), tiles.sql_tile_y("lat", GRAD_Z)
-    return f"""
-        WITH d AS (SELECT {x} AS x, {y} AS y, count(*) AS n
-                   FROM ({pts}) GROUP BY 1, 2)
-        SELECT d.x, d.y, d.n,
-               coalesce(e.n, 0) - coalesce(w.n, 0) AS gx,
-               coalesce(s.n, 0) - coalesce(nn.n, 0) AS gy,
-               (coalesce(e.n, 0) - coalesce(w.n, 0))
-                   * (coalesce(e.n, 0) - coalesce(w.n, 0))
-               + (coalesce(s.n, 0) - coalesce(nn.n, 0))
-                   * (coalesce(s.n, 0) - coalesce(nn.n, 0)) AS g2
-        FROM d
-        LEFT JOIN d e ON e.x = d.x + 1 AND e.y = d.y
-        LEFT JOIN d w ON w.x = d.x - 1 AND w.y = d.y
-        LEFT JOIN d s ON s.x = d.x AND s.y = d.y + 1
-        LEFT JOIN d nn ON nn.x = d.x AND nn.y = d.y - 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 55 — SCD2-versioned PIP join, seasonally-adjusted outliers
-# ---------------------------------------------------------------------------
-
-PIPV_T0 = 1_704_067_200     # 2024-01-01, the events fixture's epoch floor
-PIPV_EPOCH_S = 10 * 86400   # three 10-day validity windows span the month
-
-
-def q_pip_versioned(spark, sf):
-    # the geo × time cross-axis join: polygons are SCD2-VERSIONED (three
-    # 10-day validity windows; each version shifts the rect east by
-    # e·0.5° — exactly representable, so the float containment text
-    # stays cross-engine identical) and every event point joins the
-    # version VALID AT ITS TIMESTAMP before the containment refine —
-    # boundary drift answered with time travel, not a snapshot. Points
-    # mint from event_id with the standard mulmod draw. versions×rects
-    # is a 600-row broadcast; one aggregate out.
-    from geobuf_spark.sources.minted import (LAT_MOD, LAT_MULT, LON_MOD,
-                                             LON_MULT, _mulmod)
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_id", F.expr("unix_timestamp(ts)").alias("s"))
-    pts = e.select(
-        "event_id", "s",
-        ((_mulmod(F.col("event_id"), LON_MULT, LON_MOD)
-          - F.lit(LON_MOD // 2)) / F.lit(1e7)).alias("lon"),
-        ((_mulmod(F.col("event_id"), LAT_MULT, LAT_MOD)
-          - F.lit(LAT_MOD // 2)) / F.lit(1e7)).alias("lat"))
-    r = minted.minted_rects(spark, sf)
-    vers = (r.withColumn("ver", F.explode(F.sequence(F.lit(0), F.lit(2))))
-            .select("poly_id", "ver",
-                    (F.col("minx") + F.col("ver") * 0.5).alias("minx"),
-                    (F.col("maxx") + F.col("ver") * 0.5).alias("maxx"),
-                    "miny", "maxy",
-                    (F.lit(PIPV_T0) + F.col("ver") * PIPV_EPOCH_S)
-                    .alias("vf"),
-                    (F.lit(PIPV_T0) + (F.col("ver") + 1) * PIPV_EPOCH_S)
-                    .alias("vt")))
-    j = (pts.join(F.broadcast(vers),
-                  (F.col("s") >= F.col("vf")) & (F.col("s") < F.col("vt"))
-                  & (F.col("lon") >= F.col("minx"))
-                  & (F.col("lon") <= F.col("maxx"))
-                  & (F.col("lat") >= F.col("miny"))
-                  & (F.col("lat") <= F.col("maxy"))))
-    return (j.groupBy("poly_id", "ver")
-            .agg(F.count("*").alias("n_hits"),
-                 F.min("event_id").alias("first_event")))
-
-
-def _pip_versioned_sql() -> str:
-    from geobuf_spark.sources.minted import (LAT_MOD, LAT_MULT, LON_MOD,
-                                             LON_MULT, _sql_mulmod)
-    lon = f"({_sql_mulmod('event_id', LON_MULT, LON_MOD)} - {LON_MOD // 2}) / 1e7"
-    lat = f"({_sql_mulmod('event_id', LAT_MULT, LAT_MOD)} - {LAT_MOD // 2}) / 1e7"
-    return f"""
-        WITH pts AS (SELECT event_id,
-                            CAST(floor(epoch(ts)) AS BIGINT) AS s,
-                            {lon} AS lon, {lat} AS lat
-                     FROM events),
-        r AS ({minted.SQL_MINTED_RECTS.strip()}),
-        vers AS (SELECT poly_id, v.ver,
-                        minx + v.ver * 0.5 AS minx,
-                        maxx + v.ver * 0.5 AS maxx,
-                        miny, maxy,
-                        {PIPV_T0} + v.ver * {PIPV_EPOCH_S} AS vf,
-                        {PIPV_T0} + (v.ver + 1) * {PIPV_EPOCH_S} AS vt
-                 FROM r, (VALUES (0), (1), (2)) v(ver)),
-        j AS (SELECT p.event_id, vers.poly_id, vers.ver
-              FROM pts p JOIN vers
-                ON p.s >= vers.vf AND p.s < vers.vt
-               AND p.lon >= vers.minx AND p.lon <= vers.maxx
-               AND p.lat >= vers.miny AND p.lat <= vers.maxy)
-        SELECT poly_id, CAST(ver AS BIGINT) AS ver,
-               count(*) AS n_hits,
-               min(event_id) AS first_event
-        FROM j GROUP BY 1, 2"""
-
-
-DOW_K = 4  # Chebyshev multiplier on the residual second moment
-
-
-def q_dow_residual_outliers(spark, sf):
-    # seasonally-adjusted anomaly gate: remove the day-of-week profile
-    # FIRST (resid = x·n_dow − s_dow, integer-scaled so no division),
-    # then flag days whose squared residual exceeds K× the corpus
-    # residual second moment — the Chebyshev test anomaly_days applies
-    # globally, here applied AFTER deseasonalization so a quiet Sunday
-    # doesn't read as an outage. Exact integers end to end; per-dow
-    # residuals sum to zero by construction, so the gate needs only Q.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    daily = e.groupBy("day").agg(F.count("*").alias("x"))
-    dd = daily.withColumn("dow", F.expr("day % 7"))
-    prof = dd.groupBy("dow").agg(F.count("*").alias("n_dow"),
-                                 F.sum("x").alias("s_dow"))
-    rz = (dd.join(F.broadcast(prof), "dow")
-          .withColumn("resid",
-                      F.col("x") * F.col("n_dow") - F.col("s_dow")))
-    tot = rz.agg(F.count("*").alias("n_tot"),
-                 F.sum(F.col("resid") * F.col("resid")).alias("q_tot"))
-    return (rz.crossJoin(F.broadcast(tot))
-            .withColumn("is_outlier",
-                        (F.col("resid") * F.col("resid") * F.col("n_tot")
-                         > F.lit(DOW_K) * F.col("q_tot")).cast("int"))
-            .select("day", "dow", "x", "n_dow", "resid", "is_outlier"))
-
-
-def _dow_residual_outliers_sql() -> str:
-    return f"""
-        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                              AS day
-                   FROM events),
-        daily AS (SELECT day, count(*) AS x FROM e GROUP BY 1),
-        dd AS (SELECT day, x, day % 7 AS dow FROM daily),
-        prof AS (SELECT dow, count(*) AS n_dow,
-                        CAST(sum(x) AS BIGINT) AS s_dow
-                 FROM dd GROUP BY 1),
-        rz AS (SELECT day, dd.dow, x, n_dow,
-                      x * n_dow - s_dow AS resid
-               FROM dd JOIN prof ON dd.dow = prof.dow),
-        tot AS (SELECT count(*) AS n_tot,
-                       CAST(sum(resid * resid) AS BIGINT) AS q_tot
-                FROM rz)
-        SELECT day, dow, x, n_dow, resid,
-               CAST(CASE WHEN resid * resid * n_tot > {DOW_K} * q_tot
-                         THEN 1 ELSE 0 END AS INT) AS is_outlier
-        FROM rz, tot"""
-
-
-# ---------------------------------------------------------------------------
-# batch 56 — rank-biased overlap, longest duplicated-span run
-# ---------------------------------------------------------------------------
-
-RBO_DEPTH = 20
-
-
-def q_rbo_rankings(spark, sf):
-    # rank-agreement audit between two host rankings (by page count vs
-    # by byte mass): overlap at every depth d ≤ 20 plus the rank-biased-
-    # overlap term (1e6·ov) div (d·2^d) — dyadic weights keep the whole
-    # curve integer-exact (the geometric p=½ RBO, truncated and
-    # unnormalized; the per-depth curve is the diagnostic). Overlap@d
-    # counts hosts whose max(rank_a, rank_b) ≤ d — one host join, one
-    # 20-row broadcast.
-    from pyspark.sql import Window as Win
-    p = pages.pages(spark, 2000)
-    h = (p.groupBy(TXT.url_host(F.col("url")).alias("host"))
-         .agg(F.count("*").alias("n_pages"),
-              F.sum(F.octet_length("text")).alias("total_bytes"))
-         .localCheckpoint(eager=False))
-    ra = (h.withColumn("a_rk", F.row_number().over(
-              Win.orderBy(F.desc("n_pages"), F.asc("host"))))
-          .filter(F.col("a_rk") <= RBO_DEPTH).select("host", "a_rk"))
-    rb = (h.withColumn("b_rk", F.row_number().over(
-              Win.orderBy(F.desc("total_bytes"), F.asc("host"))))
-          .filter(F.col("b_rk") <= RBO_DEPTH).select("host", "b_rk"))
-    shared = ra.join(rb, "host").select(
-        F.greatest("a_rk", "b_rk").alias("mx"))
-    ds = spark.range(1, RBO_DEPTH + 1).select(
-        F.col("id").cast("bigint").alias("d"))
-    return (ds.crossJoin(shared)
-            .groupBy("d")
-            .agg(F.sum(F.expr("if(mx <= d, 1, 0)")).alias("ov"))
-            .withColumn("term_ppm",
-                        F.expr("(1000000 * ov) div (d * shiftleft(1L, "
-                               "cast(d as int)))")))
-
-
-def _rbo_rankings_sql(n: int = 2000, seed: int = 42) -> str:
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        h AS (SELECT {TXT.sql_url_host('url')} AS host,
-                     count(*) AS n_pages,
-                     CAST(sum(octet_length(encode(text))) AS BIGINT)
-                         AS total_bytes
-              FROM txt GROUP BY 1),
-        ra AS (SELECT host, row_number() OVER
-                   (ORDER BY n_pages DESC, host) AS a_rk FROM h
-               QUALIFY a_rk <= {RBO_DEPTH}),
-        rb AS (SELECT host, row_number() OVER
-                   (ORDER BY total_bytes DESC, host) AS b_rk FROM h
-               QUALIFY b_rk <= {RBO_DEPTH}),
-        shared AS (SELECT greatest(a_rk, b_rk) AS mx
-                   FROM ra JOIN rb USING (host)),
-        ds AS (SELECT CAST(t.d + 1 AS BIGINT) AS d
-               FROM range({RBO_DEPTH}) t(d))
-        SELECT d,
-               CAST(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END) AS BIGINT)
-                   AS ov,
-               (1000000 * CAST(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END)
-                    AS BIGINT)) // (d * (1::BIGINT << CAST(d AS INT)))
-                   AS term_ppm
-        FROM ds CROSS JOIN shared
-        GROUP BY 1"""
-
-
-def q_dup_span_maxrun(spark, sf):
-    # exact-substring-dedup refinement: the LONGEST consecutive run of
-    # cross-document-duplicated 8-grams per doc — dup_span_frac says how
-    # much is shared, this says whether it's one contiguous lifted block
-    # (the remove-the-span signal) or scattered collocations. Islands by
-    # pos − row_number over the flagged positions; the shared-gram flag
-    # is the same windowed distinct-doc count as dup_span_stats.
-    from pyspark.sql import Window as Win
-    d = _docs(spark, sf).select("doc_id", "text")
-    g = d.select("doc_id", F.posexplode(
-        F.transform(TXT.word_ngrams(F.col("text"), 8), F.md5))
-        .alias("pos", "gram"))
-    per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("m"))
-    nd = per.withColumn(
-        "nd", F.count("*").over(Win.partitionBy("gram")))
-    flagged = (g.join(nd.filter(F.col("nd") >= 2)
-                      .select("doc_id", "gram").distinct(),
-                      ["doc_id", "gram"]))
-    iw = Win.partitionBy("doc_id").orderBy("pos")
-    runs = (flagged
-            .withColumn("grp", F.col("pos") - F.row_number().over(iw))
-            .groupBy("doc_id", "grp").agg(F.count("*").alias("run")))
-    mx = runs.groupBy("doc_id").agg(F.max("run").alias("max_dup_run"))
-    tot = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    return (tot.join(mx, "doc_id", "left")
-            .select("doc_id", "n_grams",
-                    F.coalesce("max_dup_run", F.lit(0))
-                    .alias("max_dup_run")))
-
-
-def _dup_span_maxrun_sql() -> str:
-    return f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-                      FROM documents),
-        g AS (SELECT doc_id, t.i AS pos,
-                     md5(array_to_string(w[t.i + 1:t.i + 8], ' '))
-                         AS gram
-              FROM toks,
-              LATERAL (SELECT unnest(range(len(w) - 7)) AS i) t
-              WHERE len(w) >= 8),
-        per AS (SELECT doc_id, gram FROM g GROUP BY 1, 2),
-        nd AS (SELECT doc_id, gram,
-                      count(*) OVER (PARTITION BY gram) AS nd
-               FROM per),
-        flagged AS (SELECT g.doc_id, g.pos
-                    FROM g JOIN (SELECT doc_id, gram FROM nd
-                                 WHERE nd >= 2) s
-                      ON g.doc_id = s.doc_id AND g.gram = s.gram),
-        runs AS (SELECT doc_id,
-                        pos - row_number() OVER (PARTITION BY doc_id
-                            ORDER BY pos) AS grp
-                 FROM flagged),
-        mx AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_dup_run
-               FROM (SELECT doc_id, grp, count(*) AS cnt
-                     FROM runs GROUP BY 1, 2)
-               GROUP BY 1),
-        tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
-        SELECT tot.doc_id, tot.n_grams,
-               coalesce(mx.max_dup_run, 0) AS max_dup_run
-        FROM tot LEFT JOIN mx ON tot.doc_id = mx.doc_id"""
-
-
-# ---------------------------------------------------------------------------
-# batch 57 — bulk kNN graph, language unigram-profile cosine
-# ---------------------------------------------------------------------------
-
-KNNG_K = 3
-
-
-def q_knn_graph_k3(spark, sf):
-    # bulk kNN-GRAPH construction (the UMAP/HDBSCAN input): every
-    # point's 3 nearest neighbors within RADIUS_R, from ONE grid-
-    # bucketed radius self-join + a per-point top-k window with the
-    # deterministic (d², nb) tie order. The query-set kNN operator
-    # (knn_k5) answers "k nearest to THESE probes"; this materializes
-    # the whole graph in one pass — at 100 TB the radius prefilter is
-    # what keeps it from being the quadratic all-pairs.
-    from pyspark.sql import Window as Win
-    from geobuf_spark.sources.tables import widen
-    p = widen(minted.minted_cluster_points_q(spark, sf), spark)
-    pairs = sj.radius_self_join(p, r=RADIUS_R)
-    both = (pairs.select(F.col("id_a").alias("doc_id"),
-                         F.col("id_b").alias("nb"), "dist2")
-            .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
-                                      F.col("id_a").alias("nb"), "dist2")))
-    w = Win.partitionBy("doc_id").orderBy("dist2", "nb")
-    return (both.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= KNNG_K)
-            .select("doc_id", "rk", "nb", "dist2"))
-
-
-def _knn_graph_k3_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    return f"""
-        WITH p AS ({pts}),
-        cand AS (SELECT a.doc_id, b.doc_id AS nb,
-                        CAST(a.qx - b.qx AS HUGEINT) * (a.qx - b.qx)
-                        + CAST(a.qy - b.qy AS HUGEINT) * (a.qy - b.qy)
-                            AS d2
-                 FROM p a JOIN p b ON a.doc_id <> b.doc_id),
-        inr AS (SELECT doc_id, nb, CAST(d2 AS BIGINT) AS dist2
-                FROM cand
-                WHERE d2 <= {RADIUS_R}::HUGEINT * {RADIUS_R}),
-        rk AS (SELECT doc_id, nb, dist2,
-                      row_number() OVER (PARTITION BY doc_id
-                          ORDER BY dist2, nb) AS rk
-               FROM inr)
-        SELECT doc_id, rk, nb, dist2 FROM rk WHERE rk <= {KNNG_K}"""
-
-
-def q_lang_profile_cosine(spark, sf):
-    # corpus-profile similarity: cosine between the unigram COUNT
-    # vectors of every language pair — integer dot products and norms
-    # (the verifiable payload; distributional similarity by counting,
-    # word_cooc_cosine's corpus-level sibling) + cos_e6 from shared
-    # float text. One token aggregate, then a self-join on token over
-    # lang-count rows (vocabulary-sized, not corpus-sized).
-    d = _docs(spark, sf).select("lang", "text")
-    tc = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
-          .filter(F.col("tok") != "")
-          .groupBy("lang", "tok").agg(F.count("*").alias("c"))
-          .localCheckpoint(eager=False))
-    norms = tc.groupBy("lang").agg(
-        F.sum(F.col("c") * F.col("c")).alias("n2"))
-    a = tc.select(F.col("lang").alias("lang_a"), "tok",
-                  F.col("c").alias("ca"))
-    b = tc.select(F.col("lang").alias("lang_b"), "tok",
-                  F.col("c").alias("cb"))
-    dots = (a.join(b, "tok").filter(F.col("lang_a") < F.col("lang_b"))
-            .groupBy("lang_a", "lang_b")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
-    na = norms.select(F.col("lang").alias("lang_a"),
-                      F.col("n2").alias("na2"))
-    nb = norms.select(F.col("lang").alias("lang_b"),
-                      F.col("n2").alias("nb2"))
-    return (dots.join(na, "lang_a").join(nb, "lang_b")
-            .select("lang_a", "lang_b", "dot", "na2", "nb2")
-            .withColumn("cos_e6", F.expr(
-                "CAST(floor(1000000.0 * CAST(dot AS DOUBLE)"
-                " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)))"
-                " AS BIGINT)")))
-
-
-def _lang_profile_cosine_sql() -> str:
-    return """
-        WITH toks AS (SELECT lang, unnest(string_split(text, ' '))
-                                 AS tok
-                      FROM documents),
-        tc AS (SELECT lang, tok, count(*) AS c FROM toks
-               WHERE tok <> '' GROUP BY 1, 2),
-        norms AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2
-                  FROM tc GROUP BY 1),
-        dots AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
-                        CAST(sum(a.c * b.c) AS BIGINT) AS dot
-                 FROM tc a JOIN tc b
-                   ON a.tok = b.tok AND a.lang < b.lang
-                 GROUP BY 1, 2)
-        SELECT lang_a, lang_b, dot,
-               na.n2 AS na2, nb.n2 AS nb2,
-               CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
-                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
-                   AS BIGINT) AS cos_e6
-        FROM dots
-        JOIN norms na ON na.lang = dots.lang_a
-        JOIN norms nb ON nb.lang = dots.lang_b"""
-
-
-# ---------------------------------------------------------------------------
-# batch 58 — integer Epanechnikov KDE, market-basket pair lift
-# ---------------------------------------------------------------------------
-
-KDE_R = 9_000_000  # bandwidth = cell size ⇒ the 3×3 ring is complete
-
-
-def q_kde_cells(spark, sf):
-    # kernel density at cell centers with the Epanechnikov kernel kept
-    # INTEGER: w(d) = max(0, R² − d²) on the lattice — the density
-    # surface idw interpolates point values over, but as a pure
-    # second-moment sum (no division at all). Centers are the occupied
-    # R-cells' midpoints; candidates from the 3×3 ring (complete
-    # because bandwidth == cell size). One distinct + one equi-join.
-    p = minted.minted_cluster_points_q(spark, sf)
-    cells = (p.select(F.expr(f"qx div {KDE_R}").alias("cx"),
-                      F.expr(f"qy div {KDE_R}").alias("cy"))
-             .distinct()
-             .withColumn("mx", F.expr(f"cx * {KDE_R} + {KDE_R // 2}"))
-             .withColumn("my", F.expr(f"cy * {KDE_R} + {KDE_R // 2}")))
-    ring = (cells.withColumn("dx", F.explode(F.sequence(F.lit(-1),
-                                                        F.lit(1))))
-            .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-            .select("cx", "cy", "mx", "my",
-                    (F.col("cx") + F.col("dx")).alias("jx"),
-                    (F.col("cy") + F.col("dy")).alias("jy")))
-    pts = p.select(F.expr(f"qx div {KDE_R}").alias("jx"),
-                   F.expr(f"qy div {KDE_R}").alias("jy"), "qx", "qy")
-    d2 = ((F.col("mx") - F.col("qx")) * (F.col("mx") - F.col("qx"))
-          + (F.col("my") - F.col("qy")) * (F.col("my") - F.col("qy")))
-    r2 = F.lit(KDE_R).cast("bigint") * F.lit(KDE_R)
-    j = (ring.join(pts, ["jx", "jy"])
-         .withColumn("d2", d2)
-         .filter(F.col("d2") < r2))
-    return (j.groupBy("cx", "cy")
-            .agg(F.count("*").alias("n_in_r"),
-                 F.sum(r2 - F.col("d2")).alias("kde")))
-
-
-def _kde_cells_sql() -> str:
-    pts = minted.sql_minted_cluster_points_q()
-    r = KDE_R
-    return f"""
-        WITH p AS ({pts}),
-        cells AS (SELECT DISTINCT qx // {r} AS cx, qy // {r} AS cy
-                  FROM p),
-        ctr AS (SELECT cx, cy, cx * {r} + {r // 2} AS mx,
-                       cy * {r} + {r // 2} AS my
-                FROM cells),
-        ring AS (SELECT cx, cy, mx, my,
-                        cx + o.dx AS jx, cy + o.dy AS jy
-                 FROM ctr, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
-                                   (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
-        pp AS (SELECT qx // {r} AS jx, qy // {r} AS jy, qx, qy FROM p),
-        j AS (SELECT ring.cx, ring.cy,
-                     (mx - qx) * (mx - qx) + (my - qy) * (my - qy) AS d2
-              FROM ring JOIN pp ON ring.jx = pp.jx AND ring.jy = pp.jy)
-        SELECT cx, cy, count(*) AS n_in_r,
-               CAST(sum({r}::BIGINT * {r} - d2) AS BIGINT) AS kde
-        FROM j WHERE d2 < {r}::BIGINT * {r}
-        GROUP BY 1, 2"""
-
-
-BASKET_MIN = 2
-
-
-def q_basket_pairs(spark, sf):
-    # market-basket association over TPC-H: part pairs co-ordered in
-    # ≥ BASKET_MIN orders, with support and the exact integer lift
-    # lift_ppm = 1e6·N·c_ab div (c_a·c_b). Quadratic per ORDER (≤7
-    # lineitems — the bound is the contract, like the LSH bucket caps),
-    # linear in orders; part marginals broadcast back onto the pair
-    # table.
-    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
-          .select("l_orderkey", "l_partkey").distinct()
-          .localCheckpoint(eager=False))
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pb"))
-    pairs = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
-             .groupBy("pa", "pb").agg(F.count("*").alias("c_ab"))
-             .filter(F.col("c_ab") >= BASKET_MIN))
-    marg = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    n = li.select("l_orderkey").distinct().count()
-    return (pairs
-            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pa"),
-                                          F.col("c").alias("c_a"))), "pa")
-            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pb"),
-                                          F.col("c").alias("c_b"))), "pb")
-            .select("pa", "pb", "c_ab", "c_a", "c_b",
-                    F.expr(f"{n}L * c_ab * 1000000 div (c_a * c_b)")
-                    .alias("lift_ppm")))
-
-
-def _basket_pairs_sql() -> str:
-    return f"""
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
-                    FROM lineitem),
-        pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-                         count(*) AS c_ab
-                  FROM li a JOIN li b
-                    ON a.l_orderkey = b.l_orderkey
-                   AND a.l_partkey < b.l_partkey
-                  GROUP BY 1, 2
-                  HAVING count(*) >= {BASKET_MIN}),
-        marg AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
-        n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li)
-        SELECT pa, pb, c_ab, ma.c AS c_a, mb.c AS c_b,
-               n.n * c_ab * 1000000 // (ma.c * mb.c) AS lift_ppm
-        FROM pairs
-        JOIN marg ma ON ma.l_partkey = pairs.pa
-        JOIN marg mb ON mb.l_partkey = pairs.pb
-        CROSS JOIN n"""
-
-
-# ---------------------------------------------------------------------------
-# batch 59 — prefix-filtered set-similarity join, summed-area-table counts
-# ---------------------------------------------------------------------------
-
-SSJOIN_TAU_PPM = 500_000  # Jaccard ≥ 0.5, kept rational: 2·inter ≥ union
-
-
-def q_ssjoin_prefix(spark, sf):
-    # exact shingle-Jaccard τ-join whose CANDIDATES come from PPJoin-style
-    # prefix filtering (operators/dedup.prefix_filter_pairs): only the
-    # p = n − ⌈τn⌉ + 1 globally-rarest shingles of each document generate
-    # pairs, plus the τ length filter — lossless by the prefix-filter
-    # theorem, and the stop-shingle df² blowup never reaches the verify
-    # join. The oracle is the INDEPENDENT full inverted join (no prefix
-    # logic at all), so a green row proves losslessness end to end.
-    return dedup.prefix_filter_pairs(_docs(spark, sf), key="doc_id",
-                                     shingle_k=3, tau_ppm=SSJOIN_TAU_PPM)
-
-
-def _ssjoin_prefix_sql(k: int = 3, tau_ppm: int = SSJOIN_TAU_PPM) -> str:
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
-                   FROM documents),
-        sh0 AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
-                                                chr(31)))) AS shs
-                FROM d),
-        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
-        counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                   FROM sh GROUP BY 1),
-        shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                          CAST(count(*) AS BIGINT) AS inter
-                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-                   GROUP BY 1, 2)
-        SELECT a, b, inter, ca.n AS na, cb.n AS nb,
-               1000000 * inter // (ca.n + cb.n - inter) AS jacc_ppm
-        FROM shared
-        JOIN counts ca ON ca.doc_id = a
-        JOIN counts cb ON cb.doc_id = b
-        WHERE 1000000 * inter >= {tau_ppm} * (ca.n + cb.n - inter)"""
-
-
-# summed-area table over the full minted lattice: cell = 1e8 lattice units
-# (10°), so the dense grid is a CONSTANT 36×17 = 612 cells at every scale —
-# the separable two-scan SAT costs O(grid), only the per-cell count sees N.
-SAT_R = 100_000_000
-SAT_W = 36  # ceil(LON_MOD / SAT_R)
-SAT_H = 17  # ceil(LAT_MOD / SAT_R)
-
-
-def q_rect_prefix_counts(spark, sf):
-    # rectangle COUNT queries answered from a 2D summed-area table:
-    # occupied-cell counts (the only N-sized aggregate, map-side
-    # combinable) densified onto the constant 36×17 grid, then two
-    # cascaded cumulative windows (cum over cy within cx, then cum over
-    # cx within cy) build S(x,y) = Σ_{i≤x,j≤y} c — the separable-scan
-    # identity. Each minted query rectangle is answered by the 4-corner
-    # inclusion-exclusion S(x2,y2)−S(x1−1,y2)−S(x2,y1−1)+S(x1−1,y1−1):
-    # O(1) per query regardless of rectangle area, vs the direct
-    # containment join the oracle runs. Corners at −1 fall off the dense
-    # grid and contribute 0 via the left join.
-    from pyspark.sql import Window
-    p = minted.minted_points_q(spark, sf)
-    occ = (p.select(F.expr(f"qx div {SAT_R}").alias("cx"),
-                    F.expr(f"qy div {SAT_R}").alias("cy"))
-           .groupBy("cx", "cy").agg(F.count("*").alias("c")))
-    grid = (spark.range(SAT_W * SAT_H)
-            .select(F.expr(f"id div {SAT_H}").alias("cx"),
-                    F.expr(f"id % {SAT_H}").alias("cy")))
-    dense = (grid.join(occ, ["cx", "cy"], "left")
-             .select("cx", "cy", F.coalesce("c", F.lit(0)).alias("c")))
-    wy = (Window.partitionBy("cx").orderBy("cy")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wx = (Window.partitionBy("cy").orderBy("cx")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sat = (dense.withColumn("sy", F.sum("c").over(wy))
-           .withColumn("s", F.sum("sy").over(wx))
-           .select("cx", "cy", "s"))
-    rects = _sat_rects(spark, sf)
-    corners = (rects.select(
-        "rect_id", "x1", "y1", "x2", "y2",
-        F.explode(F.array(
-            F.struct(F.col("x2").alias("px"), F.col("y2").alias("py"),
-                     F.lit(1).alias("sgn")),
-            F.struct((F.col("x1") - 1).alias("px"), F.col("y2").alias("py"),
-                     F.lit(-1).alias("sgn")),
-            F.struct(F.col("x2").alias("px"), (F.col("y1") - 1).alias("py"),
-                     F.lit(-1).alias("sgn")),
-            F.struct((F.col("x1") - 1).alias("px"),
-                     (F.col("y1") - 1).alias("py"),
-                     F.lit(1).alias("sgn")))).alias("k")))
-    joined = corners.join(
-        F.broadcast(sat),
-        (F.col("k.px") == F.col("cx")) & (F.col("k.py") == F.col("cy")),
-        "left")
-    return (joined.groupBy("rect_id", "x1", "y1", "x2", "y2")
-            .agg(F.sum(F.col("k.sgn") * F.coalesce(F.col("s"), F.lit(0)))
-                 .alias("n_points")))
-
-
-def _sat_rects(spark, sf):
-    # deterministic cell-space query rectangles, one per customer —
-    # the same chained-mulmod mint idiom as the geometry fixtures
-    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
-    x1 = minted._mulmod(F.col("c_custkey"), 48271, SAT_W)
-    y1 = minted._mulmod(F.col("c_custkey"), 69621, SAT_H)
-    wd = minted._mulmod(F.col("c_custkey"), 7919, 12) + 1
-    ht = minted._mulmod(F.col("c_custkey"), 104729, 8) + 1
-    return cust.select(
-        F.col("c_custkey").alias("rect_id"),
-        x1.cast("bigint").alias("x1"), y1.cast("bigint").alias("y1"),
-        F.least(x1 + wd, F.lit(SAT_W - 1)).cast("bigint").alias("x2"),
-        F.least(y1 + ht, F.lit(SAT_H - 1)).cast("bigint").alias("y2"))
-
-
-def _sat_rects_sql() -> str:
-    x1 = minted._sql_mulmod("c_custkey", 48271, SAT_W)
-    y1 = minted._sql_mulmod("c_custkey", 69621, SAT_H)
-    wd = f"({minted._sql_mulmod('c_custkey', 7919, 12)} + 1)"
-    ht = f"({minted._sql_mulmod('c_custkey', 104729, 8)} + 1)"
-    return f"""SELECT c_custkey AS rect_id,
-               CAST({x1} AS BIGINT) AS x1, CAST({y1} AS BIGINT) AS y1,
-               CAST(least({x1} + {wd}, {SAT_W - 1}) AS BIGINT) AS x2,
-               CAST(least({y1} + {ht}, {SAT_H - 1}) AS BIGINT) AS y2
-               FROM customer"""
-
-
-def _rect_prefix_counts_sql() -> str:
-    # independent oracle: the DIRECT containment count per rectangle
-    # (no SAT, no prefix sums) — left join keeps empty rectangles at 0
-    return f"""
-        WITH p AS ({minted.SQL_MINTED_POINTS_Q.strip()}),
-        cells AS (SELECT qx // {SAT_R} AS cx, qy // {SAT_R} AS cy FROM p),
-        r AS ({_sat_rects_sql()})
-        SELECT r.rect_id, r.x1, r.y1, r.x2, r.y2,
-               CAST(count(cells.cx) AS BIGINT) AS n_points
-        FROM r LEFT JOIN cells
-          ON cells.cx BETWEEN r.x1 AND r.x2
-         AND cells.cy BETWEEN r.y1 AND r.y2
-        GROUP BY 1, 2, 3, 4, 5"""
-
-
-# ---------------------------------------------------------------------------
-# batch 60 — bounded weighted shortest path, Allen interval-relation census
-# ---------------------------------------------------------------------------
-
-
-def _host_wedges(spark):
-    # weighted host-link edges: the shared _host_edges mint plus a
-    # deterministic integer latency weight 10..99 per UNDIRECTED pair
-    # (hash60 of the canonicalised "u>v" string, so both directions and
-    # both engines agree)
-    ed = _host_edges(spark)
-    u = F.least("src_host", "dst_host")
-    v = F.greatest("src_host", "dst_host")
-    w = F.pmod(phash.hash60(F.concat(u, F.lit(">"), v)), F.lit(90)) + F.lit(10)
-    return ed.select(F.col("src_host").alias("src"),
-                     F.col("dst_host").alias("dst"), w.alias("w"))
-
-
-def _host_wedges_cte() -> str:
-    h = phash.sql_hash60("least(src, dst) || '>' || greatest(src, dst)")
-    return (_host_edges_cte() + f""",
-        wed AS (SELECT src, dst, {h} % 90 + 10 AS w FROM ed)""")
-
-
-def q_sssp_w3(spark, sf):
-    # bounded-hop WEIGHTED shortest path from the seed hosts over the
-    # link graph with minted integer latencies — the weighted sibling of
-    # bfs_hops3 ("cheapest crawl route within 3 hops"). Bellman-Ford
-    # with a changed-set frontier (graph.sssp_bounded): round k relaxes
-    # only nodes improved in round k-1, so the per-round join shrinks as
-    # the wave settles. The oracle is the INDEPENDENT algorithm — full
-    # ≤3-edge walk enumeration with one final min, no relaxation — so a
-    # green row checks the frontier delta argument end to end.
-    from geobuf_spark.operators import graph
-    ed = _host_wedges(spark)
-    nodes = (ed.select(F.col("src").alias("host"))
-             .unionByName(ed.select(F.col("dst").alias("host")))
-             .distinct())
-    seeds = nodes.filter(F.col("host").endswith("00.example"))
-    return graph.sssp_bounded(ed, seeds, max_rounds=3)
-
-
-def _sssp_w3_sql() -> str:
-    from geobuf_spark.operators import graph
-    return graph.sql_sssp_bounded(_host_wedges_cte(),
-                                  "n LIKE '%00.example'", max_rounds=3)
-
-
-def q_allen_census(spark, sf):
-    # Allen interval-algebra census over CONSECUTIVE per-user event
-    # intervals (the interval_union_time mint): classify each (earlier,
-    # next) pair by its exact temporal relation — precedes / meets /
-    # overlaps / finished_by / contains / starts / equals / started_by
-    # (the 8 relations possible once pairs are ordered by start) — and
-    # count pairs + distinct users per relation. This is the diagnostic
-    # that sizes session gap thresholds: "do successive intervals chain,
-    # overlap, or nest?". Intervals live on a 600 s lattice (start
-    # snapped down, duration 1..24 lattice steps) so the boundary
-    # relations (meets/starts/finished_by/started_by) actually occur —
-    # raw-second timestamps never tie. One window shuffle on user_id,
-    # everything else integer comparisons; output ≤8 rows.
-    from pyspark.sql import Window as Win
-    u = F.unix_timestamp("ts")
-    s0 = (u - F.pmod(u, F.lit(600)))
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", s0.alias("s"),
-        (s0 + (F.pmod(F.col("event_id"), F.lit(24)) + 1) * 600).alias("e"),
-        "event_id")
-    w = Win.partitionBy("user_id").orderBy("s", "event_id")
-    p = (ev.select("user_id", "s", "e",
-                   F.lead("s").over(w).alias("s2"),
-                   F.lead("e").over(w).alias("e2"))
-         .filter(F.col("s2").isNotNull()))
-    s, e, s2, e2 = F.col("s"), F.col("e"), F.col("s2"), F.col("e2")
-    rel = (F.when(e < s2, "precedes")
-           .when(e == s2, "meets")
-           .when((s < s2) & (e < e2), "overlaps")
-           .when((s < s2) & (e == e2), "finished_by")
-           .when(s < s2, "contains")
-           .when(e < e2, "starts")
-           .when(e == e2, "equals")
-           .otherwise("started_by"))
-    return (p.select("user_id", rel.alias("rel"))
-            .groupBy("rel")
-            .agg(F.count("*").alias("n_pairs"),
-                 F.countDistinct("user_id").alias("n_users")))
-
-
-def _allen_census_sql() -> str:
-    return f"""
-        WITH ev AS (SELECT user_id,
-                           (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600
-                               AS s,
-                           (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600
-                               + ((event_id % 24) + 1) * 600 AS e, event_id
-                    FROM events),
-        p AS (SELECT user_id, s, e,
-                     lead(s) OVER (PARTITION BY user_id
-                                   ORDER BY s, event_id) AS s2,
-                     lead(e) OVER (PARTITION BY user_id
-                                   ORDER BY s, event_id) AS e2
-              FROM ev)
-        SELECT CASE
-                 WHEN e < s2 THEN 'precedes'
-                 WHEN e = s2 THEN 'meets'
-                 WHEN s < s2 AND e < e2 THEN 'overlaps'
-                 WHEN s < s2 AND e = e2 THEN 'finished_by'
-                 WHEN s < s2 THEN 'contains'
-                 WHEN e < e2 THEN 'starts'
-                 WHEN e = e2 THEN 'equals'
-                 ELSE 'started_by'
-               END AS rel,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        FROM p WHERE s2 IS NOT NULL
-        GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 61 — constant-folded Voronoi / k-means assignment step, CUSUM
-# changepoint scan
-# ---------------------------------------------------------------------------
-
-
-def q_voronoi_assign(spark, sf):
-    # one Lloyd iteration's assign+update over the clustered point mint:
-    # each point goes to its nearest of the 37 true cluster centers by
-    # EXACT integer d² (decimal(23) products — (Δ≤3.6e9)² overflows
-    # int64), ties broken by min site_id; per site emit the count, the
-    # exact integer centroid (floor(Σq/n) — decimal sums, so the same
-    # plan survives 10^12 rows where Σqx ~ 3.6e21), and own_ppm (the
-    # fraction minted from that center — cluster-recovery diagnostic).
-    # The site table is 37 plan-time constants: assignment is a pure
-    # projection via array_min over 37 structs — NO join, NO broadcast,
-    # whole-stage codegen end to end; the only exchange is the final
-    # 37-group map-side-combinable agg. The oracle is the INDEPENDENT
-    # plan: cross join × row_number over a range()-minted site relation.
-    from geobuf_spark.sources import minted
-    pts = minted.minted_cluster_points_q(spark, sf)
-    cand = []
-    for g, sx, sy in minted.cluster_centers():
-        dx = (F.col("qx") - F.lit(sx)).cast("decimal(11,0)")
-        dy = (F.col("qy") - F.lit(sy)).cast("decimal(11,0)")
-        cand.append(F.struct((dx * dx + dy * dy).alias("d2"),
-                             F.lit(g).alias("site_id")))
-    a = pts.select(
-        "doc_id", "qx", "qy",
-        F.array_min(F.array(*cand)).getField("site_id").alias("site_id"))
-    own = (F.col("doc_id") % minted.N_CLUSTERS
-           == F.col("site_id").cast("bigint")).cast("bigint")
-    return (a.groupBy("site_id")
-            .agg(F.count("*").alias("n_points"),
-                 F.sum(F.col("qx").cast("decimal(20,0)")).alias("sqx"),
-                 F.sum(F.col("qy").cast("decimal(20,0)")).alias("sqy"),
-                 F.sum(own).alias("n_own"))
-            .select("site_id",
-                    F.col("n_points").cast("bigint").alias("n_points"),
-                    F.floor(F.col("sqx") / F.col("n_points"))
-                    .cast("bigint").alias("cent_qx"),
-                    F.floor(F.col("sqy") / F.col("n_points"))
-                    .cast("bigint").alias("cent_qy"),
-                    F.expr("1000000 * n_own div n_points")
-                    .cast("bigint").alias("own_ppm")))
-
-
-def _voronoi_assign_sql() -> str:
-    from geobuf_spark.sources import minted
-    return f"""
-        WITH pts AS ({minted.sql_minted_cluster_points_q()}),
-        sites AS ({minted.sql_cluster_centers()}),
-        d AS (SELECT p.doc_id, p.qx, p.qy, s.site_id,
-                     CAST(p.qx - s.sx AS HUGEINT) * (p.qx - s.sx)
-                     + CAST(p.qy - s.sy AS HUGEINT) * (p.qy - s.sy) AS d2
-              FROM pts p CROSS JOIN sites s),
-        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                           ORDER BY d2, site_id) AS rn
-              FROM d)
-        SELECT site_id, CAST(count(*) AS BIGINT) AS n_points,
-               CAST(CAST(sum(qx) AS HUGEINT) // count(*) AS BIGINT)
-                   AS cent_qx,
-               CAST(CAST(sum(qy) AS HUGEINT) // count(*) AS BIGINT)
-                   AS cent_qy,
-               CAST(1000000 * sum(CASE WHEN doc_id % {minted.N_CLUSTERS}
-                                            = site_id
-                                       THEN 1 ELSE 0 END) // count(*)
-                    AS BIGINT) AS own_ppm
-        FROM r WHERE rn = 1 GROUP BY 1"""
-
-
-def q_cusum_days(spark, sf):
-    # CUSUM level-shift changepoint over the daily event-count series —
-    # the drift gate that catches "the crawler slowed down mid-month"
-    # (anomaly_days flags single burst days; this finds the sustained
-    # shift). Exact integers: with D days and T total events, the
-    # running sum of (n_d·D − T) is D × the classical CUSUM of (n_d −
-    # T/D); its |max| locates the changepoint (tie → earliest day) and
-    # it telescopes to exactly 0 at the end. The daily rollup is the
-    # only real exchange (map-side combinable); the window then runs
-    # over ≤ a few hundred day rows — a deliberate single-partition
-    # frame on a bounded series, same shape at any corpus size.
-    from pyspark.sql import Window as Win
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    days = ev.groupBy("day").agg(F.count("*").alias("n"))
-    wall = Win.partitionBy()
-    wcum = (Win.partitionBy().orderBy("day")
-            .rowsBetween(Win.unboundedPreceding, 0))
-    d = (days.withColumn("nd", F.count("*").over(wall))
-         .withColumn("tot", F.sum("n").over(wall))
-         .withColumn("cusum", F.sum(F.col("n") * F.col("nd")
-                                    - F.col("tot")).over(wcum)))
-    return (d.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
-            .limit(1)
-            .select(F.col("day").cast("bigint").alias("day"),
-                    F.col("cusum").cast("bigint").alias("cusum_scaled"),
-                    F.col("n").cast("bigint").alias("n_day"),
-                    F.col("nd").cast("int").alias("n_days"),
-                    F.col("tot").cast("bigint").alias("total_events")))
-
-
-def _cusum_days_sql() -> str:
-    return """
-        WITH days AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                          AS day, count(*) AS n
-                      FROM events GROUP BY 1),
-        tot AS (SELECT count(*) AS nd, sum(n) AS tot FROM days),
-        c AS (SELECT day, n, nd, tot,
-                     sum(n * nd - tot) OVER (ORDER BY day) AS cusum
-              FROM days, tot)
-        SELECT CAST(day AS BIGINT) AS day,
-               CAST(cusum AS BIGINT) AS cusum_scaled,
-               CAST(n AS BIGINT) AS n_day,
-               CAST(nd AS INT) AS n_days,
-               CAST(tot AS BIGINT) AS total_events
-        FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 62 — MMR diversified top-k selection, per-language TF-IDF
-# characteristic terms
-# ---------------------------------------------------------------------------
-
-MMR_K = 3          # selections (bounded constant — one 1-row driver
-MMR_LAM = 200      # round-trip per pick, never data-sized)
-
-
-def q_mmr_topk(spark, sf):
-    # Maximal-Marginal-Relevance diversified selection — the dedup-aware
-    # "pick k exemplar documents" step of a training-data curation
-    # pipeline. Greedy, exact integers: rel(d) = |distinct 3-shingles|,
-    # round r picks argmax of 1e6·rel − MMR_LAM·maxsim_ppm where
-    # maxsim_ppm is the max exact Jaccard (ppm, floor) against the
-    # already-selected docs; ties → min doc_id. Each round is ONE
-    # distributed argmax (orderBy→limit 1); the selected shingle sets
-    # ride along as plan literals (array_intersect against a constant
-    # array — no join), so per-round cost is a projection + top-1, and
-    # only MMR_K=3 single-row collects touch the driver (the loop lives
-    # in operators/similarity.mmr_select). The oracle is the same greedy
-    # chain as materialized chained CTEs with an inverted shingle JOIN
-    # for the intersections — an independent formulation of every
-    # intersection/union.
-    from geobuf_spark.operators import similarity
-    sel = similarity.mmr_select(_docs(spark, sf), key="doc_id",
-                                k=MMR_K, lam=MMR_LAM)
-    out = [(rank, int(key), rel, maxsim, score)
-           for rank, key, rel, maxsim, score in sel]
-    return spark.createDataFrame(
-        out, "rank int, doc_id bigint, rel bigint, maxsim_ppm bigint, "
-             "score bigint")
-
-
-def _mmr_topk_sql(k_rounds: int = MMR_K, lam: int = MMR_LAM) -> str:
-    # chained greedy rounds; round r computes sim against each of the
-    # r−1 previously-picked docs by an inverted shingle join
-    parts = [f"""
-        d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
-              FROM documents),
-        sh0 AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(toks) - 2, 1) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + 2),
-                                                chr(31)))) AS shs
-                FROM d),
-        rel AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS rel FROM sh0),
-        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
-        p1 AS (SELECT doc_id, rel, CAST(0 AS BIGINT) AS maxsim,
-                      1000000 * rel AS score
-               FROM rel ORDER BY rel DESC, doc_id LIMIT 1)"""]
-    for r in range(2, k_rounds + 1):
-        prev = " UNION ALL ".join(f"SELECT doc_id FROM p{j}"
-                                  for j in range(1, r))
-        sims = []
-        for j in range(1, r):
-            sims.append(f"""
-        i{r}_{j} AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS inter
-                     FROM sh a JOIN sh b ON a.s = b.s
-                     WHERE b.doc_id = (SELECT doc_id FROM p{j})
-                     GROUP BY 1),
-        s{r}_{j} AS (SELECT r.doc_id,
-                            coalesce(1000000 * i.inter
-                                     // (r.rel + (SELECT rel FROM rel
-                                                  WHERE doc_id =
-                                                  (SELECT doc_id FROM p{j}))
-                                        - i.inter), 0) AS sim
-                     FROM rel r LEFT JOIN i{r}_{j} i USING (doc_id))""")
-        greatest = "greatest(" + ", ".join(
-            f"s{r}_{j}.sim" for j in range(1, r)) + ")"
-        joins = " ".join(f"JOIN s{r}_{j} USING (doc_id)"
-                         for j in range(1, r))
-        parts.append(",".join(sims) + f""",
-        c{r} AS (SELECT rel.doc_id, rel.rel, {greatest} AS maxsim,
-                        1000000 * rel.rel - {lam} * {greatest} AS score
-                 FROM rel {joins}
-                 WHERE rel.doc_id NOT IN ({prev})),
-        p{r} AS (SELECT doc_id, rel, CAST(maxsim AS BIGINT) AS maxsim,
-                        CAST(score AS BIGINT) AS score
-                 FROM c{r} ORDER BY score DESC, doc_id LIMIT 1)""")
-    sel = "\n        UNION ALL ".join(
-        f"SELECT {r} AS rank, doc_id, rel, maxsim, score FROM p{r}"
-        for r in range(1, k_rounds + 1))
-    return ("WITH " + ",".join(parts) + f"""
-        SELECT CAST(rank AS INT) AS rank, doc_id, rel,
-               CAST(maxsim AS BIGINT) AS maxsim_ppm,
-               CAST(score AS BIGINT) AS score
-        FROM ({sel})""")
-
-
-def q_tfidf_top_terms(spark, sf):
-    # per-language characteristic PHRASES: group-level TF-IDF with the
-    # languages as the "documents" and token trigrams as the terms
-    # (unigram df is vacuous on a shared vocabulary — the corpus's 31
-    # base tokens appear in every language; trigram coverage differs).
-    # tf = trigram occurrences inside the lang, df = number of langs
-    # containing it, N = number of langs; score = (1e6·tf·N) div df,
-    # EXACT integer (no log — ranking inside a fixed N is identical and
-    # the oracle hashes). Top-3 per lang, ties → lexicographically
-    # first term. Trigram agg is map-side combinable; the df side joins
-    # on term (shuffle); the final window runs per lang.
-    from pyspark.sql import Window as Win
-    d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws("\x1f", F.slice(toks, i, 3)))
-    tok = d.select("lang", F.explode(grams).alias("term"))
-    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("lang").alias("df"))
-    nl = d.select(F.countDistinct("lang").alias("nl"))
-    j = (tf.join(df_, "term").crossJoin(F.broadcast(nl))
-         .withColumn("score", F.expr("1000000 * tf * nl div df")))
-    w = Win.partitionBy("lang").orderBy(F.col("score").desc(),
-                                        F.col("term").asc())
-    return (j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select("lang", "term", F.col("tf").cast("bigint").alias("tf"),
-                    F.col("df").cast("bigint").alias("df"),
-                    F.col("rn").cast("int").alias("rank"),
-                    F.col("score").cast("bigint").alias("score")))
-
-
-def _tfidf_top_terms_sql() -> str:
-    return """
-        WITH d AS (SELECT lang, string_split(text, chr(32)) AS toks
-                   FROM documents),
-        tok AS (SELECT lang,
-                       unnest(list_transform(
-                           range(1, greatest(len(toks) - 2, 1) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + 2),
-                                                chr(31)))) AS term
-                FROM d),
-        tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
-               FROM tok GROUP BY 1, 2),
-        df AS (SELECT term, CAST(count(DISTINCT lang) AS BIGINT) AS df
-               FROM tf GROUP BY 1),
-        nl AS (SELECT count(DISTINCT lang) AS nl FROM documents),
-        j AS (SELECT tf.lang, tf.term, tf.tf, df.df,
-                     1000000 * tf.tf * nl.nl // df.df AS score
-              FROM tf JOIN df USING (term), nl),
-        r AS (SELECT *, row_number() OVER (PARTITION BY lang
-                                           ORDER BY score DESC, term ASC)
-                  AS rank
-              FROM j)
-        SELECT lang, term, tf, df, CAST(rank AS INT) AS rank,
-               CAST(score AS BIGINT) AS score
-        FROM r WHERE rank <= 3"""
-
-
-# ---------------------------------------------------------------------------
-# batch 63 — label-propagation communities, consistent-hash ring sharding
-# ---------------------------------------------------------------------------
-
-N_VNODES = 64
-
-
-def q_lpa_communities(spark, sf):
-    # community detection over the host link graph by 2 rounds of
-    # deterministic synchronous label propagation (graph.lpa_labels:
-    # neighbor-majority + one self-vote, ties → lexicographically
-    # smallest label — partitioning-invariant by construction). Output
-    # is the community census (label, n_hosts), the input to "sample
-    # training pages per community" stratification. Oracle: the same
-    # rounds as MATERIALIZED chained CTEs — independent engine, same
-    # fixpoint; a python brute guards the shared-formula blindness.
-    from geobuf_spark.operators import graph
-    lab = graph.lpa_labels(
-        _host_edges(spark).select(F.col("src_host").alias("src"),
-                                  F.col("dst_host").alias("dst")),
-        rounds=2)
-    return (lab.groupBy(F.col("lab").alias("community"))
-            .agg(F.count("*").alias("n_hosts"),
-                 F.min("host").alias("first_host")))
-
-
-def _lpa_communities_sql() -> str:
-    from geobuf_spark.operators import graph
-    inner = graph.sql_lpa_labels(_host_edges_cte(), rounds=2)
-    return f"""
-        SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_hosts,
-               min(host) AS first_host
-        FROM ({inner}) GROUP BY 1"""
-
-
-def q_consistent_shards(spark, sf):
-    # consistent-hashing ring assignment — the shard router that keeps
-    # rebalance bounded to 1/V of keys when a vnode joins/leaves. The
-    # V=64 vnode ring positions are hash60("vnode:v") computed at PLAN
-    # TIME in python (phash.py_hash60 is bit-identical to both engines'
-    # column md5), so assignment is a pure projection: successor = the
-    # (count of ring positions < h)-th entry of the sorted-position
-    # constant array, wrapping past the top — no join, no broadcast;
-    # the only exchange is the 64-group balance rollup. Oracle: the
-    # INDEPENDENT plan — range()-minted ring, cross join, FILTERed min
-    # successor, wrap via global min.
-    from geobuf_spark.functions import phash
-    ring = sorted((phash.py_hash60(f"vnode:{v}"), v)
-                  for v in range(N_VNODES))
-    pos_arr = F.array(*[F.lit(p).cast("bigint") for p, _ in ring])
-    ids_arr = F.array(*[F.lit(v) for _, v in ring])
-    d = _docs(spark, sf).select(
-        "doc_id",
-        phash.hash60(F.concat(F.lit("doc:"),
-                              F.col("doc_id").cast("string"))).alias("h"))
-    cnt = F.size(F.filter(pos_arr, lambda p: p < F.col("h")))
-    vnode = F.element_at(ids_arr, F.pmod(cnt, F.lit(N_VNODES)) + F.lit(1))
-    return (d.withColumn("vnode", vnode)
-            .groupBy("vnode")
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("h").alias("min_h"), F.max("h").alias("max_h"))
-            .select(F.col("vnode").cast("int").alias("vnode"),
-                    F.col("n_docs").cast("bigint").alias("n_docs"),
-                    "min_h", "max_h"))
-
-
-def _consistent_shards_sql() -> str:
-    from geobuf_spark.functions import phash
-    vh = phash.sql_hash60("'vnode:' || CAST(v AS VARCHAR)")
-    dh = phash.sql_hash60("'doc:' || CAST(doc_id AS VARCHAR)")
-    return f"""
-        WITH ring AS (SELECT CAST(v AS INT) AS vnode,
-                             {vh} AS pos
-                      FROM (SELECT CAST(range AS BIGINT) AS v
-                            FROM range(0, {N_VNODES}))),
-        docs AS (SELECT doc_id, {dh} AS h FROM documents),
-        succ AS (SELECT d.doc_id, d.h,
-                        coalesce(min(r.pos) FILTER (WHERE r.pos >= d.h),
-                                 min(r.pos)) AS tpos
-                 FROM docs d CROSS JOIN ring r
-                 GROUP BY 1, 2)
-        SELECT r.vnode, CAST(count(*) AS BIGINT) AS n_docs,
-               min(s.h) AS min_h, max(s.h) AS max_h
-        FROM succ s JOIN ring r ON r.pos = s.tpos
-        GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 64 — nearest-either-direction as-of join, exact collinear
-# polyline simplification
-# ---------------------------------------------------------------------------
-
-ASOF_NEAR_TOL = 86_400  # 1 day — partial coverage at fixture density
-
-
-def q_asof_nearest(spark, sf):
-    # attribution when causality can run either way: each purchase joins
-    # its NEAREST view by the same user within ±1 day (asof_purchase_view
-    # is the backward-only sibling). temporal.asof_nearest: one union +
-    # one user exchange; backward candidate via last() over the
-    # preceding frame, forward via first() over the following frame —
-    # |Δ| ties prefer backward, equal-ts ties the min view id, so the
-    # result is fully deterministic. The oracle is the INDEPENDENT
-    # algorithm — tolerance band join + per-purchase argmin by
-    # (|dt|, dt, vid) — so a green row checks the two-window frame
-    # logic end to end.
-    from geobuf_spark.operators import temporal
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select("user_id", F.col("event_id").alias("purchase_id"),
-                 F.unix_timestamp("ts").alias("te")))
-    v = (ev.filter(F.col("event_type") == "view")
-         .select("user_id", F.col("event_id").alias("view_id"),
-                 F.unix_timestamp("ts").alias("te")))
-    out = temporal.asof_nearest(p, v, key="user_id", ts="te",
-                                right_id="view_id", tol=ASOF_NEAR_TOL)
-    return out.select("user_id", "purchase_id",
-                      F.col("view_id").cast("bigint").alias("view_id"),
-                      F.col("dt_sec").cast("bigint").alias("dt_sec"))
-
-
-def _asof_nearest_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          event_type
-                   FROM events),
-        p AS (SELECT user_id, event_id AS purchase_id, te FROM e
-              WHERE event_type = 'purchase'),
-        v AS (SELECT user_id, event_id AS view_id, te AS tv FROM e
-              WHERE event_type = 'view'),
-        j AS (SELECT p.user_id, p.purchase_id, p.te, v.view_id,
-                     v.tv - p.te AS dt
-              FROM p JOIN v USING (user_id)
-              WHERE abs(v.tv - p.te) <= {ASOF_NEAR_TOL}),
-        r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
-                  ORDER BY abs(dt), dt, view_id) AS rn
-              FROM j)
-        SELECT user_id, purchase_id, CAST(view_id AS BIGINT) AS view_id,
-               CAST(dt AS BIGINT) AS dt_sec
-        FROM r WHERE rn = 1"""
-
-
-def q_simplify_collinear(spark, sf):
-    # exact collinear-vertex removal (the integer-predicate sibling of
-    # simplify_vw): one pass marks interior vertex i iff
-    # cross(v_{i-1}, v_i, v_{i+1}) == 0 with ORIGINAL neighbors, then
-    # drops marked — deterministic, no epsilon. Input plants exact
-    # midpoints on the doubled lattice between each pair of walk
-    # vertices (17 per line), so the 8 planted vertices must vanish —
-    # and the walk mint's constant-step deltas (mulmod wraps aside)
-    # make many ORIGINAL triples exactly collinear too, so the pass
-    # does real compression beyond the plant (pytest pins both).
-    # Everything is a fixed-width unrolled projection (17 coordinate
-    # expressions, 15 cross products) — zero joins, zero shuffles, pure
-    # whole-stage codegen; per-row output keeps the hash surface.
-    from geobuf_spark.sources import minted
-    w = minted.minted_walk_lines_q(spark, sf)
-    ex = [F.element_at("xs_q", i + 1) for i in range(9)]
-    ey = [F.element_at("ys_q", i + 1) for i in range(9)]
-    x2, y2 = [], []
-    for i in range(17):
-        if i % 2 == 0:
-            x2.append(ex[i // 2] * 2)
-            y2.append(ey[i // 2] * 2)
-        else:
-            x2.append(ex[(i - 1) // 2] + ex[(i + 1) // 2])
-            y2.append(ey[(i - 1) // 2] + ey[(i + 1) // 2])
-    kept = [F.lit(True)]
-    for i in range(1, 16):
-        cr = ((x2[i] - x2[i - 1]) * (y2[i + 1] - y2[i - 1])
-              - (y2[i] - y2[i - 1]) * (x2[i + 1] - x2[i - 1]))
-        kept.append(cr != F.lit(0))
-    kept.append(F.lit(True))
-    n_after = sum(k.cast("int") for k in kept)
-    sx = sum(F.when(kept[i], x2[i]).otherwise(F.lit(0)) for i in range(17))
-    sy = sum(F.when(kept[i], y2[i]).otherwise(F.lit(0)) for i in range(17))
-    return w.select("doc_id", n_after.cast("int").alias("n_after"),
-                    sx.cast("bigint").alias("sum_kept_x"),
-                    sy.cast("bigint").alias("sum_kept_y"))
-
-
-def _simplify_collinear_sql() -> str:
-    from geobuf_spark.sources import minted
-    xs, ys = minted.sql_minted_walk_coords(9)
-    base = ", ".join([f"{xs[i]} AS x{i}" for i in range(9)]
-                     + [f"{ys[i]} AS y{i}" for i in range(9)])
-    v2 = []
-    for i in range(17):
-        if i % 2 == 0:
-            v2.append(f"2*x{i // 2} AS a{i}")
-            v2.append(f"2*y{i // 2} AS b{i}")
-        else:
-            v2.append(f"x{(i - 1) // 2} + x{(i + 1) // 2} AS a{i}")
-            v2.append(f"y{(i - 1) // 2} + y{(i + 1) // 2} AS b{i}")
-    keeps = ["TRUE"]
-    for i in range(1, 16):
-        keeps.append(
-            f"((a{i} - a{i - 1}) * (b{i + 1} - b{i - 1})"
-            f" - (b{i} - b{i - 1}) * (a{i + 1} - a{i - 1})) <> 0")
-    keeps.append("TRUE")
-    kcols = ", ".join(f"({keeps[i]}) AS k{i}" for i in range(17))
-    n_after = " + ".join(f"CASE WHEN k{i} THEN 1 ELSE 0 END"
-                         for i in range(17))
-    sx = " + ".join(f"CASE WHEN k{i} THEN a{i} ELSE 0 END"
-                    for i in range(17))
-    sy = " + ".join(f"CASE WHEN k{i} THEN b{i} ELSE 0 END"
-                    for i in range(17))
-    return f"""
-        WITH w AS (SELECT doc_id, {base} FROM documents),
-        v AS (SELECT doc_id, {', '.join(v2)} FROM w),
-        k AS (SELECT doc_id, {kcols},
-                     {', '.join(f'a{i}' for i in range(17))},
-                     {', '.join(f'b{i}' for i in range(17))}
-              FROM v)
-        SELECT doc_id, CAST({n_after} AS INT) AS n_after,
-               CAST({sx} AS BIGINT) AS sum_kept_x,
-               CAST({sy} AS BIGINT) AS sum_kept_y
-        FROM k"""
-
-
-# ---------------------------------------------------------------------------
-# batch 65 — greedy max-coverage host selection, exact Welch t² gate
-# ---------------------------------------------------------------------------
-
-MAXCOV_K = 3
-WELCH_K = 4  # |t| > 2
-
-
-def q_max_coverage_hosts(spark, sf):
-    # greedy maximum-coverage: pick MAXCOV_K hosts whose pages jointly
-    # cover the most distinct token trigrams — the "which sites to
-    # crawl deeper first" budget allocator (greedy is the classical
-    # (1−1/e)-approximation; with a fixed small k it is the standard
-    # choice at corpus scale). Round r: per-host gain = |terms \
-    # covered| via LEFT ANTI against the covered set (bounded by the
-    # selected hosts' vocabularies — Spark broadcasts it), one count
-    # agg, one distributed argmax; k bounded single-row collects. By
-    # the greedy identity, covered_total = running Σ gains. Oracle:
-    # chained CTEs with NOT IN coverage subtraction — an independent
-    # formulation of each round.
-    from geobuf_spark.functions import text as TXT
-    from geobuf_spark.sources import pages as P
-    pg = P.pages(spark, 2000, 42)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws("\x1f", F.slice(toks, i, 3)))
-    ht = (pg.select(TXT.url_host(F.col("url")).alias("host"),
-                    F.explode(grams).alias("term"))
-          .distinct().localCheckpoint(eager=False))
-    covered = None
-    sel, cum = [], 0
-    for r in range(MAXCOV_K):
-        cand = (ht if covered is None
-                else ht.join(covered, "term", "left_anti"))
-        gains = cand.groupBy("host").agg(F.count("*").alias("gain"))
-        row = (gains.orderBy(F.col("gain").desc(), F.col("host").asc())
-               .limit(1).collect()[0])
-        cum += int(row["gain"])
-        sel.append((r + 1, row["host"], int(row["gain"]), cum))
-        new = ht.filter(F.col("host") == row["host"]).select("term")
-        covered = (new if covered is None
-                   else covered.unionByName(new).distinct())
-        covered = covered.localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        sel, "rank int, host string, gain bigint, covered_total bigint")
-
-
-def _max_coverage_hosts_sql(k: int = MAXCOV_K) -> str:
-    from geobuf_spark.functions import text as TXT
-    host = TXT.sql_url_host("url")
-    parts = [f"""
-        ht AS (SELECT DISTINCT {host} AS host,
-                      unnest(list_transform(
-                          range(1, greatest(len(string_split(text,
-                              chr(32))) - 2, 1) + 1),
-                          i -> array_to_string(list_slice(
-                              string_split(text, chr(32)), i, i + 2),
-                              chr(31)))) AS term
-               FROM txt),
-        g1 AS (SELECT host, CAST(count(*) AS BIGINT) AS gain FROM ht
-               GROUP BY 1),
-        p1 AS (SELECT host, gain FROM g1
-               ORDER BY gain DESC, host LIMIT 1),
-        cov1 AS (SELECT DISTINCT term FROM ht
-                 WHERE host = (SELECT host FROM p1))"""]
-    for r in range(2, k + 1):
-        parts.append(f"""
-        g{r} AS (SELECT host, CAST(count(*) AS BIGINT) AS gain FROM ht
-                 WHERE term NOT IN (SELECT term FROM cov{r - 1})
-                 GROUP BY 1),
-        p{r} AS (SELECT host, gain FROM g{r}
-                 ORDER BY gain DESC, host LIMIT 1),
-        cov{r} AS (SELECT term FROM cov{r - 1}
-                   UNION SELECT term FROM ht
-                   WHERE host = (SELECT host FROM p{r}))""")
-    cums = []
-    for r in range(1, k + 1):
-        cum = " + ".join(f"(SELECT gain FROM p{j})"
-                         for j in range(1, r + 1))
-        cums.append(f"SELECT {r} AS rank, host, gain, {cum} AS "
-                    f"covered_total FROM p{r}")
-    sel = "\n        UNION ALL ".join(cums)
-    return (f"WITH {_pages_cte(2000, 42)},{','.join(parts)}"
-            f"""
-        SELECT CAST(rank AS INT) AS rank, host, gain,
-               CAST(covered_total AS BIGINT) AS covered_total
-        FROM ({sel})""")
-
-
-def q_welch_gate(spark, sf):
-    # which language pairs differ SIGNIFICANTLY in mean document length
-    # — Welch's unequal-variance t² as an EXACT rational inequality
-    # (the anomaly_days trick taken cross-group): with S=Σx, Q=Σx²,
-    # A_i = n_iQ_i−S_i², D = S_1n_2−S_2n_1,
-    #   t² > K  ⟺  D²(n_1−1)(n_2−1) > K·[A_1n_2²(n_2−1)+A_2n_1²(n_1−1)]
-    # — denominators cleared, so no float mean/std and the oracle
-    # hashes bit-for-bit. Products reach ~1e30 at corpus scale, so both
-    # engines compute in wide integers (decimal(38) / HUGEINT). One
-    # tiny moments agg (map-side combinable), then a 20×20 source-pair
-    # join on the driver-sized moment table (langs are too homogeneous
-    # on this corpus to ever flag — sources split 8-9 of 190 pairs);
-    # t2_ppm = floor(1e6·t²) reported.
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("source").alias("lang"), F.col("n_chars").cast("bigint").alias("x"))
-    m = (d.groupBy("lang")
-         .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
-              F.sum(F.col("x") * F.col("x")).alias("q")))
-    a = m.select(*[F.col(c).alias(f"{c}a") for c in ("lang", "n", "s",
-                                                     "q")])
-    b = m.select(*[F.col(c).alias(f"{c}b") for c in ("lang", "n", "s",
-                                                     "q")])
-    j = a.join(b, F.col("langa") < F.col("langb"))
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    D = dec(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
-    A1 = dec(F.col("na") * F.col("qa") - F.col("sa") * F.col("sa"))
-    A2 = dec(F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
-    n1, n2 = F.col("na"), F.col("nb")
-    lhs = D * D * dec((n1 - 1) * (n2 - 1))
-    den = (A1 * dec(n2 * n2 * (n2 - 1)) + A2 * dec(n1 * n1 * (n1 - 1)))
-    return (j.select(F.col("langa").alias("src_a"),
-                     F.col("langb").alias("src_b"),
-                     n1.cast("bigint").alias("n_a"),
-                     n2.cast("bigint").alias("n_b"),
-                     F.floor(lhs * 1_000_000 / den).cast("bigint")
-                     .alias("t2_ppm"),
-                     (lhs > den * WELCH_K).alias("significant"))
-            .orderBy("src_a", "src_b"))
-
-
-def _welch_gate_sql() -> str:
-    return f"""
-        WITH m AS (SELECT source AS lang, CAST(count(*) AS BIGINT) AS n,
-                          CAST(sum(n_chars) AS BIGINT) AS s,
-                          CAST(sum(n_chars * n_chars) AS BIGINT) AS q
-                   FROM documents GROUP BY 1),
-        j AS (SELECT a.lang AS src_a, b.lang AS src_b,
-                     a.n AS na, a.s AS sa, a.q AS qa,
-                     b.n AS nb, b.s AS sb, b.q AS qb
-              FROM m a JOIN m b ON a.lang < b.lang),
-        w AS (SELECT src_a, src_b, na, nb,
-                     CAST(sa*nb - sb*na AS HUGEINT) AS d,
-                     CAST(na*qa - sa*sa AS HUGEINT) AS a1,
-                     CAST(nb*qb - sb*sb AS HUGEINT) AS a2
-              FROM j),
-        t AS (SELECT src_a, src_b, na, nb,
-                     d*d*(na-1)*(nb-1) AS lhs,
-                     a1*nb*nb*(nb-1) + a2*na*na*(na-1) AS den
-              FROM w)
-        SELECT src_a, src_b, CAST(na AS BIGINT) AS n_a,
-               CAST(nb AS BIGINT) AS n_b,
-               CAST(1000000 * lhs // den AS BIGINT) AS t2_ppm,
-               lhs > den * {WELCH_K} AS significant
-        FROM t ORDER BY 1, 2"""
-
-
-# ---------------------------------------------------------------------------
-# batch 66 — IBLT snapshot reconciliation, persistent heavy hitters
-# ---------------------------------------------------------------------------
-
-RECON_CELLS = 256
-PHH_TOP = 5
-PHH_MIN_DAYS = 4  # splits (neither empty nor all-users) at both test SFs
-
-
-def q_snapshot_reconcile(spark, sf):
-    # diff two crawl snapshots by exchanging O(|diff|) state: both sides
-    # fold into a signed 256-cell Invertible Bloom Lookup Table
-    # (operators/reconcile.py — constant-size mergeable aggregation,
-    # common keys cancel exactly), the driver peels the ~30-key diff,
-    # and one fingerprint-filter scan maps fingerprints back to urls.
-    # At 10^12 rows per snapshot this moves kilobytes where EXCEPT
-    # shuffles terabytes. Snapshots: page ids [0,2000) vs [10,2020) of
-    # the same deterministic mint → 10 urls only-in-A, 20 only-in-B.
-    # The oracle IS the terabyte plan — two EXCEPTs over the
-    # regenerated snapshot tables — so a green row proves the sketch
-    # path recovers the exact symmetric difference.
-    from geobuf_spark.operators import reconcile
-    from geobuf_spark.sources import pages as P
-    full = P.pages(spark, 2020, 42).select("page_id", "url")
-    a = full.filter(F.col("page_id") < 2000).select("url")
-    b = full.filter(F.col("page_id") >= 10).select("url")
-    return reconcile.reconcile(a, b, key="url", n_cells=RECON_CELLS)
-
-
-def _snapshot_reconcile_sql() -> str:
-    return f"""
-        WITH {_pages_cte(2020, 42)},
-        a AS (SELECT url FROM txt WHERE id < 2000),
-        b AS (SELECT url FROM txt WHERE id >= 10)
-        SELECT url, CAST(1 AS INT) AS side
-        FROM (SELECT url FROM a EXCEPT SELECT url FROM b)
-        UNION ALL
-        SELECT url, CAST(-1 AS INT) AS side
-        FROM (SELECT url FROM b EXCEPT SELECT url FROM a)"""
-
-
-def q_persistent_heavy_hitters(spark, sf):
-    # persistence beats volume for capacity planning: users who crack
-    # the daily top-PHH_TOP by event count on ≥ PHH_MIN_DAYS of the
-    # month (a one-day burst is an anomaly; a every-other-day regular
-    # sizes the cache). Daily rollup is map-side combinable; the
-    # per-day argmax window partitions by day (tiny frames); ties →
-    # min user_id, so the day ranking — and therefore the persistence
-    # census — is fully deterministic.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"), "user_id")
-    daily = e.groupBy("day", "user_id").agg(F.count("*").alias("c"))
-    w = Win.partitionBy("day").orderBy(F.col("c").desc(),
-                                       F.col("user_id").asc())
-    top = (daily.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= PHH_TOP))
-    return (top.groupBy("user_id")
-            .agg(F.count("*").alias("n_days_top"),
-                 F.sum("c").alias("events_on_top_days"))
-            .filter(F.col("n_days_top") >= PHH_MIN_DAYS)
-            .select("user_id",
-                    F.col("n_days_top").cast("bigint").alias("n_days_top"),
-                    F.col("events_on_top_days").cast("bigint")
-                    .alias("events_on_top_days")))
-
-
-def _persistent_heavy_hitters_sql() -> str:
-    return f"""
-        WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                       AS day, user_id, count(*) AS c
-                   FROM events GROUP BY 1, 2),
-        r AS (SELECT *, row_number() OVER (PARTITION BY day
-                  ORDER BY c DESC, user_id ASC) AS rn
-              FROM d)
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_top,
-               CAST(sum(c) AS BIGINT) AS events_on_top_days
-        FROM r WHERE rn <= {PHH_TOP}
-        GROUP BY 1 HAVING count(*) >= {PHH_MIN_DAYS}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 67 — STR R-tree bulk-load packing, Cohen's kappa
-# ---------------------------------------------------------------------------
-
-STR_S = 8  # 8 x-slices × 8 y-leaves = 64 leaves
-
-
-def q_str_pack(spark, sf):
-    # Sort-Tile-Recursive R-tree bulk load — THE spatial partitioner for
-    # bulk-building an index over 10^12 rects: sort by center x into S
-    # vertical slices, sort each slice by center y into S leaves; two
-    # sort exchanges total (production swaps the global row_number for
-    # repartitionByRange quantile boundaries — range_bounds_planner is
-    # that op; the leaf assignment formula is identical). Integer
-    # q-unit centers/extents (the county-rect draws before /1e7), so
-    # slice/leaf cuts are exact on both engines: leaf =
-    # slice·S + (rn_y−1)·S div n_slice. Output per leaf: count + MBR.
-    from pyspark.sql import Window as Win
-    from geobuf_spark.sources import minted
-    part = spark.read.parquet(f"{sf}/part.parquet")
-    cx, cy, hw, hh = minted._part_draws()
-    r = part.select(F.col("p_partkey").alias("rid"),
-                    cx.cast("bigint").alias("cx"),
-                    cy.cast("bigint").alias("cy"),
-                    (cx - hw).cast("bigint").alias("x1"),
-                    (cy - hh).cast("bigint").alias("y1"),
-                    (cx + hw).cast("bigint").alias("x2"),
-                    (cy + hh).cast("bigint").alias("y2"))
-    wx = Win.orderBy(F.col("cx").asc(), F.col("rid").asc())
-    wall = Win.partitionBy()
-    r = (r.withColumn("rnx", F.row_number().over(wx))
-         .withColumn("ntot", F.count("*").over(wall))
-         .withColumn("slice", F.expr(f"(rnx - 1) * {STR_S} div ntot")))
-    wy = Win.partitionBy("slice").orderBy(F.col("cy").asc(),
-                                          F.col("rid").asc())
-    ws = Win.partitionBy("slice")
-    r = (r.withColumn("rny", F.row_number().over(wy))
-         .withColumn("nsl", F.count("*").over(ws))
-         .withColumn("leaf", F.expr(
-             f"slice * {STR_S} + (rny - 1) * {STR_S} div nsl")))
-    return (r.groupBy("leaf")
-            .agg(F.count("*").alias("n_rects"),
-                 F.min("x1").alias("mbr_x1"), F.min("y1").alias("mbr_y1"),
-                 F.max("x2").alias("mbr_x2"), F.max("y2").alias("mbr_y2"))
-            .select(F.col("leaf").cast("int").alias("leaf"),
-                    F.col("n_rects").cast("bigint").alias("n_rects"),
-                    "mbr_x1", "mbr_y1", "mbr_x2", "mbr_y2"))
-
-
-def _str_pack_sql() -> str:
-    from geobuf_spark.sources import minted as M
-    cx = f"({M._sql_mulmod('p_partkey', M.CX_MULT, M.CX_MOD)} - {M.CX_MOD // 2})"
-    cy = f"({M._sql_mulmod('p_partkey', M.CY_MULT, M.CY_MOD)} - {M.CY_MOD // 2})"
-    hw = "(10000000 + (p_partkey % 100) * 1000000)"
-    hh = "(8000000 + (p_partkey % 80) * 1000000)"
-    return f"""
-        WITH r AS (SELECT p_partkey AS rid,
-                          CAST({cx} AS BIGINT) AS cx,
-                          CAST({cy} AS BIGINT) AS cy,
-                          CAST({cx} - {hw} AS BIGINT) AS x1,
-                          CAST({cy} - {hh} AS BIGINT) AS y1,
-                          CAST({cx} + {hw} AS BIGINT) AS x2,
-                          CAST({cy} + {hh} AS BIGINT) AS y2
-                   FROM part),
-        s AS (SELECT *, row_number() OVER (ORDER BY cx, rid) AS rnx,
-                     count(*) OVER () AS ntot
-              FROM r),
-        s2 AS (SELECT *, (rnx - 1) * {STR_S} // ntot AS slice FROM s),
-        t AS (SELECT *, row_number() OVER (PARTITION BY slice
-                            ORDER BY cy, rid) AS rny,
-                     count(*) OVER (PARTITION BY slice) AS nsl
-              FROM s2),
-        t2 AS (SELECT *, slice * {STR_S} + (rny - 1) * {STR_S} // nsl
-                   AS leaf
-               FROM t)
-        SELECT CAST(leaf AS INT) AS leaf,
-               CAST(count(*) AS BIGINT) AS n_rects,
-               min(x1) AS mbr_x1, min(y1) AS mbr_y1,
-               max(x2) AS mbr_x2, max(y2) AS mbr_y2
-        FROM t2 GROUP BY 1"""
-
-
-def q_cohens_kappa(spark, sf):
-    # inter-rater agreement between the stopword-argmax language
-    # predictor and the labeled lang, chance-corrected: κ =
-    # (p_o − p_e)/(1 − p_e) as the exact integer rational
-    # (N·Σdiag − Σ r_i·c_i) / (N² − Σ r_i·c_i), reported in ppm (floor)
-    # — the accept/retrain gate on classifier drift. Builds on the
-    # lang_confusion rollup; labels missing on one side contribute 0 to
-    # Σrc (inner join). One tiny confusion agg; everything after runs
-    # on a ≤|langs|² frame.
-    conf = (q_lang_confusion(spark, sf)
-            .select("actual", "pred", F.col("n").cast("bigint").alias("n"))
-            .localCheckpoint(eager=False))
-    tot = conf.agg(F.sum("n").alias("N"),
-                   F.sum(F.when(F.col("actual") == F.col("pred"),
-                                F.col("n")).otherwise(0)).alias("diag"))
-    rows = conf.groupBy(F.col("actual").alias("lbl")).agg(
-        F.sum("n").alias("r"))
-    cols = conf.groupBy(F.col("pred").alias("lbl")).agg(
-        F.sum("n").alias("c"))
-    rc = (rows.join(cols, "lbl")
-          .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
-               .alias("src")))
-    return (tot.crossJoin(rc)
-            .select(F.col("N").cast("bigint").alias("n_docs"),
-                    F.col("diag").cast("bigint").alias("n_agree"),
-                    F.col("src").cast("bigint").alias("sum_rc"),
-                    F.expr("1000000 * (N * diag - src) div (N * N - src)")
-                    .cast("bigint").alias("kappa_ppm")))
-
-
-def _cohens_kappa_sql() -> str:
-    return f"""
-        WITH conf AS (SELECT actual, pred, CAST(n AS BIGINT) AS n
-                      FROM ({_lang_confusion_sql()})),
-        tot AS (SELECT CAST(sum(n) AS BIGINT) AS N,
-                       CAST(sum(CASE WHEN actual = pred THEN n ELSE 0
-                                END) AS BIGINT) AS diag
-                FROM conf),
-        r AS (SELECT actual AS lbl, CAST(sum(n) AS BIGINT) AS r
-              FROM conf GROUP BY 1),
-        c AS (SELECT pred AS lbl, CAST(sum(n) AS BIGINT) AS c
-              FROM conf GROUP BY 1),
-        rc AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS src
-               FROM r JOIN c USING (lbl))
-        SELECT N AS n_docs, diag AS n_agree, src AS sum_rc,
-               CAST(1000000 * (N * diag - src) // (N * N - src)
-                    AS BIGINT) AS kappa_ppm
-        FROM tot, rc"""
-
-
-# ---------------------------------------------------------------------------
-# batch 68 — content-defined chunking, k-anonymity audit
-# ---------------------------------------------------------------------------
-
-CDC_P = 16    # boundary when pair-hash % P == 0 → ~16-token chunks
-CDC_TOP = 10
-K_ANON = 5
-
-
-def q_cdc_chunks(spark, sf):
-    # content-defined chunking — the rsync/LBFS storage-dedup primitive:
-    # cut each document where the hash of a token PAIR lands ≡ 0
-    # (mod CDC_P), so chunk boundaries depend only on LOCAL content and
-    # survive insertions/deletions (fixed-size blocks would shift every
-    # boundary after an edit). Chunks fingerprint via the portable
-    # hash60; the rollup reports the CDC_TOP most-shared chunks —
-    # duplicated runs the storage layer would store once. Boundary
-    # detection, slicing, and fingerprints are all array expressions in
-    # one projection; the only exchange is the fingerprint rollup.
-    from geobuf_spark.functions import phash
-    d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    bpos = F.filter(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.pmod(
-            phash.hash60(F.concat(F.element_at(toks, i), F.lit("\x1e"),
-                                  F.element_at(toks, i + 1))),
-            F.lit(CDC_P)) == 0)
-    edges = F.concat(F.array(F.lit(0)), bpos, F.array(n))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(edges) - 1),
-        lambda j: F.concat_ws(
-            " ", F.slice(toks, F.element_at(edges, j) + 1,
-                         F.element_at(edges, j + 1)
-                         - F.element_at(edges, j))))
-    c = d.select("doc_id", F.explode(chunks).alias("chunk"))
-    fp = phash.hash60(F.col("chunk"))
-    return (c.select("doc_id", fp.alias("fp"))
-            .groupBy("fp")
-            .agg(F.count("*").alias("n_occ"),
-                 F.countDistinct("doc_id").alias("n_docs"))
-            .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
-                     F.col("fp").asc())
-            .limit(CDC_TOP)
-            .select("fp", F.col("n_occ").cast("bigint").alias("n_occ"),
-                    F.col("n_docs").cast("bigint").alias("n_docs")))
-
-
-def _cdc_chunks_sql() -> str:
-    from geobuf_spark.functions import phash
-    bh = phash.sql_hash60("tk[i] || chr(30) || tk[i + 1]")
-    cf = phash.sql_hash60("c")
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
-                   FROM documents),
-        b AS (SELECT doc_id, tk,
-                     list_filter(range(1, greatest(len(tk) - 1, 0) + 1),
-                                 i -> {bh} % {CDC_P} = 0) AS bp
-              FROM d),
-        e AS (SELECT doc_id, tk,
-                     list_concat(list_concat([0], bp), [len(tk)]) AS ed
-              FROM b),
-        ch AS (SELECT doc_id,
-                      unnest(list_transform(
-                          range(1, len(ed)),
-                          j -> array_to_string(
-                              list_slice(tk, ed[j] + 1, ed[j + 1]),
-                              chr(32)))) AS c
-               FROM e),
-        f AS (SELECT doc_id, {cf} AS fp FROM ch)
-        SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM f GROUP BY 1
-        ORDER BY n_docs DESC, n_occ DESC, fp ASC LIMIT {CDC_TOP}"""
-
-
-def q_k_anonymity_audit(spark, sf):
-    # k-anonymity release audit over the quasi-identifier tuple (lang,
-    # source, length bucket): any combination shared by fewer than
-    # K_ANON documents re-identifies its members — the governance gate
-    # a corpus release runs before publishing per-document metadata.
-    # One map-side-combinable rollup + a filter; output is the
-    # violating cells with their sizes.
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    return (d.groupBy("lang", "source",
-                      F.expr("n_chars div 200").alias("len_bucket"))
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") < K_ANON)
-            .select("lang", "source",
-                    F.col("len_bucket").cast("bigint").alias("len_bucket"),
-                    F.col("n").cast("bigint").alias("n")))
-
-
-def _k_anonymity_audit_sql() -> str:
-    return f"""
-        SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
-               CAST(count(*) AS BIGINT) AS n
-        FROM documents GROUP BY 1, 2, 3
-        HAVING count(*) < {K_ANON}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 69 — winnowing fingerprints, log-bucketed percentile histogram
-# ---------------------------------------------------------------------------
-
-WINNOW_K, WINNOW_W, WINNOW_TOP = 5, 4, 10
-LOGH_SUB_BITS = 4  # 16 subbuckets → relative error ≤ 1/16
-
-
-def q_winnow_fps(spark, sf):
-    # MOSS winnowing over the corpus (operators/dedup.
-    # winnow_fingerprints): keep each sliding window's minimum k-gram
-    # hash — provably catches EVERY shared run of ≥ w+k−1 tokens while
-    # indexing only ~2/(w+1) of grams (minhash bounds sets, winnowing
-    # bounds POSITIONS — the plagiarism/attribution tier). Selection is
-    # one projection; the rollup ranks the most-shared fingerprints.
-    from geobuf_spark.operators import dedup
-    fps = dedup.winnow_fingerprints(_docs(spark, sf), key="doc_id",
-                                    k=WINNOW_K, w=WINNOW_W)
-    return (fps.groupBy("fp")
-            .agg(F.countDistinct("doc_id").alias("n_docs"))
-            .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
-            .limit(WINNOW_TOP)
-            .select("fp", F.col("n_docs").cast("bigint").alias("n_docs")))
-
-
-def _winnow_fps_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    from geobuf_spark.functions import phash
-    gh = phash.sql_hash60(
-        f"array_to_string(list_slice(tk, i, i + {k - 1}), chr(32))")
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
-                   FROM documents),
-        g AS (SELECT doc_id,
-                     list_transform(
-                         range(1, greatest(len(tk) - {k - 1}, 1) + 1),
-                         i -> {gh}) AS gr
-              FROM d),
-        s AS (SELECT doc_id,
-                     list_distinct(list_transform(
-                         range(1, greatest(len(gr) - {w - 1}, 1) + 1),
-                         j -> list_min(list_slice(gr, j, j + {w - 1}))))
-                         AS fps
-              FROM g),
-        f AS (SELECT doc_id, unnest(fps) AS fp FROM s)
-        SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM f GROUP BY 1
-        ORDER BY n_docs DESC, fp ASC LIMIT {WINNOW_TOP}"""
-
-
-def q_log_histogram_p99(spark, sf):
-    # HdrHistogram-style p99: log2 buckets with LOGH_SUB_BITS subbucket
-    # bits give a CONSTANT-size mergeable histogram whose percentile
-    # estimate carries a guaranteed ≤ 2^-4 relative error — the
-    # latency-SLO shape at 10^12 events, where the exact order
-    # statistic needs a full sort. This query computes BOTH (bucket =
-    # (v >> shift) << shift with shift = max(bitlen−5, 0) — all integer
-    # bit ops, bitlen via the binary string length so both engines
-    # agree exactly) and reports the estimate, the exact p99, and the
-    # realized error in ppm. The exact side's global sort is the cost
-    # the histogram avoids; here it doubles as the oracle of the bound.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
-        "event_id")
-    bl = F.length(F.conv(F.col("v").cast("string"), 10, 2))
-    shift = F.greatest(bl - F.lit(LOGH_SUB_BITS + 1), F.lit(0))
-    b = (e.withColumn("sh", shift)
-         .withColumn("lb", F.expr("shiftleft(shiftright(v, sh), sh)")))
-    hist = b.groupBy("lb").agg(F.count("*").alias("c"))
-    wcum = (Win.orderBy("lb")
-            .rowsBetween(Win.unboundedPreceding, 0))
-    wall = Win.partitionBy()
-    hist = (hist.withColumn("cum", F.sum("c").over(wcum))
-            .withColumn("n", F.sum("c").over(wall))
-            .withColumn("rank", F.ceil(F.col("n") * 0.99).cast("bigint")))
-    est = (hist.filter(F.col("cum") >= F.col("rank"))
-           .orderBy("lb").limit(1)
-           .select(F.col("lb").alias("est_p99"), "n"))
-    wv = Win.orderBy(F.col("v").asc(), F.col("event_id").asc())
-    ranked = e.withColumn("rn", F.row_number().over(wv))
-    exact = (ranked.join(est.select("n"), F.col("rn")
-                         == F.ceil(F.col("n") * 0.99).cast("bigint"))
-             .select(F.col("v").alias("exact_p99")))
-    return (est.crossJoin(exact)
-            .select(F.col("n").cast("bigint").alias("n_events"),
-                    "exact_p99", "est_p99",
-                    F.expr("1000000 * (exact_p99 - est_p99) div exact_p99")
-                    .cast("bigint").alias("err_ppm")))
-
-
-def _log_histogram_p99_sql() -> str:
-    sb = LOGH_SUB_BITS + 1
-    return f"""
-        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
-                       AS v, event_id
-                   FROM events),
-        b AS (SELECT v, event_id,
-                     greatest(length(bin(v)) - {sb}, 0) AS sh
-              FROM e),
-        b2 AS (SELECT v, event_id, (v >> sh) << sh AS lb FROM b),
-        h AS (SELECT lb, count(*) AS c FROM b2 GROUP BY 1),
-        h2 AS (SELECT lb, c, sum(c) OVER (ORDER BY lb) AS cum,
-                      sum(c) OVER () AS n
-               FROM h),
-        est AS (SELECT lb AS est_p99, CAST(n AS BIGINT) AS n
-                FROM h2
-                WHERE cum >= CAST(ceil(n * 0.99) AS BIGINT)
-                ORDER BY lb LIMIT 1),
-        r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn
-              FROM e),
-        ex AS (SELECT v AS exact_p99 FROM r, est
-               WHERE rn = CAST(ceil(est.n * 0.99) AS BIGINT))
-        SELECT est.n AS n_events, ex.exact_p99, est.est_p99,
-               CAST(1000000 * (ex.exact_p99 - est.est_p99)
-                    // ex.exact_p99 AS BIGINT) AS err_ppm
-        FROM est, ex"""
-
-
-# ---------------------------------------------------------------------------
-# batch 70 — distributed BPE merge rounds, exact L1 medoid per cluster
-# ---------------------------------------------------------------------------
-
-BPE_ROUNDS = 3
-
-
-def q_bpe_merges(spark, sf):
-    # the tokenizer-training primitive at corpus scale: BPE merge
-    # rounds. Each round counts adjacent token pairs (map-side
-    # combinable explode+agg), takes the global argmax (ties → lexico-
-    # graphically first pair), and REWRITES the corpus by merging that
-    # pair — greedy leftmost-non-overlapping, which is exactly what
-    # replace() does in BOTH engines (verified: 'a a a' merges once).
-    # Tokens travel sentinel-wrapped ('\\x02tok\\x02', joined by
-    # spaces) so the pattern '\\x02a\\x02 \\x02b\\x02' can never match
-    # inside a token; the merged token keeps '\\x01' as the join mark,
-    # so later rounds can merge merged tokens. One bounded 1-row
-    # collect per round; the rewrite is a pure projection.
-    d = _docs(spark, sf)
-    s0 = F.concat(F.lit("\x02"),
-                  F.array_join(F.split("text", " "), "\x02 \x02"),
-                  F.lit("\x02"))
-    cur = d.select(s0.alias("s")).localCheckpoint(eager=False)
-    out = []
-    for r in range(1, BPE_ROUNDS + 1):
-        toks = F.split("s", " ")
-        n = F.size(toks)
-        pairs = F.when(n >= 2, F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                               F.element_at(toks, i + 1)))
-        ).otherwise(F.array().cast("array<string>"))
-        top = (cur.select(F.explode(pairs).alias("pr"))
-               .groupBy("pr").agg(F.count("*").alias("c"))
-               .orderBy(F.col("c").desc(), F.col("pr").asc())
-               .limit(1).collect()[0])
-        pattern, freq = top["pr"], int(top["c"])
-        merged = pattern.replace("\x02 \x02", "\x01")
-        out.append((r, pattern.replace("\x02", ""), freq))
-        cur = (cur.select(F.replace(F.col("s"), F.lit(pattern),
-                                    F.lit(merged)).alias("s"))
-               .localCheckpoint(eager=False))
-    return spark.createDataFrame(out, "round int, pair string, freq bigint")
-
-
-def _bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
-    pair_list = ("list_transform(range(1, greatest(len(tk) - 1, 0) + 1), "
-                 "i -> tk[i] || ' ' || tk[i + 1])")
-    parts = ["""
-        d0 AS MATERIALIZED (
-            SELECT chr(2) || array_to_string(string_split(text, chr(32)),
-                       chr(2) || ' ' || chr(2)) || chr(2) AS s
-            FROM documents)"""]
-    for r in range(1, rounds + 1):
-        parts.append(f"""
-        c{r} AS (SELECT unnest({pair_list}) AS pr
-                 FROM (SELECT string_split(s, ' ') AS tk FROM d{r - 1})),
-        p{r} AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM c{r}
-                 GROUP BY 1 ORDER BY c DESC, pr ASC LIMIT 1),
-        d{r} AS MATERIALIZED (
-            SELECT replace(s, (SELECT pr FROM p{r}),
-                           (SELECT replace(pr, chr(2) || ' ' || chr(2),
-                                           chr(1)) FROM p{r})) AS s
-            FROM d{r - 1})""")
-    sel = "\n        UNION ALL ".join(
-        f"SELECT {r} AS round, replace(pr, chr(2), '') AS pair, c "
-        f"AS freq FROM p{r}" for r in range(1, rounds + 1))
-    return (f"WITH {','.join(parts)}"
-            f"""
-        SELECT CAST(round AS INT) AS round, pair, freq FROM ({sel})""")
-
-
-def q_l1_medoid(spark, sf):
-    # robust cluster centers under L1: the per-axis exact median (L1 is
-    # separable, so (med_x, med_y) minimizes Σ|dx|+|dy| over the
-    # PLANE), plus the in-cluster medoid — the actual member point
-    # nearest that center (argmin L1 distance, ties → min doc_id) —
-    # the representative you can actually serve. Exact order
-    # statistics via per-group windows (rank (n+1) div 2 on the sorted
-    # axis); everything shuffles once on the cluster key.
-    from pyspark.sql import Window as Win
-    from geobuf_spark.sources import minted
-    pts = (minted.minted_cluster_points_q(spark, sf)
-           .withColumn("g", F.col("doc_id") % minted.N_CLUSTERS))
-    wn = Win.partitionBy("g")
-    wx = Win.partitionBy("g").orderBy("qx", "doc_id")
-    wy = Win.partitionBy("g").orderBy("qy", "doc_id")
-    p = (pts.withColumn("n", F.count("*").over(wn))
-         .withColumn("rx", F.row_number().over(wx))
-         .withColumn("ry", F.row_number().over(wy)))
-    medx = (p.filter(F.expr("rx = (n + 1) div 2"))
-            .select("g", F.col("qx").alias("medx")))
-    medy = (p.filter(F.expr("ry = (n + 1) div 2"))
-            .select("g", F.col("qy").alias("medy")))
-    j = pts.join(F.broadcast(medx), "g").join(F.broadcast(medy), "g")
-    dist = (F.abs(F.col("qx") - F.col("medx"))
-            + F.abs(F.col("qy") - F.col("medy")))
-    best = (j.groupBy("g")
-            .agg(F.count("*").alias("n"),
-                 F.min(F.struct(dist.alias("d"),
-                                F.col("doc_id").alias("doc"))).alias("m"),
-                 F.first("medx").alias("medx"),
-                 F.first("medy").alias("medy")))
-    return (best.select(F.col("g").cast("bigint").alias("g"),
-                        F.col("n").cast("bigint").alias("n"),
-                        "medx", "medy",
-                        F.col("m.doc").alias("medoid_doc"),
-                        F.col("m.d").cast("bigint").alias("medoid_dist")))
-
-
-def _l1_medoid_sql() -> str:
-    from geobuf_spark.sources import minted
-    return f"""
-        WITH pts AS (SELECT doc_id, qx, qy,
-                            doc_id % {minted.N_CLUSTERS} AS g
-                     FROM ({minted.sql_minted_cluster_points_q()})),
-        p AS (SELECT *, count(*) OVER (PARTITION BY g) AS n,
-                     row_number() OVER (PARTITION BY g
-                                        ORDER BY qx, doc_id) AS rx,
-                     row_number() OVER (PARTITION BY g
-                                        ORDER BY qy, doc_id) AS ry
-              FROM pts),
-        mx AS (SELECT g, qx AS medx FROM p WHERE rx = (n + 1) // 2),
-        my AS (SELECT g, qy AS medy FROM p WHERE ry = (n + 1) // 2),
-        j AS (SELECT pts.g, pts.doc_id, pts.qx, pts.qy, mx.medx, my.medy,
-                     abs(pts.qx - mx.medx) + abs(pts.qy - my.medy) AS d
-              FROM pts JOIN mx USING (g) JOIN my USING (g)),
-        r AS (SELECT *, row_number() OVER (PARTITION BY g
-                  ORDER BY d, doc_id) AS rn
-              FROM j)
-        SELECT CAST(g AS BIGINT) AS g,
-               CAST((SELECT count(*) FROM pts p2 WHERE p2.g = r.g)
-                    AS BIGINT) AS n,
-               medx, medy, doc_id AS medoid_doc,
-               CAST(d AS BIGINT) AS medoid_dist
-        FROM r WHERE rn = 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 71 — deterministic maximal matching, topic segmentation
-# ---------------------------------------------------------------------------
-
-TSEG_BLOCK = 10
-TSEG_TAU = 300_000  # boundary when adjacent-block Jaccard < τ ppm
-
-
-def q_maximal_matching(spark, sf):
-    # deterministic distributed maximal matching over the host link
-    # graph (graph.maximal_matching): handshake rounds on the portable
-    # edge-hash order, so the matching — and the 2-approx vertex cover
-    # its endpoints form — is partitioning-invariant. The matched pairs
-    # are the "merge these two mirrors first" worklist. Oracle: the
-    # same rounds as MATERIALIZED CTEs; the pytest independently checks
-    # validity (no shared vertex) and maximality (no live edge left).
-    from geobuf_spark.operators import graph
-    return graph.maximal_matching(
-        _host_edges(spark).select(F.col("src_host").alias("src"),
-                                  F.col("dst_host").alias("dst")),
-        rounds=12)
-
-
-def _maximal_matching_sql() -> str:
-    from geobuf_spark.operators import graph
-    return graph.sql_maximal_matching(_host_edges_cte(), rounds=12)
-
-
-def q_text_segments(spark, sf):
-    # TextTiling-style topic segmentation — the RAG-chunking shape: cut
-    # a document where adjacent TSEG_BLOCK-token blocks' vocabulary
-    # overlap dips (exact Jaccard ppm < τ), i.e. where the text changes
-    # subject. Blocks, pairwise overlaps, and cut counts are all array
-    # expressions in one projection — zero shuffles, per-doc output.
-    # min_sim_ppm = −1 marks single-block docs (no interior boundary).
-    d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    nb = F.ceil(n / F.lit(TSEG_BLOCK)).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda k: F.array_distinct(
-            F.slice(toks, k * TSEG_BLOCK + 1, TSEG_BLOCK)))
-    sims = F.when(nb >= 2, F.transform(
-        F.sequence(F.lit(1), nb - 1),
-        lambda b: F.floor(
-            F.lit(1_000_000)
-            * F.size(F.array_intersect(F.element_at(blocks, b),
-                                       F.element_at(blocks, b + 1)))
-            / F.size(F.array_union(F.element_at(blocks, b),
-                                   F.element_at(blocks, b + 1))))
-        .cast("bigint"))).otherwise(F.array().cast("array<bigint>"))
-    cuts = F.size(F.filter(sims, lambda s: s < F.lit(TSEG_TAU)))
-    return d.select(
-        "doc_id", nb.alias("n_blocks"),
-        (cuts + 1).cast("int").alias("n_segments"),
-        F.coalesce(F.array_min(sims), F.lit(-1)).cast("bigint")
-        .alias("min_sim_ppm"))
-
-
-def _text_segments_sql() -> str:
-    b = TSEG_BLOCK
-    inter = ("len(list_intersect(bl[x], bl[x + 1]))")
-    uni = ("len(list_distinct(list_concat(bl[x], bl[x + 1])))")
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
-                   FROM documents),
-        w AS (SELECT doc_id, tk,
-                     CAST(ceil(len(tk) / {b}.0) AS INT) AS nb
-              FROM d),
-        bl0 AS (SELECT doc_id, nb,
-                       list_transform(range(0, nb),
-                           k -> list_distinct(list_slice(
-                               tk, k * {b} + 1, (k + 1) * {b}))) AS bl
-                FROM w),
-        s AS (SELECT doc_id, nb,
-                     CASE WHEN nb >= 2 THEN
-                         list_transform(range(1, nb),
-                             x -> CAST(1000000 * {inter} // {uni}
-                                       AS BIGINT))
-                     ELSE [] END AS sims
-              FROM bl0)
-        SELECT doc_id, nb AS n_blocks,
-               CAST(len(list_filter(sims, v -> v < {TSEG_TAU})) + 1
-                    AS INT) AS n_segments,
-               CAST(coalesce(list_min(sims), -1) AS BIGINT)
-                   AS min_sim_ppm
-        FROM s"""
-
-
-# ---------------------------------------------------------------------------
-# batch 72 — discrete Fréchet distance pairs, multi-vector maxsim retrieval
-# ---------------------------------------------------------------------------
-
-
-def q_frechet_pairs(spark, sf):
-    # discrete Fréchet distance² between each clustered walk line and
-    # its cluster successor — the ORDER-AWARE trajectory similarity
-    # (Hausdorff ignores traversal order; Fréchet is the leash length,
-    # so reversed or re-ordered routes stop looking identical). The
-    # 9×9 DP runs as ONE Arrow-batched pandas UDF vectorized across
-    # pairs (81 numpy steps regardless of pair count — no per-row
-    # python); pairing reuses the hausdorff_pairs successor window.
-    # Exact int64 d² throughout. The oracle is a recursive CTE whose
-    # step builds each DP row via DuckDB lateral column references —
-    # a fully independent formulation.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    from pyspark.sql import Window as Win
-    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=1)
-    w = Win.partitionBy(F.col("doc_id") % 37).orderBy("doc_id")
-    p = (wl.withColumn("b_id", F.lead("doc_id").over(w))
-         .withColumn("bxs", F.lead("xs_q").over(w))
-         .withColumn("bys", F.lead("ys_q").over(w))
-         .filter(F.col("b_id").isNotNull()))
-
-    @pandas_udf("long")
-    def frechet2(axs, ays, bxs, bys):
-        ax = np.stack(axs.to_numpy()).astype(np.int64)
-        ay = np.stack(ays.to_numpy()).astype(np.int64)
-        bx = np.stack(bxs.to_numpy()).astype(np.int64)
-        by = np.stack(bys.to_numpy()).astype(np.int64)
-        # d2[p, i, j] over all pairs at once
-        dx = ax[:, :, None] - bx[:, None, :]
-        dy = ay[:, :, None] - by[:, None, :]
-        d2 = dx * dx + dy * dy
-        n = d2.shape[1]
-        c = np.empty_like(d2)
-        c[:, 0, 0] = d2[:, 0, 0]
-        for j in range(1, n):
-            c[:, 0, j] = np.maximum(d2[:, 0, j], c[:, 0, j - 1])
-        for i in range(1, n):
-            c[:, i, 0] = np.maximum(d2[:, i, 0], c[:, i - 1, 0])
-            for j in range(1, n):
-                m = np.minimum(np.minimum(c[:, i - 1, j],
-                                          c[:, i - 1, j - 1]),
-                               c[:, i, j - 1])
-                c[:, i, j] = np.maximum(d2[:, i, j], m)
-        return pd.Series(c[:, n - 1, n - 1])
-
-    return p.select(F.col("doc_id").alias("doc_a"),
-                    F.col("b_id").alias("doc_b"),
-                    frechet2("xs_q", "ys_q", "bxs", "bys")
-                    .alias("frechet2"))
-
-
-def _frechet_pairs_sql() -> str:
-    base = minted.sql_cluster_walk_lines_q(9, stride=1)
-    d2 = ("(axs[{i}] - bxs[j]) * (axs[{i}] - bxs[j])"
-          " + (ays[{i}] - bys[j]) * (ays[{i}] - bys[j])")
-    d2row = ("list_transform(range(1, 10), j -> " + d2 + ")")
-    # DP row i from row i−1 via lateral column references n1..n9
-    cols = ["greatest(d[1], r[1]) AS n1"]
-    for j in range(2, 10):
-        cols.append(f"greatest(d[{j}], least(r[{j}], r[{j - 1}], "
-                    f"n{j - 1})) AS n{j}")
-    nlist = "[" + ", ".join(f"n{j}" for j in range(1, 10)) + "]"
-    # row 1 is the prefix-max of d2 row 1 — same lateral-ref chain
-    r1 = ["d[1] AS n1"]
-    for j in range(2, 10):
-        r1.append(f"greatest(d[{j}], n{j - 1}) AS n{j}")
-    return f"""
-        WITH RECURSIVE w AS ({base}),
-        p AS (SELECT doc_id AS doc_a, xs AS axs, ys AS ays,
-                     lead(doc_id) OVER cw AS doc_b,
-                     lead(xs) OVER cw AS bxs, lead(ys) OVER cw AS bys
-              FROM w WINDOW cw AS (PARTITION BY doc_id % 37
-                                   ORDER BY doc_id)),
-        pp AS (SELECT * FROM p WHERE doc_b IS NOT NULL),
-        dp AS (
-            SELECT doc_a, doc_b, axs, ays, bxs, bys, 1 AS i, {nlist} AS r
-            FROM (SELECT *, {', '.join(r1)}
-                  FROM (SELECT *, {d2row.format(i=1)} AS d FROM pp))
-            UNION ALL
-            SELECT doc_a, doc_b, axs, ays, bxs, bys, i + 1, {nlist}
-            FROM (SELECT *, {', '.join(cols)}
-                  FROM (SELECT *, {d2row.format(i='i + 1')} AS d
-                        FROM dp WHERE i < 9))
-        )
-        SELECT doc_a, doc_b, CAST(r[9] AS BIGINT) AS frechet2
-        FROM dp WHERE i = 9"""
-
-
-MAXSIM_SUB = 4    # 64-dim embeddings → 4 sub-vectors of 16
-MAXSIM_EVERY = 50
-MAXSIM_K = 3
-
-
-def q_colbert_maxsim(spark, sf):
-    # multi-vector late-interaction retrieval (ColBERT-style): each
-    # embedding splits into 4 sub-vectors; score(q, v) = Σ_i max_j
-    # ⟨q_i, v_j⟩ — a query facet matches its BEST document facet
-    # instead of one pooled dot product. Brute top-k over the corpus
-    # (the exactness baseline, like ann_cosine_top5); the 16 dots are
-    # explicit 16-term addition chains so both engines sum in the
-    # IDENTICAL order — float-exact ranks, and only integer ranks are
-    # emitted. Queries broadcast; one window per query for top-k.
-    from pyspark.sql import Window as Win
-    e = _emb(spark, sf).select("vec_id",
-                               F.col("embedding").cast("array<double>")
-                               .alias("emb"))
-    q = (e.filter(F.col("vec_id") % MAXSIM_EVERY == 0)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("emb").alias("qe")))
-    j = (e.withColumnRenamed("vec_id", "neighbor_id")
-         .withColumnRenamed("emb", "ve")
-         .crossJoin(F.broadcast(q))
-         .filter(F.col("neighbor_id") != F.col("query_id")))
-    sub = 64 // MAXSIM_SUB
-    maxes = []
-    for i in range(MAXSIM_SUB):
-        dots = []
-        for jj in range(MAXSIM_SUB):
-            terms = [F.element_at("qe", i * sub + k + 1)
-                     * F.element_at("ve", jj * sub + k + 1)
-                     for k in range(sub)]
-            acc = terms[0]
-            for t in terms[1:]:
-                acc = acc + t
-            dots.append(acc)
-        maxes.append(F.greatest(*dots))
-    score = maxes[0]
-    for m in maxes[1:]:
-        score = score + m
-    w = Win.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("neighbor_id").asc())
-    return (j.withColumn("s", score)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= MAXSIM_K)
-            .select("query_id", "neighbor_id",
-                    F.col("rank").cast("int").alias("rank")))
-
-
-def _colbert_maxsim_sql() -> str:
-    sub = 64 // MAXSIM_SUB
-    maxes = []
-    for i in range(MAXSIM_SUB):
-        dots = []
-        for jj in range(MAXSIM_SUB):
-            dots.append(" + ".join(
-                f"qe[{i * sub + k + 1}] * ve[{jj * sub + k + 1}]"
-                for k in range(sub)))
-        maxes.append("greatest(" + ", ".join(f"({d})" for d in dots) + ")")
-    score = " + ".join(f"({m})" for m in maxes)
-    return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                   FROM embeddings),
-        q AS (SELECT vec_id AS query_id, emb AS qe FROM e
-              WHERE vec_id % {MAXSIM_EVERY} = 0),
-        s AS (SELECT q.query_id, v.vec_id AS neighbor_id, v.emb AS ve,
-                     q.qe
-              FROM q CROSS JOIN e v WHERE v.vec_id <> q.query_id),
-        sc AS (SELECT query_id, neighbor_id, {score} AS s FROM s),
-        r AS (SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                         ORDER BY s DESC, neighbor_id) AS rank
-              FROM sc)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
-        FROM r WHERE rank <= {MAXSIM_K}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 73 — two-phase exact median, first-vs-last-touch attribution
-# ---------------------------------------------------------------------------
-
-TPM_BUCKET = 1024
-ATTR_WINDOW = 7 * 86_400
-
-
-def q_two_phase_median(spark, sf):
-    # exact median WITHOUT a global sort — the 10^12-row pattern: pass 1
-    # is a map-side-combinable bucket histogram (width TPM_BUCKET);
-    # the cumulative counts locate the single bucket holding the target
-    # rank; pass 2 sorts ONLY that bucket (~n/#buckets rows) and picks
-    # the in-bucket offset. At extreme scale the second pass recurses;
-    # one level is already enough for any realistic bucket width. The
-    # oracle is the INDEPENDENT plan — a direct full-sort order
-    # statistic — so a green row checks the rank bookkeeping exactly.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
-        "event_id")
-    h = (e.groupBy(F.expr(f"v div {TPM_BUCKET}").alias("b"))
-         .agg(F.count("*").alias("c")))
-    wcum = Win.orderBy("b").rowsBetween(Win.unboundedPreceding, 0)
-    wall = Win.partitionBy()
-    h = (h.withColumn("cum", F.sum("c").over(wcum))
-         .withColumn("n", F.sum("c").over(wall))
-         .withColumn("k", F.expr("(n + 1) div 2")))
-    tgt = (h.filter(F.col("cum") >= F.col("k"))
-           .orderBy("b").limit(1)
-           .select("b", (F.col("cum") - F.col("c")).alias("cum_prev"),
-                   "n", "k", F.col("c").alias("n_in_bucket")))
-    cand = e.join(F.broadcast(tgt),
-                  F.expr(f"v div {TPM_BUCKET}") == F.col("b"))
-    wv = Win.partitionBy("b").orderBy(F.col("v").asc(),
-                                      F.col("event_id").asc())
-    med = (cand.withColumn("rn", F.row_number().over(wv))
-           .filter(F.col("rn") == F.col("k") - F.col("cum_prev")))
-    return med.select(F.col("n").cast("bigint").alias("n_events"),
-                      F.col("v").alias("median_cents"),
-                      (F.col("b") * TPM_BUCKET).cast("bigint")
-                      .alias("bucket_lo"),
-                      F.col("n_in_bucket").cast("bigint")
-                      .alias("n_in_bucket"))
-
-
-def _two_phase_median_sql() -> str:
-    return f"""
-        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
-                       AS v, event_id
-                   FROM events),
-        r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM e)
-        SELECT CAST(n AS BIGINT) AS n_events, v AS median_cents,
-               CAST((v // {TPM_BUCKET}) * {TPM_BUCKET} AS BIGINT)
-                   AS bucket_lo,
-               CAST((SELECT count(*) FROM e e2
-                     WHERE e2.v // {TPM_BUCKET} = r.v // {TPM_BUCKET})
-                    AS BIGINT) AS n_in_bucket
-        FROM r WHERE rn = (n + 1) // 2"""
-
-
-def q_attribution_compare(spark, sf):
-    # does attribution model choice matter on this corpus? For every
-    # purchase, find the FIRST-touch and LAST-touch click by the same
-    # user within the trailing 7-day window (t_click ≤ t_purchase; ties
-    # → min event_id) and census the disagreement. One band join on
-    # user (temporal.range_bucket_join is the at-scale form; events
-    # here are driver-tiny) + min/max struct aggregates; output is a
-    # single summary row.
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("te"),
-        "event_type")
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select("user_id", F.col("event_id").alias("pid"),
-                 F.col("te").alias("tp")))
-    c = (ev.filter(F.col("event_type") == "click")
-         .select("user_id", F.col("event_id").alias("cid"),
-                 F.col("te").alias("tc")))
-    j = (p.join(c, "user_id")
-         .filter((F.col("tc") <= F.col("tp"))
-                 & (F.col("tc") > F.col("tp") - ATTR_WINDOW)))
-    per = (j.groupBy("pid")
-           .agg(F.min(F.struct("tc", "cid")).alias("ft"),
-                F.max(F.struct(F.col("tc"),
-                               (-F.col("cid")).alias("nc"))).alias("lt")))
-    per = per.select(
-        "pid", F.col("ft.cid").alias("first_click"),
-        (-F.col("lt.nc")).alias("last_click"))
-    n_p = p.count()
-    agg = per.agg(
-        F.count("*").alias("n_attributed"),
-        F.coalesce(F.sum((F.col("first_click") == F.col("last_click"))
-                         .cast("bigint")), F.lit(0)).alias("n_same"))
-    return agg.select(
-        F.lit(n_p).cast("bigint").alias("n_purchases"),
-        F.col("n_attributed").cast("bigint").alias("n_attributed"),
-        F.col("n_same").cast("bigint").alias("n_same"),
-        (F.col("n_attributed") - F.col("n_same")).cast("bigint")
-        .alias("n_diff"))
-
-
-def _attribution_compare_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id, event_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          event_type
-                   FROM events),
-        p AS (SELECT user_id, event_id AS pid, te AS tp FROM e
-              WHERE event_type = 'purchase'),
-        c AS (SELECT user_id, event_id AS cid, te AS tc FROM e
-              WHERE event_type = 'click'),
-        j AS (SELECT p.pid, c.cid, c.tc
-              FROM p JOIN c USING (user_id)
-              WHERE c.tc <= p.tp AND c.tc > p.tp - {ATTR_WINDOW}),
-        r1 AS (SELECT pid, cid,
-                      row_number() OVER (PARTITION BY pid
-                          ORDER BY tc, cid) AS rf,
-                      row_number() OVER (PARTITION BY pid
-                          ORDER BY tc DESC, cid) AS rl
-               FROM j),
-        per AS (SELECT pid,
-                       max(CASE WHEN rf = 1 THEN cid END) AS first_click,
-                       max(CASE WHEN rl = 1 THEN cid END) AS last_click
-                FROM r1 GROUP BY 1)
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchases,
-               CAST(count(*) AS BIGINT) AS n_attributed,
-               CAST(coalesce(sum(CASE WHEN first_click = last_click
-                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
-                   AS n_same,
-               CAST(count(*) - coalesce(sum(CASE WHEN first_click =
-                                       last_click THEN 1 ELSE 0 END), 0)
-                    AS BIGINT) AS n_diff
-        FROM per"""
-
-
-# ---------------------------------------------------------------------------
-# batch 74 — gap-bounded sequence mining, integer Otsu thresholding
-# ---------------------------------------------------------------------------
-
-SEQ_GAP = 3
-OTSU_LEVEL = 128  # cents → 256-ish levels before the threshold scan
-OTSU_Q = 1000     # |diff| quantum — keeps the squared score in int64
-
-
-def q_gapped_sequences(spark, sf):
-    # sequential-pattern support with a gap bound: for every ordered
-    # type pair (a → b), how many USERS have an a-event followed by a
-    # b-event within the next SEQ_GAP events (event_motifs_3 counts
-    # strictly-consecutive runs; real funnels tolerate noise between
-    # steps). Per-user sequence numbers from one window, then a
-    # self-join on user with 1 ≤ Δrn ≤ gap — the join fans out at most
-    # gap× before the distinct, so it scales linearly in events.
-    from pyspark.sql import Window as Win
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_type", F.unix_timestamp("ts").alias("te"),
-        "event_id")
-    w = Win.partitionBy("user_id").orderBy("te", "event_id")
-    s = ev.withColumn("rn", F.row_number().over(w))
-    a = s.select("user_id", F.col("event_type").alias("a"),
-                 F.col("rn").alias("ra"))
-    b = s.select("user_id", F.col("event_type").alias("b"),
-                 F.col("rn").alias("rb"))
-    j = (a.join(b, "user_id")
-         .filter((F.col("rb") > F.col("ra"))
-                 & (F.col("rb") <= F.col("ra") + SEQ_GAP)))
-    return (j.groupBy("a", "b")
-            .agg(F.countDistinct("user_id").alias("support_users"),
-                 F.count("*").alias("n_occurrences"))
-            .select("a", "b",
-                    F.col("support_users").cast("bigint")
-                    .alias("support_users"),
-                    F.col("n_occurrences").cast("bigint")
-                    .alias("n_occurrences")))
-
-
-def _gapped_sequences_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id, event_type,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          event_id
-                   FROM events),
-        s AS (SELECT user_id, event_type,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY te, event_id) AS rn
-              FROM e)
-        SELECT a.event_type AS a, b.event_type AS b,
-               CAST(count(DISTINCT a.user_id) AS BIGINT)
-                   AS support_users,
-               CAST(count(*) AS BIGINT) AS n_occurrences
-        FROM s a JOIN s b ON a.user_id = b.user_id
-                         AND b.rn > a.rn AND b.rn <= a.rn + {SEQ_GAP}
-        GROUP BY 1, 2"""
-
-
-def q_otsu_threshold(spark, sf):
-    # Otsu's optimal threshold on the event-value histogram — the
-    # unsupervised "split cheap from expensive" binarization. Integer
-    # scan: level = cents div OTSU_LEVEL; for every candidate cut t
-    # (class 0 = level ≤ t), between-class separation is the monotone
-    # transform |S0·n1 − S1·n0|² / (n0·n1) of w0w1(μ0−μ1)². To keep
-    # the whole scan in int64 at any corpus size, |diff| is quantized
-    # (div OTSU_Q) before squaring — BOTH engines run the identical
-    # quantized formula, so the argmax (ties → lowest cut) is fully
-    # deterministic, and the pytest cross-checks the pick against the
-    # float Otsu optimum. One tiny histogram agg + cumulative sums
-    # over ≤256 levels.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr(f"CAST(floor(value * 100 + 0.5) AS BIGINT)"
-               f" div {OTSU_LEVEL}").alias("lv"))
-    h = e.groupBy("lv").agg(F.count("*").alias("c"),
-                            F.sum("lv").alias("sv"))
-    wcum = Win.orderBy("lv").rowsBetween(Win.unboundedPreceding, 0)
-    wall = Win.partitionBy()
-    d = (h.withColumn("n0", F.sum("c").over(wcum))
-         .withColumn("s0", F.sum(F.col("sv")).over(wcum))
-         .withColumn("n", F.sum("c").over(wall))
-         .withColumn("s", F.sum(F.col("sv")).over(wall))
-         .filter(F.col("n0") < F.col("n"))
-         .withColumn("ad", F.abs(F.col("s0") * (F.col("n") - F.col("n0"))
-                                 - (F.col("s") - F.col("s0"))
-                                 * F.col("n0")))
-         .withColumn("score", F.expr(
-             f"((ad div {OTSU_Q}) * (ad div {OTSU_Q}))"
-             " div (n0 * (n - n0))")))
-    return (d.orderBy(F.col("score").desc(), F.col("lv").asc()).limit(1)
-            .select((F.col("lv") * OTSU_LEVEL).cast("bigint")
-                    .alias("threshold_cents"),
-                    F.col("score").cast("bigint").alias("score"),
-                    F.col("n0").cast("bigint").alias("n_low"),
-                    (F.col("n") - F.col("n0")).cast("bigint")
-                    .alias("n_high")))
-
-
-def _otsu_threshold_sql() -> str:
-    return f"""
-        WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
-                       // {OTSU_LEVEL} AS lv
-                   FROM events),
-        h AS (SELECT lv, count(*) AS c, sum(lv) AS sv FROM e
-              GROUP BY 1),
-        d AS (SELECT lv,
-                     sum(c) OVER (ORDER BY lv) AS n0,
-                     sum(sv) OVER (ORDER BY lv) AS s0,
-                     sum(c) OVER () AS n, sum(sv) OVER () AS s
-              FROM h),
-        f AS (SELECT lv, n0, n - n0 AS n1,
-                     abs(s0 * (n - n0) - (s - s0) * n0) AS ad
-              FROM d WHERE n0 < n),
-        sc AS (SELECT lv, n0, n1,
-                      ((ad // {OTSU_Q}) * (ad // {OTSU_Q}))
-                          // (n0 * n1) AS score
-               FROM f)
-        SELECT CAST(lv * {OTSU_LEVEL} AS BIGINT) AS threshold_cents,
-               CAST(score AS BIGINT) AS score,
-               CAST(n0 AS BIGINT) AS n_low, CAST(n1 AS BIGINT) AS n_high
-        FROM sc ORDER BY score DESC, lv ASC LIMIT 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 75 — Apriori frequent triples, double-sweep diameter bound
-# ---------------------------------------------------------------------------
-
-APRIORI_SUP = 12  # basket support threshold (tuned to split at both SFs)
-
-
-def _baskets(spark, sf):
-    # basket = (user, day); item = event_type × value-quartile — 20
-    # possible items, sparse enough per basket that the apriori lattice
-    # actually prunes
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    day = F.expr("unix_timestamp(ts) div 86400")
-    it = F.concat_ws(
-        "#", F.col("event_type"),
-        F.least(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
-                       " div 10000"), F.lit(3)).cast("string"))
-    return (e.select(F.concat_ws("|", F.col("user_id").cast("string"),
-                                 day.cast("string")).alias("bk"),
-                     it.alias("item"))
-            .distinct())
-
-
-def q_apriori_triples(spark, sf):
-    # frequent 3-itemsets by the Apriori levelwise plan — the
-    # market-basket generalization of basket_pairs: candidates for
-    # level 3 come ONLY from joining frequent pairs that share their
-    # first item, then the (b, c) subset must itself be frequent (the
-    # downward-closure prune) before any counting happens. At corpus
-    # scale this is the difference between counting C(n_items, 3)
-    # triples and counting a few survivors; the pytest measures the
-    # prune. Basket building is one distinct; each level is a
-    # self-join + count, all map-side combinable.
-    bi = _baskets(spark, sf).localCheckpoint(eager=False)
-    f1 = (bi.groupBy("item").agg(F.count("*").alias("s"))
-          .filter(F.col("s") >= APRIORI_SUP).select("item"))
-    b1 = bi.join(F.broadcast(f1), "item")
-    p = (b1.select("bk", F.col("item").alias("a"))
-         .join(b1.select("bk", F.col("item").alias("b")), "bk")
-         .filter(F.col("a") < F.col("b")))
-    f2 = (p.groupBy("a", "b").agg(F.count("*").alias("s"))
-          .filter(F.col("s") >= APRIORI_SUP).select("a", "b")
-          .localCheckpoint(eager=False))
-    cand = (f2.join(f2.select(F.col("a").alias("a"),
-                              F.col("b").alias("c")), "a")
-            .filter(F.col("b") < F.col("c")))
-    cand = (cand.join(f2.select(F.col("a").alias("b"),
-                                F.col("b").alias("c")), ["b", "c"]))
-    t = (cand.join(b1.select("bk", F.col("item").alias("a")), "a")
-         .join(b1.select("bk", F.col("item").alias("b")),
-               ["bk", "b"])
-         .join(b1.select("bk", F.col("item").alias("c")),
-               ["bk", "c"]))
-    return (t.groupBy("a", "b", "c").agg(F.count("*").alias("support"))
-            .filter(F.col("support") >= APRIORI_SUP)
-            .select("a", "b", "c",
-                    F.col("support").cast("bigint").alias("support")))
-
-
-def _apriori_triples_sql() -> str:
-    return f"""
-        WITH e AS (SELECT CAST(user_id AS VARCHAR) || '|' ||
-                          CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                               AS VARCHAR) AS bk,
-                          event_type || '#' ||
-                          CAST(least(CAST(floor(value * 100 + 0.5)
-                                          AS BIGINT) // 10000, 3)
-                               AS VARCHAR) AS item
-                   FROM events),
-        bi AS (SELECT DISTINCT bk, item FROM e),
-        f1 AS (SELECT item FROM bi GROUP BY 1
-               HAVING count(*) >= {APRIORI_SUP}),
-        b1 AS (SELECT bi.bk, bi.item FROM bi JOIN f1 USING (item)),
-        f2 AS (SELECT x.item AS a, y.item AS b
-               FROM b1 x JOIN b1 y ON x.bk = y.bk AND x.item < y.item
-               GROUP BY 1, 2 HAVING count(*) >= {APRIORI_SUP}),
-        cand AS (SELECT p.a, p.b, q.b AS c
-                 FROM f2 p JOIN f2 q ON p.a = q.a AND p.b < q.b),
-        cand2 AS (SELECT cand.a, cand.b, cand.c
-                  FROM cand JOIN f2 r ON r.a = cand.b AND r.b = cand.c),
-        t AS (SELECT x.bk, cand2.a, cand2.b, cand2.c
-              FROM cand2
-              JOIN b1 x ON x.item = cand2.a
-              JOIN b1 y ON y.bk = x.bk AND y.item = cand2.b
-              JOIN b1 z ON z.bk = x.bk AND z.item = cand2.c)
-        SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
-        FROM t GROUP BY 1, 2, 3 HAVING count(*) >= {APRIORI_SUP}"""
-
-
-DIAM_CAP = 10
-
-
-def q_diameter_sweep(spark, sf):
-    # graph-diameter lower bound by the classic double BFS sweep: full
-    # BFS from the lexicographically smallest host → farthest node w
-    # (ties → min host); full BFS from w → its eccentricity, which
-    # lower-bounds the diameter (and is exact on trees). Each BFS runs
-    # the bfs_hops frontier loop to exhaustion under a DIAM_CAP budget.
-    # Output one row: the two sweep endpoints and both eccentricities.
-    from geobuf_spark.operators import graph
-    ed = (_host_edges(spark)
-          .select(F.col("src_host").alias("src"),
-                  F.col("dst_host").alias("dst")))
-    nodes = (ed.select(F.col("src").alias("host"))
-             .unionByName(ed.select(F.col("dst").alias("host")))
-             .distinct())
-    seed0 = nodes.orderBy("host").limit(1)
-    b1 = graph.bfs_hops(ed, seed0, max_hops=DIAM_CAP)
-    far1 = (b1.orderBy(F.col("hop").desc(), F.col("host").asc())
-            .limit(1).collect()[0])
-    b2 = graph.bfs_hops(ed, spark.createDataFrame(
-        [(far1["host"],)], ["host"]), max_hops=DIAM_CAP)
-    far2 = (b2.orderBy(F.col("hop").desc(), F.col("host").asc())
-            .limit(1).collect()[0])
-    start = seed0.collect()[0]["host"]
-    return spark.createDataFrame(
-        [(start, far1["host"], int(far1["hop"]), far2["host"],
-          int(far2["hop"]))],
-        "start string, far1 string, ecc1 int, far2 string, "
-        "diameter_lb int")
-
-
-def _diameter_sweep_sql() -> str:
-    from geobuf_spark.operators import graph
-    b1 = graph.sql_bfs_hops(_host_edges_cte(), "n = (SELECT min(n) "
-                            "FROM nodes)", max_hops=DIAM_CAP)
-    # second sweep: seed = argmax hop of sweep 1 (ties → min host)
-    b2 = graph.sql_bfs_hops(
-        _host_edges_cte(),
-        "n = (SELECT host FROM s1 ORDER BY hop DESC, host LIMIT 1)",
-        max_hops=DIAM_CAP)
-    return f"""
-        WITH s1 AS ({b1}),
-        s2 AS ({b2}),
-        f1 AS (SELECT host, hop FROM s1
-               ORDER BY hop DESC, host LIMIT 1),
-        f2 AS (SELECT host, hop FROM s2
-               ORDER BY hop DESC, host LIMIT 1),
-        st AS (SELECT min(host) AS start FROM s1 WHERE hop = 0)
-        SELECT st.start, f1.host AS far1, CAST(f1.hop AS INT) AS ecc1,
-               f2.host AS far2, CAST(f2.hop AS INT) AS diameter_lb
-        FROM st, f1, f2"""
-
-
-# ---------------------------------------------------------------------------
-# batch 76 — Gonzalez k-center coreset, dedup-aware fold-leakage audit
-# ---------------------------------------------------------------------------
-
-KCENTER_K = 5
-FOLD_N = 5
-
-
-def q_kcenter_greedy(spark, sf):
-    # Gonzalez farthest-point-first k-center — the coreset/landmark
-    # picker (2-approx for the k-center objective): start from the min
-    # doc_id, then k−1 rounds of "argmax over points of min distance to
-    # the chosen centers". Chosen centers are plan-time literals each
-    # round (bounded k), so every round is ONE projection + ONE
-    # distributed argmax — the MMR/max-coverage chained-argmax shape on
-    # exact decimal d² (coordinate deltas square past int64). Output:
-    # each center with the covering radius² it was selected at (the
-    # k-center objective after its round), radius² div 64 to stay in
-    # BIGINT.
-    from geobuf_spark.sources import minted
-    pts = minted.minted_cluster_points_q(spark, sf)
-    first = pts.orderBy("doc_id").limit(1).collect()[0]
-    sel = [(1, int(first["doc_id"]), int(first["qx"]), int(first["qy"]),
-            -1)]
-    for r in range(2, KCENTER_K + 1):
-        dists = []
-        for _, _, cx, cy, _ in sel:
-            dx = (F.col("qx") - F.lit(cx)).cast("decimal(11,0)")
-            dy = (F.col("qy") - F.lit(cy)).cast("decimal(11,0)")
-            dists.append(dx * dx + dy * dy)
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (pts.withColumn("md", mind)
-               .orderBy(F.col("md").desc(), F.col("doc_id").asc())
-               .limit(1).collect()[0])
-        sel.append((r, int(row["doc_id"]), int(row["qx"]),
-                    int(row["qy"]), int(row["md"]) // 64))
-    return spark.createDataFrame(
-        sel, "rank int, center_doc bigint, qx bigint, qy bigint, "
-             "radius2_d64 bigint")
-
-
-def _kcenter_greedy_sql(k: int = KCENTER_K) -> str:
-    from geobuf_spark.sources import minted
-    d2 = ("CAST(p.qx - c.qx AS HUGEINT) * (p.qx - c.qx)"
-          " + CAST(p.qy - c.qy AS HUGEINT) * (p.qy - c.qy)")
-    parts = [f"""
-        pts AS ({minted.sql_minted_cluster_points_q()}),
-        c1 AS (SELECT 1 AS rank, doc_id, qx, qy,
-                      CAST(-1 AS HUGEINT) AS md
-               FROM pts ORDER BY doc_id LIMIT 1)"""]
-    for r in range(2, k + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT doc_id, qx, qy FROM c{j}" for j in range(1, r))
-        parts.append(f"""
-        m{r} AS (SELECT p.doc_id, p.qx, p.qy, min({d2}) AS md
-                 FROM pts p CROSS JOIN ({prev}) c
-                 GROUP BY 1, 2, 3),
-        c{r} AS (SELECT {r} AS rank, doc_id, qx, qy, md FROM m{r}
-                 ORDER BY md DESC, doc_id ASC LIMIT 1)""")
-    sel = "\n        UNION ALL ".join(
-        f"SELECT rank, doc_id, qx, qy, md FROM c{j}"
-        for j in range(1, k + 1))
-    return (f"WITH {','.join(parts)}"
-            f"""
-        SELECT CAST(rank AS INT) AS rank, doc_id AS center_doc, qx, qy,
-               CASE WHEN rank = 1 THEN CAST(-1 AS BIGINT)
-                    ELSE CAST(md // 64 AS BIGINT) END AS radius2_d64
-        FROM ({sel})""")
-
-
-def q_fold_leakage_audit(spark, sf):
-    # train/test split hygiene for near-duplicate corpora: hash-fold
-    # assignment leaks — a near-dup pair split across folds lets the
-    # model memorize test data. Two strategies audited side by side on
-    # the exact-Jaccard pair graph: 'doc_hash' (fold by doc id hash —
-    # pairs cross folds at roughly the random 1−1/F rate) vs
-    # 'component_hash' (fold by the dup-component representative —
-    # crossings are ZERO by construction). One pair computation (the
-    # ngram_jaccard tier), one component pass, then counting.
-    from geobuf_spark.functions import phash
-    from geobuf_spark.operators import dedup
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
-                                      shingle_k=3, threshold=0.4)
-    pairs = pairs.select("a", "b").localCheckpoint(eager=False)
-    comp = dedup.near_dup_components(pairs)
-
-    def fold_of(col):
-        return F.pmod(phash.hash60(F.concat(F.lit("fold:"),
-                                            col.cast("string"))),
-                      F.lit(FOLD_N))
-
-    rep = comp.select(F.col("doc_id").alias("d"),
-                      fold_of(F.col("rep_id")).alias("cf"))
-    j = (pairs
-         .withColumn("fa", fold_of(F.col("a")))
-         .withColumn("fb", fold_of(F.col("b")))
-         .join(rep.withColumnRenamed("d", "a")
-               .withColumnRenamed("cf", "ca"), "a")
-         .join(rep.withColumnRenamed("d", "b")
-               .withColumnRenamed("cf", "cb"), "b"))
-    agg = j.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum((F.col("fa") != F.col("fb")).cast("bigint"))
-        .alias("x_doc"),
-        F.sum((F.col("ca") != F.col("cb")).cast("bigint"))
-        .alias("x_comp"))
-    out = agg.select(
-        F.explode(F.array(
-            F.struct(F.lit("doc_hash").alias("strategy"),
-                     F.col("n_pairs").alias("n_pairs"),
-                     F.col("x_doc").alias("n_cross")),
-            F.struct(F.lit("component_hash").alias("strategy"),
-                     F.col("n_pairs").alias("n_pairs"),
-                     F.col("x_comp").alias("n_cross")))).alias("s"))
-    return out.select(
-        F.col("s.strategy").alias("strategy"),
-        F.col("s.n_pairs").cast("bigint").alias("n_pairs"),
-        F.col("s.n_cross").cast("bigint").alias("n_cross"),
-        F.expr("1000000 * s.n_cross div s.n_pairs").cast("bigint")
-        .alias("cross_ppm"))
-
-
-def _fold_leakage_audit_sql() -> str:
-    from geobuf_spark.functions import phash
-    fa = phash.sql_hash60("'fold:' || CAST(a AS VARCHAR)")
-    fb = phash.sql_hash60("'fold:' || CAST(b AS VARCHAR)")
-    fr = phash.sql_hash60("'fold:' || CAST(rep_id AS VARCHAR)")
-    return f"""
-        WITH RECURSIVE {_ngram_sql()},
-        pr AS (SELECT a, b FROM pairs),
-        edges AS (SELECT a AS u, b AS v FROM pr
-                  UNION SELECT b, a FROM pr),
-        walk(u, label) AS (
-            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
-        comp AS (SELECT u AS doc_id, min(label) AS rep_id FROM walk
-                 GROUP BY u),
-        cf AS (SELECT doc_id, {fr} % {FOLD_N} AS cfold FROM comp),
-        jl AS (SELECT pr.a, pr.b,
-                      {fa} % {FOLD_N} AS fa, {fb} % {FOLD_N} AS fb,
-                      x.cfold AS ca, y.cfold AS cb
-               FROM pr JOIN cf x ON x.doc_id = pr.a
-                       JOIN cf y ON y.doc_id = pr.b),
-        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-                       CAST(sum(CASE WHEN fa <> fb THEN 1 ELSE 0 END)
-                            AS BIGINT) AS x_doc,
-                       CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)
-                            AS BIGINT) AS x_comp
-                FROM jl)
-        SELECT 'doc_hash' AS strategy, n_pairs, x_doc AS n_cross,
-               CAST(1000000 * x_doc // n_pairs AS BIGINT) AS cross_ppm
-        FROM agg
-        UNION ALL
-        SELECT 'component_hash', n_pairs, x_comp,
-               CAST(1000000 * x_comp // n_pairs AS BIGINT)
-        FROM agg"""
-
-
-# ---------------------------------------------------------------------------
-# batch 77 — independence-assumption selectivity audit, rsync block delta
-# ---------------------------------------------------------------------------
-
-RSYNC_BLOCK = 16
-
-
-def q_selectivity_audit(spark, sf):
-    # the cardinality-estimation error a histogram-only planner makes:
-    # for every (lang, source) value pair, compare the
-    # independence-assumption estimate n_a·n_b/N against the TRUE
-    # conjunctive count — exactly what Spark's CBO does with column
-    # stats, made measurable. est/act in exact ppm of N; err signed.
-    # Three tiny aggregations (two marginals + one joint), broadcast
-    # everywhere.
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    n = d.count()
-    la = d.groupBy("lang").agg(F.count("*").alias("na"))
-    so = d.groupBy("source").agg(F.count("*").alias("nb"))
-    joint = d.groupBy("lang", "source").agg(F.count("*").alias("nj"))
-    j = (la.crossJoin(so)
-         .join(joint, ["lang", "source"], "left")
-         .withColumn("nj", F.coalesce(F.col("nj"), F.lit(0))))
-    return (j.select(
-        "lang", "source",
-        F.expr(f"1000000 * na * nb div ({n} * CAST({n} AS BIGINT))")
-        .cast("bigint").alias("est_ppm"),
-        F.expr(f"1000000 * nj div {n}").cast("bigint").alias("act_ppm"))
-        .withColumn("err_ppm",
-                    (F.col("est_ppm") - F.col("act_ppm")).cast("bigint")))
-
-
-def _selectivity_audit_sql() -> str:
-    return """
-        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        la AS (SELECT lang, CAST(count(*) AS BIGINT) AS na
-               FROM documents GROUP BY 1),
-        so AS (SELECT source, CAST(count(*) AS BIGINT) AS nb
-               FROM documents GROUP BY 1),
-        joint AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nj
-                  FROM documents GROUP BY 1, 2),
-        j AS (SELECT la.lang, so.source, la.na, so.nb,
-                     coalesce(joint.nj, 0) AS nj, n.n
-              FROM la CROSS JOIN so CROSS JOIN n
-              LEFT JOIN joint ON joint.lang = la.lang
-                             AND joint.source = so.source)
-        SELECT lang, source,
-               CAST(1000000 * na * nb // (n * n) AS BIGINT) AS est_ppm,
-               CAST(1000000 * nj // n AS BIGINT) AS act_ppm,
-               CAST(1000000 * na * nb // (n * n)
-                    - 1000000 * nj // n AS BIGINT) AS err_ppm
-        FROM j"""
-
-
-def q_rsync_delta(spark, sf):
-    # incremental-crawl storage: how much of a re-fetched page does the
-    # rsync block protocol re-use? Version B = the doc with a planted
-    # 3-token insertion at a content-derived position; A's fixed
-    # RSYNC_BLOCK-token blocks match against EVERY B window by hash —
-    # an insertion breaks at most the ONE block it lands inside, so
-    # n_matched ≥ n_blocks − 1 and the literal tail is the insertion
-    # plus the broken block (pytest pins the bound). All array
-    # expressions on one row — zero joins, zero shuffles; the block
-    # hashes use the portable bridge so DuckDB replays the match.
-    from geobuf_spark.functions import phash
-    d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    nA = F.size(toks)
-    p = F.pmod(phash.hash60(F.concat(F.lit("ins:"),
-                                     F.col("doc_id").cast("string"))),
-               nA + 1)
-    ins = F.array(F.lit("zz1"), F.lit("zz2"), F.lit("zz3"))
-    btoks = F.concat(F.slice(toks, 1, p), ins,
-                     F.slice(toks, p + 1, nA - p))
-    nb_blocks = nA.cast("int") / F.lit(RSYNC_BLOCK)
-    nblocks = F.floor(nb_blocks).cast("int")
-    ah = F.transform(
-        F.sequence(F.lit(0), nblocks - 1),
-        lambda k: phash.hash60(F.concat_ws(
-            " ", F.slice(toks, k * RSYNC_BLOCK + 1, RSYNC_BLOCK))))
-    nB = F.size(btoks)
-    wh = F.transform(
-        F.sequence(F.lit(1), nB - (RSYNC_BLOCK - 1)),
-        lambda i: phash.hash60(F.concat_ws(
-            " ", F.slice(btoks, i, RSYNC_BLOCK))))
-    matched = F.size(F.filter(ah, lambda h: F.array_contains(wh, h)))
-    out = d.filter(nA >= RSYNC_BLOCK).select(
-        "doc_id", nblocks.cast("bigint").alias("n_blocks"),
-        matched.cast("bigint").alias("n_matched"),
-        (nB - matched * RSYNC_BLOCK).cast("bigint")
-        .alias("literal_tokens"))
-    return out
-
-
-def _rsync_delta_sql() -> str:
-    from geobuf_spark.functions import phash
-    b = RSYNC_BLOCK
-    ph = phash.sql_hash60("'ins:' || CAST(doc_id AS VARCHAR)")
-    bh = phash.sql_hash60(
-        f"array_to_string(list_slice(tk, k * {b} + 1, (k + 1) * {b}),"
-        f" chr(32))")
-    wh = phash.sql_hash60(
-        f"array_to_string(list_slice(bt, i, i + {b - 1}), chr(32))")
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS tk
-                   FROM documents),
-        e AS (SELECT doc_id, tk, len(tk) AS na,
-                     {ph} % (len(tk) + 1) AS p
-              FROM d WHERE len(tk) >= {b}),
-        v AS (SELECT doc_id, tk, na,
-                     list_concat(list_concat(
-                         list_slice(tk, 1, p), ['zz1', 'zz2', 'zz3']),
-                         list_slice(tk, p + 1, na)) AS bt
-              FROM e),
-        h AS (SELECT doc_id, na // {b} AS nblocks,
-                     list_transform(range(0, na // {b}),
-                                    k -> {bh}) AS ah,
-                     list_transform(range(1, len(bt) - {b - 1} + 1),
-                                    i -> {wh}) AS whs,
-                     len(bt) AS nb2
-              FROM v)
-        SELECT doc_id, CAST(nblocks AS BIGINT) AS n_blocks,
-               CAST(len(list_filter(ah, x -> list_contains(whs, x)))
-                    AS BIGINT) AS n_matched,
-               CAST(nb2 - len(list_filter(ah,
-                        x -> list_contains(whs, x))) * {b} AS BIGINT)
-                   AS literal_tokens
-        FROM h"""
-
-
-# ---------------------------------------------------------------------------
-# batch 78 — effective corpus size after dedup, Zipf rank-frequency fit
-# ---------------------------------------------------------------------------
-
-
-def q_effective_tokens(spark, sf):
-    # "how big is the corpus REALLY": token mass after collapsing each
-    # near-dup component (exact-Jaccard tier) to its representative —
-    # the number that prices training-data value, not raw bytes.
-    # Composition of existing operators: pair graph → components → one
-    # anti-join discount of non-representative docs; single summary
-    # row with the savings in ppm.
-    from geobuf_spark.operators import dedup
-    d = _docs(spark, sf).select(
-        "doc_id", TXT.token_count(F.col("text")).cast("bigint")
-        .alias("n_tok"))
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), key="doc_id",
-                                      shingle_k=3, threshold=0.4)
-    comp = dedup.near_dup_components(pairs.select("a", "b"))
-    nonrep = comp.filter(F.col("doc_id") != F.col("rep_id")) \
-        .select("doc_id")
-    tot = d.agg(F.count("*").alias("n_docs"),
-                F.sum("n_tok").alias("tokens_total"))
-    disc = (d.join(nonrep, "doc_id")
-            .agg(F.count("*").alias("n_dup_docs"),
-                 F.coalesce(F.sum("n_tok"), F.lit(0))
-                 .alias("tokens_dropped")))
-    return (tot.crossJoin(disc)
-            .select(F.col("n_docs").cast("bigint").alias("n_docs"),
-                    F.col("n_dup_docs").cast("bigint").alias("n_dup_docs"),
-                    F.col("tokens_total").cast("bigint")
-                    .alias("tokens_total"),
-                    (F.col("tokens_total") - F.col("tokens_dropped"))
-                    .cast("bigint").alias("tokens_effective"),
-                    F.expr("1000000 * tokens_dropped div tokens_total")
-                    .cast("bigint").alias("savings_ppm")))
-
-
-def _effective_tokens_sql() -> str:
-    return f"""
-        WITH RECURSIVE {_ngram_sql()},
-        edges AS (SELECT a AS u, b AS v FROM pairs
-                  UNION SELECT b, a FROM pairs),
-        walk(u, label) AS (
-            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
-        comp AS (SELECT u AS doc_id, min(label) AS rep_id FROM walk
-                 GROUP BY u),
-        tk AS (SELECT doc_id,
-                      CAST(len(string_split(text, chr(32))) AS BIGINT)
-                          AS n_tok
-               FROM documents),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(n_tok) AS BIGINT) AS tokens_total
-                FROM tk),
-        disc AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
-                        CAST(coalesce(sum(tk.n_tok), 0) AS BIGINT)
-                            AS tokens_dropped
-                 FROM comp JOIN tk USING (doc_id)
-                 WHERE comp.doc_id <> comp.rep_id)
-        SELECT n_docs, n_dup_docs, tokens_total,
-               CAST(tokens_total - tokens_dropped AS BIGINT)
-                   AS tokens_effective,
-               CAST(1000000 * tokens_dropped // tokens_total AS BIGINT)
-                   AS savings_ppm
-        FROM tot, disc"""
-
-
-def q_zipf_fit(spark, sf):
-    # does the corpus vocabulary follow a power law? Rank-frequency
-    # slope on the log-log plot, kept exact: log2 via the binary-string
-    # bit length (both engines agree bit-for-bit — the log_histogram
-    # trick), slope by integer least squares over (lx, ly) as the
-    # EXACT rational num/den (the trend_slope_weekly form). A Zipfian
-    # vocabulary fits slope ≈ −1; flat synthetic vocabularies read
-    # near 0 — the drift gate for "did the tokenizer/corpus change
-    # shape". One term rollup + a ≤vocab-size ranking.
-    from pyspark.sql import Window as Win
-    t = (_docs(spark, sf)
-         .select(F.explode(F.split("text", " ")).alias("w"))
-         .groupBy("w").agg(F.count("*").alias("f")))
-    wr = Win.orderBy(F.col("f").desc(), F.col("w").asc())
-    r = (t.withColumn("rank", F.row_number().over(wr))
-         .select(
-             (F.length(F.conv(F.col("rank").cast("string"), 10, 2)) - 1)
-             .cast("bigint").alias("lx"),
-             (F.length(F.conv(F.col("f").cast("string"), 10, 2)) - 1)
-             .cast("bigint").alias("ly")))
-    a = r.agg(F.count("*").alias("n"), F.sum("lx").alias("sx"),
-              F.sum("ly").alias("sy"),
-              F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
-              F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
-    return a.select(
-        F.col("n").cast("bigint").alias("n_terms"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("bigint").alias("slope_num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("bigint").alias("slope_den"),
-        F.expr("1000000 * (n * sxy - sx * sy) div "
-               "(n * sxx - sx * sx)").cast("bigint")
-        .alias("slope_ppm"))
-
-
-def _zipf_fit_sql() -> str:
-    return """
-        WITH t AS (SELECT w, count(*) AS f FROM (
-                       SELECT unnest(string_split(text, chr(32))) AS w
-                       FROM documents)
-                   GROUP BY 1),
-        r AS (SELECT CAST(length(bin(row_number() OVER (
-                          ORDER BY f DESC, w ASC))) - 1 AS BIGINT)
-                         AS lx,
-                     CAST(length(bin(f)) - 1 AS BIGINT) AS ly
-              FROM t),
-        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(lx) AS BIGINT) AS sx,
-                     CAST(sum(ly) AS BIGINT) AS sy,
-                     CAST(sum(lx * ly) AS BIGINT) AS sxy,
-                     CAST(sum(lx * lx) AS BIGINT) AS sxx
-              FROM r)
-        SELECT n AS n_terms,
-               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-               CAST(1000000 * (n * sxy - sx * sy)
-                    // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
-        FROM a"""
-
-
-# ---------------------------------------------------------------------------
-# batch 79 — Haar multiresolution energy, negative-sample audit
-# ---------------------------------------------------------------------------
-
-HAAR_N = 32  # days padded to the next power of two
-NEG_K = 2
-
-
-def q_haar_energy(spark, sf):
-    # which TIMESCALE carries the crawl-volume variance: unnormalized
-    # Haar wavelet decomposition of the daily event-count series
-    # (padded to 32), exact integers — level-l details are differences
-    # of 2^(l-1)-day sums, so level 3 ≈ half-week structure, level 5 ≈
-    # fortnight trend. Output per level: coefficient count and detail
-    # energy Σd². The daily rollup is the only data-sized exchange; the
-    # 32-point transform happens in ONE single-row projection via
-    # map lookup + unrolled per-level transforms.
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.expr("unix_timestamp(ts) div 86400").alias("day"))
-    days = ev.groupBy("day").agg(F.count("*").alias("n"))
-    one = (days.agg(
-        F.min("day").alias("d0"),
-        F.map_from_entries(F.collect_list(F.struct("day", "n")))
-        .alias("m")))
-    x = F.transform(
-        F.sequence(F.lit(0), F.lit(HAAR_N - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("m"),
-                         (F.col("d0") + i.cast("bigint"))),
-            F.lit(0)).cast("bigint"))
-    one = one.select(x.alias("x"))
-    rows = []
-    cur = F.col("x")
-    n = HAAR_N
-    for lvl in range(1, 6):
-        half = n // 2
-        idx = F.sequence(F.lit(1), F.lit(half))
-        det = F.transform(
-            idx, lambda j: F.element_at(cur, 2 * j - 1)
-            - F.element_at(cur, 2 * j))
-        app = F.transform(
-            idx, lambda j: F.element_at(cur, 2 * j - 1)
-            + F.element_at(cur, 2 * j))
-        energy = F.aggregate(det, F.lit(0).cast("bigint"),
-                             lambda a, d: a + d * d)
-        rows.append(one.select(F.lit(lvl).alias("level"),
-                               F.lit(half).cast("bigint")
-                               .alias("n_coeffs"),
-                               energy.alias("energy")))
-        one = one.select(app.alias("x"))
-        cur = F.col("x")
-        n = half
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.select(F.col("level").cast("int").alias("level"),
-                      "n_coeffs",
-                      F.col("energy").cast("bigint").alias("energy"))
-
-
-def _haar_energy_sql() -> str:
-    parts = [f"""
-        d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM events GROUP BY 1),
-        d0 AS (SELECT min(day) AS d0 FROM d),
-        grid AS (SELECT CAST(range AS BIGINT) AS i FROM
-                     range(0, {HAAR_N})),
-        x0 AS (SELECT list(coalesce(d.n, 0) ORDER BY grid.i) AS x
-               FROM grid CROSS JOIN d0
-               LEFT JOIN d ON d.day = d0.d0 + grid.i)"""]
-    n = HAAR_N
-    sels = []
-    for lvl in range(1, 6):
-        half = n // 2
-        parts.append(f"""
-        l{lvl} AS (SELECT
-            list_transform(range(1, {half} + 1),
-                j -> x[2*j - 1] - x[2*j]) AS det,
-            list_transform(range(1, {half} + 1),
-                j -> x[2*j - 1] + x[2*j]) AS x
-            FROM {'x0' if lvl == 1 else f'l{lvl - 1}'})""")
-        sels.append(f"SELECT {lvl} AS level, {half} AS n_coeffs, "
-                    f"list_sum(list_transform(det, v -> v * v)) "
-                    f"AS energy FROM l{lvl}")
-        n = half
-    u = "\n        UNION ALL ".join(sels)
-    return (f"WITH {','.join(parts)}"
-            f"""
-        SELECT CAST(level AS INT) AS level,
-               CAST(n_coeffs AS BIGINT) AS n_coeffs,
-               CAST(energy AS BIGINT) AS energy
-        FROM ({u})""")
-
-
-def q_negative_samples(spark, sf):
-    # link-prediction training needs negatives: for every positive host
-    # edge, mint NEG_K deterministic candidates (hash-indexed into the
-    # ranked host table) and AUDIT them — a candidate that equals the
-    # source or hits a real edge is a false negative that poisons the
-    # training set. Output: positives, candidates, self-collisions,
-    # edge-collisions, clean_ppm. One broadcast of the host index + one
-    # semi-join against the edge set; at 10^8 hosts the index join
-    # stays a hash join on int keys.
-    from geobuf_spark.functions import phash
-    from pyspark.sql import Window as Win
-    ed = (_host_edges(spark)
-          .select(F.col("src_host").alias("src"),
-                  F.col("dst_host").alias("dst")).distinct()
-          .localCheckpoint(eager=False))
-    hosts = (ed.select(F.col("src").alias("h"))
-             .unionByName(ed.select(F.col("dst").alias("h"))).distinct())
-    w = Win.orderBy("h")
-    hid = hosts.withColumn("idx",
-                           F.row_number().over(w).cast("bigint") - 1)
-    nh = hid.count()
-    cands = None
-    for k in range(NEG_K):
-        c = ed.select(
-            "src", "dst",
-            F.pmod(phash.hash60_parts(F.lit("neg"), F.col("src"),
-                                      F.col("dst"), F.lit(k)),
-                   F.lit(nh)).alias("idx"))
-        cands = c if cands is None else cands.unionByName(c)
-    j = cands.join(F.broadcast(hid), "idx").withColumnRenamed("h", "cand")
-    hit = (j.join(ed.select(F.col("src").alias("src"),
-                            F.col("dst").alias("cand"))
-                  .withColumn("_e", F.lit(1)).distinct(),
-                  ["src", "cand"], "left"))
-    agg = hit.agg(
-        F.count("*").alias("n_cand"),
-        F.sum((F.col("cand") == F.col("src")).cast("bigint"))
-        .alias("n_self"),
-        F.sum(F.col("_e").isNotNull().cast("bigint")).alias("n_hit"))
-    npos = ed.count()
-    return agg.select(
-        F.lit(npos).cast("bigint").alias("n_pos"),
-        F.col("n_cand").cast("bigint").alias("n_cand"),
-        F.col("n_self").cast("bigint").alias("n_self"),
-        F.col("n_hit").cast("bigint").alias("n_hit"),
-        F.expr("1000000 * (n_cand - n_self - n_hit) div n_cand")
-        .cast("bigint").alias("clean_ppm"))
-
-
-def _negative_samples_sql() -> str:
-    from geobuf_spark.functions import phash
-    h = phash.sql_hash60_parts("'neg'", "src", "dst", "k")
-    return f"""
-        WITH {_host_edges_cte()},
-        pe AS (SELECT DISTINCT src, dst FROM ed),
-        hosts AS (SELECT src AS h FROM pe UNION SELECT dst FROM pe),
-        hid AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS idx
-                FROM hosts),
-        nh AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hid),
-        cand AS (SELECT pe.src, pe.dst, k.k,
-                        {h} % nh.nh AS idx
-                 FROM pe CROSS JOIN (SELECT CAST(range AS BIGINT) AS k
-                                     FROM range(0, {NEG_K})) k
-                 CROSS JOIN nh),
-        jj AS (SELECT cand.src, hid.h AS cand_h
-               FROM cand JOIN hid USING (idx)),
-        hit AS (SELECT jj.src, jj.cand_h,
-                       CASE WHEN jj.cand_h = jj.src THEN 1 ELSE 0 END
-                           AS is_self,
-                       CASE WHEN EXISTS (SELECT 1 FROM pe
-                                         WHERE pe.src = jj.src
-                                           AND pe.dst = jj.cand_h)
-                            THEN 1 ELSE 0 END AS is_hit
-                FROM jj)
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pe) AS n_pos,
-               CAST(count(*) AS BIGINT) AS n_cand,
-               CAST(sum(is_self) AS BIGINT) AS n_self,
-               CAST(sum(is_hit) AS BIGINT) AS n_hit,
-               CAST(1000000 * (count(*) - sum(is_self) - sum(is_hit))
-                    // count(*) AS BIGINT) AS clean_ppm
-        FROM hit"""
-
-
-# ---------------------------------------------------------------------------
-# batch 80 — greedy bandit replay evaluation, LSH blocking quality
-# ---------------------------------------------------------------------------
-
-BANDIT_ARMS = ["click", "error", "purchase", "signup", "view"]
-
-
-def q_bandit_replay(spark, sf):
-    # offline policy evaluation by replay (Li et al. 2011): walk each
-    # user's event stream in time order; at every step the greedy
-    # policy picks the arm (event type) with the best PRIOR empirical
-    # mean value for that user — unexplored arms first (optimistic,
-    # alphabetical), means compared in deterministic milli-cent
-    # quantization, ties → alphabetical. The step scores only when the
-    # logged action matches the policy's pick (the unbiased replay
-    # estimator). Per-user windows (5 count + 5 sum aggregates over ONE
-    # sort) — no global sequence, so the plan scales with users.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", "event_type",
-        F.unix_timestamp("ts").alias("te"),
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"))
-    w = (Win.partitionBy("user_id").orderBy("te", "event_id")
-         .rowsBetween(Win.unboundedPreceding, -1))
-    d = e
-    for arm in BANDIT_ARMS:
-        is_a = (F.col("event_type") == arm).cast("bigint")
-        d = (d.withColumn(f"c_{arm}", F.coalesce(
-                F.sum(is_a).over(w), F.lit(0)))
-             .withColumn(f"s_{arm}", F.coalesce(
-                F.sum(is_a * F.col("v")).over(w), F.lit(0))))
-    # chosen arm: first unexplored alphabetically, else argmax of the
-    # quantized prior mean (1000·s div c), ties → alphabetical
-    unexplored = None
-    for arm in BANDIT_ARMS:
-        cond = F.col(f"c_{arm}") == 0
-        pick = F.when(cond, F.lit(arm))
-        unexplored = pick if unexplored is None else \
-            F.coalesce(unexplored, pick)
-    # argmax by (mean, arm-asc) via ONE array_max over (m, −idx)
-    # structs — the nested-CASE form blew past the codegen method
-    # limit; this stays inside whole-stage codegen (and differs from
-    # the oracle's CASE chain, which is a feature: two formulations)
-    cands = [F.struct(
-        F.expr(f"1000 * s_{arm} div greatest(c_{arm}, 1)").alias("m"),
-        F.lit(-i).alias("ni")) for i, arm in enumerate(BANDIT_ARMS)]
-    bi = (-F.array_max(F.array(*cands)).getField("ni")).cast("int")
-    arm_arr = F.array(*[F.lit(a) for a in BANDIT_ARMS])
-    chosen = F.coalesce(unexplored, F.element_at(arm_arr, bi + 1))
-    d = d.withColumn("chosen", chosen)
-    m = (F.col("chosen") == F.col("event_type")).cast("bigint")
-    return (d.agg(F.count("*").alias("n_events"),
-                  F.sum(m).alias("n_matches"),
-                  F.sum(m * F.col("v")).alias("reward_cents"))
-            .select(F.col("n_events").cast("bigint").alias("n_events"),
-                    F.col("n_matches").cast("bigint").alias("n_matches"),
-                    F.col("reward_cents").cast("bigint")
-                    .alias("reward_cents"),
-                    F.expr("1000000 * n_matches div n_events")
-                    .cast("bigint").alias("match_ppm")))
-
-
-def _bandit_replay_sql() -> str:
-    arms = BANDIT_ARMS
-    cs = ", ".join(
-        f"coalesce(sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) "
-        f"OVER wp, 0) AS c_{a}, "
-        f"coalesce(sum(CASE WHEN event_type = '{a}' THEN v ELSE 0 END) "
-        f"OVER wp, 0) AS s_{a}" for a in arms)
-    unex = "CASE " + " ".join(
-        f"WHEN c_{a} = 0 THEN '{a}'" for a in arms) + " ELSE NULL END"
-    # argmax by (mean, arm-asc) via chained comparisons
-    best = f"'{arms[0]}'"
-    bm = f"(1000 * s_{arms[0]} // greatest(c_{arms[0]}, 1))"
-    for a in arms[1:]:
-        m = f"(1000 * s_{a} // greatest(c_{a}, 1))"
-        best = (f"CASE WHEN {m} > {bm} THEN '{a}' "
-                f"WHEN {m} = {bm} AND '{a}' < ({best}) THEN '{a}' "
-                f"ELSE ({best}) END")
-        bm = f"greatest({bm}, {m})"
-    return f"""
-        WITH e AS (SELECT user_id, event_id, event_type,
-                          CAST(floor(epoch(ts)) AS BIGINT) AS te,
-                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-                   FROM events),
-        d AS (SELECT *, {cs}
-              FROM e
-              WINDOW wp AS (PARTITION BY user_id ORDER BY te, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING)),
-        p AS (SELECT *, coalesce({unex}, {best}) AS chosen FROM d)
-        SELECT CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CASE WHEN chosen = event_type THEN 1 ELSE 0
-                        END) AS BIGINT) AS n_matches,
-               CAST(sum(CASE WHEN chosen = event_type THEN v ELSE 0
-                        END) AS BIGINT) AS reward_cents,
-               CAST(1000000 * sum(CASE WHEN chosen = event_type THEN 1
-                                  ELSE 0 END) // count(*) AS BIGINT)
-                   AS match_ppm
-        FROM p"""
-
-
-def q_blocking_quality(spark, sf):
-    # does the LSH blocking stage earn its keep? Pair completeness
-    # (share of TRUE near-dup pairs the bands catch) and reduction
-    # ratio (share of the C(n,2) pair space never considered) — the
-    # standard blocking-evaluation metrics, here tying the minhash
-    # candidate tier to the exact-Jaccard truth tier in one row.
-    from geobuf_spark.operators import dedup
-    d = _docs(spark, sf)
-    cand = (dedup.minhash_lsh_pairs(d, key="doc_id",
-                                    jaccard_threshold=0.0,
-                                    hash_fn="portable")
-            .select("a", "b").distinct().localCheckpoint(eager=False))
-    truth = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
-                                       threshold=0.4)
-             .select("a", "b").distinct())
-    n = d.count()
-    caught = truth.join(cand, ["a", "b"]).count()
-    n_true, n_cand = truth.count(), cand.count()
-    total = n * (n - 1) // 2
-    return spark.createDataFrame(
-        [(n_true, n_cand, caught,
-          10**6 * caught // n_true if n_true else 0,
-          10**6 * (total - n_cand) // total)],
-        "n_true bigint, n_cand bigint, n_caught bigint, pc_ppm bigint, "
-        "rr_ppm bigint")
-
-
-def _blocking_quality_sql() -> str:
-    return f"""
-        WITH cand AS (SELECT DISTINCT a, b
-                      FROM ({_minhash_sql(threshold=0.0)})),
-        tr AS (SELECT a, b FROM (WITH {_ngram_sql()}
-                                 SELECT a, b FROM pairs)),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr)
-                         AS n_true,
-                     (SELECT CAST(count(*) AS BIGINT) FROM cand)
-                         AS n_cand,
-                     (SELECT CAST(count(*) AS BIGINT) FROM tr
-                      JOIN cand USING (a, b)) AS n_caught,
-                     (SELECT n * (n - 1) // 2 FROM nn) AS total)
-        SELECT n_true, n_cand, n_caught,
-               CAST(CASE WHEN n_true > 0
-                         THEN 1000000 * n_caught // n_true
-                         ELSE 0 END AS BIGINT) AS pc_ppm,
-               CAST(1000000 * (total - n_cand) // total AS BIGINT)
-                   AS rr_ppm
-        FROM m"""
-
-
-# ---------------------------------------------------------------------------
-# batch 81 — full k-core decomposition, Gini decision stump
-# ---------------------------------------------------------------------------
-
-STUMP_LEVEL = 100  # n_chars bucket width for candidate thresholds
-STUMP_Q = 1000     # impurity quantum (the otsu_threshold trick)
-
-
-def q_coreness(spark, sf):
-    # full k-core decomposition of the host graph (kcore_hosts peels
-    # only k=2): coreness per node via the h-index fixpoint
-    # (graph.coreness — c(v) ← h-index of neighbors' values, converges
-    # to the exact coreness, convergence-or-raise). The crawl scheduler
-    # reads it as "how deep in the mutually-dense web is this host".
-    # Oracle: the SAME rounds fixed-length MATERIALIZED; the pytest's
-    # sequential peeling is the independent algorithm.
-    from geobuf_spark.operators import graph
-    c = graph.coreness(
-        _host_edges(spark).select(F.col("src_host").alias("src"),
-                                  F.col("dst_host").alias("dst")),
-        max_rounds=20)
-    return (c.groupBy("coreness")
-            .agg(F.count("*").alias("n_hosts"),
-                 F.min("host").alias("first_host")))
-
-
-def _coreness_sql() -> str:
-    from geobuf_spark.operators import graph
-    inner = graph.sql_coreness(_host_edges_cte(), rounds=20)
-    return f"""
-        SELECT coreness, CAST(count(*) AS BIGINT) AS n_hosts,
-               min(host) AS first_host
-        FROM ({inner}) GROUP BY 1"""
-
-
-def q_stump_split(spark, sf):
-    # the decision-tree building block as a query: the best single
-    # threshold on n_chars separating English from non-English docs by
-    # weighted Gini impurity. For cut t: impurity_side = n_side −
-    # Σ_c n_c²/n_side; minimize the sum over sides. Kept deterministic
-    # cross-engine by the otsu trick — per-side impurity quantized as
-    # (n_side² − Σn_c²)·STUMP_Q div n_side, summed, argmin by
-    # (score, t). One histogram agg over (level, label), cumulative
-    # sums over ≤ a few hundred levels.
-    from pyspark.sql import Window as Win
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.expr(f"n_chars div {STUMP_LEVEL}").alias("lv"),
-        (F.col("lang") == "en").cast("bigint").alias("y"))
-    h = d.groupBy("lv").agg(F.count("*").alias("c"),
-                            F.sum("y").alias("p"))
-    wcum = Win.orderBy("lv").rowsBetween(Win.unboundedPreceding, 0)
-    wall = Win.partitionBy()
-    g = (h.withColumn("n0", F.sum("c").over(wcum))
-         .withColumn("p0", F.sum("p").over(wcum))
-         .withColumn("n", F.sum("c").over(wall))
-         .withColumn("p", F.sum(F.col("p")).over(wall))
-         .filter(F.col("n0") < F.col("n")))
-    imp = ("((n0 * n0 - p0 * p0 - (n0 - p0) * (n0 - p0))"
-           f" * {STUMP_Q} div n0"
-           " + ((n - n0) * (n - n0) - (p - p0) * (p - p0)"
-           " - ((n - n0) - (p - p0)) * ((n - n0) - (p - p0)))"
-           f" * {STUMP_Q} div (n - n0))")
-    g = g.withColumn("score", F.expr(imp))
-    return (g.orderBy(F.col("score").asc(), F.col("lv").asc()).limit(1)
-            .select((F.col("lv") * STUMP_LEVEL).cast("bigint")
-                    .alias("threshold_chars"),
-                    F.col("score").cast("bigint")
-                    .alias("impurity_scaled"),
-                    F.col("n0").cast("bigint").alias("n_left"),
-                    (F.col("n") - F.col("n0")).cast("bigint")
-                    .alias("n_right"),
-                    F.col("p0").cast("bigint").alias("pos_left"),
-                    (F.col("p") - F.col("p0")).cast("bigint")
-                    .alias("pos_right")))
-
-
-def _stump_split_sql() -> str:
-    return f"""
-        WITH d AS (SELECT n_chars // {STUMP_LEVEL} AS lv,
-                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-                   FROM documents),
-        h AS (SELECT lv, count(*) AS c, sum(y) AS p FROM d GROUP BY 1),
-        g AS (SELECT lv,
-                     sum(c) OVER (ORDER BY lv) AS n0,
-                     sum(p) OVER (ORDER BY lv) AS p0,
-                     sum(c) OVER () AS n, sum(p) OVER () AS p
-              FROM h),
-        f AS (SELECT lv, n0, p0, n, p,
-                     ((n0 * n0 - p0 * p0 - (n0 - p0) * (n0 - p0))
-                      * {STUMP_Q} // n0
-                      + ((n - n0) * (n - n0) - (p - p0) * (p - p0)
-                         - ((n - n0) - (p - p0))
-                           * ((n - n0) - (p - p0)))
-                        * {STUMP_Q} // (n - n0)) AS score
-              FROM g WHERE n0 < n)
-        SELECT CAST(lv * {STUMP_LEVEL} AS BIGINT) AS threshold_chars,
-               CAST(score AS BIGINT) AS impurity_scaled,
-               CAST(n0 AS BIGINT) AS n_left,
-               CAST(n - n0 AS BIGINT) AS n_right,
-               CAST(p0 AS BIGINT) AS pos_left,
-               CAST(p - p0 AS BIGINT) AS pos_right
-        FROM f ORDER BY score ASC, lv ASC LIMIT 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 82 — two-level exact top-k, difference-in-differences
-# ---------------------------------------------------------------------------
-
-TOPK2_K = 10
-TOPK2_B = 8
-DID_SPLIT_DAY = 15  # cutover: day-of-series < 15 = "before"
-
-
-def q_topk_two_level(spark, sf):
-    # the EXACT distributed top-k pattern spelled out as a query: hash-
-    # partition hosts into B buckets, take each bucket's local top-k,
-    # then re-top the B·k survivors — correct BECAUSE the bucket key is
-    # the group key (each host's full count lives in one bucket), so
-    # the union provably contains the global top-k. The final top runs
-    # on B·k rows — no global sort of the host table. Ties → host asc.
-    # Oracle: the direct single-level top-k; equality IS the proof.
-    from pyspark.sql import Window as Win
-    from geobuf_spark.functions import phash
-    counts = (_docs(spark, sf)
-              .select(TXT.url_host(F.concat(F.lit("https://"),
-                                            F.col("source"),
-                                            F.lit(".example/x")))
-                      .alias("host"))
-              .groupBy("host").agg(F.count("*").alias("n")))
-    b = F.pmod(phash.hash60(F.col("host")), F.lit(TOPK2_B))
-    wb = Win.partitionBy("b").orderBy(F.col("n").desc(),
-                                      F.col("host").asc())
-    local = (counts.withColumn("b", b)
-             .withColumn("rn", F.row_number().over(wb))
-             .filter(F.col("rn") <= TOPK2_K))
-    wg = Win.orderBy(F.col("n").desc(), F.col("host").asc())
-    return (local.withColumn("rk", F.row_number().over(wg))
-            .filter(F.col("rk") <= TOPK2_K)
-            .select("host", F.col("n").cast("bigint").alias("n"),
-                    F.col("rk").cast("int").alias("rank")))
-
-
-def _topk_two_level_sql() -> str:
-    from geobuf_spark.functions import text as T2
-    host = T2.sql_url_host("'https://' || source || '.example/x'")
-    return f"""
-        WITH c AS (SELECT {host} AS host, CAST(count(*) AS BIGINT) AS n
-                   FROM documents GROUP BY 1),
-        r AS (SELECT host, n, row_number() OVER (ORDER BY n DESC,
-                  host ASC) AS rank
-              FROM c)
-        SELECT host, n, CAST(rank AS INT) AS rank
-        FROM r WHERE rank <= {TOPK2_K}"""
-
-
-def q_did_purchases(spark, sf):
-    # difference-in-differences on purchase value: treatment = odd
-    # user_id, cutover = day DID_SPLIT_DAY of the series; DiD =
-    # (T_after − T_before) − (C_after − C_before) on mean cents, with
-    # every mean quantized identically (1000·sum div n) so the
-    # estimate hashes exactly. One four-cell rollup; the output keeps
-    # all four cell means plus the DiD — the causal-analytics shape.
-    e = spark.read.parquet(f"{sf}/events.parquet").filter(
-        F.col("event_type") == "purchase")
-    day0 = e.agg(F.expr("min(unix_timestamp(ts) div 86400)")
-                 .alias("d0")).collect()[0]["d0"]
-    cell = e.select(
-        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
-        (F.expr("unix_timestamp(ts) div 86400") - F.lit(day0)
-         >= DID_SPLIT_DAY).cast("int").alias("after"),
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"))
-    g = (cell.groupBy("treat", "after")
-         .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
-         .withColumn("mean_m", F.expr("1000 * s div n")))
-    # four quantized cell means via conditional aggregation
-    m = g.agg(
-        F.sum(F.when((F.col("treat") == 1) & (F.col("after") == 1),
-                     F.col("mean_m"))).alias("t_after"),
-        F.sum(F.when((F.col("treat") == 1) & (F.col("after") == 0),
-                     F.col("mean_m"))).alias("t_before"),
-        F.sum(F.when((F.col("treat") == 0) & (F.col("after") == 1),
-                     F.col("mean_m"))).alias("c_after"),
-        F.sum(F.when((F.col("treat") == 0) & (F.col("after") == 0),
-                     F.col("mean_m"))).alias("c_before"))
-    return m.select(
-        F.col("t_before").cast("bigint").alias("t_before_m"),
-        F.col("t_after").cast("bigint").alias("t_after_m"),
-        F.col("c_before").cast("bigint").alias("c_before_m"),
-        F.col("c_after").cast("bigint").alias("c_after_m"),
-        ((F.col("t_after") - F.col("t_before"))
-         - (F.col("c_after") - F.col("c_before"))).cast("bigint")
-        .alias("did_millicents"))
-
-
-def _did_purchases_sql() -> str:
-    return f"""
-        WITH e AS (SELECT user_id,
-                          CAST(floor(epoch(ts)) AS BIGINT) // 86400
-                              AS day,
-                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-                   FROM events WHERE event_type = 'purchase'),
-        d0 AS (SELECT min(day) AS d0 FROM e),
-        c AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
-                         AS treat,
-                     CASE WHEN e.day - d0.d0 >= {DID_SPLIT_DAY} THEN 1
-                          ELSE 0 END AS after, v
-              FROM e, d0),
-        g AS (SELECT treat, after, 1000 * sum(v) // count(*) AS mean_m
-              FROM c GROUP BY 1, 2)
-        SELECT CAST(sum(CASE WHEN treat = 1 AND after = 0 THEN mean_m
-                        END) AS BIGINT) AS t_before_m,
-               CAST(sum(CASE WHEN treat = 1 AND after = 1 THEN mean_m
-                        END) AS BIGINT) AS t_after_m,
-               CAST(sum(CASE WHEN treat = 0 AND after = 0 THEN mean_m
-                        END) AS BIGINT) AS c_before_m,
-               CAST(sum(CASE WHEN treat = 0 AND after = 1 THEN mean_m
-                        END) AS BIGINT) AS c_after_m,
-               CAST((sum(CASE WHEN treat = 1 AND after = 1 THEN mean_m
-                         END)
-                     - sum(CASE WHEN treat = 1 AND after = 0 THEN
-                           mean_m END))
-                    - (sum(CASE WHEN treat = 0 AND after = 1 THEN
-                           mean_m END)
-                       - sum(CASE WHEN treat = 0 AND after = 0 THEN
-                             mean_m END)) AS BIGINT) AS did_millicents
-        FROM g"""
-
-
-# ---------------------------------------------------------------------------
-# batch 83 — k-truss peeling, deterministic Poisson bootstrap
-# ---------------------------------------------------------------------------
-
-KTRUSS_K = 3
-KTRUSS_ROUNDS = 8
-
-_PB_B = 40         # bootstrap resamples
-_PB_LO, _PB_HI = 2, 39  # order-statistic ranks of the 95%-ish CI
-# integer thresholds of the Poisson(1) inverse CDF on a 60-bit hash:
-# u < _PB_T[j] ⇒ weight j (first match), else 5 — exact in both engines
-import math as _math
-_PB_T = []
-_c = 0.0
-for _j in range(5):
-    _c += _math.exp(-1.0) / _math.factorial(_j)
-    _PB_T.append(int(_c * (1 << 60)))
-del _c, _j
-
-
-def q_ktruss_edges(spark, sf):
-    # 3-truss of the host link graph: every surviving edge sits in ≥1
-    # triangle WITHIN the surviving subgraph — the cohesion peel that
-    # kills star-spam which survives k-core (a k-truss is a (k−1)-core
-    # but not conversely; kcore_hosts/coreness grade nodes, this grades
-    # edges). graph.ktruss is the compact-forward support + peeling
-    # fixpoint, convergence-or-raise; the oracle runs the SAME rounds
-    # fixed-length MATERIALIZED; the pytest's sequential peeling is the
-    # independent algorithm.
-    from geobuf_spark.operators import graph
-    t = graph.ktruss(
-        _host_edges(spark).select(F.col("src_host").alias("src"),
-                                  F.col("dst_host").alias("dst")),
-        k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
-    return t.select(F.col("u").alias("host_a"),
-                    F.col("v").alias("host_b"), "support")
-
-
-def _ktruss_edges_sql() -> str:
-    from geobuf_spark.operators import graph
-    inner = graph.sql_ktruss(_host_edges_cte(), k=KTRUSS_K,
-                             rounds=KTRUSS_ROUNDS)
-    return f"""
-        SELECT u AS host_a, v AS host_b, support FROM ({inner})"""
-
-
-def q_poisson_bootstrap(spark, sf):
-    # deterministic Poisson bootstrap of the per-language mean document
-    # length — THE bootstrap that works at 100 TB: instead of resampling
-    # n rows with replacement (impossible distributed), each row gets an
-    # independent Poisson(1) weight per resample; one pass, map-side
-    # combinable, no global state. Determinism: the weight is the
-    # Poisson inverse CDF evaluated on a 60-bit md5 hash of
-    # (doc_id, b) against integer thresholds — bit-identical in Spark,
-    # DuckDB, and the pytest's hashlib brute. Every resample mean is
-    # quantized (1000·sum div n) so the CI order statistics hash
-    # exactly; the CI is ranks 2/39 of B=40 resample means (~95%).
-    from geobuf_spark.functions import phash
-    from pyspark.sql import Window as Win
-    d = _docs(spark, sf).select(
-        "doc_id", "lang", F.col("n_chars").alias("x"))
-    u = phash.hash60_parts(F.lit("pb"), F.col("doc_id"), F.col("b"))
-    w = F.when(u < _PB_T[0], 0)
-    for j in range(1, 5):
-        w = w.when(u < _PB_T[j], j)
-    w = w.otherwise(5)
-    r = (d.select("doc_id", "lang", "x",
-                  F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1)))
-                  .alias("b"))
-         .withColumn("w", w))
-    g = (r.groupBy("lang", "b")
-         .agg(F.sum(F.col("w") * F.col("x")).alias("s"),
-              F.sum("w").alias("wn"))
-         .filter(F.col("wn") > 0)
-         .withColumn("mean_m", F.expr("1000 * s div wn")))
-    win = Win.partitionBy("lang").orderBy("mean_m", "b")
-    ci = (g.withColumn("rn", F.row_number().over(win))
-          .groupBy("lang")
-          .agg(F.max(F.when(F.col("rn") == _PB_LO, F.col("mean_m")))
-               .alias("lo_m"),
-               F.max(F.when(F.col("rn") == _PB_HI, F.col("mean_m")))
-               .alias("hi_m"),
-               F.count("*").alias("n_boot")))
-    point = d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.expr("1000 * sum(x) div count(*)").alias("point_m"))
-    return (point.join(ci, "lang")
-            .select("lang", F.col("n_docs").cast("bigint"),
-                    F.col("point_m").cast("bigint"),
-                    F.col("lo_m").cast("bigint"),
-                    F.col("hi_m").cast("bigint"),
-                    F.col("n_boot").cast("int").alias("n_boot")))
-
-
-def _poisson_bootstrap_sql() -> str:
-    from geobuf_spark.functions import phash
-    u = phash.sql_hash60_parts("'pb'", "doc_id", "b")
-    cases = " ".join(f"WHEN u < {t} THEN {j}"
-                     for j, t in enumerate(_PB_T))
-    return f"""
-        WITH d AS (SELECT doc_id, lang, n_chars AS x FROM documents),
-        r AS (SELECT lang, x, b, {u} AS u
-              FROM d, range(0, {_PB_B}) t(b)),
-        w AS (SELECT lang, b, x, CASE {cases} ELSE 5 END AS w FROM r),
-        g AS (SELECT lang, b, sum(w * x) AS s, sum(w) AS wn
-              FROM w GROUP BY 1, 2),
-        m AS (SELECT lang, b, 1000 * s // wn AS mean_m
-              FROM g WHERE wn > 0),
-        rk AS (SELECT lang, mean_m, row_number() OVER (
-                   PARTITION BY lang ORDER BY mean_m, b) AS rn
-               FROM m),
-        ci AS (SELECT lang,
-                      max(CASE WHEN rn = {_PB_LO} THEN mean_m END)
-                          AS lo_m,
-                      max(CASE WHEN rn = {_PB_HI} THEN mean_m END)
-                          AS hi_m,
-                      count(*) AS n_boot
-               FROM rk GROUP BY 1),
-        p AS (SELECT lang, count(*) AS n_docs,
-                     1000 * sum(x) // count(*) AS point_m
-              FROM d GROUP BY 1)
-        SELECT p.lang, CAST(n_docs AS BIGINT) AS n_docs,
-               CAST(point_m AS BIGINT) AS point_m,
-               CAST(lo_m AS BIGINT) AS lo_m,
-               CAST(hi_m AS BIGINT) AS hi_m,
-               CAST(n_boot AS INT) AS n_boot
-        FROM p JOIN ci USING (lang)"""
-
-
-# ---------------------------------------------------------------------------
-# batch 84 — per-cluster convex hull, token-bucket rate-limit replay
-# ---------------------------------------------------------------------------
-
-TB_CAP = 3
-TB_REFILL = 14_400  # one token per 4 h — sized so fixture bursts throttle
-
-
-def q_convex_hull_stats(spark, sf):
-    # exact convex hull per minted cluster: strict-corner count, doubled
-    # shoelace area, and squared-edge-length sum — all exact int64 (the
-    # bbox family's next geometry summary; hull cover beats bbox cover
-    # on diagonal clusters). Engine: Andrew monotone chain per group via
-    # applyInPandas (groups are cluster-bounded — the inherently
-    # sequential part rides inside one task; the shuffle is just the
-    # cluster id). Oracle: the INDEPENDENT O(n³) hull-edge test — a
-    # directed pair is a CCW hull edge iff every other point is strictly
-    # left, or collinear strictly between (which is exactly what makes
-    # the strict-turn chain's corners match). Degenerate groups excluded
-    # by both sides.
-    from geobuf_spark.operators import hull
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
-    return hull.convex_hull_stats(p)
-
-
-def _convex_hull_stats_sql() -> str:
-    from geobuf_spark.operators import hull
-    pts = (f"SELECT doc_id % {minted.N_CLUSTERS} AS gid, qx, qy "
-           f"FROM ({minted.sql_minted_cluster_points_q()})")
-    return hull.sql_convex_hull_stats(pts)
-
-
-def q_token_bucket(spark, sf):
-    # per-user token-bucket throttling replay over the event stream —
-    # the audit that sizes a production rate limiter: how many requests
-    # WOULD have dropped under (capacity=3, refill=4h)? Integer state
-    # machine (refill floor-div, remainder resets) so the recursive-CTE
-    # oracle replays it exactly; engine side is applyInPandas per user
-    # (the custom-stateful seam; the streaming twin is
-    # applyInPandasWithState with the same transition).
-    from geobuf_spark.operators import temporal
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.unix_timestamp("ts").alias("t"), "event_id")
-    return temporal.token_bucket_replay(
-        e, capacity=TB_CAP, refill_sec=TB_REFILL)
-
-
-def _token_bucket_sql() -> str:
-    from geobuf_spark.operators import temporal
-    ev = ("SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, "
-          "event_id FROM events")
-    return temporal.sql_token_bucket_replay(
-        ev, capacity=TB_CAP, refill_sec=TB_REFILL)
-
-
-# ---------------------------------------------------------------------------
-# batch 85 — full DBSCAN labels, Theil–Sen robust slope
-# ---------------------------------------------------------------------------
-
-# lcm(1..42) — day gaps on the 30-day fixture are ≤ 29, so LCM div gap is
-# exact; the sort key num·(LCM div den) is an exact rational order
-# (decimal(38)/HUGEINT: |num|·LCM can pass int64 at larger SFs)
-TS_LCM = 219_060_189_739_591_200
-
-
-def _dbscan_nbr_pairs_spark(spark, sf):
-    """(a_id, b_id) point pairs within DBSCAN_EPS via the 3×3 cell join
-    (the dbscan_core candidate structure, kept as pairs)."""
-    p = minted.minted_cluster_points_q(spark, sf)
-    a = (p.select(F.col("doc_id").alias("a_id"),
-                  F.col("qx").alias("ax"), F.col("qy").alias("ay"))
-         .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-         .withColumn("cx", F.expr(f"ax div {DBSCAN_EPS} + dx"))
-         .withColumn("cy", F.expr(f"ay div {DBSCAN_EPS} + dy")))
-    b = p.select(F.col("doc_id").alias("b_id"),
-                 F.col("qx").alias("bx"), F.col("qy").alias("by"),
-                 F.expr(f"qx div {DBSCAN_EPS}").alias("cx"),
-                 F.expr(f"qy div {DBSCAN_EPS}").alias("cy"))
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    return (a.join(b, ["cx", "cy"])
-            .filter((F.col("a_id") != F.col("b_id"))
-                    & (d2 <= DBSCAN_EPS * DBSCAN_EPS))
-            .select("a_id", "b_id"))
-
-
-def q_dbscan_clusters(spark, sf):
-    # FULL deterministic DBSCAN (dbscan_core stops at the core flags):
-    # cluster id = min core doc_id reachable through core-core eps-edges
-    # (min-label + pointer-jump components — dedup.near_dup_components);
-    # border points (non-core with a core eps-neighbour) take the MIN
-    # neighbouring cluster id — classic DBSCAN leaves border assignment
-    # scan-order-dependent, this spec pins the deterministic min so a
-    # SQL oracle can replay it; everything else is noise (cluster −1).
-    # Never all-pairs: candidates come from the 3×3 cell join, labels
-    # from O(log diameter) rounds.
-    from geobuf_spark.operators import dedup
-    p = minted.minted_cluster_points_q(spark, sf)
-    pr = _dbscan_nbr_pairs_spark(spark, sf).localCheckpoint(eager=False)
-    core = (pr.groupBy("a_id").agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= DBSCAN_MIN_NBRS)
-            .select(F.col("a_id").alias("doc_id"))
-            .localCheckpoint(eager=False))
-    ce = (pr.join(core.withColumnRenamed("doc_id", "a_id"), "a_id")
-          .join(core.withColumnRenamed("doc_id", "b_id"), "b_id")
-          .filter(F.col("a_id") < F.col("b_id"))
-          .select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
-    cc = dedup.near_dup_components(ce)  # (doc_id, rep_id)
-    corelab = (core.join(cc, "doc_id", "left")
-               .select("doc_id",
-                       F.coalesce("rep_id", "doc_id").alias("cluster"))
-               .localCheckpoint(eager=False))
-    border = (pr.join(corelab.withColumnRenamed("doc_id", "b_id")
-                      .withColumnRenamed("cluster", "bcl"), "b_id")
-              .join(corelab.select(F.col("doc_id").alias("a_id"))
-                    .withColumn("is_core", F.lit(1)), "a_id", "left_anti")
-              .groupBy("a_id").agg(F.min("bcl").alias("cluster"))
-              .select(F.col("a_id").alias("doc_id"), "cluster"))
-    labeled = (corelab.withColumn("role", F.lit("core"))
-               .unionByName(border.withColumn("role", F.lit("border"))))
-    return (p.select("doc_id").join(labeled, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("cluster", F.lit(-1)).cast("bigint")
-                    .alias("cluster"),
-                    F.coalesce("role", F.lit("noise")).alias("role")))
-
-
-def _dbscan_clusters_sql() -> str:
-    eps = DBSCAN_EPS
-    return f"""
-        WITH RECURSIVE p AS ({minted.sql_minted_cluster_points_q()}),
-        a AS (SELECT doc_id AS a_id, qx AS ax, qy AS ay,
-                     qx // {eps} + dxs.dx AS cx, qy // {eps} + dys.dy AS cy
-              FROM p,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
-              LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
-        b AS (SELECT doc_id AS b_id, qx AS bx, qy AS by,
-                     qx // {eps} AS cx, qy // {eps} AS cy
-              FROM p),
-        pr AS (SELECT a_id, b_id FROM a JOIN b
-                   ON a.cx = b.cx AND a.cy = b.cy
-               WHERE a_id <> b_id
-                 AND (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
-                     <= {eps * eps}),
-        core AS (SELECT a_id AS doc_id FROM pr GROUP BY 1
-                 HAVING count(*) >= {DBSCAN_MIN_NBRS}),
-        ce AS (SELECT pr.a_id AS u, pr.b_id AS v FROM pr
-               JOIN core c1 ON c1.doc_id = pr.a_id
-               JOIN core c2 ON c2.doc_id = pr.b_id),
-        walk(u, label) AS (
-            SELECT u, u AS label FROM (SELECT DISTINCT u FROM ce)
-            UNION
-            SELECT e.u, w.label FROM ce e JOIN walk w ON e.v = w.u),
-        rep AS (SELECT u, min(label) AS rep FROM walk GROUP BY u),
-        corelab AS (SELECT c.doc_id,
-                           coalesce(r.rep, c.doc_id) AS cluster
-                    FROM core c LEFT JOIN rep r ON r.u = c.doc_id),
-        border AS (SELECT pr.a_id AS doc_id, min(cl.cluster) AS cluster
-                   FROM pr JOIN corelab cl ON cl.doc_id = pr.b_id
-                   WHERE pr.a_id NOT IN (SELECT doc_id FROM corelab)
-                   GROUP BY 1)
-        SELECT p.doc_id,
-               CAST(coalesce(cl.cluster, bo.cluster, -1) AS BIGINT)
-                   AS cluster,
-               CASE WHEN cl.doc_id IS NOT NULL THEN 'core'
-                    WHEN bo.doc_id IS NOT NULL THEN 'border'
-                    ELSE 'noise' END AS role
-        FROM p LEFT JOIN corelab cl ON cl.doc_id = p.doc_id
-               LEFT JOIN border bo ON bo.doc_id = p.doc_id"""
-
-
-def q_theil_sen_daily(spark, sf):
-    # Theil–Sen robust trend of the per-event-type daily count series:
-    # the LOWER MEDIAN of all pairwise slopes (cj−ci)/(dj−di) as an
-    # EXACT rational — immune to the outlier days that bend the
-    # trend_slope_weekly least-squares line. Exact rational order
-    # without floats: day gaps divide TS_LCM=lcm(1..42), so
-    # num·(TS_LCM div den) in decimal(38) is a faithful sort key; ties
-    # (equal rationals with different representations) are pinned by
-    # (den, num) so both engines pick the same pair row. The series is
-    # bounded (days × types), so the quadratic pair set is tiny at any
-    # SF — a driver-side-sized robust statistic computed fully
-    # distributed.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    a = daily.select("event_type", F.col("d").alias("da"),
-                     F.col("c").alias("ca"))
-    b = daily.select("event_type", F.col("d").alias("db"),
-                     F.col("c").alias("cb"))
-    pairs = (a.join(b, "event_type")
-             .filter(F.col("da") < F.col("db"))
-             .select("event_type",
-                     (F.col("cb") - F.col("ca")).alias("num"),
-                     (F.col("db") - F.col("da")).alias("den")))
-    key = (F.col("num").cast("decimal(38,0)")
-           * F.expr(f"CAST({TS_LCM} div den AS DECIMAL(38,0))"))
-    win = Win.partitionBy("event_type").orderBy(key.asc(),
-                                                F.col("den").asc(),
-                                                F.col("num").asc())
-    ranked = pairs.withColumn("rn", F.row_number().over(win))
-    cnt = pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
-    med = (ranked.join(cnt, "event_type")
-           .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2")))
-    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
-    return (med.join(nd, "event_type")
-            .select("event_type", F.col("n_days").cast("bigint"),
-                    F.col("n_pairs").cast("bigint"),
-                    F.col("num").cast("bigint").alias("med_num"),
-                    F.col("den").cast("bigint").alias("med_den"),
-                    F.expr("1000 * num div den").cast("bigint")
-                    .alias("slope_milli")))
-
-
-def _theil_sen_daily_sql() -> str:
-    return f"""
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        pairs AS (
-            SELECT a.event_type, b.c - a.c AS num, b.d - a.d AS den
-            FROM daily a JOIN daily b ON a.event_type = b.event_type
-                AND a.d < b.d),
-        rk AS (
-            SELECT event_type, num, den,
-                   row_number() OVER (PARTITION BY event_type
-                       ORDER BY CAST(num AS HUGEINT)
-                                * ({TS_LCM} // den) ASC,
-                                den ASC, num ASC) AS rn,
-                   count(*) OVER (PARTITION BY event_type) AS n_pairs
-            FROM pairs),
-        nd AS (SELECT event_type, count(*) AS n_days FROM daily
-               GROUP BY 1)
-        SELECT rk.event_type, CAST(n_days AS BIGINT) AS n_days,
-               CAST(n_pairs AS BIGINT) AS n_pairs,
-               CAST(num AS BIGINT) AS med_num,
-               CAST(den AS BIGINT) AS med_den,
-               CAST(1000 * num // den AS BIGINT) AS slope_milli
-        FROM rk JOIN nd USING (event_type)
-        WHERE rn = (n_pairs + 1) // 2"""
-
-
-# ---------------------------------------------------------------------------
-# batch 86 — compaction bin-packing plan, Simpson's-paradox audit
-# ---------------------------------------------------------------------------
-
-COMPACT_TARGET = 4096  # bytes per compacted output file (fixture-scaled)
-
-
-def q_compaction_plan(spark, sf):
-    # small-file compaction planning — the table-maintenance op every
-    # 100 TB lakehouse runs nightly: within each partition (source),
-    # pack the per-lang data files into target-sized output bins by
-    # next-fit-decreasing (sort size DESC — tie lang ASC — and split
-    # the sorted stream greedily at the target; files larger than the
-    # target become single-file oversized bins, exactly what Iceberg's
-    # binpack rewrite does). The file LIST is metadata-sized, so the
-    # sequential greedy rides applyInPandas per partition — the shuffle
-    # is only the partition key; the oracle replays the same stream
-    # with one recursive CTE (state = (bin, fill), depth = files per
-    # partition).
-    schema = ("source string, bin int, n_files long, fill_bytes long, "
-              "oversized boolean")
-
-    def pack(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values(["size", "lang"],
-                              ascending=[False, True],
-                              kind="mergesort")
-        src = pdf["source"].iloc[0]
-        bins = []  # (bin, n_files, fill)
-        b, n, fill = 0, 0, 0
-        for s in pdf["size"].astype("int64"):
-            s = int(s)
-            if b == 0 or fill + s > COMPACT_TARGET:
-                if b > 0:
-                    bins.append((b, n, fill))
-                b, n, fill = b + 1, 1, s
-            else:
-                n, fill = n + 1, fill + s
-        bins.append((b, n, fill))
-        return pd.DataFrame(
-            [{"source": src, "bin": b, "n_files": n, "fill_bytes": f,
-              "oversized": f > COMPACT_TARGET} for b, n, f in bins])
-
-    files = (_docs(spark, sf)
-             .groupBy("source", "lang")
-             .agg((F.lit(256) + F.sum("n_chars")).alias("size")))
-    return files.groupBy("source").applyInPandas(pack, schema)
-
-
-def _compaction_plan_sql() -> str:
-    t = COMPACT_TARGET
-    return f"""
-        WITH RECURSIVE cf AS (
-            SELECT source, lang, 256 + sum(n_chars) AS size,
-                   row_number() OVER (PARTITION BY source
-                       ORDER BY 256 + sum(n_chars) DESC, lang ASC)
-                       AS rn
-            FROM documents GROUP BY source, lang),
-        st AS (
-            SELECT source, rn, 1 AS bin, size AS fill
-            FROM cf WHERE rn = 1
-            UNION ALL
-            SELECT f.source, f.rn,
-                   CASE WHEN s.fill + f.size > {t} THEN s.bin + 1
-                        ELSE s.bin END,
-                   CASE WHEN s.fill + f.size > {t} THEN f.size
-                        ELSE s.fill + f.size END
-            FROM st s JOIN cf f ON f.source = s.source
-                AND f.rn = s.rn + 1)
-        SELECT source, CAST(bin AS INT) AS bin,
-               CAST(count(*) AS BIGINT) AS n_files,
-               CAST(max(fill) AS BIGINT) AS fill_bytes,
-               max(fill) > {t} AS oversized
-        FROM st GROUP BY source, bin"""
-
-
-def q_simpsons_paradox(spark, sf):
-    # Simpson's-paradox audit on purchase conversion: treatment (odd
-    # user_id, the did_purchases cohort) vs control, stratified by
-    # day-of-week — does the pooled direction of the conversion-rate
-    # difference contradict the strata? Direction without division:
-    # sign(t_conv·c_tot − c_conv·t_tot) is exact int64, so the audit is
-    # hashable. Emits the 7 strata plus the pooled row (stratum −1);
-    # one conditional rollup, map-side combinable.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
-        F.expr("(unix_timestamp(ts) div 86400) % 7").alias("dow"),
-        (F.col("event_type") == "purchase").cast("long").alias("conv"))
-    cells = (e.groupBy("dow").agg(
-        F.sum(F.when(F.col("treat") == 1, F.col("conv"))).alias("tc"),
-        F.sum(F.col("treat").cast("long")).alias("tt"),
-        F.sum(F.when(F.col("treat") == 0, F.col("conv"))).alias("cc"),
-        F.sum((1 - F.col("treat")).cast("long")).alias("ct")))
-    pooled = (cells.agg(F.sum("tc").alias("tc"), F.sum("tt").alias("tt"),
-                        F.sum("cc").alias("cc"), F.sum("ct").alias("ct"))
-              .withColumn("dow", F.lit(-1)))
-    allrows = cells.unionByName(pooled.select("dow", "tc", "tt",
-                                              "cc", "ct"))
-    d = F.col("tc") * F.col("ct") - F.col("cc") * F.col("tt")
-    return allrows.select(
-        F.col("dow").cast("int").alias("stratum"),
-        F.col("tc").cast("bigint").alias("t_conv"),
-        F.col("tt").cast("bigint").alias("t_tot"),
-        F.col("cc").cast("bigint").alias("c_conv"),
-        F.col("ct").cast("bigint").alias("c_tot"),
-        F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
-        .cast("int").alias("dir"))
-
-
-def _simpsons_paradox_sql() -> str:
-    return """
-        WITH e AS (SELECT
-                CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
-                (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
-                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                    AS conv
-            FROM events),
-        c AS (SELECT dow,
-                     sum(CASE WHEN treat = 1 THEN conv END) AS tc,
-                     sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS tt,
-                     sum(CASE WHEN treat = 0 THEN conv END) AS cc,
-                     sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS ct
-              FROM e GROUP BY 1),
-        u AS (SELECT dow, tc, tt, cc, ct FROM c
-              UNION ALL
-              SELECT -1, sum(tc), sum(tt), sum(cc), sum(ct) FROM c)
-        SELECT CAST(dow AS INT) AS stratum,
-               CAST(tc AS BIGINT) AS t_conv,
-               CAST(tt AS BIGINT) AS t_tot,
-               CAST(cc AS BIGINT) AS c_conv,
-               CAST(ct AS BIGINT) AS c_tot,
-               CAST(CASE WHEN tc * ct - cc * tt > 0 THEN 1
-                         WHEN tc * ct - cc * tt < 0 THEN -1
-                         ELSE 0 END AS INT) AS dir
-        FROM u"""
-
-
-# ---------------------------------------------------------------------------
-# batch 87 — sorted-neighborhood blocking, LZ76 prefix complexity
-# ---------------------------------------------------------------------------
-
-SN_W = 6        # sorted-neighborhood sliding-window width
-LZ_PREFIX = 48  # chars of each doc the LZ76 pass reads
-
-
-def q_sorted_neighborhood(spark, sf):
-    # the OTHER classic entity-resolution blocking scheme, evaluated
-    # with the same harness as blocking_quality (LSH) so the two are
-    # directly comparable: sort docs by a similarity-clustering key
-    # (their single minhash — min over shingle md5s), slide a width-W
-    # window over the sorted order, candidates = pairs within a window.
-    # The window join is the SCALE shape: each row explodes to its W−1
-    # future rank slots and equi-joins — no rank range join. Metrics:
-    # pair completeness vs the exact-Jaccard truth tier (threshold 0.4,
-    # same as blocking_quality) and reduction ratio.
-    from geobuf_spark.functions import phash
-    from geobuf_spark.operators import dedup
-    from pyspark.sql import Window as Win
-    d = _docs(spark, sf)
-    sh = d.select("doc_id",
-                  F.explode(dedup._shingles(F.col("text"), 3))
-                  .alias("s"))
-    mh = sh.groupBy("doc_id").agg(
-        F.min(phash.hash60(F.col("s"))).alias("mh"))
-    rk = mh.withColumn(
-        "rk", F.row_number().over(Win.orderBy("mh", "doc_id")))
-    probe = (rk.withColumn(
-        "slot", F.explode(F.sequence(F.col("rk") + 1,
-                                     F.col("rk") + SN_W - 1)))
-        .select(F.col("doc_id").alias("x"), "slot"))
-    cand = (probe.join(rk.select(F.col("doc_id").alias("y"),
-                                 F.col("rk").alias("slot")), "slot")
-            .select(F.least("x", "y").alias("a"),
-                    F.greatest("x", "y").alias("b"))
-            .distinct().localCheckpoint(eager=False))
-    truth = (dedup.ngram_jaccard_pairs(d, key="doc_id", shingle_k=3,
-                                       threshold=0.4)
-             .select("a", "b").distinct())
-    n = d.count()
-    caught = truth.join(cand, ["a", "b"]).count()
-    n_true, n_cand = truth.count(), cand.count()
-    total = n * (n - 1) // 2
-    return spark.createDataFrame(
-        [(n_true, n_cand, caught,
-          10**6 * caught // n_true if n_true else 0,
-          10**6 * (total - n_cand) // total)],
-        "n_true bigint, n_cand bigint, n_caught bigint, pc_ppm bigint, "
-        "rr_ppm bigint")
-
-
-def _sorted_neighborhood_sql() -> str:
-    from geobuf_spark.functions import phash
-    h = phash.sql_hash60("s")
-    return f"""
-        WITH {_ngram_sql()},
-        mh AS (SELECT doc_id, min({h}) AS mh FROM sh GROUP BY 1),
-        rkt AS (SELECT doc_id, row_number() OVER (ORDER BY mh, doc_id)
-                    AS rk
-                FROM mh),
-        cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
-                        greatest(x.doc_id, y.doc_id) AS b
-                 FROM rkt x JOIN rkt y ON y.rk > x.rk
-                     AND y.rk <= x.rk + {SN_W - 1}),
-        tr AS (SELECT a, b FROM pairs),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr)
-                         AS n_true,
-                     (SELECT CAST(count(*) AS BIGINT) FROM cand)
-                         AS n_cand,
-                     (SELECT CAST(count(*) AS BIGINT) FROM tr
-                      JOIN cand USING (a, b)) AS n_caught,
-                     (SELECT n * (n - 1) // 2 FROM nn) AS total)
-        SELECT n_true, n_cand, n_caught,
-               CAST(CASE WHEN n_true > 0
-                         THEN 1000000 * n_caught // n_true
-                         ELSE 0 END AS BIGINT) AS pc_ppm,
-               CAST(1000000 * (total - n_cand) // total AS BIGINT)
-                   AS rr_ppm
-        FROM m"""
-
-
-def q_lz_factors(spark, sf):
-    # LZ76 factor count of each document's first LZ_PREFIX chars — the
-    # compression-complexity quality signal (templated/boilerplate text
-    # factorizes into few long factors, diverse text into many): greedy
-    # shortest-unseen-prefix productions, matches restricted to the
-    # already-emitted prefix (non-overlapping variant, so the spec is a
-    # pure function both engines replay). Engine side: one Arrow-
-    # batched pandas UDF (the factorization is sequential IN A DOC but
-    # the corpus is embarrassingly parallel); oracle: one recursive CTE
-    # stepping every doc one factor per round.
-    def f(s):
-        s = s[:LZ_PREFIX]
-        n = len(s)
-        pos, nf = 0, 0
-        while pos < n:
-            lmax = 0
-            prefix = s[:pos]
-            for l in range(1, n - pos + 1):
-                if s[pos:pos + l] in prefix:
-                    lmax = l  # monotone: longer fails ⇒ stop
-                else:
-                    break
-            pos += min(lmax + 1, n - pos)
-            nf += 1
-        return nf
-
-    def mapper(batches):
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["plen"] = (pdf["text"].str.slice(0, LZ_PREFIX)
-                           .str.len().astype("int32"))
-            out["n_factors"] = pdf["text"].map(f).astype("int32")
-            yield out
-
-    return (_docs(spark, sf).select("doc_id", "text")
-            .mapInPandas(mapper, "doc_id long, plen int, n_factors int"))
-
-
-def _lz_factors_sql() -> str:
-    p = LZ_PREFIX
-    return f"""
-        WITH RECURSIVE lzd AS (
-            SELECT doc_id, substr(text, 1, {p}) AS t,
-                   length(substr(text, 1, {p})) AS n
-            FROM documents),
-        st AS (
-            SELECT doc_id, 1 AS pos, 0 AS nf FROM lzd
-            UNION ALL
-            SELECT s.doc_id,
-                   CAST(s.pos + least(
-                       (SELECT coalesce(max(l), 0)
-                        FROM (SELECT unnest(range(1, d.n - s.pos + 2))
-                                  AS l) ls
-                        WHERE strpos(substr(d.t, 1, s.pos - 1),
-                                     substr(d.t, s.pos, l)) > 0) + 1,
-                       d.n - s.pos + 1) AS INT),
-                   s.nf + 1
-            FROM st s JOIN lzd d USING (doc_id) WHERE s.pos <= d.n)
-        SELECT doc_id, CAST(any_value(n) AS INT) AS plen,
-               CAST(max(nf) AS INT) AS n_factors
-        FROM st JOIN lzd USING (doc_id) GROUP BY doc_id"""
-
-
-# ---------------------------------------------------------------------------
-# batch 88 — integer power iteration, Huffman code lengths
-# ---------------------------------------------------------------------------
-
-PI_ROUNDS = 30             # the fixture spectrum is nearly flat
-                           # (λ1/λ2 ≈ 1.07) — 30 rounds reach |cos|>0.9
-PI_SCALE = 1_000_000       # |v| normalization target after each round
-PI_SHIFT = 1_048_576       # covariance numerator downscale (2^20) —
-                           # keeps w = C'·v inside int64 at 64 dims
-HUF_ROUNDS = 34            # ≥ vocab−1 merges; extra rounds are no-ops
-
-
-def q_power_iteration(spark, sf):
-    # dominant eigenvector of the embedding covariance by quantized
-    # integer power iteration — the PCA first component, computed so
-    # both engines produce BIT-IDENTICAL vectors: the covariance
-    # numerator (embed_covariance's exact integers) is downscaled by
-    # 2^20 into a deterministic int64 matrix C', and each round is
-    # w = C'·v followed by v ← w div (max|w| div SCALE) — integer-only
-    # normalization (toward-zero div matches across engines), no floats
-    # anywhere. PI_ROUNDS rounds from the all-ones vector; the pytest checks
-    # the exact integer trajectory against numpy AND that the direction
-    # converges to numpy's float dominant eigenvector of C'.
-    e = _emb(spark, sf)
-    q = e.select("vec_id", F.posexplode(
-        F.transform("embedding",
-                    lambda x: F.floor(x.cast("double") * EMB_COV_SCALE)
-                    .cast("bigint"))).alias("i", "qi"))
-    a = q.select("vec_id", "i", "qi")
-    b = q.select("vec_id", F.col("i").alias("j"),
-                 F.col("qi").alias("qj"))
-    mom = (a.join(b, "vec_id").filter(F.col("i") <= F.col("j"))
-           .groupBy("i", "j")
-           .agg(F.count("*").alias("n"), F.sum("qi").alias("s_i"),
-                F.sum("qj").alias("s_j"),
-                F.sum(F.col("qi") * F.col("qj")).alias("s_ij")))
-    upper = mom.select("i", "j", F.expr(
-        f"(n * s_ij - s_i * s_j) div {PI_SHIFT}").alias("c"))
-    C = (upper.unionByName(
-            upper.filter(F.col("i") != F.col("j"))
-            .select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
-         .localCheckpoint(eager=False))
-    v = C.select(F.col("i").alias("j")).distinct() \
-         .withColumn("v", F.lit(PI_SCALE).cast("bigint"))
-    for _ in range(PI_ROUNDS):
-        w = (C.join(v, "j")
-             .groupBy("i").agg(F.sum(F.col("c") * F.col("v"))
-                               .alias("w")))
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (w.crossJoin(F.broadcast(m))
-             .select(F.col("i").alias("j"),
-                     F.expr(f"w div (m div {PI_SCALE})").alias("v"))
-             .localCheckpoint(eager=False))
-    return v.select(F.col("j").cast("int").alias("dim"),
-                    F.col("v").cast("bigint").alias("v"))
-
-
-def _power_iteration_sql() -> str:
-    steps = []
-    for r in range(1, PI_ROUNDS + 1):
-        steps.append(f"""
-        w{r} AS (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
-                 FROM pic c JOIN v{r - 1} v ON v.j = c.j GROUP BY 1),
-        m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
-        v{r} AS MATERIALIZED (
-            SELECT w.i AS j, CAST(w.w // (m.m // {PI_SCALE}) AS BIGINT)
-                       AS v
-            FROM w{r} w, m{r} m)""")
-    return f"""
-        WITH q AS (SELECT vec_id, i - 1 AS i,
-                          CAST(floor(CAST(e AS DOUBLE)
-                                     * {EMB_COV_SCALE}) AS BIGINT)
-                              AS qi
-                   FROM (SELECT vec_id, unnest(embedding) AS e,
-                                generate_subscripts(embedding, 1) AS i
-                         FROM embeddings)),
-        mom AS (SELECT a.i, b.i AS j, count(*) AS n,
-                       sum(a.qi) AS s_i, sum(b.qi) AS s_j,
-                       sum(a.qi * b.qi) AS s_ij
-                FROM q a JOIN q b ON a.vec_id = b.vec_id
-                    AND a.i <= b.i
-                GROUP BY 1, 2),
-        upperc AS (SELECT i, j,
-                          CAST((n * s_ij - s_i * s_j) // {PI_SHIFT}
-                               AS BIGINT) AS c
-                   FROM mom),
-        pic AS MATERIALIZED (
-            SELECT i, j, c FROM upperc
-            UNION ALL
-            SELECT j AS i, i AS j, c FROM upperc WHERE i <> j),
-        v0 AS (SELECT DISTINCT j, CAST({PI_SCALE} AS BIGINT) AS v
-               FROM pic),
-        {','.join(steps)}
-        SELECT CAST(j AS INT) AS dim, v FROM v{PI_ROUNDS}"""
-
-
-def q_huffman_cost(spark, sf):
-    # optimal prefix-code (Huffman) length per vocabulary token — the
-    # entropy-coding cost model a storage/tokenizer planner reads
-    # (bpe_merges builds merges, this prices the result): repeatedly
-    # merge the two lightest nodes, every leaf in a merged subtree gets
-    # one bit deeper. Tie-breaks pinned to (count, min-token-label) so
-    # the tree — not just the total cost — is deterministic and the
-    # fixed-round MATERIALIZED oracle replays it. The token histogram
-    # is VOCAB-sized (bounded, 31 on the fixture), so folding it on the
-    # driver is the documented bounded-aggregate edge — the corpus-
-    # sized token count stays a distributed aggregation.
-    toks = (_docs(spark, sf)
-            .select(F.explode(F.split("text", " ")).alias("tok"))
-            .groupBy("tok").agg(F.count("*").alias("cnt")))
-    hist = sorted((r["tok"], int(r["cnt"])) for r in toks.collect())
-    # greedy merges on (count, min-label); track per-leaf depth
-    nodes = {t: (c, t, frozenset([t])) for t, c in hist}
-    depth = {t: 0 for t, _ in hist}
-    while len(nodes) > 1:
-        picked = sorted(nodes.values(), key=lambda n: (n[0], n[1]))[:2]
-        (c1, l1, m1), (c2, l2, m2) = picked
-        for t in m1 | m2:
-            depth[t] += 1
-        del nodes[l1], nodes[l2]
-        lab = min(l1, l2)
-        nodes[lab] = (c1 + c2, lab, m1 | m2)
-    cnts = dict(hist)
-    return spark.createDataFrame(
-        [(t, cnts[t], depth[t]) for t in sorted(depth)],
-        "tok string, cnt bigint, code_len int")
-
-
-def _huffman_cost_sql() -> str:
-    steps = []
-    for r in range(1, HUF_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        n{r} AS (SELECT nlabel, ncnt FROM s{p} GROUP BY 1, 2),
-        t{r} AS (SELECT nlabel, ncnt, row_number() OVER (
-                     ORDER BY ncnt, nlabel) AS rk FROM n{r}),
-        p{r} AS (SELECT (SELECT count(*) FROM n{r}) AS nn,
-                        min(CASE WHEN rk = 1 THEN nlabel END) AS l1,
-                        min(CASE WHEN rk = 2 THEN nlabel END) AS l2,
-                        min(CASE WHEN rk = 1 THEN ncnt END) AS c1,
-                        min(CASE WHEN rk = 2 THEN ncnt END) AS c2
-                 FROM t{r}),
-        s{r} AS MATERIALIZED (
-            SELECT s.tok, s.cnt,
-                   s.depth + CASE WHEN p.nn >= 2
-                                   AND s.nlabel IN (p.l1, p.l2)
-                             THEN 1 ELSE 0 END AS depth,
-                   CASE WHEN p.nn >= 2 AND s.nlabel IN (p.l1, p.l2)
-                        THEN least(p.l1, p.l2) ELSE s.nlabel END
-                       AS nlabel,
-                   CASE WHEN p.nn >= 2 AND s.nlabel IN (p.l1, p.l2)
-                        THEN p.c1 + p.c2 ELSE s.ncnt END AS ncnt
-            FROM s{p} s, p{r} p)""")
-    return f"""
-        WITH s0 AS (
-            SELECT tok, count(*) AS cnt, 0 AS depth, tok AS nlabel,
-                   count(*) AS ncnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS tok
-                  FROM documents)
-            GROUP BY tok),
-        {','.join(steps)}
-        SELECT tok, CAST(cnt AS BIGINT) AS cnt,
-               CAST(depth AS INT) AS code_len
-        FROM s{HUF_ROUNDS}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 89 — bipartiteness audit, mutual-kNN pairs
-# ---------------------------------------------------------------------------
-
-BIP_CAP = 12  # BFS budget; > the host graph's sweep eccentricity (≤10)
-
-
-def q_bipartite_check(spark, sf):
-    # per-component bipartiteness audit of the host graph — the odd-
-    # cycle detector (a bipartite link structure is the mirror/feed
-    # signature; odd cycles mean organic cross-linking). ONE fused
-    # min-label loop computes components AND BFS levels: each node
-    # starts as its own label; synchronous min-propagation spreads the
-    # component minimum (the representative) outward exactly one hop
-    # per round, so the round of a node's LAST label improvement is its
-    # BFS distance from the rep. Level parity two-colors the component;
-    # an edge joining EQUAL levels witnesses an odd cycle. Converge-or-
-    # raise within BIP_CAP; the oracle runs the same rounds fixed-
-    # length (past the fixpoint they are no-ops). O(E) per round, no
-    # transitive closure anywhere.
-    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
-                                   F.col("dst_host").alias("dst"))
-    und = (ed.select(F.least("src", "dst").alias("u"),
-                     F.greatest("src", "dst").alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct()
-           .localCheckpoint(eager=False))
-    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
-           .unionAll(und.select(F.col("v").alias("n"),
-                                F.col("u").alias("nb")))
-           .localCheckpoint(eager=False))
-    st = (adj.select("n").distinct()
-          .select("n", F.col("n").alias("lab"), F.lit(0).alias("hop")))
-    converged = False
-    for r in range(1, BIP_CAP + 1):
-        cand = (adj.join(st.select(F.col("n").alias("nb"),
-                                   F.col("lab").alias("nlab")), "nb")
-                .groupBy("n").agg(F.min("nlab").alias("cand")))
-        new = (st.join(cand, "n")
-               .select("n",
-                       F.least("lab", "cand").alias("newlab"),
-                       F.when(F.col("cand") < F.col("lab"), F.lit(r))
-                       .otherwise(F.col("hop")).alias("hop"),
-                       F.col("lab").alias("old"))
-               .localCheckpoint(eager=True))
-        changed = new.filter(F.col("newlab") != F.col("old")) \
-                     .limit(1).count()
-        st = new.select("n", F.col("newlab").alias("lab"), "hop")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise ValueError(
-            f"bipartite_check did not converge in {BIP_CAP} rounds")
-    ec = (und.join(st.select(F.col("n").alias("u"),
-                             F.col("lab").alias("rep"),
-                             F.col("hop").alias("hu")), "u")
-          .join(st.select(F.col("n").alias("v"),
-                          F.col("hop").alias("hv")), "v"))
-    per = (ec.groupBy("rep")
-           .agg(F.count("*").alias("n_edges"),
-                F.sum((F.col("hu") == F.col("hv")).cast("long"))
-                .alias("n_conflicts")))
-    nn = st.groupBy("lab").agg(F.count("*").alias("n_nodes"))
-    return (per.join(nn.withColumnRenamed("lab", "rep"), "rep")
-            .select(F.col("rep").alias("rep_host"),
-                    F.col("n_nodes").cast("bigint"),
-                    F.col("n_edges").cast("bigint"),
-                    F.col("n_conflicts").cast("bigint"),
-                    (F.col("n_conflicts") == 0).alias("is_bipartite")))
-
-
-def _bipartite_check_sql() -> str:
-    steps = []
-    for r in range(1, BIP_CAP + 1):
-        p = r - 1
-        steps.append(f"""
-        c{r} AS (SELECT a.n, min(s.lab) AS cand
-                 FROM adj a JOIN s{p} s ON s.n = a.nb GROUP BY 1),
-        s{r} AS MATERIALIZED (
-            SELECT s.n, least(s.lab, c.cand) AS lab,
-                   CASE WHEN c.cand < s.lab THEN {r} ELSE s.hop END
-                       AS hop
-            FROM s{p} s JOIN c{r} c ON c.n = s.n)""")
-    return f"""
-        WITH {_host_edges_cte()},
-        und AS (SELECT DISTINCT least(src, dst) AS u,
-                                greatest(src, dst) AS v
-                FROM ed WHERE src <> dst),
-        adj AS (SELECT u AS n, v AS nb FROM und
-                UNION ALL SELECT v AS n, u AS nb FROM und),
-        s0 AS MATERIALIZED (
-            SELECT n, n AS lab, 0 AS hop
-            FROM (SELECT DISTINCT n FROM adj)),
-        {','.join(steps)},
-        lv AS (SELECT n, lab, hop FROM s{BIP_CAP}),
-        ec AS (SELECT lu.lab AS rep, lu.hop AS hu, lw.hop AS hv
-               FROM und JOIN lv lu ON lu.n = und.u
-                        JOIN lv lw ON lw.n = und.v),
-        per AS (SELECT rep, count(*) AS n_edges,
-                       sum(CASE WHEN hu = hv THEN 1 ELSE 0 END)
-                           AS n_conflicts
-                FROM ec GROUP BY 1),
-        nn AS (SELECT lab AS rep, count(*) AS n_nodes FROM lv
-               GROUP BY 1)
-        SELECT per.rep AS rep_host,
-               CAST(n_nodes AS BIGINT) AS n_nodes,
-               CAST(n_edges AS BIGINT) AS n_edges,
-               CAST(n_conflicts AS BIGINT) AS n_conflicts,
-               n_conflicts = 0 AS is_bipartite
-        FROM per JOIN nn USING (rep)"""
-
-
-def q_mutual_knn(spark, sf):
-    # reciprocal-nearest-neighbor pairs from the kNN graph — the
-    # classic tight-cluster seed (RNN pairs start agglomerative
-    # clustering and flag regions where density peaks): (a, b) such
-    # that b is among a's KNNG_K nearest AND a is among b's. One
-    # self-join of the knn_graph edge list on the reversed key; keeps
-    # both directed ranks so asymmetry is visible.
-    g = q_knn_graph_k3(spark, sf).localCheckpoint(eager=False)
-    rev = g.select(F.col("nb").alias("doc_id"),
-                   F.col("doc_id").alias("nb"),
-                   F.col("rk").alias("rk_ba"))
-    return (g.join(rev, ["doc_id", "nb"])
-            .filter(F.col("doc_id") < F.col("nb"))
-            .select(F.col("doc_id").alias("a"), F.col("nb").alias("b"),
-                    F.col("dist2").cast("bigint").alias("dist2"),
-                    F.col("rk").cast("int").alias("rk_ab"),
-                    F.col("rk_ba").cast("int").alias("rk_ba")))
-
-
-def _mutual_knn_sql() -> str:
-    g = _knn_graph_k3_sql()
-    return f"""
-        WITH kg AS ({g})
-        SELECT a.doc_id AS a, a.nb AS b,
-               CAST(a.dist2 AS BIGINT) AS dist2,
-               CAST(a.rk AS INT) AS rk_ab,
-               CAST(b.rk AS INT) AS rk_ba
-        FROM kg a JOIN kg b ON b.doc_id = a.nb AND b.nb = a.doc_id
-        WHERE a.doc_id < a.nb"""
-
-
-# ---------------------------------------------------------------------------
-# batch 90 — Gale–Shapley stable matching, deterministic RANSAC line
-# ---------------------------------------------------------------------------
-
-SM_U, SM_S = 12, 6   # proposers × slots; 10 simultaneous rounds on the
-SM_ROUNDS = 14       # fixture, cap (and fixed oracle length) 14
-RS_TOL = 1_000_000   # RANSAC inlier distance (0.1° in lattice units)
-
-
-def q_stable_matching(spark, sf):
-    # proposer-optimal stable matching by SIMULTANEOUS-proposal
-    # Gale–Shapley (all free proposers propose each round, acceptors
-    # hold their best; converges to the same unique proposer-optimal
-    # matching as the sequential algorithm): the assignment-with-
-    # preferences shape (crawl slots, shard leases, reviewer routing).
-    # Preferences are deterministic md5 orders — proposer u ranks slots
-    # by hash60('sm-p',u,s), slot s compares proposers by
-    # hash60('sm-a',s,u) directly (unique ⇒ tie-free). Pointers only
-    # ever advance (each proposer walks his list once — the classic
-    # O(U·S) total-work bound), converge-or-raise within SM_ROUNDS; the
-    # oracle replays the same rounds fixed-length.
-    from geobuf_spark.functions import phash
-    from pyspark.sql import Window as Win
-    users = (spark.read.parquet(f"{sf}/events.parquet")
-             .select("user_id").distinct()
-             .withColumn("urk", F.row_number().over(
-                 Win.orderBy("user_id")))
-             .filter(F.col("urk") <= SM_U).select(F.col("user_id")
-                                                  .alias("u")))
-    slots = spark.range(SM_S).select(F.col("id").alias("s"))
-    cart = users.crossJoin(F.broadcast(slots))
-    pref = (cart.select("u", "s",
-                        phash.hash60_parts(F.lit("sm-p"), F.col("u"),
-                                           F.col("s")).alias("ph"))
-            .withColumn("rk", F.row_number().over(
-                Win.partitionBy("u").orderBy("ph", "s")))
-            .select("u", "s", "rk").localCheckpoint(eager=False))
-    apref = (cart.select("s", "u",
-                         phash.hash60_parts(F.lit("sm-a"), F.col("s"),
-                                            F.col("u")).alias("ah"))
-             .localCheckpoint(eager=False))
-    ptr = users.select("u", F.lit(1).alias("ptr"))
-    held = spark.createDataFrame([], "s long, u long")
-    converged = False
-    for _ in range(SM_ROUNDS):
-        free = (ptr.filter(F.col("ptr") <= SM_S)
-                .join(held.select("u"), "u", "left_anti"))
-        prefj = pref.select(F.col("u").alias("pu"),
-                            F.col("s").alias("ps"),
-                            F.col("rk").alias("prk"))
-        props = (free.join(prefj, (free["u"] == F.col("pu"))
-                           & (free["ptr"] == F.col("prk")))
-                 .select(F.col("ps").alias("s"),
-                         F.col("pu").alias("u"))
-                 .localCheckpoint(eager=True))
-        if props.count() == 0:
-            converged = True
-            break
-        cont = props.unionByName(held)
-        aprefj = apref.select(F.col("s").alias("as2"),
-                              F.col("u").alias("au2"), "ah")
-        held = (cont.join(aprefj, (cont["s"] == F.col("as2"))
-                          & (cont["u"] == F.col("au2")))
-                .groupBy("s").agg(F.expr("min_by(u, ah)").alias("u"))
-                .localCheckpoint(eager=True))
-        ptr = (ptr.join(props.select("u").withColumn("adv", F.lit(1)),
-                        "u", "left")
-               .select("u", (F.col("ptr")
-                             + F.coalesce("adv", F.lit(0))).alias("ptr"))
-               .localCheckpoint(eager=True))
-    if not converged:
-        raise ValueError(
-            f"stable_matching did not converge in {SM_ROUNDS} rounds")
-    preff = pref.select(F.col("u").alias("fu"),
-                        F.col("s").alias("fs"),
-                        F.col("rk").alias("frk"))
-    return (held.join(preff, (held["u"] == F.col("fu"))
-                      & (held["s"] == F.col("fs")))
-            .select(F.col("fs").cast("bigint").alias("slot"),
-                    F.col("fu").cast("bigint").alias("user"),
-                    F.col("frk").cast("int").alias("proposer_rank")))
-
-
-def _stable_matching_sql() -> str:
-    from geobuf_spark.functions import phash
-    ph = phash.sql_hash60_parts("'sm-p'", "u", "s")
-    ah = phash.sql_hash60_parts("'sm-a'", "s", "u")
-    steps = []
-    for r in range(1, SM_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        fr{r} AS (SELECT p.u, p.ptr FROM p{p} p
-                  WHERE p.ptr <= {SM_S}
-                    AND p.u NOT IN (SELECT u FROM h{p})),
-        pr{r} AS (SELECT pr.s, pr.u FROM fr{r} f
-                  JOIN pref pr ON pr.u = f.u AND pr.rk = f.ptr),
-        h{r} AS MATERIALIZED (
-            SELECT c.s, arg_min(c.u, a.ah) AS u
-            FROM (SELECT s, u FROM pr{r}
-                  UNION ALL SELECT s, u FROM h{p}) c
-            JOIN apref a ON a.s = c.s AND a.u = c.u
-            GROUP BY c.s),
-        p{r} AS MATERIALIZED (
-            SELECT p.u, p.ptr + CASE WHEN p.u IN (SELECT u FROM pr{r})
-                                     THEN 1 ELSE 0 END AS ptr
-            FROM p{p} p)""")
-    return f"""
-        WITH su AS (SELECT u FROM (
-                SELECT user_id AS u, row_number() OVER
-                    (ORDER BY user_id) AS urk
-                FROM (SELECT DISTINCT user_id FROM events))
-            WHERE urk <= {SM_U}),
-        sl AS (SELECT unnest(range(0, {SM_S})) AS s),
-        cart AS (SELECT u, s FROM su, sl),
-        pref AS MATERIALIZED (
-            SELECT u, s, row_number() OVER (PARTITION BY u
-                ORDER BY {ph}, s) AS rk
-            FROM cart),
-        apref AS MATERIALIZED (
-            SELECT s, u, {ah} AS ah FROM cart),
-        p0 AS (SELECT u, 1 AS ptr FROM su),
-        h0 AS (SELECT CAST(NULL AS BIGINT) AS s,
-                      CAST(NULL AS BIGINT) AS u WHERE false),
-        {','.join(steps)}
-        SELECT CAST(h.s AS BIGINT) AS slot, CAST(h.u AS BIGINT)
-                   AS "user",
-               CAST(pr.rk AS INT) AS proposer_rank
-        FROM h{SM_ROUNDS} h JOIN pref pr ON pr.u = h.u AND pr.s = h.s"""
-
-
-def q_ransac_line(spark, sf):
-    # deterministic RANSAC line fit per cluster — robust structure
-    # detection with EXACT integers: candidate models pair hash-ranked
-    # points (rank 2t−1 with 2t), a point is an inlier iff its squared
-    # line distance ≤ tol² without any division — cross² ≤ tol²·len²
-    # (cross ≤ ~5e15 so cross² rides decimal(38)/HUGEINT); the winner
-    # per cluster is max inliers, tie → lowest candidate index. One
-    # candidates×points equi-join on the cluster id — RANSAC's random
-    # sampling replaced by a pinned hash draw so both engines and the
-    # brute see the same models.
-    from geobuf_spark.functions import phash
-    from pyspark.sql import Window as Win
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
-    rkd = p.withColumn("rn", F.row_number().over(
-        Win.partitionBy("gid").orderBy(
-            phash.hash60_parts(F.lit("rs"), F.col("doc_id")),
-            "doc_id")))
-    a = rkd.filter(F.col("rn") % 2 == 1).select(
-        "gid", F.expr("CAST((rn + 1) div 2 AS INT)").alias("t"),
-        F.col("qx").alias("px"), F.col("qy").alias("py"))
-    b = rkd.filter(F.col("rn") % 2 == 0).select(
-        "gid", F.expr("CAST(rn div 2 AS INT)").alias("t"),
-        F.col("qx").alias("qx2"), F.col("qy").alias("qy2"))
-    cand = (a.join(b, ["gid", "t"])
-            .filter((F.col("px") != F.col("qx2"))
-                    | (F.col("py") != F.col("qy2"))))
-    j = cand.join(p.select("gid", F.col("qx").alias("rx"),
-                           F.col("qy").alias("ry")), "gid")
-    cross = ((F.col("qx2") - F.col("px")) * (F.col("ry") - F.col("py"))
-             - (F.col("qy2") - F.col("py"))
-             * (F.col("rx") - F.col("px"))).cast("decimal(38,0)")
-    len2 = ((F.col("qx2") - F.col("px")) * (F.col("qx2") - F.col("px"))
-            + (F.col("qy2") - F.col("py"))
-            * (F.col("qy2") - F.col("py"))).cast("decimal(38,0)")
-    inl = (j.withColumn("isin", (cross * cross
-                                 <= F.lit(RS_TOL).cast("decimal(38,0)")
-                                 * F.lit(RS_TOL) * len2).cast("long"))
-           .groupBy("gid", "t")
-           .agg(F.sum("isin").alias("n_inliers")))
-    w = Win.partitionBy("gid").orderBy(F.col("n_inliers").desc(),
-                                       F.col("t").asc())
-    best = (inl.withColumn("brk", F.row_number().over(w))
-            .filter(F.col("brk") == 1))
-    npts = p.groupBy("gid").agg(F.count("*").alias("n_pts"))
-    return (best.join(npts, "gid")
-            .select(F.col("gid").cast("bigint"),
-                    F.col("t").cast("int").alias("cand_t"),
-                    F.col("n_inliers").cast("bigint"),
-                    F.col("n_pts").cast("bigint")))
-
-
-def _ransac_line_sql() -> str:
-    from geobuf_spark.functions import phash
-    h = phash.sql_hash60_parts("'rs'", "doc_id")
-    return f"""
-        WITH rp AS (SELECT doc_id % {minted.N_CLUSTERS} AS gid, qx, qy,
-                           doc_id
-                    FROM ({minted.sql_minted_cluster_points_q()})),
-        rkd AS (SELECT gid, qx, qy, row_number() OVER (
-                    PARTITION BY gid ORDER BY {h}, doc_id) AS rn
-                FROM rp),
-        ca AS (SELECT gid, (rn + 1) // 2 AS t, qx AS px, qy AS py
-               FROM rkd WHERE rn % 2 = 1),
-        cb AS (SELECT gid, rn // 2 AS t, qx AS qx2, qy AS qy2
-               FROM rkd WHERE rn % 2 = 0),
-        cand AS (SELECT ca.gid, ca.t, px, py, qx2, qy2
-                 FROM ca JOIN cb ON cb.gid = ca.gid AND cb.t = ca.t
-                 WHERE px <> qx2 OR py <> qy2),
-        jn AS (SELECT c.gid, c.t,
-                      CAST((qx2 - px) * (r.qy - py)
-                           - (qy2 - py) * (r.qx - px) AS HUGEINT)
-                          AS cr,
-                      CAST((qx2 - px) * (qx2 - px)
-                           + (qy2 - py) * (qy2 - py) AS HUGEINT)
-                          AS l2
-               FROM cand c JOIN rp r ON r.gid = c.gid),
-        inl AS (SELECT gid, t,
-                       sum(CASE WHEN cr * cr
-                                <= {RS_TOL}::HUGEINT * {RS_TOL} * l2
-                                THEN 1 ELSE 0 END) AS n_inliers
-                FROM jn GROUP BY 1, 2),
-        best AS (SELECT gid, t, n_inliers, row_number() OVER (
-                     PARTITION BY gid ORDER BY n_inliers DESC, t ASC)
-                     AS brk
-                 FROM inl),
-        np AS (SELECT gid, count(*) AS n_pts FROM rp GROUP BY 1)
-        SELECT CAST(best.gid AS BIGINT) AS gid,
-               CAST(t AS INT) AS cand_t,
-               CAST(n_inliers AS BIGINT) AS n_inliers,
-               CAST(n_pts AS BIGINT) AS n_pts
-        FROM best JOIN np USING (gid) WHERE brk = 1"""
-
-
-# ---------------------------------------------------------------------------
-# batch 91 — max-burst window (Kadane via prefix-min), DTW between
-# daily series
-# ---------------------------------------------------------------------------
-
-DTW_N = 30  # fixture day count per event type (guarded at runtime)
-
-
-def q_max_burst_window(spark, sf):
-    # the maximum-sum anomalous window of each event type's daily
-    # series — Kadane's algorithm de-sequentialized into pure window
-    # functions: deviations are mean-centered WITHOUT division
-    # (dev = n_days·c − total, exact integers summing to 0), prefix
-    # sums P_j plus a virtual P_0 = 0 row, best window ending at j is
-    # P_j − min_{i<j} P_i — one running-min window, no loop. Winner per
-    # type: max sum, tie → earliest end; the start is the EARLIEST
-    # argmin prefix before the winning end. Exactly the shape that
-    # scales: two window passes over a partitioned series.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    tot = daily.groupBy("event_type").agg(
-        F.sum("c").alias("tot"), F.count("*").alias("nd"))
-    dev = (daily.join(tot, "event_type")
-           .select("event_type", "d",
-                   (F.col("nd") * F.col("c") - F.col("tot"))
-                   .alias("dev")))
-    wo = Win.partitionBy("event_type").orderBy("d")
-    pre = (dev.withColumn("pos", F.row_number().over(wo))
-           .withColumn("p", F.sum("dev").over(wo))
-           .select("event_type", "pos", "d", "p"))
-    virt = (tot.select("event_type", F.lit(0).alias("pos"),
-                       F.lit(None).cast("bigint").alias("d"),
-                       F.lit(0).cast("bigint").alias("p")))
-    allp = pre.unionByName(virt).localCheckpoint(eager=False)
-    wmin = (Win.partitionBy("event_type").orderBy("pos")
-            .rowsBetween(Win.unboundedPreceding, -1))
-    scored = (allp.withColumn("minprev", F.min("p").over(wmin))
-              .filter(F.col("pos") >= 1)
-              .withColumn("best", F.col("p") - F.col("minprev")))
-    wb = Win.partitionBy("event_type").orderBy(F.col("best").desc(),
-                                               F.col("pos").asc())
-    win = (scored.withColumn("brk", F.row_number().over(wb))
-           .filter(F.col("brk") == 1)
-           .select("event_type", F.col("pos").alias("jend"),
-                   F.col("d").alias("end_day"), "best", "minprev"))
-    startp = (win.join(allp.select(F.col("event_type").alias("et2"),
-                                   F.col("pos").alias("spos"),
-                                   F.col("p").alias("sp")),
-                       (F.col("et2") == F.col("event_type"))
-                       & (F.col("spos") < F.col("jend"))
-                       & (F.col("sp") == F.col("minprev")))
-              .groupBy("event_type", "jend", "end_day", "best")
-              .agg(F.min("spos").alias("startpos")))
-    allp_s = allp.select(F.col("event_type").alias("et3"),
-                         F.col("pos").alias("pos3"),
-                         F.col("d").alias("start_day"))
-    start_day = startp.join(
-        allp_s, (F.col("et3") == F.col("event_type"))
-        & (F.col("pos3") == startp["startpos"] + 1))
-    return (start_day.select(
-        "event_type", F.col("best").cast("bigint").alias("burst_sum"),
-        F.col("start_day").cast("bigint"),
-        F.col("end_day").cast("bigint"),
-        (F.col("jend") - F.col("startpos")).cast("int").alias("w_len")))
-
-
-def _max_burst_window_sql() -> str:
-    return """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        tt AS (SELECT event_type, sum(c) AS tot, count(*) AS nd
-               FROM daily GROUP BY 1),
-        dev AS (SELECT daily.event_type, d, nd * c - tot AS dev
-                FROM daily JOIN tt USING (event_type)),
-        pre AS (SELECT event_type,
-                       row_number() OVER wo AS pos, d,
-                       sum(dev) OVER wo AS p
-                FROM dev
-                WINDOW wo AS (PARTITION BY event_type ORDER BY d)),
-        allp AS (SELECT event_type, pos, d, CAST(p AS BIGINT) AS p
-                 FROM pre
-                 UNION ALL
-                 SELECT event_type, 0, NULL, 0 FROM tt),
-        sc AS (SELECT event_type, pos, d, p,
-                      min(p) OVER (PARTITION BY event_type
-                          ORDER BY pos ROWS BETWEEN UNBOUNDED
-                          PRECEDING AND 1 PRECEDING) AS minprev
-               FROM allp),
-        win AS (SELECT event_type, pos AS jend, d AS end_day,
-                       p - minprev AS best, minprev,
-                       row_number() OVER (PARTITION BY event_type
-                           ORDER BY p - minprev DESC, pos ASC) AS brk
-                FROM sc WHERE pos >= 1),
-        w1 AS (SELECT * FROM win WHERE brk = 1),
-        sp AS (SELECT w1.event_type, w1.jend, w1.end_day, w1.best,
-                      min(a.pos) AS startpos
-               FROM w1 JOIN allp a ON a.event_type = w1.event_type
-                   AND a.pos < w1.jend AND a.p = w1.minprev
-               GROUP BY 1, 2, 3, 4)
-        SELECT sp.event_type,
-               CAST(best AS BIGINT) AS burst_sum,
-               CAST(a2.d AS BIGINT) AS start_day,
-               CAST(end_day AS BIGINT) AS end_day,
-               CAST(jend - startpos AS INT) AS w_len
-        FROM sp JOIN allp a2 ON a2.event_type = sp.event_type
-            AND a2.pos = sp.startpos + 1"""
-
-
-def q_dtw_daily(spark, sf):
-    # dynamic-time-warping distance between every pair of event types'
-    # daily count series — the alignment-tolerant series similarity
-    # (Fréchet covers trajectories; DTW is its sum-cost cousin for time
-    # series): |c_a(i) − c_b(j)| cell costs, the classic 3-way DP.
-    # Engine: mapInPandas DP per pair (pairs are tiny, series bounded);
-    # oracle: the frechet-style recursive CTE advancing one DP row per
-    # recursion step with lateral column-alias chains.
-    sers = (spark.read.parquet(f"{sf}/events.parquet")
-            .groupBy("event_type",
-                     F.expr("unix_timestamp(ts) div 86400").alias("d"))
-            .agg(F.count("*").alias("c"))
-            .groupBy("event_type")
-            .agg(F.expr(
-                "transform(array_sort(collect_list(struct(d, c))),"
-                " x -> x.c)").alias("cs")))
-    a = sers.select(F.col("event_type").alias("ta"),
-                    F.col("cs").alias("ca"))
-    b = sers.select(F.col("event_type").alias("tb"),
-                    F.col("cs").alias("cb"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-
-    def mapper(batches):
-        import pandas as pd
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                ca, cb = list(r.ca), list(r.cb)
-                if len(ca) != DTW_N or len(cb) != DTW_N:
-                    raise ValueError("dtw_daily: unexpected series len")
-                prev = None
-                for i in range(DTW_N):
-                    cur = [0] * DTW_N
-                    for j in range(DTW_N):
-                        cost = abs(ca[i] - cb[j])
-                        if i == 0 and j == 0:
-                            cur[j] = cost
-                        elif i == 0:
-                            cur[j] = cost + cur[j - 1]
-                        elif j == 0:
-                            cur[j] = cost + prev[j]
-                        else:
-                            cur[j] = cost + min(prev[j], cur[j - 1],
-                                                prev[j - 1])
-                    prev = cur
-                rows.append({"type_a": r.ta, "type_b": r.tb,
-                             "dtw": prev[-1]})
-            yield pd.DataFrame(rows,
-                               columns=["type_a", "type_b", "dtw"])
-
-    return (pairs.mapInPandas(mapper,
-                              "type_a string, type_b string, dtw long")
-            .select("type_a", "type_b", F.col("dtw").cast("bigint")))
-
-
-def _dtw_daily_sql() -> str:
-    n = DTW_N
-    cost = "abs(ca[{i}] - cb[j])"
-    crow = f"list_transform(range(1, {n + 1}), j -> " + cost + ")"
-    r1 = ["dd[1] AS n1"]
-    for j in range(2, n + 1):
-        r1.append(f"dd[{j}] + n{j - 1} AS n{j}")
-    cols = ["dd[1] + r[1] AS n1"]
-    for j in range(2, n + 1):
-        cols.append(f"dd[{j}] + least(r[{j}], r[{j - 1}], n{j - 1}) "
-                    f"AS n{j}")
-    nlist = "[" + ", ".join(f"n{j}" for j in range(1, n + 1)) + "]"
-    return f"""
-        WITH RECURSIVE sers AS (
-            SELECT event_type, list(c ORDER BY d) AS cs FROM (
-                SELECT event_type,
-                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                       count(*) AS c
-                FROM events GROUP BY 1, 2)
-            GROUP BY 1),
-        pp AS (SELECT a.event_type AS ta, a.cs AS ca,
-                      b.event_type AS tb, b.cs AS cb
-               FROM sers a JOIN sers b ON a.event_type < b.event_type),
-        dp AS (
-            SELECT ta, tb, ca, cb, 1 AS i, {nlist} AS r
-            FROM (SELECT *, {', '.join(r1)}
-                  FROM (SELECT *, {crow.format(i=1)} AS dd FROM pp))
-            UNION ALL
-            SELECT ta, tb, ca, cb, i + 1, {nlist}
-            FROM (SELECT *, {', '.join(cols)}
-                  FROM (SELECT *, {crow.format(i='i + 1')} AS dd
-                        FROM dp WHERE i < {n}))
-        )
-        SELECT ta AS type_a, tb AS type_b, CAST(r[{n}] AS BIGINT)
-                   AS dtw
-        FROM dp WHERE i = {n}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 92 — quantile normalization, Markov next-event prediction eval
-# ---------------------------------------------------------------------------
-
-
-def q_quantile_normalize(spark, sf):
-    # cross-source quantile normalization of document lengths — the
-    # batch-effect correction a mixed-corpus pipeline runs so one
-    # crawler's length distribution can't masquerade as quality: each
-    # doc's within-source rank r (of n_s) maps to the GLOBAL order
-    # statistic at position (r−1)·N div n_s + 1 — all integer, so the
-    # mapping is exact and hashable. Two rank windows + one equi-join
-    # on position; both rank orders tie-break by doc_id so the mapping
-    # is a function.
-    from pyspark.sql import Window as Win
-    d = _docs(spark, sf).select("doc_id", "source",
-                                F.col("n_chars").alias("x"))
-    ws = Win.partitionBy("source").orderBy("x", "doc_id")
-    wg = Win.orderBy("x", "doc_id")
-    ranked = d.withColumn("r", F.row_number().over(ws))
-    ns = d.groupBy("source").agg(F.count("*").alias("n_s"))
-    N = d.count()
-    glob = (d.withColumn("gpos", F.row_number().over(wg))
-            .select(F.col("gpos"), F.col("x").alias("gx")))
-    pos = (ranked.join(ns, "source")
-           .withColumn("gpos", F.expr(
-               f"(r - 1) * {N} div n_s + 1")))
-    return (pos.join(glob, "gpos")
-            .select("doc_id", "source",
-                    F.col("x").cast("bigint").alias("n_chars"),
-                    F.col("gx").cast("bigint").alias("norm_chars")))
-
-
-def _quantile_normalize_sql() -> str:
-    return """
-        WITH d AS (SELECT doc_id, source, n_chars AS x
-                   FROM documents),
-        nn AS (SELECT count(*) AS n FROM d),
-        rk AS (SELECT doc_id, source, x, row_number() OVER (
-                   PARTITION BY source ORDER BY x, doc_id) AS r
-               FROM d),
-        ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
-        gl AS (SELECT x AS gx, row_number() OVER (ORDER BY x, doc_id)
-                   AS gpos
-               FROM d),
-        ps AS (SELECT rk.doc_id, rk.source, rk.x,
-                      (r - 1) * nn.n // n_s + 1 AS gpos
-               FROM rk JOIN ns USING (source), nn)
-        SELECT doc_id, source, CAST(x AS BIGINT) AS n_chars,
-               CAST(gx AS BIGINT) AS norm_chars
-        FROM ps JOIN gl USING (gpos)"""
-
-
-def q_markov_predict_eval(spark, sf):
-    # does the event-transition matrix actually predict? Train on even
-    # user_ids (transition counts prev→next), predict the argmax next
-    # type (tie → lexicographic min), evaluate on odd users'
-    # transitions — the honest train/eval split version of
-    # markov_stationary's matrix. Per prev type: eval count, hits,
-    # accuracy ppm, and the predicted label. Window lag per user, two
-    # aggregations, exact integers end to end.
-    from pyspark.sql import Window as Win
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "ts", "event_id", "event_type")
-    wu = Win.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = (e.withColumn("nxt", F.lead("event_type").over(wu))
-          .filter(F.col("nxt").isNotNull())
-          .select("user_id", F.col("event_type").alias("prev"), "nxt"))
-    train = (tr.filter(F.col("user_id") % 2 == 0)
-             .groupBy("prev", "nxt").agg(F.count("*").alias("c")))
-    wp = Win.partitionBy("prev").orderBy(F.col("c").desc(),
-                                         F.col("nxt").asc())
-    pred = (train.withColumn("rk", F.row_number().over(wp))
-            .filter(F.col("rk") == 1)
-            .select("prev", F.col("nxt").alias("predicted")))
-    ev = (tr.filter(F.col("user_id") % 2 == 1)
-          .join(pred, "prev")
-          .groupBy("prev", "predicted")
-          .agg(F.count("*").alias("n_eval"),
-               F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
-               .alias("n_hits")))
-    return ev.select("prev", "predicted",
-                     F.col("n_eval").cast("bigint"),
-                     F.col("n_hits").cast("bigint"),
-                     F.expr("1000000 * n_hits div n_eval")
-                     .cast("bigint").alias("acc_ppm"))
-
-
-def _markov_predict_eval_sql() -> str:
-    return """
-        WITH e AS (SELECT user_id, event_type, ts, event_id
-                   FROM events),
-        tr AS (SELECT user_id, event_type AS prev,
-                      lead(event_type) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id) AS nxt
-               FROM e),
-        t2 AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
-        train AS (SELECT prev, nxt, count(*) AS c FROM t2
-                  WHERE user_id % 2 = 0 GROUP BY 1, 2),
-        pred AS (SELECT prev, nxt AS predicted FROM (
-                     SELECT prev, nxt, row_number() OVER (
-                         PARTITION BY prev ORDER BY c DESC, nxt ASC)
-                         AS rk
-                     FROM train) WHERE rk = 1),
-        ev AS (SELECT t2.prev, predicted, count(*) AS n_eval,
-                      sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
-                          AS n_hits
-               FROM t2 JOIN pred ON pred.prev = t2.prev
-               WHERE user_id % 2 = 1
-               GROUP BY 1, 2)
-        SELECT prev, predicted, CAST(n_eval AS BIGINT) AS n_eval,
-               CAST(n_hits AS BIGINT) AS n_hits,
-               CAST(1000000 * n_hits // n_eval AS BIGINT) AS acc_ppm
-        FROM ev"""
-
-
-# ---------------------------------------------------------------------------
-# batch 93 — activity-selection scheduling, sparse-table RMQ
-# ---------------------------------------------------------------------------
-
-RMQ_K = 4        # sparse-table levels (2^4 = 16 ≤ 30-day series)
-RMQ_NQ = 16      # hash-drawn range queries
-
-
-def q_interval_schedule(spark, sf):
-    # maximum non-overlapping interval selection per user (the greedy
-    # earliest-end activity-selection algorithm — provably optimal):
-    # intervals are event-anchored jobs [t, t + 1800 + (event_id mod
-    # 7200)s] which genuinely overlap inside bursts, so the selection
-    # is a real subset. Per-user state machine (cur_end, count) rides
-    # applyInPandas; the oracle replays it with one recursive CTE over
-    # the (end, start, id)-ranked intervals. Output also keeps the
-    # overlap pressure (n_intervals − n_selected = jobs a single-lane
-    # scheduler must drop).
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id",
-        F.unix_timestamp("ts").alias("t0"))
-    iv = e.select("user_id", "event_id", "t0",
-                  (F.col("t0") + 1800 + F.col("event_id") % 7200)
-                  .alias("t1"))
-    schema = ("user_id long, n_intervals long, n_selected long, "
-              "last_end long")
-
-    def pick(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values(["t1", "t0", "event_id"],
-                              kind="mergesort")
-        cur, cnt = None, 0
-        for t0, t1 in zip(pdf["t0"].astype("int64"),
-                          pdf["t1"].astype("int64")):
-            if cur is None or int(t0) > cur:
-                cnt += 1
-                cur = int(t1)
-        return pd.DataFrame([{"user_id": int(pdf["user_id"].iloc[0]),
-                              "n_intervals": len(pdf),
-                              "n_selected": cnt,
-                              "last_end": cur}])
-
-    return iv.groupBy("user_id").applyInPandas(pick, schema)
-
-
-def _interval_schedule_sql() -> str:
-    return """
-        WITH RECURSIVE iv AS (
-            SELECT user_id, event_id,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS t0,
-                   CAST(floor(epoch(ts)) AS BIGINT) + 1800
-                       + event_id % 7200 AS t1
-            FROM events),
-        rk AS (SELECT user_id, t0, t1, row_number() OVER (
-                   PARTITION BY user_id
-                   ORDER BY t1, t0, event_id) AS rn
-               FROM iv),
-        st AS (
-            SELECT user_id, 1 AS rn, t1 AS cur_end, 1 AS cnt
-            FROM rk WHERE rn = 1
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN r.t0 > s.cur_end THEN r.t1
-                        ELSE s.cur_end END,
-                   s.cnt + CASE WHEN r.t0 > s.cur_end THEN 1
-                                ELSE 0 END
-            FROM st s JOIN rk r ON r.user_id = s.user_id
-                AND r.rn = s.rn + 1),
-        last AS (SELECT user_id, rn, cur_end, cnt, row_number() OVER (
-                     PARTITION BY user_id ORDER BY rn DESC) AS rr
-                 FROM st)
-        SELECT user_id, CAST(rn AS BIGINT) AS n_intervals,
-               CAST(cnt AS BIGINT) AS n_selected,
-               CAST(cur_end AS BIGINT) AS last_end
-        FROM last WHERE rr = 1"""
-
-
-def _rmq_queries() -> list:
-    """Plan-time hash-drawn (qid, l, r) over positions 1..30 — both
-    engines fold the same literals (py_hash60 = their column hash)."""
-    from geobuf_spark.functions import phash
-    out = []
-    n = 30
-    for q in range(1, RMQ_NQ + 1):
-        l = 1 + phash.py_hash60(f"rmq-l\x1e{q}") % n
-        r = l + phash.py_hash60(f"rmq-r\x1e{q}") % (n - l + 1)
-        out.append((q, l, r))
-    return out
-
-
-def q_rmq_daily(spark, sf):
-    # range-minimum index over the daily total-event series: the
-    # sparse-table (doubling) construction — level k holds
-    # min over [i, i+2^k) built from two level-(k−1) cells — then each
-    # hash-drawn query (l, r) is answered with the classic TWO
-    # overlapping power-of-two windows. The oracle never builds the
-    # table: it takes the direct min over each range — two genuinely
-    # different algorithms, equality is the proof. Build = K self-joins
-    # on the position index (the log-depth index-construction shape).
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy(F.expr("unix_timestamp(ts) div 86400")
-                      .alias("d"))
-             .agg(F.count("*").alias("c")))
-    lvl = (daily.withColumn("i", F.row_number().over(Win.orderBy("d")))
-           .select("i", F.col("c").cast("bigint").alias("m"))
-           .localCheckpoint(eager=False))
-    tables = {0: lvl}
-    for k in range(1, RMQ_K + 1):
-        half = 1 << (k - 1)
-        prev = tables[k - 1]
-        shifted = prev.select((F.col("i") - half).alias("i"),
-                              F.col("m").alias("m2"))
-        tables[k] = (prev.join(shifted, "i")
-                     .select("i", F.least("m", "m2").alias("m"))
-                     .localCheckpoint(eager=False))
-    import math as _m
-    rows = None
-    for q, l, r in _rmq_queries():
-        k = _m.floor(_m.log2(r - l + 1))
-        a = tables[k].filter(F.col("i") == l)
-        b = tables[k].filter(F.col("i") == r - (1 << k) + 1)
-        one = (a.crossJoin(b.select(F.col("m").alias("mb")))
-               .select(F.lit(q).alias("qid"), F.lit(l).alias("l"),
-                       F.lit(r).alias("r"),
-                       F.least("m", "mb").alias("range_min")))
-        rows = one if rows is None else rows.unionByName(one)
-    return rows.select(F.col("qid").cast("int"),
-                       F.col("l").cast("int"), F.col("r").cast("int"),
-                       F.col("range_min").cast("bigint"))
-
-
-def _rmq_daily_sql() -> str:
-    qs = ", ".join(f"({q}, {l}, {r})" for q, l, r in _rmq_queries())
-    return f"""
-        WITH daily AS (
-            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1),
-        pos AS (SELECT row_number() OVER (ORDER BY d) AS i,
-                       CAST(c AS BIGINT) AS m
-                FROM daily),
-        qq (qid, l, r) AS (VALUES {qs})
-        SELECT CAST(qid AS INT) AS qid, CAST(l AS INT) AS l,
-               CAST(r AS INT) AS r,
-               (SELECT min(m) FROM pos
-                WHERE pos.i >= qq.l AND pos.i <= qq.r) AS range_min
-        FROM qq"""
-
-
-# ---------------------------------------------------------------------------
-# batch 94 — isotonic regression (parallel PAVA), seasonal MASE eval
-# ---------------------------------------------------------------------------
-
-ISO_ROUNDS = 10
-
-
-def q_isotonic_daily(spark, sf):
-    # monotone (isotonic) regression of each event type's daily series
-    # by PARALLEL pool-adjacent-violators: blocks carry exact (sum,
-    # len); a round flags every adjacent pair whose means violate
-    # (cross-multiplied — no division), groups each maximal violating
-    # CHAIN to its head with one conditional running-max window, and
-    # merges chains in one aggregation. The PAV optimum is unique and
-    # invariant to merge order, so chain-merging converges to the same
-    # fit as the sequential stack algorithm (the pytest's independent
-    # brute). Converge-or-raise in ISO_ROUNDS; fitted values reported
-    # as the exact block rational (sum, len) plus a quantized milli
-    # value.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    wo = Win.partitionBy("event_type").orderBy("d")
-    pts = (daily.withColumn("i", F.row_number().over(wo))
-           .localCheckpoint(eager=False))
-    blocks = pts.select("event_type", F.col("i").alias("bs"),
-                        F.col("i").alias("be"),
-                        F.col("c").cast("bigint").alias("s"),
-                        F.lit(1).cast("bigint").alias("l"))
-    wb = Win.partitionBy("event_type").orderBy("bs")
-    whead = (Win.partitionBy("event_type").orderBy("bs")
-             .rowsBetween(Win.unboundedPreceding, 0))
-    converged = False
-    for _ in range(ISO_ROUNDS):
-        flagged = (blocks
-                   .withColumn("ps", F.lag("s").over(wb))
-                   .withColumn("pl", F.lag("l").over(wb))
-                   .withColumn("viol_prev",
-                               F.coalesce(F.col("ps") * F.col("l")
-                                          > F.col("s") * F.col("pl"),
-                                          F.lit(False))))
-        nviol = flagged.filter(F.col("viol_prev")).limit(1).count()
-        if nviol == 0:
-            converged = True
-            break
-        grouped = (flagged.withColumn(
-            "grp", F.max(F.when(~F.col("viol_prev"), F.col("bs")))
-            .over(whead)))
-        blocks = (grouped.groupBy("event_type", "grp")
-                  .agg(F.min("bs").alias("bs"), F.max("be").alias("be"),
-                       F.sum("s").alias("s"), F.sum("l").alias("l"))
-                  .select("event_type", "bs", "be", "s", "l")
-                  .localCheckpoint(eager=True))
-    if not converged:
-        raise ValueError(
-            f"isotonic_daily did not converge in {ISO_ROUNDS} rounds")
-    fit = (pts.join(blocks, (pts["event_type"] == blocks["event_type"])
-                    & (pts["i"] >= F.col("bs"))
-                    & (pts["i"] <= F.col("be")))
-           .select(pts["event_type"], "d",
-                   F.col("c").cast("bigint").alias("c"),
-                   F.col("s").alias("fit_num"),
-                   F.col("l").alias("fit_den"),
-                   F.expr("1000 * s div l").alias("fit_milli")))
-    return fit
-
-
-def _isotonic_daily_sql() -> str:
-    steps = []
-    for r in range(1, ISO_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        f{r} AS (SELECT *,
-                        coalesce(lag(s) OVER wb * l
-                                 > s * lag(l) OVER wb, false)
-                            AS viol_prev
-                 FROM b{p}
-                 WINDOW wb AS (PARTITION BY event_type ORDER BY bs)),
-        g{r} AS (SELECT *, max(CASE WHEN NOT viol_prev THEN bs END)
-                     OVER (PARTITION BY event_type ORDER BY bs
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS grp
-                 FROM f{r}),
-        b{r} AS MATERIALIZED (
-            SELECT event_type, min(bs) AS bs, max(be) AS be,
-                   sum(s) AS s, sum(l) AS l
-            FROM g{r} GROUP BY event_type, grp)""")
-    return f"""
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        pts AS (SELECT event_type, d, CAST(c AS BIGINT) AS c,
-                       row_number() OVER (PARTITION BY event_type
-                           ORDER BY d) AS i
-                FROM daily),
-        b0 AS (SELECT event_type, i AS bs, i AS be, c AS s,
-                      CAST(1 AS BIGINT) AS l
-               FROM pts),
-        {','.join(steps)}
-        SELECT p.event_type, p.d, p.c,
-               CAST(b.s AS BIGINT) AS fit_num,
-               CAST(b.l AS BIGINT) AS fit_den,
-               CAST(1000 * b.s // b.l AS BIGINT) AS fit_milli
-        FROM pts p JOIN b{ISO_ROUNDS} b
-            ON b.event_type = p.event_type
-            AND p.i >= b.bs AND p.i <= b.be"""
-
-
-def q_mase_seasonal(spark, sf):
-    # seasonal-naive forecast evaluation (MASE-style): predict each
-    # day as the value 7 days earlier, scale by the one-step naive
-    # |Δ| over the SAME index set — both absolute-error sums exact
-    # integers, the ratio quantized to milli. The forecast-backtest
-    # shape: two lag windows and one rollup, nothing else.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    wo = Win.partitionBy("event_type").orderBy("d")
-    lagd = (daily.withColumn("c7", F.lag("c", 7).over(wo))
-            .withColumn("c1", F.lag("c", 1).over(wo))
-            .filter(F.col("c7").isNotNull()))
-    return (lagd.groupBy("event_type")
-            .agg(F.count("*").alias("n_terms"),
-                 F.sum(F.abs(F.col("c") - F.col("c7")))
-                 .alias("m_abs_sum"),
-                 F.sum(F.abs(F.col("c") - F.col("c1")))
-                 .alias("naive_abs_sum"))
-            .select("event_type", F.col("n_terms").cast("bigint"),
-                    F.col("m_abs_sum").cast("bigint"),
-                    F.col("naive_abs_sum").cast("bigint"),
-                    F.expr("1000 * m_abs_sum div naive_abs_sum")
-                    .cast("bigint").alias("mase_milli")))
-
-
-def _mase_seasonal_sql() -> str:
-    return """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        lagd AS (SELECT event_type, c,
-                        lag(c, 7) OVER wo AS c7,
-                        lag(c, 1) OVER wo AS c1
-                 FROM daily
-                 WINDOW wo AS (PARTITION BY event_type ORDER BY d))
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_terms,
-               CAST(sum(abs(c - c7)) AS BIGINT) AS m_abs_sum,
-               CAST(sum(abs(c - c1)) AS BIGINT) AS naive_abs_sum,
-               CAST(1000 * sum(abs(c - c7)) // sum(abs(c - c1))
-                    AS BIGINT) AS mase_milli
-        FROM lagd WHERE c7 IS NOT NULL GROUP BY event_type"""
-
-
-# ---------------------------------------------------------------------------
-# batch 95 — Euclidean MST per cluster (full Borůvka), join-size audit
-# ---------------------------------------------------------------------------
-
-def q_emst_clusters(spark, sf):
-    # exact Euclidean minimum spanning tree per cluster. Clusters are
-    # BOUNDED groups (the convex-hull argument), so the right 100 TB
-    # shape is one shuffle on the cluster id + an in-task algorithm via
-    # applyInPandas — distributed Borůvka rounds are for graphs that
-    # don't partition (boruvka_round1 demonstrates that tier; a first
-    # cut of THIS query ran CC-per-round distributed and cost minutes
-    # on 500 points — wrong altitude). Edge order is the strict total
-    # order (d², a, b): all "weights" distinct ⇒ the MST is unique ⇒
-    # the in-task BORŮVKA here, the oracle's recursive PRIM, and the
-    # pytest's KRUSKAL must agree exactly — three algorithms, one tree.
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
-    schema = "gid long, n_pts long, mst_edges long, total_d2 long"
-
-    def boruvka(pdf):
-        import pandas as pd
-        gid = int(pdf["gid"].iloc[0])
-        pts = sorted((int(i), int(x), int(y)) for i, x, y in
-                     zip(pdf["doc_id"], pdf["qx"], pdf["qy"]))
-        n = len(pts)
-        if n < 2:
-            return pd.DataFrame([{"gid": gid, "n_pts": n,
-                                  "mst_edges": 0, "total_d2": 0}])
-        edges = []
-        for i in range(n):
-            for j in range(i + 1, n):
-                (a, ax, ay), (b, bx, by) = pts[i], pts[j]
-                edges.append(((ax - bx) ** 2 + (ay - by) ** 2, a, b))
-        lab = {i: i for (i, _, _) in pts}
-
-        def find(x):
-            while lab[x] != x:
-                lab[x] = lab[lab[x]]
-                x = lab[x]
-            return x
-
-        total, cnt = 0, 0
-        while cnt < n - 1:
-            best = {}
-            for w, a, b in edges:
-                ra, rb = find(a), find(b)
-                if ra == rb:
-                    continue
-                for r in (ra, rb):
-                    if r not in best or (w, a, b) < best[r]:
-                        best[r] = (w, a, b)
-            if not best:
-                raise ValueError("emst: disconnected cluster")
-            for w, a, b in set(best.values()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lab[max(ra, rb)] = min(ra, rb)
-                    total += w
-                    cnt += 1
-        return pd.DataFrame([{"gid": gid, "n_pts": n,
-                              "mst_edges": cnt, "total_d2": total}])
-
-    return p.groupBy("gid").applyInPandas(boruvka, schema)
-
-
-def _emst_clusters_sql() -> str:
-    return f"""
-        WITH RECURSIVE ep AS (
-            SELECT doc_id % {minted.N_CLUSTERS} AS gid, doc_id, qx, qy
-            FROM ({minted.sql_minted_cluster_points_q()})),
-        pr AS (SELECT x.gid, x.doc_id AS a, y.doc_id AS b,
-                      (x.qx - y.qx) * (x.qx - y.qx)
-                      + (x.qy - y.qy) * (x.qy - y.qy) AS d2
-               FROM ep x JOIN ep y ON x.gid = y.gid
-                   AND x.doc_id < y.doc_id),
-        prd AS (SELECT gid, a, b, d2 FROM pr
-                UNION ALL SELECT gid, b, a, d2 FROM pr),
-        np AS (SELECT gid, count(*) AS n FROM ep GROUP BY 1),
-        st AS (
-            SELECT gid, [min(doc_id)] AS visited,
-                   CAST(0 AS BIGINT) AS total, 0 AS cnt
-            FROM ep GROUP BY gid
-            UNION ALL
-            SELECT s.gid, list_append(s.visited, pk.y),
-                   s.total + pk.d2, s.cnt + 1
-            FROM st s JOIN np ON np.gid = s.gid,
-            LATERAL (SELECT p.b AS y, p.d2 FROM prd p
-                     WHERE p.gid = s.gid
-                       AND list_contains(s.visited, p.a)
-                       AND NOT list_contains(s.visited, p.b)
-                     ORDER BY p.d2, p.a, p.b LIMIT 1) pk
-            WHERE s.cnt < np.n - 1)
-        SELECT CAST(st.gid AS BIGINT) AS gid,
-               CAST(np.n AS BIGINT) AS n_pts,
-               CAST(cnt AS BIGINT) AS mst_edges,
-               CAST(total AS BIGINT) AS total_d2
-        FROM st JOIN np ON np.gid = st.gid WHERE st.cnt = np.n - 1"""
-
-
-def q_join_size_audit(spark, sf):
-    # the join-size side of the CBO audit (selectivity_audit covers
-    # conjunctive filters): for three self-equi-joins, compare the
-    # optimizer's independence estimate |A|·|B| div ndv(key) against
-    # the exact join size Σ n_k² — signed error in ppm, all integers.
-    # The skew the estimate misses (Σ n² ≥ N²/ndv by Cauchy–Schwarz)
-    # is exactly why AQE skew handling exists; this query measures it.
-    def one(df, key, name):
-        g = df.groupBy(key).agg(F.count("*").alias("n"))
-        return g.agg(
-            F.lit(name).alias("join_key"),
-            F.sum("n").alias("n_rows"),
-            F.count("*").alias("ndv"),
-            F.sum(F.col("n") * F.col("n")).alias("true_size")
-        ).select(
-            "join_key", F.col("n_rows").cast("bigint"),
-            F.col("ndv").cast("bigint"),
-            F.expr("n_rows * n_rows div ndv").cast("bigint")
-            .alias("est_size"),
-            F.col("true_size").cast("bigint"),
-            F.expr("1000000 * (n_rows * n_rows div ndv - true_size) "
-                   "div true_size").cast("bigint").alias("err_ppm"))
-
-    d = _docs(spark, sf)
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    return (one(d, "lang", "documents.lang")
-            .unionByName(one(d, "source", "documents.source"))
-            .unionByName(one(e, "user_id", "events.user_id")))
-
-
-def _join_size_audit_sql() -> str:
-    def one(table, key, name):
-        return f"""
-        SELECT '{name}' AS join_key,
-               CAST(sum(n) AS BIGINT) AS n_rows,
-               CAST(count(*) AS BIGINT) AS ndv,
-               CAST(sum(n) * sum(n) // count(*) AS BIGINT) AS est_size,
-               CAST(sum(n * n) AS BIGINT) AS true_size,
-               CAST(1000000 * (sum(n) * sum(n) // count(*)
-                               - sum(n * n)) // sum(n * n) AS BIGINT)
-                   AS err_ppm
-        FROM (SELECT {key}, count(*) AS n FROM {table} GROUP BY 1)"""
-    return (one("documents", "lang", "documents.lang")
-            + " UNION ALL " + one("documents", "source",
-                                  "documents.source")
-            + " UNION ALL " + one("events", "user_id",
-                                  "events.user_id"))
-
-
-# ---------------------------------------------------------------------------
-# batch 96 — Luby maximal independent set, Burrows–Wheeler runs
-# ---------------------------------------------------------------------------
-
-MIS_ROUNDS = 12
-BWT_PREFIX = 32
-
-
-def q_mis_luby(spark, sf):
-    # maximal independent set on the host graph by Luby's algorithm —
-    # THE distributed symmetry-breaking primitive (scheduling
-    # non-interfering hosts, picking cluster exemplars): each round a
-    # live node joins the MIS iff its (hash, node) key is strictly
-    # smallest in its live neighborhood — the per-round hash
-    # hash60('mis', n, r) replaces Luby's fresh coins deterministically
-    # — then winners and their neighbors leave. O(log n) expected
-    # rounds, converge-or-raise; the oracle replays the same fixed
-    # rounds. Output is the MIS with the round each node joined.
-    from geobuf_spark.functions import phash
-    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
-                                   F.col("dst_host").alias("dst"))
-    und = (ed.select(F.least("src", "dst").alias("u"),
-                     F.greatest("src", "dst").alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct())
-    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
-           .unionAll(und.select(F.col("v").alias("n"),
-                                F.col("u").alias("nb")))
-           .localCheckpoint(eager=True))
-    live = adj.select("n").distinct().localCheckpoint(eager=True)
-    mis = spark.createDataFrame([], "host string, round int")
-    converged = False
-    for r in range(1, MIS_ROUNDS + 1):
-        h = phash.hash60_parts(F.lit("mis"), F.col("n"), F.lit(r))
-        keyed = live.select("n", h.alias("h"))
-        nbk = (adj.join(keyed.withColumnRenamed("n", "nb")
-                        .withColumnRenamed("h", "nbh"), "nb")
-               .join(live.withColumnRenamed("n", "nb2"),
-                     F.col("nb") == F.col("nb2"))
-               .groupBy("n")
-               .agg(F.min(F.struct("nbh", "nb")).alias("mn")))
-        cand = (keyed.join(nbk, "n", "left")
-                .filter(F.col("mn").isNull()
-                        | (F.struct(F.col("h"), F.col("n"))
-                           < F.col("mn"))))
-        winners = (cand.select("n").localCheckpoint(eager=True))
-        if winners.limit(1).count() == 0:
-            converged = live.limit(1).count() == 0
-            break
-        mis = mis.unionByName(
-            winners.select(F.col("n").alias("host"),
-                           F.lit(r).alias("round")))
-        killed = (winners.unionByName(
-            adj.join(winners, "n").select(F.col("nb").alias("n")))
-            .distinct())
-        live = (live.join(killed, "n", "left_anti")
-                .localCheckpoint(eager=True))
-        if live.limit(1).count() == 0:
-            converged = True
-            break
-    if not converged:
-        raise ValueError(
-            f"mis_luby did not converge in {MIS_ROUNDS} rounds")
-    return mis.select("host", F.col("round").cast("int"))
-
-
-def _mis_luby_sql() -> str:
-    from geobuf_spark.functions import phash
-    steps = []
-    for r in range(1, MIS_ROUNDS + 1):
-        p = r - 1
-        h = phash.sql_hash60_parts("'mis'", "n", str(r))
-        steps.append(f"""
-        k{r} AS (SELECT n, {h} AS h FROM l{p}),
-        nk{r} AS (SELECT a.n, min(struct_pack(h := k.h, nb := a.nb))
-                      AS mn
-                  FROM adj a JOIN k{r} k ON k.n = a.nb
-                  GROUP BY a.n),
-        w{r} AS MATERIALIZED (
-            SELECT k.n FROM k{r} k LEFT JOIN nk{r} x ON x.n = k.n
-            WHERE x.mn IS NULL
-               OR struct_pack(h := k.h, nb := k.n) < x.mn),
-        m{r} AS (SELECT n AS host, {r} AS rnd FROM w{r}),
-        l{r} AS MATERIALIZED (
-            SELECT n FROM l{p}
-            WHERE n NOT IN (SELECT n FROM w{r})
-              AND n NOT IN (SELECT a.nb FROM adj a
-                            JOIN w{r} w ON w.n = a.n))""")
-    allm = " UNION ALL ".join(f"SELECT host, rnd FROM m{r}"
-                              for r in range(1, MIS_ROUNDS + 1))
-    return f"""
-        WITH {_host_edges_cte()},
-        und AS (SELECT DISTINCT least(src, dst) AS u,
-                                greatest(src, dst) AS v
-                FROM ed WHERE src <> dst),
-        adj AS (SELECT u AS n, v AS nb FROM und
-                UNION ALL SELECT v AS n, u AS nb FROM und),
-        l0 AS (SELECT DISTINCT n FROM adj),
-        {','.join(steps)}
-        SELECT host, CAST(rnd AS INT) AS round FROM ({allm})"""
-
-
-def q_bwt_runs(spark, sf):
-    # Burrows–Wheeler transform of each document's first BWT_PREFIX
-    # chars (+ a chr(1) sentinel, lexicographically smallest and
-    # unique, so every rotation is distinct and the transform is
-    # invertible — the pytest RECONSTRUCTS the input by LF mapping,
-    # which is the independent proof): rotations by posexplode, one
-    # per-doc sort window, last-column concat, plus equal-run counts
-    # before/after — the clustering the bzip2 family exploits, here a
-    # per-doc compressibility signal. Pure column expressions; the
-    # per-doc rotation set is bounded by the prefix length.
-    s = F.concat(F.substring("text", 1, BWT_PREFIX), F.lit("\x01"))
-    d = _docs(spark, sf).select("doc_id", s.alias("s"),
-                                F.length(s).alias("ln"))
-    rot = (d.select("doc_id", "s", "ln",
-                    F.explode(F.sequence(F.lit(0),
-                                         F.col("ln") - 1)).alias("i"))
-           .select("doc_id",
-                   F.concat(F.expr("substring(s, i + 1, ln - i)"),
-                            F.expr("substring(s, 1, i)")).alias("rt")))
-    runs = ("size(filter(sequence(2, length({0})), "
-            "k -> substring({0}, k, 1) != substring({0}, k - 1, 1)))"
-            " + 1")
-    bwt = (rot.groupBy("doc_id")
-           .agg(F.expr(
-               "array_join(transform(array_sort(collect_list(rt)),"
-               " x -> substring(x, length(x), 1)), '')").alias("bwt")))
-    return (bwt.join(d.select("doc_id", "s"), "doc_id")
-            .select("doc_id", "bwt",
-                    F.expr(runs.format("s")).cast("int")
-                    .alias("runs_raw"),
-                    F.expr(runs.format("bwt")).cast("int")
-                    .alias("runs_bwt")))
-
-
-def _bwt_runs_sql() -> str:
-    runs = ("len(list_filter(range(2, len({0}) + 1), "
-            "k -> substr({0}, k, 1) <> substr({0}, k - 1, 1))) + 1")
-    return f"""
-        WITH bd AS (SELECT doc_id,
-                           substr(text, 1, {BWT_PREFIX}) || chr(1)
-                               AS s
-                    FROM documents),
-        rot AS (SELECT doc_id,
-                       substr(s, i + 1, len(s) - i)
-                           || substr(s, 1, i) AS rt
-                FROM bd, LATERAL (SELECT unnest(range(0, len(s)))
-                                  AS i) t),
-        bw AS (SELECT doc_id,
-                      string_agg(substr(rt, len(rt), 1), ''
-                                 ORDER BY rt) AS bwt
-               FROM rot GROUP BY 1)
-        SELECT bd.doc_id, bwt,
-               CAST({runs.format('s')} AS INT) AS runs_raw,
-               CAST({runs.format('bwt')} AS INT) AS runs_bwt
-        FROM bw JOIN bd USING (doc_id)"""
-
-
-# ---------------------------------------------------------------------------
-# batch 97 — ear-clipping triangulation, feature-hash collision audit
-# ---------------------------------------------------------------------------
-
-FH_BUCKETS = 64
-
-
-def q_ear_triangulate(spark, sf):
-    # polygon triangulation by ear clipping over minted NON-CONVEX
-    # L-shaped hexagons (the rect draws bent into an L, so every ring
-    # has a reflex vertex and naive fan triangulation would be wrong):
-    # repeatedly clip the LOWEST-INDEX strictly convex vertex whose ear
-    # triangle contains no other ring vertex (boundary counts as
-    # blocking) — the pinned deterministic spec both the list-state
-    # recursive oracle and the python brute replay. Rings are bounded,
-    # rows are independent → mapInPandas, zero shuffles. The output
-    # carries the conservation invariant in the open: Σ|ear area2| ==
-    # |ring shoelace area2|, exact int64.
-    cx, cy, hw, hh = minted._part_draws()
-    x0, x1, x2 = cx - hw, cx, cx + hw
-    y0, y1, y2 = cy - hh, cy, cy + hh
-    p = spark.read.parquet(f"{sf}/part.parquet").select(
-        F.col("p_partkey").alias("poly_id"),
-        F.array(x0, x2, x2, x1, x1, x0).alias("xs"),
-        F.array(y0, y0, y1, y1, y2, y2).alias("ys"))
-
-    def clip(xs, ys):
-        xs, ys = list(xs), list(ys)
-        tacc, tcnt = 0, 0
-        while len(xs) >= 3:
-            n = len(xs)
-            ear = None
-            for j in range(n):
-                p_, c_, nx = (j - 1) % n, j, (j + 1) % n
-                cr = ((xs[c_] - xs[p_]) * (ys[nx] - ys[p_])
-                      - (ys[c_] - ys[p_]) * (xs[nx] - xs[p_]))
-                if cr <= 0:
-                    continue
-                blocked = False
-                for k in range(n):
-                    if k in (p_, c_, nx):
-                        continue
-                    c1 = ((xs[c_] - xs[p_]) * (ys[k] - ys[p_])
-                          - (ys[c_] - ys[p_]) * (xs[k] - xs[p_]))
-                    c2 = ((xs[nx] - xs[c_]) * (ys[k] - ys[c_])
-                          - (ys[nx] - ys[c_]) * (xs[k] - xs[c_]))
-                    c3 = ((xs[p_] - xs[nx]) * (ys[k] - ys[nx])
-                          - (ys[p_] - ys[nx]) * (xs[k] - xs[nx]))
-                    if c1 >= 0 and c2 >= 0 and c3 >= 0:
-                        blocked = True
-                        break
-                if not blocked:
-                    ear = (j, cr)
-                    break
-            if ear is None:
-                raise ValueError("ear_triangulate: no ear (bad ring)")
-            j, cr = ear
-            tacc += abs(cr)
-            tcnt += 1
-            del xs[j], ys[j]
-        return tcnt, tacc
-
-    def mapper(batches):
-        import pandas as pd
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                xs = [int(v) for v in r.xs]
-                ys = [int(v) for v in r.ys]
-                area2 = abs(sum(
-                    xs[i] * ys[(i + 1) % len(xs)]
-                    - xs[(i + 1) % len(xs)] * ys[i]
-                    for i in range(len(xs))))
-                tcnt, tacc = clip(xs, ys)
-                rows.append({"poly_id": int(r.poly_id),
-                             "n_vertices": len(xs),
-                             "n_triangles": tcnt,
-                             "tri_area2_sum": tacc,
-                             "ring_area2": area2})
-            yield pd.DataFrame(rows, columns=[
-                "poly_id", "n_vertices", "n_triangles",
-                "tri_area2_sum", "ring_area2"])
-
-    return p.mapInPandas(mapper, ("poly_id long, n_vertices int, "
-                                  "n_triangles int, tri_area2_sum "
-                                  "long, ring_area2 long"))
-
-
-def _ear_triangulate_sql() -> str:
-    xs = (f"[{minted._CX} - {minted._HW}, {minted._CX} + {minted._HW},"
-          f" {minted._CX} + {minted._HW}, {minted._CX},"
-          f" {minted._CX}, {minted._CX} - {minted._HW}]::BIGINT[]")
-    ys = (f"[{minted._CY} - {minted._HH}, {minted._CY} - {minted._HH},"
-          f" {minted._CY}, {minted._CY},"
-          f" {minted._CY} + {minted._HH}, {minted._CY} + {minted._HH}]"
-          "::BIGINT[]")
-    return f"""
-        WITH RECURSIVE ply AS (
-            SELECT p_partkey AS pid, {xs} AS xs, {ys} AS ys
-            FROM part),
-        ring AS (SELECT pid,
-                        abs(xs[1]*ys[2]-xs[2]*ys[1] + xs[2]*ys[3]-xs[3]*ys[2]
-                          + xs[3]*ys[4]-xs[4]*ys[3] + xs[4]*ys[5]-xs[5]*ys[4]
-                          + xs[5]*ys[6]-xs[6]*ys[5] + xs[6]*ys[1]-xs[1]*ys[6])
-                            AS ring_area2
-                 FROM ply),
-        est AS (
-            SELECT pid, xs, ys, CAST(0 AS BIGINT) AS tacc, 0 AS tcnt
-            FROM ply
-            UNION ALL
-            SELECT s.pid,
-                   s.xs[:e.j-1] || s.xs[e.j+1:],
-                   s.ys[:e.j-1] || s.ys[e.j+1:],
-                   s.tacc + e.a2, s.tcnt + 1
-            FROM est s,
-            LATERAL (
-                SELECT j,
-                       abs((s.xs[cur]-s.xs[prv])*(s.ys[nxt]-s.ys[prv])
-                         - (s.ys[cur]-s.ys[prv])*(s.xs[nxt]-s.xs[prv]))
-                           AS a2
-                FROM (SELECT j,
-                             CASE WHEN j = 1 THEN len(s.xs)
-                                  ELSE j - 1 END AS prv,
-                             j AS cur,
-                             CASE WHEN j = len(s.xs) THEN 1
-                                  ELSE j + 1 END AS nxt
-                      FROM (SELECT unnest(range(1, len(s.xs) + 1))
-                                AS j)) c
-                WHERE (s.xs[cur]-s.xs[prv])*(s.ys[nxt]-s.ys[prv])
-                    - (s.ys[cur]-s.ys[prv])*(s.xs[nxt]-s.xs[prv]) > 0
-                  AND NOT EXISTS (
-                    SELECT 1 FROM (SELECT unnest(
-                        range(1, len(s.xs) + 1)) AS k)
-                    WHERE k NOT IN (prv, cur, nxt)
-                      AND (s.xs[cur]-s.xs[prv])*(s.ys[k]-s.ys[prv])
-                        - (s.ys[cur]-s.ys[prv])*(s.xs[k]-s.xs[prv])
-                            >= 0
-                      AND (s.xs[nxt]-s.xs[cur])*(s.ys[k]-s.ys[cur])
-                        - (s.ys[nxt]-s.ys[cur])*(s.xs[k]-s.xs[cur])
-                            >= 0
-                      AND (s.xs[prv]-s.xs[nxt])*(s.ys[k]-s.ys[nxt])
-                        - (s.ys[prv]-s.ys[nxt])*(s.xs[k]-s.xs[nxt])
-                            >= 0)
-                ORDER BY j LIMIT 1) e
-            WHERE len(s.xs) >= 3)
-        SELECT est.pid AS poly_id, CAST(6 AS INT) AS n_vertices,
-               CAST(tcnt AS INT) AS n_triangles,
-               CAST(tacc AS BIGINT) AS tri_area2_sum,
-               CAST(ring_area2 AS BIGINT) AS ring_area2
-        FROM est JOIN ring ON ring.pid = est.pid
-        WHERE len(est.xs) = 2"""
-
-
-def q_hash_collision_audit(spark, sf):
-    # feature-hashing collision audit: hash three key spaces (vocab
-    # tokens, user ids, doc ids) into FH_BUCKETS buckets with the
-    # portable hash and measure what the hashing trick actually costs —
-    # used buckets, keys sharing a bucket, the hottest bucket. One
-    # groupBy per space, exact integers (the birthday arithmetic is the
-    # pytest's job).
-    from geobuf_spark.functions import phash
-
-    def one(df, col, name):
-        keys = df.select(F.col(col).cast("string").alias("k")).distinct()
-        b = keys.select(
-            F.pmod(phash.hash60_parts(F.lit("fh"), F.col("k")),
-                   F.lit(FH_BUCKETS)).alias("b"))
-        g = b.groupBy("b").agg(F.count("*").alias("n"))
-        return g.agg(
-            F.lit(name).alias("space"),
-            F.sum("n").alias("n_keys"),
-            F.count("*").alias("n_used"),
-            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
-            .alias("n_colliding"),
-            F.max("n").alias("max_bucket")
-        ).select("space", F.col("n_keys").cast("bigint"),
-                 F.col("n_used").cast("bigint"),
-                 F.col("n_colliding").cast("bigint"),
-                 F.col("max_bucket").cast("bigint"))
-
-    d = _docs(spark, sf)
-    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    e = spark.read.parquet(f"{sf}/events.parquet")
-    return (one(toks, "tok", "tokens")
-            .unionByName(one(e, "user_id", "users"))
-            .unionByName(one(d, "doc_id", "docs")))
-
-
-def _hash_collision_audit_sql() -> str:
-    from geobuf_spark.functions import phash
-
-    def one(src, name):
-        h = phash.sql_hash60_parts("'fh'", "k")
-        return f"""
-        SELECT '{name}' AS space,
-               CAST(sum(n) AS BIGINT) AS n_keys,
-               CAST(count(*) AS BIGINT) AS n_used,
-               CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
-                   AS n_colliding,
-               CAST(max(n) AS BIGINT) AS max_bucket
-        FROM (SELECT {h} % {FH_BUCKETS} AS b, count(*) AS n
-              FROM (SELECT DISTINCT CAST(k AS VARCHAR) AS k
-                    FROM ({src}) t(k)) GROUP BY 1)"""
-
-    return (one("SELECT unnest(string_split(text, ' ')) FROM documents",
-                "tokens")
-            + " UNION ALL "
-            + one("SELECT user_id FROM events", "users")
-            + " UNION ALL "
-            + one("SELECT doc_id FROM documents", "docs"))
-
-
-# ---------------------------------------------------------------------------
-# batch 98 — convex layers (onion peeling), Soundex phonetic groups
-# ---------------------------------------------------------------------------
-
-CL_ROUNDS = 8  # ≥ ceil(n/3) layers on the largest cluster
-
-_SOUNDEX = {**{c: "1" for c in "bfpv"}, **{c: "2" for c in "cgjkqsxz"},
-            **{c: "3" for c in "dt"}, "l": "4",
-            **{c: "5" for c in "mn"}, "r": "6",
-            **{c: "0" for c in "aeiouy"}}
-
-
-def q_convex_layers(spark, sf):
-    # onion peeling per cluster — convex-hull DATA DEPTH (each layer
-    # strips the strict hull corners of what remains; the layer count
-    # is the cluster's depth, the unpeelable core its interior mass):
-    # reuses the batch-84 strict-corner hull semantics, so "corner"
-    # means exactly what the O(n³) oracle's hull-edge endpoints mean.
-    # Peeling stops when fewer than 3 strict corners remain (collinear
-    # leftovers are core). Bounded groups → in-task chain via
-    # applyInPandas; the oracle peels with CL_ROUNDS fixed MATERIALIZED
-    # rounds of the independent edge test.
-    from geobuf_spark.operators.hull import _chain
-    p = (minted.minted_cluster_points_q(spark, sf)
-         .withColumn("gid", F.col("doc_id") % minted.N_CLUSTERS))
-    schema = "gid long, n_pts long, n_layers int, core_pts long"
-
-    def peel(pdf):
-        import pandas as pd
-        gid = int(pdf["gid"].iloc[0])
-        pts = list({(int(x), int(y))
-                    for x, y in zip(pdf["qx"], pdf["qy"])})
-        n0 = len(pts)
-        layers = 0
-        while True:
-            hull = _chain(pts)
-            if not hull:
-                break
-            layers += 1
-            hs = set(hull)
-            pts = [q for q in pts if q not in hs]
-        return pd.DataFrame([{"gid": gid, "n_pts": n0,
-                              "n_layers": layers,
-                              "core_pts": len(pts)}])
-
-    return p.groupBy("gid").applyInPandas(peel, schema)
-
-
-def _convex_layers_sql() -> str:
-    def edges(src):
-        cross = "(b.qx - a.qx) * (r.qy - a.qy) - (b.qy - a.qy) * (r.qx - a.qx)"
-        dot = "(r.qx - a.qx) * (b.qx - a.qx) + (r.qy - a.qy) * (b.qy - a.qy)"
-        len2 = "(b.qx - a.qx) * (b.qx - a.qx) + (b.qy - a.qy) * (b.qy - a.qy)"
-        return f"""(SELECT a.gid, a.qx AS px, a.qy AS py,
-                           b.qx AS qx2, b.qy AS qy2
-                    FROM {src} a JOIN {src} b ON a.gid = b.gid
-                        AND (a.qx <> b.qx OR a.qy <> b.qy)
-                    WHERE NOT EXISTS (
-                        SELECT 1 FROM {src} r
-                        WHERE r.gid = a.gid
-                          AND (r.qx <> a.qx OR r.qy <> a.qy)
-                          AND (r.qx <> b.qx OR r.qy <> b.qy)
-                          AND NOT ({cross} > 0
-                                   OR ({cross} = 0 AND {dot} > 0
-                                       AND {dot} < {len2}))))"""
-
-    steps = []
-    for r in range(1, CL_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        la{r} AS MATERIALIZED (
-            SELECT gid, px, py, qx2, qy2 FROM {edges(f'lp{p}')} e),
-        le{r} AS (SELECT gid, px, py, qx2, qy2 FROM (
-                      SELECT *, count(*) OVER (PARTITION BY gid) AS ec
-                      FROM la{r}) WHERE ec >= 3),
-        lc{r} AS (SELECT DISTINCT gid, px AS qx, py AS qy FROM le{r}
-                  UNION SELECT DISTINCT gid, qx2, qy2 FROM le{r}),
-        lv{r} AS (SELECT DISTINCT gid FROM le{r}),
-        lp{r} AS MATERIALIZED (
-            SELECT p.gid, p.qx, p.qy FROM lp{p} p
-            WHERE NOT EXISTS (SELECT 1 FROM lc{r} c
-                              WHERE c.gid = p.gid AND c.qx = p.qx
-                                AND c.qy = p.qy))""")
-    lay = " UNION ALL ".join(f"SELECT gid, 1 AS one FROM lv{r}"
-                             for r in range(1, CL_ROUNDS + 1))
-    return f"""
-        WITH lp0 AS MATERIALIZED (
-            SELECT DISTINCT doc_id % {minted.N_CLUSTERS} AS gid, qx, qy
-            FROM ({minted.sql_minted_cluster_points_q()})),
-        {','.join(steps)},
-        nl AS (SELECT gid, count(*) AS n_layers FROM ({lay})
-               GROUP BY 1),
-        n0 AS (SELECT gid, count(*) AS n_pts FROM lp0 GROUP BY 1),
-        core AS (SELECT gid, count(*) AS c FROM lp{CL_ROUNDS}
-                 GROUP BY 1)
-        SELECT n0.gid AS gid, CAST(n_pts AS BIGINT) AS n_pts,
-               CAST(coalesce(n_layers, 0) AS INT) AS n_layers,
-               CAST(coalesce(core.c, 0) AS BIGINT) AS core_pts
-        FROM n0 LEFT JOIN nl USING (gid) LEFT JOIN core USING (gid)"""
-
-
-def _soundex_spark(col):
-    # digits of every non-h/w letter (vowels → '0'), adjacent equal
-    # digits collapsed, first-letter digit dropped (unless the first
-    # letter itself is h/w), zeros removed, 3 digits zero-padded
-    cases = " ".join(f"WHEN x = '{k}' THEN '{v}'"
-                     for k, v in _SOUNDEX.items())
-    seq = (f"filter(transform(split({col}, ''), "
-           f"x -> CASE {cases} ELSE '~' END), x -> x != '~')")
-    coll = (f"filter({seq}, (x, i) -> i = 0 OR x != {seq}[i - 1])")
-    first_hw = f"substring({col}, 1, 1) IN ('h', 'w')"
-    tail = (f"CASE WHEN {first_hw} THEN {coll} "
-            f"ELSE slice({coll}, 2, 1000) END")
-    digits = f"filter({tail}, x -> x != '0')"
-    return (f"concat(upper(substring({col}, 1, 1)), "
-            f"rpad(array_join(slice({digits}, 1, 3), ''), 3, '0'))")
-
-
-def _soundex_duck(col):
-    cases = " ".join(f"WHEN x = '{k}' THEN '{v}'"
-                     for k, v in _SOUNDEX.items())
-    seq = (f"list_filter(list_transform(string_split({col}, ''), "
-           f"x -> CASE {cases} ELSE '~' END), x -> x != '~')")
-    coll = (f"list_filter({seq}, (x, i) -> i = 1 OR x != {seq}[i - 1])")
-    first_hw = f"substr({col}, 1, 1) IN ('h', 'w')"
-    tail = (f"CASE WHEN {first_hw} THEN {coll} "
-            f"ELSE {coll}[2:] END")
-    digits = f"list_filter({tail}, x -> x != '0')"
-    return (f"upper(substr({col}, 1, 1)) || "
-            f"rpad(coalesce(array_to_string(({digits})[1:3], ''), "
-            f"''), 3, '0')")
-
-
-def q_soundex_groups(spark, sf):
-    # Soundex phonetic coding of the vocabulary — the classic blocking
-    # key for name-like entity resolution, implemented as PURE column
-    # expressions (letter→digit map, h/w-transparent adjacent collapse,
-    # vowel separators, 3-digit zero-padded code) in both engines; the
-    # pytest's textbook sequential coder plus the standard published
-    # examples (Robert→R163, Tymczak→T522, Pfister→P236) pin the spec.
-    toks = (_docs(spark, sf)
-            .select(F.explode(F.split("text", " ")).alias("tok"))
-            .groupBy("tok").agg(F.count("*").alias("n_occ")))
-    from pyspark.sql import Window as Win
-    coded = toks.withColumn("soundex", F.expr(_soundex_spark("tok")))
-    w = Win.partitionBy("soundex")
-    return (coded.withColumn("group_size", F.count("*").over(w))
-            .select("tok", "soundex",
-                    F.col("n_occ").cast("bigint"),
-                    F.col("group_size").cast("int")))
-
-
-def _soundex_groups_sql() -> str:
-    sx = _soundex_duck("tok")
-    return f"""
-        WITH toks AS (SELECT tok, count(*) AS n_occ FROM (
-                SELECT unnest(string_split(text, ' ')) AS tok
-                FROM documents) GROUP BY 1),
-        coded AS (SELECT tok, n_occ, {sx} AS soundex FROM toks)
-        SELECT tok, soundex, CAST(n_occ AS BIGINT) AS n_occ,
-               CAST(count(*) OVER (PARTITION BY soundex) AS INT)
-                   AS group_size
-        FROM coded"""
-
-
-# ---------------------------------------------------------------------------
-# batch 99 — personalized PageRank, source histogram overlap
-# ---------------------------------------------------------------------------
-
-
-def q_ppr_hosts(spark, sf):
-    # personalized (seed-teleport) PageRank — seed-relative authority,
-    # the TrustRank/topic-rank variant: the (1−d) teleport mass lands
-    # only on the site*00.example seed hosts (the bfs_hops3 seed set),
-    # so rank measures reachability-weighted proximity to the trusted
-    # core instead of global importance. Same integer fixed-point
-    # iteration as pagerank_hosts (bit-reproducible, one shuffle per
-    # iteration; graph.ppr_int).
-    from geobuf_spark.operators import graph
-    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
-                                   F.col("dst_host").alias("dst"))
-    nodes = (ed.select(F.col("src").alias("host"))
-             .unionByName(ed.select(F.col("dst").alias("host")))
-             .distinct())
-    seeds = nodes.filter(F.col("host").endswith("00.example"))
-    return graph.ppr_int(ed, seeds, iters=3)
-
-
-def _ppr_hosts_sql() -> str:
-    from geobuf_spark.operators import graph
-    edges = (_host_edges_cte()
-             + ", edges AS (SELECT src, dst FROM ed)")
-    return graph.sql_ppr_int(edges, "host LIKE '%00.example'",
-                             iters=3)
-
-
-def q_source_overlap(spark, sf):
-    # pairwise histogram-intersection similarity between sources over
-    # their language mix — the distribution-overlap audit that says
-    # which crawlers feed interchangeable content: inter(a,b) =
-    # Σ_lang min(n_a,lang, n_b,lang), normalized by the smaller source
-    # in exact ppm. One rollup + one language equi-join (never a full
-    # cross of rows — only the bounded histogram table self-joins).
-    h = (_docs(spark, sf).groupBy("source", "lang")
-         .agg(F.count("*").alias("n")))
-    tot = h.groupBy("source").agg(F.sum("n").alias("tot"))
-    a = h.select(F.col("source").alias("src_a"), "lang",
-                 F.col("n").alias("na"))
-    b = h.select(F.col("source").alias("src_b"), "lang",
-                 F.col("n").alias("nb"))
-    inter = (a.join(b, "lang")
-             .filter(F.col("src_a") < F.col("src_b"))
-             .groupBy("src_a", "src_b")
-             .agg(F.sum(F.least("na", "nb")).alias("inter")))
-    return (inter
-            .join(tot.withColumnRenamed("source", "src_a")
-                  .withColumnRenamed("tot", "tot_a"), "src_a")
-            .join(tot.withColumnRenamed("source", "src_b")
-                  .withColumnRenamed("tot", "tot_b"), "src_b")
-            .select("src_a", "src_b",
-                    F.col("inter").cast("bigint"),
-                    F.col("tot_a").cast("bigint"),
-                    F.col("tot_b").cast("bigint"),
-                    F.expr("1000000 * inter div least(tot_a, tot_b)")
-                    .cast("bigint").alias("overlap_ppm")))
-
-
-def _source_overlap_sql() -> str:
-    return """
-        WITH h AS (SELECT source, lang, count(*) AS n FROM documents
-                   GROUP BY 1, 2),
-        tt AS (SELECT source, sum(n) AS tot FROM h GROUP BY 1),
-        iv AS (SELECT a.source AS src_a, b.source AS src_b,
-                      sum(least(a.n, b.n)) AS inter
-               FROM h a JOIN h b ON a.lang = b.lang
-                   AND a.source < b.source
-               GROUP BY 1, 2)
-        SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
-               CAST(ta.tot AS BIGINT) AS tot_a,
-               CAST(tb.tot AS BIGINT) AS tot_b,
-               CAST(1000000 * inter // least(ta.tot, tb.tot)
-                    AS BIGINT) AS overlap_ppm
-        FROM iv JOIN tt ta ON ta.source = iv.src_a
-                JOIN tt tb ON tb.source = iv.src_b"""
-
-
-# ---------------------------------------------------------------------------
-# batch 100 — DAG longest-path layers, space-filling-curve locality audit
-# ---------------------------------------------------------------------------
-
-DAG_ROUNDS = 24  # > the fixture DAG's depth (20)
-
-
-def q_dag_layers(spark, sf):
-    # longest-path layering of the host DAG — the critical-path /
-    # topological-depth operator (build schedulers and lineage engines
-    # read it as "earliest stage this node can run in"): edges oriented
-    # lexicographically src<dst (acyclic BY CONSTRUCTION — every cycle
-    # needs a descent), layer(v) = 1 + max over predecessors, settled
-    # by synchronous relaxation in depth rounds, converge-or-raise; the
-    # oracle replays the same rounds fixed-length. Output also rolls up
-    # the layer histogram invariantly checked by the brute.
-    ed = _host_edges(spark).select(F.col("src_host").alias("a"),
-                                   F.col("dst_host").alias("b"))
-    dag = (ed.select(F.least("a", "b").alias("u"),
-                     F.greatest("a", "b").alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct()
-           .localCheckpoint(eager=False))
-    nodes = (dag.select(F.col("u").alias("host"))
-             .unionByName(dag.select(F.col("v").alias("host")))
-             .distinct())
-    lay = nodes.select("host", F.lit(0).alias("layer"))
-    converged = False
-    for _ in range(DAG_ROUNDS):
-        cand = (dag.join(lay.withColumnRenamed("host", "u")
-                         .withColumnRenamed("layer", "ul"), "u")
-                .groupBy(F.col("v").alias("host"))
-                .agg((F.max("ul") + 1).alias("cl")))
-        new = (lay.join(cand, "host", "left")
-               .select("host", F.greatest(
-                   "layer", F.coalesce("cl", F.lit(0))).alias("layer"))
-               .localCheckpoint(eager=True))
-        changed = (new.join(lay.withColumnRenamed("layer", "old"),
-                            "host")
-                   .filter(F.col("layer") != F.col("old"))
-                   .limit(1).count())
-        lay = new
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise ValueError(
-            f"dag_layers did not converge in {DAG_ROUNDS} rounds")
-    return (lay.groupBy("layer")
-            .agg(F.count("*").alias("n_hosts"),
-                 F.min("host").alias("first_host"))
-            .select(F.col("layer").cast("int"),
-                    F.col("n_hosts").cast("bigint"), "first_host"))
-
-
-def _dag_layers_sql() -> str:
-    steps = []
-    for r in range(1, DAG_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        dc{r} AS (SELECT d.v AS host, max(l.layer) + 1 AS cl
-                  FROM dag d JOIN dl{p} l ON l.host = d.u
-                  GROUP BY 1),
-        dl{r} AS MATERIALIZED (
-            SELECT l.host, greatest(l.layer, coalesce(c.cl, 0))
-                       AS layer
-            FROM dl{p} l LEFT JOIN dc{r} c ON c.host = l.host)""")
-    return f"""
-        WITH {_host_edges_cte()},
-        dag AS (SELECT DISTINCT least(src, dst) AS u,
-                                greatest(src, dst) AS v
-                FROM ed WHERE src <> dst),
-        dn AS (SELECT u AS host FROM dag
-               UNION SELECT v FROM dag),
-        dl0 AS (SELECT host, 0 AS layer FROM dn),
-        {','.join(steps)}
-        SELECT CAST(layer AS INT) AS layer,
-               CAST(count(*) AS BIGINT) AS n_hosts,
-               min(host) AS first_host
-        FROM dl{DAG_ROUNDS} GROUP BY 1"""
-
-
-def q_zorder_locality(spark, sf):
-    # does the clustering key actually buy locality? Walk the z=8 tile
-    # assignments in three file orders — raw doc_id, Z-order (morton),
-    # Hilbert — and sum the L1 tile jump between CONSECUTIVE rows: the
-    # number the cluster_by_morton/hilbert writers exist to minimize
-    # (small jumps ⇒ consecutive rows share parquet row groups ⇒ bbox
-    # scans prune). One window lag per ordering, exact integers — the
-    # measured justification next to delta_bytes_by_tile's byte-cost
-    # view.
-    from pyspark.sql import Window as Win
-    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
-    keyed = tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8) \
-        .withColumn("morton",
-                    tiles.morton_key(F.col("x"), F.col("y"), 8))
-
-    def leg(order_col, name):
-        w = Win.orderBy(F.col(order_col), F.col("doc_id"))
-        d = (keyed
-             .withColumn("px", F.lag("x").over(w))
-             .withColumn("py", F.lag("y").over(w))
-             .filter(F.col("px").isNotNull())
-             .select((F.abs(F.col("x") - F.col("px"))
-                      + F.abs(F.col("y") - F.col("py"))).alias("j")))
-        return d.agg(F.lit(name).alias("ordering"),
-                     F.count("*").alias("n_steps"),
-                     F.sum("j").alias("total_l1"),
-                     F.max("j").alias("max_jump")).select(
-            "ordering", F.col("n_steps").cast("bigint"),
-            F.col("total_l1").cast("bigint"),
-            F.col("max_jump").cast("bigint"))
-
-    return (leg("doc_id", "raw")
-            .unionByName(leg("morton", "zorder"))
-            .unionByName(leg("hilbert", "hilbert")))
-
-
-def _zorder_locality_sql() -> str:
-    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
-             f"{tiles.sql_tile_y('lat', 8)} AS y "
-             f"FROM ({minted.SQL_MINTED_POINTS})")
-    hil = tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
-    mor = tiles.sql_morton_key("x", "y", 8)
-
-    def leg(order_col, name):
-        return f"""
-        SELECT '{name}' AS ordering,
-               CAST(count(*) AS BIGINT) AS n_steps,
-               CAST(sum(j) AS BIGINT) AS total_l1,
-               CAST(max(j) AS BIGINT) AS max_jump
-        FROM (SELECT abs(x - lag(x) OVER wo) + abs(y - lag(y) OVER wo)
-                  AS j
-              FROM zk WINDOW wo AS (ORDER BY {order_col}, doc_id))
-        WHERE j IS NOT NULL"""
-
-    return f"""
-        WITH zk AS (SELECT doc_id, x, y, hilbert, {mor} AS morton
-                    FROM ({hil}))
-        {leg('doc_id', 'raw')}
-        UNION ALL {leg('morton', 'zorder')}
-        UNION ALL {leg('hilbert', 'hilbert')}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 101 — weighted interval scheduling DP, longest increasing
-# subsequence
-# ---------------------------------------------------------------------------
-
-
-def q_weighted_schedule(spark, sf):
-    # weighted interval scheduling — the DP-optimal sibling of
-    # interval_schedule's greedy (greedy is optimal only for COUNTING;
-    # with values the classic best[i] = max(best[i−1], w_i + best[p_i])
-    # recurrence is required): same event-anchored jobs, value = the
-    # event's cents. p(i) — the last job ending strictly before job i
-    # starts — is ONE backward as-of-style join; the DP itself rides
-    # applyInPandas per user, and the oracle replays it with a
-    # LIST-state recursion (bests[] grows one slot per step, random
-    # access to bests[p] is a list index). Output per user: jobs, DP
-    # optimum in cents, and the greedy COUNT for contrast.
-    e = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("t0"),
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("w"))
-    iv = e.select("user_id", "event_id", "t0",
-                  (F.col("t0") + 1800 + F.col("event_id") % 7200)
-                  .alias("t1"), "w")
-    schema = ("user_id long, n_jobs long, best_cents long, "
-              "n_greedy long")
-
-    def dp(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values(["t1", "t0", "event_id"],
-                              kind="mergesort")
-        t0s = pdf["t0"].astype("int64").tolist()
-        t1s = pdf["t1"].astype("int64").tolist()
-        ws = pdf["w"].astype("int64").tolist()
-        n = len(t0s)
-        best = [0] * (n + 1)
-        for i in range(1, n + 1):
-            # p(i): last j (1-based) with t1[j] < t0[i] — ends sorted
-            p = 0
-            for j in range(i - 1, 0, -1):
-                if t1s[j - 1] < t0s[i - 1]:
-                    p = j
-                    break
-            best[i] = max(best[i - 1], ws[i - 1] + best[p])
-        cur, cnt = None, 0
-        for a, b in zip(t0s, t1s):
-            if cur is None or a > cur:
-                cnt += 1
-                cur = b
-        return pd.DataFrame([{"user_id": int(pdf["user_id"].iloc[0]),
-                              "n_jobs": n, "best_cents": best[n],
-                              "n_greedy": cnt}])
-
-    return iv.groupBy("user_id").applyInPandas(dp, schema)
-
-
-def _weighted_schedule_sql() -> str:
-    return """
-        WITH RECURSIVE wiv AS (
-            SELECT user_id, event_id,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS t0,
-                   CAST(floor(epoch(ts)) AS BIGINT) + 1800
-                       + event_id % 7200 AS t1,
-                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
-            FROM events),
-        wrk AS (SELECT user_id, t0, t1, w, row_number() OVER (
-                    PARTITION BY user_id
-                    ORDER BY t1, t0, event_id) AS rn
-                FROM wiv),
-        wp AS (SELECT a.user_id, a.rn,
-                      coalesce(max(b.rn), 0) AS p
-               FROM wrk a LEFT JOIN wrk b ON b.user_id = a.user_id
-                   AND b.rn < a.rn AND b.t1 < a.t0
-               GROUP BY 1, 2),
-        wst AS (
-            SELECT user_id, 0 AS rn, [CAST(0 AS BIGINT)] AS bests
-            FROM (SELECT DISTINCT user_id FROM wrk)
-            UNION ALL
-            SELECT s.user_id, s.rn + 1,
-                   list_append(s.bests,
-                       greatest(s.bests[s.rn + 1],
-                                r.w + s.bests[p.p + 1]))
-            FROM wst s
-            JOIN wrk r ON r.user_id = s.user_id AND r.rn = s.rn + 1
-            JOIN wp p ON p.user_id = s.user_id AND p.rn = s.rn + 1),
-        wlast AS (SELECT user_id, rn, bests[rn + 1] AS best,
-                         row_number() OVER (PARTITION BY user_id
-                             ORDER BY rn DESC) AS rr
-                  FROM wst),
-        wgreedy AS (
-            SELECT user_id, 1 AS rn, t1 AS cur_end, 1 AS cnt
-            FROM wrk WHERE rn = 1
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN r.t0 > g.cur_end THEN r.t1
-                        ELSE g.cur_end END,
-                   g.cnt + CASE WHEN r.t0 > g.cur_end THEN 1
-                                ELSE 0 END
-            FROM wgreedy g JOIN wrk r ON r.user_id = g.user_id
-                AND r.rn = g.rn + 1),
-        wglast AS (SELECT user_id, cnt, row_number() OVER (
-                       PARTITION BY user_id ORDER BY rn DESC) AS rr
-                   FROM wgreedy)
-        SELECT l.user_id, CAST(l.rn AS BIGINT) AS n_jobs,
-               CAST(l.best AS BIGINT) AS best_cents,
-               CAST(g.cnt AS BIGINT) AS n_greedy
-        FROM wlast l JOIN wglast g ON g.user_id = l.user_id
-            AND g.rr = 1
-        WHERE l.rr = 1"""
-
-
-def q_lis_daily(spark, sf):
-    # longest strictly-increasing subsequence of each event type's
-    # daily series — the monotone-trend persistence length (how long a
-    # growth story can be told without cherry-picking reversals; the
-    # Erdős–Szekeres counterpart of the runs tests). O(n²) DP per
-    # bounded series via mapInPandas; LIST-state recursion oracle
-    # (lis[] grows one slot per step, the inner max is a list
-    # comprehension over earlier slots).
-    sers = (spark.read.parquet(f"{sf}/events.parquet")
-            .groupBy("event_type",
-                     F.expr("unix_timestamp(ts) div 86400").alias("d"))
-            .agg(F.count("*").alias("c"))
-            .groupBy("event_type")
-            .agg(F.expr(
-                "transform(array_sort(collect_list(struct(d, c))),"
-                " x -> x.c)").alias("cs")))
-
-    def mapper(batches):
-        import pandas as pd
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                cs = [int(v) for v in r.cs]
-                n = len(cs)
-                lis = [1] * n
-                for i in range(n):
-                    for j in range(i):
-                        if cs[j] < cs[i]:
-                            lis[i] = max(lis[i], lis[j] + 1)
-                rows.append({"event_type": r.event_type,
-                             "n_days": n, "lis_len": max(lis)})
-            yield pd.DataFrame(rows, columns=["event_type", "n_days",
-                                              "lis_len"])
-
-    return sers.mapInPandas(
-        mapper, "event_type string, n_days int, lis_len int")
-
-
-def _lis_daily_sql() -> str:
-    return """
-        WITH RECURSIVE lsr AS (
-            SELECT event_type, list(c ORDER BY d) AS cs FROM (
-                SELECT event_type,
-                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                       count(*) AS c
-                FROM events GROUP BY 1, 2)
-            GROUP BY 1),
-        lst AS (
-            SELECT event_type, cs, 0 AS i, []::INT[] AS lis
-            FROM lsr
-            UNION ALL
-            SELECT event_type, cs, i + 1,
-                   list_append(lis,
-                       1 + coalesce(list_max(list_filter(
-                           list_transform(range(1, i + 1),
-                               j -> CASE WHEN cs[j] < cs[i + 1]
-                                         THEN lis[j] END),
-                           x -> x IS NOT NULL)), 0))
-            FROM lst WHERE i < len(cs))
-        SELECT event_type, CAST(len(cs) AS INT) AS n_days,
-               CAST(list_max(lis) AS INT) AS lis_len
-        FROM lst WHERE i = len(cs)"""
-
-
-# ---------------------------------------------------------------------------
-# batch 102 — linear-threshold influence spread, rich-club coefficient
-# ---------------------------------------------------------------------------
-
-INF_ROUNDS = 20
-RC_KS = [2, 4, 8, 16, 32]
-
-
-def q_influence_spread(spark, sf):
-    # deterministic linear-threshold cascade from the trusted seed set
-    # (the influence-maximization evaluation primitive): node n has
-    # threshold θ(n) = hash60('th', n) mod 1e6; it activates when the
-    # ACTIVE fraction of its neighborhood reaches θ — integer test
-    # active_nbrs·1e6 ≥ θ·deg, no division. Activation is monotone, so
-    # synchronous rounds converge (converge-or-raise; fixed-round
-    # oracle). Output: every activated host with its activation round —
-    # the cascade horizon audit.
-    from geobuf_spark.functions import phash
-    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
-                                   F.col("dst_host").alias("dst"))
-    und = (ed.select(F.least("src", "dst").alias("u"),
-                     F.greatest("src", "dst").alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct())
-    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
-           .unionAll(und.select(F.col("v").alias("n"),
-                                F.col("u").alias("nb")))
-           .localCheckpoint(eager=True))
-    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
-    thr = (deg.select("n", "deg",
-                      (F.pmod(phash.hash60_parts(F.lit("th"),
-                                                 F.col("n")),
-                              F.lit(1_000_000))).alias("theta"))
-           .localCheckpoint(eager=True))
-    active = (adj.select("n").distinct()
-              .filter(F.col("n").endswith("00.example"))
-              .withColumn("round", F.lit(0))
-              .localCheckpoint(eager=True))
-    converged = False
-    for r in range(1, INF_ROUNDS + 1):
-        acts = (adj.join(active.select(F.col("n").alias("nb")), "nb")
-                .groupBy("n").agg(F.count("*").alias("na")))
-        newly = (acts.join(thr, "n")
-                 .filter(F.col("na") * 1_000_000
-                         >= F.col("theta") * F.col("deg"))
-                 .join(active.select("n"), "n", "left_anti")
-                 .select("n", F.lit(r).alias("round")))
-        newly = newly.localCheckpoint(eager=True)
-        if newly.limit(1).count() == 0:
-            converged = True
-            break
-        active = active.unionByName(newly).localCheckpoint(eager=True)
-    if not converged:
-        raise ValueError(
-            f"influence_spread did not converge in {INF_ROUNDS}")
-    return active.select(F.col("n").alias("host"),
-                         F.col("round").cast("int"))
-
-
-def _influence_spread_sql() -> str:
-    from geobuf_spark.functions import phash
-    th = phash.sql_hash60_parts("'th'", "n")
-    steps = []
-    for r in range(1, INF_ROUNDS + 1):
-        p = r - 1
-        steps.append(f"""
-        ic{r} AS (SELECT a.n, count(*) AS na
-                  FROM adj a JOIN ia{p} x ON x.n = a.nb
-                  GROUP BY 1),
-        ia{r} AS MATERIALIZED (
-            SELECT n, rnd FROM ia{p}
-            UNION ALL
-            SELECT c.n, {r} AS rnd
-            FROM ic{r} c JOIN ith t ON t.n = c.n
-            WHERE c.na * 1000000 >= t.theta * t.deg
-              AND c.n NOT IN (SELECT n FROM ia{p}))""")
-    return f"""
-        WITH {_host_edges_cte()},
-        und AS (SELECT DISTINCT least(src, dst) AS u,
-                                greatest(src, dst) AS v
-                FROM ed WHERE src <> dst),
-        adj AS (SELECT u AS n, v AS nb FROM und
-                UNION ALL SELECT v AS n, u AS nb FROM und),
-        ith AS (SELECT n, count(*) AS deg, {th} % 1000000 AS theta
-                FROM adj GROUP BY n),
-        ia0 AS (SELECT DISTINCT n, 0 AS rnd FROM adj
-                WHERE n LIKE '%00.example'),
-        {','.join(steps)}
-        SELECT n AS host, CAST(rnd AS INT) AS round
-        FROM ia{INF_ROUNDS}"""
-
-
-def q_rich_club(spark, sf):
-    # rich-club coefficient of the host graph: do high-degree hosts
-    # link to EACH OTHER more densely than chance (the elite-core
-    # signature of scale-free webs)? For each degree threshold k:
-    # φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
-    # deg > k, in exact ppm. One degree rollup + one threshold-tagged
-    # edge join per k (k list is a constant).
-    ed = _host_edges(spark).select(F.col("src_host").alias("src"),
-                                   F.col("dst_host").alias("dst"))
-    und = (ed.select(F.least("src", "dst").alias("u"),
-                     F.greatest("src", "dst").alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct()
-           .localCheckpoint(eager=False))
-    deg = (und.select(F.col("u").alias("n"))
-           .unionAll(und.select(F.col("v").alias("n")))
-           .groupBy("n").agg(F.count("*").alias("deg"))
-           .localCheckpoint(eager=False))
-    out = None
-    for k in RC_KS:
-        elite = deg.filter(F.col("deg") > k).select("n")
-        nk = elite.count()
-        ek = (und.join(elite.withColumnRenamed("n", "u"), "u")
-              .join(elite.withColumnRenamed("n", "v"), "v").count())
-        phi = (10**6 * 2 * ek // (nk * (nk - 1))
-               if nk >= 2 else 0)
-        row = spark.createDataFrame(
-            [(k, nk, ek, phi)],
-            "k int, n_nodes bigint, n_edges bigint, phi_ppm bigint")
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-def _rich_club_sql() -> str:
-    legs = []
-    for k in RC_KS:
-        legs.append(f"""
-        SELECT {k} AS k,
-               CAST((SELECT count(*) FROM rdeg WHERE deg > {k})
-                    AS BIGINT) AS n_nodes,
-               CAST((SELECT count(*) FROM und
-                     JOIN rdeg a ON a.n = und.u AND a.deg > {k}
-                     JOIN rdeg b ON b.n = und.v AND b.deg > {k})
-                    AS BIGINT) AS n_edges,
-               CAST(CASE WHEN (SELECT count(*) FROM rdeg
-                               WHERE deg > {k}) >= 2
-                    THEN 1000000 * 2 * (SELECT count(*) FROM und
-                        JOIN rdeg a ON a.n = und.u AND a.deg > {k}
-                        JOIN rdeg b ON b.n = und.v AND b.deg > {k})
-                        // ((SELECT count(*) FROM rdeg WHERE deg > {k})
-                            * ((SELECT count(*) FROM rdeg
-                                WHERE deg > {k}) - 1))
-                    ELSE 0 END AS BIGINT) AS phi_ppm""")
-    return f"""
-        WITH {_host_edges_cte()},
-        und AS (SELECT DISTINCT least(src, dst) AS u,
-                                greatest(src, dst) AS v
-                FROM ed WHERE src <> dst),
-        rdeg AS (SELECT n, count(*) AS deg FROM (
-                     SELECT u AS n FROM und
-                     UNION ALL SELECT v FROM und) GROUP BY 1)
-        {' UNION ALL '.join(legs)}"""
-
-
-# ---------------------------------------------------------------------------
-# batch 103 — Morisita aggregation index, Wald–Wolfowitz runs test
-# ---------------------------------------------------------------------------
-
-MOR_CELLS = [32_000_000, 16_000_000, 8_000_000]
-
-
-def q_morisita_tiles(spark, sf):
-    # Morisita's index of spatial aggregation at three quadrat scales —
-    # the classic clumping statistic next to Moran's I (moran_i_tiles
-    # measures autocorrelation BETWEEN cells; Morisita measures how
-    # over-dispersed counts are WITHIN the quadrat partition):
-    # I_δ = Q·Σn_i(n_i−1) / (N(N−1)) over OCCUPIED quadrats, exact
-    # integers quantized to ppm. Over the CLUSTERED mint the profile is
-    # the textbook signature: I > 1 (clumped) at cluster-sized 3.2°
-    # quadrats, falling through 1 toward under-dispersion as quadrats
-    # shrink past cluster size — pinned by the pytest.
-    out = None
-    p = minted.minted_cluster_points_q(spark, sf)
-    for cell in MOR_CELLS:
-        g = (p.select(F.expr(f"qx div {cell}").alias("cx"),
-                      F.expr(f"qy div {cell}").alias("cy"))
-             .groupBy("cx", "cy").agg(F.count("*").alias("n")))
-        row = g.agg(
-            F.lit(cell).alias("cell"),
-            F.count("*").alias("q_occupied"),
-            F.sum("n").alias("n_pts"),
-            F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs_within")
-        ).select(
-            F.col("cell").cast("bigint"),
-            F.col("q_occupied").cast("bigint"),
-            F.col("n_pts").cast("bigint"),
-            F.col("pairs_within").cast("bigint"),
-            F.expr("1000000 * q_occupied * pairs_within div "
-                   "(n_pts * (n_pts - 1))").cast("bigint")
-            .alias("morisita_ppm"))
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-def _morisita_tiles_sql() -> str:
-    legs = []
-    for cell in MOR_CELLS:
-        legs.append(f"""
-        SELECT CAST({cell} AS BIGINT) AS cell,
-               CAST(count(*) AS BIGINT) AS q_occupied,
-               CAST(sum(n) AS BIGINT) AS n_pts,
-               CAST(sum(n * (n - 1)) AS BIGINT) AS pairs_within,
-               CAST(1000000 * count(*) * sum(n * (n - 1))
-                    // (sum(n) * (sum(n) - 1)) AS BIGINT)
-                   AS morisita_ppm
-        FROM (SELECT qx // {cell} AS cx, qy // {cell} AS cy,
-                     count(*) AS n
-              FROM ({minted.sql_minted_cluster_points_q()})
-              GROUP BY 1, 2)""")
-    return " UNION ALL ".join(legs)
-
-
-def q_runs_test_daily(spark, sf):
-    # Wald–Wolfowitz runs test ingredients for each event type's daily
-    # series, exactly: sign = above/below the type's EXACT median
-    # (two-phase-median semantics — lower median; equal-to-median days
-    # are excluded, the standard treatment), observed run count via one
-    # lag window, and the expected-runs rational 1 + 2·n1·n2/(n1+n2)
-    # as (num, den) — too few runs ⇒ trending, too many ⇒
-    # oscillating; the audit behind dow_residual_outliers' whiteness
-    # assumption.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    wm = Win.partitionBy("event_type").orderBy("c", "d")
-    med = (daily.withColumn("rn", F.row_number().over(wm))
-           .withColumn("nn", F.count("*").over(
-               Win.partitionBy("event_type")))
-           .filter(F.col("rn") == F.expr("(nn + 1) div 2"))
-           .select("event_type", F.col("c").alias("med")))
-    signed = (daily.join(med, "event_type")
-              .filter(F.col("c") != F.col("med"))
-              .withColumn("s", (F.col("c") > F.col("med"))
-                          .cast("int")))
-    wo = Win.partitionBy("event_type").orderBy("d")
-    runs = (signed.withColumn("ps", F.lag("s").over(wo))
-            .withColumn("new_run",
-                        (F.col("ps").isNull()
-                         | (F.col("s") != F.col("ps"))).cast("long"))
-            .groupBy("event_type")
-            .agg(F.sum("new_run").alias("n_runs"),
-                 F.sum("s").alias("n1"),
-                 F.sum(F.expr("1 - s")).alias("n2")))
-    return runs.select(
-        "event_type", F.col("n_runs").cast("bigint"),
-        F.col("n1").cast("bigint"), F.col("n2").cast("bigint"),
-        (F.col("n1") + F.col("n2") + 2 * F.col("n1") * F.col("n2"))
-        .cast("bigint").alias("exp_num"),
-        (F.col("n1") + F.col("n2")).cast("bigint").alias("exp_den"))
-
-
-def _runs_test_daily_sql() -> str:
-    return """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        med AS (SELECT event_type, c AS med FROM (
-                    SELECT event_type, c,
-                           row_number() OVER (PARTITION BY event_type
-                               ORDER BY c, d) AS rn,
-                           count(*) OVER (PARTITION BY event_type)
-                               AS nn
-                    FROM daily) WHERE rn = (nn + 1) // 2),
-        signed AS (SELECT daily.event_type, d,
-                          CASE WHEN c > med THEN 1 ELSE 0 END AS s
-                   FROM daily JOIN med USING (event_type)
-                   WHERE c <> med),
-        rr AS (SELECT event_type, s,
-                      CASE WHEN lag(s) OVER wo IS NULL
-                            OR s <> lag(s) OVER wo THEN 1 ELSE 0 END
-                          AS new_run
-               FROM signed
-               WINDOW wo AS (PARTITION BY event_type ORDER BY d))
-        SELECT event_type,
-               CAST(sum(new_run) AS BIGINT) AS n_runs,
-               CAST(sum(s) AS BIGINT) AS n1,
-               CAST(sum(1 - s) AS BIGINT) AS n2,
-               CAST(sum(s) + sum(1 - s)
-                    + 2 * sum(s) * sum(1 - s) AS BIGINT) AS exp_num,
-               CAST(sum(s) + sum(1 - s) AS BIGINT) AS exp_den
-        FROM rr GROUP BY event_type"""
-
-
-# ---------------------------------------------------------------------------
-# batch 104 — Hodges–Lehmann location, Qn-style robust scale
-# ---------------------------------------------------------------------------
-
-
-def q_hodges_lehmann(spark, sf):
-    # Hodges–Lehmann pseudo-median of each type's daily counts: the
-    # lower median of all pairwise Walsh averages (x_i + x_j)/2 over
-    # i ≤ j — the location estimator dual to the Wilcoxon test (30%
-    # breakdown, far more efficient than the median at the Gaussian).
-    # Exact: sums x_i + x_j are integers, ordered by (sum, i, j), the
-    # selected element reported as (sum, 2) — no halving, no floats.
-    # Pair set is days², bounded at any SF.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    a = daily.select("event_type", F.col("d").alias("da"),
-                     F.col("c").alias("ca"))
-    b = daily.select("event_type", F.col("d").alias("db"),
-                     F.col("c").alias("cb"))
-    pairs = (a.join(b, "event_type")
-             .filter(F.col("da") <= F.col("db"))
-             .select("event_type",
-                     (F.col("ca") + F.col("cb")).alias("s"),
-                     "da", "db"))
-    w = Win.partitionBy("event_type").orderBy("s", "da", "db")
-    ranked = (pairs.withColumn("rn", F.row_number().over(w))
-              .withColumn("np", F.count("*").over(
-                  Win.partitionBy("event_type"))))
-    return (ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
-            .select("event_type",
-                    F.col("np").cast("bigint").alias("n_pairs"),
-                    F.col("s").cast("bigint").alias("hl_num"),
-                    F.lit(2).cast("bigint").alias("hl_den")))
-
-
-def _hodges_lehmann_sql() -> str:
-    return """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        pairs AS (
-            SELECT a.event_type, a.c + b.c AS s, a.d AS da, b.d AS db
-            FROM daily a JOIN daily b ON a.event_type = b.event_type
-                AND a.d <= b.d),
-        rk AS (SELECT event_type, s,
-                      row_number() OVER (PARTITION BY event_type
-                          ORDER BY s, da, db) AS rn,
-                      count(*) OVER (PARTITION BY event_type) AS np
-               FROM pairs)
-        SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
-               CAST(s AS BIGINT) AS hl_num,
-               CAST(2 AS BIGINT) AS hl_den
-        FROM rk WHERE rn = (np + 1) // 2"""
-
-
-def q_qn_scale(spark, sf):
-    # the Qn robust-scale core for each type's daily counts: the k-th
-    # smallest pairwise absolute difference |x_i − x_j| (i < j) with
-    # k = C(h,2), h = n div 2 + 1 — Rousseeuw–Croux's 50%-breakdown
-    # dispersion that, unlike MAD (outlier_mad), needs no location
-    # estimate and stays efficient at the Gaussian. Exact integer
-    # selection, deterministic ties by (diff, i, j); the consistency
-    # CONSTANT is deliberately omitted (it is irrational) — the core
-    # statistic is the exact part.
-    from pyspark.sql import Window as Win
-    daily = (spark.read.parquet(f"{sf}/events.parquet")
-             .groupBy("event_type",
-                      F.expr("unix_timestamp(ts) div 86400").alias("d"))
-             .agg(F.count("*").alias("c")))
-    a = daily.select("event_type", F.col("d").alias("da"),
-                     F.col("c").alias("ca"))
-    b = daily.select("event_type", F.col("d").alias("db"),
-                     F.col("c").alias("cb"))
-    pairs = (a.join(b, "event_type")
-             .filter(F.col("da") < F.col("db"))
-             .select("event_type",
-                     F.abs(F.col("ca") - F.col("cb")).alias("ad"),
-                     "da", "db"))
-    w = Win.partitionBy("event_type").orderBy("ad", "da", "db")
-    nd = daily.groupBy("event_type").agg(F.count("*").alias("n"))
-    ranked = (pairs.withColumn("rn", F.row_number().over(w))
-              .join(nd, "event_type")
-              .withColumn("k", F.expr(
-                  "((n div 2 + 1) * (n div 2)) div 2")))
-    return (ranked.filter(F.col("rn") == F.col("k"))
-            .select("event_type", F.col("n").cast("bigint")
-                    .alias("n_days"),
-                    F.col("k").cast("bigint").alias("k"),
-                    F.col("ad").cast("bigint").alias("qn_core")))
-
-
-def _qn_scale_sql() -> str:
-    return """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-                   count(*) AS c
-            FROM events GROUP BY 1, 2),
-        pairs AS (
-            SELECT a.event_type, abs(a.c - b.c) AS ad,
-                   a.d AS da, b.d AS db
-            FROM daily a JOIN daily b ON a.event_type = b.event_type
-                AND a.d < b.d),
-        nd AS (SELECT event_type, count(*) AS n FROM daily
-               GROUP BY 1),
-        rk AS (SELECT p.event_type, ad, nd.n,
-                      ((nd.n // 2 + 1) * (nd.n // 2)) // 2 AS k,
-                      row_number() OVER (PARTITION BY p.event_type
-                          ORDER BY ad, da, db) AS rn
-               FROM pairs p JOIN nd ON nd.event_type = p.event_type)
-        SELECT event_type, CAST(n AS BIGINT) AS n_days,
-               CAST(k AS BIGINT) AS k,
-               CAST(ad AS BIGINT) AS qn_core
-        FROM rk WHERE rn = k"""
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, assembled in driver-window order.
-
-    The external driver checks the FIRST 50 entries only (CORRECTNESS_r01
-    evidence). The order is explicit data — geobuf_spark/registry/window.py
-    (WINDOW = this round's 50 verification slots, QUEUE = next-rotation
-    order) — not dict-literal position, so re-ordering a definition in this
-    file cannot silently change what gets externally verified. The r5
-    window rationale (changed-in-r4 cohort first, then the overflow /
-    oldest never-rowed cohorts, registry frozen at 369) is documented in
-    window.py; tests/test_entry.py pins the layout.
-    """
-    impl = {
-        "ab_lift": q_ab_lift,
-        "active_users_7d": q_active_users_7d,
-        "adaptive_cover": q_adaptive_cover,
-        "allen_census": q_allen_census,
-        "anchor_text_topk": q_anchor_text_topk,
-        "ann_cosine_top5": q_ann_cosine_top5,
-        "ann_ivf_top5": q_ann_ivf_top5,
-        "ann_lsh_top5": q_ann_lsh_top5,
-        "anomaly_days": q_anomaly_days,
-        "apriori_triples": q_apriori_triples,
-        "areal_interp": q_areal_interp,
-        "asof_nearest": q_asof_nearest,
-        "asof_purchase_view": q_asof_purchase_view,
-        "attribution_compare": q_attribution_compare,
-        "autocorr_daily": q_autocorr_daily,
-        "bandit_replay": q_bandit_replay,
-        "basket_pairs": q_basket_pairs,
-        "bbox_intersect_join": q_bbox_intersect_join,
-        "bearing_sectors": q_bearing_sectors,
-        "benford_values": q_benford_values,
-        "bfs_hops3": q_bfs_hops3,
-        "bipartite_check": q_bipartite_check,
-        "blocking_quality": q_blocking_quality,
-        "bloom_join_prune": q_bloom_join_prune,
-        "bm25_topk": q_bm25_topk,
-        "boilerplate_lines": q_boilerplate_lines,
-        "boruvka_round1": q_boruvka_round1,
-        "bot_flags": q_bot_flags,
-        "bounding_circles": q_bounding_circles,
-        "bpe_merges": q_bpe_merges,
-        "bwt_runs": q_bwt_runs,
-        "canonical_groups": q_canonical_groups,
-        "cdc_chunks": q_cdc_chunks,
-        "cell_coverage_curve": q_cell_coverage_curve,
-        "cell_skew_stats": q_cell_skew_stats,
-        "chi2_lang_source": q_chi2_lang_source,
-        "churn_rollup": q_churn_rollup,
-        "click_attribution": q_click_attribution,
-        "cluster_diameter": q_cluster_diameter,
-        "clustering_coeff": q_clustering_coeff,
-        "cocitation_pairs": q_cocitation_pairs,
-        "cohens_kappa": q_cohens_kappa,
-        "colbert_maxsim": q_colbert_maxsim,
-        "compaction_plan": q_compaction_plan,
-        "conjunctive_search": q_conjunctive_search,
-        "consistent_shards": q_consistent_shards,
-        "containment_pairs": q_containment_pairs,
-        "convex_hull_stats": q_convex_hull_stats,
-        "convex_layers": q_convex_layers,
-        "copresence_pairs": q_copresence_pairs,
-        "coreness": q_coreness,
-        "corpus_clean": q_corpus_clean,
-        "cover_size_estimate": q_cover_size_estimate,
-        "crawl_diff": q_crawl_diff,
-        "csv_export": q_csv_export,
-        "cube_doc_counts": q_cube_doc_counts,
-        "customer_pareto": q_customer_pareto,
-        "cusum_days": q_cusum_days,
-        "dag_layers": q_dag_layers,
-        "dbscan_clusters": q_dbscan_clusters,
-        "dbscan_core": q_dbscan_core,
-        "dedup_exact": q_dedup_exact,
-        "degree_assortativity": q_degree_assortativity,
-        "delta_bytes_by_tile": q_delta_bytes_by_tile,
-        "diameter_sweep": q_diameter_sweep,
-        "did_purchases": q_did_purchases,
-        "distinct_prop_keys": q_distinct_prop_keys,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_len_percentiles": q_doc_len_percentiles,
-        "doc_quality": q_doc_quality,
-        "dominant_bearing": q_dominant_bearing,
-        "dow_profile": q_dow_profile,
-        "dow_residual_outliers": q_dow_residual_outliers,
-        "dtw_daily": q_dtw_daily,
-        "dup_components": q_dup_components,
-        "dup_ngram_stats": q_dup_ngram_stats,
-        "dup_pair_lang_mix": q_dup_pair_lang_mix,
-        "dup_span_frac": q_dup_span_frac,
-        "dup_span_maxrun": q_dup_span_maxrun,
-        "dwell_event_mix": q_dwell_event_mix,
-        "dwell_session_overlap": q_dwell_session_overlap,
-        "ear_triangulate": q_ear_triangulate,
-        "effective_tokens": q_effective_tokens,
-        "embed_covariance": q_embed_covariance,
-        "embed_near_dups": q_embed_near_dups,
-        "embed_quantize": q_embed_quantize,
-        "embedding_norms_q": q_embedding_norms_q,
-        "emst_clusters": q_emst_clusters,
-        "event_motifs_3": q_event_motifs_3,
-        "event_rle": q_event_rle,
-        "event_transitions": q_event_transitions,
-        "events_enriched": q_events_enriched,
-        "events_window": q_events_window,
-        "fano_dispersion": q_fano_dispersion,
-        "feature_count": q_feature_count,
-        "feature_meta": q_feature_meta,
-        "fk_audit": q_fk_audit,
-        "flow_divergence": q_flow_divergence,
-        "fold_leakage_audit": q_fold_leakage_audit,
-        "frechet_pairs": q_frechet_pairs,
-        "funnel_conversion": q_funnel_conversion,
-        "gapped_sequences": q_gapped_sequences,
-        "geo_bounds": q_geo_bounds,
-        "geobuf_roundtrip": q_geobuf_roundtrip,
-        "geohash6": q_geohash6,
-        "geom_area_centroid": q_geom_area_centroid,
-        "geom_validity": q_geom_validity,
-        "gini_chars": q_gini_chars,
-        "gopher_quality_flags": q_gopher_quality_flags,
-        "grid_boundary_cells": q_grid_boundary_cells,
-        "grid_line_density": q_grid_line_density,
-        "grouping_sets_counts": q_grouping_sets_counts,
-        "haar_energy": q_haar_energy,
-        "hash_collision_audit": q_hash_collision_audit,
-        "hausdorff_pairs": q_hausdorff_pairs,
-        "hex_density": q_hex_density,
-        "hilbert_keys_z8": q_hilbert_keys_z8,
-        "hits_hosts": q_hits_hosts,
-        "hll_error_eval": q_hll_error_eval,
-        "hll_union_rollup": q_hll_union_rollup,
-        "hodges_lehmann": q_hodges_lehmann,
-        "host_cap_sample": q_host_cap_sample,
-        "host_concentration": q_host_concentration,
-        "host_crawl_priority": q_host_crawl_priority,
-        "host_edit_near_dups": q_host_edit_near_dups,
-        "host_mirrors": q_host_mirrors,
-        "host_quality_rollup": q_host_quality_rollup,
-        "host_tile_footprint": q_host_tile_footprint,
-        "host_url_lcp": q_host_url_lcp,
-        "hotspot_clusters": q_hotspot_clusters,
-        "html_extract_text": q_html_extract_text,
-        "huffman_cost": q_huffman_cost,
-        "idw_interpolate": q_idw_interpolate,
-        "increment_limit": q_increment_limit,
-        "influence_spread": q_influence_spread,
-        "interval_schedule": q_interval_schedule,
-        "interval_union_time": q_interval_union_time,
-        "inverted_postings": q_inverted_postings,
-        "isotonic_daily": q_isotonic_daily,
-        "join_size_audit": q_join_size_audit,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "kcenter_greedy": q_kcenter_greedy,
-        "kcore_hosts": q_kcore_hosts,
-        "kde_cells": q_kde_cells,
-        "kendall_daily": q_kendall_daily,
-        "kmv_setops": q_kmv_setops,
-        "knn_adaptive_k5": q_knn_adaptive_k5,
-        "knn_graph_k3": q_knn_graph_k3,
-        "knn_hex_k5": q_knn_hex_k5,
-        "knn_k5": q_knn_k5,
-        "knn_label_vote": q_knn_label_vote,
-        "knn_s2_k5": q_knn_s2_k5,
-        "ks_two_langs": q_ks_two_langs,
-        "ktruss_edges": q_ktruss_edges,
-        "l1_medoid": q_l1_medoid,
-        "lang_confusion": q_lang_confusion,
-        "lang_diversity_simpson": q_lang_diversity_simpson,
-        "lang_id": q_lang_id,
-        "lang_profile_cosine": q_lang_profile_cosine,
-        "lang_tile_mix": q_lang_tile_mix,
-        "late_arrival_hist": q_late_arrival_hist,
-        "latest_capture": q_latest_capture,
-        "line_cover": q_line_cover,
-        "line_dedup_clean": q_line_dedup_clean,
-        "line_length_stats": q_line_length_stats,
-        "line_self_intersect": q_line_self_intersect,
-        "link_host_graph": q_link_host_graph,
-        "link_prediction_ra": q_link_prediction_ra,
-        "link_reciprocity": q_link_reciprocity,
-        "lis_daily": q_lis_daily,
-        "log_histogram_p99": q_log_histogram_p99,
-        "lpa_communities": q_lpa_communities,
-        "lz_factors": q_lz_factors,
-        "mannwhitney_len": q_mannwhitney_len,
-        "map_features": q_map_features,
-        "markov_predict_eval": q_markov_predict_eval,
-        "markov_stationary": q_markov_stationary,
-        "mase_seasonal": q_mase_seasonal,
-        "max_burst_window": q_max_burst_window,
-        "max_coverage_hosts": q_max_coverage_hosts,
-        "maximal_matching": q_maximal_matching,
-        "meta_robots": q_meta_robots,
-        "minhash_eval": q_minhash_eval,
-        "minhash_near_dups": q_minhash_near_dups,
-        "mint_points": q_mint_points,
-        "mis_luby": q_mis_luby,
-        "mlt_topk": q_mlt_topk,
-        "mmr_topk": q_mmr_topk,
-        "moran_i_tiles": q_moran_i_tiles,
-        "morisita_tiles": q_morisita_tiles,
-        "morton_keys_z8": q_morton_keys_z8,
-        "multi_grain_actives": q_multi_grain_actives,
-        "multimodal_ann_top3": q_multimodal_ann_top3,
-        "multimodal_bytes": q_multimodal_bytes,
-        "mutual_knn": q_mutual_knn,
-        "mvt_tiles_z4": q_mvt_tiles_z4,
-        "negative_samples": q_negative_samples,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_topk": q_ngram_topk,
-        "nn_dist_stats": q_nn_dist_stats,
-        "novelty_weekly": q_novelty_weekly,
-        "ntile_len_deciles": q_ntile_len_deciles,
-        "null_profile": q_null_profile,
-        "od_flows": q_od_flows,
-        "otsu_threshold": q_otsu_threshold,
-        "outage_gaps": q_outage_gaps,
-        "outlier_mad": q_outlier_mad,
-        "pagerank_hosts": q_pagerank_hosts,
-        "pages_synth": q_pages_synth,
-        "paragraph_owner": q_paragraph_owner,
-        "peak_concurrency": q_peak_concurrency,
-        "persistent_heavy_hitters": q_persistent_heavy_hitters,
-        "phrase_search": q_phrase_search,
-        "pii_scrub": q_pii_scrub,
-        "pip_join_general": q_pip_join_general,
-        "pip_join_hex": q_pip_join_hex,
-        "pip_join_rects": q_pip_join_rects,
-        "pip_join_rects_salted": q_pip_join_rects_salted,
-        "pip_join_s2": q_pip_join_s2,
-        "pip_join_triangles": q_pip_join_triangles,
-        "pip_semi": q_pip_semi,
-        "pip_versioned": q_pip_versioned,
-        "pivot_lang_source": q_pivot_lang_source,
-        "pmi_bigrams": q_pmi_bigrams,
-        "poisson_bootstrap": q_poisson_bootstrap,
-        "polygon_roundtrip": q_polygon_roundtrip,
-        "power_iteration": q_power_iteration,
-        "ppr_hosts": q_ppr_hosts,
-        "prefix_autocomplete_topk": q_prefix_autocomplete_topk,
-        "props_json_stats": q_props_json_stats,
-        "props_roundtrip": q_props_roundtrip,
-        "qn_scale": q_qn_scale,
-        "quadkey_range_join": q_quadkey_range_join,
-        "quadkey_z8": q_quadkey_z8,
-        "quadtree_assign": q_quadtree_assign,
-        "quantile_normalize": q_quantile_normalize,
-        "radius_join_pairs": q_radius_join_pairs,
-        "range_bounds_planner": q_range_bounds_planner,
-        "range_join_sessions": q_range_join_sessions,
-        "ransac_line": q_ransac_line,
-        "rare_token_ratio": q_rare_token_ratio,
-        "rasterize_z4": q_rasterize_z4,
-        "rbo_rankings": q_rbo_rankings,
-        "rect_nesting": q_rect_nesting,
-        "rect_overlay_iou": q_rect_overlay_iou,
-        "rect_prefix_counts": q_rect_prefix_counts,
-        "redirect_resolve": q_redirect_resolve,
-        "retention_cohorts": q_retention_cohorts,
-        "revisit_cadence": q_revisit_cadence,
-        "rich_club": q_rich_club,
-        "ring_normalize": q_ring_normalize,
-        "ripley_band_pairs": q_ripley_band_pairs,
-        "rmq_daily": q_rmq_daily,
-        "robots_prefix_rules": q_robots_prefix_rules,
-        "rolling_median_7d": q_rolling_median_7d,
-        "rollup_doc_counts": q_rollup_doc_counts,
-        "route_snap_join": q_route_snap_join,
-        "rrf_fusion": q_rrf_fusion,
-        "rsync_delta": q_rsync_delta,
-        "running_total": q_running_total,
-        "runs_test_daily": q_runs_test_daily,
-        "s2_cells_l8": q_s2_cells_l8,
-        "sample_stratified": q_sample_stratified,
-        "scd2_asof_enrich": q_scd2_asof_enrich,
-        "scd2_history": q_scd2_history,
-        "segment_xing_join": q_segment_xing_join,
-        "selectivity_audit": q_selectivity_audit,
-        "session_paths": q_session_paths,
-        "sessionize": q_sessionize,
-        "shard_balance": q_shard_balance,
-        "ship_delay_stats": q_ship_delay_stats,
-        "simhash_near_dups": q_simhash_near_dups,
-        "simplify_collinear": q_simplify_collinear,
-        "simplify_vw": q_simplify_vw,
-        "simpsons_paradox": q_simpsons_paradox,
-        "sketch_bloom_doc_gate": q_sketch_bloom_doc_gate,
-        "sketch_cms_lang": q_sketch_cms_lang,
-        "sketch_hll_docs": q_sketch_hll_docs,
-        "sketch_kmv_lang": q_sketch_kmv_lang,
-        "skyline_docs": q_skyline_docs,
-        "sliding_window": q_sliding_window,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "soundex_groups": q_soundex_groups,
-        "source_overlap": q_source_overlap,
-        "spatial_split_leakage": q_spatial_split_leakage,
-        "split_clip_z5": q_split_clip_z5,
-        "ssjoin_prefix": q_ssjoin_prefix,
-        "sssp_w3": q_sssp_w3,
-        "stable_matching": q_stable_matching,
-        "staypoints": q_staypoints,
-        "str_pack": q_str_pack,
-        "stump_split": q_stump_split,
-        "text_normalize": q_text_normalize,
-        "text_segments": q_text_segments,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "theil_sen_daily": q_theil_sen_daily,
-        "tile_assign_z8": q_tile_assign_z8,
-        "tile_counts_z6": q_tile_counts_z6,
-        "tile_cover_rects_z7": q_tile_cover_rects_z7,
-        "tile_focal_mean": q_tile_focal_mean,
-        "tile_gaps_anti": q_tile_gaps_anti,
-        "tile_gradient": q_tile_gradient,
-        "tile_heat_decay": q_tile_heat_decay,
-        "tile_p90_tokens": q_tile_p90_tokens,
-        "tile_parent_promote": q_tile_parent_promote,
-        "tile_percentile_rank": q_tile_percentile_rank,
-        "tile_pyramid": q_tile_pyramid,
-        "tile_spatial_outliers": q_tile_spatial_outliers,
-        "tile_stream_counts": q_tile_stream_counts,
-        "time_to_purchase": q_time_to_purchase,
-        "time_weighted_value": q_time_weighted_value,
-        "token_bucket": q_token_bucket,
-        "token_positions": q_token_positions,
-        "token_totals": q_token_totals,
-        "top_ngram_frac": q_top_ngram_frac,
-        "topk_drift": q_topk_drift,
-        "topk_per_group": q_topk_per_group,
-        "topk_two_level": q_topk_two_level,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "traj_steps": q_traj_steps,
-        "trend_slope_weekly": q_trend_slope_weekly,
-        "triangle_hosts": q_triangle_hosts,
-        "trimmed_mean_chars": q_trimmed_mean_chars,
-        "turning_angles": q_turning_angles,
-        "two_phase_median": q_two_phase_median,
-        "union_area_rects": q_union_area_rects,
-        "union_datasets": q_union_datasets,
-        "unpivot_lang_counts": q_unpivot_lang_counts,
-        "url_host_topk": q_url_host_topk,
-        "url_normalize": q_url_normalize,
-        "vector_tiles_z5": q_vector_tiles_z5,
-        "vectorize_z3": q_vectorize_z3,
-        "vocab_growth": q_vocab_growth,
-        "voronoi_assign": q_voronoi_assign,
-        "warc_index": q_warc_index,
-        "watermark_policy_sim": q_watermark_policy_sim,
-        "weighted_median_tokens": q_weighted_median_tokens,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "weighted_schedule": q_weighted_schedule,
-        "welch_gate": q_welch_gate,
-        "winnow_fps": q_winnow_fps,
-        "wkt_quantized": q_wkt_quantized,
-        "word_cooc_cosine": q_word_cooc_cosine,
-        "wow_change": q_wow_change,
-        "zipf_fit": q_zipf_fit,
-        "zonal_stats": q_zonal_stats,
-        "zorder_locality": q_zorder_locality,
-    }
-    out = {name: impl[name] for name in _WINDOW + _QUEUE}
-    assert len(out) == len(impl) == 369
-    return out
-
-
-def _s2_sql():
-    from geobuf_spark.functions import cells
-    pts = minted.SQL_MINTED_POINTS.strip()
-    c8 = cells.sql_s2_cell("lon", "lat", 8)
-    # parent in packed form: face*128 + (i>>1) … = ((c // 256^2)*128 + ((c // 256) % 256) // 2) * 128 + (c % 256) // 2
-    n, m = 256, 128
-    parent = (f"((({c8}) // {n * n}) * {m} + ((({c8}) // {n}) % {n}) // 2) * {m} "
-              f"+ (({c8}) % {n}) // 2")
-    return f"SELECT doc_id, {c8} AS s2_cell, {parent} AS s2_parent FROM ({pts})"
-
-
-def _sql_vlen(v: str) -> str:
-    """DuckDB varint byte length of a non-negative BIGINT expression —
-    exact integer threshold chain (no log2 float risk)."""
-    terms = " + ".join(
-        f"CAST(({v}) >= {1 << (7 * k)} AS BIGINT)" for k in range(1, 9)
-    )
-    return f"(1 + {terms})"
-
-
-def _sql_zigzag(v: str) -> str:
-    return f"(CASE WHEN ({v}) >= 0 THEN 2*({v}) ELSE -2*({v}) - 1 END)"
-
-
-def _ngram_sql(k: int = 3, threshold: float = 0.4) -> str:
-    """Shared CTE chain for the exact n-gram Jaccard tier: token shingles
-    (distinct, chr(31)-joined — identical to dedup._shingles) → shingle
-    self-join → inclusion-exclusion Jaccard."""
-    return f"""
-        d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
-              FROM documents),
-        sh0 AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(toks) - {k - 1}, 1) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + {k - 1}),
-                                                chr(31)))) AS shs
-                FROM d),
-        sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
-        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        shared AS (
-            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-            GROUP BY 1, 2),
-        j AS (
-            SELECT a, b,
-                   CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
-            FROM shared
-            JOIN counts ca ON ca.doc_id = a
-            JOIN counts cb ON cb.doc_id = b),
-        pairs AS (SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold})"""
-
-
-def _tile_stream_sql(z: int = 6, minutes: int = 10) -> str:
-    """Oracle for q_tile_stream_counts: minted event point (mulmod over
-    user_id) → tile assign → tumbling-window count."""
-    secs = minutes * 60
-    lon = f"(({minted._sql_mulmod('user_id', minted.LON_MULT, minted.LON_MOD)} - {minted.LON_MOD // 2}) / 1e7)"
-    lat = f"(({minted._sql_mulmod('user_id', minted.LAT_MULT, minted.LAT_MOD)} - {minted.LAT_MOD // 2}) / 1e7)"
-    return f"""
-        SELECT CAST(floor(epoch(ts) / {secs}) AS BIGINT) * {secs} AS wstart,
-               {z} AS z,
-               {tiles.sql_tile_x(lon, z)} AS x,
-               {tiles.sql_tile_y(lat, z)} AS y,
-               count(*) AS n_events
-        FROM events GROUP BY 1, 2, 3, 4"""
-
-
-def _feature_meta_sql() -> str:
-    """Oracle for q_feature_meta: geobuf point-frame byte length by pure
-    varint arithmetic (layout per encode_points_kernel / write_feature.go:
-    tag8+id, tag24+code, tag34+len+geometry, tag42+len+bbox) vs the
-    canonical integer JSON length."""
-    lon7 = f"({minted._sql_mulmod('doc_id', minted.LON_MULT, minted.LON_MOD)} - {minted.LON_MOD // 2})"
-    lat7 = f"({minted._sql_mulmod('doc_id', minted.LAT_MULT, minted.LAT_MOD)} - {minted.LAT_MOD // 2})"
-    return f"""
-        WITH q AS (
-            SELECT doc_id, {lon7} AS lon7, {lat7} AS lat7 FROM documents),
-        lens AS (
-            SELECT doc_id, lon7, lat7,
-                   {_sql_vlen('doc_id')} AS lid,
-                   {_sql_vlen(_sql_zigzag('lon7'))} AS lx,
-                   {_sql_vlen(_sql_zigzag('lat7'))} AS ly
-            FROM q),
-        sized AS (
-            SELECT doc_id, lon7, lat7,
-                   1 + lid + 2
-                     + 1 + {_sql_vlen('lx + ly')} + (lx + ly)
-                     + 1 + {_sql_vlen('2*(lx + ly)')} + 2*(lx + ly) AS buf_bytes,
-                   octet_length(encode('{{"doc_id":' || doc_id || ',"lon7":' || lon7
-                                || ',"lat7":' || lat7 || '}}')) AS json_bytes
-            FROM lens)
-        SELECT doc_id, buf_bytes, json_bytes,
-               CAST(floor(buf_bytes * 100.0 / json_bytes) AS BIGINT) AS ratio_x100
-        FROM sized"""
-
-
-def _lang_id_sql() -> str:
-    """Oracle for q_lang_id: stopword-hit argmax (earlier langs win ties),
-    identical token split + lower as functions/text.py lang_id."""
-    langs = list(TXT.STOPWORDS)
-    score_cols = []
-    for lg in langs:
-        lst = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lg])
-        score_cols.append(
-            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lg}")
-    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-    whens = " ".join(
-        f"WHEN g > 0 AND s_{lg} = g THEN '{lg}'" for lg in langs)
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(lower(text), chr(32)) AS tk
-            FROM documents),
-        scores AS (SELECT doc_id, {', '.join(score_cols)} FROM toks),
-        best AS (SELECT doc_id, {greatest} AS g, * FROM scores),
-        pred AS (
-            SELECT CASE {whens} ELSE 'und' END AS lang_pred FROM best)
-        SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred"""
-
-
-def _ann_cosine_sql(k: int = 5, every: int = 25) -> str:
-    """Oracle for q_ann_cosine_top5: exact cosine top-k in DuckDB
-    (double-cast lists; ties broken by neighbor_id like brute_force_topk)."""
-    return f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-            FROM embeddings WHERE vec_id % {every} = 0),
-        s AS (
-            SELECT q.query_id, v.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, CAST(v.embedding AS DOUBLE[])) AS cos
-            FROM q CROSS JOIN embeddings v
-            WHERE v.vec_id <> q.query_id),
-        r AS (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-            FROM s)
-        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
-
-
-def _merc_ybounds_values(z: int) -> str:
-    """(y, north_lat, south_lat) VALUES rows for every tile row at zoom z,
-    computed with the SAME formula text as tiles.tile_bounds
-    (degrees(atan(sinh(π(1 - 2y/n)))) — see ADVICE r2 #5: injecting
-    literals keeps the oracle's y side from diverging by a last ulp from
-    what the Spark kernel evaluates, which could flip a boundary-exact
-    clip or floor snap."""
-    # single source: the SAME list the engine's tile_bounds literal lookup
-    # reads, so clip bounds agree bit-for-bit across engines. CAST-from-
-    # string forces DOUBLE: a bare numeric literal lands as DECIMAL, and
-    # DuckDB then evaluates n - s in EXACT decimal while n - cy0 rounds
-    # through double — the mixed arithmetic flipped a boundary floor
-    # (found when the r4 extent-clamp change stopped masking it)
-    b = tiles.merc_lat_bounds(z)
-    return ", ".join(
-        f"({yy}, CAST('{b[yy]!r}' AS DOUBLE), CAST('{b[yy + 1]!r}' AS DOUBLE))"
-        for yy in range(1 << z))
-
-
-def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
-    """Oracle for the rect vector-tile pipeline: cover → rect∩tile clip →
-    tile-local grid snap (clamped floors) → degenerate-ring drop, all in
-    DuckDB. x-side snap uses the byte-identical float expression the
-    kernel runs; the y side is fully transcendental-free (VERDICT r3 #4):
-    the cover's tile_y comes from sql_tile_y's literal boundary-count form
-    and the clip's n/s tile bounds are injected float64 literals, so no
-    sinh/atan/ln runs in DuckDB at all — the only transcendental left in
-    the system is the engine's own, and tests/test_tiles.py pins the
-    testdata's mercator margin to tile boundaries so both classifications
-    provably agree."""
-    rects = minted.SQL_MINTED_RECTS.strip()
-    nt = 1 << z
-    ybounds = _merc_ybounds_values(z)
-    lat_n, lat_s = "yb.n_lat", "yb.s_lat"
-    def ty(v):
-        return tiles.sql_tile_y(v, z)  # literal boundary-count form
-    # hi clamp = extent (tile-edge vertices snap to extent itself — the
-    # MVT convention tile_local_kernel follows since r4)
-    snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
-              f"{extent}) AS BIGINT)")
-    snap_y = (f"CAST(least(greatest(floor((n - ({{v}})) / (n - s) * {float(extent)!r}), 0), "
-              f"{extent}) AS BIGINT)")
-    return f"""
-        WITH r AS ({rects}),
-        cov AS (
-            SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
-            FROM r
-            JOIN (SELECT unnest(range(0, {nt})) AS x) gx
-              ON gx.x BETWEEN {tiles.sql_tile_x('r.minx', z)}
-                          AND {tiles.sql_tile_x('r.maxx', z)}
-            JOIN (SELECT unnest(range(0, {nt})) AS y) gy
-              ON gy.y BETWEEN {ty('r.maxy')} AND {ty('r.miny')}),
-        yb AS (SELECT * FROM (VALUES {ybounds}) t(yy, n_lat, s_lat)),
-        b AS (
-            SELECT poly_id, x, y,
-                   x * {360.0 / nt!r} - 180.0 AS w, (x + 1) * {360.0 / nt!r} - 180.0 AS e,
-                   {lat_n} AS n, {lat_s} AS s,
-                   minx, miny, maxx, maxy
-            FROM cov JOIN yb ON yb.yy = cov.y),
-        clipped AS (
-            SELECT poly_id, x, y, w, e, n, s,
-                   greatest(minx, w) AS cx0, least(maxx, e) AS cx1,
-                   greatest(miny, s) AS cy0, least(maxy, n) AS cy1
-            FROM b),
-        snapped AS (
-            SELECT poly_id, {z} AS z, x, y,
-                   {snap_x.format(v='cx0')} AS gx0,
-                   {snap_x.format(v='cx1')} AS gx1,
-                   {snap_y.format(v='cy1')} AS gy0,
-                   {snap_y.format(v='cy0')} AS gy1
-            FROM clipped WHERE cx1 > cx0 AND cy1 > cy0)
-        SELECT poly_id, z, x, y, 8 AS n_grid_values, gx0, gx1, gy0, gy1
-        FROM snapped WHERE gx0 != gx1 AND gy0 != gy1"""
-
-
-def _multimodal_ann_sql(k: int = 3, every: int = 50) -> str:
-    """Oracle for q_multimodal_ann_top3: payload_embedding is a 16-bin
-    HIGH-NIBBLE byte histogram of the utf-8 payload; the documents text is
-    ASCII, so byte nibbles == codepoint//16 and the histogram is a char
-    class count — then exact cosine top-k (cosine is normalization-
-    invariant, so the L2 step needs no twin)."""
-    bins = ", ".join(
-        f"CAST(len(list_filter(cs, c -> (ord(c) // 16) % 16 = {kk})) AS DOUBLE)"
-        for kk in range(16))
-    return f"""
-        WITH chars AS (
-            SELECT doc_id, string_split(text, '') AS cs FROM documents),
-        emb AS (SELECT doc_id, [{bins}] AS e FROM chars),
-        q AS (SELECT doc_id AS query_id, e AS qe FROM emb
-              WHERE doc_id % {every} = 0),
-        s AS (
-            SELECT q.query_id, v.doc_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, v.e) AS cos
-            FROM q CROSS JOIN emb v WHERE v.doc_id <> q.query_id),
-        r AS (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-            FROM s)
-        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
-
-
-def _raster_sqls():
-    from geobuf_spark.operators import raster
-    pts = minted.SQL_MINTED_POINTS.strip()
-    r4 = raster.sql_rasterize(pts, z=4, res_bits=4)
-    r3 = raster.sql_rasterize(pts, z=3, res_bits=4)
-    return r4, raster.sql_vectorize(r3)
-
-
-# ---------------------------------------------------------------------------
-# approximate dedup / ANN oracles — full SQL replication of the portable-
-# hash pipelines (functions/phash.py carries the Spark↔DuckDB md5 bridge).
-# These queries were rows-only in CORRECTNESS_r01/r02 because the old
-# hashing (xxhash64 / numpy RNG / murmur3) had no DuckDB twin.
-# ---------------------------------------------------------------------------
-
-def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
-                 threshold: float = 0.4) -> str:
-    """Oracle for q_minhash_near_dups: shingles → portable-hash minhash
-    signatures (same affine permutation literals as dedup._perm_coeffs) →
-    md5 band buckets → bucket self-join → signature-agreement Jaccard.
-    The max_bucket=1000 cap is omitted: no bucket can exceed the 500-doc
-    table, so the cap never binds at oracle scale."""
-    from geobuf_spark.functions import phash
-    from geobuf_spark.operators.dedup import _MERSENNE, _perm_coeffs
-
-    rows_per_band = num_hashes // bands
-    a, b = _perm_coeffs(num_hashes)
-    mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {int(a[i])} + {int(b[i])}) % {_MERSENNE}))"
-        for i in range(num_hashes))
-    bucket = phash.sql_hash60_parts(
-        *[f"sig[{rows_per_band} * t.band + {r + 1}]" for r in range(rows_per_band)],
-        "t.band")
-    return f"""
-        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks
-                   FROM documents),
-        sh0 AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(toks) - {shingle_k - 1}, 1) + 1),
-                           i -> array_to_string(
-                               list_slice(toks, i, i + {shingle_k - 1}), chr(31)))) AS shs
-                FROM d),
-        hs AS (SELECT doc_id,
-                      list_transform(shs, s -> {phash.sql_hash60('s')} % {_MERSENNE}) AS hs
-               FROM sh0),
-        sigs AS (SELECT doc_id, [{mins}] AS sig FROM hs),
-        bands AS (SELECT doc_id, sig, t.band, {bucket} AS bucket
-                  FROM sigs, (SELECT unnest(range({bands})) AS band) t),
-        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                 FROM bands x JOIN bands y
-                   ON x.band = y.band AND x.bucket = y.bucket
-                  AND x.doc_id < y.doc_id),
-        est AS (SELECT c.a, c.b,
-                       CAST(len(list_filter(range(1, {num_hashes + 1}),
-                                i -> sx.sig[i] = sy.sig[i])) AS DOUBLE)
-                           / {float(num_hashes)!r} AS est_jaccard
-                FROM cand c
-                JOIN sigs sx ON sx.doc_id = c.a
-                JOIN sigs sy ON sy.doc_id = c.b)
-        SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
-
-
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """Oracle for q_simhash_near_dups: recomputes the Arrow kernel's FNV-1a
-    64-bit token hashes in DuckDB (HUGEINT wrap-multiply — the FNV prime is
-    2^40, so h·prime < 2^104 stays inside HUGEINT), folds the 63 per-bit
-    ±1 sums per doc, and takes ALL pairs with Hamming ≤ t — provably equal
-    to the kernel's pigeonhole chunk join (any pair within the bound shares
-    ≥1 equal 16-bit chunk). The documents table is pure ASCII
-    (strlen == octet_length), so codepoints == utf-8 bytes."""
-    fnv = ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
-           "list_transform(range(1, strlen(t) + 1), i -> unicode(t[i])::HUGEINT)), "
-           "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) "
-           "% 18446744073709551616::HUGEINT)")
-    return f"""
-        WITH tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS t
-                     FROM documents),
-        hs AS (SELECT doc_id, {fnv} AS h FROM tok),
-        bits AS (SELECT doc_id, bb.b,
-                        SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                 FROM hs, (SELECT unnest(range(63)) AS b) bb
-                 GROUP BY 1, 2),
-        sh AS (SELECT doc_id,
-                      CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                           AS BIGINT) AS simhash
-               FROM bits GROUP BY doc_id),
-        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                         bit_count(xor(x.simhash, y.simhash)) AS hamming
-                  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-        SELECT a, b, CAST(hamming AS INT) AS hamming
-        FROM pairs WHERE hamming <= {max_hamming}"""
-
-
-def _vec_lit(row) -> str:
-    """A float64 vector as an exact DuckDB list literal (repr round-trips)."""
-    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
-
-
-def _ann_lsh_sql(k: int = 5, every: int = 25, nbits: int = 16, bands: int = 4,
-                 seed: int = 7, multiprobe: int = 2) -> str:
-    """Oracle for q_ann_lsh_top5: the hyperplanes are a pure function of
-    (dim, nbits, seed) — embedded as float literals — so DuckDB recomputes
-    signatures, band buckets, the multiprobe weakest-bit flips (smallest
-    |projection| first, exactly similarity._query_probes), candidate join
-    and cosine re-rank from scratch. Projection signs/orderings are float-
-    exact across engines except at |proj| ~ ulp — validated on the
-    testdata (same accepted risk as the mvt snap oracle, ADVICE r2 #5)."""
-    from geobuf_spark.operators.similarity import _hyperplanes
-
-    width = nbits // bands
-    planes = _hyperplanes(64, nbits, seed)
-    dots = ", ".join(f"list_dot_product(e, {_vec_lit(planes[i])})" for i in range(nbits))
-    base = " + ".join(
-        f"(CASE WHEN p[{width} * t.band + {r + 1}] > 0 THEN {1 << r} ELSE 0 END)"
-        for r in range(width))
-    weak = ", ".join(
-        "{" + f"'a': abs(p[{width} * t.band + {r + 1}]), 'i': {r}" + "}"
-        for r in range(width))
-    probe_cases = " ".join(
-        f"WHEN {j + 1} THEN xor(base, (1::BIGINT << o[{j + 1}].i))"
-        for j in range(multiprobe))
-    return f"""
-        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                     FROM embeddings),
-        pr AS (SELECT vec_id, e, [{dots}] AS p FROM emb),
-        vb AS (SELECT vec_id, t.band, CAST({base} AS BIGINT) AS bucket
-               FROM pr, (SELECT unnest(range({bands})) AS band) t),
-        qb0 AS (SELECT vec_id, t.band, CAST({base} AS BIGINT) AS base,
-                       list_sort([{weak}]) AS o
-                FROM pr, (SELECT unnest(range({bands})) AS band) t
-                WHERE vec_id % {every} = 0),
-        qb AS (SELECT vec_id AS query_id, band,
-                      CASE pp.probe WHEN 0 THEN base {probe_cases} END AS bucket
-               FROM qb0, (SELECT unnest(range({multiprobe + 1})) AS probe) pp),
-        cand AS (SELECT DISTINCT q.query_id, v.vec_id
-                 FROM qb q JOIN vb v ON q.band = v.band AND q.bucket = v.bucket
-                 WHERE v.vec_id <> q.query_id),
-        scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-                          list_cosine_similarity(qe.e, ve.e) AS cos
-                   FROM cand c
-                   JOIN emb qe ON qe.vec_id = c.query_id
-                   JOIN emb ve ON ve.vec_id = c.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                         ORDER BY cos DESC, neighbor_id) AS rank
-              FROM scored)
-        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
-
-
-def _embed_near_dups_sql(threshold: float = 0.9) -> str:
-    """Oracle for q_embed_near_dups: DuckDB rebuilds the twin-planted table
-    (indexed list_transform — 1-based i matches Spark's (i+1) — in double,
-    bit-identical) and computes the EXACT all-pairs ground truth: every
-    unordered pair with cosine >= threshold. This is deliberately NOT a
-    structural twin of the LSH pipeline (r4 review: the old bands=8
-    simulation silently stopped matching the query's bands=4+multiprobe
-    config): the operator's contract is "all pairs at or above the
-    threshold", so the brute-force set IS the semantics — if the engine's
-    LSH ever drops recall below 1 on these near-identical twins, the
-    driver goes red, which is the correct signal. O(n²) is fine at oracle
-    scale (the engine side stays the banded scale path)."""
-    return f"""
-        WITH aug AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-            UNION ALL
-            SELECT vec_id + 100000,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                                  (x, i) -> x * (1.0 + 0.002 * i))
-            FROM embeddings WHERE vec_id % 10 = 0)
-        SELECT x.vec_id AS a, y.vec_id AS b
-        FROM aug x JOIN aug y ON x.vec_id < y.vec_id
-        WHERE list_cosine_similarity(x.e, y.e) >= {threshold}"""
-
-
-def _ann_ivf_sql(k: int = 5, every: int = 25, n_centroids: int = 8,
-                 nprobe: int = 3, iters: int = 3) -> str:
-    """Oracle for q_ann_ivf_top5. The coarse quantizer's 3-iteration
-    k-means is not SQL-expressible, but it IS a deterministic function of
-    the table (portable md5-ordered sample seed, similarity.ivf_centroids):
-    `ivf_centroids_local` reproduces it bit-for-bit from the parquet at
-    SQL-generation time (tests assert exact equality with the Spark path),
-    and the centroids are pinned as literals. DuckDB then independently
-    verifies assignment (argmax dot — normalization-invariant, first-max
-    tie-break like numpy), the nprobe=3 probe set, the candidate join and
-    the cosine top-k re-rank. Set GEOBUF_ORACLE_SF_DIR to point the
-    generation-time read somewhere other than the driver's sf0.01."""
-    import os
-
-    import numpy as _np
-    import pyarrow.parquet as _pq
-
-    from geobuf_spark.operators.similarity import ivf_centroids_local
-
-    sf = os.environ.get("GEOBUF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    t = _pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    mat = _np.asarray(t.column("embedding").combine_chunks().flatten()
-                      .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-    cents = ivf_centroids_local(ids, mat, n_centroids, iters)
-
-    dots = ", ".join(f"list_dot_product(e, {_vec_lit(cents[i])})"
-                     for i in range(n_centroids))
-    return f"""
-        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                     FROM embeddings),
-        d AS (SELECT vec_id, e, [{dots}] AS dots FROM emb),
-        asg AS (SELECT vec_id, list_position(dots, list_max(dots)) - 1 AS cluster
-                FROM d),
-        qp AS (SELECT vec_id AS query_id, cluster FROM (
-                   SELECT d.vec_id, t.cl AS cluster,
-                          row_number() OVER (PARTITION BY d.vec_id
-                              ORDER BY dots[t.cl + 1] DESC, t.cl) AS rk
-                   FROM d, (SELECT unnest(range({n_centroids})) AS cl) t
-                   WHERE d.vec_id % {every} = 0) x
-               WHERE rk <= {nprobe}),
-        cand AS (SELECT q.query_id, v.vec_id
-                 FROM qp q JOIN asg v ON q.cluster = v.cluster
-                 WHERE v.vec_id <> q.query_id),
-        scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-                          list_cosine_similarity(qe.e, ve.e) AS cos
-                   FROM cand c
-                   JOIN emb qe ON qe.vec_id = c.query_id
-                   JOIN emb ve ON ve.vec_id = c.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                         ORDER BY cos DESC, neighbor_id) AS rank
-              FROM scored)
-        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"""
-
-
-def _pages_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
-    """Shared DuckDB regeneration of sources/pages.pages(n, seed) —
-    row-for-row identical: url/site/token-count/lang draws from md5(seed,id)
-    hex windows, per-token word picks from the portable hash60. Returns the
-    CTE body ending in {prefix}txt(id, url, lang, ts_epoch, text); callers
-    append their own clauses. The words are ASCII so strlen(text) ==
-    octet_length(text). `prefix` renames the CTE stages so two snapshots
-    can coexist in one WITH clause (crawl_diff)."""
-    from geobuf_spark.functions import phash
-    from geobuf_spark.sources.pages import LANGS, WORDS
-
-    p = prefix
-    langs = "[" + ", ".join(f"'{x}'" for x in LANGS) + "]"
-    words = "[" + ", ".join(f"'{w}'" for w in WORDS) + "]"
-    pick = phash.sql_hash60("'w' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
-    hx = lambda s, l: f"CAST(('0x' || substr(h, {s}, {l})) AS BIGINT)"  # noqa: E731
-    return f"""{p}base AS (SELECT t.id, md5('s{seed}-' || CAST(t.id AS VARCHAR)) AS h
-                      FROM range({n}) t(id)),
-        {p}d1 AS (SELECT id, h,
-                      {hx(1, 6)} % 1000 AS site,
-                      {hx(19, 4)} % 180 + 10 AS n_tokens,
-                      CAST({hx(23, 4)} % {len(LANGS)} + 1 AS INT) AS lang_i,
-                      1700000000 + CAST(('0x' || substr(md5('ts-' || h), 1, 8))
-                          AS BIGINT) % {365 * 86400} AS ts_epoch
-               FROM {p}base),
-        {p}d2 AS (SELECT id, n_tokens, ts_epoch,
-                      'https://site' || CAST(site AS VARCHAR) || '.example/'
-                          || substr(h, 7, 12) AS url,
-                      {langs}[lang_i] AS lang
-               FROM {p}d1),
-        {p}txt AS (SELECT id, url, lang, ts_epoch,
-                       array_to_string(list_transform(
-                           range(1, n_tokens + 1),
-                           i -> {words}[CAST(({pick}) % {len(WORDS)} + 1 AS INT)]),
-                           chr(32)) AS text
-                FROM {p}d2)"""
-
-
-def _pages_geo_cte() -> str:
-    """CTE clause twinning sources/pages.with_minted_geometry over txt:
-    geo(id, url, lang, text, lon, lat)."""
-    mh = lambda s: f"CAST(('0x' || substr(md5(url), {s}, 8)) AS BIGINT)"  # noqa: E731
-    return f"""geo AS (SELECT id, url, lang, text,
-                       ({mh(1)} % 3600000000 - 1800000000) / 1e7 AS lon,
-                       ({mh(9)} % 1700000000 - 850000000) / 1e7 AS lat
-                FROM txt)"""
-
-
-def _pages_synth_sql(n: int = 2000, seed: int = 42, z: int = 7) -> str:
-    """Oracle for q_pages_synth: pages regen + md5(url)-minted geometry."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {_pages_geo_cte()}
-        SELECT id AS page_id, lang, CAST(strlen(text) AS INT) AS n_bytes,
-               {tiles.sql_tile_x('lon', z)} AS x{z},
-               {tiles.sql_tile_y('lat', z)} AS y{z}
-        FROM geo"""
-
-
-def _html_sql(head_extra: str = "", body_tail: str = "") -> str:
-    """The minted html envelope (sources/pages.py html builder) as ONE
-    DuckDB expression over txt's (url, text) — the single source the
-    html-payload oracles splice into, with optional fragments after
-    <head> (meta_robots) or before </body> (link anchors)."""
-    he = f" || {head_extra}" if head_extra else ""
-    bt = f" || {body_tail}" if body_tail else ""
-    return ("'<html><head>'" + he
-            + " || '<title>' || url || '</title></head><body><p>' || text"
-            + " || '</p>'" + bt + " || '</body></html>'")
-
-
-def _html_extract_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_html_extract_text: regenerate pages, build the SAME
-    html envelope (sources/pages.py:69-75), extract with the SAME regexp.
-    Value-hash equality over (url, text_extracted) is the north-rule
-    byte-identity check per url."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        h AS (SELECT id, url, {_html_sql()} AS html
-              FROM txt)
-        SELECT id AS page_id, url,
-               regexp_extract(html, '<p>(.*)</p>', 1) AS text_extracted
-        FROM h"""
-
-
-def _url_host_topk_sql(n: int = 2000, seed: int = 42, k: int = 20) -> str:
-    """Oracle for q_url_host_topk. sum() is cast BIGINT (DuckDB HUGEINT
-    would arrive as float64 and hash-mismatch Spark's int64); the ORDER BY
-    total-orders on (n_pages, host) so the LIMIT boundary is deterministic."""
-    return f"""
-        WITH {_pages_cte(n, seed)}
-        SELECT {TXT.sql_url_host('url')} AS host,
-               count(*) AS n_pages,
-               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-        FROM txt
-        GROUP BY 1
-        ORDER BY n_pages DESC, host
-        LIMIT {k}"""
-
-
-def _latest_capture_sql(n: int = 2000, seed: int = 42, slots: int = 613) -> str:
-    """Oracle for q_latest_capture: regenerate pages (txt carries the
-    warc_ts epoch), remap onto {slots} URL slots, keep the (ts, id)-max
-    capture per URL. DuckDB uses the window form; Spark uses the
-    map-side-combinable struct-max — identical results because the
-    (ts_epoch, id) order is total."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        c AS (SELECT 'https://re.example/p' || CAST(id % {slots} AS VARCHAR) AS url,
-                     ts_epoch, id
-              FROM txt),
-        r AS (SELECT url, ts_epoch, id,
-                     count(*) OVER (PARTITION BY url) AS n_captures,
-                     row_number() OVER (PARTITION BY url
-                                        ORDER BY ts_epoch DESC, id DESC) AS rn
-              FROM c)
-        SELECT url, n_captures, id AS latest_page_id, ts_epoch AS latest_ts
-        FROM r WHERE rn = 1"""
-
-
-def _url_normalize_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_url_normalize: mint the SAME four messy variants, then
-    normalize with the sql_url_normalize twin."""
-    sh = f"regexp_extract(url, '{TXT._SCHEME_HOST_RE}')"
-    rest = f"substr(url, length({sh}) + 1)"
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        m AS (SELECT id AS page_id,
-                     CASE CAST(id % 4 AS INT)
-                       WHEN 0 THEN upper({sh}) || {rest}
-                       WHEN 1 THEN {sh} || ':443' || {rest}
-                       WHEN 2 THEN url || '#sec-' || CAST(id % 7 AS VARCHAR)
-                       ELSE url || '?a=1&utm_source=rss&utm_campaign=c'
-                     END AS url_messy
-              FROM txt)
-        SELECT page_id, url_messy,
-               {TXT.sql_url_normalize('url_messy')} AS url_norm
-        FROM m"""
-
-
-def _links_cte(n: int = 2000, seed: int = 42) -> str:
-    """Shared link-edge regeneration (q_link_host_graph / q_pagerank_hosts):
-    rebuild the html envelope with the same k∈{1,2,3} hash60-derived
-    anchors injected before </body>, run the same regexp_extract_all.
-    Ends in e(src_host, dst)."""
-    dst = phash.sql_hash60("'L' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
-    anchors = f"""array_to_string(list_transform(
-                            range(1, CAST(id % 3 AS INT) + 2),
-                            i -> '<a href="https://site'
-                                 || CAST(({dst}) % 1000 AS VARCHAR)
-                                 || '.example/x' || CAST(i AS VARCHAR)
-                                 || '">l</a>'), '')"""
-    return f"""{_pages_cte(n, seed)},
-        a AS (SELECT id, url, {_html_sql(body_tail=anchors)} AS html2
-              FROM txt),
-        e AS (SELECT {TXT.sql_url_host('url')} AS src_host,
-                     unnest({TXT.sql_extract_links('html2')}) AS dst
-              FROM a)"""
-
-
-def _link_host_graph_sql(n: int = 2000, seed: int = 42, k: int = 20) -> str:
-    """Oracle for q_link_host_graph: in-degree + distinct linking hosts
-    per target host over the regenerated edges."""
-    return f"""
-        WITH {_links_cte(n, seed)}
-        SELECT {TXT.sql_url_host('dst')} AS dst_host,
-               count(*) AS in_degree,
-               count(DISTINCT src_host) AS n_src_hosts
-        FROM e
-        GROUP BY 1
-        ORDER BY in_degree DESC, dst_host
-        LIMIT {k}"""
-
-
-def _pagerank_hosts_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
-    """Oracle for q_pagerank_hosts: the SAME 3 integer fixed-point
-    iterations chained as CTEs (operators/graph.sql_pagerank_int) — exact
-    because every step is BIGINT arithmetic."""
-    from geobuf_spark.operators.graph import sql_pagerank_int
-    edges_cte = f"""{_links_cte(n, seed)},
-        edges AS (SELECT src_host AS src,
-                         {TXT.sql_url_host('dst')} AS dst
-                  FROM e)"""
-    pr = sql_pagerank_int(edges_cte, iters=3)
-    return f"""
-        {pr}
-        ORDER BY rank_ppm DESC, host
-        LIMIT {k}"""
-
-
-def _hits_hosts_sql(n: int = 2000, seed: int = 42, k: int = 25) -> str:
-    """Oracle for q_hits_hosts: the SAME 2 integer max-normalized HITS
-    iterations chained as CTEs (operators/graph.sql_hits_int)."""
-    from geobuf_spark.operators.graph import sql_hits_int
-    edges_cte = f"""{_links_cte(n, seed)},
-        edges AS (SELECT src_host AS src,
-                         {TXT.sql_url_host('dst')} AS dst
-                  FROM e)"""
-    return f"""
-        SELECT host, hub_ppm, auth_ppm FROM (
-        {sql_hits_int(edges_cte, iters=2)}
-        ) t
-        ORDER BY auth_ppm DESC, hub_ppm DESC, host
-        LIMIT {k}"""
-
-
-def _bloom_join_prune_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_bloom_join_prune: the PLAIN host join — the bloom gate
-    plus exact join must equal it exactly (no false negatives; positives
-    are killed by the exact join), so the oracle carries no bloom at all."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        hosts AS (SELECT {TXT.sql_url_host('url')} AS host FROM txt),
-        block AS (SELECT 'site' || CAST(g.i * 13 AS VARCHAR) || '.example' AS host
-                  FROM generate_series(0, 39) AS g(i))
-        SELECT h.host, count(*) AS n_pages
-        FROM hosts h JOIN block b ON b.host = h.host
-        GROUP BY 1"""
-
-
-def _geom_area_centroid_sql() -> str:
-    """Oracle for q_geom_area_centroid: the same local-origin unit-rescaled
-    shoelace terms expanded per shape (functions/geom.sql_ring_stats_q)
-    over the regenerated quantized ring coordinates."""
-    rx, ry, tx, ty = minted.sql_minted_ring_coords()
-    rs, ts = geom.sql_ring_stats_q(rx, ry), geom.sql_ring_stats_q(tx, ty)
-    return f"""
-        SELECT p_partkey AS poly_id, 'rect' AS kind,
-               {rs['area2_u2']} AS area2_u2,
-               {rs['cx_q']} AS cx_q, {rs['cy_q']} AS cy_q
-        FROM part WHERE p_partkey % 2 = 0
-        UNION ALL
-        SELECT p_partkey AS poly_id, 'triangle' AS kind,
-               {ts['area2_u2']} AS area2_u2,
-               {ts['cx_q']} AS cx_q, {ts['cy_q']} AS cy_q
-        FROM part WHERE p_partkey % 2 = 1"""
-
-
-def _anchor_text_topk_sql(n: int = 2000, seed: int = 42, topk: int = 3) -> str:
-    """Oracle for q_anchor_text_topk: the same anchored-html regeneration
-    (anchor text w{dst mod 37}); DuckDB zips the two unnests positionally
-    in one SELECT, matching Spark's arrays_zip."""
-    dst = phash.sql_hash60("'L' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
-    anchors = f"""array_to_string(list_transform(
-                            range(1, CAST(id % 3 AS INT) + 2),
-                            i -> '<a href="https://site'
-                                 || CAST(({dst}) % 1000 AS VARCHAR)
-                                 || '.example/x' || CAST(i AS VARCHAR)
-                                 || '">w' || CAST(({dst}) % 1000 % 37 AS VARCHAR)
-                                 || '</a>'), '')"""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        a AS (SELECT id, url, {_html_sql(body_tail=anchors)} AS html2
-              FROM txt),
-        e AS (SELECT unnest({TXT.sql_extract_links('html2')}) AS dst,
-                     unnest({TXT.sql_extract_link_anchors('html2')}) AS anchor
-              FROM a),
-        c AS (SELECT {TXT.sql_url_host('dst')} AS dst_host, anchor,
-                     count(*) AS n
-              FROM e GROUP BY 1, 2),
-        r AS (SELECT dst_host, anchor, n,
-                     row_number() OVER (PARTITION BY dst_host
-                                        ORDER BY n DESC, anchor) AS rank
-              FROM c)
-        SELECT dst_host, rank, anchor, n FROM r WHERE rank <= {topk}"""
-
-
-def _host_mirrors_sql(n: int = 1500, seed: int = 42,
-                      j_min_ppm: int = 300_000) -> str:
-    """Oracle for q_host_mirrors: the same regeneration + planted mirrors,
-    fingerprint self-join and integer Jaccard in plain SQL."""
-    j = "(s.shared * 1000000) // (na.n + nb.n - s.shared)"
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        allp AS (
-            SELECT url, text FROM txt
-            UNION ALL
-            SELECT regexp_replace(url, '^https://site', 'https://m') AS url,
-                   text
-            FROM txt WHERE id % 3 = 0),
-        fp AS (SELECT DISTINCT {TXT.sql_url_host('url')} AS host,
-                      md5(text) AS fp
-               FROM allp),
-        sizes AS (SELECT host, count(*) AS n FROM fp GROUP BY 1),
-        shared AS (SELECT a.host AS host_a, b.host AS host_b,
-                          count(*) AS shared
-                   FROM fp a JOIN fp b ON a.fp = b.fp AND a.host < b.host
-                   GROUP BY 1, 2)
-        SELECT s.host_a, s.host_b, s.shared, {j} AS j_ppm
-        FROM shared s JOIN sizes na ON na.host = s.host_a
-                      JOIN sizes nb ON nb.host = s.host_b
-        WHERE {j} >= {j_min_ppm}"""
-
-
-def _knn_label_vote_sql() -> str:
-    """Oracle for q_knn_label_vote: the brute-force kNN window (same CTEs
-    as the knn_k5 oracle) joined to documents.lang, majority vote with
-    (votes DESC, lang) tie order."""
-    return f"""
-        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
-        q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
-              WHERE doc_id % 20 = 0),
-        scored AS (
-            SELECT q.query_id, p.doc_id AS neighbor_id,
-                   (q.qlon - p.lon) * (q.qlon - p.lon)
-                 + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
-            FROM q, p WHERE p.doc_id != q.query_id),
-        ranked AS (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY dist2 ASC, neighbor_id ASC) AS rank
-            FROM scored),
-        lab AS (SELECT r.query_id, d.lang
-                FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
-                WHERE r.rank <= 5),
-        votes AS (SELECT query_id, lang, count(*) AS votes
-                  FROM lab GROUP BY 1, 2),
-        best AS (SELECT query_id, lang, votes,
-                        row_number() OVER (PARTITION BY query_id
-                                           ORDER BY votes DESC, lang) AS rn
-                 FROM votes)
-        SELECT query_id, lang AS pred_lang, votes FROM best WHERE rn = 1"""
-
-
-def _zonal_stats_sql() -> str:
-    """Oracle for q_zonal_stats: brute containment join + per-zone rollup
-    (independent of the cell index path)."""
-    return f"""
-        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
-        r AS ({minted.SQL_MINTED_RECTS.strip()}),
-        j AS (SELECT r.poly_id, p.doc_id
-              FROM p, r
-              WHERE p.lon >= r.minx AND p.lon <= r.maxx
-                AND p.lat >= r.miny AND p.lat <= r.maxy)
-        SELECT j.poly_id, count(*) AS n_pts,
-               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
-               min(j.doc_id) AS min_doc, max(j.doc_id) AS max_doc
-        FROM j JOIN documents d ON d.doc_id = j.doc_id
-        GROUP BY 1"""
-
-
-def _radius_join_sql(r: int = RADIUS_R) -> str:
-    """Oracle for q_radius_join_pairs: the brute-force O(n²) pair scan —
-    an independent method, not the grid join. HUGEINT squares on the
-    DuckDB side only (far pairs overflow int64 there; the Spark operator
-    never squares a pair outside the 3x3 cell neighborhood); surviving
-    dist2 values are back under 2^63 and cast to BIGINT."""
-    return f"""
-        WITH p AS ({minted.sql_minted_cluster_points_q()}),
-        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                        a.qx - b.qx AS dx, a.qy - b.qy AS dy
-                 FROM p a JOIN p b ON a.doc_id < b.doc_id),
-        d AS (SELECT id_a, id_b,
-                     CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy AS d2
-              FROM cand)
-        SELECT id_a, id_b, CAST(d2 AS BIGINT) AS dist2
-        FROM d WHERE d2 <= {r * r}"""
-
-
-def _simplify_vw_sql(k: int = 9, t: int = VW_AREA2_MIN) -> str:
-    """Oracle for q_simplify_vw: the same keep predicates unrolled per
-    vertex (functions/geom.sql_vw_simplify_q) over an inner CTE that
-    names each walk coordinate once."""
-    xs, ys = minted.sql_minted_walk_coords(k)
-    cols = ",\n               ".join(
-        [f"{e} AS x{i}" for i, e in enumerate(xs)]
-        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
-    d = geom.sql_vw_simplify_q([f"x{i}" for i in range(k)],
-                               [f"y{i}" for i in range(k)], t)
-    return f"""
-        WITH wl AS (SELECT doc_id, {cols} FROM documents)
-        SELECT doc_id, {d['n_kept']} AS n_kept, {d['xy_s']} AS xy_s
-        FROM wl"""
-
-
-def _geohash6_sql() -> str:
-    """Oracle for q_geohash6 — the mask ladder repeats its argument, so
-    qx/qy are named once in the inner select."""
-    from geobuf_spark.functions import cells
-    return f"""
-        SELECT doc_id, {cells.sql_geohash_q('qx', 'qy', 6)} AS gh
-        FROM ({minted.SQL_MINTED_POINTS_Q.strip()})"""
-
-
-def _hotspot_clusters_sql(z: int = HOT_Z, min_pts: int = HOT_MIN_PTS) -> str:
-    """Oracle for q_hotspot_clusters: dense-tile adjacency walked by a
-    recursive CTE (same min-label semantics as near_dup_components);
-    singleton dense tiles keep their own key."""
-    x, y = tiles.sql_tile_x("lon", z), tiles.sql_tile_y("lat", z)
-    return f"""
-        WITH RECURSIVE p AS (
-            SELECT {x} AS x, {y} AS y
-            FROM ({minted.SQL_MINTED_POINTS.strip()})),
-        dense AS (SELECT x, y, {tiles.sql_cell_id(z, 'x', 'y')} AS k,
-                         count(*) AS n_pts
-                  FROM p GROUP BY x, y HAVING count(*) >= {min_pts}),
-        edges AS (
-            SELECT u.k AS u, v.k AS v FROM dense u JOIN dense v
-              ON (u.x + 1 = v.x AND u.y = v.y)
-              OR (u.x = v.x AND u.y + 1 = v.y)
-            UNION
-            SELECT v.k, u.k FROM dense u JOIN dense v
-              ON (u.x + 1 = v.x AND u.y = v.y)
-              OR (u.x = v.x AND u.y + 1 = v.y)),
-        walk(u, label) AS (
-            SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
-        comp AS (SELECT u, min(label) AS rep FROM walk GROUP BY u)
-        SELECT coalesce(c.rep, d.k) AS cluster_id,
-               count(*) AS n_tiles, CAST(sum(d.n_pts) AS BIGINT) AS n_pts
-        FROM dense d LEFT JOIN comp c ON c.u = d.k
-        GROUP BY 1"""
-
-
-def _crawl_diff_sql(seed: int = 42) -> str:
-    """Oracle for q_crawl_diff: two prefixed pages regenerations (A=2000,
-    B=2400 minus every 17th, every 10th text revised), full outer join on
-    url, md5(text) classification, per-host rollup."""
-    host = TXT.sql_url_host("coalesce(a.url, b.url)")
-    return f"""
-        WITH {_pages_cte(2000, seed, 'a_')},
-        {_pages_cte(2400, seed, 'b_')},
-        a AS (SELECT url, md5(text) AS ha FROM a_txt),
-        b AS (SELECT url,
-                     md5(CASE WHEN id % 10 = 0 THEN text || ' rev2'
-                              ELSE text END) AS hb
-              FROM b_txt WHERE id % 17 <> 3)
-        SELECT {host} AS host,
-               CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
-               CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-               CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL
-                             AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-               CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
-        FROM a FULL JOIN b ON a.url = b.url
-        GROUP BY 1"""
-
-
-def _boilerplate_lines_sql(n: int = 2000, seed: int = 42, min_docs: int = 20) -> str:
-    """Oracle for q_boilerplate_lines: regen pages + body (sql_body_cte
-    twin of sources/pages.with_body), unnest lines, frequent-line agg."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {pages.sql_body_cte()},
-        ln AS (SELECT id, {TXT.sql_url_host('url')} AS host,
-                      unnest(string_split(body, chr(10))) AS line
-               FROM bdy)
-        SELECT line,
-               CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
-               count(*) AS n_occurrences,
-               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
-        FROM ln
-        GROUP BY 1
-        HAVING count(DISTINCT id) >= {min_docs}"""
-
-
-def _line_dedup_clean_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_line_dedup_clean: DuckDB's two-parameter (value, index)
-    lambda is 1-based where Spark's is 0-based — list_position(l,x) = i
-    here twins array_position(arr,x) == i+1 there."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {pages.sql_body_cte()},
-        l AS (SELECT id, string_split(body, chr(10)) AS arr FROM bdy),
-        k AS (SELECT id, arr,
-                     list_filter(arr, (x, i) -> list_position(arr, x) = i) AS kept
-              FROM l)
-        SELECT id AS page_id,
-               CAST(len(arr) AS INT) AS n_lines,
-               CAST(len(kept) AS INT) AS n_kept,
-               md5(array_to_string(kept, chr(10))) AS clean_md5
-        FROM k"""
-
-
-def _meta_robots_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_meta_robots: rebuild the html envelope, splice the SAME
-    three meta variants after <head>, classify with the shared regex."""
-    meta = """CASE CAST(id % 21 AS INT)
-                WHEN 0 THEN '<meta name="robots" content="noindex">'
-                WHEN 7 THEN '<meta name=''robots'' content=''noindex,nofollow''>'
-                WHEN 14 THEN '<meta content="noindex" name="robots">'
-              END"""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        h AS (SELECT id, url,
-                     {_html_sql(head_extra=f"coalesce({meta}, '')")} AS html
-              FROM txt)
-        SELECT {TXT.sql_url_host('url')} AS host,
-               count(*) AS n_pages,
-               CAST(sum(CASE WHEN {TXT.sql_is_noindex('html')} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_noindex
-        FROM h
-        GROUP BY 1"""
-
-
-def _warc_index_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_warc_index: record length = strlen of the rebuilt html
-    envelope (all-ASCII, so strlen == octet_length), offsets via the same
-    (warc_ts, page_id)-ordered running sum. SUM OVER yields HUGEINT —
-    CAST BIGINT to match Spark's int64."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        r AS (SELECT id, url, ts_epoch, {TXT.sql_url_host('url')} AS host,
-                     CAST(strlen({_html_sql()}) AS BIGINT) AS rec_len
-              FROM txt)
-        SELECT host, id AS page_id, url, rec_len,
-               CAST(coalesce(sum(rec_len) OVER (
-                        PARTITION BY host ORDER BY ts_epoch, id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS "offset"
-        FROM r"""
-
-
-def _host_tile_footprint_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_host_tile_footprint: regen pages + minted geometry,
-    pack the z8 tile, per-host rollup. min/max of exact lattice doubles
-    are order-insensitive, so the bbox compares exactly."""
-    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {_pages_geo_cte()},
-        t AS (SELECT {TXT.sql_url_host('url')} AS host, lon, lat,
-                     ({x8}) * 256 + ({y8}) AS tile
-              FROM geo)
-        SELECT host, count(*) AS n_pages,
-               CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles,
-               min(lon) AS west, min(lat) AS south,
-               max(lon) AS east, max(lat) AS north
-        FROM t
-        GROUP BY host"""
-
-
-def _lang_tile_mix_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_lang_tile_mix: the same two-phase shape — (tile, lang)
-    counts, then windows over the group table with the identical
-    (n DESC, lang ASC) total order."""
-    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {_pages_geo_cte()},
-        g AS (SELECT {x6} AS x6, {y6} AS y6, lang, count(*) AS n
-              FROM geo GROUP BY 1, 2, 3),
-        w AS (SELECT x6, y6, lang, n,
-                     row_number() OVER (PARTITION BY x6, y6
-                                        ORDER BY n DESC, lang) AS rn,
-                     CAST(sum(n) OVER (PARTITION BY x6, y6) AS BIGINT)
-                         AS n_pages,
-                     count(*) OVER (PARTITION BY x6, y6) AS n_langs
-              FROM g)
-        SELECT x6, y6, n_pages, n_langs, lang AS top_lang, n AS n_top
-        FROM w WHERE rn = 1"""
-
-
-def _sketch_cms_lang_sql() -> str:
-    """DuckDB twin of q_sketch_cms_lang: the sql_cms_cte counter matrix,
-    then each distinct language probes min-over-depth — the same double
-    hash-salt string ('cms' SEP row SEP item) as the Spark side."""
-    cte = sketch.sql_cms_cte("documents", "lang", depth=4, width=64)
-    h = phash.sql_hash60_parts(
-        "'cms'", "CAST(g.i AS VARCHAR) || chr(30) || (item)")
-    return f"""
-        WITH {cte},
-        items AS (SELECT DISTINCT lang AS item FROM documents),
-        pp AS (SELECT item, g.i AS row, (({h}) % 64) AS bucket
-               FROM items, generate_series(0, 3) AS g(i)),
-        sel AS (SELECT pp.item, COALESCE(c.cnt, 0) AS cnt
-                FROM pp LEFT JOIN cms c
-                  ON pp.row = c.row AND pp.bucket = c.bucket)
-        SELECT item AS lang, CAST(min(cnt) AS BIGINT) AS cms_est
-        FROM sel GROUP BY item"""
-
-
-def _doc_len_percentiles_sql() -> str:
-    """Oracle for q_doc_len_percentiles: list_sort + the same 1-based
-    integer index floor(p*(n-1))+1 — DuckDB's // twins Spark's DIV."""
-    def pick(num, den, name):
-        return (f"list_sort(list(n_tok))[CAST((count(*) - 1) * {num} // {den} "
-                f"AS INT) + 1] AS {name}")
-    return f"""
-        WITH t AS (SELECT lang,
-                          CAST(len(string_split(text, chr(32))) AS BIGINT)
-                              AS n_tok
-                   FROM documents)
-        SELECT lang, count(*) AS n_docs,
-               {pick(1, 10, 'p10_tokens')},
-               {pick(5, 10, 'p50_tokens')},
-               {pick(9, 10, 'p90_tokens')}
-        FROM t
-        GROUP BY lang"""
-
-
-def _dup_span_frac_sql(n: int = 8) -> str:
-    """Oracle for q_dup_span_frac: same 8-gram construction; shared =
-    gram present in >= 2 distinct docs; the fraction is one IEEE division
-    of exact ints. Docs shorter than n tokens emit no grams and no row,
-    matching the operator."""
-    gram = " || chr(32) || ".join(f"ws[i + {j}]" for j in range(n))
-    return f"""
-        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS ws
-                      FROM documents),
-        g AS (SELECT doc_id,
-                     md5(unnest(CASE WHEN len(ws) >= {n} THEN
-                         list_transform(range(1, len(ws) - {n - 2}),
-                                        i -> {gram})
-                     ELSE CAST([] AS VARCHAR[]) END)) AS gram
-              FROM toks),
-        per AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
-        d AS (SELECT gram, count(*) AS nd FROM per GROUP BY 1)
-        SELECT per.doc_id,
-               CAST(sum(per.m) AS BIGINT) AS n_grams,
-               CAST(sum(CASE WHEN d.nd >= 2 THEN per.m ELSE 0 END)
-                    AS BIGINT) AS n_shared,
-               CAST(sum(CASE WHEN d.nd >= 2 THEN per.m ELSE 0 END) AS DOUBLE)
-                   / CAST(sum(per.m) AS DOUBLE) AS dup_span_frac
-        FROM per JOIN d USING (gram)
-        GROUP BY 1"""
-
-
-def _ngram_topk_sql(k: int = 25) -> str:
-    """Oracle for q_ngram_topk: the same 3-gram construction as
-    sql_dup_ngrams, unnested and aggregated with a (n, gram) total order."""
-    return f"""
-        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS ws
-                      FROM documents),
-        grams AS (SELECT doc_id,
-                         unnest(CASE WHEN len(ws) >= 3 THEN
-                             list_transform(range(1, len(ws) - 1),
-                                 i -> ws[i] || chr(32) || ws[i + 1]
-                                      || chr(32) || ws[i + 2])
-                         ELSE CAST([] AS VARCHAR[]) END) AS gram
-                  FROM toks)
-        SELECT gram, count(*) AS n,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM grams
-        GROUP BY 1
-        ORDER BY n DESC, gram
-        LIMIT {k}"""
-
-
-def _host_quality_rollup_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_host_quality_rollup: integer sums CAST BIGINT (HUGEINT
-    → float64 otherwise) and // floor division twinning Spark's DIV."""
-    tq = TXT.sql_quality("text")
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        q AS (SELECT {TXT.sql_url_host('url')} AS host,
-                     {tq['n_tokens']} AS n_tokens,
-                     {tq['n_uniq_tokens']} AS n_uniq_tokens,
-                     octet_length(encode(text)) AS n_bytes
-              FROM txt)
-        SELECT host, count(*) AS n_pages,
-               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-               CAST(sum(n_uniq_tokens) AS BIGINT) AS sum_uniq_tokens,
-               CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
-               CAST((CAST(sum(n_tokens) AS BIGINT) * 100) // count(*)
-                    AS BIGINT) AS avg_tokens_x100
-        FROM q
-        GROUP BY host"""
-
-
-def _text_normalize_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_text_normalize: the same four messy variants and the
-    same scrub chain; DuckDB regexp_replace needs the 'g' flag where
-    Spark's replaces every match by default."""
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        m AS (SELECT id, CAST(id % 4 AS INT) AS variant,
-                     CASE CAST(id % 4 AS INT)
-                       WHEN 0 THEN '  ' || text || ' ' || chr(9)
-                       WHEN 1 THEN replace(text, ' ', '   ')
-                       WHEN 2 THEN text || chr(7) || chr(13) || chr(10)
-                       ELSE text
-                     END AS messy
-              FROM txt)
-        SELECT id AS page_id, variant,
-               md5(messy) AS messy_md5,
-               md5(trim(regexp_replace(regexp_replace(messy,
-                   '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')))
-                   AS norm_md5
-        FROM m"""
-
-
-def _paragraph_owner_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_paragraph_owner: DuckDB lacks Spark's min(struct)
-    two-key combinable min, so the (ts, page_id) pair is packed into one
-    BIGINT (ts * 2^22 + id — id < 2^22 always at these n), min'd, and
-    decomposed. Arithmetically identical to the lexicographic struct min."""
-    pack = 1 << 22
-    return f"""
-        WITH {_pages_cte(n, seed)},
-        {pages.sql_body_cte()},
-        ln AS (SELECT id, ts_epoch,
-                      unnest(string_split(body, chr(10))) AS line
-               FROM bdy),
-        o AS (SELECT md5(line) AS line_md5,
-                     min(ts_epoch * {pack} + id) AS packed,
-                     count(*) AS n_copies
-              FROM ln
-              GROUP BY 1)
-        SELECT line_md5,
-               packed // {pack} AS owner_ts,
-               packed % {pack} AS owner_page_id,
-               n_copies
-        FROM o"""
-
-
-def _sample_stratified_sql(n: int = 2000, seed: int = 42) -> str:
-    """Oracle for q_sample_stratified: the same md5-bridge bucket and
-    per-language keep-rates."""
-    bucket = f"({phash.sql_hash60(chr(39) + 'smp-' + chr(39) + ' || url')}) % 1000"
-    return f"""
-        WITH {_pages_cte(n, seed)}
-        SELECT id AS page_id, lang, {bucket} AS bucket
-        FROM txt
-        WHERE {bucket} < CASE WHEN lang = 'en' THEN 500
-                              WHEN lang IN ('de', 'fr') THEN 250
-                              ELSE 100 END"""
-
-
-def oracle_sql() -> dict[str, str]:
-    pts = minted.SQL_MINTED_POINTS.strip()
-    rects = minted.SQL_MINTED_RECTS.strip()
-    tris = minted.SQL_MINTED_TRIANGLES.strip()
-    tq = TXT.sql_quality("text")
-
-    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
-    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
-    x10, y10 = tiles.sql_tile_x("lon", 10), tiles.sql_tile_y("lat", 10)
-
-    out = {
-        "mint_points": pts,
-        "geo_bounds": f"""
-            SELECT min(lon) AS west, min(lat) AS south, max(lon) AS east,
-                   max(lat) AS north, count(*) AS n_features
-            FROM ({pts})""",
-        "tile_assign_z8": f"""
-            SELECT doc_id, 8 AS z, {x8} AS x, {y8} AS y FROM ({pts})""",
-        "morton_keys_z8": f"""
-            SELECT doc_id, x, y, {tiles.sql_morton_key('x', 'y', 8)} AS morton
-            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
-        "tile_counts_z6": f"""
-            SELECT 6 AS z, {x6} AS x, {y6} AS y, count(*) AS n_features
-            FROM ({pts}) GROUP BY 1, 2, 3""",
-        "tile_parent_promote": f"""
-            SELECT doc_id, 7 AS z, ({x10}) // 8 AS x, ({y10}) // 8 AS y FROM ({pts})""",
-        "hex_density": f"""
-            SELECT {hexgrid.sql_hex_cell('lon', 'lat', 5.0)} AS hex,
-                   count(*) AS n_features
-            FROM ({pts}) GROUP BY 1""",
-        # pyramid levels derive from ONE z=8 assign (literal boundary-count
-        # tile_y — r4 review: this entry and split_clip_z5 had pre-expanded
-        # copies of the old transcendental form, escaping the migration)
-        "tile_pyramid": f"""
-            WITH t8 AS (SELECT {x8} AS x8, {y8} AS y8 FROM ({pts}))
-            SELECT 8 AS z, x8 AS x, y8 AS y, count(*) AS n_features
-            FROM t8 GROUP BY 1, 2, 3
-            UNION ALL
-            SELECT 7 AS z, x8 // 2 AS x, y8 // 2 AS y, count(*) AS n_features
-            FROM t8 GROUP BY 1, 2, 3
-            UNION ALL
-            SELECT 6 AS z, x8 // 4 AS x, y8 // 4 AS y, count(*) AS n_features
-            FROM t8 GROUP BY 1, 2, 3
-            UNION ALL
-            SELECT 5 AS z, x8 // 8 AS x, y8 // 8 AS y, count(*) AS n_features
-            FROM t8 GROUP BY 1, 2, 3""",
-        "tile_cover_rects_z7": f"""
-            WITH r AS ({rects}),
-            rt AS (SELECT poly_id,
-                          {tiles.sql_tile_x('minx', 7)} AS x0, {tiles.sql_tile_x('maxx', 7)} AS x1,
-                          {tiles.sql_tile_y('maxy', 7)} AS y0, {tiles.sql_tile_y('miny', 7)} AS y1
-                   FROM r),
-            xs AS (SELECT poly_id, y0, y1, unnest(generate_series(x0, x1)) AS x FROM rt)
-            SELECT poly_id, 7 AS z, x, unnest(generate_series(y0, y1)) AS y FROM xs""",
-        "split_clip_z5": f"""
-            WITH r AS ({rects}),
-            cov AS (
-                SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
-                FROM r
-                JOIN (SELECT unnest(range(0, 32)) AS x) gx
-                  ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
-                JOIN (SELECT unnest(range(0, 32)) AS y) gy
-                  ON gy.y BETWEEN {tiles.sql_tile_y('r.maxy', 5)}
-                              AND {tiles.sql_tile_y('r.miny', 5)}),
-            yb AS (SELECT * FROM (VALUES {_merc_ybounds_values(5)}) t(yy, n_lat, s_lat)),
-            piece AS (
-                SELECT poly_id, 5 AS z, x, y,
-                       round(greatest(minx, (x * 11.25 - 180.0)), 7) AS pminx,
-                       round(greatest(miny, yb.s_lat), 7) AS pminy,
-                       round(least(maxx, ((x + 1) * 11.25 - 180.0)), 7) AS pmaxx,
-                       round(least(maxy, yb.n_lat), 7) AS pmaxy
-                FROM cov JOIN yb ON yb.yy = cov.y)
-            SELECT * FROM piece WHERE pmaxx > pminx AND pmaxy > pminy""",
-        "pip_join_rects": f"""
-            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
-            WHERE p.lon >= r.minx AND p.lon <= r.maxx
-              AND p.lat >= r.miny AND p.lat <= r.maxy""",
-        "pip_join_rects_salted": f"""
-            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
-            WHERE p.lon >= r.minx AND p.lon <= r.maxx
-              AND p.lat >= r.miny AND p.lat <= r.maxy""",
-        "pip_join_hex": f"""
-            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
-            WHERE p.lon >= r.minx AND p.lon <= r.maxx
-              AND p.lat >= r.miny AND p.lat <= r.maxy""",
-        "pip_join_s2": f"""
-            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
-            WHERE p.lon >= r.minx AND p.lon <= r.maxx
-              AND p.lat >= r.miny AND p.lat <= r.maxy""",
-        "pip_join_triangles": f"""
-            SELECT p.doc_id, t.poly_id FROM ({pts}) p, ({tris}) t
-            WHERE {sj.sql_triangle_contains('p.lon', 'p.lat')}""",
-        "pip_semi": f"""
-            SELECT DISTINCT p.doc_id FROM ({pts}) p
-            WHERE EXISTS (SELECT 1 FROM ({rects}) r
-                          WHERE p.lon >= r.minx AND p.lon <= r.maxx
-                            AND p.lat >= r.miny AND p.lat <= r.maxy)""",
-        "knn_k5": f"""
-            WITH p AS ({pts}),
-            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
-                  WHERE doc_id % 20 = 0),
-            scored AS (
-                SELECT q.query_id, p.doc_id AS neighbor_id,
-                       (q.qlon - p.lon) * (q.qlon - p.lon)
-                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
-                FROM q, p WHERE p.doc_id != q.query_id),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
-                FROM scored)
-            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
-        # knn_hex_k5 returns rows identical to knn_k5 (different index
-        # family, same brute-force-equal semantics) — same SQL twin
-        "knn_hex_k5": f"""
-            WITH p AS ({pts}),
-            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
-                  WHERE doc_id % 20 = 0),
-            scored AS (
-                SELECT q.query_id, p.doc_id AS neighbor_id,
-                       (q.qlon - p.lon) * (q.qlon - p.lon)
-                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
-                FROM q, p WHERE p.doc_id != q.query_id),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
-                FROM scored)
-            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
-        # knn_s2_k5: cube-face index family, brute-force-equal semantics —
-        # same SQL twin as knn_k5/knn_hex_k5
-        "knn_s2_k5": f"""
-            WITH p AS ({pts}),
-            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
-                  WHERE doc_id % 20 = 0),
-            scored AS (
-                SELECT q.query_id, p.doc_id AS neighbor_id,
-                       (q.qlon - p.lon) * (q.qlon - p.lon)
-                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
-                FROM q, p WHERE p.doc_id != q.query_id),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
-                FROM scored)
-            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
-        "knn_adaptive_k5": f"""
-            WITH p AS ({pts}),
-            q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
-                  WHERE doc_id % 20 = 0),
-            scored AS (
-                SELECT q.query_id, p.doc_id AS neighbor_id,
-                       (q.qlon - p.lon) * (q.qlon - p.lon)
-                     + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist2
-                FROM q, p WHERE p.doc_id != q.query_id),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY dist2 ASC, neighbor_id ASC) AS rank
-                FROM scored)
-            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
-        "geobuf_roundtrip": f"""
-            SELECT doc_id, CAST(trunc(lon * 10000000.0) AS BIGINT) AS lon_q,
-                   CAST(trunc(lat * 10000000.0) AS BIGINT) AS lat_q
-            FROM ({pts})""",
-        "polygon_roundtrip": f"""
-            SELECT poly_id,
-                   CAST(trunc(minx * 10000000.0) AS BIGINT) AS x0_q,
-                   CAST(trunc(miny * 10000000.0) AS BIGINT) AS y0_q,
-                   CAST(trunc(maxx * 10000000.0) AS BIGINT) AS x2_q,
-                   CAST(trunc(maxy * 10000000.0) AS BIGINT) AS y2_q
-            FROM ({rects})""",
-        "props_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
-        "feature_count": "SELECT lang, count(*) AS n_features FROM documents GROUP BY lang",
-        "increment_limit": """
-            SELECT doc_id, 'purple' AS COLORKEY FROM documents
-            ORDER BY doc_id LIMIT 20""",
-        "union_datasets": """
-            SELECT doc_id, lang FROM documents WHERE lang = 'en'
-            UNION ALL
-            SELECT doc_id, lang FROM documents WHERE lang = 'de'""",
-        "csv_export": """
-            SELECT doc_id,
-                   concat_ws('|', doc_id, lang, n_chars) AS line
-            FROM documents""",
-        "distinct_prop_keys": """
-            SELECT k AS key, count(*) AS n
-            FROM (SELECT unnest(json_keys(props)) AS k FROM events)
-            GROUP BY k""",
-        "corpus_clean": f"""
-            WITH langed AS (
-                SELECT * FROM documents WHERE lang IN ('en','de','fr','es','zh')),
-            reps AS (
-                SELECT md5(text) AS fp, min(doc_id) AS doc_id
-                FROM langed GROUP BY 1)
-            SELECT d.doc_id, d.lang, {tq['n_tokens']} AS n_tokens
-            FROM langed d JOIN reps r ON d.doc_id = r.doc_id
-            WHERE {tq['n_tokens']} >= 5""",
-        "doc_quality": f"""
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes, {tq['n_tokens']} AS n_tokens,
-                   {tq['n_uniq_tokens']} AS n_uniq_tokens,
-                   {tq['mean_token_len_x100']} AS mean_token_len_x100
-            FROM documents""",
-        "doc_fingerprint": """
-            SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents""",
-        "dedup_exact": """
-            SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id,
-                   count(*) AS n_dups
-            FROM documents GROUP BY 1""",
-        "token_totals": f"""
-            SELECT lang, CAST(sum({tq['n_tokens']}) AS BIGINT) AS total_tokens,
-                   count(*) AS n_docs, max({tq['n_uniq_tokens']}) AS max_uniq
-            FROM documents GROUP BY lang""",
-        "events_enriched": """
-            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
-                   e.event_type, count(*) AS n_events
-            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-            GROUP BY 1, 2""",
-        "sliding_window": """
-            WITH ep AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type FROM events),
-            hits AS (
-                SELECT (e // 300) * 300 AS wstart, event_type FROM ep
-                UNION ALL
-                SELECT (e // 300) * 300 - 300 AS wstart, event_type FROM ep
-            )
-            SELECT wstart, event_type, count(*) AS n_events
-            FROM hits WHERE wstart >= 0 GROUP BY wstart, event_type""",
-        "events_window": """
-            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS wstart, event_type,
-                   count(*) AS n_events,
-                   count(CASE WHEN value > 0.5 THEN 1 END) AS n_high
-            FROM events GROUP BY 1, 2""",
-        "sessionize": """
-            WITH e AS (
-                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
-                FROM events),
-            lagged AS (
-                SELECT user_id, event_id, ep,
-                       lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep
-                FROM e),
-            flagged AS (
-                SELECT user_id, event_id, ep,
-                       CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM lagged),
-            sess AS (
-                SELECT user_id, ep,
-                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-                FROM flagged)
-            SELECT user_id, session_id, count(*) AS n_events,
-                   min(ep) AS t_start, max(ep) AS t_end
-            FROM sess GROUP BY user_id, session_id""",
-        "multimodal_bytes": """
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                   upper(hex(substring(text, 1, 4))) AS magic_hex
-            FROM documents""",
-        "pip_join_general": f"""
-            SELECT p.doc_id, r.poly_id FROM ({pts}) p, ({rects}) r
-            WHERE p.lon >= r.minx AND p.lon < r.maxx
-              AND p.lat >= r.miny AND p.lat < r.maxy""",
-        "s2_cells_l8": _s2_sql(),
-        "asof_purchase_view": """
-            WITH ev AS (
-                SELECT event_id, user_id, event_type,
-                       CAST(floor(epoch(ts)) AS BIGINT) AS ep
-                FROM events),
-            purchases AS (
-                SELECT event_id, user_id, ep FROM ev WHERE event_type = 'purchase'),
-            views AS (
-                SELECT user_id, ep, max(event_id) AS view_event_id
-                FROM ev WHERE event_type = 'view' GROUP BY user_id, ep)
-            SELECT p.event_id, p.user_id, p.ep, v.view_event_id
-            FROM purchases p ASOF LEFT JOIN views v
-              ON p.user_id = v.user_id AND p.ep >= v.ep""",
-        "tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24""",
-        "rasterize_z4": _raster_sqls()[0],
-        "vectorize_z3": _raster_sqls()[1],
-        "bbox_intersect_join": f"""
-            WITH r AS ({rects})
-            SELECT a.poly_id AS poly_id, b.poly_id AS b_id
-            FROM r a, r b
-            WHERE a.poly_id < b.poly_id
-              AND a.maxx >= b.minx AND b.maxx >= a.minx
-              AND a.maxy >= b.miny AND b.maxy >= a.miny""",
-        "map_features": f"""
-            SELECT doc_id, lon + 0.5 AS lon, lat + 0.25 AS lat FROM ({pts})""",
-        "cover_size_estimate": f"""
-            SELECT poly_id,
-                   (({tiles.sql_tile_x('maxx', 7)}) - ({tiles.sql_tile_x('minx', 7)}) + 1)
-                 * (({tiles.sql_tile_y('miny', 7)}) - ({tiles.sql_tile_y('maxy', 7)}) + 1)
-                   AS n_tiles
-            FROM ({rects})""",
-        "topk_per_group": """
-            SELECT l_returnflag, l_orderkey, l_linenumber, rnk FROM (
-                SELECT l_returnflag, l_orderkey, l_linenumber,
-                       row_number() OVER (PARTITION BY l_returnflag
-                           ORDER BY l_extendedprice DESC, l_orderkey ASC,
-                                    l_linenumber ASC) AS rnk
-                FROM lineitem) t
-            WHERE rnk <= 3""",
-        "embedding_norms_q": """
-            SELECT vec_id, len(embedding) AS dim,
-                   CAST(list_sum(list_transform(embedding,
-                        e -> CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1000000.0)
-                                  AS BIGINT))) AS BIGINT) AS normsq_q
-            FROM embeddings""",
-        "tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus""",
-        "tpch_q3": """
-            SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM customer, orders, lineitem
-            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-              AND l_orderkey = o_orderkey
-              AND o_orderdate < TIMESTAMP '1995-03-15'
-              AND l_shipdate > TIMESTAMP '1995-03-15'
-            GROUP BY l_orderkey""",
-        "tpch_q5": """
-            SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM region, nation, customer, orders, lineitem, supplier
-            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
-              AND c_nationkey = n_nationkey AND o_custkey = c_custkey
-              AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
-              AND s_nationkey = c_nationkey
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1997-01-01'
-            GROUP BY n_name""",
-        "tpch_q4": """
-            SELECT o_orderpriority, count(*) AS order_count
-            FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-              AND o_orderdate < TIMESTAMP '1995-04-01'
-              AND EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
-            GROUP BY o_orderpriority""",
-        "tpch_q10": """
-            SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM customer, orders, lineitem, nation
-            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-              AND o_orderdate >= TIMESTAMP '1996-10-01'
-              AND o_orderdate < TIMESTAMP '1997-01-01'
-              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-            GROUP BY c_custkey, c_name, n_name""",
-        "tpch_q12": """
-            SELECT l_linestatus,
-                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-            GROUP BY l_linestatus""",
-        "tpch_q19": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   count(*) AS n_lines
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
-               OR (p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)""",
-        "tpch_q14": """
-            SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END), 2) AS promo_revenue,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-            FROM lineitem, part
-            WHERE l_partkey = p_partkey
-              AND l_shipdate >= TIMESTAMP '1995-09-01'
-              AND l_shipdate < TIMESTAMP '1995-10-01'""",
-        # r3: the remaining 13 TPC-H query shapes, adapted to the
-        # testdata's schema (no partsupp / commitdate / phone / comment
-        # columns — see each q_tpch_* docstring for the substitution)
-        "tpch_q2": """
-            WITH eu_supp AS (
-                SELECT s_suppkey, s_name, s_acctbal
-                FROM supplier, nation, region
-                WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-                  AND r_name = 'EUROPE'),
-            offers AS (
-                SELECT DISTINCT l_partkey AS partkey, s_name, s_acctbal
-                FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey),
-            m AS (SELECT partkey, min(s_acctbal) AS mn FROM offers GROUP BY partkey)
-            SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal
-            FROM offers JOIN m ON offers.partkey = m.partkey AND s_acctbal = mn
-            JOIN part ON p_partkey = offers.partkey
-            WHERE p_size = 15""",
-        "tpch_q7": """
-            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM supplier, lineitem, orders, customer, nation sn, nation cn
-            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-              AND c_custkey = o_custkey AND s_nationkey = sn.n_nationkey
-              AND c_nationkey = cn.n_nationkey
-              AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
-                OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1998-01-01'
-            GROUP BY 1, 2, 3""",
-        "tpch_q8": """
-            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(CASE WHEN sn.n_name = 'NATION_5'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END), 2) AS nation_volume,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
-            FROM part, supplier, lineitem, orders, customer,
-                 nation cn, nation sn, region
-            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-              AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
-              AND r_name = 'AMERICA' AND s_nationkey = sn.n_nationkey
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1998-01-01'
-              AND p_type = 'ECONOMY'
-            GROUP BY 1""",
-        "tpch_q9": """
-            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
-            FROM part, supplier, lineitem, orders, nation
-            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
-              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-              AND p_name LIKE '%red%'
-            GROUP BY 1, 2""",
-        "tpch_q11": """
-            WITH val AS (
-                SELECT l_partkey AS partkey,
-                       sum(p_retailprice * l_quantity) AS v
-                FROM lineitem, part, supplier, nation
-                WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-                  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
-                GROUP BY 1)
-            SELECT partkey AS p_partkey, round(v, 2) AS part_value
-            FROM val WHERE v > (SELECT 2.0 * avg(v) FROM val)""",
-        "tpch_q13": """
-            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-            FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-                  FROM customer LEFT JOIN orders
-                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-                  GROUP BY c_custkey)
-            GROUP BY c_count""",
-        "tpch_q15": """
-            WITH revenue AS (
-                SELECT l_suppkey AS supplier_no,
-                       sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-                FROM lineitem
-                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                  AND l_shipdate < TIMESTAMP '1996-04-01'
-                GROUP BY 1)
-            SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
-            FROM supplier JOIN revenue ON s_suppkey = supplier_no
-            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
-        "tpch_q16": """
-            SELECT p_brand, p_type, p_size,
-                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-            FROM lineitem JOIN part ON p_partkey = l_partkey
-            WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
-              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-              AND l_suppkey IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal >= 0)
-            GROUP BY 1, 2, 3""",
-        "tpch_q17": """
-            SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
-            FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
-            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
-              AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
-                                   FROM lineitem l2
-                                   WHERE l2.l_partkey = l1.l_partkey)""",
-        "tpch_q18": """
-            WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-                         FROM lineitem GROUP BY 1
-                         HAVING sum(l_quantity) > 300)
-            SELECT c_name, c_custkey, o_orderkey,
-                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                   round(o_totalprice, 2) AS o_totalprice, sum_qty
-            FROM big JOIN orders ON o_orderkey = l_orderkey
-            JOIN customer ON c_custkey = o_custkey""",
-        "tpch_q20": """
-            SELECT s_suppkey, s_name
-            FROM supplier, nation
-            WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
-              AND s_suppkey IN (
-                  SELECT l_suppkey
-                  FROM lineitem JOIN part ON p_partkey = l_partkey
-                  WHERE p_name LIKE 'small%'
-                    AND l_shipdate >= TIMESTAMP '1996-01-01'
-                    AND l_shipdate < TIMESTAMP '1997-01-01'
-                  GROUP BY l_suppkey HAVING sum(l_quantity) > 50)""",
-        "tpch_q21": """
-            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-            FROM supplier, lineitem l1, orders, nation
-            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-              AND o_orderstatus = 'F'
-              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-              AND EXISTS (SELECT 1 FROM lineitem l2
-                          WHERE l2.l_orderkey = l1.l_orderkey
-                            AND l2.l_suppkey <> l1.l_suppkey)
-              AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
-                              WHERE l3.l_orderkey = l1.l_orderkey
-                                AND o3.o_orderkey = l3.l_orderkey
-                                AND l3.l_suppkey <> l1.l_suppkey
-                                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
-              AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
-            GROUP BY s_name""",
-        "tpch_q22": """
-            WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
-                          FROM customer
-                          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
-            avgbal AS (SELECT avg(c_acctbal) AS ab FROM base
-                       WHERE c_acctbal > 0.0)
-            SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
-                   CAST(count(*) AS BIGINT) AS numcust,
-                   round(sum(c_acctbal), 2) AS totacctbal
-            FROM base, avgbal
-            WHERE c_acctbal > ab
-              AND NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey
-                                AND o_orderdate >= TIMESTAMP '2000-06-01')
-            GROUP BY 1""",
-        "running_total": """
-            SELECT o_custkey, o_orderkey,
-                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                       ROWS UNBOUNDED PRECEDING), 2) AS running_spend
-            FROM orders""",
-        "rollup_doc_counts": """
-            SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-            FROM documents GROUP BY ROLLUP(lang, source)""",
-        "click_attribution": """
-            SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
-                   CAST(date_diff('second', c.ts, b.ts) AS BIGINT) AS lag_sec
-            FROM events b JOIN events c
-              ON c.user_id = b.user_id
-             AND b.event_type = 'purchase' AND c.event_type = 'click'
-             AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 30 MINUTE""",
-        "cube_doc_counts": """
-            SELECT lang, source, count(*) AS n,
-                   CAST(sum(n_chars) AS BIGINT) AS chars,
-                   CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
-            FROM documents GROUP BY CUBE(lang, source)""",
-        "pivot_lang_source": """
-            SELECT lang,
-                   count(CASE WHEN source = 'src0' THEN 1 END) AS src0_n,
-                   count(CASE WHEN source = 'src1' THEN 1 END) AS src1_n,
-                   count(CASE WHEN source = 'src2' THEN 1 END) AS src2_n,
-                   count(CASE WHEN source = 'src3' THEN 1 END) AS src3_n
-            FROM documents GROUP BY lang""",
-        "tile_stream_counts": _tile_stream_sql(),
-        "range_join_sessions": """
-            WITH e AS (
-                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
-                FROM events),
-            lagged AS (
-                SELECT user_id, event_id, ep,
-                       lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep
-                FROM e),
-            flagged AS (
-                SELECT user_id, event_id, ep,
-                       CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM lagged),
-            sess AS (
-                SELECT user_id, ep,
-                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-                FROM flagged),
-            intervals AS (
-                SELECT user_id, session_id,
-                       min(ep) AS t_start, max(ep) AS t_end
-                FROM sess GROUP BY user_id, session_id)
-            SELECT i.user_id, i.session_id, count(*) AS n_in_window
-            FROM intervals i JOIN e ON e.user_id = i.user_id
-             AND e.ep >= i.t_start AND e.ep <= i.t_end
-            GROUP BY i.user_id, i.session_id""",
-        "ngram_jaccard": f"WITH {_ngram_sql()} SELECT a, b, jaccard FROM pairs",
-        "dup_components": f"""
-            WITH RECURSIVE {_ngram_sql()},
-            edges AS (SELECT a AS u, b AS v FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            walk(u, label) AS (
-                SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-                UNION
-                SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u)
-            SELECT u AS doc_id, min(label) AS rep_id FROM walk GROUP BY u""",
-        "feature_meta": _feature_meta_sql(),
-        "lang_id": _lang_id_sql(),
-        "ann_cosine_top5": _ann_cosine_sql(),
-        "multimodal_ann_top3": _multimodal_ann_sql(),
-        "vector_tiles_z5": _vector_tiles_sql(),
-        "mvt_tiles_z4": f"""
-            WITH poly AS ({_vector_tiles_sql(z=4, extent=4096)}),
-            pt AS (SELECT {tiles.sql_tile_x('lon', 4)} AS x,
-                          {tiles.sql_tile_y('lat', 4)} AS y
-                   FROM ({pts}))
-            SELECT 'polygon' AS layer, 4 AS z, x, y, count(*) AS n_features
-            FROM poly GROUP BY x, y
-            UNION ALL
-            SELECT 'point' AS layer, 4 AS z, x, y, count(*) AS n_features
-            FROM pt GROUP BY x, y""",
-        # r3: the five formerly rows-only queries, now value-verified via
-        # the portable md5 hash bridge (functions/phash.py) + pinned
-        # deterministic hyperplane/centroid literals
-        "minhash_near_dups": _minhash_sql(),
-        "simhash_near_dups": _simhash_sql(),
-        "ann_lsh_top5": _ann_lsh_sql(),
-        "embed_near_dups": _embed_near_dups_sql(),
-        "clustering_coeff": _clustering_coeff_sql(),
-        "link_prediction_ra": _link_prediction_ra_sql(),
-        "bfs_hops3": _bfs_hops3_sql(),
-        "sssp_w3": _sssp_w3_sql(),
-        "allen_census": _allen_census_sql(),
-        "voronoi_assign": _voronoi_assign_sql(),
-        "cusum_days": _cusum_days_sql(),
-        "mmr_topk": _mmr_topk_sql(),
-        "tfidf_top_terms": _tfidf_top_terms_sql(),
-        "lpa_communities": _lpa_communities_sql(),
-        "consistent_shards": _consistent_shards_sql(),
-        "asof_nearest": _asof_nearest_sql(),
-        "simplify_collinear": _simplify_collinear_sql(),
-        "max_coverage_hosts": _max_coverage_hosts_sql(),
-        "welch_gate": _welch_gate_sql(),
-        "snapshot_reconcile": _snapshot_reconcile_sql(),
-        "persistent_heavy_hitters": _persistent_heavy_hitters_sql(),
-        "str_pack": _str_pack_sql(),
-        "cohens_kappa": _cohens_kappa_sql(),
-        "cdc_chunks": _cdc_chunks_sql(),
-        "k_anonymity_audit": _k_anonymity_audit_sql(),
-        "winnow_fps": _winnow_fps_sql(),
-        "log_histogram_p99": _log_histogram_p99_sql(),
-        "bpe_merges": _bpe_merges_sql(),
-        "l1_medoid": _l1_medoid_sql(),
-        "maximal_matching": _maximal_matching_sql(),
-        "text_segments": _text_segments_sql(),
-        "frechet_pairs": _frechet_pairs_sql(),
-        "colbert_maxsim": _colbert_maxsim_sql(),
-        "two_phase_median": _two_phase_median_sql(),
-        "attribution_compare": _attribution_compare_sql(),
-        "gapped_sequences": _gapped_sequences_sql(),
-        "otsu_threshold": _otsu_threshold_sql(),
-        "apriori_triples": _apriori_triples_sql(),
-        "diameter_sweep": _diameter_sweep_sql(),
-        "kcenter_greedy": _kcenter_greedy_sql(),
-        "fold_leakage_audit": _fold_leakage_audit_sql(),
-        "selectivity_audit": _selectivity_audit_sql(),
-        "rsync_delta": _rsync_delta_sql(),
-        "effective_tokens": _effective_tokens_sql(),
-        "zipf_fit": _zipf_fit_sql(),
-        "haar_energy": _haar_energy_sql(),
-        "negative_samples": _negative_samples_sql(),
-        "bandit_replay": _bandit_replay_sql(),
-        "blocking_quality": _blocking_quality_sql(),
-        "coreness": _coreness_sql(),
-        "stump_split": _stump_split_sql(),
-        "topk_two_level": _topk_two_level_sql(),
-        "did_purchases": _did_purchases_sql(),
-        "ktruss_edges": _ktruss_edges_sql(),
-        "poisson_bootstrap": _poisson_bootstrap_sql(),
-        "convex_hull_stats": _convex_hull_stats_sql(),
-        "token_bucket": _token_bucket_sql(),
-        "dbscan_clusters": _dbscan_clusters_sql(),
-        "theil_sen_daily": _theil_sen_daily_sql(),
-        "compaction_plan": _compaction_plan_sql(),
-        "simpsons_paradox": _simpsons_paradox_sql(),
-        "sorted_neighborhood": _sorted_neighborhood_sql(),
-        "lz_factors": _lz_factors_sql(),
-        "power_iteration": _power_iteration_sql(),
-        "huffman_cost": _huffman_cost_sql(),
-        "bipartite_check": _bipartite_check_sql(),
-        "mutual_knn": _mutual_knn_sql(),
-        "stable_matching": _stable_matching_sql(),
-        "ransac_line": _ransac_line_sql(),
-        "max_burst_window": _max_burst_window_sql(),
-        "dtw_daily": _dtw_daily_sql(),
-        "quantile_normalize": _quantile_normalize_sql(),
-        "markov_predict_eval": _markov_predict_eval_sql(),
-        "interval_schedule": _interval_schedule_sql(),
-        "rmq_daily": _rmq_daily_sql(),
-        "isotonic_daily": _isotonic_daily_sql(),
-        "mase_seasonal": _mase_seasonal_sql(),
-        "emst_clusters": _emst_clusters_sql(),
-        "join_size_audit": _join_size_audit_sql(),
-        "mis_luby": _mis_luby_sql(),
-        "bwt_runs": _bwt_runs_sql(),
-        "ear_triangulate": _ear_triangulate_sql(),
-        "hash_collision_audit": _hash_collision_audit_sql(),
-        "convex_layers": _convex_layers_sql(),
-        "soundex_groups": _soundex_groups_sql(),
-        "ppr_hosts": _ppr_hosts_sql(),
-        "source_overlap": _source_overlap_sql(),
-        "dag_layers": _dag_layers_sql(),
-        "zorder_locality": _zorder_locality_sql(),
-        "weighted_schedule": _weighted_schedule_sql(),
-        "lis_daily": _lis_daily_sql(),
-        "influence_spread": _influence_spread_sql(),
-        "rich_club": _rich_club_sql(),
-        "morisita_tiles": _morisita_tiles_sql(),
-        "runs_test_daily": _runs_test_daily_sql(),
-        "hodges_lehmann": _hodges_lehmann_sql(),
-        "qn_scale": _qn_scale_sql(),
-        "ssjoin_prefix": _ssjoin_prefix_sql(),
-        "rect_prefix_counts": _rect_prefix_counts_sql(),
-        "kde_cells": _kde_cells_sql(),
-        "basket_pairs": _basket_pairs_sql(),
-        "knn_graph_k3": _knn_graph_k3_sql(),
-        "lang_profile_cosine": _lang_profile_cosine_sql(),
-        "rbo_rankings": _rbo_rankings_sql(),
-        "dup_span_maxrun": _dup_span_maxrun_sql(),
-        "pip_versioned": _pip_versioned_sql(),
-        "dow_residual_outliers": _dow_residual_outliers_sql(),
-        "redirect_resolve": _redirect_resolve_sql(),
-        "tile_gradient": _tile_gradient_sql(),
-        "vocab_growth": _vocab_growth_sql(),
-        "peak_concurrency": _peak_concurrency_sql(),
-        "grid_boundary_cells": _grid_boundary_cells_sql(),
-        "markov_stationary": _markov_stationary_sql(),
-        "rolling_median_7d": _rolling_median_7d_sql(),
-        "boruvka_round1": _boruvka_round1_sql(),
-        "host_cap_sample": _host_cap_sample_sql(),
-        "hll_error_eval": _hll_error_eval_sql(),
-        "time_weighted_value": _time_weighted_value_sql(),
-        "embed_covariance": _embed_covariance_sql(),
-        "quadkey_range_join": _quadkey_range_join_sql(),
-        "trimmed_mean_chars": _trimmed_mean_chars_sql(),
-        "fano_dispersion": _fano_dispersion_sql(),
-        "degree_assortativity": _degree_assortativity_sql(),
-        "event_rle": _event_rle_sql(),
-        "cluster_diameter": _cluster_diameter_sql(),
-        "line_self_intersect": _line_self_intersect_sql(),
-        "autocorr_daily": _autocorr_daily_sql(),
-        "gini_chars": _gini_chars_sql(),
-        "kendall_daily": _kendall_daily_sql(),
-        "chi2_lang_source": _chi2_lang_source_sql(),
-        "mannwhitney_len": _mannwhitney_len_sql(),
-        "ripley_band_pairs": _ripley_band_pairs_sql(),
-        "churn_rollup": _churn_rollup_sql(),
-        "event_motifs_3": _event_motifs_3_sql(),
-        "dup_pair_lang_mix": _dup_pair_lang_mix_sql(),
-        "wow_change": _wow_change_sql(),
-        "rect_nesting": _rect_nesting_sql(),
-        "dwell_event_mix": _dwell_event_mix_sql(),
-        "ks_two_langs": _ks_two_langs_sql(),
-        "topk_drift": _topk_drift_sql(),
-        "cell_coverage_curve": _cell_coverage_curve_sql(),
-        "watermark_policy_sim": _watermark_policy_sim_sql(),
-        "turning_angles": _turning_angles_sql(),
-        "outage_gaps": _outage_gaps_sql(),
-        "ring_normalize": _ring_normalize_sql(),
-        "bounding_circles": _bounding_circles_sql(),
-        "spatial_split_leakage": _spatial_split_leakage_sql(),
-        "revisit_cadence": _revisit_cadence_sql(),
-        "dow_profile": _dow_profile_sql(),
-        "customer_pareto": _customer_pareto_sql(),
-        "rrf_fusion": _rrf_fusion_sql(),
-        "ab_lift": _ab_lift_sql(),
-        "time_to_purchase": _time_to_purchase_sql(),
-        "range_bounds_planner": _range_bounds_planner_sql(),
-        "host_concentration": _host_concentration_sql(),
-        "dominant_bearing": _dominant_bearing_sql(),
-        "host_url_lcp": _host_url_lcp_sql(),
-        "tile_spatial_outliers": _tile_spatial_outliers_sql(),
-        "ship_delay_stats": _ship_delay_stats_sql(),
-        "props_json_stats": _props_json_stats_sql(),
-        "benford_values": _benford_values_sql(),
-        "null_profile": _null_profile_sql(),
-        "dwell_session_overlap": _dwell_session_overlap_sql(),
-        "tile_p90_tokens": _tile_p90_tokens_sql(),
-        "multi_grain_actives": _multi_grain_actives_sql(),
-        "scd2_asof_enrich": _scd2_asof_enrich_sql(),
-        "bot_flags": _bot_flags_sql(),
-        "fk_audit": _fk_audit_sql(),
-        "active_users_7d": _active_users_7d_sql(),
-        "flow_divergence": _flow_divergence_sql(),
-        "conjunctive_search": _conjunctive_search_sql(),
-        "phrase_search": _phrase_search_sql(),
-        "idw_interpolate": _idw_interpolate_sql(),
-        "tile_percentile_rank": _tile_percentile_rank_sql(),
-        "od_flows": _od_flows_sql(),
-        "novelty_weekly": _novelty_weekly_sql(),
-        "union_area_rects": _union_area_rects_sql(),
-        "grid_line_density": _grid_line_density_sql(),
-        "kcore_hosts": _kcore_hosts_sql(),
-        "anomaly_days": _anomaly_days_sql(),
-        "route_snap_join": _route_snap_join_sql(),
-        "weighted_median_tokens": _weighted_median_tokens_sql(),
-        "shard_balance": _shard_balance_sql(),
-        "hausdorff_pairs": _hausdorff_pairs_sql(),
-        "skyline_docs": _skyline_docs_sql(),
-        "tile_focal_mean": _tile_focal_mean_sql(),
-        "prefix_autocomplete_topk": _prefix_autocomplete_topk_sql(),
-        "trend_slope_weekly": _trend_slope_weekly_sql(),
-        "copresence_pairs": _copresence_pairs_sql(),
-        "outlier_mad": _outlier_mad_sql(),
-        "bearing_sectors": _bearing_sectors_sql(),
-        "late_arrival_hist": _late_arrival_hist_sql(),
-        "session_paths": _session_paths_sql(),
-        "containment_pairs": _containment_pairs_sql(),
-        "dbscan_core": _dbscan_core_sql(),
-        "segment_xing_join": _segment_xing_join_sql(),
-        "robots_prefix_rules": _robots_prefix_rules_sql(),
-        "staypoints": _staypoints_sql(),
-        "delta_bytes_by_tile": _delta_bytes_by_tile_sql(),
-        "word_cooc_cosine": _word_cooc_cosine_sql(),
-        "interval_union_time": _interval_union_time_sql(),
-        "host_edit_near_dups": _host_edit_near_dups_sql(),
-        "weighted_sample_docs": _weighted_sample_docs_sql(),
-        "nn_dist_stats": _nn_dist_stats_sql(),
-        "hilbert_keys_z8": _hilbert_keys_z8_sql(),
-        "moran_i_tiles": _moran_i_tiles_sql(),
-        "ntile_len_deciles": _ntile_len_deciles_sql(),
-        "pmi_bigrams": _pmi_bigrams_sql(),
-        "gopher_quality_flags": _gopher_quality_sql(),
-        "top_ngram_frac": _top_ngram_frac_sql(),
-        "pii_scrub": _pii_scrub_sql(),
-        "rare_token_ratio": _rare_token_ratio_sql(),
-        "triangle_hosts": _triangle_hosts_sql(),
-        "kmv_setops": _kmv_setops_sql(),
-        "funnel_conversion": _funnel_conversion_sql(),
-        "areal_interp": _areal_interp_sql(),
-        "quadtree_assign": _quadtree_assign_sql(),
-        "traj_steps": _traj_steps_sql(),
-        "adaptive_cover": _adaptive_cover_sql(),
-        "tile_heat_decay": _tile_heat_decay_sql(),
-        "cocitation_pairs": _cocitation_pairs_sql(),
-        "scd2_history": _scd2_history_sql(),
-        "geom_validity": _geom_validity_sql(),
-        "embed_quantize": _embed_quantize_sql(),
-        "rect_overlay_iou": _rect_overlay_iou_sql(),
-        "event_transitions": _event_transitions_sql(),
-        "link_reciprocity": _link_reciprocity_sql(),
-        "lang_diversity_simpson": _lang_diversity_sql(),
-        "tile_gaps_anti": _tile_gaps_anti_sql(),
-        "host_crawl_priority": _host_crawl_priority_sql(),
-        "cell_skew_stats": _cell_skew_stats_sql(),
-        "lang_confusion": _lang_confusion_sql(),
-        "retention_cohorts": _retention_cohorts_sql(),
-        "canonical_groups": _canonical_groups_sql(),
-        "line_length_stats": _line_length_stats_sql(),
-        "unpivot_lang_counts": _unpivot_lang_counts_sql(),
-        "grouping_sets_counts": _grouping_sets_counts_sql(),
-        "token_positions": _token_positions_sql(),
-        "hll_union_rollup": _hll_union_rollup_sql(),
-        "minhash_eval": _minhash_eval_sql(),
-        "anchor_text_topk": _anchor_text_topk_sql(),
-        "knn_label_vote": _knn_label_vote_sql(),
-        "host_mirrors": _host_mirrors_sql(),
-        "mlt_topk": _mlt_topk_sql(),
-        "zonal_stats": _zonal_stats_sql(),
-        "line_cover": _line_cover_sql(),
-        "wkt_quantized": f"""
-            SELECT doc_id, 'POINT (' || CAST(qx AS VARCHAR) || ' '
-                   || CAST(qy AS VARCHAR) || ')' AS wkt
-            FROM ({minted.SQL_MINTED_POINTS_Q.strip()})""",
-        "radius_join_pairs": _radius_join_sql(),
-        "simplify_vw": _simplify_vw_sql(),
-        "geohash6": _geohash6_sql(),
-        "hotspot_clusters": _hotspot_clusters_sql(),
-        "bm25_topk": "WITH " + ranking.sql_bm25_scores("documents", BM25_TERMS)
-        + """
-        SELECT doc_id, dl, score_ppm FROM bm25
-        ORDER BY score_ppm DESC, doc_id
-        LIMIT 15""",
-        "inverted_postings": "WITH " + ranking.sql_postings("documents")
-        + """
-        SELECT term, df, tf_total, first_docs FROM post
-        ORDER BY df DESC, term
-        LIMIT 30""",
-        "hits_hosts": _hits_hosts_sql(),
-        "bloom_join_prune": _bloom_join_prune_sql(),
-        "quadkey_z8": f"""
-            SELECT doc_id, x, y, {tiles.sql_quadkey('x', 'y', 8)} AS qk
-            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
-        "geom_area_centroid": _geom_area_centroid_sql(),
-        "sketch_kmv_lang": sketch.sql_kmv_distinct(
-            "documents", "lang", "doc_id", k=16),
-        "sketch_bloom_doc_gate": "WITH " + sketch.sql_bloom_cte(
-            "(SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents"
-            " WHERE lang = 'en')",
-            "(SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents)",
-            "k", "k", m_bits=1 << 13, n_hashes=4,
-        ) + " SELECT key, bloom_maybe FROM bloomed",
-        "sketch_cms_lang": _sketch_cms_lang_sql(),
-        "sketch_hll_docs": "WITH " + sketch.sql_hll_cte(
-            "documents", "doc_id", b=6,
-        ) + " SELECT m, n_present, n_zero, s_scaled, est_raw FROM hll",
-        "doc_len_percentiles": _doc_len_percentiles_sql(),
-        "host_tile_footprint": _host_tile_footprint_sql(),
-        "lang_tile_mix": _lang_tile_mix_sql(),
-        "dup_span_frac": _dup_span_frac_sql(),
-        "ngram_topk": _ngram_topk_sql(),
-        "host_quality_rollup": _host_quality_rollup_sql(),
-        "text_normalize": _text_normalize_sql(),
-        "paragraph_owner": _paragraph_owner_sql(),
-        "boilerplate_lines": _boilerplate_lines_sql(),
-        "line_dedup_clean": _line_dedup_clean_sql(),
-        "meta_robots": _meta_robots_sql(),
-        "warc_index": _warc_index_sql(),
-        "sample_stratified": _sample_stratified_sql(),
-        "latest_capture": _latest_capture_sql(),
-        "url_normalize": _url_normalize_sql(),
-        "link_host_graph": _link_host_graph_sql(),
-        "pagerank_hosts": _pagerank_hosts_sql(),
-        "crawl_diff": _crawl_diff_sql(),
-        "pages_synth": _pages_synth_sql(),
-        "html_extract_text": _html_extract_sql(),
-        "url_host_topk": _url_host_topk_sql(),
-        "dup_ngram_stats": TXT.sql_dup_ngrams("documents"),
-    }
-    return _with_ivf_oracle(out)
-
-
-def _with_ivf_oracle(out: dict[str, str]) -> dict[str, str]:
-    # _ann_ivf_sql reads the embeddings parquet at generation time (the
-    # k-means training sample is pinned as centroid literals); on a host
-    # without the fixture, degrade ONLY ann_ivf_top5 to rows-only instead
-    # of taking all 90 other oracles down with a FileNotFoundError.
-    # Only the documented missing-fixture case degrades; a real bug in
-    # _ann_ivf_sql must surface, not silently drop value verification.
-    try:
-        out["ann_ivf_top5"] = _ann_ivf_sql()
-    except (FileNotFoundError, OSError) as e:
-        import sys
-        print(f"[oracle] ann_ivf_top5 degraded to rows-only: {e}",
-              file=sys.stderr)
-    return out
+from geobuf_spark.registry import (  # noqa: F401
+    MODULES,
+    entry,
+    oracle_sql,
+    queries,
+)
+
+for _m in MODULES:
+    globals().update({k: v for k, v in vars(_m).items()
+                      if not k.startswith("__")})
+del _m

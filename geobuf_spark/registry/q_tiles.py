@@ -1,0 +1,1474 @@
+"""Registry family: tile math, covers, rasterize/vectorize, space-filling curves.
+
+Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
+query functions keep their original text, oracles sit beside them in
+this module's oracles(). Driver-window ORDER lives in window.py, not here.
+"""
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from geobuf_spark.codec import spark_codec
+from geobuf_spark.functions import text as TXT
+from geobuf_spark.functions import geom, hexgrid, phash, tiles
+from geobuf_spark.operators import dedup, knn, ranking, similarity, sketch
+from geobuf_spark.operators import spatial_join as sj
+from geobuf_spark.operators import tiling
+from geobuf_spark.sources import minted, pages
+from geobuf_spark.streaming import windows as W
+from ._shared import *  # noqa: F401,F403
+
+
+def q_quadkey_z8(spark, sf):
+    # Bing quadkey addressing of every minted point at z=8 — unrolled
+    # bit/string expressions (functions/tiles.quadkey), zero shuffle;
+    # quadkeys prefix-nest so LIKE-prefix scans prune tile subtrees
+    pts = _points(spark, sf)
+    x, y = tiles.tile_x(F.col("lon"), 8), tiles.tile_y(F.col("lat"), 8)
+    return pts.select("doc_id", x.alias("x"), y.alias("y"),
+                      tiles.quadkey(x, y, 8).alias("qk"))
+
+def q_geohash6(spark, sf):
+    # geohash cell addressing of every minted point at 6 characters —
+    # the third cell-encoding family next to quadkeys and morton keys;
+    # one exact integer division per axis + the morton spread ladder
+    from geobuf_spark.functions import cells
+    p = minted.minted_points_q(spark, sf)
+    return p.select("doc_id", cells.geohash_q(F.col("qx"), F.col("qy"), 6)
+                    .alias("gh"))
+
+def q_line_cover(spark, sf):
+    # line cover — the missing third of the cover family (points carry ONE
+    # cell, polygons explode a bbox cover): every walk-line segment
+    # explodes to its conservative cell-bbox cover
+    # (spatial_join.line_cover_cells, two staged explodes, no shuffle),
+    # then a per-line rollup. Packed cell = cx*1000+cy (no neighbor
+    # arithmetic on the packed key; cy < 31 here).
+    cov = sj.line_cover_cells(minted.minted_walk_lines_q(spark, sf, k=9))
+    packed = F.col("cx") * 1000 + F.col("cy")
+    return cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(packed).alias("n_cells"),
+        F.min(packed).alias("cell_min"),
+        F.max(packed).alias("cell_max"))
+
+def _line_cover_sql(k: int = 9, cell: int = None) -> str:
+    """Oracle for q_line_cover: the segment bbox covers unrolled per fixed
+    segment index, expanded by staged generate_series unnests."""
+    if cell is None:
+        cell = sj.LINE_CELL
+    xs, ys = minted.sql_minted_walk_coords(k)
+    cols = ",\n               ".join(
+        [f"{e} AS x{i}" for i, e in enumerate(xs)]
+        + [f"{e} AS y{i}" for i, e in enumerate(ys)])
+    seg_rows = "\n          UNION ALL ".join(
+        f"""SELECT doc_id, {j + 1} AS seg,
+                   least(x{j}, x{j + 1}) // {cell} AS gx1,
+                   greatest(x{j}, x{j + 1}) // {cell} AS gx2,
+                   least(y{j}, y{j + 1}) // {cell} AS gy1,
+                   greatest(y{j}, y{j + 1}) // {cell} AS gy2 FROM wl"""
+        for j in range(k - 1))
+    return f"""
+        WITH wl AS (SELECT doc_id, {cols} FROM documents),
+        seg AS ({seg_rows}),
+        ex AS (SELECT doc_id, seg, unnest(generate_series(gx1, gx2)) AS cx,
+                      gy1, gy2
+               FROM seg),
+        cells AS (SELECT doc_id, seg, cx,
+                         unnest(generate_series(gy1, gy2)) AS cy
+                  FROM ex)
+        SELECT doc_id, count(*) AS n_rows,
+               count(DISTINCT cx * 1000 + cy) AS n_cells,
+               min(cx * 1000 + cy) AS cell_min,
+               max(cx * 1000 + cy) AS cell_max
+        FROM cells GROUP BY 1"""
+
+def q_zonal_stats(spark, sf):
+    # zonal statistics — the classic raster/vector analytics rollup as a
+    # composition: cell-indexed PIP join (broadcast build side) feeding a
+    # per-zone aggregate of a point payload (n_chars), all map-side
+    # combinable after the join. One query = join family × agg family.
+    pts = _points(spark, sf).join(
+        _docs(spark, sf).select("doc_id", "n_chars"), "doc_id")
+    j = sj.pip_join(pts, _rects(spark, sf), z=6, strategy="broadcast")
+    return j.groupBy("poly_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
+
+def q_areal_interp(spark, sf):
+    # areal interpolation: proportional allocation of each rectangle onto
+    # the planar grid — per (rect, cell) EXACT integer overlap area and
+    # ppm weight. The redistribution step zonal_stats (zone → rollup)
+    # doesn't give: this goes the other way (zone measure → raster).
+    # One staged 2-D explode, no shuffle (spatial_join.rect_cell_weights).
+    return sj.rect_cell_weights(_shifted_rects(spark, sf), AREAL_CELL)
+
+def q_quadtree_assign(spark, sf):
+    # quadtree fit-level assignment (the XZ-ordering write path of a
+    # spatial index — GeoMesa/Sedona publish this shape): the deepest
+    # zoom z ≤ 8 at which the whole rectangle lands in ONE tile, plus
+    # that tile. Containment is monotone in z, so z_fit is a SUM of
+    # per-level agreement indicators on the z=8 corner tiles — pure
+    # integer arithmetic, zero shuffles.
+    r = _rects(spark, sf)
+    xa, xb = tiles.tile_x(F.col("minx"), 8), tiles.tile_x(F.col("maxx"), 8)
+    ya, yb = tiles.tile_y(F.col("maxy"), 8), tiles.tile_y(F.col("miny"), 8)
+    d = r.select("poly_id", xa.alias("xa"), xb.alias("xb"),
+                 ya.alias("ya"), yb.alias("yb"))
+    agree = [
+        ((F.floor(F.col("xa") / (1 << (8 - z))) == F.floor(F.col("xb") / (1 << (8 - z))))
+         & (F.floor(F.col("ya") / (1 << (8 - z))) == F.floor(F.col("yb") / (1 << (8 - z)))))
+        .cast("bigint")
+        for z in range(1, 9)
+    ]
+    d = d.withColumn("z_fit", sum(agree[1:], agree[0]))
+    pw = F.pow(F.lit(2.0), (F.lit(8) - F.col("z_fit")).cast("double"))
+    return d.select(
+        "poly_id", "z_fit",
+        F.floor(F.col("xa").cast("double") / pw).cast("bigint").alias("qx"),
+        F.floor(F.col("ya").cast("double") / pw).cast("bigint").alias("qy"))
+
+def _areal_interp_sql() -> str:
+    """Oracle for q_areal_interp: same shifted lattice boxes, same staged
+    generate_series cover, same least/greatest overlap arithmetic."""
+    c = AREAL_CELL
+    return f"""
+        WITH {_shifted_rects_cte()},
+        g AS (SELECT *, x1 // {c} AS gx1, (x2 - 1) // {c} AS gx2,
+                     y1 // {c} AS gy1, (y2 - 1) // {c} AS gy2
+              FROM r),
+        ex AS (SELECT poly_id, x1, y1, x2, y2, gy1, gy2,
+                      unnest(generate_series(gx1, gx2)) AS cx
+               FROM g),
+        cov AS (SELECT poly_id, x1, y1, x2, y2, cx,
+                       unnest(generate_series(gy1, gy2)) AS cy
+                FROM ex)
+        SELECT poly_id, cx, cy,
+               (least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
+               * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
+                   AS overlap_area,
+               CAST(floor(CAST((least(x2, (cx + 1) * {c}) - greatest(x1, cx * {c}))
+                    * (least(y2, (cy + 1) * {c}) - greatest(y1, cy * {c}))
+                    AS DOUBLE) * 1000000.0
+                    / CAST((x2 - x1) * (y2 - y1) AS DOUBLE)) AS BIGINT)
+                   AS weight_ppm
+        FROM cov"""
+
+def _quadtree_assign_sql() -> str:
+    """Oracle for q_quadtree_assign: corner tiles at z=8 (literal
+    boundary-count tile_y), per-level agreement sum, power-of-two floor
+    divisions (exact in doubles)."""
+    rects = minted.SQL_MINTED_RECTS.strip()
+    xa, xb = tiles.sql_tile_x("minx", 8), tiles.sql_tile_x("maxx", 8)
+    ya, yb = tiles.sql_tile_y("maxy", 8), tiles.sql_tile_y("miny", 8)
+    agree = " + ".join(
+        f"(CASE WHEN xa // {1 << (8 - z)} = xb // {1 << (8 - z)}"
+        f" AND ya // {1 << (8 - z)} = yb // {1 << (8 - z)}"
+        f" THEN 1 ELSE 0 END)"
+        for z in range(1, 9))
+    return f"""
+        WITH r AS ({rects}),
+        t AS (SELECT poly_id, {xa} AS xa, {xb} AS xb, {ya} AS ya, {yb} AS yb
+              FROM r),
+        zf AS (SELECT poly_id, xa, ya, CAST({agree} AS BIGINT) AS z_fit
+               FROM t)
+        SELECT poly_id, z_fit,
+               CAST(floor(CAST(xa AS DOUBLE)
+                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qx,
+               CAST(floor(CAST(ya AS DOUBLE)
+                    / power(2.0, CAST(8 - z_fit AS DOUBLE))) AS BIGINT) AS qy
+        FROM zf"""
+
+def q_adaptive_cover(spark, sf):
+    # S2-RegionCoverer-style adaptive covering: mixed-level cells, coarse
+    # where fully inside, refined along the boundary — the normalized
+    # covering a spatial index builds query ranges from; work per region
+    # is O(perimeter / leaf_cell), not O(area). The fixed-z tile covers
+    # (tile_cover_rects_z7, line_cover) are the degenerate single-level
+    # case. Pure generator expressions, no shuffle.
+    return tiling.adaptive_cover(_shifted_rects(spark, sf), z_min=4, z_max=8)
+
+def q_tile_heat_decay(spark, sf):
+    # temporal-decay heatmap: per-tile Σ 2^(-age_bucket) over the pages'
+    # minted geometry — the freshness-weighted density a crawl scheduler
+    # reads. Dyadic weights (powers of two) make the float sum EXACT, so
+    # the cross-engine twin matches bit-for-bit where e^-λt never would.
+    # One shuffle (the tile rollup).
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    bucket = F.least(
+        F.expr(f"({HEAT_T_REF} - unix_timestamp(warc_ts)) div 86400 div 30"),
+        F.lit(10)).cast("double")
+    w = F.pow(F.lit(2.0), -bucket)
+    d = p.select(
+        tiles.tile_x(F.col("lon"), HEAT_Z).alias("x"),
+        tiles.tile_y(F.col("lat"), HEAT_Z).alias("y"),
+        w.alias("w"))
+    return (d.groupBy("x", "y")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("w").alias("heat")))
+
+def _adaptive_cover_sql() -> str:
+    """Oracle for q_adaptive_cover: the same per-level refinement unrolled
+    as chained CTEs (operators/tiling.sql_adaptive_cover)."""
+    return tiling.sql_adaptive_cover(_shifted_rects_cte(), z_min=4, z_max=8)
+
+def _tile_heat_decay_sql() -> str:
+    """Oracle for q_tile_heat_decay: same dyadic weights; sum of powers
+    of two is exact in IEEE doubles, so no tolerance is needed."""
+    x = tiles.sql_tile_x("lon", HEAT_Z)
+    y = tiles.sql_tile_y("lat", HEAT_Z)
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        {_pages_geo_cte()},
+        t AS (SELECT g.id, g.lon, g.lat, p.ts_epoch
+              FROM geo g JOIN txt p ON g.id = p.id),
+        w AS (SELECT {x} AS x, {y} AS y,
+                     power(2.0, -CAST(least(({HEAT_T_REF} - ts_epoch)
+                         // 86400 // 30, 10) AS DOUBLE)) AS w
+              FROM t)
+        SELECT x, y, count(*) AS n_pages, sum(w) AS heat
+        FROM w GROUP BY 1, 2"""
+
+def q_tile_gaps_anti(spark, sf):
+    # coverage-regression detection: tiles occupied by snapshot A but by
+    # nothing in snapshot B (crawl_diff's drop pattern) — the LEFT ANTI
+    # join shape on tile keys. Narrow: both sides reduce to distinct
+    # (x, y) before the anti join.
+    za = pages.with_minted_geometry(pages.pages(spark, 2000))
+    b_pages = pages.pages(spark, 2400).where(
+        F.pmod(F.col("page_id"), F.lit(17)) != 3)
+    zb = pages.with_minted_geometry(b_pages)
+
+    def tiles_of(p):
+        return p.select(tiles.tile_x(F.col("lon"), 7).alias("x"),
+                        tiles.tile_y(F.col("lat"), 7).alias("y")).distinct()
+
+    return (tiles_of(za).join(tiles_of(zb), ["x", "y"], "left_anti")
+            .select("x", "y"))
+
+def _tile_gaps_anti_sql() -> str:
+    """Oracle for q_tile_gaps_anti: both snapshots' distinct z7 tiles,
+    EXCEPT (DuckDB's anti-join on full rows)."""
+    x7, y7 = tiles.sql_tile_x("lon", 7), tiles.sql_tile_y("lat", 7)
+    # regenerate snapshot A (n=2000) and B (n=2400 minus every 17th);
+    # b_geo repeats _pages_geo_cte's md5(url) mint against the b_ prefix
+    return f"""
+        WITH {_pages_cte(2000, 42)},
+        {_pages_geo_cte()},
+        at AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM geo),
+        {_pages_cte(2400, 42, prefix="b_")},
+        b_geo AS (SELECT id, url,
+                         (CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                          % 3600000000 - 1800000000) / 1e7 AS lon,
+                         (CAST(('0x' || substr(md5(url), 9, 8)) AS BIGINT)
+                          % 1700000000 - 850000000) / 1e7 AS lat
+                  FROM b_txt WHERE id % 17 <> 3),
+        bt AS (SELECT DISTINCT {x7} AS x, {y7} AS y FROM b_geo)
+        SELECT x, y FROM at
+        EXCEPT
+        SELECT x, y FROM bt"""
+
+def q_tile_assign_z8(spark, sf):
+    return tiling.assign_tiles_points(_points(spark, sf), z=8).select("doc_id", "z", "x", "y")
+
+def q_morton_keys_z8(spark, sf):
+    # Z-order clustering key (Iceberg/Delta Z-ORDER parity): the 1-D sort
+    # key cluster_by_morton range-partitions files on, so bbox scans prune
+    # via parquet min/max stats
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return a.select("doc_id", "x", "y",
+                    tiles.morton_key(F.col("x"), F.col("y"), 8).alias("morton"))
+
+def q_tile_counts_z6(spark, sf):
+    return tiling.tile_histogram(tiling.assign_tiles_points(_points(spark, sf), z=6))
+
+def q_tile_parent_promote(spark, sf):
+    # z=10 assignment promoted to z=7 — parent arithmetic (split_combine.go:390-394)
+    a = tiling.assign_tiles_points(_points(spark, sf), z=10)
+    return tiling.promote_to_zoom(a, 7).select("doc_id", "z", "x", "y")
+
+def q_tile_pyramid(spark, sf):
+    # multi-zoom rollup z=8 → z=5: one scan + per-level folds
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return tiling.tile_pyramid(a, z_min=5)
+
+def q_tile_cover_rects_z7(spark, sf):
+    return tiling.assign_tiles_bbox(_rects(spark, sf), z=7).select("poly_id", "z", "x", "y")
+
+def q_split_clip_z5(spark, sf):
+    # full MapGeobuf-with-ClipFeature semantics on rect features: each
+    # (rect, tile) piece is the rect∩tile box — oracle-exact arithmetic
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    out = tiling.split_clip_tiles(polys, z=5)
+    idxs = F.sequence(F.lit(0), (F.size("coords") / 2).cast("int") - 1)
+    xs = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 1))
+    ys = F.transform(idxs, lambda i: F.element_at("coords", i * 2 + 2))
+    piece = out.select(
+        "poly_id", "z", "x", "y",
+        F.round(F.array_min(xs), 7).alias("pminx"),
+        F.round(F.array_min(ys), 7).alias("pminy"),
+        F.round(F.array_max(xs), 7).alias("pmaxx"),
+        F.round(F.array_max(ys), 7).alias("pmaxy"),
+    )
+    return piece.filter((F.col("pmaxx") > F.col("pminx")) & (F.col("pmaxy") > F.col("pminy")))
+
+def q_vector_tiles_z5(spark, sf):
+    # capstone tiling pipeline: cover → clip → tile-local grid snap.
+    # Output = the snapped grid box of every surviving (rect, tile) ring
+    # plus the ring's grid-value count — for axis-aligned rects the
+    # Sutherland–Hodgman clip is exactly the rect∩tile box, so the whole
+    # pipeline (cover, clip, snap with clamps, degenerate-ring drop) has
+    # an exact DuckDB twin. The snap's x side runs the IDENTICAL float
+    # expression both engines; the y side is self-consistent per engine
+    # (each clips and snaps against its own mercator bounds).
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    out = tiling.vector_tiles(polys, z=5, extent=256)
+    xs = F.filter("grid_coords", lambda v, i: i % 2 == 0)
+    ys = F.filter("grid_coords", lambda v, i: i % 2 == 1)
+    return out.select(
+        "poly_id", "z", "x", "y",
+        F.size("grid_coords").alias("n_grid_values"),
+        F.array_min(xs).alias("gx0"), F.array_max(xs).alias("gx1"),
+        F.array_min(ys).alias("gy0"), F.array_max(ys).alias("gy1"))
+
+def q_mvt_tiles_z4(spark, sf):
+    # real Mapbox Vector Tile blobs (spec 2.1 wire format) from the full
+    # cover→clip→snap pipeline; rows-only (binary output), round-trip
+    # verified by the spec-conformant parser in pytest
+    from geobuf_spark.functions import mvt as MVT
+    r = _rects(spark, sf)
+    ring = F.array("minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy")
+    polys = r.select("poly_id", "minx", "miny", "maxx", "maxy",
+                     ring.alias("coords"), F.array(F.lit(4)).alias("ring_lens"))
+    vt = tiling.vector_tiles(polys, z=4, extent=4096)
+    poly_tiles = MVT.build_mvt_tiles(vt, layer_name="rects") \
+        .select(F.lit("polygon").alias("layer"), "z", "x", "y", "n_features")
+    # point layer (MULTIPOINT MoveTo runs) over the minted doc points
+    vp = tiling.vector_tiles_points(_points(spark, sf), z=4, extent=4096)
+    pt_tiles = MVT.build_mvt_tiles(vp, id_col="doc_id", layer_name="docs",
+                                   geom="point") \
+        .select(F.lit("point").alias("layer"), "z", "x", "y", "n_features")
+    # per-tile feature ROUTING is driver-oracled; the blob bytes themselves
+    # are pinned by the parse_mvt round-trip fuzz tests
+    return poly_tiles.unionByName(pt_tiles)
+
+def q_tile_stream_counts(spark, sf):
+    # geo × event-time rollup: minted event points → mercator tile at z=6
+    # → tumbling 10-min counts per (window, tile); streaming twin tested
+    # batch≡stream in pytest
+    return W.tile_event_counts(spark.read.parquet(f"{sf}/events.parquet"),
+                               z=6, minutes=10)
+
+def q_cover_size_estimate(spark, sf):
+    # GetSizeGrid (split_combine.go:44-53): planned tile fan-out per feature
+    from geobuf_spark.functions.tiles import bbox_tile_range
+    r = _rects(spark, sf)
+    x0, x1, y0, y1 = bbox_tile_range(F.col("minx"), F.col("miny"),
+                                     F.col("maxx"), F.col("maxy"), 7)
+    return r.select(
+        "poly_id", ((x1 - x0 + 1) * (y1 - y0 + 1)).alias("n_tiles")
+    )
+
+def q_rasterize_z4(spark, sf):
+    from geobuf_spark.operators import raster
+    return raster.rasterize(_points(spark, sf), z=4, res_bits=4)
+
+def q_vectorize_z3(spark, sf):
+    from geobuf_spark.operators import raster
+    return raster.vectorize(raster.rasterize(_points(spark, sf), z=3, res_bits=4))
+
+def q_host_tile_footprint(spark, sf):
+    # the graft cross-axis rollup: per HOST (payload axis), the spatial
+    # footprint of its pages (geometry axis) — distinct z8 tiles, page
+    # count, and the exact bbox of the host's minted points. ONE hash agg
+    # on host; the tile is packed into one bigint (x8*256 + y8) so the
+    # distinct count shuffles narrow integers; lon/lat min/max are exact
+    # lattice doubles (FIXTURES.md §1), so the bbox is oracle-exact.
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    tile = (tiles.tile_x(F.col("lon"), 8) * 256 + tiles.tile_y(F.col("lat"), 8))
+    return (p.groupBy(TXT.url_host(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct(tile).alias("n_tiles"),
+                 F.min("lon").alias("west"), F.min("lat").alias("south"),
+                 F.max("lon").alias("east"), F.max("lat").alias("north")))
+
+def q_lang_tile_mix(spark, sf):
+    # per-tile language mix at z6 — the geo × payload histogram a crawl
+    # planner reads: page count, language count, and the dominant language
+    # per tile. Two-phase: one hash agg on (tile, lang) with map-side
+    # partials, then window functions over the (much smaller) group table —
+    # the window re-shuffles tile-lang GROUPS, never pages. The row_number
+    # order (n desc, lang asc) is total, so the winner is deterministic.
+    from pyspark.sql import Window
+    p = pages.with_minted_geometry(pages.pages(spark, 2000))
+    g = (p.groupBy(tiles.tile_x(F.col("lon"), 6).alias("x6"),
+                   tiles.tile_y(F.col("lat"), 6).alias("y6"),
+                   "lang")
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("x6", "y6")
+    return (g.withColumn("rn", F.row_number().over(
+                w.orderBy(F.desc("n"), F.asc("lang"))))
+            .withColumn("n_pages", F.sum("n").over(w))
+            .withColumn("n_langs", F.count("*").over(w))
+            .where(F.col("rn") == 1)
+            .select("x6", "y6", "n_pages", "n_langs",
+                    F.col("lang").alias("top_lang"),
+                    F.col("n").alias("n_top")))
+
+def q_doc_len_percentiles(spark, sf):
+    # per-language exact order statistics of document length — the corpus
+    # length-distribution report: p10/p50/p90 token counts by the
+    # "lower" method (sorted ascending, 1-based index floor(p*(n-1))+1 —
+    # pure integer arithmetic, so both engines index the same element and
+    # the values are oracle-exact; interpolated percentiles would hinge on
+    # cross-libm float formulas). collect_list is bounded by docs-per-
+    # language here; at 10^12 docs the production path is a two-pass
+    # count + offset lookup (or approx_percentile when ±ε is acceptable) —
+    # this exact form is the small-side/oracle tier.
+    t = _docs(spark, sf).select(
+        "lang", TXT.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    g = (t.groupBy("lang")
+         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
+              F.count("*").alias("n_docs")))
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+    return g.select("lang", "n_docs", pick(1, 10, "p10_tokens"),
+                    pick(5, 10, "p50_tokens"), pick(9, 10, "p90_tokens"))
+
+def q_hilbert_keys_z8(spark, sf):
+    # Hilbert-curve clustering key for every z=8 tile assignment — the
+    # tighter-locality sibling of morton_keys_z8 (a bbox window crosses
+    # O(perimeter) contiguous Hilbert ranges vs the Z-curve's diagonal
+    # jumps — why Iceberg grew hilbert next to zorder). Stateful per-level
+    # rotation → ONE vectorized numpy pass per Arrow batch, zero shuffle
+    # (functions/tiles.with_hilbert_key); the oracle runs the same scan as
+    # z nested subqueries, verified bit-exact over the full 256×256 grid.
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    return tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8)
+
+def _hilbert_keys_z8_sql() -> str:
+    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
+             f"{tiles.sql_tile_y('lat', 8)} AS y "
+             f"FROM ({minted.SQL_MINTED_POINTS})")
+    return tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
+
+def q_moran_i_tiles(spark, sf):
+    # global Moran's I over a 1°-cell count lattice (queen weights) —
+    # "are dense cells adjacent to dense cells?", the standard first
+    # question about any spatial rollup. Runs on the CLUSTERED minting
+    # (the uniform draws put ≤1 point per cell — zero variance, I
+    # undefined); binning is pure integer division on the quantized
+    # lattice. Exact integer num/den (deviations multiplied through by n)
+    # + one IEEE-deterministic double; plan is one corpus-scale cell agg,
+    # an 8-offset fan-out, ONE equi-join over occupied cells, two
+    # single-row aggs (operators/raster.morans_i).
+    from geobuf_spark.operators import raster
+    p = minted.minted_cluster_points_q(spark, sf)
+    counts = (p.groupBy((F.col("qx") / MORAN_BIN).cast("bigint").alias("x"),
+                        (F.col("qy") / MORAN_BIN).cast("bigint").alias("y"))
+              .agg(F.count("*").alias("n")))
+    return raster.morans_i(counts)
+
+def _moran_i_tiles_sql() -> str:
+    from geobuf_spark.operators import raster
+    counts = (f"SELECT qx // {MORAN_BIN} AS x, qy // {MORAN_BIN} AS y, "
+              f"count(*) AS n "
+              f"FROM ({minted.sql_minted_cluster_points_q()}) GROUP BY 1, 2")
+    return raster.sql_morans_i(counts)
+
+def q_delta_bytes_by_tile(spark, sf):
+    # the codec × layout analytic: per grid cell, the geobuf coordinate
+    # payload cost (Σ varint(zigzag(Δqx)) + varint(zigzag(Δqy)), first
+    # feature delta-from-zero — write_primitives.go semantics) under TWO
+    # within-cell orderings: arrival (doc_id) vs Hilbert. The hilbert
+    # column must shrink bytes — the measured justification for
+    # cluster-by-hilbert file layout, computed as pure expressions over
+    # ONE window shuffle (both windows share the cell partitioning; the
+    # second ordering adds a sort, not an exchange).
+    from pyspark.sql import Window as Win
+    p = minted.minted_points_q(spark, sf)
+    g = (p.withColumn("gx", F.expr(f"(qx * {DELTA_GRID}) div 3600000000"))
+         .withColumn("gy", F.expr(f"(qy * {DELTA_GRID}) div 1700000000"))
+         .withColumn("hx", F.expr("(qx * 4096) div 3600000000"))
+         .withColumn("hy", F.expr("(qy * 4096) div 1700000000")))
+    g = tiles.with_hilbert_key(g, x="hx", y="hy", z=12)
+
+    def cost(order_cols):
+        w = Win.partitionBy("gx", "gy").orderBy(*order_cols)
+        dx = F.col("qx") - F.coalesce(F.lag("qx").over(w), F.lit(0))
+        dy = F.col("qy") - F.coalesce(F.lag("qy").over(w), F.lit(0))
+        tmp = (g.withColumn("_dx", dx).withColumn("_dy", dy)
+               .withColumn("_b", F.expr(
+                   _sql_varint_len(_sql_zigzag("_dx")) + " + "
+                   + _sql_varint_len(_sql_zigzag("_dy")))))
+        return tmp.groupBy("gx", "gy").agg(
+            F.count("*").alias("n_pts"), F.sum("_b").alias("bytes"))
+
+    seq = cost(["doc_id"])
+    hil = (cost([F.col("hilbert"), F.col("doc_id")])
+           .withColumnRenamed("bytes", "bytes_hilbert").drop("n_pts"))
+    return (seq.withColumnRenamed("bytes", "bytes_seq")
+            .join(hil, ["gx", "gy"]))
+
+def _delta_bytes_by_tile_sql() -> str:
+    pq = minted.SQL_MINTED_POINTS_Q
+    inner = (f"SELECT doc_id, qx, qy, "
+             f"(qx * {DELTA_GRID}) // 3600000000 AS gx, "
+             f"(qy * {DELTA_GRID}) // 1700000000 AS gy, "
+             f"(qx * 4096) // 3600000000 AS x, "
+             f"(qy * 4096) // 1700000000 AS y FROM ({pq})")
+    hil = tiles.sql_hilbert_wrap(
+        inner, ["doc_id", "qx", "qy", "gx", "gy"], z=12)
+    byt = (_sql_varint_len(_sql_zigzag("_dx")) + " + "
+           + _sql_varint_len(_sql_zigzag("_dy")))
+    return f"""
+        WITH h AS ({hil}),
+        seq AS (SELECT gx, gy,
+                       qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
+                            ORDER BY doc_id), 0) AS _dx,
+                       qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
+                            ORDER BY doc_id), 0) AS _dy
+                FROM h),
+        hilo AS (SELECT gx, gy,
+                        qx - coalesce(lag(qx) OVER (PARTITION BY gx, gy
+                             ORDER BY hilbert, doc_id), 0) AS _dx,
+                        qy - coalesce(lag(qy) OVER (PARTITION BY gx, gy
+                             ORDER BY hilbert, doc_id), 0) AS _dy
+                 FROM h),
+        a AS (SELECT gx, gy, count(*) AS n_pts,
+                     CAST(sum({byt}) AS BIGINT) AS bytes_seq
+              FROM seq GROUP BY 1, 2),
+        b AS (SELECT gx, gy, CAST(sum({byt}) AS BIGINT) AS bytes_hilbert
+              FROM hilo GROUP BY 1, 2)
+        SELECT a.gx, a.gy, n_pts, bytes_seq, bytes_hilbert
+        FROM a JOIN b ON a.gx = b.gx AND a.gy = b.gy"""
+
+def q_tile_focal_mean(spark, sf):
+    # raster focal statistics: per occupied z6 tile, the 3×3
+    # neighbourhood sum / tile count of point density — the smoothing
+    # kernel every heat-map pipeline runs. The corpus-scale work is ONE
+    # tile aggregation; the focal pass explodes the tiny tile table 9×
+    # and re-groups (integer sums only — the mean ships as num/den).
+    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
+         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
+         .localCheckpoint(eager=False))
+    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .select((F.col("x") + F.col("dx")).alias("x"),
+                   (F.col("y") + F.col("dy")).alias("y"),
+                   F.col("n_pts").alias("c")))
+    focal = (nbr.groupBy("x", "y")
+             .agg(F.sum("c").alias("focal_sum"),
+                  F.count("*").alias("n_nbr_tiles")))
+    return (t.join(focal, ["x", "y"])
+            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
+
+def _tile_focal_mean_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
+                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y,
+                     count(*) AS n_pts
+              FROM p GROUP BY 1, 2),
+        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
+                FROM t,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
+                     count(*) AS n_nbr_tiles
+              FROM nbr GROUP BY 1, 2)
+        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
+        FROM t JOIN f ON t.x = f.x AND t.y = f.y"""
+
+def q_grid_line_density(spark, sf):
+    # road-density raster: per lattice grid cell, the total clipped
+    # polyline length (Liang-Barsky parametric clip — the clip family's
+    # pure-expression sibling of operators/clip.py's Arrow kernels).
+    # Candidates from the bbox cell cover (≤ 2 cells/axis at this span);
+    # the float piece lengths are floored to 2^-20 fixed point per row so
+    # the per-cell SUM is an exact int64 — order-independent, hashable.
+    wl = minted.cluster_walk_lines_q(spark, sf, k=9, stride=3)
+    seg = (wl.select(F.col("doc_id"),
+                     F.explode(F.arrays_zip(
+                         F.slice("xs_q", 1, 8).alias("ax"),
+                         F.slice("ys_q", 1, 8).alias("ay"),
+                         F.slice("xs_q", 2, 8).alias("bx"),
+                         F.slice("ys_q", 2, 8).alias("by"))).alias("s"))
+           .select("doc_id", "s.ax", "s.ay", "s.bx", "s.by")
+           .withColumn("vx", F.col("bx") - F.col("ax"))
+           .withColumn("vy", F.col("by") - F.col("ay")))
+    cand = (seg.withColumn("gx", F.explode(F.sequence(
+                F.expr(f"least(ax, bx) div {GLD_G}"),
+                F.expr(f"greatest(ax, bx) div {GLD_G}"))))
+            .withColumn("gy", F.explode(F.sequence(
+                F.expr(f"least(ay, by) div {GLD_G}"),
+                F.expr(f"greatest(ay, by) div {GLD_G}"))))
+            .withColumn("x1", F.col("gx") * GLD_G)
+            .withColumn("x2", (F.col("gx") + 1) * GLD_G)
+            .withColumn("y1", F.col("gy") * GLD_G)
+            .withColumn("y2", (F.col("gy") + 1) * GLD_G)
+            .filter(F.expr(f"{_LB_T1} > {_LB_T0}")))
+    return (cand.withColumn("fp", F.expr(_LB_PIECE_FP))
+            .groupBy("gx", "gy")
+            .agg(F.count("*").alias("n_pieces"),
+                 F.sum("fp").alias("len_fp")))
+
+def _grid_line_density_sql() -> str:
+    base = minted.sql_cluster_walk_lines_q(9, stride=3)
+    return f"""
+        WITH w AS ({base}),
+        seg AS (SELECT doc_id, xs[i + 1] AS ax, ys[i + 1] AS ay,
+                       xs[i + 2] - xs[i + 1] AS vx,
+                       ys[i + 2] - ys[i + 1] AS vy,
+                       xs[i + 2] AS bx, ys[i + 2] AS by
+                FROM w, LATERAL (SELECT unnest(range(8)) AS i) t),
+        cand AS (SELECT seg.*, gxs.gx, gys.gy,
+                        gxs.gx * {GLD_G} AS x1, (gxs.gx + 1) * {GLD_G} AS x2,
+                        gys.gy * {GLD_G} AS y1, (gys.gy + 1) * {GLD_G} AS y2
+                 FROM seg,
+                 LATERAL (SELECT unnest(range(least(ax, bx) // {GLD_G},
+                     greatest(ax, bx) // {GLD_G} + 1)) AS gx) gxs,
+                 LATERAL (SELECT unnest(range(least(ay, by) // {GLD_G},
+                     greatest(ay, by) // {GLD_G} + 1)) AS gy) gys)
+        SELECT gx, gy, count(*) AS n_pieces,
+               CAST(sum({_LB_PIECE_FP}) AS BIGINT) AS len_fp
+        FROM cand WHERE {_LB_T1} > {_LB_T0}
+        GROUP BY 1, 2"""
+
+def q_idw_interpolate(spark, sf):
+    # inverse-distance-weighted interpolation of a scalar field (doc
+    # token counts at clustered points) onto the occupied-cell grid —
+    # the geo-interpolation kernel, in PURE integer rationals: weight =
+    # 1e12 div (1e6 + d² div 1e6), value = Σv·w / Σw shipped as exact
+    # (num, den) int64 plus the floored quotient. Candidates via the
+    # 3×3 neighbour-cell join; no floats anywhere, so the oracle hashes
+    # exactly and the sum order is irrelevant.
+    pts = (minted.minted_cluster_points_q(spark, sf)
+           .join(_docs(spark, sf).select(
+               "doc_id",
+               TXT.token_count(F.col("text")).cast("bigint").alias("v")),
+               "doc_id")
+           .localCheckpoint(eager=False))  # shared by occupied + src
+    occupied = (pts.select(F.expr(f"qx div {IDW_G}").alias("gx"),
+                           F.expr(f"qy div {IDW_G}").alias("gy"))
+                .distinct()
+                .withColumn("cx", (F.col("gx") * IDW_G + IDW_G // 2))
+                .withColumn("cy", (F.col("gy") * IDW_G + IDW_G // 2)))
+    probe = (occupied
+             .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+             .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+             .select("gx", "gy", "cx", "cy",
+                     (F.col("gx") + F.col("dx")).alias("px"),
+                     (F.col("gy") + F.col("dy")).alias("py")))
+    src = pts.select(F.expr(f"qx div {IDW_G}").alias("px"),
+                     F.expr(f"qy div {IDW_G}").alias("py"),
+                     "qx", "qy", "v")
+    j = (probe.join(src, ["px", "py"])
+         .withColumn("d2", (F.col("qx") - F.col("cx"))
+                     * (F.col("qx") - F.col("cx"))
+                     + (F.col("qy") - F.col("cy"))
+                     * (F.col("qy") - F.col("cy")))
+         .withColumn("w", F.expr("1000000000000 div (1000000 + d2 div 1000000)")))
+    return (j.groupBy("gx", "gy")
+            .agg(F.count("*").alias("n_pts"),
+                 F.sum(F.col("v") * F.col("w")).alias("num"),
+                 F.sum("w").alias("den"))
+            .withColumn("idw_q", F.expr("num div den")))
+
+def _idw_interpolate_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p0 AS ({pts}),
+        pts AS (SELECT p0.doc_id, qx, qy,
+                       CAST(len(string_split(text, chr(32))) AS BIGINT) AS v
+                FROM p0 JOIN documents d ON p0.doc_id = d.doc_id),
+        occ AS (SELECT DISTINCT qx // {IDW_G} AS gx, qy // {IDW_G} AS gy
+                FROM pts),
+        probe AS (SELECT gx, gy,
+                         gx * {IDW_G} + {IDW_G // 2} AS cx,
+                         gy * {IDW_G} + {IDW_G // 2} AS cy,
+                         gx + dxs.dx AS px, gy + dys.dy AS py
+                  FROM occ,
+                  LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                  LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        src AS (SELECT qx // {IDW_G} AS px, qy // {IDW_G} AS py, qx, qy, v
+                FROM pts),
+        j AS (SELECT gx, gy,
+                     (qx - cx) * (qx - cx) + (qy - cy) * (qy - cy) AS d2,
+                     v
+              FROM probe JOIN src ON probe.px = src.px
+                   AND probe.py = src.py),
+        k AS (SELECT gx, gy, v,
+                     1000000000000 // (1000000 + d2 // 1000000) AS w
+              FROM j)
+        SELECT gx, gy, count(*) AS n_pts,
+               CAST(sum(v * w) AS BIGINT) AS num,
+               CAST(sum(w) AS BIGINT) AS den,
+               CAST(sum(v * w) AS BIGINT) // CAST(sum(w) AS BIGINT)
+                   AS idw_q
+        FROM k GROUP BY 1, 2"""
+
+def q_tile_percentile_rank(spark, sf):
+    # per-tile density percentile: tiles ranked by count with the exact
+    # rational percent-rank (rank−1)/(n−1) — identical division text so
+    # the double hashes bit-for-bit; ties broken by (x, y) for a total
+    # order. The heat-map normalization step before rendering.
+    from pyspark.sql import Window as Win
+    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
+         .groupBy("x", "y").agg(F.count("*").alias("n_pts")))
+    w = Win.orderBy("n_pts", "x", "y")
+    return (t.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(
+                Win.rowsBetween(Win.unboundedPreceding,
+                                Win.unboundedFollowing)))
+            .select("x", "y", "n_pts",
+                    F.expr("CAST(rk - 1 AS DOUBLE) / (n - 1)").alias("pr")))
+
+def _tile_percentile_rank_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
+                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y,
+                     count(*) AS n_pts
+              FROM p GROUP BY 1, 2),
+        r AS (SELECT x, y, n_pts,
+                     row_number() OVER (ORDER BY n_pts, x, y) AS rk,
+                     count(*) OVER () AS n
+              FROM t)
+        SELECT x, y, n_pts, CAST(rk - 1 AS DOUBLE) / (n - 1) AS pr
+        FROM r"""
+
+def q_tile_p90_tokens(spark, sf):
+    # geo × order statistics: per occupied z6 tile, the exact p50/p90
+    # document token count (lower-method integer indexing — the
+    # doc_len_percentiles family, keyed by tile instead of language).
+    t = (tiling.assign_tiles_points(_points(spark, sf), z=FOCAL_Z)
+         .join(_docs(spark, sf).select(
+             "doc_id",
+             TXT.token_count(F.col("text")).cast("bigint").alias("n_tok")),
+             "doc_id"))
+    g = (t.groupBy("x", "y")
+         .agg(F.sort_array(F.collect_list("n_tok")).alias("v"),
+              F.count("*").alias("n_docs")))
+
+    def pick(num, den, name):
+        idx = F.expr(f"CAST((n_docs - 1) * {num} DIV {den} AS INT) + 1")
+        return F.element_at("v", idx).alias(name)
+
+    return g.select("x", "y", "n_docs", pick(5, 10, "p50_tokens"),
+                    pick(9, 10, "p90_tokens"))
+
+def _tile_p90_tokens_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT doc_id, {tiles.sql_tile_x('lon', FOCAL_Z)} AS x,
+                     {tiles.sql_tile_y('lat', FOCAL_Z)} AS y
+              FROM p),
+        j AS (SELECT x, y,
+                     CAST(len(string_split(text, chr(32))) AS BIGINT)
+                         AS n_tok
+              FROM t JOIN documents d ON t.doc_id = d.doc_id)
+        SELECT x, y, count(*) AS n_docs,
+               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 5 // 10
+                   AS INT) + 1] AS p50_tokens,
+               (list_sort(list(n_tok)))[CAST((count(*) - 1) * 9 // 10
+                   AS INT) + 1] AS p90_tokens
+        FROM j GROUP BY 1, 2"""
+
+def q_tile_spatial_outliers(spark, sf):
+    # local spatial outliers: grid cells whose own density exceeds
+    # SPATIAL_OUT_K × their 3×3 occupied-neighbourhood average — the
+    # local-Moran hot-single detector, exact integers via the
+    # cross-multiplied comparison (n_pts · n_nbr > K · focal_sum). Runs
+    # on the CLUSTERED mint (density spikes exist to find; the uniform
+    # mint is flat by construction). Witnesses ship with the flag.
+    p = minted.minted_cluster_points_q(spark, sf)
+    t = (p.select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
+                  F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n_pts"))
+         .localCheckpoint(eager=False))
+    nbr = (t.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+           .select((F.col("x") + F.col("dx")).alias("x"),
+                   (F.col("y") + F.col("dy")).alias("y"),
+                   F.col("n_pts").alias("c")))
+    focal = (nbr.groupBy("x", "y")
+             .agg(F.sum("c").alias("focal_sum"),
+                  F.count("*").alias("n_nbr_tiles")))
+    return (t.join(focal, ["x", "y"])
+            .filter(F.col("n_pts") * F.col("n_nbr_tiles")
+                    > SPATIAL_OUT_K * F.col("focal_sum"))
+            .select("x", "y", "n_pts", "focal_sum", "n_nbr_tiles"))
+
+def _tile_spatial_outliers_sql() -> str:
+    return f"""
+        WITH p AS ({minted.sql_minted_cluster_points_q()}),
+        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
+                     count(*) AS n_pts
+              FROM p GROUP BY 1, 2),
+        nbr AS (SELECT t.x + dxs.dx AS x, t.y + dys.dy AS y, n_pts AS c
+                FROM t,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dx) dxs,
+                LATERAL (SELECT unnest(range(-1, 2)) AS dy) dys),
+        f AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS focal_sum,
+                     count(*) AS n_nbr_tiles
+              FROM nbr GROUP BY 1, 2)
+        SELECT t.x, t.y, t.n_pts, f.focal_sum, f.n_nbr_tiles
+        FROM t JOIN f ON t.x = f.x AND t.y = f.y
+        WHERE t.n_pts * f.n_nbr_tiles > {SPATIAL_OUT_K} * f.focal_sum"""
+
+def q_cell_coverage_curve(spark, sf):
+    # spatial concentration: cells ranked by point count — how many
+    # cells cover half the corpus (k50), the densest cell's share in
+    # ppm — the host_concentration pattern on the clustered spatial
+    # grid (storage-tiering / cache-sizing input).
+    from pyspark.sql import Window as Win
+    t = (minted.minted_cluster_points_q(spark, sf)
+         .select(F.expr(f"qx div {SPATIAL_OUT_G}").alias("x"),
+                 F.expr(f"qy div {SPATIAL_OUT_G}").alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n")))
+    w = Win.orderBy(F.col("n").desc(), F.col("x"), F.col("y"))
+    wf = Win.rowsBetween(Win.unboundedPreceding, Win.unboundedFollowing)
+    c = (t.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum", F.sum("n").over(
+             w.rowsBetween(Win.unboundedPreceding, 0)))
+         .withColumn("tot", F.sum("n").over(wf)))
+    return c.agg(
+        F.count("*").alias("n_cells"),
+        F.max("tot").alias("n_pts"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk")))
+        .alias("k50_cells"),
+        F.max(F.when(F.col("rk") == 1, F.expr("n * 1000000 div tot")))
+        .alias("top_cell_ppm"))
+
+def _cell_coverage_curve_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    return f"""
+        WITH p AS ({pts}),
+        t AS (SELECT qx // {SPATIAL_OUT_G} AS x, qy // {SPATIAL_OUT_G} AS y,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2),
+        c AS (SELECT n,
+                     row_number() OVER (ORDER BY n DESC, x, y) AS rk,
+                     sum(n) OVER (ORDER BY n DESC, x, y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(n) OVER () AS tot
+              FROM t)
+        SELECT count(*) AS n_cells,
+               CAST(max(tot) AS BIGINT) AS n_pts,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
+                   AS k50_cells,
+               CAST(max(CASE WHEN rk = 1 THEN n * 1000000 // tot END)
+                    AS BIGINT) AS top_cell_ppm
+        FROM c"""
+
+# (vs 5.4 s for the first string-key z4-bucket cut and 0.97 s for the
+# cell-equality sibling — the measured tuning ladder lives in
+# BENCH/BASELINE.md "quadkey range join")
+
+
+def q_quadkey_range_join(spark, sf):
+    # the ORDERED-INDEX spatial join: rects become disjoint mixed-level
+    # quadkey-prefix cells (tiling.adaptive_cover on the z12 tile
+    # lattice), points carry their z12 key, and containment is the
+    # prefix RANGE key ∈ [m·4^(12−z), (m+1)·4^(12−z)) — the S2/quadkey
+    # range-scan plan a Z-curve-clustered 100 TB point table answers
+    # with file-level min/max pruning instead of a cell-equality
+    # explode (pip_join_rects is the equality sibling). The key is the
+    # INTEGER morton form of the quadkey (same digit string, base-4
+    # int): integer range compares, a 3-column broadcast (the box joins
+    # back per-poly for the exact refine, it never rides the cover).
+    # Buckets = the shared z5 ancestor, so Spark executes a broadcast
+    # HASH join on the bucket with the range as an in-partition filter;
+    # cover cells are disjoint by construction — no pair dedup needed.
+    pts = minted.minted_points(spark, sf)
+    mk = tiles.morton_key(tiles.tile_x(F.col("lon"), QKRJ_Z),
+                          tiles.tile_y(F.col("lat"), QKRJ_Z), QKRJ_Z)
+    p = pts.select("doc_id", "lon", "lat", mk.alias("mk"),
+                   F.shiftright(mk, 2 * (QKRJ_Z - QKRJ_ZMIN))
+                   .alias("bkt"))
+    r = minted.minted_rects(spark, sf).localCheckpoint(eager=False)
+    boxes = r.select(
+        "poly_id",
+        tiles.tile_x(F.col("minx"), QKRJ_Z).alias("x1"),
+        (tiles.tile_x(F.col("maxx"), QKRJ_Z) + 1).alias("x2"),
+        tiles.tile_y(F.col("maxy"), QKRJ_Z).alias("y1"),
+        (tiles.tile_y(F.col("miny"), QKRJ_Z) + 1).alias("y2"))
+    cov = tiling.adaptive_cover(boxes, z_min=QKRJ_ZMIN, z_max=QKRJ_ZMAX,
+                                span_bits=QKRJ_Z, id_col="poly_id")
+    pref = None
+    for zz in range(QKRJ_ZMIN, QKRJ_ZMAX + 1):
+        m = tiles.morton_key(F.col("cx"), F.col("cy"), zz)
+        shift = 2 * (QKRJ_Z - zz)
+        lvl = (cov.filter(F.col("z") == zz)
+               .select("poly_id",
+                       F.shiftleft(m, shift).alias("lo"),
+                       F.shiftleft(m + 1, shift).alias("hi")))
+        pref = lvl if pref is None else pref.unionByName(lvl)
+    pref = pref.withColumn(
+        "bkt", F.shiftright(F.col("lo"), 2 * (QKRJ_Z - QKRJ_ZMIN)))
+    cand = (p.join(F.broadcast(pref), "bkt")
+            .filter((F.col("mk") >= F.col("lo"))
+                    & (F.col("mk") < F.col("hi"))))
+    return (cand.join(F.broadcast(r), "poly_id")
+            .filter(sj.rect_contains(F.col("lon"), F.col("lat")))
+            .select("doc_id", "poly_id"))
+
+def _quadkey_range_join_sql() -> str:
+    # deliberately NOT the quadkey mechanics: the oracle is the direct
+    # containment join, so the cover+range plumbing is verified against
+    # an independent formulation.
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
+        r AS ({minted.SQL_MINTED_RECTS.strip()})
+        SELECT p.doc_id, r.poly_id
+        FROM p JOIN r
+          ON p.lon >= r.minx AND p.lon <= r.maxx
+         AND p.lat >= r.miny AND p.lat <= r.maxy"""
+
+def q_grid_boundary_cells(spark, sf):
+    # occupied-grid morphology: classify every occupied cell by its
+    # 4-neighbor occupancy count — n_nb < 4 is the region BOUNDARY, 4 is
+    # interior. The boundary/interior ratio is the compactness signal
+    # raster pipelines read before vectorizing. One distinct + one
+    # self-join on the (unit-offset) cell key.
+    p = minted.minted_cluster_points_q(spark, sf)
+    occ = (p.select(F.expr(f"qx div {GRIDB_CELL}").alias("cx"),
+                    F.expr(f"qy div {GRIDB_CELL}").alias("cy"))
+           .distinct().localCheckpoint(eager=False))
+    nb = (occ.withColumn("o", F.explode(F.array(
+              F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+              F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+              F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+              F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))))
+          .select((F.col("cx") + F.col("o.dx")).alias("cx"),
+                  (F.col("cy") + F.col("o.dy")).alias("cy")))
+    cnt = nb.groupBy("cx", "cy").agg(F.count("*").alias("n_nb"))
+    classified = (occ.join(cnt, ["cx", "cy"], "left")
+                  .select(F.coalesce("n_nb", F.lit(0)).alias("n_nb")))
+    return classified.groupBy("n_nb").agg(F.count("*").alias("n_cells"))
+
+def _grid_boundary_cells_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    c = GRIDB_CELL
+    return f"""
+        WITH p AS ({pts}),
+        occ AS (SELECT DISTINCT qx // {c} AS cx, qy // {c} AS cy FROM p),
+        nb AS (SELECT cx + o.dx AS cx, cy + o.dy AS cy
+               FROM occ, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                   o(dx, dy)),
+        cnt AS (SELECT cx, cy, count(*) AS n_nb FROM nb GROUP BY 1, 2),
+        cls AS (SELECT coalesce(cnt.n_nb, 0) AS n_nb
+                FROM occ LEFT JOIN cnt ON occ.cx = cnt.cx
+                     AND occ.cy = cnt.cy)
+        SELECT CAST(n_nb AS BIGINT) AS n_nb, count(*) AS n_cells
+        FROM cls GROUP BY 1"""
+
+def q_tile_gradient(spark, sf):
+    # raster first derivative: central-difference gradient of the tile
+    # density surface — (E−W, N−S) count differences per occupied tile
+    # (absent neighbors read 0) plus the squared magnitude. The edge-
+    # detection sibling of tile_focal_mean's smoothing; pure equi-joins
+    # on offset cell keys.
+    pts = _points(spark, sf)
+    d = (pts.select(tiles.tile_x(F.col("lon"), GRAD_Z).alias("x"),
+                    tiles.tile_y(F.col("lat"), GRAD_Z).alias("y"))
+         .groupBy("x", "y").agg(F.count("*").alias("n"))
+         .localCheckpoint(eager=False))
+
+    def nb(dx, dy, name):
+        return d.select((F.col("x") + dx).alias("x"),
+                        (F.col("y") + dy).alias("y"),
+                        F.col("n").alias(name))
+
+    out = (d.join(nb(-1, 0, "e"), ["x", "y"], "left")
+           .join(nb(1, 0, "w"), ["x", "y"], "left")
+           .join(nb(0, -1, "s"), ["x", "y"], "left")
+           .join(nb(0, 1, "nn"), ["x", "y"], "left")
+           .select("x", "y", "n",
+                   (F.coalesce("e", F.lit(0)) - F.coalesce("w", F.lit(0)))
+                   .alias("gx"),
+                   (F.coalesce("s", F.lit(0)) - F.coalesce("nn", F.lit(0)))
+                   .alias("gy")))
+    return out.withColumn("g2", F.expr("gx * gx + gy * gy"))
+
+def _tile_gradient_sql() -> str:
+    pts = minted.SQL_MINTED_POINTS.strip()
+    x, y = tiles.sql_tile_x("lon", GRAD_Z), tiles.sql_tile_y("lat", GRAD_Z)
+    return f"""
+        WITH d AS (SELECT {x} AS x, {y} AS y, count(*) AS n
+                   FROM ({pts}) GROUP BY 1, 2)
+        SELECT d.x, d.y, d.n,
+               coalesce(e.n, 0) - coalesce(w.n, 0) AS gx,
+               coalesce(s.n, 0) - coalesce(nn.n, 0) AS gy,
+               (coalesce(e.n, 0) - coalesce(w.n, 0))
+                   * (coalesce(e.n, 0) - coalesce(w.n, 0))
+               + (coalesce(s.n, 0) - coalesce(nn.n, 0))
+                   * (coalesce(s.n, 0) - coalesce(nn.n, 0)) AS g2
+        FROM d
+        LEFT JOIN d e ON e.x = d.x + 1 AND e.y = d.y
+        LEFT JOIN d w ON w.x = d.x - 1 AND w.y = d.y
+        LEFT JOIN d s ON s.x = d.x AND s.y = d.y + 1
+        LEFT JOIN d nn ON nn.x = d.x AND nn.y = d.y - 1"""
+
+def q_kde_cells(spark, sf):
+    # kernel density at cell centers with the Epanechnikov kernel kept
+    # INTEGER: w(d) = max(0, R² − d²) on the lattice — the density
+    # surface idw interpolates point values over, but as a pure
+    # second-moment sum (no division at all). Centers are the occupied
+    # R-cells' midpoints; candidates from the 3×3 ring (complete
+    # because bandwidth == cell size). One distinct + one equi-join.
+    p = minted.minted_cluster_points_q(spark, sf)
+    cells = (p.select(F.expr(f"qx div {KDE_R}").alias("cx"),
+                      F.expr(f"qy div {KDE_R}").alias("cy"))
+             .distinct()
+             .withColumn("mx", F.expr(f"cx * {KDE_R} + {KDE_R // 2}"))
+             .withColumn("my", F.expr(f"cy * {KDE_R} + {KDE_R // 2}")))
+    ring = (cells.withColumn("dx", F.explode(F.sequence(F.lit(-1),
+                                                        F.lit(1))))
+            .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .select("cx", "cy", "mx", "my",
+                    (F.col("cx") + F.col("dx")).alias("jx"),
+                    (F.col("cy") + F.col("dy")).alias("jy")))
+    pts = p.select(F.expr(f"qx div {KDE_R}").alias("jx"),
+                   F.expr(f"qy div {KDE_R}").alias("jy"), "qx", "qy")
+    d2 = ((F.col("mx") - F.col("qx")) * (F.col("mx") - F.col("qx"))
+          + (F.col("my") - F.col("qy")) * (F.col("my") - F.col("qy")))
+    r2 = F.lit(KDE_R).cast("bigint") * F.lit(KDE_R)
+    j = (ring.join(pts, ["jx", "jy"])
+         .withColumn("d2", d2)
+         .filter(F.col("d2") < r2))
+    return (j.groupBy("cx", "cy")
+            .agg(F.count("*").alias("n_in_r"),
+                 F.sum(r2 - F.col("d2")).alias("kde")))
+
+def _kde_cells_sql() -> str:
+    pts = minted.sql_minted_cluster_points_q()
+    r = KDE_R
+    return f"""
+        WITH p AS ({pts}),
+        cells AS (SELECT DISTINCT qx // {r} AS cx, qy // {r} AS cy
+                  FROM p),
+        ctr AS (SELECT cx, cy, cx * {r} + {r // 2} AS mx,
+                       cy * {r} + {r // 2} AS my
+                FROM cells),
+        ring AS (SELECT cx, cy, mx, my,
+                        cx + o.dx AS jx, cy + o.dy AS jy
+                 FROM ctr, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                   (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        pp AS (SELECT qx // {r} AS jx, qy // {r} AS jy, qx, qy FROM p),
+        j AS (SELECT ring.cx, ring.cy,
+                     (mx - qx) * (mx - qx) + (my - qy) * (my - qy) AS d2
+              FROM ring JOIN pp ON ring.jx = pp.jx AND ring.jy = pp.jy)
+        SELECT cx, cy, count(*) AS n_in_r,
+               CAST(sum({r}::BIGINT * {r} - d2) AS BIGINT) AS kde
+        FROM j WHERE d2 < {r}::BIGINT * {r}
+        GROUP BY 1, 2"""
+
+def q_zorder_locality(spark, sf):
+    # does the clustering key actually buy locality? Walk the z=8 tile
+    # assignments in three file orders — raw doc_id, Z-order (morton),
+    # Hilbert — and sum the L1 tile jump between CONSECUTIVE rows: the
+    # number the cluster_by_morton/hilbert writers exist to minimize
+    # (small jumps ⇒ consecutive rows share parquet row groups ⇒ bbox
+    # scans prune). One window lag per ordering, exact integers — the
+    # measured justification next to delta_bytes_by_tile's byte-cost
+    # view.
+    from pyspark.sql import Window as Win
+    a = tiling.assign_tiles_points(_points(spark, sf), z=8)
+    keyed = tiles.with_hilbert_key(a.select("doc_id", "x", "y"), z=8) \
+        .withColumn("morton",
+                    tiles.morton_key(F.col("x"), F.col("y"), 8))
+
+    def leg(order_col, name):
+        w = Win.orderBy(F.col(order_col), F.col("doc_id"))
+        d = (keyed
+             .withColumn("px", F.lag("x").over(w))
+             .withColumn("py", F.lag("y").over(w))
+             .filter(F.col("px").isNotNull())
+             .select((F.abs(F.col("x") - F.col("px"))
+                      + F.abs(F.col("y") - F.col("py"))).alias("j")))
+        return d.agg(F.lit(name).alias("ordering"),
+                     F.count("*").alias("n_steps"),
+                     F.sum("j").alias("total_l1"),
+                     F.max("j").alias("max_jump")).select(
+            "ordering", F.col("n_steps").cast("bigint"),
+            F.col("total_l1").cast("bigint"),
+            F.col("max_jump").cast("bigint"))
+
+    return (leg("doc_id", "raw")
+            .unionByName(leg("morton", "zorder"))
+            .unionByName(leg("hilbert", "hilbert")))
+
+def _zorder_locality_sql() -> str:
+    inner = (f"SELECT doc_id, {tiles.sql_tile_x('lon', 8)} AS x, "
+             f"{tiles.sql_tile_y('lat', 8)} AS y "
+             f"FROM ({minted.SQL_MINTED_POINTS})")
+    hil = tiles.sql_hilbert_wrap(inner, ["doc_id", "x", "y"], z=8)
+    mor = tiles.sql_morton_key("x", "y", 8)
+
+    def leg(order_col, name):
+        return f"""
+        SELECT '{name}' AS ordering,
+               CAST(count(*) AS BIGINT) AS n_steps,
+               CAST(sum(j) AS BIGINT) AS total_l1,
+               CAST(max(j) AS BIGINT) AS max_jump
+        FROM (SELECT abs(x - lag(x) OVER wo) + abs(y - lag(y) OVER wo)
+                  AS j
+              FROM zk WINDOW wo AS (ORDER BY {order_col}, doc_id))
+        WHERE j IS NOT NULL"""
+
+    return f"""
+        WITH zk AS (SELECT doc_id, x, y, hilbert, {mor} AS morton
+                    FROM ({hil}))
+        {leg('doc_id', 'raw')}
+        UNION ALL {leg('morton', 'zorder')}
+        UNION ALL {leg('hilbert', 'hilbert')}"""
+
+def q_morisita_tiles(spark, sf):
+    # Morisita's index of spatial aggregation at three quadrat scales —
+    # the classic clumping statistic next to Moran's I (moran_i_tiles
+    # measures autocorrelation BETWEEN cells; Morisita measures how
+    # over-dispersed counts are WITHIN the quadrat partition):
+    # I_δ = Q·Σn_i(n_i−1) / (N(N−1)) over OCCUPIED quadrats, exact
+    # integers quantized to ppm. Over the CLUSTERED mint the profile is
+    # the textbook signature: I > 1 (clumped) at cluster-sized 3.2°
+    # quadrats, falling through 1 toward under-dispersion as quadrats
+    # shrink past cluster size — pinned by the pytest.
+    out = None
+    p = minted.minted_cluster_points_q(spark, sf)
+    for cell in MOR_CELLS:
+        g = (p.select(F.expr(f"qx div {cell}").alias("cx"),
+                      F.expr(f"qy div {cell}").alias("cy"))
+             .groupBy("cx", "cy").agg(F.count("*").alias("n")))
+        row = g.agg(
+            F.lit(cell).alias("cell"),
+            F.count("*").alias("q_occupied"),
+            F.sum("n").alias("n_pts"),
+            F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs_within")
+        ).select(
+            F.col("cell").cast("bigint"),
+            F.col("q_occupied").cast("bigint"),
+            F.col("n_pts").cast("bigint"),
+            F.col("pairs_within").cast("bigint"),
+            F.expr("1000000 * q_occupied * pairs_within div "
+                   "(n_pts * (n_pts - 1))").cast("bigint")
+            .alias("morisita_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+def _morisita_tiles_sql() -> str:
+    legs = []
+    for cell in MOR_CELLS:
+        legs.append(f"""
+        SELECT CAST({cell} AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS q_occupied,
+               CAST(sum(n) AS BIGINT) AS n_pts,
+               CAST(sum(n * (n - 1)) AS BIGINT) AS pairs_within,
+               CAST(1000000 * count(*) * sum(n * (n - 1))
+                    // (sum(n) * (sum(n) - 1)) AS BIGINT)
+                   AS morisita_ppm
+        FROM (SELECT qx // {cell} AS cx, qy // {cell} AS cy,
+                     count(*) AS n
+              FROM ({minted.sql_minted_cluster_points_q()})
+              GROUP BY 1, 2)""")
+    return " UNION ALL ".join(legs)
+
+def _tile_stream_sql(z: int = 6, minutes: int = 10) -> str:
+    """Oracle for q_tile_stream_counts: minted event point (mulmod over
+    user_id) → tile assign → tumbling-window count."""
+    secs = minutes * 60
+    lon = f"(({minted._sql_mulmod('user_id', minted.LON_MULT, minted.LON_MOD)} - {minted.LON_MOD // 2}) / 1e7)"
+    lat = f"(({minted._sql_mulmod('user_id', minted.LAT_MULT, minted.LAT_MOD)} - {minted.LAT_MOD // 2}) / 1e7)"
+    return f"""
+        SELECT CAST(floor(epoch(ts) / {secs}) AS BIGINT) * {secs} AS wstart,
+               {z} AS z,
+               {tiles.sql_tile_x(lon, z)} AS x,
+               {tiles.sql_tile_y(lat, z)} AS y,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2, 3, 4"""
+
+def _merc_ybounds_values(z: int) -> str:
+    """(y, north_lat, south_lat) VALUES rows for every tile row at zoom z,
+    computed with the SAME formula text as tiles.tile_bounds
+    (degrees(atan(sinh(π(1 - 2y/n)))) — see ADVICE r2 #5: injecting
+    literals keeps the oracle's y side from diverging by a last ulp from
+    what the Spark kernel evaluates, which could flip a boundary-exact
+    clip or floor snap."""
+    # single source: the SAME list the engine's tile_bounds literal lookup
+    # reads, so clip bounds agree bit-for-bit across engines. CAST-from-
+    # string forces DOUBLE: a bare numeric literal lands as DECIMAL, and
+    # DuckDB then evaluates n - s in EXACT decimal while n - cy0 rounds
+    # through double — the mixed arithmetic flipped a boundary floor
+    # (found when the r4 extent-clamp change stopped masking it)
+    b = tiles.merc_lat_bounds(z)
+    return ", ".join(
+        f"({yy}, CAST('{b[yy]!r}' AS DOUBLE), CAST('{b[yy + 1]!r}' AS DOUBLE))"
+        for yy in range(1 << z))
+
+def _vector_tiles_sql(z: int = 5, extent: int = 256) -> str:
+    """Oracle for the rect vector-tile pipeline: cover → rect∩tile clip →
+    tile-local grid snap (clamped floors) → degenerate-ring drop, all in
+    DuckDB. x-side snap uses the byte-identical float expression the
+    kernel runs; the y side is fully transcendental-free (VERDICT r3 #4):
+    the cover's tile_y comes from sql_tile_y's literal boundary-count form
+    and the clip's n/s tile bounds are injected float64 literals, so no
+    sinh/atan/ln runs in DuckDB at all — the only transcendental left in
+    the system is the engine's own, and tests/test_tiles.py pins the
+    testdata's mercator margin to tile boundaries so both classifications
+    provably agree."""
+    rects = minted.SQL_MINTED_RECTS.strip()
+    nt = 1 << z
+    ybounds = _merc_ybounds_values(z)
+    lat_n, lat_s = "yb.n_lat", "yb.s_lat"
+    def ty(v):
+        return tiles.sql_tile_y(v, z)  # literal boundary-count form
+    # hi clamp = extent (tile-edge vertices snap to extent itself — the
+    # MVT convention tile_local_kernel follows since r4)
+    snap_x = (f"CAST(least(greatest(floor(({{v}} - w) / (e - w) * {float(extent)!r}), 0), "
+              f"{extent}) AS BIGINT)")
+    snap_y = (f"CAST(least(greatest(floor((n - ({{v}})) / (n - s) * {float(extent)!r}), 0), "
+              f"{extent}) AS BIGINT)")
+    return f"""
+        WITH r AS ({rects}),
+        cov AS (
+            SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
+            FROM r
+            JOIN (SELECT unnest(range(0, {nt})) AS x) gx
+              ON gx.x BETWEEN {tiles.sql_tile_x('r.minx', z)}
+                          AND {tiles.sql_tile_x('r.maxx', z)}
+            JOIN (SELECT unnest(range(0, {nt})) AS y) gy
+              ON gy.y BETWEEN {ty('r.maxy')} AND {ty('r.miny')}),
+        yb AS (SELECT * FROM (VALUES {ybounds}) t(yy, n_lat, s_lat)),
+        b AS (
+            SELECT poly_id, x, y,
+                   x * {360.0 / nt!r} - 180.0 AS w, (x + 1) * {360.0 / nt!r} - 180.0 AS e,
+                   {lat_n} AS n, {lat_s} AS s,
+                   minx, miny, maxx, maxy
+            FROM cov JOIN yb ON yb.yy = cov.y),
+        clipped AS (
+            SELECT poly_id, x, y, w, e, n, s,
+                   greatest(minx, w) AS cx0, least(maxx, e) AS cx1,
+                   greatest(miny, s) AS cy0, least(maxy, n) AS cy1
+            FROM b),
+        snapped AS (
+            SELECT poly_id, {z} AS z, x, y,
+                   {snap_x.format(v='cx0')} AS gx0,
+                   {snap_x.format(v='cx1')} AS gx1,
+                   {snap_y.format(v='cy1')} AS gy0,
+                   {snap_y.format(v='cy0')} AS gy1
+            FROM clipped WHERE cx1 > cx0 AND cy1 > cy0)
+        SELECT poly_id, z, x, y, 8 AS n_grid_values, gx0, gx1, gy0, gy1
+        FROM snapped WHERE gx0 != gx1 AND gy0 != gy1"""
+
+def _raster_sqls():
+    from geobuf_spark.operators import raster
+    pts = minted.SQL_MINTED_POINTS.strip()
+    r4 = raster.sql_rasterize(pts, z=4, res_bits=4)
+    r3 = raster.sql_rasterize(pts, z=3, res_bits=4)
+    return r4, raster.sql_vectorize(r3)
+
+def _zonal_stats_sql() -> str:
+    """Oracle for q_zonal_stats: brute containment join + per-zone rollup
+    (independent of the cell index path)."""
+    return f"""
+        WITH p AS ({minted.SQL_MINTED_POINTS.strip()}),
+        r AS ({minted.SQL_MINTED_RECTS.strip()}),
+        j AS (SELECT r.poly_id, p.doc_id
+              FROM p, r
+              WHERE p.lon >= r.minx AND p.lon <= r.maxx
+                AND p.lat >= r.miny AND p.lat <= r.maxy)
+        SELECT j.poly_id, count(*) AS n_pts,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               min(j.doc_id) AS min_doc, max(j.doc_id) AS max_doc
+        FROM j JOIN documents d ON d.doc_id = j.doc_id
+        GROUP BY 1"""
+
+def _geohash6_sql() -> str:
+    """Oracle for q_geohash6 — the mask ladder repeats its argument, so
+    qx/qy are named once in the inner select."""
+    from geobuf_spark.functions import cells
+    return f"""
+        SELECT doc_id, {cells.sql_geohash_q('qx', 'qy', 6)} AS gh
+        FROM ({minted.SQL_MINTED_POINTS_Q.strip()})"""
+
+def _host_tile_footprint_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_host_tile_footprint: regen pages + minted geometry,
+    pack the z8 tile, per-host rollup. min/max of exact lattice doubles
+    are order-insensitive, so the bbox compares exactly."""
+    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        {_pages_geo_cte()},
+        t AS (SELECT {TXT.sql_url_host('url')} AS host, lon, lat,
+                     ({x8}) * 256 + ({y8}) AS tile
+              FROM geo)
+        SELECT host, count(*) AS n_pages,
+               CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles,
+               min(lon) AS west, min(lat) AS south,
+               max(lon) AS east, max(lat) AS north
+        FROM t
+        GROUP BY host"""
+
+def _lang_tile_mix_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for q_lang_tile_mix: the same two-phase shape — (tile, lang)
+    counts, then windows over the group table with the identical
+    (n DESC, lang ASC) total order."""
+    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
+    return f"""
+        WITH {_pages_cte(n, seed)},
+        {_pages_geo_cte()},
+        g AS (SELECT {x6} AS x6, {y6} AS y6, lang, count(*) AS n
+              FROM geo GROUP BY 1, 2, 3),
+        w AS (SELECT x6, y6, lang, n,
+                     row_number() OVER (PARTITION BY x6, y6
+                                        ORDER BY n DESC, lang) AS rn,
+                     CAST(sum(n) OVER (PARTITION BY x6, y6) AS BIGINT)
+                         AS n_pages,
+                     count(*) OVER (PARTITION BY x6, y6) AS n_langs
+              FROM g)
+        SELECT x6, y6, n_pages, n_langs, lang AS top_lang, n AS n_top
+        FROM w WHERE rn = 1"""
+
+def _doc_len_percentiles_sql() -> str:
+    """Oracle for q_doc_len_percentiles: list_sort + the same 1-based
+    integer index floor(p*(n-1))+1 — DuckDB's // twins Spark's DIV."""
+    def pick(num, den, name):
+        return (f"list_sort(list(n_tok))[CAST((count(*) - 1) * {num} // {den} "
+                f"AS INT) + 1] AS {name}")
+    return f"""
+        WITH t AS (SELECT lang,
+                          CAST(len(string_split(text, chr(32))) AS BIGINT)
+                              AS n_tok
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               {pick(1, 10, 'p10_tokens')},
+               {pick(5, 10, 'p50_tokens')},
+               {pick(9, 10, 'p90_tokens')}
+        FROM t
+        GROUP BY lang"""
+
+
+def oracles() -> dict[str, str]:
+    """DuckDB oracle twins for this module's queries."""
+    pts = minted.SQL_MINTED_POINTS.strip()
+    rects = minted.SQL_MINTED_RECTS.strip()
+    x8, y8 = tiles.sql_tile_x("lon", 8), tiles.sql_tile_y("lat", 8)
+    x6, y6 = tiles.sql_tile_x("lon", 6), tiles.sql_tile_y("lat", 6)
+    x10, y10 = tiles.sql_tile_x("lon", 10), tiles.sql_tile_y("lat", 10)
+    out = {
+        "quadkey_z8": f"""
+            SELECT doc_id, x, y, {tiles.sql_quadkey('x', 'y', 8)} AS qk
+            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
+        "geohash6": _geohash6_sql(),
+        "line_cover": _line_cover_sql(),
+        "zonal_stats": _zonal_stats_sql(),
+        "areal_interp": _areal_interp_sql(),
+        "quadtree_assign": _quadtree_assign_sql(),
+        "adaptive_cover": _adaptive_cover_sql(),
+        "tile_heat_decay": _tile_heat_decay_sql(),
+        "tile_gaps_anti": _tile_gaps_anti_sql(),
+        "tile_assign_z8": f"""
+            SELECT doc_id, 8 AS z, {x8} AS x, {y8} AS y FROM ({pts})""",
+        "morton_keys_z8": f"""
+            SELECT doc_id, x, y, {tiles.sql_morton_key('x', 'y', 8)} AS morton
+            FROM (SELECT doc_id, {x8} AS x, {y8} AS y FROM ({pts}))""",
+        "tile_counts_z6": f"""
+            SELECT 6 AS z, {x6} AS x, {y6} AS y, count(*) AS n_features
+            FROM ({pts}) GROUP BY 1, 2, 3""",
+        "tile_parent_promote": f"""
+            SELECT doc_id, 7 AS z, ({x10}) // 8 AS x, ({y10}) // 8 AS y FROM ({pts})""",
+        "tile_pyramid": f"""
+            WITH t8 AS (SELECT {x8} AS x8, {y8} AS y8 FROM ({pts}))
+            SELECT 8 AS z, x8 AS x, y8 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 7 AS z, x8 // 2 AS x, y8 // 2 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 6 AS z, x8 // 4 AS x, y8 // 4 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 5 AS z, x8 // 8 AS x, y8 // 8 AS y, count(*) AS n_features
+            FROM t8 GROUP BY 1, 2, 3""",
+        "tile_cover_rects_z7": f"""
+            WITH r AS ({rects}),
+            rt AS (SELECT poly_id,
+                          {tiles.sql_tile_x('minx', 7)} AS x0, {tiles.sql_tile_x('maxx', 7)} AS x1,
+                          {tiles.sql_tile_y('maxy', 7)} AS y0, {tiles.sql_tile_y('miny', 7)} AS y1
+                   FROM r),
+            xs AS (SELECT poly_id, y0, y1, unnest(generate_series(x0, x1)) AS x FROM rt)
+            SELECT poly_id, 7 AS z, x, unnest(generate_series(y0, y1)) AS y FROM xs""",
+        "split_clip_z5": f"""
+            WITH r AS ({rects}),
+            cov AS (
+                SELECT r.poly_id, r.minx, r.miny, r.maxx, r.maxy, gx.x, gy.y
+                FROM r
+                JOIN (SELECT unnest(range(0, 32)) AS x) gx
+                  ON gx.x BETWEEN CAST(least(greatest(floor((r.minx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AND CAST(least(greatest(floor((r.maxx + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT)
+                JOIN (SELECT unnest(range(0, 32)) AS y) gy
+                  ON gy.y BETWEEN {tiles.sql_tile_y('r.maxy', 5)}
+                              AND {tiles.sql_tile_y('r.miny', 5)}),
+            yb AS (SELECT * FROM (VALUES {_merc_ybounds_values(5)}) t(yy, n_lat, s_lat)),
+            piece AS (
+                SELECT poly_id, 5 AS z, x, y,
+                       round(greatest(minx, (x * 11.25 - 180.0)), 7) AS pminx,
+                       round(greatest(miny, yb.s_lat), 7) AS pminy,
+                       round(least(maxx, ((x + 1) * 11.25 - 180.0)), 7) AS pmaxx,
+                       round(least(maxy, yb.n_lat), 7) AS pmaxy
+                FROM cov JOIN yb ON yb.yy = cov.y)
+            SELECT * FROM piece WHERE pmaxx > pminx AND pmaxy > pminy""",
+        "vector_tiles_z5": _vector_tiles_sql(),
+        "mvt_tiles_z4": f"""
+            WITH poly AS ({_vector_tiles_sql(z=4, extent=4096)}),
+            pt AS (SELECT {tiles.sql_tile_x('lon', 4)} AS x,
+                          {tiles.sql_tile_y('lat', 4)} AS y
+                   FROM ({pts}))
+            SELECT 'polygon' AS layer, 4 AS z, x, y, count(*) AS n_features
+            FROM poly GROUP BY x, y
+            UNION ALL
+            SELECT 'point' AS layer, 4 AS z, x, y, count(*) AS n_features
+            FROM pt GROUP BY x, y""",
+        "tile_stream_counts": _tile_stream_sql(),
+        "cover_size_estimate": f"""
+            SELECT poly_id,
+                   (({tiles.sql_tile_x('maxx', 7)}) - ({tiles.sql_tile_x('minx', 7)}) + 1)
+                 * (({tiles.sql_tile_y('miny', 7)}) - ({tiles.sql_tile_y('maxy', 7)}) + 1)
+                   AS n_tiles
+            FROM ({rects})""",
+        "rasterize_z4": _raster_sqls()[0],
+        "vectorize_z3": _raster_sqls()[1],
+        "host_tile_footprint": _host_tile_footprint_sql(),
+        "lang_tile_mix": _lang_tile_mix_sql(),
+        "doc_len_percentiles": _doc_len_percentiles_sql(),
+        "hilbert_keys_z8": _hilbert_keys_z8_sql(),
+        "moran_i_tiles": _moran_i_tiles_sql(),
+        "delta_bytes_by_tile": _delta_bytes_by_tile_sql(),
+        "tile_focal_mean": _tile_focal_mean_sql(),
+        "grid_line_density": _grid_line_density_sql(),
+        "idw_interpolate": _idw_interpolate_sql(),
+        "tile_percentile_rank": _tile_percentile_rank_sql(),
+        "tile_p90_tokens": _tile_p90_tokens_sql(),
+        "tile_spatial_outliers": _tile_spatial_outliers_sql(),
+        "cell_coverage_curve": _cell_coverage_curve_sql(),
+        "quadkey_range_join": _quadkey_range_join_sql(),
+        "grid_boundary_cells": _grid_boundary_cells_sql(),
+        "tile_gradient": _tile_gradient_sql(),
+        "kde_cells": _kde_cells_sql(),
+        "zorder_locality": _zorder_locality_sql(),
+        "morisita_tiles": _morisita_tiles_sql(),
+    }
+    return out
