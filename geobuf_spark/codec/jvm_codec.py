@@ -145,6 +145,20 @@ def decode_polygons_agg_jvm(df: DataFrame, bin_col: str = "geobuf") -> DataFrame
     )
 
 
+def roundtrip_points_jvm(df: DataFrame, id_col: str = "doc_id",
+                         lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Fused encode→decode entirely inside whole-stage codegen:
+    gb_point(gb_point_enc(...)) — the JVM twin of
+    spark_codec.roundtrip_points (same proof of the wire format, zero
+    Python and zero Arrow serde). Frames are byte-identical between the
+    two paths (pytest-pinned), so the quantized outputs agree exactly."""
+    p = F.expr(f"gb_point(gb_point_enc({id_col}, {lon}, {lat}))")
+    return df.select(p.alias("p")).select(
+        F.element_at("p", 1).alias(id_col),
+        F.element_at("p", 2).alias("lon_q"),
+        F.element_at("p", 3).alias("lat_q"))
+
+
 def read_geobuf_files_jvm(spark: SparkSession, path: str,
                           bin_col: str = "geobuf") -> DataFrame:
     """Many framed .geobuf files → one DataFrame of raw frames, zero

@@ -244,3 +244,18 @@ def test_frames_split_parity(jvm, tmp_path):
     with pytest.raises(Exception):
         (jvm.createDataFrame([(stream[:-1],)], "content binary")
          .select(F.explode(F.expr("gb_frames(content)"))).collect())
+
+
+def test_roundtrip_points_jvm_parity(jvm):
+    """gb_point(gb_point_enc(...)) codegen round-trip returns the same
+    quantized lattice values as the Arrow-kernel round-trip."""
+    from geobuf_spark.codec import jvm_codec as jc
+    from geobuf_spark.sources import pages
+
+    p = (pages.with_minted_geometry(pages.pages(jvm, 500))
+         .select("page_id", "lon", "lat"))
+    a = sorted(tuple(r) for r in
+               spark_codec.roundtrip_points(p, id_col="page_id").collect())
+    b = sorted(tuple(r) for r in
+               jc.roundtrip_points_jvm(p, id_col="page_id").collect())
+    assert a == b
