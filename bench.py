@@ -633,7 +633,10 @@ def run(cores: int, scaling_only: bool = False):
         # the codec (r4's 1.03x "parity"); at 500k the codec signal
         # dominates (isolated remeasure: 2.9x at 500k vs 1.7x at 50k)
         polys, polys_spread = bench_polys_vs_json(spark, max(N_PAGES // 2, 50_000))
-        many, many_spread = bench_many_files(spark, max(N_PAGES // 10, 10_000))
+        # many-files sizing: ratio is floor-compressed at small per-file
+        # payloads (1.39x at 100k rows/64 files -> 2.13x at 400k, same
+        # window) — size it so each subfile carries >~1 MB of frames
+        many, many_spread = bench_many_files(spark, max(N_PAGES * 2 // 5, 40_000))
         queries, q_spread, pass_loads = bench_queries(spark)
         queries["flagship_pipeline"] = round(t_flagship, 3)
         q_spread["flagship_pipeline"] = _spread(ts)
