@@ -627,7 +627,10 @@ def run(cores: int, scaling_only: bool = False):
         if scaling_only:
             return {"flagship_sec": t_flagship, "features_per_sec": n_feat / t_flagship}
         codec, codec_spread = bench_codec_vs_json(spark, N_PAGES)
-        lines, lines_spread = bench_lines_vs_json(spark, max(N_PAGES // 10, 10_000))
+        # lines sizing: 100k rows sits on the session floor like the r4
+        # polys row did (1.3-2.0x window-dependent); at 400k the codec
+        # signal dominates (2.97x read / 2.01x scan, same window)
+        lines, lines_spread = bench_lines_vs_json(spark, max(N_PAGES * 2 // 5, 40_000))
         # polys previously ran at N_PAGES//20 (50k), where both paths sit
         # on the ~0.2s session floor and the ratio measures the floor, not
         # the codec (r4's 1.03x "parity"); at 500k the codec signal
