@@ -1,8 +1,12 @@
-"""Registry family: _shared.
+"""Cross-family shared layer of the query registry.
 
-Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
-query functions keep their original text, oracles sit beside them in
-this module's oracles(). Driver-window ORDER lives in window.py, not here.
+Table loaders, fixture constants, and SQL-builder helpers referenced by
+two or more family modules (plus the handful a family module must see
+before its own definitions execute). Family modules star-import this
+module; __all__ (at the bottom) deliberately includes underscore names
+because the pre-split monolith exposed them as one namespace and tests
+address them via the __spark_entry__ facade. Split out of the former
+18k-line __spark_entry__.py (VERDICT r4 #2).
 """
 from __future__ import annotations
 from collections.abc import Callable
