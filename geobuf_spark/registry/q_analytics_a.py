@@ -3,6 +3,18 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (40):
+ab_lift, allen_census, anomaly_days, apriori_triples, autocorr_daily,
+basket_pairs, bot_flags, cohens_kappa, copresence_pairs,
+customer_pareto, dow_profile, dow_residual_outliers, fano_dispersion,
+fk_audit, fold_leakage_audit, gapped_sequences, gini_chars,
+k_anonymity_audit, kcenter_greedy, kendall_daily, log_histogram_p99,
+mannwhitney_len, max_coverage_hosts, otsu_threshold, outlier_mad,
+persistent_heavy_hitters, range_bounds_planner, rolling_median_7d,
+rsync_delta, selectivity_audit, shard_balance, ship_delay_stats,
+snapshot_reconcile, str_pack, topk_drift, topk_per_group,
+trend_slope_weekly, trimmed_mean_chars, two_phase_median, welch_gate
 """
 from __future__ import annotations
 from collections.abc import Callable

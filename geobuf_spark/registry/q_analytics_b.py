@@ -3,6 +3,16 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (30):
+bandit_replay, bwt_runs, compaction_plan, convex_layers,
+did_purchases, dtw_daily, ear_triangulate, haar_energy,
+hash_collision_audit, hodges_lehmann, huffman_cost, isotonic_daily,
+join_size_audit, lis_daily, lz_factors, mase_seasonal,
+negative_samples, poisson_bootstrap, qn_scale, quantile_normalize,
+ransac_line, rmq_daily, runs_test_daily, simpsons_paradox,
+soundex_groups, source_overlap, stump_split, theil_sen_daily,
+topk_two_level, weighted_schedule
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,14 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (21):
+blocking_quality, canonical_groups, cdc_chunks, containment_pairs,
+crawl_diff, dedup_exact, dup_components, dup_ngram_stats,
+dup_pair_lang_mix, dup_span_frac, dup_span_maxrun, embed_near_dups,
+host_edit_near_dups, host_mirrors, line_dedup_clean, minhash_eval,
+minhash_near_dups, simhash_near_dups, sorted_neighborhood,
+ssjoin_prefix, winnow_fps
 """
 from __future__ import annotations
 from collections.abc import Callable

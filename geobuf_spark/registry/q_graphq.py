@@ -3,6 +3,16 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (32):
+bfs_hops3, bipartite_check, boruvka_round1, cluster_diameter,
+clustering_coeff, consistent_shards, coreness, dag_layers,
+dbscan_clusters, dbscan_core, degree_assortativity, diameter_sweep,
+emst_clusters, hits_hosts, influence_spread, kcore_hosts,
+ktruss_edges, link_prediction_ra, link_reciprocity, lpa_communities,
+markov_predict_eval, markov_stationary, maximal_matching, mis_luby,
+pagerank_hosts, power_iteration, ppr_hosts, redirect_resolve,
+rich_club, sssp_w3, stable_matching, triangle_hosts
 """
 from __future__ import annotations
 from collections.abc import Callable

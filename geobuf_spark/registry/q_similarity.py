@@ -3,6 +3,13 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (19):
+ann_cosine_top5, ann_ivf_top5, ann_lsh_top5, cocitation_pairs,
+colbert_maxsim, embed_covariance, embed_quantize, embedding_norms_q,
+knn_graph_k3, knn_label_vote, l1_medoid, lang_profile_cosine,
+mmr_topk, multimodal_ann_top3, multimodal_bytes, mutual_knn,
+rbo_rankings, rrf_fusion, word_cooc_cosine
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,11 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (8):
+bloom_join_prune, hll_error_eval, hll_union_rollup, kmv_setops,
+sketch_bloom_doc_gate, sketch_cms_lang, sketch_hll_docs,
+sketch_kmv_lang
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,19 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (43):
+bbox_intersect_join, bearing_sectors, cell_skew_stats, csv_export,
+distinct_prop_keys, feature_count, feature_meta, geo_bounds,
+geobuf_roundtrip, geom_area_centroid, geom_validity, hausdorff_pairs,
+hex_density, hotspot_clusters, increment_limit, knn_adaptive_k5,
+knn_hex_k5, knn_k5, knn_s2_k5, line_length_stats, map_features,
+mint_points, nn_dist_stats, pip_join_general, pip_join_hex,
+pip_join_rects, pip_join_rects_salted, pip_join_s2,
+pip_join_triangles, pip_semi, polygon_roundtrip, props_roundtrip,
+radius_join_pairs, rect_overlay_iou, route_snap_join, s2_cells_l8,
+segment_xing_join, simplify_vw, skyline_docs, staypoints, traj_steps,
+union_datasets, wkt_quantized
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,13 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (16):
+bounding_circles, convex_hull_stats, dominant_bearing,
+flow_divergence, frechet_pairs, line_self_intersect, od_flows,
+rect_nesting, rect_prefix_counts, ring_normalize, ripley_band_pairs,
+simplify_collinear, spatial_split_leakage, turning_angles,
+union_area_rects, voronoi_assign
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,19 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (38):
+active_users_7d, asof_nearest, asof_purchase_view,
+attribution_compare, churn_rollup, click_attribution, cusum_days,
+dwell_event_mix, dwell_session_overlap, event_motifs_3, event_rle,
+event_transitions, events_enriched, events_window, funnel_conversion,
+interval_schedule, interval_union_time, late_arrival_hist,
+max_burst_window, multi_grain_actives, novelty_weekly, outage_gaps,
+peak_concurrency, pip_versioned, range_join_sessions,
+retention_cohorts, revisit_cadence, running_total, scd2_asof_enrich,
+scd2_history, session_paths, sessionize, sliding_window,
+time_to_purchase, time_weighted_value, token_bucket,
+watermark_policy_sim, wow_change
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,20 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (41):
+adaptive_cover, areal_interp, cell_coverage_curve,
+cover_size_estimate, delta_bytes_by_tile, doc_len_percentiles,
+geohash6, grid_boundary_cells, grid_line_density, hilbert_keys_z8,
+host_tile_footprint, idw_interpolate, kde_cells, lang_tile_mix,
+line_cover, moran_i_tiles, morisita_tiles, morton_keys_z8,
+mvt_tiles_z4, quadkey_range_join, quadkey_z8, quadtree_assign,
+rasterize_z4, split_clip_z5, tile_assign_z8, tile_counts_z6,
+tile_cover_rects_z7, tile_focal_mean, tile_gaps_anti, tile_gradient,
+tile_heat_decay, tile_p90_tokens, tile_parent_promote,
+tile_percentile_rank, tile_pyramid, tile_spatial_outliers,
+tile_stream_counts, vector_tiles_z5, vectorize_z3, zonal_stats,
+zorder_locality
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,12 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (22):
+tpch_q1, tpch_q10, tpch_q11, tpch_q12, tpch_q13, tpch_q14, tpch_q15,
+tpch_q16, tpch_q17, tpch_q18, tpch_q19, tpch_q2, tpch_q20, tpch_q21,
+tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q6, tpch_q7, tpch_q8,
+tpch_q9
 """
 from __future__ import annotations
 from collections.abc import Callable

@@ -3,6 +3,24 @@
 Split out of the former __spark_entry__.py monolith (VERDICT r4 #2);
 query functions keep their original text, oracles sit beside them in
 this module's oracles(). Driver-window ORDER lives in window.py, not here.
+
+Queries here (59):
+anchor_text_topk, benford_values, bm25_topk, boilerplate_lines,
+bpe_merges, chi2_lang_source, conjunctive_search, corpus_clean,
+cube_doc_counts, doc_fingerprint, doc_quality, effective_tokens,
+gopher_quality_flags, grouping_sets_counts, host_cap_sample,
+host_concentration, host_crawl_priority, host_quality_rollup,
+host_url_lcp, html_extract_text, inverted_postings, ks_two_langs,
+lang_confusion, lang_diversity_simpson, lang_id, latest_capture,
+link_host_graph, meta_robots, mlt_topk, ngram_jaccard, ngram_topk,
+ntile_len_deciles, null_profile, pages_synth, paragraph_owner,
+phrase_search, pii_scrub, pivot_lang_source, pmi_bigrams,
+prefix_autocomplete_topk, props_json_stats, rare_token_ratio,
+robots_prefix_rules, rollup_doc_counts, sample_stratified,
+text_normalize, text_segments, tfidf_top_terms, token_positions,
+token_totals, top_ngram_frac, unpivot_lang_counts, url_host_topk,
+url_normalize, vocab_growth, warc_index, weighted_median_tokens,
+weighted_sample_docs, zipf_fit
 """
 from __future__ import annotations
 from collections.abc import Callable
