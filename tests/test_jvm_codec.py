@@ -259,3 +259,58 @@ def test_roundtrip_points_jvm_parity(jvm):
     b = sorted(tuple(r) for r in
                jc.roundtrip_points_jvm(p, id_col="page_id").collect())
     assert a == b
+
+
+def test_point_enc_tie_lattice_parity(jvm):
+    """Cross-engine encode parity under adversarial inputs: uniform
+    floats mixed with exact half-ulp tie candidates on the 1e-7 lattice
+    (the rounding boundary where two implementations of go_round7 would
+    first diverge). 6k frames, byte-for-byte."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    ids = rng.integers(0, 1 << 40, n)
+    lon = np.concatenate([
+        rng.uniform(-180, 180, n // 2),
+        (rng.integers(-1_800_000_000, 1_800_000_000, n // 4) + 0.5) / 1e7,
+        rng.integers(-1_800_000_000, 1_800_000_000, n - n // 2 - n // 4) / 1e7,
+    ])
+    lat = np.concatenate([
+        rng.uniform(-90, 90, n // 2),
+        (rng.integers(-900_000_000, 900_000_000, n // 4) + 0.5) / 1e7,
+        rng.integers(-900_000_000, 900_000_000, n - n // 2 - n // 4) / 1e7,
+    ])
+    py = [bytes(f.as_py()) for f in spark_codec.encode_points_kernel(
+        ids.astype(np.int64), lon, lat)]
+    df = jvm.createDataFrame(pd.DataFrame(
+        {"id": ids.astype("int64"), "lon": lon, "lat": lat}))
+    jv = [bytes(r[0]) for r in
+          df.select(F.expr("gb_point_enc(id, lon, lat)")).collect()]
+    assert py == jv
+
+
+def test_line_poly_enc_random_parity(jvm):
+    """Random lines and two-ring polygons: python batch kernels vs JVM
+    encoders, byte-for-byte (hypothesis-free fixed seeds — each case is
+    one Spark job, so a handful of seeded draws beats per-example jobs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 300
+        ids = np.arange(n, dtype=np.int64)
+        nv = rng.integers(2, 30, n)
+        flat = []
+        for k in nv:
+            flat.append(np.round(rng.uniform(-180, 180, int(k) * 2), 7))
+        coords = [c.tolist() for c in flat]
+        py = [bytes(f.as_py()) for f in spark_codec.encode_lines_kernel(
+            ids, np.concatenate(flat), nv.astype(np.int64), dim=2)]
+        df = jvm.createDataFrame(pd.DataFrame(
+            {"id": ids, "coords": coords}))
+        jv = [bytes(r[0]) for r in
+              df.select(F.expr("gb_line_enc(id, coords)")).collect()]
+        assert py == jv, f"line mismatch seed {seed}"
