@@ -314,3 +314,18 @@ def test_line_poly_enc_random_parity(jvm):
         jv = [bytes(r[0]) for r in
               df.select(F.expr("gb_line_enc(id, coords)")).collect()]
         assert py == jv, f"line mismatch seed {seed}"
+
+        # two-ring polygons over the same draws
+        nv2 = rng.integers(2, 8, n)
+        flat2 = [np.round(rng.uniform(-85, 85, int(k) * 2), 7) for k in nv2]
+        ring_flat = [np.concatenate([a, b]) for a, b in zip(flat, flat2)]
+        ring_nv = np.stack([nv, nv2], axis=1).astype(np.int64)
+        pyp = [bytes(f.as_py()) for f in spark_codec.encode_rings_kernel(
+            ids, np.concatenate(ring_flat), ring_nv.reshape(-1),
+            np.full(n, 2, dtype=np.int64))]
+        dfp = jvm.createDataFrame(pd.DataFrame({
+            "id": ids, "coords": [c.tolist() for c in ring_flat],
+            "ring_nv": [[int(a), int(b)] for a, b in zip(nv, nv2)]}))
+        jvp = [bytes(r[0]) for r in
+               dfp.select(F.expr("gb_poly_enc(id, coords, ring_nv)")).collect()]
+        assert pyp == jvp, f"poly mismatch seed {seed}"
