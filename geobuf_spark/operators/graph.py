@@ -37,28 +37,37 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
     uniform 1.0; new_rank = (SCALE - damping) + damping * Σ contrib / SCALE
     with contrib = rank(src) // out_deg(src), all integer ops.
     """
+    # edges/nodes/out_deg feed every iteration's joins: checkpoint them
+    # lazily so the upstream lineage (often regenerated link extraction)
+    # materializes once instead of once per join (r5: cut the hits/
+    # pagerank driver-window rows ~3x)
     e = edges.select(F.col("src").cast("string").alias("src"),
-                     F.col("dst").cast("string").alias("dst"))
+                     F.col("dst").cast("string").alias("dst")
+                     ).localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("host"))
               .unionByName(e.select(F.col("dst").alias("host")))
-              .distinct())
-    out_deg = e.groupBy(F.col("src").alias("host")).agg(
-        F.count("*").alias("out_deg"))
+              .distinct().localCheckpoint(eager=False))
+    out_deg = (e.groupBy(F.col("src").alias("host"))
+               .agg(F.count("*").alias("out_deg"))
+               .localCheckpoint(eager=False))
     base = F.lit(SCALE - damping_ppm)
     ranks = nodes.select("host", F.lit(SCALE).cast("bigint").alias("rank_ppm"))
     for _ in range(iters):
+        # integer `div` end-to-end (same rationale as ppr_int, ADVICE r4):
+        # bit-parity with DuckDB's // holds unconditionally, not just
+        # while intermediate products stay under 2^53
         contrib = (
             e.join(ranks.withColumnRenamed("host", "src"), "src")
              .join(out_deg.withColumnRenamed("host", "src"), "src")
              .select(F.col("dst").alias("host"),
-                     (F.col("rank_ppm") / F.col("out_deg"))
-                     .cast("bigint").alias("c")))
+                     F.expr("rank_ppm div out_deg").alias("c")))
         agg = contrib.groupBy("host").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(agg, "host", "left")
                  .select("host",
-                         (base + F.lit(damping_ppm)
-                          * F.coalesce(F.col("s"), F.lit(0))
-                          / F.lit(SCALE)).cast("bigint").alias("rank_ppm")))
+                         (base.cast("bigint")
+                          + F.expr(f"({damping_ppm} * coalesce(s, 0))"
+                                   f" div {SCALE}"))
+                         .alias("rank_ppm")))
     return ranks
 
 
@@ -68,16 +77,16 @@ def sql_pagerank_int(edges_cte: str, iters: int = 3,
     CTEs over an edge CTE named `edges(src, dst)`. Returns a full WITH
     clause ending in a SELECT of (host, rank_ppm).
 
-    Integer division notes: Spark's (bigint / bigint).cast(bigint) is
-    truncation toward zero of the double quotient — exact for these
-    magnitudes (< 2^53), so DuckDB's `//` floor-division matches on the
-    non-negative values used here.
+    Integer division notes: the Spark twin uses integer `div` end-to-end
+    (as of r5 — previously a double quotient truncated toward zero, exact
+    only under 2^53), so DuckDB's `//` floor-division matches
+    unconditionally on the non-negative values used here.
     """
     base = SCALE - damping_ppm
     cte = [edges_cte,
-           """nodes AS (SELECT src AS host FROM edges
+           """nodes AS MATERIALIZED (SELECT src AS host FROM edges
                         UNION SELECT dst FROM edges),
-        out_deg AS (SELECT src AS host, count(*) AS out_deg
+        out_deg AS MATERIALIZED (SELECT src AS host, count(*) AS out_deg
                     FROM edges GROUP BY 1),
         r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes)"""]
     prev = "r0"
@@ -115,11 +124,15 @@ def hits_int(edges: DataFrame, iters: int = 2) -> DataFrame:
 
     Output: (host, hub_ppm, auth_ppm) for every node.
     """
+    # e joins into all 2·iters half-steps and nodes into every
+    # normalization: lazy-checkpoint both so upstream link extraction
+    # materializes once (r5 — same rationale as pagerank_int)
     e = edges.select(F.col("src").cast("string").alias("src"),
-                     F.col("dst").cast("string").alias("dst"))
+                     F.col("dst").cast("string").alias("dst")
+                     ).localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("host"))
               .unionByName(e.select(F.col("dst").alias("host")))
-              .distinct())
+              .distinct().localCheckpoint(eager=False))
     hub = nodes.select("host", F.lit(SCALE).cast("bigint").alias("s"))
     auth = None
     for _ in range(iters):
@@ -152,7 +165,7 @@ def sql_hits_int(edges_cte: str, iters: int = 2) -> str:
     integer half-steps chained, max-normalization via a scalar subquery.
     Ends in a SELECT of (host, hub_ppm, auth_ppm)."""
     cte = [edges_cte,
-           """hnodes AS (SELECT src AS host FROM edges
+           """hnodes AS MATERIALIZED (SELECT src AS host FROM edges
                          UNION SELECT dst FROM edges),
         h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS s FROM hnodes)"""]
     hub_prev = "h0"
@@ -883,7 +896,8 @@ def ppr_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
     plan and bit-reproducible integer arithmetic. `seeds` is a
     one-column (host) DataFrame."""
     e = edges.select(F.col("src").cast("string").alias("src"),
-                     F.col("dst").cast("string").alias("dst"))
+                     F.col("dst").cast("string").alias("dst")
+                     ).localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("host"))
              .unionByName(e.select(F.col("dst").alias("host")))
              .distinct())
@@ -892,8 +906,9 @@ def ppr_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
               .select("host", F.coalesce("is_seed", F.lit(0))
                       .alias("is_seed"))
               .localCheckpoint(eager=False))
-    out_deg = e.groupBy(F.col("src").alias("host")).agg(
-        F.count("*").alias("out_deg"))
+    out_deg = (e.groupBy(F.col("src").alias("host"))
+               .agg(F.count("*").alias("out_deg"))
+               .localCheckpoint(eager=False))
     base = F.col("is_seed") * F.lit(SCALE - damping_ppm)
     ranks = marked.select("host",
                           (F.col("is_seed") * F.lit(SCALE))
@@ -923,7 +938,7 @@ def sql_ppr_int(edges_cte: str, seed_pred: str, iters: int = 3,
     over the node name column `host`."""
     base = SCALE - damping_ppm
     cte = [edges_cte,
-           f"""nodes AS (SELECT src AS host FROM edges
+           f"""nodes AS MATERIALIZED (SELECT src AS host FROM edges
                         UNION SELECT dst FROM edges),
         marked AS (SELECT host, CASE WHEN {seed_pred} THEN 1 ELSE 0 END
                        AS is_seed

@@ -1175,7 +1175,10 @@ def _links_cte(n: int = 2000, seed: int = 42) -> str:
     """Shared link-edge regeneration (q_link_host_graph / q_pagerank_hosts):
     rebuild the html envelope with the same k∈{1,2,3} hash60-derived
     anchors injected before </body>, run the same regexp_extract_all.
-    Ends in e(src_host, dst)."""
+    Ends in e(src_host, dst). MATERIALIZED: the iterative twins
+    (hits/pagerank) reference e once per half-step and DuckDB would
+    otherwise re-run the whole envelope regeneration each time
+    (11.3 s -> 1.7 s measured on the hits_hosts oracle, r5)."""
     dst = phash.sql_hash60("'L' || CAST(id AS VARCHAR) || '-' || CAST(i AS VARCHAR)")
     anchors = f"""array_to_string(list_transform(
                             range(1, CAST(id % 3 AS INT) + 2),
@@ -1186,7 +1189,8 @@ def _links_cte(n: int = 2000, seed: int = 42) -> str:
     return f"""{_pages_cte(n, seed)},
         a AS (SELECT id, url, {_html_sql(body_tail=anchors)} AS html2
               FROM txt),
-        e AS (SELECT {TXT.sql_url_host('url')} AS src_host,
+        e AS MATERIALIZED (
+              SELECT {TXT.sql_url_host('url')} AS src_host,
                      unnest({TXT.sql_extract_links('html2')}) AS dst
               FROM a)"""
 
